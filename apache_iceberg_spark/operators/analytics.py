@@ -1,0 +1,410 @@
+"""Headline analytics queries: TPC-H-style aggregations/joins, window
+functions, and scalar-function coverage (SURVEY.md §2.7/§2.8 headroom).
+
+These are the bench workload. Determinism across engines (registry rules):
+money aggregates run on exact integer cents and are scaled back by an
+identical final division, so Spark and DuckDB agree bitwise.
+
+Scale notes:
+- q1/q5/q6 are single-shuffle partial+final hash aggs over the fact table.
+- q3/q5 join small filtered sides to lineitem; dims broadcast explicitly.
+- Window queries shuffle once on the partition key; the sort within
+  partitions is local.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from apache_iceberg_spark.registry import register
+from apache_iceberg_spark.tables import load_table
+
+
+def _cents(col: F.Column, scale: int = 100) -> F.Column:
+    """Exact integer representation of a fixed-decimal double."""
+    return F.round(col * scale).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0 AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: the classic scan-heavy partial+final "
+    "hash agg. At 100 TB: one shuffle of ~6 groups; everything else is "
+    "map-side. Money math on exact cents (registry determinism rules).",
+    tags=("bench", "aggregate", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    qty_c = _cents(F.col("l_quantity"))
+    base_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    charge_c = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        1000000,
+    )
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(base_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(disc_c).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_c).cast("double") / 1000000.0).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / F.count("*") / 100.0).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3-style top revenue orders: filtered dims join the fact, "
+    "top-k via TakeOrderedAndProject. The filtered customer side is small "
+    "→ broadcast; lineitem never moves until the final 10-row sort.",
+    tags=("bench", "join", "topk"),
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    rev_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    return (
+        l.join(
+            F.broadcast(
+                o.join(
+                    F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+                ).select("o_orderkey", "o_orderdate")
+            ),
+            l["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev_c).cast("double") / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, nation
+    """,
+    doc="TPC-H Q5-style revenue rollup by customer nation. nation broadcasts; "
+    "orders⋈customer then lineitem⋈orders shuffle on their keys — AQE "
+    "coalesces the post-shuffle partitions.",
+    tags=("bench", "join", "aggregate"),
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(rev_c).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24.0
+    """,
+    doc="TPC-H Q6-style forecasting query: pure pushed-down range filters + "
+    "one scalar aggregate. The ideal plan is a single map stage; all four "
+    "predicates appear in PushedFilters.",
+    tags=("bench", "filter", "aggregate"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    rev_c = _cents(F.col("l_extendedprice") * F.col("l_discount"), 10000)
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24.0)
+    ).agg((F.sum(rev_c).cast("double") / 10000.0).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY.md §2.8 — absent from the reference, added as
+# first-class headroom)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_rank_orders",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer via ROW_NUMBER. One shuffle on o_custkey, "
+    "local sort inside partitions; unique o_orderkey tiebreak keeps it "
+    "deterministic.",
+    tags=("window",),
+)
+def w1_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "w2_running_total",
+    oracle="""
+        SELECT user_id, event_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_cents
+        FROM events
+    """,
+    doc="Running total per user (cumulative frame). Summed on exact cents: "
+    "window-aggregation trees differ between engines, so float running "
+    "sums would not be bitwise stable.",
+    tags=("window",),
+)
+def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(_cents(F.col("value"))).over(w).alias("running_cents"),
+    )
+
+
+@register(
+    "w3_lag_delta",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(EPOCH(ts) * 1000000 AS BIGINT)
+                 - LAG(CAST(EPOCH(ts) * 1000000 AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS micros_since_prev
+        FROM events
+    """,
+    doc="Inter-event gap per user via LAG on microsecond epochs (integer — "
+    "exact).",
+    tags=("window",),
+)
+def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias(
+            "micros_since_prev"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function coverage (SURVEY.md §2.7: none used by the reference —
+# exposed as engine surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_string_funcs",
+    oracle="""
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               LOWER(c_mktsegment) AS seg_lower,
+               LENGTH(c_name) AS name_len,
+               SUBSTR(c_name, 1, 8) AS name_prefix,
+               CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+               REPLACE(c_name, '#', '-') AS name_dash,
+               TRIM(c_name) AS name_trim
+        FROM customer
+    """,
+    doc="String function surface: upper/lower/length/substr/concat/replace/"
+    "trim — all whole-stage-codegen JVM expressions.",
+    tags=("functions",),
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+        F.trim("c_name").alias("name_trim"),
+    )
+
+
+@register(
+    "f2_date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               YEAR(o_orderdate) AS order_year,
+               MONTH(o_orderdate) AS order_month,
+               DAY(o_orderdate) AS order_day,
+               CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders
+    """,
+    doc="Date/time function surface: year/month/day/date_trunc/cast-to-date.",
+    tags=("functions",),
+)
+def f2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@register(
+    "f3_math_funcs",
+    oracle="""
+        SELECT c_custkey,
+               ABS(c_acctbal) AS bal_abs,
+               CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
+               CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+               SQRT(ABS(c_acctbal)) AS bal_sqrt,
+               CAST(c_custkey % 7 AS BIGINT) AS key_mod
+        FROM customer
+    """,
+    doc="Math function surface restricted to IEEE-exact ops (abs/ceil/floor/"
+    "sqrt/mod) so both engines agree bitwise.",
+    tags=("functions",),
+)
+def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("bal_abs"),
+        F.ceil("c_acctbal").alias("bal_ceil"),
+        F.floor("c_acctbal").alias("bal_floor"),
+        F.sqrt(F.abs("c_acctbal")).alias("bal_sqrt"),
+        (F.col("c_custkey") % 7).cast("long").alias("key_mod"),
+    )
+
+
+@register(
+    "f4_case_expr",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS bal_bucket
+        FROM customer
+    """,
+    doc="CASE WHEN bucketing.",
+    tags=("functions",),
+)
+def f4_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+    )
+
+
+@register(
+    "f5_null_handling",
+    oracle="""
+        SELECT o_orderkey,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+               (o_orderstatus IS NULL) AS status_is_null
+        FROM orders
+    """,
+    doc="NULL-handling surface: coalesce/nullif/is-null.",
+    tags=("functions",),
+)
+def f5_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_or_open"),
+        F.isnull("o_orderstatus").alias("status_is_null"),
+    )

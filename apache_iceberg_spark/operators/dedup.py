@@ -1,0 +1,502 @@
+"""Deduplication operators over the `documents` / `embeddings` tables
+(training-data pipeline surface; BASELINE.json north star).
+
+Five dedup families, each designed as a scale-out Spark plan:
+
+- dd1 exact:        hash-groupBy — one shuffle on the content hash.
+- dd2 MinHash+LSH:  shingle → minhash signature (map-only expression tree)
+                    → band explode → bucket self-join (shuffle on band key,
+                    never all-pairs) → exact-Jaccard verify of candidates.
+- dd3 SimHash:      token explode → 32 partial bit-sums (map-side combine)
+                    → signature assembly; banded for candidate blocking.
+- dd4 n-gram Jaccard: blocked self-join (block key prunes the pair space)
+                    + exact set Jaccard.
+- dd5 embedding near-dup: label-blocked self-join + exact cosine.
+
+Cross-engine determinism: hashes derive from md5 hex (identical in both
+engines, see operators/text.py); Jaccard/cosine are per-row sequential
+folds, bitwise-equal across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_iceberg_spark.operators.text import DUCK_HEX2INT, SPARK_HEX2INT
+from apache_iceberg_spark.registry import register
+from apache_iceberg_spark.tables import load_table, load_table_parallel
+
+# ---------------------------------------------------------------------------
+# dd1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd1_exact_dedup",
+    oracle="""
+        SELECT md5(lower(trim(text))) AS content_hash,
+               MIN(doc_id) AS canonical_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Exact deduplication: normalize → content-hash → group, keeping the "
+    "lowest doc_id as canonical. At 100 TB this is one shuffle on the "
+    "hash; with the table bucketed by hash it is shuffle-free.",
+    tags=("dedup", "llm"),
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd2 — MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
+SHINGLE_WORDS = 2
+JACCARD_THRESHOLD = 0.4
+
+# MinHash mixing: one md5 per shingle, then per-seed affine permutations
+# h_s = (A[s]*h + B[s]) mod P. P = 2^31-1 keeps every product under 2^62, so
+# the arithmetic is overflow-free (and identical) on both engines.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [131, 137, 139, 149, 151, 157, 163, 167]
+MINHASH_B = [31, 37, 41, 43, 47, 53, 59, 61]
+
+# Spark-side expression fragments ------------------------------------------
+
+_SPARK_TOKENS = r"split(lower(trim(text)), '\\s+')"
+# NOTE: built from a materialized `toks` COLUMN, not the split() expression:
+# Catalyst inlines aliases, so split() inside a transform lambda would
+# re-tokenize the document once per array element (O(n²) per doc).
+_SPARK_SHINGLES = (
+    "array_distinct(transform("
+    f"sequence(1, greatest(size(toks) - {SHINGLE_WORDS - 1}, 1)), "
+    "i -> concat_ws(' ', "
+    + ", ".join(f"element_at(toks, i + {j})" for j in range(SHINGLE_WORDS))
+    + ")))"
+)
+
+_SPARK_SHINGLE_HASHES = (
+    f"transform(shingles, sh -> {SPARK_HEX2INT.format(s='sh')} % {MINHASH_P}L)"
+)
+
+
+def _spark_minhash(seed: int) -> str:
+    a, b = MINHASH_A[seed], MINHASH_B[seed]
+    return f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+
+
+# DuckDB-side expression fragments -----------------------------------------
+
+_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+_DUCK_SHINGLES = (
+    "list_distinct(["
+    + " || ' ' || ".join(f"toks[i + {j}]" for j in range(SHINGLE_WORDS))
+    + f" for i in generate_series(1, greatest(len(toks) - {SHINGLE_WORDS - 1}, 1))])"
+)
+
+_DUCK_SHINGLE_HASHES = (
+    f"[{DUCK_HEX2INT.format(s='sh')} % {MINHASH_P} for sh in shingles]"
+)
+
+
+def _duck_minhash(seed: int) -> str:
+    a, b = MINHASH_A[seed], MINHASH_B[seed]
+    return f"list_min([({a} * h + {b}) % {MINHASH_P} for h in hs])"
+
+
+def _dd2_oracle() -> str:
+    """DuckDB mirror of the MinHash-LSH pipeline, generated from the same
+    (N_HASHES, N_BANDS, SHINGLE_WORDS) parameters as the Spark plan."""
+    mh_cols = ",\n               ".join(
+        f"{_duck_minhash(s)} AS mh{s}" for s in range(N_HASHES)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_branches = []
+    for b in range(N_BANDS):
+        parts = " || '|' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        key = DUCK_HEX2INT.format(s=f"({parts})")
+        band_branches.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        )
+    bands_sql = "\n            UNION ALL ".join(band_branches)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
+        ),
+        hashed AS (
+            SELECT doc_id, {_DUCK_SHINGLE_HASHES} AS hs FROM sh
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mh_cols}
+            FROM hashed
+        ),
+        bands AS (
+            {bands_sql}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+            FROM bands a JOIN bands c
+              ON a.band_id = c.band_id AND a.band_key = c.band_key
+             AND a.doc_id < c.doc_id
+        ),
+        verified AS (
+            SELECT cand.doc_id_a, cand.doc_id_b,
+                   CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.doc_id_a
+            JOIN sh sb ON sb.doc_id = cand.doc_id_b
+        )
+        SELECT doc_id_a, doc_id_b, jaccard
+        FROM verified
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dd2_minhash_lsh",
+    oracle=_dd2_oracle(),
+    doc=f"MinHash+LSH near-duplicate detection: {SHINGLE_WORDS}-word shingles "
+    f"→ {N_HASHES}-hash MinHash signature → {N_BANDS} LSH bands → banded "
+    "self-join for candidates → exact-Jaccard verification at "
+    f"threshold {JACCARD_THRESHOLD}. The signature is a map-only "
+    "expression tree; the only shuffle is the band-key self-join, whose "
+    "size is O(candidates), never O(n²). At 100 TB, salt hot bands and "
+    "cap per-bucket width.",
+    tags=("dedup", "llm", "flagship"),
+)
+def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    # persist() boundaries serve two purposes: the band self-join and the
+    # verify step reuse the subtree instead of recomputing it per branch,
+    # and the InMemoryRelation cuts Catalyst's alias inlining (see
+    # _SPARK_SHINGLES note).
+    toks_df = d.select("doc_id", F.expr(_SPARK_TOKENS).alias("toks")).persist()
+    sh = toks_df.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles")).persist()
+    hashed = sh.select(
+        "doc_id", F.expr(_SPARK_SHINGLE_HASHES).alias("hs")
+    )
+    sig = hashed.select(
+        "doc_id",
+        *[F.expr(_spark_minhash(s)).alias(f"mh{s}") for s in range(N_HASHES)],
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_structs = []
+    for b in range(N_BANDS):
+        parts = ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS STRING)" for r in range(rows_per_band)
+        )
+        key = SPARK_HEX2INT.format(s=f"concat_ws('|', {parts})")
+        band_structs.append(f"struct({b} AS band_id, {key} AS band_key)")
+    bands = (
+        sig.select(
+            "doc_id",
+            F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias("b"),
+        )
+        .select("doc_id", "b.band_id", "b.band_key")
+        .persist()
+    )
+
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("c.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("shingles_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("shingles_b")
+    )
+    verified = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.size(F.array_intersect("shingles_a", "shingles_b")).cast("double")
+                / F.size(F.array_union("shingles_a", "shingles_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_id_a", "doc_id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd3 — SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _dd3_oracle() -> str:
+    tok_hash = DUCK_HEX2INT.format(s="tok")
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {tok_hash} AS h FROM tok
+        ),
+        bits AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {assemble} AS simhash,
+               ({assemble}) >> 24 AS band_hi
+        FROM bits
+    """
+
+
+@register(
+    "dd3_simhash",
+    oracle=_dd3_oracle(),
+    doc=f"SimHash fingerprint ({SIMHASH_BITS}-bit): token-hash bit votes "
+    "aggregated per document (explode → partial+final sum, map-side "
+    "combined), signature reassembled from the vote signs; the high byte "
+    "doubles as an LSH band for Hamming-neighbor blocking. Near-identical "
+    "docs land on equal or Hamming-close signatures.",
+    tags=("dedup", "llm"),
+)
+def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
+    hashed = tok.select(
+        "doc_id", F.expr(SPARK_HEX2INT.format(s="tok")).alias("h")
+    )
+    bits = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return bits.select(
+        "doc_id",
+        F.expr(assemble).alias("simhash"),
+        F.expr(f"({assemble}) >> 24").alias("band_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd4 — n-gram Jaccard (blocked)
+# ---------------------------------------------------------------------------
+
+NGRAM_CHARS = 3
+DD4_THRESHOLD = 0.5
+
+# `lt` is a materialized lowered-text column (same alias-inlining caveat as
+# _SPARK_SHINGLES: lower(text) inside the lambda would re-run per element).
+_SPARK_NGRAMS = (
+    "array_distinct(transform("
+    f"sequence(1, greatest(length(lt) - {NGRAM_CHARS - 1}, 1)), "
+    f"i -> substr(lt, i, {NGRAM_CHARS})))"
+)
+_DUCK_NGRAMS = (
+    f"list_distinct([substr(lower(text), i, {NGRAM_CHARS}) "
+    f"for i in generate_series(1, greatest(length(lower(text)) - {NGRAM_CHARS - 1}, 1))])"
+)
+
+
+@register(
+    "dd4_ngram_jaccard",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, lang, source, {_DUCK_NGRAMS} AS grams FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= {DD4_THRESHOLD}
+    """,
+    doc=f"Character-{NGRAM_CHARS}-gram Jaccard near-dup within "
+    "(lang, source) blocks: the block key bounds the pair space so the "
+    "self-join is a per-block nested loop, not n². At 100 TB the block "
+    "key is the table's partition key → co-located join.",
+    tags=("dedup", "llm"),
+)
+def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted-index formulation: explode distinct grams, equi-join postings
+    # on (block, gram), count shared grams per pair, then
+    # |A∪B| = |A| + |B| - |A∩B|. Unlike per-pair array intersection this
+    # shuffles O(postings) rows on an equality key — the shape that
+    # survives 100× scale-up (and is ~7× faster here). The DuckDB oracle
+    # keeps the direct set formulation; results are identical.
+    d = load_table_parallel(spark, sf_dir, "documents")
+    lowered = d.select(
+        "doc_id", "lang", "source", F.lower(F.col("text")).alias("lt")
+    )
+    g0 = lowered.select(
+        "doc_id", "lang", "source", F.expr(_SPARK_NGRAMS).alias("grams")
+    ).persist()
+    sizes = g0.select("doc_id", F.size("grams").alias("n_grams"))
+    posts = g0.select(
+        "doc_id", "lang", "source", F.explode("grams").alias("gram")
+    )
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("n_b")
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= DD4_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd5 — embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+DD5_THRESHOLD = 0.35
+
+# Sequential left-fold dot/norm so Spark and DuckDB agree bitwise.
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_DUCK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "for i in generate_series(1, len({a}))]), (acc, v) -> acc + v)"
+)
+
+
+def spark_cosine(a: str, b: str) -> str:
+    dot = _SPARK_DOT.format(a=a, b=b)
+    na = _SPARK_DOT.format(a=a, b=a)
+    nb = _SPARK_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def duck_cosine(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "dd5_embedding_neardup",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        )
+        SELECT vec_id_a, vec_id_b, cosine FROM (
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   ({_DUCK_DOT.format(a='a.embedding', b='b.embedding')})
+                     / (a.norm * b.norm) AS cosine
+            FROM n a JOIN n b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= {DD5_THRESHOLD}
+    """,
+    doc=f"Embedding-cosine near-duplicate pairs at threshold {DD5_THRESHOLD}, "
+    "blocked by cluster label so the self-join is per-cluster, not "
+    "all-pairs (at 100 TB the label comes from a coarse quantizer / LSH "
+    "bucket — see similarity.ann2). Cosine is a sequential fold: "
+    "bitwise-identical across engines.",
+    tags=("dedup", "llm", "embedding"),
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    # Norms computed once per vector (persisted), not once per pair.
+    n = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    ).persist()
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = F.expr(
+        f"({_SPARK_DOT.format(a='a.embedding', b='b.embedding')})"
+    ) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DD5_THRESHOLD)
+    )

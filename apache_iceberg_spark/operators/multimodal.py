@@ -1,0 +1,158 @@
+"""Multimodal column plumbing (training-data pipeline surface).
+
+Images/audio/video are carried as opaque ``binary`` payload columns with a
+typed metadata struct — the lakehouse-native layout for multimodal training
+data. The container has no image/audio codecs, so the *decode* step is a
+deterministic fake behind the real Spark plumbing (schema, Arrow batching,
+``mapInPandas`` signature); swapping in PIL/ffmpeg is a one-function change.
+
+The `documents.text` column stands in for the payload (its UTF-8 bytes are
+the "media bytes"); `embeddings.embedding` stands in for a decoded feature
+vector.
+
+Scale notes: payload processing is mapInPandas over Arrow record batches —
+columnar transfer, no per-row Python overhead, no shuffle. Metadata-only
+queries never touch payload bytes thanks to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from apache_iceberg_spark.registry import register
+from apache_iceberg_spark.tables import load_table
+
+
+@register(
+    "mm1_payload_metadata",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5,
+               'text/plain' AS media_type,
+               CAST(octet_length(encode(text)) // 4096 AS BIGINT) AS chunk_count
+        FROM documents
+    """,
+    doc="Typed metadata over an opaque binary payload column: byte length, "
+    "content digest, media type, storage chunk count. Pure expression "
+    "tree — payload column pruned away for metadata-only readers.",
+    tags=("multimodal", "llm"),
+)
+def mm1_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.lit("text/plain").alias("media_type"),
+        (F.length(payload).cast("long") / F.lit(4096)).cast("long").alias(
+            "chunk_count"
+        ),
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("mean_intensity", DoubleType()),
+    ]
+)
+
+
+def _fake_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a media decoder.
+
+    A real implementation would do ``PIL.Image.open(io.BytesIO(payload))``
+    (or ffmpeg frame sampling) here; the container ships no codecs, so we
+    "decode" the payload bytes into intensity statistics. Integer byte sums
+    keep the result exactly reproducible (and oracle-checkable).
+    """
+    import numpy as np
+
+    for pdf in batches:
+        payloads = [
+            bytes(p) if not isinstance(p, bytes) else p for p in pdf["payload"]
+        ]
+        n_bytes = np.array([len(p) for p in payloads], dtype="int64")
+        byte_sum = np.array(
+            [int(np.frombuffer(p, dtype=np.uint8).sum()) for p in payloads],
+            dtype="int64",
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n_bytes,
+                "byte_sum": byte_sum,
+                # exact: int_sum / int_len in double — engine-independent
+                "mean_intensity": byte_sum.astype("float64") / n_bytes,
+            }
+        )
+
+
+@register(
+    "mm2_decode_features",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   list_sum([ascii(c) for c in regexp_extract_all(text, '.')]) AS byte_sum
+            FROM documents
+        )
+        SELECT doc_id, n_bytes, byte_sum,
+               CAST(byte_sum AS DOUBLE) / n_bytes AS mean_intensity
+        FROM b
+    """,
+    doc="Payload decode + feature extraction via mapInPandas (Arrow-batched "
+    "pandas, the pattern for real image/audio decoding). The decoder here "
+    "is a deterministic fake (byte-intensity statistics) since the "
+    "container has no codecs; the oracle checks the full plumbing "
+    "end-to-end. NOTE: oracle assumes ASCII payloads (true for testdata); "
+    "a binary media column would use the rows-only check.",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload_df = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payload_df.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "mm3_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               [substr(text, i, 16)
+                for i in generate_series(1, greatest(length(text) - 15, 1), 64)] AS frames,
+               len([substr(text, i, 16)
+                    for i in generate_series(1, greatest(length(text) - 15, 1), 64)]) AS n_frames
+        FROM documents
+    """,
+    doc="Frame sampling over a packed media payload: every 64th offset "
+    "yields a 16-byte 'frame' (stride sampling — the video-keyframe "
+    "pattern). Expression-level array slicing; no UDF, no shuffle.",
+    tags=("multimodal", "llm"),
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    frames = F.expr(
+        "transform(sequence(1, greatest(length(text) - 15, 1), 64), "
+        "i -> substr(text, i, 16))"
+    )
+    return d.select(
+        "doc_id", frames.alias("frames"), F.size(frames).alias("n_frames")
+    )

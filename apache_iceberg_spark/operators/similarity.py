@@ -1,0 +1,219 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- ann1: brute-force cosine top-k — the exact baseline. Query set broadcast
+  against the corpus; per-partition scoring, global top-k via
+  window/TakeOrdered. At 100 TB the corpus never shuffles.
+- ann2: LSH-bucketed ANN — random-hyperplane signatures put near vectors in
+  the same bucket; candidates are re-ranked with exact cosine. The bucket
+  join replaces the all-pairs cross product; this is the scale path.
+
+Hyperplanes are pseudo-random but engine-independent: component (p, i) is
+derived from md5(p:i) mapped to [-1, 1], so the DuckDB oracle reproduces
+the exact same planes. All dot products are sequential left-folds —
+bitwise identical across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from apache_iceberg_spark.operators.dedup import (
+    _DUCK_DOT,
+    _SPARK_DOT,
+    duck_cosine,
+    spark_cosine,
+)
+from apache_iceberg_spark.operators.text import DUCK_HEX2INT, SPARK_HEX2INT
+from apache_iceberg_spark.registry import register
+from apache_iceberg_spark.tables import load_table_parallel
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+# --- ann1: brute force -----------------------------------------------------
+
+
+@register(
+    "ann1_cosine_topk",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ({_DUCK_DOT.format(a='q.embedding', b='c.embedding')})
+                     / (q.norm * c.norm) AS cosine
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rn FROM scored
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors: the "
+    "exact-ANN baseline. The tiny query side broadcasts; scoring is "
+    "map-only over the corpus; per-query top-k via ROW_NUMBER (unique "
+    "neighbor_id tiebreak).",
+    tags=("similarity", "llm", "embedding"),
+)
+def ann1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    ).persist()
+    q = F.broadcast(
+        n.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = q.join(c, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# --- ann2: LSH-bucketed ----------------------------------------------------
+
+N_PLANES = 6
+DIM = 64
+
+
+def _spark_plane_component(p: int) -> str:
+    """Pseudo-random hyperplane component for plane p, dim i (SQL var i)."""
+    h = SPARK_HEX2INT.format(s=f"concat('{p}:', CAST(i AS STRING))")
+    return f"(CAST({h} AS DOUBLE) / 576460752303423488.0 - 1.0)"
+
+
+def _duck_plane_component(p: int) -> str:
+    h = DUCK_HEX2INT.format(s=f"concat('{p}:', CAST(i AS VARCHAR))")
+    return f"(CAST({h} AS DOUBLE) / 576460752303423488.0 - 1.0)"
+
+
+def _spark_bucket(emb: str) -> str:
+    """LSH bucket id: sign bits of dot(v, plane_p) for each plane."""
+    bits = []
+    for p in range(N_PLANES):
+        comp = _spark_plane_component(p)
+        dot = (
+            f"aggregate(transform(sequence(1, {DIM}), "
+            f"i -> CAST(element_at({emb}, i) AS DOUBLE) * {comp}), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN CAST(1 AS BIGINT) << {p} ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _duck_bucket(emb: str) -> str:
+    bits = []
+    for p in range(N_PLANES):
+        comp = _duck_plane_component(p)
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[CAST({emb}[i] AS DOUBLE) * {comp} "
+            f"for i in generate_series(1, {DIM})]), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN CAST(1 AS BIGINT) << {p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "ann2_lsh_bucketed",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ({_DUCK_DOT.format(a='q.embedding', b='c.embedding')})
+                     / (q.norm * c.norm) AS cosine
+            FROM bucketed q JOIN bucketed c
+              ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rn FROM cand
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"LSH-bucketed approximate top-{TOP_K}: {N_PLANES} random-hyperplane "
+    "sign bits form the bucket id (map-only expression); candidates come "
+    "from the query's bucket only, then exact cosine re-ranks. The "
+    "bucket equi-join shuffles O(n) rows on the bucket key instead of "
+    "the brute-force cross product — at 100 TB add multi-probe (flip "
+    "one bit) to trade recall for cost.",
+    tags=("similarity", "llm", "embedding", "flagship"),
+)
+def ann2_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_spark_bucket("embedding")).alias("bucket"),
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    ).persist()
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("norm").alias("c_norm"),
+    )
+    cand = q.join(
+        c,
+        (F.col("q_bucket") == F.col("c_bucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+__all__ = ["ann1_cosine_topk", "ann2_lsh_bucketed", "_SPARK_DOT", "_DUCK_DOT"]

@@ -1,0 +1,228 @@
+"""Text-analysis operators over the `documents` table (training-data
+pipeline surface; BASELINE.json north star).
+
+All four operators are pure per-row expression trees built from
+``pyspark.sql.functions`` — no Python UDFs — so they run inside whole-stage
+codegen and scale linearly with the scan: at 100 TB these are map-only
+stages with zero shuffle.
+
+Cross-engine hash parity: document hashes are derived from md5 hex strings
+(identical in Spark and DuckDB); hex → int uses Spark ``conv(...,16,10)``
+vs DuckDB ``list_reduce`` over hex digits — same value, so the DuckDB
+oracle checks real equality, not just shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from apache_iceberg_spark.registry import register
+from apache_iceberg_spark.tables import load_table
+
+# 60-bit integer from the first 15 hex chars of md5 — fits in a BIGINT on
+# both engines.
+SPARK_HEX2INT = "CAST(CONV(SUBSTRING(MD5({s}), 1, 15), 16, 10) AS BIGINT)"
+DUCK_HEX2INT = (
+    "list_reduce([strpos('0123456789abcdef', c) - 1 "
+    "for c in regexp_extract_all(substr(md5({s}), 1, 15), '.')], "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+def hash60(col_sql: str) -> Column:
+    """Spark-side 60-bit md5 hash of a SQL expression string."""
+    return F.expr(SPARK_HEX2INT.format(s=col_sql))
+
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "del"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"],
+}
+
+_TOKEN_SPLIT = r"\s+"
+# BPE-ish segmentation: alpha runs, single digits, single punctuation marks.
+_BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.trim(F.col(col))), _TOKEN_SPLIT)
+
+
+@register(
+    "tx1_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}')) AS n_tokens,
+               len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpeish,
+               length(text) AS n_chars_computed
+        FROM documents
+    """,
+    doc="Token counting: whitespace tokens plus a BPE-ish segment count "
+    "(alpha runs / digits / punctuation marks) — the standard cheap "
+    "token-budget estimator for LLM data work.",
+    tags=("text", "llm"),
+)
+def tx1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)).alias(
+            "n_bpeish"
+        ),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "tx2_quality_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}')) AS n_tokens,
+                   len(list_filter(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}'),
+                       tok -> list_contains({STOPWORDS['en']!r}, tok))) AS n_stop,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+               CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+               CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+               (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+                 + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 0.2 ELSE 0.0 END)
+                 AS quality
+        FROM t
+    """,
+    doc="Heuristic document quality: stopword ratio + length band + "
+    "punctuation ratio (the classic Gopher/C4-style cheap filters). "
+    "Weighted sum uses only IEEE +,*,/ on identical operand order, so "
+    "the oracle matches bitwise.",
+    tags=("text", "llm"),
+)
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    t = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda tok: F.array_contains(stop_arr, tok))).alias(
+            "n_stop"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.,;:!?]"), 0)).alias(
+            "n_punct"
+        ),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    return t.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (
+            stop_ratio * 0.5
+            + F.when(
+                (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 0.3
+            ).otherwise(0.0)
+            + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0)
+        ).alias("quality"),
+    )
+
+
+def _duck_stop_count(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}'), "
+        f"tok -> list_contains({STOPWORDS[lang]!r}, tok)))"
+    )
+
+
+@register(
+    "tx3_langid",
+    oracle=f"""
+        WITH scores AS (
+            SELECT doc_id, lang AS lang_label,
+                   {_duck_stop_count('en')} AS s_en,
+                   {_duck_stop_count('es')} AS s_es,
+                   {_duck_stop_count('de')} AS s_de,
+                   {_duck_stop_count('fr')} AS s_fr
+            FROM documents
+        )
+        SELECT doc_id, lang_label,
+               CASE
+                 WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                 WHEN s_en >= s_de AND s_en > s_es AND s_en > s_fr THEN 'en'
+                 WHEN s_es >= s_de AND s_es >= s_en AND s_es > s_fr THEN 'es'
+                 ELSE 'fr'
+               END AS lang_pred,
+               s_en, s_es, s_de, s_fr
+        FROM scores
+    """,
+    doc="Language identification via function-word (stopword) hit counts — "
+    "the classic n-gram/dictionary heuristic. Deterministic argmax with "
+    "alphabetical tiebreak (de < en < es < fr).",
+    tags=("text", "llm"),
+)
+def tx3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    def stop_count(lang: str) -> Column:
+        stop_arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(
+            F.filter(toks, lambda tok: F.array_contains(stop_arr, tok))
+        ).alias(f"s_{lang}")
+
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[stop_count(lang) for lang in ("en", "es", "de", "fr")],
+    )
+    s_en, s_es, s_de, s_fr = (F.col(c) for c in ("s_en", "s_es", "s_de", "s_fr"))
+    pred = (
+        F.when((s_de > s_en) & (s_de > s_es) & (s_de > s_fr), "de")
+        .when((s_en >= s_de) & (s_en > s_es) & (s_en > s_fr), "en")
+        .when((s_es >= s_de) & (s_es >= s_en) & (s_es > s_fr), "es")
+        .otherwise("fr")
+    )
+    return scores.select(
+        "doc_id", "lang_label", pred.alias("lang_pred"), "s_en", "s_es", "s_de", "s_fr"
+    )
+
+
+@register(
+    "tx4_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               {DUCK_HEX2INT.format(s="text")} AS doc_hash,
+               list_min([
+                   {DUCK_HEX2INT.format(s="substr(text, i, 8)")}
+                   for i in generate_series(1, greatest(length(text) - 7, 1))
+               ]) AS min_shingle_hash
+        FROM documents
+    """,
+    doc="Document fingerprinting: a whole-document 60-bit hash plus a "
+    "rolling min-hash over 8-char shingles (winnowing-style robust "
+    "fingerprint that survives small edits). Pure expression tree — no "
+    "shuffle, no UDF.",
+    tags=("text", "llm", "dedup"),
+)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    min_shingle = F.expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
+        f"i -> {SPARK_HEX2INT.format(s='substr(text, i, 8)')}))"
+    )
+    return d.select(
+        "doc_id",
+        hash60("text").alias("doc_hash"),
+        min_shingle.alias("min_shingle_hash"),
+    )

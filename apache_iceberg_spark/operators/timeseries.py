@@ -1,0 +1,147 @@
+"""Time-series operators over the `events` table.
+
+The reference has no streaming/temporal operators (SURVEY.md §2.8); these are
+the batch expressions of the standard temporal surface. The same logical
+shapes run under Structured Streaming in
+``apache_iceberg_spark.streaming`` (tumbling window ≙ ``F.window`` +
+watermark; sessionization ≙ ``session_window``).
+
+Scale notes: each query shuffles once on its key (hour bucket / user). The
+as-of join avoids a cross product by joining on the equality key first and
+resolving "latest ≤ t" with a window function — at 100 TB both sides would
+be bucketed on user_id so the join is co-located.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from apache_iceberg_spark.registry import register
+from apache_iceberg_spark.tables import load_table
+
+
+@register(
+    "ts1_tumbling_agg",
+    oracle="""
+        SELECT DATE_TRUNC('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation (batch form). Streaming form: "
+    "groupBy(F.window('ts','1 hour'), 'event_type') with a watermark.",
+    tags=("timeseries", "aggregate"),
+)
+def ts1_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+@register(
+    "ts2_sessionization",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN CAST(EPOCH(ts) * 1000000 AS BIGINT)
+                             - LAG(CAST(EPOCH(ts) * 1000000 AS BIGINT)) OVER w
+                             > 1800000000
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_id,
+                   SUM(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30-min inactivity): LAG flags session "
+    "starts, a running sum numbers sessions, then a per-session rollup. "
+    "Streaming form: session_window(ts, '30 minutes').",
+    tags=("timeseries", "window"),
+)
+def ts2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias(
+            "is_new_session"
+        ),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new_session").over(wcum).alias("session_seq"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "ts3_asof_join",
+    oracle="""
+        WITH ranked AS (
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, ts, o_orderkey AS last_orderkey,
+               o_orderdate AS last_orderdate
+        FROM ranked WHERE rn = 1
+    """,
+    doc="As-of join: for each event, the user's most recent order at or "
+    "before the event time (deterministic tiebreak on o_orderkey). "
+    "Expressed as equality-join + windowed latest-row selection, so the "
+    "only shuffle is on the equality key — no range cross-product. "
+    "Inner flavor (events with no prior order drop out).",
+    tags=("timeseries", "join", "asof"),
+)
+def ts3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").alias("e")
+    o = load_table(spark, sf_dir, "orders").alias("o")
+    joined = e.join(
+        o,
+        (F.col("o.o_custkey") == F.col("e.user_id"))
+        & (F.col("o.o_orderdate") <= F.col("e.ts")),
+    )
+    w = Window.partitionBy("e.event_id").orderBy(
+        F.desc("o.o_orderdate"), F.desc("o.o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "e.event_id",
+            "e.user_id",
+            "e.ts",
+            F.col("o.o_orderkey").alias("last_orderkey"),
+            F.col("o.o_orderdate").alias("last_orderdate"),
+        )
+    )

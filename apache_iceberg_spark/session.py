@@ -1,0 +1,130 @@
+"""SparkSession factory for the engine.
+
+The reference configures its engines per-environment (REST/Nessie catalog or
+local SQLite catalog — ``bot_iceberg_loader.py:245-281``). We mirror that
+stance: one factory that produces a session tuned for scale-out execution
+(AQE, Arrow interchange, sensible shuffle sizing) and wires in an Iceberg
+catalog when the Iceberg Spark runtime jar is on the classpath, falling back
+to Spark's built-in catalog (parquet tables in a local warehouse) otherwise.
+
+Scale notes (100 TB design):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic broadcast conversion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on a real
+  cluster set it to ~2-3x total cores and let AQE coalesce.
+- Arrow execution enabled so ``toPandas``/pandas-UDF boundaries are columnar
+  batch transfers, matching the reference's Arrow-centric design
+  (``query_iceberg.ipynb:210-214``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "apache-iceberg-spark"
+
+#: Env var contract shared with the driver's bench harness.
+ENV_CPUS = "SPARK_GRAFT_CPUS"
+
+#: Catalog name used when the Iceberg runtime is available.
+ICEBERG_CATALOG = "ice"
+
+
+def _iceberg_jar_available() -> bool:
+    """True if an iceberg-spark-runtime jar is visible to this Spark install."""
+    try:
+        import pyspark
+
+        jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return any(
+            f.startswith("iceberg-spark-runtime") for f in os.listdir(jars_dir)
+        )
+    except OSError:
+        return False
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    *,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse: str | None = None,
+    extra_conf: Mapping[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters
+    ----------
+    cpus:
+        local[] parallelism; defaults to ``$SPARK_GRAFT_CPUS`` or all cores.
+    shuffle_partitions:
+        pre-AQE shuffle partition count; defaults to ``cpus``.
+    warehouse:
+        warehouse directory for managed tables (catalog surface). Defaults to
+        ``./spark-warehouse`` under the current directory.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get(ENV_CPUS, 0)) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- Adaptive execution: runtime re-planning at scale -------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Columnar boundaries ------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- Scan sizing: keep splits bounded so tasks stay memory-safe ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Testdata `events.parquet` carries TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp type, so read as long and convert (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- Quieter, deterministic behavior ------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+
+    if warehouse is not None:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse)
+
+    if _iceberg_jar_available():
+        # Iceberg native Spark integration (SURVEY.md §1.1): a hadoop-type
+        # catalog for local dev, mirroring the reference's SQLite-for-dev
+        # stance (blog-zero-cost-data-lakehouse-part-2.md:161). Production
+        # deployments switch type=rest + uri to hit a Nessie/REST catalog
+        # exactly like bot_iceberg_loader.py:251-263 — config-only change.
+        ice_wh = warehouse or os.path.abspath("iceberg-warehouse")
+        builder = (
+            builder.config(
+                f"spark.sql.catalog.{ICEBERG_CATALOG}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config(f"spark.sql.catalog.{ICEBERG_CATALOG}.type", "hadoop")
+            .config(f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse", ice_wh)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+        )
+
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Stop the active session if any (test teardown helper)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,82 @@
+"""Test-data table access.
+
+The driver provides TPC-H-ish parquet tables (TESTDATA.md). These helpers
+load them lazily and register temp views so queries can be written either as
+DataFrame compositions or ``spark.sql`` — mirroring the reference's pattern of
+registering Arrow tables as queryable views (``query_iceberg.ipynb:214``,
+``conn.register``), but lazy and distributed instead of fully materialized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one parquet table (column pruning + predicate pushdown
+    flow to the parquet reader automatically — SURVEY.md §4).
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has no
+    native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it reads
+    as nano-epoch longs and is converted here by exact integer division —
+    the same truncation DuckDB applies reading nanos into its µs timestamps.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str, partitions: int | None = None
+) -> DataFrame:
+    """Scan + round-robin repartition for CPU-heavy per-row operators.
+
+    Small parquet files arrive as a single input split; expression-heavy
+    pipelines (shingling, hashing, scoring) would then run on one core. A
+    repartition spreads rows across the cluster — at 100 TB the scan has
+    thousands of natural splits and ``partitions=None`` skips this.
+    """
+    df = load_table(spark, sf_dir, name)
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < partitions:
+        df = df.repartition(partitions)
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view (S11 semantics: name → relation).
+
+    Unlike the reference's ``table.scan().to_arrow()`` + ``conn.register``
+    (full RAM materialization, ``query_iceberg.ipynb:209-214``), views here
+    stay lazy: the scan plan only reads the columns/row-groups each query
+    needs.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count). A
+warm-up pass on sf0.001 triggers JVM/codegen warm-up so the numbers reflect
+steady-state execution, not first-query JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "o3_topk",
+    "j1_inner_join",
+    "w1_rank_orders",
+    "ts1_tumbling_agg",
+    "ts3_asof_join",
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh",
+    "dd3_simhash",
+    "tx2_quality_score",
+    "ann1_cosine_topk",
+    "ann2_lsh_bucketed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from apache_iceberg_spark.registry import all_queries
+    from apache_iceberg_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    queries = all_queries()
+
+    # Warm-up: run each headline query once at the smallest SF.
+    for name in HEADLINE:
+        try:
+            queries[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = queries[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
