@@ -82,5 +82,6 @@ def _ensure_loaded() -> None:
         text,
         timeseries,
     )
+    from apache_iceberg_spark.streaming import events  # noqa: F401
 
     _LOADED = True

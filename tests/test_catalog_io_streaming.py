@@ -1,0 +1,122 @@
+"""Catalog/DDL, export-sink, and streaming tests (SURVEY.md §2.10, §2.1
+S9/S10, §2.8)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from apache_iceberg_spark import catalog as cat
+from apache_iceberg_spark.catalog.ddl import IcebergUnavailableError, read_snapshot
+from apache_iceberg_spark.io import export_csv, export_parquet
+from apache_iceberg_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def ns(spark):
+    name = "cat_test"
+    cat.create_namespace(spark, name)
+    yield name
+    cat.drop_namespace(spark, name, cascade=True)
+
+
+def test_namespace_and_table_lifecycle(spark, ns):
+    df = load_table(spark, SF_DIR, "nation")
+    df.write.mode("overwrite").saveAsTable(f"{ns}.nations")
+    assert ns in cat.list_namespaces(spark)
+    tables = [r.tableName for r in cat.list_tables(spark, ns)]
+    assert "nations" in tables
+    schema = cat.describe_table(spark, f"{ns}.nations")
+    assert ("n_name", "string") in schema
+    loc = cat.table_location(spark, f"{ns}.nations")
+    assert loc and "nations" in loc
+    # C4: ignore-missing drop
+    cat.drop_table(spark, f"{ns}.does_not_exist")
+    cat.drop_table(spark, f"{ns}.nations")
+    assert "nations" not in [r.tableName for r in cat.list_tables(spark, ns)]
+
+
+def test_wipe_warehouse_double_confirmation(spark, ns):
+    load_table(spark, SF_DIR, "region").write.saveAsTable(f"{ns}.t1")
+    load_table(spark, SF_DIR, "region").write.saveAsTable(f"{ns}.t2")
+
+    calls = []
+
+    def deny_second(msg):
+        calls.append(msg)
+        return len(calls) < 2  # yes, then no
+
+    assert cat.wipe_warehouse(spark, ns, deny_second) == []
+    assert len(calls) == 2  # both prompts shown
+    assert len(cat.list_tables(spark, ns)) == 2  # nothing deleted
+
+    wiped = cat.wipe_warehouse(spark, ns, lambda _msg: True)
+    assert sorted(wiped) == ["t1", "t2"]
+    assert cat.list_tables(spark, ns) == []
+
+
+def test_compact_table(spark, ns):
+    df = load_table(spark, SF_DIR, "orders").repartition(16)
+    df.write.saveAsTable(f"{ns}.frag")
+    before = spark.table(f"{ns}.frag").count()
+    n_parts = cat.compact_table(spark, f"{ns}.frag", target_partitions=2)
+    assert n_parts == 2
+    assert spark.table(f"{ns}.frag").count() == before
+    files = [
+        f
+        for f in os.listdir(cat.table_location(spark, f"{ns}.frag").removeprefix("file:"))
+        if f.startswith("part-")
+    ]
+    assert len(files) == 2
+
+
+def test_iceberg_gated_ops_raise(spark):
+    with pytest.raises(IcebergUnavailableError):
+        read_snapshot(spark, "any.table", snapshot_id=1)
+
+
+def test_export_csv_shape(spark, tmp_path):
+    # S9 replay: 3-column projection of a string-filtered table, header on
+    # (reference: wa_users.csv — 7 cols, state='WA', 489 rows).
+    df = (
+        load_table(spark, SF_DIR, "customer")
+        .filter("c_mktsegment = 'MACHINERY'")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    out = str(tmp_path / "machinery_users.csv")
+    export_csv(df, out)
+    with open(out, newline="") as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["c_custkey", "c_name", "c_mktsegment"]
+    assert len(rows) - 1 == df.count()
+    assert all(r[2] == "MACHINERY" for r in rows[1:])
+    assert len(os.listdir(tmp_path)) == 1  # exactly one output artifact
+
+
+def test_export_parquet_roundtrip(spark, tmp_path):
+    # S10 replay: full-width filtered export (reference: sports_fans.parquet).
+    df = load_table(spark, SF_DIR, "customer").filter("c_acctbal > 5000.0")
+    out = str(tmp_path / "rich_customers.parquet")
+    export_parquet(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert back.columns == df.columns
+
+
+def test_streaming_matches_batch(spark):
+    """Bounded stream == batch answer (the streaming correctness law)."""
+    from apache_iceberg_spark.operators.timeseries import ts1_tumbling_agg
+    from apache_iceberg_spark.streaming.events import st1_stream_tumbling
+
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.value_cents)
+        for r in st1_stream_tumbling(spark, SF_DIR).collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n_events, r.value_cents)
+        for r in ts1_tumbling_agg(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
