@@ -168,6 +168,24 @@ def ensure_namespace(spark: SparkSession, namespace: str) -> None:
     spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
 
 
+def _clear_stale_location(spark: SparkSession, namespace: str, table: str) -> None:
+    """Remove an orphaned managed-table directory.
+
+    The in-memory catalog forgets tables across sessions while their
+    warehouse directories persist; a subsequent create would then fail
+    with LOCATION_ALREADY_EXISTS. Only local (file:) warehouses apply —
+    object-store warehouses with a persistent catalog don't orphan."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file:", ""):
+        if wh.startswith(prefix):
+            path = os.path.join(wh.removeprefix("file:"), f"{namespace}.db", table)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            return
+
+
 def create_or_replace_table(
     spark: SparkSession, df: DataFrame, namespace: str, table: str
 ) -> str:
@@ -179,6 +197,7 @@ def create_or_replace_table(
     ensure_namespace(spark, namespace)
     ident = _qualified(namespace, table)
     spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    _clear_stale_location(spark, namespace, table)
     df.write.format("parquet").mode("overwrite").saveAsTable(ident)
     return ident
 

@@ -11,9 +11,19 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from apache_iceberg_spark.session import get_spark
 
-    s = get_spark("tests", cpus=8, shuffle_partitions=8)
+    # Isolated warehouse: managed-table tests must not collide with stale
+    # directories from previous sessions (in-memory catalog forgets tables;
+    # their directories would otherwise persist in ./spark-warehouse).
+    s = get_spark(
+        "tests",
+        cpus=8,
+        shuffle_partitions=8,
+        warehouse=tempfile.mkdtemp(prefix="spark_wh_"),
+    )
     yield s
 
 
