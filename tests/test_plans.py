@@ -1,0 +1,99 @@
+"""Physical-plan shape tests: the 100 TB scale properties.
+
+Correctness says the answer is right; these say the PLAN is right — the
+predicates reach the parquet scan, scans are column-pruned, small dims
+broadcast, top-k never globally sorts. A regression here is a performance
+bug even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    jvm = spark._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for pred in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert pred in pushed, f"missing pushdown: {pred}"
+
+
+def test_q6_scan_column_pruned(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 4 of 11 lineitem columns — projection reached the reader
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+    assert "l_extendedprice" in schema
+
+
+def test_o3_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "o3_topk")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    ncols = schema.split("struct<", 1)[1].count(":")
+    assert ncols == 1, f"should read 1 column, got {schema}"
+
+
+def test_j5_dims_broadcast(spark):
+    plan = plan_of(spark, "j5_broadcast_dim_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan  # fact side never shuffles
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # partial (map-side) + final hash agg: two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "LessThanOrEqual(l_shipdate" in pushed
+
+
+def test_p1_projection_prunes_scan(spark):
+    plan = plan_of(spark, "p1_projection")
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_acctbal" not in schema and "c_nationkey" not in schema
+
+
+def test_q3_broadcasts_filtered_dims(spark):
+    plan = plan_of(spark, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "q6_forecast_revenue", "tx2_quality_score"]
+)
+def test_hot_paths_stay_codegen(spark, name):
+    """Scan→filter→project→partial-agg must run inside whole-stage codegen
+    (JVM, vectorized) — no Python row boundary in the hot path.
+
+    AQE's non-final formatted plan hides WholeStageCodegen spans; codegen
+    nodes carry a `*` prefix, so capture the plan with AQE off.
+    """
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert any(
+        ln.lstrip().lstrip("+-:").lstrip().startswith("* ")
+        for ln in plan.splitlines()
+    ), f"no codegen nodes in plan:\n{plan}"
+    assert "BatchEvalPython" not in plan  # would mean a row-at-a-time UDF
