@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         similarity,
         text,
         timeseries,
+        tpch,
     )
     from apache_iceberg_spark.streaming import events  # noqa: F401
 
