@@ -1,0 +1,323 @@
+"""Extended function/operator surface: JSON, arrays, regex, CUBE /
+GROUPING SETS, exact percentiles, unpivot, range join, ranking windows.
+
+The reference's queries use no scalar functions at all (SURVEY.md §2.7) —
+Spark's built-in library is the free headroom §7 budgets for. Everything
+here stays inside whole-stage codegen (JVM expressions, no UDFs) and is
+oracle-checked against DuckDB.
+
+Determinism notes are per query; the recurring trick is computing on exact
+integers (cents / micros) whenever a value crosses an aggregation boundary.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from apache_iceberg_spark.registry import register
+from apache_iceberg_spark.tables import load_table
+
+
+def _cents(col: F.Column, scale: int = 100) -> F.Column:
+    return F.round(col * scale).cast("long")
+
+
+@register(
+    "f6_json_funcs",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               json_valid(props) AS is_valid
+        FROM events
+    """,
+    doc="JSON surface over the events.props column: path extraction "
+    "(get_json_object ≙ json_extract_string) and validity probing. "
+    "JVM-side Jackson parse — no Python in the loop.",
+    tags=("functions", "json"),
+)
+def f6_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.try_parse_json(F.col("props")).isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "f7_array_funcs",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               embedding[1] AS first_val,
+               embedding[1:3] AS head3,
+               list_max(embedding) AS max_val,
+               list_min(embedding) AS min_val,
+               list_contains(embedding, 0.0) AS has_zero
+        FROM embeddings
+    """,
+    doc="Array surface over the embedding column: size / element_at / slice "
+    "/ array_max / array_min / array_contains. Per-row only (no cross-row "
+    "float aggregation), so float32 values compare exactly.",
+    tags=("functions", "array"),
+)
+def f7_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.slice("embedding", 1, 3).alias("head3"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@register(
+    "f8_regexp_funcs",
+    oracle=r"""
+        SELECT c_custkey,
+               regexp_extract(c_name, '(\d+)', 1) AS name_digits,
+               regexp_replace(c_name, '\d', 'X', 'g') AS name_masked,
+               regexp_matches(c_name, '^Customer') AS is_customer
+        FROM customer
+    """,
+    doc="Regex surface: extract / replace-all / match-test. Patterns are "
+    "restricted to syntax with identical semantics in Java regex and "
+    "RE2 (no backrefs, no lookaround).",
+    tags=("functions", "regex"),
+)
+def f8_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"\d", "X").alias("name_masked"),
+        F.col("c_name").rlike("^Customer").alias("is_customer"),
+    )
+
+
+@register(
+    "a7_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus) with an explicit grouping id "
+    "(GROUPING bits composed the same way on both engines). Spark "
+    "expands the cube map-side; one shuffle for all 2^2 grouping sets.",
+    tags=("aggregate", "cube"),
+)
+def a7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+        F.count("*").alias("cnt"),
+        (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0).alias(
+            "sum_qty"
+        ),
+    )
+
+
+@register(
+    "a8_grouping_sets",
+    oracle="""
+        SELECT n_name AS nation, c_mktsegment AS segment, COUNT(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+    """,
+    doc="Explicit GROUPING SETS — per-nation and per-segment counts in one "
+    "pass over the join (vs two scans + union).",
+    tags=("aggregate", "cube"),
+)
+def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    j = c.join(n, c["c_nationkey"] == n["n_nationkey"])
+    j.createOrReplaceTempView("_a8_cust_nation")
+    return spark.sql(
+        """
+        SELECT n_name AS nation, c_mktsegment AS segment, COUNT(*) AS cnt
+        FROM _a8_cust_nation
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        """
+    )
+
+
+@register(
+    "a9_percentiles",
+    oracle="""
+        SELECT o_orderstatus,
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.25)
+                   AS p25_cents,
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
+                   AS median_cents,
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.75)
+                   AS p75_cents
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    doc="Exact linear-interpolated percentiles (percentile_cont semantics) "
+    "of order value per status, computed on integer cents so the "
+    "interpolation arithmetic is identical across engines. At 100 TB "
+    "swap for approx_percentile with a bounded error budget.",
+    tags=("aggregate", "percentile"),
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile(cents, 0.25).alias("p25_cents"),
+            F.percentile(cents, 0.5).alias("median_cents"),
+            F.percentile(cents, 0.75).alias("p75_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "u4_unpivot",
+    oracle="""
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE)
+        FROM customer
+    """,
+    doc="Unpivot (wide → long): melt two numeric columns into "
+    "(metric, value) rows. Spark's native unpivot is a map-only expand — "
+    "no shuffle, unlike the UNION ALL formulation which scans twice.",
+    tags=("reshape",),
+)
+def u4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "j6_range_join",
+    oracle="""
+        WITH bands(band, lo, hi) AS (
+            VALUES ('small', 1.0, 10.0),
+                   ('medium', 10.0, 25.0),
+                   ('large', 25.0, 51.0)
+        )
+        SELECT band, COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_price
+        FROM lineitem JOIN bands
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band
+        ORDER BY band
+    """,
+    doc="Range (theta) join: quantity-band lookup via interval containment. "
+    "The band table broadcasts, so the non-equi condition is evaluated "
+    "as a BroadcastNestedLoopJoin over 3 rows — never a shuffle. At "
+    "scale, monotone bands can also compile to a searchable CASE "
+    "projection (zero join).",
+    tags=("join", "range"),
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("small", 1.0, 10.0), ("medium", 10.0, 25.0), ("large", 25.0, 51.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        l.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo"))
+            & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "w4_rank_stats",
+    oracle="""
+        SELECT o_orderkey,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               DENSE_RANK() OVER w AS drank
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Ranking-window surface: ntile / percent_rank / cume_dist / "
+    "dense_rank under one total order (unique o_orderkey tiebreak). "
+    "Unpartitioned window = single-partition sort: fine for ranked "
+    "exports, but at 100 TB rank within partitions or pre-bucket by "
+    "range — flagged here deliberately as the contrast to w1's "
+    "per-key window.",
+    tags=("window",),
+)
+def w4_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+@register(
+    "w5_moving_avg",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / CAST(COUNT(*) OVER w AS DOUBLE) / 100.0 AS moving_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    doc="4-row moving average per user, decomposed as exact integer "
+    "SUM/COUNT over the frame with one final division (a float AVG over "
+    "a sliding frame would accumulate engine-specific rounding).",
+    tags=("window", "timeseries"),
+)
+def w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(_cents(F.col("value"))).over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+            / 100.0
+        ).alias("moving_avg"),
+    )

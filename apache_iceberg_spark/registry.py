@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
     from apache_iceberg_spark.operators import (  # noqa: F401
         analytics,
         dedup,
+        functions_ext,
         multimodal,
         relational,
         similarity,
