@@ -9,8 +9,9 @@ plan and oracle-checked against DuckDB.
 
 The testdata schema (TESTDATA.md) is a TPC-H subset: no `partsupp`, no
 commit/receipt dates, no comments/phones. Queries that need those columns
-are adapted (documented per query); Q2/Q11/Q16/Q20 (partsupp-centric) are
-out of scope of the data generator.
+are adapted (documented per query); Q2/Q11/Q16/Q20 (partsupp-centric) run
+over a partsupp relation derived from lineitem's distinct
+(l_partkey, l_suppkey) pairs — see `_derived_partsupp`.
 
 Determinism (registry rules): money sums on exact integer cents, scaled
 back by an identical final division; LIMIT always under a total ORDER BY
@@ -719,4 +720,289 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(bal_c).cast("double") / 100.0).alias("totacctbal"),
         )
         .orderBy("cntry")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the testdata has no partsupp table, so Q2/Q11/Q16/Q20
+# are adapted over the part-supplier relationship implied by lineitem —
+# distinct (l_partkey, l_suppkey) pairs with
+#   ps_availqty  := SUM(int(l_quantity))          (total quantity moved)
+#   ps_cost_cents := MIN(round(unit_price*100))   (best observed unit cost)
+# The identical derivation runs on both engines: casts/rounds are per-row
+# deterministic, MIN/SUM of bigint are order-insensitive.
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """
+        ps AS (
+            SELECT l_partkey AS ps_partkey,
+                   l_suppkey AS ps_suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty,
+                   MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+                       AS ps_cost_cents
+            FROM lineitem
+            GROUP BY 1, 2
+        )
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
+        F.min(
+            _cents(F.col("l_extendedprice") / F.col("l_quantity"))
+        ).alias("ps_cost_cents"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+        WITH {_PS_CTE},
+        s_eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        costs AS (
+            SELECT ps_partkey, ps_cost_cents, s_acctbal, s_name, n_name,
+                   p_brand
+            FROM ps
+            JOIN s_eu ON ps_suppkey = s_suppkey
+            JOIN part ON p_partkey = ps_partkey
+            WHERE p_size = 15 AND p_type = 'LARGE'
+        ),
+        min_cost AS (
+            SELECT ps_partkey, MIN(ps_cost_cents) AS min_cents
+            FROM costs GROUP BY 1
+        )
+        SELECT c.s_acctbal, c.s_name, c.n_name, c.ps_partkey AS p_partkey,
+               c.p_brand, c.ps_cost_cents / 100.0 AS supplycost
+        FROM costs c
+        JOIN min_cost m
+          ON c.ps_partkey = m.ps_partkey AND c.ps_cost_cents = m.min_cents
+        ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2 adapted (partsupp derived from lineitem): minimum-cost "
+    "European supplier per 15/LARGE part. Plan: dims (region→nation→"
+    "supplier, filtered part) broadcast into the derived-partsupp agg; "
+    "per-part minimum via a partial agg + self-equi-join on "
+    "(part, min_cost) — both shuffles keyed on ps_partkey so AQE can "
+    "reuse the exchange. Total ORDER BY with unique (s_name, partkey) "
+    "tiebreak under the LIMIT.",
+    tags=("tpch", "join", "subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s_eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        ps.join(F.broadcast(s_eu), ps["ps_suppkey"] == s_eu["s_suppkey"])
+        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .select("ps_partkey", "ps_cost_cents", "s_acctbal", "s_name", "n_name", "p_brand")
+    )
+    min_cost = costs.groupBy("ps_partkey").agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    mc = min_cost.withColumnRenamed("ps_partkey", "mk")
+    return (
+        costs.join(
+            mc,
+            (costs["ps_partkey"] == mc["mk"])
+            & (costs["ps_cost_cents"] == mc["min_cents"]),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            (F.col("ps_cost_cents").cast("double") / 100.0).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+        WITH {_PS_CTE},
+        nat_ps AS (
+            SELECT ps_partkey, ps_cost_cents * ps_availqty AS value_cents
+            FROM ps
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_7')
+        ),
+        total AS (SELECT SUM(value_cents) AS total_cents FROM nat_ps)
+        SELECT ps_partkey, SUM(value_cents) / 100.0 AS value
+        FROM nat_ps, total
+        GROUP BY ps_partkey, total_cents
+        HAVING SUM(value_cents) > total_cents / 1000
+        ORDER BY value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 adapted (derived partsupp; two-nation supplier group): "
+    "per-part inventory value filtered to parts holding >0.1% of the "
+    "group's total value. Plan: nation/supplier broadcast into the ps "
+    "agg; the scalar total is a one-row broadcast join (no second scan "
+    "of the fact); value sums on exact integer cents.",
+    tags=("tpch", "subquery", "having"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    nat_ps = (
+        ps.join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents"),
+        )
+    )
+    per_part = nat_ps.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("sum_cents")
+    )
+    total = nat_ps.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("sum_cents") > F.col("total_cents") / 1000)
+        .select(
+            "ps_partkey",
+            (F.col("sum_cents").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle=f"""
+        WITH {_PS_CTE}
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 adapted (derived partsupp; 'complaints' → negative "
+    "account balance): distinct supplier count per (brand, type, size). "
+    "Plan: the NOT-IN becomes a broadcast LEFT ANTI join (safe: suppkey "
+    "is non-null); filtered part dim broadcast; COUNT DISTINCT over the "
+    "grouped pairs is a two-phase partial/final agg. Group key makes the "
+    "ORDER BY total.",
+    tags=("tpch", "distinct", "anti"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    bad_s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad_s), ps["ps_suppkey"] == bad_s["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle=f"""
+        WITH {_PS_CTE},
+        recent AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS qty_recent
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+              AND l_shipdate < TIMESTAMP '2000-01-01'
+            GROUP BY 1, 2
+        ),
+        qualified AS (
+            SELECT DISTINCT ps_suppkey
+            FROM ps
+            JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+            JOIN recent ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            WHERE ps_availqty > 4 * qty_recent
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN qualified ON s_suppkey = ps_suppkey
+        WHERE r_name = 'ASIA'
+        ORDER BY s_name
+    """,
+    doc="TPC-H Q20 adapted (derived partsupp; availqty > 4× the 1999 "
+    "shipped quantity for 'small%' parts; Asian suppliers). Plan: both "
+    "aggregates key on (partkey, suppkey) so the qualifying join reuses "
+    "one exchange; the supplier-side IN is a semi join against the small "
+    "qualified set; region/nation broadcast. s_name is unique → total "
+    "order.",
+    tags=("tpch", "subquery", "semi"),
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    recent = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_recent"))
+    )
+    qualified = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(
+            recent,
+            (ps["ps_partkey"] == recent["l_partkey"])
+            & (ps["ps_suppkey"] == recent["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > 4 * F.col("qty_recent"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(qualified, s["s_suppkey"] == qualified["ps_suppkey"], "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
