@@ -101,3 +101,206 @@ def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts_stream(spark, sf_dir), "st1_tumbling"
     )
     return spark.table(qname)
+
+
+@register(
+    "st2_stream_sliding",
+    oracle="""
+        WITH w AS (
+            SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+                   event_type, value
+            FROM events
+        ),
+        expanded AS (
+            SELECT h AS window_start, event_type, value FROM w
+            UNION ALL
+            SELECT h - INTERVAL 1 HOUR AS window_start, event_type, value FROM w
+        )
+        SELECT window_start, event_type, COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        FROM expanded
+        GROUP BY 1, 2
+    """,
+    doc="Sliding-window streaming aggregation (2-hour window, 1-hour "
+    "slide): each event lands in exactly two hourly-aligned windows, "
+    "which the oracle expresses as a two-branch UNION of shifted hour "
+    "buckets. Watermark bounds the window state; at scale the slide "
+    "ratio (window/slide = overlap factor) multiplies state size, not "
+    "shuffle count.",
+    tags=("streaming", "timeseries"),
+)
+def st2_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sliding = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+    qname = run_stream_to_memory(sliding, "st2_sliding")
+    return spark.table(qname)
+
+
+@register(
+    "st3_stream_dedup",
+    oracle="""
+        SELECT DISTINCT user_id, event_type,
+               CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start
+        FROM events
+    """,
+    doc="Streaming deduplication: dropDuplicates on "
+    "(user_id, event_type, hour) under a watermark — the streaming form "
+    "of exact dedup (dd1) where state is evictable once the watermark "
+    "passes the hour bucket. Only the dedup keys are emitted, so "
+    "which-physical-row-won cannot leak into the result (deterministic "
+    "vs the DISTINCT oracle).",
+    tags=("streaming", "dedup"),
+)
+def st3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "ts",
+        )
+        .dropDuplicates(["user_id", "event_type", "hour_start"])
+        .select("user_id", "event_type", "hour_start")
+    )
+    qname = f"st3_dedup_{next(_stream_ids)}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
+    "st4_stream_static_join",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        FROM events
+        JOIN customer ON c_custkey = user_id
+        GROUP BY 1
+    """,
+    doc="Stream-static join: the event stream enriched against the static "
+    "customer dimension (broadcast per micro-batch — no stream-side "
+    "shuffle), then a running per-segment aggregate. The standard "
+    "pattern for dimension enrichment at ingest time; at 100 TB the "
+    "dim is either broadcast (small) or pre-bucketed on the join key.",
+    tags=("streaming", "join"),
+)
+def st4_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        stream_events(spark, sf_dir)
+        .join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    qname = run_stream_to_memory(enriched, "st4_join")
+    return spark.table(qname)
+
+
+def _session_state_fn(key, pdf_iter, state):
+    """Per-user gap sessionizer (30-min inactivity), exact across batches.
+
+    State carries (last_ts_us, n_sessions, n_events); each batch's rows are
+    sorted on (ts, event_id) and folded in. Emits the running totals —
+    with a bounded single-batch source this equals the batch answer.
+    """
+    import pandas as pd
+
+    frames = [pdf[["ts", "event_id"]] for pdf in pdf_iter]
+    rows = pd.concat(frames).sort_values(["ts", "event_id"])
+    ts_us = rows["ts"].astype("int64") // 1000
+
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = None, 0, 0
+
+    for t in ts_us:
+        t = int(t)
+        if last_ts is None or t - last_ts > 1_800_000_000:
+            n_sessions += 1
+        n_events += 1
+        last_ts = t
+
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_sessions": n_sessions, "n_events": n_events}]
+    )
+
+
+@register(
+    "st5_stream_stateful_sessions",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN CAST(EPOCH(ts) * 1000000 AS BIGINT)
+                             - LAG(CAST(EPOCH(ts) * 1000000 AS BIGINT)) OVER w
+                             > 1800000000
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, SUM(is_new_session) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM flagged GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+    "per-user 30-min-gap session counting with explicit GroupState "
+    "(last_ts, totals) — the escape hatch for stateful semantics "
+    "session_window can't express. Arrow-batched per group; state is "
+    "O(1) per user. The bounded single-batch run equals the batch "
+    "sessionization rollup (ts2's oracle aggregated per user).",
+    tags=("streaming", "stateful", "timeseries"),
+)
+def st5_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sessions = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_state_fn,
+            outputStructType="user_id LONG, n_sessions LONG, n_events LONG",
+            stateStructType="last_ts_us LONG, n_sessions LONG, n_events LONG",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    qname = f"st5_sessions_{next(_stream_ids)}"
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
