@@ -118,30 +118,55 @@ def ts2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="As-of join: for each event, the user's most recent order at or "
     "before the event time (deterministic tiebreak on o_orderkey). "
-    "Expressed as equality-join + windowed latest-row selection, so the "
-    "only shuffle is on the equality key — no range cross-product. "
+    "Union-merge formulation: interleave both sides on (user, time) and "
+    "carry the latest order forward with last(ignorenulls) — ONE "
+    "shuffle on user_id and zero row explosion, vs the naive "
+    "equality-join + window which materializes event×prior-order pairs. "
     "Inner flavor (events with no prior order drop out).",
     tags=("timeseries", "join", "asof"),
 )
 def ts3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").alias("e")
-    o = load_table(spark, sf_dir, "orders").alias("o")
-    joined = e.join(
-        o,
-        (F.col("o.o_custkey") == F.col("e.user_id"))
-        & (F.col("o.o_orderdate") <= F.col("e.ts")),
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    # Orders sort before same-timestamp events (is_event 0 < 1) so the
+    # `<=` bound is inclusive; within a tied order date, ascending
+    # o_orderkey makes last() pick the max key — the oracle's tiebreak.
+    order_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("o_orderkey", "o_orderdate").alias("ord"),
     )
-    w = Window.partitionBy("e.event_id").orderBy(
-        F.desc("o.o_orderdate"), F.desc("o.o_orderkey")
+    event_side = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<o_orderkey:bigint,o_orderdate:timestamp>")
+        .alias("ord"),
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "e.event_id",
-            "e.user_id",
-            "e.ts",
-            F.col("o.o_orderkey").alias("last_orderkey"),
-            F.col("o.o_orderdate").alias("last_orderdate"),
-        )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", F.col("ord.o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = order_side.unionByName(event_side).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_event",
+        F.last("ord", ignorenulls=True).over(w).alias("last_ord"),
+    )
+    return merged.filter(
+        (F.col("is_event") == 1) & F.col("last_ord").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_ord.o_orderkey").alias("last_orderkey"),
+        F.col("last_ord.o_orderdate").alias("last_orderdate"),
     )
