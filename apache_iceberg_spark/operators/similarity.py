@@ -216,4 +216,151 @@ def ann2_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ["ann1_cosine_topk", "ann2_lsh_bucketed", "_SPARK_DOT", "_DUCK_DOT"]
+# --- ann3: IVF (inverted-file) ANN -----------------------------------------
+
+K_CELLS = 8
+N_PROBE = 2
+
+
+@register(
+    "ann3_ivf",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id - {N_QUERIES} AS cell_id,
+                   embedding AS c_emb, norm AS c_norm
+            FROM n
+            WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CELLS}
+        ),
+        assign AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT v.vec_id, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ({_DUCK_DOT.format(a='v.embedding', b='c.c_emb')})
+                                    / (v.norm * c.c_norm) DESC,
+                                    c.cell_id
+                       ) AS rn
+                FROM n v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cell_id FROM (
+                SELECT q.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ({_DUCK_DOT.format(a='q.embedding', b='c.c_emb')})
+                                    / (q.norm * c.c_norm) DESC,
+                                    c.cell_id
+                       ) AS rn
+                FROM n q CROSS JOIN cent c
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rn <= {N_PROBE}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ({_DUCK_DOT.format(a='q.embedding', b='v.embedding')})
+                     / (q.norm * v.norm) AS cosine
+            FROM probes p
+            JOIN assign a ON a.cell_id = p.cell_id
+            JOIN n q ON q.vec_id = p.query_id
+            JOIN n v ON v.vec_id = a.vec_id
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rn FROM cand
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"IVF (inverted-file) approximate top-{TOP_K}: {K_CELLS} deterministic "
+    f"centroid vectors partition the corpus into cells (each vector joins "
+    "its max-cosine centroid); queries probe their "
+    f"{N_PROBE} nearest cells and re-rank candidates with exact cosine. "
+    "Plan: centroids broadcast (assignment is map-only over the corpus), "
+    "candidate join shuffles on cell_id only — at 100 TB the corpus is "
+    "written bucketed by cell_id so probes prune to nprobe/k of the data "
+    "and the join is co-located. k-means-trained centroids drop in "
+    "without changing the plan.",
+    tags=("similarity", "llm", "embedding"),
+)
+def ann3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    ).persist()
+    cent = F.broadcast(
+        n.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_CELLS)
+        ).select(
+            (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    cent_cos = F.expr(_SPARK_DOT.format(a="embedding", b="c_emb")) / (
+        F.col("norm") * F.col("c_norm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_cos"), F.asc("cell_id")
+    )
+    assign = (
+        n.join(cent)
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    probes = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .join(cent)
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cell_id"))
+        ))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    qv = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb2"),
+        F.col("norm").alias("c_norm2"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, F.col("vec_id") == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb2"))
+                / (F.col("q_norm") * F.col("c_norm2"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+__all__ = ["ann1_cosine_topk", "ann2_lsh_bucketed", "ann3_ivf", "_SPARK_DOT", "_DUCK_DOT"]

@@ -35,6 +35,7 @@ HEADLINE = [
     "tx2_quality_score",
     "ann1_cosine_topk",
     "ann2_lsh_bucketed",
+    "ann3_ivf",
 ]
 
 
