@@ -321,3 +321,83 @@ def w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("moving_avg"),
     )
+
+
+@register(
+    "w6_range_frame",
+    oracle="""
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_last_hour,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS cents_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Value-range window frame: per user, activity in the trailing hour "
+    "of event time (RANGE frame over epoch-microseconds, so rows with "
+    "tied timestamps are frame peers — deterministic without a unique "
+    "tiebreak). The time-decayed-feature shape; one shuffle on user_id.",
+    tags=("window", "timeseries"),
+)
+def w6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(_cents(F.col("value"))).over(w).alias("cents_last_hour"),
+    )
+
+
+@register(
+    "a10_hash_sample",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE list_reduce([strpos('0123456789abcdef', c) - 1
+                           for c in regexp_extract_all(
+                               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15), '.')],
+                          (a, b) -> a * 16 + b) % 100 < 10
+        ORDER BY o_orderkey
+    """,
+    doc="Deterministic 10% hash sample: rows qualify by key-hash bucket, "
+    "not RNG — stable across runs, engines, and re-partitioning, and "
+    "consistent for the same key across tables (the join-safe sampling "
+    "idiom for pipeline debugging at scale). Pure filter → full "
+    "pushdown-friendly map-only plan.",
+    tags=("sampling", "functions"),
+)
+def a10_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = F.expr(
+        "CAST(CONV(SUBSTRING(MD5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        o.filter((h % 100) < 10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "a11_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines → rows-only check
+    doc="Approximate distinct counting (HyperLogLog++): cardinality of "
+    "(custkey, orderdate-month) pairs at default 5% relative error. "
+    "Sketches merge associatively → one map-side partial per partition, "
+    "tiny shuffle. No DuckDB oracle: HLL estimates are engine-specific "
+    "by construction (rows-only check; the exact variant is a5).",
+    tags=("aggregate", "approx"),
+)
+def a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct(
+            F.concat_ws("|", F.col("o_custkey"), F.date_trunc("month", "o_orderdate"))
+        ).alias("approx_custmonths")
+    )

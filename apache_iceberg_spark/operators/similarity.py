@@ -363,4 +363,126 @@ def ann3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ["ann1_cosine_topk", "ann2_lsh_bucketed", "ann3_ivf", "_SPARK_DOT", "_DUCK_DOT"]
+# --- ann4: pandas-UDF scoring path -----------------------------------------
+
+
+def _pandas_cosine_scorer(queries: list[tuple[int, list[float]]]):
+    """Build a mapInPandas function scoring each corpus batch against the
+    broadcast query set.
+
+    Vectorized over rows but dimension-sequential (one fused
+    multiply-add per dimension), so every float op lands in the same
+    order as the engines' sequential fold — bitwise-identical output.
+    A production ANN would np.dot here and drop the oracle to
+    rows-only; this keeps exactness to demonstrate the Arrow path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.array(pdf["embedding"].tolist(), dtype="float64")
+            n = len(pdf)
+            # per-row norm, sequential over dims (matches the SQL fold)
+            nrm = np.zeros(n)
+            for i in range(emb.shape[1]):
+                nrm += emb[:, i] * emb[:, i]
+            nrm = np.sqrt(nrm)
+            out = []
+            for qid, qv in queries:
+                q = np.asarray(qv, dtype="float64")
+                qn = 0.0
+                for i in range(q.shape[0]):
+                    qn += q[i] * q[i]
+                qn = float(np.sqrt(qn))
+                dot = np.zeros(n)
+                for i in range(emb.shape[1]):
+                    dot += emb[:, i] * q[i]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(n, qid, dtype="int64"),
+                            "neighbor_id": pdf["vec_id"].astype("int64").values,
+                            "cosine": dot / (qn * nrm),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    return score
+
+
+@register(
+    "ann4_pandas_cosine",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ({_DUCK_DOT.format(a='q.embedding', b='c.embedding')})
+                     / (q.norm * c.norm) AS cosine
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rn FROM scored
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} scored in a vectorized pandas "
+    "mapInPandas stage (Arrow-batched, numpy inner loop) instead of SQL "
+    "expressions — the pattern for scorers Catalyst can't express "
+    "(learned rerankers, custom metrics). Query set collected once on "
+    "the driver (tiny) and closed over; corpus never shuffles; same "
+    "oracle as ann1 proves the two execution paths agree bitwise.",
+    tags=("similarity", "llm", "embedding", "pandas-udf"),
+)
+def ann4_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        _pandas_cosine_scorer(queries), schema=schema
+    )
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+__all__ = [
+    "ann1_cosine_topk",
+    "ann2_lsh_bucketed",
+    "ann3_ivf",
+    "ann4_pandas_cosine",
+    "_SPARK_DOT",
+    "_DUCK_DOT",
+]
