@@ -1,0 +1,73 @@
+"""Scale-utility tests: salted join equivalence, partition pruning in the
+physical plan, upsert merge semantics."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from apache_iceberg_spark.operators.scale import salted_join, upsert, write_partitioned
+from apache_iceberg_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+    ).collect()[0]
+    salted = salted_join(orders, customer, "o_custkey", n_salts=8).agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+    ).collect()[0]
+    assert plain["n"] == salted["n"] and plain["s"] == salted["s"]
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one hot key: every left row hits it; salted join must not put them
+    # all in one (key, salt) bucket
+    left = spark.range(1000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    right = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    out = salted_join(left, right, "k", n_salts=8)
+    assert out.count() == 1000
+    # deterministic: same result twice
+    assert out.count() == salted_join(left, right, "k", n_salts=8).count()
+
+
+def test_partitioned_write_prunes(spark):
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="part_"), "events_by_day")
+    write_partitioned(events, target, ["day"])
+    back = spark.read.parquet(target)
+    one_day = back.select("day").distinct().limit(1).collect()[0]["day"]
+    q = back.filter(F.col("day") == F.lit(one_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition filter present and no pushed data filter needed for `day`
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+    assert q.count() == events.filter(F.col("day") == F.lit(one_day)).count()
+
+
+def test_upsert_semantics(spark):
+    current = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"])
+    out = {r["k"]: r["v"] for r in upsert(current, updates, "k").collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_upsert_composite_key(spark):
+    current = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 20)], ["k1", "k2", "v"]
+    )
+    updates = spark.createDataFrame([(1, "y", 99), (2, "z", 1)], ["k1", "k2", "v"])
+    out = {(r["k1"], r["k2"]): r["v"] for r in upsert(current, updates, ["k1", "k2"]).collect()}
+    assert out == {(1, "x"): 10, (1, "y"): 99, (2, "z"): 1}
