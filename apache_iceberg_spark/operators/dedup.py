@@ -500,3 +500,153 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= DD5_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# dd6 — duplicate-cluster assignment (connected components)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd6_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
+        ),
+        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        posts AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+        inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   COUNT(*) AS n_inter
+            FROM posts a JOIN posts b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_id_a, doc_id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_id_a
+            JOIN sizes sb ON sb.doc_id = doc_id_b
+            WHERE CAST(n_inter AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+        ),
+        walk(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+        )
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY node
+    """,
+    doc="Duplicate-cluster assignment: connected components over the "
+    f"near-dup pair graph (exact Jaccard ≥ {JACCARD_THRESHOLD} on "
+    f"{SHINGLE_WORDS}-word shingles), labels = component-minimum doc_id. "
+    "Spark side runs Pregel-style iterative min-label propagation "
+    "(each round: one join + min-aggregate, O(diameter) rounds — the "
+    "scalable CC algorithm); the oracle computes the same fixpoint via "
+    "a recursive CTE. NOTE: the pair generation here is the all-pairs "
+    "exact check (oracle-friendly); at scale the edges come from dd2's "
+    "LSH candidates instead — same downstream clustering.",
+    tags=("dedup", "llm", "iterative"),
+)
+def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pair generation via the inverted-index posting join (dd4's shape):
+    # any pair with Jaccard > 0 shares a shingle, so the equi-join on the
+    # shingle finds exactly the all-pairs-check's edge set while shuffling
+    # O(postings) rows instead of scoring n²/2 array intersections.
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks_df = d.select("doc_id", F.expr(_SPARK_TOKENS).alias("toks")).persist()
+    sh = toks_df.select(
+        "doc_id", F.expr(_SPARK_SHINGLES).alias("shingles")
+    ).persist()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    posts = sh.select("doc_id", F.explode("shingles").alias("gram"))
+    pa = posts.alias("pa")
+    pb = posts.alias("pb")
+    inter = (
+        pa.join(
+            pb,
+            (F.col("pa.gram") == F.col("pb.gram"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .groupBy(
+            F.col("pa.doc_id").alias("doc_id_a"),
+            F.col("pb.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    pairs = (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b")
+    )
+    # The dup graph is tiny relative to the corpus (only docs with a
+    # near-dup edge); coalesce the iteration frames so each propagation
+    # round is a handful of tasks, not a full-width shuffle. At true
+    # scale, partition edges by dst once and let each round's label
+    # shuffle co-locate against it.
+    edges = (
+        pairs.select(
+            F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .coalesce(4)
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .coalesce(4)
+        .persist()
+    )
+    # Pregel-style min-label propagation to the fixpoint. Each round is a
+    # bounded dataflow (join + min-agg); the driver only checks the
+    # converged-yet flag, never touches row data.
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from apache_iceberg_spark.registry import register
-from apache_iceberg_spark.tables import load_table
+from apache_iceberg_spark.tables import load_table, load_table_parallel
 
 # 60-bit integer from the first 15 hex chars of md5 — fits in a BIGINT on
 # both engines.
@@ -225,4 +225,56 @@ def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         hash60("text").alias("doc_hash"),
         min_shingle.alias("min_shingle_hash"),
+    )
+
+
+@register(
+    "tx5_repetition",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {{duck_tokens}} AS toks FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   greatest(len(toks) - 1, 1) AS total_bigrams,
+                   len(list_distinct([toks[i] || ' ' || toks[i + 1]
+                        for i in generate_series(1, greatest(len(toks) - 1, 1))]))
+                       AS distinct_bigrams
+            FROM t
+        )
+        SELECT doc_id, total_bigrams, distinct_bigrams,
+               1.0 - CAST(distinct_bigrams AS DOUBLE) / total_bigrams
+                   AS repetition_ratio
+        FROM g
+    """.format(duck_tokens=r"string_split_regex(lower(trim(text)), '\s+')"),
+    doc="N-gram repetition scoring: fraction of duplicated word bigrams "
+    "(1 - distinct/total) — the standard boilerplate/looping-text "
+    "signal for LLM training-data filtering. Map-only expression tree; "
+    "the tokens column is materialized behind a cache boundary so the "
+    "bigram lambda does not re-tokenize per element (Catalyst inlines "
+    "aliases).",
+    tags=("text", "llm", "quality"),
+)
+def tx5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks_df = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT).alias("toks")
+    ).persist()
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+    )
+    out = toks_df.select(
+        "doc_id",
+        F.greatest(F.size("toks") - 1, F.lit(1)).alias("total_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("distinct_bigrams"),
+    )
+    return out.select(
+        "doc_id",
+        "total_bigrams",
+        "distinct_bigrams",
+        (
+            1.0
+            - F.col("distinct_bigrams").cast("double") / F.col("total_bigrams")
+        ).alias("repetition_ratio"),
     )

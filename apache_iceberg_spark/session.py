@@ -77,6 +77,11 @@ def get_spark(
         # --- Adaptive execution: runtime re-planning at scale -------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by size, not up to the default
+        # parallelism: small intermediate shuffles collapse to few tasks
+        # (an order of magnitude off multi-stage query latency here) and
+        # at 100 TB partition width follows data volume, not core count.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- Columnar boundaries ------------------------------------------

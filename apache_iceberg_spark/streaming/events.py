@@ -304,3 +304,58 @@ def st5_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(qname)
+
+
+@register(
+    "st6_stream_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN CAST(EPOCH(ts) * 1000000 AS BIGINT)
+                             - LAG(CAST(EPOCH(ts) * 1000000 AS BIGINT)) OVER w
+                             > 1800000000
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    doc="Native session windows in Structured Streaming: "
+    "session_window(ts, '30 minutes') merges events within the gap into "
+    "one state entry per (user, session); watermark closes sessions and "
+    "evicts state. The oracle derives the same [first_event, "
+    "last_event + gap) intervals via batch gap-numbering. Complements "
+    "st5, which builds identical semantics from raw GroupState.",
+    tags=("streaming", "timeseries", "session"),
+)
+def st6_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    qname = run_stream_to_memory(sessions, "st6_session")
+    return spark.table(qname)
