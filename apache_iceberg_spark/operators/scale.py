@@ -88,3 +88,55 @@ def upsert(
     keys = [key] if isinstance(key, str) else list(key)
     kept = current.join(updates.select(*keys), keys, "left_anti")
     return kept.unionByName(updates)
+
+
+# --- registered query: MERGE semantics under the oracle gate ---------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from apache_iceberg_spark.registry import register  # noqa: E402
+from apache_iceberg_spark.tables import load_table  # noqa: E402
+
+
+@register(
+    "m1_upsert_merge",
+    oracle="""
+        WITH updates AS (
+            SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 1000 = 0
+        )
+        SELECT * FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    """,
+    doc="MERGE INTO semantics (update-matched + insert-new) as a dataflow: "
+    "a synthetic update batch (status flip for every 10th order, new "
+    "rows cloned past the key space) merged by upsert() — LEFT ANTI on "
+    "the key + union, one shuffle each side, co-located when bucketed. "
+    "Equivalent to Iceberg MERGE INTO; oracle states the same semantics "
+    "with NOT IN + UNION ALL.",
+    tags=("merge", "upsert", "incremental"),
+)
+def m1_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    updated = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .select(*cols)
+    )
+    inserted = (
+        o.filter(F.col("o_orderkey") % 1000 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .select(*cols)
+    )
+    updates = updated.unionByName(inserted)
+    return upsert(o.select(*cols), updates, "o_orderkey")

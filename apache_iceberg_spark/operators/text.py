@@ -278,3 +278,56 @@ def tx5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("distinct_bigrams").cast("double") / F.col("total_bigrams")
         ).alias("repetition_ratio"),
     )
+
+
+TX6_PREFIX = 80
+TX6_MAX_DIST = 20
+
+
+@register(
+    "tx6_edit_distance",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, lang, source,
+                   substr(lower(text), 1, {TX6_PREFIX}) AS prefix
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               levenshtein(a.prefix, b.prefix) AS edit_dist
+        FROM p a JOIN p b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= {TX6_MAX_DIST}
+    """,
+    doc=f"Edit-distance near-match within (lang, source) blocks: classic "
+    f"Levenshtein DP over {TX6_PREFIX}-char prefixes (bounding the O(L²) "
+    "DP cost per pair), pairs at distance ≤ "
+    f"{TX6_MAX_DIST}. Both engines implement the standard DP → exact "
+    "integer parity. Block key bounds the pair space exactly like dd4; "
+    "at scale, prefix-bucket the block key.",
+    tags=("text", "llm", "dedup"),
+)
+def tx6_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(F.lower(F.col("text")), 1, TX6_PREFIX).alias("prefix"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= TX6_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            dist.alias("edit_dist"),
+        )
+    )

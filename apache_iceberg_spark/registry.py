@@ -79,7 +79,9 @@ def _ensure_loaded() -> None:
         functions_ext,
         multimodal,
         relational,
+        scale,
         similarity,
+        sources_ext,
         text,
         timeseries,
         tpch,

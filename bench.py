@@ -24,6 +24,9 @@ HEADLINE = [
     "q3_top_orders",
     "q5_revenue_by_nation",
     "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
     "o3_topk",
     "j1_inner_join",
     "w1_rank_orders",
@@ -32,6 +35,7 @@ HEADLINE = [
     "dd1_exact_dedup",
     "dd2_minhash_lsh",
     "dd3_simhash",
+    "dd6_dup_clusters",
     "tx2_quality_score",
     "ann1_cosine_topk",
     "ann2_lsh_bucketed",
