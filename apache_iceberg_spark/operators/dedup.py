@@ -598,24 +598,33 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup edge); coalesce the iteration frames so each propagation
     # round is a handful of tasks, not a full-width shuffle. At true
     # scale, partition edges by dst once and let each round's label
-    # shuffle co-locate against it.
+    # shuffle co-locate against it. Both edge directions come from ONE
+    # explode over the pairs lineage — a union of two selects would
+    # execute the expensive pair-generation dataflow twice.
     edges = (
         pairs.select(
-            F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id_a").alias("src"),
+                        F.col("doc_id_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_id_b").alias("src"),
+                        F.col("doc_id_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
-        .union(
-            pairs.select(
-                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
-            )
-        )
-        .coalesce(4)
+        .select("e.src", "e.dst")
+        .repartition(1)
         .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .coalesce(4)
+        .repartition(1)
         .persist()
     )
     # Pregel-style min-label propagation to the fixpoint. Each round is a
@@ -627,24 +636,23 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # Keep the old label alongside the new one so convergence is a
+        # filter over this same frame — no second join per round. The
+        # count() is also the action that materializes the persist.
+        merged = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = merged.filter(F.col("label") < F.col("old_label")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     return labels.select(
