@@ -140,3 +140,102 @@ def m1_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = updated.unionByName(inserted)
     return upsert(o.select(*cols), updates, "o_orderkey")
+
+
+def _rev_cents() -> F.Column:
+    # Lazy: building an expression requires an active SparkContext.
+    return F.expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+    )
+
+
+@register(
+    "m2_salted_join_skew",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    doc="Skew-resistant fact⋈dim join: salted_join() spreads each hot "
+    "orderkey over 8 (key, salt) shuffle buckets (deterministic salt from "
+    "the row hash — replayable under speculative execution), then "
+    "aggregates revenue by priority. The oracle is the UNsalted join: "
+    "salting must be semantically invisible. This is the agg-after-join "
+    "shape AQE's skew split cannot rewrite.",
+    tags=("scale", "join", "skew"),
+)
+def m2_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), _rev_cents().alias("rev_c")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, "okey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        (F.sum("rev_c").cast("double") / 10000.0).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "m3_partitioned_pruned_read",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS month
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+    """,
+    doc="Partition-layout round trip: orders written hive-partitioned by "
+    "month (the plain-parquet analog of Iceberg's days(ts) spec, via "
+    "write_partitioned()), read back with a partition filter. The filter "
+    "resolves to directory pruning — PartitionFilters in the scan, no "
+    "data read outside the month (asserted in tests/test_plans.py).",
+    tags=("scale", "partitioning", "sink"),
+)
+def m3_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.tables import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="part_orders_"), "orders")
+    write_partitioned(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice", "month"),
+        path,
+        ["month"],
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("month") == "1995-03")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "month")
+    )
+
+
+@register(
+    "m4_compaction_roundtrip",
+    oracle="SELECT * FROM lineitem",
+    doc="Small-file compaction (north star: 'compaction via DataFrame "
+    "operations', the rewrite_data_files equivalent — catalog-table "
+    "flavor in catalog/ddl.py:compact_table): the table is first written "
+    "as 32 fragment files, then read → repartition(4) → rewritten as 4 "
+    "right-sized files, and the compacted copy is returned. Oracle "
+    "compares against the original table: compaction must be lossless.",
+    tags=("scale", "maintenance", "compaction"),
+)
+def m4_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    l = load_table(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="compact_")
+    fragmented = os.path.join(base, "fragmented")
+    compacted = os.path.join(base, "compacted")
+    l.repartition(32).write.parquet(fragmented)
+    spark.read.parquet(fragmented).repartition(4).write.parquet(compacted)
+    return spark.read.parquet(compacted).select(*l.columns)

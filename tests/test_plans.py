@@ -128,3 +128,22 @@ def test_st_batch_equivalence_is_tested_via_oracle():
     documents that contract for the plan-test reader."""
     for name in [f"st{i}" for i in range(1, 7)]:
         assert any(k.startswith(name) for k in REGISTRY), name
+
+
+def test_m3_partition_pruning(spark):
+    """The month filter must resolve to directory pruning (PartitionFilters
+    on the scan), not a data filter over all partitions."""
+    plan = plan_of(spark, "m3_partitioned_pruned_read")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "month" in pf[0], plan
+    # and the filter must NOT degrade to a PushedFilters data predicate
+    # (a partition-only scan may omit the PushedFilters line entirely)
+    for pushed in (l for l in plan.splitlines() if "PushedFilters" in l):
+        assert "month" not in pushed, pushed
+
+
+def test_m2_salted_join_no_skew_partition(spark):
+    """Salted join: the join key must be (okey, __salt) — the composite key
+    appears in the hash-partitioning of the exchange."""
+    plan = plan_of(spark, "m2_salted_join_skew")
+    assert "__salt" in plan, plan
