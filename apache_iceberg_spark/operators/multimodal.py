@@ -156,3 +156,37 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", frames.alias("frames"), F.size(frames).alias("n_frames")
     )
+
+
+RESIZE_TARGET = 32
+
+
+@register(
+    "mm4_resize",
+    oracle=f"""
+        SELECT doc_id,
+               [ascii(substr(text,
+                    1 + CAST(floor(k * length(text) / {RESIZE_TARGET}) AS INT), 1))
+                for k in generate_series(0, {RESIZE_TARGET - 1})] AS resized,
+               length(text) AS src_len
+        FROM documents
+        WHERE length(text) >= {RESIZE_TARGET}
+    """,
+    doc=f"Payload resize / downsample: nearest-neighbor resampling of the "
+    f"media byte stream to a fixed {RESIZE_TARGET}-sample resolution — the "
+    "1-D analog of image resize-to-fixed-resolution (a real image resize "
+    "plugs a PIL call into the mm2 mapInPandas decoder instead). Pure "
+    "expression tree: sequence → transform → ascii, no UDF, no shuffle; "
+    "payloads shorter than the target are filtered (no upsampling).",
+    tags=("multimodal", "llm"),
+)
+def mm4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    resized = F.expr(
+        f"transform(sequence(0, {RESIZE_TARGET - 1}), "
+        f"k -> ascii(substr(text, "
+        f"1 + cast(floor(k * length(text) / {RESIZE_TARGET}) as int), 1)))"
+    )
+    return d.filter(F.length("text") >= RESIZE_TARGET).select(
+        "doc_id", resized.alias("resized"), F.length("text").alias("src_len")
+    )
