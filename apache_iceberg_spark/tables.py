@@ -38,6 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as nano-epoch longs and is converted here by exact integer division —
     the same truncation DuckDB applies reading nanos into its µs timestamps.
     """
+    if name == "events":
+        # Defensive: the driver may call queries() with its own session
+        # (without session.get_spark's confs); a bare read of
+        # TIMESTAMP(NANOS) parquet throws PARQUET_TYPE_ILLEGAL. The conf
+        # is runtime-settable, so pin it at the call site.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
