@@ -64,3 +64,78 @@ def s14_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .select(*_DOC_COLS)
     )
+
+
+@register(
+    "s12_csv_ingest_inference",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE n_chars = length(text)",
+    doc="The reference's core ingestion semantic (SURVEY.md §2.1 S1 + "
+    "§1.2/1.3) under the oracle gate: documents exported to CSV, read "
+    "back through ingest.loader.read_csv — header + schema INFERENCE + "
+    "multiLine + the 8-type restriction surface — with no pinned schema. "
+    "Inference must reproduce the original types (BIGINT/VARCHAR here) "
+    "or the driver's schema compare fails. The length guard keeps rows "
+    "whose text round-trips byte-exact (all of them — it doubles as a "
+    "correctness predicate the oracle applies identically).",
+    tags=("source", "ingest", "csv"),
+)
+def s12_csv_ingest_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.ingest.loader import read_csv
+
+    d = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    path = os.path.join(tempfile.mkdtemp(prefix="csv_ing_"), "docs")
+    d.write.mode("overwrite").option("header", True).option("escape", '"').csv(path)
+    out = read_csv(spark, path)
+    return out.filter(F.col("n_chars") == F.length("text")).select(*_DOC_COLS)
+
+
+@register(
+    "s9_csv_export_single",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="S9 single-file CSV export (COPY ... TO 'f.csv' HEADER shape, "
+    "query_iceberg.ipynb:1332-1336) through io.export.export_csv — "
+    "coalesce(1) + rename to one artifact file — then read back with a "
+    "pinned schema. Oracle is the exported SELECT itself: the sink must "
+    "be lossless. The coalesce applies only to the filtered export "
+    "result, matching the reference's semantics (never the full table).",
+    tags=("sink", "export", "csv"),
+)
+def s9_csv_export_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.io.export import export_csv
+
+    o = load_table(spark, sf_dir, "orders")
+    sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="export_"), "urgent.csv")
+    export_csv(sel, path)
+    return (
+        spark.read.schema(sel.schema).option("header", True).csv(path)
+    )
+
+
+@register(
+    "s10_parquet_export_single",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="S10 single-file Parquet export (COPY ... TO FORMAT PARQUET, "
+    "query_iceberg.ipynb:1388-1391) through io.export.export_parquet, "
+    "read back. Oracle is the exported SELECT: lossless, typed sink.",
+    tags=("sink", "export", "parquet"),
+)
+def s10_parquet_export_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.io.export import export_parquet
+
+    l = load_table(spark, sf_dir, "lineitem")
+    sel = l.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="export_"), "returns.parquet")
+    export_parquet(sel, path)
+    return spark.read.parquet(path)
