@@ -629,13 +629,21 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Pregel-style min-label propagation to the fixpoint. Each round is a
     # bounded dataflow (join + min-agg); the driver only checks the
-    # converged-yet flag, never touches row data.
+    # converged-yet flag, never touches row data. When the dup graph fits
+    # a broadcast (nodes ≤ ~5M — counting is free, labels just
+    # materialized), hint both per-round joins to broadcast the label
+    # frame: zero shuffle exchanges per round. Past that size the hints
+    # drop away and the rounds run as ordinary shuffled joins.
+    small_graph = labels.count() <= 5_000_000
     while True:
+        lbl = F.broadcast(labels) if small_graph else labels
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(lbl, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        if small_graph:
+            neighbor_min = F.broadcast(neighbor_min)
         # Keep the old label alongside the new one so convergence is a
         # filter over this same frame — no second join per round. The
         # count() is also the action that materializes the persist.
