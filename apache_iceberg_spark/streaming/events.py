@@ -359,3 +359,90 @@ def st6_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = run_stream_to_memory(sessions, "st6_session")
     return spark.table(qname)
+
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    """(user_id, ts, event_id, event_type, value) reduced to each user's
+    most recent event; struct ordering (ts, then unique event_id) makes the
+    winner deterministic under any row or batch order."""
+    s = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
+    return (
+        df.groupBy("user_id")
+        .agg(s)
+        .select(
+            "user_id",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "st7_stream_upsert",
+    oracle="""
+        SELECT user_id,
+               ts AS last_ts,
+               event_id AS last_event_id,
+               event_type AS last_event_type,
+               value AS last_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="Streaming incremental upsert (foreachBatch MERGE): the events "
+    "table is re-sharded into 4 source files, streamed with "
+    "maxFilesPerTrigger=1 (4 real micro-batches), and each batch merges "
+    "into a per-user latest-event table — MERGE ... WHEN MATCHED AND "
+    "source is newer THEN UPDATE, expressed as union + max(struct) so "
+    "the result is identical under any batch arrival order. Each batch "
+    "writes a new state version and the last version is returned (the "
+    "plain-parquet analog of Iceberg snapshot-per-commit MERGE INTO). "
+    "Oracle: per-user argmax over the whole table.",
+    tags=("streaming", "merge", "incremental"),
+)
+def st7_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    base = tempfile.mkdtemp(prefix="st7_")
+    src = os.path.join(base, "src")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ev.repartition(4, "event_id").write.parquet(src)
+
+    state: dict[str, str] = {"path": "", "version": 0}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _latest_per_user(batch_df)
+        if state["path"]:
+            old = batch_df.sparkSession.read.parquet(state["path"])
+            latest = _latest_per_user(
+                old.unionByName(latest).select(
+                    "user_id",
+                    F.col("last_ts").alias("ts"),
+                    F.col("last_event_id").alias("event_id"),
+                    F.col("last_event_type").alias("event_type"),
+                    F.col("last_value").alias("value"),
+                )
+            )
+        state["version"] += 1
+        new_path = os.path.join(base, f"state_v{state['version']}")
+        latest.write.parquet(new_path)
+        state["path"] = new_path
+
+    query = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(state["path"])
