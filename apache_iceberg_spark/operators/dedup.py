@@ -77,9 +77,11 @@ MINHASH_B = [31, 37, 41, 43, 47, 53, 59, 61]
 # Spark-side expression fragments ------------------------------------------
 
 _SPARK_TOKENS = r"split(lower(trim(text)), '\\s+')"
-# NOTE: built from a materialized `toks` COLUMN, not the split() expression:
-# Catalyst inlines aliases, so split() inside a transform lambda would
-# re-tokenize the document once per array element (O(n²) per doc).
+# NOTE: `toks` appears many times below and Catalyst inlines the alias, but
+# whole-stage codegen's subexpression elimination evaluates the split() once
+# per row (measured: inline beats a persist/localCheckpoint barrier even on
+# 20k-token documents — caching array<string> columns costs more than
+# recomputing them).
 _SPARK_SHINGLES = (
     "array_distinct(transform("
     f"sequence(1, greatest(size(toks) - {SHINGLE_WORDS - 1}, 1)), "
@@ -87,6 +89,7 @@ _SPARK_SHINGLES = (
     + ", ".join(f"element_at(toks, i + {j})" for j in range(SHINGLE_WORDS))
     + ")))"
 )
+_SPARK_SHINGLES_INLINE = _SPARK_SHINGLES.replace("toks", f"({_SPARK_TOKENS})")
 
 _SPARK_SHINGLE_HASHES = (
     f"transform(shingles, sh -> {SPARK_HEX2INT.format(s='sh')} % {MINHASH_P}L)"
@@ -187,12 +190,13 @@ def _dd2_oracle() -> str:
 )
 def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
-    # persist() boundaries serve two purposes: the band self-join and the
-    # verify step reuse the subtree instead of recomputing it per branch,
-    # and the InMemoryRelation cuts Catalyst's alias inlining (see
-    # _SPARK_SHINGLES note).
-    toks_df = d.select("doc_id", F.expr(_SPARK_TOKENS).alias("toks")).persist()
-    sh = toks_df.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles")).persist()
+    # One persist: the band self-join and the verify step read the shingle
+    # sets three times; tokens are computed inline (see _SPARK_SHINGLES
+    # note — caching the intermediate token arrays costs more than
+    # recomputing them).
+    sh = d.select(
+        "doc_id", F.expr(_SPARK_SHINGLES_INLINE).alias("shingles")
+    ).persist()
     hashed = sh.select(
         "doc_id", F.expr(_SPARK_SHINGLE_HASHES).alias("hs")
     )
@@ -563,9 +567,8 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle finds exactly the all-pairs-check's edge set while shuffling
     # O(postings) rows instead of scoring n²/2 array intersections.
     d = load_table_parallel(spark, sf_dir, "documents")
-    toks_df = d.select("doc_id", F.expr(_SPARK_TOKENS).alias("toks")).persist()
-    sh = toks_df.select(
-        "doc_id", F.expr(_SPARK_SHINGLES).alias("shingles")
+    sh = d.select(
+        "doc_id", F.expr(_SPARK_SHINGLES_INLINE).alias("shingles")
     ).persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     posts = sh.select("doc_id", F.explode("shingles").alias("gram"))

@@ -250,16 +250,15 @@ def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="N-gram repetition scoring: fraction of duplicated word bigrams "
     "(1 - distinct/total) — the standard boilerplate/looping-text "
     "signal for LLM training-data filtering. Map-only expression tree; "
-    "the tokens column is materialized behind a cache boundary so the "
-    "bigram lambda does not re-tokenize per element (Catalyst inlines "
-    "aliases).",
+    "codegen subexpression elimination evaluates the tokenizer once per "
+    "row even though the alias is inlined into every reference.",
     tags=("text", "llm", "quality"),
 )
 def tx5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
     toks_df = d.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT).alias("toks")
-    ).persist()
+    )
     bigrams = F.expr(
         "transform(sequence(1, greatest(size(toks) - 1, 1)), "
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
