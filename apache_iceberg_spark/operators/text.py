@@ -330,3 +330,35 @@ def tx6_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+TX7_TERMS = "customer|key"
+
+
+@register(
+    "tx7_term_masking",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(text, '\\b({TX7_TERMS})\\b', '[MASKED]', 'g')
+                   AS masked,
+               len(regexp_extract_all(text, '\\b({TX7_TERMS})\\b')) AS n_masked
+        FROM documents
+    """,
+    doc="Sensitive-term masking — the PII-redaction shape for training-data "
+    "pipelines (this corpus has no emails/SSNs, so a term list stands in; "
+    "with real PII the pattern set swaps in unchanged). Word-boundary "
+    "regexp_replace + match count, map-only, stays in codegen; the "
+    "pattern syntax is the Java/RE2-compatible subset so both engines "
+    "compute identical masks.",
+    tags=("text", "llm", "privacy"),
+)
+def tx7_term_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pat = rf"\b({TX7_TERMS})\b"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), pat, "[MASKED]").alias("masked"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
+            "n_masked"
+        ),
+    )

@@ -170,3 +170,73 @@ def ts3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_ord.o_orderkey").alias("last_orderkey"),
         F.col("last_ord.o_orderdate").alias("last_orderdate"),
     )
+
+
+@register(
+    "ts4_gapfill_resample",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, DATE_TRUNC('hour', ts) AS h,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+        ),
+        spine AS (
+            SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        ),
+        joined AS (
+            SELECT s.user_id, s.h, COALESCE(hourly.n, 0) AS n_events, hourly.v
+            FROM spine s LEFT JOIN hourly
+              ON hourly.user_id = s.user_id AND hourly.h = s.h
+        )
+        SELECT user_id, h AS hour_start, n_events,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_cents_ff
+        FROM joined
+    """,
+    doc="Gap-fill + resample (the hypertable/time_bucket_gapfill shape): "
+    "per-user hourly rollup, a dense hour spine from each user's first to "
+    "last hour (sequence + explode — generated distributed, never on the "
+    "driver), LEFT join, and gauge-style forward fill via last(ignorenulls) "
+    "over an unbounded-preceding row frame. Missing hours report 0 events "
+    "and carry the last observed hourly value. Two shuffles total (rollup "
+    "key, then user window); the spine join is co-located with the rollup "
+    "on (user_id, hour).",
+    tags=("timeseries", "gapfill"),
+)
+def ts4_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_start"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("value_cents_ff"),
+    )
