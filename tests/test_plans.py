@@ -147,3 +147,18 @@ def test_m2_salted_join_no_skew_partition(spark):
     appears in the hash-partitioning of the exchange."""
     plan = plan_of(spark, "m2_salted_join_skew")
     assert "__salt" in plan, plan
+
+
+def test_ts4_two_shuffles(spark):
+    """Gap-fill: hourly rollup + user window = exactly two exchanges; the
+    spine join must co-locate with the rollup partitioning."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "ts4_gapfill_resample")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 2, plan
+    assert "CartesianProduct" not in plan
