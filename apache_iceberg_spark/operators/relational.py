@@ -432,6 +432,34 @@ def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "o4_offset_pagination",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+    """,
+    doc="Offset pagination (page 3 of a price-ranked listing): total order "
+    "on (price, unique key) then offset+limit. Spark compiles "
+    "offset+limit into a single CollectLimit with skip — fine for "
+    "UI-page offsets; for deep pagination at scale use keyset "
+    "pagination instead (WHERE (price, key) < last_seen ORDER BY ... "
+    "LIMIT n), which stays index/pushdown-friendly.",
+    tags=("sort", "limit", "pagination"),
+)
+def o4_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 Set operations
 # ---------------------------------------------------------------------------
