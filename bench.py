@@ -32,6 +32,8 @@ HEADLINE = [
     "w1_rank_orders",
     "ts1_tumbling_agg",
     "ts3_asof_join",
+    "ts4_gapfill_resample",
+    "m2_salted_join_skew",
     "dd1_exact_dedup",
     "dd2_minhash_lsh",
     "dd3_simhash",
