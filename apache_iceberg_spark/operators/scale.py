@@ -239,3 +239,34 @@ def m4_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     l.repartition(32).write.parquet(fragmented)
     spark.read.parquet(fragmented).repartition(4).write.parquet(compacted)
     return spark.read.parquet(compacted).select(*l.columns)
+
+
+@register(
+    "m5_time_travel_versions",
+    oracle="SELECT * FROM orders",
+    doc="Snapshot isolation / time travel (SURVEY.md §1.1: Iceberg "
+    "VERSION AS OF, produced implicitly by every append — "
+    "bot_iceberg_loader.py:307): version 1 of the table is written, a "
+    "MERGE batch produces version 2 as a NEW immutable snapshot "
+    "directory, and the query reads version 1 back — unchanged by the "
+    "later commit. With the Iceberg runtime on the classpath the same "
+    "flow is catalog/ddl.py:read_snapshot over real snapshot IDs; the "
+    "versioned-directory layout here is the same copy-on-write "
+    "mechanism on plain parquet paths. Oracle: v1 must equal the "
+    "original table exactly.",
+    tags=("scale", "snapshot", "time-travel"),
+)
+def m5_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="tt_")
+    v1 = os.path.join(base, "v1")
+    v2 = os.path.join(base, "v2")
+    o.write.parquet(v1)
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderstatus", F.lit("Z")
+    )
+    upsert(spark.read.parquet(v1), updates, "o_orderkey").write.parquet(v2)
+    return spark.read.parquet(v1).select(*o.columns)
