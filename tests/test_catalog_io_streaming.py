@@ -120,3 +120,26 @@ def test_streaming_matches_batch(spark):
         for r in ts1_tumbling_agg(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution on the storage layout (SURVEY.md §1.3: the
+    reference documents evolution as an Iceberg capability but never
+    exercises it; with an Iceberg catalog this is ALTER TABLE ADD COLUMN
+    + an ordinary read). On plain parquet the same add-a-column commit is
+    readable via mergeSchema: old files surface NULL for the new column,
+    new files carry values, one unified schema."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("tag"))
+    v1.write.parquet(path + "/batch=1")
+    v2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("tag"), F.lit(1.5).alias("score")
+    )
+    v2.write.parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "tag", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[0]["score"] is None and rows[6]["score"] == 1.5
+    assert len(rows) == 8
