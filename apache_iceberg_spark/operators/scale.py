@@ -270,3 +270,64 @@ def m5_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upsert(spark.read.parquet(v1), updates, "o_orderkey").write.parquet(v2)
     return spark.read.parquet(v1).select(*o.columns)
+
+
+@register(
+    "m6_bucketed_colocated_join",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    doc="Shuffle-free co-located join via bucketed layout: both tables are "
+    "written bucketBy(8, orderkey) (the plain-parquet form of Iceberg's "
+    "bucket(n, key) partition transform), so the join needs NO exchange "
+    "on either side — each task joins bucket i against bucket i "
+    "(asserted in tests/test_plans.py). This is the layout decision that "
+    "turns every repeated fact⋈fact join at 100 TB from a full shuffle "
+    "into a local merge. Same oracle as m2: layout must not change "
+    "semantics.",
+    tags=("scale", "join", "bucketing"),
+)
+def m6_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _rev_cents().alias("rev_c")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # Unique table names: a previous session's warehouse directory can
+    # outlive the (in-memory) catalog entry, so a fixed name would hit
+    # LOCATION_ALREADY_EXISTS. Stale m6_* dirs are swept best-effort.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    import glob as _glob
+    import os as _os
+
+    for stale in _glob.glob(_os.path.join(wh, "m6_*_b_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    run = uuid.uuid4().hex[:8]
+    lt, ot = f"m6_lineitem_b_{run}", f"m6_orders_b_{run}"
+    for df, name, key in ((l, lt, "l_orderkey"), (o, ot, "o_orderkey")):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    lb = spark.table(lt)
+    ob = spark.table(ot)
+    return (
+        lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum("rev_c").cast("double") / 10000.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

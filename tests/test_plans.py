@@ -162,3 +162,23 @@ def test_ts4_two_shuffles(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_m6_bucketed_join_no_join_exchange(spark):
+    """Bucketed co-located join: with broadcast disabled (at real scale
+    neither fact side fits a broadcast), the sort-merge join must read
+    bucket-aligned — no shuffle on either side; the only exchange in the
+    plan belongs to the post-join aggregation."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "m6_bucketed_colocated_join")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan  # agg only; join reads bucket-aligned
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
