@@ -159,7 +159,7 @@ def _rev_cents() -> F.Column:
         GROUP BY o_orderpriority
     """,
     doc="Skew-resistant fact⋈dim join: salted_join() spreads each hot "
-    "orderkey over 8 (key, salt) shuffle buckets (deterministic salt from "
+    "orderkey over 4 (key, salt) shuffle buckets (deterministic salt from "
     "the row hash — replayable under speculative execution), then "
     "aggregates revenue by priority. The oracle is the UNsalted join: "
     "salting must be semantically invisible. This is the agg-after-join "
@@ -173,7 +173,7 @@ def m2_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
-    joined = salted_join(l, o, "okey", n_salts=8)
+    joined = salted_join(l, o, "okey", n_salts=4)
     return joined.groupBy("o_orderpriority").agg(
         (F.sum("rev_c").cast("double") / 10000.0).alias("revenue"),
         F.count("*").alias("n_items"),
