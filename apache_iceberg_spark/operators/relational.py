@@ -308,9 +308,9 @@ def a3_union_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_pivot_counts",
     oracle=(
         "SELECT "
-        "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_cnt, "
-        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_cnt, "
-        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_cnt "
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt, "
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_cnt, "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_cnt "
         "FROM events"
     ),
     doc="One-pass conditional-count rewrite of A3 (SURVEY.md §2.4 note): a "

@@ -44,7 +44,20 @@ def salted_join(
     Cost model: right side is replicated n_salts× — use when
     |right| * n_salts ≪ |left|'s hot-key row count; at 100 TB prefer
     AQE skew splitting first and salting only for agg-after-join shapes.
+
+    Only left-preserving joins are valid: replication means an unmatched
+    right row would surface ``n_salts`` times under right/full outer, so
+    those are rejected rather than silently wrong.
     """
+    safe = {
+        "inner", "cross", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti",
+    }
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched right rows "
+            f"{n_salts}x (right side is salt-replicated); use one of {sorted(safe)}"
+        )
     left_cols = [c for c in left.columns]
     right_cols = [c for c in right.columns if c != key]
     salted_left = left.withColumn(
@@ -272,6 +285,10 @@ def m5_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(v1).select(*o.columns)
 
 
+# Per-process namespace for m6's bucketed tables: sweep only our own.
+_M6_TOKEN: str | None = None
+
+
 @register(
     "m6_bucketed_colocated_join",
     oracle="""
@@ -295,25 +312,36 @@ def m6_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
+    global _M6_TOKEN
+    if _M6_TOKEN is None:
+        _M6_TOKEN = uuid.uuid4().hex[:8]
+
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", _rev_cents().alias("rev_c")
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    # Unique table names: a previous session's warehouse directory can
-    # outlive the (in-memory) catalog entry, so a fixed name would hit
-    # LOCATION_ALREADY_EXISTS. Stale m6_* dirs are swept best-effort.
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
-        "file:", ""
-    )
-    import glob as _glob
+    # Unique table names (process token + per-run id): a previous
+    # session's warehouse directory can outlive the (in-memory) catalog
+    # entry, so a fixed name would hit LOCATION_ALREADY_EXISTS. Sweeping
+    # is scoped to THIS process's earlier runs — identified via the
+    # catalog, dropped there first, then their directories removed — so a
+    # concurrent session's live tables are never touched (r1 ADVICE:
+    # the old glob sweep deleted any m6_* dir, including ones another
+    # running session still had in its catalog).
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file://").removeprefix("file:")
     import os as _os
 
-    for stale in _glob.glob(_os.path.join(wh, "m6_*_b_*")):
-        shutil.rmtree(stale, ignore_errors=True)
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith(f"m6_{_M6_TOKEN}_"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+            shutil.rmtree(_os.path.join(wh, tbl.name), ignore_errors=True)
     run = uuid.uuid4().hex[:8]
-    lt, ot = f"m6_lineitem_b_{run}", f"m6_orders_b_{run}"
+    lt = f"m6_{_M6_TOKEN}_li_{run}"
+    ot = f"m6_{_M6_TOKEN}_ord_{run}"
     for df, name, key in ((l, lt, "l_orderkey"), (o, ot, "o_orderkey")):
         (
             df.write.bucketBy(8, key)

@@ -55,12 +55,25 @@ def s13_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s14_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
     path = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "docs")
-    d.write.mode("overwrite").option("header", True).option("escape", '"').csv(path)
+    # emptyValue/nullValue pinned SYMMETRICALLY on both directions:
+    # Spark's CSV reader otherwise turns an empty-string field back into
+    # NULL, so a document with text='' would silently break the lossless
+    # round trip (r1 ADVICE item 4).
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .option("emptyValue", '""')
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
     return (
         spark.read.schema(d.schema)
         .option("header", True)
         .option("multiLine", True)
         .option("escape", '"')
+        .option("emptyValue", "")
+        .option("nullValue", "\\N")
         .csv(path)
         .select(*_DOC_COLS)
     )

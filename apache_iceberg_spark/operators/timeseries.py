@@ -27,7 +27,8 @@ from apache_iceberg_spark.tables import load_table
         SELECT DATE_TRUNC('hour', ts) AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
         FROM events
         GROUP BY 1, 2
     """,
@@ -61,10 +62,10 @@ def ts1_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sessions AS (
             SELECT user_id, event_id,
-                   SUM(is_new_session) OVER (
+                   CAST(SUM(is_new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
+                   ) AS BIGINT) AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq, COUNT(*) AS n_events
@@ -178,7 +179,7 @@ def ts3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH hourly AS (
             SELECT user_id, DATE_TRUNC('hour', ts) AS h,
                    COUNT(*) AS n,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
             FROM events GROUP BY 1, 2
         ),
         bounds AS (

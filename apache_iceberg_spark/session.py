@@ -46,6 +46,49 @@ def _iceberg_jar_available() -> bool:
         return False
 
 
+def iceberg_catalog_conf(
+    mode: str,
+    *,
+    name: str = ICEBERG_CATALOG,
+    warehouse: str = "iceberg-warehouse",
+    uri: str | None = None,
+) -> dict[str, str]:
+    """Spark conf for an Iceberg catalog, by deployment mode.
+
+    Mirrors the reference's per-environment catalog selection
+    (``bot_iceberg_loader.py:245-281``: Nessie/REST catalog in production,
+    SQL/SQLite catalog for local dev) as a pure conf dict so the C1/C2
+    surface is testable without the runtime jar or a live endpoint:
+
+    - ``rest``: a REST catalog server (Nessie, Polaris, Lakekeeper…);
+      requires ``uri``.
+    - ``jdbc``: SQL-backed catalog (the reference's SQLite dev path);
+      requires ``uri`` (a JDBC URL, e.g. ``jdbc:sqlite:catalog.db``).
+    - ``hadoop``: filesystem-only catalog for local dev/tests.
+
+    ``get_spark`` applies this dict verbatim when the
+    ``iceberg-spark-runtime`` jar is present on the classpath.
+    """
+    base = f"spark.sql.catalog.{name}"
+    conf: dict[str, str] = {
+        base: "org.apache.iceberg.spark.SparkCatalog",
+        f"{base}.warehouse": warehouse,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+    if mode == "hadoop":
+        conf[f"{base}.type"] = "hadoop"
+    elif mode in ("rest", "jdbc"):
+        if not uri:
+            raise ValueError(f"iceberg_catalog_conf: mode={mode!r} requires uri")
+        conf[f"{base}.type"] = mode
+        conf[f"{base}.uri"] = uri
+    else:
+        raise ValueError(f"iceberg_catalog_conf: unknown mode {mode!r}")
+    return conf
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     *,
@@ -105,21 +148,12 @@ def get_spark(
         # Iceberg native Spark integration (SURVEY.md §1.1): a hadoop-type
         # catalog for local dev, mirroring the reference's SQLite-for-dev
         # stance (blog-zero-cost-data-lakehouse-part-2.md:161). Production
-        # deployments switch type=rest + uri to hit a Nessie/REST catalog
-        # exactly like bot_iceberg_loader.py:251-263 — config-only change.
+        # deployments switch to iceberg_catalog_conf("rest", uri=...) to
+        # hit a Nessie/REST catalog exactly like
+        # bot_iceberg_loader.py:251-263 — config-only change.
         ice_wh = warehouse or os.path.abspath("iceberg-warehouse")
-        builder = (
-            builder.config(
-                f"spark.sql.catalog.{ICEBERG_CATALOG}",
-                "org.apache.iceberg.spark.SparkCatalog",
-            )
-            .config(f"spark.sql.catalog.{ICEBERG_CATALOG}.type", "hadoop")
-            .config(f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse", ice_wh)
-            .config(
-                "spark.sql.extensions",
-                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-            )
-        )
+        for k, v in iceberg_catalog_conf("hadoop", warehouse=ice_wh).items():
+            builder = builder.config(k, v)
 
     if extra_conf:
         for k, v in extra_conf.items():

@@ -86,7 +86,8 @@ def run_stream_to_memory(streaming_df: DataFrame, name_prefix: str = "stream") -
         SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
         FROM events
         GROUP BY 1, 2
     """,
@@ -117,7 +118,8 @@ def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT h - INTERVAL 1 HOUR AS window_start, event_type, value FROM w
         )
         SELECT window_start, event_type, COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
         FROM expanded
         GROUP BY 1, 2
     """,
@@ -194,7 +196,8 @@ def st3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st4_stream_static_join",
     oracle="""
         SELECT c_mktsegment, COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
         FROM events
         JOIN customer ON c_custkey = user_id
         GROUP BY 1
@@ -265,7 +268,7 @@ def _session_state_fn(key, pdf_iter, state):
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
-        SELECT user_id, SUM(is_new_session) AS n_sessions,
+        SELECT user_id, CAST(SUM(is_new_session) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM flagged GROUP BY user_id
     """,
