@@ -1,0 +1,313 @@
+"""Training-data pipeline operators, round 2: corpus-level scoring,
+chunking, URL dedup, stratified sampling, split assignment, perceptual
+hashing.
+
+The reference has none of this surface (SURVEY.md §2 stops at SQL over
+ingested tables); these are the operations a 100 TB LLM-corpus pipeline
+runs between ingestion and training, expressed Spark-first:
+
+- corpus statistics are two-stage aggregations (map-side partials, one
+  shuffle per keyed stage) — never driver-side;
+- per-document transforms stay in whole-stage codegen (expression trees,
+  no Python);
+- sampling/splitting is deterministic key-hashing (stable across runs,
+  engines and repartitioning — the join-safe idiom from a10), never RNG.
+
+Determinism note: tx8 deliberately scores documents by *integer* corpus
+frequencies instead of log-probabilities — ``ln`` is not guaranteed
+correctly-rounded in either engine (Java Math.log vs libm), so a log-prob
+oracle could hash-mismatch at the last ulp. Same information, exact
+arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_iceberg_spark.operators.text import (
+    _TOKEN_SPLIT,
+    DUCK_HEX2INT,
+    SPARK_HEX2INT,
+)
+from apache_iceberg_spark.registry import register
+from apache_iceberg_spark.tables import load_table, load_table_parallel
+
+_DUCK_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@register(
+    "tx8_term_novelty",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(cnt) AS BIGINT) AS freq_sum,
+               CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_token_freq
+        FROM toks JOIN freq USING (tok)
+        GROUP BY doc_id
+    """,
+    doc="Corpus-level term-novelty scoring: global unigram frequencies "
+    "(one shuffle on token), joined back to each document's tokens for a "
+    "mean-corpus-frequency score — low mean = rare vocabulary = novel "
+    "document (the exact-arithmetic stand-in for unigram log-prob "
+    "scoring; see module docstring). At 100 TB the frequency table is "
+    "dominated by heavy hitters: broadcast the top-K vocabulary and "
+    "shuffle-join only the long tail. AQE's dynamic broadcast does this "
+    "split automatically when the vocab fits.",
+    tags=("text", "llm", "corpus"),
+)
+def tx8_term_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)).alias(
+            "tok"
+        ),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("freq_sum"),
+            (F.sum("cnt").cast("double") / F.count("*")).alias(
+                "mean_token_freq"
+            ),
+        )
+    )
+
+
+CHUNK_SIZE = 256
+CHUNK_STRIDE = 192  # 64-char overlap between consecutive chunks
+
+
+@register(
+    "tx9_chunking",
+    oracle=f"""
+        SELECT doc_id,
+               unnest(generate_series(1, length(text), {CHUNK_STRIDE}))
+                   AS chunk_start,
+               substr(text,
+                      unnest(generate_series(1, length(text), {CHUNK_STRIDE})),
+                      {CHUNK_SIZE}) AS chunk_text
+        FROM documents
+    """,
+    doc=f"Document chunking for context packing: overlapping "
+    f"{CHUNK_SIZE}-char windows every {CHUNK_STRIDE} chars (the "
+    "embedding/RAG ingestion shape). sequence + explode — generated "
+    "distributed on the executors, map-only, no shuffle; row count "
+    "grows ~len/stride per doc exactly like the real pipeline.",
+    tags=("text", "llm", "chunking"),
+)
+def tx9_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_STRIDE))
+        ).alias("chunk_start"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.expr(f"substr(text, chunk_start, {CHUNK_SIZE})").alias("chunk_text"),
+    )
+
+
+# Deterministic noisy-URL synthesis: the fixture's `source` column is a
+# flat label, so the URL is built from existing columns (mixed scheme and
+# case, www, query string, trailing slash — the variants a crawler
+# actually emits). The *canonicalization* below is the real operator.
+_URL_SQL = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://' END, "
+    "source, '.Example.COM/', lang, '/page/', "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&id=', "
+    "CAST(doc_id % 5 AS STRING)) ELSE '' END)"
+)
+_URL_SQL_DUCK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://' END, "
+    "source, '.Example.COM/', lang, '/page/', "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&id=', "
+    "CAST(doc_id % 5 AS VARCHAR)) ELSE '' END)"
+)
+
+
+def _canon_sql(url: str, bs: str) -> str:
+    """scheme→drop, www.→drop, query→drop, trailing /→drop, lowercase —
+    identical regex chain on both engines (RE2/Java-compatible syntax).
+    ``bs`` is one regex-level backslash as written in that engine's SQL
+    string literal: Spark consumes backslash escapes ('\\\\'), DuckDB
+    does not ('\\')."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"lower({url}), "
+        "'^[a-z]+://', ''), "
+        f"'^www{bs}.', ''), "
+        f"'{bs}?.*$', ''), "
+        "'/+$', '')"
+    )
+
+
+@register(
+    "dd7_url_dedup",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id, {_canon_sql(_URL_SQL_DUCK, chr(92))} AS canonical_url
+            FROM documents
+        )
+        SELECT canonical_url,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_dups
+        FROM u GROUP BY canonical_url
+    """,
+    doc="URL-canonicalization dedup: normalize crawl URLs (strip scheme, "
+    "www, query string, trailing slash; lowercase) and keep the lowest "
+    "doc_id per canonical URL — the first dedup stage of every web-corpus "
+    "pipeline (C4/CCNet shape). One shuffle on the canonical key with "
+    "map-side partial min/count. The URL itself is synthesized "
+    "deterministically from fixture columns (see module source).",
+    tags=("dedup", "llm", "url"),
+)
+def dd7_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.expr(_canon_sql(_URL_SQL, chr(92) * 2)).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+# Per-stratum keep-rates: downsample the head classes, keep the tail —
+# the class-rebalancing shape for training-data curation.
+_STRATA_RATES = {"click": 10, "view": 10, "purchase": 50, "signup": 50, "error": 100}
+
+
+@register(
+    "a12_stratified_sample",
+    oracle=f"""
+        SELECT event_id, event_type, user_id
+        FROM events
+        WHERE {DUCK_HEX2INT.format(s="CAST(event_id AS VARCHAR)")} % 100 <
+              CASE event_type
+                   WHEN 'click' THEN 10 WHEN 'view' THEN 10
+                   WHEN 'purchase' THEN 50 WHEN 'signup' THEN 50
+                   ELSE 100 END
+        ORDER BY event_id
+    """,
+    doc="Stratified deterministic sampling: per-class keep-rates (10% of "
+    "head classes, 50-100% of tail classes) decided by key-hash bucket, "
+    "not RNG — stable across runs/engines/partitionings and join-safe "
+    "(the same event samples in or out everywhere). Pure filter: full "
+    "pushdown, map-only, no shuffle.",
+    tags=("sampling", "llm"),
+)
+def a12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.expr(SPARK_HEX2INT.format(s="CAST(event_id AS STRING)")) % 100
+    rate = F.when(F.col("event_type") == "click", 10)
+    for etype, r in list(_STRATA_RATES.items())[1:]:
+        rate = rate.when(F.col("event_type") == etype, r)
+    rate = rate.otherwise(100)
+    return (
+        e.filter(bucket < rate)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "a13_train_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   {DUCK_HEX2INT.format(s="concat('split:', CAST(doc_id AS VARCHAR))")}
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned
+    """,
+    doc="Train/val/test split assignment (80/10/10) by salted key-hash "
+    "bucket: deterministic, reproducible, and leakage-safe — a document "
+    "lands in the same split on every run and engine, and near-dup "
+    "leakage checks can join on the same key. Map-only projection.",
+    tags=("sampling", "llm", "split"),
+)
+def a13_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+DHASH_BITS = 32
+
+
+@register(
+    "mm5_dhash",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, length(text) AS src_len,
+                   [ascii(substr(text,
+                        1 + CAST(floor(k * length(text) / {DHASH_BITS + 1}) AS INT), 1))
+                    for k in generate_series(0, {DHASH_BITS})] AS v
+            FROM documents
+            WHERE length(text) >= {DHASH_BITS + 1}
+        )
+        SELECT doc_id, src_len,
+               CAST(COALESCE(list_sum([
+                   CASE WHEN v[k + 1] > v[k + 2]
+                        THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                   for k in generate_series(0, {DHASH_BITS - 1})]), 0)
+                   AS BIGINT) AS dhash
+        FROM r
+    """,
+    doc=f"Perceptual difference-hash (dHash) over the payload byte stream: "
+    f"resample to {DHASH_BITS + 1} points (mm4's nearest-neighbor "
+    f"resize), then bit k = sample[k] > sample[k+1], packed into a "
+    f"{DHASH_BITS}-bit integer. Near-identical media differing by a few "
+    "bytes land within small Hamming distance — the image near-dup "
+    "fingerprint (a real image pipeline feeds pixel rows instead; the "
+    "Spark shape is identical). Pure expression tree, no UDF, no shuffle.",
+    tags=("multimodal", "llm", "dedup"),
+)
+def mm5_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        f"transform(sequence(0, {DHASH_BITS}), "
+        f"k -> ascii(substr(text, "
+        f"1 + cast(floor(k * length(text) / {DHASH_BITS + 1}) as int), 1)))"
+    )
+    dhash = F.expr(
+        f"aggregate(transform(sequence(0, {DHASH_BITS - 1}), "
+        f"k -> IF(element_at({v}, k + 1) > element_at({v}, k + 2), "
+        f"shiftleft(1L, k), 0L)), 0L, (acc, x) -> acc + x)"
+    )
+    return d.filter(F.length("text") >= DHASH_BITS + 1).select(
+        "doc_id",
+        F.length("text").alias("src_len"),
+        dhash.alias("dhash"),
+    )

@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
         dedup,
         functions_ext,
         multimodal,
+        pipeline,
         relational,
         scale,
         similarity,

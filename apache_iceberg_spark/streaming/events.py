@@ -364,6 +364,67 @@ def st6_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+@register(
+    "st8_stream_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join: clicks joined to same-user purchases "
+    "within the following hour (the attribution-window shape). Both "
+    "sides are watermarked so the state store evicts rows once the "
+    "interval condition can no longer match — bounded state, the "
+    "defining requirement for stream-stream joins at scale; the join "
+    "itself shuffles both streams once on user_id. The bounded "
+    "availableNow run must equal the batch interval join (the oracle).",
+    tags=("streaming", "join", "interval"),
+)
+def st8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id")
+    qname = f"st8_join_{next(_stream_ids)}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
 def _latest_per_user(df: DataFrame) -> DataFrame:
     """(user_id, ts, event_id, event_type, value) reduced to each user's
     most recent event; struct ordering (ts, then unique event_id) makes the

@@ -39,6 +39,8 @@ HEADLINE = [
     "dd3_simhash",
     "dd6_dup_clusters",
     "tx2_quality_score",
+    "tx8_term_novelty",
+    "dd7_url_dedup",
     "ann1_cosine_topk",
     "ann2_lsh_bucketed",
     "ann3_ivf",

@@ -182,3 +182,41 @@ def test_m6_bucketed_join_no_join_exchange(spark):
     assert len(exchanges) == 1, plan  # agg only; join reads bucket-aligned
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_a12_sample_is_pushdown_filter(spark):
+    """Stratified hash sampling must stay a map-only filter: no exchange
+    anywhere except the final presentation sort."""
+    import re
+
+    plan = plan_of(spark, "a12_stratified_sample")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) <= 1, plan  # only the ORDER BY rangepartitioning
+    assert "Filter" in plan, plan
+
+
+def test_tx9_chunking_no_shuffle(spark):
+    """Chunk explosion is generated on the executors — zero exchanges."""
+    plan = plan_of(spark, "tx9_chunking")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan  # the explode
+
+
+def test_tx8_two_aggregations_partial(spark):
+    """Corpus term-novelty: both the vocab count and the per-doc rollup
+    must have map-side partial aggregation."""
+    plan = plan_of(spark, "tx8_term_novelty")
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x partial+final
+
+
+def test_dd6_iteration_frames_scale_with_graph(spark):
+    """The CC iteration frames derive their partitioning from the measured
+    graph size (not a hardcoded constant): locally the tiny dup graph
+    collapses to one partition, and the sizing function grows it with
+    node count up to the cluster's parallelism."""
+    from apache_iceberg_spark.operators.dedup import iteration_partitions
+
+    df = REGISTRY["dd6_dup_clusters"].spark(spark, SF_DIR)
+    assert df.count() > 0
+    assert iteration_partitions(90, spark.sparkContext.defaultParallelism) == 1
+    assert iteration_partitions(100_000_000, 256) == 50
