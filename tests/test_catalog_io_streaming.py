@@ -143,3 +143,46 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[0]["score"] is None and rows[6]["score"] == 1.5
     assert len(rows) == 8
+
+
+def test_sqlite_catalog_direct_read(spark, tmp_path):
+    """C11 (SURVEY §2.10): metadata-location resolution and all-tables
+    listing straight from the JDBC/SQLite catalog layout, the reference's
+    debug path (query_iceberg_minio.ipynb:108-124, 204-212)."""
+    from apache_iceberg_spark.catalog.sqlite_catalog import (
+        create_catalog_db,
+        get_metadata_location,
+        list_catalog_tables,
+        register_table,
+    )
+
+    db = str(tmp_path / "iceberg_catalog.db")
+    create_catalog_db(db)
+    register_table(db, "ticketdb", "titles", "s3://wh/titles/metadata/v1.json")
+    register_table(db, "ticketdb", "events", "s3://wh/events/metadata/v1.json")
+
+    assert (
+        get_metadata_location(db, "ticketdb", "titles")
+        == "s3://wh/titles/metadata/v1.json"
+    )
+    with pytest.raises(ValueError, match="not found in catalog"):
+        get_metadata_location(db, "ticketdb", "missing")
+
+    # commit swap: re-registering retains the previous location
+    register_table(db, "ticketdb", "titles", "s3://wh/titles/metadata/v2.json")
+    assert (
+        get_metadata_location(db, "ticketdb", "titles")
+        == "s3://wh/titles/metadata/v2.json"
+    )
+    import sqlite3
+
+    with sqlite3.connect(db) as conn:
+        prev = conn.execute(
+            "SELECT previous_metadata_location FROM iceberg_tables "
+            "WHERE table_name = 'titles'"
+        ).fetchone()[0]
+    assert prev == "s3://wh/titles/metadata/v1.json"
+
+    listing = list_catalog_tables(spark, db)
+    rows = {(r.table_namespace, r.table_name) for r in listing.collect()}
+    assert rows == {("ticketdb", "titles"), ("ticketdb", "events")}
