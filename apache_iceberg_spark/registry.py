@@ -86,6 +86,7 @@ def _ensure_loaded() -> None:
         text,
         timeseries,
         tpch,
+        udfs,
     )
     from apache_iceberg_spark.streaming import events  # noqa: F401
 
