@@ -359,3 +359,120 @@ def m6_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "m7_manifest_pruned_scan",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+          AND o_orderdate <= TIMESTAMP '1995-03-31'
+    """,
+    doc="Iceberg-mechanism read without the Iceberg jar: the table is "
+    "written range-clustered on o_orderdate with a per-file min/max "
+    "manifest (catalog/manifests.py — metadata.json→manifest→pruned "
+    "splits, SURVEY §3.3), and the scan plans only the files whose "
+    "bounds intersect the month predicate, re-applying the row filter "
+    "for exactness. tests/test_catalog_io_streaming.py asserts the "
+    "file-skip actually happens (files_read < files_total). At 100 TB "
+    "this is the core scan economy: file pruning before split planning.",
+    tags=("scale", "manifest", "pruning"),
+)
+def m7_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.manifests import (
+        scan_pruned,
+        write_with_manifest,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="manifest_"), "orders")
+    write_with_manifest(
+        o, path, cluster_by="o_orderdate", track_cols=["o_orderdate"]
+    )
+    df, _total, _read = scan_pruned(
+        spark,
+        path,
+        "o_orderdate",
+        datetime.datetime(1995, 3, 1),
+        datetime.datetime(1995, 3, 31),
+    )
+    return df.select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+def zorder_code(x_sql: str, y_sql: str, bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of two non-negative int expressions:
+    bit k of x lands at position 2k, bit k of y at 2k+1. Sorting /
+    range-partitioning by this code clusters BOTH dimensions at once —
+    the expression form of Iceberg's rewrite_data_files(strategy =>
+    'sort', sort_order => 'zorder(a, b)') maintenance operation. Pure
+    bit arithmetic, stays in codegen."""
+    terms = " + ".join(
+        f"shiftleft(shiftright(CAST(({x_sql}) AS BIGINT), {k}) & 1, {2 * k}) + "
+        f"shiftleft(shiftright(CAST(({y_sql}) AS BIGINT), {k}) & 1, {2 * k + 1})"
+        for k in range(bits)
+    )
+    return F.expr(terms)
+
+
+@register(
+    "m8_zorder_clustering",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderdate
+        FROM orders
+        WHERE o_custkey >= 100 AND o_custkey <= 300
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <= TIMESTAMP '1995-12-31'
+    """,
+    doc="Z-order (Morton) clustering maintenance: orders rewritten "
+    "range-partitioned on the interleaved (custkey, order-day) code with "
+    "a per-file two-column manifest, then a two-dimensional box query "
+    "reads back through file pruning. Z-ordering gives BOTH dimensions "
+    "locality, so a selective box touches few files where a single-key "
+    "sort only prunes one dimension — Iceberg's zorder rewrite_data_files "
+    "strategy expressed as DataFrame ops (pruning asserted in "
+    "tests/test_catalog_io_streaming.py). Layout must not change "
+    "semantics: the oracle is the plain filter.",
+    tags=("scale", "zorder", "pruning"),
+)
+def m8_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.manifests import write_with_manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("o_day"),
+    )
+    z = o.withColumn("zcode", zorder_code("o_custkey", "o_day"))
+    path = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "orders")
+    write_with_manifest(
+        z, path, cluster_by="zcode", track_cols=["o_custkey", "o_day"]
+    )
+    # Two-dimensional box: prune files on BOTH tracked bounds, then apply
+    # the exact row filter (pruning is an I/O optimization only).
+    manifest = spark.read.parquet(os.path.join(path, "_manifest"))
+    lo_day = 1096  # days 1992-01-01 → 1995-01-01
+    hi_day = 1460  # → 1995-12-31
+    keep = [
+        r["file_path"]
+        for r in manifest.collect()
+        if not (r["max_o_custkey"] < 100 or r["min_o_custkey"] > 300)
+        and not (r["max_o_day"] < lo_day or r["min_o_day"] > hi_day)
+    ]
+    df = spark.read.parquet(*keep)
+    return df.filter(
+        (F.col("o_custkey") >= 100)
+        & (F.col("o_custkey") <= 300)
+        & (F.col("o_day") >= lo_day)
+        & (F.col("o_day") <= hi_day)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")

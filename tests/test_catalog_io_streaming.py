@@ -186,3 +186,65 @@ def test_sqlite_catalog_direct_read(spark, tmp_path):
     listing = list_catalog_tables(spark, db)
     rows = {(r.table_namespace, r.table_name) for r in listing.collect()}
     assert rows == {("ticketdb", "titles"), ("ticketdb", "events")}
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    """m7's mechanism: a range-clustered write + per-file min/max manifest
+    must let a narrow predicate plan a strict subset of the files, with
+    row-exact results (the engine filter is re-applied)."""
+    import datetime
+
+    from apache_iceberg_spark.catalog.manifests import (
+        scan_pruned,
+        write_with_manifest,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderdate")
+    path = str(tmp_path / "orders_manifested")
+    write_with_manifest(
+        o, path, cluster_by="o_orderdate", track_cols=["o_orderdate"], n_files=8
+    )
+    lo = datetime.datetime(1995, 3, 1)
+    hi = datetime.datetime(1995, 3, 31)
+    df, files_total, files_read = scan_pruned(spark, path, "o_orderdate", lo, hi)
+    assert files_total == 8
+    assert 0 < files_read < files_total, (files_read, files_total)
+    expected = o.filter(
+        (o["o_orderdate"] >= lo) & (o["o_orderdate"] <= hi)
+    ).count()
+    assert df.count() == expected
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """m8's mechanism: under a Z-order layout, a selective 2-D box must
+    prune files on BOTH tracked columns — strictly fewer files than the
+    full set, and at least as few as either single-dimension bound
+    alone."""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_spark.catalog.manifests import write_with_manifest
+    from apache_iceberg_spark.operators.scale import zorder_code
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("o_day"),
+    )
+    z = o.withColumn("zcode", zorder_code("o_custkey", "o_day"))
+    path = str(tmp_path / "orders_zordered")
+    write_with_manifest(
+        z, path, cluster_by="zcode", track_cols=["o_custkey", "o_day"], n_files=8
+    )
+    rows = spark.read.parquet(path + "/_manifest").collect()
+    assert len(rows) == 8
+
+    def overlaps_cust(r):
+        return not (r["max_o_custkey"] < 100 or r["min_o_custkey"] > 300)
+
+    def overlaps_day(r):
+        return not (r["max_o_day"] < 1096 or r["min_o_day"] > 1460)
+
+    both = [r for r in rows if overlaps_cust(r) and overlaps_day(r)]
+    assert 0 < len(both) < len(rows), len(both)
+    assert len(both) <= len([r for r in rows if overlaps_cust(r)])
+    assert len(both) <= len([r for r in rows if overlaps_day(r)])
