@@ -67,7 +67,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # min-of-2: damp scheduler/GC noise
+        for _ in range(3):  # min-of-3: damp scheduler/GC noise
             t0 = time.time()
             n = queries[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
