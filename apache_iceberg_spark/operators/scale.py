@@ -273,16 +273,21 @@ def m5_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        read_snapshot_dirs,
+    )
+
     o = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="tt_")
-    v1 = os.path.join(base, "v1")
-    v2 = os.path.join(base, "v2")
-    o.write.parquet(v1)
+    table = os.path.join(tempfile.mkdtemp(prefix="tt_"), "orders")
+    v1 = commit_snapshot(o, table)
     updates = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
         "o_orderstatus", F.lit("Z")
     )
-    upsert(spark.read.parquet(v1), updates, "o_orderkey").write.parquet(v2)
-    return spark.read.parquet(v1).select(*o.columns)
+    commit_snapshot(
+        upsert(read_snapshot_dirs(spark, table), updates, "o_orderkey"), table
+    )
+    return read_snapshot_dirs(spark, table, version=v1).select(*o.columns)
 
 
 # Per-process namespace for m6's bucketed tables: sweep only our own.

@@ -248,3 +248,42 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     assert 0 < len(both) < len(rows), len(both)
     assert len(both) <= len([r for r in rows if overlaps_cust(r)])
     assert len(both) <= len([r for r in rows if overlaps_day(r)])
+
+
+def test_snapshot_store_time_travel_and_expiry(spark, tmp_path):
+    """The versioned-directory snapshot store (catalog/snapshots.py — the
+    fallback twin of Iceberg snapshot commit/read/expire): commits are
+    copy-on-write, time travel works by version AND by timestamp, and
+    expiry honors older_than + retain_last without touching survivors."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        expire_snapshots_dirs,
+        list_snapshots,
+        read_snapshot_dirs,
+    )
+
+    table = str(tmp_path / "t")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    df2 = spark.range(8).withColumnRenamed("id", "k")
+    df3 = spark.range(2).withColumnRenamed("id", "k")
+    assert commit_snapshot(df1, table, ts_ms=1000) == 1
+    assert commit_snapshot(df2, table, ts_ms=2000) == 2
+    assert commit_snapshot(df3, table, ts_ms=3000) == 3
+
+    # version + timestamp time travel; latest by default
+    assert read_snapshot_dirs(spark, table).count() == 2
+    assert read_snapshot_dirs(spark, table, version=1).count() == 5
+    assert read_snapshot_dirs(spark, table, as_of_ts_ms=2500).count() == 8
+    with pytest.raises(ValueError, match="not found"):
+        read_snapshot_dirs(spark, table, version=9)
+    with pytest.raises(ValueError, match="at or before"):
+        read_snapshot_dirs(spark, table, as_of_ts_ms=500)
+
+    # expiry: drop v1 (old), retain v2 (not old enough? it is — but
+    # keep_last protects only v3); survivors unaffected
+    expired = expire_snapshots_dirs(table, older_than_ms=2500, keep_last=1)
+    assert expired == [1, 2]
+    assert [e["version"] for e in list_snapshots(table)] == [3]
+    assert read_snapshot_dirs(spark, table).count() == 2
+    with pytest.raises(ValueError, match="not found"):
+        read_snapshot_dirs(spark, table, version=1)
