@@ -311,3 +311,125 @@ def mm5_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("src_len"),
         dhash.alias("dhash"),
     )
+
+
+VOCAB_TOP_K = 100
+
+
+@register(
+    "tx10_vocab_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+        )
+        SELECT tok, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+        FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok
+        LIMIT {VOCAB_TOP_K}
+    """,
+    doc=f"Vocabulary induction: top-{VOCAB_TOP_K} corpus tokens by "
+    "frequency with a total-order rank (count desc, token asc tiebreak "
+    "— deterministic under any partitioning). The first step of "
+    "tokenizer/BPE training and the lookup side of tx8's novelty "
+    "scoring. One shuffle (token counts, map-side partials) + a top-K "
+    "that runs as TakeOrdered — the full vocabulary never sorts "
+    "globally.",
+    tags=("text", "llm", "corpus", "vocab"),
+)
+def tx10_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)).alias(
+            "tok"
+        )
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return top.select(
+        "tok", "cnt", F.row_number().over(w).alias("rank")
+    ).orderBy(F.desc("cnt"), F.asc("tok"))
+
+
+@register(
+    "dd8_dedup_cascade",
+    oracle=f"""
+        WITH canon AS (
+            SELECT doc_id, {_canon_sql(_URL_SQL_DUCK, chr(92))} AS cu
+            FROM documents
+        ),
+        s1 AS (
+            SELECT d.* FROM documents d
+            JOIN (SELECT MIN(doc_id) AS keeper FROM canon GROUP BY cu) k
+              ON d.doc_id = k.keeper
+        ),
+        s2 AS (
+            SELECT s1.* FROM s1
+            JOIN (SELECT MIN(doc_id) AS keeper FROM s1
+                  GROUP BY md5(lower(trim(text)))) k
+              ON s1.doc_id = k.keeper
+        ),
+        s3 AS (
+            SELECT s2.* FROM s2
+            JOIN (SELECT MIN(doc_id) AS keeper FROM s2
+                  GROUP BY list_min([
+                      {DUCK_HEX2INT.format(s="substr(text, i, 8)")}
+                      for i in generate_series(1, greatest(length(text) - 7, 1))
+                  ])) k
+              ON s2.doc_id = k.keeper
+        )
+        SELECT stage, n_docs FROM (
+            SELECT 1 AS ord, 'input' AS stage, COUNT(*) AS n_docs FROM documents
+            UNION ALL
+            SELECT 2, 'after_url_dedup', COUNT(*) FROM s1
+            UNION ALL
+            SELECT 3, 'after_exact_dedup', COUNT(*) FROM s2
+            UNION ALL
+            SELECT 4, 'after_fingerprint_dedup', COUNT(*) FROM s3
+        ) ORDER BY ord
+    """,
+    doc="Composed dedup cascade — the funnel a real corpus pipeline runs: "
+    "URL-canonical dedup (dd7) → exact content dedup (dd1) → rolling-"
+    "min-shingle fingerprint dedup (tx4's winnowing key), each stage "
+    "keeping the lowest doc_id and feeding the next, with per-stage "
+    "survivor counts. Cheap-to-expensive ordering minimizes work: every "
+    "stage is one shuffle over only the previous stage's survivors.",
+    tags=("dedup", "llm", "cascade"),
+)
+def dd8_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+
+    def keep_min(df: DataFrame, key: F.Column) -> DataFrame:
+        keepers = (
+            df.select(key.alias("k"), "doc_id")
+            .groupBy("k")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        return df.join(keepers, "doc_id")
+
+    s1 = keep_min(d, F.expr(_canon_sql(_URL_SQL, chr(92) * 2)))
+    s2 = keep_min(s1, F.md5(F.lower(F.trim(F.col("text")))))
+    fingerprint = F.expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
+        f"i -> {SPARK_HEX2INT.format(s='substr(text, i, 8)')}))"
+    )
+    s3 = keep_min(s2, fingerprint)
+    stages = [
+        (1, "input", d),
+        (2, "after_url_dedup", s1),
+        (3, "after_exact_dedup", s2),
+        (4, "after_fingerprint_dedup", s3),
+    ]
+    out = None
+    for ord_, name, df in stages:
+        row = df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(ord_).alias("ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("ord").select("stage", "n_docs")
