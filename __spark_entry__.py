@@ -60,9 +60,9 @@ def _coverage_order(d: dict) -> dict:
     # sources, timeseries, ANN, TPC-H) ahead of basic shapes that
     # adjacent green rows already exercise (joins/aggs/sorts/unions).
     family_rank = {
-        "st": 1, "m": 2, "s": 3, "ts": 4, "ann": 5, "q": 6,
-        "o": 7, "a": 8, "u": 9, "j": 10,
-    }
+        "st": 1, "m": 2, "s": 3, "ts": 4, "ann": 5, "q": 7,
+        "o": 8, "a": 9, "u": 10, "j": 11,
+    }  # default 6: tx/dd/mm/f — new-operator families rank above tpch
     positions = {k: i for i, k in enumerate(d)}
 
     def rank(name: str) -> tuple[int, int]:

@@ -411,8 +411,11 @@ def dd8_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return df.join(keepers, "doc_id")
 
-    s1 = keep_min(d, F.expr(_canon_sql(_URL_SQL, chr(92) * 2)))
-    s2 = keep_min(s1, F.md5(F.lower(F.trim(F.col("text")))))
+    # Each stage feeds BOTH its count and the next stage — persist the
+    # survivor frames so the funnel is computed once per stage, not
+    # re-derived from the scan for every downstream consumer.
+    s1 = keep_min(d, F.expr(_canon_sql(_URL_SQL, chr(92) * 2))).persist()
+    s2 = keep_min(s1, F.md5(F.lower(F.trim(F.col("text"))))).persist()
     fingerprint = F.expr(
         "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
         f"i -> {SPARK_HEX2INT.format(s='substr(text, i, 8)')}))"
