@@ -33,6 +33,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The static read supplies the (pre-conversion) schema — a streaming
     source requires one; nanos→µs conversion matches tables.load_table.
     """
+    # Defensive, like tables.load_table: the driver may call queries()
+    # with its own session, where a bare read of TIMESTAMP(NANOS) parquet
+    # throws PARQUET_TYPE_ILLEGAL. The conf is runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
