@@ -220,3 +220,49 @@ def test_dd6_iteration_frames_scale_with_graph(spark):
     assert df.count() > 0
     assert iteration_partitions(90, spark.sparkContext.defaultParallelism) == 1
     assert iteration_partitions(100_000_000, 256) == 50
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """The 100 TB fact⋈filtered-dim lever beyond broadcast: with runtime
+    bloom filters enabled, Spark injects a might_contain() predicate on
+    the fact side built from the dim's join keys — rows that cannot match
+    are dropped before the shuffle. (Off by default; this locks the conf
+    recipe and the resulting plan shape.)"""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_spark.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
