@@ -436,3 +436,60 @@ def dd8_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("ord").select("stage", "n_docs")
+
+
+@register(
+    "a14_data_quality_checks",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS n_null_custkey,
+            (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                AS n_nonpositive_price,
+            (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+                AS n_orphan_orders,
+            (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS n_dup_orderkeys,
+            (SELECT COUNT(*) FROM orders
+             WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                OR o_orderdate > TIMESTAMP '2005-01-01')
+                AS n_out_of_range_dates
+    """,
+    doc="Data-contract validation (the Deequ/dbt-test shape): null keys, "
+    "non-positive amounts, referential orphans (orders whose customer "
+    "is missing — LEFT ANTI semantics), duplicate primary keys, and "
+    "out-of-range dates, as one summary row. Each check is a partial-"
+    "aggregated scan or one anti-join; at 100 TB the checks share the "
+    "single fact scan and the dim side broadcasts. Run pre-ingest as "
+    "the gate before data enters the lakehouse.",
+    tags=("quality", "llm", "validation"),
+)
+def a14_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_null_custkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "n_nonpositive_price"
+        ),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_dup_orderkeys"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2005-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("n_out_of_range_dates"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("n_orphan_orders"))
+    )
+    return base.crossJoin(orphans).select(
+        "n_null_custkey",
+        "n_nonpositive_price",
+        "n_orphan_orders",
+        "n_dup_orderkeys",
+        "n_out_of_range_dates",
+    )
