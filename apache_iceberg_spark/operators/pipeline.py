@@ -493,3 +493,114 @@ def a14_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_orderkeys",
         "n_out_of_range_dates",
     )
+
+
+@register(
+    "a15_approx_percentile",
+    oracle="""
+        SELECT CAST(quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                  0.5) AS DOUBLE) AS exact_p50,
+               CAST(quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                  0.95) AS DOUBLE) AS exact_p95,
+               TRUE AS p50_within_1pct,
+               TRUE AS p95_within_1pct
+        FROM orders
+    """,
+    doc="Approximate percentiles (the mergeable-sketch path a9's exact "
+    "percentiles trade against at 100 TB): percentile_approx at "
+    "accuracy 10000 over integer cents, checked as a bounds oracle — "
+    "the exact quantiles computed on both engines plus booleans "
+    "asserting the sketch landed within 1%. Sketches combine map-side; "
+    "one tiny shuffle regardless of data volume.",
+    tags=("aggregate", "approx", "percentile"),
+)
+def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    agg = o.agg(
+        F.percentile(cents, 0.5).alias("exact_p50"),
+        F.percentile(cents, 0.95).alias("exact_p95"),
+        F.percentile_approx(cents, 0.5, 10000).alias("ap50"),
+        F.percentile_approx(cents, 0.95, 10000).alias("ap95"),
+    )
+    return agg.select(
+        "exact_p50",
+        "exact_p95",
+        (F.abs(F.col("ap50") - F.col("exact_p50"))
+         <= 0.01 * F.abs(F.col("exact_p50"))).alias("p50_within_1pct"),
+        (F.abs(F.col("ap95") - F.col("exact_p95"))
+         <= 0.01 * F.abs(F.col("exact_p95"))).alias("p95_within_1pct"),
+    )
+
+
+@register(
+    "a16_column_stats",
+    oracle="""
+        SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+               COUNT(DISTINCT c_custkey) AS n_distinct,
+               COUNT(*) - COUNT(c_custkey) AS n_null,
+               CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+               CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', COUNT(*), COUNT(DISTINCT c_nationkey),
+               COUNT(*) - COUNT(c_nationkey),
+               CAST(MIN(c_nationkey) AS VARCHAR),
+               CAST(MAX(c_nationkey) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_acctbal_cents', COUNT(*),
+               COUNT(DISTINCT CAST(ROUND(c_acctbal * 100) AS BIGINT)),
+               COUNT(*) - COUNT(c_acctbal),
+               CAST(MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS VARCHAR),
+               CAST(MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', COUNT(*), COUNT(DISTINCT c_mktsegment),
+               COUNT(*) - COUNT(c_mktsegment),
+               MIN(c_mktsegment), MAX(c_mktsegment)
+        FROM customer
+        ORDER BY column_name
+    """,
+    doc="Column statistics (ANALYZE TABLE / Iceberg per-column metrics): "
+    "row count, NDV, null count, min/max per tracked column, computed in "
+    "ONE scan (a single multi-aggregate projection unpivoted to rows — "
+    "not one scan per column like the naive UNION the oracle states). "
+    "Doubles are surfaced as integer cents so min/max stringification is "
+    "engine-identical. These are the stats a cost-based planner and "
+    "manifest pruning both feed on.",
+    tags=("aggregate", "stats", "catalog"),
+)
+def a16_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")
+    one = c.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_custkey").alias("ndv_ck"),
+        (F.count("*") - F.count("c_custkey")).alias("null_ck"),
+        F.min("c_custkey").cast("string").alias("min_ck"),
+        F.max("c_custkey").cast("string").alias("max_ck"),
+        F.countDistinct("c_nationkey").alias("ndv_nk"),
+        (F.count("*") - F.count("c_nationkey")).alias("null_nk"),
+        F.min("c_nationkey").cast("string").alias("min_nk"),
+        F.max("c_nationkey").cast("string").alias("max_nk"),
+        F.countDistinct(cents).alias("ndv_ab"),
+        (F.count("*") - F.count("c_acctbal")).alias("null_ab"),
+        F.min(cents).cast("string").alias("min_ab"),
+        F.max(cents).cast("string").alias("max_ab"),
+        F.countDistinct("c_mktsegment").alias("ndv_ms"),
+        (F.count("*") - F.count("c_mktsegment")).alias("null_ms"),
+        F.min("c_mktsegment").alias("min_ms"),
+        F.max("c_mktsegment").alias("max_ms"),
+    )
+    stacked = one.select(
+        F.expr(
+            "stack(4, "
+            "'c_custkey', n, ndv_ck, null_ck, min_ck, max_ck, "
+            "'c_nationkey', n, ndv_nk, null_nk, min_nk, max_nk, "
+            "'c_acctbal_cents', n, ndv_ab, null_ab, min_ab, max_ab, "
+            "'c_mktsegment', n, ndv_ms, null_ms, min_ms, max_ms) "
+            "AS (column_name, n_rows, n_distinct, n_null, min_value, max_value)"
+        )
+    )
+    return stacked.orderBy("column_name")
