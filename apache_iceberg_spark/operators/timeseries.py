@@ -241,3 +241,113 @@ def ts4_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.last("v", ignorenulls=True).over(w).alias("value_cents_ff"),
     )
+
+
+@register(
+    "ts5_ohlc_bars",
+    oracle="""
+        SELECT user_id,
+               DATE_TRUNC('hour', ts) AS bar_start,
+               first(CAST(ROUND(value * 100) AS BIGINT)
+                     ORDER BY ts, event_id) AS open_cents,
+               MAX(CAST(ROUND(value * 100) AS BIGINT)) AS high_cents,
+               MIN(CAST(ROUND(value * 100) AS BIGINT)) AS low_cents,
+               last(CAST(ROUND(value * 100) AS BIGINT)
+                    ORDER BY ts, event_id) AS close_cents,
+               COUNT(*) AS n_ticks
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="OHLC bar downsampling (the telemetry/market-data resample): per "
+    "user per hour, the opening and closing values by event time "
+    "(argmin/argmax over the (ts, event_id) total order — deterministic "
+    "under ties) plus high/low/count, on exact integer cents. One "
+    "shuffle on (user, hour) with full map-side partials: min/max/count "
+    "combine directly and the arg-extremes combine as struct min/max.",
+    tags=("timeseries", "aggregate", "downsample"),
+)
+def ts5_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    # struct min/max over (ts, event_id, cents): the extreme's cents ride
+    # along — Spark's expression-level arg_min/arg_max, partials intact.
+    open_s = F.min(F.struct(F.col("ts"), F.col("event_id"), cents.alias("c")))
+    close_s = F.max(F.struct(F.col("ts"), F.col("event_id"), cents.alias("c")))
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("bar_start")
+        )
+        .agg(
+            open_s.alias("o"),
+            F.max(cents).alias("high_cents"),
+            F.min(cents).alias("low_cents"),
+            close_s.alias("c"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            "user_id",
+            "bar_start",
+            F.col("o.c").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("c.c").alias("close_cents"),
+            "n_ticks",
+        )
+    )
+
+
+@register(
+    "w7_event_streaks",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_hit,
+                   ROW_NUMBER() OVER w AS rn,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id,
+                                    CASE WHEN event_type = 'click'
+                                         THEN 1 ELSE 0 END
+                       ORDER BY ts, event_id
+                   ) AS rn_by_kind
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               MAX(streak_len) AS longest_click_streak
+        FROM (
+            SELECT user_id, rn - rn_by_kind AS island, COUNT(*) AS streak_len
+            FROM flagged WHERE is_hit = 1
+            GROUP BY user_id, rn - rn_by_kind
+        )
+        GROUP BY user_id
+    """,
+    doc="Longest consecutive-event streak per user (gaps-and-islands): "
+    "the row_number-difference trick groups consecutive qualifying "
+    "events into islands without any iterative logic — two window "
+    "functions over the same (user, time) order, so ONE shuffle on "
+    "user_id serves both, then an island rollup. The sessionization-"
+    "adjacent pattern for engagement/failure-run analysis.",
+    tags=("window", "timeseries", "islands"),
+)
+def w7_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_hit = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_hit.alias("is_hit"),
+        F.row_number().over(w).alias("rn"),
+        F.row_number()
+        .over(Window.partitionBy("user_id", is_hit).orderBy("ts", "event_id"))
+        .alias("rn_by_kind"),
+    )
+    islands = (
+        flagged.filter(F.col("is_hit") == 1)
+        .groupBy("user_id", (F.col("rn") - F.col("rn_by_kind")).alias("island"))
+        .agg(F.count("*").alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_click_streak")
+    )
