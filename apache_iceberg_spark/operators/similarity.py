@@ -26,7 +26,7 @@ from apache_iceberg_spark.operators.dedup import (
 )
 from apache_iceberg_spark.operators.text import DUCK_HEX2INT, SPARK_HEX2INT
 from apache_iceberg_spark.registry import register
-from apache_iceberg_spark.tables import load_table_parallel
+from apache_iceberg_spark.tables import load_table, load_table_parallel
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -478,6 +478,61 @@ def ann4_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "ann5_int8_quantize",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               list_max([abs(x) for x in embedding]) AS scale,
+               CAST(COALESCE(list_sum([
+                   CAST(floor(CAST(x AS DOUBLE)
+                        / CAST(list_max([abs(y) for y in embedding]) AS DOUBLE)
+                        * 127.0) AS BIGINT)
+                   for x in embedding]), 0) AS BIGINT) AS qsum,
+               CAST(len(list_filter(embedding, x ->
+                   floor(CAST(x AS DOUBLE)
+                         / CAST(list_max([abs(y) for y in embedding]) AS DOUBLE)
+                         * 127.0) <> 0)) AS BIGINT) AS n_nonzero
+        FROM embeddings
+        WHERE list_max([abs(x) for x in embedding]) > 0
+    """,
+    doc="Scalar int8 quantization of the embedding column — the vector-"
+    "compression step before ANN index build (4x smaller vectors, SIMD "
+    "int dot products). Per-vector max-abs scale; codes are "
+    "floor(x/scale*127) with all arithmetic forced to double in the "
+    "same operand order on both engines (floor, unlike round, has no "
+    "tie-breaking mode to diverge on). Emits the scale and integer "
+    "digests (code sum, nonzero count) rather than the array — the "
+    "differential hasher cannot canonicalize array columns. Map-only, "
+    "stays in codegen.",
+    tags=("similarity", "llm", "quantize"),
+)
+def ann5_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = "array_max(transform(embedding, y -> abs(y)))"
+    code = (
+        f"floor(cast(x as double) / cast({scale} as double) * 127.0d)"
+    )
+    return (
+        e.filter(F.expr(f"{scale} > 0f"))
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.expr(scale).alias("scale"),
+            F.expr(
+                f"cast(coalesce(aggregate(transform(embedding, x -> "
+                f"cast({code} as bigint)), 0L, (acc, v) -> acc + v), 0L) "
+                f"as bigint)"
+            ).alias("qsum"),
+            F.expr(
+                f"cast(size(filter(embedding, x -> {code} != 0d)) as bigint)"
+            ).alias("n_nonzero"),
+        )
+    )
+
+
 __all__ = [
     "ann1_cosine_topk",
     "ann2_lsh_bucketed",
@@ -485,4 +540,5 @@ __all__ = [
     "ann4_pandas_cosine",
     "_SPARK_DOT",
     "_DUCK_DOT",
+    "ann5_int8_quantize",
 ]
