@@ -481,3 +481,134 @@ def m8_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_day") >= lo_day)
         & (F.col("o_day") <= hi_day)
     ).select("o_orderkey", "o_custkey", "o_orderdate")
+
+
+def merge_with_deletes(
+    current: DataFrame,
+    updates: DataFrame,
+    deletes: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Full MERGE semantics including WHEN MATCHED ... THEN DELETE:
+    rows named in ``deletes`` drop, rows in ``updates`` replace-or-insert,
+    everything else survives. One anti-join on the union of touched keys
+    + one union — the dataflow form of Iceberg's three-clause MERGE INTO.
+    """
+    touched = updates.select(key).unionByName(deletes.select(key)).distinct()
+    kept = current.join(touched, [key], "left_anti")
+    return kept.unionByName(updates)
+
+
+@register(
+    "m9_merge_with_deletes",
+    oracle="""
+        WITH dels AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0
+        ),
+        upds AS (
+            SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 10 = 0 AND o_orderkey % 100 <> 0
+        ),
+        ins AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                   'N' AS o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 1000 = 7
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM upds)
+        UNION ALL
+        SELECT * FROM upds
+        UNION ALL
+        SELECT * FROM ins
+    """,
+    doc="Three-clause MERGE semantics (WHEN MATCHED UPDATE / WHEN MATCHED "
+    "AND cond DELETE / WHEN NOT MATCHED INSERT) as a dataflow: every "
+    "100th order deleted, every other 10th status-flipped, a clone batch "
+    "inserted past the key space — m1 covers update+insert; this adds "
+    "the delete clause real CDC feeds require. One anti-join on the "
+    "touched-key set + union; equivalent to Iceberg MERGE INTO with a "
+    "DELETE clause.",
+    tags=("merge", "cdc", "incremental"),
+)
+def m9_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    cur = o.select(*cols)
+    deletes = cur.filter(F.col("o_orderkey") % 100 == 0).select("o_orderkey")
+    updates = (
+        cur.filter(
+            (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 100 != 0)
+        )
+        .withColumn("o_orderstatus", F.lit("X"))
+        .select(*cols)
+    )
+    inserts = (
+        cur.filter(F.col("o_orderkey") % 1000 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .select(*cols)
+    )
+    return merge_with_deletes(
+        cur, updates.unionByName(inserts), deletes, "o_orderkey"
+    )
+
+
+@register(
+    "m10_scd2_dimension",
+    oracle="""
+        WITH changed AS (
+            SELECT c_custkey, c_mktsegment
+            FROM customer WHERE c_custkey % 5 = 0
+        )
+        SELECT c.c_custkey,
+               c.c_mktsegment AS segment,
+               TIMESTAMP '2024-01-01' AS valid_from,
+               CASE WHEN ch.c_custkey IS NULL THEN NULL
+                    ELSE TIMESTAMP '2024-06-01' END AS valid_to,
+               ch.c_custkey IS NULL AS is_current
+        FROM customer c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+        UNION ALL
+        SELECT c_custkey, 'MIGRATED' AS segment,
+               TIMESTAMP '2024-06-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               TRUE AS is_current
+        FROM changed
+    """,
+    doc="Slowly-changing-dimension type 2: an updates batch (every 5th "
+    "customer re-segmented effective 2024-06-01) closes the affected "
+    "current rows (valid_to stamped, is_current flipped) and appends new "
+    "current versions, while untouched rows keep their open interval — "
+    "the dimension-history pattern MERGE INTO drives on an Iceberg "
+    "lakehouse. One broadcast-sized join against the changed-key set; "
+    "history grows append-only (snapshot-friendly).",
+    tags=("merge", "scd2", "dimension"),
+)
+def m10_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    t1 = F.lit("2024-01-01").cast("timestamp")
+    t2 = F.lit("2024-06-01").cast("timestamp")
+    changed = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("ch_key")
+    )
+    existing = (
+        c.join(F.broadcast(changed), c["c_custkey"] == changed["ch_key"], "left")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            t1.alias("valid_from"),
+            F.when(F.col("ch_key").isNull(), F.lit(None).cast("timestamp"))
+            .otherwise(t2)
+            .alias("valid_to"),
+            F.col("ch_key").isNull().alias("is_current"),
+        )
+    )
+    new_versions = changed.select(
+        F.col("ch_key").alias("c_custkey"),
+        F.lit("MIGRATED").alias("segment"),
+        t2.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return existing.unionByName(new_versions)
