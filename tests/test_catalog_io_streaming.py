@@ -338,3 +338,64 @@ def test_streaming_checkpoint_recovery(spark, tmp_path):
     # idempotent restart with no new data: nothing processed
     run_once()
     assert spark.read.parquet(sink).count() == 130
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling: with a watermark in append mode, an event
+    arriving after the watermark has passed its window is DROPPED — the
+    bounded-state guarantee that makes streaming aggregation viable at
+    scale (state for closed windows is evicted, so late stragglers
+    cannot resurrect them)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, v long").write.parquet(
+            f"{src}/{name}"
+        )
+
+    # batch 1: events in hours 00 and 05 — watermark advances to 05-1h=04
+    write_batch("b1", [(base, 1), (base + datetime.timedelta(hours=5), 1)])
+
+    def run_once():
+        q = (
+            spark.readStream.schema("ts timestamp, v long")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src + "/*")
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # batch 2: one punctual event (hour 06) + one LATE event for hour 00,
+    # whose window closed when the watermark passed 01:00
+    write_batch(
+        "b2",
+        [
+            (base + datetime.timedelta(hours=6), 1),
+            (base + datetime.timedelta(minutes=30), 99),  # late straggler
+        ],
+    )
+    run_once()
+    run_once()  # drain: emit windows finalized by the last advance
+    got = {
+        r.ws: r.n for r in spark.read.parquet(sink).collect()
+    }
+    # hour-00 window must count ONLY the original event: the straggler
+    # arrived after its window was finalized and was dropped from state
+    assert got.get(base) == 1, got
