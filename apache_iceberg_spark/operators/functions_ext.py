@@ -423,3 +423,42 @@ def a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_custmonths")
         ).alias("approx_within_5pct"),
     )
+
+
+@register(
+    "u5_pivot",
+    oracle="""
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN 1 END), 0) AS BIGINT) AS click,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                    THEN 1 END), 0) AS BIGINT) AS view,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 END), 0) AS BIGINT) AS purchase,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                    THEN 1 END), 0) AS BIGINT) AS signup,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                    THEN 1 END), 0) AS BIGINT) AS error
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Native pivot (long → wide): per-user event counts spread into one "
+    "column per event type via df.groupBy().pivot(values).count() — the "
+    "dual of u4's unpivot. Pinning the pivot values skips Spark's "
+    "distinct-values discovery pass (one scan instead of two — at "
+    "100 TB always pin); zero-count cells coalesce to 0 so the wide "
+    "shape is dense. One shuffle, map-side partials intact.",
+    tags=("reshape", "pivot"),
+)
+def u5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
