@@ -86,22 +86,43 @@ def scan_pruned(
     read Iceberg's planner does); the row-level predicate is re-applied
     by the engine so pruning can only skip I/O, never change results.
     """
+    df, total, kept = scan_pruned_box(spark, path, [(col, lo, hi)])
+    return df, total, kept
+
+
+def _bounds_overlap(row, col: str, lo, hi) -> bool:
+    mn, mx = row[f"min_{col}"], row[f"max_{col}"]
+    if mn is None or mx is None:
+        # a file whose tracked stats are NULL (all-NULL column chunk)
+        # cannot be ruled out — keep it; the row filter stays exact
+        return True
+    return not (mx < lo or mn > hi)
+
+
+def scan_pruned_box(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+) -> tuple[DataFrame, int, int]:
+    """Multi-column box pruning: keep files whose bounds intersect EVERY
+    (col, lo, hi) predicate — the m8/Z-order read path, and the general
+    form ``scan_pruned`` delegates to. NULL file bounds are kept
+    conservatively; an all-pruned plan returns an empty frame with the
+    table's schema rather than an unreadable zero-path scan."""
     manifest = spark.read.parquet(os.path.join(path, MANIFEST_DIR))
-    rows = manifest.select(
-        "file_path", f"min_{col}", f"max_{col}"
-    ).collect()
+    rows = manifest.collect()
     keep = [
         r["file_path"]
         for r in rows
-        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+        if all(_bounds_overlap(r, c, lo, hi) for c, lo, hi in predicates)
     ]
     df = (
         spark.read.parquet(*keep)
         if keep
         else spark.read.parquet(os.path.join(path, "data")).limit(0)
     )
-    return (
-        df.filter((F.col(col) >= lo) & (F.col(col) <= hi)),
-        len(rows),
-        len(keep),
-    )
+    cond = None
+    for c, lo, hi in predicates:
+        p = (F.col(c) >= lo) & (F.col(c) <= hi)
+        cond = p if cond is None else (cond & p)
+    return df.filter(cond), len(rows), len(keep)

@@ -50,12 +50,19 @@ def commit_snapshot(
     df: DataFrame, table_path: str, ts_ms: int | None = None
 ) -> int:
     """Write ``df`` as the table's next immutable snapshot; returns the
-    new version number. Copy-on-write: existing versions are untouched."""
+    new version number. Copy-on-write: existing versions are untouched.
+
+    Crash-safe for a single writer: the version directory is written in
+    overwrite mode, so a commit that died after writing v{N}/ but before
+    the log swap leaves an orphan the NEXT commit simply rewrites — the
+    log rename is the commit point. Concurrent committers are out of
+    scope for this emulation (real Iceberg arbitrates commits with a
+    catalog compare-and-swap; a filesystem log cannot)."""
     os.makedirs(table_path, exist_ok=True)
     log = _read_log(table_path)
     version = (log[-1]["version"] + 1) if log else 1
     vdir = os.path.join(table_path, f"v{version}")
-    df.write.parquet(vdir)
+    df.write.mode("overwrite").parquet(vdir)
     log.append(
         {
             "version": version,

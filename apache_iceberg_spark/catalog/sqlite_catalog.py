@@ -52,26 +52,17 @@ def register_table(
     swap does)."""
     with sqlite3.connect(path) as conn:
         conn.execute(_CATALOG_DDL)
-        prev = conn.execute(
-            "SELECT metadata_location FROM iceberg_tables "
-            "WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?",
-            (catalog_name, namespace, table_name),
-        ).fetchone()
+        # the conflict clause performs the commit swap atomically: the
+        # existing metadata_location becomes previous_metadata_location
         conn.execute(
             "INSERT INTO iceberg_tables (catalog_name, table_namespace, "
             "table_name, metadata_location, previous_metadata_location) "
-            "VALUES (?, ?, ?, ?, ?) "
+            "VALUES (?, ?, ?, ?, NULL) "
             "ON CONFLICT(catalog_name, table_namespace, table_name) "
             "DO UPDATE SET previous_metadata_location = "
             "iceberg_tables.metadata_location, metadata_location = ?",
-            (
-                catalog_name,
-                namespace,
-                table_name,
-                metadata_location,
-                prev[0] if prev else None,
-                metadata_location,
-            ),
+            (catalog_name, namespace, table_name, metadata_location,
+             metadata_location),
         )
 
 

@@ -296,20 +296,25 @@ DHASH_BITS = 32
 )
 def mm5_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    v = (
+    # project the resample vector ONCE: lambda bodies are not common-
+    # subexpression-eliminated, so inlining it inside the per-bit
+    # comparison would rebuild the 33-element array ~64x per row
+    v = F.expr(
         f"transform(sequence(0, {DHASH_BITS}), "
         f"k -> ascii(substr(text, "
         f"1 + cast(floor(k * length(text) / {DHASH_BITS + 1}) as int), 1)))"
     )
     dhash = F.expr(
         f"aggregate(transform(sequence(0, {DHASH_BITS - 1}), "
-        f"k -> IF(element_at({v}, k + 1) > element_at({v}, k + 2), "
+        f"k -> IF(element_at(__v, k + 1) > element_at(__v, k + 2), "
         f"shiftleft(1L, k), 0L)), 0L, (acc, x) -> acc + x)"
     )
-    return d.filter(F.length("text") >= DHASH_BITS + 1).select(
-        "doc_id",
-        F.length("text").alias("src_len"),
-        dhash.alias("dhash"),
+    return (
+        d.filter(F.length("text") >= DHASH_BITS + 1)
+        .select(
+            "doc_id", F.length("text").alias("src_len"), v.alias("__v")
+        )
+        .select("doc_id", "src_len", dhash.alias("dhash"))
     )
 
 
@@ -421,21 +426,19 @@ def dd8_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> {SPARK_HEX2INT.format(s='substr(text, i, 8)')}))"
     )
     s3 = keep_min(s2, fingerprint)
-    stages = [
-        (1, "input", d),
-        (2, "after_url_dedup", s1),
-        (3, "after_exact_dedup", s2),
-        (4, "after_fingerprint_dedup", s3),
+    # The funnel output is four scalars: count each stage eagerly (this
+    # materializes the persisted frames exactly once), then release the
+    # caches before returning — a lazy union of aggregates would keep
+    # s1/s2 pinned in executor storage for the whole session.
+    counts = [
+        ("input", d.count()),
+        ("after_url_dedup", s1.count()),
+        ("after_exact_dedup", s2.count()),
+        ("after_fingerprint_dedup", s3.count()),
     ]
-    out = None
-    for ord_, name, df in stages:
-        row = df.agg(F.count("*").alias("n_docs")).select(
-            F.lit(ord_).alias("ord"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("ord").select("stage", "n_docs")
+    s1.unpersist()
+    s2.unpersist()
+    return spark.createDataFrame(counts, "stage string, n_docs long")
 
 
 @register(

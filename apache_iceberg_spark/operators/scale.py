@@ -463,24 +463,17 @@ def m8_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_with_manifest(
         z, path, cluster_by="zcode", track_cols=["o_custkey", "o_day"]
     )
-    # Two-dimensional box: prune files on BOTH tracked bounds, then apply
-    # the exact row filter (pruning is an I/O optimization only).
-    manifest = spark.read.parquet(os.path.join(path, "_manifest"))
+    # Two-dimensional box: prune files on BOTH tracked bounds, then the
+    # exact row filter is re-applied inside scan_pruned_box (pruning is
+    # an I/O optimization only; empty-keep and NULL bounds handled there).
+    from apache_iceberg_spark.catalog.manifests import scan_pruned_box
+
     lo_day = 1096  # days 1992-01-01 → 1995-01-01
     hi_day = 1460  # → 1995-12-31
-    keep = [
-        r["file_path"]
-        for r in manifest.collect()
-        if not (r["max_o_custkey"] < 100 or r["min_o_custkey"] > 300)
-        and not (r["max_o_day"] < lo_day or r["min_o_day"] > hi_day)
-    ]
-    df = spark.read.parquet(*keep)
-    return df.filter(
-        (F.col("o_custkey") >= 100)
-        & (F.col("o_custkey") <= 300)
-        & (F.col("o_day") >= lo_day)
-        & (F.col("o_day") <= hi_day)
-    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    df, _total, _kept = scan_pruned_box(
+        spark, path, [("o_custkey", 100, 300), ("o_day", lo_day, hi_day)]
+    )
+    return df.select("o_orderkey", "o_custkey", "o_orderdate")
 
 
 def merge_with_deletes(

@@ -22,8 +22,6 @@ A UDTF is a generator per input row (map-only, no shuffle).
 
 from __future__ import annotations
 
-import re
-
 import pandas as pd
 
 import pyspark.sql.functions as F
@@ -96,7 +94,8 @@ F10_HEAD_N = 5
     oracle=rf"""
         WITH t AS (
             SELECT doc_id,
-                   string_split_regex(lower(trim(text)), '\s+') AS toks
+                   string_split(trim(lower(regexp_replace(text,
+                                '[ \t\n\r\f]+', ' ', 'g'))), ' ') AS toks
             FROM documents
         )
         SELECT doc_id, i AS idx, toks[i] AS word
@@ -107,8 +106,12 @@ F10_HEAD_N = 5
     f"document expands to its first {F10_HEAD_N} tokens as "
     "(idx, word) rows — the one-row-to-N-rows extension point "
     "(Spark 4 `@udtf`). Map-only: the generator runs per input "
-    "partition, no shuffle. Tokenization uses ASCII \\s+ so Python, "
-    "Spark and RE2 agree on boundaries.",
+    "partition, no shuffle. Whitespace runs are normalized to a single "
+    "space by the ENGINE regex on both sides before the UDTF splits on "
+    "the literal space, so Python never interprets a whitespace class — "
+    "and the normalizer spells out [ \\t\\n\\r\\f] because the \\s "
+    "shorthand itself differs across engines (Java includes \\v, RE2 "
+    "does not).",
     tags=("udf", "udtf"),
 )
 def f10_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,11 +122,10 @@ def f10_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             if text is None:
                 return
-            toks = [
-                t
-                for t in re.split(r"\s+", text.lower().strip(), flags=re.ASCII)
-                if t
-            ]
+            # input arrives whitespace-normalized and space-trimmed; a
+            # literal-space split matches both engines' semantics exactly
+            # (including the single empty token an empty text produces)
+            toks = text.split(" ")
             for i, w in enumerate(toks[:F10_HEAD_N], start=1):
                 yield (i, w)
 
@@ -132,6 +134,7 @@ def f10_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_f10_documents"
     )
     return spark.sql(
-        "SELECT doc_id, t.idx, t.word "
-        "FROM _f10_documents, LATERAL head_words(text) t"
+        "SELECT doc_id, t.idx, t.word FROM _f10_documents, "
+        "LATERAL head_words(trim(lower(regexp_replace(text, "
+        "'[ \\\\t\\\\n\\\\r\\\\f]+', ' ')))) t"
     )

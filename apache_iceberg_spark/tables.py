@@ -52,6 +52,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_BYTE_SUFFIXES = {
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "b": 1, "": 1,
+}
+
+
+def _parse_byte_conf(value: str, default: int = 134_217_728) -> int:
+    """Spark size-conf parser ('134217728', '128m', '1g', '512kb', …).
+    An external session may set any of these forms; an unparseable value
+    falls back to the Spark default rather than crashing the scan."""
+    v = value.strip().lower()
+    num = v.rstrip("kmgtb")
+    mult = _BYTE_SUFFIXES.get(v[len(num):], None)
+    try:
+        return int(num) * mult if mult else default
+    except ValueError:
+        return default
+
+
 def load_table_parallel(
     spark: SparkSession, sf_dir: str, name: str, partitions: int | None = None
 ) -> DataFrame:
@@ -73,10 +95,9 @@ def load_table_parallel(
         size = os.path.getsize(path)
     except OSError:
         return df.repartition(partitions)
-    max_bytes_conf = str(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    max_bytes = _parse_byte_conf(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
     )
-    max_bytes = int(max_bytes_conf.lower().removesuffix("b") or 134217728)
     est_splits = max(1, -(-size // max_bytes))
     if est_splits < partitions:
         df = df.repartition(partitions)

@@ -97,3 +97,18 @@ def test_dd6_iteration_partitions_derived_from_graph():
     assert iteration_partitions(1_000_000_000, 1000) == 500
     # ...but never past the cluster's parallelism
     assert iteration_partitions(10_000_000_000, 1000) == 1000
+
+
+def test_parse_byte_conf_forms():
+    """load_table_parallel must survive every Spark size-conf spelling an
+    external session might set (review finding: int('128m') crashed)."""
+    from apache_iceberg_spark.tables import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728") == 134217728
+    assert _parse_byte_conf("134217728b") == 134217728
+    assert _parse_byte_conf("128m") == 128 << 20
+    assert _parse_byte_conf("128MB") == 128 << 20
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("512kb") == 512 << 10
+    assert _parse_byte_conf("garbage") == 134217728  # fallback, no crash
+    assert _parse_byte_conf("") == 134217728
