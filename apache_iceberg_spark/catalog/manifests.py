@@ -10,29 +10,42 @@ module reproduces the *mechanism* on plain parquet:
 
 - ``write_with_manifest``: range-partition the data by a clustering key
   (so each file owns a narrow key range — Iceberg's sort-order write),
-  write parquet, then scan the written files' parquet FOOTERS for
-  per-file min/max of the tracked columns → one manifest parquet.
-- ``scan_pruned``: read the manifest (a few rows — driver-side by
-  design, exactly like a query planner), keep the files whose
-  [min, max] intersects the predicate, and build a DataFrame over ONLY
-  those files. The engine predicate is still applied for row-level
-  exactness — manifest pruning is an I/O optimization, never a
-  correctness device.
+  write parquet, then read each written file's parquet FOOTER
+  (``pyarrow.parquet`` row-group statistics — metadata-only, never the
+  data pages) for per-file min/max of the tracked columns → one manifest
+  parquet. The footer reads are distributed (``mapInPandas`` over the
+  file list), so manifest building is O(files) metadata I/O, not a
+  second O(data) scan.
+- ``scan_pruned``: filter the manifest *as a DataFrame* with the bounds
+  predicates (executor-side, like Iceberg's manifest evaluator) and
+  collect only the surviving file paths — the driver never holds
+  non-matching files' bounds. The engine predicate is still applied for
+  row-level exactness — manifest pruning is an I/O optimization, never
+  a correctness device.
 
 At 100 TB this is the difference between scanning a table and scanning
 the 0.1% of files a date/key predicate touches; the manifest itself
 scales as one row per file and is itself a parquet table, queryable and
-partitionable like Iceberg's.
+partitionable like Iceberg's, and the pruning predicate runs where the
+manifest partitions live.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
+from urllib.parse import urlparse
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 MANIFEST_DIR = "_manifest"
+
+
+def _local_path(uri: str) -> str:
+    """file:/-style URI → filesystem path (pass plain paths through)."""
+    return urlparse(uri).path if uri.startswith("file:") else uri
 
 
 def write_with_manifest(
@@ -47,8 +60,12 @@ def write_with_manifest(
 
     ``repartitionByRange`` gives each output file a disjoint key range —
     the write-side half of pruning (unsorted files all overlap and
-    nothing can be skipped). The manifest is computed distributed: one
-    pass over the written data grouped by input file name.
+    nothing can be skipped). The manifest comes from parquet FOOTER
+    statistics: a distributed ``mapInPandas`` pass opens each file's
+    metadata with pyarrow and folds row-group min/max — no data pages
+    are read. A column whose footer lacks usable stats (e.g. truncated
+    binary bounds) gets NULL bounds, which ``scan_pruned_box`` keeps
+    conservatively.
     """
     spark = df.sparkSession
     data_dir = os.path.join(path, "data")
@@ -58,14 +75,59 @@ def write_with_manifest(
         .write.mode("overwrite")
         .parquet(data_dir)
     )
-    written = spark.read.parquet(data_dir)
-    aggs: list[Column] = []
+    # Listing is planner-scale metadata; the footer reads are distributed.
+    files = spark.read.parquet(data_dir).inputFiles()
+    fields = [
+        StructField("file_path", StringType()),
+        StructField("record_count", LongType()),
+    ]
     for c in track_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
+        t = df.schema[c].dataType
+        fields.append(StructField(f"min_{c}", t))
+        fields.append(StructField(f"max_{c}", t))
+    out_schema = StructType(fields)
+    col_names = [f.name for f in fields]
+    tracked = list(track_cols)
+
+    def footer_stats(batches: Iterator) -> Iterator:
+        import datetime
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def to_naive(v):
+            # Footer timestamps are absolute (UTC-adjusted); Spark's
+            # Arrow bridge expects session-local naive datetimes.
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                return v.astimezone().replace(tzinfo=None)
+            return v
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["file_path"]:
+                md = pq.ParquetFile(_local_path(uri)).metadata
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                row = {"file_path": uri, "record_count": md.num_rows}
+                for c in tracked:
+                    idx = names.index(c)
+                    mins, maxs = [], []
+                    usable = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            usable = False
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    row[f"min_{c}"] = to_naive(min(mins)) if usable and mins else None
+                    row[f"max_{c}"] = to_naive(max(maxs)) if usable and maxs else None
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=col_names)
+
     manifest = (
-        written.groupBy(F.input_file_name().alias("file_path"))
-        .agg(F.count("*").alias("record_count"), *aggs)
+        spark.createDataFrame([(f,) for f in files], "file_path string")
+        .repartition(min(len(files), 32) or 1)
+        .mapInPandas(footer_stats, out_schema)
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, MANIFEST_DIR)
@@ -81,22 +143,27 @@ def scan_pruned(
 ) -> tuple[DataFrame, int, int]:
     """Plan a read of ``col BETWEEN lo AND hi`` through the manifest.
 
-    Returns (dataframe, files_total, files_read). The manifest read is
-    driver-side (one row per file — planner-scale metadata, the same
-    read Iceberg's planner does); the row-level predicate is re-applied
-    by the engine so pruning can only skip I/O, never change results.
+    Returns (dataframe, files_total, files_read). Bounds evaluation runs
+    on the manifest DataFrame (executor-side); only surviving file paths
+    reach the driver. The row-level predicate is re-applied by the
+    engine so pruning can only skip I/O, never change results.
     """
     df, total, kept = scan_pruned_box(spark, path, [(col, lo, hi)])
     return df, total, kept
 
 
-def _bounds_overlap(row, col: str, lo, hi) -> bool:
-    mn, mx = row[f"min_{col}"], row[f"max_{col}"]
-    if mn is None or mx is None:
-        # a file whose tracked stats are NULL (all-NULL column chunk)
-        # cannot be ruled out — keep it; the row filter stays exact
-        return True
-    return not (mx < lo or mn > hi)
+def prune_condition(predicates: list[tuple]) -> F.Column:
+    """Manifest-row survival condition for a list of (col, lo, hi) box
+    predicates: a file survives when its bounds intersect EVERY box edge,
+    and NULL bounds (absent/unusable footer stats) are kept
+    conservatively — the expression form of ``Iceberg``'s
+    InclusiveMetricsEvaluator."""
+    cond = F.lit(True)
+    for c, lo, hi in predicates:
+        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
+        overlap = mn.isNull() | mx.isNull() | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+        cond = cond & overlap
+    return cond
 
 
 def scan_pruned_box(
@@ -106,15 +173,18 @@ def scan_pruned_box(
 ) -> tuple[DataFrame, int, int]:
     """Multi-column box pruning: keep files whose bounds intersect EVERY
     (col, lo, hi) predicate — the m8/Z-order read path, and the general
-    form ``scan_pruned`` delegates to. NULL file bounds are kept
-    conservatively; an all-pruned plan returns an empty frame with the
-    table's schema rather than an unreadable zero-path scan."""
+    form ``scan_pruned`` delegates to. The bounds test is a DataFrame
+    filter on the manifest (distributed; only survivors' ``file_path``
+    values are collected — at 10⁶ files the driver sees the kept list,
+    not every file's bounds). An all-pruned plan returns an empty frame
+    with the table's schema rather than an unreadable zero-path scan."""
     manifest = spark.read.parquet(os.path.join(path, MANIFEST_DIR))
-    rows = manifest.collect()
+    total = manifest.count()
     keep = [
         r["file_path"]
-        for r in rows
-        if all(_bounds_overlap(r, c, lo, hi) for c, lo, hi in predicates)
+        for r in manifest.filter(prune_condition(predicates))
+        .select("file_path")
+        .collect()
     ]
     df = (
         spark.read.parquet(*keep)
@@ -125,4 +195,4 @@ def scan_pruned_box(
     for c, lo, hi in predicates:
         p = (F.col(c) >= lo) & (F.col(c) <= hi)
         cond = p if cond is None else (cond & p)
-    return df.filter(cond), len(rows), len(keep)
+    return df.filter(cond), total, len(keep)

@@ -215,6 +215,74 @@ def test_manifest_pruning_skips_files(spark, tmp_path):
     assert df.count() == expected
 
 
+def test_manifest_prune_collects_only_survivors(spark, tmp_path):
+    """Executor-side manifest pruning: the bounds test is a DataFrame
+    filter on the manifest, so the driver collects exactly the kept
+    files' rows (files_read), never the full file list — and NULL
+    bounds (absent footer stats) survive the filter conservatively."""
+    import datetime
+
+    from apache_iceberg_spark.catalog.manifests import (
+        MANIFEST_DIR,
+        prune_condition,
+        scan_pruned,
+        write_with_manifest,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderdate")
+    path = str(tmp_path / "orders_manifested")
+    write_with_manifest(
+        o, path, cluster_by="o_orderdate", track_cols=["o_orderdate"], n_files=8
+    )
+    lo = datetime.datetime(1995, 3, 1)
+    hi = datetime.datetime(1995, 3, 31)
+    _, files_total, files_read = scan_pruned(spark, path, "o_orderdate", lo, hi)
+    manifest = spark.read.parquet(path + "/" + MANIFEST_DIR)
+    survivors = manifest.filter(
+        prune_condition([("o_orderdate", lo, hi)])
+    ).count()
+    # what reaches the driver is the survivor set — strictly smaller
+    # than the manifest it was filtered from
+    assert survivors == files_read
+    assert files_read < files_total == 8
+
+    null_bounds = spark.createDataFrame(
+        [("f0", None, None)],
+        "file_path string, min_o_orderdate timestamp, max_o_orderdate timestamp",
+    )
+    kept = null_bounds.filter(prune_condition([("o_orderdate", lo, hi)]))
+    assert kept.count() == 1  # unknown bounds can never be pruned
+
+
+def test_manifest_from_parquet_footers(spark, tmp_path):
+    """write_with_manifest's bounds must equal the parquet footer
+    row-group statistics (metadata-only), not a re-aggregation scan:
+    verify against pyarrow's own reading of each file's footer."""
+    import pyarrow.parquet as pq
+
+    from apache_iceberg_spark.catalog.manifests import (
+        MANIFEST_DIR,
+        _local_path,
+        write_with_manifest,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "orders_footer")
+    write_with_manifest(
+        o, path, cluster_by="o_orderkey", track_cols=["o_orderkey"], n_files=4
+    )
+    rows = spark.read.parquet(path + "/" + MANIFEST_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        md = pq.ParquetFile(_local_path(r["file_path"])).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = names.index("o_orderkey")
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        assert r["record_count"] == md.num_rows
+        assert r["min_o_orderkey"] == min(s.min for s in stats)
+        assert r["max_o_orderkey"] == max(s.max for s in stats)
+
+
 def test_zorder_clusters_both_dimensions(spark, tmp_path):
     """m8's mechanism: under a Z-order layout, a selective 2-D box must
     prune files on BOTH tracked columns — strictly fewer files than the
