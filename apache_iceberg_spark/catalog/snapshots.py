@@ -97,7 +97,9 @@ def read_snapshot_dirs(
         at_or_before = [e for e in log if e["ts_ms"] <= as_of_ts_ms]
         if not at_or_before:
             raise ValueError(f"no snapshot at or before {as_of_ts_ms}")
-        entry = at_or_before[-1]
+        # commit_snapshot accepts caller-supplied ts_ms, so the log is
+        # not guaranteed ts-ordered — pick the max timestamp, not the tail
+        entry = max(at_or_before, key=lambda e: e["ts_ms"])
     else:
         entry = log[-1]
     return spark.read.parquet(entry["path"])

@@ -106,6 +106,10 @@ CHUNK_STRIDE = 192  # 64-char overlap between consecutive chunks
 )
 def tx9_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # empty text is in-domain (s14 hardening): Spark's sequence(1, 0, +s)
+    # throws where the oracle's generate_series yields no rows — filter
+    # zero-length docs out first, which is exactly the oracle's row set
+    d = d.filter(F.length("text") > 0)
     return d.select(
         "doc_id",
         F.explode(

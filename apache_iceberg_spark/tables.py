@@ -69,9 +69,12 @@ def _parse_byte_conf(value: str, default: int = 134_217_728) -> int:
     num = v.rstrip("kmgtb")
     mult = _BYTE_SUFFIXES.get(v[len(num):], None)
     try:
-        return int(num) * mult if mult else default
+        parsed = int(num) * mult if mult else default
     except ValueError:
         return default
+    # '0' (or any non-positive size) would divide-by-zero the split
+    # estimate downstream — treat it as unparseable
+    return parsed if parsed >= 1 else default
 
 
 def load_table_parallel(

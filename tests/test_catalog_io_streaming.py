@@ -357,6 +357,26 @@ def test_snapshot_store_time_travel_and_expiry(spark, tmp_path):
         read_snapshot_dirs(spark, table, version=1)
 
 
+def test_snapshot_timestamp_travel_out_of_order_log(spark, tmp_path):
+    """commit_snapshot accepts caller-supplied ts_ms, so the commit log
+    need not be ts-ordered; TIMESTAMP AS OF must resolve to the max
+    timestamp at-or-before, not the log tail (a backdated commit after a
+    newer one must not shadow it)."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        read_snapshot_dirs,
+    )
+
+    table = str(tmp_path / "t_ooo")
+    commit_snapshot(spark.range(3).withColumnRenamed("id", "k"), table, ts_ms=1000)
+    commit_snapshot(spark.range(7).withColumnRenamed("id", "k"), table, ts_ms=5000)
+    # backdated commit: logged last, but timestamped between the two
+    commit_snapshot(spark.range(4).withColumnRenamed("id", "k"), table, ts_ms=2000)
+    assert read_snapshot_dirs(spark, table, as_of_ts_ms=6000).count() == 7
+    assert read_snapshot_dirs(spark, table, as_of_ts_ms=2500).count() == 4
+    assert read_snapshot_dirs(spark, table, as_of_ts_ms=1500).count() == 3
+
+
 def test_streaming_checkpoint_recovery(spark, tmp_path):
     """Exactly-once incremental processing across restarts: a file-source
     stream with a durable checkpoint processes batch 1, 'stops' (the

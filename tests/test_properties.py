@@ -8,7 +8,7 @@ are partition-count/row-content invariants, not numeric fuzz).
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 import pyspark.sql.functions as F
@@ -143,15 +143,18 @@ def test_upsert_idempotent_and_unique(spark, updates_keys):
 @given(
     text=st.text(
         alphabet=st.characters(min_codepoint=32, max_codepoint=126),
-        min_size=1,
+        min_size=0,
         max_size=900,
     )
 )
+@example(text="")
 @_spark_examples
 def test_chunking_covers_text_exactly(spark, text):
     """tx9's chunks must tile the document: starts at 1, 1+stride, …;
     each chunk is the exact substring; stitching the stride-prefixes plus
-    the final chunk reconstructs the document byte-for-byte."""
+    the final chunk reconstructs the document byte-for-byte. An empty
+    document yields zero chunks (not a sequence-bounds error), matching
+    the oracle's generate_series(1, 0)."""
     from apache_iceberg_spark.operators.pipeline import (
         CHUNK_SIZE,
         CHUNK_STRIDE,
@@ -182,6 +185,9 @@ def test_chunking_covers_text_exactly(spark, text):
     )
     starts = [s for s, _ in rows]
     assert starts == list(range(1, len(text) + 1, CHUNK_STRIDE))
+    if not text:
+        assert rows == []
+        return
     for s, chunk in rows:
         assert chunk == text[s - 1 : s - 1 + CHUNK_SIZE]
     stitched = "".join(c[:CHUNK_STRIDE] for _, c in rows[:-1]) + rows[-1][1]

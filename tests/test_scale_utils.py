@@ -112,3 +112,7 @@ def test_parse_byte_conf_forms():
     assert _parse_byte_conf("512kb") == 512 << 10
     assert _parse_byte_conf("garbage") == 134217728  # fallback, no crash
     assert _parse_byte_conf("") == 134217728
+    # non-positive sizes would zero-divide the split estimate — fall back
+    assert _parse_byte_conf("0") == 134217728
+    assert _parse_byte_conf("0m") == 134217728
+    assert _parse_byte_conf("-128m") == 134217728
