@@ -591,6 +591,16 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle finds exactly the all-pairs-check's edge set while shuffling
     # O(postings) rows instead of scoring n²/2 array intersections.
     d = load_table_parallel(spark, sf_dir, "documents")
+    # Persisted: both sides of the posting self-join read this frame —
+    # without the cache the shingle expression (the expensive part of
+    # the whole operator) is computed twice. The hash join distributes
+    # the quadratic blow-up of hot shingles across tasks (an in-list
+    # pair explode — dd2's in-bucket trick — measures 4× slower here
+    # because raw shingle posting lists are unbounded, unlike LSH
+    # buckets). The per-side size lookups stay as two separate
+    # post-aggregate joins: they broadcast (tiny vs the posting
+    # explode), whereas carrying n_sh through the self-join would widen
+    # the operator's biggest shuffle on both sides.
     sh = d.select(
         "doc_id", F.expr(_SPARK_SHINGLES_INLINE).alias("shingles")
     ).persist()
@@ -642,30 +652,42 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .persist()
     )
-    label_seed = (
-        edges_raw.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
     # The dup graph is tiny relative to the corpus (only docs with a
     # near-dup edge), so the iteration frames get their own partitioning,
     # sized from the measured graph — NOT a hardcoded constant: a
     # handful of tasks per round locally, cluster-wide parallelism at
-    # 100 TB. Hash-partitioning edges by dst once lets every round's
-    # label join reuse that layout instead of re-shuffling the edge set.
-    n_nodes = label_seed.count()  # also materializes edges_raw
+    # 100 TB. Sizing from the edge count lets the count() double as the
+    # edges_raw cache materialization (edges are the bigger iteration
+    # frame anyway), so there is no dedicated sizing pass.
+    n_edges = edges_raw.count()
     parts = iteration_partitions(
-        n_nodes, spark.sparkContext.defaultParallelism
+        n_edges, spark.sparkContext.defaultParallelism
     )
     edges = edges_raw.repartition(parts, "dst").persist()
-    labels = label_seed.repartition(parts, "node").persist()
+    # One shuffle builds the label seed AND its iteration layout: the
+    # explicit hash-repartition on node satisfies the dedup aggregate's
+    # distribution, so dropDuplicates adds no second exchange, and every
+    # round's merged frame inherits the parts-sized layout (the r2 bench
+    # regression was iterating at the default 32-partition layout — 8×
+    # the task overhead per round on a tiny graph). The node count that
+    # drives the broadcast-vs-shuffle decision is the same action that
+    # materializes the label cache before round 1.
+    labels = (
+        edges_raw.select(F.col("src").alias("node"))
+        .repartition(parts, "node")
+        .dropDuplicates(["node"])
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    n_nodes = labels.count()
     # Pregel-style min-label propagation to the fixpoint. Each round is a
     # bounded dataflow (join + min-agg); the driver only checks the
     # converged-yet flag, never touches row data. When the dup graph fits
     # a broadcast (nodes ≤ ~5M — counting is free, labels just
     # materialized), hint both per-round joins to broadcast the label
     # frame: zero shuffle exchanges per round. Past that size the hints
-    # drop away and the rounds run as ordinary shuffled joins.
+    # drop away and the rounds run as ordinary shuffled joins over
+    # node-co-located label frames.
     small_graph = n_nodes <= 5_000_000
     while True:
         lbl = F.broadcast(labels) if small_graph else labels
