@@ -209,6 +209,19 @@ def test_tx8_two_aggregations_partial(spark):
     assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x partial+final
 
 
+def test_tx8_small_vocab_freq_join_broadcasts(spark):
+    """tx8's scale note: when the vocabulary fits, the token-frequency
+    join should broadcast the freq side instead of shuffling every token
+    occurrence. Statically Spark cannot know the aggregate's size, so the
+    conversion is AQE's job at runtime — execute the query and assert the
+    FINAL adaptive plan picked a broadcast join."""
+    df = REGISTRY["tx8_term_novelty"].spark(spark, SF_DIR)
+    df.count()  # materialize so AQE finalizes the plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+
+
 def test_dd6_iteration_frames_scale_with_graph(spark):
     """The CC iteration frames derive their partitioning from the measured
     graph size (not a hardcoded constant): locally the tiny dup graph
