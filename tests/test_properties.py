@@ -192,3 +192,138 @@ def test_chunking_covers_text_exactly(spark, text):
         assert chunk == text[s - 1 : s - 1 + CHUNK_SIZE]
     stitched = "".join(c[:CHUNK_STRIDE] for _, c in rows[:-1]) + rows[-1][1]
     assert stitched == text
+
+
+# ---------------------------------------------------------------------------
+# CSV ingest inference boundary (ingest/loader.py read_csv, SURVEY §1.2's
+# 8-type surface): lock the pinned Arrow-vs-Spark divergence traps —
+# integer width boundaries, ISO timestamp vs date-only columns, and
+# empty-string-vs-NULL — so a Spark upgrade or an option drift breaks a
+# test, not the oracle comparison.
+# ---------------------------------------------------------------------------
+
+
+def _csv_roundtrip(spark, header: str, lines: list[str]):
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.ingest.loader import read_csv
+
+    d = tempfile.mkdtemp(prefix="inf_prop_")
+    p = os.path.join(d, "t.csv")
+    with open(p, "w") as f:
+        f.write(header + "\n")
+        for ln in lines:
+            f.write(ln + "\n")
+    return read_csv(spark, p)
+
+
+@given(
+    ints=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=20,
+    )
+)
+@example(ints=[2**31 - 1])          # stays int
+@example(ints=[2**31])              # first value needing bigint
+@example(ints=[-(2**31) - 1])       # negative boundary
+@example(ints=[2**63 - 1, 0])      # bigint max
+@_spark_examples
+def test_csv_integer_inference_boundary(spark, ints):
+    """Pinned rule: a CSV integer column infers `int` iff every value
+    fits int32, else `bigint`; values round-trip exactly at both widths
+    (no silent float widening on the int64 boundary — the classic
+    Arrow-vs-Spark divergence trap)."""
+    df = _csv_roundtrip(spark, "v", [str(i) for i in ints])
+    expect = "int" if all(-(2**31) <= i < 2**31 for i in ints) else "bigint"
+    assert dict(df.dtypes)["v"] == expect
+    assert sorted(r.v for r in df.collect()) == sorted(ints)
+
+
+@given(st.integers(min_value=2**63, max_value=2**80))
+@_spark_examples
+def test_csv_beyond_int64_falls_back_to_string(spark, big):
+    """Values past int64 infer decimal(n,0) — outside the 8-type surface —
+    so restrict_to_core_types lands them as exact string, never a lossy
+    double."""
+    df = _csv_roundtrip(spark, "v", [str(big), "1"])
+    assert dict(df.dtypes)["v"] == "string"
+    assert {r.v for r in df.collect()} == {str(big), "1"}
+
+
+@given(
+    stamps=st.lists(
+        st.tuples(
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1905, 1, 1),
+                max_value=__import__("datetime").datetime(2099, 12, 31),
+            ).map(lambda t: t.replace(microsecond=0)),
+            st.booleans(),  # render as date-only?
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_spark_examples
+def test_csv_timestamp_vs_date_inference(spark, stamps):
+    """Pinned rule: all-ISO-date columns infer `date`; one ISO timestamp
+    makes the whole column `timestamp` with date-only rows at midnight.
+    Values round-trip to the second either way."""
+    import datetime as dt
+
+    cells = [
+        t.date().isoformat() if as_date else t.isoformat(sep="T")
+        for t, as_date in stamps
+    ]
+    df = _csv_roundtrip(spark, "v", cells)
+    all_dates = all(as_date for _, as_date in stamps)
+    got = sorted(r.v for r in df.collect())
+    if all_dates:
+        assert dict(df.dtypes)["v"] == "date"
+        assert got == sorted(t.date() for t, _ in stamps)
+    else:
+        assert dict(df.dtypes)["v"].startswith("timestamp")
+        expect = sorted(
+            dt.datetime.combine(t.date(), dt.time()) if as_date else t
+            for t, as_date in stamps
+        )
+        assert got == expect
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.just(""),
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=0,
+                max_size=40,
+            ).map(lambda s: "v" + s),  # prefix keeps the column string-typed
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@example(vals=[None, "", "v"])
+@_spark_examples
+def test_csv_empty_string_reads_as_null(spark, vals):
+    """Pinned rule (the s12/s14 trap): with read_csv's options both a
+    bare empty field and a quoted "" come back NULL — empty string is NOT
+    distinguishable from NULL on the CSV ingest path. Anything non-empty
+    round-trips byte-for-byte (quotes and commas included)."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    for v in vals:
+        w.writerow(["" if v is None else v])
+    lines = buf.getvalue().splitlines()
+    df = _csv_roundtrip(spark, "v", lines)
+    got = [r.v for r in df.collect()]
+    expect = [None if not v else v for v in vals]
+    assert sorted(got, key=lambda x: (x is None, x or "")) == sorted(
+        expect, key=lambda x: (x is None, x or "")
+    )
