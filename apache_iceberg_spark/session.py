@@ -33,17 +33,59 @@ ENV_CPUS = "SPARK_GRAFT_CPUS"
 ICEBERG_CATALOG = "ice"
 
 
-def _iceberg_jar_available() -> bool:
-    """True if an iceberg-spark-runtime jar is visible to this Spark install."""
+def find_iceberg_jar() -> str | None:
+    """Locate an ``iceberg-spark-runtime`` jar anywhere Spark could load it.
+
+    Probed per session start (cheap directory listings), so dropping the
+    jar into any of these locations — or pointing
+    ``$SPARK_GRAFT_ICEBERG_JAR`` at it — flips the real Iceberg path on
+    with zero code change:
+
+    1. ``$SPARK_GRAFT_ICEBERG_JAR`` (explicit file override)
+    2. pyspark's bundled ``jars/`` directory
+    3. ``$SPARK_HOME/jars``
+    4. ``~/.ivy2/jars`` (``spark.jars.packages`` download cache)
+    5. ``~/.m2/repository/org/apache/iceberg/**`` (Maven local repo)
+    """
+    override = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if override and os.path.isfile(override):
+        return override
+    flat_dirs = []
     try:
         import pyspark
 
-        jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
-        return any(
-            f.startswith("iceberg-spark-runtime") for f in os.listdir(jars_dir)
+        flat_dirs.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except ImportError:  # pragma: no cover
+        pass
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        flat_dirs.append(os.path.join(spark_home, "jars"))
+    flat_dirs.append(os.path.expanduser("~/.ivy2/jars"))
+    for d in flat_dirs:
+        try:
+            names = sorted(os.listdir(d))
+        except OSError:
+            continue
+        for f in names:
+            if f.startswith("iceberg-spark-runtime") and f.endswith(".jar"):
+                return os.path.join(d, f)
+    import glob as _glob
+
+    m2 = sorted(
+        _glob.glob(
+            os.path.expanduser(
+                "~/.m2/repository/org/apache/iceberg/"
+                "iceberg-spark-runtime*/**/iceberg-spark-runtime*.jar"
+            ),
+            recursive=True,
         )
-    except OSError:
-        return False
+    )
+    return m2[0] if m2 else None
+
+
+def _iceberg_jar_available() -> bool:
+    """True if an iceberg-spark-runtime jar is visible to this Spark install."""
+    return find_iceberg_jar() is not None
 
 
 def iceberg_catalog_conf(
@@ -144,7 +186,8 @@ def get_spark(
     if warehouse is not None:
         builder = builder.config("spark.sql.warehouse.dir", warehouse)
 
-    if _iceberg_jar_available():
+    jar = find_iceberg_jar()
+    if jar is not None:
         # Iceberg native Spark integration (SURVEY.md §1.1): a hadoop-type
         # catalog for local dev, mirroring the reference's SQLite-for-dev
         # stance (blog-zero-cost-data-lakehouse-part-2.md:161). Production
@@ -154,6 +197,13 @@ def get_spark(
         ice_wh = warehouse or os.path.abspath("iceberg-warehouse")
         for k, v in iceberg_catalog_conf("hadoop", warehouse=ice_wh).items():
             builder = builder.config(k, v)
+        # A jar outside pyspark's bundled jars/ (ivy cache, maven repo,
+        # explicit override) isn't on the classpath by default.
+        import pyspark
+
+        bundled = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        if os.path.dirname(os.path.abspath(jar)) != bundled:
+            builder = builder.config("spark.jars", jar)
 
     if extra_conf:
         for k, v in extra_conf.items():

@@ -60,3 +60,44 @@ def test_remote_modes_require_uri(mode):
 def test_unknown_mode_rejected():
     with pytest.raises(ValueError, match="unknown mode"):
         iceberg_catalog_conf("glue", warehouse="/tmp/wh")
+
+
+# --- Jar discovery probe (VERDICT r2 item 6) -------------------------------
+
+
+def test_find_iceberg_jar_absent_here():
+    """The sandbox has no runtime jar anywhere — the probe must say so
+    (this is the guard that keeps the emulation path active)."""
+    from apache_iceberg_spark.session import (
+        _iceberg_jar_available,
+        find_iceberg_jar,
+    )
+
+    assert find_iceberg_jar() is None
+    assert _iceberg_jar_available() is False
+
+
+def test_find_iceberg_jar_env_override(tmp_path, monkeypatch):
+    """Pointing $SPARK_GRAFT_ICEBERG_JAR at a jar file flips discovery on
+    with zero code change; a dangling path is ignored."""
+    from apache_iceberg_spark.session import find_iceberg_jar
+
+    jar = tmp_path / "iceberg-spark-runtime-4.0_2.13-1.8.0.jar"
+    monkeypatch.setenv("SPARK_GRAFT_ICEBERG_JAR", str(jar))
+    assert find_iceberg_jar() is None  # dangling: not a file yet
+    jar.write_bytes(b"PK")
+    assert find_iceberg_jar() == str(jar)
+
+
+def test_find_iceberg_jar_spark_home(tmp_path, monkeypatch):
+    """A jar dropped into $SPARK_HOME/jars is discovered without the
+    override (the standard admin install path)."""
+    from apache_iceberg_spark.session import find_iceberg_jar
+
+    monkeypatch.delenv("SPARK_GRAFT_ICEBERG_JAR", raising=False)
+    jars = tmp_path / "jars"
+    jars.mkdir()
+    jar = jars / "iceberg-spark-runtime-4.0_2.13-1.8.0.jar"
+    jar.write_bytes(b"PK")
+    monkeypatch.setenv("SPARK_HOME", str(tmp_path))
+    assert find_iceberg_jar() == str(jar)
