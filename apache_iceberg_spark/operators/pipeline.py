@@ -22,6 +22,9 @@ arithmetic.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -363,6 +366,30 @@ def tx10_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("cnt"), F.asc("tok"))
 
 
+def _keep_min(df: DataFrame, key: F.Column) -> DataFrame:
+    """One dedup stage: keep the lowest doc_id per key value.
+
+    Aggregate-then-semi-join (not a window) so the keeper set reduces
+    map-side before its one shuffle, and AQE broadcasts it back against
+    the survivor frame when small."""
+    keepers = (
+        df.select(key.alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return df.join(keepers, "doc_id")
+
+
+#: Rolling 8-gram minimum (tx4's winnowing key) — the cheap near-dup
+#: fingerprint shared by dd8 and pp1.
+_FINGERPRINT_EXPR = (
+    "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
+    f"i -> {SPARK_HEX2INT.format(s='substr(text, i, 8)')}))"
+)
+
+
+
 @register(
     "dd8_dedup_cascade",
     oracle=f"""
@@ -411,25 +438,12 @@ def tx10_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd8_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
 
-    def keep_min(df: DataFrame, key: F.Column) -> DataFrame:
-        keepers = (
-            df.select(key.alias("k"), "doc_id")
-            .groupBy("k")
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
-        )
-        return df.join(keepers, "doc_id")
-
     # Each stage feeds BOTH its count and the next stage — persist the
     # survivor frames so the funnel is computed once per stage, not
     # re-derived from the scan for every downstream consumer.
-    s1 = keep_min(d, F.expr(_canon_sql(_URL_SQL, chr(92) * 2))).persist()
-    s2 = keep_min(s1, F.md5(F.lower(F.trim(F.col("text"))))).persist()
-    fingerprint = F.expr(
-        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
-        f"i -> {SPARK_HEX2INT.format(s='substr(text, i, 8)')}))"
-    )
-    s3 = keep_min(s2, fingerprint)
+    s1 = _keep_min(d, F.expr(_canon_sql(_URL_SQL, chr(92) * 2))).persist()
+    s2 = _keep_min(s1, F.md5(F.lower(F.trim(F.col("text"))))).persist()
+    s3 = _keep_min(s2, F.expr(_FINGERPRINT_EXPR))
     # The funnel output is four scalars: count each stage eagerly (this
     # materializes the persisted frames exactly once), then release the
     # caches before returning — a lazy union of aggregates would keep
@@ -611,3 +625,125 @@ def a16_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# pp1: the end-to-end curation funnel (VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+
+#: Keep-rate for the head language; tail languages are kept whole.
+PP_HEAD_LANG_RATE = 40
+
+
+@register(
+    "pp1_corpus_curation",
+    oracle=f"""
+        WITH q AS (
+            SELECT * FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+              AND length(text) BETWEEN 50 AND 10000
+        ),
+        canon AS (
+            SELECT doc_id, {{canon}} AS cu FROM q
+        ),
+        s1 AS (
+            SELECT q.* FROM q
+            JOIN (SELECT MIN(doc_id) AS keeper FROM canon GROUP BY cu) k
+              ON q.doc_id = k.keeper
+        ),
+        s2 AS (
+            SELECT s1.* FROM s1
+            JOIN (SELECT MIN(doc_id) AS keeper FROM s1
+                  GROUP BY md5(lower(trim(text)))) k
+              ON s1.doc_id = k.keeper
+        ),
+        s3 AS (
+            SELECT s2.* FROM s2
+            JOIN (SELECT MIN(doc_id) AS keeper FROM s2
+                  GROUP BY list_min([
+                      {DUCK_HEX2INT.format(s="substr(text, i, 8)")}
+                      for i in generate_series(1, greatest(length(text) - 7, 1))
+                  ])) k
+              ON s2.doc_id = k.keeper
+        ),
+        samp AS (
+            SELECT * FROM s3
+            WHERE {DUCK_HEX2INT.format(
+                s="concat('sample:', CAST(doc_id AS VARCHAR))")} % 100
+                  < CASE WHEN lang = 'en' THEN {PP_HEAD_LANG_RATE}
+                         ELSE 100 END
+        )
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN {DUCK_HEX2INT.format(
+                   s="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 80
+                         THEN 'train'
+                    WHEN {DUCK_HEX2INT.format(
+                        s="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM samp
+    """.replace("{canon}", _canon_sql(_URL_SQL_DUCK, chr(92))),
+    doc="Flagship end-to-end curation funnel — the reference's full "
+    "pipeline story (bot_iceberg_loader.py:371-477: source -> tables -> "
+    "queries -> export) recast at LLM-corpus scale: ingest -> data-"
+    "contract quality gates (a14's shape on documents: null/length "
+    "bounds, pushed to the scan) -> three-stage dedup cascade (dd8: URL "
+    "canonical, exact content, winnowing fingerprint) -> per-language "
+    "stratified downsampling (a12's deterministic key-hash, head "
+    "language 40%) -> leakage-safe train/val/test split (a13's salted "
+    "hash) -> single-file parquet export (s10), read back and returned. "
+    "The whole funnel is ONE lazy linear plan materialized exactly once "
+    "by the export writer: gates are scan-pushed filters, each dedup "
+    "stage is one shuffle over only the prior stage's survivors "
+    "(cheap-to-expensive ordering), sampling and splitting are map-only "
+    "expressions, and at 100 TB only the single-writer export step is "
+    "swapped for a partitioned df.write (io/export.py's documented "
+    "scale path).",
+    tags=("pipeline", "llm", "flagship"),
+)
+def pp1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.io.export import export_parquet
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    # Stage 1 — quality gates: contract filters reach the parquet scan.
+    q = d.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.length("text").between(50, 10000)
+    )
+    # Stage 2 — dedup cascade. Purely linear (unlike dd8, no per-stage
+    # counts are emitted), so no persists: one plan, three shuffles.
+    s1 = _keep_min(q, F.expr(_canon_sql(_URL_SQL, chr(92) * 2)))
+    s2 = _keep_min(s1, F.md5(F.lower(F.trim(F.col("text")))))
+    s3 = _keep_min(s2, F.expr(_FINGERPRINT_EXPR))
+    # Stage 3 — per-language stratified sampling (deterministic key-hash;
+    # 'sample:' salt keeps it independent of the split assignment below).
+    sample_bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('sample:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    samp = s3.filter(
+        sample_bucket
+        < F.when(F.col("lang") == "en", PP_HEAD_LANG_RATE).otherwise(100)
+    )
+    # Stage 4 — split assignment (a13's exact bucketing: leakage-safe,
+    # same document lands in the same split everywhere).
+    split_bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    final = samp.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    # Stage 5 — export: the funnel's single materialization, read back.
+    path = os.path.join(tempfile.mkdtemp(prefix="curation_"), "corpus.parquet")
+    export_parquet(final, path)
+    return spark.read.parquet(path)
