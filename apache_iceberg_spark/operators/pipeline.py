@@ -747,3 +747,182 @@ def pp1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="curation_"), "corpus.parquet")
     export_parquet(final, path)
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# dc1: benchmark decontamination; pp2: sequence packing (round 3)
+# ---------------------------------------------------------------------------
+
+#: Token n-gram width for contamination detection (13 is the GPT-3 paper
+#: convention; the synthetic fixture's short docs need 5 to be non-trivial).
+DECONTAM_N = 5
+
+_SPLIT_BUCKET_DUCK = (
+    DUCK_HEX2INT.format(s="concat('split:', CAST(doc_id AS VARCHAR))") + " % 100"
+)
+
+
+@register(
+    "dc1_decontamination",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_SPLIT_BUCKET_DUCK} < 80 THEN 'train'
+                        WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, split, {_DUCK_TOKS.replace("text", "s.text")} AS t
+            FROM s
+        ),
+        grams AS (
+            SELECT doc_id, split,
+                   unnest([array_to_string(t[i:i+{DECONTAM_N - 1}], ' ')
+                           for i in generate_series(
+                               1, greatest(len(t) - {DECONTAM_N - 1}, 0))]) AS g
+            FROM toks
+        )
+        SELECT a.doc_id,
+               COUNT(*) AS n_hits,
+               COUNT(DISTINCT a.g) AS n_grams,
+               COUNT(DISTINCT b.doc_id) AS n_test_docs
+        FROM grams a JOIN grams b USING (g)
+        WHERE a.split = 'train' AND b.split = 'test'
+        GROUP BY a.doc_id
+    """,
+    doc=f"Benchmark decontamination (the GPT-3/PaLM train-set hygiene "
+    f"step): flag training documents sharing any {DECONTAM_N}-token "
+    "n-gram with the held-out test split (a13's deterministic "
+    "assignment), reporting hit counts and the test documents touched. "
+    "Spark shape: token n-grams via transform/slice expression trees "
+    "(no Python), test-side grams deduplicated then joined — the test "
+    "side is benchmark-sized in practice (MBs against 100 TB of train), "
+    "so it broadcast-joins; at extreme scale swap in a bloom-filter "
+    "pre-pass over the same gram keys. One shuffle for the final "
+    "per-doc aggregate.",
+    tags=("dedup", "llm", "decontamination"),
+)
+def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    split_bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    base = d.select(
+        "doc_id",
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        toks.alias("t"),
+    ).filter(F.size("t") >= DECONTAM_N)
+    grams = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {DECONTAM_N - 1}), "
+                f"i -> concat_ws(' ', slice(t, i, {DECONTAM_N})))"
+            )
+        ).alias("g"),
+    )
+    train = grams.filter(F.col("split") == "train").select("doc_id", "g")
+    test = (
+        grams.filter(F.col("split") == "test")
+        .select(F.col("doc_id").alias("test_doc_id"), "g")
+    )
+    return (
+        train.join(F.broadcast(test), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("g").alias("n_grams"),
+            F.countDistinct("test_doc_id").alias("n_test_docs"),
+        )
+    )
+
+
+#: Token budget per packed training sequence.
+PACK_BUDGET = 512
+#: Documents per prefix-sum bucket: within-bucket running totals window in
+#: parallel; the bucket-level frame is n_docs/width rows (a second window
+#: level on one task covers ~10^9 docs at this width; recurse past that).
+PACK_BUCKET_WIDTH = 128
+
+
+@register(
+    "pp2_sequence_packing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_toks,
+                   SUM(n_toks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM t
+        )
+        SELECT doc_id, n_toks,
+               CAST((cum - n_toks) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+               CAST((cum - n_toks) % {PACK_BUDGET} AS BIGINT) AS seq_offset
+        FROM c
+    """,
+    doc=f"Training-sequence packing: concatenate the corpus in doc_id "
+    f"order and slice into {PACK_BUDGET}-token context windows — each "
+    "document's sequence id and offset derive from the exclusive running "
+    "token total (the concat-and-chunk packing every LLM pretraining "
+    "loader runs). The running total is a DISTRIBUTED prefix sum, not a "
+    "single ordered window: within-bucket windows (doc_id div "
+    f"{PACK_BUCKET_WIDTH}) run in parallel, bucket totals get their own "
+    "tiny cumulative window, and the exclusive bucket prefix broadcasts "
+    "back — two shuffles + a broadcast regardless of corpus size, where "
+    "the naive OVER (ORDER BY doc_id) serializes 100 TB through one "
+    "task. w2 keeps the naive shape for oracle parity of plain window "
+    "semantics; this is the scale-correct form.",
+    tags=("pipeline", "llm", "packing"),
+)
+def pp2_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    t = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        (F.col("doc_id") / PACK_BUCKET_WIDTH).cast("long").alias("bucket"),
+    )
+    within = F.sum("n_toks").over(
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = t.withColumn("within_cum", within)
+    btot = t.groupBy("bucket").agg(F.sum("n_toks").alias("btot"))
+    bprefix = btot.select(
+        "bucket",
+        (
+            F.coalesce(
+                F.sum("btot").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("bprefix"),
+    )
+    start = F.col("within_cum") + F.col("bprefix") - F.col("n_toks")
+    return (
+        per_doc.join(F.broadcast(bprefix), "bucket")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.floor(start / PACK_BUDGET).cast("long").alias("seq_id"),
+            (start % PACK_BUDGET).cast("long").alias("seq_offset"),
+        )
+    )
