@@ -757,6 +757,65 @@ def pp1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: convention; the synthetic fixture's short docs need 5 to be non-trivial).
 DECONTAM_N = 5
 
+#: Bloom pre-pass sizing: 2^18 bits packed into 64-bit words, 3 probes per
+#: key. The filter is CONSTANT-size by construction (32 KiB) — saturation at
+#: extreme key cardinality degrades gracefully to pass-everything (the join
+#: still verifies), never to failure; size m to the test-side cardinality at
+#: deploy (1.44 * n * log2(1/fpp) bits).
+BLOOM_WORDS = 4096
+BLOOM_BITS = BLOOM_WORDS * 64
+BLOOM_K = 3
+
+
+def bloom_prefilter(big: DataFrame, small: DataFrame, key: str) -> DataFrame:
+    """Drop rows of ``big`` whose ``key`` cannot possibly join ``small``.
+
+    A Spark-first distributed bloom filter (Catalyst's automatic
+    InjectRuntimeFilter cannot build one here: its creation-side pattern
+    only descends Project/Filter, and n-gram sides contain a Generate):
+
+    1. build — each ``small`` key sets ``BLOOM_K`` bits; bit positions
+       become (word, mask) pairs that ``bit_or``-aggregate into at most
+       ``BLOOM_WORDS`` rows (map-side combined), then fold into ONE row
+       holding a word->bits map;
+    2. probe — that single constant-size row broadcasts (32 KiB whatever
+       the corpus size — the opposite of broadcasting ``small`` itself),
+       and ``big`` keeps only rows whose probe bits are all set, as a
+       map-only expression filter ahead of any shuffle.
+
+    False positives survive to the real join (which verifies); false
+    negatives cannot occur. Everything is JVM expressions — no UDF.
+    """
+
+    def pos(seed: int) -> str:
+        return f"pmod(xxhash64({key}, {seed}), {BLOOM_BITS})"
+
+    entries = ", ".join(
+        f"struct(CAST({pos(s)} DIV 64 AS INT) AS w, "
+        f"shiftleft(1L, CAST({pos(s)} % 64 AS INT)) AS m)"
+        for s in range(BLOOM_K)
+    )
+    bloom = (
+        small.select(F.explode(F.expr(f"array({entries})")).alias("e"))
+        .groupBy(F.col("e.w").alias("w"))
+        .agg(F.bit_or(F.col("e.m")).alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("__bloom")
+        )
+    )
+    hit = " AND ".join(
+        f"(shiftright(element_at(__bloom, CAST({pos(s)} DIV 64 AS INT)), "
+        f"CAST({pos(s)} % 64 AS INT)) & 1L) = 1L"
+        for s in range(BLOOM_K)
+    )
+    return (
+        big.join(F.broadcast(bloom))  # one constant-size row
+        .filter(F.expr(hit))
+        .drop("__bloom")
+    )
+
 _SPLIT_BUCKET_DUCK = (
     DUCK_HEX2INT.format(s="concat('split:', CAST(doc_id AS VARCHAR))") + " % 100"
 )
@@ -796,11 +855,18 @@ _SPLIT_BUCKET_DUCK = (
     "n-gram with the held-out test split (a13's deterministic "
     "assignment), reporting hit counts and the test documents touched. "
     "Spark shape: token n-grams via transform/slice expression trees "
-    "(no Python), test-side grams deduplicated then joined — the test "
-    "side is benchmark-sized in practice (MBs against 100 TB of train), "
-    "so it broadcast-joins; at extreme scale swap in a bloom-filter "
-    "pre-pass over the same gram keys. One shuffle for the final "
-    "per-doc aggregate.",
+    "(no Python); a constant-size bloom filter built from the test-side "
+    "gram keys (bloom_prefilter: bit_or-aggregated words, one 32 KiB "
+    "broadcast row) drops non-contaminating train grams map-side BEFORE "
+    "any shuffle, and the surviving-gram join carries NO hint — the "
+    "test side's size is unknowable statically (an external benchmark "
+    "suite is MBs; a split derived from the corpus itself, as here, "
+    "grows with it), so the strategy is AQE's call at runtime. The "
+    "round-3 form force-broadcast the split-derived test grams — 10 % "
+    "of the corpus into every executor, an OOM at 100 TB; the bloom "
+    "row's size is fixed by construction instead. One shuffle for the "
+    "final per-doc aggregate. Plan locked by "
+    "tests/test_plans.py::test_dc1_*.",
     tags=("dedup", "llm", "decontamination"),
 )
 def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,7 +900,8 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("test_doc_id"), "g")
     )
     return (
-        train.join(F.broadcast(test), "g")
+        bloom_prefilter(train, test.select("g"), "g")
+        .join(test, "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_hits"),

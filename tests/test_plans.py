@@ -235,6 +235,38 @@ def test_dd6_iteration_frames_scale_with_graph(spark):
     assert iteration_partitions(100_000_000, 256) == 50
 
 
+def test_dc1_no_forced_broadcast_of_split_side(spark):
+    """dc1's test side is split-derived — it grows linearly with the
+    corpus, so a forced F.broadcast would OOM every executor at 100 TB.
+    With broadcast disabled and AQE off, a surviving hint would still
+    plan a BroadcastHashJoin; assert the join strategy is runtime's
+    call (sort-merge under these settings), i.e. no hint exists."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "dc1_decontamination")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_dc1_bloom_prefilter_ahead_of_gram_shuffle(spark):
+    """The 100 TB shape for dc1: a constant-size bloom filter built from
+    the test-side gram keys (bit_or-aggregated words, one broadcast row)
+    prunes train grams map-side BEFORE the gram shuffle. Catalyst's
+    InjectRuntimeFilter can't build this one itself (the creation side
+    contains a Generate), so bloom_prefilter composes it from
+    expressions — assert the build aggregate, the broadcast of the
+    single bloom row, and the probe filter all appear."""
+    plan = plan_of(spark, "dc1_decontamination")
+    assert "bit_or" in plan, plan[:3000]          # bloom build aggregate
+    assert "xxhash64" in plan, plan[:3000]        # probe hashes
+    assert "map_from_entries" in plan, plan[:3000]  # one-row bloom fold
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]  # 1-row bloom side
+
+
 def test_runtime_bloom_filter_semi_join_reduction(spark):
     """The 100 TB fact⋈filtered-dim lever beyond broadcast: with runtime
     bloom filters enabled, Spark injects a might_contain() predicate on
