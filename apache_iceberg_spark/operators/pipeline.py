@@ -911,6 +911,174 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gram width for the in-funnel decontamination stage. Production corpora
+#: use 13 (dc1's doc); the fixture's curated corpus is tiny post-dedup, so
+#: 3 keeps the stage non-trivial (it actually drops documents) at test SF.
+PP3_DECONTAM_N = 3
+
+_PP3_GRAMS_DUCK = f"""
+        toks AS (
+            SELECT doc_id, split,
+                   string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}') AS t
+            FROM final
+        ),
+        grams AS (
+            SELECT doc_id, split,
+                   unnest([array_to_string(t[i:i+{PP3_DECONTAM_N - 1}], ' ')
+                           for i in generate_series(
+                               1, greatest(len(t) - {PP3_DECONTAM_N - 1}, 0))]) AS g
+            FROM toks
+        ),
+        contam AS (
+            SELECT DISTINCT a.doc_id
+            FROM grams a JOIN grams b USING (g)
+            WHERE a.split = 'train' AND b.split = 'test'
+        )
+"""
+
+
+@register(
+    "pp3_curation_decontaminated",
+    oracle=f"""
+        WITH q AS (
+            SELECT * FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+              AND length(text) BETWEEN 50 AND 10000
+        ),
+        canon AS (
+            SELECT doc_id, {{canon}} AS cu FROM q
+        ),
+        s1 AS (
+            SELECT q.* FROM q
+            JOIN (SELECT MIN(doc_id) AS keeper FROM canon GROUP BY cu) k
+              ON q.doc_id = k.keeper
+        ),
+        s2 AS (
+            SELECT s1.* FROM s1
+            JOIN (SELECT MIN(doc_id) AS keeper FROM s1
+                  GROUP BY md5(lower(trim(text)))) k
+              ON s1.doc_id = k.keeper
+        ),
+        s3 AS (
+            SELECT s2.* FROM s2
+            JOIN (SELECT MIN(doc_id) AS keeper FROM s2
+                  GROUP BY list_min([
+                      {DUCK_HEX2INT.format(s="substr(text, i, 8)")}
+                      for i in generate_series(1, greatest(length(text) - 7, 1))
+                  ])) k
+              ON s2.doc_id = k.keeper
+        ),
+        samp AS (
+            SELECT * FROM s3
+            WHERE {DUCK_HEX2INT.format(
+                s="concat('sample:', CAST(doc_id AS VARCHAR))")} % 100
+                  < CASE WHEN lang = 'en' THEN {PP_HEAD_LANG_RATE}
+                         ELSE 100 END
+        ),
+        final AS (
+            SELECT doc_id, lang, source, text,
+                   CASE WHEN {DUCK_HEX2INT.format(
+                       s="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 80
+                             THEN 'train'
+                        WHEN {DUCK_HEX2INT.format(
+                            s="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM samp
+        ),
+        {_PP3_GRAMS_DUCK.strip()}
+        SELECT f.doc_id, f.lang, f.source,
+               CAST(length(f.text) AS BIGINT) AS n_chars, f.split
+        FROM final f
+        WHERE NOT (f.split = 'train'
+                   AND f.doc_id IN (SELECT doc_id FROM contam))
+    """.replace("{canon}", _canon_sql(_URL_SQL_DUCK, chr(92))),
+    doc="pp1's flagship funnel extended with the train-set hygiene stage "
+    "it was missing: quality gates -> three-stage dedup cascade -> "
+    "stratified sampling -> split assignment -> DECONTAMINATION — train "
+    f"documents sharing any {PP3_DECONTAM_N}-token n-gram with the "
+    "held-out test split are dropped (dc1's mechanism composed in; "
+    "val/test rows pass through). The curated frame is materialized "
+    "exactly once (pp1's export checkpoint, the corpus artifact a real "
+    "pipeline persists anyway); the decontamination pass then reads it "
+    "back three ways — test grams, train grams, final projection — "
+    "against the materialized parquet, never re-running the funnel. "
+    "Train grams are bloom-prefiltered (constant-size broadcast) before "
+    "the semi-join on test grams; the contaminated-id set is tiny by "
+    "construction and anti-joins back under AQE. No hints, no Python.",
+    tags=("pipeline", "llm", "flagship", "decontamination"),
+)
+def pp3_curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.io.export import export_parquet
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    q = d.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.length("text").between(50, 10000)
+    )
+    s1 = _keep_min(q, F.expr(_canon_sql(_URL_SQL, chr(92) * 2)))
+    s2 = _keep_min(s1, F.md5(F.lower(F.trim(F.col("text")))))
+    s3 = _keep_min(s2, F.expr(_FINGERPRINT_EXPR))
+    sample_bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('sample:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    samp = s3.filter(
+        sample_bucket
+        < F.when(F.col("lang") == "en", PP_HEAD_LANG_RATE).otherwise(100)
+    )
+    split_bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    curated = samp.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    # One materialization for the whole funnel (pp1's checkpoint); the
+    # three decontamination consumers below re-scan parquet, not the plan.
+    path = os.path.join(tempfile.mkdtemp(prefix="curation_"), "curated.parquet")
+    export_parquet(curated, path)
+    cur = spark.read.parquet(path)
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    base = cur.select("doc_id", "split", toks.alias("t")).filter(
+        F.size("t") >= PP3_DECONTAM_N
+    )
+    grams = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {PP3_DECONTAM_N - 1}), "
+                f"i -> concat_ws(' ', slice(t, i, {PP3_DECONTAM_N})))"
+            )
+        ).alias("g"),
+    )
+    test_g = grams.filter(F.col("split") == "test").select("g").distinct()
+    train_g = grams.filter(F.col("split") == "train").select("doc_id", "g")
+    contam = (
+        bloom_prefilter(train_g, test_g, "g")
+        .join(test_g, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return cur.join(contam, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        "split",
+    )
+
+
 #: Token budget per packed training sequence.
 PACK_BUDGET = 512
 #: Documents per prefix-sum bucket: within-bucket running totals window in
