@@ -120,9 +120,12 @@ def _duck_minhash(seed: int) -> str:
     return f"list_min([({a} * h + {b}) % {MINHASH_P} for h in hs])"
 
 
-def _dd2_oracle() -> str:
-    """DuckDB mirror of the MinHash-LSH pipeline, generated from the same
-    (N_HASHES, N_BANDS, SHINGLE_WORDS) parameters as the Spark plan."""
+def minhash_lsh_ctes(rel: str = "documents") -> str:
+    """DuckDB CTE chain mirroring ``minhash_lsh_pairs`` over relation
+    ``rel`` (needs doc_id + text); terminal CTE is ``verified`` with
+    (doc_id_a, doc_id_b, jaccard). Generated from the same (N_HASHES,
+    N_BANDS, SHINGLE_WORDS) parameters as the Spark plan, so composed
+    oracles (dd2, pp4) cannot drift from it."""
     mh_cols = ",\n               ".join(
         f"{_duck_minhash(s)} AS mh{s}" for s in range(N_HASHES)
     )
@@ -138,9 +141,8 @@ def _dd2_oracle() -> str:
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
         )
     bands_sql = "\n            UNION ALL ".join(band_branches)
-    return f"""
-        WITH toks AS (
-            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    return f"""toks AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM {rel}
         ),
         sh AS (
             SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
@@ -169,7 +171,12 @@ def _dd2_oracle() -> str:
             FROM cand
             JOIN sh sa ON sa.doc_id = cand.doc_id_a
             JOIN sh sb ON sb.doc_id = cand.doc_id_b
-        )
+        )"""
+
+
+def _dd2_oracle() -> str:
+    return f"""
+        WITH {minhash_lsh_ctes("documents")}
         SELECT doc_id_a, doc_id_b, jaccard
         FROM verified
         WHERE jaccard >= {JACCARD_THRESHOLD}
@@ -190,6 +197,13 @@ def _dd2_oracle() -> str:
 )
 def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d)
+
+
+def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
+    """Verified near-duplicate pairs (doc_id_a < doc_id_b, jaccard >=
+    threshold) over any frame with (doc_id, text) — dd2's full pipeline,
+    reusable as a cascade stage (pp4). DuckDB twin: minhash_lsh_ctes."""
     # One persist: the band self-join and the verify step read the shingle
     # sets three times; tokens are computed inline (see _SPARK_SHINGLES
     # note — caching the intermediate token arrays costs more than

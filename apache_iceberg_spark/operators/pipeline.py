@@ -911,6 +911,69 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pp4_oracle() -> str:
+    from apache_iceberg_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_lsh_ctes,
+    )
+
+    return f"""
+        WITH canon AS (
+            SELECT doc_id, {_canon_sql(_URL_SQL_DUCK, chr(92))} AS cu
+            FROM documents
+        ),
+        s1 AS (
+            SELECT d.* FROM documents d
+            JOIN (SELECT MIN(doc_id) AS keeper FROM canon GROUP BY cu) k
+              ON d.doc_id = k.keeper
+        ),
+        s2 AS (
+            SELECT s1.* FROM s1
+            JOIN (SELECT MIN(doc_id) AS keeper FROM s1
+                  GROUP BY md5(lower(trim(text)))) k
+              ON s1.doc_id = k.keeper
+        ),
+        {minhash_lsh_ctes("s2")}
+        SELECT s2.doc_id, s2.lang,
+               CAST(length(s2.text) AS BIGINT) AS n_chars
+        FROM s2
+        WHERE s2.doc_id NOT IN (
+            SELECT doc_id_b FROM verified
+            WHERE jaccard >= {JACCARD_THRESHOLD}
+        )
+    """
+
+
+@register(
+    "pp4_cascade_fuzzy",
+    oracle=_pp4_oracle(),
+    doc="The dedup cascade with a TRUE fuzzy final stage — the "
+    "C4/RefinedWeb funnel shape: URL-canonical dedup, exact-content "
+    "dedup, then dd2's MinHash-LSH machinery (minhash_lsh_pairs: banded "
+    "signatures, in-bucket pair generation, exact-Jaccard verify) over "
+    "the survivors, dropping any document with a verified near-duplicate "
+    "of lower doc_id (deterministic keep-lowest; full duplicate CLUSTERS "
+    "are dd6's connected components). dd8/pp1's winnowing-fingerprint "
+    "stage is the cheap exact-on-fingerprint PROXY for this; pp4 runs "
+    "the real thing. At 100 TB, compose both: fingerprint first as a "
+    "prefilter, LSH on its survivors — each stage shuffles only what "
+    "the prior stage kept, and the LSH pair space is O(candidates) via "
+    "bucketing, never all-pairs.",
+    tags=("pipeline", "llm", "dedup", "cascade"),
+)
+def pp4_cascade_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    s1 = _keep_min(d, F.expr(_canon_sql(_URL_SQL, chr(92) * 2)))
+    s2 = _keep_min(s1, F.md5(F.lower(F.trim(F.col("text")))))
+    pairs = minhash_lsh_pairs(s2)
+    dupes = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    return s2.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    )
+
+
 #: Gram width for the in-funnel decontamination stage. Production corpora
 #: use 13 (dc1's doc); the fixture's curated corpus is tiny post-dedup, so
 #: 3 keeps the stage non-trivial (it actually drops documents) at test SF.
