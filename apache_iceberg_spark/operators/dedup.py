@@ -645,6 +645,19 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b")
     )
+    return min_label_components(spark, pairs)
+
+
+def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair graph — Pregel-style
+    min-label propagation, reusable for any near-dup edge set (dd6's
+    shingle-Jaccard pairs, mm6's Hamming-ball pairs).
+
+    ``pairs`` needs (doc_id_a, doc_id_b); returns (doc_id, cluster_id)
+    for every node with at least one edge, cluster_id = component-minimum
+    doc_id. O(diameter) rounds, each one join + min-aggregate over
+    iteration frames whose partitioning derives from the MEASURED graph
+    size (iteration_partitions)."""
     # Both edge directions come from ONE explode over the pairs lineage —
     # a union of two selects would execute the expensive pair-generation
     # dataflow twice.

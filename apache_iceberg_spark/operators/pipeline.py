@@ -272,6 +272,20 @@ def a13_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DHASH_BITS = 32
 
+# project the resample vector ONCE: lambda bodies are not common-
+# subexpression-eliminated, so inlining it inside the per-bit comparison
+# would rebuild the 33-element array ~64x per row (shared by mm5/mm6)
+_DHASH_V_EXPR = (
+    f"transform(sequence(0, {DHASH_BITS}), "
+    f"k -> ascii(substr(text, "
+    f"1 + cast(floor(k * length(text) / {DHASH_BITS + 1}) as int), 1)))"
+)
+_DHASH_EXPR = (
+    f"aggregate(transform(sequence(0, {DHASH_BITS - 1}), "
+    f"k -> IF(element_at(__v, k + 1) > element_at(__v, k + 2), "
+    f"shiftleft(1L, k), 0L)), 0L, (acc, x) -> acc + x)"
+)
+
 
 @register(
     "mm5_dhash",
@@ -303,26 +317,136 @@ DHASH_BITS = 32
 )
 def mm5_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # project the resample vector ONCE: lambda bodies are not common-
-    # subexpression-eliminated, so inlining it inside the per-bit
-    # comparison would rebuild the 33-element array ~64x per row
-    v = F.expr(
-        f"transform(sequence(0, {DHASH_BITS}), "
-        f"k -> ascii(substr(text, "
-        f"1 + cast(floor(k * length(text) / {DHASH_BITS + 1}) as int), 1)))"
-    )
-    dhash = F.expr(
-        f"aggregate(transform(sequence(0, {DHASH_BITS - 1}), "
-        f"k -> IF(element_at(__v, k + 1) > element_at(__v, k + 2), "
-        f"shiftleft(1L, k), 0L)), 0L, (acc, x) -> acc + x)"
-    )
     return (
         d.filter(F.length("text") >= DHASH_BITS + 1)
         .select(
-            "doc_id", F.length("text").alias("src_len"), v.alias("__v")
+            "doc_id",
+            F.length("text").alias("src_len"),
+            F.expr(_DHASH_V_EXPR).alias("__v"),
         )
-        .select("doc_id", "src_len", dhash.alias("dhash"))
+        .select("doc_id", "src_len", F.expr(_DHASH_EXPR).alias("dhash"))
     )
+
+
+#: mm6 banding: the dhash splits into MM6_BANDS bit-segments; two hashes
+#: within Hamming distance MM6_HAMMING_MAX must agree on at least one
+#: segment whenever MM6_HAMMING_MAX < MM6_BANDS (pigeonhole), so the
+#: banded self-join finds EXACTLY the Hamming-ball pair set — the oracle
+#: can therefore state the simple all-pairs predicate while the plan
+#: stays banded.
+MM6_BANDS = 8
+MM6_BAND_BITS = DHASH_BITS // MM6_BANDS
+MM6_HAMMING_MAX = 6
+
+
+@register(
+    "mm6_image_neardup_clusters",
+    oracle=f"""
+        WITH RECURSIVE r AS (
+            SELECT doc_id,
+                   [ascii(substr(text,
+                        1 + CAST(floor(k * length(text) / {DHASH_BITS + 1}) AS INT), 1))
+                    for k in generate_series(0, {DHASH_BITS})] AS v
+            FROM documents
+            WHERE length(text) >= {DHASH_BITS + 1}
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(COALESCE(list_sum([
+                       CASE WHEN v[k + 1] > v[k + 2]
+                            THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                       for k in generate_series(0, {DHASH_BITS - 1})]), 0)
+                       AS BIGINT) AS dhash
+            FROM r
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= {MM6_HAMMING_MAX}
+        ),
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+        ),
+        walk(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+        )
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY node
+    """,
+    doc=f"Image near-duplicate CLUSTERS over the perceptual hash: mm5's "
+    f"dHash -> {MM6_BANDS} bit-band buckets ({MM6_BAND_BITS} bits each, "
+    "the dd2 LSH pattern applied to Hamming space) -> in-bucket ordered "
+    "pair generation -> exact verify bit_count(xor) <= "
+    f"{MM6_HAMMING_MAX} -> connected components (dd6's min-label "
+    "propagation, reused). Pigeonhole makes the banding LOSSLESS at "
+    "this threshold, so the oracle states the plain all-pairs predicate "
+    "while the Spark plan never goes all-pairs. A production image "
+    "corpus runs the identical plan on a 64-bit pHash with 16-bit "
+    "segments (multi-index pigeonhole, 65k-value buckets); hot buckets "
+    "get dd2's salt/cap treatment.",
+    tags=("multimodal", "llm", "dedup", "iterative"),
+)
+def mm6_image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.dedup import min_label_components
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    return min_label_components(spark, mm6_hamming_pairs(d))
+
+
+def mm6_hamming_pairs(d: DataFrame) -> DataFrame:
+    """Hamming-ball near-dup pairs over the dHash, via banded self-join —
+    exposed separately so tests can assert the candidate plan is banded
+    (one shuffle into buckets + in-bucket explode), never all-pairs."""
+    h = (
+        d.filter(F.length("text") >= DHASH_BITS + 1)
+        .select("doc_id", F.expr(_DHASH_V_EXPR).alias("__v"))
+        .select("doc_id", F.expr(_DHASH_EXPR).alias("dhash"))
+    )
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, "
+        f"shiftright(dhash, {MM6_BAND_BITS * b}) & {2 ** MM6_BAND_BITS - 1} "
+        f"AS band_key)"
+        for b in range(MM6_BANDS)
+    )
+    bands = h.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.expr(f"array({band_structs})")).alias("b"),
+    ).select("doc_id", "dhash", "b.band_id", "b.band_key")
+    # One shuffle into Hamming-band buckets; ordered pairs generated
+    # in-bucket by expression (dd2's trick), carrying both hashes so the
+    # verify needs no join back.
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "dhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "b -> struct(a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+                    "a.dhash AS dhash_a, b.dhash AS dhash_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_id_a", "p.doc_id_b", "p.dhash_a", "p.dhash_b")
+        .distinct()
+    )
+    return cand.filter(
+        F.bit_count(F.col("dhash_a").bitwiseXOR(F.col("dhash_b")))
+        <= MM6_HAMMING_MAX
+    ).select("doc_id_a", "doc_id_b")
 
 
 VOCAB_TOP_K = 100

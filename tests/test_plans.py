@@ -267,6 +267,27 @@ def test_dc1_bloom_prefilter_ahead_of_gram_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan[:3000]  # 1-row bloom side
 
 
+def test_mm6_pair_generation_is_banded_never_all_pairs(spark):
+    """mm6's Hamming candidates must come from bit-band buckets (one
+    shuffle into (band_id, band_key) + in-bucket pair explode), not an
+    all-pairs product: no cartesian/nested-loop join anywhere, and the
+    only wide operation ahead of the verify filter is the bucket
+    aggregate."""
+    from apache_iceberg_spark.operators.pipeline import mm6_hamming_pairs
+    from apache_iceberg_spark.tables import load_table
+
+    df = mm6_hamming_pairs(load_table(spark, SF_DIR, "documents"))
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "Generate" in plan, plan  # band + in-bucket pair explodes
+    assert "HashAggregate" in plan, plan  # the bucket collect_list
+
+
 def test_runtime_bloom_filter_semi_join_reduction(spark):
     """The 100 TB fact⋈filtered-dim lever beyond broadcast: with runtime
     bloom filters enabled, Spark injects a might_contain() predicate on
