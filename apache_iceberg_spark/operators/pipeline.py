@@ -1309,6 +1309,18 @@ PACK_BUCKET_WIDTH = 128
     tags=("pipeline", "llm", "packing"),
 )
 def pp2_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _pp2_start_frame(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        "n_toks",
+        F.floor(F.col("start") / PACK_BUDGET).cast("long").alias("seq_id"),
+        (F.col("start") % PACK_BUDGET).cast("long").alias("seq_offset"),
+    )
+
+
+def _pp2_start_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_toks, start): each document's exclusive global token
+    offset, via pp2's distributed two-level prefix sum."""
     from pyspark.sql import Window
 
     d = load_table_parallel(spark, sf_dir, "documents")
@@ -1338,13 +1350,80 @@ def pp2_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bprefix"),
     )
-    start = F.col("within_cum") + F.col("bprefix") - F.col("n_toks")
-    return (
-        per_doc.join(F.broadcast(bprefix), "bucket")
-        .select(
-            "doc_id",
-            "n_toks",
-            F.floor(start / PACK_BUDGET).cast("long").alias("seq_id"),
-            (start % PACK_BUDGET).cast("long").alias("seq_offset"),
+    return per_doc.join(F.broadcast(bprefix), "bucket").select(
+        "doc_id",
+        "n_toks",
+        (F.col("within_cum") + F.col("bprefix") - F.col("n_toks")).alias(
+            "start"
+        ),
+    )
+
+
+@register(
+    "pp2b_packed_doc_spans",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_toks,
+                   CAST(SUM(n_toks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_toks AS BIGINT) AS st
+            FROM t
+        ),
+        spans AS (
+            SELECT doc_id, n_toks, st,
+                   unnest(generate_series(st // {PACK_BUDGET},
+                                          (st + n_toks - 1) // {PACK_BUDGET}))
+                       AS seq_id
+            FROM c
         )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(seq_id * {PACK_BUDGET}, st) - st
+                    AS BIGINT) AS slice_start,
+               CAST(least((seq_id + 1) * {PACK_BUDGET}, st + n_toks)
+                    - greatest(seq_id * {PACK_BUDGET}, st)
+                    AS BIGINT) AS slice_len,
+               CAST(greatest(seq_id * {PACK_BUDGET}, st)
+                    - seq_id * {PACK_BUDGET} AS BIGINT) AS seq_offset
+        FROM spans
+    """,
+    doc="pp2 v2 — the loader-consumable form of sequence packing: each "
+    "(sequence, document) overlap becomes a row (seq_id, doc_id, "
+    "slice_start, slice_len, seq_offset), so a training loader GROUP BY "
+    "seq_id gets exactly the token slices (joinable with tx9's chunks "
+    "on doc_id) that concatenate into each fixed-width context window — "
+    "including documents that CROSS sequence boundaries, which emit one "
+    "row per touched sequence via an explode over their global token "
+    "interval. The span explode is a map-only Generate on top of pp2's "
+    "distributed prefix sum, so the whole operator keeps pp2's scale "
+    "shape: two shuffles + one broadcast regardless of corpus size, and "
+    "output rows ~ n_docs + total_tokens/budget.",
+    tags=("pipeline", "llm", "packing"),
+)
+def pp2b_packed_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _pp2_start_frame(spark, sf_dir)
+    spans = s.select(
+        "doc_id",
+        "n_toks",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / PACK_BUDGET),
+                F.floor((F.col("start") + F.col("n_toks") - 1) / PACK_BUDGET),
+            )
+        ).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * PACK_BUDGET
+    clip_lo = F.greatest(seq_lo, F.col("start"))
+    clip_hi = F.least(seq_lo + PACK_BUDGET, F.col("start") + F.col("n_toks"))
+    return spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (clip_lo - F.col("start")).cast("long").alias("slice_start"),
+        (clip_hi - clip_lo).cast("long").alias("slice_len"),
+        (clip_lo - seq_lo).cast("long").alias("seq_offset"),
     )
