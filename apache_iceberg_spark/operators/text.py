@@ -362,3 +362,81 @@ def tx7_term_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_masked"
         ),
     )
+
+
+# PII class patterns — the Java/RE2-compatible subset so both engines
+# compute identical masks. Phone anchors on a leading '+' and allows only
+# digits/dashes inside, so the three classes are mutually disjoint (an IP
+# can't be counted as a phone) and redaction order cannot matter.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d-]{7,}\d"
+
+# The fixture corpus carries no PII, so a deterministic contact block is
+# synthesized from existing columns (dd7's URL-synthesis precedent) and
+# the *redaction* below is the operator under test. Built with identical
+# expressions on both engines.
+_PII_SRC_SPARK = (
+    "concat(text, ' contact ', source, lang, CAST(doc_id % 97 AS STRING), "
+    "'@', source, '.example.com phone +1-555-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), '-', "
+    "lpad(CAST(doc_id % 997 AS STRING), 3, '0'), "
+    "' ip 10.', CAST(doc_id % 256 AS STRING), '.', "
+    "CAST((doc_id * 7) % 256 AS STRING), '.', "
+    "CAST((doc_id * 13) % 256 AS STRING))"
+)
+_PII_SRC_DUCK = _PII_SRC_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+@register(
+    "tx11_pii_redaction",
+    oracle=f"""
+        WITH src AS (
+            SELECT doc_id, {_PII_SRC_DUCK} AS raw FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(raw, '{PII_IP_RE}')) AS n_ips,
+               len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                   '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_IP_RE}', '<IP>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM src
+    """,
+    doc="PII redaction — standard pretraining hygiene: mask emails, IPv4 "
+    "addresses and phone numbers with typed placeholders and report "
+    "per-class hit counts. Pure regexp_replace / regexp_extract_all "
+    "expression chains (map-only, whole-stage codegen, no Python); the "
+    "class patterns are mutually disjoint by construction so the "
+    "replace order is immaterial and counts are exact. The corpus "
+    "carries no PII, so a deterministic contact block is synthesized "
+    "from fixture columns first (see module source) — with real data "
+    "the synthesis drops out and the pattern set swaps in unchanged.",
+    tags=("text", "llm", "privacy"),
+)
+def tx11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_PII_SRC_SPARK).alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return raw.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("raw"), F.lit(PII_EMAIL_RE), 0)
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(PII_IP_RE), 0)).alias(
+            "n_ips"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("raw"), F.lit(PII_PHONE_RE), 0)
+        ).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
