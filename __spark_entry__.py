@@ -54,7 +54,17 @@ def _coverage_order(d: dict) -> dict:
     rows. Harmless if the driver ignores dict order.
     """
     green, red = _prior_rounds()
-    fresh = [k for k in d if k not in green]
+    # Queries whose IMPLEMENTATION changed this round (round 4): their old
+    # green rows prove the old code, so they re-enter the checked set
+    # right behind never-checked queries.
+    recheck = {
+        "dc1_decontamination",   # bloom pre-pass replaced forced broadcast
+        "dd2_minhash_lsh",       # body extracted into minhash_lsh_pairs
+        "dd6_dup_clusters",      # CC loop extracted into min_label_components
+        "pp2_sequence_packing",  # prefix sum factored into _pp2_start_frame
+        "mm5_dhash",             # dhash expressions hoisted to module scope
+    }
+    fresh = [k for k in d if k not in green or k in recheck]
     # Previously-red rows lead (their fixes must land in the checked set);
     # then families no round has ever sampled (streaming, merge/scale,
     # sources, timeseries, ANN, TPC-H) ahead of basic shapes that
@@ -68,11 +78,13 @@ def _coverage_order(d: dict) -> dict:
     def rank(name: str) -> tuple[int, int]:
         if name in red:
             return (0, positions[name])
+        if name in green:  # recheck rows: behind all never-checked ones
+            return (12, positions[name])
         prefix = name.split("_", 1)[0].rstrip("0123456789")
         return (family_rank.get(prefix, 6), positions[name])
 
     fresh.sort(key=rank)
-    ordered = fresh + [k for k in d if k in green]
+    ordered = fresh + [k for k in d if k in green and k not in recheck]
     return {k: d[k] for k in ordered}
 
 

@@ -174,8 +174,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- Scan sizing: keep splits bounded so tasks stay memory-safe ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Testdata `events.parquet` carries TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp type, so read as long and convert (tables.py).
+        # Some testdata generations store `events.ts` as TIMESTAMP(NANOS);
+        # Spark has no nanos timestamp type, so read as long and convert
+        # (tables.py, which also normalizes the MICROS-NTZ generation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- Quieter, deterministic behavior ------------------------------
         .config("spark.sql.session.timeZone", "UTC")

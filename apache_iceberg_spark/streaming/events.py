@@ -43,8 +43,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, NTZ) fixture: exact cast under the UTC session
+        # zone (withWatermark requires TIMESTAMP, not NTZ)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -33,10 +33,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one parquet table (column pruning + predicate pushdown
     flow to the parquet reader automatically — SURVEY.md §4).
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has no
-    native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it reads
-    as nano-epoch longs and is converted here by exact integer division —
-    the same truncation DuckDB applies reading nanos into its µs timestamps.
+    `events.ts` normalizes to session-timezone TIMESTAMP whatever the
+    driver generated: TIMESTAMP(NANOS) fixtures read as nano-epoch longs
+    (via ``spark.sql.legacy.parquet.nanosAsLong``) and convert by exact
+    integer division — the same truncation DuckDB applies; TIMESTAMP
+    (MICROS, isAdjustedToUTC=false) fixtures read as TIMESTAMP_NTZ and
+    cast (exact under the UTC session zone, and what DuckDB's plain
+    timestamp read does).
     """
     if name == "events":
         # Defensive: the driver may call queries() with its own session
@@ -45,10 +48,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # is runtime-settable, so pin it at the call site.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
