@@ -60,6 +60,7 @@ def _coverage_order(d: dict) -> dict:
     recheck = {
         "dc1_decontamination",   # bloom pre-pass replaced forced broadcast
         "dd2_minhash_lsh",       # body extracted into minhash_lsh_pairs
+        "dd3_simhash",           # rewritten as a map-only expression fold
         "dd6_dup_clusters",      # CC loop extracted into min_label_components
         "pp2_sequence_packing",  # prefix sum factored into _pp2_start_frame
         "mm5_dhash",             # dhash expressions hoisted to module scope

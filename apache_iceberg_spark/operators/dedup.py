@@ -320,34 +320,35 @@ def _dd3_oracle() -> str:
     "dd3_simhash",
     oracle=_dd3_oracle(),
     doc=f"SimHash fingerprint ({SIMHASH_BITS}-bit): token-hash bit votes "
-    "aggregated per document (explode → partial+final sum, map-side "
-    "combined), signature reassembled from the vote signs; the high byte "
-    "doubles as an LSH band for Hamming-neighbor blocking. Near-identical "
-    "docs land on equal or Hamming-close signatures.",
+    "folded per document INSIDE one expression (a single array fold with "
+    "a zip_with vote accumulator), signature reassembled from the vote "
+    "signs; the high byte doubles as an LSH band for Hamming-neighbor "
+    "blocking. Near-identical docs land on equal or Hamming-close "
+    "signatures. ZERO shuffle: the round-3 form exploded every token and "
+    "shuffled O(total_tokens) rows into a per-doc aggregate; votes are a "
+    "per-row fold, so the operator is now map-only at any corpus size.",
     tags=("dedup", "llm"),
 )
 def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
-    hashed = tok.select(
-        "doc_id", F.expr(SPARK_HEX2INT.format(s="tok")).alias("h")
+    # hashes materialize as a projected column so the vote fold reads
+    # them once (lambda bodies are not common-subexpression-eliminated)
+    hashes = f"transform({_SPARK_TOKENS}, tok -> {SPARK_HEX2INT.format(s='tok')})"
+    votes = (
+        f"aggregate(__h, array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        "(a, i) -> a + IF((shiftright(h, CAST(i AS INT)) & 1) = 1, 1L, -1L)))"
     )
-    bits = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1 = 1"), 1).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    sim = (
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, "
+        "(acc, i) -> acc + IF(element_at(__s, CAST(i AS INT) + 1) > 0, "
+        "shiftleft(1L, CAST(i AS INT)), 0L))"
     )
-    assemble = " + ".join(
-        f"(CASE WHEN s{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
-        for i in range(SIMHASH_BITS)
-    )
-    return bits.select(
-        "doc_id",
-        F.expr(assemble).alias("simhash"),
-        F.expr(f"({assemble}) >> 24").alias("band_hi"),
+    return (
+        d.select("doc_id", F.expr(hashes).alias("__h"))
+        .select("doc_id", F.expr(votes).alias("__s"))
+        .select("doc_id", F.expr(sim).alias("simhash"))
+        .select("doc_id", "simhash", F.expr("shiftright(simhash, 24)").alias("band_hi"))
     )
 
 

@@ -267,6 +267,21 @@ def test_dc1_bloom_prefilter_ahead_of_gram_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan[:3000]  # 1-row bloom side
 
 
+def test_dd3_simhash_is_map_only(spark):
+    """SimHash votes fold inside one expression per row — the operator
+    must carry NO exchange besides load_table_parallel's spread
+    round-robin (which disappears at real scale): no aggregation
+    shuffle, no explode-to-rows."""
+    import re
+
+    plan = plan_of(spark, "dd3_simhash")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    # the only exchange allowed is the small-file repartition spread
+    assert len(exchanges) <= 1, plan
+    assert "hashpartitioning" not in plan, plan  # no aggregation shuffle
+    assert "Generate" not in plan, plan  # no token explode
+
+
 def test_mm6_pair_generation_is_banded_never_all_pairs(spark):
     """mm6's Hamming candidates must come from bit-band buckets (one
     shuffle into (band_id, band_key) + in-bucket pair explode), not an
