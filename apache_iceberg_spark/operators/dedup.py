@@ -537,6 +537,14 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # large enough that a billion-node dup graph still gets only ~500 tasks.
 _CC_NODES_PER_PARTITION = 2_000_000
 
+# Lineage-cut cadence for the CC iteration (see min_label_components).
+_CC_CKPT_EVERY = 4
+
+# Edge-count cutover below which CC solves on the driver: sized like the
+# broadcast-join threshold it mirrors (~2M edges ≈ tens of MB collected —
+# the distributed loop would broadcast-collect that much EVERY round).
+_CC_DRIVER_EDGES = 2_000_000
+
 
 def iteration_partitions(n_nodes: int, default_parallelism: int) -> int:
     """Partition count for CC iteration frames, derived from measured
@@ -650,18 +658,57 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
-    """Connected components over an undirected pair graph — Pregel-style
-    min-label propagation, reusable for any near-dup edge set (dd6's
-    shingle-Jaccard pairs, mm6's Hamming-ball pairs).
+    """Connected components over an undirected pair graph, reusable for
+    any near-dup edge set (dd6's shingle-Jaccard pairs, mm6's
+    Hamming-ball pairs). ``pairs`` needs (doc_id_a, doc_id_b); returns
+    (doc_id, cluster_id) for every node with at least one edge,
+    cluster_id = component-minimum doc_id.
 
-    ``pairs`` needs (doc_id_a, doc_id_b); returns (doc_id, cluster_id)
-    for every node with at least one edge, cluster_id = component-minimum
-    doc_id. O(diameter) rounds, each one join + min-aggregate over
-    iteration frames whose partitioning derives from the MEASURED graph
-    size (iteration_partitions)."""
-    # Both edge directions come from ONE explode over the pairs lineage —
-    # a union of two selects would execute the expensive pair-generation
-    # dataflow twice.
+    Size-adaptive, decided by the measured edge count — the same logic
+    AQE applies to joins:
+
+    - small graph (fits the driver comfortably): union-find on the
+      collected pair list. This is NOT a driver-side anti-pattern: the
+      distributed loop would F.broadcast the label frame every round,
+      i.e. collect the same bytes to the driver several times over; one
+      collect + O(E α(E)) beats rounds × (3 broadcasts + a job) by an
+      order of magnitude at this size. The threshold mirrors the
+      broadcast-join threshold for exactly that reason.
+    - large graph: Pregel-style min-label propagation with POINTER
+      JUMPING (label <- label(label) each round, so chains contract
+      geometrically: O(log diameter) rounds), iteration frames
+      partitioned from the measured size (iteration_partitions) and
+      lineage cut every few rounds (persist alone grows the logical
+      plan ~3^rounds — observed as a driver OOM stringifying mm6's
+      plan)."""
+    # The sizing count doubles as the cache materialization of the pair
+    # pipeline — no dedicated sizing pass.
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    if n_pairs * 2 <= _CC_DRIVER_EDGES:
+        rows = pairs.collect()
+        pairs.unpersist()
+        parent: dict = {}
+
+        def find(x):  # path-halving union-find, min id as root
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in rows:
+            ra, rb = find(row.doc_id_a), find(row.doc_id_b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        slices = max(1, len(out) // _CC_NODES_PER_PARTITION)
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(out, slices),
+            "doc_id long, cluster_id long",
+        )
+    # Both edge directions come from ONE explode over the cached pairs —
+    # a union of two selects would read the cache twice.
     edges_raw = (
         pairs.select(
             F.explode(
@@ -678,36 +725,41 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .persist()
     )
     # The dup graph is tiny relative to the corpus (only docs with a
     # near-dup edge), so the iteration frames get their own partitioning,
     # sized from the measured graph — NOT a hardcoded constant: a
     # handful of tasks per round locally, cluster-wide parallelism at
-    # 100 TB. Sizing from the edge count lets the count() double as the
-    # edges_raw cache materialization (edges are the bigger iteration
-    # frame anyway), so there is no dedicated sizing pass.
-    n_edges = edges_raw.count()
+    # 100 TB.
     parts = iteration_partitions(
-        n_edges, spark.sparkContext.defaultParallelism
+        2 * n_pairs, spark.sparkContext.defaultParallelism
     )
-    edges = edges_raw.repartition(parts, "dst").persist()
+    # Lineage cut: the pair-generation dataflow underneath can be
+    # arbitrarily deep (mm6 stacks band explodes on per-row hash folds),
+    # and a persist() does not truncate the LOGICAL plan — each
+    # iteration's frame would then embed the full history and the plan
+    # tree grows exponentially with rounds (observed as a driver OOM
+    # stringifying the plan at sf0.1). localCheckpoint pins the
+    # iteration frames to their materialized partitions, so every round
+    # plans against a leaf. On a real cluster swap for reliable
+    # checkpoint(dir) if executor loss matters mid-job.
+    edges = edges_raw.repartition(parts, "dst").localCheckpoint(eager=False)
     # One shuffle builds the label seed AND its iteration layout: the
     # explicit hash-repartition on node satisfies the dedup aggregate's
     # distribution, so dropDuplicates adds no second exchange, and every
     # round's merged frame inherits the parts-sized layout (the r2 bench
     # regression was iterating at the default 32-partition layout — 8×
-    # the task overhead per round on a tiny graph). The node count that
-    # drives the broadcast-vs-shuffle decision is the same action that
-    # materializes the label cache before round 1.
+    # the task overhead per round on a tiny graph).
     labels = (
-        edges_raw.select(F.col("src").alias("node"))
+        edges.select(F.col("src").alias("node"))
         .repartition(parts, "node")
         .dropDuplicates(["node"])
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
+    # One action materializes both lazy checkpoints (edges feeds labels).
     n_nodes = labels.count()
+    pairs.unpersist()
     # Pregel-style min-label propagation to the fixpoint. Each round is a
     # bounded dataflow (join + min-agg); the driver only checks the
     # converged-yet flag, never touches row data. When the dup graph fits
@@ -717,7 +769,9 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     # drop away and the rounds run as ordinary shuffled joins over
     # node-co-located label frames.
     small_graph = n_nodes <= 5_000_000
+    rounds = 0
     while True:
+        rounds += 1
         lbl = F.broadcast(labels) if small_graph else labels
         neighbor_min = (
             edges.join(lbl, edges["dst"] == labels["node"])
@@ -726,22 +780,48 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         )
         if small_graph:
             neighbor_min = F.broadcast(neighbor_min)
-        # Keep the old label alongside the new one so convergence is a
-        # filter over this same frame — no second join per round. The
-        # count() is also the action that materializes the persist.
-        merged = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
+        stepped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
         )
+        # Pointer jumping: follow label -> label(label) once per round,
+        # which contracts chains geometrically — O(log diameter) rounds
+        # instead of O(diameter) (a 1000-link chain converges in ~10
+        # rounds, not 1000; mm6's Hamming chain graph went 15 -> 6
+        # rounds at sf0.1). One extra self-join per round, broadcast
+        # when the graph is small.
+        hop = stepped.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        if small_graph:
+            hop = F.broadcast(hop)
+        # Keep the old label alongside the new one so convergence is a
+        # filter over this same frame — no second join per round; the
+        # count() doubles as the materializing action. Rounds persist()
+        # (cheap), but every CKPT_EVERY-th round cuts lineage with a lazy
+        # localCheckpoint instead: persist does not truncate the LOGICAL
+        # plan, and with two label references per round the plan tree
+        # grows ~3^rounds — unbounded iteration over a deep input plan
+        # (mm6) OOMed the driver stringifying it. The hybrid keeps
+        # per-round cost at persist level while bounding the plan to
+        # 3^CKPT_EVERY of the (leaf) checkpoint plan.
+        merged = stepped.join(hop, stepped["label"] == hop["l_node"], "left").select(
+            "node",
+            "old_label",
+            F.least(
+                F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+            ).alias("label"),
+        )
+        if rounds % _CC_CKPT_EVERY == 0:
+            merged = merged.localCheckpoint(eager=False)
+        else:
+            merged = merged.persist()
         changed = merged.filter(F.col("label") < F.col("old_label")).count()
-        labels.unpersist()
         labels = merged.select("node", "label")
         if changed == 0:
             break

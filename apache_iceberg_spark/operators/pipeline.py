@@ -429,24 +429,26 @@ def mm6_hamming_pairs(d: DataFrame) -> DataFrame:
         )
         .filter(F.size("ds") > 1)
     )
-    cand = (
+    # Verify BEFORE dedup: both hashes ride in the candidate row, so the
+    # Hamming check is a free map-side filter on the explode output —
+    # only verified pairs (a tiny fraction of the candidate space) reach
+    # the distinct's shuffle. Filtering after the distinct measured ~4×
+    # slower at sf0.1: the exchange carried every false candidate.
+    return (
         buckets.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ds, (a, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), "
+                    "filter(transform(slice(ds, i + 2, size(ds)), "
                     "b -> struct(a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-                    "a.dhash AS dhash_a, b.dhash AS dhash_b))))"
+                    "a.dhash AS dhash_a, b.dhash AS dhash_b)), "
+                    f"p -> bit_count(p.dhash_a ^ p.dhash_b) <= {MM6_HAMMING_MAX})))"
                 )
             ).alias("p")
         )
-        .select("p.doc_id_a", "p.doc_id_b", "p.dhash_a", "p.dhash_b")
+        .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
-    return cand.filter(
-        F.bit_count(F.col("dhash_a").bitwiseXOR(F.col("dhash_b")))
-        <= MM6_HAMMING_MAX
-    ).select("doc_id_a", "doc_id_b")
 
 
 VOCAB_TOP_K = 100

@@ -44,6 +44,14 @@ HEADLINE = [
     "ann1_cosine_topk",
     "ann2_lsh_bucketed",
     "ann3_ivf",
+    # round-4 operators: the flagship funnel successors and the new
+    # dedup/privacy surface stay perf-accountable alongside the originals
+    "dc1_decontamination",
+    "pp3_curation_decontaminated",
+    "pp4_cascade_fuzzy",
+    "pp2b_packed_doc_spans",
+    "mm6_image_neardup_clusters",
+    "tx11_pii_redaction",
 ]
 
 
