@@ -701,12 +701,18 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        out = [(n, find(n)) for n in parent]
-        slices = max(1, len(out) // _CC_NODES_PER_PARTITION)
-        return spark.createDataFrame(
-            spark.sparkContext.parallelize(out, slices),
-            "doc_id long, cluster_id long",
+        import pandas as pd
+
+        # Arrow LocalRelation (driver-side literal), NOT sc.parallelize:
+        # parallelize of Python objects would spawn Python executor
+        # workers into an otherwise pure-JVM dataflow just to ship a few
+        # hundred rows.
+        pdf = pd.DataFrame(
+            ((n, find(n)) for n in parent),
+            columns=["doc_id", "cluster_id"],
+            dtype="int64",
         )
+        return spark.createDataFrame(pdf)
     # Both edge directions come from ONE explode over the cached pairs —
     # a union of two selects would read the cache twice.
     edges_raw = (
