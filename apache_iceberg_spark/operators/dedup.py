@@ -529,6 +529,55 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd9_embedding_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE n AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT vec_id_a, vec_id_b FROM (
+                SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                       ({_DUCK_DOT.format(a='a.embedding', b='b.embedding')})
+                         / (a.norm * b.norm) AS cosine
+                FROM n a JOIN n b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE cosine >= {DD5_THRESHOLD}
+        ),
+        edges AS (
+            SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT vec_id_b AS src, vec_id_a AS dst FROM pairs
+        ),
+        walk(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+        )
+        SELECT node AS vec_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY node
+    """,
+    doc="Semantic duplicate CLUSTERS over the embedding space: dd5's "
+    f"label-blocked cosine pairs (threshold {DD5_THRESHOLD}) fed into "
+    "the shared connected-components machinery (min_label_components — "
+    "size-adaptive: union-find under the broadcast threshold, "
+    "pointer-jumped Pregel above). The semantic-dedup step of modern "
+    "corpus pipelines (SemDeDup shape): embed, block by coarse cluster, "
+    "verify cosine, keep one representative per component. Composition "
+    "of two independently oracle-proven pieces, itself oracle-checked.",
+    tags=("dedup", "llm", "embedding", "iterative"),
+)
+def dd9_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd5_embedding_neardup(spark, sf_dir).select(
+        F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
+    )
+    return min_label_components(spark, pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dd6 — duplicate-cluster assignment (connected components)
 # ---------------------------------------------------------------------------

@@ -1268,6 +1268,113 @@ def pp3_curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pp5: fraction of the corpus token count used as the mixture budget
+#: (numerator/denominator kept integer for exact cross-engine parity).
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 1, 2
+
+
+@register(
+    "pp5_domain_mixture",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks,
+                   {DUCK_HEX2INT.format(
+                       s="concat('mix:', CAST(doc_id AS VARCHAR))")} % 1000
+                       AS bucket
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+            FROM t GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS n_sources
+            FROM per_source
+        ),
+        rates AS (
+            SELECT source, n_docs, n_tokens,
+                   LEAST(1000, (1000 * ((total_tokens * {MIX_BUDGET_NUM})
+                                        // ({MIX_BUDGET_DEN} * n_sources)))
+                               // n_tokens) AS keep_permille
+            FROM per_source CROSS JOIN tot
+        ),
+        kept AS (
+            SELECT t.source, COUNT(*) AS n_docs_kept,
+                   CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens_kept
+            FROM t JOIN rates r ON t.source = r.source
+            WHERE t.bucket < r.keep_permille
+            GROUP BY t.source
+        )
+        SELECT r.source, r.n_docs, r.n_tokens, r.keep_permille,
+               COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+               COALESCE(k.n_tokens_kept, 0) AS n_tokens_kept
+        FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+    doc="Domain-mixture sampling — the data-mixing step of pretraining "
+    "(static DoReMi shape): measure each source's token mass, derive a "
+    "per-source keep rate that rebalances toward UNIFORM token shares "
+    f"under a {MIX_BUDGET_NUM}/{MIX_BUDGET_DEN}-of-corpus budget "
+    "(heavy domains downsample toward the uniform share, light domains "
+    "pass whole), then keep documents by deterministic per-mille key "
+    "hash. All rate arithmetic is integer division — bitwise identical "
+    "across engines. Two passes over the corpus, the canonical mixing "
+    "plan at 100 TB: a map-side-partial stats aggregation, then an "
+    "apply pass with the ~#domains-row rate table broadcast; the "
+    "output here is the per-source audit (in/kept docs and tokens), "
+    "which is what a mixing job logs.",
+    tags=("pipeline", "llm", "sampling", "mixture"),
+)
+def pp5_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('mix:', CAST(doc_id AS STRING))"))
+        % 1000
+    )
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_toks"),
+        bucket.alias("bucket"),
+    )
+    per_source = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    rates = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"LEAST(1000L, (1000 * ((total_tokens * {MIX_BUDGET_NUM}) "
+            f"DIV ({MIX_BUDGET_DEN} * n_sources))) DIV n_tokens)"
+        ).alias("keep_permille"),
+    )
+    kept = (
+        t.join(F.broadcast(rates.select("source", "keep_permille")), "source")
+        .filter(F.col("bucket") < F.col("keep_permille"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_toks").alias("n_tokens_kept"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "keep_permille",
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+    )
+
+
 #: Token budget per packed training sequence.
 PACK_BUDGET = 512
 #: Documents per prefix-sum bucket: within-bucket running totals window in

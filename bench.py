@@ -52,6 +52,8 @@ HEADLINE = [
     "pp2b_packed_doc_spans",
     "mm6_image_neardup_clusters",
     "tx11_pii_redaction",
+    "dd9_embedding_dup_clusters",
+    "pp5_domain_mixture",
 ]
 
 
