@@ -303,6 +303,45 @@ def test_mm6_pair_generation_is_banded_never_all_pairs(spark):
     assert "HashAggregate" in plan, plan  # the bucket collect_list
 
 
+def test_pp2b_span_explode_adds_no_shuffle(spark):
+    """pp2b = pp2's distributed prefix sum + a map-only span explode:
+    the plan must keep exactly pp2's exchanges (bucket window, bucket
+    totals; the broadcast is not an exchange) plus a Generate — the
+    explode itself may not introduce a shuffle."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p2 = plan_of(spark, "pp2_sequence_packing")
+        p2b = plan_of(spark, "pp2b_packed_doc_spans")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    ex = lambda p: len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert ex(p2b) == ex(p2), (ex(p2), ex(p2b))
+    assert "Generate" in p2b, p2b
+
+
+def test_pp5_rate_table_broadcasts_to_apply_pass(spark):
+    """pp5's apply pass joins the corpus against the ~#domains-row rate
+    table — that join must broadcast (never shuffle the corpus on
+    source), and the aggregations must be partial+final. (The final
+    audit join of the two per-source aggregates is tiny on both sides;
+    its static strategy is left to AQE.)"""
+    plan = plan_of(spark, "pp5_domain_mixture")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_pp4_fuzzy_stage_no_cartesian(spark):
+    """pp4's MinHash stage inherits dd2's banded shape: candidate pairs
+    come from the bucket aggregate + in-bucket explode, never a
+    cartesian/nested-loop product."""
+    plan = plan_of(spark, "pp4_cascade_fuzzy")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan  # band + in-bucket pair explodes
+
+
 def test_runtime_bloom_filter_semi_join_reduction(spark):
     """The 100 TB fact⋈filtered-dim lever beyond broadcast: with runtime
     bloom filters enabled, Spark injects a might_contain() predicate on
