@@ -681,6 +681,45 @@ def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a17_approx_distinct",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS exact_orderkeys,
+               TRUE AS custkeys_within_5pct,
+               TRUE AS orderkeys_within_5pct
+    FROM orders
+    """,
+    doc="Approximate distinct counting — the mergeable-sketch (HLL++) "
+    "path a5's exact COUNT DISTINCT trades against at 100 TB: "
+    "approx_count_distinct at rsd 0.01, checked as a bounds oracle (the "
+    "exact NDVs computed on both engines plus booleans asserting each "
+    "sketch landed within 5%). Sketch registers combine by max, so the "
+    "aggregation is map-side partial, order-insensitive (deterministic "
+    "under any partitioning), and one tiny shuffle regardless of data "
+    "volume — where exact distinct shuffles every distinct value.",
+    tags=("aggregate", "approx", "sketch"),
+)
+def a17_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.countDistinct("o_orderkey").alias("exact_orderkeys"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("ac"),
+        F.approx_count_distinct("o_orderkey", 0.01).alias("ao"),
+    )
+    within = lambda approx, exact: (
+        F.abs(F.col(approx) - F.col(exact))
+        <= 0.05 * F.col(exact)
+    )
+    return agg.select(
+        "exact_custkeys",
+        "exact_orderkeys",
+        within("ac", "exact_custkeys").alias("custkeys_within_5pct"),
+        within("ao", "exact_orderkeys").alias("orderkeys_within_5pct"),
+    )
+
+
+@register(
     "a16_column_stats",
     oracle="""
         SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
