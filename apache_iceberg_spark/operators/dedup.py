@@ -331,6 +331,10 @@ def _dd3_oracle() -> str:
 )
 def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
+    # NULL text: the old explode emitted no rows for it (and the oracle's
+    # unnest still doesn't), whereas the fold would yield simhash=0 —
+    # keep the row set identical by filtering up front.
+    d = d.filter(F.col("text").isNotNull())
     # hashes materialize as a projected column so the vote fold reads
     # them once (lambda bodies are not common-subexpression-eliminated)
     hashes = f"transform({_SPARK_TOKENS}, tok -> {SPARK_HEX2INT.format(s='tok')})"
@@ -735,7 +739,10 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     pairs = pairs.persist()
     n_pairs = pairs.count()
     if n_pairs * 2 <= _CC_DRIVER_EDGES:
-        rows = pairs.collect()
+        # Arrow columnar transfer (two int64 columns ≈ 16 MB at the 1M-pair
+        # cutover), not collect(): a Row-object collect would cost ~10x in
+        # pickle overhead and Python object memory.
+        local = pairs.toPandas()
         pairs.unpersist()
         parent: dict = {}
 
@@ -745,8 +752,11 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 x = parent[x]
             return x
 
-        for row in rows:
-            ra, rb = find(row.doc_id_a), find(row.doc_id_b)
+        for a, b in zip(
+            local["doc_id_a"].to_numpy().tolist(),
+            local["doc_id_b"].to_numpy().tolist(),
+        ):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
@@ -755,13 +765,15 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         # Arrow LocalRelation (driver-side literal), NOT sc.parallelize:
         # parallelize of Python objects would spawn Python executor
         # workers into an otherwise pure-JVM dataflow just to ship a few
-        # hundred rows.
+        # hundred rows. Schema is explicit so the empty graph (no pairs
+        # at all) yields an empty typed frame instead of a schema-
+        # inference error.
         pdf = pd.DataFrame(
             ((n, find(n)) for n in parent),
             columns=["doc_id", "cluster_id"],
             dtype="int64",
         )
-        return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf, schema="doc_id long, cluster_id long")
     # Both edge directions come from ONE explode over the cached pairs —
     # a union of two selects would read the cache twice.
     edges_raw = (
@@ -825,6 +837,7 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     # node-co-located label frames.
     small_graph = n_nodes <= 5_000_000
     rounds = 0
+    prev_persisted = None  # previous round's persist, released per round
     while True:
         rounds += 1
         lbl = F.broadcast(labels) if small_graph else labels
@@ -872,11 +885,19 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
             ).alias("label"),
         )
-        if rounds % _CC_CKPT_EVERY == 0:
+        checkpoint_round = rounds % _CC_CKPT_EVERY == 0
+        if checkpoint_round:
             merged = merged.localCheckpoint(eager=False)
         else:
             merged = merged.persist()
         changed = merged.filter(F.col("label") < F.col("old_label")).count()
+        # Exactly one live round frame: the previous persist is released
+        # once this round has materialized on top of it. Checkpointed
+        # rounds are leaf RDDs the ContextCleaner reclaims when
+        # unreferenced; persists are freed deterministically here.
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = None if checkpoint_round else merged
         labels = merged.select("node", "label")
         if changed == 0:
             break

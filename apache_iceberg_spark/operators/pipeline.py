@@ -870,6 +870,25 @@ PP_HEAD_LANG_RATE = 40
 def pp1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_iceberg_spark.io.export import export_parquet
 
+    final = _pp1_curated_frame(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        "split",
+    )
+    # Stage 5 — export: the funnel's single materialization, read back.
+    path = os.path.join(_export_tmpdir("curation_"), "corpus.parquet")
+    export_parquet(final, path)
+    return spark.read.parquet(path)
+
+
+def _pp1_curated_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared curation funnel (lazy; text retained): quality gates →
+    three-stage dedup cascade → stratified sampling → split assignment.
+    pp1 projects/exports it; pp3 decontaminates on top — one definition
+    so the two can never desynchronize (test_pp3_* asserts row parity).
+    """
     d = load_table_parallel(spark, sf_dir, "documents")
     # Stage 1 — quality gates: contract filters reach the parquet scan.
     q = d.filter(
@@ -898,20 +917,28 @@ def pp1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
         % 100
     )
-    final = samp.select(
+    return samp.select(
         "doc_id",
         "lang",
         "source",
-        F.length("text").cast("long").alias("n_chars"),
+        "text",
         F.when(split_bucket < 80, "train")
         .when(split_bucket < 90, "val")
         .otherwise("test")
         .alias("split"),
     )
-    # Stage 5 — export: the funnel's single materialization, read back.
-    path = os.path.join(tempfile.mkdtemp(prefix="curation_"), "corpus.parquet")
-    export_parquet(final, path)
-    return spark.read.parquet(path)
+
+
+def _export_tmpdir(prefix: str) -> str:
+    """Temp dir for funnel export checkpoints, reclaimed at process exit
+    (the read-back DataFrame stays lazy over these files for the rest of
+    the session, so earlier cleanup would break it)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 # ---------------------------------------------------------------------------
@@ -1239,40 +1266,10 @@ _PP3_GRAMS_DUCK = f"""
 def pp3_curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_iceberg_spark.io.export import export_parquet
 
-    d = load_table_parallel(spark, sf_dir, "documents")
-    q = d.filter(
-        F.col("text").isNotNull()
-        & F.col("lang").isNotNull()
-        & F.length("text").between(50, 10000)
-    )
-    s1 = _keep_min(q, F.expr(_canon_sql(_URL_SQL, chr(92) * 2)))
-    s2 = _keep_min(s1, F.md5(F.lower(F.trim(F.col("text")))))
-    s3 = _keep_min(s2, F.expr(_FINGERPRINT_EXPR))
-    sample_bucket = (
-        F.expr(SPARK_HEX2INT.format(s="concat('sample:', CAST(doc_id AS STRING))"))
-        % 100
-    )
-    samp = s3.filter(
-        sample_bucket
-        < F.when(F.col("lang") == "en", PP_HEAD_LANG_RATE).otherwise(100)
-    )
-    split_bucket = (
-        F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
-        % 100
-    )
-    curated = samp.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.when(split_bucket < 80, "train")
-        .when(split_bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    curated = _pp1_curated_frame(spark, sf_dir)
     # One materialization for the whole funnel (pp1's checkpoint); the
     # three decontamination consumers below re-scan parquet, not the plan.
-    path = os.path.join(tempfile.mkdtemp(prefix="curation_"), "curated.parquet")
+    path = os.path.join(_export_tmpdir("curation_"), "curated.parquet")
     export_parquet(curated, path)
     cur = spark.read.parquet(path)
 
