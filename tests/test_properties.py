@@ -327,3 +327,71 @@ def test_csv_empty_string_reads_as_null(spark, vals):
     assert sorted(got, key=lambda x: (x is None, x or "")) == sorted(
         expect, key=lambda x: (x is None, x or "")
     )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@_spark_examples
+def test_connected_components_match_reference(spark, edges):
+    """min_label_components (driver union-find path on these sizes) must
+    equal a naive Python BFS fixpoint: every edge-touched node labeled
+    with its component's minimum id."""
+    from apache_iceberg_spark.operators.dedup import min_label_components
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    df = spark.createDataFrame(
+        pairs or [], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in min_label_components(spark, df).collect()
+    }
+    # reference: adjacency BFS
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = set()
+    seen: set = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            n = frontier.pop()
+            for m in adj[n]:
+                if m not in comp:
+                    comp.add(m)
+                    frontier.append(m)
+        seen |= comp
+        lo = min(comp)
+        expected |= {(n, lo) for n in comp}
+    assert got == expected
+
+
+@given(
+    member_keys=st.sets(st.integers(0, 10_000), min_size=0, max_size=50),
+    probe_keys=st.sets(st.integers(0, 10_000), min_size=0, max_size=80),
+)
+@_spark_examples
+def test_bloom_prefilter_property(spark, member_keys, probe_keys):
+    """bloom_prefilter must pass EVERY probe row whose key is a member
+    (no false negatives, the correctness-critical direction) for
+    arbitrary key sets, including empty ones."""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_spark.operators.pipeline import bloom_prefilter
+
+    small = spark.createDataFrame(
+        [(f"k{k}",) for k in member_keys] or [], "g string"
+    )
+    big = spark.createDataFrame(
+        [(f"k{k}", k) for k in probe_keys] or [], "g string, id long"
+    )
+    kept = {r.id for r in bloom_prefilter(big, small, "g").collect()}
+    assert member_keys & probe_keys <= kept
