@@ -1268,11 +1268,157 @@ def pp3_curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     curated = _pp1_curated_frame(spark, sf_dir)
     # One materialization for the whole funnel (pp1's checkpoint); the
-    # three decontamination consumers below re-scan parquet, not the plan.
+    # decontamination consumers re-scan parquet, not the plan.
     path = os.path.join(_export_tmpdir("curation_"), "curated.parquet")
     export_parquet(curated, path)
-    cur = spark.read.parquet(path)
+    return _decontaminate_curated(spark.read.parquet(path))
 
+
+def _pp6_oracle() -> str:
+    from apache_iceberg_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_lsh_ctes,
+    )
+
+    hx = DUCK_HEX2INT.format
+    return f"""
+        WITH q AS (
+            SELECT * FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+              AND length(text) BETWEEN 50 AND 10000
+        ),
+        canon AS (
+            SELECT doc_id, {_canon_sql(_URL_SQL_DUCK, chr(92))} AS cu FROM q
+        ),
+        s1 AS (
+            SELECT q.* FROM q
+            JOIN (SELECT MIN(doc_id) AS keeper FROM canon GROUP BY cu) k
+              ON q.doc_id = k.keeper
+        ),
+        s2 AS (
+            SELECT s1.* FROM s1
+            JOIN (SELECT MIN(doc_id) AS keeper FROM s1
+                  GROUP BY md5(lower(trim(text)))) k
+              ON s1.doc_id = k.keeper
+        ),
+        {minhash_lsh_ctes("s2")},
+        s3 AS (
+            SELECT s2.* FROM s2
+            WHERE s2.doc_id NOT IN (
+                SELECT doc_id_b FROM verified
+                WHERE jaccard >= {JACCARD_THRESHOLD})
+        ),
+        samp AS (
+            SELECT * FROM s3
+            WHERE {hx(s="concat('sample:', CAST(doc_id AS VARCHAR))")} % 100
+                  < CASE WHEN lang = 'en' THEN {PP_HEAD_LANG_RATE}
+                         ELSE 100 END
+        ),
+        final AS (
+            SELECT doc_id, lang, source, text,
+                   CASE WHEN {hx(s="concat('split:', CAST(doc_id AS VARCHAR))")}
+                             % 100 < 80 THEN 'train'
+                        WHEN {hx(s="concat('split:', CAST(doc_id AS VARCHAR))")}
+                             % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM samp
+        ),
+        gtoks AS (
+            SELECT doc_id, split,
+                   string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}') AS t
+            FROM final
+        ),
+        ggrams AS (
+            SELECT doc_id, split,
+                   unnest([array_to_string(t[i:i+{PP3_DECONTAM_N - 1}], ' ')
+                           for i in generate_series(
+                               1, greatest(len(t) - {PP3_DECONTAM_N - 1}, 0))]) AS g
+            FROM gtoks
+        ),
+        contam AS (
+            SELECT DISTINCT a.doc_id
+            FROM ggrams a JOIN ggrams b USING (g)
+            WHERE a.split = 'train' AND b.split = 'test'
+        )
+        SELECT f.doc_id, f.lang, f.source,
+               CAST(length(f.text) AS BIGINT) AS n_chars, f.split
+        FROM final f
+        WHERE NOT (f.split = 'train'
+                   AND f.doc_id IN (SELECT doc_id FROM contam))
+    """
+
+
+@register(
+    "pp6_production_funnel",
+    oracle=_pp6_oracle(),
+    doc="The capstone composition — every stage a production pretraining "
+    "corpus pipeline runs, in one job: data-contract quality gates "
+    "(scan-pushed) -> URL-canonical dedup -> exact-content dedup -> "
+    "TRUE fuzzy near-dup removal (dd2's MinHash-LSH bucketing + "
+    "exact-Jaccard verify, pp4's keep-lowest rule) -> per-language "
+    "stratified downsampling -> leakage-safe split assignment -> "
+    "export checkpoint -> benchmark decontamination over the "
+    "materialized corpus (pp3's gram semi-join behind the "
+    "constant-size bloom pre-pass). Each dedup stage shuffles only the "
+    "prior stage's survivors, cheap-to-expensive; the LSH pair space "
+    "is O(candidates); the funnel materializes exactly once at the "
+    "checkpoint; decontamination re-scans parquet, never re-runs the "
+    "funnel. Differs from pp3 only by the fuzzy stage replacing the "
+    "fingerprint proxy — at 100 TB run BOTH (fingerprint as the cheap "
+    "prefilter, LSH on its survivors).",
+    tags=("pipeline", "llm", "flagship", "dedup", "decontamination"),
+)
+def pp6_production_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.io.export import export_parquet
+    from apache_iceberg_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    q = d.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.length("text").between(50, 10000)
+    )
+    s1 = _keep_min(q, F.expr(_canon_sql(_URL_SQL, chr(92) * 2)))
+    s2 = _keep_min(s1, F.md5(F.lower(F.trim(F.col("text")))))
+    dupes = (
+        minhash_lsh_pairs(s2)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(dupes, "doc_id", "left_anti")
+    sample_bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('sample:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    samp = s3.filter(
+        sample_bucket
+        < F.when(F.col("lang") == "en", PP_HEAD_LANG_RATE).otherwise(100)
+    )
+    split_bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    curated = samp.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    path = os.path.join(_export_tmpdir("funnel_"), "curated.parquet")
+    export_parquet(curated, path)
+    return _decontaminate_curated(spark.read.parquet(path))
+
+
+def _decontaminate_curated(cur: DataFrame) -> DataFrame:
+    """Shared final stage of pp3/pp6: drop train documents sharing any
+    PP3_DECONTAM_N-gram with the test split of an already-materialized
+    curated frame (doc_id, lang, source, text, split), returning the
+    audit projection. Train grams go through the constant-size bloom
+    pre-pass before the semi-join."""
     toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
     base = cur.select("doc_id", "split", toks.alias("t")).filter(
         F.size("t") >= PP3_DECONTAM_N

@@ -54,6 +54,7 @@ HEADLINE = [
     "tx11_pii_redaction",
     "dd9_embedding_dup_clusters",
     "pp5_domain_mixture",
+    "pp6_production_funnel",
 ]
 
 
