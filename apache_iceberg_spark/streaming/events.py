@@ -519,3 +519,72 @@ def st7_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.read.parquet(state["path"])
+
+
+# Fixed-width sortable event key: lexicographic string order equals the
+# (ts, event_id) numeric order, making open/close resolvable with plain
+# min_by/arg_min on BOTH engines (composite aggregate keys are not
+# portable, and window functions are unavailable in streaming).
+_SPARK_EVENT_KEY = (
+    "concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'), "
+    "lpad(CAST(event_id AS STRING), 12, '0'))"
+)
+_DUCK_EVENT_KEY = (
+    "concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'), "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0'))"
+)
+
+
+@register(
+    "st9_stream_ohlc",
+    oracle=f"""
+        SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bar_start,
+               event_type,
+               arg_min(value, {_DUCK_EVENT_KEY}) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, {_DUCK_EVENT_KEY}) AS close,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS volume_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Streaming OHLC bars — ts5's resampling shape as a watermarked "
+    "streaming aggregation: open/close via min_by/max_by over a "
+    "fixed-width sortable (ts, event_id) key (windows don't exist in "
+    "streaming; the key string makes first/last a plain aggregate, "
+    "identical on both engines). Bounded availableNow run must equal "
+    "the batch answer. State is one row per (series, open bar); the "
+    "watermark evicts closed bars.",
+    tags=("streaming", "timeseries", "window"),
+)
+def st9_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = F.expr(_SPARK_EVENT_KEY)
+    bars = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "volume_cents"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("bar_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume_cents",
+        )
+    )
+    qname = run_stream_to_memory(bars, "st9_ohlc")
+    return spark.table(qname)
