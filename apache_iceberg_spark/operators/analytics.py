@@ -411,3 +411,40 @@ def f5_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("status_or_open"),
         F.isnull("o_orderstatus").alias("status_is_null"),
     )
+
+
+@register(
+    "w8_distribution_ranks",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               ntile(4) OVER w AS balance_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT),
+                              c_custkey)
+    """,
+    doc="Distribution-rank windows — ntile / percent_rank / cume_dist "
+    "per market segment over account balance, the remaining §2.8 "
+    "ranking family beyond w1's rank/dense_rank. Total order via "
+    "(exact-cents balance, custkey) so quartile boundaries and the "
+    "rank fractions are engine-identical; the fractions themselves are "
+    "small-integer ratios, bitwise-equal as doubles. One shuffle on "
+    "the segment, one sort — the same plan shape at any scale.",
+    tags=("window", "ranking"),
+)
+def w8_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round(F.col("c_acctbal") * 100).cast("long"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
