@@ -203,7 +203,13 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
     """Verified near-duplicate pairs (doc_id_a < doc_id_b, jaccard >=
     threshold) over any frame with (doc_id, text) — dd2's full pipeline,
-    reusable as a cascade stage (pp4). DuckDB twin: minhash_lsh_ctes."""
+    reusable as a cascade stage (pp4/pp6). DuckDB twin: minhash_lsh_ctes.
+
+    The shingle persist below backs the LAZY result (three consumers
+    read it), so it cannot be unpersisted here; it stays cached for the
+    session, evictable under Spark's LRU storage management. Callers
+    that fully materialize the result may release it via
+    ``spark.catalog.clearCache()`` between unrelated jobs."""
     # One persist: the band self-join and the verify step read the shingle
     # sets three times; tokens are computed inline (see _SPARK_SHINGLES
     # note — caching the intermediate token arrays costs more than

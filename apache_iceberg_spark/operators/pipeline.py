@@ -800,16 +800,39 @@ def a16_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PP_HEAD_LANG_RATE = 40
 
 
-@register(
-    "pp1_corpus_curation",
-    oracle=f"""
-        WITH q AS (
+#: Gram width for the in-funnel decontamination stage. Production corpora
+#: use 13 (dc1's doc); the fixture's curated corpus is tiny post-dedup, so
+#: 3 keeps the stage non-trivial (it actually drops documents) at test SF.
+PP3_DECONTAM_N = 3
+
+#: The fingerprint third stage of the funnel (pp1/pp3); pp6 swaps in the
+#: MinHash-LSH fuzzy stage via the same `s3` contract.
+_FUNNEL_S3_FP_DUCK = f"""s3 AS (
+            SELECT s2.* FROM s2
+            JOIN (SELECT MIN(doc_id) AS keeper FROM s2
+                  GROUP BY list_min([
+                      {DUCK_HEX2INT.format(s="substr(text, i, 8)")}
+                      for i in generate_series(1, greatest(length(text) - 7, 1))
+                  ])) k
+              ON s2.doc_id = k.keeper
+        )"""
+
+
+def _funnel_ctes(stage3: str) -> str:
+    """DuckDB CTE chain for the shared curation funnel: quality gates →
+    URL dedup → exact dedup → ``stage3`` (any SQL defining CTE ``s3``
+    over ``s2``) → stratified sampling → split assignment; terminal CTE
+    is ``final`` (doc_id, lang, source, text, split). One definition,
+    consumed by pp1/pp3/pp6 so the three oracles cannot drift — the
+    exact mirror of ``_pp1_curated_frame`` on the Spark side."""
+    hx = DUCK_HEX2INT.format
+    return f"""q AS (
             SELECT * FROM documents
             WHERE text IS NOT NULL AND lang IS NOT NULL
               AND length(text) BETWEEN 50 AND 10000
         ),
         canon AS (
-            SELECT doc_id, {{canon}} AS cu FROM q
+            SELECT doc_id, {_canon_sql(_URL_SQL_DUCK, chr(92))} AS cu FROM q
         ),
         s1 AS (
             SELECT q.* FROM q
@@ -822,33 +845,59 @@ PP_HEAD_LANG_RATE = 40
                   GROUP BY md5(lower(trim(text)))) k
               ON s1.doc_id = k.keeper
         ),
-        s3 AS (
-            SELECT s2.* FROM s2
-            JOIN (SELECT MIN(doc_id) AS keeper FROM s2
-                  GROUP BY list_min([
-                      {DUCK_HEX2INT.format(s="substr(text, i, 8)")}
-                      for i in generate_series(1, greatest(length(text) - 7, 1))
-                  ])) k
-              ON s2.doc_id = k.keeper
-        ),
+        {stage3},
         samp AS (
             SELECT * FROM s3
-            WHERE {DUCK_HEX2INT.format(
-                s="concat('sample:', CAST(doc_id AS VARCHAR))")} % 100
+            WHERE {hx(s="concat('sample:', CAST(doc_id AS VARCHAR))")} % 100
                   < CASE WHEN lang = 'en' THEN {PP_HEAD_LANG_RATE}
                          ELSE 100 END
+        ),
+        final AS (
+            SELECT doc_id, lang, source, text,
+                   CASE WHEN {hx(s="concat('split:', CAST(doc_id AS VARCHAR))")}
+                             % 100 < 80 THEN 'train'
+                        WHEN {hx(s="concat('split:', CAST(doc_id AS VARCHAR))")}
+                             % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM samp
+        )"""
+
+
+#: Decontamination tail over the funnel's `final` CTE (pp3/pp6): drop
+#: train docs sharing any PP3_DECONTAM_N-gram with the test split.
+_DECONTAM_TAIL_DUCK = f""",
+        gtoks AS (
+            SELECT doc_id, split,
+                   string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}') AS t
+            FROM final
+        ),
+        ggrams AS (
+            SELECT doc_id, split,
+                   unnest([array_to_string(t[i:i+{PP3_DECONTAM_N - 1}], ' ')
+                           for i in generate_series(
+                               1, greatest(len(t) - {PP3_DECONTAM_N - 1}, 0))]) AS g
+            FROM gtoks
+        ),
+        contam AS (
+            SELECT DISTINCT a.doc_id
+            FROM ggrams a JOIN ggrams b USING (g)
+            WHERE a.split = 'train' AND b.split = 'test'
         )
+        SELECT f.doc_id, f.lang, f.source,
+               CAST(length(f.text) AS BIGINT) AS n_chars, f.split
+        FROM final f
+        WHERE NOT (f.split = 'train'
+                   AND f.doc_id IN (SELECT doc_id FROM contam))"""
+
+
+@register(
+    "pp1_corpus_curation",
+    oracle=f"""
+        WITH {_funnel_ctes(_FUNNEL_S3_FP_DUCK)}
         SELECT doc_id, lang, source,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CASE WHEN {DUCK_HEX2INT.format(
-                   s="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 80
-                         THEN 'train'
-                    WHEN {DUCK_HEX2INT.format(
-                        s="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90
-                         THEN 'val'
-                    ELSE 'test' END AS split
-        FROM samp
-    """.replace("{canon}", _canon_sql(_URL_SQL_DUCK, chr(92))),
+               CAST(length(text) AS BIGINT) AS n_chars, split
+        FROM final
+    """,
     doc="Flagship end-to-end curation funnel — the reference's full "
     "pipeline story (bot_iceberg_loader.py:371-477: source -> tables -> "
     "queries -> export) recast at LLM-corpus scale: ingest -> data-"
@@ -883,11 +932,16 @@ def pp1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _pp1_curated_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pp1_curated_frame(
+    spark: SparkSession, sf_dir: str, fuzzy: bool = False
+) -> DataFrame:
     """The shared curation funnel (lazy; text retained): quality gates →
-    three-stage dedup cascade → stratified sampling → split assignment.
-    pp1 projects/exports it; pp3 decontaminates on top — one definition
-    so the two can never desynchronize (test_pp3_* asserts row parity).
+    URL dedup → exact dedup → third dedup stage → stratified sampling →
+    split assignment. ``fuzzy=False`` runs the winnowing-fingerprint
+    third stage (pp1/pp3); ``fuzzy=True`` swaps in the verified
+    MinHash-LSH near-dup removal (pp6). One definition so the funnels
+    can never desynchronize (test_pp3_* asserts row parity); the DuckDB
+    mirror is ``_funnel_ctes``.
     """
     d = load_table_parallel(spark, sf_dir, "documents")
     # Stage 1 — quality gates: contract filters reach the parquet scan.
@@ -900,7 +954,17 @@ def _pp1_curated_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts are emitted), so no persists: one plan, three shuffles.
     s1 = _keep_min(q, F.expr(_canon_sql(_URL_SQL, chr(92) * 2)))
     s2 = _keep_min(s1, F.md5(F.lower(F.trim(F.col("text")))))
-    s3 = _keep_min(s2, F.expr(_FINGERPRINT_EXPR))
+    if fuzzy:
+        from apache_iceberg_spark.operators.dedup import minhash_lsh_pairs
+
+        dupes = (
+            minhash_lsh_pairs(s2)
+            .select(F.col("doc_id_b").alias("doc_id"))
+            .distinct()
+        )
+        s3 = s2.join(dupes, "doc_id", "left_anti")
+    else:
+        s3 = _keep_min(s2, F.expr(_FINGERPRINT_EXPR))
     # Stage 3 — per-language stratified sampling (deterministic key-hash;
     # 'sample:' salt keeps it independent of the split assignment below).
     sample_bucket = (
@@ -1166,88 +1230,9 @@ def pp4_cascade_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Gram width for the in-funnel decontamination stage. Production corpora
-#: use 13 (dc1's doc); the fixture's curated corpus is tiny post-dedup, so
-#: 3 keeps the stage non-trivial (it actually drops documents) at test SF.
-PP3_DECONTAM_N = 3
-
-_PP3_GRAMS_DUCK = f"""
-        toks AS (
-            SELECT doc_id, split,
-                   string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}') AS t
-            FROM final
-        ),
-        grams AS (
-            SELECT doc_id, split,
-                   unnest([array_to_string(t[i:i+{PP3_DECONTAM_N - 1}], ' ')
-                           for i in generate_series(
-                               1, greatest(len(t) - {PP3_DECONTAM_N - 1}, 0))]) AS g
-            FROM toks
-        ),
-        contam AS (
-            SELECT DISTINCT a.doc_id
-            FROM grams a JOIN grams b USING (g)
-            WHERE a.split = 'train' AND b.split = 'test'
-        )
-"""
-
-
 @register(
     "pp3_curation_decontaminated",
-    oracle=f"""
-        WITH q AS (
-            SELECT * FROM documents
-            WHERE text IS NOT NULL AND lang IS NOT NULL
-              AND length(text) BETWEEN 50 AND 10000
-        ),
-        canon AS (
-            SELECT doc_id, {{canon}} AS cu FROM q
-        ),
-        s1 AS (
-            SELECT q.* FROM q
-            JOIN (SELECT MIN(doc_id) AS keeper FROM canon GROUP BY cu) k
-              ON q.doc_id = k.keeper
-        ),
-        s2 AS (
-            SELECT s1.* FROM s1
-            JOIN (SELECT MIN(doc_id) AS keeper FROM s1
-                  GROUP BY md5(lower(trim(text)))) k
-              ON s1.doc_id = k.keeper
-        ),
-        s3 AS (
-            SELECT s2.* FROM s2
-            JOIN (SELECT MIN(doc_id) AS keeper FROM s2
-                  GROUP BY list_min([
-                      {DUCK_HEX2INT.format(s="substr(text, i, 8)")}
-                      for i in generate_series(1, greatest(length(text) - 7, 1))
-                  ])) k
-              ON s2.doc_id = k.keeper
-        ),
-        samp AS (
-            SELECT * FROM s3
-            WHERE {DUCK_HEX2INT.format(
-                s="concat('sample:', CAST(doc_id AS VARCHAR))")} % 100
-                  < CASE WHEN lang = 'en' THEN {PP_HEAD_LANG_RATE}
-                         ELSE 100 END
-        ),
-        final AS (
-            SELECT doc_id, lang, source, text,
-                   CASE WHEN {DUCK_HEX2INT.format(
-                       s="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 80
-                             THEN 'train'
-                        WHEN {DUCK_HEX2INT.format(
-                            s="concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90
-                             THEN 'val'
-                        ELSE 'test' END AS split
-            FROM samp
-        ),
-        {_PP3_GRAMS_DUCK.strip()}
-        SELECT f.doc_id, f.lang, f.source,
-               CAST(length(f.text) AS BIGINT) AS n_chars, f.split
-        FROM final f
-        WHERE NOT (f.split = 'train'
-                   AND f.doc_id IN (SELECT doc_id FROM contam))
-    """.replace("{canon}", _canon_sql(_URL_SQL_DUCK, chr(92))),
+    oracle=f"WITH {_funnel_ctes(_FUNNEL_S3_FP_DUCK)}{_DECONTAM_TAIL_DUCK}",
     doc="pp1's flagship funnel extended with the train-set hygiene stage "
     "it was missing: quality gates -> three-stage dedup cascade -> "
     "stratified sampling -> split assignment -> DECONTAMINATION — train "
@@ -1280,72 +1265,14 @@ def _pp6_oracle() -> str:
         minhash_lsh_ctes,
     )
 
-    hx = DUCK_HEX2INT.format
-    return f"""
-        WITH q AS (
-            SELECT * FROM documents
-            WHERE text IS NOT NULL AND lang IS NOT NULL
-              AND length(text) BETWEEN 50 AND 10000
-        ),
-        canon AS (
-            SELECT doc_id, {_canon_sql(_URL_SQL_DUCK, chr(92))} AS cu FROM q
-        ),
-        s1 AS (
-            SELECT q.* FROM q
-            JOIN (SELECT MIN(doc_id) AS keeper FROM canon GROUP BY cu) k
-              ON q.doc_id = k.keeper
-        ),
-        s2 AS (
-            SELECT s1.* FROM s1
-            JOIN (SELECT MIN(doc_id) AS keeper FROM s1
-                  GROUP BY md5(lower(trim(text)))) k
-              ON s1.doc_id = k.keeper
-        ),
-        {minhash_lsh_ctes("s2")},
+    fuzzy_s3 = f"""{minhash_lsh_ctes("s2")},
         s3 AS (
             SELECT s2.* FROM s2
             WHERE s2.doc_id NOT IN (
                 SELECT doc_id_b FROM verified
                 WHERE jaccard >= {JACCARD_THRESHOLD})
-        ),
-        samp AS (
-            SELECT * FROM s3
-            WHERE {hx(s="concat('sample:', CAST(doc_id AS VARCHAR))")} % 100
-                  < CASE WHEN lang = 'en' THEN {PP_HEAD_LANG_RATE}
-                         ELSE 100 END
-        ),
-        final AS (
-            SELECT doc_id, lang, source, text,
-                   CASE WHEN {hx(s="concat('split:', CAST(doc_id AS VARCHAR))")}
-                             % 100 < 80 THEN 'train'
-                        WHEN {hx(s="concat('split:', CAST(doc_id AS VARCHAR))")}
-                             % 100 < 90 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM samp
-        ),
-        gtoks AS (
-            SELECT doc_id, split,
-                   string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}') AS t
-            FROM final
-        ),
-        ggrams AS (
-            SELECT doc_id, split,
-                   unnest([array_to_string(t[i:i+{PP3_DECONTAM_N - 1}], ' ')
-                           for i in generate_series(
-                               1, greatest(len(t) - {PP3_DECONTAM_N - 1}, 0))]) AS g
-            FROM gtoks
-        ),
-        contam AS (
-            SELECT DISTINCT a.doc_id
-            FROM ggrams a JOIN ggrams b USING (g)
-            WHERE a.split = 'train' AND b.split = 'test'
-        )
-        SELECT f.doc_id, f.lang, f.source,
-               CAST(length(f.text) AS BIGINT) AS n_chars, f.split
-        FROM final f
-        WHERE NOT (f.split = 'train'
-                   AND f.doc_id IN (SELECT doc_id FROM contam))
-    """
+        )"""
+    return f"WITH {_funnel_ctes(fuzzy_s3)}{_DECONTAM_TAIL_DUCK}"
 
 
 @register(
@@ -1370,44 +1297,8 @@ def _pp6_oracle() -> str:
 )
 def pp6_production_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_iceberg_spark.io.export import export_parquet
-    from apache_iceberg_spark.operators.dedup import minhash_lsh_pairs
 
-    d = load_table_parallel(spark, sf_dir, "documents")
-    q = d.filter(
-        F.col("text").isNotNull()
-        & F.col("lang").isNotNull()
-        & F.length("text").between(50, 10000)
-    )
-    s1 = _keep_min(q, F.expr(_canon_sql(_URL_SQL, chr(92) * 2)))
-    s2 = _keep_min(s1, F.md5(F.lower(F.trim(F.col("text")))))
-    dupes = (
-        minhash_lsh_pairs(s2)
-        .select(F.col("doc_id_b").alias("doc_id"))
-        .distinct()
-    )
-    s3 = s2.join(dupes, "doc_id", "left_anti")
-    sample_bucket = (
-        F.expr(SPARK_HEX2INT.format(s="concat('sample:', CAST(doc_id AS STRING))"))
-        % 100
-    )
-    samp = s3.filter(
-        sample_bucket
-        < F.when(F.col("lang") == "en", PP_HEAD_LANG_RATE).otherwise(100)
-    )
-    split_bucket = (
-        F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
-        % 100
-    )
-    curated = samp.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.when(split_bucket < 80, "train")
-        .when(split_bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    curated = _pp1_curated_frame(spark, sf_dir, fuzzy=True)
     path = os.path.join(_export_tmpdir("funnel_"), "curated.parquet")
     export_parquet(curated, path)
     return _decontaminate_curated(spark.read.parquet(path))

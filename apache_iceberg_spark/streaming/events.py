@@ -524,14 +524,18 @@ def st7_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fixed-width sortable event key: lexicographic string order equals the
 # (ts, event_id) numeric order, making open/close resolvable with plain
 # min_by/arg_min on BOTH engines (composite aggregate keys are not
-# portable, and window functions are unavailable in streaming).
+# portable, and window functions are unavailable in streaming). Width 19
+# holds any non-negative int64 (max 19 digits), so lpad NEVER truncates —
+# lpad truncation would silently mis-order identically on both engines,
+# which the cross-engine oracle cannot catch. Domain precondition:
+# ts >= epoch and event_id >= 0 (a pre-1970 stream needs a key offset).
 _SPARK_EVENT_KEY = (
-    "concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'), "
-    "lpad(CAST(event_id AS STRING), 12, '0'))"
+    "concat(lpad(CAST(unix_micros(ts) AS STRING), 19, '0'), "
+    "lpad(CAST(event_id AS STRING), 19, '0'))"
 )
 _DUCK_EVENT_KEY = (
-    "concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'), "
-    "lpad(CAST(event_id AS VARCHAR), 12, '0'))"
+    "concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0'), "
+    "lpad(CAST(event_id AS VARCHAR), 19, '0'))"
 )
 
 
@@ -555,8 +559,11 @@ _DUCK_EVENT_KEY = (
     "fixed-width sortable (ts, event_id) key (windows don't exist in "
     "streaming; the key string makes first/last a plain aggregate, "
     "identical on both engines). Bounded availableNow run must equal "
-    "the batch answer. State is one row per (series, open bar); the "
-    "watermark evicts closed bars.",
+    "the batch answer. NOTE: this harness runs outputMode('complete') "
+    "into a memory sink, where Spark retains ALL window state by design "
+    "— a continuous production deployment must use update/append output "
+    "so the watermark can evict closed bars (state then stays one row "
+    "per open bar per series).",
     tags=("streaming", "timeseries", "window"),
 )
 def st9_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
