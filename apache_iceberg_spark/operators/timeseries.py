@@ -351,74 +351,3 @@ def w7_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return islands.groupBy("user_id").agg(
         F.max("streak_len").alias("longest_click_streak")
     )
-
-
-@register(
-    "ts5_ohlc_resample",
-    oracle="""
-        WITH r AS (
-            SELECT event_type, DATE_TRUNC('hour', ts) AS bar_start, value,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY event_type, DATE_TRUNC('hour', ts)
-                       ORDER BY ts, event_id) AS rn_asc,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY event_type, DATE_TRUNC('hour', ts)
-                       ORDER BY ts DESC, event_id DESC) AS rn_desc
-            FROM events
-        )
-        SELECT event_type, bar_start,
-               MAX(CASE WHEN rn_asc = 1 THEN value END) AS open,
-               MAX(value) AS high,
-               MIN(value) AS low,
-               MAX(CASE WHEN rn_desc = 1 THEN value END) AS close,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-                   AS volume_cents
-        FROM r GROUP BY 1, 2
-    """,
-    doc="OHLC bar resampling — the financial/metrics downsampling shape: "
-    "per (series, 1-hour bar) emit open/high/low/close/volume. Open and "
-    "close resolve through dual ROW_NUMBERs over the total order "
-    "(ts, event_id) — tie-safe and engine-identical, where min_by/"
-    "arg_min composite keys are not portable. One shuffle: the window "
-    "partitions on exactly the aggregation key, so the groupBy reuses "
-    "the window's exchange. At 100 TB bars are naturally partition-"
-    "pruned when the table is laid out by days(ts).",
-    tags=("timeseries", "window", "aggregate"),
-)
-def ts5_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    # bar_start is projected BEFORE the windows so they partition on the
-    # same attribute the aggregate groups by — EnsureRequirements then
-    # reuses the window exchange for the groupBy (one shuffle total;
-    # partitioning on the raw date_trunc expression would re-shuffle).
-    base = e.select(
-        "event_type",
-        F.date_trunc("hour", F.col("ts")).alias("bar_start"),
-        "value",
-        "ts",
-        "event_id",
-    )
-    asc = Window.partitionBy("event_type", "bar_start").orderBy(
-        "ts", "event_id"
-    )
-    desc = Window.partitionBy("event_type", "bar_start").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    r = base.select(
-        "event_type",
-        "bar_start",
-        "value",
-        F.row_number().over(asc).alias("rn_asc"),
-        F.row_number().over(desc).alias("rn_desc"),
-    )
-    return r.groupBy("event_type", "bar_start").agg(
-        F.max(F.when(F.col("rn_asc") == 1, F.col("value"))).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max(F.when(F.col("rn_desc") == 1, F.col("value"))).alias("close"),
-        F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-            "volume_cents"
-        ),
-    )

@@ -554,7 +554,7 @@ _DUCK_EVENT_KEY = (
         FROM events
         GROUP BY 1, 2
     """,
-    doc="Streaming OHLC bars — ts5's resampling shape as a watermarked "
+    doc="Streaming OHLC bars — ts5_ohlc_bars' shape as a watermarked "
     "streaming aggregation: open/close via min_by/max_by over a "
     "fixed-width sortable (ts, event_id) key (windows don't exist in "
     "streaming; the key string makes first/last a plain aggregate, "

@@ -342,21 +342,6 @@ def test_pp4_fuzzy_stage_no_cartesian(spark):
     assert "Generate" in plan, plan  # band + in-bucket pair explodes
 
 
-def test_ts5_single_shuffle_window_agg_reuse(spark):
-    """OHLC bars: both windows and the final aggregate share ONE
-    exchange — bar_start is projected before the windows so the
-    aggregate's required distribution is already satisfied."""
-    import re
-
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        plan = plan_of(spark, "ts5_ohlc_resample")
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
-    assert len(exchanges) == 1, plan
-
-
 def test_runtime_bloom_filter_semi_join_reduction(spark):
     """The 100 TB fact⋈filtered-dim lever beyond broadcast: with runtime
     bloom filters enabled, Spark injects a might_contain() predicate on
