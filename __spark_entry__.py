@@ -64,6 +64,21 @@ def _coverage_order(d: dict) -> dict:
         "dd6_dup_clusters",      # CC loop extracted into min_label_components
         "pp2_sequence_packing",  # prefix sum factored into _pp2_start_frame
         "mm5_dhash",             # dhash expressions hoisted to module scope
+        "pp1_corpus_curation",   # funnel factored into _pp1_curated_frame
+    }
+    # The round-4 testdata generation changed events.ts from
+    # TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ) — every green row for a
+    # query reading `events` proves the OLD fixture, so the whole family
+    # re-enters the checked set too.
+    recheck |= {
+        "ts1_tumbling_agg", "ts2_sessionization", "ts3_asof_join",
+        "ts4_gapfill_resample", "ts5_ohlc_bars", "w2_running_total",
+        "w3_lag_delta", "w5_moving_avg", "w6_range_frame",
+        "w7_event_streaks", "f6_json_funcs", "u5_pivot", "a3_union_fanout",
+        "a4_pivot_counts", "a12_stratified_sample", "st1_stream_tumbling",
+        "st2_stream_sliding", "st3_stream_dedup", "st4_stream_static_join",
+        "st5_stream_stateful_sessions", "st6_stream_session_window",
+        "st7_stream_upsert", "st8_stream_stream_join",
     }
     fresh = [k for k in d if k not in green or k in recheck]
     # Previously-red rows lead (their fixes must land in the checked set);
