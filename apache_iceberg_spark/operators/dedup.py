@@ -64,7 +64,16 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASHES = 8
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
-SHINGLE_WORDS = 2
+# 5-word shingles — the production convention (RefinedWeb/Gopher MinHash
+# shingling). Width matters for discrimination, not just fidelity: on the
+# round-4 fixture's ~30-word vocabulary, 2-word shingles are degenerate
+# (931 distinct shingles corpus-wide, hottest in 7% of all docs), inflating
+# dd6's posting self-join to 73M intermediate rows; at 5 words the same
+# fixture yields 238k distinct shingles (hottest: 4 docs) and the join
+# volume drops 260x. The verified pair set is IDENTICAL at widths 2-5 on
+# every test SF (the seeded near-dups are high-Jaccard), so this is purely
+# a candidate-space choice — the skew lever for hot keys, ahead of salting.
+SHINGLE_WORDS = 5
 JACCARD_THRESHOLD = 0.4
 
 # MinHash mixing: one md5 per shingle, then per-seed affine permutations
@@ -166,11 +175,11 @@ def minhash_lsh_ctes(rel: str = "documents") -> str:
         ),
         verified AS (
             SELECT cand.doc_id_a, cand.doc_id_b,
-                   CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+                   CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
             FROM cand
-            JOIN sh sa ON sa.doc_id = cand.doc_id_a
-            JOIN sh sb ON sb.doc_id = cand.doc_id_b
+            JOIN hashed sa ON sa.doc_id = cand.doc_id_a
+            JOIN hashed sb ON sb.doc_id = cand.doc_id_b
         )"""
 
 
@@ -205,21 +214,26 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
     threshold) over any frame with (doc_id, text) — dd2's full pipeline,
     reusable as a cascade stage (pp4/pp6). DuckDB twin: minhash_lsh_ctes.
 
-    The shingle persist below backs the LAZY result (three consumers
-    read it), so it cannot be unpersisted here; it stays cached for the
-    session, evictable under Spark's LRU storage management. Callers
-    that fully materialize the result may release it via
+    The hashed-shingle persist below backs the LAZY result (three
+    consumers read it), so it cannot be unpersisted here; it stays cached
+    for the session, evictable under Spark's LRU storage management.
+    Callers that fully materialize the result may release it via
     ``spark.catalog.clearCache()`` between unrelated jobs."""
-    # One persist: the band self-join and the verify step read the shingle
-    # sets three times; tokens are computed inline (see _SPARK_SHINGLES
-    # note — caching the intermediate token arrays costs more than
-    # recomputing them).
-    sh = d.select(
-        "doc_id", F.expr(_SPARK_SHINGLES_INLINE).alias("shingles")
+    # One persist, of the HASHED shingle sets (array<long>), not the
+    # string shingles: the signature build and both verify sides read
+    # them, long arrays cache ~5x smaller than 5-word shingle strings,
+    # and the exact-Jaccard verify intersects longs instead of strings.
+    # Jaccard over the hashed sets equals Jaccard over the shingle sets
+    # unless md5-mod-P collides inside one pair's sets (~1e-7 per pair);
+    # the oracle hashes identically, so even a collision cannot split the
+    # engines. Tokens/shingles are computed inline (see _SPARK_SHINGLES
+    # note — caching intermediates costs more than recomputing them).
+    hashed = d.select(
+        "doc_id",
+        F.expr(
+            _SPARK_SHINGLE_HASHES.replace("shingles", f"({_SPARK_SHINGLES_INLINE})")
+        ).alias("hs"),
     ).persist()
-    hashed = sh.select(
-        "doc_id", F.expr(_SPARK_SHINGLE_HASHES).alias("hs")
-    )
     sig = hashed.select(
         "doc_id",
         *[F.expr(_spark_minhash(s)).alias(f"mh{s}") for s in range(N_HASHES)],
@@ -263,11 +277,11 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
         .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
-    sa = sh.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("shingles_a")
+    sa = hashed.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("hs_a")
     )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("shingles_b")
+    sb = hashed.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("hs_b")
     )
     verified = (
         cand.join(sa, "doc_id_a")
@@ -276,8 +290,8 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
             "doc_id_a",
             "doc_id_b",
             (
-                F.size(F.array_intersect("shingles_a", "shingles_b")).cast("double")
-                / F.size(F.array_union("shingles_a", "shingles_b"))
+                F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                / F.size(F.array_union("hs_a", "hs_b"))
             ).alias("jaccard"),
         )
     )
