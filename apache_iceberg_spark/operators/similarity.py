@@ -298,60 +298,66 @@ def ann3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm"
         ),
     ).persist()
-    cent = F.broadcast(
+    # The K_CELLS centroids collapse to ONE broadcast row holding a sorted
+    # struct array, and each vector picks its top-2 cells with a map-only
+    # expression fold over that array — no per-vector window, no shuffle
+    # anywhere in assignment or probing (the plan the docstring promises;
+    # the previous form shuffled vec_id-partitioned windows twice). Fold
+    # state = running (best, second) cosines + cell ids; strict > with the
+    # array sorted by cell_id reproduces ORDER BY cosine DESC, cell_id
+    # exactly on ties. Sentinel -2 is below any cosine.
+    cents = F.broadcast(
         n.filter(
             (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_CELLS)
-        ).select(
-            (F.col("vec_id") - N_QUERIES).alias("cell_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("norm").alias("c_norm"),
+        )
+        .select(
+            F.struct(
+                (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    cos = (
+        _SPARK_DOT.format(a="embedding", b="ce.c_emb") + " / (norm * ce.c_norm)"
+    )
+    top2 = (
+        "aggregate(cents, named_struct("
+        "'c1', CAST(-2.0 AS DOUBLE), 'l1', CAST(-1 AS BIGINT), "
+        "'c2', CAST(-2.0 AS DOUBLE), 'l2', CAST(-1 AS BIGINT)), "
+        "(st, ce) -> CASE "
+        f"WHEN ({cos}) > st.c1 THEN named_struct("
+        f"'c1', ({cos}), 'l1', ce.cell_id, 'c2', st.c1, 'l2', st.l1) "
+        f"WHEN ({cos}) > st.c2 THEN named_struct("
+        f"'c1', st.c1, 'l1', st.l1, 'c2', ({cos}), 'l2', ce.cell_id) "
+        "ELSE st END)"
+    )
+    scored = n.crossJoin(cents).withColumn("t2", F.expr(top2))
+    # Carry the vector payload through the assignment so candidates need
+    # no join back to the corpus.
+    assign = scored.select("vec_id", "embedding", "norm", F.col("t2.l1").alias("cell_id"))
+    probes = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array("t2.l1", "t2.l2")).alias("cell_id"),  # N_PROBE = 2
+    )
+    qv = F.broadcast(
+        n.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
         )
     )
-    cent_cos = F.expr(_SPARK_DOT.format(a="embedding", b="c_emb")) / (
-        F.col("norm") * F.col("c_norm")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), F.asc("cell_id")
-    )
-    assign = (
-        n.join(cent)
-        .withColumn("cent_cos", cent_cos)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id")
-    )
-    probes = (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .join(cent)
-        .withColumn("cent_cos", cent_cos)
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cell_id"))
-        ))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell_id")
-    )
-    qv = n.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cv = n.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb2"),
-        F.col("norm").alias("c_norm2"),
-    )
     cand = (
-        F.broadcast(probes)
-        .join(assign, "cell_id")
+        assign.join(F.broadcast(probes), "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(qv), "query_id")
-        .join(cv, F.col("vec_id") == F.col("neighbor_id"))
+        .join(qv, "query_id")
         .select(
             "query_id",
-            "neighbor_id",
+            F.col("vec_id").alias("neighbor_id"),
             (
-                F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb2"))
-                / (F.col("q_norm") * F.col("c_norm2"))
+                F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+                / (F.col("q_norm") * F.col("norm"))
             ).alias("cosine"),
         )
     )
