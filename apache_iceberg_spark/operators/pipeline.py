@@ -1609,3 +1609,115 @@ def pp2b_packed_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (clip_hi - clip_lo).cast("long").alias("slice_len"),
         (clip_lo - seq_lo).cast("long").alias("seq_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd10: cross-document line-level dedup (round 4)
+# ---------------------------------------------------------------------------
+
+#: Tokens per pseudo-line. The fixture's text is a flat word stream (no
+#: newlines), so "lines" are fixed token windows; a real crawl corpus swaps
+#: the splitter for split(text, '\n') and the plan is untouched.
+LINE_TOKENS = 10
+
+#: line_idx packing for the keep-first key (doc_id * SHIFT + line_idx):
+#: comfortably above any per-doc line count, keeps the key a plain BIGINT
+#: min — identical arithmetic on both engines.
+_LINE_SHIFT = 1_000_000
+
+
+@register(
+    "dd10_line_dedup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1,
+                       CAST(ceil(len(toks) / {LINE_TOKENS}.0) AS INT)))
+                       AS line_idx
+            FROM t
+        ),
+        l AS (
+            SELECT doc_id, line_idx,
+                   array_to_string(
+                       toks[(line_idx - 1) * {LINE_TOKENS} + 1
+                            : line_idx * {LINE_TOKENS}], ' ') AS line
+            FROM idx
+        ),
+        keep AS (
+            SELECT line,
+                   MIN(doc_id * {_LINE_SHIFT} + line_idx) AS keeper
+            FROM l GROUP BY line
+        )
+        SELECT l.doc_id,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN l.doc_id * {_LINE_SHIFT} + l.line_idx
+                                  = k.keeper THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lines_kept,
+               COALESCE(string_agg(
+                   CASE WHEN l.doc_id * {_LINE_SHIFT} + l.line_idx = k.keeper
+                        THEN l.line END, ' ' ORDER BY l.line_idx), '')
+                   AS text_kept
+        FROM l JOIN keep k ON l.line = k.line
+        GROUP BY l.doc_id
+    """,
+    doc=f"Cross-document line-level dedup — the C4 preprocessing step "
+    "(one occurrence of every line survives corpus-wide, all repeats are "
+    "cut out of their documents): explode documents into "
+    f"{LINE_TOKENS}-token pseudo-lines with positions (map-only; a real "
+    "crawl swaps in split-on-newline), pick each distinct line's keeper "
+    "as the minimum (doc_id, line_idx) occurrence (one shuffle, map-side "
+    "combined min), mark lines against their keeper (shuffle join on the "
+    "line; AQE broadcasts when the keeper table is small), and reassemble "
+    "each document's surviving text in line order (one shuffle; "
+    "order-insensitive collect + in-group sort, deterministic under any "
+    "partitioning). Output: per-doc line counts and the reassembled "
+    "deduplicated text. At 100 TB the keeper aggregate and the join both "
+    "key on the line hash — uniform unless the corpus shares boilerplate, "
+    "which is exactly what this operator removes first.",
+    tags=("dedup", "llm", "lines"),
+)
+def dd10_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    lines = (
+        d.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, CAST(ceil(size(t) / {LINE_TOKENS}.0) AS INT)), "
+                    f"i -> struct(i AS line_idx, "
+                    f"concat_ws(' ', slice(t, (i - 1) * {LINE_TOKENS} + 1, "
+                    f"{LINE_TOKENS})) AS line))"
+                )
+            ).alias("l"),
+        )
+        .select(
+            "doc_id",
+            F.col("l.line_idx").alias("line_idx"),
+            F.col("l.line").alias("line"),
+        )
+        .withColumn("pos_key", F.col("doc_id") * _LINE_SHIFT + F.col("line_idx"))
+    )
+    keep = lines.groupBy("line").agg(F.min("pos_key").alias("keeper"))
+    marked = lines.join(keep, "line").withColumn(
+        "kept", F.col("pos_key") == F.col("keeper")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_lines_kept"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN kept THEN struct(line_idx, line) END)), "
+                    "s -> s.line)"
+                ),
+            ).alias("text_kept"),
+        )
+    )

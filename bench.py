@@ -53,6 +53,7 @@ HEADLINE = [
     "mm6_image_neardup_clusters",
     "tx11_pii_redaction",
     "dd9_embedding_dup_clusters",
+    "dd10_line_dedup",
     "pp5_domain_mixture",
     "pp6_production_funnel",
 ]
