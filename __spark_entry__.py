@@ -59,12 +59,13 @@ def _coverage_order(d: dict) -> dict:
     # right behind never-checked queries.
     recheck = {
         "dc1_decontamination",   # bloom pre-pass replaced forced broadcast
-        "dd2_minhash_lsh",       # body extracted into minhash_lsh_pairs
+        "dd2_minhash_lsh",       # SHINGLE_WORDS=5 + hashed-set verify
         "dd3_simhash",           # rewritten as a map-only expression fold
-        "dd6_dup_clusters",      # CC loop extracted into min_label_components
+        "dd6_dup_clusters",      # 5-word shingles; CC in min_label_components
         "pp2_sequence_packing",  # prefix sum factored into _pp2_start_frame
         "mm5_dhash",             # dhash expressions hoisted to module scope
         "pp1_corpus_curation",   # funnel factored into _pp1_curated_frame
+        "ann3_ivf",              # map-only centroid fold replaced windows
     }
     # The round-4 testdata generation changed events.ts from
     # TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ) — every green row for a

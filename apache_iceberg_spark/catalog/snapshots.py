@@ -10,14 +10,26 @@ gated; this module provides the same *semantics* on a versioned
 directory layout:
 
     <table>/
-      _versions.json          # commit log: [{version, ts_ms, path}, ...]
+      _versions.json          # commit log: [{version, ts_ms, paths}, ...]
       v1/  v2/  ...           # immutable parquet snapshot directories
+      d2/  d3/  ...           # immutable append-delta directories
 
-Commits are copy-on-write: a new version directory plus an atomic
-rewrite of the commit log (write-temp + rename). Readers of version N
-are never affected by later commits or expiry of other versions — the
-snapshot-isolation property m5 demonstrates, factored here into a
-reusable store with time travel both by version and by timestamp.
+Commits come in two shapes, exactly like Iceberg's:
+
+- ``commit_snapshot`` (overwrite): a new full version directory; the
+  snapshot's file set is that directory alone.
+- ``commit_append``: only the appended batch is written (``d{N}/``); the
+  snapshot's file set is the parent's file LIST plus the new directory —
+  data files are shared across snapshots by reference, never copied,
+  which is the actual Iceberg manifest-list mechanism (a snapshot is a
+  list of files, not a copy of the table).
+
+Both end with an atomic rewrite of the commit log (write-temp + rename).
+Readers of version N are never affected by later commits or expiry of
+other versions — the snapshot-isolation property m5 demonstrates.
+``read_incremental`` resolves the file sets of two snapshots and plans a
+scan over their DIFFERENCE: the Iceberg incremental append scan, planned
+from metadata only (m11).
 """
 
 from __future__ import annotations
@@ -74,6 +86,76 @@ def commit_snapshot(
     return version
 
 
+def _entry_paths(entry: dict) -> list[str]:
+    """A snapshot's data-file set (list of directories). Overwrite commits
+    store a single ``path``; append commits store the shared ``paths``."""
+    return entry["paths"] if "paths" in entry else [entry["path"]]
+
+
+def commit_append(
+    df: DataFrame, table_path: str, ts_ms: int | None = None
+) -> int:
+    """Append ``df`` as the table's next snapshot WITHOUT rewriting any
+    existing data: only the new batch is written (``d{N}/``), and the new
+    snapshot's file set references the parent's files plus it — Iceberg's
+    ``table.append`` (bot_iceberg_loader.py:307), where a commit is a new
+    manifest list over mostly-shared data files. Returns the new version.
+    Requires an existing snapshot (append to nothing is commit_snapshot's
+    job)."""
+    log = _read_log(table_path)
+    if not log:
+        raise ValueError(f"no snapshots at {table_path}; commit_snapshot first")
+    version = log[-1]["version"] + 1
+    ddir = os.path.join(table_path, f"d{version}")
+    df.write.mode("overwrite").parquet(ddir)
+    log.append(
+        {
+            "version": version,
+            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+            "paths": _entry_paths(log[-1]) + [ddir],
+        }
+    )
+    _write_log(table_path, log)
+    return version
+
+
+def read_incremental(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental append scan: the rows committed AFTER ``from_version``
+    up to and including ``to_version`` (default: the latest snapshot) —
+    Iceberg's incremental read (``start-snapshot-id``/``end-snapshot-id``),
+    the input contract of every CDC-style downstream consumer.
+
+    Planned from METADATA only: the two snapshots' file sets are
+    difference'd on the driver (O(#files), no data touched) and the
+    returned frame scans just the delta files — at 100 TB a consumer
+    processes the day's appends, never the table. Overwrite commits in
+    the range make the append-diff ill-defined (files were rewritten, not
+    added); like Iceberg's incremental scan, that raises."""
+    log = _read_log(table_path)
+    by_v = {e["version"]: e for e in log}
+    if from_version not in by_v:
+        raise ValueError(f"version {from_version} not found")
+    to_entry = log[-1] if to_version is None else by_v.get(to_version)
+    if to_entry is None:
+        raise ValueError(f"version {to_version} not found")
+    base = set(_entry_paths(by_v[from_version]))
+    target = _entry_paths(to_entry)
+    if not base.issubset(target):
+        raise ValueError(
+            "overwrite commit between the two snapshots; "
+            "incremental append scan is undefined"
+        )
+    delta = [p for p in target if p not in base]
+    if not delta:
+        return spark.read.parquet(*target).limit(0)
+    return spark.read.parquet(*delta)
+
+
 def read_snapshot_dirs(
     spark: SparkSession,
     table_path: str,
@@ -102,7 +184,7 @@ def read_snapshot_dirs(
         entry = max(at_or_before, key=lambda e: e["ts_ms"])
     else:
         entry = log[-1]
-    return spark.read.parquet(entry["path"])
+    return spark.read.parquet(*_entry_paths(entry))
 
 
 def list_snapshots(table_path: str) -> list[dict]:
@@ -133,6 +215,12 @@ def expire_snapshots_dirs(
         return []
     keep = [e for e in log if e not in expired]
     _write_log(table_path, keep)
+    # Delete only data directories no retained snapshot still references —
+    # append commits share files across snapshots (Iceberg's
+    # remove-orphan-files discipline, not per-snapshot delete).
+    still_referenced = {p for e in keep for p in _entry_paths(e)}
     for e in expired:
-        shutil.rmtree(e["path"], ignore_errors=True)
+        for p in _entry_paths(e):
+            if p not in still_referenced:
+                shutil.rmtree(p, ignore_errors=True)
     return [e["version"] for e in expired]

@@ -605,3 +605,38 @@ def m10_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return existing.unionByName(new_versions)
+
+
+@register(
+    "m11_incremental_append_scan",
+    oracle="SELECT * FROM orders WHERE o_orderkey % 5 = 0",
+    doc="Incremental append scan (Iceberg start-snapshot-id/"
+    "end-snapshot-id; the blog's append-creates-a-snapshot mechanic, "
+    "bot_iceberg_loader.py:307, read back as a changelog): v1 holds the "
+    "historical table, two append commits (catalog/snapshots.py:"
+    "commit_append) add new batches as SHARED-file snapshots — only the "
+    "batch is written, prior data files are referenced, never copied — "
+    "and the query reads everything committed after v1 via the file-set "
+    "difference of the two snapshots (read_incremental). Planning is "
+    "metadata-only (O(#files) on the driver, no data diffing); execution "
+    "scans just the delta files. This is the CDC-consumer contract at "
+    "100 TB: downstream jobs process the day's appends, not the table. "
+    "Oracle: the union of both appended batches.",
+    tags=("scale", "snapshot", "incremental"),
+)
+def m11_incremental_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        read_incremental,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="inc_"), "orders")
+    v1 = commit_snapshot(o.filter(F.col("o_orderkey") % 5 != 0), table)
+    commit_append(o.filter(F.col("o_orderkey") % 10 == 5), table)
+    commit_append(o.filter(F.col("o_orderkey") % 10 == 0), table)
+    return read_incremental(spark, table, from_version=v1).select(*o.columns)

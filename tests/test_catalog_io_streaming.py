@@ -357,6 +357,49 @@ def test_snapshot_store_time_travel_and_expiry(spark, tmp_path):
         read_snapshot_dirs(spark, table, version=1)
 
 
+def test_snapshot_append_sharing_and_incremental(spark, tmp_path):
+    """Append commits share data files by reference (Iceberg's manifest
+    mechanism): the incremental scan returns exactly the appended rows,
+    overwrite-in-range raises, and expiring a parent snapshot must NOT
+    delete directories a retained append snapshot still references."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        expire_snapshots_dirs,
+        read_incremental,
+        read_snapshot_dirs,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(10).withColumnRenamed("id", "k")
+    v1 = commit_snapshot(base, table, ts_ms=1000)
+    with pytest.raises(ValueError, match="commit_snapshot first"):
+        commit_append(base, str(tmp_path / "empty"))
+    v2 = commit_append(
+        spark.range(10, 13).withColumnRenamed("id", "k"), table, ts_ms=2000
+    )
+    v3 = commit_append(
+        spark.range(13, 15).withColumnRenamed("id", "k"), table, ts_ms=3000
+    )
+    # snapshots see base + their appends; earlier reads are isolated
+    assert read_snapshot_dirs(spark, table, version=v1).count() == 10
+    assert read_snapshot_dirs(spark, table, version=v2).count() == 13
+    assert read_snapshot_dirs(spark, table).count() == 15
+    # incremental: (v1, v3] = both appends; (v2, v3] = last; (v3, v3] = 0
+    inc = read_incremental(spark, table, from_version=v1)
+    assert sorted(r.k for r in inc.collect()) == list(range(10, 15))
+    assert read_incremental(spark, table, v2, v3).count() == 2
+    assert read_incremental(spark, table, v3, v3).count() == 0
+    # overwrite breaks the append chain for ranges that cross it
+    v4 = commit_snapshot(base, table, ts_ms=4000)
+    with pytest.raises(ValueError, match="overwrite"):
+        read_incremental(spark, table, v1, v4)
+    # expiring v1..v2 must keep the base dir alive: v3 references it
+    expired = expire_snapshots_dirs(table, older_than_ms=2500, keep_last=2)
+    assert expired == [v1, v2]
+    assert read_snapshot_dirs(spark, table, version=v3).count() == 15
+
+
 def test_snapshot_timestamp_travel_out_of_order_log(spark, tmp_path):
     """commit_snapshot accepts caller-supplied ts_ms, so the commit log
     need not be ts-ordered; TIMESTAMP AS OF must resolve to the max
