@@ -1680,7 +1680,13 @@ _LINE_SHIFT = 1_000_000
     tags=("dedup", "llm", "lines"),
 )
 def dd10_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table_parallel(spark, sf_dir, "documents")
+    return line_dedup(load_table_parallel(spark, sf_dir, "documents"))
+
+
+def line_dedup(d: DataFrame) -> DataFrame:
+    """dd10's core over any (doc_id, text) frame — exposed so the
+    property suite can drive it with adversarial tiny-vocabulary corpora
+    against a pure-Python reference."""
     toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
     lines = (
         d.select("doc_id", toks.alias("t"))

@@ -395,3 +395,101 @@ def test_bloom_prefilter_property(spark, member_keys, probe_keys):
     )
     kept = {r.id for r in bloom_prefilter(big, small, "g").collect()}
     assert member_keys & probe_keys <= kept
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=35),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@_spark_examples
+def test_line_dedup_matches_python_reference(spark, docs):
+    """dd10 vs a pure-Python model on adversarial 3-token-vocabulary
+    corpora (maximal line collisions): global keep-first per distinct
+    line by (doc_id, line_idx), per-doc counts, and in-order reassembly
+    of the surviving text."""
+    from apache_iceberg_spark.operators.pipeline import LINE_TOKENS, line_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    keeper: dict = {}
+    expected: dict = {}
+    all_lines = []
+    for doc_id, toks in enumerate(docs):
+        for li in range((len(toks) + LINE_TOKENS - 1) // LINE_TOKENS):
+            line = " ".join(toks[li * LINE_TOKENS : (li + 1) * LINE_TOKENS])
+            all_lines.append((doc_id, li + 1, line))
+    for doc_id, idx, line in sorted(all_lines):
+        keeper.setdefault(line, (doc_id, idx))
+    for doc_id, toks in enumerate(docs):
+        n, kept = 0, []
+        for li in range((len(toks) + LINE_TOKENS - 1) // LINE_TOKENS):
+            line = " ".join(toks[li * LINE_TOKENS : (li + 1) * LINE_TOKENS])
+            n += 1
+            if keeper[line] == (doc_id, li + 1):
+                kept.append(line)
+        expected[doc_id] = (n, len(kept), " ".join(kept))
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_kept, r.text_kept)
+        for r in line_dedup(d).collect()
+    }
+    assert got == expected
+
+
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.booleans(),  # True = append, False = overwrite
+            st.integers(1, 5),  # batch row count
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@_spark_examples
+def test_snapshot_append_incremental_model(spark, batches, tmp_path_factory):
+    """Random commit sequences against the snapshot store: the latest
+    read equals the cumulative model state, and for any append-only
+    suffix the incremental scan returns exactly the batches in range."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        read_incremental,
+        read_snapshot_dirs,
+    )
+
+    table = str(tmp_path_factory.mktemp("snap") / "t")
+    state: list[set] = []  # per-version expected key set
+    versions: list[tuple[int, bool]] = []  # (version, was_append)
+    next_key = 0
+    for is_append, n in batches:
+        keys = set(range(next_key, next_key + n))
+        next_key += n
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        if is_append and state:
+            v = commit_append(df, table)
+            state.append(state[-1] | keys)
+        else:
+            v = commit_snapshot(df, table)
+            state.append(keys)
+        versions.append((v, is_append and len(state) > 1))
+
+    assert {r.k for r in read_snapshot_dirs(spark, table).collect()} == state[-1]
+    # every version reads back its own state (snapshot isolation)
+    for (v, _), expect in zip(versions, state):
+        got = {r.k for r in read_snapshot_dirs(spark, table, version=v).collect()}
+        assert got == expect
+    # incremental over the longest append-only suffix
+    first_of_suffix = len(versions) - 1
+    while first_of_suffix > 0 and versions[first_of_suffix][1]:
+        first_of_suffix -= 1
+    v_from = versions[first_of_suffix][0]
+    inc = {
+        r.k
+        for r in read_incremental(spark, table, from_version=v_from).collect()
+    }
+    assert inc == state[-1] - state[first_of_suffix]
