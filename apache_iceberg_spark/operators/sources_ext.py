@@ -152,3 +152,37 @@ def s10_parquet_export_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="export_"), "returns.parquet")
     export_parquet(sel, path)
     return spark.read.parquet(path)
+
+
+@register(
+    "s15_partitioned_export",
+    oracle="""
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    doc="Partitioned parquet export — the documented 100x swap for every "
+    "single-writer export in this repo (io/export.py's scale path, cited "
+    "by pp1/s10): df.write.partitionBy(lang) lays the corpus out as "
+    "lang=<v>/part-*.parquet (the Iceberg identity-partition transform "
+    "on plain parquet), every writer task streams its own files — no "
+    "coalesce(1) serialization point — and the read-back proves the "
+    "round trip lossless including the partition column's value "
+    "reconstruction from directory names. At 100 TB this is the only "
+    "export shape that works; it also makes every downstream lang-"
+    "filtered read partition-pruned (m3's mechanism).",
+    tags=("sink", "export", "parquet", "partitioned"),
+)
+def s15_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sel = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="export_"), "by_lang")
+    sel.write.partitionBy("lang").parquet(path)
+    return spark.read.parquet(path).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
