@@ -386,3 +386,49 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_m11_incremental_scan_reads_only_delta_files(spark, tmp_path):
+    """The incremental read's plan must locate ONLY the delta directories
+    — the base snapshot's files never appear in the scan (metadata-only
+    planning, no data diff)."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        read_incremental,
+    )
+
+    table = str(tmp_path / "t")
+    v1 = commit_snapshot(
+        spark.range(100).withColumnRenamed("id", "k"), table
+    )
+    commit_append(spark.range(100, 110).withColumnRenamed("id", "k"), table)
+    inc = read_incremental(spark, table, from_version=v1)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        inc._jdf.queryExecution(), "formatted"
+    )
+    assert "/d2" in plan, plan
+    assert "/v1" not in plan, "base snapshot files leaked into the delta scan"
+    # and no Filter/Except anywhere: the diff happened at planning time
+    assert "Except" not in plan and "SortMergeJoin" not in plan
+
+
+def test_s15_partitioned_export_prunes_on_read(spark, tmp_path):
+    """s15's partitioned layout must turn a lang filter on the read-back
+    side into directory-level pruning (PartitionFilters), scanning no
+    other language's files."""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_spark.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    path = str(tmp_path / "by_lang")
+    d.write.partitionBy("lang").parquet(path)
+    rd = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        rd._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "lang" in pf and "en" in pf, pf
