@@ -1239,8 +1239,9 @@ def pp4_cascade_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"documents sharing any {PP3_DECONTAM_N}-token n-gram with the "
     "held-out test split are dropped (dc1's mechanism composed in; "
     "val/test rows pass through). The curated frame is materialized "
-    "exactly once (pp1's export checkpoint, the corpus artifact a real "
-    "pipeline persists anyway); the decontamination pass then reads it "
+    "exactly once, as a PARALLEL parquet checkpoint (the corpus artifact "
+    "a real pipeline persists anyway; pp1 demonstrates the reference's "
+    "single-file export shape); the decontamination pass then reads it "
     "back three ways — test grams, train grams, final projection — "
     "against the materialized parquet, never re-running the funnel. "
     "Train grams are bloom-prefiltered (constant-size broadcast) before "
@@ -1249,13 +1250,14 @@ def pp4_cascade_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "llm", "flagship", "decontamination"),
 )
 def pp3_curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apache_iceberg_spark.io.export import export_parquet
-
     curated = _pp1_curated_frame(spark, sf_dir)
-    # One materialization for the whole funnel (pp1's checkpoint); the
-    # decontamination consumers re-scan parquet, not the plan.
-    path = os.path.join(_export_tmpdir("curation_"), "curated.parquet")
-    export_parquet(curated, path)
+    # One materialization for the whole funnel; the decontamination
+    # consumers re-scan parquet, not the plan. Unlike pp1 (which keeps
+    # the reference's single-file COPY-TO export shape), the checkpoint
+    # here is a plain parallel write — every task streams its own part
+    # file, the form that holds at 100 TB.
+    path = os.path.join(_export_tmpdir("curation_"), "curated")
+    curated.write.parquet(path)
     return _decontaminate_curated(spark.read.parquet(path))
 
 
@@ -1296,11 +1298,11 @@ def _pp6_oracle() -> str:
     tags=("pipeline", "llm", "flagship", "dedup", "decontamination"),
 )
 def pp6_production_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apache_iceberg_spark.io.export import export_parquet
-
     curated = _pp1_curated_frame(spark, sf_dir, fuzzy=True)
-    path = os.path.join(_export_tmpdir("funnel_"), "curated.parquet")
-    export_parquet(curated, path)
+    # Parallel checkpoint write (see pp3 — pp1 keeps the single-file
+    # parity shape; the production funnel uses the scalable one).
+    path = os.path.join(_export_tmpdir("funnel_"), "curated")
+    curated.write.parquet(path)
     return _decontaminate_curated(spark.read.parquet(path))
 
 
