@@ -440,3 +440,100 @@ def tx11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_phones"),
         redacted.alias("redacted"),
     )
+
+
+# Gopher-style rule bounds (Rae et al. 2021, table A1 — the published
+# values, not fixture-tuned): word count, mean word length, fraction of
+# alphabetic words, and minimum distinct-stopword hits.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+_GOPHER_STOPS = ["the", "a", "and", "of", "to", "in", "be", "that"]
+
+
+@register(
+    "tx12_gopher_rules",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+                        AS DOUBLE) / greatest(len(toks), 1) AS mean_word_len,
+                   CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / greatest(len(toks), 1) AS alpha_frac,
+                   len(list_intersect(list_distinct(toks),
+                       {_GOPHER_STOPS!r})) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+               n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                   AS r_word_count,
+               mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+                   AS r_mean_len,
+               alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS r_alpha,
+               stop_hits >= {GOPHER_MIN_STOP_HITS} AS r_stop,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                   AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
+                        AND {GOPHER_MAX_MEAN_LEN})
+                   AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                   AND stop_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+        FROM m
+    """,
+    doc="Gopher quality rules (Rae et al. 2021): per-document boolean "
+    "flags for the published repetition-independent gates — word-count "
+    "band, mean-word-length band, alphabetic-word fraction, and "
+    "distinct-stopword presence — plus the conjunctive keep decision. "
+    "Complements tx2's weighted score with the rule-flag shape real "
+    "curation pipelines log per gate (so downstream analysis can ask "
+    "'which rule rejected most documents?'). Pure expression tree over "
+    "one higher-order-function pass per rule, map-only, no shuffle; at "
+    "100 TB this is scan-bound like tx1/tx2.",
+    tags=("text", "llm", "quality"),
+)
+def tx12_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens().alias("toks"))
+    n_words = F.size("toks")
+    denom = F.greatest(n_words, F.lit(1))
+    mean_len = (
+        F.expr("aggregate(toks, 0, (acc, w) -> acc + length(w))").cast("double")
+        / denom
+    )
+    alpha_frac = (
+        F.expr("size(filter(toks, w -> w rlike '[a-z]'))").cast("double") / denom
+    )
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(F.col("toks")), stops))
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    r_word_count = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mean_len = F.col("mean_word_len").between(
+        GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN
+    )
+    r_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        r_word_count.alias("r_word_count"),
+        r_mean_len.alias("r_mean_len"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_word_count & r_mean_len & r_alpha & r_stop).alias("keep"),
+    )
