@@ -351,3 +351,73 @@ def w7_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return islands.groupBy("user_id").agg(
         F.max("streak_len").alias("longest_click_streak")
     )
+
+
+@register(
+    "ts6_time_weighted_avg",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+            FROM events
+        ),
+        d AS (
+            SELECT user_id, v_cents,
+                   LEAD(tus) OVER (
+                       PARTITION BY user_id ORDER BY tus, event_id
+                   ) - tus AS dt_us
+            FROM s
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dt_us) AS BIGINT) AS span_us,
+               CAST(SUM(v_cents * dt_us) AS BIGINT) AS weighted_cents_us,
+               CAST(CAST(SUM(v_cents * dt_us) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(SUM(dt_us) AS BIGINT) * 100 AS DOUBLE)
+                   AS twa_value
+        FROM d
+        WHERE dt_us IS NOT NULL
+        GROUP BY user_id
+        HAVING CAST(SUM(dt_us) AS BIGINT) > 0
+    """,
+    doc="Time-weighted average over irregular samples (the standard "
+    "sensor/metrics downsample): each value holds until the user's next "
+    "event (last-observation-carried-forward), so the mean is "
+    "sum(value*dt)/sum(dt), not the row mean — a row mean over-weights "
+    "bursts. One window pass computes interval lengths (LEAD), one "
+    "grouped aggregation integrates; both shuffle on user_id only, so "
+    "at 100 TB the two stages share one hash partitioning (Catalyst "
+    "reuses the window's exchange for the groupBy). Determinism: the "
+    "integral runs in exact integer cents-microseconds; the single "
+    "closing division is the only float op.",
+    tags=("timeseries", "window", "aggregate"),
+)
+def ts6_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    s = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    d = s.select(
+        "user_id",
+        "v_cents",
+        (F.lead("tus").over(w) - F.col("tus")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    agg = d.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt_us").alias("span_us"),
+        F.sum(F.col("v_cents") * F.col("dt_us")).alias("weighted_cents_us"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_intervals",
+        "span_us",
+        "weighted_cents_us",
+        (
+            F.col("weighted_cents_us").cast("double")
+            / (F.col("span_us") * 100).cast("double")
+        ).alias("twa_value"),
+    )
