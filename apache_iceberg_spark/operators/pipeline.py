@@ -1167,6 +1167,120 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pp7_contamination_report",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_SPLIT_BUCKET_DUCK} < 80 THEN 'train'
+                        WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, split, {_DUCK_TOKS.replace("text", "s.text")} AS t
+            FROM s
+        ),
+        grams AS (
+            SELECT doc_id, split,
+                   unnest([array_to_string(t[i:i+{DECONTAM_N - 1}], ' ')
+                           for i in generate_series(
+                               1, greatest(len(t) - {DECONTAM_N - 1}, 0))]) AS g
+            FROM toks
+        ),
+        test_totals AS (
+            SELECT doc_id AS test_doc_id,
+                   COUNT(DISTINCT g) AS n_test_grams
+            FROM grams WHERE split = 'test' GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT b.doc_id AS test_doc_id,
+                   COUNT(*) AS n_hits,
+                   COUNT(DISTINCT a.doc_id) AS n_train_docs,
+                   COUNT(DISTINCT b.g) AS n_shared_grams
+            FROM grams a JOIN grams b USING (g)
+            WHERE a.split = 'train' AND b.split = 'test'
+            GROUP BY b.doc_id
+        )
+        SELECT t.test_doc_id,
+               COALESCE(h.n_train_docs, 0) AS n_train_docs,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+               t.n_test_grams,
+               CAST(COALESCE(h.n_shared_grams, 0) AS DOUBLE)
+                   / CAST(t.n_test_grams AS DOUBLE) AS contamination_frac
+        FROM test_totals t LEFT JOIN hits h USING (test_doc_id)
+    """,
+    doc=f"Contamination REPORT — dc1 flipped to the benchmark's "
+    f"perspective: for every held-out test document, how many training "
+    f"documents share a {DECONTAM_N}-token n-gram with it, the raw hit "
+    "count, and the fraction of its distinct grams that leak "
+    "(n_shared/n_test_grams, including zero-leak docs via left join) — "
+    "the audit table an eval team reads before trusting a benchmark "
+    "score. Same scale shape as dc1: the train side (the 100 TB side) "
+    "is bloom-prefiltered by a constant-size broadcast row before its "
+    "only shuffle; the tiny per-test-doc gram totals aggregate "
+    "separately and left-join back. No forced broadcast anywhere — "
+    "strategy is AQE's call.",
+    tags=("dedup", "llm", "decontamination", "report"),
+)
+def pp7_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    split_bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    base = d.select(
+        "doc_id",
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        toks.alias("t"),
+    ).filter(F.size("t") >= DECONTAM_N)
+    grams = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {DECONTAM_N - 1}), "
+                f"i -> concat_ws(' ', slice(t, i, {DECONTAM_N})))"
+            )
+        ).alias("g"),
+    )
+    train = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    test = grams.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "g"
+    )
+    test_totals = test.groupBy("test_doc_id").agg(
+        F.countDistinct("g").alias("n_test_grams")
+    )
+    hits = (
+        bloom_prefilter(train, test.select("g"), "g")
+        .join(test, "g")
+        .groupBy("test_doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("train_doc_id").alias("n_train_docs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )
+    return test_totals.join(hits, "test_doc_id", "left").select(
+        "test_doc_id",
+        F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        "n_test_grams",
+        (
+            F.coalesce("n_shared_grams", F.lit(0)).cast("double")
+            / F.col("n_test_grams").cast("double")
+        ).alias("contamination_frac"),
+    )
+
+
 def _pp4_oracle() -> str:
     from apache_iceberg_spark.operators.dedup import (
         JACCARD_THRESHOLD,
