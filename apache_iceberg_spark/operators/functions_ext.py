@@ -462,3 +462,116 @@ def u5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
     )
+
+
+# j7: interval-overlap self-join. The fixture's lineitem has no receipt
+# date, so a deterministic transit window (3-30 days, from quantity) closes
+# each shipment's interval; with a real receipt column the synthesis drops
+# out unchanged.
+J7_FROM, J7_TO = "1996-01-01", "1996-02-28"
+J7_BIN_DAYS = 16
+
+
+@register(
+    "j7_interval_overlap_join",
+    oracle=f"""
+        WITH iv AS (
+            SELECT l_suppkey,
+                   l_orderkey * 10 + l_linenumber AS iv_id,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                       AS sd,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                       + CAST(l_quantity AS INT) % 28 + 3 AS ed
+            FROM lineitem
+            WHERE l_shipdate BETWEEN DATE '{J7_FROM}' AND DATE '{J7_TO}'
+        ),
+        pairs AS (
+            SELECT a.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM iv a JOIN iv b
+              ON a.l_suppkey = b.l_suppkey
+             AND a.sd <= b.ed AND b.sd <= a.ed
+             AND a.iv_id < b.iv_id
+            GROUP BY a.l_suppkey
+        )
+        SELECT i.l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               COALESCE(ANY_VALUE(p.n_pairs), 0) AS n_pairs
+        FROM iv i LEFT JOIN pairs p ON i.l_suppkey = p.l_suppkey
+        GROUP BY i.l_suppkey
+    """,
+    doc="Interval overlap self-join: per supplier, count pairs of "
+    "shipments whose in-transit windows overlap (concurrent-shipment "
+    "load). The oracle states the plain inequality predicate; the Spark "
+    f"plan never evaluates it quadratically — intervals explode into "
+    f"{J7_BIN_DAYS}-day bins (explode factor ≤ 3 at the 30-day max "
+    "span), the self-join runs on the (supplier, bin) equality key, the "
+    "exact overlap test filters in-bucket, and a distinct collapses "
+    "pairs spanning multiple shared bins. At 100 TB the (key, bin) "
+    "buckets bound every join task regardless of how long the time "
+    "range grows — the standard DBSP/interval-join binning — while a "
+    "raw theta join would cross-product each supplier's history.",
+    tags=("join", "range", "interval"),
+)
+def j7_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        l.filter(
+            F.col("l_shipdate").between(
+                f"{J7_FROM} 00:00:00", f"{J7_TO} 23:59:59"
+            )
+        )
+        .select(
+            "l_suppkey",
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iv_id"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit(J7_FROM).cast("date"),
+            ).alias("sd0"),
+            (F.col("l_quantity").cast("int") % 28 + 3).alias("dur"),
+        )
+        .select(
+            "l_suppkey",
+            "iv_id",
+            # rebase to the epoch so bin ids match any other interval set
+            (F.col("sd0") + F.lit(9497)).alias("sd"),  # days('1996-01-01')
+            (F.col("sd0") + F.lit(9497) + F.col("dur")).alias("ed"),
+        )
+    )
+    binned = iv.select(
+        "l_suppkey",
+        "iv_id",
+        "sd",
+        "ed",
+        F.explode(
+            F.expr(f"sequence(sd DIV {J7_BIN_DAYS}, ed DIV {J7_BIN_DAYS})")
+        ).alias("bin"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.sd") <= F.col("b.ed"))
+            & (F.col("b.sd") <= F.col("a.ed"))
+            & (F.col("a.iv_id") < F.col("b.iv_id")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("l_suppkey"),
+            F.col("a.iv_id").alias("id_a"),
+            F.col("b.iv_id").alias("id_b"),
+        )
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return (
+        iv.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_intervals"))
+        .join(pairs, "l_suppkey", "left")
+        .select(
+            "l_suppkey",
+            "n_intervals",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        )
+    )
