@@ -539,6 +539,153 @@ def ann5_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- ann6: product quantization + ADC scan ---------------------------------
+
+PQ_M = 8          # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16         # centroids per subspace
+PQ_TRAIN = 16     # vec_id < PQ_TRAIN are the codebook sample
+# ADC distances are folded as exact integers (micro-units) so the
+# cross-row sum is order-insensitive on both engines.
+PQ_MICRO = 1_000_000
+
+_SPARK_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_DUCK_L2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+    "for i in generate_series(1, len({a}))]), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "ann6_pq_adc",
+    oracle=f"""
+        WITH sub AS (
+            SELECT vec_id, m,
+                   [CAST(embedding[m * {PQ_SUB} + j] AS DOUBLE)
+                    for j in generate_series(1, {PQ_SUB})] AS sv
+            FROM embeddings, generate_series(0, {PQ_M - 1}) AS g(m)
+        ),
+        csub AS (
+            SELECT vec_id AS k, m, sv AS cv FROM sub
+            WHERE vec_id < {PQ_TRAIN}
+        ),
+        cand AS (
+            SELECT s.vec_id, s.m, c.k,
+                   {_DUCK_L2.format(a="s.sv", b="c.cv")} AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_DUCK_L2.format(a="s.sv", b="c.cv")}, c.k
+                   ) AS rn
+            FROM sub s JOIN csub c USING (m)
+        ),
+        codes AS (
+            SELECT vec_id, m, k FROM cand WHERE rn = 1
+        ),
+        qd AS (
+            SELECT q.vec_id AS query_id, c.m, c.k,
+                   CAST(ROUND({_DUCK_L2.format(a="q.sv", b="c.cv")}
+                        * {PQ_MICRO}) AS BIGINT) AS qd2_micro
+            FROM sub q JOIN csub c USING (m)
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        adc AS (
+            SELECT qd.query_id, codes.vec_id AS neighbor_id,
+                   CAST(SUM(qd.qd2_micro) AS BIGINT) AS adc2_micro
+            FROM codes JOIN qd ON codes.m = qd.m AND codes.k = qd.k
+            WHERE codes.vec_id <> qd.query_id
+            GROUP BY qd.query_id, codes.vec_id
+        )
+        SELECT query_id, neighbor_id, adc2_micro,
+               sqrt(CAST(adc2_micro AS DOUBLE) / {PQ_MICRO}) AS adc_dist
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc2_micro, neighbor_id
+            ) AS rn FROM adc
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"Product quantization + asymmetric-distance (ADC) top-{TOP_K}: "
+    f"the {DIM}-dim vectors split into {PQ_M} subspaces of {PQ_SUB}; a "
+    f"deterministic corpus sample (vec_id < {PQ_TRAIN}) serves as the "
+    f"{PQ_K}-entry codebook per subspace (production swaps in k-means "
+    "centroids — a KB-scale model artifact — with zero plan change); "
+    "every vector encodes to its nearest centroid per subspace "
+    f"({PQ_M} bytes instead of {DIM} floats, a 32x compression — THE "
+    "way 100 TB of embeddings fit an ANN scan), and query-to-centroid "
+    "lookup tables replace full dot products at scan time. Spark shape: "
+    "the codebook and the per-query lookup tables are each at most a "
+    "few hundred rows and broadcast; encoding is a broadcast join + "
+    "min_by partial aggregate (map-side combined); the ADC sum "
+    "aggregates exact integer micro-units so the fold is order-"
+    "insensitive; only compact (vec, subspace) rows ever shuffle. "
+    "Self-matches are excluded (ann1 convention).",
+    tags=("similarity", "llm", "embedding", "quantize"),
+)
+def ann6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    sub = e.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(
+            f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+            "x -> CAST(x AS DOUBLE))"
+        ).alias("sv"),
+    )
+    csub = F.broadcast(
+        sub.filter(F.col("vec_id") < PQ_TRAIN).select(
+            F.col("vec_id").alias("k"), "m", F.col("sv").alias("cv")
+        )
+    )
+    d2 = F.expr(_SPARK_L2.format(a="sv", b="cv"))
+    codes = (
+        sub.join(csub, "m")
+        .select("vec_id", "m", "k", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("k", F.struct("d2", "k")).alias("k"))
+    )
+    qd = F.broadcast(
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+        .join(csub, "m")
+        .select(
+            "query_id",
+            "m",
+            "k",
+            F.round(F.expr(_SPARK_L2.format(a="qv", b="cv")) * PQ_MICRO)
+            .cast("long")
+            .alias("qd2_micro"),
+        )
+    )
+    adc = (
+        codes.join(qd, ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2_micro").alias("adc2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc2_micro", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc2_micro",
+            F.sqrt(F.col("adc2_micro").cast("double") / PQ_MICRO).alias(
+                "adc_dist"
+            ),
+        )
+    )
+
+
 __all__ = [
     "ann1_cosine_topk",
     "ann2_lsh_bucketed",
@@ -547,4 +694,5 @@ __all__ = [
     "_SPARK_DOT",
     "_DUCK_DOT",
     "ann5_int8_quantize",
+    "ann6_pq_adc",
 ]
