@@ -56,6 +56,11 @@ HEADLINE = [
     "dd10_line_dedup",
     "pp5_domain_mixture",
     "pp6_production_funnel",
+    "tx12_gopher_rules",
+    "ts6_time_weighted_avg",
+    "pp7_contamination_report",
+    "j7_interval_overlap_join",
+    "ann6_pq_adc",
 ]
 
 

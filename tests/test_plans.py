@@ -432,3 +432,60 @@ def test_s15_partitioned_export_prunes_on_read(spark, tmp_path):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "lang" in pf and "en" in pf, pf
+
+
+def test_ts6_single_exchange_reused_by_aggregate(spark):
+    """ts6's LEAD window and the integrating groupBy both key on
+    user_id: Catalyst must reuse the window's hash exchange for the
+    aggregation — exactly one Exchange in the whole plan."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "ts6_time_weighted_avg")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n == 1, plan
+
+
+def test_j7_overlap_join_is_binned_not_theta(spark):
+    """j7's self-join must run on the (supplier, bin) equality key with
+    the interval predicate as an in-bucket filter — a hash join, never a
+    nested-loop theta join or cartesian product — and the shipdate slice
+    must reach the parquet scan."""
+    plan = plan_of(spark, "j7_interval_overlap_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_pp7_no_forced_broadcast_of_split_side(spark):
+    """pp7 inherits dc1's contract: the only broadcast may be the
+    constant-size bloom row (single-row aggregate) or small AQE-decided
+    sides — never a forced broadcast of the split-derived gram frames
+    (the logical plan must carry no user hint on a Generate side)."""
+    df = REGISTRY["pp7_contamination_report"].spark(spark, SF_DIR)
+    logical = df._jdf.queryExecution().logical().toString()
+    # the one legitimate hint is on the bloom row (an Aggregate of a
+    # single map row); a hint directly over the gram explode would name
+    # Generate within two lines of the hint node
+    import re
+
+    for m in re.finditer(r"ResolvedHint.*\n(.*\n?){0,2}", logical):
+        assert "Generate" not in m.group(0), m.group(0)
+
+
+def test_ann6_codebook_and_lut_broadcast_corpus_never_shuffles_wide(spark):
+    """ann6's encode and ADC joins must broadcast the codebook / lookup
+    table sides (at most a few hundred rows) — the corpus side may only
+    shuffle as compact partial-aggregate rows, so the plan carries no
+    SortMergeJoin and at least two broadcast joins."""
+    plan = plan_of(spark, "ann6_pq_adc")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
