@@ -686,6 +686,165 @@ def ann6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- ann7: k-means training (unrolled Lloyd iterations) --------------------
+
+KM_K = 8          # clusters
+KM_MICRO = 1_000_000  # micro-unit quantization for order-insensitive sums
+
+
+def _duck_km_assign(vcte: str, ccte: str, out: str) -> str:
+    """DuckDB CTE assigning each vector of ``vcte`` to its nearest
+    centroid of ``ccte`` (L2², ties to the smaller cluster id)."""
+    d2 = _DUCK_L2.format(a=f"{vcte}.emb", b=f"{ccte}.c")
+    return f"""{out} AS (
+            SELECT vec_id, emb, cluster_id, d2 FROM (
+                SELECT {vcte}.vec_id, {vcte}.emb,
+                       {ccte}.cluster_id, {d2} AS d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY {vcte}.vec_id
+                           ORDER BY {d2}, {ccte}.cluster_id
+                       ) AS rn
+                FROM {vcte} CROSS JOIN {ccte}
+            ) WHERE rn = 1
+        )"""
+
+
+@register(
+    "ann7_kmeans_train",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   [CAST(x AS DOUBLE) for x in embedding] AS emb
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cluster_id, emb AS c FROM v
+            WHERE vec_id < {KM_K}
+        ),
+        {_duck_km_assign("v", "c0", "a1")},
+        g1 AS (
+            SELECT cluster_id, i,
+                   CAST(SUM(CAST(FLOOR(emb[i] * {KM_MICRO}) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM a1, generate_series(1, {DIM}) AS d(i)
+            GROUP BY cluster_id, i
+        ),
+        cent1 AS (
+            SELECT cluster_id, i,
+                   CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {KM_MICRO}.0)
+                       AS mean, n
+            FROM g1
+        ),
+        c1 AS (
+            SELECT cluster_id, list(mean ORDER BY i) AS c
+            FROM cent1 GROUP BY cluster_id
+        ),
+        {_duck_km_assign("v", "c1", "a2")},
+        stats2 AS (
+            SELECT cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members_2,
+                   CAST(SUM(CAST(FLOOR(d2 * {KM_MICRO}) AS BIGINT))
+                        AS BIGINT) AS inertia_micro
+            FROM a2 GROUP BY cluster_id
+        ),
+        digest AS (
+            SELECT cluster_id,
+                   CAST(SUM(CAST(FLOOR(mean * {KM_MICRO}) AS BIGINT))
+                        AS BIGINT) AS centroid_digest,
+                   ANY_VALUE(n) AS n_members_1
+            FROM cent1 GROUP BY cluster_id
+        )
+        SELECT d.cluster_id, d.n_members_1, COALESCE(s.n_members_2, 0)
+                   AS n_members_2,
+               d.centroid_digest,
+               COALESCE(s.inertia_micro, 0) AS inertia_micro
+        FROM digest d LEFT JOIN stats2 s USING (cluster_id)
+    """,
+    doc=f"Distributed k-means training, two Lloyd iterations unrolled "
+    f"(k={KM_K}, L2, deterministic init = the first {KM_K} corpus "
+    "vectors): assign (broadcast centroids, min_by partial aggregate) "
+    "-> recompute means (posexplode to (cluster, dim), integer "
+    "micro-unit sums so the cross-row fold is order-insensitive, "
+    "rebuild centroid arrays via sorted collect) -> assign again; "
+    "emits per-cluster sizes for both iterations, a centroid digest, "
+    "and the final inertia. This is the training loop ann3's IVF and "
+    "ann6's PQ docstrings defer to — at 100 TB each iteration is one "
+    "broadcast-join pass over the corpus plus a (k x dim)-row "
+    "aggregate, the canonical Spark ML shape (production runs it to "
+    "convergence on a sample; the per-iteration plan is identical).",
+    tags=("similarity", "llm", "embedding", "iterative"),
+)
+def ann7_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    c0 = v.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("c")
+    )
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        d2 = F.expr(_SPARK_L2.format(a="emb", b="c"))
+        scored = v.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "emb", "cluster_id", d2.alias("d2")
+        )
+        return scored.groupBy("vec_id").agg(
+            F.min_by("cluster_id", F.struct("d2", "cluster_id")).alias(
+                "cluster_id"
+            ),
+            F.min("d2").alias("d2"),
+            F.first("emb").alias("emb"),
+        )
+
+    a1 = assign(c0)
+    g1 = (
+        a1.select("cluster_id", F.posexplode("emb").alias("i0", "x"))
+        .groupBy("cluster_id", (F.col("i0") + 1).alias("i"))
+        .agg(
+            F.sum(F.floor(F.col("x") * KM_MICRO).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    cent1 = g1.select(
+        "cluster_id",
+        "i",
+        (F.col("s").cast("double") / (F.col("n").cast("double") * KM_MICRO)).alias(
+            "mean"
+        ),
+        "n",
+    )
+    c1 = cent1.groupBy("cluster_id").agg(
+        F.collect_list(F.struct("i", "mean")).alias("im")
+    ).select(
+        "cluster_id",
+        F.expr("transform(array_sort(im), s -> s.mean)").alias("c"),
+    )
+    a2 = assign(c1)
+    stats2 = a2.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members_2"),
+        F.sum(F.floor(F.col("d2") * KM_MICRO).cast("long")).alias(
+            "inertia_micro"
+        ),
+    )
+    digest = cent1.groupBy("cluster_id").agg(
+        F.sum(F.floor(F.col("mean") * KM_MICRO).cast("long")).alias(
+            "centroid_digest"
+        ),
+        F.first("n").alias("n_members_1"),
+    )
+    return digest.join(stats2, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members_1",
+        F.coalesce("n_members_2", F.lit(0)).alias("n_members_2"),
+        "centroid_digest",
+        F.coalesce("inertia_micro", F.lit(0)).alias("inertia_micro"),
+    )
+
+
 __all__ = [
     "ann1_cosine_topk",
     "ann2_lsh_bucketed",
@@ -695,4 +854,5 @@ __all__ = [
     "_DUCK_DOT",
     "ann5_int8_quantize",
     "ann6_pq_adc",
+    "ann7_kmeans_train",
 ]
