@@ -472,6 +472,36 @@ J7_FROM, J7_TO = "1996-01-01", "1996-02-28"
 J7_BIN_DAYS = 16
 
 
+def _shipment_intervals(l: DataFrame) -> DataFrame:
+    """(l_suppkey, iv_id, sd, ed): the in-transit window of every shipment
+    in the j7 date slice, as epoch-day integers (shared by j7/ts7)."""
+    return (
+        l.filter(
+            F.col("l_shipdate").between(
+                f"{J7_FROM} 00:00:00", f"{J7_TO} 23:59:59"
+            )
+        )
+        .select(
+            "l_suppkey",
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iv_id"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit(J7_FROM).cast("date"),
+            ).alias("sd0"),
+            (F.col("l_quantity").cast("int") % 28 + 3).alias("dur"),
+        )
+        .select(
+            "l_suppkey",
+            "iv_id",
+            # rebase to the epoch so bin ids match any other interval set
+            (F.col("sd0") + F.lit(9497)).alias("sd"),  # days('1996-01-01')
+            (F.col("sd0") + F.lit(9497) + F.col("dur")).alias("ed"),
+        )
+    )
+
+
+
+
 @register(
     "j7_interval_overlap_join",
     oracle=f"""
@@ -513,30 +543,7 @@ J7_BIN_DAYS = 16
     tags=("join", "range", "interval"),
 )
 def j7_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    iv = (
-        l.filter(
-            F.col("l_shipdate").between(
-                f"{J7_FROM} 00:00:00", f"{J7_TO} 23:59:59"
-            )
-        )
-        .select(
-            "l_suppkey",
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iv_id"),
-            F.datediff(
-                F.col("l_shipdate").cast("date"),
-                F.lit(J7_FROM).cast("date"),
-            ).alias("sd0"),
-            (F.col("l_quantity").cast("int") % 28 + 3).alias("dur"),
-        )
-        .select(
-            "l_suppkey",
-            "iv_id",
-            # rebase to the epoch so bin ids match any other interval set
-            (F.col("sd0") + F.lit(9497)).alias("sd"),  # days('1996-01-01')
-            (F.col("sd0") + F.lit(9497) + F.col("dur")).alias("ed"),
-        )
-    )
+    iv = _shipment_intervals(load_table(spark, sf_dir, "lineitem"))
     binned = iv.select(
         "l_suppkey",
         "iv_id",
@@ -574,4 +581,72 @@ def j7_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intervals",
             F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         )
+    )
+
+
+@register(
+    "ts7_max_concurrent_intervals",
+    oracle=f"""
+        WITH iv AS (
+            SELECT l_suppkey,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                       AS sd,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                       + CAST(l_quantity AS INT) % 28 + 3 AS ed
+            FROM lineitem
+            WHERE l_shipdate BETWEEN DATE '{J7_FROM}' AND DATE '{J7_TO}'
+        ),
+        ev AS (
+            SELECT l_suppkey, sd AS day, 1 AS delta FROM iv
+            UNION ALL
+            SELECT l_suppkey, ed + 1 AS day, -1 AS delta FROM iv
+        ),
+        sweep AS (
+            SELECT l_suppkey,
+                   CAST(SUM(delta) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY day, delta DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS open_now
+            FROM ev
+        )
+        SELECT l_suppkey,
+               CAST(MAX(open_now) AS BIGINT) AS max_concurrent,
+               CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+        FROM sweep GROUP BY l_suppkey
+    """,
+    doc="Maximum interval concurrency per supplier — the sweep-line dual "
+    "of j7's pair count: every in-transit window emits a +1 at its "
+    "start day and a -1 past its end day; a per-supplier running sum "
+    "over the merged event stream is the number of shipments open at "
+    "each instant, and its max is the peak concurrent load. Within a "
+    "day, arrivals order before departures (delta DESC) so closed "
+    "intervals touch correctly; the partition max is invariant to any "
+    "remaining tie order because the running sum is monotone within a "
+    "run of equal deltas. One shuffle on supplier shared by the window "
+    "and the final aggregate; integer arithmetic end-to-end.",
+    tags=("timeseries", "window", "interval"),
+)
+def ts7_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _shipment_intervals(load_table(spark, sf_dir, "lineitem"))
+    ev = iv.select(
+        "l_suppkey", F.col("sd").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "l_suppkey",
+            (F.col("ed") + 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("day"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = ev.select(
+        "l_suppkey", F.sum("delta").over(w).cast("long").alias("open_now")
+    )
+    return sweep.groupBy("l_suppkey").agg(
+        F.max("open_now").alias("max_concurrent"),
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
     )
