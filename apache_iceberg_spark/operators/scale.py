@@ -640,3 +640,54 @@ def m11_incremental_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_append(o.filter(F.col("o_orderkey") % 10 == 5), table)
     commit_append(o.filter(F.col("o_orderkey") % 10 == 0), table)
     return read_incremental(spark, table, from_version=v1).select(*o.columns)
+
+
+@register(
+    "m12_schema_evolution_scan",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus
+                    ELSE 'NA' END AS status
+        FROM orders
+    """,
+    doc="Schema-evolution scan (Iceberg add-column semantics, the "
+    "lakehouse mechanic that lets 100 TB of historical files stay "
+    "untouched when the schema grows): v1 files are written without "
+    "the status column, the schema evolves, v2 files carry it; one "
+    "read reconciles both generations (mergeSchema) and fills the "
+    "pre-evolution rows with the declared default ('NA') — no rewrite "
+    "of old data, the fill is a map-only coalesce at scan time, "
+    "exactly how Iceberg serves initial-default values for columns "
+    "added after a file was committed. Oracle: the same table with "
+    "the default applied to the v1 half.",
+    tags=("scale", "schema", "lakehouse"),
+)
+def m12_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderstatus",
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="evo_"), "orders")
+    # generation 1: schema without `o_orderstatus`
+    o.filter(F.col("o_orderkey") % 2 == 1).drop("o_orderstatus").write.parquet(
+        os.path.join(table, "gen=1")
+    )
+    # schema evolves; generation 2 carries the new column
+    o.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+        os.path.join(table, "gen=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(table, "gen=1"), os.path.join(table, "gen=2")
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "price_cents",
+        F.coalesce("o_orderstatus", F.lit("NA")).alias("status"),
+    )
