@@ -691,3 +691,45 @@ def m12_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents",
         F.coalesce("o_orderstatus", F.lit("NA")).alias("status"),
     )
+
+
+@register(
+    "m13_merge_on_read_scan",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE NOT (o_orderkey % 7 = 3 AND o_orderstatus = 'O')
+    """,
+    doc="Merge-on-read scan with equality delete files (Iceberg v2's "
+    "read path for row-level deletes without rewriting data files — the "
+    "companion of m9's write-side MERGE): the base snapshot stays "
+    "untouched on disk; a separate, tiny delete file records the "
+    "deleted keys; every reader applies it as an anti-join at scan "
+    "time. At 100 TB this is why a delete of a few million rows "
+    "commits in seconds — only the delete file is written — and the "
+    "read-side reconciliation stays cheap because the delete side is "
+    "orders of magnitude smaller than the base (AQE broadcasts it; no "
+    "hint needed). Compaction (m4) eventually folds delete files back "
+    "into data files. Oracle: the base minus the deleted predicate.",
+    tags=("scale", "lakehouse", "merge-on-read"),
+)
+def m13_merge_on_read_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="mor_"), "orders")
+    o.write.parquet(os.path.join(table, "data"))
+    # the equality-delete file: keys only, written without touching data
+    o.filter(
+        (F.col("o_orderkey") % 7 == 3) & (F.col("o_orderstatus") == "O")
+    ).select("o_orderkey").write.parquet(os.path.join(table, "deletes"))
+    base = spark.read.parquet(os.path.join(table, "data"))
+    dels = spark.read.parquet(os.path.join(table, "deletes"))
+    return base.join(dels, "o_orderkey", "left_anti")
