@@ -493,3 +493,49 @@ def test_snapshot_append_incremental_model(spark, batches, tmp_path_factory):
         for r in read_incremental(spark, table, from_version=v_from).collect()
     }
     assert inc == state[-1] - state[first_of_suffix]
+
+
+@given(
+    h=st.integers(0, 2**32 - 1),
+    flips=st.lists(st.integers(0, 31), max_size=3, unique=True),
+)
+def test_mm6_band_pigeonhole_lossless(h, flips):
+    """Any two 32-bit hashes within Hamming distance MM6_HAMMING_MAX must
+    agree on at least one of the MM6_BANDS bit-bands (pigeonhole — the
+    property that makes mm6's banded candidate generation LOSSLESS)."""
+    from apache_iceberg_spark.operators.pipeline import (
+        MM6_BAND_BITS,
+        MM6_BANDS,
+        MM6_HAMMING_MAX,
+    )
+
+    assert len(flips) <= MM6_HAMMING_MAX
+    other = h
+    for b in flips:
+        other ^= 1 << b
+    mask = (1 << MM6_BAND_BITS) - 1
+    bands_agree = [
+        ((h >> (MM6_BAND_BITS * i)) & mask)
+        == ((other >> (MM6_BAND_BITS * i)) & mask)
+        for i in range(MM6_BANDS)
+    ]
+    assert any(bands_agree)
+
+
+@given(
+    a=st.tuples(st.integers(0, 10**5), st.integers(0, 40)),
+    b=st.tuples(st.integers(0, 10**5), st.integers(0, 40)),
+)
+def test_j7_bin_cover_lossless(a, b):
+    """If two closed integer intervals overlap, they share at least one
+    J7_BIN_DAYS-wide bin — so j7's (key, bin) candidate join can never
+    miss an overlapping pair, whatever the bin width."""
+    from apache_iceberg_spark.operators.functions_ext import J7_BIN_DAYS
+
+    (s1, d1), (s2, d2) = a, b
+    e1, e2 = s1 + d1, s2 + d2
+    overlaps = s1 <= e2 and s2 <= e1
+    bins1 = set(range(s1 // J7_BIN_DAYS, e1 // J7_BIN_DAYS + 1))
+    bins2 = set(range(s2 // J7_BIN_DAYS, e2 // J7_BIN_DAYS + 1))
+    if overlaps:
+        assert bins1 & bins2
