@@ -650,3 +650,62 @@ def ts7_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("open_now").alias("max_concurrent"),
         (F.count("*") / 2).cast("long").alias("n_intervals"),
     )
+
+
+@register(
+    "f11_map_funcs",
+    oracle="""
+        SELECT event_id,
+               3 AS n_entries,
+               'bucket,k,type' AS keys_csv,
+               event_type AS type_val,
+               'bucket=' || CAST(event_id % 10 AS VARCHAR)
+                   || '|k=' || json_extract_string(props, '$.k')
+                   || '|type=' || event_type AS kv_digest,
+               CAST(1 + CASE WHEN length(event_type) <= 2 THEN 1 ELSE 0 END
+                      + CASE WHEN length(json_extract_string(props, '$.k')) <= 2
+                             THEN 1 ELSE 0 END AS INT) AS n_short_vals
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    doc="Map-type function surface (completing §2.7 alongside the "
+    "string/date/math/json/array/regex families): build a "
+    "map<string,string> per event from its JSON payload and columns, "
+    "then exercise size, map_keys, element_at, map_entries (sorted "
+    "canonical serialization), and a map_filter higher-order predicate. "
+    "The oracle states each output from the source columns directly — "
+    "so it checks the map operators' SEMANTICS, not a reimplementation. "
+    "Everything is a JVM expression tree (map ops stay in codegen); "
+    "map-typed columns never cross the result boundary (the driver's "
+    "hasher canonicalizes only scalars), so the map is consumed into "
+    "scalar digests in the same projection.",
+    tags=("functions", "map"),
+)
+def f11_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k_val = F.get_json_object("props", "$.k")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), k_val,
+        F.lit("bucket"), (F.col("event_id") % 10).cast("string"),
+    )
+    return (
+        e.filter(k_val.isNotNull())
+        .select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.size("m").alias("n_entries"),
+            F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
+            F.element_at("m", F.lit("type")).alias("type_val"),
+            F.concat_ws(
+                "|",
+                F.expr(
+                    "transform(array_sort(map_entries(m)), "
+                    "e -> concat(e.key, '=', e.value))"
+                ),
+            ).alias("kv_digest"),
+            F.size(
+                F.map_filter("m", lambda k, v: F.length(v) <= 2)
+            ).alias("n_short_vals"),
+        )
+    )
