@@ -733,3 +733,58 @@ def m13_merge_on_read_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.read.parquet(os.path.join(table, "data"))
     dels = spark.read.parquet(os.path.join(table, "deletes"))
     return base.join(dels, "o_orderkey", "left_anti")
+
+
+@register(
+    "m14_incremental_agg_maintenance",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Incremental aggregate maintenance — the materialized-view "
+    "pattern that makes dashboards affordable at 100 TB: the standing "
+    "per-status totals are persisted once (the 'view'); when a new "
+    "batch appends (m11's snapshot mechanic), only the BATCH is "
+    "aggregated and merged into the stored partials — count and sum "
+    "are self-merging (algebraic) aggregates, so merge = re-aggregate "
+    "the union of two tiny aggregate tables, never a rescan of "
+    "history. The oracle is the full recompute over the whole table — "
+    "proving merge(stored, delta) == recompute(everything), the "
+    "correctness contract of any IVM scheme. The same shape runs "
+    "continuously as st-family foreachBatch.",
+    tags=("scale", "incremental", "aggregate"),
+)
+def m14_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    mv = os.path.join(tempfile.mkdtemp(prefix="ivm_"), "mv")
+    # historical load: aggregate once, persist the partials (the view)
+    agg(o.filter(F.col("o_orderkey") % 4 != 0)).write.parquet(mv)
+    # a batch appends: aggregate ONLY the delta and merge into the view
+    delta = agg(o.filter(F.col("o_orderkey") % 4 == 0))
+    return (
+        spark.read.parquet(mv)
+        .unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )
