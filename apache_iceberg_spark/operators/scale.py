@@ -788,3 +788,60 @@ def m14_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("total_cents").alias("total_cents"),
         )
     )
+
+
+@register(
+    "m15_partition_evolution_scan",
+    oracle="""
+        SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)
+                   AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1
+    """,
+    doc="Partition-spec evolution scan (Iceberg's evolve-without-rewrite "
+    "mechanic): generation-1 files predate partitioning and sit "
+    "unpartitioned; the spec later evolves to partition by order "
+    "status, so generation-2 files land under status=<v>/ directories. "
+    "One query plans over both generations — the status predicate "
+    "prunes gen-2 at the DIRECTORY level (PartitionFilters: whole "
+    "partitions never open) while the same predicate pushes into the "
+    "gen-1 row-group scan (PushedFilters) — which is exactly how "
+    "Iceberg evaluates one filter against files written under "
+    "different historical specs. At 100 TB the old files keep serving "
+    "reads with row-group pruning until compaction migrates them; "
+    "nothing is rewritten at evolution time. Plan shape locked in "
+    "tests/test_plans.py.",
+    tags=("scale", "lakehouse", "partitioning"),
+)
+def m15_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="pevo_"), "orders")
+    # generation 1: the pre-evolution spec (unpartitioned files)
+    o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(
+        os.path.join(table, "gen1")
+    )
+    # spec evolves; generation 2 writes under status=<v>/ directories
+    o.filter(F.col("o_orderkey") % 3 != 0).write.partitionBy(
+        "o_orderstatus"
+    ).parquet(os.path.join(table, "gen2"))
+    gen1 = spark.read.parquet(os.path.join(table, "gen1"))
+    gen2 = spark.read.parquet(os.path.join(table, "gen2")).select(*gen1.columns)
+    both = gen1.unionByName(gen2).filter(F.col("o_orderstatus") == "F")
+    return both.groupBy(
+        F.date_trunc("year", F.col("o_orderdate")).alias("order_year")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -489,3 +489,23 @@ def test_ann6_codebook_and_lut_broadcast_corpus_never_shuffles_wide(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_m15_one_filter_prunes_both_generations(spark):
+    """m15's status predicate must reach BOTH file generations in their
+    own idiom: directory-level PartitionFilters on the evolved
+    (partitioned) files, row-group PushedFilters on the pre-evolution
+    (unpartitioned) files."""
+    plan = plan_of(spark, "m15_partition_evolution_scan")
+    part = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "o_orderstatus" in l
+    ]
+    assert part, plan  # gen-2: whole directories pruned
+    pushed = [
+        l
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "EqualTo(o_orderstatus,F)" in l
+    ]
+    assert pushed, plan  # gen-1: predicate at the row-group reader
