@@ -595,3 +595,116 @@ def st9_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = run_stream_to_memory(bars, "st9_ohlc")
     return spark.table(qname)
+
+
+def _twa_state_fn(key, pdf_iter, state):
+    """Streaming LOCF integrator: carries (last_tus, last_v_cents,
+    weighted, span, n_intervals) per user; all arithmetic is exact
+    integer micro-units, so the bounded run reproduces ts6 bitwise."""
+    import pandas as pd
+
+    if state.exists:
+        last_tus, last_v, acc_w, acc_span, n_iv = state.get
+    else:
+        last_tus, last_v, acc_w, acc_span, n_iv = None, None, 0, 0, 0
+    rows = pd.concat(list(pdf_iter))
+    rows = rows.sort_values(["tus", "event_id"])
+    for tus, v_cents in zip(rows["tus"], rows["v_cents"]):
+        tus, v_cents = int(tus), int(v_cents)
+        if last_tus is not None:
+            dt = tus - last_tus
+            acc_w += last_v * dt
+            acc_span += dt
+            n_iv += 1
+        last_tus, last_v = tus, v_cents
+    state.update((last_tus, last_v, acc_w, acc_span, n_iv))
+    if acc_span > 0:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_intervals": n_iv,
+                    "span_us": acc_span,
+                    "weighted_cents_us": acc_w,
+                    "twa_value": acc_w / (acc_span * 100.0),
+                }
+            ]
+        )
+
+
+@register(
+    "st10_stream_time_weighted_avg",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+            FROM events
+        ),
+        d AS (
+            SELECT user_id, v_cents,
+                   LEAD(tus) OVER (
+                       PARTITION BY user_id ORDER BY tus, event_id
+                   ) - tus AS dt_us
+            FROM s
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dt_us) AS BIGINT) AS span_us,
+               CAST(SUM(v_cents * dt_us) AS BIGINT) AS weighted_cents_us,
+               CAST(CAST(SUM(v_cents * dt_us) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(SUM(dt_us) AS BIGINT) * 100 AS DOUBLE)
+                   AS twa_value
+        FROM d
+        WHERE dt_us IS NOT NULL
+        GROUP BY user_id
+        HAVING CAST(SUM(dt_us) AS BIGINT) > 0
+    """,
+    doc="Streaming time-weighted average — ts6's LOCF integral as a "
+    "custom stateful operator (applyInPandasWithState): per-user state "
+    "carries the last observation and exact integer accumulators "
+    "(cents x microseconds), each micro-batch advances the integral, "
+    "and the quantization to v_cents happens in Spark expressions "
+    "BEFORE the Python boundary so both engines round identically. "
+    "State is O(1) per user whatever the stream length — the metric "
+    "downsampler shape for a 100 TB event firehose. The bounded "
+    "availableNow run equals the batch ts6 oracle bitwise.",
+    tags=("streaming", "stateful", "timeseries"),
+)
+def st10_stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    twa = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _twa_state_fn,
+            outputStructType=(
+                "user_id LONG, n_intervals LONG, span_us LONG, "
+                "weighted_cents_us LONG, twa_value DOUBLE"
+            ),
+            stateStructType=(
+                "last_tus LONG, last_v LONG, acc_w LONG, acc_span LONG, "
+                "n_iv LONG"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    qname = f"st10_twa_{next(_stream_ids)}"
+    query = (
+        twa.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
