@@ -527,3 +527,83 @@ def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey")
     )
     return a.subtract(b)  # EXCEPT = distinct set difference
+
+
+@register(
+    "o6_keyset_pagination",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice <= 50000.0
+          AND (o_totalprice < 50000.0 OR o_orderkey > 123)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    doc="Keyset (cursor) pagination — the scale-correct companion of "
+    "o4's offset form: the client passes the last row it saw as a "
+    "(price, key) cursor and the next page is a pure filter + top-k. "
+    "Unlike OFFSET (which must produce and discard every earlier row — "
+    "O(page_depth) per request), the cursor predicate is written "
+    "pushdown-friendly (a sargable price bound AND'd with the "
+    "tie-breaker) so it reaches the parquet reader and page 10,000 "
+    "costs the same as page 1; the top-k is a TakeOrderedAndProject, "
+    "never a global sort.",
+    tags=("sort", "limit", "pagination"),
+)
+def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cursor_price, cursor_key = 50000.0, 123
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(
+            (F.col("o_totalprice") <= cursor_price)
+            & (
+                (F.col("o_totalprice") < cursor_price)
+                | (F.col("o_orderkey") > cursor_key)
+            )
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "u6_bag_set_ops",
+    oracle="""
+        WITH a AS (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1996-04-01'
+        ),
+        b AS (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_shipdate >= DATE '1996-04-01'
+              AND l_shipdate < DATE '1996-07-01'
+        )
+        SELECT 'except' AS op, l_suppkey FROM (
+            SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+        UNION ALL
+        SELECT 'intersect' AS op, l_suppkey FROM (
+            SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+    """,
+    doc="Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) — the "
+    "multiplicity-preserving duals of u2/u3's set forms: supplier "
+    "activity in Q1-1996 minus / intersected with Q2-1996, where a "
+    "supplier shipping 5 vs 2 lineitems contributes 3 and 2 copies "
+    "respectively. Spark plans both as a single count-aggregating "
+    "shuffle per operator (generate min/diff of per-key counts), not a "
+    "join per duplicate — the multiplicities never materialize until "
+    "the final replicate.",
+    tags=("setop",),
+)
+def u6_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).select("l_suppkey")
+    b = l.filter(
+        (F.col("l_shipdate") >= "1996-04-01") & (F.col("l_shipdate") < "1996-07-01")
+    ).select("l_suppkey")
+    ex = a.exceptAll(b).select(F.lit("except").alias("op"), "l_suppkey")
+    ix = a.intersectAll(b).select(F.lit("intersect").alias("op"), "l_suppkey")
+    return ex.unionByName(ix)

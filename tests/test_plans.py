@@ -509,3 +509,13 @@ def test_m15_one_filter_prunes_both_generations(spark):
         if "PushedFilters" in l and "EqualTo(o_orderstatus,F)" in l
     ]
     assert pushed, plan  # gen-1: predicate at the row-group reader
+
+
+def test_o6_keyset_cursor_pushes_down_and_takes_ordered(spark):
+    """o6's cursor predicate must reach the parquet reader (the whole
+    point of keyset over offset pagination) and the page must come from
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "o6_keyset_pagination")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "LessThanOrEqual(o_totalprice" in pushed, pushed
+    assert "TakeOrderedAndProject" in plan, plan
