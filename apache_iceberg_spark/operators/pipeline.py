@@ -1847,3 +1847,78 @@ def line_dedup(d: DataFrame) -> DataFrame:
             ).alias("text_kept"),
         )
     )
+
+
+#: pp8: hash-bucket fan-out for the distributed global rank (the bucket id
+#: is the TOP bits of the shuffle hash, so (bucket, hash) sorts identically
+#: to hash alone).
+PP8_BUCKET_SHIFT = 52  # 2^60-bit hash -> 256 rank buckets
+
+
+@register(
+    "pp8_corpus_shuffle",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {DUCK_HEX2INT.format(s="concat('shuffle:', CAST(doc_id AS VARCHAR))")}
+                       AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id, shuffle_key,
+               CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)
+                    AS BIGINT) AS shuffle_rank
+        FROM h
+    """,
+    doc="Deterministic corpus shuffle — the 'shuffle once, stream "
+    "forever' step before training: every document gets a salted-hash "
+    "shuffle key (reproducible across runs, independent of input "
+    "order) and a GLOBAL dense rank in that order. The oracle states "
+    "the single global ROW_NUMBER; the Spark plan never runs one "
+    "(a global window is a single-task sort — the anti-pattern w4 "
+    "flags): the hash's top bits split the corpus into 256 rank "
+    "buckets whose order is consistent with the full key, ranks are "
+    "computed per-bucket in parallel windows, bucket counts prefix-sum "
+    "on a 256-row frame, and the broadcast-joined offsets rebase each "
+    "bucket — pp2's two-level prefix sum applied to ranks. At 100 TB "
+    "this is exactly how a corpus is written in shuffled order: "
+    "repartitionByRange on the key, rank within files, offset by file "
+    "ordinal.",
+    tags=("pipeline", "llm", "sampling"),
+)
+def pp8_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.expr(
+            SPARK_HEX2INT.format(s="concat('shuffle:', CAST(doc_id AS STRING))")
+        ).alias("shuffle_key"),
+    ).select(
+        "doc_id",
+        "shuffle_key",
+        F.shiftright("shuffle_key", PP8_BUCKET_SHIFT).alias("bucket"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    )
+    per_doc = h.withColumn("within_rank", within)
+    btot = h.groupBy("bucket").agg(F.count("*").alias("btot"))
+    bprefix = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("btot").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("bprefix"),
+    )
+    return per_doc.join(F.broadcast(bprefix), "bucket").select(
+        "doc_id",
+        "shuffle_key",
+        (F.col("bprefix") + F.col("within_rank")).cast("long").alias(
+            "shuffle_rank"
+        ),
+    )

@@ -519,3 +519,20 @@ def test_o6_keyset_cursor_pushes_down_and_takes_ordered(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "LessThanOrEqual(o_totalprice" in pushed, pushed
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pp8_no_global_single_partition_sort(spark):
+    """pp8's global rank must come from per-bucket windows + a broadcast
+    bucket-prefix rebase — the plan may carry no single-partition
+    Exchange over the corpus (the 256-row bucket frame is the only
+    SinglePartition allowed)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "pp8_corpus_shuffle")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # corpus-side window shuffles on bucket; the only SinglePartition
+    # exchange feeds the 256-row bucket-totals window
+    assert "hashpartitioning(bucket" in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
