@@ -539,3 +539,24 @@ def test_j7_bin_cover_lossless(a, b):
     bins2 = set(range(s2 // J7_BIN_DAYS, e2 // J7_BIN_DAYS + 1))
     if overlaps:
         assert bins1 & bins2
+
+
+@given(
+    keys=st.lists(st.integers(0, 2**60 - 1), min_size=1, max_size=200, unique=True),
+    shift=st.integers(40, 59),
+)
+def test_pp8_two_level_rank_equals_global_rank(keys, shift):
+    """The bucket-prefix + within-bucket rank decomposition must equal the
+    global sorted rank for ANY bucket shift, because the bucket id is the
+    top bits of the key (order-consistent prefix)."""
+    order = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    buckets = {}
+    for k in sorted(keys):
+        buckets.setdefault(k >> shift, []).append(k)
+    prefix, offset = {}, 0
+    for b in sorted(buckets):
+        prefix[b] = offset
+        offset += len(buckets[b])
+    for b, ks in buckets.items():
+        for within, k in enumerate(sorted(ks), start=1):
+            assert prefix[b] + within == order[k]
