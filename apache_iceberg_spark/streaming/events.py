@@ -708,3 +708,112 @@ def st10_stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     query.awaitTermination()
     return spark.table(qname)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (schema from the static
+    read, the streaming-source requirement)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@register(
+    "st11_stream_decontam_ingest",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, text,
+                   CASE WHEN list_reduce([strpos('0123456789abcdef', c) - 1
+                            for c in regexp_extract_all(substr(md5(
+                                concat('split:', CAST(doc_id AS VARCHAR))),
+                                1, 15), '.')],
+                            (a, b) -> a * 16 + b) % 100 < 80 THEN 'train'
+                        WHEN list_reduce([strpos('0123456789abcdef', c) - 1
+                            for c in regexp_extract_all(substr(md5(
+                                concat('split:', CAST(doc_id AS VARCHAR))),
+                                1, 15), '.')],
+                            (a, b) -> a * 16 + b) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, split,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM s
+        ),
+        grams AS (
+            SELECT doc_id, split,
+                   unnest([array_to_string(t[i:i+4], ' ')
+                           for i in generate_series(
+                               1, greatest(len(t) - 4, 0))]) AS g
+            FROM toks
+        )
+        SELECT DISTINCT a.doc_id
+        FROM grams a JOIN grams b USING (g)
+        WHERE a.split = 'train' AND b.split = 'test'
+    """,
+    doc="Streaming ingest-time decontamination: as training documents "
+    "arrive on the stream, their 5-token grams are checked against the "
+    "static benchmark gram set (a stream-static LEFT SEMI join — the "
+    "natural shape, since a real benchmark suite is MBs against an "
+    "unbounded stream) and contaminated doc ids are emitted exactly "
+    "once via streaming dropDuplicates. Gram explosion and split "
+    "assignment run map-only inside the micro-batch; only matching "
+    "gram rows reach the dedup state. In production the doc-id dedup "
+    "state is bounded by a watermark on ingest time; the fixture "
+    "stream is bounded (availableNow), matching dc1's batch flag set "
+    "(ids only).",
+    tags=("streaming", "dedup", "decontamination", "llm"),
+)
+def st11_stream_decontam_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.pipeline import DECONTAM_N, _TOKEN_SPLIT
+    from apache_iceberg_spark.operators.text import SPARK_HEX2INT
+
+    split_bucket = (
+        F.expr(SPARK_HEX2INT.format(s="concat('split:', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    split_col = (
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    gram_expr = F.expr(
+        f"transform(sequence(1, size(t) - {DECONTAM_N - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {DECONTAM_N})))"
+    )
+    # static side: the benchmark's gram set (batch read, distinct)
+    test_grams = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", split_col.alias("split"), toks.alias("t"))
+        .filter((F.col("split") == "test") & (F.size("t") >= DECONTAM_N))
+        .select(F.explode(gram_expr).alias("g"))
+        .distinct()
+    )
+    # streaming side: training docs exploded to grams as they arrive
+    train_grams = (
+        stream_documents(spark, sf_dir)
+        .select("doc_id", split_col.alias("split"), toks.alias("t"))
+        .filter((F.col("split") == "train") & (F.size("t") >= DECONTAM_N))
+        .select("doc_id", F.explode(gram_expr).alias("g"))
+    )
+    flagged = (
+        train_grams.join(test_grams, "g", "left_semi")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    qname = f"st11_decontam_{next(_stream_ids)}"
+    query = (
+        flagged.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
