@@ -845,3 +845,60 @@ def m15_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@register(
+    "m16_sketch_partials_merge",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+               TRUE AS merged_within_5pct
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Mergeable-sketch NDV maintenance — m14's incremental-view "
+    "pattern applied to COUNT DISTINCT, the aggregate that is NOT "
+    "naively self-merging: per-status DataSketches HLL sketches "
+    "(hll_sketch_agg) are persisted for the historical partition, the "
+    "append batch builds its own sketches, and the view refresh is "
+    "hll_union_agg over the stored binaries — register-wise max, no "
+    "rescan, no exact-distinct shuffle of history. Checked as a "
+    "bounds oracle (a17's convention, since sketch estimates are "
+    "approximate by design): the merged estimate must land within 5% "
+    "of the exact per-status NDV computed on both engines. At 100 TB "
+    "this is how NDV dashboards stay fresh under continuous appends.",
+    tags=("scale", "incremental", "approx", "sketch"),
+)
+def m16_sketch_partials_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+
+    def sketches(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.hll_sketch_agg("o_custkey").alias("sk")
+        )
+
+    mv = os.path.join(tempfile.mkdtemp(prefix="ndv_"), "sketches")
+    sketches(o.filter(F.col("o_orderkey") % 4 != 0)).write.parquet(mv)
+    delta = sketches(o.filter(F.col("o_orderkey") % 4 == 0))
+    merged = (
+        spark.read.parquet(mv)
+        .unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys")
+    )
+    return exact.join(merged, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_custkeys",
+        (
+            F.abs(F.col("approx") - F.col("exact_custkeys"))
+            <= 0.05 * F.col("exact_custkeys")
+        ).alias("merged_within_5pct"),
+    )
