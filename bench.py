@@ -63,6 +63,7 @@ HEADLINE = [
     "ts7_max_concurrent_intervals",
     "ann6_pq_adc",
     "ann7_kmeans_train",
+    "pp8_corpus_shuffle",
 ]
 
 
