@@ -845,6 +845,118 @@ def ann7_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- ann8: recall evaluation of the PQ index against exact ground truth ----
+
+
+@register(
+    "ann8_pq_recall_eval",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ),
+        exact_scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ({_DUCK_DOT.format(a='q.embedding', b='c.embedding')})
+                     / (q.norm * c.norm) AS cosine
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        exact_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS rn FROM exact_scored
+            ) WHERE rn <= {TOP_K}
+        ),
+        sub AS (
+            SELECT vec_id, m,
+                   [CAST(embedding[m * {PQ_SUB} + j] AS DOUBLE)
+                    for j in generate_series(1, {PQ_SUB})] AS sv
+            FROM embeddings, generate_series(0, {PQ_M - 1}) AS g(m)
+        ),
+        csub AS (
+            SELECT vec_id AS k, m, sv AS cv FROM sub
+            WHERE vec_id < {PQ_TRAIN}
+        ),
+        cand AS (
+            SELECT s.vec_id, s.m, c.k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_DUCK_L2.format(a="s.sv", b="c.cv")}, c.k
+                   ) AS rn
+            FROM sub s JOIN csub c USING (m)
+        ),
+        codes AS (SELECT vec_id, m, k FROM cand WHERE rn = 1),
+        qd AS (
+            SELECT q.vec_id AS query_id, c.m, c.k,
+                   CAST(ROUND({_DUCK_L2.format(a="q.sv", b="c.cv")}
+                        * {PQ_MICRO}) AS BIGINT) AS qd2_micro
+            FROM sub q JOIN csub c USING (m)
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        adc AS (
+            SELECT qd.query_id, codes.vec_id AS neighbor_id,
+                   CAST(SUM(qd.qd2_micro) AS BIGINT) AS adc2_micro
+            FROM codes JOIN qd ON codes.m = qd.m AND codes.k = qd.k
+            WHERE codes.vec_id <> qd.query_id
+            GROUP BY qd.query_id, codes.vec_id
+        ),
+        pq_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY adc2_micro, neighbor_id
+                ) AS rn FROM adc
+            ) WHERE rn <= {TOP_K}
+        )
+        SELECT e.query_id,
+               CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_overlap,
+               CAST(COUNT(p.neighbor_id) AS DOUBLE) / {TOP_K}
+                   AS recall_at_{TOP_K}
+        FROM exact_topk e
+        LEFT JOIN pq_topk p
+          ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+    doc=f"ANN index evaluation harness — recall@{TOP_K} of the PQ-ADC "
+    "index (ann6) against the exact cosine ground truth (ann1), per "
+    "query: the measurement loop every production vector index ships "
+    "with, built from the same two registered plans (both sides are "
+    "top-k frames of a few rows per query; the comparison join is "
+    "trivial). Low absolute recall is EXPECTED here — ADC ranks by "
+    "unnormalized L2 against a 16-entry sample codebook while the "
+    "truth is cosine — which is precisely what the harness is for: "
+    "quantifying that gap before swapping in trained centroids. At "
+    "100 TB the same query evaluates any index variant on a fixed "
+    "query sample for pennies, because only the two top-k frames ever "
+    "materialize.",
+    tags=("similarity", "llm", "embedding", "evaluation"),
+)
+def ann8_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann1_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = ann6_pq_adc(spark, sf_dir).select(
+        F.col("query_id").alias("p_qid"), F.col("neighbor_id").alias("p_nid")
+    )
+    return (
+        exact.join(
+            pq,
+            (F.col("query_id") == F.col("p_qid"))
+            & (F.col("neighbor_id") == F.col("p_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("p_nid").alias("n_overlap"),
+            (F.count("p_nid").cast("double") / TOP_K).alias(
+                f"recall_at_{TOP_K}"
+            ),
+        )
+    )
+
+
 __all__ = [
     "ann1_cosine_topk",
     "ann2_lsh_bucketed",
@@ -855,4 +967,5 @@ __all__ = [
     "ann5_int8_quantize",
     "ann6_pq_adc",
     "ann7_kmeans_train",
+    "ann8_pq_recall_eval",
 ]
