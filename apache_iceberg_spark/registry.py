@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
         analytics,
         dedup,
         functions_ext,
+        graph,
         multimodal,
         pipeline,
         relational,
