@@ -421,3 +421,93 @@ def ts6_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("span_us") * 100).cast("double")
         ).alias("twa_value"),
     )
+
+
+ZSCORE_WINDOW = 20  # trailing samples per user (current row included)
+ZSCORE_FLAG = 3.0
+
+
+@register(
+    "ts8_rolling_zscore_anomalies",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, event_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, event_id, v,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(v) OVER w AS BIGINT) AS s1,
+                   CAST(SUM(v * v) OVER w AS BIGINT) AS s2
+            FROM s
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {ZSCORE_WINDOW - 1} PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT user_id, event_id, v AS v_cents, n,
+               (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 * CAST(n AS DOUBLE) AS zscore_scaled
+        FROM m
+        WHERE n >= {ZSCORE_WINDOW}
+          AND CAST(n AS BIGINT) * s2 - s1 * s1 > 0
+          AND abs((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  * CAST(n AS DOUBLE)) > {ZSCORE_FLAG}
+    """,
+    doc=f"Rolling z-score anomaly detection: each event scored against "
+    f"its user's trailing {ZSCORE_WINDOW}-sample window; rows beyond "
+    f"|z| > {ZSCORE_FLAG} flag. The moments come from exact integer "
+    "sums (cents and squared cents over the ROWS frame — order-"
+    "insensitive bigints), so the only float math is the final "
+    "normalize from those exact integers, identical on both engines "
+    "(z is emitted in the algebraically-equivalent form "
+    "(x-mean)/sqrt(n*s2-s1²)*n to keep one canonical op order). One "
+    "shuffle on user_id; the frame is O(window) state per task — the "
+    "fleet-telemetry outlier shape at 100 TB.",
+    tags=("timeseries", "window", "anomaly"),
+)
+def ts8_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ZSCORE_WINDOW - 1), Window.currentRow)
+    )
+    s = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    m = s.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+    )
+    vd = F.col("v").cast("double")
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    z = (vd - s1d / nd) / F.sqrt(nd * s2d - s1d * s1d) * nd
+    return (
+        m.filter(
+            (F.col("n") >= ZSCORE_WINDOW)
+            & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("v").alias("v_cents"),
+            "n",
+            z.alias("zscore_scaled"),
+        )
+        .filter(F.abs(F.col("zscore_scaled")) > ZSCORE_FLAG)
+    )
