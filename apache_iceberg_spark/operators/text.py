@@ -537,3 +537,86 @@ def tx12_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stop"),
         (r_word_count & r_mean_len & r_alpha & r_stop).alias("keep"),
     )
+
+
+# tx13 pseudo-lines match dd10's convention (tokens per line); a real
+# crawl corpus swaps the splitter for split(text, '\n') unchanged.
+TX13_LINE_TOKENS = 10
+
+
+@register(
+    "tx13_within_doc_line_dedup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        l AS (
+            SELECT doc_id,
+                   [array_to_string(
+                        toks[(i - 1) * {TX13_LINE_TOKENS} + 1
+                             : i * {TX13_LINE_TOKENS}], ' ')
+                    for i in generate_series(1,
+                        CAST(ceil(len(toks) / {TX13_LINE_TOKENS}.0) AS INT))]
+                       AS lines
+            FROM t
+        ),
+        k AS (
+            SELECT doc_id, lines,
+                   [lines[i] for i in generate_series(1, len(lines))
+                    if list_position(lines[1:i-1], lines[i]) = 0]
+                       AS kept
+            FROM l
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept,
+               array_to_string(kept, ' ') AS cleaned_text,
+               1.0 - CAST(len(kept) AS DOUBLE) / len(lines) AS removed_frac
+        FROM k
+        WHERE len(lines) > 0
+    """,
+    doc="Within-document repeated-line REMOVAL — the transform behind "
+    "tx5's repetition score and the Gopher/C4 boilerplate cleanup: "
+    "each document's pseudo-lines (dd10's 10-token windows; swap in "
+    "split-by-newline on a real crawl) are deduplicated preserving "
+    "first-occurrence order, and the cleaned text is reassembled. "
+    "Order-preserving dedup is an expression fold (keep line i iff it "
+    "does not appear in lines[1..i-1]) — O(lines²) per document but "
+    "entirely map-side: zero shuffle, zero UDF, scales with the scan "
+    "like every tx operator.",
+    tags=("text", "llm", "dedup", "quality"),
+)
+def tx13_within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lines_expr = F.expr(
+        f"transform(sequence(1, CAST(ceil(size(toks) / {TX13_LINE_TOKENS}.0) "
+        f"AS INT)), i -> concat_ws(' ', "
+        f"slice(toks, (i - 1) * {TX13_LINE_TOKENS} + 1, {TX13_LINE_TOKENS})))"
+    )
+    kept_expr = F.expr(
+        "transform(filter(transform(sequence(1, size(lines)), "
+        "i -> struct(i AS i, element_at(lines, i) AS line)), "
+        "s -> array_position(slice(lines, 1, s.i - 1), s.line) = 0), "
+        "s -> s.line)"
+    )
+    return (
+        d.select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", lines_expr.alias("lines"))
+        .filter(F.size("lines") > 0)
+        .select(
+            "doc_id",
+            F.size("lines").alias("n_lines"),
+            kept_expr.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.size("kept").alias("n_kept"),
+            F.concat_ws(" ", F.col("kept")).alias("cleaned_text"),
+            (
+                1.0 - F.size("kept").cast("double") / F.col("n_lines")
+            ).alias("removed_frac"),
+        )
+    )
