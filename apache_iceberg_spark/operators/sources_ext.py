@@ -186,3 +186,58 @@ def s15_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "s16_permissive_csv_ingest",
+    oracle="""
+        SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders
+        WHERE o_orderkey % 50 = 0
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT '_corrupt', 3
+    """,
+    doc="Corrupt-record-tolerant CSV ingest — the scale counterpart of "
+    "the reference loader's all-or-nothing Arrow parse "
+    "(bot_iceberg_loader.py:178-187 aborts the whole load on one bad "
+    "line; unacceptable against a 100 TB crawl drop): Spark's "
+    "PERMISSIVE mode parses every well-formed row, routes unparseable "
+    "lines into a columnNameOfCorruptRecord side-channel, and the "
+    "ingest report counts both — so one poisoned file costs its bad "
+    "rows, not the job. The fixture CSV is a clean export of an orders "
+    "slice with three malformed lines appended (wrong arity, bad "
+    "integer, empty key); the oracle states the expected good counts "
+    "plus the corrupt tally.",
+    tags=("source", "csv", "robustness"),
+)
+def s16_permissive_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.io.export import export_csv
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="csv_"), "orders.csv")
+    export_csv(o, path)
+    with open(path, "a") as f:
+        f.write("not_a_number,O\n")        # bad integer
+        f.write("12345\n")                  # wrong arity
+        f.write(",,,too,many,columns\n")    # wrong arity + empty key
+    raw = (
+        spark.read.schema("o_orderkey LONG, o_orderstatus STRING, _bad STRING")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    ).cache()  # Spark disallows corrupt-column-only filters on a raw scan
+    good = (
+        raw.filter(F.col("_bad").isNull())
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    bad = raw.filter(F.col("_bad").isNotNull()).agg(
+        F.lit("_corrupt").alias("status"), F.count("*").alias("n_rows")
+    )
+    return good.unionByName(bad)
