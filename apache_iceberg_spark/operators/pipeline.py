@@ -1922,3 +1922,67 @@ def pp8_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shuffle_rank"
         ),
     )
+
+
+A18_BUCKETS = 20
+A18_LO_CENTS = 0
+A18_HI_CENTS = 60_000_000  # o_totalprice tops out well under 600k
+
+
+@register(
+    "a18_value_histogram",
+    oracle=f"""
+        WITH b AS (
+            SELECT LEAST(GREATEST(
+                       (CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        - {A18_LO_CENTS})
+                       * {A18_BUCKETS}
+                       // ({A18_HI_CENTS} - {A18_LO_CENTS}),
+                       0), {A18_BUCKETS} - 1) AS bucket
+            FROM orders
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST({A18_LO_CENTS} + bucket
+                    * (({A18_HI_CENTS} - {A18_LO_CENTS}) // {A18_BUCKETS})
+                    AS BIGINT) AS lo_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM b GROUP BY bucket
+    """,
+    doc=f"Equi-width value histogram ({A18_BUCKETS} buckets over order "
+    "value) — the column-statistics shape ANALYZE TABLE materializes "
+    "into Iceberg puffin/stats files for the optimizer's selectivity "
+    "estimates, and the profile a data-quality dashboard plots. "
+    "Bucketing is exact integer arithmetic (cents, floor division, "
+    "clamped edges) so the histogram is bitwise reproducible; one "
+    "partial+final aggregate over at most "
+    f"{A18_BUCKETS} groups, the cheapest possible shuffle at any "
+    "scale. Out-of-range values clamp into the edge buckets (the "
+    "standard sketch convention) rather than dropping.",
+    tags=("aggregate", "stats", "profile"),
+)
+def a18_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    width_expr = (A18_HI_CENTS - A18_LO_CENTS) // A18_BUCKETS
+    bucket = F.least(
+        F.greatest(
+            F.expr(
+                f"(CAST(ROUND(o_totalprice * 100) AS BIGINT) - {A18_LO_CENTS})"
+                f" * {A18_BUCKETS} DIV ({A18_HI_CENTS} - {A18_LO_CENTS})"
+            ),
+            F.lit(0),
+        ),
+        F.lit(A18_BUCKETS - 1),
+    )
+    return (
+        o.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "bucket",
+            (A18_LO_CENTS + F.col("bucket").cast("long") * width_expr).alias(
+                "lo_cents"
+            ),
+            "n_rows",
+        )
+    )
