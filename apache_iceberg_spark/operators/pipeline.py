@@ -1962,7 +1962,6 @@ A18_HI_CENTS = 60_000_000  # o_totalprice tops out well under 600k
 )
 def a18_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     width_expr = (A18_HI_CENTS - A18_LO_CENTS) // A18_BUCKETS
     bucket = F.least(
         F.greatest(
