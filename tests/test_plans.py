@@ -536,3 +536,44 @@ def test_pp8_no_global_single_partition_sort(spark):
     assert "hashpartitioning(bucket" in plan, plan
     assert plan.count("SinglePartition") <= 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tx13_line_dedup_is_map_only(spark):
+    """tx13's order-preserving line dedup is a pure expression fold —
+    the plan may contain no Exchange at all."""
+    import re
+
+    plan = plan_of(spark, "tx13_within_doc_line_dedup")
+    assert not re.search(r"^\(\d+\) Exchange", plan, flags=re.M), plan
+
+
+def test_ts8_zscore_single_shuffle(spark):
+    """ts8 computes all three rolling moments in ONE window pass over
+    one user_id exchange — no second shuffle, no join."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "ts8_rolling_zscore_anomalies")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n == 1, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_a18_histogram_partial_aggregation(spark):
+    """a18's histogram must map-side combine into at most #buckets
+    groups before its only shuffle (partial + final HashAggregate)."""
+    plan = plan_of(spark, "a18_value_histogram")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_g1_pagerank_no_cartesian_and_partial_aggs(spark):
+    """g1's power steps are equi-joins on (kind, node) plus partial+final
+    aggregates — never a cartesian/nested-loop product over the edge
+    list."""
+    plan = plan_of(spark, "g1_pagerank")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
