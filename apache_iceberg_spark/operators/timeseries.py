@@ -511,3 +511,80 @@ def ts8_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("zscore_scaled")) > ZSCORE_FLAG)
     )
+
+
+@register(
+    "ts9_conversion_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS step, 'view' AS step_name,
+               CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 2, 'click_after_view',
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'purchase_after_click',
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+    doc="Ordered conversion funnel (view -> click -> purchase): each "
+    "stage counts users whose first qualifying event strictly follows "
+    "their entry into the previous stage — the product-analytics "
+    "sequence-match query. Three conditional-min aggregates chained by "
+    "user_id equi-joins; every aggregate and join keys on user_id, so "
+    "Catalyst reuses ONE hash partitioning across the whole funnel "
+    "and the per-stage frames shrink monotonically (each join's right "
+    "side is the previous survivors). At 100 TB add a time-bound on "
+    "the scan and the funnel costs one partitioned pass, not three "
+    "scans — the filters push into each branch of the shared scan.",
+    tags=("timeseries", "funnel", "aggregate"),
+)
+def ts9_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        (1, "view", v),
+        (2, "click_after_view", c),
+        (3, "purchase_after_click", p),
+    ]
+    out = None
+    for step, name, df in rows:
+        one = df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count("*").alias("n_users"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
