@@ -709,3 +709,46 @@ def f11_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_short_vals"),
         )
     )
+
+
+@register(
+    "w9_edge_values",
+    oracle="""
+        SELECT event_id, user_id,
+               FIRST_VALUE(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                   AS first_cents,
+               LAST_VALUE(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                   AS last_cents,
+               NTH_VALUE(CAST(ROUND(value * 100) AS BIGINT), 2) OVER w
+                   AS second_cents
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    doc="Window edge values — first_value / last_value / nth_value over "
+    "an explicit full-partition ROWS frame (the frame spelled out "
+    "because last_value over the DEFAULT frame is the famous footgun: "
+    "it returns the current row). Each user's first, latest and "
+    "second event value attach to every row — the enrichment shape "
+    "for churn/LTV features. Values in exact integer cents; one "
+    "shuffle on user_id, all three functions share the single window "
+    "frame.",
+    tags=("window",),
+)
+def w9_edge_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first(cents).over(w).alias("first_cents"),
+        F.last(cents).over(w).alias("last_cents"),
+        F.nth_value(cents, 2).over(w).alias("second_cents"),
+    )
