@@ -990,3 +990,48 @@ def m17_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(name, bool(passed), int(viol)) for name, passed, viol in report],
         "check_name STRING, passed BOOLEAN, n_violations LONG",
     )
+
+
+@register(
+    "m18_bitmap_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS bitmap_distinct
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="EXACT mergeable distinct counting via integer bitmaps "
+    "(bitmap_bucket_number / bitmap_construct_agg / bitmap_or_agg / "
+    "bitmap_count — Spark's native form of the roaring-bitmap pattern "
+    "ClickHouse and Druid use for distinct-count rollups): keys hash "
+    "into fixed-width bucket bitmaps, per-bucket bitmaps build in "
+    "parallel, and merging is bitwise OR — associative and exact, so "
+    "unlike m16's HLL sketches the merged count is not an estimate; "
+    "the oracle asserts literal equality with COUNT(DISTINCT). "
+    "Materialize the per-bucket bitmaps (m14's stored-partials "
+    "pattern) and NDV maintenance under appends becomes a tiny OR — "
+    "exactness preserved. Both the exact and bitmap paths run in one "
+    "grouped aggregation; the bitmap shuffle carries #buckets rows "
+    "per group, never the keys.",
+    tags=("scale", "aggregate", "bitmap", "incremental"),
+)
+def m18_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderstatus",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    bitmap_counts = per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("bitmap_distinct")
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct")
+    )
+    return exact.join(bitmap_counts, "o_orderstatus").select(
+        "o_orderstatus", "n_distinct", "bitmap_distinct"
+    )
