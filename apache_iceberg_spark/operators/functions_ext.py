@@ -752,3 +752,57 @@ def w9_edge_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(cents).over(w).alias("last_cents"),
         F.nth_value(cents, 2).over(w).alias("second_cents"),
     )
+
+
+# f12 synthesizes well-formed URLs from fixture columns (the corpus has no
+# URL column; same convention as dd7/tx11). Lowercase scheme+host so both
+# engines' extraction rules see canonical input.
+_F12_URL = (
+    "concat('https://', lower(source), '.example.com/', lang, "
+    "'/page/', CAST(doc_id AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN concat('?id=', CAST(doc_id % 7 AS STRING), '&ref=feed') "
+    "ELSE '' END)"
+)
+_F12_URL_DUCK = _F12_URL.replace("AS STRING", "AS VARCHAR")
+
+
+@register(
+    "f12_url_funcs",
+    oracle=f"""
+        WITH u AS (SELECT doc_id, {_F12_URL_DUCK} AS url FROM documents)
+        SELECT doc_id,
+               regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+               regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+               CASE WHEN strpos(url, '?') > 0
+                    THEN substr(url, strpos(url, '?') + 1) END AS query,
+               regexp_extract(url, '[?&]id=([^&]*)', 1) = ''
+                   AND strpos(url, 'id=') = 0 AS id_missing,
+               CASE WHEN regexp_extract(url, '[?&]id=([^&]*)', 1) <> ''
+                    THEN regexp_extract(url, '[?&]id=([^&]*)', 1) END
+                   AS id_param
+        FROM u
+    """,
+    doc="URL parsing surface — parse_url(HOST/PATH/QUERY/<key>), the "
+    "native JVM URL decomposition dd7's canonicalizer is built from, "
+    "exercised component-by-component on synthesized well-formed URLs "
+    "(the corpus carries no URL column; same synthesis convention as "
+    "tx11). The oracle re-derives every component with plain regex on "
+    "the same input — so it checks parse_url's SEMANTICS against an "
+    "independent implementation, not itself. Map-only expression "
+    "chain, codegen throughout.",
+    tags=("functions", "url"),
+)
+def f12_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(_F12_URL).alias("url"))
+    return u.select(
+        "doc_id",
+        F.expr("parse_url(url, 'PROTOCOL')").alias("scheme"),
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY')").alias("query"),
+        F.expr("parse_url(url, 'QUERY', 'id')").isNull().alias("id_missing"),
+        F.expr("parse_url(url, 'QUERY', 'id')").alias("id_param"),
+    )
