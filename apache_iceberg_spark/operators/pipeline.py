@@ -1985,3 +1985,73 @@ def a18_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+A19_TOP = 5
+
+
+@register(
+    "a19_skew_report",
+    oracle=f"""
+        WITH k AS (
+            SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey
+        ),
+        stats AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS max_n,
+                   CAST(SUM(n) AS BIGINT) AS total_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM k
+        ),
+        top AS (
+            SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
+            FROM k
+        )
+        SELECT t.rk AS rank, t.key AS heavy_key, t.n AS key_rows,
+               s.n_keys, s.total_n,
+               CAST(t.n AS DOUBLE) * s.n_keys / s.total_n AS skew_factor
+        FROM top t CROSS JOIN stats s
+        WHERE t.rk <= {A19_TOP}
+    """,
+    doc=f"Join-key skew diagnosis — the report you run BEFORE reaching "
+    "for m2's salted join: per-key cardinalities of the prospective "
+    "join key, the top-"
+    f"{A19_TOP} heavy hitters, and each one's skew factor "
+    "(its row count relative to the uniform share — a factor of 1 is "
+    "perfectly even; AQE's skew-join threshold logic keys off the "
+    "same ratio). One aggregation over the key, a "
+    f"{A19_TOP}-row top-k (TakeOrdered, no global sort), and a "
+    "single-row stats frame cross-joined back (broadcast of one row). "
+    "At 100 TB this is the cheap planning probe that decides between "
+    "plain, broadcast, and salted join strategies.",
+    tags=("aggregate", "stats", "skew"),
+)
+def a19_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    stats = k.agg(
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("total_n"),
+        F.count("*").alias("n_keys"),
+    )
+    top = (
+        k.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key"))),
+        )
+        .filter(F.col("rank") <= A19_TOP)
+    )
+    return top.join(F.broadcast(stats)).select(
+        "rank",
+        F.col("key").alias("heavy_key"),
+        F.col("n").alias("key_rows"),
+        "n_keys",
+        "total_n",
+        (
+            F.col("n").cast("double") * F.col("n_keys") / F.col("total_n")
+        ).alias("skew_factor"),
+    )
