@@ -209,7 +209,9 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d)
 
 
-def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    d: DataFrame, min_jaccard: float | None = JACCARD_THRESHOLD
+) -> DataFrame:
     """Verified near-duplicate pairs (doc_id_a < doc_id_b, jaccard >=
     threshold) over any frame with (doc_id, text) — dd2's full pipeline,
     reusable as a cascade stage (pp4/pp6). DuckDB twin: minhash_lsh_ctes.
@@ -300,7 +302,9 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+    if min_jaccard is None:  # full candidate distribution (dd11)
+        return verified.select("doc_id_a", "doc_id_b", "jaccard")
+    return verified.filter(F.col("jaccard") >= min_jaccard).select(
         "doc_id_a", "doc_id_b", "jaccard"
     )
 
@@ -928,4 +932,34 @@ def min_label_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@register(
+    "dd11_duplication_profile",
+    oracle=f"""
+        WITH {minhash_lsh_ctes("documents")}
+        SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM verified
+        GROUP BY 1
+    """,
+    doc="Corpus duplication PROFILE — the analyst report over dd2's "
+    "machinery: every LSH candidate pair's exact Jaccard similarity, "
+    "bucketed into deciles, shows HOW duplicated the corpus is (a "
+    "spike at 0.9+ means boilerplate clones; mass at 0.4-0.6 means "
+    "paraphrase-level overlap) and is the evidence for choosing dd2's "
+    "threshold rather than guessing it. Identical banded candidate "
+    "generation (never all-pairs); the decile floor runs on the same "
+    "bit-identical doubles both engines derive from integer "
+    "intersection/union counts, so the histogram matches exactly. "
+    "Output is at most 10 rows however large the corpus.",
+    tags=("dedup", "llm", "report"),
+)
+def dd11_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    all_pairs = minhash_lsh_pairs(d, min_jaccard=None)
+    decile = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    return all_pairs.groupBy(decile.alias("decile")).agg(
+        F.count("*").alias("n_pairs")
     )
