@@ -577,3 +577,22 @@ def test_g1_pagerank_no_cartesian_and_partial_aggs(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_m13_delete_application_is_anti_join(spark):
+    """m13's merge-on-read reconciliation must be a LEFT ANTI equi-join
+    of the base scan against the (much smaller) delete file — never a
+    filter materialized from collected keys or a nested-loop shape."""
+    plan = plan_of(spark, "m13_merge_on_read_scan")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_m18_bitmap_counts_aggregate_partially(spark):
+    """m18 runs two aggregation trees (exact distinct + bitmap build/
+    merge); both must be partial+final — at least four aggregate nodes
+    in the plan, and no shuffle of raw keys for the bitmap side beyond
+    the grouped bitmap rows."""
+    plan = plan_of(spark, "m18_bitmap_distinct")
+    n_aggs = plan.count("HashAggregate") + plan.count("ObjectHashAggregate")
+    assert n_aggs >= 4, plan
