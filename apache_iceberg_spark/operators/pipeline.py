@@ -2055,3 +2055,63 @@ def a19_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") * F.col("n_keys") / F.col("total_n")
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "a20_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+                       AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7
+                        AS INT) AS week_offset
+            FROM events e JOIN firsts f ON f.user_id = e.user_id
+        )
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active_users
+        FROM activity
+        GROUP BY cohort_week, week_offset
+    """,
+    doc="Cohort retention matrix — the canonical product-analytics "
+    "triangle: users grouped by first-seen week (their cohort), then "
+    "for every later week the count still active, keyed by "
+    "(cohort_week, week_offset). Two aggregations and one join, all "
+    "keyed on user_id, so Catalyst reuses a single hash partitioning "
+    "for the firsts aggregate, the enrich join, and the DISTINCT "
+    "dedup; only the final tiny (cohort x offset) rollup reshuffles — "
+    "at 100 TB of events this is one partitioned pass plus a "
+    "few-hundred-row aggregate. Week arithmetic is integer day "
+    "difference floor-divided by 7 on both engines (no timezone or "
+    "ISO-week ambiguity).",
+    tags=("aggregate", "analytics", "cohort"),
+)
+def a20_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
