@@ -2115,3 +2115,88 @@ def a20_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+MM7_QUERIES = 50  # doc_id < 50 are the query images
+
+
+@register(
+    "mm7_image_search",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id,
+                   [ascii(substr(text,
+                        1 + CAST(floor(k * length(text) / {DHASH_BITS + 1}) AS INT), 1))
+                    for k in generate_series(0, {DHASH_BITS})] AS v
+            FROM documents
+            WHERE length(text) >= {DHASH_BITS + 1}
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(COALESCE(list_sum([
+                       CASE WHEN v[k + 1] > v[k + 2]
+                            THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                       for k in generate_series(0, {DHASH_BITS - 1})]), 0)
+                       AS BIGINT) AS dhash
+            FROM r
+        )
+        SELECT q.doc_id AS query_doc_id, c.doc_id AS match_doc_id,
+               CAST(bit_count(xor(q.dhash, c.dhash)) AS INT) AS hamming
+        FROM h q JOIN h c
+          ON q.doc_id < {MM7_QUERIES} AND c.doc_id <> q.doc_id
+         AND bit_count(xor(q.dhash, c.dhash)) <= {MM6_HAMMING_MAX}
+    """,
+    doc=f"Perceptual-hash image SEARCH — the query-time dual of mm6's "
+    f"offline clustering: {MM7_QUERIES} query images look up every "
+    f"corpus image within Hamming radius {MM6_HAMMING_MAX} of their "
+    "dHash. The corpus explodes once into mm6's bit-band buckets (the "
+    "index); each query probes only its own "
+    f"{MM6_BANDS} band keys — a broadcast join against a handful of "
+    "rows — and candidates verify with one xor+bit_count. Pigeonhole "
+    "keeps the banded probe LOSSLESS, so the oracle can state the "
+    "plain all-pairs predicate. At 100 TB the banded index is a "
+    "bucketed table and each query touches #bands buckets, not the "
+    "corpus — exactly how reverse-image-search serves from pHash "
+    "indexes.",
+    tags=("multimodal", "llm", "similarity"),
+)
+def mm7_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    h = (
+        d.filter(F.length("text") >= DHASH_BITS + 1)
+        .select("doc_id", F.expr(_DHASH_V_EXPR).alias("__v"))
+        .select("doc_id", F.expr(_DHASH_EXPR).alias("dhash"))
+    )
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, "
+        f"shiftright(dhash, {MM6_BAND_BITS * b}) & {2 ** MM6_BAND_BITS - 1} "
+        f"AS band_key)"
+        for b in range(MM6_BANDS)
+    )
+    corpus_bands = h.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.expr(f"array({band_structs})")).alias("b"),
+    ).select("doc_id", "dhash", "b.band_id", "b.band_key")
+    query_bands = F.broadcast(
+        h.filter(F.col("doc_id") < MM7_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_doc_id"),
+            F.col("dhash").alias("q_dhash"),
+            F.explode(F.expr(f"array({band_structs})")).alias("b"),
+        )
+        .select("query_doc_id", "q_dhash", "b.band_id", "b.band_key")
+    )
+    return (
+        corpus_bands.join(query_bands, ["band_id", "band_key"])
+        .filter(F.col("doc_id") != F.col("query_doc_id"))
+        .select(
+            "query_doc_id",
+            F.col("doc_id").alias("match_doc_id"),
+            F.expr("CAST(bit_count(q_dhash ^ dhash) AS INT)").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= MM6_HAMMING_MAX)
+        .distinct()
+    )
