@@ -607,3 +607,31 @@ def u6_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = a.exceptAll(b).select(F.lit("except").alias("op"), "l_suppkey")
     ix = a.intersectAll(b).select(F.lit("intersect").alias("op"), "l_suppkey")
     return ex.unionByName(ix)
+
+
+@register(
+    "p8_inlist_disjunction_filter",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'P')
+          AND (o_orderpriority = '1-URGENT'
+               OR o_orderpriority = '2-HIGH')
+    """,
+    doc="IN-list + disjunctive predicate: the membership filter compiles "
+    "to a single In() pushed to the parquet reader (row groups whose "
+    "status min/max excludes both values never decompress) and the OR "
+    "of equalities likewise pushes as Or(EqualTo, EqualTo) — asserted "
+    "in tests/test_plans.py. Completes the predicate family (p4-p7 "
+    "cover boolean/conjunctive/string/comparison pushdown).",
+    tags=("filter", "pushdown"),
+)
+def p8_inlist_disjunction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & (
+            (F.col("o_orderpriority") == "1-URGENT")
+            | (F.col("o_orderpriority") == "2-HIGH")
+        )
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")

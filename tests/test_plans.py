@@ -596,3 +596,12 @@ def test_m18_bitmap_counts_aggregate_partially(spark):
     plan = plan_of(spark, "m18_bitmap_distinct")
     n_aggs = plan.count("HashAggregate") + plan.count("ObjectHashAggregate")
     assert n_aggs >= 4, plan
+
+
+def test_p8_inlist_and_disjunction_push_to_scan(spark):
+    """p8's IN-list and OR-of-equalities must BOTH reach the parquet
+    reader as pushed filters."""
+    plan = plan_of(spark, "p8_inlist_disjunction_filter")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "In(o_orderstatus" in pushed, pushed
+    assert "Or(EqualTo(o_orderpriority" in pushed, pushed
