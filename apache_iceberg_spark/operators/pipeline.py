@@ -2200,3 +2200,81 @@ def mm7_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= MM6_HAMMING_MAX)
         .distinct()
     )
+
+
+@register(
+    "pp9_multimodal_curation",
+    oracle=f"""
+        WITH q AS (
+            SELECT * FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+              AND length(text) BETWEEN 50 AND 10000
+        ),
+        s2 AS (
+            SELECT q.* FROM q
+            JOIN (SELECT MIN(doc_id) AS keeper FROM q
+                  GROUP BY md5(lower(trim(text)))) k
+              ON q.doc_id = k.keeper
+        ),
+        r AS (
+            SELECT doc_id,
+                   [ascii(substr(text,
+                        1 + CAST(floor(k * length(text) / {DHASH_BITS + 1}) AS INT), 1))
+                    for k in generate_series(0, {DHASH_BITS})] AS v
+            FROM s2
+            WHERE length(text) >= {DHASH_BITS + 1}
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(COALESCE(list_sum([
+                       CASE WHEN v[k + 1] > v[k + 2]
+                            THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                       for k in generate_series(0, {DHASH_BITS - 1})]), 0)
+                       AS BIGINT) AS dhash
+            FROM r
+        ),
+        img_dupes AS (
+            SELECT DISTINCT b.doc_id
+            FROM h a JOIN h b
+              ON a.doc_id < b.doc_id
+             AND bit_count(xor(a.dhash, b.dhash)) <= {MM6_HAMMING_MAX}
+        )
+        SELECT s2.doc_id, s2.lang, s2.source,
+               CAST(length(s2.text) AS BIGINT) AS n_chars
+        FROM s2
+        WHERE s2.doc_id NOT IN (SELECT doc_id FROM img_dupes)
+    """,
+    doc="Multimodal curation — pp1's funnel shape with an IMAGE "
+    "near-dup stage composed in: quality gates (scan-pushed) -> exact "
+    "text dedup -> perceptual-hash near-dup removal (mm6's banded "
+    "Hamming candidates, keep-lowest rule, pp4's drop convention — "
+    "payload bytes stand in for decoded pixels exactly as in mm5). "
+    "Real multimodal corpora dedup text AND media independently "
+    "because near-identical images recirculate under different "
+    "captions; this is that pipeline stage, still one lazy plan: the "
+    "image stage adds one banded self-join and a left-anti drop over "
+    "only the exact-dedup survivors. The oracle states the all-pairs "
+    "Hamming predicate (pigeonhole keeps the banded plan lossless).",
+    tags=("pipeline", "llm", "multimodal", "dedup"),
+)
+def pp9_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.pipeline import mm6_hamming_pairs
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    q = d.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.length("text").between(50, 10000)
+    )
+    s2 = _keep_min(q, F.md5(F.lower(F.trim(F.col("text")))))
+    img_dupes = (
+        mm6_hamming_pairs(s2)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    return s2.join(img_dupes, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
