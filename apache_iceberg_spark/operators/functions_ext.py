@@ -806,3 +806,37 @@ def f12_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("parse_url(url, 'QUERY', 'id')").isNull().alias("id_missing"),
         F.expr("parse_url(url, 'QUERY', 'id')").alias("id_param"),
     )
+
+
+@register(
+    "f13_conditional_aggs",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END)
+                    AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               median(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS median_cents
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Conditional/boolean aggregate surface: count_if, every "
+    "(bool_and), any (bool_or) and exact median per group — the "
+    "data-quality one-liner family (\\u2018do ALL rows satisfy the "
+    "contract, do ANY violate it, how many, and where is the "
+    "middle\\u2019). Median runs on exact integer cents so the "
+    "even-count interpolation is the same arithmetic on both engines; "
+    "the boolean aggregates are order-insensitive by definition. All "
+    "four fold partial+final in one grouped aggregation.",
+    tags=("aggregate", "functions"),
+)
+def f13_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.median(cents).alias("median_cents"),
+    )
