@@ -823,9 +823,9 @@ def f12_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Conditional/boolean aggregate surface: count_if, every "
     "(bool_and), any (bool_or) and exact median per group — the "
-    "data-quality one-liner family (\\u2018do ALL rows satisfy the "
+    "data-quality one-liner family ('do ALL rows satisfy the "
     "contract, do ANY violate it, how many, and where is the "
-    "middle\\u2019). Median runs on exact integer cents so the "
+    "middle'). Median runs on exact integer cents so the "
     "even-count interpolation is the same arithmetic on both engines; "
     "the boolean aggregates are order-insensitive by definition. All "
     "four fold partial+final in one grouped aggregation.",
