@@ -158,22 +158,40 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+G2_KNN = 8   # strongest co-purchase neighbors kept per supplier
+G2_CAP = 24  # suppliers counted per customer (interaction cap)
+
+
 @register(
     "g2_triangle_count",
-    oracle="""
+    oracle=f"""
         WITH e0 AS (
             SELECT DISTINCT o_custkey AS c, l_suppkey AS s
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         ),
-        thr AS (
-            SELECT CAST(COUNT(DISTINCT c) // 8 AS BIGINT) AS min_shared
-            FROM e0
+        capped AS (
+            SELECT c, unnest(ss) AS s FROM (
+                SELECT c, list_sort(list(s))[1:{G2_CAP}] AS ss
+                FROM e0 GROUP BY c)
+        ),
+        p AS (
+            SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
+            FROM capped a JOIN capped b ON a.c = b.c AND a.s < b.s
+            GROUP BY a.s, b.s
+        ),
+        dirs AS (
+            SELECT u, v, shared FROM p
+            UNION ALL SELECT v, u, shared FROM p
+        ),
+        knn AS (
+            SELECT u, v FROM (
+                SELECT u, v, ROW_NUMBER() OVER (
+                    PARTITION BY u ORDER BY shared DESC, v
+                ) AS rk FROM dirs
+            ) WHERE rk <= {G2_KNN}
         ),
         edges AS (
-            SELECT a.s AS u, b.s AS v
-            FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s
-            GROUP BY a.s, b.s
-            HAVING COUNT(*) >= (SELECT min_shared FROM thr)
+            SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM knn
         ),
         tri AS (
             SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -190,22 +208,27 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT node AS l_suppkey, n_triangles FROM pernode
     """,
-    doc="Triangle counting (clustering structure) over the supplier "
-    "co-purchase graph: suppliers are adjacent when they share at "
-    "least n_customers/8 common customers (the threshold scales with "
-    "the fixture so the graph is neither empty nor complete at any "
-    "SF), and each node's triangle participation count measures how "
-    "clique-ish its neighborhood is — the standard motif signal for "
-    "community detection and recommendation. The plan is the "
-    "canonical distributed algorithm: canonical edge orientation "
-    "(u < v) makes each triangle countable exactly once, two "
-    "equi-joins enumerate wedges and close them, per-node counts "
-    "aggregate partial+final. At 100 TB orient by DEGREE instead of "
-    "id (the standard skew fix) — same plan, different ordering key. "
-    "Third member of the graph family (dd6 CC, g1 PageRank).",
+    doc=f"Triangle counting (clustering structure) over the top-"
+    f"{G2_KNN} co-purchase similarity graph: each supplier keeps its "
+    f"{G2_KNN} strongest neighbors by shared-customer count "
+    "(deterministic tiebreak), which bounds every node's degree at "
+    f"ANY density, and each customer contributes at most {G2_CAP} "
+    "suppliers to the co-occurrence counts (the interaction cap that "
+    "bounds the per-key explode under power-law customers) "
+    "ANY corpus density — the standard kNN-graph sparsification that "
+    "keeps motif counting tractable where a global threshold either "
+    "empties or completes the graph as density shifts. Pair weights "
+    "come from an in-bucket ordered-pair explode per customer (dd2's "
+    "trick — one shuffle on customer, one on the pair key, never a "
+    "row-level self-join); canonical orientation (u < v) counts each "
+    "triangle once via two wedge-closing equi-joins; per-node counts "
+    "aggregate partial+final. Third member of the graph family "
+    "(dd6 CC, g1 PageRank).",
     tags=("graph", "motif", "centrality"),
 )
 def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     l = load_table_parallel(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     e0 = (
@@ -213,22 +236,39 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    # scale-adaptive sparsification threshold (one scalar, broadcast)
-    min_shared = e0.select(
-        (F.countDistinct("c") / 8).cast("long").alias("min_shared")
+    # per-customer supplier sets -> in-bucket ordered pair explode
+    # (one shuffle on customer; the self-join formulation shuffles the
+    # same rows twice and joins row-level)
+    per_cust = e0.groupBy("c").agg(
+        F.slice(F.sort_array(F.collect_list("s")), 1, G2_CAP).alias("ss")
     )
-    edges = (
-        e0.alias("a")
-        .join(
-            e0.alias("b"),
-            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+    pairs = (
+        per_cust.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .groupBy(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
         .agg(F.count("*").alias("shared"))
-        .join(F.broadcast(min_shared))
-        .filter(F.col("shared") >= F.col("min_shared"))
+    )
+    dirs = pairs.select("u", "v", "shared").unionByName(
+        pairs.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "shared"
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("shared"), F.asc("v"))
+    knn = (
+        dirs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= G2_KNN)
         .select("u", "v")
     )
+    edges = knn.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))

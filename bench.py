@@ -64,6 +64,11 @@ HEADLINE = [
     "ann6_pq_adc",
     "ann7_kmeans_train",
     "pp8_corpus_shuffle",
+    "g1_pagerank",
+    "g2_triangle_count",
+    "dd11_duplication_profile",
+    "a20_cohort_retention",
+    "m18_bitmap_distinct",
 ]
 
 
