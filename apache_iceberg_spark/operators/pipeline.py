@@ -2038,12 +2038,12 @@ def a19_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("total_n"),
         F.count("*").alias("n_keys"),
     )
-    top = (
-        k.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key"))),
-        )
-        .filter(F.col("rank") <= A19_TOP)
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # top-5 then a 5-row driver merge, never a global sort of all keys.
+    # The rank window then runs over exactly A19_TOP rows.
+    top = k.orderBy(F.desc("n"), F.asc("key")).limit(A19_TOP).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key"))),
     )
     return top.join(F.broadcast(stats)).select(
         "rank",
