@@ -477,6 +477,96 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dd12 — containment dedup (asymmetric: catches embedded-subset duplicates)
+# ---------------------------------------------------------------------------
+
+DD12_THRESHOLD = 0.8
+
+
+@register(
+    "dd12_containment_dedup",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, lang, source, {_DUCK_NGRAMS} AS grams FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(a.grams) AS n_a, len(b.grams) AS n_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / least(len(a.grams), len(b.grams)) AS containment
+            FROM g a JOIN g b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+        )
+        SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_b > id_a)
+                    THEN id_a ELSE id_b END AS drop_id,
+               CASE WHEN n_a < n_b OR (n_a = n_b AND id_b > id_a)
+                    THEN id_b ELSE id_a END AS keep_id,
+               containment
+        FROM pairs WHERE containment >= {DD12_THRESHOLD}
+    """,
+    doc=f"Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over "
+    f"character-{NGRAM_CHARS}-gram sets within (lang, source) blocks. "
+    "Jaccard misses the 'document B embeds document A' case (a long page "
+    "quoting a short one scores low on union but ~1.0 on containment — "
+    "the quote/boilerplate-wrapper duplicate class production corpus "
+    "pipelines drop separately from near-dups). Emits the keep/drop "
+    "decision: the smaller-gram-set doc is the victim (tie → higher "
+    "doc_id). Same inverted-index posting join as dd4 — shuffles "
+    "O(postings) rows on an equality key, never per-pair array "
+    "intersection — so the 100 TB story is identical: block key = "
+    "partition key → co-located join; containment is one exact "
+    "integer division at the end.",
+    tags=("dedup", "llm"),
+)
+def dd12_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    lowered = d.select(
+        "doc_id", "lang", "source", F.lower(F.col("text")).alias("lt")
+    )
+    g0 = lowered.select(
+        "doc_id", "lang", "source", F.expr(_SPARK_NGRAMS).alias("grams")
+    ).persist()
+    sizes = g0.select("doc_id", F.size("grams").alias("n_grams"))
+    posts = g0.select(
+        "doc_id", "lang", "source", F.explode("grams").alias("gram")
+    )
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    contain = F.col("n_inter").cast("double") / F.least("n_a", "n_b")
+    a_is_victim = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_b") > F.col("id_a"))
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", contain)
+        .filter(F.col("containment") >= DD12_THRESHOLD)
+        .select(
+            F.when(a_is_victim, F.col("id_a")).otherwise(F.col("id_b")).alias("drop_id"),
+            F.when(a_is_victim, F.col("id_b")).otherwise(F.col("id_a")).alias("keep_id"),
+            "containment",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # dd5 — embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
