@@ -1035,3 +1035,112 @@ def m18_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(bitmap_counts, "o_orderstatus").select(
         "o_orderstatus", "n_distinct", "bitmap_distinct"
     )
+
+
+@register(
+    "m19_partitions_metadata",
+    oracle="""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS "partition",
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS record_count,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="Iceberg metadata-table introspection (`SELECT * FROM t.partitions`"
+    " / `t.files`, the surface behind the reference's catalog notebooks — "
+    "SURVEY §2.10 C8/C11, query_iceberg_minio.ipynb:108-124): orders is "
+    "written hive-partitioned by month (repartitioned on the partition "
+    "key first, so each month lands in exactly one file — the compacted "
+    "layout), then the per-partition listing is built ENTIRELY from "
+    "parquet FOOTER statistics — a distributed mapInPandas over the file "
+    "list reads each footer's row count and o_totalprice bounds; no data "
+    "page is ever touched. The oracle recomputes the same stats from the "
+    "rows, proving metadata == data. At 100 TB this is the O(files) "
+    "planning query that answers 'how big is each partition and what do "
+    "its bounds cover' without scanning the table.",
+    tags=("scale", "metadata", "manifest"),
+)
+def m19_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from apache_iceberg_spark.catalog.manifests import _local_path
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="m19_"), "orders")
+    (
+        o.repartition(8, "o_month")
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(path)
+    )
+    files = spark.read.parquet(path).inputFiles()
+
+    out_schema = StructType(
+        [
+            StructField("file_path", StringType()),
+            StructField("record_count", LongType()),
+            StructField("min_price", DoubleType()),
+            StructField("max_price", DoubleType()),
+        ]
+    )
+
+    def footer_stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["file_path"]:
+                md = pq.ParquetFile(_local_path(uri)).metadata
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                idx = names.index("o_totalprice")
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                rows.append(
+                    {
+                        "file_path": uri,
+                        "record_count": md.num_rows,
+                        "min_price": min(mins),
+                        "max_price": max(maxs),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    manifest = (
+        spark.createDataFrame([(f,) for f in files], "file_path string")
+        .repartition(min(len(files), 32) or 1)
+        .mapInPandas(footer_stats, out_schema)
+    )
+    return (
+        manifest.withColumn(
+            "partition",
+            F.regexp_extract(F.col("file_path"), r"o_month=([^/]+)", 1),
+        )
+        .groupBy("partition")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("record_count").alias("record_count"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+        )
+    )
