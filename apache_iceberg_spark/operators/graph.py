@@ -93,20 +93,34 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # Both directions via one explode (a 2-branch union would recompute
+    # the distinct-pairs join per branch), and persist: the edge frame
+    # feeds deg, both unrolled power steps, and the final projection —
+    # four consumers of one fact-join lineage. At cluster scale this is
+    # the materialized, src-bucketed edge table the loop reads.
     edges = pairs.select(
-        F.lit("c").alias("src_kind"),
-        F.col("c").alias("src"),
-        F.lit("s").alias("dst_kind"),
-        F.col("s").alias("dst"),
-    ).unionByName(
-        pairs.select(
-            F.lit("s").alias("src_kind"),
-            F.col("s").alias("src"),
-            F.lit("c").alias("dst_kind"),
-            F.col("c").alias("dst"),
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("c").alias("src_kind"),
+                    F.col("c").alias("src"),
+                    F.lit("s").alias("dst_kind"),
+                    F.col("s").alias("dst"),
+                ),
+                F.struct(
+                    F.lit("s").alias("src_kind"),
+                    F.col("s").alias("src"),
+                    F.lit("c").alias("dst_kind"),
+                    F.col("c").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src_kind", "e.src", "e.dst_kind", "e.dst").persist()
+    deg = (
+        edges.groupBy("src_kind", "src")
+        .agg(F.count("*").alias("outdeg"))
+        .persist()
     )
-    deg = edges.groupBy("src_kind", "src").agg(F.count("*").alias("outdeg"))
 
     def power_step(rank: DataFrame | None) -> DataFrame:
         """One damped PageRank step; ``rank=None`` means the uniform
@@ -255,20 +269,34 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
         .agg(F.count("*").alias("shared"))
     )
-    dirs = pairs.select("u", "v", "shared").unionByName(
-        pairs.select(
-            F.col("v").alias("u"), F.col("u").alias("v"), "shared"
-        )
-    )
+    # Both directions via one explode — referencing `pairs` twice would
+    # recompute the whole upstream co-occurrence aggregation per branch.
+    dirs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct("u", "v", "shared"),
+                F.struct(
+                    F.col("v").alias("u"), F.col("u").alias("v"), "shared"
+                ),
+            )
+        ).alias("d")
+    ).select("d.u", "d.v", "d.shared")
     w = Window.partitionBy("u").orderBy(F.desc("shared"), F.asc("v"))
     knn = (
         dirs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= G2_KNN)
         .select("u", "v")
     )
-    edges = knn.select(
-        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-    ).distinct()
+    # The sparsified edge list (≤ G2_KNN * n_nodes rows) feeds three join
+    # inputs; persist it so the full kNN pipeline above runs once, not
+    # three times (at cluster scale: a checkpoint table, same idea).
+    edges = (
+        knn.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -282,10 +310,9 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.v").alias("c"),
         )
     )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # One pass over tri (explode), not a 3-branch union recomputing it.
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return nodes.groupBy(F.col("node").alias("l_suppkey")).agg(
         F.count("*").alias("n_triangles")
