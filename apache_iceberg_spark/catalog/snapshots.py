@@ -192,6 +192,32 @@ def list_snapshots(table_path: str) -> list[dict]:
     return list(_read_log(table_path))
 
 
+def rollback_to(table_path: str, version: int, ts_ms: int | None = None) -> int:
+    """Roll the table back to ``version`` — Iceberg's
+    ``rollback_to_snapshot``: a METADATA-ONLY commit whose file set is the
+    target snapshot's (no data is read, copied, or deleted; the abandoned
+    snapshots stay addressable for time travel until expired). Returns the
+    new current version number. O(1) regardless of table size — at 100 TB
+    undoing a bad batch is one log append, not a restore job."""
+    log = _read_log(table_path)
+    matches = [e for e in log if e["version"] == version]
+    if not matches:
+        raise ValueError(
+            f"version {version} not found (have "
+            f"{[e['version'] for e in log]})"
+        )
+    new_version = log[-1]["version"] + 1
+    log.append(
+        {
+            "version": new_version,
+            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+            "paths": _entry_paths(matches[0]),
+        }
+    )
+    _write_log(table_path, log)
+    return new_version
+
+
 def expire_snapshots_dirs(
     table_path: str, older_than_ms: int, keep_last: int = 1
 ) -> list[int]:

@@ -1053,3 +1053,39 @@ def dd11_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs.groupBy(decile.alias("decile")).agg(
         F.count("*").alias("n_pairs")
     )
+
+
+@register(
+    "dd13_soft_dedup_weights",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, md5(text) AS content_hash FROM documents
+        ),
+        sizes AS (
+            SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM h GROUP BY content_hash
+        )
+        SELECT h.doc_id, s.n_copies,
+               1.0 / s.n_copies AS sample_weight
+        FROM h JOIN sizes s USING (content_hash)
+    """,
+    doc="Soft deduplication: instead of dropping exact duplicates (dd1), "
+    "every document keeps a sampling weight 1/n_copies of its exact "
+    "content-hash cluster, so a downstream weighted sampler sees each "
+    "distinct text with total mass 1 — the down-weighting alternative "
+    "to hard dedup used when duplicate frequency itself carries signal. "
+    "One shuffle to size clusters on the hash, one equi-join back "
+    "(at 100 TB both are the same hash partitioning, reused); the "
+    "weight is a single exact division of two integers, bitwise "
+    "identical across engines.",
+    tags=("dedup", "llm", "sampling"),
+)
+def dd13_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    sizes = h.groupBy("content_hash").agg(F.count("*").alias("n_copies"))
+    return h.join(sizes, "content_hash").select(
+        "doc_id",
+        "n_copies",
+        (F.lit(1.0) / F.col("n_copies")).alias("sample_weight"),
+    )

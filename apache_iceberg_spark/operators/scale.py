@@ -1144,3 +1144,37 @@ def m19_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_price").alias("max_price"),
         )
     )
+
+
+@register(
+    "m20_snapshot_rollback",
+    oracle="SELECT * FROM orders",
+    doc="Snapshot rollback — Iceberg's rollback_to_snapshot maintenance "
+    "procedure, the undo button snapshots exist for (SURVEY §1.1 "
+    "time-travel lineage, produced by bot_iceberg_loader.py:307's "
+    "append): v1 is committed, a BAD batch overwrites every "
+    "o_orderstatus as v2, and the rollback commits v3 as a "
+    "METADATA-ONLY entry whose file set is v1's — one log append, no "
+    "data read or copied, O(1) at any table size. The current-version "
+    "read then equals the original table exactly (the oracle), while "
+    "v2 stays addressable for forensics until expire_snapshots drops "
+    "it. Composes the same commit log as m5/m11.",
+    tags=("scale", "snapshot", "rollback"),
+)
+def m20_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        read_snapshot_dirs,
+        rollback_to,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="rb_"), "orders")
+    v1 = commit_snapshot(o, table)
+    bad = o.withColumn("o_orderstatus", F.lit("CORRUPT"))
+    commit_snapshot(bad, table)  # v2: the batch that should not have shipped
+    rollback_to(table, v1)  # v3: metadata-only undo
+    return read_snapshot_dirs(spark, table).select(*o.columns)

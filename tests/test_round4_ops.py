@@ -108,3 +108,42 @@ def test_pp3_drops_only_contaminated_train_docs(spark):
     assert dropped.filter(F.col("split") != "train").count() == 0
     # survivors are identical rows (columns match by construction)
     assert pp3.exceptAll(pp1).count() == 0
+
+
+def test_rollback_is_metadata_only_and_preserves_forensics(spark, tmp_path):
+    """rollback_to must not copy or delete data: the bad snapshot stays
+    addressable by version, the rollback entry shares v1's file paths
+    verbatim, and the current read equals v1."""
+    import os
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        list_snapshots,
+        read_snapshot_dirs,
+        rollback_to,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").limit(100)
+    table = os.path.join(str(tmp_path), "orders")
+    v1 = commit_snapshot(o, table)
+    bad = o.withColumn("o_orderstatus", F.lit("CORRUPT"))
+    v2 = commit_snapshot(bad, table)
+    v3 = rollback_to(table, v1)
+    assert v3 == v2 + 1
+    log = {e["version"]: e for e in list_snapshots(table)}
+    # metadata-only: the rollback entry references v1's directory, and no
+    # new data directory exists for v3
+    assert log[v3]["paths"] == [log[v1]["path"]]
+    assert not os.path.exists(os.path.join(table, f"v{v3}"))
+    # forensics: the bad snapshot is still readable by version
+    assert (
+        read_snapshot_dirs(spark, table, version=v2)
+        .filter(F.col("o_orderstatus") == "CORRUPT")
+        .count()
+        == 100
+    )
+    # current == v1
+    cur = read_snapshot_dirs(spark, table)
+    assert cur.filter(F.col("o_orderstatus") == "CORRUPT").count() == 0
+    assert cur.count() == 100
