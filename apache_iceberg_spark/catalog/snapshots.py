@@ -192,6 +192,36 @@ def list_snapshots(table_path: str) -> list[dict]:
     return list(_read_log(table_path))
 
 
+def remove_orphan_dirs(table_path: str) -> list[str]:
+    """Iceberg's ``remove_orphan_files`` maintenance procedure: delete
+    data directories (``v{N}/`` / ``d{N}/`` layout) that NO snapshot in
+    the commit log references — the debris of commits that wrote data but
+    died before the log swap (see commit_snapshot's crash note). Pure
+    metadata reconciliation: referenced-set from the log, candidate-set
+    from a directory listing, difference removed. Returns removed paths.
+    At 100 TB the listing is the only cost — the same job Iceberg runs
+    with a configurable older-than safety window."""
+    import re
+    import shutil
+
+    log = _read_log(table_path)
+    referenced = {
+        os.path.normpath(p) for e in log for p in _entry_paths(e)
+    }
+    removed = []
+    pat = re.compile(r"^[vd]\d+$")
+    for name in sorted(os.listdir(table_path)):
+        full = os.path.normpath(os.path.join(table_path, name))
+        if (
+            pat.match(name)
+            and os.path.isdir(full)
+            and full not in referenced
+        ):
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed
+
+
 def rollback_to(table_path: str, version: int, ts_ms: int | None = None) -> int:
     """Roll the table back to ``version`` — Iceberg's
     ``rollback_to_snapshot``: a METADATA-ONLY commit whose file set is the

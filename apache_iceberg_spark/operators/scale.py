@@ -1178,3 +1178,39 @@ def m20_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_snapshot(bad, table)  # v2: the batch that should not have shipped
     rollback_to(table, v1)  # v3: metadata-only undo
     return read_snapshot_dirs(spark, table).select(*o.columns)
+
+
+@register(
+    "m21_orphan_cleanup",
+    oracle="SELECT * FROM orders",
+    doc="Orphan-file cleanup — Iceberg's remove_orphan_files maintenance "
+    "procedure: v1 commits the table, then a simulated failed commit "
+    "leaves a full data directory behind WITHOUT a log entry (the "
+    "crash window commit_snapshot documents: data written, log swap "
+    "never happened). remove_orphan_dirs reconciles the directory "
+    "listing against every snapshot's referenced file set and deletes "
+    "only the debris; the current read — the oracle — proves the live "
+    "snapshot is untouched, and the unit test proves the orphan is "
+    "actually gone. The storage-hygiene twin of expire_snapshots (m4): "
+    "expire drops OLD referenced data, this drops NEVER-referenced "
+    "data; at 100 TB both are metadata-planned deletes.",
+    tags=("scale", "snapshot", "maintenance"),
+)
+def m21_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        read_snapshot_dirs,
+        remove_orphan_dirs,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="orph_"), "orders")
+    commit_snapshot(o, table)
+    # Simulated failed commit: v2's data lands, the log swap never runs.
+    orphan = o.withColumn("o_orderstatus", F.lit("TORN"))
+    orphan.write.mode("overwrite").parquet(os.path.join(table, "v2"))
+    remove_orphan_dirs(table)
+    return read_snapshot_dirs(spark, table).select(*o.columns)

@@ -620,3 +620,79 @@ def tx13_within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removed_frac"),
         )
     )
+
+
+TX14_TOP_K = 3
+# A term is "content" (not stopword-like) when it appears in at most
+# 1/TX14_DF_DIV of all documents: df * TX14_DF_DIV <= n_docs, an exact
+# integer comparison on both engines.
+TX14_DF_DIV = 5
+
+
+@register(
+    "tx14_tfidf_keywords",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)),
+                          '{_TOKEN_SPLIT}')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        ranked AS (
+            SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, tf.tok
+                   ) AS rank
+            FROM tf
+            JOIN df USING (tok)
+            CROSS JOIN n
+            WHERE df.df * {TX14_DF_DIV} <= n.n_docs
+        )
+        SELECT doc_id, tok AS term, tf, df, rank
+        FROM ranked WHERE rank <= {TX14_TOP_K}
+    """,
+    doc=f"Keyword extraction, the TF-IDF shape in exact integers: terms "
+    f"whose document frequency is at most 1/{TX14_DF_DIV} of the corpus "
+    "(the df gate that drops stopwords without a hand-made list — "
+    f"df * {TX14_DF_DIV} <= n_docs, integer-exact where a float idf "
+    f"log would not hash-match), then the top-{TX14_TOP_K} surviving "
+    "terms per document by term frequency (ties by term). One shuffle "
+    "for tf on (doc_id, tok), one aggregate of tf for df on tok, the "
+    "corpus size broadcast as a single row, and a per-document window "
+    "— every step partitioned, nothing global. At 100 TB the df frame "
+    "is vocabulary-sized: broadcast under AQE, like tx8's frequency "
+    "join.",
+    tags=("text", "llm", "keywords"),
+)
+def tx14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("tok"))
+    return (
+        tf.join(df, "tok")
+        .join(F.broadcast(n))
+        .filter(F.col("df") * TX14_DF_DIV <= F.col("n_docs"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TX14_TOP_K)
+        .select("doc_id", F.col("tok").alias("term"), "tf", "df", "rank")
+    )

@@ -147,3 +147,30 @@ def test_rollback_is_metadata_only_and_preserves_forensics(spark, tmp_path):
     cur = read_snapshot_dirs(spark, table)
     assert cur.filter(F.col("o_orderstatus") == "CORRUPT").count() == 0
     assert cur.count() == 100
+
+
+def test_orphan_cleanup_removes_only_unreferenced_dirs(spark, tmp_path):
+    """remove_orphan_dirs deletes exactly the torn-commit debris: the
+    orphan dir goes, every snapshot-referenced dir stays readable."""
+    import os
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        read_snapshot_dirs,
+        remove_orphan_dirs,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").limit(100)
+    table = os.path.join(str(tmp_path), "orders")
+    commit_snapshot(o, table)          # v1/
+    commit_append(o.limit(10), table)  # d2/ (shares v1/)
+    orphan_dir = os.path.join(table, "v9")
+    o.limit(7).write.parquet(orphan_dir)  # torn commit, no log entry
+    removed = remove_orphan_dirs(table)
+    assert removed == [os.path.normpath(orphan_dir)]
+    assert not os.path.exists(orphan_dir)
+    assert os.path.exists(os.path.join(table, "v1"))
+    assert os.path.exists(os.path.join(table, "d2"))
+    assert read_snapshot_dirs(spark, table).count() == 110
