@@ -969,3 +969,216 @@ __all__ = [
     "ann7_kmeans_train",
     "ann8_pq_recall_eval",
 ]
+
+
+# --- ann9: IVF + PQ (the production IVFADC composition) --------------------
+
+
+@register(
+    "ann9_ivf_pq",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id - {N_QUERIES} AS cell_id,
+                   embedding AS c_emb, norm AS c_norm
+            FROM n
+            WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CELLS}
+        ),
+        assign AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT v.vec_id, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ({_DUCK_DOT.format(a='v.embedding', b='c.c_emb')})
+                                    / (v.norm * c.c_norm) DESC,
+                                    c.cell_id
+                       ) AS rn
+                FROM n v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cell_id FROM (
+                SELECT q.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ({_DUCK_DOT.format(a='q.embedding', b='c.c_emb')})
+                                    / (q.norm * c.c_norm) DESC,
+                                    c.cell_id
+                       ) AS rn
+                FROM n q CROSS JOIN cent c
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rn <= {N_PROBE}
+        ),
+        sub AS (
+            SELECT vec_id, m,
+                   [CAST(embedding[m * {PQ_SUB} + j] AS DOUBLE)
+                    for j in generate_series(1, {PQ_SUB})] AS sv
+            FROM embeddings, generate_series(0, {PQ_M - 1}) AS g(m)
+        ),
+        csub AS (
+            SELECT vec_id AS k, m, sv AS cv FROM sub
+            WHERE vec_id < {PQ_TRAIN}
+        ),
+        pqcand AS (
+            SELECT s.vec_id, s.m, c.k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_DUCK_L2.format(a="s.sv", b="c.cv")}, c.k
+                   ) AS rn
+            FROM sub s JOIN csub c USING (m)
+        ),
+        codes AS (
+            SELECT vec_id, m, k FROM pqcand WHERE rn = 1
+        ),
+        qd AS (
+            SELECT q.vec_id AS query_id, c.m, c.k,
+                   CAST(ROUND({_DUCK_L2.format(a="q.sv", b="c.cv")}
+                        * {PQ_MICRO}) AS BIGINT) AS qd2_micro
+            FROM sub q JOIN csub c USING (m)
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        adc AS (
+            SELECT qd.query_id, codes.vec_id AS neighbor_id,
+                   CAST(SUM(qd.qd2_micro) AS BIGINT) AS adc2_micro
+            FROM codes
+            JOIN assign a ON a.vec_id = codes.vec_id
+            JOIN probes p ON p.cell_id = a.cell_id
+            JOIN qd ON codes.m = qd.m AND codes.k = qd.k
+                   AND qd.query_id = p.query_id
+            WHERE codes.vec_id <> qd.query_id
+            GROUP BY qd.query_id, codes.vec_id
+        )
+        SELECT query_id, neighbor_id, adc2_micro,
+               sqrt(CAST(adc2_micro AS DOUBLE) / {PQ_MICRO}) AS adc_dist
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc2_micro, neighbor_id
+            ) AS rn FROM adc
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"IVF + PQ — the composition production ANN indexes actually ship "
+    f"(FAISS IVFADC): ann3's coarse quantizer prunes the corpus to the "
+    f"query's {N_PROBE} probed cells of {K_CELLS}, and ann6's product-"
+    f"quantization ADC scores ONLY those candidates from {PQ_M}-byte "
+    "codes — compute pruning (1/k of the corpus scanned) times memory "
+    "compression (32x smaller codes), which is how a 100 TB embedding "
+    "corpus serves sub-second top-k. Spark shape: both index artifacts "
+    "are broadcast-scale (centroids, codebook, per-query lookup "
+    "tables); the corpus-sized frames (cell assignment, PQ codes) join "
+    "on vec_id — at scale both are written bucketed by vec_id so the "
+    "index join is co-located, then pruned by the broadcast probe "
+    "list before any distance math. Residual encoding (codes over "
+    "vector-minus-centroid) is the one production delta, omitted so "
+    "codes stay shared with ann6/ann8; the plan is identical. ADC "
+    "sums exact integer micro-units (ann6's determinism contract).",
+    tags=("similarity", "llm", "embedding", "quantize", "index"),
+)
+def ann9_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    ).persist()
+    # Coarse quantizer: identical fold to ann3 (one broadcast row of
+    # sorted centroid structs, map-only top-2-cell assignment).
+    cents = F.broadcast(
+        n.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_CELLS)
+        )
+        .select(
+            F.struct(
+                (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    cos = (
+        _SPARK_DOT.format(a="embedding", b="ce.c_emb") + " / (norm * ce.c_norm)"
+    )
+    top2 = (
+        "aggregate(cents, named_struct("
+        "'c1', CAST(-2.0 AS DOUBLE), 'l1', CAST(-1 AS BIGINT), "
+        "'c2', CAST(-2.0 AS DOUBLE), 'l2', CAST(-1 AS BIGINT)), "
+        "(st, ce) -> CASE "
+        f"WHEN ({cos}) > st.c1 THEN named_struct("
+        f"'c1', ({cos}), 'l1', ce.cell_id, 'c2', st.c1, 'l2', st.l1) "
+        f"WHEN ({cos}) > st.c2 THEN named_struct("
+        f"'c1', st.c1, 'l1', st.l1, 'c2', ({cos}), 'l2', ce.cell_id) "
+        "ELSE st END)"
+    )
+    scored = n.crossJoin(cents).withColumn("t2", F.expr(top2))
+    assign = scored.select("vec_id", F.col("t2.l1").alias("cell_id"))
+    probes = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array("t2.l1", "t2.l2")).alias("cell_id"),  # N_PROBE = 2
+    )
+    # PQ index: identical encoding to ann6.
+    sub = e.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(
+            f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+            "x -> CAST(x AS DOUBLE))"
+        ).alias("sv"),
+    )
+    csub = F.broadcast(
+        sub.filter(F.col("vec_id") < PQ_TRAIN).select(
+            F.col("vec_id").alias("k"), "m", F.col("sv").alias("cv")
+        )
+    )
+    d2 = F.expr(_SPARK_L2.format(a="sv", b="cv"))
+    codes = (
+        sub.join(csub, "m")
+        .select("vec_id", "m", "k", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("k", F.struct("d2", "k")).alias("k"))
+    )
+    qd = F.broadcast(
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+        .join(csub, "m")
+        .select(
+            "query_id",
+            "m",
+            "k",
+            F.round(F.expr(_SPARK_L2.format(a="qv", b="cv")) * PQ_MICRO)
+            .cast("long")
+            .alias("qd2_micro"),
+        )
+    )
+    # IVF pruning BEFORE any ADC math: codes gain their cell, join the
+    # broadcast probe list, then the per-(query, m) lookup table.
+    adc = (
+        codes.join(assign, "vec_id")
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(qd, ["query_id", "m", "k"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2_micro").alias("adc2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc2_micro", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc2_micro",
+            F.sqrt(F.col("adc2_micro").cast("double") / PQ_MICRO).alias(
+                "adc_dist"
+            ),
+        )
+    )
