@@ -69,6 +69,10 @@ HEADLINE = [
     "dd11_duplication_profile",
     "a20_cohort_retention",
     "m18_bitmap_distinct",
+    "dd12_containment_dedup",
+    "dd13_soft_dedup_weights",
+    "tx14_tfidf_keywords",
+    "ann9_ivf_pq",
 ]
 
 
