@@ -54,32 +54,18 @@ def _coverage_order(d: dict) -> dict:
     rows. Harmless if the driver ignores dict order.
     """
     green, red = _prior_rounds()
-    # Queries whose IMPLEMENTATION changed this round (round 4): their old
+    # Queries whose IMPLEMENTATION changed this round (round 5): their old
     # green rows prove the old code, so they re-enter the checked set
-    # right behind never-checked queries.
+    # right behind never-checked queries. Round 5's priority is the 8
+    # queries that have NEVER had a driver row (a17-a20, j7, o6, p8, u6 —
+    # VERDICT r4 ask #1); they are not in `green`, so they are fresh
+    # automatically, and this round's total fresh count stays well under
+    # the driver's ~50-row sample so none can lose the lottery again.
     recheck = {
-        "dc1_decontamination",   # bloom pre-pass replaced forced broadcast
-        "dd2_minhash_lsh",       # SHINGLE_WORDS=5 + hashed-set verify
-        "dd3_simhash",           # rewritten as a map-only expression fold
-        "dd6_dup_clusters",      # 5-word shingles; CC in min_label_components
-        "pp2_sequence_packing",  # prefix sum factored into _pp2_start_frame
-        "mm5_dhash",             # dhash expressions hoisted to module scope
-        "pp1_corpus_curation",   # funnel factored into _pp1_curated_frame
-        "ann3_ivf",              # map-only centroid fold replaced windows
-    }
-    # The round-4 testdata generation changed events.ts from
-    # TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ) — every green row for a
-    # query reading `events` proves the OLD fixture, so the whole family
-    # re-enters the checked set too.
-    recheck |= {
-        "ts1_tumbling_agg", "ts2_sessionization", "ts3_asof_join",
-        "ts4_gapfill_resample", "ts5_ohlc_bars", "w2_running_total",
-        "w3_lag_delta", "w5_moving_avg", "w6_range_frame",
-        "w7_event_streaks", "f6_json_funcs", "u5_pivot", "a3_union_fanout",
-        "a4_pivot_counts", "a12_stratified_sample", "st1_stream_tumbling",
-        "st2_stream_sliding", "st3_stream_dedup", "st4_stream_static_join",
-        "st5_stream_stateful_sessions", "st6_stream_session_window",
-        "st7_stream_upsert", "st8_stream_stream_join",
+        "dd12_containment_dedup",  # df-capped posting join (VERDICT #2)
+        "g1_pagerank",             # outdeg carried on edge frame (VERDICT #3)
+        "pp3_curation_decontaminated",  # decontam tail factored (pp10)
+        "pp6_production_funnel",        # same refactor
     }
     fresh = [k for k in d if k not in green or k in recheck]
     # Previously-red rows lead (their fixes must land in the checked set);

@@ -192,15 +192,25 @@ def list_snapshots(table_path: str) -> list[dict]:
     return list(_read_log(table_path))
 
 
-def remove_orphan_dirs(table_path: str) -> list[str]:
+def remove_orphan_dirs(
+    table_path: str, older_than_ms: int | None = None
+) -> list[str]:
     """Iceberg's ``remove_orphan_files`` maintenance procedure: delete
     data directories (``v{N}/`` / ``d{N}/`` layout) that NO snapshot in
     the commit log references — the debris of commits that wrote data but
     died before the log swap (see commit_snapshot's crash note). Pure
     metadata reconciliation: referenced-set from the log, candidate-set
     from a directory listing, difference removed. Returns removed paths.
-    At 100 TB the listing is the only cost — the same job Iceberg runs
-    with a configurable older-than safety window."""
+    At 100 TB the listing is the only cost.
+
+    ``older_than_ms`` is Iceberg's safety window (epoch-ms cutoff):
+    directories whose mtime is at or after the cutoff are NOT deleted,
+    so a concurrent in-flight commit (data written, log swap pending)
+    cannot lose its files. With the default ``None`` there is NO window —
+    only safe when called from the single writer with no commit in
+    flight (the shape m21 exercises); any concurrent-writer deployment
+    must pass a cutoff of now minus several hours, as real Iceberg
+    defaults to (``older_than = 3 days``)."""
     import re
     import shutil
 
@@ -216,6 +226,10 @@ def remove_orphan_dirs(table_path: str) -> list[str]:
             pat.match(name)
             and os.path.isdir(full)
             and full not in referenced
+            and (
+                older_than_ms is None
+                or os.path.getmtime(full) * 1000 < older_than_ms
+            )
         ):
             shutil.rmtree(full)
             removed.append(full)

@@ -973,11 +973,14 @@ __all__ = [
 
 # --- ann9: IVF + PQ (the production IVFADC composition) --------------------
 
+#: ADC candidates per query carried into ann10's exact re-ranking stage.
+RERANK_R = 40
 
-@register(
-    "ann9_ivf_pq",
-    oracle=f"""
-        WITH n AS (
+#: The IVFADC dataflow as one DuckDB CTE chain, terminal CTE ``adc``
+#: (query_id, neighbor_id, adc2_micro) plus the normed corpus ``n`` —
+#: shared by ann9 (ADC top-k) and ann10 (exact re-rank of the ADC
+#: candidates) so the two oracles cannot drift.
+_IVF_PQ_CTES = f"""n AS (
             SELECT vec_id, embedding,
                    sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
             FROM embeddings
@@ -1051,7 +1054,13 @@ __all__ = [
                    AND qd.query_id = p.query_id
             WHERE codes.vec_id <> qd.query_id
             GROUP BY qd.query_id, codes.vec_id
-        )
+        )"""
+
+
+@register(
+    "ann9_ivf_pq",
+    oracle=f"""
+        WITH {_IVF_PQ_CTES}
         SELECT query_id, neighbor_id, adc2_micro,
                sqrt(CAST(adc2_micro AS DOUBLE) / {PQ_MICRO}) AS adc_dist
         FROM (
@@ -1078,6 +1087,30 @@ __all__ = [
     tags=("similarity", "llm", "embedding", "quantize", "index"),
 )
 def ann9_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, adc = _ivf_pq_adc_frame(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc2_micro", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc2_micro",
+            F.sqrt(F.col("adc2_micro").cast("double") / PQ_MICRO).alias(
+                "adc_dist"
+            ),
+        )
+    )
+
+
+def _ivf_pq_adc_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared IVFADC dataflow: returns (normed corpus ``n``
+    [persisted], aggregated ADC scores ``adc`` (query_id, neighbor_id,
+    adc2_micro) over the probed cells). ann9 takes ADC top-k directly;
+    ann10 re-ranks the top RERANK_R ADC candidates with exact cosine.
+    DuckDB twin: _IVF_PQ_CTES."""
     e = load_table_parallel(spark, sf_dir, "embeddings")
     n = e.select(
         "vec_id",
@@ -1117,9 +1150,15 @@ def ann9_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = n.crossJoin(cents).withColumn("t2", F.expr(top2))
     assign = scored.select("vec_id", F.col("t2.l1").alias("cell_id"))
+    # The top-2 fold above tracks exactly two cells, so the probe fan-out
+    # is hard-wired to the l1/l2 struct fields while the oracle uses the
+    # parameterized `rn <= N_PROBE` — assert the coupling so a constant
+    # change fails loudly instead of silently desyncing the two plans
+    # (same latent coupling as ann3).
+    assert N_PROBE == 2, "ann9's explode(array(l1, l2)) assumes N_PROBE == 2"
     probes = scored.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.explode(F.array("t2.l1", "t2.l2")).alias("cell_id"),  # N_PROBE = 2
+        F.explode(F.array("t2.l1", "t2.l2")).alias("cell_id"),
     )
     # PQ index: identical encoding to ann6.
     sub = e.select(
@@ -1169,16 +1208,93 @@ def ann9_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd2_micro").alias("adc2_micro"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc2_micro", "neighbor_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+    return n, adc
+
+
+@register(
+    "ann10_ivf_pq_rerank",
+    oracle=f"""
+        WITH {_IVF_PQ_CTES},
+        cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY adc2_micro, neighbor_id
+                ) AS rn FROM adc
+            ) WHERE rn <= {RERANK_R}
+        ),
+        rer AS (
+            SELECT c.query_id, c.neighbor_id,
+                   ({_DUCK_DOT.format(a='q.embedding', b='v.embedding')})
+                     / (q.norm * v.norm) AS cosine
+            FROM cand c
+            JOIN n q ON q.vec_id = c.query_id
+            JOIN n v ON v.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rn FROM rer
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"IVFADC + exact re-ranking — the final stage production vector "
+    f"search actually serves: ann9's ADC scan nominates the top "
+    f"{RERANK_R} candidates per query (cheap, {PQ_M}-byte codes), then "
+    f"ONLY those ~{RERANK_R} rows per query fetch their full vectors "
+    f"and re-score with exact cosine (ann1's fold), returning the "
+    f"re-ranked top {TOP_K}. This buys back the quantization error on "
+    "exactly the rows that matter: recall@10 vs the exact ground truth "
+    "improves over raw ADC ordering (quantified by the ann8 harness in "
+    "the pytest suite) at the cost of RERANK_R full-vector reads per "
+    "query instead of zero. Spark shape: the candidate frame is "
+    "queries×RERANK_R rows (broadcast-scale); it broadcast-joins the "
+    "vec_id-bucketed corpus — the corpus itself never shuffles and "
+    "only candidate vectors are ever read, which is why re-ranking "
+    "stays sub-second at 100 TB (FAISS's refine/IndexRefineFlat "
+    "composition). Exact cosine ties break on neighbor_id (ann1's "
+    "determinism convention).",
+    tags=("similarity", "llm", "embedding", "quantize", "index"),
+)
+def ann10_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, adc = _ivf_pq_adc_frame(spark, sf_dir)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        "adc2_micro", "neighbor_id"
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= RERANK_R)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-score of candidates only: the tiny candidate list (and
+    # the query vectors) broadcast; the corpus side is a semi-join-
+    # pruned vector fetch, never a wide shuffle.
+    q = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    v = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    rer = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            "adc2_micro",
-            F.sqrt(F.col("adc2_micro").cast("double") / PQ_MICRO).alias(
-                "adc_dist"
-            ),
+            (
+                F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
         )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
     )

@@ -73,7 +73,37 @@ HEADLINE = [
     "dd13_soft_dedup_weights",
     "tx14_tfidf_keywords",
     "ann9_ivf_pq",
+    # round-5 operators
+    "dd14_fuzzy_dup_clusters",
+    "ann10_ivf_pq_rerank",
+    "pp10_pretraining_job",
 ]
+
+
+def fixture_fingerprints(sf_dir: str) -> dict[str, dict]:
+    """Per-table row count + content hash of the bench fixture, emitted
+    with every run so round-over-round deltas are attributable to CODE,
+    not silently regenerated testdata (the round-4 regeneration made r3
+    per-query numbers an imperfect yardstick — VERDICT r4 ask #7). Row
+    counts come from parquet footers (no data read); the hash is md5 of
+    the file bytes."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        out[name] = {
+            "rows": pq.ParquetFile(path).metadata.num_rows,
+            "md5": h.hexdigest(),
+        }
+    return out
 
 
 def main() -> None:
@@ -116,6 +146,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "fixtures": fixture_fingerprints(sf_dir),
             }
         )
     )

