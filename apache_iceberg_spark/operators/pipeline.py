@@ -867,9 +867,11 @@ def _funnel_ctes(stage3: str) -> str:
         )"""
 
 
-#: Decontamination tail over the funnel's `final` CTE (pp3/pp6): drop
-#: train docs sharing any PP3_DECONTAM_N-gram with the test split.
-_DECONTAM_TAIL_DUCK = f""",
+#: Decontamination CTEs over the funnel's `final` CTE (pp3/pp6/pp10):
+#: drop train docs sharing any PP3_DECONTAM_N-gram with the test split;
+#: terminal CTE is ``clean`` (the decontaminated funnel survivors, text
+#: retained so pp10 can keep packing).
+_DECONTAM_CTES_DUCK = f""",
         gtoks AS (
             SELECT doc_id, split,
                    string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}') AS t
@@ -886,12 +888,18 @@ _DECONTAM_TAIL_DUCK = f""",
             SELECT DISTINCT a.doc_id
             FROM ggrams a JOIN ggrams b USING (g)
             WHERE a.split = 'train' AND b.split = 'test'
-        )
-        SELECT f.doc_id, f.lang, f.source,
-               CAST(length(f.text) AS BIGINT) AS n_chars, f.split
-        FROM final f
-        WHERE NOT (f.split = 'train'
-                   AND f.doc_id IN (SELECT doc_id FROM contam))"""
+        ),
+        clean AS (
+            SELECT f.* FROM final f
+            WHERE NOT (f.split = 'train'
+                       AND f.doc_id IN (SELECT doc_id FROM contam))
+        )"""
+
+#: pp3/pp6's audit projection over the decontaminated survivors.
+_DECONTAM_TAIL_DUCK = f"""{_DECONTAM_CTES_DUCK}
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars, split
+        FROM clean"""
 
 
 @register(
@@ -937,15 +945,20 @@ def pp1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pp1_curated_frame(
-    spark: SparkSession, sf_dir: str, fuzzy: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    fuzzy: bool = False,
+    image_dedup: bool = False,
 ) -> DataFrame:
     """The shared curation funnel (lazy; text retained): quality gates →
     URL dedup → exact dedup → third dedup stage → stratified sampling →
     split assignment. ``fuzzy=False`` runs the winnowing-fingerprint
     third stage (pp1/pp3); ``fuzzy=True`` swaps in the verified
-    MinHash-LSH near-dup removal (pp6). One definition so the funnels
-    can never desynchronize (test_pp3_* asserts row parity); the DuckDB
-    mirror is ``_funnel_ctes``.
+    MinHash-LSH near-dup removal (pp6). ``image_dedup=True`` adds pp9's
+    perceptual-hash near-dup drop (banded Hamming candidates, keep-
+    lowest) over the third stage's survivors (pp10). One definition so
+    the funnels can never desynchronize (test_pp3_* asserts row parity);
+    the DuckDB mirror is ``_funnel_ctes``.
     """
     d = load_table_parallel(spark, sf_dir, "documents")
     # Stage 1 — quality gates: contract filters reach the parquet scan.
@@ -969,6 +982,13 @@ def _pp1_curated_frame(
         s3 = s2.join(dupes, "doc_id", "left_anti")
     else:
         s3 = _keep_min(s2, F.expr(_FINGERPRINT_EXPR))
+    if image_dedup:
+        img_dupes = (
+            mm6_hamming_pairs(s3)
+            .select(F.col("doc_id_b").alias("doc_id"))
+            .distinct()
+        )
+        s3 = s3.join(img_dupes, "doc_id", "left_anti")
     # Stage 3 — per-language stratified sampling (deterministic key-hash;
     # 'sample:' salt keeps it independent of the split assignment below).
     sample_bucket = (
@@ -1428,8 +1448,22 @@ def _decontaminate_curated(cur: DataFrame) -> DataFrame:
     """Shared final stage of pp3/pp6: drop train documents sharing any
     PP3_DECONTAM_N-gram with the test split of an already-materialized
     curated frame (doc_id, lang, source, text, split), returning the
-    audit projection. Train grams go through the constant-size bloom
-    pre-pass before the semi-join."""
+    audit projection."""
+    return _decontaminated_frame(cur).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        "split",
+    )
+
+
+def _decontaminated_frame(cur: DataFrame) -> DataFrame:
+    """The decontaminated survivors of a materialized curated frame,
+    TEXT RETAINED (pp10 keeps packing them): anti-join of the
+    contaminated-train-doc set, whose train-gram side goes through the
+    constant-size bloom pre-pass before the semi-join on test grams.
+    DuckDB mirror: the ``clean`` CTE of _DECONTAM_CTES_DUCK."""
     toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
     base = cur.select("doc_id", "split", toks.alias("t")).filter(
         F.size("t") >= PP3_DECONTAM_N
@@ -1452,13 +1486,7 @@ def _decontaminate_curated(cur: DataFrame) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    return cur.join(contam, "doc_id", "left_anti").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.length("text").cast("long").alias("n_chars"),
-        "split",
-    )
+    return cur.join(contam, "doc_id", "left_anti")
 
 
 #: pp5: fraction of the corpus token count used as the mixture budget
@@ -2277,4 +2305,186 @@ def pp9_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pp10: the COMPLETE multimodal pretraining-data job (round-5 capstone)
+# ---------------------------------------------------------------------------
+
+
+def _pp10_oracle() -> str:
+    from apache_iceberg_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_lsh_ctes,
+    )
+
+    # Funnel third stage: fuzzy LSH dedup (pp6's), then pp9's perceptual-
+    # hash image near-dup drop over its survivors.
+    stage3 = f"""{minhash_lsh_ctes("s2")},
+        s3f AS (
+            SELECT s2.* FROM s2
+            WHERE s2.doc_id NOT IN (
+                SELECT doc_id_b FROM verified
+                WHERE jaccard >= {JACCARD_THRESHOLD})
+        ),
+        ir AS (
+            SELECT doc_id,
+                   [ascii(substr(text,
+                        1 + CAST(floor(k * length(text) / {DHASH_BITS + 1}) AS INT), 1))
+                    for k in generate_series(0, {DHASH_BITS})] AS v
+            FROM s3f
+            WHERE length(text) >= {DHASH_BITS + 1}
+        ),
+        ih AS (
+            SELECT doc_id,
+                   CAST(COALESCE(list_sum([
+                       CASE WHEN v[k + 1] > v[k + 2]
+                            THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                       for k in generate_series(0, {DHASH_BITS - 1})]), 0)
+                       AS BIGINT) AS dhash
+            FROM ir
+        ),
+        img_dupes AS (
+            SELECT DISTINCT b.doc_id
+            FROM ih a JOIN ih b
+              ON a.doc_id < b.doc_id
+             AND bit_count(xor(a.dhash, b.dhash)) <= {MM6_HAMMING_MAX}
+        ),
+        s3 AS (
+            SELECT s3f.* FROM s3f
+            WHERE s3f.doc_id NOT IN (SELECT doc_id FROM img_dupes)
+        )"""
+    shuffle_key = DUCK_HEX2INT.format(
+        s="concat('shuffle:', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+        WITH {_funnel_ctes(stage3)}{_DECONTAM_CTES_DUCK},
+        tr AS (
+            SELECT doc_id,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks,
+                   {shuffle_key} AS shuffle_key
+            FROM clean WHERE split = 'train'
+        ),
+        c AS (
+            SELECT doc_id, n_toks, shuffle_key,
+                   CAST(SUM(n_toks) OVER (ORDER BY shuffle_key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_toks AS BIGINT) AS st
+            FROM tr
+        ),
+        spans AS (
+            SELECT doc_id, n_toks, st,
+                   unnest(generate_series(st // {PACK_BUDGET},
+                                          (st + n_toks - 1) // {PACK_BUDGET}))
+                       AS seq_id
+            FROM c
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(seq_id * {PACK_BUDGET}, st) - st
+                    AS BIGINT) AS slice_start,
+               CAST(least((seq_id + 1) * {PACK_BUDGET}, st + n_toks)
+                    - greatest(seq_id * {PACK_BUDGET}, st)
+                    AS BIGINT) AS slice_len,
+               CAST(greatest(seq_id * {PACK_BUDGET}, st)
+                    - seq_id * {PACK_BUDGET} AS BIGINT) AS seq_offset
+        FROM spans
+    """
+
+
+@register(
+    "pp10_pretraining_job",
+    oracle=_pp10_oracle(),
+    doc="The COMPLETE multimodal pretraining-data job — every stage of "
+    "pp6's text capstone plus pp9's image stage, ending in the "
+    "loader-consumable artifact (pp2b's packed spans in pp8's shuffled "
+    "order), one job: data-contract quality gates (scan-pushed) -> "
+    "URL-canonical dedup -> exact-content dedup -> MinHash-LSH fuzzy "
+    "near-dup removal (banded, verified) -> perceptual-hash IMAGE "
+    "near-dup removal over the survivors (banded Hamming, pigeonhole-"
+    "lossless) -> per-language stratified downsampling -> leakage-safe "
+    "split assignment -> parallel parquet checkpoint (the corpus "
+    "artifact; bounds lineage, materializes the funnel exactly once) -> "
+    "bloom-prefiltered benchmark decontamination -> deterministic "
+    "corpus shuffle of the train split (salted hash; the global order "
+    "is stated by the oracle's single window but COMPUTED as pp8's "
+    "two-level bucketed rank — no single-partition sort) -> sequence "
+    "packing into fixed token budgets via the distributed prefix sum "
+    "(pp2), emitting per-(sequence, document) token slices (pp2b's "
+    "explode, map-only). Scale shape: every dedup stage shuffles only "
+    "the prior stage's survivors; candidate generation is banded "
+    "(never all-pairs); decontamination broadcasts a constant-size "
+    "bloom; the prefix sum and shuffle rank are two-shuffle-plus-"
+    "broadcast at any corpus size; the one materialization is the "
+    "checkpoint every real pipeline persists anyway.",
+    tags=("pipeline", "llm", "flagship", "multimodal", "packing"),
+)
+def pp10_pretraining_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    curated = _pp1_curated_frame(spark, sf_dir, fuzzy=True, image_dedup=True)
+    path = os.path.join(_export_tmpdir("pretrain_"), "curated")
+    curated.write.parquet(path)
+    clean = _decontaminated_frame(spark.read.parquet(path))
+
+    # Train split in deterministic shuffled order: salted-hash key, rank
+    # buckets from its top bits (pp8), within-bucket token prefix sums in
+    # parallel windows, bucket totals rebased by a broadcast prefix (pp2).
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    tr = clean.filter(F.col("split") == "train").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.expr(
+            SPARK_HEX2INT.format(s="concat('shuffle:', CAST(doc_id AS STRING))")
+        ).alias("shuffle_key"),
+    )
+    tr = tr.withColumn(
+        "bucket", F.shiftright("shuffle_key", PP8_BUCKET_SHIFT)
+    )
+    within = F.sum("n_toks").over(
+        Window.partitionBy("bucket")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = tr.withColumn("within_cum", within)
+    btot = tr.groupBy("bucket").agg(F.sum("n_toks").alias("btot"))
+    bprefix = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("btot").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("bprefix"),
+    )
+    started = per_doc.join(F.broadcast(bprefix), "bucket").select(
+        "doc_id",
+        "n_toks",
+        (F.col("within_cum") + F.col("bprefix") - F.col("n_toks")).alias(
+            "start"
+        ),
+    )
+    # pp2b's span explode: one row per (sequence, document) overlap.
+    spans = started.select(
+        "doc_id",
+        "n_toks",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / PACK_BUDGET),
+                F.floor((F.col("start") + F.col("n_toks") - 1) / PACK_BUDGET),
+            )
+        ).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * PACK_BUDGET
+    clip_lo = F.greatest(seq_lo, F.col("start"))
+    clip_hi = F.least(seq_lo + PACK_BUDGET, F.col("start") + F.col("n_toks"))
+    return spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (clip_lo - F.col("start")).cast("long").alias("slice_start"),
+        (clip_hi - clip_lo).cast("long").alias("slice_len"),
+        (clip_lo - seq_lo).cast("long").alias("seq_offset"),
     )

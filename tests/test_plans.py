@@ -605,3 +605,76 @@ def test_p8_inlist_and_disjunction_push_to_scan(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "In(o_orderstatus" in pushed, pushed
     assert "Or(EqualTo(o_orderpriority" in pushed, pushed
+
+
+def test_pp10_funnel_no_cartesian_no_forced_corpus_broadcast(spark):
+    """pp10's funnel stage (gates -> URL -> exact -> LSH -> image
+    near-dup -> sample -> split) must stay banded end-to-end: no
+    cartesian/nested-loop product anywhere, candidates from bucket
+    aggregates + in-bucket explodes, and no forced broadcast of a
+    corpus-sized frame (the only .broadcast hints in the lineage are
+    the constant-size bloom and the bucket-prefix frames, which appear
+    downstream, not here)."""
+    from apache_iceberg_spark.operators.pipeline import _pp1_curated_frame
+
+    df = _pp1_curated_frame(
+        spark, SF_DIR, fuzzy=True, image_dedup=True
+    )
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan  # LSH band + Hamming band explodes
+
+
+def test_pp10_pack_stage_no_single_partition_corpus_sort(spark):
+    """pp10's output stage (shuffle-ordered packing of the train split)
+    must compute the global order via per-bucket windows + a broadcast
+    prefix rebase (pp8/pp2's two-level shape): the only SinglePartition
+    exchange allowed is the ~256-row bucket-totals window, and the span
+    explode must be a Generate, not a join."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "pp10_pretraining_job")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    import re
+
+    assert "CartesianProduct" not in plan, plan
+    # The decontam stage's ONE nested-loop join is the 1-row bloom-
+    # bitmap attach (bloom_prefilter's documented crossJoin); any other
+    # BNLJ would be a real product over data-sized frames. (Formatted
+    # plans list each operator twice — count numbered operator lines.)
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.M)
+    assert len(bnlj) <= 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
+    # Two tiny SinglePartition exchanges allowed: the 1-row bloom-bitmap
+    # aggregate and the ~256-row bucket-totals window. Nothing corpus-
+    # sized may pass through one.
+    single = re.findall(r"SinglePartition, ENSURE_REQUIREMENTS", plan)
+    assert len(single) <= 2, plan
+    assert "Generate" in plan, plan
+
+
+def test_dd14_edge_generation_is_banded_never_posting_join(spark):
+    """dd14's cluster edges must come from dd2's banded candidate
+    machinery — a bucket collect_list + in-bucket pair explode — never
+    from a raw shingle-posting self-join (dd6's oracle-friendly shape):
+    no join in the pair plan may key on an exploded gram/shingle
+    column, and no cartesian anywhere."""
+    from apache_iceberg_spark.operators.dedup import minhash_lsh_pairs
+    from apache_iceberg_spark.tables import load_table
+
+    pairs = minhash_lsh_pairs(load_table(spark, SF_DIR, "documents"))
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan  # band + in-bucket pair explodes
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "gram" not in line and "shingle" not in line, line
