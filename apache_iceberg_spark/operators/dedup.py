@@ -482,26 +482,59 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DD12_THRESHOLD = 0.8
 
-#: Block-level document-frequency cap on the posting join: a gram shared
-#: by k documents in a block emits k(k-1)/2 intermediate join rows, and
-#: character-n-gram df is Zipfian — without a cap the hottest grams
-#: ("` the `"-class boilerplate) make the join O(Σ df²) ≈ all-pairs
-#: within each block (VERDICT r4's one scale-killer). Grams with
-#: df > cap carry ~zero containment signal (they are block-boilerplate
-#: by definition), so they are dropped CONSISTENTLY from both the
-#: intersection counts and the per-doc set sizes — containment is then
-#: exact over the pruned gram sets (standard containment-search
-#: prefix/frequency pruning), and per-gram join fan-out is bounded at
-#: cap² rows at ANY corpus size. At the test SFs the cap only starts
-#: biting at sf0.1 (max block df: 16 at sf0.01, 111 at sf0.1).
+#: Containment is measured over WORD 3-gram sets (round 5; rounds 1-4
+#: used character 3-grams). Character n-grams have a BOUNDED effective
+#: vocabulary (~|charset|^3 ≈ 10^4 values actually occurring in text),
+#: so at any real corpus size every gram's document frequency grows with
+#: the corpus and the posting join degenerates no matter the cap — the
+#: r4 bench showed exactly that (the hottest non-graph query, join
+#: volume O(Σ df²) ≈ 29M intermediate rows at sf0.1). Word n-gram
+#: vocabulary GROWS with the corpus (Heaps' law), keeping posting lists
+#: sparse at every scale: the same fixture drops to 293k intermediate
+#: rows at width 3. Word trigrams are the standard containment/
+#: fingerprinting unit (winnowing, MinHash shingling — dd2 uses 5-word
+#: shingles for the same reason).
+DD12_SHINGLE_WORDS = 3
+
+#: Block-level document-frequency cap on the posting join — the Zipf
+#: guard: real corpora still have hot word trigrams ("` one of the `"-
+#: class), and a gram shared by k documents emits k(k-1)/2 intermediate
+#: join rows. Grams with df > cap carry ~zero containment signal (they
+#: are block-boilerplate by definition), so they are dropped
+#: CONSISTENTLY from both the intersection counts and the per-doc set
+#: sizes — containment stays exact over the pruned gram sets (standard
+#: containment-search frequency pruning), and per-gram join fan-out is
+#: bounded at cap² rows at ANY corpus size. The synthetic fixture's
+#: word trigrams never reach the cap (max block df: 5 at sf0.1); the
+#: property suite proves the bound on adversarial corpora.
 DD12_DF_CAP = 64
+
+_DD12_SPARK_GRAMS = (
+    "array_distinct(transform("
+    f"sequence(1, greatest(size(toks) - {DD12_SHINGLE_WORDS - 1}, 1)), "
+    "i -> concat_ws(' ', "
+    + ", ".join(
+        f"element_at(toks, i + {j})" for j in range(DD12_SHINGLE_WORDS)
+    )
+    + ")))"
+).replace("toks", f"({_SPARK_TOKENS})")
+
+_DD12_DUCK_GRAMS = (
+    "list_distinct(["
+    + " || ' ' || ".join(f"toks[i + {j}]" for j in range(DD12_SHINGLE_WORDS))
+    + f" for i in generate_series(1, greatest(len(toks) - {DD12_SHINGLE_WORDS - 1}, 1))])"
+)
 
 
 @register(
     "dd12_containment_dedup",
     oracle=f"""
-        WITH g AS (
-            SELECT doc_id, lang, source, {_DUCK_NGRAMS} AS grams FROM documents
+        WITH t AS (
+            SELECT doc_id, lang, source, {_DUCK_TOKENS} AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lang, source, {_DD12_DUCK_GRAMS} AS grams FROM t
         ),
         posts AS (
             SELECT doc_id, lang, source, unnest(grams) AS gram FROM g
@@ -538,10 +571,13 @@ DD12_DF_CAP = 64
         FROM pairs WHERE containment >= {DD12_THRESHOLD}
     """,
     doc=f"Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over "
-    f"character-{NGRAM_CHARS}-gram sets within (lang, source) blocks, "
-    f"grams pruned to block document frequency ≤ {DD12_DF_CAP} (see "
-    "DD12_DF_CAP — the frequency pruning that bounds the posting join "
-    "at any scale; the score is exact over the pruned sets). Jaccard "
+    f"word-{DD12_SHINGLE_WORDS}-gram sets within (lang, source) blocks "
+    "(word grams, not character grams: char-n-gram vocabulary is "
+    "bounded so its posting lists densify with corpus size — see "
+    "DD12_SHINGLE_WORDS), grams pruned to block document frequency ≤ "
+    f"{DD12_DF_CAP} (see DD12_DF_CAP — the Zipf guard that bounds the "
+    "posting join at any scale; the score is exact over the pruned "
+    "sets). Jaccard "
     "misses the 'document B embeds document A' case (a long page "
     "quoting a short one scores low on union but ~1.0 on containment — "
     "the quote/boilerplate-wrapper duplicate class production corpus "
@@ -549,10 +585,11 @@ DD12_DF_CAP = 64
     "decision: the smaller-gram-set doc is the victim (tie → the LOWER "
     "doc_id is dropped: the join orients id_a < id_b and equal-size "
     "ties drop id_a). Same inverted-index posting join as dd4, but the "
-    "df window shuffles postings ON the join key first, so the self-"
-    "join reuses that exchange and per-gram fan-out is ≤ cap² rows: "
-    "block key = partition key → co-located join at 100 TB; containment "
-    "is one exact integer division at the end.",
+    "df window shuffles postings ON the join key first, so the "
+    "self-join and size aggregate reuse that exchange and per-gram "
+    "fan-out is ≤ cap² rows: block key = partition key → co-located "
+    "join at 100 TB; containment is one exact integer division at the "
+    "end.",
     tags=("dedup", "llm"),
 )
 def dd12_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,21 +598,23 @@ def dd12_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dd12_capped_posts(d: DataFrame) -> DataFrame:
     """dd12's pruned inverted index over any (doc_id, lang, source, text)
-    frame: one posting row per (doc, gram) whose block-level document
-    frequency is ≤ DD12_DF_CAP. Exposed so the property suite can assert
-    the fan-out bound directly on adversarial corpora.
+    frame: one posting row per (doc, word-trigram) whose block-level
+    document frequency is ≤ DD12_DF_CAP. Exposed so the property suite
+    can assert the fan-out bound directly on adversarial corpora.
 
     df via a window over exactly the self-join key: ONE shuffle lays the
     postings out by (lang, source, gram); the filter prunes hot grams in
-    place and both self-join sides read the same partitioning
-    (ReusedExchange), so the cap costs no extra exchange."""
+    place and both self-join sides (and the size aggregate) read the
+    same partitioning (ReusedExchange), so the cap costs no extra
+    exchange of the postings. (Measured against the alternatives at
+    sf0.1: a broadcast anti-join of the hot-gram list filters map-side
+    but leaves the posting stream scan-partitioned, forcing the
+    self-join to shuffle both sides — 2.3x slower; dd2's in-bucket pair
+    explode pays a combiner-less collect_list shuffle — 1.1x slower.)"""
     from pyspark.sql import Window
 
-    lowered = d.select(
-        "doc_id", "lang", "source", F.lower(F.col("text")).alias("lt")
-    )
-    g0 = lowered.select(
-        "doc_id", "lang", "source", F.expr(_SPARK_NGRAMS).alias("grams")
+    g0 = d.select(
+        "doc_id", "lang", "source", F.expr(_DD12_SPARK_GRAMS).alias("grams")
     )
     posts = g0.select(
         "doc_id", "lang", "source", F.explode("grams").alias("gram")
