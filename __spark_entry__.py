@@ -62,10 +62,12 @@ def _coverage_order(d: dict) -> dict:
     # automatically, and this round's total fresh count stays well under
     # the driver's ~50-row sample so none can lose the lottery again.
     recheck = {
-        "dd12_containment_dedup",  # df-capped posting join (VERDICT #2)
+        "dd12_containment_dedup",  # word-trigram grams + df cap (VERDICT #2)
         "g1_pagerank",             # outdeg carried on edge frame (VERDICT #3)
         "pp3_curation_decontaminated",  # decontam tail factored (pp10)
         "pp6_production_funnel",        # same refactor
+        "ann9_ivf_pq",             # ADC dataflow factored out (ann10)
+        "ann7_kmeans_train",       # training prefix factored out (ann11)
     }
     fresh = [k for k in d if k not in green or k in recheck]
     # Previously-red rows lead (their fixes must land in the checked set);

@@ -711,10 +711,11 @@ def _duck_km_assign(vcte: str, ccte: str, out: str) -> str:
         )"""
 
 
-@register(
-    "ann7_kmeans_train",
-    oracle=f"""
-        WITH v AS (
+#: k-means training prefix (deterministic init → assign → recompute
+#: means), terminal CTEs ``cent1`` (per-dim means) and ``c1`` (trained
+#: centroid arrays) — shared by ann7 (training metrics) and ann11 (the
+#: trained quantizer actually serving an IVF index).
+_DUCK_KM_C1_CTES = f"""v AS (
             SELECT vec_id,
                    [CAST(x AS DOUBLE) for x in embedding] AS emb
             FROM embeddings
@@ -741,43 +742,14 @@ def _duck_km_assign(vcte: str, ccte: str, out: str) -> str:
         c1 AS (
             SELECT cluster_id, list(mean ORDER BY i) AS c
             FROM cent1 GROUP BY cluster_id
-        ),
-        {_duck_km_assign("v", "c1", "a2")},
-        stats2 AS (
-            SELECT cluster_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_members_2,
-                   CAST(SUM(CAST(FLOOR(d2 * {KM_MICRO}) AS BIGINT))
-                        AS BIGINT) AS inertia_micro
-            FROM a2 GROUP BY cluster_id
-        ),
-        digest AS (
-            SELECT cluster_id,
-                   CAST(SUM(CAST(FLOOR(mean * {KM_MICRO}) AS BIGINT))
-                        AS BIGINT) AS centroid_digest,
-                   ANY_VALUE(n) AS n_members_1
-            FROM cent1 GROUP BY cluster_id
-        )
-        SELECT d.cluster_id, d.n_members_1, COALESCE(s.n_members_2, 0)
-                   AS n_members_2,
-               d.centroid_digest,
-               COALESCE(s.inertia_micro, 0) AS inertia_micro
-        FROM digest d LEFT JOIN stats2 s USING (cluster_id)
-    """,
-    doc=f"Distributed k-means training, two Lloyd iterations unrolled "
-    f"(k={KM_K}, L2, deterministic init = the first {KM_K} corpus "
-    "vectors): assign (broadcast centroids, min_by partial aggregate) "
-    "-> recompute means (posexplode to (cluster, dim), integer "
-    "micro-unit sums so the cross-row fold is order-insensitive, "
-    "rebuild centroid arrays via sorted collect) -> assign again; "
-    "emits per-cluster sizes for both iterations, a centroid digest, "
-    "and the final inertia. This is the training loop ann3's IVF and "
-    "ann6's PQ docstrings defer to — at 100 TB each iteration is one "
-    "broadcast-join pass over the corpus plus a (k x dim)-row "
-    "aggregate, the canonical Spark ML shape (production runs it to "
-    "convergence on a sample; the per-iteration plan is identical).",
-    tags=("similarity", "llm", "embedding", "iterative"),
-)
-def ann7_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+        )"""
+
+
+def _km_trained_centroids(spark: SparkSession, sf_dir: str):
+    """ann7's training prefix: (corpus-as-doubles frame, assign closure,
+    per-dim means frame ``cent1``, trained centroid arrays ``c1``) —
+    shared with ann11, which serves an IVF index from ``c1``. DuckDB
+    twin: _DUCK_KM_C1_CTES."""
     e = load_table_parallel(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
@@ -823,6 +795,51 @@ def ann7_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.expr("transform(array_sort(im), s -> s.mean)").alias("c"),
     )
+    return v, assign, cent1, c1
+
+
+
+@register(
+    "ann7_kmeans_train",
+    oracle=f"""
+        WITH {_DUCK_KM_C1_CTES},
+        {_duck_km_assign("v", "c1", "a2")},
+        stats2 AS (
+            SELECT cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members_2,
+                   CAST(SUM(CAST(FLOOR(d2 * {KM_MICRO}) AS BIGINT))
+                        AS BIGINT) AS inertia_micro
+            FROM a2 GROUP BY cluster_id
+        ),
+        digest AS (
+            SELECT cluster_id,
+                   CAST(SUM(CAST(FLOOR(mean * {KM_MICRO}) AS BIGINT))
+                        AS BIGINT) AS centroid_digest,
+                   ANY_VALUE(n) AS n_members_1
+            FROM cent1 GROUP BY cluster_id
+        )
+        SELECT d.cluster_id, d.n_members_1, COALESCE(s.n_members_2, 0)
+                   AS n_members_2,
+               d.centroid_digest,
+               COALESCE(s.inertia_micro, 0) AS inertia_micro
+        FROM digest d LEFT JOIN stats2 s USING (cluster_id)
+    """,
+    doc=f"Distributed k-means training, two Lloyd iterations unrolled "
+    f"(k={KM_K}, L2, deterministic init = the first {KM_K} corpus "
+    "vectors): assign (broadcast centroids, min_by partial aggregate) "
+    "-> recompute means (posexplode to (cluster, dim), integer "
+    "micro-unit sums so the cross-row fold is order-insensitive, "
+    "rebuild centroid arrays via sorted collect) -> assign again; "
+    "emits per-cluster sizes for both iterations, a centroid digest, "
+    "and the final inertia. This is the training loop ann3's IVF and "
+    "ann6's PQ docstrings defer to — at 100 TB each iteration is one "
+    "broadcast-join pass over the corpus plus a (k x dim)-row "
+    "aggregate, the canonical Spark ML shape (production runs it to "
+    "convergence on a sample; the per-iteration plan is identical).",
+    tags=("similarity", "llm", "embedding", "iterative"),
+)
+def ann7_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, assign, cent1, c1 = _km_trained_centroids(spark, sf_dir)
     a2 = assign(c1)
     stats2 = a2.groupBy("cluster_id").agg(
         F.count("*").alias("n_members_2"),
@@ -1295,6 +1312,157 @@ def ann10_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rer.withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# --- ann11: IVF served from the TRAINED coarse quantizer -------------------
+
+
+@register(
+    "ann11_trained_ivf",
+    oracle=f"""
+        WITH {_DUCK_KM_C1_CTES},
+        n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT cluster_id AS cell_id, c AS c_emb,
+                   sqrt({_DUCK_DOT.format(a='c', b='c')}) AS c_norm
+            FROM c1
+        ),
+        assign AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT v2.vec_id, ce.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v2.vec_id
+                           ORDER BY ({_DUCK_DOT.format(a='v2.embedding', b='ce.c_emb')})
+                                    / (v2.norm * ce.c_norm) DESC,
+                                    ce.cell_id
+                       ) AS rn
+                FROM n v2 CROSS JOIN cent ce
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cell_id FROM (
+                SELECT q.vec_id AS query_id, ce.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ({_DUCK_DOT.format(a='q.embedding', b='ce.c_emb')})
+                                    / (q.norm * ce.c_norm) DESC,
+                                    ce.cell_id
+                       ) AS rn
+                FROM n q CROSS JOIN cent ce
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rn <= {N_PROBE}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ({_DUCK_DOT.format(a='q.embedding', b='cv.embedding')})
+                     / (q.norm * cv.norm) AS cosine
+            FROM probes p
+            JOIN assign a ON a.cell_id = p.cell_id
+            JOIN n q ON q.vec_id = p.query_id
+            JOIN n cv ON cv.vec_id = a.vec_id
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rn FROM cand
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"IVF served from the TRAINED coarse quantizer — the train→serve "
+    "loop closed in one lazy job: ann7's k-means prefix (deterministic "
+    "init, one assign + mean-recompute in exact integer micro-units) "
+    f"produces the {KM_K}-centroid model, and ann3's serving plan "
+    f"immediately indexes the corpus with it (assignment is a map-only "
+    "fold over the broadcast centroid array, queries probe their "
+    f"{N_PROBE} nearest trained cells, candidates re-rank with exact "
+    "cosine). ann3/ann6 defer to 'k-means-trained centroids drop in "
+    "with zero plan change' — this operator IS that drop-in, proving "
+    "the claim end-to-end with an oracle. At 100 TB the training "
+    "prefix runs on a sample and the model is a KB-scale broadcast "
+    "artifact; the serving side is identical to ann3: corpus bucketed "
+    "by cell_id, probes prune to nprobe/k of the data.",
+    tags=("similarity", "llm", "embedding", "iterative", "index"),
+)
+def ann11_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, _, c1 = _km_trained_centroids(spark, sf_dir)
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    ).persist()
+    # The trained centroids collapse to ONE broadcast row of sorted
+    # structs; assignment/probing is ann3's map-only top-2 fold (strict
+    # > over the cell_id-sorted array = ORDER BY cosine DESC, cell_id).
+    cents = F.broadcast(
+        c1.select(
+            F.struct(
+                F.col("cluster_id").alias("cell_id"),
+                F.col("c").alias("c_emb"),
+                F.expr(f"sqrt({_SPARK_DOT.format(a='c', b='c')})").alias(
+                    "c_norm"
+                ),
+            ).alias("ce")
+        ).agg(F.sort_array(F.collect_list("ce")).alias("cents"))
+    )
+    cos = (
+        _SPARK_DOT.format(a="embedding", b="ce.c_emb") + " / (norm * ce.c_norm)"
+    )
+    top2 = (
+        "aggregate(cents, named_struct("
+        "'c1', CAST(-2.0 AS DOUBLE), 'l1', CAST(-1 AS BIGINT), "
+        "'c2', CAST(-2.0 AS DOUBLE), 'l2', CAST(-1 AS BIGINT)), "
+        "(st, ce) -> CASE "
+        f"WHEN ({cos}) > st.c1 THEN named_struct("
+        f"'c1', ({cos}), 'l1', ce.cell_id, 'c2', st.c1, 'l2', st.l1) "
+        f"WHEN ({cos}) > st.c2 THEN named_struct("
+        f"'c1', st.c1, 'l1', st.l1, 'c2', ({cos}), 'l2', ce.cell_id) "
+        "ELSE st END)"
+    )
+    scored = n.crossJoin(cents).withColumn("t2", F.expr(top2))
+    assign = scored.select(
+        "vec_id", "embedding", "norm", F.col("t2.l1").alias("cell_id")
+    )
+    assert N_PROBE == 2, "ann11's explode(array(l1, l2)) assumes N_PROBE == 2"
+    probes = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array("t2.l1", "t2.l2")).alias("cell_id"),
+    )
+    qv = F.broadcast(
+        n.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )

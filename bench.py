@@ -76,6 +76,7 @@ HEADLINE = [
     # round-5 operators
     "dd14_fuzzy_dup_clusters",
     "ann10_ivf_pq_rerank",
+    "ann11_trained_ivf",
     "pp10_pretraining_job",
 ]
 
