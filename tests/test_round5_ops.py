@@ -97,10 +97,19 @@ def test_g1_one_join_per_iteration(spark):
     _ensure_loaded()
     df = REGISTRY["g1_pagerank"].spark(spark, SF_DIR)
     plan = _physical_plan(df)
-    shuffled_joins = len(
-        re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)
-    )
-    assert shuffled_joins == 2, plan
+    # Join strategy flips between SMJ and broadcast depending on cached
+    # statistics, so count ALL join operators except the base
+    # lineitem ⋈ orders fact join (identified by its l_orderkey key,
+    # repeated once per cached-lineage occurrence): the unrolled 2-step
+    # plan may carry at most 2 others — step 2's rank join + the final
+    # supplier projection. The round-4 shape (edges ⋈ deg ⋈ rank per
+    # step) carried 4.
+    iter_joins = [
+        line
+        for line in plan.splitlines()
+        if re.search(r"\bJoin\b", line) and "l_orderkey" not in line
+    ]
+    assert len(iter_joins) <= 2, plan
     # Degree annotation is a window over the edge shuffle, present once
     # per cached-lineage occurrence, never a join.
     assert "Window [count(1)" in plan
