@@ -1295,9 +1295,11 @@ def ann10_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
+    # The candidate frame (queries x RERANK_R rows, plus the query
+    # vectors) broadcasts EXPLICITLY so the corpus side never shuffles —
+    # the exact property the docstring promises at 100 TB.
     rer = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(v, "neighbor_id")
+        v.join(F.broadcast(cand.join(F.broadcast(q), "query_id")), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1465,4 +1467,141 @@ def ann11_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# --- ann12: index-variant recall report ------------------------------------
+
+
+@register(
+    "ann12_recall_report",
+    oracle=f"""
+        WITH {_IVF_PQ_CTES},
+        adc6 AS (
+            SELECT qd.query_id, codes.vec_id AS neighbor_id,
+                   CAST(SUM(qd.qd2_micro) AS BIGINT) AS adc2_micro
+            FROM codes JOIN qd ON codes.m = qd.m AND codes.k = qd.k
+            WHERE codes.vec_id <> qd.query_id
+            GROUP BY qd.query_id, codes.vec_id
+        ),
+        exact_scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ({_DUCK_DOT.format(a='q.embedding', b='c.embedding')})
+                     / (q.norm * c.norm) AS cosine
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        exact_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS rn FROM exact_scored
+            ) WHERE rn <= {TOP_K}
+        ),
+        adc6_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY adc2_micro, neighbor_id
+                ) AS rn FROM adc6
+            ) WHERE rn <= {TOP_K}
+        ),
+        ivf_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY adc2_micro, neighbor_id
+                ) AS rn FROM adc
+            ) WHERE rn <= {TOP_K}
+        ),
+        rerank_cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY adc2_micro, neighbor_id
+                ) AS rn FROM adc
+            ) WHERE rn <= {RERANK_R}
+        ),
+        rerank_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY ({_DUCK_DOT.format(a='q.embedding', b='v2.embedding')})
+                                    / (q.norm * v2.norm) DESC,
+                                    c.neighbor_id
+                       ) AS rn
+                FROM rerank_cand c
+                JOIN n q ON q.vec_id = c.query_id
+                JOIN n v2 ON v2.vec_id = c.neighbor_id
+            ) WHERE rn <= {TOP_K}
+        )
+        SELECT e.query_id,
+               CAST(COUNT(p6.neighbor_id) AS BIGINT) AS n_adc,
+               CAST(COUNT(p6.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_adc,
+               CAST(COUNT(p9.neighbor_id) AS BIGINT) AS n_ivf_adc,
+               CAST(COUNT(p9.neighbor_id) AS DOUBLE) / {TOP_K}
+                   AS recall_ivf_adc,
+               CAST(COUNT(p10.neighbor_id) AS BIGINT) AS n_rerank,
+               CAST(COUNT(p10.neighbor_id) AS DOUBLE) / {TOP_K}
+                   AS recall_rerank
+        FROM exact_topk e
+        LEFT JOIN adc6_topk p6
+          ON p6.query_id = e.query_id AND p6.neighbor_id = e.neighbor_id
+        LEFT JOIN ivf_topk p9
+          ON p9.query_id = e.query_id AND p9.neighbor_id = e.neighbor_id
+        LEFT JOIN rerank_topk p10
+          ON p10.query_id = e.query_id AND p10.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+    doc=f"Index-variant recall REPORT — ann8's methodology extended to "
+    "the full index family: per query, recall@10 against the exact "
+    "cosine ground truth (ann1) for (a) full-corpus PQ-ADC (ann6's "
+    "ranking), (b) IVF-pruned ADC (ann9), and (c) IVFADC + exact "
+    f"re-ranking of the top {RERANK_R} candidates (ann10). This is the "
+    "evaluation artifact an index rollout ships with: it quantifies "
+    "what cell pruning costs and what re-ranking buys on the same "
+    "queries (on this fixture: re-ranking strictly improves over raw "
+    "ADC ordering). All sides are top-k frames of a few rows per "
+    "query; the comparison joins are trivial; the expensive inputs "
+    "(codes, assignments) are computed once and shared by the three "
+    "variants in one lazy plan.",
+    tags=("similarity", "llm", "embedding", "evaluation"),
+)
+def ann12_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann1_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    p6 = ann6_pq_adc(spark, sf_dir).select(
+        F.col("query_id").alias("q6"), F.col("neighbor_id").alias("n6")
+    )
+    p9 = ann9_ivf_pq(spark, sf_dir).select(
+        F.col("query_id").alias("q9"), F.col("neighbor_id").alias("n9")
+    )
+    p10 = ann10_ivf_pq_rerank(spark, sf_dir).select(
+        F.col("query_id").alias("q10"), F.col("neighbor_id").alias("n10")
+    )
+    return (
+        exact.join(
+            p6,
+            (F.col("query_id") == F.col("q6"))
+            & (F.col("neighbor_id") == F.col("n6")),
+            "left",
+        )
+        .join(
+            p9,
+            (F.col("query_id") == F.col("q9"))
+            & (F.col("neighbor_id") == F.col("n9")),
+            "left",
+        )
+        .join(
+            p10,
+            (F.col("query_id") == F.col("q10"))
+            & (F.col("neighbor_id") == F.col("n10")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("n6").alias("n_adc"),
+            (F.count("n6").cast("double") / TOP_K).alias("recall_adc"),
+            F.count("n9").alias("n_ivf_adc"),
+            (F.count("n9").cast("double") / TOP_K).alias("recall_ivf_adc"),
+            F.count("n10").alias("n_rerank"),
+            (F.count("n10").cast("double") / TOP_K).alias("recall_rerank"),
+        )
     )
