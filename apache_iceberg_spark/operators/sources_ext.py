@@ -241,3 +241,22 @@ def s16_permissive_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("_corrupt").alias("status"), F.count("*").alias("n_rows")
     )
     return good.unionByName(bad)
+
+
+@register(
+    "s17_orc_roundtrip",
+    oracle=_DOC_ORACLE,
+    doc="ORC sink → source round trip of the documents table — the third "
+    "columnar format Spark speaks natively (after parquet/CSV/JSONL: "
+    "S1/S9/S10/s13), common as an interchange format with Hive-era "
+    "warehouses. Schema pinned on read; oracle compares against the "
+    "original rows so any encode/decode drift fails the hash. Same "
+    "scale shape as the other round-trips: one file per partition on "
+    "write, normal multi-split scan on read.",
+    tags=("source", "sink", "orc"),
+)
+def s17_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "docs")
+    d.write.mode("overwrite").orc(path)
+    return spark.read.schema(d.schema).orc(path).select(*_DOC_COLS)
