@@ -2398,7 +2398,10 @@ def _pp10_oracle() -> str:
     doc="The COMPLETE multimodal pretraining-data job — every stage of "
     "pp6's text capstone plus pp9's image stage, ending in the "
     "loader-consumable artifact (pp2b's packed spans in pp8's shuffled "
-    "order), one job: data-contract quality gates (scan-pushed) -> "
+    "order), one job. This is the furthest extension of the reference's "
+    "source -> tables -> queries -> export pipeline story "
+    "(bot_iceberg_loader.py:371-477) to the 100 TB training-data shape: "
+    "data-contract quality gates (scan-pushed) -> "
     "URL-canonical dedup -> exact-content dedup -> MinHash-LSH fuzzy "
     "near-dup removal (banded, verified) -> perceptual-hash IMAGE "
     "near-dup removal over the survivors (banded Hamming, pigeonhole-"

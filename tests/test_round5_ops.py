@@ -218,3 +218,37 @@ def test_ann10_is_subset_of_adc_candidates(spark):
         for r in REGISTRY["ann10_ivf_pq_rerank"].spark(spark, SF_DIR).collect()
     }
     assert rerank <= cand
+
+
+# ---------------------------------------------------------------------------
+# orphan cleanup safety window (ADVICE r4 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_orphan_cleanup_respects_older_than_window(spark, tmp_path):
+    """remove_orphan_dirs(older_than_ms=...) must NOT delete an
+    unreferenced directory whose mtime is at/after the cutoff — the
+    guard that makes the procedure safe next to an in-flight commit —
+    and must still delete it once the cutoff passes."""
+    import time
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        remove_orphan_dirs,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    commit_snapshot(df, table)
+    orphan = tmp_path / "t" / "d999"
+    orphan.mkdir()
+    (orphan / "part-0.parquet").write_bytes(b"x")
+
+    now_ms = int(time.time() * 1000)
+    # Cutoff in the past: the freshly-written dir is NEWER -> spared.
+    assert remove_orphan_dirs(table, older_than_ms=now_ms - 60_000) == []
+    assert orphan.exists()
+    # Cutoff in the future: dir is older than it -> removed.
+    removed = remove_orphan_dirs(table, older_than_ms=now_ms + 60_000)
+    assert [str(orphan)] == removed
+    assert not orphan.exists()
