@@ -209,27 +209,12 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d)
 
 
-def minhash_lsh_pairs(
-    d: DataFrame, min_jaccard: float | None = JACCARD_THRESHOLD
-) -> DataFrame:
-    """Verified near-duplicate pairs (doc_id_a < doc_id_b, jaccard >=
-    threshold) over any frame with (doc_id, text) — dd2's full pipeline,
-    reusable as a cascade stage (pp4/pp6). DuckDB twin: minhash_lsh_ctes.
-
-    The hashed-shingle persist below backs the LAZY result (three
-    consumers read it), so it cannot be unpersisted here; it stays cached
-    for the session, evictable under Spark's LRU storage management.
-    Callers that fully materialize the result may release it via
-    ``spark.catalog.clearCache()`` between unrelated jobs."""
-    # One persist, of the HASHED shingle sets (array<long>), not the
-    # string shingles: the signature build and both verify sides read
-    # them, long arrays cache ~5x smaller than 5-word shingle strings,
-    # and the exact-Jaccard verify intersects longs instead of strings.
-    # Jaccard over the hashed sets equals Jaccard over the shingle sets
-    # unless md5-mod-P collides inside one pair's sets (~1e-7 per pair);
-    # the oracle hashes identically, so even a collision cannot split the
-    # engines. Tokens/shingles are computed inline (see _SPARK_SHINGLES
-    # note — caching intermediates costs more than recomputing them).
+def _minhash_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """dd2's signature build: (persisted hashed shingle sets, LSH band
+    rows (doc_id, band_id, band_key)) over any (doc_id, text) frame.
+    Shared by minhash_lsh_pairs (full pair generation) and dd15 (the
+    incremental probe). At 100 TB the band frame is the stored,
+    append-only index table; this helper is what writes it."""
     hashed = d.select(
         "doc_id",
         F.expr(
@@ -252,6 +237,31 @@ def minhash_lsh_pairs(
         "doc_id",
         F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias("b"),
     ).select("doc_id", "b.band_id", "b.band_key")
+    return hashed, bands
+
+
+def minhash_lsh_pairs(
+    d: DataFrame, min_jaccard: float | None = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Verified near-duplicate pairs (doc_id_a < doc_id_b, jaccard >=
+    threshold) over any frame with (doc_id, text) — dd2's full pipeline,
+    reusable as a cascade stage (pp4/pp6). DuckDB twin: minhash_lsh_ctes.
+
+    The hashed-shingle persist below backs the LAZY result (three
+    consumers read it), so it cannot be unpersisted here; it stays cached
+    for the session, evictable under Spark's LRU storage management.
+    Callers that fully materialize the result may release it via
+    ``spark.catalog.clearCache()`` between unrelated jobs."""
+    # One persist, of the HASHED shingle sets (array<long>), not the
+    # string shingles: the signature build and both verify sides read
+    # them, long arrays cache ~5x smaller than 5-word shingle strings,
+    # and the exact-Jaccard verify intersects longs instead of strings.
+    # Jaccard over the hashed sets equals Jaccard over the shingle sets
+    # unless md5-mod-P collides inside one pair's sets (~1e-7 per pair);
+    # the oracle hashes identically, so even a collision cannot split the
+    # engines. Tokens/shingles are computed inline (see _SPARK_SHINGLES
+    # note — caching intermediates costs more than recomputing them).
+    hashed, bands = _minhash_bands(d)
 
     # Candidate generation: ONE shuffle groups each LSH bucket, then the
     # ordered pairs are generated in-bucket by expression (40% faster at
@@ -1170,6 +1180,96 @@ def dd14_fuzzy_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d).select("doc_id_a", "doc_id_b")
     return min_label_components(spark, pairs)
+
+
+#: dd15: the most recent ~1/10 of doc_ids are "the incoming batch"; the
+#: rest are the already-indexed corpus. Integer arithmetic so both
+#: engines derive the identical split point from the data.
+DD15_BATCH_NUM, DD15_BATCH_DEN = 9, 10
+
+
+@register(
+    "dd15_incremental_dedup",
+    oracle=f"""
+        WITH {minhash_lsh_ctes("documents")},
+        t AS (
+            SELECT (MAX(doc_id) * {DD15_BATCH_NUM}) // {DD15_BATCH_DEN} AS t0
+            FROM documents
+        )
+        SELECT doc_id_a, doc_id_b, jaccard
+        FROM verified, t
+        WHERE jaccard >= {JACCARD_THRESHOLD} AND doc_id_b >= t.t0
+    """,
+    doc="Incremental near-dedup for CONTINUOUS ingestion — the shape a "
+    "crawl pipeline runs every batch: the corpus is already banded into "
+    "the LSH index (dd2's machinery; at 100 TB a stored, append-only "
+    "index table the batch's band rows are appended to), and only pairs "
+    "touching the INCOMING batch (here: the newest ~1/10 of doc_ids, "
+    "split point derived from the data in exact integer arithmetic) are "
+    "generated and verified — candidate volume is O(batch's bucket "
+    "overlap), never a recomputation over history. The batch bound is "
+    "enforced INSIDE the in-bucket pair lambda (b ≥ split, carried as a "
+    "broadcast scalar column), so pre-existing pairs are never even "
+    "materialized; ordered id comparison keeps a < b, and b ≥ split "
+    "covers both batch-vs-index and batch-vs-batch pairs. The oracle "
+    "states the declarative form (all verified pairs, filtered); the "
+    "plans agree because LSH banding is deterministic. Extends the "
+    "reference's append-only ingestion story "
+    "(bot_iceberg_loader.py:307: every load is an append snapshot) to "
+    "the dedup index.",
+    tags=("dedup", "llm", "incremental", "flagship"),
+)
+def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    hashed, bands = _minhash_bands(d)
+    split = d.agg(
+        F.expr(
+            f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}"
+        ).alias("__t0")
+    )
+    # The split point rides every bucket row as a broadcast scalar so the
+    # pair lambda can bound its b-side; buckets with no batch member are
+    # dropped before the explode (aggregate max per bucket), so history-
+    # only buckets cost one max() each and zero candidates.
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .crossJoin(F.broadcast(split))
+        .filter(F.expr("array_max(ids) >= __t0"))
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> "
+                    "transform(filter(ids, b -> b > a AND b >= __t0), "
+                    "b -> struct(a AS doc_id_a, b AS doc_id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_id_a", "p.doc_id_b")
+        .distinct()
+    )
+    sa = hashed.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("hs_a")
+    )
+    sb = hashed.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("hs_b")
+    )
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                / F.size(F.array_union("hs_a", "hs_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 @register(
