@@ -1203,20 +1203,20 @@ DD15_BATCH_NUM, DD15_BATCH_DEN = 9, 10
     doc="Incremental near-dedup for CONTINUOUS ingestion — the shape a "
     "crawl pipeline runs every batch: the corpus is already banded into "
     "the LSH index (dd2's machinery; at 100 TB a stored, append-only "
-    "index table the batch's band rows are appended to), and only pairs "
-    "touching the INCOMING batch (here: the newest ~1/10 of doc_ids, "
-    "split point derived from the data in exact integer arithmetic) are "
-    "generated and verified — candidate volume is O(batch's bucket "
-    "overlap), never a recomputation over history. The batch bound is "
-    "enforced INSIDE the in-bucket pair lambda (b ≥ split, carried as a "
-    "broadcast scalar column), so pre-existing pairs are never even "
-    "materialized; ordered id comparison keeps a < b, and b ≥ split "
-    "covers both batch-vs-index and batch-vs-batch pairs. The oracle "
-    "states the declarative form (all verified pairs, filtered); the "
-    "plans agree because LSH banding is deterministic. Extends the "
-    "reference's append-only ingestion story "
-    "(bot_iceberg_loader.py:307: every load is an append snapshot) to "
-    "the dedup index.",
+    "band table bucketed by band key), and the INCOMING batch (here: "
+    "the newest ~1/10 of doc_ids, split point derived from the data in "
+    "exact integer arithmetic) PROBES that index with its own band rows "
+    "— mm7's query-time join shape, not a re-aggregation of history: "
+    "the index side never re-collects, the probe side is the batch's "
+    "few band rows, and with the index bucketed by band key the join "
+    "is co-located. Candidates are (earlier doc, batch doc) ordered "
+    "pairs; b ≥ split covers both batch-vs-index and batch-vs-batch. "
+    "Verification is dd2's exact hashed-shingle Jaccard on candidates "
+    "only. The oracle states the declarative form (all verified pairs, "
+    "filtered to the batch); the plans agree because LSH banding is "
+    "deterministic. Extends the reference's append-only ingestion "
+    "story (bot_iceberg_loader.py:307: every load is an append "
+    "snapshot) to the dedup index.",
     tags=("dedup", "llm", "incremental", "flagship"),
 )
 def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1227,28 +1227,20 @@ def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}"
         ).alias("__t0")
     )
-    # The split point rides every bucket row as a broadcast scalar so the
-    # pair lambda can bound its b-side; buckets with no batch member are
-    # dropped before the explode (aggregate max per bucket), so history-
-    # only buckets cost one max() each and zero candidates.
-    buckets = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .crossJoin(F.broadcast(split))
-        .filter(F.expr("array_max(ids) >= __t0"))
+    # Probe side: only the batch's band rows (split rides as a broadcast
+    # scalar). The index side is the full band frame — stored and
+    # bucketed at scale, so the equi-join below shuffles only the probe.
+    batch_bands = (
+        bands.crossJoin(F.broadcast(split))
+        .filter(F.col("doc_id") >= F.col("__t0"))
+        .select(
+            "band_id", "band_key", F.col("doc_id").alias("doc_id_b")
+        )
     )
     cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, a -> "
-                    "transform(filter(ids, b -> b > a AND b >= __t0), "
-                    "b -> struct(a AS doc_id_a, b AS doc_id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_id_a", "p.doc_id_b")
+        bands.join(batch_bands, ["band_id", "band_key"])
+        .filter(F.col("doc_id") < F.col("doc_id_b"))
+        .select(F.col("doc_id").alias("doc_id_a"), "doc_id_b")
         .distinct()
     )
     sa = hashed.select(

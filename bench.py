@@ -75,6 +75,7 @@ HEADLINE = [
     "ann9_ivf_pq",
     # round-5 operators
     "dd14_fuzzy_dup_clusters",
+    "dd15_incremental_dedup",
     "ann10_ivf_pq_rerank",
     "ann11_trained_ivf",
     "pp10_pretraining_job",
