@@ -1221,21 +1221,28 @@ DD15_BATCH_NUM, DD15_BATCH_DEN = 9, 10
 )
 def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
+    # Index side: the full band frame — at scale a stored table bucketed
+    # by band key (what _minhash_bands writes), built here so the test
+    # environment HAS an index. Its hashed sets also serve verification
+    # for both pair sides.
     hashed, bands = _minhash_bands(d)
     split = d.agg(
         F.expr(
             f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}"
         ).alias("__t0")
     )
-    # Probe side: only the batch's band rows (split rides as a broadcast
-    # scalar). The index side is the full band frame — stored and
-    # bucketed at scale, so the equi-join below shuffles only the probe.
-    batch_bands = (
-        bands.crossJoin(F.broadcast(split))
+    # Probe side: signatures computed for the BATCH DOCUMENTS ONLY (the
+    # split scalar broadcasts onto the scan), so probe-side work is
+    # proportional to the batch at any corpus size — the index is read,
+    # never re-derived, exactly the production dataflow.
+    batch_docs = (
+        d.crossJoin(F.broadcast(split))
         .filter(F.col("doc_id") >= F.col("__t0"))
-        .select(
-            "band_id", "band_key", F.col("doc_id").alias("doc_id_b")
-        )
+        .select("doc_id", "text")
+    )
+    _, batch_bands_raw = _minhash_bands(batch_docs)
+    batch_bands = batch_bands_raw.select(
+        "band_id", "band_key", F.col("doc_id").alias("doc_id_b")
     )
     cand = (
         bands.join(batch_bands, ["band_id", "band_key"])

@@ -678,3 +678,19 @@ def test_dd14_edge_generation_is_banded_never_posting_join(spark):
     for line in plan.splitlines():
         if "Join" in line:
             assert "gram" not in line and "shingle" not in line, line
+
+
+def test_dd15_probe_joins_index_on_band_key(spark):
+    """dd15's candidate generation must be an equi-join of the batch's
+    band rows onto the band index — no cartesian/nested-loop product
+    over documents (the only nested-loop join allowed is the 1-row
+    split-scalar broadcast), and the candidate join keys on band_key."""
+    plan = plan_of(spark, "dd15_incremental_dedup")
+    assert "CartesianProduct" not in plan, plan
+    # Nested-loop joins in this plan may only be the 1-row split-scalar
+    # attaches (crossJoin of an aggregate scalar onto the scan).
+    import re
+
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.M)
+    assert len(bnlj) <= 2, plan
+    assert "band_key" in plan, plan
