@@ -225,6 +225,17 @@ def _minhash_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         "doc_id",
         *[F.expr(_spark_minhash(s)).alias(f"mh{s}") for s in range(N_HASHES)],
     )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(_band_structs_sql())).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_key")
+    return hashed, bands
+
+
+def _band_structs_sql() -> str:
+    """The LSH band array expression over mh0..mh{N_HASHES-1} columns —
+    one struct (band_id, band_key) per band. Shared by _minhash_bands
+    and st12's streaming (map-only, persist-free) signature build."""
     rows_per_band = N_HASHES // N_BANDS
     band_structs = []
     for b in range(N_BANDS):
@@ -233,11 +244,7 @@ def _minhash_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         key = SPARK_HEX2INT.format(s=f"concat_ws('|', {parts})")
         band_structs.append(f"struct({b} AS band_id, {key} AS band_key)")
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias("b"),
-    ).select("doc_id", "b.band_id", "b.band_key")
-    return hashed, bands
+    return "array(" + ", ".join(band_structs) + ")"
 
 
 def minhash_lsh_pairs(

@@ -817,3 +817,126 @@ def st11_stream_decontam_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(qname)
+
+
+def _st12_oracle() -> str:
+    from apache_iceberg_spark.operators.dedup import (
+        DD15_BATCH_DEN,
+        DD15_BATCH_NUM,
+        JACCARD_THRESHOLD,
+        minhash_lsh_ctes,
+    )
+
+    return f"""
+        WITH {minhash_lsh_ctes("documents")},
+        t AS (
+            SELECT (MAX(doc_id) * {DD15_BATCH_NUM}) // {DD15_BATCH_DEN} AS t0
+            FROM documents
+        )
+        SELECT doc_id_a, doc_id_b, jaccard
+        FROM verified, t
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+          AND doc_id_a < t.t0 AND doc_id_b >= t.t0
+    """
+
+
+@register(
+    "st12_stream_incremental_dedup",
+    oracle=_st12_oracle(),
+    doc="STREAMING incremental near-dedup — dd15's continuous-ingestion "
+    "shape as documents actually arrive: each streaming doc computes its "
+    "MinHash signature and LSH band rows map-only INSIDE the micro-batch "
+    "(the hashed shingle set rides the row, so verification needs no "
+    "join back to the stream), probes the STATIC band index of the "
+    "already-ingested corpus (a stream-static equi-join on the band "
+    "key — the index is MBs-to-GBs against an unbounded stream, st11's "
+    "argument), verifies candidates with dd2's exact hashed-shingle "
+    "Jaccard against the static hashed table, and emits each verified "
+    "(index doc, new doc) pair exactly once via streaming "
+    "dropDuplicates. Stream-vs-stream pairs are out of scope by design "
+    "(the batch path dd15 covers intra-batch dups; production bounds "
+    "the pair-dedup state with an ingest-time watermark). The index "
+    "cutoff is a driver-side constant, as it is in production (the "
+    "index is whatever was ingested before the stream started). The "
+    "bounded availableNow run must equal the declarative batch answer "
+    "— the same gate as every st operator.",
+    tags=("streaming", "dedup", "llm", "incremental"),
+)
+def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.dedup import (
+        DD15_BATCH_DEN,
+        DD15_BATCH_NUM,
+        JACCARD_THRESHOLD,
+        N_HASHES,
+        _band_structs_sql,
+        _minhash_bands,
+        _spark_minhash,
+        _SPARK_SHINGLE_HASHES,
+        _SPARK_SHINGLES_INLINE,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # The index cutoff is an ingest-time constant in production; deriving
+    # it here is planning, not dataflow (one scalar aggregate).
+    t0 = int(
+        d.agg(
+            F.expr(
+                f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}"
+            )
+        ).first()[0]
+    )
+    # Static side: the band index + hashed sets of the existing corpus.
+    hashed_idx, bands_idx = _minhash_bands(d.filter(F.col("doc_id") < t0))
+    idx = bands_idx.select(
+        F.col("doc_id").alias("doc_id_a"), "band_id", "band_key"
+    )
+    hs_a = hashed_idx.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("hs_a")
+    )
+    # Streaming side: signature + bands map-only, hashed set in-row.
+    hs_expr = _SPARK_SHINGLE_HASHES.replace(
+        "shingles", f"({_SPARK_SHINGLES_INLINE})"
+    )
+    s = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") >= t0)
+        .select(F.col("doc_id").alias("doc_id_b"), F.expr(hs_expr).alias("hs_b"))
+    )
+    sig = s.select(
+        "doc_id_b",
+        "hs_b",
+        *[
+            F.expr(_spark_minhash(k).replace("(hs,", "(hs_b,")).alias(f"mh{k}")
+            for k in range(N_HASHES)
+        ],
+    )
+    bands_s = sig.select(
+        "doc_id_b",
+        "hs_b",
+        F.explode(F.expr(_band_structs_sql())).alias("b"),
+    ).select("doc_id_b", "hs_b", "b.band_id", "b.band_key")
+    verified = (
+        bands_s.join(idx, ["band_id", "band_key"])
+        .join(hs_a, "doc_id_a")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                / F.size(F.array_union("hs_a", "hs_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    qname = f"st12_incdedup_{next(_stream_ids)}"
+    query = (
+        verified.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
