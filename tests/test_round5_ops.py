@@ -252,3 +252,69 @@ def test_orphan_cleanup_respects_older_than_window(spark, tmp_path):
     removed = remove_orphan_dirs(table, older_than_ms=now_ms + 60_000)
     assert [str(orphan)] == removed
     assert not orphan.exists()
+
+
+# ---------------------------------------------------------------------------
+# dd15/st12 — incremental dedup consistency
+# ---------------------------------------------------------------------------
+
+
+def _dd15_split(spark):
+    from apache_iceberg_spark.operators.dedup import (
+        DD15_BATCH_DEN,
+        DD15_BATCH_NUM,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    return int(
+        d.agg(
+            F.expr(f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}")
+        ).first()[0]
+    )
+
+
+def test_dd15_equals_full_dedup_restricted_to_batch(spark):
+    """The incremental path must find EXACTLY the full dd2 pair set
+    restricted to pairs touching the batch — probing the index loses
+    nothing (banding is deterministic, so batch docs land in the same
+    buckets either way)."""
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    t0 = _dd15_split(spark)
+    full = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in REGISTRY["dd2_minhash_lsh"].spark(spark, SF_DIR).collect()
+        if r.doc_id_b >= t0
+    }
+    inc = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in REGISTRY["dd15_incremental_dedup"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert inc == full
+
+
+def test_st12_equals_dd15_minus_batch_batch_pairs(spark):
+    """The streaming probe detects exactly dd15's pairs whose a-side is
+    in the INDEX (stream-vs-stream pairs are documented out of scope)."""
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    t0 = _dd15_split(spark)
+    batch_vs_index = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in REGISTRY["dd15_incremental_dedup"]
+        .spark(spark, SF_DIR)
+        .collect()
+        if r.doc_id_a < t0
+    }
+    streamed = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in REGISTRY["st12_stream_incremental_dedup"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert streamed == batch_vs_index
