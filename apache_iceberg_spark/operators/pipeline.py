@@ -32,6 +32,7 @@ from apache_iceberg_spark.operators.text import (
     _TOKEN_SPLIT,
     DUCK_HEX2INT,
     SPARK_HEX2INT,
+    STOPWORDS,
 )
 from apache_iceberg_spark.registry import register
 from apache_iceberg_spark.tables import load_table, load_table_parallel
@@ -2490,4 +2491,118 @@ def pp10_pretraining_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         (clip_lo - F.col("start")).cast("long").alias("slice_start"),
         (clip_hi - clip_lo).cast("long").alias("slice_len"),
         (clip_lo - seq_lo).cast("long").alias("seq_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pp11: quality-curriculum training order (round 5)
+# ---------------------------------------------------------------------------
+
+#: Fixed equi-width buckets over tx2's quality score range [0, 1] —
+#: boundary-based (a18's histogram shape), NOT ntile: ntile is a global
+#: single-task sort; fixed edges are map-only and stable across runs.
+PP11_BUCKETS = 10
+
+
+@register(
+    "pp11_curriculum_order",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}')) AS n_tokens,
+                   len(list_filter(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}'),
+                       tok -> list_contains({STOPWORDS['en']!r}, tok))) AS n_stop,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id,
+                   (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+                     + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                             THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1
+                             THEN 0.2 ELSE 0.0 END) AS quality
+            FROM t
+        ),
+        b AS (
+            SELECT doc_id, quality,
+                   CAST(LEAST(FLOOR(quality * {PP11_BUCKETS}),
+                              {PP11_BUCKETS - 1}) AS BIGINT) AS quality_bucket,
+                   {DUCK_HEX2INT.format(
+                       s="concat('curriculum:', CAST(doc_id AS VARCHAR))")}
+                       AS shuffle_key
+            FROM q
+        )
+        SELECT doc_id, quality_bucket, shuffle_key,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY quality_bucket, shuffle_key, doc_id
+               ) AS BIGINT) AS curriculum_rank
+        FROM b
+    """,
+    doc="Quality-curriculum training order — the data-ordering step of "
+    "annealed pretraining mixes: documents are scored with tx2's "
+    "heuristic quality, binned into fixed equi-width quality buckets "
+    "(map-only boundary test, never an ntile global sort), shuffled "
+    "deterministically WITHIN each bucket (salted hash), and assigned a "
+    "GLOBAL curriculum rank ascending in quality — so the highest-"
+    "quality data lands at the end of training, the documented "
+    "annealing practice. The global rank is pp8's two-level scheme over "
+    "the composite (quality_bucket, hash-top-bits) unit: per-unit "
+    "windows in parallel, a tiny unit-count frame prefix-sums on one "
+    "task, broadcast offsets rebase — no single-partition pass over "
+    "the corpus at any size. Composes the registered tx2 plan; the "
+    "oracle states the single global ROW_NUMBER the distributed plan "
+    "must equal.",
+    tags=("pipeline", "llm", "sampling", "curriculum"),
+)
+def pp11_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from apache_iceberg_spark.operators.text import tx2_quality_score
+
+    q = tx2_quality_score(spark, sf_dir).select("doc_id", "quality")
+    b = q.select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("quality") * PP11_BUCKETS), F.lit(PP11_BUCKETS - 1)
+        )
+        .cast("long")
+        .alias("quality_bucket"),
+        F.expr(
+            SPARK_HEX2INT.format(
+                s="concat('curriculum:', CAST(doc_id AS STRING))"
+            )
+        ).alias("shuffle_key"),
+    ).withColumn(
+        "sub", F.shiftright("shuffle_key", PP8_BUCKET_SHIFT)
+    )
+    within = F.row_number().over(
+        Window.partitionBy("quality_bucket", "sub").orderBy(
+            "shuffle_key", "doc_id"
+        )
+    )
+    per_doc = b.withColumn("within_rank", within)
+    utot = b.groupBy("quality_bucket", "sub").agg(F.count("*").alias("n"))
+    uprefix = utot.select(
+        "quality_bucket",
+        "sub",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("quality_bucket", "sub").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("uprefix"),
+    )
+    return per_doc.join(
+        F.broadcast(uprefix), ["quality_bucket", "sub"]
+    ).select(
+        "doc_id",
+        "quality_bucket",
+        "shuffle_key",
+        (F.col("uprefix") + F.col("within_rank")).cast("long").alias(
+            "curriculum_rank"
+        ),
     )

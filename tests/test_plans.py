@@ -694,3 +694,21 @@ def test_dd15_probe_joins_index_on_band_key(spark):
     bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.M)
     assert len(bnlj) <= 2, plan
     assert "band_key" in plan, plan
+
+
+def test_pp11_no_global_single_partition_sort(spark):
+    """pp11's curriculum rank must come from per-(bucket, sub) windows +
+    a broadcast prefix rebase — never a single-partition window over the
+    corpus (ntile/global ROW_NUMBER shape). The only SinglePartition
+    exchange allowed feeds the tiny unit-count frame."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "pp11_curriculum_order")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "hashpartitioning(quality_bucket" in plan, plan
+    single = re.findall(r"SinglePartition, ENSURE_REQUIREMENTS", plan)
+    assert len(single) <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
