@@ -79,6 +79,7 @@ HEADLINE = [
     "ann10_ivf_pq_rerank",
     "ann11_trained_ivf",
     "pp10_pretraining_job",
+    "pp11_curriculum_order",
 ]
 
 
