@@ -1214,3 +1214,45 @@ def m21_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan.write.mode("overwrite").parquet(os.path.join(table, "v2"))
     remove_orphan_dirs(table)
     return read_snapshot_dirs(spark, table).select(*o.columns)
+
+
+@register(
+    "m22_snapshot_expiry",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        WHERE o_orderstatus = 'O'
+    """,
+    doc="Snapshot expiry with retention — Iceberg's "
+    "expire_snapshots(older_than, retain_last) as a registered, "
+    "oracle-checked operator (the mechanism itself is unit-tested in "
+    "test_catalog_io_streaming): three commits land at ts 1000/2000/"
+    "3000, expiry at older_than=2500 with retain_last=1 drops v1 and "
+    "v2 (directories deleted, commit log rewritten atomically, shared "
+    "files protected by the still-referenced set), and the current "
+    "read — the oracle — proves the retained head snapshot is intact. "
+    "The history-hygiene complement of m21's orphan cleanup: expiry "
+    "drops OLD referenced data past the retention window, orphan "
+    "cleanup drops NEVER-referenced debris; at 100 TB both are "
+    "metadata-planned deletes that never scan data.",
+    tags=("scale", "snapshot", "maintenance"),
+)
+def m22_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        read_snapshot_dirs,
+        expire_snapshots_dirs,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="expire_"), "orders")
+    commit_snapshot(o.filter(F.col("o_orderstatus") == "F"), table, ts_ms=1000)
+    commit_snapshot(o.filter(F.col("o_orderstatus") == "P"), table, ts_ms=2000)
+    commit_snapshot(o.filter(F.col("o_orderstatus") == "O"), table, ts_ms=3000)
+    expired = expire_snapshots_dirs(table, older_than_ms=2500, keep_last=1)
+    assert expired == [1, 2], expired
+    return read_snapshot_dirs(spark, table)
