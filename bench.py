@@ -80,6 +80,7 @@ HEADLINE = [
     "ann11_trained_ivf",
     "pp10_pretraining_job",
     "pp11_curriculum_order",
+    "mm8_video_neardup_pairs",
 ]
 
 
