@@ -318,3 +318,20 @@ def test_st12_equals_dd15_minus_batch_batch_pairs(spark):
         .collect()
     }
     assert streamed == batch_vs_index
+
+
+def test_quickstart_example_runs(spark, tmp_path):
+    """examples/quickstart.py — the reference-user migration demo — must
+    run end-to-end: ingest lands the normalized+pluralized table, the
+    flagship query answers, and both export artifacts exist."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import quickstart
+
+    res = quickstart.main(str(tmp_path))
+    assert res["table"] == "demo.user_events"
+    assert res["top"][0][0] == "Seattle"
+    assert os.path.isfile(res["csv_artifact"])
+    assert os.path.isfile(res["parquet_artifact"])
