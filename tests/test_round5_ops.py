@@ -335,3 +335,106 @@ def test_quickstart_example_runs(spark, tmp_path):
     assert res["top"][0][0] == "Seattle"
     assert os.path.isfile(res["csv_artifact"])
     assert os.path.isfile(res["parquet_artifact"])
+
+
+# ---------------------------------------------------------------------------
+# pp2b/pp10 span math — tiling invariants
+# ---------------------------------------------------------------------------
+
+
+def test_pp2b_spans_tile_documents_and_sequences(spark):
+    """pp2b's (seq_id, doc_id, slice_start, slice_len, seq_offset) rows
+    must exactly tile BOTH sides of the packing: per document, the
+    slices cover [0, n_toks) contiguously in seq order; per sequence,
+    the occupied offsets cover [0, budget) contiguously except the final
+    (partial) sequence. The same math backs pp10's output stage."""
+    import collections
+
+    from apache_iceberg_spark.operators.pipeline import PACK_BUDGET
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["pp2b_packed_doc_spans"].spark(spark, SF_DIR).collect()
+    assert rows
+
+    by_doc = collections.defaultdict(list)
+    by_seq = collections.defaultdict(list)
+    for r in rows:
+        assert 0 < r.slice_len <= PACK_BUDGET
+        assert 0 <= r.seq_offset < PACK_BUDGET
+        by_doc[r.doc_id].append(r)
+        by_seq[r.seq_id].append(r)
+
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r.seq_id)
+        pos = 0
+        for s in spans:
+            assert s.slice_start == pos, (doc_id, s)
+            pos += s.slice_len
+        # interior spans end exactly at a budget boundary
+        for s in spans[:-1]:
+            assert (s.seq_offset + s.slice_len) == PACK_BUDGET, (doc_id, s)
+
+    last_seq = max(by_seq)
+    for seq_id, spans in by_seq.items():
+        spans.sort(key=lambda r: r.seq_offset)
+        pos = 0
+        for s in spans:
+            assert s.seq_offset == pos, (seq_id, s)
+            pos += s.slice_len
+        if seq_id != last_seq:
+            assert pos == PACK_BUDGET, (seq_id, pos)
+
+
+def test_mm8_vote_matches_bruteforce(spark):
+    """mm8's banded frame-vote must equal the brute-force all-pairs
+    computation on the fixture (pigeonhole keeps per-frame banding
+    lossless, so the counts are exact, not approximate)."""
+    from apache_iceberg_spark.operators.pipeline import (
+        _MM8_MIN_LEN,
+        DHASH_BITS,
+        MM6_HAMMING_MAX,
+        MM8_FRAMES,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from apache_iceberg_spark.tables import load_table
+
+    _ensure_loaded()
+
+    def dhash(payload: str) -> int:
+        n = len(payload)
+        v = [
+            ord(payload[int(k * n / (DHASH_BITS + 1))])
+            for k in range(DHASH_BITS + 1)
+        ]
+        return sum(1 << k for k in range(DHASH_BITS) if v[k] > v[k + 1])
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+        if r.text is not None and len(r.text) >= _MM8_MIN_LEN
+    }
+    frames = {}
+    for doc_id, text in docs.items():
+        qlen = len(text) // MM8_FRAMES
+        frames[doc_id] = [
+            dhash(text[f * qlen : (f + 1) * qlen]) for f in range(MM8_FRAMES)
+        ]
+    expected = {}
+    ids = sorted(frames)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = sum(
+                1
+                for f in range(MM8_FRAMES)
+                if bin(frames[a][f] ^ frames[b][f]).count("1")
+                <= MM6_HAMMING_MAX
+            )
+            if n:
+                expected[(a, b)] = n
+
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.n_frames_matched
+        for r in REGISTRY["mm8_video_neardup_pairs"].spark(spark, SF_DIR).collect()
+    }
+    assert got == expected
