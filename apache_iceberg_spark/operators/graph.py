@@ -210,6 +210,10 @@ def _supplier_projection(edges_deg: DataFrame, rank: DataFrame) -> DataFrame:
 G3_TOL_MICRO = 1_000
 G3_REL_DIV = 100  # moved iff |Δ| > max(old/100, G3_TOL_MICRO)
 G3_MAX_ROUNDS = 40
+#: Node-count cutover below which the rank vector lives on the driver
+#: between rounds (_g3_small_graph_loop); above it the rounds run as
+#: distributed joins. Module-level so tests can force either branch.
+G3_DRIVER_NODES = 5_000_000
 #: Lineage-cut cadence (dd6's pattern: persist is cheap but does not
 #: truncate the logical plan; cut with a lazy localCheckpoint every k).
 _G3_CKPT_EVERY = 4
@@ -245,7 +249,7 @@ def g3_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = _trade_edges_with_deg(spark, sf_dir)
     rank = _power_step(edges_deg, None).persist()
     n_nodes = rank.count()  # materialize round 1 (and the edge cache)
-    if n_nodes <= 5_000_000:
+    if n_nodes <= G3_DRIVER_NODES:
         return _g3_small_graph_loop(spark, edges_deg, rank)
     prev_persisted = rank
     rounds = 1

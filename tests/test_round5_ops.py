@@ -438,3 +438,23 @@ def test_mm8_vote_matches_bruteforce(spark):
         for r in REGISTRY["mm8_video_neardup_pairs"].spark(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_g3_distributed_branch_matches_driver_branch(spark, monkeypatch):
+    """Force the node cutover to 0 so g3 runs its DISTRIBUTED rounds
+    (shuffled joins, per-round persists, periodic lineage cuts) and
+    assert it converges to the same supplier ranks as the driver-hosted
+    small-graph branch — the two loops are alternative executions of
+    one arithmetic."""
+    from apache_iceberg_spark.operators import graph
+
+    small = {
+        r.l_suppkey: (r.rank_micro, r.n_links)
+        for r in graph.g3_pagerank_converged(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(graph, "G3_DRIVER_NODES", 0)
+    dist = {
+        r.l_suppkey: (r.rank_micro, r.n_links)
+        for r in graph.g3_pagerank_converged(spark, SF_DIR).collect()
+    }
+    assert dist == small
