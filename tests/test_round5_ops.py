@@ -458,3 +458,24 @@ def test_g3_distributed_branch_matches_driver_branch(spark, monkeypatch):
         for r in graph.g3_pagerank_converged(spark, SF_DIR).collect()
     }
     assert dist == small
+
+
+def test_cc_pregel_branch_matches_driver_union_find(spark, monkeypatch):
+    """Force min_label_components' edge cutover to 0 so dd6's clustering
+    runs the DISTRIBUTED Pregel branch (pointer-jumped min-label
+    propagation, lineage cuts) and assert it labels every node exactly
+    like the driver union-find branch."""
+    from apache_iceberg_spark.operators import dedup
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    small = {
+        (r.doc_id, r.cluster_id)
+        for r in REGISTRY["dd6_dup_clusters"].spark(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(dedup, "_CC_DRIVER_EDGES", 0)
+    pregel = {
+        (r.doc_id, r.cluster_id)
+        for r in REGISTRY["dd6_dup_clusters"].spark(spark, SF_DIR).collect()
+    }
+    assert pregel == small
