@@ -1342,3 +1342,105 @@ def dd13_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         (F.lit(1.0) / F.col("n_copies")).alias("sample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd16 — SimHash Hamming near-dup pairs (round 5)
+# ---------------------------------------------------------------------------
+
+DD16_BANDS = 4
+DD16_BAND_BITS = SIMHASH_BITS // DD16_BANDS
+#: Radius 1 on a 32-bit fingerprint ≈ the standard radius 3 on the
+#: production 64-bit SimHash (tolerated flips scale with hash width);
+#: any radius < DD16_BANDS keeps the banding pigeonhole-lossless. On
+#: this fixture the radii separate cleanly: 606 pairs at distance 0,
+#: 6.4k at ≤1, 129k at ≤3 (the narrow vocabulary saturates wide radii).
+DD16_HAMMING_MAX = 1
+
+
+def _dd16_oracle() -> str:
+    # dd3's signature CTE chain, then the all-pairs Hamming predicate
+    # (the banding below is pigeonhole-lossless at this radius).
+    tok_hash = DUCK_HEX2INT.format(s="tok")
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {tok_hash} AS h FROM tok
+        ),
+        bits AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM hashed GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id, {assemble} AS simhash FROM bits
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND bit_count(xor(a.simhash, b.simhash)) <= {DD16_HAMMING_MAX}
+    """
+
+
+@register(
+    "dd16_simhash_neardup",
+    oracle=_dd16_oracle(),
+    doc=f"SimHash near-duplicate PAIRS — the consumer dd3's docstring "
+    "promises: documents whose token-vote fingerprints land within "
+    f"Hamming radius {DD16_HAMMING_MAX} pair up via "
+    f"{DD16_BANDS}x{DD16_BAND_BITS}-bit band buckets (mm6's multi-index "
+    "pattern applied to the text SimHash; pigeonhole keeps the banding "
+    "LOSSLESS at radius < #bands, so the oracle states the plain "
+    "all-pairs predicate while the plan never goes all-pairs). "
+    "Complements dd2: MinHash approximates set overlap (Jaccard), "
+    "SimHash preserves weighted token-distribution similarity — "
+    "production pipelines run both because they catch different "
+    "near-dup classes. Candidates generate in-bucket with both hashes "
+    "riding the row (verification is one xor+bit_count, no join back); "
+    "per-bucket width is the salting/capping lever at 100 TB.",
+    tags=("dedup", "llm"),
+)
+def dd16_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dd3_simhash(spark, sf_dir).select("doc_id", "simhash")
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, "
+        f"shiftright(simhash, {DD16_BAND_BITS * b}) & {2 ** DD16_BAND_BITS - 1} "
+        f"AS band_key)"
+        for b in range(DD16_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"array({band_structs})")).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_key")
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, a -> "
+                    "transform(filter(ds, b -> b.doc_id > a.doc_id AND "
+                    f"bit_count(a.simhash ^ b.simhash) <= {DD16_HAMMING_MAX}), "
+                    "b -> struct(a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+                    "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_id_a", "p.doc_id_b", "p.hamming")
+        .distinct()
+    )
