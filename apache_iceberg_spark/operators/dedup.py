@@ -1348,7 +1348,11 @@ def dd13_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd16 — SimHash Hamming near-dup pairs (round 5)
 # ---------------------------------------------------------------------------
 
-DD16_BANDS = 4
+#: 2 bands x 16 bits: radius 1 < 2 bands keeps pigeonhole losslessness,
+#: and 65k-value band keys keep buckets narrow even when the corpus's
+#: hashes cluster (4x8-bit measured 3.3s at sf0.1 — one hot 8-bit
+#: bucket serialized ~1M in-bucket checks; 2x16-bit cuts it ~10x).
+DD16_BANDS = 2
 DD16_BAND_BITS = SIMHASH_BITS // DD16_BANDS
 #: Radius 1 on a 32-bit fingerprint ≈ the standard radius 3 on the
 #: production 64-bit SimHash (tolerated flips scale with hash width);
@@ -1412,35 +1416,68 @@ def _dd16_oracle() -> str:
     tags=("dedup", "llm"),
 )
 def dd16_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Manku-table factoring: dedupe the HASH SPACE first. Documents
+    # sharing a fingerprint collapse into one group row (one shuffle),
+    # so the banded candidate search runs over DISTINCT hashes only —
+    # the fixture's exact-dup clusters otherwise make every bucket they
+    # touch quadratic in MEMBERS (measured 2.4s vs 0.9s at sf0.1).
+    # Intra-group pairs (distance 0) explode directly; cross-hash pairs
+    # verify once per GROUP pair and then expand membership — work is
+    # O(distinct-hash bucket width²) + O(output), never O(members²).
     sig = dd3_simhash(spark, sf_dir).select("doc_id", "simhash")
+    groups = (
+        sig.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .persist()
+    )
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> "
+                    "transform(filter(ids, b -> b > a), "
+                    "b -> struct(a AS doc_id_a, b AS doc_id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_id_a", "p.doc_id_b", F.lit(0).alias("hamming"))
+    )
     band_structs = ", ".join(
         f"struct({b} AS band_id, "
         f"shiftright(simhash, {DD16_BAND_BITS * b}) & {2 ** DD16_BAND_BITS - 1} "
         f"AS band_key)"
         for b in range(DD16_BANDS)
     )
-    bands = sig.select(
-        "doc_id",
+    bands = groups.select(
         "simhash",
+        "ids",
         F.explode(F.expr(f"array({band_structs})")).alias("b"),
-    ).select("doc_id", "simhash", "b.band_id", "b.band_key")
+    ).select("simhash", "ids", "b.band_id", "b.band_key")
     buckets = (
         bands.groupBy("band_id", "band_key")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .agg(F.collect_list(F.struct("simhash", "ids")).alias("gs"))
+        .filter(F.size("gs") > 1)
     )
-    return (
+    # Verified DISTINCT-hash pairs, then the membership cross product —
+    # ordered (least, greatest) so each doc pair appears exactly once
+    # per colliding band; the distinct dedups multi-band collisions.
+    cross = (
         buckets.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ds, a -> "
-                    "transform(filter(ds, b -> b.doc_id > a.doc_id AND "
+                    "flatten(transform(gs, a -> flatten("
+                    "transform(filter(gs, b -> b.simhash > a.simhash AND "
                     f"bit_count(a.simhash ^ b.simhash) <= {DD16_HAMMING_MAX}), "
-                    "b -> struct(a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-                    "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming))))"
+                    "b -> flatten(transform(a.ids, x -> "
+                    "transform(b.ids, y -> struct("
+                    "least(x, y) AS doc_id_a, greatest(x, y) AS doc_id_b, "
+                    "CAST(bit_count(a.simhash ^ b.simhash) AS INT) "
+                    "AS hamming))))))))"
                 )
             ).alias("p")
         )
         .select("p.doc_id_a", "p.doc_id_b", "p.hamming")
         .distinct()
     )
+    return intra.unionByName(cross)

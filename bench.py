@@ -81,6 +81,7 @@ HEADLINE = [
     "pp10_pretraining_job",
     "pp11_curriculum_order",
     "mm8_video_neardup_pairs",
+    "dd16_simhash_neardup",
 ]
 
 
