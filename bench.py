@@ -1,9 +1,19 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Stdout contract (the driver captures a ~2 KB tail and parses the LAST
+line): the FINAL stdout line is the compact contract object
+``{"metric","value","unit","queries","sf"}`` and nothing else — round 5
+appended per-table fixture fingerprints to it, the line outgrew the tail
+capture, and the driver recorded ``parsed: null`` (VERDICT r5 #1). The
+fingerprints now ride (a) stderr in full per-table detail and (b) one
+short COMBINED-digest stdout line printed just before the final line, so
+the tail still proves the fixture identity without bloating the contract
+line. A streaming micro-bench line (st4/st7/st12, VERDICT r5 ask #6)
+precedes those. ``tests/test_bench_contract.py`` pins the final line
+under the tail budget.
 
 Each query is timed end-to-end (plan + execute + collect-to-count). A
 warm-up pass on sf0.001 triggers JVM/codegen warm-up so the numbers reflect
@@ -84,6 +94,20 @@ HEADLINE = [
     "dd16_simhash_neardup",
 ]
 
+# Streaming operators timed on their own stdout line (not in the contract
+# line's `queries` dict — the final line must stay under the driver's ~2 KB
+# tail capture; see module docstring).
+STREAMING = [
+    "st4_stream_static_join",
+    "st7_stream_upsert",
+    "st12_stream_incremental_dedup",
+]
+
+# Max chars for the final stdout contract line: driver tail capture (2000)
+# minus headroom for the fixture-digest + streaming lines printed just
+# before it (~230 chars observed worst case).
+CONTRACT_LINE_BUDGET = 1750
+
 
 def fixture_fingerprints(sf_dir: str) -> dict[str, dict]:
     """Per-table row count + content hash of the bench fixture, emitted
@@ -143,18 +167,75 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Fixture identity: full per-table detail on stderr; one short combined
+    # digest on stdout (any regenerated table changes it) so the parseable
+    # tail still pins the data side without breaking the contract line.
+    fixtures = fixture_fingerprints(sf_dir)
+    print("# fixtures " + json.dumps(fixtures, sort_keys=True), file=sys.stderr)
+    import hashlib
+
+    combined = hashlib.md5(
+        json.dumps(fixtures, sort_keys=True).encode()
+    ).hexdigest()
     print(
         json.dumps(
+            {
+                "fixtures_combined_md5": combined,
+                "tables": len(fixtures),
+                "rows": sum(v["rows"] for v in fixtures.values()),
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+
+    # Streaming micro-bench (VERDICT r5 ask #6): st4/st7/st12 end-to-end
+    # over their fixed micro-batches, min-of-2, on a separate stdout line.
+    stream_timings: dict[str, float] = {}
+    for name in STREAMING:
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                queries[name](spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            stream_timings[name] = round(best, 3)
+        except Exception as exc:  # never let streaming kill the contract line
+            print(f"# streaming bench {name} failed: {exc}", file=sys.stderr)
+    print(
+        json.dumps({"streaming": stream_timings}, separators=(",", ":")),
+        flush=True,
+    )
+
+    def contract_line(q: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": q,
                 "sf": sf_val,
-                "fixtures": fixture_fingerprints(sf_dir),
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    # Hard guard on the tail budget: if the contract line would outgrow the
+    # driver's capture (minus the two short digest lines above), spill the
+    # tail of HEADLINE onto a preceding "queries_overflow" stdout line. The
+    # spilled entries stay visible in the tail and on stderr; the contract
+    # line always parses.
+    kept = dict(timings)
+    overflow: dict[str, float] = {}
+    while len(contract_line(kept)) > CONTRACT_LINE_BUDGET and kept:
+        name, val = kept.popitem()  # pops in reverse HEADLINE order
+        overflow[name] = val
+    if overflow:
+        print(
+            json.dumps({"queries_overflow": overflow}, separators=(",", ":")),
+            flush=True,
+        )
+    print(contract_line(kept), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,76 @@
+"""The driver captures a ~2 KB stdout tail and parses the LAST line as the
+bench contract object. Round 5 broke this by appending fixture fingerprints
+to the final line (BENCH_r05.json recorded ``parsed: null``). These tests
+pin the contract so it cannot silently regress again."""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+# The driver's tail capture observed in BENCH_r0{3,4,5}.json is 2000 chars.
+# The final line plus the two short preceding lines (combined-fixture digest
+# ~90 chars, streaming timings ~110 chars) must all fit so the tail parses
+# AND still shows the fixture digest.
+_TAIL_BUDGET = 2000
+_PRECEDING_LINES_BUDGET = 230
+
+
+def _rendered_contract_line(timings: dict) -> str:
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": timings,
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+
+
+def _spill(timings: dict) -> tuple[dict, dict]:
+    """Mirror bench.main()'s overflow guard."""
+    kept = dict(timings)
+    overflow: dict = {}
+    while len(_rendered_contract_line(kept)) > bench.CONTRACT_LINE_BUDGET and kept:
+        name, val = kept.popitem()
+        overflow[name] = val
+    return kept, overflow
+
+
+def test_budget_leaves_room_for_digest_lines():
+    assert bench.CONTRACT_LINE_BUDGET + _PRECEDING_LINES_BUDGET <= _TAIL_BUDGET
+
+
+def test_guard_bounds_final_line_even_at_worst_case_widths():
+    # Pathological widths: 4-digit seconds with 3 decimals per query.
+    kept, overflow = _spill({name: 1234.567 for name in bench.HEADLINE})
+    assert len(_rendered_contract_line(kept)) <= bench.CONTRACT_LINE_BUDGET
+    assert set(kept) | set(overflow) == set(bench.HEADLINE)
+
+
+def test_realistic_widths_spill_nothing():
+    # At sf0.1 every headline query runs in single-digit seconds (r5 max:
+    # pp10 at 2.705); the contract line must then carry the FULL set so
+    # round-over-round per-query comparison needs no overflow stitching.
+    kept, overflow = _spill({name: 9.999 for name in bench.HEADLINE})
+    assert not overflow, (
+        f"{len(overflow)} queries spill at realistic widths — trim HEADLINE"
+    )
+
+
+def test_contract_line_has_exactly_the_contract_keys():
+    obj = json.loads(_rendered_contract_line({"q1": 1.0}))
+    assert set(obj) == {"metric", "value", "unit", "queries", "sf"}
+
+
+def test_headline_and_streaming_are_registered():
+    from apache_iceberg_spark.registry import all_queries
+
+    q = all_queries()
+    missing = [n for n in bench.HEADLINE + bench.STREAMING if n not in q]
+    assert not missing, f"bench names not in registry: {missing}"
