@@ -54,20 +54,19 @@ def _coverage_order(d: dict) -> dict:
     rows. Harmless if the driver ignores dict order.
     """
     green, red = _prior_rounds()
-    # Queries whose IMPLEMENTATION changed this round (round 5): their old
+    # Queries whose IMPLEMENTATION changed this round (round 6): their old
     # green rows prove the old code, so they re-enter the checked set
-    # right behind never-checked queries. Round 5's priority is the 8
-    # queries that have NEVER had a driver row (a17-a20, j7, o6, p8, u6 —
-    # VERDICT r4 ask #1); they are not in `green`, so they are fresh
-    # automatically, and this round's total fresh count stays well under
-    # the driver's ~50-row sample so none can lose the lottery again.
+    # right behind never-checked queries (this round's fresh set is just
+    # g3b and ann13, so everything here lands comfortably inside the
+    # driver's ~50-row sample — VERDICT r5 ask #5's rotation discipline).
     recheck = {
-        "dd12_containment_dedup",  # word-trigram grams + df cap (VERDICT #2)
-        "g1_pagerank",             # outdeg carried on edge frame (VERDICT #3)
-        "pp3_curation_decontaminated",  # decontam tail factored (pp10)
-        "pp6_production_funnel",        # same refactor
-        "ann9_ivf_pq",             # ADC dataflow factored out (ann10)
-        "ann7_kmeans_train",       # training prefix factored out (ann11)
+        "mm6_image_neardup_clusters",  # Manku distinct-hash factoring (r5 #4)
+        "mm8_video_neardup_pairs",     # same factoring, per-frame
+        "g3_pagerank_converged",       # loop extracted to _g3_distributed_loop
+        "dd12_containment_dedup",      # short-doc gram guard (ADVICE r5)
+        "dd15_incremental_dedup",      # probe-side persist leak fix (ADVICE r5)
+        "m22_snapshot_expiry",         # assert -> RuntimeError (ADVICE r5)
+        "pp10_pretraining_job",        # checkpoint double-materialization fix
     }
     fresh = [k for k in d if k not in green or k in recheck]
     # Previously-red rows lead (their fixes must land in the checked set);

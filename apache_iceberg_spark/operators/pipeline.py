@@ -405,11 +405,38 @@ def mm6_image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm6_hamming_pairs(d: DataFrame) -> DataFrame:
     """Hamming-ball near-dup pairs over the dHash, via banded self-join —
     exposed separately so tests can assert the candidate plan is banded
-    (one shuffle into buckets + in-bucket explode), never all-pairs."""
+    (one shuffle into buckets + in-bucket explode), never all-pairs.
+
+    dd16's Manku-table factoring (VERDICT r5 ask #4): dedupe the HASH
+    SPACE first. Documents sharing a dHash collapse into one group row;
+    the banded candidate search then runs over DISTINCT hashes only, so
+    in-bucket work is O(distinct-width²) + O(output) — on a near-dup-
+    heavy corpus (k identical images) the old per-member explode did
+    O(k²) lambda work per bucket; here those k members cost one group
+    row and their pairs expand only at output time. Intra-group pairs
+    (distance 0) explode directly from the group."""
     h = (
         d.filter(F.length("text") >= DHASH_BITS + 1)
         .select("doc_id", F.expr(_DHASH_V_EXPR).alias("__v"))
         .select("doc_id", F.expr(_DHASH_EXPR).alias("dhash"))
+    )
+    groups = (
+        h.groupBy("dhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .persist()
+    )
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> "
+                    "transform(filter(ids, b -> b > a), "
+                    "b -> struct(a AS doc_id_a, b AS doc_id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_id_a", "p.doc_id_b")
     )
     band_structs = ", ".join(
         f"struct({b} AS band_id, "
@@ -417,43 +444,40 @@ def mm6_hamming_pairs(d: DataFrame) -> DataFrame:
         f"AS band_key)"
         for b in range(MM6_BANDS)
     )
-    bands = h.select(
-        "doc_id",
+    bands = groups.select(
         "dhash",
+        "ids",
         F.explode(F.expr(f"array({band_structs})")).alias("b"),
-    ).select("doc_id", "dhash", "b.band_id", "b.band_key")
-    # One shuffle into Hamming-band buckets; ordered pairs generated
-    # in-bucket by expression (dd2's trick), carrying both hashes so the
-    # verify needs no join back.
+    ).select("dhash", "ids", "b.band_id", "b.band_key")
+    # One shuffle into Hamming-band buckets of DISTINCT hashes; verified
+    # group pairs generate in-bucket by expression (verify INSIDE the
+    # lambda — failed candidates cost one xor+bit_count and no
+    # allocation), membership cross product expands LAST, ordered
+    # (least, greatest) so each doc pair appears once per colliding
+    # band; the distinct dedups multi-band collisions.
     buckets = (
         bands.groupBy("band_id", "band_key")
-        .agg(F.collect_list(F.struct("doc_id", "dhash")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .agg(F.collect_list(F.struct("dhash", "ids")).alias("gs"))
+        .filter(F.size("gs") > 1)
     )
-    # Verify INSIDE the pair lambda, allocation-free: for each a, filter
-    # the bucket on (b.doc_id > a.doc_id AND Hamming <= max) and only
-    # THEN build pair structs — so the 99.9% of candidates that fail the
-    # Hamming check cost one xor+bit_count each and no allocation, and
-    # only verified pairs reach the distinct's shuffle. The previous form
-    # sliced a fresh sub-array per element (O(bucket²) element copies)
-    # and built a struct per candidate before filtering — measured 3.4x
-    # slower on this fixture's hot 4-bit bands (840-doc buckets, 8.6M
-    # candidates -> 11k verified). doc_id-ordering via comparison also
-    # drops the per-bucket sort the slice formulation required.
-    return (
+    cross = (
         buckets.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ds, a -> "
-                    "transform(filter(ds, b -> b.doc_id > a.doc_id AND "
+                    "flatten(transform(gs, a -> flatten("
+                    "transform(filter(gs, b -> b.dhash > a.dhash AND "
                     f"bit_count(a.dhash ^ b.dhash) <= {MM6_HAMMING_MAX}), "
-                    "b -> struct(a.doc_id AS doc_id_a, b.doc_id AS doc_id_b))))"
+                    "b -> flatten(transform(a.ids, x -> "
+                    "transform(b.ids, y -> struct("
+                    "least(x, y) AS doc_id_a, greatest(x, y) AS doc_id_b"
+                    "))))))))"
                 )
             ).alias("p")
         )
         .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
+    return intra.unionByName(cross)
 
 
 VOCAB_TOP_K = 100
@@ -2700,34 +2724,63 @@ def mm8_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"AS band_key)"
         for b in range(MM6_BANDS)
     )
-    bands = h.select(
-        "doc_id",
+    # dd16's Manku-table factoring per frame index (VERDICT r5 ask #4):
+    # dedupe the (frame, dHash) space first so the banded search runs
+    # over DISTINCT per-frame hashes — k re-encodes sharing a frame hash
+    # cost one group row, not O(k²) lambda work; memberships expand
+    # only at output time.
+    groups = (
+        h.groupBy("f", "dhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .persist()
+    )
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(
+            "f",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> "
+                    "transform(filter(ids, b -> b > a), "
+                    "b -> struct(a AS doc_id_a, b AS doc_id_b))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.doc_id_a", "p.doc_id_b", "f")
+    )
+    bands = groups.select(
         "f",
         "dhash",
+        "ids",
         F.explode(F.expr(f"array({band_structs})")).alias("b"),
-    ).select("doc_id", "f", "dhash", "b.band_id", "b.band_key")
-    # mm6's in-bucket verified pair explode, bucket key extended with the
-    # frame index (same-index frames only compare to each other).
+    ).select("f", "dhash", "ids", "b.band_id", "b.band_key")
+    # mm6's in-bucket verified pair explode over distinct-hash groups,
+    # bucket key extended with the frame index (same-index frames only
+    # compare to each other).
     buckets = (
         bands.groupBy("f", "band_id", "band_key")
-        .agg(F.collect_list(F.struct("doc_id", "dhash")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .agg(F.collect_list(F.struct("dhash", "ids")).alias("gs"))
+        .filter(F.size("gs") > 1)
     )
-    frame_matches = (
+    cross = (
         buckets.select(
             "f",
             F.explode(
                 F.expr(
-                    "flatten(transform(ds, a -> "
-                    "transform(filter(ds, b -> b.doc_id > a.doc_id AND "
+                    "flatten(transform(gs, a -> flatten("
+                    "transform(filter(gs, b -> b.dhash > a.dhash AND "
                     f"bit_count(a.dhash ^ b.dhash) <= {MM6_HAMMING_MAX}), "
-                    "b -> struct(a.doc_id AS doc_id_a, b.doc_id AS doc_id_b))))"
+                    "b -> flatten(transform(a.ids, x -> "
+                    "transform(b.ids, y -> struct("
+                    "least(x, y) AS doc_id_a, greatest(x, y) AS doc_id_b"
+                    "))))))))"
                 )
             ).alias("p"),
         )
         .select("p.doc_id_a", "p.doc_id_b", "f")
         .distinct()  # a pair may collide in several bands of one frame
     )
+    frame_matches = intra.unionByName(cross)
     return (
         frame_matches.groupBy("doc_id_a", "doc_id_b")
         .agg(F.count("*").alias("n_frames_matched"))

@@ -92,6 +92,8 @@ HEADLINE = [
     "pp11_curriculum_order",
     "mm8_video_neardup_pairs",
     "dd16_simhash_neardup",
+    # round-6 operators
+    "ann13_clustered_recall_curve",
 ]
 
 # Streaming operators timed on their own stdout line (not in the contract

@@ -1,0 +1,168 @@
+"""Round-6 operator tests.
+
+1. g3b (pinned-round PageRank) reproduces g3's CONVERGED output on the
+   fixture — the bridge that lets g3b's hash-green driver row stand in
+   for g3's rows-only check (VERDICT r5 ask #2).
+2. mm6's Manku-factored pair generation: correct on an identical-heavy
+   adversarial corpus AND the quantity the in-bucket lambda is quadratic
+   in is the DISTINCT-hash width, not the member count (ask #4).
+3. ann13's clustered-corpus recall curve hits production-index targets
+   (ask #3): recall@10 >= 0.8 for the quantized+rerank variant at
+   documented probe cost.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def test_g3b_equals_converged_g3(spark):
+    """g3 stops when no rank moves beyond tolerance; g3b runs exactly
+    G3B_ROUNDS steps with no early exit. On the fixture the convergence
+    profile IS G3B_ROUNDS (measured at sf0.001 and sf0.01), so the two
+    must agree row-for-row — making g3b's oracle-hashed driver row a
+    check of g3's loop output, not just of a lookalike."""
+    g3 = sorted(
+        (r["l_suppkey"], r["rank_micro"], r["n_links"])
+        for r in REGISTRY["g3_pagerank_converged"].spark(spark, SF_DIR).collect()
+    )
+    g3b = sorted(
+        (r["l_suppkey"], r["rank_micro"], r["n_links"])
+        for r in REGISTRY["g3b_pagerank_rounds"].spark(spark, SF_DIR).collect()
+    )
+    assert g3 == g3b
+    assert len(g3) > 0
+
+
+def _brute_force_hamming_pairs(spark, d, max_hamming):
+    from apache_iceberg_spark.operators.pipeline import (
+        _DHASH_EXPR,
+        _DHASH_V_EXPR,
+        DHASH_BITS,
+    )
+
+    h = (
+        d.filter(F.length("text") >= DHASH_BITS + 1)
+        .select("doc_id", F.expr(_DHASH_V_EXPR).alias("__v"))
+        .select("doc_id", F.expr(_DHASH_EXPR).alias("dhash"))
+    )
+    a = h.select(F.col("doc_id").alias("doc_id_a"), F.col("dhash").alias("ha"))
+    b = h.select(F.col("doc_id").alias("doc_id_b"), F.col("dhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(F.expr(f"bit_count(ha ^ hb) <= {max_hamming}"))
+        .select("doc_id_a", "doc_id_b")
+    )
+
+
+def test_mm6_factored_pairs_match_bruteforce_on_identical_heavy_corpus(spark):
+    """Adversarial corpus for the pre-factoring shape: 300 byte-identical
+    payloads (one dHash, every band colliding) + 50 distinct ones. The
+    factored mm6 must still emit exactly the brute-force pair set —
+    including all C(300,2) intra-hash pairs."""
+    from apache_iceberg_spark.operators.pipeline import (
+        MM6_HAMMING_MAX,
+        mm6_hamming_pairs,
+    )
+
+    base = "The quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, base) for i in range(300)]
+    rows += [(1000 + i, f"distinct document number {i} " + base[i : i + 80])
+             for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in mm6_hamming_pairs(d).collect()
+    )
+    want = sorted(
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in _brute_force_hamming_pairs(spark, d, MM6_HAMMING_MAX).collect()
+    )
+    assert got == want
+    # All intra-hash pairs present: the 300 identical docs alone
+    # contribute C(300,2).
+    assert len([p for p in got if p[0] < 300 and p[1] < 300]) >= 300 * 299 // 2
+
+
+def test_mm6_bucket_width_is_distinct_hashes_not_members(spark):
+    """The property the factoring buys (dd16's Manku-table argument): the
+    in-bucket pair lambda is quadratic in the BUCKET WIDTH, and after
+    factoring that width is bounded by the number of DISTINCT dHashes —
+    on the corpus above, <= 51 groups ever land in one bucket while the
+    member count is 350. The pre-factoring shape put all 300 identical
+    members in every one of their band buckets (width 300+, O(90000)
+    lambda steps per bucket for O(44850) output pairs ALL of which are
+    distance-0 and never needed banding at all)."""
+    from apache_iceberg_spark.operators.pipeline import (
+        _DHASH_EXPR,
+        _DHASH_V_EXPR,
+        DHASH_BITS,
+        MM6_BAND_BITS,
+        MM6_BANDS,
+    )
+
+    base = "The quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, base) for i in range(300)]
+    rows += [(1000 + i, f"distinct document number {i} " + base[i : i + 80])
+             for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    h = (
+        d.filter(F.length("text") >= DHASH_BITS + 1)
+        .select("doc_id", F.expr(_DHASH_V_EXPR).alias("__v"))
+        .select("doc_id", F.expr(_DHASH_EXPR).alias("dhash"))
+    )
+    n_distinct = h.select("dhash").distinct().count()
+    assert n_distinct <= 51  # 300 identical docs collapse to one hash
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, "
+        f"shiftright(dhash, {MM6_BAND_BITS * b}) & {2 ** MM6_BAND_BITS - 1} "
+        f"AS band_key)"
+        for b in range(MM6_BANDS)
+    )
+    widths = (
+        h.select("dhash").distinct()
+        .select("dhash", F.explode(F.expr(f"array({band_structs})")).alias("b"))
+        .groupBy("b.band_id", "b.band_key")
+        .agg(F.count("*").alias("w"))
+        .agg(F.max("w").alias("mw"))
+        .collect()[0]["mw"]
+    )
+    # The widest bucket the factored lambda ever sees is bounded by the
+    # distinct-hash count, NOT the 350 members.
+    assert widths <= n_distinct
+
+
+def test_ann13_recall_targets_on_clustered_corpus(spark):
+    """VERDICT r5 ask #3 'done' criterion: on clusterable data the index
+    family must be demonstrably good — rerank recall@10 >= 0.8 at a
+    documented sub-linear probe cost (it is ~1.0 at ~12% scanned here),
+    and the curve must be internally consistent: exact >= rerank >=
+    quantized-only at equal n_probe, cost monotone in n_probe."""
+    rows = {
+        (r["variant"], r["n_probe"]): r
+        for r in REGISTRY["ann13_clustered_recall_curve"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    rerank = rows[("ivf_sq_rerank", 2)]
+    assert rerank["recall_at_10"] >= 0.8
+    assert rerank["scanned_frac"] < 0.5  # sub-linear scan, not brute force
+    assert (
+        rows[("ivf_exact", 2)]["recall_at_10"]
+        >= rerank["recall_at_10"]
+        >= rows[("ivf_sq", 2)]["recall_at_10"]
+    )
+    assert (
+        rows[("ivf_exact", 1)]["avg_cand_rows"]
+        < rows[("ivf_exact", 2)]["avg_cand_rows"]
+        < rows[("ivf_exact", 4)]["avg_cand_rows"]
+    )
+    # High recall at n_probe=1 is the planted-structure signature: the
+    # trained quantizer recovered the mixture components.
+    assert rows[("ivf_exact", 1)]["recall_at_10"] >= 0.8
