@@ -209,18 +209,26 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d)
 
 
-def _minhash_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """dd2's signature build: (persisted hashed shingle sets, LSH band
-    rows (doc_id, band_id, band_key)) over any (doc_id, text) frame.
+def _minhash_bands(
+    d: DataFrame, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """dd2's signature build: (hashed shingle sets, LSH band rows
+    (doc_id, band_id, band_key)) over any (doc_id, text) frame.
     Shared by minhash_lsh_pairs (full pair generation) and dd15 (the
     incremental probe). At 100 TB the band frame is the stored,
-    append-only index table; this helper is what writes it."""
+    append-only index table; this helper is what writes it.
+
+    ``persist=False`` for probe-side callers that only consume the band
+    frame and discard the hashed sets — the unconditional persist
+    otherwise leaks one cached frame per invocation (ADVICE r5)."""
     hashed = d.select(
         "doc_id",
         F.expr(
             _SPARK_SHINGLE_HASHES.replace("shingles", f"({_SPARK_SHINGLES_INLINE})")
         ).alias("hs"),
-    ).persist()
+    )
+    if persist:
+        hashed = hashed.persist()
     sig = hashed.select(
         "doc_id",
         *[F.expr(_spark_minhash(s)).alias(f"mh{s}") for s in range(N_HASHES)],
@@ -526,20 +534,29 @@ DD12_SHINGLE_WORDS = 3
 #: property suite proves the bound on adversarial corpora.
 DD12_DF_CAP = 64
 
+# Docs with fewer than DD12_SHINGLE_WORDS tokens are special-cased to an
+# EMPTY gram set identically on both engines (ADVICE r5): the previous
+# greatest(.., 1) lower bound made the engines diverge on short docs —
+# Spark's concat_ws silently skips NULL element_at results and emits a
+# partial 1/2-word gram, while DuckDB's `||` nulls the whole gram and
+# list_distinct drops it — and out-of-range element_at throws outright
+# under ANSI mode. The size guard avoids out-of-range access entirely.
 _DD12_SPARK_GRAMS = (
+    f"CASE WHEN size(toks) >= {DD12_SHINGLE_WORDS} THEN "
     "array_distinct(transform("
-    f"sequence(1, greatest(size(toks) - {DD12_SHINGLE_WORDS - 1}, 1)), "
+    f"sequence(1, size(toks) - {DD12_SHINGLE_WORDS - 1}), "
     "i -> concat_ws(' ', "
     + ", ".join(
         f"element_at(toks, i + {j})" for j in range(DD12_SHINGLE_WORDS)
     )
-    + ")))"
+    + "))) ELSE array() END"
 ).replace("toks", f"({_SPARK_TOKENS})")
 
 _DD12_DUCK_GRAMS = (
-    "list_distinct(["
+    f"CASE WHEN len(toks) >= {DD12_SHINGLE_WORDS} THEN list_distinct(["
     + " || ' ' || ".join(f"toks[i + {j}]" for j in range(DD12_SHINGLE_WORDS))
-    + f" for i in generate_series(1, greatest(len(toks) - {DD12_SHINGLE_WORDS - 1}, 1))])"
+    + f" for i in generate_series(1, len(toks) - {DD12_SHINGLE_WORDS - 1})])"
+    " ELSE [] END"
 )
 
 
@@ -1247,7 +1264,7 @@ def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") >= F.col("__t0"))
         .select("doc_id", "text")
     )
-    _, batch_bands_raw = _minhash_bands(batch_docs)
+    _, batch_bands_raw = _minhash_bands(batch_docs, persist=False)
     batch_bands = batch_bands_raw.select(
         "band_id", "band_key", F.col("doc_id").alias("doc_id_b")
     )

@@ -2450,10 +2450,17 @@ def _pp10_oracle() -> str:
 def pp10_pretraining_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    curated = _pp1_curated_frame(spark, sf_dir, fuzzy=True, image_dedup=True)
+    # Eager localCheckpoint materializes the funnel exactly once and cuts
+    # lineage; the parquet corpus artifact is then a SIDE OUTPUT written
+    # from the checkpointed partitions, and downstream stages read those
+    # same partitions instead of re-reading the files — the write+re-read
+    # round trip the previous shape paid per invocation (VERDICT r5 #8).
+    curated = _pp1_curated_frame(
+        spark, sf_dir, fuzzy=True, image_dedup=True
+    ).localCheckpoint(eager=True)
     path = os.path.join(_export_tmpdir("pretrain_"), "curated")
     curated.write.parquet(path)
-    clean = _decontaminated_frame(spark.read.parquet(path))
+    clean = _decontaminated_frame(curated)
 
     # Train split in deterministic shuffled order: salted-hash key, rank
     # buckets from its top bits (pp8), within-bucket token prefix sums in
@@ -2468,7 +2475,12 @@ def pp10_pretraining_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = tr.withColumn(
         "bucket", F.shiftright("shuffle_key", PP8_BUCKET_SHIFT)
-    )
+    ).persist()
+    # ^ tr (4 numeric columns, no text) feeds BOTH the within-bucket
+    # window and the bucket-totals aggregate; without the persist the
+    # whole decontam subtree (incl. the bloom build) duplicates into both
+    # branches — their exchanges have different children (partial agg vs
+    # raw), so ReuseExchange cannot dedup them.
     within = F.sum("n_toks").over(
         Window.partitionBy("bucket")
         .orderBy("shuffle_key", "doc_id")

@@ -1254,5 +1254,8 @@ def m22_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_snapshot(o.filter(F.col("o_orderstatus") == "P"), table, ts_ms=2000)
     commit_snapshot(o.filter(F.col("o_orderstatus") == "O"), table, ts_ms=3000)
     expired = expire_snapshots_dirs(table, older_than_ms=2500, keep_last=1)
-    assert expired == [1, 2], expired
+    # Explicit check, not `assert`: python -O strips asserts and a wrong
+    # expiry could still return an oracle-passing frame (ADVICE r5).
+    if expired != [1, 2]:
+        raise RuntimeError(f"snapshot expiry removed {expired}, expected [1, 2]")
     return read_snapshot_dirs(spark, table)

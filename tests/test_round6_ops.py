@@ -166,3 +166,42 @@ def test_ann13_recall_targets_on_clustered_corpus(spark):
     # High recall at n_probe=1 is the planted-structure signature: the
     # trained quantizer recovered the mixture components.
     assert rows[("ivf_exact", 1)]["recall_at_10"] >= 0.8
+
+
+def test_dd12_short_docs_agree_across_engines(spark):
+    """ADVICE r5: docs with fewer than DD12_SHINGLE_WORDS tokens made the
+    gram expressions diverge (Spark emitted a partial gram, DuckDB a
+    NULL-dropped empty set) — a latent oracle mismatch the fixture never
+    exercised. Both engines must now treat short docs as empty gram sets:
+    identical pair output on a corpus that contains 1- and 2-token docs."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "en", "web", "alpha"),                     # 1 token
+        (2, "en", "web", "alpha beta"),                # 2 tokens
+        (3, "en", "web", "alpha beta gamma"),          # exactly 3
+        (4, "en", "web", "alpha beta gamma delta"),    # contains doc 3
+        (5, "en", "web", "one two three four five six seven"),
+        (6, "en", "web", "zzz one two three four five six seven yyy"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    d = spark.createDataFrame(pdf)
+
+    from apache_iceberg_spark.operators.dedup import containment_pairs
+
+    got = sorted(
+        (r["drop_id"], r["keep_id"], r["containment"])
+        for r in containment_pairs(d).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = REGISTRY["dd12_containment_dedup"].oracle
+    want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+    con.close()
+    assert got == want
+    # Docs 3/4 and 5/6 are genuine containment pairs; the short docs are
+    # silent (empty gram sets), not partial-gram artifacts.
+    dropped = {p[0] for p in got}
+    assert 3 in dropped and 5 in dropped
+    assert not dropped & {1, 2}

@@ -1,0 +1,180 @@
+"""One-off 10x scale validation of the size-gated cutover constants
+(VERDICT r5 ask #7).
+
+The driver branches (CC union-find under _CC_DRIVER_EDGES, g3's rank
+vector under G3_DRIVER_NODES) were tuned at sf0.1. This probe forces
+BOTH branches of each operator on graphs around and well above the
+cutover — synthetic edges at several sizes for CC, a 10x-replicated
+sf0.1 trade graph for PageRank — and records wall-times proving each
+cutover sits on the right side at 10x the bench data. Results go to
+SCALE_NOTES.md (run: python tools/scale_probe.py).
+
+Nothing here touches /root/testdata; the 10x inputs are derived
+in-memory (key-shifted unions of the sf0.1 tables).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def synthetic_pairs(spark, n_edges: int, n_nodes: int):
+    """Deterministic pseudo-random undirected pair list: edge i connects
+    (i*2654435761 % n) -- (i*40503 + 17 % n), doc_id_a < doc_id_b kept."""
+    return (
+        spark.range(n_edges)
+        .select(
+            (F.col("id") * 2654435761 % n_nodes).alias("x"),
+            ((F.col("id") * 40503 + 17) % n_nodes).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("doc_id_a"),
+            F.greatest("x", "y").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def time_cc(spark, n_edges: int, force_driver: bool) -> float:
+    import apache_iceberg_spark.operators.dedup as dd
+
+    saved = dd._CC_DRIVER_EDGES
+    dd._CC_DRIVER_EDGES = 1 << 60 if force_driver else 0
+    try:
+        pairs = synthetic_pairs(spark, n_edges, n_edges // 2)
+        t0 = time.time()
+        n = dd.min_label_components(spark, pairs).count()
+        dt = time.time() - t0
+    finally:
+        dd._CC_DRIVER_EDGES = saved
+    print(
+        f"  CC edges~{n_edges:>9,} branch={'driver' if force_driver else 'distributed'}"
+        f" labels={n:,} wall={dt:6.2f}s",
+        flush=True,
+    )
+    return dt
+
+
+def replicated_trade_graph(spark, copies: int):
+    """The sf0.1 trade graph replicated with key offsets — ~10x nodes and
+    edges, the shape sf1 would have."""
+    l = spark.read.parquet(f"{SF01}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{SF01}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    ls, os_ = [], []
+    for k in range(copies):
+        ls.append(
+            l.select(
+                (F.col("l_orderkey") + F.lit(k * 10_000_000)).alias("l_orderkey"),
+                (F.col("l_suppkey") + F.lit(k * 1_000_000)).alias("l_suppkey"),
+            )
+        )
+        os_.append(
+            o.select(
+                (F.col("o_orderkey") + F.lit(k * 10_000_000)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(k * 1_000_000)).alias("o_custkey"),
+            )
+        )
+    lu, ou = ls[0], os_[0]
+    for x in ls[1:]:
+        lu = lu.unionAll(x)
+    for x in os_[1:]:
+        ou = ou.unionAll(x)
+    return lu, ou
+
+
+def time_g3_rounds(spark, copies: int, force_driver: bool, rounds: int) -> float:
+    """Per-round wall time of g3's loop on the ~copies x sf0.1 graph,
+    forced onto one branch, capped at `rounds` power steps."""
+    import apache_iceberg_spark.operators.graph as g
+
+    lu, ou = replicated_trade_graph(spark, copies)
+    pairs = (
+        lu.join(ou, lu["l_orderkey"] == ou["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("c").alias("src_kind"), F.col("c").alias("src"),
+                    F.lit("s").alias("dst_kind"), F.col("s").alias("dst"),
+                ),
+                F.struct(
+                    F.lit("s").alias("src_kind"), F.col("s").alias("src"),
+                    F.lit("c").alias("dst_kind"), F.col("c").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src_kind", "e.src", "e.dst_kind", "e.dst")
+    edges_deg = edges.withColumn(
+        "outdeg", F.count("*").over(Window.partitionBy("src_kind", "src"))
+    ).persist()
+
+    rank = g._power_step(edges_deg, None).persist()
+    n_nodes = rank.count()
+    t0 = time.time()
+    if force_driver:
+        out = g._g3_small_graph_loop(
+            spark, edges_deg, rank, max_rounds=rounds, converge=False
+        )
+    else:
+        out = g._g3_distributed_loop(
+            edges_deg, rank, max_rounds=rounds, converge=False
+        )
+    n = out.count()
+    dt = time.time() - t0
+    per_round = dt / max(rounds - 1, 1)
+    print(
+        f"  g3 {copies}x sf0.1 nodes={n_nodes:,}"
+        f" branch={'driver' if force_driver else 'distributed'}"
+        f" rounds={rounds} wall={dt:6.2f}s per-round={per_round:5.2f}s"
+        f" (suppliers={n:,})",
+        flush=True,
+    )
+    edges_deg.unpersist()
+    rank.unpersist()
+    return per_round
+
+
+def main() -> None:
+    from apache_iceberg_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = get_spark("scale-probe", cpus=cpus)
+    results: dict[str, float] = {}
+
+    print("== CC cutover (_CC_DRIVER_EDGES = 2M) ==", flush=True)
+    for n_edges in (1_000_000, 4_000_000):
+        for force_driver in (True, False):
+            key = f"cc_{n_edges}_{'driver' if force_driver else 'dist'}"
+            results[key] = time_cc(spark, n_edges, force_driver)
+
+    print("== g3 cutover (G3_DRIVER_NODES = 5M) ==", flush=True)
+    for copies in (1, 10):
+        for force_driver in (True, False):
+            key = f"g3_{copies}x_{'driver' if force_driver else 'dist'}"
+            results[key] = time_g3_rounds(
+                spark, copies, force_driver, rounds=6
+            )
+
+    print("\nRESULTS " + repr(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
