@@ -153,27 +153,22 @@ def time_g3_rounds(spark, copies: int, force_driver: bool, rounds: int) -> float
 
 
 def main() -> None:
+    """Usage: scale_probe.py cc <n_edges> <driver|dist>
+              scale_probe.py g3 <copies> <driver|dist> [rounds]
+
+    One measurement per invocation so a slow branch (the point of the
+    probe is that the wrong branch IS slow) cannot starve the others."""
     from apache_iceberg_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     spark = get_spark("scale-probe", cpus=cpus)
-    results: dict[str, float] = {}
-
-    print("== CC cutover (_CC_DRIVER_EDGES = 2M) ==", flush=True)
-    for n_edges in (1_000_000, 4_000_000):
-        for force_driver in (True, False):
-            key = f"cc_{n_edges}_{'driver' if force_driver else 'dist'}"
-            results[key] = time_cc(spark, n_edges, force_driver)
-
-    print("== g3 cutover (G3_DRIVER_NODES = 5M) ==", flush=True)
-    for copies in (1, 10):
-        for force_driver in (True, False):
-            key = f"g3_{copies}x_{'driver' if force_driver else 'dist'}"
-            results[key] = time_g3_rounds(
-                spark, copies, force_driver, rounds=6
-            )
-
-    print("\nRESULTS " + repr(results), flush=True)
+    kind, size, branch = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    force_driver = branch == "driver"
+    if kind == "cc":
+        time_cc(spark, size, force_driver)
+    else:
+        rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 6
+        time_g3_rounds(spark, size, force_driver, rounds=rounds)
 
 
 if __name__ == "__main__":
