@@ -850,10 +850,19 @@ _CC_NODES_PER_PARTITION = 2_000_000
 # Lineage-cut cadence for the CC iteration (see min_label_components).
 _CC_CKPT_EVERY = 4
 
-# Edge-count cutover below which CC solves on the driver: sized like the
-# broadcast-join threshold it mirrors (~2M edges ≈ tens of MB collected —
-# the distributed loop would broadcast-collect that much EVERY round).
-_CC_DRIVER_EDGES = 2_000_000
+# Edge-count cutover below which CC solves on the driver. Round-6
+# measurement (SCALE_NOTES.md): driver union-find is 6.6 s at 1M edges,
+# 16.7 s at 4M, 21.1 s at 8M (linear — one Arrow collect ≈ 16 B/edge +
+# an O(E α(E)) loop), while the distributed Pregel loop on the SAME
+# graphs exceeded 450 s already at 1M edges (each of its O(log d)
+# rounds re-broadcasts the label frame 3x and pays join+checkpoint
+# scheduling; that overhead is per-round and does not parallelize
+# away). The original 2M cutover therefore erred 4x too early —
+# raised to 8M: ~130 MB Arrow transfer and a few hundred MB of
+# union-find dict on the driver, the same budget class as a large
+# broadcast join, in exchange for a >20x wall-clock win across the
+# whole 1-8M range.
+_CC_DRIVER_EDGES = 8_000_000
 
 
 def iteration_partitions(n_nodes: int, default_parallelism: int) -> int:

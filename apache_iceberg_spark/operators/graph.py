@@ -213,7 +213,15 @@ G3_MAX_ROUNDS = 40
 #: Node-count cutover below which the rank vector lives on the driver
 #: between rounds (_g3_small_graph_loop); above it the rounds run as
 #: distributed joins. Module-level so tests can force either branch.
-G3_DRIVER_NODES = 5_000_000
+#: Round-6 measurement (SCALE_NOTES.md): at 16k nodes the two branches
+#: are a wash (1.23 vs 1.06 s/round); at 160k nodes the distributed
+#: loop already wins 1.5x (2.44 vs 3.56 s/round) — the per-round
+#: Arrow collect + LocalRelation broadcast grows with the vector while
+#: the distributed join parallelizes. The original 5M cutover (sized
+#: from broadcast-feasibility, not measurement) kept the driver branch
+#: far past its crossover; lowered to 100k, just above the measured
+#: break-even, where the vector is sub-MB either way.
+G3_DRIVER_NODES = 100_000
 #: Lineage-cut cadence (dd6's pattern: persist is cheap but does not
 #: truncate the logical plan; cut with a lazy localCheckpoint every k).
 _G3_CKPT_EVERY = 4
