@@ -1273,6 +1273,15 @@ def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") >= F.col("__t0"))
         .select("doc_id", "text")
     )
+    # persist=False (ADVICE r5): the probe-side hashed frame has exactly
+    # one consumer, so within an invocation the cache buys nothing
+    # (measured 1.02 s either way at sf0.1, cold). The old unconditional
+    # persist DID make bench repeats look faster (0.41-0.64 s) — but
+    # only because the leaked cache entries memoized IDENTICAL re-runs
+    # via CacheManager plan-matching, an artifact a production batch
+    # stream (always-new data) never sees. dd15 is the per-batch
+    # operator; leaking one cached frame per batch in a long-lived
+    # ingest session is the real cost, so: no cache, honest timings.
     _, batch_bands_raw = _minhash_bands(batch_docs, persist=False)
     batch_bands = batch_bands_raw.select(
         "band_id", "band_key", F.col("doc_id").alias("doc_id_b")
