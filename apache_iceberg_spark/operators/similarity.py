@@ -2015,3 +2015,209 @@ def ann13_clustered_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --- ann14: incremental index update (the maintenance shape) ----------------
+#
+# dd15's incremental pattern applied to the VECTOR index: a new embedding
+# batch arrives, the stored coarse quantizer is NOT retrained — the batch
+# probes it (broadcast centroids, map-only assignment) and the operator
+# reports per-cell growth and the added mass's inertia, the drift signal a
+# production index monitors to decide when a retrain is due (FAISS's
+# add-vs-train distinction). The index side here is built in place so the
+# test environment HAS an index; at 100 TB it is the stored cell table.
+
+#: Batch split: vec_id >= 3/4 of max is "the new batch" (the trained
+#: quantizer never sees it).
+ANN14_NUM, ANN14_DEN = 3, 4
+
+
+def _ann14_oracle() -> str:
+    l2_v_c0 = _DUCK_L2.format(a="b.emb", b="c0.c")
+    l2_v_c1 = _DUCK_L2.format(a="b.emb", b="c1.c")
+    return f"""
+        WITH split AS (
+            SELECT (MAX(vec_id) * {ANN14_NUM}) // {ANN14_DEN} AS t0
+            FROM embeddings
+        ),
+        v AS (
+            SELECT vec_id,
+                   [CAST(x AS DOUBLE) for x in embedding] AS emb
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT v.* FROM v, split WHERE vec_id < t0
+        ),
+        c0 AS (
+            SELECT vec_id AS cluster_id, emb AS c FROM ex
+            WHERE vec_id < {KM_K}
+        ),
+        a1 AS (
+            SELECT vec_id, emb, cluster_id FROM (
+                SELECT b.vec_id, b.emb, c0.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY {l2_v_c0}, c0.cluster_id
+                       ) AS rn
+                FROM ex b CROSS JOIN c0
+            ) WHERE rn = 1
+        ),
+        g AS (
+            SELECT cluster_id, i,
+                   CAST(SUM(CAST(FLOOR(emb[i] * {KM_MICRO}) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM a1, generate_series(1, {DIM}) AS d(i)
+            GROUP BY cluster_id, i
+        ),
+        c1 AS (
+            SELECT cluster_id,
+                   list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {KM_MICRO}.0)
+                        ORDER BY i) AS c
+            FROM g GROUP BY cluster_id
+        ),
+        stored AS (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_existing FROM (
+                SELECT b.vec_id, c1.cluster_id AS cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY {l2_v_c1}, c1.cluster_id
+                       ) AS rn
+                FROM ex b CROSS JOIN c1
+            ) WHERE rn = 1 GROUP BY cell_id
+        ),
+        batch AS (
+            SELECT v.* FROM v, split WHERE vec_id >= t0
+        ),
+        probe AS (
+            SELECT vec_id, cell_id, d2 FROM (
+                SELECT b.vec_id, c1.cluster_id AS cell_id,
+                       {l2_v_c1} AS d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY {l2_v_c1}, c1.cluster_id
+                       ) AS rn
+                FROM batch b CROSS JOIN c1
+            ) WHERE rn = 1
+        ),
+        added AS (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_added,
+                   CAST(SUM(CAST(FLOOR(d2 * {KM_MICRO}) AS BIGINT))
+                        AS BIGINT) AS added_inertia_micro
+            FROM probe GROUP BY cell_id
+        )
+        SELECT s.cell_id, s.n_existing,
+               COALESCE(a.n_added, 0) AS n_added,
+               COALESCE(a.added_inertia_micro, 0) AS added_inertia_micro
+        FROM stored s LEFT JOIN added a USING (cell_id)
+    """
+
+
+@register(
+    "ann14_incremental_index_update",
+    oracle=_ann14_oracle(),
+    doc=f"INCREMENTAL index update — dd15's probe-the-stored-index "
+    "pattern applied to vector search, the maintenance shape every "
+    "production ANN deployment runs between retrains: a new embedding "
+    f"batch (vec_id >= {ANN14_NUM}/{ANN14_DEN} of max — the trained "
+    "quantizer never saw it) assigns to the EXISTING cells via one "
+    "map-only broadcast-fold pass (the index is read, never "
+    "re-derived; probe work is proportional to the batch at any corpus "
+    "size), and the operator emits the per-cell report a retrain "
+    "decision reads: existing membership, added membership, and the "
+    "added mass's quantization inertia in exact micro-units (rising "
+    "added-inertia per vector relative to training inertia = the new "
+    "data has drifted off the trained centroids — FAISS's add/train "
+    "distinction, ann7's metrics closing the loop). Training prefix = "
+    f"ann7's deterministic one-Lloyd-step on the existing {KM_K}-cell "
+    "corpus, micro-unit means; all cross-row sums integer-exact.",
+    tags=("similarity", "llm", "embedding", "incremental", "index"),
+)
+def ann14_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    split = e.agg(
+        F.expr(f"(MAX(vec_id) * {ANN14_NUM}) DIV {ANN14_DEN}").alias("__t0")
+    )
+    v = e.crossJoin(F.broadcast(split)).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        "__t0",
+    )
+    ex = v.filter(F.col("vec_id") < F.col("__t0")).select("vec_id", "emb")
+    batch = v.filter(F.col("vec_id") >= F.col("__t0")).select("vec_id", "emb")
+    # --- train on EXISTING only: one Lloyd step from deterministic seeds
+    c0 = ex.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("c")
+    )
+    d2 = F.expr(_SPARK_L2.format(a="emb", b="c"))
+    a1 = (
+        ex.crossJoin(F.broadcast(c0))
+        .select("vec_id", "emb", "cluster_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cluster_id", F.struct("d2", "cluster_id")).alias(
+                "cluster_id"
+            ),
+            F.first("emb").alias("emb"),
+        )
+    )
+    c1 = (
+        a1.select("cluster_id", F.posexplode("emb").alias("i0", "x"))
+        .groupBy("cluster_id", (F.col("i0") + 1).alias("i"))
+        .agg(
+            F.sum(F.floor(F.col("x") * KM_MICRO).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cluster_id",
+            "i",
+            (
+                F.col("s").cast("double")
+                / (F.col("n").cast("double") * KM_MICRO)
+            ).alias("m"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.collect_list(F.struct("i", "m")).alias("im"))
+        .select(
+            "cluster_id",
+            F.expr("transform(array_sort(im), s -> s.m)").alias("c"),
+        )
+    )
+    # --- map-only assignment fold over the broadcast trained centroids
+    cents = F.broadcast(
+        c1.select(F.struct("cluster_id", "c").alias("ce")).agg(
+            F.sort_array(F.collect_list("ce")).alias("cents")
+        )
+    )
+    d2_ce = _SPARK_L2.format(a="emb", b="ce.c")
+    argmin = (
+        "aggregate(cents, named_struct("
+        "'d', CAST('Infinity' AS DOUBLE), 'id', CAST(-1 AS BIGINT)), "
+        f"(st, ce) -> CASE WHEN ({d2_ce}) < st.d THEN "
+        f"named_struct('d', ({d2_ce}), 'id', ce.cluster_id) ELSE st END)"
+    )
+    stored = (
+        ex.crossJoin(cents)
+        .select(F.expr(argmin + ".id").alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_existing"))
+    )
+    probe = (
+        batch.crossJoin(cents)
+        .select(F.expr(argmin).alias("bd"))
+        .select(F.col("bd.id").alias("cell_id"), F.col("bd.d").alias("d2"))
+    )
+    added = probe.groupBy("cell_id").agg(
+        F.count("*").alias("n_added"),
+        F.sum(F.floor(F.col("d2") * KM_MICRO).cast("long")).alias(
+            "added_inertia_micro"
+        ),
+    )
+    return stored.join(added, "cell_id", "left").select(
+        "cell_id",
+        "n_existing",
+        F.coalesce("n_added", F.lit(0)).alias("n_added"),
+        F.coalesce("added_inertia_micro", F.lit(0)).alias(
+            "added_inertia_micro"
+        ),
+    )
