@@ -696,3 +696,169 @@ def tx14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TX14_TOP_K)
         .select("doc_id", F.col("tok").alias("term"), "tf", "df", "rank")
     )
+
+
+# --- tx15: BPE tokenizer training (first K merges) --------------------------
+#
+# The canonical tokenizer-training loop, distributed the way production BPE
+# trainers actually shard it: ONE corpus-scale pass builds the (word, freq)
+# vocabulary (Heaps' law keeps it tiny relative to the corpus — tx10's
+# observation), then every merge round runs on the VOCAB ONLY: adjacent
+# symbol-pair counts weighted by word frequency, the arg-max pair becomes a
+# merge rule, and each word's symbol sequence is rewritten by a greedy
+# left-to-right fold. K rounds are unrolled so the whole computation is one
+# lazy plan with a chained-CTE DuckDB oracle (g3b's pattern); production
+# runs the identical per-round dataflow to a vocab-size target.
+
+TX15_MERGES = 4
+
+_TX15_WORD = "^[a-z]+$"  # train on plain lowercase words (engine-neutral)
+
+# Canonical whitespace tokenizer expressions (dedup.py imports these; text
+# cannot import dedup back without a cycle, so they live here).
+_SPARK_TOKENS = r"split(lower(trim(text)), '\\s+')"
+_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _tx15_spark_rewrite(a: str, b: str) -> str:
+    """Greedy non-overlapping left-to-right merge of adjacent (a, b) into
+    one symbol, as an expression fold over the symbol array."""
+    return (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {a} AND s = {b} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({a} || {b})) "
+        "ELSE concat(acc, array(s)) END)"
+    )
+
+
+def _tx15_duck_rewrite(a: str, b: str) -> str:
+    """DuckDB twin: list_reduce needs acc type == element type, so the fold
+    runs over singleton lists ([[s] for s in syms])."""
+    return (
+        "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+        "[[s] for s in syms]), (acc, x) -> "
+        f"CASE WHEN len(acc) > 0 AND acc[-1] = {a} AND x[1] = {b} "
+        f"THEN acc[:len(acc) - 1] || [{a} || {b}] "
+        "ELSE acc || x END)"
+    )
+
+
+def _tx15_oracle() -> str:
+    rounds = []
+    for r in range(1, TX15_MERGES + 1):
+        prev = f"v{r - 1}"
+        rewrite = _tx15_duck_rewrite(f"m{r}.a", f"m{r}.b")
+        rounds.append(f"""p{r} AS MATERIALIZED (
+            SELECT struct_extract(p, 'a') AS a, struct_extract(p, 'b') AS b,
+                   CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest([{{'a': syms[i], 'b': syms[i + 1]}}
+                               for i in generate_series(1, len(syms) - 1)])
+                           AS p,
+                       freq
+                FROM {prev}
+            )
+            GROUP BY 1, 2
+        ),
+        m{r} AS MATERIALIZED (
+            SELECT a, b, cnt FROM p{r}
+            ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT {rewrite} AS syms, freq
+            FROM {prev} CROSS JOIN m{r}
+        )""")
+    return f"""
+        WITH words AS MATERIALIZED (
+            SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+            WHERE regexp_matches(tok, '{_TX15_WORD}')
+            GROUP BY tok
+        ),
+        v0 AS MATERIALIZED (
+            SELECT [word[i] for i in generate_series(1, len(word))] AS syms,
+                   freq
+            FROM words
+        ),
+        {",".join(rounds)}
+        {" UNION ALL ".join(
+            f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, "
+            f"a || b AS merged, cnt AS pair_count FROM m{r}"
+            for r in range(1, TX15_MERGES + 1)
+        )}
+    """
+
+
+@register(
+    "tx15_bpe_merges",
+    oracle=_tx15_oracle(),
+    doc=f"BPE tokenizer training, first {TX15_MERGES} merges — the "
+    "missing first stage of the tokenizer pipeline tx10's vocabulary "
+    "feeds: ONE corpus-scale aggregate builds the (word, freq) vocab "
+    "(the only pass that touches the corpus — Heaps' law keeps the "
+    "vocab tiny, which is exactly how production BPE trainers shard: "
+    "count distributed, merge loop on the vocab), then each round "
+    "counts adjacent symbol pairs weighted by word frequency, takes "
+    "the arg-max pair (count desc, lexicographic tiebreak — "
+    "deterministic), and rewrites every word's symbol sequence with a "
+    "greedy left-to-right non-overlapping expression fold. Rounds are "
+    "unrolled (g3b's pattern) so the whole loop is one lazy plan with "
+    "a chained-CTE oracle; emits the merge table (rank, pair, merged "
+    "symbol, weighted count) — the artifact a tokenizer ships.",
+    tags=("text", "llm", "tokenizer", "iterative"),
+)
+def tx15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
+        .filter(F.col("tok").rlike(_TX15_WORD))
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count("*").alias("freq"))
+    )
+    # Vocab-scale from here on; persist the seed (each round reads it).
+    vocab = words.select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+        "freq",
+    ).persist()
+    out_rows = []
+    for r in range(1, TX15_MERGES + 1):
+        pairs = (
+            vocab.select(
+                F.posexplode(F.expr("slice(syms, 1, size(syms) - 1)")).alias(
+                    "i0", "a"
+                ),
+                F.col("syms"),
+                F.col("freq"),
+            )
+            .select(
+                "a",
+                F.expr("element_at(syms, CAST(i0 + 2 AS INT))").alias("b"),
+                "freq",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top1 = F.broadcast(
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        )
+        out_rows.append(
+            top1.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.expr("a || b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        rewrite = _tx15_spark_rewrite("a", "b")
+        vocab = (
+            vocab.crossJoin(top1)
+            .select(F.expr(rewrite).alias("syms"), "freq")
+            .persist()
+        )
+    out = out_rows[0]
+    for x in out_rows[1:]:
+        out = out.unionAll(x)
+    return out

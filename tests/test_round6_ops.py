@@ -205,3 +205,14 @@ def test_dd12_short_docs_agree_across_engines(spark):
     dropped = {p[0] for p in got}
     assert 3 in dropped and 5 in dropped
     assert not dropped & {1, 2}
+
+
+def test_tokenizer_exprs_stay_identical_across_modules():
+    """text.py hosts its own copy of the whitespace-tokenizer expressions
+    (importing dedup back would be a cycle); they must stay byte-identical
+    to dedup's canonical ones or the oracles drift."""
+    import apache_iceberg_spark.operators.dedup as dd
+    import apache_iceberg_spark.operators.text as tx
+
+    assert dd._SPARK_TOKENS == tx._SPARK_TOKENS
+    assert dd._DUCK_TOKENS == tx._DUCK_TOKENS
