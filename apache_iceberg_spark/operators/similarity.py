@@ -1642,34 +1642,12 @@ _DUCK_CL_EMB = (
 )
 
 
-def _ann13_oracle() -> str:
+def _cl_train_ctes() -> str:
+    """Shared DuckDB CTE prefix: the derived clustered corpus with norms
+    (cl, cl2, cln) and its one-Lloyd-step trained centroids (c0, a1, g,
+    c1). Used by ann13's recall curve and dd17's SemDeDup."""
     l2_v_c0 = _DUCK_L2.format(a="b.emb", b="c0.c")
-    l2_v_c1 = _DUCK_L2.format(a="b.emb", b="c1.c")
-    l2_q_c1 = _DUCK_L2.format(a="q.emb", b="c1.c")
-    cos = (
-        _DUCK_DOT.format(a="q.emb", b="a.emb") + " / (q.norm * a.norm)"
-    )
-    qcos = (
-        _DUCK_DOT.format(a="q.qemb", b="a.qemb") + " / (q.qnorm * a.qnorm)"
-    )
-    gt_cos = _DUCK_DOT.format(a="q.emb", b="c.emb") + " / (q.norm * c.norm)"
-
-    def variant(name: str, n_probe: int, src: str) -> str:
-        return f"""
-        SELECT '{name}' AS variant, {n_probe} AS n_probe,
-               CAST(h.h AS DOUBLE) / {NQ13 * TOP_K}.0 AS recall_at_10,
-               CAST(nc.ncand AS DOUBLE) / {NQ13}.0 AS avg_cand_rows,
-               CAST(nc.ncand AS DOUBLE)
-                   / ({NQ13}.0 * CAST(cp.corpus AS DOUBLE)) AS scanned_frac
-        FROM (SELECT COUNT(*) AS h FROM {src} t
-              JOIN gt ON gt.query_id = t.query_id
-                     AND gt.neighbor_id = t.neighbor_id) h
-        CROSS JOIN (SELECT COUNT(*) AS ncand FROM cand
-                    WHERE probe_rank <= {n_probe}) nc
-        CROSS JOIN (SELECT COUNT(*) AS corpus FROM cl) cp"""
-
-    return f"""
-        WITH cl AS (
+    return f"""cl AS (
             SELECT vec_id, {_DUCK_CL_EMB} AS emb FROM embeddings
         ),
         cl2 AS (
@@ -1707,7 +1685,36 @@ def _ann13_oracle() -> str:
         c1 AS (
             SELECT cluster_id, list(s / n2 ORDER BY i) AS c
             FROM g GROUP BY cluster_id
-        ),
+        )"""
+
+
+def _ann13_oracle() -> str:
+    l2_v_c1 = _DUCK_L2.format(a="b.emb", b="c1.c")
+    l2_q_c1 = _DUCK_L2.format(a="q.emb", b="c1.c")
+    cos = (
+        _DUCK_DOT.format(a="q.emb", b="a.emb") + " / (q.norm * a.norm)"
+    )
+    qcos = (
+        _DUCK_DOT.format(a="q.qemb", b="a.qemb") + " / (q.qnorm * a.qnorm)"
+    )
+    gt_cos = _DUCK_DOT.format(a="q.emb", b="c.emb") + " / (q.norm * c.norm)"
+
+    def variant(name: str, n_probe: int, src: str) -> str:
+        return f"""
+        SELECT '{name}' AS variant, {n_probe} AS n_probe,
+               CAST(h.h AS DOUBLE) / {NQ13 * TOP_K}.0 AS recall_at_10,
+               CAST(nc.ncand AS DOUBLE) / {NQ13}.0 AS avg_cand_rows,
+               CAST(nc.ncand AS DOUBLE)
+                   / ({NQ13}.0 * CAST(cp.corpus AS DOUBLE)) AS scanned_frac
+        FROM (SELECT COUNT(*) AS h FROM {src} t
+              JOIN gt ON gt.query_id = t.query_id
+                     AND gt.neighbor_id = t.neighbor_id) h
+        CROSS JOIN (SELECT COUNT(*) AS ncand FROM cand
+                    WHERE probe_rank <= {n_probe}) nc
+        CROSS JOIN (SELECT COUNT(*) AS corpus FROM cl) cp"""
+
+    return f"""
+        WITH {_cl_train_ctes()},
         asg AS (
             SELECT vec_id, emb, qemb, norm, qnorm, cell_id FROM (
                 SELECT b.vec_id, b.emb, b.qemb, b.norm, b.qnorm,
@@ -1796,35 +1803,12 @@ def _ann13_oracle() -> str:
     """
 
 
-@register(
-    "ann13_clustered_recall_curve",
-    oracle=_ann13_oracle(),
-    doc=f"Cost-vs-recall CURVE for the IVF index family on a corpus with "
-    f"PLANTED cluster structure — {NC13} well-separated mixture "
-    "components derived deterministically from the fixture's vec_ids "
-    "(centroid amplitude 10x noise; pure integer arithmetic, bitwise "
-    "identical in both engines), because the fixture's random "
-    "embeddings cap ANY index's recall at ~0.3 and say nothing about "
-    "index quality (VERDICT r5 ask #3). Pipeline: one Lloyd iteration "
-    f"from per-cluster seeds (vec_id < {NC13} hits one seed per planted "
-    "component) trains the coarse quantizer; the corpus assigns to "
-    "cells via a map-only broadcast-fold (no shuffle — ann3's plan); "
-    f"{NQ13} queries probe their 1/2/4 nearest cells. Variants: exact "
-    "in-cell scoring at n_probe 1/2/4, scalar-quantized scoring "
-    f"(floor(x/{SQ13_DIV}) codes) at n_probe 2, and quantized-scan + "
-    f"exact re-rank of the top {RERANK13} (ann10's shape). Each output "
-    "row is (variant, n_probe, recall@10 vs brute-force ground truth, "
-    "avg candidate rows per query = the scan cost, scanned fraction of "
-    "the corpus); for the rerank variant the cost column reports the "
-    f"quantized scan — the {RERANK13} exact rescores ride on top. On "
-    "clustered data the curve shows recall ~1.0 at n_probe>=2 with "
-    "~2/16 of the corpus scanned, and re-ranking recovering the "
-    "quantization loss — the numbers an index rollout is judged on.",
-    tags=("similarity", "llm", "embedding", "evaluation", "index"),
-)
-def ann13_clustered_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived planted-cluster corpus with quantized twin and norms —
+    Spark twin of _cl_train_ctes()'s cln. Persisted (ann13 reads it from
+    several variants; dd17 from both join sides)."""
     e = load_table(spark, sf_dir, "embeddings")
-    cln = (
+    return (
         e.select("vec_id", F.expr(_SPARK_CL_EMB).alias("emb"))
         .withColumn(
             "qemb",
@@ -1841,7 +1825,13 @@ def ann13_clustered_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # --- train: one Lloyd iteration from the per-cluster seeds ---------
+
+
+def _cl_trained_cents(cln: DataFrame):
+    """One Lloyd iteration from the per-cluster seeds over the derived
+    corpus: returns (c1 centroid frame, broadcast 1-row sorted centroid
+    array, argmin assignment fold SQL). Spark twin of _cl_train_ctes()'s
+    c0/a1/g/c1 (+ ann3's map-only serve fold)."""
     c0 = cln.filter(F.col("vec_id") < NC13).select(
         F.col("vec_id").alias("cluster_id"), F.col("emb").alias("c")
     )
@@ -1872,7 +1862,6 @@ def ann13_clustered_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(array_sort(im), s -> s.m)").alias("c"),
         )
     )
-    # --- serve: map-only corpus->cell assignment (ann3's fold) ---------
     cents = F.broadcast(
         c1.select(F.struct("cluster_id", "c").alias("ce")).agg(
             F.sort_array(F.collect_list("ce")).alias("cents")
@@ -1885,6 +1874,39 @@ def ann13_clustered_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(st, ce) -> CASE WHEN ({d2_ce}) < st.d THEN "
         f"named_struct('d', ({d2_ce}), 'id', ce.cluster_id) ELSE st END).id"
     )
+    return c1, cents, argmin
+
+
+@register(
+    "ann13_clustered_recall_curve",
+    oracle=_ann13_oracle(),
+    doc=f"Cost-vs-recall CURVE for the IVF index family on a corpus with "
+    f"PLANTED cluster structure — {NC13} well-separated mixture "
+    "components derived deterministically from the fixture's vec_ids "
+    "(centroid amplitude 10x noise; pure integer arithmetic, bitwise "
+    "identical in both engines), because the fixture's random "
+    "embeddings cap ANY index's recall at ~0.3 and say nothing about "
+    "index quality (VERDICT r5 ask #3). Pipeline: one Lloyd iteration "
+    f"from per-cluster seeds (vec_id < {NC13} hits one seed per planted "
+    "component) trains the coarse quantizer; the corpus assigns to "
+    "cells via a map-only broadcast-fold (no shuffle — ann3's plan); "
+    f"{NQ13} queries probe their 1/2/4 nearest cells. Variants: exact "
+    "in-cell scoring at n_probe 1/2/4, scalar-quantized scoring "
+    f"(floor(x/{SQ13_DIV}) codes) at n_probe 2, and quantized-scan + "
+    f"exact re-rank of the top {RERANK13} (ann10's shape). Each output "
+    "row is (variant, n_probe, recall@10 vs brute-force ground truth, "
+    "avg candidate rows per query = the scan cost, scanned fraction of "
+    "the corpus); for the rerank variant the cost column reports the "
+    f"quantized scan — the {RERANK13} exact rescores ride on top. On "
+    "clustered data the curve shows recall ~1.0 at n_probe>=2 with "
+    "~2/16 of the corpus scanned, and re-ranking recovering the "
+    "quantization loss — the numbers an index rollout is judged on.",
+    tags=("similarity", "llm", "embedding", "evaluation", "index"),
+)
+def ann13_clustered_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cln = _cl_corpus(spark, sf_dir)
+    # --- train + map-only corpus->cell assignment (ann3's fold) --------
+    c1, cents, argmin = _cl_trained_cents(cln)
     asg = cln.crossJoin(cents).select(
         "vec_id", "emb", "qemb", "norm", "qnorm", F.expr(argmin).alias("cell_id")
     )
@@ -2220,4 +2242,98 @@ def ann14_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce("added_inertia_micro", F.lit(0)).alias(
             "added_inertia_micro"
         ),
+    )
+
+
+# --- dd17: SemDeDup — semantic dedup via cluster-pruned candidates ----------
+#
+# Lives in similarity.py (it is built on the trained-quantizer machinery;
+# dedup.py cannot be imported from here without a cycle) but belongs to the
+# dedup family: the SemDeDup recipe (Abbas et al., 2023) — k-means the
+# embedding space, then look for semantic duplicates ONLY within a cluster,
+# which replaces the all-pairs cosine scan with per-cell joins. dd9 finds
+# embedding dups via LSH planes; this is the other production candidate
+# generator, and the two miss different pairs (LSH is probabilistic across
+# the whole space; cell-pruning is exact within cells but blind across cell
+# boundaries — the fraction of cross-cell dups is the quantizer's job to
+# minimize). Runs on the derived planted-cluster corpus (ann13's): the
+# fixture's random embeddings have no semantic dups to find.
+
+DD17_TAU = 0.98  # intra-cluster cosine of the derived corpus is ~0.99
+
+
+def _dd17_oracle() -> str:
+    l2_v_c1 = _DUCK_L2.format(a="b.emb", b="c1.c")
+    cos = _DUCK_DOT.format(a="x.emb", b="y.emb") + " / (x.norm * y.norm)"
+    return f"""
+        WITH {_cl_train_ctes()},
+        asg AS (
+            SELECT vec_id, emb, norm, cell_id FROM (
+                SELECT b.vec_id, b.emb, b.norm,
+                       c1.cluster_id AS cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY {l2_v_c1}, c1.cluster_id
+                       ) AS rn
+                FROM cln b CROSS JOIN c1
+            ) WHERE rn = 1
+        )
+        SELECT y.vec_id AS drop_id, x.vec_id AS keep_id,
+               {cos} AS cosine
+        FROM asg x JOIN asg y
+          ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        WHERE {cos} >= {DD17_TAU}
+    """
+
+
+@register(
+    "dd17_semantic_dedup",
+    oracle=_dd17_oracle(),
+    doc=f"SemDeDup — SEMANTIC deduplication with cluster-pruned candidate "
+    "generation (Abbas et al. 2023, the production recipe for pruning "
+    "paraphrase-level redundancy from pretraining corpora): k-means the "
+    "embedding space (ann13's one-Lloyd-step trained quantizer over the "
+    "derived planted-cluster corpus — the fixture's random embeddings "
+    "contain no semantic dups to find), assign every vector to its cell "
+    "with the map-only broadcast fold, and emit keep/drop pairs for "
+    f"in-CELL cosine >= {DD17_TAU} (keep = lower vec_id, dd12's "
+    "orientation). The cell equi-join replaces the all-pairs cosine "
+    "scan: candidate volume is sum(cell_size^2) instead of n^2, and at "
+    "100 TB the corpus is written bucketed by cell_id so the join is "
+    "co-located — the same scale argument as ann3's IVF, applied to "
+    "dedup. Complements dd9's LSH-plane candidates: LSH is "
+    "probabilistic across the whole space, cell pruning is exact within "
+    "cells and blind across boundaries.",
+    tags=("dedup", "similarity", "llm", "embedding"),
+)
+def dd17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cln = _cl_corpus(spark, sf_dir)
+    _, cents, argmin = _cl_trained_cents(cln)
+    asg = cln.crossJoin(cents).select(
+        "vec_id", "emb", "norm", F.expr(argmin).alias("cell_id")
+    )
+    x = asg.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("emb").alias("x_emb"),
+        F.col("norm").alias("x_norm"),
+        "cell_id",
+    )
+    y = asg.select(
+        F.col("vec_id").alias("drop_id"),
+        F.col("emb").alias("y_emb"),
+        F.col("norm").alias("y_norm"),
+        F.col("cell_id").alias("y_cell"),
+    )
+    cos = (
+        F.expr(_SPARK_DOT.format(a="x_emb", b="y_emb"))
+        / (F.col("x_norm") * F.col("y_norm"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("cell_id") == F.col("y_cell"))
+            & (F.col("keep_id") < F.col("drop_id")),
+        )
+        .select("drop_id", "keep_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= DD17_TAU)
     )
