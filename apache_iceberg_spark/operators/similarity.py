@@ -2135,38 +2135,23 @@ def _ann14_oracle() -> str:
     """
 
 
-@register(
-    "ann14_incremental_index_update",
-    oracle=_ann14_oracle(),
-    doc=f"INCREMENTAL index update — dd15's probe-the-stored-index "
-    "pattern applied to vector search, the maintenance shape every "
-    "production ANN deployment runs between retrains: a new embedding "
-    f"batch (vec_id >= {ANN14_NUM}/{ANN14_DEN} of max — the trained "
-    "quantizer never saw it) assigns to the EXISTING cells via one "
-    "map-only broadcast-fold pass (the index is read, never "
-    "re-derived; probe work is proportional to the batch at any corpus "
-    "size), and the operator emits the per-cell report a retrain "
-    "decision reads: existing membership, added membership, and the "
-    "added mass's quantization inertia in exact micro-units (rising "
-    "added-inertia per vector relative to training inertia = the new "
-    "data has drifted off the trained centroids — FAISS's add/train "
-    "distinction, ann7's metrics closing the loop). Training prefix = "
-    f"ann7's deterministic one-Lloyd-step on the existing {KM_K}-cell "
-    "corpus, micro-unit means; all cross-row sums integer-exact.",
-    tags=("similarity", "llm", "embedding", "incremental", "index"),
-)
-def ann14_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann14_trained_index(spark: SparkSession, sf_dir: str):
+    """The ann14/st13 shared STORED INDEX: returns (t0 split id, broadcast
+    1-row sorted centroid array frame, argmin fold SQL — struct with .d
+    and .id, per-cell `stored` membership counts). Training = one Lloyd
+    step on the existing (vec_id < t0) corpus with micro-unit means; the
+    t0 scalar is a driver-side planning constant (st12's argument: the
+    index cutoff is whatever was ingested before the batch/stream)."""
     e = load_table(spark, sf_dir, "embeddings")
-    split = e.agg(
-        F.expr(f"(MAX(vec_id) * {ANN14_NUM}) DIV {ANN14_DEN}").alias("__t0")
+    t0 = int(
+        e.agg(
+            F.expr(f"(MAX(vec_id) * {ANN14_NUM}) DIV {ANN14_DEN}")
+        ).first()[0]
     )
-    v = e.crossJoin(F.broadcast(split)).select(
+    ex = e.filter(F.col("vec_id") < t0).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-        "__t0",
     )
-    ex = v.filter(F.col("vec_id") < F.col("__t0")).select("vec_id", "emb")
-    batch = v.filter(F.col("vec_id") >= F.col("__t0")).select("vec_id", "emb")
     # --- train on EXISTING only: one Lloyd step from deterministic seeds
     c0 = ex.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("emb").alias("c")
@@ -2223,6 +2208,36 @@ def ann14_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.expr(argmin + ".id").alias("cell_id"))
         .groupBy("cell_id")
         .agg(F.count("*").alias("n_existing"))
+    )
+    return t0, cents, argmin, stored
+
+
+@register(
+    "ann14_incremental_index_update",
+    oracle=_ann14_oracle(),
+    doc=f"INCREMENTAL index update — dd15's probe-the-stored-index "
+    "pattern applied to vector search, the maintenance shape every "
+    "production ANN deployment runs between retrains: a new embedding "
+    f"batch (vec_id >= {ANN14_NUM}/{ANN14_DEN} of max — the trained "
+    "quantizer never saw it) assigns to the EXISTING cells via one "
+    "map-only broadcast-fold pass (the index is read, never "
+    "re-derived; probe work is proportional to the batch at any corpus "
+    "size), and the operator emits the per-cell report a retrain "
+    "decision reads: existing membership, added membership, and the "
+    "added mass's quantization inertia in exact micro-units (rising "
+    "added-inertia per vector relative to training inertia = the new "
+    "data has drifted off the trained centroids — FAISS's add/train "
+    "distinction, ann7's metrics closing the loop). Training prefix = "
+    f"ann7's deterministic one-Lloyd-step on the existing {KM_K}-cell "
+    "corpus, micro-unit means; all cross-row sums integer-exact.",
+    tags=("similarity", "llm", "embedding", "incremental", "index"),
+)
+def ann14_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t0, cents, argmin, stored = ann14_trained_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    batch = e.filter(F.col("vec_id") >= t0).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
     )
     probe = (
         batch.crossJoin(cents)

@@ -940,3 +940,81 @@ def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     query.awaitTermination()
     return spark.table(qname)
+
+
+@register(
+    "st13_stream_index_update",
+    # Identical semantics to ann14 (the stream is the batch, arriving):
+    # reuse its oracle verbatim — the bounded availableNow run must equal
+    # the declarative batch answer, the same gate as every st operator.
+    oracle=None,  # set below after the import (avoids a module cycle at top)
+    doc="STREAMING vector-index update — ann14's maintenance shape as the "
+    "embedding batch actually ARRIVES: each streaming vector assigns to "
+    "the STATIC trained coarse quantizer map-only inside the micro-batch "
+    "(the broadcast centroid array joins on a constant key — a supported "
+    "stream-static equi-join carrying the 1-row index; no state), and a "
+    "watermark-free complete-mode aggregate folds per-cell added counts "
+    "and quantization inertia in exact micro-units. The stored index "
+    "side (existing per-cell membership) is static, joined after the "
+    "bounded run. This is the ingest-time half of the add/train loop: "
+    "st12 is dd15-at-ingest for text dedup; st13 is ann14-at-ingest for "
+    "the vector index — together they close the streaming story over "
+    "both index families. Cutoff t0 is a driver-side planning constant "
+    "(the index is whatever was ingested before the stream started).",
+    tags=("streaming", "similarity", "embedding", "incremental", "index"),
+)
+def st13_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.similarity import (
+        KM_MICRO,
+        ann14_trained_index,
+    )
+
+    t0, cents, argmin, stored = ann14_trained_index(spark, sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    es = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") >= t0)
+        .select(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "emb"
+            ),
+            F.lit(1).alias("__k"),
+        )
+    )
+    probe = (
+        es.join(cents.withColumn("__k", F.lit(1)), "__k")
+        .select(F.expr(argmin).alias("bd"))
+        .select(F.col("bd.id").alias("cell_id"), F.col("bd.d").alias("d2"))
+    )
+    added = probe.groupBy("cell_id").agg(
+        F.count("*").alias("n_added"),
+        F.sum(F.floor(F.col("d2") * KM_MICRO).cast("long")).alias(
+            "added_inertia_micro"
+        ),
+    )
+    qname = run_stream_to_memory(added, "st13_idx")
+    res = spark.table(qname)
+    return stored.join(res, "cell_id", "left").select(
+        "cell_id",
+        "n_existing",
+        F.coalesce("n_added", F.lit(0)).alias("n_added"),
+        F.coalesce("added_inertia_micro", F.lit(0)).alias(
+            "added_inertia_micro"
+        ),
+    )
+
+
+def _st13_set_oracle() -> None:
+    from apache_iceberg_spark.operators.similarity import _ann14_oracle
+    from apache_iceberg_spark.registry import REGISTRY
+    import dataclasses
+
+    q = REGISTRY["st13_stream_index_update"]
+    REGISTRY["st13_stream_index_update"] = dataclasses.replace(
+        q, oracle=_ann14_oracle()
+    )
+
+
+_st13_set_oracle()

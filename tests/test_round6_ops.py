@@ -216,3 +216,21 @@ def test_tokenizer_exprs_stay_identical_across_modules():
 
     assert dd._SPARK_TOKENS == tx._SPARK_TOKENS
     assert dd._DUCK_TOKENS == tx._DUCK_TOKENS
+
+
+def test_st13_equals_ann14(spark):
+    """st13 is ann14-at-ingest: the bounded availableNow streaming run
+    over the batch vectors must reproduce the declarative batch answer
+    row-for-row (st12-vs-dd15's gate, applied to the vector index)."""
+    batch = sorted(
+        tuple(r)
+        for r in REGISTRY["ann14_incremental_index_update"]
+        .spark(spark, SF_DIR)
+        .collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in REGISTRY["st13_stream_index_update"].spark(spark, SF_DIR).collect()
+    )
+    assert batch == stream
+    assert len(batch) > 0
