@@ -103,6 +103,7 @@ STREAMING = [
     "st4_stream_static_join",
     "st7_stream_upsert",
     "st12_stream_incremental_dedup",
+    "st13_stream_index_update",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)
