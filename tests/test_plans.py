@@ -729,3 +729,57 @@ def test_pp11_no_global_single_partition_sort(spark):
     single = re.findall(r"SinglePartition, ENSURE_REQUIREMENTS", plan)
     assert len(single) <= 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dd17_candidates_come_from_cell_equijoin(spark):
+    """dd17's SemDeDup pair generation must be the CELL equi-join the
+    docstring promises (sum(cell^2) candidates, cell_id-co-locatable at
+    scale), never an all-pairs product: the only nested-loop joins in
+    the plan are the broadcast 1-row centroid-array attaches (cents),
+    and a hash/sort-merge join keyed on cell_id exists."""
+    import re
+
+    plan = plan_of(spark, "dd17_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) BroadcastNestedLoopJoin", line):
+            # 1-row cents attach: a Cross join whose only condition (if
+            # Catalyst pushed one) references the broadcast centroid
+            # array — anything conditioned on data-vs-data columns would
+            # be a real product.
+            ctx = " ".join(lines[i : i + 4])
+            assert "Join condition: None" in ctx or "cents#" in ctx, ctx
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin).*\n.*cell_id", plan) or (
+        "cell_id" in plan and ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan)
+    ), plan
+
+
+def test_ann14_probe_side_has_no_wide_join(spark):
+    """ann14's batch probe must be map-only over the broadcast trained
+    centroids: no shuffled join anywhere (the only joins are broadcast —
+    the 1-row cents attach and the final tiny per-cell left join)."""
+    plan = plan_of(spark, "ann14_incremental_index_update")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_tx15_has_no_python_udf_and_no_product(spark):
+    """tx15's merge rounds run as expression folds over the vocab — no
+    Python UDF in the plan (the rewrite is a SQL aggregate fold) and no
+    cartesian product (the per-round top-1 pair attaches as a broadcast
+    1-row frame)."""
+    plan = plan_of(spark, "tx15_bpe_merges")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_st13_static_index_and_stream_probe_shapes(spark):
+    """st13's STATIC side (the trained index) must assign the existing
+    corpus map-only: same no-wide-join property as ann14 on the batch
+    twin's plan (the streaming plan itself is exercised end-to-end by
+    the equality test in test_round6_ops)."""
+    plan = plan_of(spark, "ann14_incremental_index_update")
+    assert "SortMergeJoin" not in plan, plan
