@@ -234,3 +234,16 @@ def test_st13_equals_ann14(spark):
     )
     assert batch == stream
     assert len(batch) > 0
+
+
+def test_vector_pipeline_example_runs(spark):
+    """The examples/ demo of the vector-index lifecycle must keep working
+    (quickstart's gate, applied to the ANN family)."""
+    import examples.vector_pipeline as vp
+
+    out = vp.main.__wrapped__ if hasattr(vp.main, "__wrapped__") else vp.main
+    # reuse the session fixture's JVM by running against the tiny fixture
+    res = out("/root/testdata/sf0.001")
+    assert res["recall_rerank"] >= 0.8
+    assert res["cells"] == 8
+    assert res["semantic_dup_pairs"] > 0
