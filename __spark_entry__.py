@@ -67,6 +67,14 @@ def _coverage_order(d: dict) -> dict:
         "dd15_incremental_dedup",      # probe-side persist leak fix (ADVICE r5)
         "m22_snapshot_expiry",         # assert -> RuntimeError (ADVICE r5)
         "pp10_pretraining_job",        # checkpoint double-materialization fix
+        # dd2 shingle family: short-doc size guard (dd12's fix generalized)
+        "dd2_minhash_lsh",
+        "dd6_dup_clusters",
+        "dd11_duplication_profile",
+        "dd14_fuzzy_dup_clusters",
+        "st12_stream_incremental_dedup",
+        "pp4_cascade_fuzzy",
+        "pp6_production_funnel",
     }
     fresh = [k for k in d if k not in green or k in recheck]
     # Previously-red rows lead (their fixes must land in the checked set);

@@ -91,12 +91,20 @@ _SPARK_TOKENS = r"split(lower(trim(text)), '\\s+')"
 # per row (measured: inline beats a persist/localCheckpoint barrier even on
 # 20k-token documents — caching array<string> columns costs more than
 # recomputing them).
+# Docs with fewer than SHINGLE_WORDS tokens yield an EMPTY shingle set
+# identically on both engines (dd12's round-6 fix applied to the dd2
+# family — ADVICE r5 called this out as the same latent pattern): the
+# old greatest(.., 1) lower bound made Spark's concat_ws emit a partial
+# shingle where DuckDB's `||` nulled it, and out-of-range element_at
+# throws under ANSI mode. Short docs then simply have no signature —
+# they cannot near-dup at this granularity.
 _SPARK_SHINGLES = (
+    f"CASE WHEN size(toks) >= {SHINGLE_WORDS} THEN "
     "array_distinct(transform("
-    f"sequence(1, greatest(size(toks) - {SHINGLE_WORDS - 1}, 1)), "
+    f"sequence(1, size(toks) - {SHINGLE_WORDS - 1}), "
     "i -> concat_ws(' ', "
     + ", ".join(f"element_at(toks, i + {j})" for j in range(SHINGLE_WORDS))
-    + ")))"
+    + "))) ELSE array() END"
 )
 _SPARK_SHINGLES_INLINE = _SPARK_SHINGLES.replace("toks", f"({_SPARK_TOKENS})")
 
@@ -114,9 +122,10 @@ def _spark_minhash(seed: int) -> str:
 
 _DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 _DUCK_SHINGLES = (
-    "list_distinct(["
+    f"CASE WHEN len(toks) >= {SHINGLE_WORDS} THEN list_distinct(["
     + " || ' ' || ".join(f"toks[i + {j}]" for j in range(SHINGLE_WORDS))
-    + f" for i in generate_series(1, greatest(len(toks) - {SHINGLE_WORDS - 1}, 1))])"
+    + f" for i in generate_series(1, len(toks) - {SHINGLE_WORDS - 1})])"
+    " ELSE [] END"
 )
 
 _DUCK_SHINGLE_HASHES = (
@@ -162,7 +171,7 @@ def minhash_lsh_ctes(rel: str = "documents") -> str:
         sig AS (
             SELECT doc_id,
                {mh_cols}
-            FROM hashed
+            FROM hashed WHERE len(hs) > 0
         ),
         bands AS (
             {bands_sql}
@@ -229,7 +238,10 @@ def _minhash_bands(
     )
     if persist:
         hashed = hashed.persist()
-    sig = hashed.select(
+    # Short docs (empty shingle set after the size guard) carry no
+    # signature: a minhash over [] is NULL and would otherwise bucket
+    # every short doc together (oracle twin: sig's len(hs) > 0).
+    sig = hashed.filter(F.size("hs") > 0).select(
         "doc_id",
         *[F.expr(_spark_minhash(s)).alias(f"mh{s}") for s in range(N_HASHES)],
     )

@@ -901,6 +901,7 @@ def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         stream_documents(spark, sf_dir)
         .filter(F.col("doc_id") >= t0)
         .select(F.col("doc_id").alias("doc_id_b"), F.expr(hs_expr).alias("hs_b"))
+        .filter(F.size("hs_b") > 0)  # short docs carry no signature (dd2)
     )
     sig = s.select(
         "doc_id_b",

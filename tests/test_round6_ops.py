@@ -247,3 +247,53 @@ def test_vector_pipeline_example_runs(spark):
     assert res["recall_rerank"] >= 0.8
     assert res["cells"] == 8
     assert res["semantic_dup_pairs"] > 0
+
+
+def test_dd2_short_docs_agree_across_engines(spark):
+    """The dd2 shingle family had dd12's latent short-doc divergence
+    (partial Spark shingles vs NULL-dropped DuckDB ones — ADVICE r5).
+    After the size guard, docs under SHINGLE_WORDS tokens have no
+    signature on EITHER engine: identical verified pairs on a corpus
+    full of 1-4-token docs (plus genuine near-dups to keep the positive
+    path exercised)."""
+    import duckdb
+    import pandas as pd
+
+    from apache_iceberg_spark.operators.dedup import (
+        minhash_lsh_ctes,
+        minhash_lsh_pairs,
+        JACCARD_THRESHOLD,
+    )
+
+    long_a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "one"),
+        (2, "one two"),
+        (3, "one two three"),
+        (4, "one two three four"),               # 4 tokens: still short
+        (5, "one two three four five"),          # exactly SHINGLE_WORDS
+        (6, long_a),
+        (7, long_a + " extra"),                  # near-dup of 6
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = spark.createDataFrame(pdf)
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(d).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        (a, b, round(j, 9))
+        for a, b, j in con.execute(
+            f"WITH {minhash_lsh_ctes('documents')} "
+            f"SELECT doc_id_a, doc_id_b, jaccard FROM verified "
+            f"WHERE jaccard >= {JACCARD_THRESHOLD}"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # the genuine near-dup pair survives; no short doc appears anywhere
+    assert (6, 7) in {(a, b) for a, b, _ in got}
+    assert not {a for a, _, _ in got} & {1, 2, 3, 4}
+    assert not {b for _, b, _ in got} & {1, 2, 3, 4}
