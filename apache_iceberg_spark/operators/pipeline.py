@@ -2798,3 +2798,146 @@ def mm8_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_frames_matched"))
         .withColumn("is_dup", F.col("n_frames_matched") >= MM8_MIN_MATCH)
     )
+
+
+# --- pp12: dataset datasheet ------------------------------------------------
+
+
+def _pp12_duck_quality_micro() -> str:
+    stop = (
+        f"len(list_filter(string_split_regex(lower(trim(text)), "
+        f"'{_TOKEN_SPLIT}'), tok -> list_contains({STOPWORDS['en']!r}, tok)))"
+    )
+    ntok = f"len(string_split_regex(lower(trim(text)), '{_TOKEN_SPLIT}'))"
+    npun = "len(regexp_extract_all(text, '[.,;:!?]'))"
+    return f"""CAST(FLOOR((
+        (CAST({stop} AS DOUBLE) / {ntok}) * 0.5
+        + (CASE WHEN {ntok} >= 20 AND {ntok} <= 1000 THEN 0.3 ELSE 0.0 END)
+        + (CASE WHEN CAST({npun} AS DOUBLE) / length(text) < 0.1
+                THEN 0.2 ELSE 0.0 END)) * 1000000) AS BIGINT)"""
+
+
+@register(
+    "pp12_dataset_datasheet",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source, text,
+                   CAST(len(string_split_regex(lower(trim(text)),
+                        '{_TOKEN_SPLIT}')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   md5(text) AS th,
+                   {_pp12_duck_quality_micro()} AS q_micro
+            FROM documents
+        )
+        SELECT 'corpus' AS section, 'n_docs' AS key,
+               CAST(COUNT(*) AS BIGINT) AS value FROM t
+        UNION ALL
+        SELECT 'corpus', 'total_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'corpus', 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'length', 'min_tokens', CAST(MIN(n_tokens) AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'length', 'max_tokens', CAST(MAX(n_tokens) AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'dedup', 'exact_dup_docs',
+               CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'quality', 'mean_quality_micro',
+               CAST(SUM(q_micro) // COUNT(*) AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT) FROM t GROUP BY lang
+        UNION ALL
+        SELECT 'source', source, CAST(COUNT(*) AS BIGINT) FROM t
+        GROUP BY source
+    """,
+    doc="The DATASET DATASHEET — the stats table a released training "
+    "corpus ships on its card (HF dataset cards, Datasheets for "
+    "Datasets): corpus size in docs/tokens/chars, token-length extremes, "
+    "exact-duplicate count (dd1's hash criterion), mean quality in "
+    "integer micro-units (tx2's score, per-doc floored so the cross-row "
+    "mean is order-insensitive and bitwise-stable), and per-lang / "
+    "per-source composition — the number that feeds pp5's mixture "
+    "decisions. One narrow (section, key, value) long-format artifact, "
+    "BIGINT-exact throughout; all sections fold in ONE pass over the "
+    "corpus (partial+final aggregates, the groupBys reuse the same "
+    "scan), output bounded by #langs + #sources + 7 rows at any corpus "
+    "size. Deeper diagnostics stay in their own operators (dd11's "
+    "Jaccard deciles, pp7's contamination report, a18/a19 histograms) — "
+    "this is the one-page summary those reports hang off.",
+    tags=("pipeline", "llm", "report"),
+)
+def pp12_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda tok: F.array_contains(stop_arr, tok))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.,;:!?]"), 0)).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    quality = (
+        stop_ratio * 0.5
+        + F.when((n_tok >= 20) & (n_tok <= 1000), 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0)
+    )
+    t = d.select(
+        "lang",
+        "source",
+        n_tok.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("th"),
+        F.floor(quality * 1_000_000).cast("long").alias("q_micro"),
+    ).persist()
+
+    def row(section: str, key, value) -> DataFrame:
+        return F.lit(section).alias("section"), key, value
+
+    corpus = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.countDistinct("th").alias("n_distinct"),
+        F.sum("q_micro").alias("q_sum"),
+    )
+    def srow(section: str, key: str, value) -> F.Column:
+        return F.struct(
+            F.lit(section).alias("section"),
+            F.lit(key).alias("key"),
+            value.cast("long").alias("value"),
+        )
+
+    scalar_rows = corpus.select(
+        F.explode(
+            F.array(
+                srow("corpus", "n_docs", F.col("n_docs")),
+                srow("corpus", "total_tokens", F.col("total_tokens")),
+                srow("corpus", "total_chars", F.col("total_chars")),
+                srow("length", "min_tokens", F.col("min_tokens")),
+                srow("length", "max_tokens", F.col("max_tokens")),
+                srow(
+                    "dedup",
+                    "exact_dup_docs",
+                    F.col("n_docs") - F.col("n_distinct"),
+                ),
+                srow("quality", "mean_quality_micro", F.expr("q_sum DIV n_docs")),
+            )
+        ).alias("r")
+    ).select("r.section", "r.key", "r.value")
+    by_lang = t.groupBy(F.col("lang").alias("key")).agg(
+        F.count("*").alias("value")
+    ).select(F.lit("lang").alias("section"), "key", "value")
+    by_source = t.groupBy(F.col("source").alias("key")).agg(
+        F.count("*").alias("value")
+    ).select(F.lit("source").alias("section"), "key", "value")
+    return scalar_rows.unionByName(by_lang).unionByName(by_source)
