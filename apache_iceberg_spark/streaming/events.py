@@ -868,11 +868,15 @@ def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         DD15_BATCH_NUM,
         JACCARD_THRESHOLD,
         N_HASHES,
+        SHINGLE_WORDS,
         _band_structs_sql,
         _minhash_bands,
         _spark_minhash,
         _SPARK_SHINGLE_HASHES,
         _SPARK_SHINGLES_INLINE,
+    )
+    from apache_iceberg_spark.operators.dedup import (
+        _SPARK_TOKENS as _SPARK_TOKENS_ST12,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -900,8 +904,12 @@ def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     s = (
         stream_documents(spark, sf_dir)
         .filter(F.col("doc_id") >= t0)
+        .filter(  # short docs carry no signature (dd2) — token-count
+            # predicate BEFORE the hash projection, same reason as
+            # _minhash_bands: a size(hs) filter would defeat codegen CSE
+            F.expr(f"size({_SPARK_TOKENS_ST12}) >= {SHINGLE_WORDS}")
+        )
         .select(F.col("doc_id").alias("doc_id_b"), F.expr(hs_expr).alias("hs_b"))
-        .filter(F.size("hs_b") > 0)  # short docs carry no signature (dd2)
     )
     sig = s.select(
         "doc_id_b",
