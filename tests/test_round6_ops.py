@@ -297,3 +297,34 @@ def test_dd2_short_docs_agree_across_engines(spark):
     assert (6, 7) in {(a, b) for a, b, _ in got}
     assert not {a for a, _, _ in got} & {1, 2, 3, 4}
     assert not {b for _, b, _ in got} & {1, 2, 3, 4}
+
+
+def test_rotation_puts_fresh_and_recheck_inside_driver_sample():
+    """__spark_entry__._coverage_order must place every never-driver-
+    checked query and every impl-changed (recheck) query inside the
+    driver's ~50-row sample prefix — the discipline that closed the
+    round-4 coverage gap (VERDICT r5 ask #5)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ordered = list(mod.queries())
+    green, _ = mod._prior_rounds()
+    fresh = [n for n in ordered if n not in green]
+    # every fresh/recheck name must sit in the first 45 positions
+    late = [n for n in fresh if ordered.index(n) >= 45]
+    assert not late, f"fresh/recheck queries outside the sample prefix: {late}"
+    # and the round-6 operators specifically
+    for n in (
+        "g3b_pagerank_rounds",
+        "ann13_clustered_recall_curve",
+        "ann14_incremental_index_update",
+        "tx15_bpe_merges",
+        "dd17_semantic_dedup",
+        "st13_stream_index_update",
+        "pp12_dataset_datasheet",
+    ):
+        assert ordered.index(n) < 45, (n, ordered.index(n))
