@@ -328,3 +328,98 @@ def test_rotation_puts_fresh_and_recheck_inside_driver_sample():
         "pp12_dataset_datasheet",
     ):
         assert ordered.index(n) < 45, (n, ordered.index(n))
+
+
+def _ref_bpe(words: dict, k: int):
+    """Pure-Python reference BPE trainer: freq-weighted pair counts,
+    argmax with (count desc, a asc, b asc) tiebreak, greedy left-to-right
+    non-overlapping rewrite — the semantics tx15 claims."""
+    vocab = [([c for c in w], f) for w, f in sorted(words.items())]
+    out = []
+    for r in range(1, k + 1):
+        cnt: dict = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] = cnt.get((syms[i], syms[i + 1]), 0) + f
+        if not cnt:
+            break
+        (a, b), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((r, a, b, a + b, c))
+        nv = []
+        for syms, f in vocab:
+            ns: list = []
+            for s in syms:
+                if ns and ns[-1] == a and s == b:
+                    ns[-1] = a + b
+                else:
+                    ns.append(s)
+            nv.append((ns, f))
+        vocab = nv
+    return out
+
+
+def test_tx15_oracle_matches_reference_bpe_on_random_corpora():
+    """Wide randomized check of the unrolled-SQL BPE against the pure
+    reference: the DuckDB oracle (the engines hash-match on it via the
+    differential harness) must reproduce the reference merge table on
+    random corpora — including all-1-char-word corpora where merge
+    rounds run dry early."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_iceberg_spark.operators.text import TX15_MERGES, _tx15_oracle
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=8), min_size=1, max_size=6))
+    def check(docs):
+        pdf = pd.DataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            columns=["doc_id", "text"],
+        )
+        words: dict = {}
+        for ws in docs:
+            for w in ws:
+                words[w] = words.get(w, 0) + 1
+        want = _ref_bpe(words, TX15_MERGES)
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        got = sorted(con.execute(_tx15_oracle()).fetchall())
+        con.close()
+        assert got == sorted(want), (docs, got, want)
+
+    check()
+
+
+def test_tx15_spark_matches_reference_bpe(spark, tmp_path):
+    """One Spark-side case of the same property (the fold + broadcast
+    top-1 machinery), on a corpus with dry rounds and heavy repeats."""
+    import pandas as pd
+
+    docs = [
+        ["ab", "ab", "abc"],
+        ["b", "c", "ab"],
+        ["x"],  # 1-char word: contributes no pairs
+    ]
+    pdf = pd.DataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        columns=["doc_id", "text"],
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from apache_iceberg_spark.operators.text import TX15_MERGES
+
+    words: dict = {}
+    for ws in docs:
+        for w in ws:
+            words[w] = words.get(w, 0) + 1
+    want = sorted(_ref_bpe(words, TX15_MERGES))
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["tx15_bpe_merges"].spark(spark, str(tmp_path)).collect()
+    )
+    assert got == want
