@@ -588,3 +588,71 @@ def ts9_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --- ts10: exponential smoothing (EWMA) -------------------------------------
+
+#: Smoothing factor alpha = 1/8 — a dyadic rational, so (v + 7*s)/8 is the
+#: same IEEE sequence on both engines and the classic "div by power of two"
+#: monitoring EWMA (TCP RTT estimation's constant).
+EWMA_NUM, EWMA_DEN = 1, 8
+
+
+@register(
+    "ts10_ewma",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, epoch_us(ts) AS tus, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   list(CAST(v_cents AS DOUBLE) ORDER BY tus, event_id) AS vs
+            FROM s GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               list_reduce(vs, (acc, v) -> (v + 7.0 * acc) / 8.0)
+                   AS ewma_cents
+        FROM g
+    """,
+    doc="Per-user EXPONENTIAL smoothing (EWMA, alpha = 1/8 — TCP RTT's "
+    "classic constant): s_1 = v_1, s_i = v_i/8 + 7 s_{i-1}/8 over each "
+    "user's events in (ts, event_id) order — the online-smoothing dual "
+    "of ts6's interval-weighted average and the input ts8's anomaly "
+    "flags would consume in a monitoring pipeline. EWMA is inherently a "
+    "SEQUENTIAL per-key recurrence (not a windowable sum), so each "
+    "user's cent-exact samples collect into one time-ordered array and "
+    "fold left-to-right — first element seeds the state, and with a "
+    "dyadic alpha the fold is the identical IEEE sequence on both "
+    "engines, so the oracle matches bitwise. ONE shuffle (the per-user "
+    "collect); state per key is the sample list, bounded by per-user "
+    "event counts — at 100 TB keys are processed independently and the "
+    "same recurrence runs incrementally as st10 runs ts6's.",
+    tags=("timeseries", "analytics"),
+)
+def ts10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("tus"),
+            F.col("event_id").alias("event_id"),
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        ).alias("r"),
+    )
+    g = s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(F.collect_list("r")).alias("rs"),
+    )
+    # ordered doubles; first element seeds the fold state (s_1 = v_1)
+    return g.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "aggregate(slice(transform(rs, r -> CAST(r.v_cents AS DOUBLE)), "
+            "2, size(rs) - 1), "
+            "CAST(element_at(rs, 1).v_cents AS DOUBLE), "
+            "(acc, v) -> (v + 7.0 * acc) / 8.0)"
+        ).alias("ewma_cents"),
+    )
