@@ -257,13 +257,14 @@ def _minhash_bands(
     return hashed, bands
 
 
-def _band_structs_sql() -> str:
+def _band_structs_sql(n_bands: int = N_BANDS) -> str:
     """The LSH band array expression over mh0..mh{N_HASHES-1} columns —
-    one struct (band_id, band_key) per band. Shared by _minhash_bands
-    and st12's streaming (map-only, persist-free) signature build."""
-    rows_per_band = N_HASHES // N_BANDS
+    one struct (band_id, band_key) per band. Shared by _minhash_bands,
+    st12's streaming (map-only, persist-free) signature build, and
+    dd18's per-config banding sweep."""
+    rows_per_band = N_HASHES // n_bands
     band_structs = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         parts = ", ".join(
             f"CAST(mh{b * rows_per_band + r} AS STRING)" for r in range(rows_per_band)
         )
@@ -1533,3 +1534,190 @@ def dd16_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return intra.unionByName(cross)
+
+
+# --- dd18: LSH banding tuning curve -----------------------------------------
+
+#: Band configs swept by dd18: (n_bands, rows_per_band) with
+#: n_bands * rows_per_band == N_HASHES — from the most permissive
+#: (8 bands of 1 row: collide on ANY shared minhash) to the strictest
+#: (1 band of 8: collide only on the full signature).
+DD18_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def _dd18_oracle() -> str:
+    rows_per = {b: N_HASHES // b for b, _ in DD18_CONFIGS}
+    parts = []
+    selects = []
+    for nb, r in DD18_CONFIGS:
+        branches = []
+        for b in range(nb):
+            cols = " || '|' || ".join(
+                f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r)
+            )
+            key = DUCK_HEX2INT.format(s=f"({cols})")
+            branches.append(
+                f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+            )
+        bands_sql = "\n            UNION ALL ".join(branches)
+        parts.append(f"""bands_{nb} AS MATERIALIZED (
+            {bands_sql}
+        ),
+        cand_{nb} AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+            FROM bands_{nb} a JOIN bands_{nb} c
+              ON a.band_id = c.band_id AND a.band_key = c.band_key
+             AND a.doc_id < c.doc_id
+        ),
+        ver_{nb} AS MATERIALIZED (
+            SELECT da, db FROM cand_{nb}
+            JOIN hashed ha ON ha.doc_id = da
+            JOIN hashed hb ON hb.doc_id = db
+            WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ha.hs, hb.hs)))
+                  >= {JACCARD_THRESHOLD}
+        )""")
+        selects.append(f"""
+        SELECT {nb} AS n_bands, {r} AS rows_per_band,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{nb})
+                   AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ver_{nb})
+                   AS n_true_pos,
+               CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+                    ELSE CAST((SELECT COUNT(*) FROM ver_{nb}) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM truth) END AS recall,
+               CASE WHEN (SELECT COUNT(*) FROM cand_{nb}) = 0 THEN 1.0
+                    ELSE CAST((SELECT COUNT(*) FROM ver_{nb}) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM cand_{nb}) END
+                   AS precision""")
+    return f"""
+        WITH {minhash_lsh_ctes("documents")},
+        posts AS MATERIALIZED (
+            SELECT doc_id, unnest(hs) AS h FROM hashed
+        ),
+        tp AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+            FROM posts a JOIN posts c
+              ON a.h = c.h AND a.doc_id < c.doc_id
+        ),
+        truth AS MATERIALIZED (
+            SELECT da, db FROM tp
+            JOIN hashed ha ON ha.doc_id = da
+            JOIN hashed hb ON hb.doc_id = db
+            WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ha.hs, hb.hs)))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        {",".join(parts)}
+        {" UNION ALL ".join(selects)}
+    """
+
+
+@register(
+    "dd18_lsh_tuning_curve",
+    oracle=_dd18_oracle(),
+    doc=f"LSH banding TUNING CURVE — ann13's measure-don't-guess "
+    "methodology applied to text dedup: for every (bands x rows) "
+    f"factorization of the {N_HASHES}-hash MinHash signature "
+    f"({DD18_CONFIGS}), the candidate volume, recall and precision "
+    f"against the EXACT ground truth (all pairs with Jaccard >= "
+    f"{JACCARD_THRESHOLD}, found losslessly via the shingle posting "
+    "join — any qualifying pair shares a shingle). This is the S-curve "
+    "evidence behind dd2's N_BANDS choice: more/narrower bands move "
+    "the collision threshold left (recall up, candidate volume and "
+    "verify cost up), fewer/wider bands move it right. Scale shape: "
+    "the signature build is shared across configs (one pass), each "
+    "config is dd2's banded candidate machinery (never all-pairs), "
+    "and the ground truth reuses dd6's posting join — the one "
+    "deliberately expensive piece, which production would sample; "
+    "output is one row per config at ANY corpus size.",
+    tags=("dedup", "llm", "evaluation", "report"),
+)
+def dd18_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    hashed, _ = _minhash_bands(d)  # persisted (doc_id, hs), token-filtered
+    sig = hashed.select(
+        "doc_id",
+        *[F.expr(_spark_minhash(s)).alias(f"mh{s}") for s in range(N_HASHES)],
+    ).persist()
+    sa = hashed.select(F.col("doc_id").alias("da"), F.col("hs").alias("hs_a"))
+    sb = hashed.select(F.col("doc_id").alias("db"), F.col("hs").alias("hs_b"))
+    jac = F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size(
+        F.array_union("hs_a", "hs_b")
+    )
+    # Exact ground truth via the shingle posting join (dd6's shape).
+    posts = hashed.select("doc_id", F.explode("hs").alias("h"))
+    pa, pb = posts.alias("pa"), posts.alias("pb")
+    tp = (
+        pa.join(
+            pb,
+            (F.col("pa.h") == F.col("pb.h"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("da"), F.col("pb.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    truth = (
+        tp.join(sa, "da").join(sb, "db").filter(jac >= JACCARD_THRESHOLD)
+        .select("da", "db")
+        .persist()
+    )
+    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
+
+    out = None
+    for nb, r in DD18_CONFIGS:
+        bands = sig.select(
+            "doc_id", F.explode(F.expr(_band_structs_sql(nb))).alias("b")
+        ).select("doc_id", "b.band_id", "b.band_key")
+        buckets = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        cand = (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, a -> "
+                        "transform(filter(ids, b -> b > a), "
+                        "b -> struct(a AS da, b AS db))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.da", "p.db")
+            .distinct()
+            .persist()
+        )
+        n_cand = cand.groupBy().agg(F.count("*").alias("n_candidates"))
+        n_ver = (
+            cand.join(sa, "da").join(sb, "db")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .groupBy()
+            .agg(F.count("*").alias("n_true_pos"))
+        )
+        row = (
+            n_cand.crossJoin(n_truth)
+            .crossJoin(n_ver)
+            .select(
+                F.lit(nb).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidates",
+                "n_truth",
+                "n_true_pos",
+                F.when(F.col("n_truth") == 0, F.lit(1.0))
+                .otherwise(
+                    F.col("n_true_pos").cast("double") / F.col("n_truth")
+                )
+                .alias("recall"),
+                F.when(F.col("n_candidates") == 0, F.lit(1.0))
+                .otherwise(
+                    F.col("n_true_pos").cast("double") / F.col("n_candidates")
+                )
+                .alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
