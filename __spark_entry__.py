@@ -26,7 +26,7 @@ def _prior_rounds() -> tuple[set[str], set[str]]:
     """(green, red) query names from prior rounds' CORRECTNESS_r*.json:
     green = fully checked at least once; red = appeared but never green.
     Used to bias the dict order below."""
-    green: set[str] = set()
+    green = _green_rounds()
     appeared: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
@@ -36,12 +36,46 @@ def _prior_rounds() -> tuple[set[str], set[str]]:
         except (OSError, ValueError):
             continue
         for name, res in rows.items():
-            if not isinstance(res, dict):
-                continue
-            appeared.add(name)
-            if res.get("hash_match"):
-                green.add(name)
-    return green, appeared - green
+            if isinstance(res, dict):
+                appeared.add(name)
+    return set(green), appeared - set(green)
+
+
+def _green_rounds() -> dict[str, int]:
+    """name -> latest round number in which the query was hash-green.
+
+    Drives oldest-green-first recheck rotation: greens whose last proof
+    is oldest re-enter the driver's ~50-row sample soonest, so every
+    operator is periodically re-proven instead of only once ever
+    (VERDICT r6 ask #2)."""
+    latest: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            rnd = 0
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, res in rows.items():
+            if isinstance(res, dict) and res.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+# Queries whose IMPLEMENTATION changed this round (round 7): their old
+# green rows prove the old code, so they re-enter the checked set right
+# behind never-checked queries. Refreshed every round — VERDICT r6 ask #2:
+# don't let prior-round rechecks squat in the sample.
+RECHECK = frozenset({
+    "ann14_incremental_index_update",  # full-outer drift join (ADVICE r6)
+    "st13_stream_index_update",        # same fix at ingest
+    "tx15_bpe_merges",                 # persist-lifecycle fix (ADVICE r6)
+})
 
 
 def _coverage_order(d: dict) -> dict:
@@ -54,28 +88,7 @@ def _coverage_order(d: dict) -> dict:
     rows. Harmless if the driver ignores dict order.
     """
     green, red = _prior_rounds()
-    # Queries whose IMPLEMENTATION changed this round (round 6): their old
-    # green rows prove the old code, so they re-enter the checked set
-    # right behind never-checked queries (this round's fresh set is just
-    # g3b and ann13, so everything here lands comfortably inside the
-    # driver's ~50-row sample — VERDICT r5 ask #5's rotation discipline).
-    recheck = {
-        "mm6_image_neardup_clusters",  # Manku distinct-hash factoring (r5 #4)
-        "mm8_video_neardup_pairs",     # same factoring, per-frame
-        "g3_pagerank_converged",       # loop extracted to _g3_distributed_loop
-        "dd12_containment_dedup",      # short-doc gram guard (ADVICE r5)
-        "dd15_incremental_dedup",      # probe-side persist leak fix (ADVICE r5)
-        "m22_snapshot_expiry",         # assert -> RuntimeError (ADVICE r5)
-        "pp10_pretraining_job",        # checkpoint double-materialization fix
-        # dd2 shingle family: short-doc size guard (dd12's fix generalized)
-        "dd2_minhash_lsh",
-        "dd6_dup_clusters",
-        "dd11_duplication_profile",
-        "dd14_fuzzy_dup_clusters",
-        "st12_stream_incremental_dedup",
-        "pp4_cascade_fuzzy",
-        "pp6_production_funnel",
-    }
+    recheck = RECHECK
     fresh = [k for k in d if k not in green or k in recheck]
     # Previously-red rows lead (their fixes must land in the checked set);
     # then families no round has ever sampled (streaming, merge/scale,
@@ -96,7 +109,14 @@ def _coverage_order(d: dict) -> dict:
         return (family_rank.get(prefix, 6), positions[name])
 
     fresh.sort(key=rank)
-    ordered = fresh + [k for k in d if k in green and k not in recheck]
+    # Remaining slots in the driver's ~50-row sample go to greens in
+    # oldest-proof-first order: a query last proven in round 1 re-enters
+    # the checked set before one proven last round, so every green is
+    # periodically re-verified as the suite evolves (VERDICT r6 ask #2).
+    latest = _green_rounds()
+    tail = [k for k in d if k in green and k not in recheck]
+    tail.sort(key=lambda k: (latest.get(k, 0), positions[k]))
+    ordered = fresh + tail
     return {k: d[k] for k in ordered}
 
 

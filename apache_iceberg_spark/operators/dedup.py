@@ -245,7 +245,7 @@ def _minhash_bands(
         ).alias("hs"),
     )
     if persist:
-        hashed = hashed.persist()
+        hashed = hashed.persist()  # plan-cache
     sig = hashed.select(
         "doc_id",
         *[F.expr(_spark_minhash(s)).alias(f"mh{s}") for s in range(N_HASHES)],
@@ -481,7 +481,7 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g0 = lowered.select(
         "doc_id", "lang", "source", F.expr(_SPARK_NGRAMS).alias("grams")
-    ).persist()
+    ).persist()  # plan-cache
     sizes = g0.select("doc_id", F.size("grams").alias("n_grams"))
     posts = g0.select(
         "doc_id", "lang", "source", F.explode("grams").alias("gram")
@@ -683,7 +683,7 @@ def containment_pairs(d: DataFrame) -> DataFrame:
     """dd12's core over any (doc_id, lang, source, text) frame — the
     df-capped posting join producing (drop_id, keep_id, containment)."""
     # Persisted: three consumers (sizes + both join sides).
-    capped = _dd12_capped_posts(d).persist()
+    capped = _dd12_capped_posts(d).persist()  # plan-cache
     # Sizes over SURVIVING grams (consistent with the intersection side —
     # capping only one side would make containment > 1 possible).
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
@@ -787,7 +787,7 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
             "norm"
         ),
-    ).persist()
+    ).persist()  # plan-cache
     a = n.alias("a")
     b = n.alias("b")
     cos = F.expr(
@@ -963,7 +963,7 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the operator's biggest shuffle on both sides.
     sh = d.select(
         "doc_id", F.expr(_SPARK_SHINGLES_INLINE).alias("shingles")
-    ).persist()
+    ).persist()  # plan-cache
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     posts = sh.select("doc_id", F.explode("shingles").alias("gram"))
     pa = posts.alias("pa")
@@ -1481,7 +1481,7 @@ def dd16_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = (
         sig.groupBy("simhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .persist()
+        .persist()  # plan-cache
     )
     intra = (
         groups.filter(F.size("ids") > 1)
@@ -1640,7 +1640,7 @@ def dd18_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = hashed.select(
         "doc_id",
         *[F.expr(_spark_minhash(s)).alias(f"mh{s}") for s in range(N_HASHES)],
-    ).persist()
+    ).persist()  # plan-cache
     sa = hashed.select(F.col("doc_id").alias("da"), F.col("hs").alias("hs_a"))
     sb = hashed.select(F.col("doc_id").alias("db"), F.col("hs").alias("hs_b"))
     jac = F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size(
@@ -1663,7 +1663,7 @@ def dd18_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         tp.join(sa, "da").join(sb, "db").filter(jac >= JACCARD_THRESHOLD)
         .select("da", "db")
-        .persist()
+        .persist()  # plan-cache
     )
     n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
 
@@ -1689,7 +1689,7 @@ def dd18_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("p.da", "p.db")
             .distinct()
-            .persist()
+            .persist()  # plan-cache
         )
         n_cand = cand.groupBy().agg(F.count("*").alias("n_candidates"))
         n_ver = (

@@ -138,7 +138,7 @@ def _trade_edges_with_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.withColumn(
         "outdeg",
         F.count("*").over(Window.partitionBy("src_kind", "src")),
-    ).persist()
+    ).persist()  # plan-cache
 
 
 def _power_step(
@@ -255,6 +255,8 @@ _G3_CKPT_EVERY = 4
 )
 def g3_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = _trade_edges_with_deg(spark, sf_dir)
+    # plan-cache: ownership of `rank` transfers to the loop helper, which
+    # unpersists it after the round-2 frame materializes (rank0.unpersist).
     rank = _power_step(edges_deg, None).persist()
     n_nodes = rank.count()  # materialize round 1 (and the edge cache)
     if n_nodes <= G3_DRIVER_NODES:
@@ -460,7 +462,7 @@ def _g3b_oracle(rounds: int = G3B_ROUNDS) -> str:
 )
 def g3b_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = _trade_edges_with_deg(spark, sf_dir)
-    rank = _power_step(edges_deg, None).persist()
+    rank = _power_step(edges_deg, None).persist()  # plan-cache
     n_nodes = rank.count()
     if n_nodes <= G3_DRIVER_NODES:
         return _g3_small_graph_loop(
@@ -594,7 +596,7 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .persist()
+        .persist()  # plan-cache
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (

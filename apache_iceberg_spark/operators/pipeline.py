@@ -423,7 +423,7 @@ def mm6_hamming_pairs(d: DataFrame) -> DataFrame:
     groups = (
         h.groupBy("dhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .persist()
+        .persist()  # plan-cache
     )
     intra = (
         groups.filter(F.size("ids") > 1)
@@ -2475,7 +2475,7 @@ def pp10_pretraining_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = tr.withColumn(
         "bucket", F.shiftright("shuffle_key", PP8_BUCKET_SHIFT)
-    ).persist()
+    ).persist()  # plan-cache
     # ^ tr (4 numeric columns, no text) feeds BOTH the within-bucket
     # window and the bucket-totals aggregate; without the persist the
     # whole decontam subtree (incl. the bloom build) duplicates into both
@@ -2744,7 +2744,7 @@ def mm8_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = (
         h.groupBy("f", "dhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .persist()
+        .persist()  # plan-cache
     )
     intra = (
         groups.filter(F.size("ids") > 1)
@@ -2896,7 +2896,7 @@ def pp12_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.md5("text").alias("th"),
         F.floor(quality * 1_000_000).cast("long").alias("q_micro"),
-    ).persist()
+    ).persist()  # plan-cache
 
     def row(section: str, key, value) -> DataFrame:
         return F.lit(section).alias("section"), key, value

@@ -70,7 +70,7 @@ def ann1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
             "norm"
         ),
-    ).persist()
+    ).persist()  # plan-cache
     q = F.broadcast(
         n.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -183,7 +183,7 @@ def ann2_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
             "norm"
         ),
-    ).persist()
+    ).persist()  # plan-cache
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -297,7 +297,7 @@ def ann3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
             "norm"
         ),
-    ).persist()
+    ).persist()  # plan-cache
     # The K_CELLS centroids collapse to ONE broadcast row holding a sorted
     # struct array, and each vector picks its top-2 cells with a map-only
     # expression fold over that array — no per-vector window, no shuffle
@@ -1135,7 +1135,7 @@ def _ivf_pq_adc_frame(
         F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
             "norm"
         ),
-    ).persist()
+    ).persist()  # plan-cache
     # Coarse quantizer: identical fold to ann3 (one broadcast row of
     # sorted centroid structs, map-only top-2-cell assignment).
     cents = F.broadcast(
@@ -1402,7 +1402,7 @@ def ann11_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
             "norm"
         ),
-    ).persist()
+    ).persist()  # plan-cache
     # The trained centroids collapse to ONE broadcast row of sorted
     # structs; assignment/probing is ann3's map-only top-2 fold (strict
     # > over the cell_id-sorted array = ORDER BY cosine DESC, cell_id).
@@ -1823,7 +1823,7 @@ def _cl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "qnorm"
             ),
         )
-        .persist()
+        .persist()  # plan-cache
     )
 
 
@@ -1950,7 +1950,7 @@ def ann13_clustered_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_gt))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id")
-        .persist()
+        .persist()  # plan-cache
     )
     # --- candidates: probed cells only, both scores in one pass --------
     cand = (
@@ -1970,7 +1970,7 @@ def ann13_clustered_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("q_qnorm") * F.col("qnorm"))
             ).alias("qcos"),
         )
-        .persist()
+        .persist()  # plan-cache
     )
 
     def topk(df: DataFrame, order: list) -> DataFrame:
@@ -2128,10 +2128,11 @@ def _ann14_oracle() -> str:
                         AS BIGINT) AS added_inertia_micro
             FROM probe GROUP BY cell_id
         )
-        SELECT s.cell_id, s.n_existing,
+        SELECT COALESCE(s.cell_id, a.cell_id) AS cell_id,
+               COALESCE(s.n_existing, 0) AS n_existing,
                COALESCE(a.n_added, 0) AS n_added,
                COALESCE(a.added_inertia_micro, 0) AS added_inertia_micro
-        FROM stored s LEFT JOIN added a USING (cell_id)
+        FROM stored s FULL OUTER JOIN added a ON s.cell_id = a.cell_id
     """
 
 
@@ -2250,9 +2251,12 @@ def ann14_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFram
             "added_inertia_micro"
         ),
     )
-    return stored.join(added, "cell_id", "left").select(
+    # FULL outer (ADVICE r6): a trained cell that lost every member in the
+    # re-assignment but receives batch vectors must still appear in the
+    # drift report — a LEFT join would silently drop its added mass.
+    return stored.join(added, "cell_id", "full").select(
         "cell_id",
-        "n_existing",
+        F.coalesce("n_existing", F.lit(0)).alias("n_existing"),
         F.coalesce("n_added", F.lit(0)).alias("n_added"),
         F.coalesce("added_inertia_micro", F.lit(0)).alias(
             "added_inertia_micro"

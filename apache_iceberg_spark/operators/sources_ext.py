@@ -231,7 +231,7 @@ def s16_permissive_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_bad")
         .csv(path)
-    ).cache()  # Spark disallows corrupt-column-only filters on a raw scan
+    ).cache()  # Spark disallows corrupt-column-only filters on a raw scan  # plan-cache
     good = (
         raw.filter(F.col("_bad").isNull())
         .groupBy(F.col("o_orderstatus").alias("status"))

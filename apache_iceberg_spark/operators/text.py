@@ -801,10 +801,13 @@ def _tx15_oracle() -> str:
     "counts adjacent symbol pairs weighted by word frequency, takes "
     "the arg-max pair (count desc, lexicographic tiebreak — "
     "deterministic), and rewrites every word's symbol sequence with a "
-    "greedy left-to-right non-overlapping expression fold. Rounds are "
-    "unrolled (g3b's pattern) so the whole loop is one lazy plan with "
-    "a chained-CTE oracle; emits the merge table (rank, pair, merged "
-    "symbol, weighted count) — the artifact a tokenizer ships.",
+    "greedy left-to-right non-overlapping expression fold. The merge "
+    "loop is driver-coordinated like production BPE trainers: only the "
+    "ONE-row arg-max crosses to the driver each round, the vocab frame "
+    "never does; exactly one frame is cached at a time and every cache "
+    "is released before return (persist-lifecycle convention, ADVICE "
+    "r6). Emits the merge table (rank, pair, merged symbol, weighted "
+    "count) — the artifact a tokenizer ships.",
     tags=("text", "llm", "tokenizer", "iterative"),
 )
 def tx15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,50 +818,58 @@ def tx15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("tok").alias("word"))
         .agg(F.count("*").alias("freq"))
     )
-    # Vocab-scale from here on; persist the seed (each round reads it).
+    # Vocab-scale from here on; persist the seed — the round-1 arg-max
+    # collect materializes it, so the corpus is scanned exactly once.
     vocab = words.select(
         F.expr(
             "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
         ).alias("syms"),
         "freq",
     ).persist()
-    out_rows = []
-    for r in range(1, TX15_MERGES + 1):
-        pairs = (
-            vocab.select(
-                F.posexplode(F.expr("slice(syms, 1, size(syms) - 1)")).alias(
-                    "i0", "a"
-                ),
-                F.col("syms"),
-                F.col("freq"),
+    rows: list[tuple] = []
+    try:
+        for r in range(1, TX15_MERGES + 1):
+            pairs = (
+                vocab.select(
+                    F.posexplode(
+                        F.expr("slice(syms, 1, size(syms) - 1)")
+                    ).alias("i0", "a"),
+                    F.col("syms"),
+                    F.col("freq"),
+                )
+                .select(
+                    "a",
+                    F.expr("element_at(syms, CAST(i0 + 2 AS INT))").alias("b"),
+                    "freq",
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("freq").alias("cnt"))
             )
-            .select(
-                "a",
-                F.expr("element_at(syms, CAST(i0 + 2 AS INT))").alias("b"),
-                "freq",
+            top = (
+                pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
             )
-            .groupBy("a", "b")
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        top1 = F.broadcast(
-            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
-        )
-        out_rows.append(
-            top1.select(
-                F.lit(r).alias("merge_rank"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.expr("a || b").alias("merged"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        rewrite = _tx15_spark_rewrite("a", "b")
-        vocab = (
-            vocab.crossJoin(top1)
-            .select(F.expr(rewrite).alias("syms"), "freq")
-            .persist()
-        )
-    out = out_rows[0]
-    for x in out_rows[1:]:
-        out = out.unionAll(x)
-    return out
+            if not top:
+                break  # vocab fully merged — oracle's m{r} is empty too
+            a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+            rows.append((r, a, b, a + b, cnt))
+            if r < TX15_MERGES:
+                # Rewrite with the arg-max embedded as literals (tokens
+                # match ^[a-z]+$ so quoting is trivial), materialize the
+                # next round's frame, then release the previous one:
+                # at most two vocab-scale frames are ever cached at once.
+                rewrite = _tx15_spark_rewrite(f"'{a}'", f"'{b}'")
+                nxt = vocab.select(
+                    F.expr(rewrite).alias("syms"), "freq"
+                ).persist()
+                nxt.count()
+                vocab.unpersist()
+                vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "merge_rank INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, pair_count BIGINT",
+    )

@@ -218,3 +218,19 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def release_plan_caches(spark: SparkSession) -> None:
+    """Release every ``# plan-cache`` frame left by operator invocations.
+
+    Persist-lifecycle convention (VERDICT r6 ask #3): an operator that
+    persists a frame must either unpersist it before returning, or — when
+    the cache is a multi-consumer frame referenced by the RETURNED lazy
+    plan, which Spark gives us no after-action hook to release — mark the
+    site ``# plan-cache`` (enforced by
+    ``tests/test_round7_ops.py::test_persist_sites_released_or_justified``)
+    and rely on the caller to drop it once the result is materialized.
+    A long-running driver calls this between queries; tests call it in
+    teardown. ``clearCache`` only drops storage blocks — the plans stay
+    valid and simply recompute if re-collected."""
+    spark.catalog.clearCache()

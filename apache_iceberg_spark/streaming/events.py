@@ -1005,9 +1005,11 @@ def st13_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = run_stream_to_memory(added, "st13_idx")
     res = spark.table(qname)
-    return stored.join(res, "cell_id", "left").select(
+    # FULL outer (ADVICE r6, mirrored from ann14): batch-only cells must
+    # appear in the drift report even if re-assignment emptied them.
+    return stored.join(res, "cell_id", "full").select(
         "cell_id",
-        "n_existing",
+        F.coalesce("n_existing", F.lit(0)).alias("n_existing"),
         F.coalesce("n_added", F.lit(0)).alias("n_added"),
         F.coalesce("added_inertia_micro", F.lit(0)).alias(
             "added_inertia_micro"

@@ -312,22 +312,27 @@ def test_rotation_puts_fresh_and_recheck_inside_driver_sample():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     ordered = list(mod.queries())
-    green, _ = mod._prior_rounds()
+    green, red = mod._prior_rounds()
+    # Derive expectations from the ordering logic itself (ADVICE r6):
+    # hard-coding round-N names self-invalidates the moment the driver's
+    # CORRECTNESS_rNN.json lands and those names turn green.
     fresh = [n for n in ordered if n not in green]
-    # every fresh/recheck name must sit in the first 45 positions
+    # every never-green name must sit in the first 45 positions
     late = [n for n in fresh if ordered.index(n) >= 45]
-    assert not late, f"fresh/recheck queries outside the sample prefix: {late}"
-    # and the round-6 operators specifically
-    for n in (
-        "g3b_pagerank_rounds",
-        "ann13_clustered_recall_curve",
-        "ann14_incremental_index_update",
-        "tx15_bpe_merges",
-        "dd17_semantic_dedup",
-        "st13_stream_index_update",
-        "pp12_dataset_datasheet",
-    ):
-        assert ordered.index(n) < 45, (n, ordered.index(n))
+    assert not late, f"fresh queries outside the sample prefix: {late}"
+    # previously-red rows lead everything (their fixes must be re-checked)
+    for n in red:
+        assert ordered.index(n) < len(fresh), (n, ordered.index(n))
+    # impl-changed (recheck) greens must also sit inside the sample prefix
+    for n in mod.RECHECK:
+        if n in ordered:
+            assert ordered.index(n) < 45, (n, ordered.index(n))
+    # the green tail is ordered oldest-proof-first so stale greens are
+    # re-verified before recently-proven ones (VERDICT r6 ask #2)
+    latest = mod._green_rounds()
+    tail = [n for n in ordered if n in green and n not in mod.RECHECK]
+    tail_rounds = [latest.get(n, 0) for n in tail]
+    assert tail_rounds == sorted(tail_rounds), "green tail not oldest-first"
 
 
 def _ref_bpe(words: dict, k: int):
