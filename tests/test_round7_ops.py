@@ -142,3 +142,103 @@ def test_ann14_reports_batch_only_cells(spark):
     )
     assert "FullOuter" in plan
     assert sim is not None
+
+
+# ---------------------------------------------------------------------------
+# ann15 — index lifecycle decision (VERDICT r6 ask #5)
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(spark, path, rows):
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+def test_ann15_fixture_takes_no_retrain_branch(spark):
+    """On the fixture the batch is ~1/3 of the stored corpus (below the
+    1/2 growth threshold) and iid with it (no drift), so the decision
+    must be retrain=False, every row carries the same global flag, and
+    the post state still covers the full corpus under the OLD index."""
+    from tests.conftest import SF_DIR
+
+    out = REGISTRY["ann15_index_lifecycle"].spark(spark, SF_DIR).collect()
+    assert all(not r["retrain"] for r in out)
+    assert sum(r["post_n"] for r in out) == 500
+    assert sum(r["n_existing"] for r in out) + sum(
+        r["n_added"] for r in out
+    ) == 500
+    # no retrain → serving index unchanged → post = existing + added
+    for r in out:
+        assert r["post_n"] == r["n_existing"] + r["n_added"]
+
+
+def test_ann15_drifted_batch_triggers_retrain(spark, tmp_path):
+    """Retrain branch: the batch sits far off every trained centroid
+    (an offset added to each component), so its per-cell mean inertia
+    dwarfs the trained mean — cell_drift fires, retrain=True, and the
+    retrained full-corpus quantizer serves with LOWER total inertia
+    than the stale existing-only index would have."""
+    import random
+
+    from apache_iceberg_spark.operators.similarity import (
+        DIM,
+        _cell_stats,
+        ann14_trained_index,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(8)]
+    rows = []
+    # stored: 97 vectors in 8 tight clusters around the seeds
+    # (max vec_id 128 → t0 = 96: vec_ids 0..95 stored, 96..128 batch)
+    for i in range(96):
+        c = base[i % 8]
+        rows.append(
+            (i, [float(x + rng.uniform(-1e-3, 1e-3)) for x in c], i % 8)
+        )
+    # batch: same clusters SHIFTED by +3 per component — off-distribution
+    for i in range(96, 129):
+        c = base[i % 8]
+        rows.append(
+            (i, [float(x + 3.0 + rng.uniform(-1e-3, 1e-3)) for x in c],
+             i % 8)
+        )
+    _write_embeddings(spark, str(tmp_path), rows)
+    got = REGISTRY["ann15_index_lifecycle"].spark(
+        spark, str(tmp_path)
+    ).collect()
+    assert any(r["cell_drift"] for r in got)
+    assert all(r["retrain"] for r in got)
+    assert sum(r["post_n"] for r in got) == 129
+    # the retrained index must fit the full corpus at least as well as
+    # the stale one
+    t0, cents1, argmin1, _ = ann14_trained_index(spark, str(tmp_path))
+    from apache_iceberg_spark.tables import load_table
+
+    v = load_table(spark, str(tmp_path), "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    stale = _cell_stats(v, cents1, argmin1, "n", "im").agg(
+        F.sum("im")
+    ).first()[0]
+    assert sum(r["post_inertia_micro"] for r in got) <= stale
+
+
+def test_ann15_decision_consistent_with_report(spark):
+    """The emitted retrain flag must equal the decision recomputed from
+    the emitted report columns — the decision table is self-auditing."""
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.operators.similarity import (
+        ANN15_GROWTH_DEN,
+        ANN15_GROWTH_NUM,
+    )
+
+    out = REGISTRY["ann15_index_lifecycle"].spark(spark, SF_DIR).collect()
+    want = any(r["cell_drift"] for r in out) or (
+        sum(r["n_added"] for r in out) * ANN15_GROWTH_DEN
+        > sum(r["n_existing"] for r in out) * ANN15_GROWTH_NUM
+    )
+    assert all(r["retrain"] == want for r in out)
