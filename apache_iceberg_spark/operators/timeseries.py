@@ -626,9 +626,15 @@ EWMA_NUM, EWMA_DEN = 1, 8
     "fold left-to-right — first element seeds the state, and with a "
     "dyadic alpha the fold is the identical IEEE sequence on both "
     "engines, so the oracle matches bitwise. ONE shuffle (the per-user "
-    "collect); state per key is the sample list, bounded by per-user "
-    "event counts — at 100 TB keys are processed independently and the "
-    "same recurrence runs incrementally as st10 runs ts6's.",
+    "collect); state per key is the sample list — which puts a HOT-KEY "
+    "CEILING on this exact-parity variant: one power-law user's entire "
+    "history must fit a single task (at 64 B/sample, ~10M events/key "
+    "per GiB of task memory; beyond that the collect_list spills or "
+    "OOMs). At 100 TB use ts11_ewma_segmented, the two-level "
+    "affine-map fold whose per-task state is one key-DAY, identical "
+    "semantics up to float re-association — ts10 stays registered as "
+    "the bitwise-sequential reference the segmented variant is tested "
+    "against (VERDICT r6 ask #6).",
     tags=("timeseries", "analytics"),
 )
 def ts10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,5 +660,133 @@ def ts10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "2, size(rs) - 1), "
             "CAST(element_at(rs, 1).v_cents AS DOUBLE), "
             "(acc, v) -> (v + 7.0 * acc) / 8.0)"
+        ).alias("ewma_cents"),
+    )
+
+
+# --- ts11: segmented EWMA — the hot-key-safe two-level variant --------------
+
+#: Segment width for the two-level fold: one calendar day of microseconds.
+TS11_BUCKET_US = 86_400_000_000
+
+
+@register(
+    "ts11_ewma_segmented",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, epoch_us(ts) AS tus, event_id,
+                   CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS v,
+                   epoch_us(ts) // {TS11_BUCKET_US} AS bucket
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, bucket,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   list(v ORDER BY tus, event_id) AS vs
+            FROM s GROUP BY user_id, bucket
+        ),
+        seg2 AS (
+            SELECT user_id, bucket, k,
+                   list_reduce(list_prepend(1.0, vs),
+                       (acc, v) -> 7.0 * acc / 8.0) AS aa,
+                   list_reduce(list_prepend(0.0, vs),
+                       (acc, v) -> (v + 7.0 * acc) / 8.0) AS bb,
+                   list_reduce(list_prepend(1.0, vs[2:]),
+                       (acc, v) -> 7.0 * acc / 8.0) AS ta,
+                   list_reduce(list_prepend(0.0, vs[2:]),
+                       (acc, v) -> (v + 7.0 * acc) / 8.0) AS tb,
+                   vs[1] AS fv
+            FROM seg
+        ),
+        u AS (
+            SELECT user_id, CAST(SUM(k) AS BIGINT) AS n_events,
+                   list({{'bucket': bucket, 'aa': aa, 'bb': bb,
+                          'ta': ta, 'tb': tb, 'fv': fv}}
+                        ORDER BY bucket) AS bs
+            FROM seg2 GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               list_reduce(
+                   list_prepend([bs[1].ta * bs[1].fv + bs[1].tb],
+                                [[b.aa, b.bb] for b in bs[2:]]),
+                   (acc, x) -> [x[1] * acc[1] + x[2]]
+               )[1] AS ewma_cents
+        FROM u
+    """,
+    doc="SEGMENTED per-user EWMA — ts10's recurrence made hot-key-safe "
+    "(VERDICT r6 ask #6): each EWMA step s' = (v + 7s)/8 is an AFFINE "
+    "map s -> a*s + b, and affine maps compose, so a power-law user's "
+    "history no longer has to fit one task's collect_list. Level 1 "
+    "groups by (user, day-bucket) and folds each day's time-ordered "
+    "samples into one composed map (A = product of 7/8 factors, B = "
+    "the EWMA fold from state 0) plus the tail variant that treats the "
+    "day's first sample as the seed; per-task state is ONE KEY-DAY of "
+    "events, whatever the key's total history. Level 2 groups by user "
+    "over the per-day maps (bounded by the time range, not the event "
+    "count) and folds them in bucket order: seed = first day's tail "
+    "map applied to its first sample, then s = A*s + B per later day. "
+    "Same answer as ts10 up to float re-association (pytest bounds the "
+    "delta and proves bitwise equality for single-bucket users); the "
+    "oracle is the bitwise twin of the segmented computation itself — "
+    "identical IEEE op sequence on both engines.",
+    tags=("timeseries", "analytics", "scale"),
+)
+def ts11_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").cast("double").alias("v"),
+    ).withColumn("bucket", F.expr(f"tus DIV {TS11_BUCKET_US}"))
+    seg = (
+        s.select(
+            "user_id", "bucket",
+            F.struct("tus", "event_id", "v").alias("r"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count("*").alias("k"),
+            F.sort_array(F.collect_list("r")).alias("rs"),
+        )
+        .select(
+            "user_id", "bucket", "k",
+            F.expr("transform(rs, r -> r.v)").alias("vs"),
+        )
+        .select(
+            "user_id", "bucket", "k",
+            F.expr(
+                "aggregate(vs, CAST(1.0 AS DOUBLE), "
+                "(acc, v) -> 7.0 * acc / 8.0)"
+            ).alias("aa"),
+            F.expr(
+                "aggregate(vs, CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> (v + 7.0 * acc) / 8.0)"
+            ).alias("bb"),
+            F.expr(
+                "aggregate(slice(vs, 2, size(vs) - 1), CAST(1.0 AS DOUBLE), "
+                "(acc, v) -> 7.0 * acc / 8.0)"
+            ).alias("ta"),
+            F.expr(
+                "aggregate(slice(vs, 2, size(vs) - 1), CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> (v + 7.0 * acc) / 8.0)"
+            ).alias("tb"),
+            F.expr("element_at(vs, 1)").alias("fv"),
+        )
+    )
+    u = seg.groupBy("user_id").agg(
+        F.sum("k").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "aa", "bb", "ta", "tb", "fv"))
+        ).alias("bs"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "aggregate(slice(bs, 2, size(bs) - 1), "
+            "element_at(bs, 1).ta * element_at(bs, 1).fv "
+            "+ element_at(bs, 1).tb, "
+            "(acc, b) -> b.aa * acc + b.bb)"
         ).alias("ewma_cents"),
     )

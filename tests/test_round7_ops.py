@@ -242,3 +242,144 @@ def test_ann15_decision_consistent_with_report(spark):
         > sum(r["n_existing"] for r in out) * ANN15_GROWTH_NUM
     )
     assert all(r["retrain"] == want for r in out)
+
+
+# ---------------------------------------------------------------------------
+# ts11 — segmented EWMA vs ts10 (VERDICT r6 ask #6)
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+        "event_type STRING, value DOUBLE",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _events_schema_cols(spark):
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.tables import load_table
+
+    return load_table(spark, SF_DIR, "events").columns
+
+
+def test_ts11_matches_ts10_on_fixture(spark):
+    """Segmented EWMA must agree with the sequential reference on every
+    user: bitwise for single-bucket users, and within float
+    re-association tolerance (1e-9 relative) otherwise."""
+    from tests.conftest import SF_DIR
+
+    ref = {
+        r["user_id"]: (r["n_events"], r["ewma_cents"])
+        for r in REGISTRY["ts10_ewma"].spark(spark, SF_DIR).collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_cents"])
+        for r in REGISTRY["ts11_ewma_segmented"].spark(spark, SF_DIR).collect()
+    }
+    assert set(ref) == set(got)
+    for u in ref:
+        assert ref[u][0] == got[u][0]
+        denom = max(1.0, abs(ref[u][1]))
+        assert abs(ref[u][1] - got[u][1]) / denom < 1e-9, (u, ref[u], got[u])
+
+
+def test_ts11_skewed_hot_key(spark, tmp_path):
+    """Property test on a power-law fixture (VERDICT r6 ask #6): one hot
+    user with 5,000 events spread over 30 days next to 20 cold users
+    with 3 events each. The segmented fold must (a) agree with a pure-
+    Python sequential EWMA within re-association tolerance for every
+    user and (b) agree bitwise for the single-bucket cold users."""
+    import datetime
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    eid = 0
+    # hot user 1: 5000 events over 30 days
+    for i in range(5000):
+        ts = t0 + datetime.timedelta(
+            seconds=i * (30 * 86400 / 5000) + rng.random()
+        )
+        rows.append((eid, 1, ts, "view", rng.uniform(0, 100)))
+        eid += 1
+    # cold users 2..21: 3 events each inside ONE day
+    for u in range(2, 22):
+        for j in range(3):
+            ts = t0 + datetime.timedelta(hours=j + 1, seconds=u)
+            rows.append((eid, u, ts, "view", rng.uniform(0, 100)))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+
+    # pure-Python sequential reference over cent-exact samples
+    seq = {}
+    by_user = {}
+    for e, u, ts, _t, v in rows:
+        by_user.setdefault(u, []).append((ts, e, float(round(v * 100))))
+    for u, vs in by_user.items():
+        vs.sort()
+        s = vs[0][2]
+        for _, _, v in vs[1:]:
+            s = (v + 7.0 * s) / 8.0
+        seq[u] = (len(vs), s)
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_cents"])
+        for r in REGISTRY["ts11_ewma_segmented"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(got) == set(seq)
+    for u in seq:
+        assert got[u][0] == seq[u][0]
+        denom = max(1.0, abs(seq[u][1]))
+        assert abs(got[u][1] - seq[u][1]) / denom < 1e-9, (u, seq[u], got[u])
+    # cold users live in one bucket → the segmented fold degenerates to
+    # the sequential fold → bitwise equality with the reference
+    for u in range(2, 22):
+        assert got[u][1] == seq[u][1]
+
+
+# ---------------------------------------------------------------------------
+# dd18 → dd2: the banding constant is evidence-backed (VERDICT r6 ask #7)
+# ---------------------------------------------------------------------------
+
+
+def test_dd2_banding_constant_sits_on_measured_knee(spark):
+    """dd2's N_BANDS must be the operating point dd18's measured curve
+    justifies: among all (bands x rows) factorizations it attains the
+    maximum measured recall at the minimum candidate volume of any
+    max-recall config (ties allowed), and the curve itself must be
+    informative (some config is strictly worse on each side — more
+    candidates above, lost recall below). This pins the constant to
+    evidence the way SCALE_NOTES pins the CC cutover."""
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.operators.dedup import N_BANDS
+
+    curve = {
+        r["n_bands"]: r
+        for r in REGISTRY["dd18_lsh_tuning_curve"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert N_BANDS in curve
+    chosen = curve[N_BANDS]
+    max_recall = max(r["recall"] for r in curve.values())
+    assert chosen["recall"] == max_recall
+    best_cand = min(
+        r["n_candidates"]
+        for r in curve.values()
+        if r["recall"] == max_recall
+    )
+    assert chosen["n_candidates"] == best_cand
+    # the curve is informative: a wider-band config pays more candidates,
+    # a narrower-band config loses recall
+    assert any(
+        r["n_candidates"] > chosen["n_candidates"]
+        for r in curve.values()
+    )
+    assert any(r["recall"] < max_recall for r in curve.values())
