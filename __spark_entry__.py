@@ -75,6 +75,7 @@ RECHECK = frozenset({
     "ann14_incremental_index_update",  # full-outer drift join (ADVICE r6)
     "st13_stream_index_update",        # same fix at ingest
     "tx15_bpe_merges",                 # persist-lifecycle fix (ADVICE r6)
+    "g2_triangle_count",               # kNN-edge build factored out for g4
 })
 
 

@@ -477,10 +477,10 @@ G2_KNN = 8   # strongest co-purchase neighbors kept per supplier
 G2_CAP = 24  # suppliers counted per customer (interaction cap)
 
 
-@register(
-    "g2_triangle_count",
-    oracle=f"""
-        WITH e0 AS (
+#: Shared oracle CTE chain building the kNN-sparsified co-purchase graph
+#: (terminal CTE ``edges``: canonical u < v supplier pairs) — used by g2
+#: (triangle counting) and g4 (link prediction).
+_DUCK_KNN_EDGES = f"""e0 AS (
             SELECT DISTINCT o_custkey AS c, l_suppkey AS s
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         ),
@@ -507,41 +507,16 @@ G2_CAP = 24  # suppliers counted per customer (interaction cap)
         ),
         edges AS (
             SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM knn
-        ),
-        tri AS (
-            SELECT e1.u AS a, e1.v AS b, e2.v AS c
-            FROM edges e1
-            JOIN edges e2 ON e2.u = e1.v
-            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
-        ),
-        pernode AS (
-            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
-                SELECT a AS node FROM tri
-                UNION ALL SELECT b FROM tri
-                UNION ALL SELECT c FROM tri
-            ) GROUP BY node
-        )
-        SELECT node AS l_suppkey, n_triangles FROM pernode
-    """,
-    doc=f"Triangle counting (clustering structure) over the top-"
-    f"{G2_KNN} co-purchase similarity graph: each supplier keeps its "
-    f"{G2_KNN} strongest neighbors by shared-customer count "
-    "(deterministic tiebreak), which bounds every node's degree at "
-    f"ANY density, and each customer contributes at most {G2_CAP} "
-    "suppliers to the co-occurrence counts (the interaction cap that "
-    "bounds the per-key explode under power-law customers) "
-    "ANY corpus density — the standard kNN-graph sparsification that "
-    "keeps motif counting tractable where a global threshold either "
-    "empties or completes the graph as density shifts. Pair weights "
-    "come from an in-bucket ordered-pair explode per customer (dd2's "
-    "trick — one shuffle on customer, one on the pair key, never a "
-    "row-level self-join); canonical orientation (u < v) counts each "
-    "triangle once via two wedge-closing equi-joins; per-node counts "
-    "aggregate partial+final. Third member of the graph family "
-    "(dd6 CC, g1 PageRank).",
-    tags=("graph", "motif", "centrality"),
-)
-def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        )"""
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN-sparsified co-purchase graph: canonical (u < v) supplier
+    edges where each supplier keeps its G2_KNN strongest neighbors by
+    shared-customer count, each customer contributing at most G2_CAP
+    suppliers — g2's construction, factored out so g4's link prediction
+    runs over the identical graph. Returned frame is persisted (multiple
+    consumers in every caller); DuckDB twin: _DUCK_KNN_EDGES."""
     from pyspark.sql import Window
 
     l = load_table_parallel(spark, sf_dir, "lineitem")
@@ -588,16 +563,57 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= G2_KNN)
         .select("u", "v")
     )
-    # The sparsified edge list (≤ G2_KNN * n_nodes rows) feeds three join
-    # inputs; persist it so the full kNN pipeline above runs once, not
-    # three times (at cluster scale: a checkpoint table, same idea).
-    edges = (
+    # The sparsified edge list (≤ G2_KNN * n_nodes rows) feeds multiple
+    # join inputs in every caller; persist it so the full kNN pipeline
+    # above runs once (at cluster scale: a checkpoint table, same idea).
+    return (
         knn.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
         .persist()  # plan-cache
     )
+
+
+@register(
+    "g2_triangle_count",
+    oracle=f"""
+        WITH {_DUCK_KNN_EDGES},
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        pernode AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT node AS l_suppkey, n_triangles FROM pernode
+    """,
+    doc=f"Triangle counting (clustering structure) over the top-"
+    f"{G2_KNN} co-purchase similarity graph: each supplier keeps its "
+    f"{G2_KNN} strongest neighbors by shared-customer count "
+    "(deterministic tiebreak), which bounds every node's degree at "
+    f"ANY density, and each customer contributes at most {G2_CAP} "
+    "suppliers to the co-occurrence counts (the interaction cap that "
+    "bounds the per-key explode under power-law customers) "
+    "ANY corpus density — the standard kNN-graph sparsification that "
+    "keeps motif counting tractable where a global threshold either "
+    "empties or completes the graph as density shifts. Pair weights "
+    "come from an in-bucket ordered-pair explode per customer (dd2's "
+    "trick — one shuffle on customer, one on the pair key, never a "
+    "row-level self-join); canonical orientation (u < v) counts each "
+    "triangle once via two wedge-closing equi-joins; per-node counts "
+    "aggregate partial+final. Third member of the graph family "
+    "(dd6 CC, g1 PageRank).",
+    tags=("graph", "motif", "centrality"),
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -617,4 +633,86 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nodes.groupBy(F.col("node").alias("l_suppkey")).agg(
         F.count("*").alias("n_triangles")
+    )
+
+
+# --- g4: link prediction — resource-allocation index ------------------------
+
+#: Micro-unit for the per-common-neighbor 1/deg contribution.
+G4_MICRO = 1_000_000
+
+
+@register(
+    "g4_link_prediction",
+    oracle=f"""
+        WITH {_DUCK_KNN_EDGES},
+        adj AS (
+            SELECT u AS z, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS (
+            SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY z
+        ),
+        wedges AS (
+            SELECT a.n AS u, b.n AS v, a.z AS z
+            FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+        ),
+        scored AS (
+            SELECT w.u, w.v,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM({G4_MICRO} // d.d) AS BIGINT) AS ra_micro
+            FROM wedges w JOIN deg d ON d.z = w.z
+            GROUP BY w.u, w.v
+        )
+        SELECT s.u, s.v, s.n_common, s.ra_micro
+        FROM scored s
+        LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+        WHERE e.u IS NULL
+    """,
+    doc="LINK PREDICTION via the resource-allocation index over g2's "
+    "kNN-sparsified co-purchase graph: for every NON-adjacent supplier "
+    "pair sharing at least one neighbor, RA(u,v) = sum over common "
+    "neighbors z of 1/deg(z) — Zhou et al.'s strongest local "
+    "similarity index, here in exact micro-units (1e6 // deg, BIGINT "
+    "sums — no cross-row float accumulation; the log-weighted "
+    "Adamic-Adar variant is deliberately avoided for the same libm "
+    "reason as tx16). Completes the graph family's analytics arc: "
+    "dd6 finds components, g1/g3 rank nodes, g2 counts closed "
+    "triangles, g4 scores the OPEN wedges those triangles would close "
+    "— the recommendation query. Scale: the wedge join fans out by "
+    f"deg(z)^2 but the kNN cap bounds every degree at {G2_KNN}, so "
+    "candidate volume is <= n * K^2 at any corpus density (same "
+    "argument as g2); one shuffle on z, one on the pair, the "
+    "anti-join broadcasts the edge list when small or shuffles on the "
+    "canonical pair key.",
+    tags=("graph", "similarity", "recommendation"),
+)
+def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("z"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("z"), F.col("u").alias("n")),
+            )
+        ).alias("a")
+    ).select("a.z", "a.n")
+    deg = adj.groupBy("z").agg(F.count("*").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n")),
+    ).select(
+        F.col("a.n").alias("u"), F.col("b.n").alias("v"), F.col("a.z").alias("z")
+    )
+    scored = (
+        wedges.join(deg, "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.expr(f"{G4_MICRO} DIV d")).alias("ra_micro"),
+        )
+    )
+    return scored.join(edges, ["u", "v"], "left_anti").select(
+        "u", "v", "n_common", "ra_micro"
     )

@@ -873,3 +873,119 @@ def tx15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank INT, left_sym STRING, right_sym STRING, "
         "merged STRING, pair_count BIGINT",
     )
+
+
+# --- tx16: rarity filter — the log-free unigram-LM quality gate -------------
+
+#: Rarity quantization: token rarity = (corpus_tokens * MICRO) // cnt.
+#: At ~1e13 corpus tokens the product approaches int64; drop MICRO to 1e3
+#: there (the comparison only needs the ratio).
+TX16_MICRO = 1_000_000
+#: Band cut factors vs the corpus mean rarity: a doc is 'rare' (likely
+#: gibberish / OCR noise) above 2x the corpus mean per-token rarity, and
+#: 'common' (likely boilerplate) below 1/2 of it — CCNet's keep-the-middle
+#: perplexity bucketing, re-expressed log-free.
+TX16_HI_NUM, TX16_HI_DEN = 2, 1
+TX16_LO_NUM, TX16_LO_DEN = 1, 2
+
+
+@register(
+    "tx16_rarity_filter",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM uni
+        ),
+        rar AS (
+            SELECT tok, (t.n_total * {TX16_MICRO}) // cnt AS rarity_micro
+            FROM uni CROSS JOIN tot t
+        ),
+        per_doc AS (
+            SELECT d.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_toks,
+                   CAST(SUM(r.rarity_micro) AS BIGINT) AS rarity_sum
+            FROM toks d JOIN rar r USING (tok)
+            GROUP BY d.doc_id
+        ),
+        corpus AS (
+            SELECT CAST(SUM(rarity_sum) AS BIGINT)
+                       // CAST(SUM(n_toks) AS BIGINT) AS mean_micro
+            FROM per_doc
+        )
+        SELECT p.doc_id, p.n_toks,
+               p.rarity_sum // p.n_toks AS mean_rarity_micro,
+               CASE
+                   WHEN (p.rarity_sum // p.n_toks) * {TX16_HI_DEN}
+                        > c.mean_micro * {TX16_HI_NUM} THEN 'rare'
+                   WHEN (p.rarity_sum // p.n_toks) * {TX16_LO_DEN}
+                        < c.mean_micro * {TX16_LO_NUM} THEN 'common'
+                   ELSE 'mid'
+               END AS band
+        FROM per_doc p CROSS JOIN corpus c
+    """,
+    doc="RARITY quality filter — the unigram-LM gate of a CCNet-style "
+    "curation cascade, made LOG-FREE for bitwise engine parity "
+    "(the repo's determinism rules ban libm transcendentals in "
+    "oracle-checked paths: ln differs in the last ulp across engines): "
+    "token surprisal -log p is replaced by the order-equivalent-in-"
+    "spirit inverse unigram frequency, quantized to exact BIGINT "
+    "micro-units (corpus_tokens * 1e6 // cnt), so every cross-row sum "
+    "is integer-exact. Pass 1 builds the unigram table (Heaps-law "
+    "small); pass 2 joins tokens to rarities and folds per-doc sums; "
+    "docs are banded keep-the-middle against the corpus mean "
+    "(>2x mean = 'rare' → gibberish/OCR noise, <1/2x = 'common' → "
+    "boilerplate) via pure BIGINT cross-multiplication. Scale: the "
+    "token→rarity join keys on the token (Zipf-skewed — AQE skew "
+    "handling or a broadcast of the Heaps-law vocab both work; the "
+    "corpus never collects), the per-doc fold keys on doc_id "
+    "(unskewed), and the corpus mean is one scalar.",
+    tags=("text", "llm", "quality", "filter"),
+)
+def tx16_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("n_total"))
+    rar = uni.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr(f"(n_total * {TX16_MICRO}) DIV cnt").alias("rarity_micro"),
+    )
+    per_doc = (
+        toks.join(rar, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("rarity_micro").alias("rarity_sum"),
+        )
+    )
+    corpus = per_doc.agg(
+        F.expr("SUM(rarity_sum) DIV SUM(n_toks)").alias("mean_micro")
+    )
+    mean = F.expr("rarity_sum DIV n_toks")
+    return per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_toks",
+        mean.alias("mean_rarity_micro"),
+        F.when(
+            mean * TX16_HI_DEN > F.col("mean_micro") * TX16_HI_NUM,
+            F.lit("rare"),
+        )
+        .when(
+            mean * TX16_LO_DEN < F.col("mean_micro") * TX16_LO_NUM,
+            F.lit("common"),
+        )
+        .otherwise(F.lit("mid"))
+        .alias("band"),
+    )
