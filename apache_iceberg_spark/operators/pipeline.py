@@ -2941,3 +2941,99 @@ def pp12_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("value")
     ).select(F.lit("source").alias("section"), "key", "value")
     return scalar_rows.unionByName(by_lang).unionByName(by_source)
+
+
+# --- pp13: temperature-sampled domain mixture -------------------------------
+
+#: Mixture temperature tau = 1/2, i.e. weight ∝ n_tokens^(1/2) — realized
+#: via SQRT, the one transcendental-free root: IEEE 754 requires sqrt to be
+#: correctly rounded, so FLOOR(sqrt(n)*1e6) is bitwise identical on both
+#: engines (unlike ln/pow, banned by the repo's determinism rules).
+PP13_MICRO = 1_000_000
+#: Token budget as a fraction of the corpus (1/1: re-mix the same total
+#: token count across domains — upsampling small domains, downsampling
+#: large ones).
+PP13_BUDGET_NUM, PP13_BUDGET_DEN = 1, 1
+
+
+@register(
+    "pp13_temperature_mixture",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT *,
+                   CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * {PP13_MICRO})
+                        AS BIGINT) AS weight_micro
+            FROM per_source
+        ),
+        tot AS (
+            SELECT CAST(SUM(weight_micro) AS BIGINT) AS total_w,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM w
+        )
+        SELECT w.source, w.n_docs, w.n_tokens, w.weight_micro,
+               (w.weight_micro * {PP13_MICRO}) // t.total_w AS share_ppm,
+               (((t.total_tokens * {PP13_BUDGET_NUM})
+                 // {PP13_BUDGET_DEN}) * w.weight_micro) // t.total_w
+                   AS target_tokens,
+               ((((t.total_tokens * {PP13_BUDGET_NUM})
+                  // {PP13_BUDGET_DEN}) * w.weight_micro) // t.total_w
+                * 1000) // w.n_tokens AS epochs_milli
+        FROM w CROSS JOIN tot t
+    """,
+    doc="TEMPERATURE-sampled domain mixture plan — the LLaMA/Pile data "
+    "recipe pp5's uniform-budget throttle doesn't cover: per-source "
+    "sampling weight ∝ n_tokens^(1/2) (temperature tau = 1/2 flattens "
+    "the natural distribution: small domains are upsampled, huge "
+    "common-crawl-like domains damped). sqrt is the ONE root IEEE 754 "
+    "requires to be correctly rounded, so FLOOR(sqrt·1e6) is engine-"
+    "exact where ln/pow-based temperatures would not be; every "
+    "downstream number (ppm shares, per-domain token targets, "
+    "epochs-per-domain in milli-epochs — >1000 means the domain "
+    "repeats, the thing a training run must KNOW to bound "
+    "memorization) is pure BIGINT arithmetic. Scale: one corpus pass "
+    "for per-source token counts, then all planning on the "
+    "domain-count-sized frame — the plan table a 100 TB run ships to "
+    "its data loader.",
+    tags=("pipeline", "llm", "mixture", "planning"),
+)
+def pp13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    per_source = d.select(
+        "source", F.size(toks).cast("long").alias("n_toks")
+    ).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    w = per_source.withColumn(
+        "weight_micro",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * PP13_MICRO).cast(
+            "long"
+        ),
+    )
+    tot = w.agg(
+        F.sum("weight_micro").alias("total_w"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    budget = f"(total_tokens * {PP13_BUDGET_NUM}) DIV {PP13_BUDGET_DEN}"
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_micro",
+        F.expr(f"(weight_micro * {PP13_MICRO}) DIV total_w").alias(
+            "share_ppm"
+        ),
+        F.expr(f"({budget} * weight_micro) DIV total_w").alias(
+            "target_tokens"
+        ),
+        F.expr(
+            f"((({budget}) * weight_micro) DIV total_w * 1000) DIV n_tokens"
+        ).alias("epochs_milli"),
+    )

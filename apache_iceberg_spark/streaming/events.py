@@ -1029,3 +1029,102 @@ def _st13_set_oracle() -> None:
 
 
 _st13_set_oracle()
+
+
+# --- st14: streaming EWMA — ts10's recurrence at ingest ---------------------
+
+
+def _ewma_state_fn(key, pdf_iter, state):
+    """Streaming EWMA: O(1) state per user — (current smoothed value,
+    event count). Samples are quantized to exact cents in Spark
+    expressions BEFORE the Python boundary; within each micro-batch rows
+    fold in (tus, event_id) order, and the state seeds on the first
+    sample ever seen (s_1 = v_1), so the bounded availableNow run
+    reproduces the batch ts10 fold bitwise."""
+    import pandas as pd
+
+    if state.exists:
+        s, n = state.get
+    else:
+        s, n = None, 0
+    rows = pd.concat(list(pdf_iter))
+    rows = rows.sort_values(["tus", "event_id"])
+    for v_cents in rows["v_cents"]:
+        v = float(int(v_cents))
+        s = v if s is None else (v + 7.0 * s) / 8.0
+        n += 1
+    state.update((s, n))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "ewma_cents": s}]
+    )
+
+
+@register(
+    "st14_stream_ewma",
+    # Identical semantics to ts10 (the stream is the events table,
+    # arriving): the oracle is set to ts10's after import — the bounded
+    # availableNow run must equal the declarative batch answer bitwise,
+    # the same gate as st10/st13.
+    oracle=None,  # set below (avoids an import cycle at module top)
+    doc="STREAMING per-user EWMA — ts10's sequential recurrence as a "
+    "custom stateful operator (applyInPandasWithState): state is O(1) "
+    "per user (the smoothed value + count, NOT the sample list — the "
+    "streaming form is what actually escapes ts10's hot-key ceiling "
+    "at ingest time, complementing ts11's segmented batch form for "
+    "backfills), each micro-batch folds its time-ordered samples into "
+    "the carried state with the dyadic alpha=1/8 step, and the cents "
+    "quantization happens in Spark expressions before the Python "
+    "boundary so both engines round identically. Completes the "
+    "monitoring trio: st10 integrates (TWA), st14 smooths (EWMA), "
+    "ts8 flags anomalies downstream.",
+    tags=("streaming", "stateful", "timeseries"),
+)
+def st14_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ewma = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_state_fn,
+            outputStructType=(
+                "user_id LONG, n_events LONG, ewma_cents DOUBLE"
+            ),
+            stateStructType="s DOUBLE, n LONG",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    qname = f"st14_ewma_{next(_stream_ids)}"
+    query = (
+        ewma.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+def _st14_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import timeseries  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st14_stream_ewma"]
+    REGISTRY["st14_stream_ewma"] = dataclasses.replace(
+        q, oracle=REGISTRY["ts10_ewma"].oracle
+    )
+
+
+_st14_set_oracle()

@@ -383,3 +383,73 @@ def test_dd2_banding_constant_sits_on_measured_knee(spark):
         for r in curve.values()
     )
     assert any(r["recall"] < max_recall for r in curve.values())
+
+
+# ---------------------------------------------------------------------------
+# st14 / pp13 / g4 — round-7 operator properties
+# ---------------------------------------------------------------------------
+
+
+def test_st14_equals_ts10_bitwise(spark):
+    """The bounded streaming EWMA must reproduce the batch ts10 fold
+    row-for-row and bit-for-bit (st13-vs-ann14's gate, applied to the
+    smoothing recurrence)."""
+    from tests.conftest import SF_DIR
+
+    ref = {
+        (r["user_id"], r["n_events"], r["ewma_cents"])
+        for r in REGISTRY["ts10_ewma"].spark(spark, SF_DIR).collect()
+    }
+    got = {
+        (r["user_id"], r["n_events"], r["ewma_cents"])
+        for r in REGISTRY["st14_stream_ewma"].spark(spark, SF_DIR).collect()
+    }
+    assert got == ref
+
+
+def test_pp13_mixture_flattens_distribution(spark):
+    """Temperature tau=1/2 must flatten the domain distribution: every
+    below-average domain's target share exceeds its natural share, every
+    above-average domain's is damped, and the target total stays within
+    rounding of the budget."""
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["pp13_temperature_mixture"].spark(
+        spark, SF_DIR
+    ).collect()
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        natural_ppm = r["n_tokens"] * 1_000_000 // total_tokens
+        if r["n_tokens"] * len(rows) < total_tokens:
+            assert r["share_ppm"] >= natural_ppm, r
+        elif r["n_tokens"] * len(rows) > total_tokens * 2:
+            assert r["share_ppm"] <= natural_ppm, r
+    assert abs(sum(r["target_tokens"] for r in rows) - total_tokens) \
+        <= len(rows)
+    # epochs > 1.0 only for upsampled (small) domains
+    for r in rows:
+        if r["epochs_milli"] > 1000:
+            assert r["share_ppm"] >= r["n_tokens"] * 1_000_000 \
+                // total_tokens
+
+
+def test_g4_scores_only_open_wedges(spark):
+    """g4 must score exactly the non-adjacent pairs with >= 1 common
+    neighbor, and every RA score must be consistent with its
+    common-neighbor count (each z contributes at most 1e6 // 2)."""
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.operators.graph import _knn_edges
+
+    edges = {
+        (r["u"], r["v"])
+        for r in _knn_edges(spark, SF_DIR).collect()
+    }
+    got = REGISTRY["g4_link_prediction"].spark(spark, SF_DIR).collect()
+    for r in got:
+        assert (r["u"], r["v"]) not in edges
+        assert r["u"] < r["v"]
+        assert r["n_common"] >= 1
+        # each common neighbor has degree >= 2 (it touches both u and v)
+        assert r["ra_micro"] <= r["n_common"] * (1_000_000 // 2)
+        assert r["ra_micro"] >= r["n_common"]  # deg is bounded, 1/deg > 0
