@@ -210,3 +210,104 @@ def mm4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.length("text") >= RESIZE_TARGET).select(
         "doc_id", resized.alias("resized"), F.length("text").alias("src_len")
     )
+
+
+# --- mm9: audio frame features ----------------------------------------------
+
+#: Samples per analysis frame and the bounded fingerprint window (first N
+#: samples — production audio fingerprinting analyzes a prefix window, and
+#: the bound keeps the expression tree O(docs x window), not O(docs x len²)
+#: from the per-sample substr).
+MM9_FRAME = 32
+MM9_MAX_SAMPLES = 256
+
+
+@register(
+    "mm9_audio_frame_features",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   [CAST(ascii(substr(text, i, 1)) AS BIGINT) - 128
+                    for i in generate_series(1,
+                        LEAST(length(text), {MM9_MAX_SAMPLES}))] AS cps
+            FROM documents
+            WHERE length(text) > 0
+        ),
+        fx AS (
+            SELECT doc_id, cps,
+                   unnest(generate_series(0,
+                       (len(cps) + {MM9_FRAME - 1}) // {MM9_FRAME} - 1))
+                       AS f
+            FROM s
+        ),
+        fr AS (
+            SELECT doc_id, f,
+                   cps[f * {MM9_FRAME} + 1 : f * {MM9_FRAME} + {MM9_FRAME}]
+                       AS fr
+            FROM fx
+        )
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+               CAST(len(fr) AS BIGINT) AS n_samples,
+               CAST(list_sum([x * x for x in fr]) AS BIGINT) AS energy,
+               list_reduce(
+                   list_prepend([fr[1], CAST(0 AS BIGINT)],
+                                [[x] for x in fr[2:]]),
+                   (acc, x) -> [x[1],
+                       acc[2] + CASE WHEN (x[1] >= 0) != (acc[1] >= 0)
+                                THEN 1 ELSE 0 END]
+               )[2] AS zero_crossings,
+               CAST(list_max([abs(x) for x in fr]) AS BIGINT) AS peak
+        FROM fr
+    """,
+    doc="AUDIO frame features — completing the modality triple (mm5-mm8 "
+    "image, mm8 video, mm9 audio): the payload byte stream is framed "
+    f"into {MM9_FRAME}-sample windows over a bounded "
+    f"{MM9_MAX_SAMPLES}-sample fingerprint prefix (production audio "
+    "fingerprinting analyzes a prefix window; the bound also keeps the "
+    "per-sample substr expression O(window) per doc), and each frame "
+    "emits the classic silence/voicing descriptors: energy (sum of "
+    "squared centered samples), zero-crossing count (a state-carrying "
+    "expression fold over [prev_sample, count] pairs), and peak "
+    "amplitude — every one an exact BIGINT, no floats anywhere. As "
+    "with mm2/mm4, a real codec plugs into the mm2 mapInPandas "
+    "decoder; the Spark-side plumbing (frame explode, per-frame folds, "
+    "schema) is the real, tested artifact. Map-only: zero shuffles — "
+    "scan, explode, fold.",
+    tags=("multimodal", "llm", "audio"),
+)
+def mm9_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cps = (
+        f"transform(sequence(1, LEAST(length(text), {MM9_MAX_SAMPLES})), "
+        "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) - 128)"
+    )
+    frames = (
+        f"transform(sequence(0, (size(cps) + {MM9_FRAME - 1}) "
+        f"DIV {MM9_FRAME} - 1), "
+        f"f -> slice(cps, f * {MM9_FRAME} + 1, {MM9_FRAME}))"
+    )
+    zc = (
+        "element_at(aggregate(slice(fr, 2, size(fr) - 1), "
+        "array(element_at(fr, 1), CAST(0 AS BIGINT)), "
+        "(acc, s) -> array(s, element_at(acc, 2) "
+        "+ IF((s >= 0) != (element_at(acc, 1) >= 0), "
+        "CAST(1 AS BIGINT), CAST(0 AS BIGINT)))), 2)"
+    )
+    return (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", F.expr(cps).alias("cps"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(frames)).alias("frame_id", "fr"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_id").cast("long").alias("frame_id"),
+            F.size("fr").cast("long").alias("n_samples"),
+            F.expr(
+                "aggregate(fr, CAST(0 AS BIGINT), (acc, s) -> acc + s * s)"
+            ).alias("energy"),
+            F.expr(zc).alias("zero_crossings"),
+            F.expr("array_max(transform(fr, s -> abs(s)))").alias("peak"),
+        )
+    )

@@ -2054,6 +2054,38 @@ def ann13_clustered_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN14_NUM, ANN14_DEN = 3, 4
 
 
+def small_full_outer(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """FULL-OUTER join of two small report frames WITHOUT the wide join a
+    native full outer forces: Spark cannot broadcast a full outer (both
+    sides may produce unmatched rows), so the planner falls back to
+    SortMergeJoin even for cell-count-sized frames. LEFT join + LEFT-ANTI
+    complement is semantically identical and both legs broadcast. Missing
+    values fill type-appropriately (false for booleans, 0 otherwise —
+    every report column is a count/sum/flag). Column order: key, a's
+    columns, b's columns."""
+    a_cols = [c for c in a.columns if c != key]
+    b_cols = [c for c in b.columns if c != key]
+
+    def fill(dtype: str):
+        return F.lit(False) if dtype == "boolean" else F.lit(0)
+
+    a_types, b_types = dict(a.dtypes), dict(b.dtypes)
+    joined = a.join(F.broadcast(b), key, "left").select(
+        key,
+        *a_cols,
+        *[
+            F.coalesce(F.col(c), fill(b_types[c])).cast(b_types[c]).alias(c)
+            for c in b_cols
+        ],
+    )
+    extra = b.join(F.broadcast(a), key, "left_anti").select(
+        key,
+        *[fill(a_types[c]).cast(a_types[c]).alias(c) for c in a_cols],
+        *b_cols,
+    )
+    return joined.unionByName(extra)
+
+
 def _ann14_oracle() -> str:
     l2_v_c0 = _DUCK_L2.format(a="b.emb", b="c0.c")
     l2_v_c1 = _DUCK_L2.format(a="b.emb", b="c1.c")
@@ -2251,17 +2283,14 @@ def ann14_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFram
             "added_inertia_micro"
         ),
     )
-    # FULL outer (ADVICE r6): a trained cell that lost every member in the
-    # re-assignment but receives batch vectors must still appear in the
-    # drift report — a LEFT join would silently drop its added mass.
-    return stored.join(added, "cell_id", "full").select(
-        "cell_id",
-        F.coalesce("n_existing", F.lit(0)).alias("n_existing"),
-        F.coalesce("n_added", F.lit(0)).alias("n_added"),
-        F.coalesce("added_inertia_micro", F.lit(0)).alias(
-            "added_inertia_micro"
-        ),
-    )
+    # FULL-outer semantics (ADVICE r6): a trained cell that lost every
+    # member in the re-assignment but receives batch vectors must still
+    # appear in the drift report — a LEFT join would silently drop its
+    # added mass. Realized via small_full_outer (LEFT + LEFT-ANTI union,
+    # both broadcastable) because Spark cannot broadcast a native full
+    # outer and would force a SortMergeJoin into this otherwise map-only
+    # plan (tests/test_plans.py pins the no-wide-join shape).
+    return small_full_outer(stored, added, "cell_id")
 
 
 # --- dd17: SemDeDup — semantic dedup via cluster-pruned candidates ----------
@@ -2564,16 +2593,12 @@ def ann15_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "existing_inertia_micro")
     added = _cell_stats(batch, cents1, argmin1, "n_added",
                         "added_inertia_micro")
-    rep = stored.join(added, "cell_id", "full").select(
+    rep = small_full_outer(stored, added, "cell_id").select(
         "cell_id",
-        F.coalesce("n_existing", F.lit(0)).alias("n_existing"),
-        F.coalesce("n_added", F.lit(0)).alias("n_added"),
-        F.coalesce("existing_inertia_micro", F.lit(0)).alias(
-            "existing_inertia_micro"
-        ),
-        F.coalesce("added_inertia_micro", F.lit(0)).alias(
-            "added_inertia_micro"
-        ),
+        "n_existing",
+        "n_added",
+        "existing_inertia_micro",
+        "added_inertia_micro",
     )
     rep2 = rep.withColumn(
         "cell_drift",
@@ -2605,20 +2630,16 @@ def ann15_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         cents_s, argmin_s = cents1, argmin1
     post = _cell_stats(v, cents_s, argmin_s, "post_n", "post_inertia_micro")
-    return rep2.join(post, "cell_id", "full").select(
+    # FULL-outer semantics via the broadcastable LEFT + LEFT-ANTI union
+    # (see small_full_outer — a native full outer would force an SMJ).
+    return small_full_outer(rep2, post, "cell_id").select(
         "cell_id",
-        F.coalesce("n_existing", F.lit(0)).alias("n_existing"),
-        F.coalesce("n_added", F.lit(0)).alias("n_added"),
-        F.coalesce("existing_inertia_micro", F.lit(0)).alias(
-            "existing_inertia_micro"
-        ),
-        F.coalesce("added_inertia_micro", F.lit(0)).alias(
-            "added_inertia_micro"
-        ),
-        F.coalesce("cell_drift", F.lit(False)).alias("cell_drift"),
+        "n_existing",
+        "n_added",
+        "existing_inertia_micro",
+        "added_inertia_micro",
+        "cell_drift",
         F.lit(retrain).alias("retrain"),
-        F.coalesce("post_n", F.lit(0)).alias("post_n"),
-        F.coalesce("post_inertia_micro", F.lit(0)).alias(
-            "post_inertia_micro"
-        ),
+        "post_n",
+        "post_inertia_micro",
     )

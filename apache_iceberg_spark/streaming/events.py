@@ -1005,16 +1005,12 @@ def st13_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = run_stream_to_memory(added, "st13_idx")
     res = spark.table(qname)
-    # FULL outer (ADVICE r6, mirrored from ann14): batch-only cells must
-    # appear in the drift report even if re-assignment emptied them.
-    return stored.join(res, "cell_id", "full").select(
-        "cell_id",
-        F.coalesce("n_existing", F.lit(0)).alias("n_existing"),
-        F.coalesce("n_added", F.lit(0)).alias("n_added"),
-        F.coalesce("added_inertia_micro", F.lit(0)).alias(
-            "added_inertia_micro"
-        ),
-    )
+    # FULL-outer semantics (ADVICE r6, mirrored from ann14): batch-only
+    # cells must appear even if re-assignment emptied them; realized as
+    # the broadcastable LEFT + LEFT-ANTI union (see small_full_outer).
+    from apache_iceberg_spark.operators.similarity import small_full_outer
+
+    return small_full_outer(stored, res, "cell_id")
 
 
 def _st13_set_oracle() -> None:

