@@ -783,3 +783,53 @@ def test_st13_static_index_and_stream_probe_shapes(spark):
     the equality test in test_round6_ops)."""
     plan = plan_of(spark, "ann14_incremental_index_update")
     assert "SortMergeJoin" not in plan, plan
+
+
+# --- round-7 operator plan shapes -------------------------------------------
+
+
+def test_mm9_is_map_only(spark):
+    """mm9's frame features are pure expression folds over the scan: no
+    shuffle (Exchange), no join, no Python UDF — the zero-shuffle claim
+    in its docstring, pinned."""
+    plan = plan_of(spark, "mm9_audio_frame_features")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_tx16_totals_attach_broadcast(spark):
+    """tx16's corpus-total scalar and corpus-mean scalar must attach as
+    broadcast 1-row frames (BroadcastNestedLoopJoin on a literal-true
+    condition), never as a shuffled join; no cartesian product of
+    data-sized frames."""
+    plan = plan_of(spark, "tx16_rarity_filter")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ts11_no_wide_join_and_two_aggregation_levels(spark):
+    """ts11 is two grouping levels (user x bucket, then user) with no
+    join anywhere — the segmented fold must not smuggle in a self-join."""
+    plan = plan_of(spark, "ts11_ewma_segmented")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") \
+        + plan.count("SortAggregate") >= 2
+
+
+def test_g4_no_cartesian_and_anti_join_present(spark):
+    """g4's wedge join is an equi-join on the shared neighbor and the
+    non-adjacency filter is a LEFT ANTI join — no cartesian product of
+    node-scale frames anywhere."""
+    plan = plan_of(spark, "g4_link_prediction")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_ann14_report_join_is_broadcast_union(spark):
+    """ann14's full-outer-semantics report join must stay broadcast
+    (LEFT + LEFT-ANTI union) — a native full outer would re-introduce
+    the SortMergeJoin the no-wide-join test bans."""
+    plan = plan_of(spark, "ann14_incremental_index_update")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Union" in plan, plan

@@ -152,9 +152,79 @@ def time_g3_rounds(spark, copies: int, force_driver: bool, rounds: int) -> float
     return per_round
 
 
+def time_ewma(spark, n_hot: int, variant: str) -> float:
+    """ts10 (sequential per-key collect_list fold) vs ts11 (segmented
+    two-level affine-map fold) on a power-law fixture: ONE hot user with
+    n_hot events spread over 30 days next to 100 cold users x 10 events
+    (VERDICT r6 ask #6's hot-key ceiling, measured). The fixture is
+    built distributed via spark.range (never a driver-side list) and
+    written to a temp dir; both variants then run their REGISTERED
+    query end-to-end."""
+    import tempfile
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    base_us = 1_700_000_000_000_000
+    span_us = 30 * 86_400_000_000
+    step = max(span_us // max(n_hot, 1), 1)
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("event_id"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(base_us) + F.col("id") * F.lit(step)).cast("long")
+        ).alias("ts"),
+        F.lit("view").alias("event_type"),
+        (((F.col("id") * 2654435761) % 10000) / 100.0).alias("value"),
+    )
+    cold = spark.range(1000).select(
+        (F.col("id") + n_hot).alias("event_id"),
+        (2 + F.col("id") % 100).cast("long").alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(base_us) + F.col("id") * F.lit(3_600_000_000)).cast("long")
+        ).alias("ts"),
+        F.lit("view").alias("event_type"),
+        (((F.col("id") * 40503) % 10000) / 100.0).alias("value"),
+    )
+    d = tempfile.mkdtemp(prefix="ewma_probe_")
+    hot.unionByName(cold).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    if variant == "ts11h":
+        # hour buckets instead of day: the segment width is THE knob that
+        # moves ts11's per-task ceiling (the Spark fn reads the module
+        # constant at call time; the DuckDB oracle is not used here)
+        import apache_iceberg_spark.operators.timeseries as tsm
+
+        tsm.TS11_BUCKET_US = 3_600_000_000
+    name = "ts10_ewma" if variant == "ts10" else "ts11_ewma_segmented"
+    t0 = time.time()
+    # .count() would let Catalyst PRUNE the unused fold column — force
+    # the smoothing computation by aggregating over its result.
+    row = (
+        REGISTRY[name]
+        .spark(spark, d)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ewma_cents").alias("s"),
+            F.sum("n_events").alias("ne"),
+        )
+        .first()
+    )
+    n = row["n"]
+    dt = time.time() - t0
+    print(
+        f"  ewma hot-key={n_hot:>10,} variant={variant}"
+        f" wall={dt:6.2f}s (users={n:,})",
+        flush=True,
+    )
+    return dt
+
+
 def main() -> None:
     """Usage: scale_probe.py cc <n_edges> <driver|dist>
               scale_probe.py g3 <copies> <driver|dist> [rounds]
+              scale_probe.py ewma <n_hot_events> <ts10|ts11>
 
     One measurement per invocation so a slow branch (the point of the
     probe is that the wrong branch IS slow) cannot starve the others."""
@@ -166,6 +236,8 @@ def main() -> None:
     force_driver = branch == "driver"
     if kind == "cc":
         time_cc(spark, size, force_driver)
+    elif kind == "ewma":
+        time_ewma(spark, size, branch)
     else:
         rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 6
         time_g3_rounds(spark, size, force_driver, rounds=rounds)
