@@ -628,9 +628,11 @@ EWMA_NUM, EWMA_DEN = 1, 8
     "engines, so the oracle matches bitwise. ONE shuffle (the per-user "
     "collect); state per key is the sample list — which puts a HOT-KEY "
     "CEILING on this exact-parity variant: one power-law user's entire "
-    "history must fit a single task (at 64 B/sample, ~10M events/key "
-    "per GiB of task memory; beyond that the collect_list spills or "
-    "OOMs). At 100 TB use ts11_ewma_segmented, the two-level "
+    "history must fit a single task, and the MEASURED limits are 32M "
+    "events/key OOM at an 8g heap and a HARD architectural stop at "
+    "~50M events/key where the collected row exceeds Spark's 2^31-byte "
+    "BufferHolder limit regardless of heap (SCALE_NOTES §EWMA). At "
+    "100 TB use ts11_ewma_segmented, the two-level "
     "affine-map fold whose per-task state is one key-DAY, identical "
     "semantics up to float re-association — ts10 stays registered as "
     "the bitwise-sequential reference the segmented variant is tested "

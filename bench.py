@@ -119,6 +119,7 @@ AUX = [
     "tx16_rarity_filter",
     "pp13_temperature_mixture",
     "ann15_index_lifecycle",
+    "mm9_audio_frame_features",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)
