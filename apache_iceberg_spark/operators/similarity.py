@@ -2643,3 +2643,235 @@ def ann15_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "post_n",
         "post_inertia_micro",
     )
+
+
+# --- ann16: residual-encoded IVFADC -----------------------------------------
+
+
+def _ann16_oracle() -> str:
+    # Reuses _IVF_PQ_CTES's coarse-quantizer prefix (n/cent/assign/probes —
+    # DuckDB computes only the referenced CTEs, so ann9's raw-code chain
+    # costs nothing here) and adds the residual encoding chain.
+    return f"""
+        WITH {_IVF_PQ_CTES},
+        rvec AS (
+            SELECT a.vec_id, a.cell_id,
+                   [CAST(n.embedding[j] AS DOUBLE)
+                        - CAST(c.c_emb[j] AS DOUBLE)
+                    for j in generate_series(1, {DIM})] AS rv
+            FROM assign a
+            JOIN n ON n.vec_id = a.vec_id
+            JOIN cent c ON c.cell_id = a.cell_id
+        ),
+        rsub AS (
+            SELECT vec_id, m,
+                   [rv[m * {PQ_SUB} + j]
+                    for j in generate_series(1, {PQ_SUB})] AS sv
+            FROM rvec, generate_series(0, {PQ_M - 1}) AS g(m)
+        ),
+        rcsub AS (
+            SELECT vec_id AS k, m, sv AS cv FROM rsub
+            WHERE vec_id < {PQ_TRAIN}
+        ),
+        rcodes AS (
+            SELECT vec_id, m, k FROM (
+                SELECT s.vec_id, s.m, c.k,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY {_DUCK_L2.format(a="s.sv", b="c.cv")}, c.k
+                       ) AS rn
+                FROM rsub s JOIN rcsub c USING (m)
+            ) WHERE rn = 1
+        ),
+        qres AS (
+            SELECT p.query_id, p.cell_id, g.m,
+                   [CAST(n.embedding[g.m * {PQ_SUB} + j] AS DOUBLE)
+                        - CAST(c.c_emb[g.m * {PQ_SUB} + j] AS DOUBLE)
+                    for j in generate_series(1, {PQ_SUB})] AS qv
+            FROM probes p
+            JOIN n ON n.vec_id = p.query_id
+            JOIN cent c ON c.cell_id = p.cell_id
+            CROSS JOIN generate_series(0, {PQ_M - 1}) AS g(m)
+        ),
+        rqd AS (
+            SELECT q.query_id, q.cell_id, q.m, c.k,
+                   CAST(ROUND({_DUCK_L2.format(a="q.qv", b="c.cv")}
+                        * {PQ_MICRO}) AS BIGINT) AS qd2_micro
+            FROM qres q JOIN rcsub c USING (m)
+        ),
+        radc AS (
+            SELECT d.query_id, rcodes.vec_id AS neighbor_id,
+                   CAST(SUM(d.qd2_micro) AS BIGINT) AS adc2_micro
+            FROM rcodes
+            JOIN assign a ON a.vec_id = rcodes.vec_id
+            JOIN rqd d ON d.cell_id = a.cell_id
+                      AND d.m = rcodes.m AND d.k = rcodes.k
+            WHERE rcodes.vec_id <> d.query_id
+            GROUP BY d.query_id, rcodes.vec_id
+        )
+        SELECT query_id, neighbor_id, adc2_micro,
+               sqrt(CAST(adc2_micro AS DOUBLE) / {PQ_MICRO}) AS adc_dist
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc2_micro, neighbor_id
+            ) AS rn FROM radc
+        ) WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "ann16_residual_pq",
+    oracle=_ann16_oracle(),
+    doc="RESIDUAL-encoded IVFADC — the one production delta ann9's "
+    "docstring defers, closed: PQ codes are trained on and assigned to "
+    "v - centroid(cell(v)) instead of the raw vectors (FAISS "
+    "IVFADC's actual encoding — a BET ON CLUSTER STRUCTURE: when the "
+    "coarse assignment explains the data, residuals have less variance "
+    "and the same 8-byte budget spends its 16 codewords on a tighter "
+    "distribution, measured recall 0.40 vs ann9's 0.36 on a planted-"
+    "cluster corpus; on the isotropic random fixture the nearest of 8 "
+    "near-orthogonal centroids sits ~90 degrees away, residual norm "
+    "GROWS ~1.62x, and ann16 ties/trails ann9 (0.22 vs 0.24) — both "
+    "regimes pinned in pytest), and each query "
+    "builds a PER-PROBED-CELL lookup table from q - centroid(cell) "
+    "(the LUT count multiplies by n_probe=2 — the known residual-PQ "
+    "serving cost). Same broadcast-artifact shape as ann9: centroids, "
+    "residual codebook, and per-(query, cell) LUTs all broadcast; the "
+    "corpus-sized frames (assignment, residual codes) join on vec_id "
+    "and are pruned by the probe list before any distance math. ADC "
+    "sums exact integer micro-units; output schema matches ann9 so "
+    "the two rank lists compare directly (the recall delta is "
+    "measured in pytest against exact ground truth).",
+    tags=("similarity", "llm", "embedding", "quantize", "index"),
+)
+def ann16_residual_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
+        ).alias("norm"),
+    ).persist()  # plan-cache
+    cent_rows = n.filter(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + K_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cents = F.broadcast(
+        cent_rows.select(
+            F.struct("cell_id", "c_emb", "c_norm").alias("c")
+        ).agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    cos = (
+        _SPARK_DOT.format(a="embedding", b="ce.c_emb")
+        + " / (norm * ce.c_norm)"
+    )
+    top2 = (
+        "aggregate(cents, named_struct("
+        "'c1', CAST(-2.0 AS DOUBLE), 'l1', CAST(-1 AS BIGINT), "
+        "'c2', CAST(-2.0 AS DOUBLE), 'l2', CAST(-1 AS BIGINT)), "
+        "(st, ce) -> CASE "
+        f"WHEN ({cos}) > st.c1 THEN named_struct("
+        f"'c1', ({cos}), 'l1', ce.cell_id, 'c2', st.c1, 'l2', st.l1) "
+        f"WHEN ({cos}) > st.c2 THEN named_struct("
+        f"'c1', st.c1, 'l1', st.l1, 'c2', ({cos}), 'l2', ce.cell_id) "
+        "ELSE st END)"
+    )
+    scored = n.crossJoin(cents).withColumn("t2", F.expr(top2))
+    assign = scored.select("vec_id", F.col("t2.l1").alias("cell_id"))
+    assert N_PROBE == 2, "ann16 explodes (l1, l2) like ann9"
+    probes = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array("t2.l1", "t2.l2")).alias("cell_id"),
+    )
+    # residual vectors: v - centroid(cell(v)) — centroid table broadcast
+    rvec = (
+        assign.join(n, "vec_id")
+        .join(F.broadcast(cent_rows.select("cell_id", "c_emb")), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.expr(
+                "zip_with(embedding, c_emb, (x, y) -> "
+                "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            ).alias("rv"),
+        )
+    )
+    rsub = rvec.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        "rv",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(rv, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
+    )
+    rcsub = F.broadcast(
+        rsub.filter(F.col("vec_id") < PQ_TRAIN).select(
+            F.col("vec_id").alias("k"), "m", F.col("sv").alias("cv")
+        )
+    )
+    d2 = F.expr(_SPARK_L2.format(a="sv", b="cv"))
+    rcodes = (
+        rsub.join(rcsub, "m")
+        .select("vec_id", "m", "k", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("k", F.struct("d2", "k")).alias("k"))
+    )
+    # per-(query, probed cell) residual LUTs — broadcast-scale
+    qres = (
+        F.broadcast(probes)
+        .join(n.select(F.col("vec_id").alias("query_id"), "embedding"),
+              "query_id")
+        .join(F.broadcast(cent_rows.select("cell_id", "c_emb")), "cell_id")
+        .select(
+            "query_id",
+            "cell_id",
+            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+            F.expr(
+                "zip_with(embedding, c_emb, (x, y) -> "
+                "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            ).alias("qrv"),
+        )
+        .select(
+            "query_id",
+            "cell_id",
+            "m",
+            F.expr(f"slice(qrv, m * {PQ_SUB} + 1, {PQ_SUB})").alias("qv"),
+        )
+    )
+    rqd = F.broadcast(
+        qres.join(rcsub, "m").select(
+            "query_id",
+            "cell_id",
+            "m",
+            "k",
+            F.round(F.expr(_SPARK_L2.format(a="qv", b="cv")) * PQ_MICRO)
+            .cast("long")
+            .alias("qd2_micro"),
+        )
+    )
+    radc = (
+        rcodes.join(assign, "vec_id")
+        .join(rqd, ["cell_id", "m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2_micro").alias("adc2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc2_micro", "neighbor_id")
+    return (
+        radc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc2_micro",
+            F.expr(
+                f"sqrt(CAST(adc2_micro AS DOUBLE) / {PQ_MICRO})"
+            ).alias("adc_dist"),
+        )
+    )

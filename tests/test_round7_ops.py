@@ -521,3 +521,111 @@ def test_tx16_bands_partition_and_order(spark):
         assert min(by_band["rare"]) > max(by_band["mid"])
     if "mid" in by_band and "common" in by_band:
         assert min(by_band["mid"]) > max(by_band["common"])
+
+
+# ---------------------------------------------------------------------------
+# ann16 — residual PQ vs raw PQ (measured, clustered corpus)
+# ---------------------------------------------------------------------------
+
+
+def _recall_at_10(spark, name, sf_dir, gt):
+    got = {}
+    for r in REGISTRY[name].spark(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & gt[q]) for q in gt)
+    return hits / sum(len(v) for v in gt.values())
+
+
+def test_ann16_residual_beats_raw_pq_on_clustered_corpus(spark, tmp_path):
+    """Residual encoding exists to exploit cluster structure: on a
+    corpus of 8 tight Gaussian clusters the coarse assignment explains
+    most of each vector, so the 16-codeword budget spent on residuals
+    must recall at least as much of the exact top-10 as the same budget
+    on raw vectors (measured: 0.40 vs 0.36 at noise 0.15, seed 5). On
+    the RANDOM fixture the two are statistically indistinguishable
+    (0.22-0.24) — the fixture measures the data, not the index, exactly
+    as ann13 found for IVF recall."""
+    import random
+
+    from apache_iceberg_spark.operators.similarity import DIM
+
+    rng = random.Random(5)
+    base = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(8)]
+    rows = []
+    for i in range(500):
+        c = base[i % 8]
+        rows.append(
+            (i, [float(x + rng.gauss(0, 0.15)) for x in c], i % 8)
+        )
+    _write_embeddings(spark, str(tmp_path), rows)
+    gt = {}
+    for r in REGISTRY["ann1_cosine_topk"].spark(
+        spark, str(tmp_path)
+    ).collect():
+        gt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    raw = _recall_at_10(spark, "ann9_ivf_pq", str(tmp_path), gt)
+    res = _recall_at_10(spark, "ann16_residual_pq", str(tmp_path), gt)
+    assert res >= raw, (res, raw)
+
+
+def _residual_vs_raw_norms(spark, sf_dir):
+    from apache_iceberg_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+    )
+    cents = n.filter("vec_id >= 5 AND vec_id < 13").selectExpr(
+        "vec_id - 5 AS cell_id", "emb AS c"
+    )
+    joined = n.crossJoin(cents.hint("broadcast"))
+    d2 = (
+        "aggregate(zip_with(emb, c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    raw2 = (
+        "aggregate(transform(emb, x -> x * x), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        joined.selectExpr("vec_id", f"{d2} AS r2", f"{raw2} AS v2")
+        .groupBy("vec_id")
+        .agg(F.min("r2").alias("r2"), F.first("v2").alias("v2"))
+        .agg(F.avg("r2").alias("mr"), F.avg("v2").alias("mv"))
+        .first()
+    )
+
+
+def test_ann16_residual_variance_regimes(spark, tmp_path):
+    """The mechanism, pinned in BOTH regimes. On a CLUSTERED corpus the
+    coarse assignment explains most of each vector, so mean squared
+    residual norm < mean squared raw norm — the PQ codebook faces a
+    tighter distribution and residual encoding wins. On the RANDOM
+    unit-norm fixture the nearest of 8 near-orthogonal centroids sits
+    ~90 degrees away, so subtracting it GROWS the vector (measured
+    ~1.62x the unit norm) — which is exactly why ann16 does NOT beat
+    ann9 there (0.22 vs 0.24) and why the recall test above uses the
+    clustered corpus. Residual PQ is a bet on cluster structure; both
+    sides of the bet are asserted."""
+    import random
+
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.operators.similarity import DIM
+
+    # random fixture: residuals grow
+    s = _residual_vs_raw_norms(spark, SF_DIR)
+    assert s["mr"] > s["mv"], s
+    # clustered corpus: residuals shrink, decisively
+    rng = random.Random(5)
+    base = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(8)]
+    rows = []
+    for i in range(500):
+        c = base[i % 8]
+        rows.append(
+            (i, [float(x + rng.gauss(0, 0.15)) for x in c], i % 8)
+        )
+    _write_embeddings(spark, str(tmp_path), rows)
+    s = _residual_vs_raw_norms(spark, str(tmp_path))
+    assert s["mr"] < s["mv"] / 2, s
