@@ -2614,7 +2614,9 @@ def ann15_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * ANN15_DRIFT_NUM
             )
         ),
-    )
+    ).persist()  # plan-cache: the decision scalar below materializes this
+    # cell-count-sized frame, and the returned plan re-reads it — without
+    # the cache the whole drift-report corpus pass would run twice.
     # The ONE driver-side scalar: the retrain trigger.
     retrain = bool(
         rep2.agg(

@@ -120,6 +120,8 @@ AUX = [
     "pp13_temperature_mixture",
     "ann15_index_lifecycle",
     "mm9_audio_frame_features",
+    "ann16_residual_pq",
+    "m23_metadata_only_aggregates",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)
