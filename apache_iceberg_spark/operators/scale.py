@@ -1370,3 +1370,73 @@ def m23_metadata_only_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+# --- m24: positional delete files (Iceberg v2's second delete type) ---------
+
+
+@register(
+    "m24_positional_delete_scan",
+    oracle="""
+        WITH pos AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS file_pos
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        FROM pos WHERE file_pos % 10 <> 4
+    """,
+    doc="Merge-on-read scan with POSITIONAL delete files — Iceberg v2's "
+    "second row-level delete representation (m13 covers equality "
+    "deletes): a delete file records (data_file_path, row_position) "
+    "pairs, and readers drop exactly those physical rows without any "
+    "key comparison — the form engines write when they already know "
+    "WHERE the row sits (UPDATE/DELETE after a scan), and the only "
+    "form that can delete one of two fully identical rows. The scan "
+    "side recovers each row's physical position with Spark's "
+    "``_metadata.file_path``/``_metadata.row_index`` hidden columns — "
+    "no row_number() over a global sort, the position comes from the "
+    "reader for free at any scale — and applies the delete file as an "
+    "anti-join on (file, position); AQE broadcasts the delete side "
+    "exactly as in m13. The fixture table is written sorted-by-key "
+    "into ONE file so the physical position is reproducible as "
+    "rank-1, which is what the DuckDB oracle states; positions %10==4 "
+    "are deleted.",
+    tags=("scale", "lakehouse", "merge-on-read"),
+)
+def m24_positional_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderkey")
+        .coalesce(1)
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="posdel_"), "orders")
+    o.write.parquet(os.path.join(table, "data"))
+    base = spark.read.parquet(os.path.join(table, "data")).select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    # the positional delete file: (file, position) pairs only — written
+    # without touching data, the way an UPDATE/DELETE records the rows
+    # it already located during its scan
+    base.filter(F.col("__pos") % 10 == 4).select(
+        "__file", "__pos"
+    ).write.parquet(os.path.join(table, "deletes"))
+    dels = spark.read.parquet(os.path.join(table, "deletes"))
+    return (
+        base.join(dels, ["__file", "__pos"], "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "price_cents")
+    )

@@ -792,3 +792,103 @@ def ts11_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, b) -> b.aa * acc + b.bb)"
         ).alias("ewma_cents"),
     )
+
+
+# --- ts12: Holt linear trend (double exponential smoothing) -----------------
+
+#: Dyadic smoothing constants: level alpha = 1/4, trend beta = 1/8 — both
+#: powers of two so every step is the identical IEEE sequence on both
+#: engines (ts10's determinism argument, now over a 2-component state).
+HOLT_ALPHA_DEN = 4
+HOLT_BETA_DEN = 8
+
+
+@register(
+    "ts12_holt_trend",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, epoch_us(ts) AS tus, event_id,
+                   CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS v
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   list(v ORDER BY tus, event_id) AS vs
+            FROM s GROUP BY user_id
+        ),
+        f AS (
+            SELECT user_id, n_events,
+                   list_reduce(
+                       list_prepend([vs[1], 0.0], [[v] for v in vs[2:]]),
+                       (acc, x) -> [
+                           (x[1] + 3.0 * (acc[1] + acc[2])) / 4.0,
+                           (((x[1] + 3.0 * (acc[1] + acc[2])) / 4.0
+                             - acc[1]) + 7.0 * acc[2]) / 8.0
+                       ]
+                   ) AS st
+            FROM g
+        )
+        SELECT user_id, n_events,
+               st[1] AS level_cents, st[2] AS trend_cents,
+               st[1] + 3.0 * st[2] AS forecast3_cents
+        FROM f
+    """,
+    doc="HOLT linear-trend smoothing (double exponential smoothing, "
+    "alpha=1/4 level / beta=1/8 trend): the 2-component sequential "
+    "recurrence l' = (x + 3(l+b))/4, b' = ((l'-l) + 7b)/8 folded over "
+    "each user's time-ordered cent-exact samples — the trend-aware "
+    "upgrade of ts10's EWMA, emitting level, trend and the 3-step "
+    "forecast a capacity planner reads. Every step is the identical "
+    "IEEE sequence on both engines (dyadic constants; the l' "
+    "subexpression is repeated textually on both sides rather than "
+    "bound, so the op trees match literally). The 2-state recurrence "
+    "is still an AFFINE map of (l, b), so ts11's segmented two-level "
+    "composition applies verbatim when a key's history outgrows one "
+    "task (compose 2x2-matrix-plus-offset maps per day bucket instead "
+    "of scalar (A, B) pairs — same algebra, same shuffle shape); this "
+    "registered form is the bitwise-sequential reference, subject to "
+    "ts10's measured hot-key ceiling (SCALE_NOTES §EWMA).",
+    tags=("timeseries", "analytics", "forecast"),
+)
+def ts12_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("tus"),
+            F.col("event_id").alias("event_id"),
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        ).alias("r"),
+    )
+    g = s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(F.collect_list("r")).alias("rs"),
+    )
+    step = (
+        "named_struct("
+        "'l', (v + 3.0 * (acc.l + acc.b)) / 4.0, "
+        "'b', (((v + 3.0 * (acc.l + acc.b)) / 4.0 - acc.l) "
+        "+ 7.0 * acc.b) / 8.0)"
+    )
+    return (
+        g.select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "aggregate("
+                "slice(transform(rs, r -> CAST(r.v_cents AS DOUBLE)), "
+                "2, size(rs) - 1), "
+                "named_struct("
+                "'l', CAST(element_at(rs, 1).v_cents AS DOUBLE), "
+                "'b', CAST(0.0 AS DOUBLE)), "
+                f"(acc, v) -> {step})"
+            ).alias("st"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("st.l").alias("level_cents"),
+            F.col("st.b").alias("trend_cents"),
+            (F.col("st.l") + 3.0 * F.col("st.b")).alias("forecast3_cents"),
+        )
+    )
