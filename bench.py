@@ -122,6 +122,8 @@ AUX = [
     "mm9_audio_frame_features",
     "ann16_residual_pq",
     "m23_metadata_only_aggregates",
+    "m24_positional_delete_scan",
+    "ts12_holt_trend",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

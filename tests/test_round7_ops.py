@@ -629,3 +629,53 @@ def test_ann16_residual_variance_regimes(spark, tmp_path):
     _write_embeddings(spark, str(tmp_path), rows)
     s = _residual_vs_raw_norms(spark, str(tmp_path))
     assert s["mr"] < s["mv"] / 2, s
+
+
+# ---------------------------------------------------------------------------
+# ts12 — Holt trend vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_ts12_matches_pure_python_holt(spark, tmp_path):
+    """ts12's fold must equal a straight-line Python implementation of
+    the Holt recurrence bit-for-bit (both run the identical IEEE
+    sequence with dyadic constants) on a randomized fixture."""
+    import datetime
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    t0 = datetime.datetime(2024, 3, 1)
+    eid = 0
+    for u in range(1, 8):
+        for j in range(rng.randint(1, 40)):
+            ts = t0 + datetime.timedelta(minutes=j * 17 + u)
+            rows.append((eid, u, ts, "view", rng.uniform(0, 500)))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+
+    ref = {}
+    by_user = {}
+    for e, u, ts, _t, v in rows:
+        by_user.setdefault(u, []).append((ts, e, float(round(v * 100))))
+    for u, vs in by_user.items():
+        vs.sort()
+        l, b = vs[0][2], 0.0
+        for _, _, x in vs[1:]:
+            lp = (x + 3.0 * (l + b)) / 4.0
+            b = ((lp - l) + 7.0 * b) / 8.0
+            l = lp
+        ref[u] = (len(vs), l, b, l + 3.0 * b)
+
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["level_cents"],
+            r["trend_cents"],
+            r["forecast3_cents"],
+        )
+        for r in REGISTRY["ts12_holt_trend"].spark(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == ref
