@@ -448,3 +448,174 @@ def w8_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --- a21: exact-moment correlation ------------------------------------------
+
+
+@register(
+    "a21_correlation",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                        AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                        * CAST(ROUND(l_quantity * 100) AS BIGINT))
+                        AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS HUGEINT) AS syy,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                        * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS HUGEINT) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                   AS corr_qty_price
+        FROM m
+    """,
+    doc="Pearson CORRELATION from exact integer moments — the "
+    "determinism recipe for second-order statistics: F.corr's running "
+    "float accumulation is partition-order-dependent, so instead the "
+    "five moments (n, Sx, Sy, Sxx, Syy, Sxy) accumulate EXACTLY in "
+    "cent units — Spark sums into DECIMAL(38,0), DuckDB into HUGEINT, "
+    "both exact integers that agree digit-for-digit — and the corr "
+    "formula runs as per-row float math on those exact inputs "
+    "(correctly-rounded casts + sqrt, identical op order on both "
+    "engines, so bitwise-equal results). One shuffle (the group-by); "
+    "moments merge associatively so map-side partial aggregation does "
+    "most of the work. Digit budget: Syy sums (1e7 cents)^2 per row — "
+    "~1e14/row — so int64 dies at ~1e4 rows while DECIMAL(38,0) holds "
+    "to ~1e24 rows; the cross products n*Syy peak ~10^33 at 100 TB "
+    "scale, still inside the 38-digit envelope.",
+    tags=("aggregate", "statistics"),
+)
+def a21_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    xc = F.round(F.col("l_quantity") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    m = l.select(
+        "l_returnflag",
+        xc.alias("x"),
+        yc.alias("y"),
+    ).groupBy("l_returnflag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (
+            F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+            / (
+                F.expr("sqrt(CAST(n * sxx - sx * sx AS DOUBLE))")
+                * F.expr("sqrt(CAST(n * syy - sy * sy AS DOUBLE))")
+            )
+        ).alias("corr_qty_price"),
+    )
+
+
+# --- a22: count-min sketch heavy hitters ------------------------------------
+
+CM_DEPTH = 4   # independent hash rows
+CM_WIDTH = 64  # buckets per row
+
+
+def _cm_oracle() -> str:
+    from apache_iceberg_spark.operators.text import DUCK_HEX2INT
+
+    h = DUCK_HEX2INT.format(
+        s="concat('cm', CAST(d AS VARCHAR), ':', CAST(l_suppkey AS VARCHAR))"
+    )
+    hk = DUCK_HEX2INT.format(
+        s="concat('cm', CAST(g.d AS VARCHAR), "
+        "':', CAST(k.l_suppkey AS VARCHAR))"
+    )
+    return f"""
+        WITH keys AS (
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        cells AS (
+            SELECT d, {h} % {CM_WIDTH} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem, generate_series(0, {CM_DEPTH - 1}) AS g(d)
+            GROUP BY 1, 2
+        ),
+        est AS (
+            -- alias must avoid `c`: DUCK_HEX2INT's fold variable is c
+            SELECT k.l_suppkey, CAST(MIN(cc.cnt) AS BIGINT) AS cm_estimate
+            FROM keys k, generate_series(0, {CM_DEPTH - 1}) AS g(d)
+            JOIN cells cc
+              ON cc.d = g.d AND cc.bucket = {hk} % {CM_WIDTH}
+            GROUP BY k.l_suppkey
+        )
+        SELECT k.l_suppkey, k.exact_cnt, e.cm_estimate,
+               e.cm_estimate - k.exact_cnt AS overestimate
+        FROM keys k JOIN est e USING (l_suppkey)
+    """
+
+
+@register(
+    "a22_countmin_heavy_hitters",
+    oracle=_cm_oracle(),
+    doc=f"COUNT-MIN sketch frequency estimation — the classic streaming "
+    f"sketch, built distributed: {CM_DEPTH} independent md5-derived "
+    f"hash rows x {CM_WIDTH} buckets accumulate per-cell counts in one "
+    "group-by (map-side partial aggregation does the heavy lifting; "
+    "the sketch is CONSTANT-SIZE and mergeable by cell-wise addition, "
+    "which is the whole point — at 100 TB every executor folds its "
+    "partitions into a 256-cell grid and the merge is free), then "
+    "every key's estimate = min over rows of its bucket's count. The "
+    "output joins estimates against exact per-key counts, exposing "
+    "the sketch's one-sided error (overestimate >= 0 always — "
+    "collisions only ADD; pytest pins the guarantee). Same md5 "
+    "hash-parity trick as dd2/a10, so the oracle reproduces the "
+    "identical sketch.",
+    tags=("aggregate", "sketch", "streaming"),
+)
+def a22_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.text import SPARK_HEX2INT
+
+    l = load_table(spark, sf_dir, "lineitem")
+    keys = l.groupBy("l_suppkey").agg(F.count("*").alias("exact_cnt"))
+    h = SPARK_HEX2INT.format(
+        s="concat('cm', CAST(d AS STRING), ':', CAST(l_suppkey AS STRING))"
+    )
+    cells = (
+        l.select(
+            "l_suppkey",
+            F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
+        )
+        .select("d", F.expr(f"{h} % {CM_WIDTH}").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    est = (
+        keys.select(
+            "l_suppkey",
+            F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
+        )
+        .select("l_suppkey", "d", F.expr(f"{h} % {CM_WIDTH}").alias("bucket"))
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("l_suppkey")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return keys.join(est, "l_suppkey").select(
+        "l_suppkey",
+        "exact_cnt",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).alias("overestimate"),
+    )

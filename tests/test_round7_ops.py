@@ -679,3 +679,60 @@ def test_ts12_matches_pure_python_holt(spark, tmp_path):
         ).collect()
     }
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# a21/a22 — exact-moment statistics and the count-min guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_a22_countmin_one_sided_error(spark):
+    """The count-min guarantee, pinned: estimates NEVER undercount
+    (collisions only add), and a key alone in its bucket on some row
+    estimates exactly."""
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["a22_countmin_heavy_hitters"].spark(
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["overestimate"] >= 0, r
+        assert r["cm_estimate"] >= r["exact_cnt"], r
+    # the sketch must be informative, not saturated: at least one key
+    # estimates exactly (d=4 rows over 64 buckets vs ~10-70 keys)
+    assert any(r["overestimate"] == 0 for r in rows)
+
+
+def test_a21_correlation_matches_numpy(spark):
+    """The exact-moment Pearson correlation must agree with numpy's
+    float64 corrcoef to ~1e-12 relative (numpy accumulates in float so
+    bitwise equality is not expected — the operator's own cross-engine
+    bitwise gate is the oracle hash)."""
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+
+    import duckdb as ddb
+
+    con = ddb.connect()
+    ref = {}
+    for flag, in con.execute(
+        f"SELECT DISTINCT l_returnflag FROM "
+        f"'{SF_DIR}/lineitem.parquet' ORDER BY 1"
+    ).fetchall():
+        x, y = zip(*con.execute(
+            f"SELECT ROUND(l_quantity * 100), "
+            f"ROUND(l_extendedprice * 100) FROM "
+            f"'{SF_DIR}/lineitem.parquet' WHERE l_returnflag = ?",
+            [flag],
+        ).fetchall())
+        ref[flag] = float(np.corrcoef(np.array(x), np.array(y))[0, 1])
+    con.close()
+    got = {
+        r["l_returnflag"]: r["corr_qty_price"]
+        for r in REGISTRY["a21_correlation"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(ref)
+    for flag in ref:
+        assert abs(got[flag] - ref[flag]) < 1e-12, (flag, got, ref)
