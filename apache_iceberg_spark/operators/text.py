@@ -744,6 +744,20 @@ def _tx15_duck_rewrite(a: str, b: str) -> str:
 
 
 def _tx15_oracle() -> str:
+    return f"""
+        WITH {_tx15_train_ctes()}
+        {" UNION ALL ".join(
+            f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, "
+            f"a || b AS merged, cnt AS pair_count FROM m{r}"
+            for r in range(1, TX15_MERGES + 1)
+        )}
+    """
+
+
+def _tx15_train_ctes() -> str:
+    """The WITH-body computing tx15's merge table (terminal CTEs m1..mK)
+    — shared by tx15's oracle (which SELECTs the table) and tx17's
+    (which APPLIES the merges to every document's token stream)."""
     rounds = []
     for r in range(1, TX15_MERGES + 1):
         prev = f"v{r - 1}"
@@ -768,8 +782,7 @@ def _tx15_oracle() -> str:
             SELECT {rewrite} AS syms, freq
             FROM {prev} CROSS JOIN m{r}
         )""")
-    return f"""
-        WITH words AS MATERIALIZED (
+    return f"""words AS MATERIALIZED (
             SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
             FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
             WHERE regexp_matches(tok, '{_TX15_WORD}')
@@ -780,13 +793,7 @@ def _tx15_oracle() -> str:
                    freq
             FROM words
         ),
-        {",".join(rounds)}
-        {" UNION ALL ".join(
-            f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, "
-            f"a || b AS merged, cnt AS pair_count FROM m{r}"
-            for r in range(1, TX15_MERGES + 1)
-        )}
-    """
+        {",".join(rounds)}"""
 
 
 @register(
@@ -811,6 +818,18 @@ def _tx15_oracle() -> str:
     tags=("text", "llm", "tokenizer", "iterative"),
 )
 def tx15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _tx15_train(spark, sf_dir),
+        "merge_rank INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, pair_count BIGINT",
+    )
+
+
+def _tx15_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """tx15's driver-coordinated BPE merge loop, factored so tx17 can
+    APPLY the learned merges (the tokenizer's inference half). Returns
+    [(rank, a, b, merged, count)]. Persist lifecycle as documented on
+    tx15: at most two vocab-scale frames cached at once, zero after."""
     d = load_table_parallel(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
@@ -868,11 +887,7 @@ def tx15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vocab = nxt
     finally:
         vocab.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "merge_rank INT, left_sym STRING, right_sym STRING, "
-        "merged STRING, pair_count BIGINT",
-    )
+    return rows
 
 
 # --- tx16: rarity filter — the log-free unigram-LM quality gate -------------
@@ -988,4 +1003,87 @@ def tx16_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("mid"))
         .alias("band"),
+    )
+
+
+# --- tx17: BPE encode — applying the learned merges -------------------------
+
+
+def _tx17_oracle() -> str:
+    stages = []
+    for r in range(1, TX15_MERGES + 1):
+        rewrite = _tx15_duck_rewrite(f"m{r}.a", f"m{r}.b")
+        stages.append(f"""s{r} AS (
+            SELECT doc_id, n0, {rewrite} AS syms
+            FROM s{r - 1} CROSS JOIN m{r}
+        )""")
+    return f"""
+        WITH {_tx15_train_ctes()},
+        toks AS (
+            SELECT doc_id, tok
+            FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok
+                  FROM documents)
+            WHERE regexp_matches(tok, '{_TX15_WORD}')
+        ),
+        s0 AS (
+            SELECT doc_id, CAST(length(tok) AS BIGINT) AS n0,
+                   [tok[i] for i in generate_series(1, len(tok))] AS syms
+            FROM toks
+        ),
+        {",".join(stages)}
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n0) AS BIGINT) AS n_sym_before,
+               CAST(SUM(len(syms)) AS BIGINT) AS n_sym_after,
+               CAST(SUM(n0) - SUM(len(syms)) AS BIGINT) AS n_merged
+        FROM s{TX15_MERGES}
+        GROUP BY doc_id
+    """
+
+
+@register(
+    "tx17_bpe_encode",
+    oracle=_tx17_oracle(),
+    doc=f"BPE ENCODING — the tokenizer's inference half, completing "
+    "tx15's training half: the learned merge table (collected to the "
+    "driver — it is the tokenizer artifact, vocab-scale by design) is "
+    "applied to every document's word stream as a chain of "
+    f"{TX15_MERGES} greedy left-to-right rewrite folds in merge-rank "
+    "order, exactly how a production BPE tokenizer encodes. Emits the "
+    "per-document token accounting a data pipeline bills by: word "
+    "count, symbol count before/after, and symbols saved by the "
+    "merges — the compression the trained vocabulary buys on this "
+    "corpus. Spark shape: training runs tx15's one-corpus-pass loop; "
+    "encoding is then MAP-ONLY (the merges are literals in the "
+    "expression tree — no join, no Python) plus one per-doc "
+    "aggregation. The oracle recomputes the same merges in its CTE "
+    "chain and applies identical folds, so train AND encode are "
+    "cross-checked end-to-end in one hash.",
+    tags=("text", "llm", "tokenizer"),
+)
+def tx17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _tx15_train(spark, sf_dir)
+    d = load_table_parallel(spark, sf_dir, "documents")
+    s = (
+        d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
+        .filter(F.col("tok").rlike(_TX15_WORD))
+        .select(
+            "doc_id",
+            F.length("tok").cast("long").alias("n0"),
+            F.expr(
+                "transform(sequence(1, length(tok)), "
+                "i -> substr(tok, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    for _r, a, b, _merged, _cnt in merges:
+        s = s.select(
+            "doc_id",
+            "n0",
+            F.expr(_tx15_spark_rewrite(f"'{a}'", f"'{b}'")).alias("syms"),
+        )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n0").alias("n_sym_before"),
+        F.sum(F.size("syms").cast("long")).alias("n_sym_after"),
+        (F.sum("n0") - F.sum(F.size("syms").cast("long"))).alias("n_merged"),
     )
