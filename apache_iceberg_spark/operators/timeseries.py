@@ -892,3 +892,106 @@ def ts12_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("st.l") + 3.0 * F.col("st.b")).alias("forecast3_cents"),
         )
     )
+
+
+# --- ts13: CUSUM change-point detection -------------------------------------
+
+
+@register(
+    "ts13_cusum_changepoint",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, epoch_us(ts) AS tus, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        g AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   list({'e': event_id, 'v': v} ORDER BY tus, event_id)
+                       AS rs
+            FROM s GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               st[1] AS max_cusum_scaled, st[2] AS peak_event_id
+        FROM (
+            SELECT user_id, n_events,
+                   list_reduce(
+                       list_prepend(
+                           [CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+                            CAST(0 AS BIGINT)],
+                           [[r.e, n_events * r.v - sv] for r in rs]
+                       ),
+                       (acc, x) -> [
+                           CASE WHEN
+                               (CASE WHEN acc[3] + x[2] > 0
+                                     THEN acc[3] + x[2] ELSE 0 END) > acc[1]
+                           THEN (CASE WHEN acc[3] + x[2] > 0
+                                      THEN acc[3] + x[2] ELSE 0 END)
+                           ELSE acc[1] END,
+                           CASE WHEN
+                               (CASE WHEN acc[3] + x[2] > 0
+                                     THEN acc[3] + x[2] ELSE 0 END) > acc[1]
+                           THEN x[1] ELSE acc[2] END,
+                           CASE WHEN acc[3] + x[2] > 0
+                                THEN acc[3] + x[2] ELSE 0 END
+                       ]
+                   ) AS st
+            FROM g
+        )
+    """,
+    doc="CUSUM change-point detection per user — the classic "
+    "upward-shift monitor (Page 1954) completing the monitoring trio "
+    "(ts8 flags pointwise outliers, ts10/ts11 smooth, ts13 finds the "
+    "SUSTAINED level shift): the one-sided cumulative sum "
+    "s_i = max(0, s_{i-1} + (x_i - mean)) runs ENTIRELY in exact "
+    "integers by the n-scaling trick — track n*x_i - sum(x) in cents "
+    "instead of x_i - mean, which multiplies the whole recurrence by "
+    "the constant n>0 and so preserves every max() decision and the "
+    "argmax exactly, with zero division or float anywhere (where a "
+    "float mean would make the fold order-brittle). Emits the peak "
+    "CUSUM statistic (scaled by n) and the event where it peaked — "
+    "the change-point candidate a monitoring pipeline alerts on. Two "
+    "exact passes folded into ONE shuffle: count/sum/ordered-list all "
+    "ride the same per-user aggregate; the per-key list fold is "
+    "subject to ts10's measured hot-key ceiling, with ts11's "
+    "segmentation applicable (max-of-prefix-sums composes over "
+    "segments: each segment yields (total, best-prefix) — the classic "
+    "parallel max-subarray algebra).",
+    tags=("timeseries", "monitoring", "anomaly"),
+)
+def ts13_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("tus"),
+            F.col("event_id").alias("event_id"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        ).alias("r"),
+    )
+    g = s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("r.v").alias("sv"),
+        F.sort_array(F.collect_list("r")).alias("rs"),
+    )
+    cur = "CASE WHEN acc.s + x.d > 0 THEN acc.s + x.d ELSE CAST(0 AS BIGINT) END"
+    fold = (
+        "aggregate("
+        "transform(rs, r -> named_struct("
+        "'e', r.event_id, 'd', n_events * r.v - sv)), "
+        "named_struct('best', CAST(0 AS BIGINT), "
+        "'peak', CAST(-1 AS BIGINT), 's', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct("
+        f"'best', CASE WHEN ({cur}) > acc.best THEN ({cur}) "
+        "ELSE acc.best END, "
+        f"'peak', CASE WHEN ({cur}) > acc.best THEN x.e ELSE acc.peak END, "
+        f"'s', {cur}))"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.expr(fold + ".best").alias("max_cusum_scaled"),
+        F.expr(fold + ".peak").alias("peak_event_id"),
+    )

@@ -736,3 +736,47 @@ def test_a21_correlation_matches_numpy(spark):
     assert set(got) == set(ref)
     for flag in ref:
         assert abs(got[flag] - ref[flag]) < 1e-12, (flag, got, ref)
+
+
+# ---------------------------------------------------------------------------
+# ts13 — CUSUM change-point on a planted shift
+# ---------------------------------------------------------------------------
+
+
+def test_ts13_finds_planted_level_shift(spark, tmp_path):
+    """A series that jumps from level 10 to level 50 at a known event
+    must peak its CUSUM at the END of the elevated run (the one-sided
+    statistic keeps growing while the level stays high), and a
+    constant series must yield CUSUM exactly 0 with no peak."""
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 5, 1)
+    eid = 0
+    # user 1: 30 samples at 10.0, then 20 samples at 50.0
+    for j in range(50):
+        v = 10.0 if j < 30 else 50.0
+        rows.append(
+            (eid, 1, t0 + datetime.timedelta(minutes=j), "view", v)
+        )
+        eid += 1
+    # user 2: constant
+    for j in range(20):
+        rows.append(
+            (eid, 2, t0 + datetime.timedelta(minutes=j), "view", 7.0)
+        )
+        eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["user_id"]: r
+        for r in REGISTRY["ts13_cusum_changepoint"].spark(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # user 1 peaks at its last event (id 49): the shifted level keeps
+    # the one-sided sum climbing to the end of the series
+    assert got[1]["max_cusum_scaled"] > 0
+    assert got[1]["peak_event_id"] == 49
+    # constant series: n*x - sum == 0 every step → statistic stays 0
+    assert got[2]["max_cusum_scaled"] == 0
+    assert got[2]["peak_event_id"] == -1
