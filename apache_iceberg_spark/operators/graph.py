@@ -716,3 +716,75 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(edges, ["u", "v"], "left_anti").select(
         "u", "v", "n_common", "ra_micro"
     )
+
+
+# --- g5: bounded-hop shortest paths -----------------------------------------
+
+G5_MAX_HOPS = 4
+G5_N_SEEDS = 2
+
+
+@register(
+    "g5_khop_distance",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_KNN_EDGES},
+        adj AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        seeds AS (
+            SELECT node FROM (SELECT DISTINCT src AS node FROM adj)
+            ORDER BY node LIMIT {G5_N_SEEDS}
+        ),
+        walk(node, dist) AS (
+            SELECT node, 0 FROM seeds
+            UNION ALL
+            SELECT a.dst, w.dist + 1
+            FROM walk w JOIN adj a ON a.src = w.node
+            WHERE w.dist < {G5_MAX_HOPS}
+        )
+        SELECT node AS l_suppkey, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY node
+    """,
+    doc=f"Bounded-hop SHORTEST PATHS — the graph-distance primitive "
+    "completing the family (dd6 components, g1/g3 centrality, g2 "
+    "motifs, g4 link scores, g5 DISTANCE): BFS distance <= "
+    f"{G5_MAX_HOPS} hops from the {G5_N_SEEDS} lowest-id suppliers "
+    "over the shared kNN co-purchase graph, as "
+    f"{G5_MAX_HOPS} UNROLLED relax rounds (g1's pattern): each round "
+    "joins the current distance frame onto the adjacency list, adds "
+    "one hop, unions, and keeps the per-node MIN — the min-plus "
+    "semiring step whose fixpoint is Dijkstra on unit weights. The "
+    "oracle is a genuinely RECURSIVE DuckDB CTE (path enumeration "
+    "bounded by the hop cap, then MIN) — two different algorithms, "
+    "one answer. All integer; frontier size is bounded by the kNN "
+    f"degree cap (<= {G2_KNN}^h paths per seed). Production runs the "
+    "identical per-round plan to an all-reached fixpoint with dd6's "
+    "driver-loop pattern; the hop cap here is what makes the plan "
+    "static and the oracle finite.",
+    tags=("graph", "iterative", "distance"),
+)
+def g5_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("a")
+    ).select("a.src", "a.dst")
+    seeds = (
+        adj.select("src").distinct()
+        .orderBy("src")
+        .limit(G5_N_SEEDS)
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
+    )
+    d = seeds
+    for _ in range(G5_MAX_HOPS):
+        step = (
+            d.join(adj, d["node"] == adj["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        d = d.unionByName(step).groupBy("node").agg(F.min("dist").alias("dist"))
+    return d.select(F.col("node").alias("l_suppkey"), "dist")
