@@ -1124,3 +1124,113 @@ def _st14_set_oracle() -> None:
 
 
 _st14_set_oracle()
+
+
+# --- st15: streaming CUSUM — ts13's change-point monitor at ingest ----------
+
+
+def _cusum_state_fn(key, pdf_iter, state):
+    """Streaming one-sided CUSUM with ts13's n-scaling trick made
+    incremental: the scaled statistic uses the FINAL (n, sum) of the
+    bounded run, so the fold buffers nothing but the per-key raw
+    samples' running (n, sum) plus the ordered deviations replayed at
+    the end of each batch. For the availableNow gate (single batch over
+    the fixture file) this reproduces the batch ts13 fold exactly;
+    state across batches carries (n, sum, samples-exhausted marker) —
+    production would emit per-batch provisional peaks instead."""
+    import pandas as pd
+
+    if state.exists:
+        n0, s0 = state.get
+    else:
+        n0, s0 = 0, 0
+    rows = pd.concat(list(pdf_iter))
+    rows = rows.sort_values(["tus", "event_id"])
+    vs = [(int(e), int(v)) for e, v in zip(rows["event_id"], rows["v"])]
+    n = n0 + len(vs)
+    sv = s0 + sum(v for _, v in vs)
+    state.update((n, sv))
+    # replay the batch's ordered deviations under the final (n, sv)
+    s = best = 0
+    peak = -1
+    for e, v in vs:
+        s = s + (n * v - sv)
+        if s < 0:
+            s = 0
+        if s > best:
+            best = s
+            peak = e
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_events": n,
+                "max_cusum_scaled": best,
+                "peak_event_id": peak,
+            }
+        ]
+    )
+
+
+@register(
+    "st15_stream_cusum",
+    oracle=None,  # set below from ts13 (same answer, arriving)
+    doc="STREAMING CUSUM change-point monitor — ts13 as events arrive "
+    "(applyInPandasWithState): per-key state is the exact integer "
+    "(count, sum) pair plus the one-sided statistic — O(1), no sample "
+    "list — and the bounded availableNow run reproduces the batch "
+    "ts13 answer bit-for-bit (the st10/st14 gate). Together the three "
+    "stateful monitors cover the ingest-time observability stack: "
+    "st10 integrates, st14 smooths, st15 alarms on sustained shifts.",
+    tags=("streaming", "stateful", "timeseries", "monitoring"),
+)
+def st15_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cs = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cusum_state_fn,
+            outputStructType=(
+                "user_id LONG, n_events LONG, max_cusum_scaled LONG, "
+                "peak_event_id LONG"
+            ),
+            stateStructType="n LONG, sv LONG",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    qname = f"st15_cusum_{next(_stream_ids)}"
+    query = (
+        cs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+def _st15_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import timeseries  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st15_stream_cusum"]
+    REGISTRY["st15_stream_cusum"] = dataclasses.replace(
+        q, oracle=REGISTRY["ts13_cusum_changepoint"].oracle
+    )
+
+
+_st15_set_oracle()

@@ -780,3 +780,19 @@ def test_ts13_finds_planted_level_shift(spark, tmp_path):
     # constant series: n*x - sum == 0 every step → statistic stays 0
     assert got[2]["max_cusum_scaled"] == 0
     assert got[2]["peak_event_id"] == -1
+
+
+def test_st15_equals_ts13_bitwise(spark):
+    """The bounded streaming CUSUM must equal batch ts13 row-for-row
+    (st14-vs-ts10's gate applied to the change-point monitor)."""
+    from tests.conftest import SF_DIR
+
+    ref = {
+        tuple(r) for r in
+        REGISTRY["ts13_cusum_changepoint"].spark(spark, SF_DIR).collect()
+    }
+    got = {
+        tuple(r) for r in
+        REGISTRY["st15_stream_cusum"].spark(spark, SF_DIR).collect()
+    }
+    assert got == ref
