@@ -619,3 +619,118 @@ def a22_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         (F.col("cm_estimate") - F.col("exact_cnt")).alias("overestimate"),
     )
+
+
+# --- a23: count-min width tuning curve --------------------------------------
+
+A23_WIDTHS = [16, 32, 64, 128]
+
+
+def _a23_oracle() -> str:
+    from apache_iceberg_spark.operators.text import DUCK_HEX2INT
+
+    parts = []
+    for w in A23_WIDTHS:
+        h = DUCK_HEX2INT.format(
+            s="concat('cm', CAST(d AS VARCHAR), ':', "
+            "CAST(l_suppkey AS VARCHAR))"
+        )
+        hk = DUCK_HEX2INT.format(
+            s="concat('cm', CAST(g.d AS VARCHAR), ':', "
+            "CAST(k.l_suppkey AS VARCHAR))"
+        )
+        parts.append(f"""
+        SELECT {w} AS width, n_keys, total_overestimate, max_overestimate,
+               n_exact
+        FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(est - exact_cnt) AS BIGINT)
+                       AS total_overestimate,
+                   CAST(MAX(est - exact_cnt) AS BIGINT) AS max_overestimate,
+                   CAST(SUM(CASE WHEN est = exact_cnt THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact
+            FROM (
+                SELECT k.l_suppkey, k.exact_cnt, MIN(cc.cnt) AS est
+                FROM (
+                    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+                    FROM lineitem GROUP BY l_suppkey
+                ) k, generate_series(0, {CM_DEPTH - 1}) AS g(d)
+                JOIN (
+                    SELECT d, {h} % {w} AS bucket,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM lineitem,
+                         generate_series(0, {CM_DEPTH - 1}) AS gg(d)
+                    GROUP BY 1, 2
+                ) cc ON cc.d = g.d AND cc.bucket = {hk} % {w}
+                GROUP BY k.l_suppkey, k.exact_cnt
+            )
+        )""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "a23_countmin_width_curve",
+    oracle=_a23_oracle(),
+    doc="COUNT-MIN width TUNING CURVE — dd18's measure-don't-guess "
+    f"methodology applied to a22's sketch: for widths {A23_WIDTHS} "
+    f"(all at depth {CM_DEPTH}), the total/max overestimate and the "
+    "count of exactly-estimated keys against ground truth. The "
+    "epsilon ~ corpus_size/width theory says error halves per width "
+    "doubling — this measures where THIS key distribution actually "
+    "lands, which is the evidence behind a22's 64-bucket operating "
+    "point (pytest asserts the monotone improvement). One corpus "
+    "pass per width; each sketch stays constant-size and mergeable.",
+    tags=("aggregate", "sketch", "evaluation", "report"),
+)
+def a23_countmin_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.text import SPARK_HEX2INT
+
+    l = load_table(spark, sf_dir, "lineitem")
+    keys = l.groupBy("l_suppkey").agg(
+        F.count("*").alias("exact_cnt")
+    ).persist()  # plan-cache: reused by all widths
+    h = SPARK_HEX2INT.format(
+        s="concat('cm', CAST(d AS STRING), ':', CAST(l_suppkey AS STRING))"
+    )
+    out = None
+    for w in A23_WIDTHS:
+        cells = (
+            l.select(
+                "l_suppkey",
+                F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
+            )
+            .select("d", F.expr(f"{h} % {w}").alias("bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+        est = (
+            keys.select(
+                "l_suppkey",
+                "exact_cnt",
+                F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
+            )
+            .select(
+                "l_suppkey",
+                "exact_cnt",
+                "d",
+                F.expr(f"{h} % {w}").alias("bucket"),
+            )
+            .join(F.broadcast(cells), ["d", "bucket"])
+            .groupBy("l_suppkey", "exact_cnt")
+            .agg(F.min("cnt").alias("est"))
+        )
+        row = est.agg(
+            F.lit(w).alias("width"),
+            F.count("*").alias("n_keys"),
+            F.sum(F.col("est") - F.col("exact_cnt")).alias(
+                "total_overestimate"
+            ),
+            F.max(F.col("est") - F.col("exact_cnt")).alias(
+                "max_overestimate"
+            ),
+            F.sum(
+                F.when(F.col("est") == F.col("exact_cnt"), 1).otherwise(0)
+            ).alias("n_exact"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -796,3 +796,22 @@ def test_st15_equals_ts13_bitwise(spark):
         REGISTRY["st15_stream_cusum"].spark(spark, SF_DIR).collect()
     }
     assert got == ref
+
+
+def test_a23_error_shrinks_with_width(spark):
+    """The count-min error bound (epsilon ~ N/width): total overestimate
+    must be non-increasing as width doubles, and the widest sketch must
+    estimate at least as many keys exactly as the narrowest."""
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        REGISTRY["a23_countmin_width_curve"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["width"],
+    )
+    overs = [r["total_overestimate"] for r in rows]
+    assert overs == sorted(overs, reverse=True), rows
+    assert rows[-1]["n_exact"] >= rows[0]["n_exact"], rows
+    # a22's 64-bucket operating point: by 64 buckets the fixture's keys
+    # are essentially collision-free (the measured knee)
+    w64 = next(r for r in rows if r["width"] == 64)
+    assert w64["n_exact"] == w64["n_keys"], w64
