@@ -815,3 +815,19 @@ def test_a23_error_shrinks_with_width(spark):
     # are essentially collision-free (the measured knee)
     w64 = next(r for r in rows if r["width"] == 64)
     assert w64["n_exact"] == w64["n_keys"], w64
+
+
+def test_monitoring_example_runs(spark):
+    """examples/monitoring_pipeline.py — the observability-stack demo —
+    must execute end-to-end and prove streaming/batch parity (its own
+    internal asserts) on the fixture."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "monitoring_pipeline", "/root/repo/examples/monitoring_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main("/root/testdata/sf0.001")
+    assert out["n_users"] > 0
+    assert out["stream_parity"] is True
