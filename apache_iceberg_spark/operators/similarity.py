@@ -2062,7 +2062,9 @@ def small_full_outer(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     complement is semantically identical and both legs broadcast. Missing
     values fill type-appropriately (false for booleans, 0 otherwise —
     every report column is a count/sum/flag). Column order: key, a's
-    columns, b's columns."""
+    columns, b's columns. Precondition: apart from ``key``, the two
+    frames' column names must be disjoint (the post-join selects refer
+    to b's columns by bare name)."""
     a_cols = [c for c in a.columns if c != key]
     b_cols = [c for c in b.columns if c != key]
 

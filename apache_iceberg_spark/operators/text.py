@@ -1057,7 +1057,12 @@ def _tx17_oracle() -> str:
     "expression tree — no join, no Python) plus one per-doc "
     "aggregation. The oracle recomputes the same merges in its CTE "
     "chain and applies identical folds, so train AND encode are "
-    "cross-checked end-to-end in one hash.",
+    "cross-checked end-to-end in one hash. Assumes the corpus yields "
+    f"the full {TX15_MERGES}-merge table (any realistic corpus does; "
+    "on a degenerate few-token corpus the oracle's CROSS JOIN over an "
+    "empty merge row would empty the result while the Spark side "
+    "would skip the missing rounds — tx15's own empty-m handling "
+    "covers training, encoding requires the trained artifact).",
     tags=("text", "llm", "tokenizer"),
 )
 def tx17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
