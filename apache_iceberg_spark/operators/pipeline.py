@@ -3037,3 +3037,131 @@ def pp13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((({budget}) * weight_micro) DIV total_w * 1000) DIV n_tokens"
         ).alias("epochs_milli"),
     )
+
+
+# --- pp14: corpus drift report ----------------------------------------------
+
+#: Split convention shared with ann14: docs below 3/4 of max doc_id are
+#: the REFERENCE corpus, the rest the INCOMING refresh.
+PP14_NUM, PP14_DEN = 3, 4
+#: Composition-shift alarm threshold: a source/lang whose share moves by
+#: more than this many parts-per-million is flagged.
+PP14_DRIFT_PPM = 50_000
+
+
+@register(
+    "pp14_corpus_drift_report",
+    oracle=f"""
+        WITH split AS (
+            SELECT (MAX(doc_id) * {PP14_NUM}) // {PP14_DEN} AS t0
+            FROM documents
+        ),
+        t AS (
+            SELECT CASE WHEN doc_id < s.t0 THEN 'old' ELSE 'new' END
+                       AS era,
+                   source, lang,
+                   CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                        AS BIGINT) AS n_toks
+            FROM documents, split s
+        ),
+        era_tot AS (
+            SELECT era, CAST(COUNT(*) AS BIGINT) AS n_docs_era
+            FROM t GROUP BY era
+        ),
+        dims AS (
+            SELECT 'source' AS section, source AS key, era,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+            FROM t GROUP BY source, era
+            UNION ALL
+            SELECT 'lang', lang, era, CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(n_toks) AS BIGINT)
+            FROM t GROUP BY lang, era
+        ),
+        shares AS (
+            SELECT d.section, d.key, d.era, d.n_docs, d.n_tokens,
+                   (d.n_docs * 1000000) // e.n_docs_era AS share_ppm
+            FROM dims d JOIN era_tot e USING (era)
+        )
+        SELECT o.section, o.key,
+               o.n_docs AS n_docs_old,
+               COALESCE(n.n_docs, 0) AS n_docs_new,
+               o.n_tokens AS n_tokens_old,
+               COALESCE(n.n_tokens, 0) AS n_tokens_new,
+               o.share_ppm AS share_ppm_old,
+               COALESCE(n.share_ppm, 0) AS share_ppm_new,
+               ABS(COALESCE(n.share_ppm, 0) - o.share_ppm)
+                   > {PP14_DRIFT_PPM} AS drifted
+        FROM (SELECT * FROM shares WHERE era = 'old') o
+        LEFT JOIN (SELECT * FROM shares WHERE era = 'new') n
+          ON n.section = o.section AND n.key = o.key
+    """,
+    doc="CORPUS DRIFT report — ann14's drift-measurement shape applied "
+    "to the documents pipeline (the data-drift check a corpus REFRESH "
+    "runs before retraining anything): the reference slice (doc_id "
+    f"below {PP14_NUM}/{PP14_DEN} of max — ann14's split convention) "
+    "and the incoming slice are profiled per source and per lang "
+    "(docs, tokens, composition share in exact ppm), and any "
+    "dimension whose share moved more than "
+    f"{PP14_DRIFT_PPM / 10000:.0f}% is flagged — the alarm that "
+    "catches a scraper silently flipping domain mix or language "
+    "balance between refreshes. All BIGINT arithmetic; one corpus "
+    "pass, two group-bys on domain-count-sized frames. Reference-side "
+    "dimensions drive the report (a dimension APPEARING only in the "
+    "refresh shows via its era totals in pp12's datasheet; the drift "
+    "row set is keyed to what the trained model already saw).",
+    tags=("pipeline", "llm", "monitoring", "report"),
+)
+def pp14_corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    t0 = int(
+        d.agg(F.expr(f"(MAX(doc_id) * {PP14_NUM}) DIV {PP14_DEN}")).first()[0]
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    t = d.select(
+        F.when(F.col("doc_id") < t0, "old").otherwise("new").alias("era"),
+        "source",
+        "lang",
+        F.size(toks).cast("long").alias("n_toks"),
+    )
+    era_tot = t.groupBy("era").agg(F.count("*").alias("n_docs_era"))
+    dims = (
+        t.groupBy(F.lit("source").alias("section"),
+                  F.col("source").alias("key"), "era")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+        .unionByName(
+            t.groupBy(F.lit("lang").alias("section"),
+                      F.col("lang").alias("key"), "era")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_toks").alias("n_tokens"))
+        )
+    )
+    shares = dims.join(F.broadcast(era_tot), "era").select(
+        "section", "key", "era", "n_docs", "n_tokens",
+        F.expr("(n_docs * 1000000) DIV n_docs_era").alias("share_ppm"),
+    )
+    o = shares.filter(F.col("era") == "old").drop("era")
+    n = shares.filter(F.col("era") == "new").drop("era")
+    n = n.select(
+        F.col("section").alias("section"),
+        F.col("key").alias("key"),
+        F.col("n_docs").alias("n_docs_n"),
+        F.col("n_tokens").alias("n_tokens_n"),
+        F.col("share_ppm").alias("share_ppm_n"),
+    )
+    return o.join(F.broadcast(n), ["section", "key"], "left").select(
+        "section",
+        "key",
+        F.col("n_docs").alias("n_docs_old"),
+        F.coalesce("n_docs_n", F.lit(0)).alias("n_docs_new"),
+        F.col("n_tokens").alias("n_tokens_old"),
+        F.coalesce("n_tokens_n", F.lit(0)).alias("n_tokens_new"),
+        F.col("share_ppm").alias("share_ppm_old"),
+        F.coalesce("share_ppm_n", F.lit(0)).alias("share_ppm_new"),
+        (
+            F.abs(
+                F.coalesce("share_ppm_n", F.lit(0)) - F.col("share_ppm")
+            )
+            > PP14_DRIFT_PPM
+        ).alias("drifted"),
+    )
