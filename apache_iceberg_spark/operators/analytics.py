@@ -734,3 +734,71 @@ def a23_countmin_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- w10: gaps and islands --------------------------------------------------
+
+
+@register(
+    "w10_gap_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events
+        ),
+        grp AS (
+            SELECT user_id, day,
+                   day - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS INT) AS island_key
+            FROM days
+        ),
+        islands AS (
+            SELECT user_id, island_key,
+                   CAST(COUNT(*) AS BIGINT) AS streak_days,
+                   MIN(day) AS streak_start
+            FROM grp GROUP BY user_id, island_key
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+               CAST(MIN(streak_start) AS VARCHAR) AS first_active_day
+        FROM islands GROUP BY user_id
+    """,
+    doc="GAPS-AND-ISLANDS — the canonical consecutive-run grouping "
+    "(login-streak analytics) the window family lacked: distinct "
+    "active days per user, then the date-minus-row_number trick maps "
+    "every maximal run of consecutive days to one constant island "
+    "key (both sequences advance by 1 inside a run, so their "
+    "difference is invariant — and jumps at every gap), one group-by "
+    "per island, one rollup per user. Two shuffles total on user_id "
+    "— the window and both aggregates reuse the same partitioning, "
+    "which AQE keeps co-located; contrast ts2's time-gap "
+    "sessionization, which islands by arbitrary inactivity gaps "
+    "where this islands by calendar adjacency.",
+    tags=("window", "timeseries", "analytics"),
+)
+def w10_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("island_key"),
+    )
+    islands = grp.groupBy("user_id", "island_key").agg(
+        F.count("*").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("streak_days").alias("longest_streak"),
+        # ISO string: the driver's hasher canonicalizes dates differently
+        # per engine (datetime64 vs object) — serialize on both sides
+        F.min("streak_start").cast("string").alias("first_active_day"),
+    )

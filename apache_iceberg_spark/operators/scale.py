@@ -1440,3 +1440,59 @@ def m24_positional_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(dels, ["__file", "__pos"], "left_anti")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "price_cents")
     )
+
+
+# --- m25: metadata-only partition delete ------------------------------------
+
+
+@register(
+    "m25_partition_delete_scan",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               strftime(o_orderdate, '%Y') AS o_year,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y') <> '1992'
+    """,
+    doc="METADATA-ONLY partition delete — the third member of the "
+    "row-level-delete trilogy (m13 equality deletes, m24 positional "
+    "deletes, m25 whole-partition drops): when the delete predicate "
+    "aligns with the partition spec (DELETE WHERE year = 1992), "
+    "Iceberg commits by dropping the partition's data files from the "
+    "manifest list — NO delete file, NO row rewrite, a pure metadata "
+    "commit that runs in milliseconds at any table size. Modeled on "
+    "the partitioned-parquet layout: the table writes partitioned by "
+    "year, the 'delete' filters the FILE list by its partition value "
+    "(the manifest operation), and the scan reads only surviving "
+    "files — the oracle proves file-level truncation equals the "
+    "row-predicate answer precisely because the predicate aligns "
+    "with the spec (the alignment check is what a real engine "
+    "validates before choosing this fast path over m13/m24).",
+    tags=("scale", "lakehouse", "metadata"),
+)
+def m25_partition_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="pdel_"), "orders")
+    o.write.partitionBy("o_year").parquet(table)
+    # the metadata delete: drop every file whose partition matches —
+    # a manifest-list filter, zero data bytes touched
+    survivors = [
+        f
+        for f in spark.read.parquet(table).inputFiles()
+        if "o_year=1992/" not in f
+    ]
+    return (
+        spark.read.option("basePath", table).parquet(*survivors)
+        # partition-directory inference types o_year as INT — restore the
+        # written STRING type (the oracle and the pre-write frame agree)
+        .withColumn("o_year", F.col("o_year").cast("string"))
+        .select("o_orderkey", "o_orderstatus", "o_year", "price_cents")
+    )
