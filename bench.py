@@ -124,6 +124,15 @@ AUX = [
     "m23_metadata_only_aggregates",
     "m24_positional_delete_scan",
     "ts12_holt_trend",
+    "ts13_cusum_changepoint",
+    "tx17_bpe_encode",
+    "g5_khop_distance",
+    "a21_correlation",
+    "a22_countmin_heavy_hitters",
+    "a23_countmin_width_curve",
+    "pp14_corpus_drift_report",
+    "w10_gap_islands",
+    "m25_partition_delete_scan",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)
