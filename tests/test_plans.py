@@ -869,3 +869,28 @@ def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
         q._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_a21_is_single_aggregation_no_join(spark):
+    """a21's exact-moment correlation is one partial+final aggregate
+    over the scan — no join anywhere, and the moments merge map-side."""
+    plan = plan_of(spark, "a21_correlation")
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_a22_sketch_joins_stay_small(spark):
+    """a22's estimate join must broadcast the 256-cell sketch (never a
+    cartesian product); the corpus-side work is the two group-bys."""
+    plan = plan_of(spark, "a22_countmin_heavy_hitters")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_m25_surviving_file_scan_is_shuffle_free(spark):
+    """m25's post-delete read is a pure file scan + project: the
+    metadata delete already did the work, so the query plan must
+    contain no Exchange and no Join."""
+    plan = plan_of(spark, "m25_partition_delete_scan")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
