@@ -1721,3 +1721,64 @@ def dd18_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- tx18: boilerplate n-gram mining (lives here: reuses the shingle rig) ---
+
+TX18_TOP_K = 25
+TX18_MIN_DOCS = 3
+
+
+@register(
+    "tx18_boilerplate_ngrams",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS gram FROM toks
+        ),
+        counts AS (
+            SELECT gram,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM sh GROUP BY gram
+        )
+        SELECT gram, n_docs
+        FROM (
+            SELECT gram, n_docs, ROW_NUMBER() OVER (
+                ORDER BY n_docs DESC, gram
+            ) AS rn
+            FROM counts WHERE n_docs >= {TX18_MIN_DOCS}
+        ) WHERE rn <= {TX18_TOP_K}
+    """,
+    doc=f"BOILERPLATE n-gram mining — the corpus-wide repeated-span "
+    "report a filter author reads before writing rules (Gopher's "
+    "most-common-paragraphs check, at shingle granularity): every "
+    f"{SHINGLE_WORDS}-word shingle (dd2's distinct-per-doc shingle "
+    "rig, short-doc guard included) is counted by DISTINCT containing "
+    f"documents, spans in >= {TX18_MIN_DOCS} docs surface, top "
+    f"{TX18_TOP_K} by document frequency with lexicographic tiebreak. "
+    "Complements the dedup family's REMOVERS (tx13 strips within-doc "
+    "repeats, dd10 deduplicates cross-doc lines): tx18 is the "
+    "DIAGNOSTIC that tells you WHICH navigation chrome / license "
+    "banner / template stub dominates the corpus. Scale: per-doc "
+    "array_distinct bounds each doc's contribution, the count is one "
+    "partial+final aggregate on the gram key (Zipf-skewed — AQE skew "
+    "handling applies), and the top-k is TakeOrdered, never a global "
+    "sort.",
+    tags=("text", "dedup", "llm", "report"),
+)
+def tx18_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.expr(_SPARK_SHINGLES_INLINE)).alias("gram"),
+    )
+    counts = sh.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        counts.filter(F.col("n_docs") >= TX18_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(TX18_TOP_K)
+    )

@@ -2879,3 +2879,89 @@ def ann16_residual_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_dist"),
         )
     )
+
+
+# --- ann17: filtered vector search ------------------------------------------
+
+
+@register(
+    "ann17_filtered_search",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_DUCK_DOT.format(a="embedding", b="embedding")})
+                       AS norm
+            FROM embeddings
+        )
+        SELECT query_id, neighbor_id, cosine, n_candidates
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+                       / (q.norm * c.norm) AS cosine,
+                   CAST(COUNT(*) OVER (PARTITION BY q.vec_id) AS BIGINT)
+                       AS n_candidates,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DUCK_DOT.format(
+                           a="q.embedding", b="c.embedding")}
+                                / (q.norm * c.norm) DESC, c.vec_id
+                   ) AS rn
+            FROM n q JOIN n c
+              ON c.label = q.label AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc="FILTERED vector search — the vector-database staple the plain "
+    "ann family lacked: top-k cosine neighbors restricted to corpus "
+    "vectors satisfying a metadata predicate (here: same label as the "
+    "query — the tenant/category/language filter every production "
+    "search carries). This is the PRE-filter strategy: the predicate "
+    "joins BEFORE any distance math, so compute is proportional to "
+    "the filtered candidate set (emitted per query as n_candidates — "
+    "the selectivity evidence), and recall is exact within the "
+    "filter; post-filtering an ANN result would instead return "
+    "fewer than k when the filter bites. Spark shape: label equi-join "
+    "replaces the cross product (the metadata column acts as the "
+    "blocking key exactly like dd17's cells); at 100 TB the corpus is "
+    "bucketed by the filter column and the query side broadcasts. "
+    "Labels here are the fixture's; any boolean predicate slot "
+    "composes the same way.",
+    tags=("similarity", "llm", "embedding", "search", "filter"),
+)
+def ann17_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(
+            f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
+        ).alias("norm"),
+    ).persist()  # plan-cache: query and corpus legs of the label join
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(n, (F.col("label") == F.col("q_label"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id")
+    wr = w.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("n_candidates", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "n_candidates")
+    )
