@@ -1114,6 +1114,14 @@ def m19_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mins, maxs = [], []
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
+                    # Same footer-stats guard as m23 (ADVICE r7): a file
+                    # written without column statistics cannot feed the
+                    # metadata listing — fail loudly, not AttributeError.
+                    if st is None or not st.has_min_max:
+                        raise RuntimeError(
+                            f"m19: footer statistics missing for "
+                            f"o_totalprice in {uri} (row group {rg})"
+                        )
                     mins.append(st.min)
                     maxs.append(st.max)
                 rows.append(
@@ -1346,6 +1354,19 @@ def m23_metadata_only_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mins, maxs = [], []
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
+                    # A writer may omit column statistics (ADVICE r7):
+                    # the metadata-only path is then impossible by
+                    # construction — fail with the real reason instead
+                    # of an AttributeError inside mapInPandas. (Real
+                    # Iceberg falls back to a data scan; this operator's
+                    # contract is the footer-only answer.)
+                    if st is None or not st.has_min_max:
+                        raise RuntimeError(
+                            f"m23: footer statistics missing for "
+                            f"{tbl}.{col} in {uri} (row group {rg}) — "
+                            "cannot answer from metadata; scan the data "
+                            "instead"
+                        )
                     mins.append(st.min)
                     maxs.append(st.max)
                 rows.append(

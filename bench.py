@@ -204,13 +204,23 @@ def main() -> None:
         timings[name] = round(best, 2)
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
-    # AUX operators: same timing protocol, stderr-only reporting.
+    # AUX operators: same timing protocol, stderr-only reporting. Plan
+    # caches are released BETWEEN AUX operators (ADVICE r7: without this,
+    # each of the 79 timed operators' plan-cache frames accumulates and
+    # later AUX timings run under growing block-manager/eviction pressure).
+    # HEADLINE keeps the original never-release protocol for round-over-
+    # round comparability; AUX r8+ numbers are under the release protocol
+    # (named in README — any r7→r8 AUX delta has this as a candidate
+    # cause).
+    from apache_iceberg_spark.session import release_plan_caches
+
     for name in AUX:
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             n = queries[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
+        release_plan_caches(spark)
         print(f"# aux {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

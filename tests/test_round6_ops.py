@@ -335,11 +335,21 @@ def test_rotation_puts_fresh_and_recheck_inside_driver_sample():
     assert tail_rounds == sorted(tail_rounds), "green tail not oldest-first"
 
 
+def _hex_syms(w: str) -> list:
+    """Byte-level symbol sequence of a word: one uppercase 2-hex-char
+    symbol per UTF-8 byte (tx15's round-8 alphabet)."""
+    h = w.encode("utf-8").hex().upper()
+    return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+
 def _ref_bpe(words: dict, k: int):
-    """Pure-Python reference BPE trainer: freq-weighted pair counts,
-    argmax with (count desc, a asc, b asc) tiebreak, greedy left-to-right
-    non-overlapping rewrite — the semantics tx15 claims."""
-    vocab = [([c for c in w], f) for w, f in sorted(words.items())]
+    """Pure-Python reference BPE trainer: byte-level symbols,
+    freq-weighted pair counts, argmax with (count desc, a asc, b asc)
+    tiebreak, greedy left-to-right non-overlapping rewrite — the
+    semantics tx15 claims. Deliberately the naive full-recount
+    algorithm, independent of both the incremental driver loop and the
+    distributed fold."""
+    vocab = [(_hex_syms(w), f) for w, f in sorted(words.items())]
     out = []
     for r in range(1, k + 1):
         cnt: dict = {}
@@ -369,8 +379,10 @@ def test_tx15_oracle_matches_reference_bpe_on_random_corpora():
     """Wide randomized check of the unrolled-SQL BPE against the pure
     reference: the DuckDB oracle (the engines hash-match on it via the
     differential harness) must reproduce the reference merge table on
-    random corpora — including all-1-char-word corpora where merge
-    rounds run dry early."""
+    random corpora — including all-1-char-ASCII-word corpora where merge
+    rounds run dry early, and NON-ASCII words whose multi-byte UTF-8
+    sequences exercise the byte-level alphabet (é is 2 bytes, € is 3:
+    merges must re-join them byte by byte)."""
     import duckdb
     import pandas as pd
     from hypothesis import given, settings
@@ -378,9 +390,9 @@ def test_tx15_oracle_matches_reference_bpe_on_random_corpora():
 
     from apache_iceberg_spark.operators.text import TX15_MERGES, _tx15_oracle
 
-    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    word = st.text(alphabet="abcé€", min_size=1, max_size=5)
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=15, deadline=None)
     @given(st.lists(st.lists(word, min_size=1, max_size=8), min_size=1, max_size=6))
     def check(docs):
         pdf = pd.DataFrame(
@@ -399,6 +411,33 @@ def test_tx15_oracle_matches_reference_bpe_on_random_corpora():
         assert got == sorted(want), (docs, got, want)
 
     check()
+
+
+def test_tx15_driver_loop_matches_reference_bpe():
+    """The incremental pair-count driver loop (the TX15_DRIVER_VOCAB
+    branch) must equal the naive full-recount reference on corpora with
+    heavy overlap, dry rounds, and multi-byte words — three independent
+    algorithms (incremental, full-recount Python, full-recount SQL) must
+    agree on one merge table."""
+    from apache_iceberg_spark.operators.text import (
+        TX15_MERGES,
+        _tx15_driver_merges,
+    )
+
+    corpora = [
+        {"ab": 7, "abc": 3, "b": 2, "c": 1},
+        {"aaaa": 5, "aa": 2},  # self-pair greedy non-overlap
+        {"x": 1},  # no pairs at all → zero merges
+        {"café": 4, "cafe": 2, "€uro": 3},  # multi-byte UTF-8
+        {"σπάρκ": 2, "spark": 5},
+    ]
+    for words in corpora:
+        want = _ref_bpe(words, TX15_MERGES)
+        got = _tx15_driver_merges(
+            [(_hex_syms(w), f) for w, f in sorted(words.items())],
+            TX15_MERGES,
+        )
+        assert got == want, (words, got[:5], want[:5])
 
 
 def test_tx15_spark_matches_reference_bpe(spark, tmp_path):

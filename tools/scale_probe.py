@@ -221,10 +221,50 @@ def time_ewma(spark, n_hot: int, variant: str) -> float:
     return dt
 
 
+def time_bpe(spark, n_words: int, branch: str) -> float:
+    """Merge-round cost of the BPE trainer vs vocabulary size (VERDICT
+    r7 ask #1's scale probe): a synthetic corpus with n_words DISTINCT
+    8-letter pseudo-random words (one per doc — frequency skew does not
+    change the loop's cost model, only the argmax winners) is written to
+    a temp dir, then tx15's REGISTERED training path runs forced onto
+    one branch of the TX15_DRIVER_VOCAB gate. branch='driver' runs the
+    full 64-merge incremental loop; branch='dist' runs 4 distributed
+    rounds (per-round cost is what matters — each round is one argmax
+    job + one fold-rewrite materialization at ANY round count)."""
+    import tempfile
+
+    import apache_iceberg_spark.operators.text as tx
+
+    d = tempfile.mkdtemp(prefix="bpe_probe_")
+    spark.range(n_words).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws('', transform(sequence(0, 7), "
+            "j -> char(97 + pmod(hash(id, j), 26))))"
+        ).alias("text"),
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    saved = tx.TX15_DRIVER_VOCAB
+    tx.TX15_DRIVER_VOCAB = (1 << 60) if branch == "driver" else 0
+    n_merges = 64 if branch == "driver" else 4
+    try:
+        t0 = time.time()
+        merges, n_vocab = tx._tx15_train(spark, d, n_merges=n_merges)
+        dt = time.time() - t0
+    finally:
+        tx.TX15_DRIVER_VOCAB = saved
+    print(
+        f"  bpe vocab={n_vocab:>10,} branch={branch} merges={len(merges)}"
+        f" wall={dt:6.2f}s per-round={dt / max(len(merges), 1):6.3f}s",
+        flush=True,
+    )
+    return dt
+
+
 def main() -> None:
     """Usage: scale_probe.py cc <n_edges> <driver|dist>
               scale_probe.py g3 <copies> <driver|dist> [rounds]
               scale_probe.py ewma <n_hot_events> <ts10|ts11>
+              scale_probe.py bpe <n_distinct_words> <driver|dist>
 
     One measurement per invocation so a slow branch (the point of the
     probe is that the wrong branch IS slow) cannot starve the others."""
@@ -238,6 +278,8 @@ def main() -> None:
         time_cc(spark, size, force_driver)
     elif kind == "ewma":
         time_ewma(spark, size, branch)
+    elif kind == "bpe":
+        time_bpe(spark, size, branch)
     else:
         rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 6
         time_g3_rounds(spark, size, force_driver, rounds=rounds)
