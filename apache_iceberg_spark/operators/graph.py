@@ -750,18 +750,22 @@ G5_N_SEEDS = 2
     "completing the family (dd6 components, g1/g3 centrality, g2 "
     "motifs, g4 link scores, g5 DISTANCE): BFS distance <= "
     f"{G5_MAX_HOPS} hops from the {G5_N_SEEDS} lowest-id suppliers "
-    "over the shared kNN co-purchase graph, as "
-    f"{G5_MAX_HOPS} UNROLLED relax rounds (g1's pattern): each round "
-    "joins the current distance frame onto the adjacency list, adds "
-    "one hop, unions, and keeps the per-node MIN — the min-plus "
-    "semiring step whose fixpoint is Dijkstra on unit weights. The "
-    "oracle is a genuinely RECURSIVE DuckDB CTE (path enumeration "
-    "bounded by the hop cap, then MIN) — two different algorithms, "
-    "one answer. All integer; frontier size is bounded by the kNN "
-    f"degree cap (<= {G2_KNN}^h paths per seed). Production runs the "
-    "identical per-round plan to an all-reached fixpoint with dd6's "
-    "driver-loop pattern; the hop cap here is what makes the plan "
-    "static and the oracle finite.",
+    "over the shared kNN co-purchase graph, as a DELTA-FRONTIER BFS "
+    "(VERDICT r7 ask #2): each round expands ONLY the nodes first "
+    "reached in the previous round — one join frontier-to-adjacency, "
+    "one anti-join against the settled set — so per-hop shuffle work "
+    "is O(|frontier| x deg), not O(|settled| x deg) as the naive "
+    "union-and-reaggregate form pays (tools/scale_probe.py g5 measures "
+    "the gap). On unit weights the first-discovery hop IS the shortest "
+    "distance, so the delta form is exact, and an empty frontier "
+    "early-exits the driver loop (dd6's pattern). The oracle is a "
+    "genuinely RECURSIVE DuckDB CTE (path enumeration bounded by the "
+    "hop cap, then MIN) — two different algorithms, one answer. All "
+    "integer; frontier size is bounded by the kNN degree cap (<= "
+    f"{G2_KNN}^h nodes per seed). Production runs the identical "
+    "per-round plan to an all-reached fixpoint; per-hop frontiers are "
+    "localCheckpoint'd so round h's plan does not re-derive rounds "
+    "1..h-1.",
     tags=("graph", "iterative", "distance"),
 )
 def g5_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,11 +784,37 @@ def g5_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(G5_N_SEEDS)
         .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
     )
-    d = seeds
-    for _ in range(G5_MAX_HOPS):
-        step = (
-            d.join(adj, d["node"] == adj["src"])
-            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+    layers = list(_g5_layers(adj, seeds, G5_MAX_HOPS))
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.unionByName(lay)
+    return out.select(F.col("node").alias("l_suppkey"), "dist")
+
+
+def _g5_layers(adj: DataFrame, seeds: DataFrame, max_hops: int):
+    """Delta-frontier BFS layers: yields the (node, dist) frame of nodes
+    FIRST reached at each hop 0..max_hops. The expansion input of round
+    h is exactly layer h-1 (the frontier), never the settled union —
+    test_round8_ops asserts this behaviorally on a path graph where
+    every layer has one node while the settled set grows. Each frontier
+    is localCheckpoint'd: it is consumed twice (expansion + the settled
+    anti-join of every later round) and checkpointing truncates the
+    otherwise exponentially-nesting lineage (dd6's loop convention)."""
+    frontier = seeds.localCheckpoint(eager=False)
+    yield frontier
+    settled = frontier.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
         )
-        d = d.unionByName(step).groupBy("node").agg(F.min("dist").alias("dist"))
-    return d.select(F.col("node").alias("l_suppkey"), "dist")
+        frontier = (
+            reached.join(settled, "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if frontier.isEmpty():
+            return
+        yield frontier
+        settled = settled.unionByName(frontier.select("node"))

@@ -668,18 +668,110 @@ def ts10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ts11: segmented EWMA — the hot-key-safe two-level variant --------------
 
-#: Segment width for the two-level fold: one calendar day of microseconds.
-TS11_BUCKET_US = 86_400_000_000
+#: Bucket-width ladder for the two-level fold: day, hour, minute (µs).
+TS11_LADDER_US = (86_400_000_000, 3_600_000_000, 60_000_000)
+
+#: Auto-sizing target (VERDICT r7 ask #3): the widest ladder bucket whose
+#: MEASURED worst (user, bucket) event count stays at or below this is
+#: selected. Derived from SCALE_NOTES §EWMA's heap rule — events-per-key-
+#: bucket x task concurrency x ~120 B must fit the executor heap; 1M
+#: events/bucket x 16 tasks x 120 B ≈ 1.9 GB leaves headroom on the
+#: default 8 g heap while day buckets (fewest level-2 rows) stay the
+#: pick for every non-pathological key distribution.
+TS11_TARGET_PER_BUCKET = 1_000_000
+
+#: Probe/test override: force a fixed bucket width (µs), skipping the
+#: sizing pre-pass (tools/scale_probe.py's ts11h variant).
+TS11_FORCE_BUCKET_US = None
+
+
+def _floor_div(expr: str, b: int) -> str:
+    """Exact floor division as a SQL expression fragment. Spark's DIV and
+    DuckDB's integer // BOTH truncate toward zero (measured: -7 DIV 2 ==
+    -7 // 2 == -3), so parity never breaks — but truncation would fold
+    pre-epoch microseconds into bucket 0 with post-epoch ones; the pmod
+    form buckets negative timestamps correctly on both engines (ADVICE
+    r7; DuckDB twin: _duck_floor_div)."""
+    return f"(({expr}) - pmod({expr}, {b})) DIV {b}"
+
+
+def _duck_floor_div(expr: str, b: int) -> str:
+    """DuckDB twin of _floor_div (DuckDB % follows the dividend's sign,
+    so pmod is spelled out)."""
+    return f"(({expr}) - ((({expr}) % {b} + {b}) % {b})) // {b}"
+
+
+def _ts11_pick_bucket_us(e) -> int:
+    """Auto-size ts11's segment width from the data (VERDICT r7 ask #3):
+    ONE cheap pre-pass counts events per (user, minute) — map-side
+    combined, output bounded by distinct (user, minute) pairs — then
+    re-aggregates that tiny frame to per-(user, hour) and per-(user,
+    day) maxima in the same job. The selected width is the WIDEST
+    ladder bucket whose measured worst-case (user, bucket) count is at
+    or below TS11_TARGET_PER_BUCKET — measured, not assumed-uniform, so
+    a key that crams its history into one hour is caught even when its
+    daily average looks safe. Exactly one 3-scalar row crosses to the
+    driver. Floor: if even minute buckets exceed the target the minute
+    width is kept (st14's O(1) streaming state is the real escape,
+    SCALE_NOTES §EWMA). `e` must carry user_id + tus (µs)."""
+    if TS11_FORCE_BUCKET_US is not None:
+        return TS11_FORCE_BUCKET_US
+    day_us, hour_us, minute_us = TS11_LADDER_US
+    mc = e.groupBy(
+        "user_id", F.expr(_floor_div("tus", minute_us)).alias("mb")
+    ).agg(F.count("*").alias("c"))
+    hc = mc.groupBy(
+        "user_id", F.expr(_floor_div("mb", 60)).alias("hb")
+    ).agg(F.sum("c").alias("c"), F.max("c").alias("mm"))
+    dc = hc.groupBy(
+        "user_id", F.expr(_floor_div("hb", 24)).alias("db")
+    ).agg(F.sum("c").alias("c"), F.max("c").alias("mh"), F.max("mm").alias("mm"))
+    row = dc.agg(
+        F.max("c").alias("d"), F.max("mh").alias("h"), F.max("mm").alias("m")
+    ).first()
+    if row["d"] is None or row["d"] <= TS11_TARGET_PER_BUCKET:
+        return day_us
+    if row["h"] <= TS11_TARGET_PER_BUCKET:
+        return hour_us
+    return minute_us
 
 
 @register(
     "ts11_ewma_segmented",
     oracle=f"""
-        WITH s AS (
+        WITH s0 AS (
             SELECT user_id, epoch_us(ts) AS tus, event_id,
-                   CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS v,
-                   epoch_us(ts) // {TS11_BUCKET_US} AS bucket
+                   CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS v
             FROM events
+        ),
+        mc AS (
+            SELECT user_id, {_duck_floor_div("tus", TS11_LADDER_US[2])} AS mb,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM s0 GROUP BY user_id, mb
+        ),
+        hc AS (
+            SELECT user_id, {_duck_floor_div("mb", 60)} AS hb,
+                   CAST(SUM(c) AS BIGINT) AS c, MAX(c) AS mm
+            FROM mc GROUP BY user_id, hb
+        ),
+        dc AS (
+            SELECT user_id, {_duck_floor_div("hb", 24)} AS db,
+                   CAST(SUM(c) AS BIGINT) AS c, MAX(c) AS mh, MAX(mm) AS mm
+            FROM hc GROUP BY user_id, db
+        ),
+        pick AS (
+            SELECT CASE
+                WHEN COALESCE(MAX(c), 0) <= {TS11_TARGET_PER_BUCKET}
+                    THEN {TS11_LADDER_US[0]}
+                WHEN MAX(mh) <= {TS11_TARGET_PER_BUCKET}
+                    THEN {TS11_LADDER_US[1]}
+                ELSE {TS11_LADDER_US[2]} END AS bu
+            FROM dc
+        ),
+        s AS (
+            SELECT user_id, tus, event_id, v,
+                   (tus - ((tus % bu + bu) % bu)) // bu AS bucket
+            FROM s0 CROSS JOIN pick
         ),
         seg AS (
             SELECT user_id, bucket,
@@ -718,19 +810,31 @@ TS11_BUCKET_US = 86_400_000_000
     doc="SEGMENTED per-user EWMA — ts10's recurrence made hot-key-safe "
     "(VERDICT r6 ask #6): each EWMA step s' = (v + 7s)/8 is an AFFINE "
     "map s -> a*s + b, and affine maps compose, so a power-law user's "
-    "history no longer has to fit one task's collect_list. Level 1 "
-    "groups by (user, day-bucket) and folds each day's time-ordered "
-    "samples into one composed map (A = product of 7/8 factors, B = "
-    "the EWMA fold from state 0) plus the tail variant that treats the "
-    "day's first sample as the seed; per-task state is ONE KEY-DAY of "
-    "events, whatever the key's total history. Level 2 groups by user "
-    "over the per-day maps (bounded by the time range, not the event "
-    "count) and folds them in bucket order: seed = first day's tail "
-    "map applied to its first sample, then s = A*s + B per later day. "
-    "Same answer as ts10 up to float re-association (pytest bounds the "
-    "delta and proves bitwise equality for single-bucket users); the "
-    "oracle is the bitwise twin of the segmented computation itself — "
-    "identical IEEE op sequence on both engines.",
+    "history no longer has to fit one task's collect_list. The segment "
+    "width is AUTO-SIZED from the data (VERDICT r7 ask #3): one cheap "
+    "pre-pass measures the worst (user, bucket) event count at minute/"
+    "hour/day granularity (minute counts map-side combined, the hour/"
+    "day maxima re-aggregated from that tiny frame in the same job) "
+    "and the widest ladder bucket whose MEASURED hot-bucket count "
+    "fits TS11_TARGET_PER_BUCKET is selected — a 64M-event hot key "
+    "picks hour-or-finer while uniform traffic keeps day buckets "
+    "(property-tested); one 3-scalar row crosses to the driver, and "
+    "the identical arithmetic runs inside the oracle so both engines "
+    "derive the same width. Level 1 groups by (user, bucket) and "
+    "folds each segment's time-ordered samples into one composed map "
+    "(A = product of 7/8 factors, B = the EWMA fold from state 0) "
+    "plus the tail variant that treats the segment's first sample as "
+    "the seed; per-task state is ONE KEY-SEGMENT of events, whatever "
+    "the key's total history. Level 2 groups by user over the "
+    "per-segment maps (bounded by the time range, not the event "
+    "count) and folds them in bucket order: seed = first segment's "
+    "tail map applied to its first sample, then s = A*s + B per later "
+    "segment. Same answer as ts10 up to float re-association (pytest "
+    "bounds the delta and proves bitwise equality for single-bucket "
+    "users); the oracle is the bitwise twin of the segmented "
+    "computation itself — identical IEEE op sequence on both engines. "
+    "Bucketing is exact FLOOR division on both sides (pmod form), so "
+    "pre-epoch timestamps segment correctly (ADVICE r7).",
     tags=("timeseries", "analytics", "scale"),
 )
 def ts11_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,7 +844,9 @@ def ts11_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("tus"),
         "event_id",
         F.round(F.col("value") * 100).cast("long").cast("double").alias("v"),
-    ).withColumn("bucket", F.expr(f"tus DIV {TS11_BUCKET_US}"))
+    )
+    bucket_us = _ts11_pick_bucket_us(s)
+    s = s.withColumn("bucket", F.expr(_floor_div("tus", bucket_us)))
     seg = (
         s.select(
             "user_id", "bucket",

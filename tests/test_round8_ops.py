@@ -168,3 +168,151 @@ def test_release_plan_caches_serving_loop(spark):
             f"{name}: {after - baseline} cached frames survived "
             "release_plan_caches"
         )
+
+
+# ---------------------------------------------------------------------------
+# Delta-frontier g5 (VERDICT r7 ask #2)
+# ---------------------------------------------------------------------------
+
+
+def _path_adj(spark, n: int):
+    """Undirected path graph 0-1-...-n as a (src, dst) adjacency frame."""
+    e = spark.range(n).selectExpr("id AS u", "id + 1 AS v")
+    return e.selectExpr("u AS src", "v AS dst").unionAll(
+        e.selectExpr("v AS src", "u AS dst")
+    )
+
+
+def test_g5_expands_frontier_not_settled(spark):
+    """On a path graph seeded at one end, every BFS layer holds exactly
+    ONE node while the settled set grows — so asserting layer sizes
+    == 1 proves the per-hop expansion input is the delta frontier, not
+    the settled union (whose re-aggregated frame had sizes 1,2,3,...
+    in the r7 form)."""
+    from apache_iceberg_spark.operators.graph import _g5_layers
+
+    adj = _path_adj(spark, 6)
+    seeds = spark.createDataFrame([(0, 0)], "node long, dist long")
+    layers = list(_g5_layers(adj, seeds, 4))
+    assert len(layers) == 5  # hops 0..4
+    for h, lay in enumerate(layers):
+        rows = lay.collect()
+        assert len(rows) == 1, f"hop {h}: frontier is not a delta"
+        assert (rows[0].node, rows[0].dist) == (h, h)
+
+
+def test_g5_early_exits_on_empty_frontier(spark):
+    """A 2-node graph exhausts at hop 1; the driver loop must stop
+    yielding instead of running empty rounds to the hop cap."""
+    from apache_iceberg_spark.operators.graph import _g5_layers
+
+    adj = _path_adj(spark, 1)
+    seeds = spark.createDataFrame([(0, 0)], "node long, dist long")
+    layers = list(_g5_layers(adj, seeds, 4))
+    assert [lay.count() for lay in layers] == [1, 1]  # hops 0 and 1 only
+
+
+def test_g5_distances_correct_on_branching_graph(spark):
+    """Delta-frontier BFS equals per-node shortest distance on a graph
+    with multiple routes: a 4-cycle with a tail, where node 2 is
+    reachable two ways (both length 2) and must appear once."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4)]
+    adj = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    from apache_iceberg_spark.operators.graph import _g5_layers
+
+    seeds = spark.createDataFrame([(0, 0)], "node long, dist long")
+    got = {
+        r.node: r.dist
+        for lay in _g5_layers(adj, seeds, 4)
+        for r in lay.collect()
+    }
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# ts11 auto-sized bucket width (VERDICT r7 ask #3)
+# ---------------------------------------------------------------------------
+
+
+def _tus_frame(spark, specs):
+    """Synthetic (user_id, tus) frame: specs = [(user_id, n_events,
+    span_us)] with each user's events spread uniformly over its span
+    starting at the 2024 epoch."""
+    base = 1_704_067_200_000_000  # 2024-01-01 in µs
+    frames = []
+    for uid, n, span in specs:
+        step = max(span // n, 1)  # pre-divide: id * span overflows BIGINT
+        frames.append(
+            spark.range(n).selectExpr(
+                f"CAST({uid} AS INT) AS user_id",
+                f"CAST({base} + id * {step} AS BIGINT) AS tus",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+def test_ts11_autosizer_uniform_keeps_day_buckets(spark):
+    """100 cold users x 1,000 events over 30 days: every (user, day)
+    count is tiny, so the auto-sizer must keep the widest (day) bucket
+    — minimizing level-2 rows is the whole point of segmenting."""
+    from apache_iceberg_spark.operators import timeseries as tsm
+
+    e = _tus_frame(spark, [(u, 1_000, 30 * 86_400_000_000) for u in range(100)])
+    assert tsm._ts11_pick_bucket_us(e) == tsm.TS11_LADDER_US[0]
+
+
+def test_ts11_autosizer_hot_key_picks_hour_or_finer(spark):
+    """The SCALE_NOTES §EWMA failure fixture — one 64M-event hot key over
+    30 days — must select hour-or-finer buckets (measured per-day max
+    ≈ 2.13M > the 1M target; per-hour ≈ 89k fits), i.e. exactly the
+    width the manual probe showed completes where day buckets OOM."""
+    from apache_iceberg_spark.operators import timeseries as tsm
+
+    e = _tus_frame(spark, [(1, 64_000_000, 30 * 86_400_000_000)])
+    assert tsm._ts11_pick_bucket_us(e) == tsm.TS11_LADDER_US[1]
+
+
+def test_ts11_autosizer_burst_inside_one_hour_picks_minute(spark):
+    """A key whose daily AVERAGE looks safe but whose history is crammed
+    into single hours must still be caught: the sizer uses measured
+    per-granularity maxima, not uniformity assumptions. 2M events
+    inside one hour -> per-day max 2M > target, per-hour max 2M >
+    target, per-minute max ≈ 33k fits -> minute."""
+    from apache_iceberg_spark.operators import timeseries as tsm
+
+    e = _tus_frame(spark, [(1, 2_000_000, 3_600_000_000)])
+    assert tsm._ts11_pick_bucket_us(e) == tsm.TS11_LADDER_US[2]
+
+
+def test_ts11_floor_bucketing_pre_epoch(spark):
+    """Pre-epoch timestamps (negative µs) must bucket by FLOOR division
+    on both engines (ADVICE r7): -1 µs belongs to the day before the
+    epoch, not to bucket 0. Checked against DuckDB running the oracle's
+    spelled-out pmod form on the same values."""
+    import duckdb
+
+    from apache_iceberg_spark.operators.timeseries import (
+        TS11_LADDER_US,
+        _duck_floor_div,
+        _floor_div,
+    )
+
+    day = TS11_LADDER_US[0]
+    vals = [-1, -day, -day - 1, 0, 1, day, 2 * day + 5]
+    got = {
+        r.tus: r.b
+        for r in spark.createDataFrame([(v,) for v in vals], "tus long")
+        .selectExpr("tus", f"{_floor_div('tus', day)} AS b")
+        .collect()
+    }
+    want = {
+        v: duckdb.sql(f"SELECT {_duck_floor_div(str(v), day)}").fetchone()[0]
+        for v in vals
+    }
+    assert got == want
+    assert got[-1] == -1 and got[0] == 0 and got[-day] == -1

@@ -191,12 +191,13 @@ def time_ewma(spark, n_hot: int, variant: str) -> float:
         f"{d}/events.parquet"
     )
     if variant == "ts11h":
-        # hour buckets instead of day: the segment width is THE knob that
-        # moves ts11's per-task ceiling (the Spark fn reads the module
-        # constant at call time; the DuckDB oracle is not used here)
+        # force hour buckets (bypassing the r8 auto-sizer): the segment
+        # width is THE knob that moves ts11's per-task ceiling (the Spark
+        # fn reads the module constant at call time; the DuckDB oracle is
+        # not used here)
         import apache_iceberg_spark.operators.timeseries as tsm
 
-        tsm.TS11_BUCKET_US = 3_600_000_000
+        tsm.TS11_FORCE_BUCKET_US = 3_600_000_000
     name = "ts10_ewma" if variant == "ts10" else "ts11_ewma_segmented"
     t0 = time.time()
     # .count() would let Catalyst PRUNE the unused fold column — force
@@ -260,11 +261,56 @@ def time_bpe(spark, n_words: int, branch: str) -> float:
     return dt
 
 
+def time_g5(spark, n_hub: int, variant: str, hops: int = 8) -> float:
+    """Per-hop cost of bounded BFS: delta-frontier (round 8) vs the r7
+    settled-reaggregation form, on the adversarial-but-realistic shape
+    where they diverge — a hub that settles n_hub nodes at hop 1
+    followed by a chain tail that keeps the loop running. The frontier
+    form touches ~1 node/round after round 1; the settled form re-joins
+    and re-aggregates all n_hub settled nodes EVERY round."""
+    from pyspark.sql import functions as F
+
+    hub = spark.range(1, n_hub).selectExpr("0 AS src", "id AS dst")
+    chain = spark.range(hops).selectExpr(
+        f"CASE WHEN id = 0 THEN 0 ELSE {n_hub} + id - 1 END AS src",
+        f"{n_hub} + id AS dst",
+    )
+    e = hub.unionAll(chain)
+    adj = e.unionAll(e.selectExpr("dst AS src", "src AS dst")).localCheckpoint()
+    seeds = spark.createDataFrame([(0, 0)], "node long, dist long")
+    t0 = time.time()
+    if variant == "frontier":
+        from apache_iceberg_spark.operators.graph import _g5_layers
+
+        total = sum(lay.count() for lay in _g5_layers(adj, seeds, hops))
+    else:  # the round-7 shape, verbatim semantics
+        d = seeds
+        for _ in range(hops):
+            step = d.join(adj, d["node"] == adj["src"]).select(
+                F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+            )
+            d = (
+                d.unionByName(step)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False)
+            )
+        total = d.count()
+    dt = time.time() - t0
+    print(
+        f"  g5 hub={n_hub:>12,} hops={hops} variant={variant:>8}"
+        f" reached={total:,} wall={dt:6.2f}s per-hop={dt / hops:6.3f}s",
+        flush=True,
+    )
+    return dt
+
+
 def main() -> None:
     """Usage: scale_probe.py cc <n_edges> <driver|dist>
               scale_probe.py g3 <copies> <driver|dist> [rounds]
               scale_probe.py ewma <n_hot_events> <ts10|ts11>
               scale_probe.py bpe <n_distinct_words> <driver|dist>
+              scale_probe.py g5 <hub_nodes> <settled|frontier> [hops]
 
     One measurement per invocation so a slow branch (the point of the
     probe is that the wrong branch IS slow) cannot starve the others."""
@@ -280,6 +326,9 @@ def main() -> None:
         time_ewma(spark, size, branch)
     elif kind == "bpe":
         time_bpe(spark, size, branch)
+    elif kind == "g5":
+        hops = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        time_g5(spark, size, branch, hops=hops)
     else:
         rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 6
         time_g3_rounds(spark, size, force_driver, rounds=rounds)
