@@ -67,15 +67,19 @@ def _green_rounds() -> dict[str, int]:
     return latest
 
 
-# Queries whose IMPLEMENTATION changed this round (round 7): their old
+# Queries whose IMPLEMENTATION changed this round (round 8): their old
 # green rows prove the old code, so they re-enter the checked set right
 # behind never-checked queries. Refreshed every round — VERDICT r6 ask #2:
 # don't let prior-round rechecks squat in the sample.
 RECHECK = frozenset({
-    "ann14_incremental_index_update",  # full-outer drift join (ADVICE r6)
-    "st13_stream_index_update",        # same fix at ingest
-    "tx15_bpe_merges",                 # persist-lifecycle fix (ADVICE r6)
-    "g2_triangle_count",               # kNN-edge build factored out for g4
+    "tx15_bpe_merges",       # byte-level alphabet + incremental merge loop
+    "tx17_bpe_encode",       # byte-level symbols + degenerate-corpus guard
+    "g5_khop_distance",      # delta-frontier expansion + early exit
+    "ts11_ewma_segmented",   # auto-sized bucket width, exact floor-div
+    "m19_partitions_metadata",      # footer-stats None guard (ADVICE r7)
+    "m23_metadata_only_aggregates",  # same guard
+    "st14_stream_ewma",      # single-micro-batch assertion (ADVICE r7)
+    "st15_stream_cusum",     # same assertion
 })
 
 

@@ -1208,3 +1208,205 @@ def tx17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n1").alias("n_sym_after"),
         (F.sum("n0") - F.sum("n1")).alias("n_merged"),
     )
+
+
+# --- tx19: model-based quality classifier -----------------------------------
+#
+# The third pillar of the published curation recipes (CCNet/Gopher →
+# heuristic gates → LM rarity → CLASSIFIER): a tiny logistic regression
+# over the same cheap features tx2/tx12 already compute, trained against
+# tx12's deterministic rule cascade as pseudo-label (the standard
+# bootstrap when no human labels exist — c4/RefinedWeb train against
+# "looks like Wikipedia/curated corpora" proxies the same way).
+#
+# Training (``tx19_train_coefficients``) uses Spark ML LogisticRegression
+# — a distributed LBFGS over treeAggregated gradients, so it scales to
+# any corpus — but INFERENCE is a pure expression fold over the pinned
+# coefficients: no MLlib, no UDF, no vector assembly at scoring time.
+# The registered query scores with TX19_COEF (trained once at sf0.01,
+# regenerated by tests/test_round8_ops.py which asserts retraining
+# reproduces them); the oracle uses the identical literals, and the
+# margin is a left-assoc +/* chain in identical operand order, so the
+# hash compare is bitwise.  The sigmoid is deliberately NOT applied:
+# exp() is a libm transcendental (banned by the repo determinism rules);
+# the margin is monotone in the probability, so the decision
+# (margin > 0 ⟺ p > 0.5) and any ranking are unchanged.
+#
+# Scale: scoring is map-only (plan-asserted: no Exchange/Join/Python in
+# tests/test_plans.py) — at 100 TB it fuses into the scan stage like
+# tx1/tx2. Training cost is one treeAggregate pass per LBFGS iteration
+# over a 4-feature design matrix: bandwidth-bound on the same scan.
+
+# Pinned round-8 fit (sf0.01, maxIter=200, regParam=0.01, L2,
+# standardization=True, tol=1e-10; train accuracy 0.994 vs the tx12
+# pseudo-label). Features in order: n_words/100, mean_word_len,
+# stop_ratio, distinct_stop_hits.
+TX19_COEF = {
+    "intercept": -11.609730775063296,
+    "f_words": 10.381174279211947,
+    "mean_word_len": -0.1878284667996912,
+    "stop_ratio": 1.6917237948149628,
+    "stop_hits": 3.6090222675995065,
+}
+
+_TX19_DUCK_FEATURES = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS DOUBLE) / 100.0 AS f_words,
+                   CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+                        AS DOUBLE) / greatest(len(toks), 1) AS mean_word_len,
+                   CAST(len(list_filter(toks,
+                        tok -> list_contains({STOPWORDS['en']!r}, tok)))
+                        AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+                   CAST(len(list_intersect(list_distinct(toks),
+                        {_GOPHER_STOPS!r})) AS DOUBLE) AS stop_hits
+            FROM t
+        )
+"""
+
+
+def _tx19_features(d: DataFrame) -> DataFrame:
+    """Shared feature tree: trainer and scorer use the same expressions
+    so the pinned coefficients apply to exactly the distribution they
+    were fit on."""
+    t = d.select("doc_id", _tokens().alias("toks"))
+    n_words = F.size("toks")
+    denom = F.greatest(n_words, F.lit(1))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    g_stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    return t.select(
+        "doc_id",
+        (n_words.cast("double") / F.lit(100.0)).alias("f_words"),
+        (
+            F.expr("aggregate(toks, 0, (acc, w) -> acc + length(w))").cast(
+                "double"
+            )
+            / denom
+        ).alias("mean_word_len"),
+        (
+            F.size(
+                F.filter(F.col("toks"), lambda tok: F.array_contains(stop_arr, tok))
+            ).cast("double")
+            / denom
+        ).alias("stop_ratio"),
+        F.size(F.array_intersect(F.array_distinct(F.col("toks")), g_stops))
+        .cast("double")
+        .alias("stop_hits"),
+    )
+
+
+def tx19_train_coefficients(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, float]:
+    """Fit the quality LR with Spark ML against the tx12 pseudo-label and
+    return {intercept, f_words, mean_word_len, stop_ratio, stop_hits}.
+
+    Distributed LBFGS (one treeAggregate per iteration); deterministic up
+    to float aggregation order — tests assert the refit matches TX19_COEF
+    to rtol 5e-2 and agrees with it on ≥99% of decisions."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from apache_iceberg_spark.tables import load_table as _load
+
+    feats = _tx19_features(_load(spark, sf_dir, "documents"))
+    # tx12's keep, re-derived on the feature frame (f_words = n_words/100,
+    # so the word-count band rescales; alpha_frac is constant 1.0 on the
+    # fixtures and is deliberately not a feature).
+    d = _load(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens().alias("toks"))
+    n_words = F.size("toks")
+    denom = F.greatest(n_words, F.lit(1))
+    label_src = t.select(
+        "doc_id",
+        (
+            n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & (
+                F.expr("aggregate(toks, 0, (acc, w) -> acc + length(w))").cast(
+                    "double"
+                )
+                / denom
+            ).between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+            & (
+                F.expr("size(filter(toks, w -> w rlike '[a-z]'))").cast("double")
+                / denom
+                >= GOPHER_MIN_ALPHA_FRAC
+            )
+            & (
+                F.size(
+                    F.array_intersect(
+                        F.array_distinct(F.col("toks")),
+                        F.array(*[F.lit(w) for w in _GOPHER_STOPS]),
+                    )
+                )
+                >= GOPHER_MIN_STOP_HITS
+            )
+        )
+        .cast("double")
+        .alias("label"),
+    )
+    cols = ["f_words", "mean_word_len", "stop_ratio", "stop_hits"]
+    train = feats.join(label_src, "doc_id").select(*cols, "label")
+    va = VectorAssembler(inputCols=cols, outputCol="features")
+    lr = LogisticRegression(
+        maxIter=200,
+        regParam=0.01,
+        elasticNetParam=0.0,
+        standardization=True,
+        tol=1e-10,
+    )
+    model = lr.fit(va.transform(train))
+    out = {"intercept": float(model.intercept)}
+    for name, c in zip(cols, model.coefficients):
+        out[name] = float(c)
+    return out
+
+
+def _tx19_margin_sql(pfx: str = "") -> str:
+    """Left-assoc +/* chain in pinned operand order (bitwise identical on
+    both engines)."""
+    c = TX19_COEF
+    return (
+        f"(((({c['intercept']!r} + {c['f_words']!r} * {pfx}f_words) "
+        f"+ {c['mean_word_len']!r} * {pfx}mean_word_len) "
+        f"+ {c['stop_ratio']!r} * {pfx}stop_ratio) "
+        f"+ {c['stop_hits']!r} * {pfx}stop_hits)"
+    )
+
+
+@register(
+    "tx19_quality_classifier",
+    oracle=f"""
+        {_TX19_DUCK_FEATURES}
+        SELECT doc_id, f_words, mean_word_len, stop_ratio, stop_hits,
+               {_tx19_margin_sql()} AS margin,
+               {_tx19_margin_sql()} > 0.0 AS pred_keep
+        FROM m
+    """,
+    doc="Model-based quality filter (VERDICT r7 ask #4) — the classifier "
+    "stage of the CCNet/Gopher curation cascade: logistic-regression "
+    "margin over cheap per-doc features (word count, mean word length, "
+    "stopword ratio, distinct-stopword hits), coefficients trained by "
+    "Spark ML against tx12's rule cascade as pseudo-label and PINNED as "
+    "literals (TX19_COEF) so inference is a pure expression fold — "
+    "map-only, no MLlib, no UDF, no shuffle (plan-asserted). Margin "
+    "not sigmoid: exp() is banned libm; margin>0 is the same decision.",
+    tags=("text", "llm", "quality", "filter", "ml"),
+)
+def tx19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _tx19_features(load_table(spark, sf_dir, "documents"))
+    margin = F.expr(_tx19_margin_sql())
+    return feats.select(
+        "doc_id",
+        "f_words",
+        "mean_word_len",
+        "stop_ratio",
+        "stop_hits",
+        margin.alias("margin"),
+        (margin > F.lit(0.0)).alias("pred_keep"),
+    )

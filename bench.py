@@ -133,6 +133,8 @@ AUX = [
     "pp14_corpus_drift_report",
     "w10_gap_islands",
     "m25_partition_delete_scan",
+    # round 8
+    "tx19_quality_classifier",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

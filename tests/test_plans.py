@@ -894,3 +894,17 @@ def test_m25_surviving_file_scan_is_shuffle_free(spark):
     plan = plan_of(spark, "m25_partition_delete_scan")
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+# --- round-8 operator plan shapes -------------------------------------------
+
+
+def test_tx19_scoring_is_map_only(spark):
+    """tx19's pinned-coefficient margin is a pure expression fold over the
+    documents scan — no Exchange, no Join, no Python UDF, no MLlib: the
+    'no MLlib at inference' requirement of VERDICT r7 ask #4, pinned."""
+    plan = plan_of(spark, "tx19_quality_classifier")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
