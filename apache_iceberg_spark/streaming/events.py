@@ -1257,3 +1257,61 @@ def _st15_set_oracle() -> None:
 
 
 _st15_set_oracle()
+
+
+# --- st16: streaming quality gate (tx19 at ingest time) ---------------------
+
+
+def _st16_oracle() -> str:
+    from apache_iceberg_spark.operators.text import (
+        _TX19_DUCK_FEATURES,
+        _tx19_margin_sql,
+    )
+
+    return f"""
+        {_TX19_DUCK_FEATURES}
+        SELECT doc_id, {_tx19_margin_sql()} AS margin
+        FROM m
+        WHERE {_tx19_margin_sql()} > 0.0
+    """
+
+
+@register(
+    "st16_stream_quality_gate",
+    oracle=_st16_oracle(),
+    doc="STREAMING model-based quality gate — tx19's pinned-coefficient "
+    "logistic margin applied at INGEST time: documents arriving on the "
+    "stream are scored by the same map-only expression fold and only "
+    "margin>0 docs pass the gate (the deployment shape of a trained "
+    "quality classifier in a live crawl pipeline: filter-at-ingest, "
+    "before any storage or downstream shuffle). Stateless map-only "
+    "streaming (no watermark, no state store) — every micro-batch is "
+    "embarrassingly parallel, so the gate's throughput is the scan "
+    "throughput; batch/stream parity with tx19 is exact because the "
+    "expression tree is identical (proven by the oracle AND a pytest "
+    "equality against the batch operator).",
+    tags=("streaming", "text", "llm", "quality", "filter", "ml"),
+)
+def st16_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.text import (
+        _tx19_features,
+        _tx19_margin_sql,
+    )
+
+    margin = F.expr(_tx19_margin_sql())
+    gated = (
+        _tx19_features(stream_documents(spark, sf_dir))
+        .select("doc_id", margin.alias("margin"))
+        .filter(F.col("margin") > 0.0)
+    )
+    qname = f"st16_quality_gate_{next(_stream_ids)}"
+    query = (
+        gated.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)

@@ -110,6 +110,7 @@ STREAMING = [
     "st12_stream_incremental_dedup",
     "st13_stream_index_update",
     "st14_stream_ewma",
+    "st16_stream_quality_gate",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail

@@ -388,3 +388,22 @@ def test_tx19_refit_decisions_match_pinned(spark):
     n = j.count()
     agree = j.filter(F.col("pred_keep") == F.col("refit_keep")).count()
     assert agree / n >= 0.99, f"{agree}/{n}"
+
+
+def test_st16_stream_equals_batch_gate(spark):
+    """The streaming quality gate must emit EXACTLY the batch tx19 keep
+    set with identical margins — the stateless map-only parity claim."""
+    from tests.conftest import SF_DIR
+
+    batch = (
+        REGISTRY["tx19_quality_classifier"]
+        .spark(spark, SF_DIR)
+        .filter("pred_keep")
+        .select("doc_id", "margin")
+    )
+    stream = REGISTRY["st16_stream_quality_gate"].spark(spark, SF_DIR)
+    assert stream.count() == batch.count()
+    assert (
+        stream.exceptAll(batch).count() == 0
+        and batch.exceptAll(stream).count() == 0
+    )
