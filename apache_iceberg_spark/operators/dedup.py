@@ -1782,3 +1782,114 @@ def tx18_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("gram"))
         .limit(TX18_TOP_K)
     )
+
+
+# --- dd19: exact duplicate-span fraction (Lee et al. 2022) ------------------
+
+DD19_SPAN_WORDS = 8  # span granularity (the paper uses 50-token spans on
+# crawl-scale docs; the fixture's 10-99-word docs need a shorter window
+# for the same cross-doc signal — the constant is the knob)
+DD19_MAX_DUP_FRAC = 0.5  # keep docs whose duplicated-span coverage ≤ 50%
+
+_DD19_SPARK_SPANS = (
+    f"CASE WHEN size(toks) >= {DD19_SPAN_WORDS} THEN "
+    "transform("
+    f"sequence(1, size(toks) - {DD19_SPAN_WORDS - 1}), "
+    "i -> concat_ws(' ', "
+    + ", ".join(f"element_at(toks, i + {j})" for j in range(DD19_SPAN_WORDS))
+    + ")) ELSE array() END"
+)
+
+_DD19_DUCK_SPANS = (
+    f"CASE WHEN len(toks) >= {DD19_SPAN_WORDS} THEN ["
+    + " || ' ' || ".join(f"toks[i + {j}]" for j in range(DD19_SPAN_WORDS))
+    + f" for i in generate_series(1, len(toks) - {DD19_SPAN_WORDS - 1})]"
+    " ELSE [] END"
+)
+
+
+@register(
+    "dd19_dup_span_fraction",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   {DUCK_HEX2INT.format(s='g')} AS h
+            FROM (SELECT doc_id, unnest({_DD19_DUCK_SPANS}) AS g FROM toks)
+        ),
+        dup AS (
+            SELECT h FROM spans GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        pd AS (
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_spans
+            FROM spans s LEFT JOIN dup d USING (h)
+            GROUP BY s.doc_id
+        )
+        SELECT b.doc_id,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+               CAST(COALESCE(p.n_dup_spans, 0) AS DOUBLE)
+                   / greatest(COALESCE(p.n_spans, 0), 1) AS dup_frac,
+               CAST(COALESCE(p.n_dup_spans, 0) AS DOUBLE)
+                   / greatest(COALESCE(p.n_spans, 0), 1)
+                   <= {DD19_MAX_DUP_FRAC} AS keep
+        FROM (SELECT doc_id FROM documents) b LEFT JOIN pd p USING (doc_id)
+    """,
+    doc=f"EXACT-substring dedup diagnostic (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better'): per-document fraction "
+    f"of {DD19_SPAN_WORDS}-token span positions whose span text also occurs "
+    "in ANOTHER document, plus the keep decision at "
+    f"{DD19_MAX_DUP_FRAC:.0%} coverage — the positional complement of "
+    "dd2/dd4's set-semantics near-dup (a doc can be a unique 'document' "
+    "yet be 90% boilerplate spans; this catches that). Spans ride the "
+    "shuffle as 60-bit md5 hashes (8 bytes, not ~50-byte strings), the "
+    "duplicated-span set is one partial+final COUNT(DISTINCT doc) on the "
+    "span key (Zipf-skewed — AQE skew join applies), the span→dup-flag "
+    "LEFT JOIN re-shuffles on the same key (co-partitioned, no extra "
+    "exchange on the probe side), and the per-doc fold keys on doc_id. "
+    "Zero-span short docs re-enter via a LEFT JOIN from the doc base so "
+    "every document gets a verdict.",
+    tags=("dedup", "text", "llm", "quality", "filter"),
+)
+def dd19_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(_DD19_SPARK_SPANS.replace("toks", f"({_SPARK_TOKENS})"))
+        ).alias("g"),
+    ).select("doc_id", F.expr(SPARK_HEX2INT.format(s="g")).alias("h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    pd_ = (
+        spans.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    base = d.select("doc_id")
+    j = base.join(pd_, "doc_id", "left")
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0).cast("long"))
+    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long"))
+    frac = n_dup.cast("double") / F.greatest(n_spans, F.lit(1).cast("long"))
+    return j.select(
+        "doc_id",
+        n_spans.alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        frac.alias("dup_frac"),
+        (frac <= DD19_MAX_DUP_FRAC).alias("keep"),
+    )

@@ -136,6 +136,7 @@ AUX = [
     "m25_partition_delete_scan",
     # round 8
     "tx19_quality_classifier",
+    "dd19_dup_span_fraction",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

@@ -407,3 +407,34 @@ def test_st16_stream_equals_batch_gate(spark):
         stream.exceptAll(batch).count() == 0
         and batch.exceptAll(stream).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# dd19 duplicate-span fraction
+# ---------------------------------------------------------------------------
+
+
+def test_dd19_constructed_corpus(spark, tmp_path):
+    """A doc whose text is wholly contained in another must score
+    dup_frac 1.0 (every span duplicated) and be dropped; a short doc
+    (< span width) must get n_spans=0 and keep=True; a unique long doc
+    keeps with dup_frac 0."""
+    from apache_iceberg_spark.operators.dedup import DD19_SPAN_WORDS
+
+    words = [f"w{i}" for i in range(DD19_SPAN_WORDS + 4)]
+    shared = " ".join(words)
+    docs = [
+        shared,                                  # 0: fully inside doc 1
+        shared + " tail extra unique tokens",    # 1: prefix duplicated
+        "tiny doc",                              # 2: no spans
+        " ".join(f"u{i}" for i in range(20)),    # 3: unique
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["dd19_dup_span_fraction"].spark(spark, sf).collect()
+    }
+    assert rows[0].dup_frac == 1.0 and not rows[0].keep
+    assert rows[1].n_dup_spans == rows[0].n_spans  # the shared prefix
+    assert rows[2].n_spans == 0 and rows[2].keep
+    assert rows[3].dup_frac == 0.0 and rows[3].keep
