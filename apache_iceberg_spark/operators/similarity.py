@@ -2965,3 +2965,208 @@ def ann17_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "n_candidates")
     )
+
+
+# --- ann18: MMR-diversified top-k -------------------------------------------
+
+ANN18_POOL = 10  # re-rank ann1's exact top-10 pool
+ANN18_K = 3  # emit 3 diversified results (greedy rounds, unrolled)
+ANN18_LAM = 0.7  # relevance weight; 1-λ = 0.3 redundancy penalty
+
+
+def _ann18_oracle() -> str:
+    dot = _DUCK_DOT
+    sim = (
+        f"({dot.format(a='p.c_emb', b='{s}_emb')}"
+        " / (p.c_norm * {s}_norm))"
+    )
+    sim1 = sim.format(s="s1")
+    sim2 = sim.format(s="s2")
+    return f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        ),
+        pool AS (
+            SELECT * FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       c.embedding AS c_emb, c.norm AS c_norm,
+                       ({dot.format(a='q.embedding', b='c.embedding')})
+                         / (q.norm * c.norm) AS cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ({dot.format(a='q.embedding', b='c.embedding')})
+                                      / (q.norm * c.norm) DESC, c.vec_id
+                       ) AS rn
+                FROM n q JOIN n c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rn <= {ANN18_POOL}
+        ),
+        s1 AS (
+            SELECT query_id, neighbor_id, c_emb AS s1_emb, c_norm AS s1_norm,
+                   cosine
+            FROM pool WHERE rn = 1
+        ),
+        r2 AS (
+            SELECT p.query_id, p.neighbor_id, p.c_emb, p.c_norm, p.cosine,
+                   {sim1} AS sim1,
+                   {ANN18_LAM} * p.cosine - {1 - ANN18_LAM} * {sim1} AS mmr
+            FROM pool p JOIN s1 USING (query_id) WHERE p.rn > 1
+        ),
+        s2 AS (
+            SELECT * FROM (
+                SELECT query_id, neighbor_id, c_emb AS s2_emb,
+                       c_norm AS s2_norm, mmr,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY mmr DESC, neighbor_id
+                       ) AS rr
+                FROM r2
+            ) WHERE rr = 1
+        ),
+        r3 AS (
+            SELECT p.query_id, p.neighbor_id,
+                   {ANN18_LAM} * p.cosine
+                     - {1 - ANN18_LAM} * greatest(p.sim1, {sim2}) AS mmr
+            FROM r2 p JOIN s2 USING (query_id)
+            WHERE p.neighbor_id <> s2.neighbor_id
+        ),
+        s3 AS (
+            SELECT * FROM (
+                SELECT query_id, neighbor_id, mmr,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY mmr DESC, neighbor_id
+                       ) AS rr
+                FROM r3
+            ) WHERE rr = 1
+        )
+        SELECT query_id, 1 AS mmr_rank, neighbor_id,
+               {ANN18_LAM} * cosine AS mmr FROM s1
+        UNION ALL
+        SELECT query_id, 2 AS mmr_rank, neighbor_id, mmr FROM s2
+        UNION ALL
+        SELECT query_id, 3 AS mmr_rank, neighbor_id, mmr FROM s3
+    """
+
+
+@register(
+    "ann18_mmr_diverse_topk",
+    oracle=_ann18_oracle(),
+    doc=f"MMR-diversified retrieval (Carbonell & Goldstein 1998): greedy "
+    f"re-rank of ann1's exact top-{ANN18_POOL} pool selecting "
+    f"{ANN18_K} results that maximize λ·relevance − (1−λ)·max-similarity-"
+    "to-already-selected (λ=0.7) — the standard redundancy-removal stage "
+    "of RAG/retrieval pipelines (near-identical chunks crowd out "
+    "coverage). The greedy loop is UNROLLED into dataframe stages, not a "
+    "driver loop: each round is a broadcast join of the Q-row selected "
+    "set against the Q×pool candidate frame, so diversification cost is "
+    "independent of corpus size — the corpus is touched exactly once, by "
+    "the candidate stage (ann1's broadcast-query map-only scan). At "
+    "100 TB the MMR stages move ~Q·pool rows regardless of scale; "
+    "argmax ties break on neighbor_id on both engines.",
+    tags=("similarity", "llm", "embedding", "rag"),
+)
+def ann18_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
+        ).alias("norm"),
+    )
+    q = F.broadcast(
+        n.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cosine = F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pool = (
+        q.join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "c_emb", "c_norm", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= ANN18_POOL)
+    )
+    s1 = pool.filter(F.col("rn") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("s1_id"),
+        F.col("c_emb").alias("s1_emb"),
+        F.col("c_norm").alias("s1_norm"),
+        "cosine",
+    )
+    sim1 = F.expr(_SPARK_DOT.format(a="c_emb", b="s1_emb")) / (
+        F.col("c_norm") * F.col("s1_norm")
+    )
+    r2 = (
+        pool.filter(F.col("rn") > 1)
+        .join(F.broadcast(s1.drop("cosine")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "c_emb",
+            "c_norm",
+            "cosine",
+            sim1.alias("sim1"),
+            (
+                F.lit(ANN18_LAM) * F.col("cosine") - F.lit(1 - ANN18_LAM) * sim1
+            ).alias("mmr"),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr"), F.asc("neighbor_id")
+    )
+    s2 = (
+        r2.withColumn("rr", F.row_number().over(wm))
+        .filter(F.col("rr") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("s2_id"),
+            F.col("c_emb").alias("s2_emb"),
+            F.col("c_norm").alias("s2_norm"),
+            "mmr",
+        )
+    )
+    sim2 = F.expr(_SPARK_DOT.format(a="c_emb", b="s2_emb")) / (
+        F.col("c_norm") * F.col("s2_norm")
+    )
+    r3 = (
+        r2.join(F.broadcast(s2.drop("mmr")), "query_id")
+        .filter(F.col("neighbor_id") != F.col("s2_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.lit(ANN18_LAM) * F.col("cosine")
+                - F.lit(1 - ANN18_LAM) * F.greatest(F.col("sim1"), sim2)
+            ).alias("mmr"),
+        )
+    )
+    s3 = r3.withColumn("rr", F.row_number().over(wm)).filter(F.col("rr") == 1)
+    out1 = s1.select(
+        "query_id",
+        F.lit(1).alias("mmr_rank"),
+        F.col("s1_id").alias("neighbor_id"),
+        (F.lit(ANN18_LAM) * F.col("cosine")).alias("mmr"),
+    )
+    out2 = s2.select(
+        "query_id",
+        F.lit(2).alias("mmr_rank"),
+        F.col("s2_id").alias("neighbor_id"),
+        "mmr",
+    )
+    out3 = s3.select("query_id", F.lit(3).alias("mmr_rank"), "neighbor_id", "mmr")
+    return out1.unionAll(out2).unionAll(out3)

@@ -137,6 +137,7 @@ AUX = [
     # round 8
     "tx19_quality_classifier",
     "dd19_dup_span_fraction",
+    "ann18_mmr_diverse_topk",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)
