@@ -818,3 +818,98 @@ def _g5_layers(adj: DataFrame, seeds: DataFrame, max_hops: int):
             return
         yield frontier
         settled = settled.unionByName(frontier.select("node"))
+
+
+# --- g6: truncated Katz centrality ------------------------------------------
+
+G6_HOPS = 3  # walk-length truncation L
+G6_BETA_DEN = 8  # β = 1/8 (< 1/λ_max for the kNN-capped graph: degree ≤
+# 2·G2_KNN bounds the spectral radius, so the series would converge even
+# untruncated; 1/8 also makes β^l·8^L exact integers)
+
+
+@register(
+    "g6_katz_centrality",
+    oracle=f"""
+        WITH {_DUCK_KNN_EDGES},
+        adj AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        w1 AS (
+            SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS w
+            FROM adj GROUP BY dst
+        ),
+        w2 AS (
+            SELECT a.dst AS node, CAST(SUM(p.w) AS BIGINT) AS w
+            FROM adj a JOIN w1 p ON p.node = a.src GROUP BY a.dst
+        ),
+        w3 AS (
+            SELECT a.dst AS node, CAST(SUM(p.w) AS BIGINT) AS w
+            FROM adj a JOIN w2 p ON p.node = a.src GROUP BY a.dst
+        )
+        SELECT w1.node AS suppkey,
+               w1.w AS walks1,
+               COALESCE(w2.w, 0) AS walks2,
+               COALESCE(w3.w, 0) AS walks3,
+               {G6_BETA_DEN ** 2} * w1.w + {G6_BETA_DEN} * COALESCE(w2.w, 0)
+                 + COALESCE(w3.w, 0) AS katz_scaled
+        FROM w1
+        LEFT JOIN w2 ON w2.node = w1.node
+        LEFT JOIN w3 ON w3.node = w1.node
+    """,
+    doc=f"Truncated Katz centrality over the kNN co-purchase graph: "
+    f"katz(v) = Σ_l β^l·walks_l(v) for l ≤ {G6_HOPS}, β = 1/{G6_BETA_DEN}, "
+    f"reported as the EXACT BIGINT katz·{G6_BETA_DEN}^{G6_HOPS} "
+    "(64·w1 + 8·w2 + w3) — zero float in the recurrence, same "
+    "n-scaling trick as ts13. Each walk level is ONE shuffle on the "
+    "node key (adjacency ⨝ previous level → partial+final SUM); the "
+    "kNN cap bounds fan-out at 2·G2_KNN per node, so level sizes stay "
+    "|V|·O(1) rows and walk counts grow ≤ (2·G2_KNN)^l — far inside "
+    "BIGINT at any corpus scale. The unrolled-levels shape is g5's "
+    "pattern applied to a weighted-walk recurrence (delta-frontier "
+    "doesn't apply: every node stays live in every level).",
+    tags=("graph", "analytics"),
+)
+def g6_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("a")
+    ).select("a.src", "a.dst")
+    w1 = adj.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("w")
+    )
+    levels = [w1]
+    for _ in range(G6_HOPS - 1):
+        prev = levels[-1]
+        nxt = (
+            adj.join(prev, adj["src"] == prev["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("w").cast("long").alias("w"))
+            .withColumnRenamed("node2", "node")
+        )
+        levels.append(nxt)
+    w1_, w2_, w3_ = (
+        levels[0].withColumnRenamed("w", "walks1"),
+        levels[1].withColumnRenamed("w", "walks2"),
+        levels[2].withColumnRenamed("w", "walks3"),
+    )
+    j = w1_.join(w2_, "node", "left").join(w3_, "node", "left")
+    walks2 = F.coalesce(F.col("walks2"), F.lit(0).cast("long"))
+    walks3 = F.coalesce(F.col("walks3"), F.lit(0).cast("long"))
+    return j.select(
+        F.col("node").alias("suppkey"),
+        "walks1",
+        walks2.alias("walks2"),
+        walks3.alias("walks3"),
+        (
+            F.lit(G6_BETA_DEN**2) * F.col("walks1")
+            + F.lit(G6_BETA_DEN) * walks2
+            + walks3
+        ).alias("katz_scaled"),
+    )

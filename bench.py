@@ -138,6 +138,7 @@ AUX = [
     "tx19_quality_classifier",
     "dd19_dup_span_fraction",
     "ann18_mmr_diverse_topk",
+    "g6_katz_centrality",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

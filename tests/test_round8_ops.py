@@ -485,3 +485,34 @@ def test_ann18_diversifies_vs_plain_topk(spark):
         assert len(set(picks)) == 3
         assert picks[0] == top3[0]
         assert avg_pair(picks) <= avg_pair(top3) + 1e-12, (qid, picks, top3)
+
+
+# ---------------------------------------------------------------------------
+# g6 Katz centrality
+# ---------------------------------------------------------------------------
+
+
+def test_g6_walk_recurrence_self_consistent(spark):
+    """walks_{l+1}(v) must equal Σ_{u∈N(v)} walks_l(u) over the actual
+    kNN edge list, and katz_scaled must be the exact 64/8/1 fold —
+    the Katz recurrence re-derived independently in driver python."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.operators.graph import _knn_edges
+
+    rows = {
+        r.suppkey: r
+        for r in REGISTRY["g6_katz_centrality"].spark(spark, SF_DIR).collect()
+    }
+    nbrs = defaultdict(set)
+    for e in _knn_edges(spark, SF_DIR).collect():
+        nbrs[e.u].add(e.v)
+        nbrs[e.v].add(e.u)
+    assert set(rows) == set(nbrs)
+    for v, r in rows.items():
+        assert r.walks1 == len(nbrs[v])
+        assert r.walks2 == sum(rows[u].walks1 for u in nbrs[v])
+        assert r.walks3 == sum(rows[u].walks2 for u in nbrs[v])
+        assert r.katz_scaled == 64 * r.walks1 + 8 * r.walks2 + r.walks3
