@@ -1101,3 +1101,102 @@ def ts13_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(fold + ".best").alias("max_cusum_scaled"),
         F.expr(fold + ".peak").alias("peak_event_id"),
     )
+
+
+# --- ts14: seasonal profile + deseasonalized anomalies ----------------------
+
+TS14_K = 3  # flag |z| > 3 (squared: A² > 9·B, exact integer compare)
+
+
+@register(
+    "ts14_seasonal_anomalies",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_id, event_type, hour(ts) AS hr,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        prof AS (
+            SELECT event_type, hr,
+                   CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                       AS seasonal_centi
+            FROM v GROUP BY event_type, hr
+        ),
+        r AS (
+            SELECT v.event_id, v.event_type, v.hr, v.v,
+                   p.seasonal_centi,
+                   v.v - p.seasonal_centi AS resid_centi
+            FROM v JOIN prof p USING (event_type, hr)
+        ),
+        mom AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(resid_centi) AS s1,
+                   SUM(resid_centi * resid_centi) AS s2
+            FROM r GROUP BY event_type
+        )
+        SELECT r.event_id, r.event_type, r.hr, r.v AS v_centi,
+               r.seasonal_centi, r.resid_centi,
+               (m.n * r.resid_centi - m.s1) * (m.n * r.resid_centi - m.s1)
+                   > {TS14_K * TS14_K} * (m.n * m.s2 - m.s1 * m.s1)
+                   AS is_anomaly
+        FROM r JOIN mom m USING (event_type)
+    """,
+    doc="Seasonal-naive decomposition + deseasonalized anomaly flags: the "
+    "per-(event_type, hour-of-day) profile mean is the seasonal "
+    "component (exact integer centi-units, floor mean — values are "
+    "non-negative on this stream so DIV == floor on both engines), the "
+    "residual is the deseasonalized series, and an event is anomalous "
+    f"when its residual z-score exceeds {TS14_K} — tested WITHOUT sqrt "
+    "or any float: z² > K² ⟺ (n·r − s1)² > K²·(n·s2 − s1²) in exact "
+    "DECIMAL(38,0) (Spark) / HUGEINT (DuckDB). Headroom: r ≤ 5e4 centi, "
+    "so at n = 1e12 events/type A = n·r − s1 ≤ ~1e17 and A² ≤ ~1e34 — "
+    "inside both 38-digit types. Shuffle budget: one partial+final agg "
+    "on (type, hour) for the ≤ |types|·24-cell profile (broadcast "
+    "back), one on type for the 5-cell moments (broadcast back) — the "
+    "event stream itself never shuffles, so the plan is two scans + "
+    "two broadcast joins at any scale (residual frame persisted so the "
+    "moment pass and the output pass share it).",
+    tags=("timeseries", "analytics", "anomaly"),
+)
+def ts14_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    prof = v.groupBy("event_type", "hr").agg(
+        F.expr("CAST(SUM(v) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias(
+            "seasonal_centi"
+        )
+    )
+    r = v.join(F.broadcast(prof), ["event_type", "hr"]).select(
+        "event_id",
+        "event_type",
+        "hr",
+        F.col("v").alias("v_centi"),
+        "seasonal_centi",
+        (F.col("v") - F.col("seasonal_centi")).alias("resid_centi"),
+    ).persist()  # plan-cache: moment pass + output pass share one scan
+    dec = "decimal(38,0)"
+    mom = r.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("resid_centi").cast(dec)).cast(dec).alias("s1"),
+        F.sum((F.col("resid_centi") * F.col("resid_centi")).cast(dec))
+        .cast(dec)
+        .alias("s2"),
+    )
+    a = F.expr("n * CAST(resid_centi AS DECIMAL(38,0)) - s1")
+    return r.join(F.broadcast(mom), "event_type").select(
+        "event_id",
+        "event_type",
+        "hr",
+        "v_centi",
+        "seasonal_centi",
+        "resid_centi",
+        (a * a > F.lit(TS14_K * TS14_K) * F.expr("n * s2 - s1 * s1")).alias(
+            "is_anomaly"
+        ),
+    )

@@ -139,6 +139,7 @@ AUX = [
     "dd19_dup_span_fraction",
     "ann18_mmr_diverse_topk",
     "g6_katz_centrality",
+    "ts14_seasonal_anomalies",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

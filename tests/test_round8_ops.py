@@ -516,3 +516,41 @@ def test_g6_walk_recurrence_self_consistent(spark):
         assert r.walks2 == sum(rows[u].walks1 for u in nbrs[v])
         assert r.walks3 == sum(rows[u].walks2 for u in nbrs[v])
         assert r.katz_scaled == 64 * r.walks1 + 8 * r.walks2 + r.walks3
+
+
+# ---------------------------------------------------------------------------
+# ts14 seasonal anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_ts14_planted_anomaly(spark, tmp_path):
+    """On a flat hourly-seasonal series with ONE planted spike, ts14 must
+    flag exactly the spike: the seasonal component absorbs the hourly
+    level, so only the spike's residual survives the 3σ gate."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for day in range(5):
+        for hr in range(24):
+            ts = datetime.datetime(2024, 1, 1 + day, hr, 0, 0)
+            # hourly seasonal level 10+hr, tiny deterministic jitter
+            val = 10.0 + hr + (0.01 * ((eid * 7) % 5))
+            rows.append((eid, ts, 1, "click", val, "{}"))
+            eid += 1
+    spike_id = 57
+    rows[spike_id] = (spike_id, rows[spike_id][1], 1, "click", 500.0, "{}")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_id: r
+        for r in REGISTRY["ts14_seasonal_anomalies"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[spike_id].is_anomaly
+    flagged = [i for i, r in out.items() if r.is_anomaly]
+    assert flagged == [spike_id], flagged
