@@ -840,3 +840,63 @@ def f13_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.median(cents).alias("median_cents"),
     )
+
+
+# --- w11: exact rolling median ----------------------------------------------
+
+W11_WIN = 7  # trailing frame: current row + 6 preceding
+
+
+@register(
+    "w11_rolling_median",
+    oracle=f"""
+        WITH f AS (
+            SELECT user_id, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   list(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS win
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {W11_WIN - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id, v AS v_centi,
+               CAST(len(win) AS BIGINT) AS n_win,
+               list_sort(win)[(len(win) + 1) // 2] AS med_centi
+        FROM f
+    """,
+    doc=f"Exact rolling median over a trailing {W11_WIN}-row frame per "
+    "user: the robust-smoother counterpart of w5's moving average "
+    "(medians shrug off the spikes ts8/ts14 flag). Neither engine has "
+    "a median window builtin that is exact AND cross-engine "
+    "deterministic, so both sides materialize the frame (collect_list/"
+    "list OVER — bounded at "
+    f"{W11_WIN} elements, O(1) per row), sort it, and index the lower "
+    "middle — integer centi-units end to end, zero float. Scale: one "
+    "shuffle on user_id (the window partition); frame state is "
+    f"{W11_WIN}·8 bytes/row regardless of history length — no "
+    "unbounded per-key state, unlike a naive self-join formulation "
+    "which would be O(W) shuffle amplification.",
+    tags=("window", "timeseries"),
+)
+def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(W11_WIN - 1), Window.currentRow)
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    f = e.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.collect_list(v).over(w).alias("win"),
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.col("v").alias("v_centi"),
+        F.size("win").cast("long").alias("n_win"),
+        F.expr(
+            "element_at(array_sort(win), CAST((size(win) + 1) DIV 2 AS INT))"
+        ).alias("med_centi"),
+    )

@@ -140,6 +140,7 @@ AUX = [
     "ann18_mmr_diverse_topk",
     "g6_katz_centrality",
     "ts14_seasonal_anomalies",
+    "w11_rolling_median",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

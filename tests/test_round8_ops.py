@@ -554,3 +554,35 @@ def test_ts14_planted_anomaly(spark, tmp_path):
     assert out[spike_id].is_anomaly
     flagged = [i for i, r in out.items() if r.is_anomaly]
     assert flagged == [spike_id], flagged
+
+
+# ---------------------------------------------------------------------------
+# w11 rolling median
+# ---------------------------------------------------------------------------
+
+
+def test_w11_median_is_robust_to_spike(spark, tmp_path):
+    """Hand-computed frame medians on a tiny series: a single spike must
+    not move the rolling median (the robustness property w5's mean
+    lacks), and short prefixes use the lower-middle of the available
+    frame."""
+    import datetime
+
+    vals = [10.0, 10.0, 10.0, 500.0, 10.0, 10.0, 10.0, 10.0]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_id: r
+        for r in REGISTRY["w11_rolling_median"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert all(out[i].med_centi == 1000 for i in range(len(vals))), out
+    assert out[3].n_win == 4 and out[7].n_win == 7
