@@ -1517,3 +1517,121 @@ def m25_partition_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.col("o_year").cast("string"))
         .select("o_orderkey", "o_orderstatus", "o_year", "price_cents")
     )
+
+
+# --- m26: clustering-depth report -------------------------------------------
+
+M26_FILES = 16  # modeled file count per layout
+
+
+@register(
+    "m26_clustering_depth_report",
+    oracle=f"""
+        WITH k AS (
+            SELECT o_orderkey,
+                   datediff('day', DATE '1992-01-01', o_orderdate) AS key
+            FROM orders
+        ),
+        assign AS (
+            SELECT 'clustered' AS layout,
+                   NTILE({M26_FILES}) OVER (ORDER BY key, o_orderkey)
+                       AS file_id,
+                   key
+            FROM k
+            UNION ALL
+            SELECT 'hashed' AS layout,
+                   CAST(o_orderkey % {M26_FILES} AS BIGINT) + 1 AS file_id,
+                   key
+            FROM k
+        ),
+        bounds AS (
+            SELECT layout, file_id,
+                   CAST(MIN(key) AS BIGINT) AS lo,
+                   CAST(MAX(key) AS BIGINT) AS hi
+            FROM assign GROUP BY layout, file_id
+        ),
+        ev AS (
+            SELECT layout, lo AS pt, 1 AS d FROM bounds
+            UNION ALL
+            SELECT layout, hi + 1 AS pt, -1 AS d FROM bounds
+        ),
+        sweep AS (
+            SELECT layout,
+                   SUM(d) OVER (PARTITION BY layout
+                                ORDER BY pt, d DESC
+                                ROWS UNBOUNDED PRECEDING) AS depth
+            FROM ev
+        )
+        SELECT b.layout,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(MAX(b.hi - b.lo + 1) AS BIGINT) AS max_width,
+               (SELECT CAST(MAX(depth) AS BIGINT) FROM sweep s
+                WHERE s.layout = b.layout) AS max_depth
+        FROM bounds b GROUP BY b.layout
+    """,
+    doc="Clustering-quality report — Iceberg's rewrite_data_files "
+    "decision metric: per-layout file [min,max] ranges of the sort key "
+    "and the MAX OVERLAP DEPTH of those ranges (perfectly clustered "
+    "files ⇒ depth ≤ 2 at split points; hash-scattered files ⇒ depth = "
+    "#files, meaning every key probe reads every file). File bounds are "
+    "modeled as NTILE buckets of the sorted key (= the range-"
+    "partitioning a clustering writer performs) vs a hash layout, so "
+    "the metric is oracle-checkable end to end; against REAL files the "
+    "bounds come from parquet footers/manifests instead (m23's "
+    "metadata-only path — pytest binds the two: footer-derived depth "
+    "of a write_with_manifest layout equals this sweep's answer). The "
+    "sweep itself is ts7's +1/−1 boundary walk over 2·#files boundary "
+    "events — metadata-sized, O(#files log #files), never touches "
+    "data; at 100 TB the report costs a manifest read.",
+    tags=("scale", "iceberg", "metadata", "report"),
+)
+def m26_clustering_depth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    k = o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("key"),
+    )
+    wn = Window.orderBy("key", "o_orderkey")
+    clustered = k.select(
+        F.lit("clustered").alias("layout"),
+        F.ntile(M26_FILES).over(wn).cast("long").alias("file_id"),
+        "key",
+    )
+    hashed = k.select(
+        F.lit("hashed").alias("layout"),
+        (F.col("o_orderkey") % M26_FILES + 1).cast("long").alias("file_id"),
+        "key",
+    )
+    bounds = (
+        clustered.unionAll(hashed)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("key").cast("long").alias("lo"),
+            F.max("key").cast("long").alias("hi"),
+        )
+    )
+    ev = bounds.select(
+        "layout", F.col("lo").alias("pt"), F.lit(1).alias("d")
+    ).unionAll(
+        bounds.select(
+            "layout", (F.col("hi") + 1).alias("pt"), F.lit(-1).alias("d")
+        )
+    )
+    ws = (
+        Window.partitionBy("layout")
+        .orderBy(F.asc("pt"), F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = ev.select("layout", F.sum("d").over(ws).alias("depth"))
+    depths = sweep.groupBy("layout").agg(
+        F.max("depth").cast("long").alias("max_depth")
+    )
+    per_layout = bounds.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.max(F.col("hi") - F.col("lo") + 1).cast("long").alias("max_width"),
+    )
+    return per_layout.join(depths, "layout").select(
+        "layout", "n_files", "max_width", "max_depth"
+    )

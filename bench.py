@@ -141,6 +141,7 @@ AUX = [
     "g6_katz_centrality",
     "ts14_seasonal_anomalies",
     "w11_rolling_median",
+    "m26_clustering_depth_report",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

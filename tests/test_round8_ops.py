@@ -586,3 +586,75 @@ def test_w11_median_is_robust_to_spike(spark, tmp_path):
     }
     assert all(out[i].med_centi == 1000 for i in range(len(vals))), out
     assert out[3].n_win == 4 and out[7].n_win == 7
+
+
+# ---------------------------------------------------------------------------
+# m26 clustering-depth report
+# ---------------------------------------------------------------------------
+
+
+def _overlap_depth(intervals):
+    """Max overlap depth of inclusive integer intervals via the +1/−1
+    boundary sweep (independent re-derivation of m26's window walk)."""
+    ev = []
+    for lo, hi in intervals:
+        ev.append((lo, 1))
+        ev.append((hi + 1, -1))
+    depth = best = 0
+    for _, d in sorted(ev, key=lambda e: (e[0], -e[1])):
+        depth += d
+        best = max(best, depth)
+    return best
+
+
+def test_m26_contrast_and_real_footer_binding(spark, tmp_path):
+    """(a) The modeled report must show the clustering contrast: range
+    layout ⇒ depth ≤ 2 (only date-split boundaries overlap), hash
+    layout ⇒ depth = n_files (every file spans the whole key range).
+    (b) Bounds from REAL parquet footers of a write_with_manifest
+    range-clustered write must yield the same ≤2 depth via the same
+    sweep — binding the modeled metric to physical file metadata."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.catalog.manifests import (
+        _local_path,
+        write_with_manifest,
+    )
+    from apache_iceberg_spark.operators.scale import M26_FILES
+    from apache_iceberg_spark.tables import load_table
+
+    rep = {
+        r.layout: r
+        for r in REGISTRY["m26_clustering_depth_report"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert rep["hashed"].max_depth == M26_FILES
+    assert rep["clustered"].max_depth <= 2
+    assert rep["clustered"].max_width < rep["hashed"].max_width
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("key"),
+    )
+    path = str(tmp_path / "orders_clustered")
+    write_with_manifest(o, path, cluster_by="key", track_cols=["key"],
+                        n_files=M26_FILES)
+    intervals = []
+    for f in spark.read.parquet(os.path.join(path, "data")).inputFiles():
+        md = pq.ParquetFile(_local_path(f)).metadata
+        idx = [
+            md.schema.column(i).name for i in range(md.num_columns)
+        ].index("key")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        intervals.append((min(los), max(his)))
+    assert len(intervals) == M26_FILES
+    assert _overlap_depth(intervals) <= 2
