@@ -3165,3 +3165,146 @@ def pp14_corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             > PP14_DRIFT_PPM
         ).alias("drifted"),
     )
+
+
+# --- pp15: curation ablation grid -------------------------------------------
+
+PP15_MICRO = 1_000_000
+
+
+def _pp15_oracle() -> str:
+    from apache_iceberg_spark.operators.text import (
+        _TX19_DUCK_FEATURES,
+        _duck_stop_count,
+        _tx19_margin_sql,
+    )
+
+    # NOTE: _TX19_DUCK_FEATURES opens "WITH t AS (...), m AS (...)";
+    # extend the same WITH chain.
+    return f"""
+        {_TX19_DUCK_FEATURES},
+        q AS (
+            SELECT doc_id, {_tx19_margin_sql()} > 0.0 AS keep_quality
+            FROM m
+        ),
+        lid AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                     WHEN s_en >= s_de AND s_en > s_es AND s_en > s_fr THEN 'en'
+                     WHEN s_es >= s_de AND s_es >= s_en AND s_es > s_fr THEN 'es'
+                     ELSE 'fr'
+                   END AS lang
+            FROM (SELECT doc_id,
+                         {_duck_stop_count('en')} AS s_en,
+                         {_duck_stop_count('es')} AS s_es,
+                         {_duck_stop_count('de')} AS s_de,
+                         {_duck_stop_count('fr')} AS s_fr
+                  FROM documents)
+        ),
+        dup AS (
+            SELECT doc_id,
+                   doc_id <> MIN(doc_id) OVER (
+                       PARTITION BY md5(lower(trim(text)))) AS is_dup
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT d.doc_id, lid.lang, q.keep_quality, dup.is_dup,
+                   len(string_split_regex(lower(trim(d.text)), '{_TOKEN_SPLIT}'))
+                       AS n_tokens
+            FROM documents d
+            JOIN lid USING (doc_id) JOIN q USING (doc_id)
+            JOIN dup USING (doc_id)
+        ),
+        fine AS (
+            SELECT lang, keep_quality, is_dup,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM per_doc GROUP BY lang, keep_quality, is_dup
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM fine)
+        SELECT COALESCE(lang, 'ALL') AS lang,
+               COALESCE(CAST(keep_quality AS VARCHAR), 'ALL') AS keep_quality,
+               COALESCE(CAST(is_dup AS VARCHAR), 'ALL') AS is_dup,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) * {PP15_MICRO} // tot.t
+                   AS pct_tokens_micro
+        FROM fine CROSS JOIN tot
+        GROUP BY CUBE (lang, keep_quality, is_dup), tot.t
+    """
+
+
+@register(
+    "pp15_curation_ablation_grid",
+    oracle=_pp15_oracle(),
+    doc="Curation what-if ablation grid: every (language × quality-keep × "
+    "exact-dup) cell of the corpus with doc and token counts and exact "
+    "token share (BIGINT micro-units), INCLUDING all CUBE marginals — "
+    "the planning artifact for a 100 TB curation run ('dropping "
+    "quality-fail non-dup German costs 1.2% of tokens'), composing "
+    "tx3's langid, tx19's classifier, and dd1's canonical-hash dup "
+    "flag into one frame. Scale shape: the per-doc flags are one "
+    "map-only pass plus ONE window shuffle on the content hash; the "
+    "corpus then collapses to ≤ |langs|·2·2 fine cells in a single "
+    "partial+final agg, and the 8-way CUBE expansion runs over the "
+    "tiny cell frame — never over corpus rows (the naive "
+    "cube-over-docs plan shuffles every doc 8×).",
+    tags=("pipeline", "llm", "report", "quality", "dedup"),
+)
+def pp15_curation_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.text import (
+        _tokens,
+        _tx19_features,
+        _tx19_margin_sql,
+        tx3_langid,
+    )
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = (
+        _tx19_features(d)
+        .select("doc_id", (F.expr(_tx19_margin_sql()) > 0.0).alias("keep_quality"))
+    )
+    lid = tx3_langid(spark, sf_dir).select(
+        "doc_id", F.col("lang_pred").alias("lang")
+    )
+    wdup = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    dup = d.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(wdup)).alias("is_dup"),
+    )
+    per_doc = (
+        d.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+        .join(lid, "doc_id")
+        .join(q, "doc_id")
+        .join(dup, "doc_id")
+    )
+    fine = per_doc.groupBy("lang", "keep_quality", "is_dup").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    tot = fine.agg(F.sum("n_tokens").cast("long").alias("t"))
+    return (
+        fine.crossJoin(F.broadcast(tot))
+        .cube("lang", "keep_quality", "is_dup", "t")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_sum"),
+        )
+        .filter(F.col("t").isNotNull())  # keep only the real-total slices
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("keep_quality").cast("string"), F.lit("ALL")).alias(
+                "keep_quality"
+            ),
+            F.coalesce(F.col("is_dup").cast("string"), F.lit("ALL")).alias(
+                "is_dup"
+            ),
+            "n_docs",
+            F.col("n_tokens_sum").alias("n_tokens"),
+            F.expr(f"n_tokens_sum * {PP15_MICRO} DIV t").alias(
+                "pct_tokens_micro"
+            ),
+        )
+    )

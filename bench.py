@@ -142,6 +142,7 @@ AUX = [
     "ts14_seasonal_anomalies",
     "w11_rolling_median",
     "m26_clustering_depth_report",
+    "pp15_curation_ablation_grid",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

@@ -658,3 +658,35 @@ def test_m26_contrast_and_real_footer_binding(spark, tmp_path):
         intervals.append((min(los), max(his)))
     assert len(intervals) == M26_FILES
     assert _overlap_depth(intervals) <= 2
+
+
+# ---------------------------------------------------------------------------
+# pp15 curation ablation grid
+# ---------------------------------------------------------------------------
+
+
+def test_pp15_marginals_are_consistent(spark):
+    """The CUBE must be internally consistent: the grand-total row holds
+    100% of tokens (1e6 micro), every marginal equals the sum of its
+    fine cells, and doc counts add to the corpus size."""
+    from tests.conftest import SF_DIR
+
+    rows = (
+        REGISTRY["pp15_curation_ablation_grid"].spark(spark, SF_DIR).collect()
+    )
+    cells = {(r.lang, r.keep_quality, r.is_dup): r for r in rows}
+    grand = cells[("ALL", "ALL", "ALL")]
+    assert grand.pct_tokens_micro == 1_000_000
+    assert grand.n_docs == 500
+    fine = [
+        r
+        for r in rows
+        if "ALL" not in (r.lang, r.keep_quality, r.is_dup)
+    ]
+    assert sum(r.n_docs for r in fine) == grand.n_docs
+    assert sum(r.n_tokens for r in fine) == grand.n_tokens
+    for lang in {r.lang for r in fine}:
+        marg = cells[(lang, "ALL", "ALL")]
+        assert marg.n_tokens == sum(
+            r.n_tokens for r in fine if r.lang == lang
+        )
