@@ -1410,3 +1410,183 @@ def tx19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin"),
         (margin > F.lit(0.0)).alias("pred_keep"),
     )
+
+
+# --- tx20: pruned bigram-LM surprisal with stupid backoff --------------------
+#
+# tx16 is the unigram gate of the CCNet cascade; real CCNet scores with a
+# KenLM n-gram model. tx20 is that shape, log-free: a PRUNED bigram table
+# (singleton bigrams dropped, exactly KenLM's default pruning) scores each
+# document's bigrams by inverse conditional frequency in exact BIGINT
+# micro-units — rarity(w1,w2) = c(w1·)·1e6 // c(w1,w2) ∝ 1/p(w2|w1) — and
+# bigrams missing from the pruned table BACK OFF to penalized inverse
+# unigram frequency (Stupid Backoff, Brants et al. 2007: score = α·p_uni
+# with α = 0.4, i.e. rarity × 5/2 — exact in integers).
+
+TX20_MICRO = 1_000_000
+TX20_MIN_COUNT = 2  # prune singleton bigrams (KenLM's default)
+TX20_BO_NUM, TX20_BO_DEN = 5, 2  # backoff penalty 1/α = 1/0.4 = 5/2
+TX20_HI_NUM, TX20_HI_DEN = 2, 1  # 'rare' above 2× corpus mean
+TX20_LO_NUM, TX20_LO_DEN = 1, 2  # 'common' below ½ corpus mean
+
+_TX20_SPARK_BIGRAMS = (
+    "CASE WHEN size(toks) >= 2 THEN transform("
+    "sequence(1, size(toks) - 1), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+    "ELSE array() END"
+)
+_TX20_DUCK_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "[toks[i] || ' ' || toks[i + 1] for i in generate_series(1, len(toks) - 1)]"
+    " ELSE [] END"
+)
+
+
+@register(
+    "tx20_bigram_surprisal",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+        ),
+        uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(toks) AS tok FROM toks) WHERE tok <> ''
+            GROUP BY tok
+        ),
+        n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM uni),
+        bg AS (
+            SELECT doc_id, unnest({_TX20_DUCK_BIGRAMS}) AS b FROM toks
+        ),
+        ctx AS (
+            SELECT split_part(b, ' ', 1) AS w1,
+                   CAST(COUNT(*) AS BIGINT) AS c_ctx
+            FROM bg GROUP BY 1
+        ),
+        big AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS c_big
+            FROM bg GROUP BY b HAVING COUNT(*) >= {TX20_MIN_COUNT}
+        ),
+        lm AS (
+            SELECT big.b, (ctx.c_ctx * {TX20_MICRO}) // big.c_big AS rar
+            FROM big JOIN ctx ON ctx.w1 = split_part(big.b, ' ', 1)
+        ),
+        bo AS (
+            SELECT uni.tok,
+                   (((n.n_total * {TX20_MICRO}) // uni.cnt) * {TX20_BO_NUM})
+                       // {TX20_BO_DEN} AS rar_bo
+            FROM uni CROSS JOIN n
+        ),
+        scored AS (
+            SELECT bg.doc_id,
+                   COALESCE(lm.rar, bo.rar_bo) AS rar,
+                   CASE WHEN lm.rar IS NULL THEN 1 ELSE 0 END AS is_bo
+            FROM bg
+            LEFT JOIN lm ON lm.b = bg.b
+            JOIN bo ON bo.tok = split_part(bg.b, ' ', 2)
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(rar) AS BIGINT) AS rar_sum,
+                   CAST(SUM(is_bo) AS BIGINT) AS n_backoff
+            FROM scored GROUP BY doc_id
+        ),
+        corpus AS (
+            SELECT CAST(SUM(rar_sum) AS BIGINT)
+                       // CAST(SUM(n_bigrams) AS BIGINT) AS mean_micro
+            FROM per_doc
+        )
+        SELECT p.doc_id, p.n_bigrams, p.n_backoff,
+               p.rar_sum // p.n_bigrams AS mean_bigram_rarity_micro,
+               CASE
+                   WHEN (p.rar_sum // p.n_bigrams) * {TX20_HI_DEN}
+                        > c.mean_micro * {TX20_HI_NUM} THEN 'rare'
+                   WHEN (p.rar_sum // p.n_bigrams) * {TX20_LO_DEN}
+                        < c.mean_micro * {TX20_LO_NUM} THEN 'common'
+                   ELSE 'mid'
+               END AS band
+        FROM per_doc p CROSS JOIN corpus c
+    """,
+    doc="Bigram-LM surprisal gate with pruned table + Stupid Backoff — "
+    "the KenLM stage of CCNet re-expressed log-free in exact BIGINT "
+    "micro-units (see module constants): conditional inverse frequency "
+    "c(w1·)·1e6//c(w1,w2) for bigrams surviving singleton pruning, "
+    "α=0.4 penalized inverse unigram frequency otherwise; per-doc mean "
+    "banded keep-the-middle against the corpus mean exactly like tx16. "
+    "Scale: the pruned bigram and unigram tables are Heaps-law bounded "
+    "(the prune is WHY — singletons are ~half of all distinct bigrams); "
+    "the doc-bigram stream takes two joins against those tables "
+    "(Zipf-skewed keys → AQE skew handling; both tables pre-fold their "
+    "numerators so the stream-side math is one integer divide), the "
+    "per-doc fold keys on doc_id, and the corpus mean is one scalar. "
+    "Docs with < 2 tokens have no bigrams and are excluded by "
+    "construction (same convention as dd2's short-doc rule).",
+    tags=("text", "llm", "quality", "filter"),
+)
+def tx20_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks_df = d.select("doc_id", F.expr(_SPARK_TOKENS).alias("toks"))
+    uni = (
+        toks_df.select(F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    n_tot = uni.agg(F.sum("cnt").cast("long").alias("n_total"))
+    bg = toks_df.select(
+        "doc_id", F.explode(F.expr(_TX20_SPARK_BIGRAMS)).alias("b")
+    )
+    w1 = F.expr("split_part(b, ' ', 1)")
+    w2 = F.expr("split_part(b, ' ', 2)")
+    ctx = bg.groupBy(w1.alias("w1")).agg(
+        F.count("*").cast("long").alias("c_ctx")
+    )
+    big = (
+        bg.groupBy("b")
+        .agg(F.count("*").cast("long").alias("c_big"))
+        .filter(F.col("c_big") >= TX20_MIN_COUNT)
+    )
+    lm = big.join(
+        ctx, F.expr("split_part(b, ' ', 1)") == ctx["w1"]
+    ).select("b", F.expr(f"(c_ctx * {TX20_MICRO}) DIV c_big").alias("rar"))
+    bo = uni.crossJoin(F.broadcast(n_tot)).select(
+        "tok",
+        F.expr(
+            f"(((n_total * {TX20_MICRO}) DIV cnt) * {TX20_BO_NUM}) "
+            f"DIV {TX20_BO_DEN}"
+        ).alias("rar_bo"),
+    )
+    scored = (
+        bg.join(lm, "b", "left")
+        .join(bo, w2 == bo["tok"])
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rar"), F.col("rar_bo")).alias("r"),
+            F.when(F.col("rar").isNull(), 1).otherwise(0).alias("is_bo"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("r").cast("long").alias("rar_sum"),
+        F.sum("is_bo").cast("long").alias("n_backoff"),
+    )
+    corpus = per_doc.agg(
+        F.expr("SUM(rar_sum) DIV SUM(n_bigrams)").alias("mean_micro")
+    )
+    mean = F.expr("rar_sum DIV n_bigrams")
+    return per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_bigrams",
+        "n_backoff",
+        mean.alias("mean_bigram_rarity_micro"),
+        F.when(
+            mean * TX20_HI_DEN > F.col("mean_micro") * TX20_HI_NUM,
+            F.lit("rare"),
+        )
+        .when(
+            mean * TX20_LO_DEN < F.col("mean_micro") * TX20_LO_NUM,
+            F.lit("common"),
+        )
+        .otherwise(F.lit("mid"))
+        .alias("band"),
+    )

@@ -143,6 +143,7 @@ AUX = [
     "w11_rolling_median",
     "m26_clustering_depth_report",
     "pp15_curation_ablation_grid",
+    "tx20_bigram_surprisal",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

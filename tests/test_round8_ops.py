@@ -690,3 +690,42 @@ def test_pp15_marginals_are_consistent(spark):
         assert marg.n_tokens == sum(
             r.n_tokens for r in fine if r.lang == lang
         )
+
+
+# ---------------------------------------------------------------------------
+# tx20 bigram surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_tx20_backoff_and_rarity_hand_checked(spark, tmp_path):
+    """Hand-computable corpus: a repeated bigram scores its conditional
+    inverse frequency from the pruned table; a singleton bigram falls
+    back to 5/2 x inverse unigram frequency; a repetitive doc lands in
+    a lower band than a one-off-heavy doc."""
+    docs = [
+        "a b a b a b",   # doc 0: 5 bigrams, all repeats of 'a b'/'b a'
+        "a b c d",       # doc 1: 'a b' common; 'b c','c d' singletons
+        "a b a b",       # doc 2: more 'a b' mass
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["tx20_bigram_surprisal"].spark(spark, sf).collect()
+    }
+    # corpus bigrams: 'a b' x5 (docs 0:3,1:1,2:2 -> c=6? doc0 has a,b,a,b,a,b ->
+    # bigrams ab,ba,ab,ba,ab = 3x'a b', 2x'b a'; doc1: ab,bc,cd; doc2: ab,ba,ab
+    # c('a b')=3+1+2=6, c('b a')=2+0+1=3, c('b c')=1, c('c d')=1 (pruned)
+    # ctx c('a .')=6, c('b .')=3+1=4, c('c .')=1
+    MICRO = 1_000_000
+    rar_ab = 6 * MICRO // 6        # 1.0 in micro
+    rar_ba = 4 * MICRO // 3
+    # unigrams: a=6 (3+1+2), b=6 (3+1+2), c=1, d=1, total=14
+    rar_bo_c = ((14 * MICRO // 1) * 5) // 2
+    rar_bo_d = rar_bo_c
+    assert out[1].n_backoff == 2
+    assert out[0].n_backoff == 0
+    exp1 = (rar_ab + rar_bo_c + rar_bo_d) // 3
+    assert out[1].mean_bigram_rarity_micro == exp1
+    exp0 = (3 * rar_ab + 2 * rar_ba) // 5
+    assert out[0].mean_bigram_rarity_micro == exp0
+    assert out[1].band == "rare" and out[0].band == "common"
