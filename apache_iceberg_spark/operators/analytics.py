@@ -802,3 +802,60 @@ def w10_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per engine (datetime64 vs object) — serialize on both sides
         F.min("streak_start").cast("string").alias("first_active_day"),
     )
+
+
+# --- a24: exact Gini impurity / diversity report ------------------------------
+
+A24_MICRO = 1_000_000
+
+
+@register(
+    "a24_gini_diversity",
+    oracle=f"""
+        WITH cells AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY source, lang
+        ),
+        g AS (
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * c) AS BIGINT) AS ss,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+            FROM cells GROUP BY source
+        )
+        SELECT source, n AS n_docs, n_langs,
+               (n * n - ss) * {A24_MICRO} // (n * n) AS gini_micro,
+               ss * {A24_MICRO} // (n * n) AS hhi_micro
+        FROM g
+    """,
+    doc="Per-source language-diversity report: EXACT Gini impurity "
+    "1 − Σp² and Herfindahl concentration Σp² in BIGINT micro-units — "
+    "the log-free substitutes for Shannon entropy (libm ln is banned "
+    "by the repo's bitwise-parity rules; Gini is the standard "
+    "impurity stand-in, cf. CART vs ID3) for monitoring corpus "
+    "mixture balance per source. Integer form: (n² − Σc²)·1e6 // n². "
+    "Headroom: Σc² ≤ n², so n ≤ 3e9 docs/source keeps n²·1e6 inside "
+    "BIGINT; beyond that the same query in DECIMAL(38,0) has 1e16 "
+    "headroom (a21's pattern). Scale: one partial+final agg to "
+    "(source, lang) cells, then a cell-level fold — the corpus "
+    "shuffles once and the second agg touches ≤ |sources|·|langs| "
+    "rows.",
+    tags=("analytics", "llm", "report"),
+)
+def a24_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    g = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.count("*").cast("long").alias("n_langs"),
+    )
+    return g.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "n_langs",
+        F.expr(f"(n * n - ss) * {A24_MICRO} DIV (n * n)").alias("gini_micro"),
+        F.expr(f"ss * {A24_MICRO} DIV (n * n)").alias("hhi_micro"),
+    )

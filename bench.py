@@ -144,6 +144,7 @@ AUX = [
     "m26_clustering_depth_report",
     "pp15_curation_ablation_grid",
     "tx20_bigram_surprisal",
+    "a24_gini_diversity",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

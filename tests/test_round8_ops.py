@@ -729,3 +729,37 @@ def test_tx20_backoff_and_rarity_hand_checked(spark, tmp_path):
     exp0 = (3 * rar_ab + 2 * rar_ba) // 5
     assert out[0].mean_bigram_rarity_micro == exp0
     assert out[1].band == "rare" and out[0].band == "common"
+
+
+# ---------------------------------------------------------------------------
+# a24 Gini diversity
+# ---------------------------------------------------------------------------
+
+
+def test_a24_gini_hand_checked(spark, tmp_path):
+    """Pure source → gini 0 / hhi 1e6; a 50/50 source → gini 0.5 / hhi
+    0.5; the two measures are exact complements up to floor rounding."""
+    import pandas as pd
+
+    rows = (
+        [(i, "x", "en", "pure", 1) for i in range(4)]
+        + [(10 + i, "x", "en", "even", 1) for i in range(2)]
+        + [(20 + i, "x", "de", "even", 1) for i in range(2)]
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.source: r
+        for r in REGISTRY["a24_gini_diversity"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["pure"].gini_micro == 0 and out["pure"].hhi_micro == 1_000_000
+    assert out["even"].gini_micro == 500_000
+    assert out["even"].hhi_micro == 500_000
+    for r in out.values():
+        assert 0 <= 1_000_000 - (r.gini_micro + r.hhi_micro) <= 2
