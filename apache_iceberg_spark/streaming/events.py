@@ -1315,3 +1315,89 @@ def st16_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(qname)
+
+
+# --- st17: streaming seasonal anomaly scoring --------------------------------
+
+
+def _st17_oracle() -> str:
+    from apache_iceberg_spark.registry import REGISTRY as _REG
+
+    # Same answer as batch ts14 — the serving-parity contract.
+    return _REG["ts14_seasonal_anomalies"].oracle
+
+
+@register(
+    "st17_stream_seasonal_scoring",
+    oracle=_st17_oracle(),
+    doc="STREAMING seasonal anomaly scoring — ts14's serving shape: the "
+    "(event_type, hour) profile and per-type residual moments are "
+    "TRAINED on the static batch (two tiny aggregates, broadcast), and "
+    "live events are scored against that frozen state as they arrive — "
+    "stateless stream-static broadcast joins inside each micro-batch, "
+    "no state store, no watermark, so gate throughput = scan "
+    "throughput at any scale (the production pattern: model state "
+    "refreshes on a batch cadence via ann15-style lifecycle, scoring "
+    "never blocks on training). Batch/stream parity is exact because "
+    "the scoring expression tree is ts14's own — proven by sharing "
+    "ts14's oracle AND a pytest frame-equality against the batch "
+    "operator.",
+    tags=("streaming", "timeseries", "anomaly"),
+)
+def st17_stream_seasonal_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.timeseries import TS14_K
+
+    e = load_table(spark, sf_dir, "events")
+    v_static = e.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    prof = v_static.groupBy("event_type", "hr").agg(
+        F.expr("CAST(SUM(v) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias(
+            "seasonal_centi"
+        )
+    )
+    resid = v_static.join(F.broadcast(prof), ["event_type", "hr"]).select(
+        "event_type", (F.col("v") - F.col("seasonal_centi")).alias("r")
+    )
+    dec = "decimal(38,0)"
+    mom = resid.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("r").cast(dec)).cast(dec).alias("s1"),
+        F.sum((F.col("r") * F.col("r")).cast(dec)).cast(dec).alias("s2"),
+    )
+    stream = stream_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    a = F.expr("n * CAST(resid_centi AS DECIMAL(38,0)) - s1")
+    scored = (
+        stream.join(F.broadcast(prof), ["event_type", "hr"])
+        .withColumn("resid_centi", F.col("v") - F.col("seasonal_centi"))
+        .join(F.broadcast(mom), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            F.col("v").alias("v_centi"),
+            "seasonal_centi",
+            "resid_centi",
+            (
+                a * a > F.lit(TS14_K * TS14_K) * F.expr("n * s2 - s1 * s1")
+            ).alias("is_anomaly"),
+        )
+    )
+    qname = f"st17_seasonal_{next(_stream_ids)}"
+    query = (
+        scored.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)

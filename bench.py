@@ -111,6 +111,7 @@ STREAMING = [
     "st13_stream_index_update",
     "st14_stream_ewma",
     "st16_stream_quality_gate",
+    "st17_stream_seasonal_scoring",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail

@@ -763,3 +763,17 @@ def test_a24_gini_hand_checked(spark, tmp_path):
     assert out["even"].hhi_micro == 500_000
     for r in out.values():
         assert 0 <= 1_000_000 - (r.gini_micro + r.hhi_micro) <= 2
+
+
+def test_st17_stream_equals_batch_ts14(spark):
+    """Frame equality with batch ts14 — the frozen-state serving-parity
+    contract (training on the static side, scoring on the stream)."""
+    from tests.conftest import SF_DIR
+
+    batch = REGISTRY["ts14_seasonal_anomalies"].spark(spark, SF_DIR)
+    stream = REGISTRY["st17_stream_seasonal_scoring"].spark(spark, SF_DIR)
+    assert stream.count() == batch.count()
+    assert (
+        stream.exceptAll(batch).count() == 0
+        and batch.exceptAll(stream).count() == 0
+    )
