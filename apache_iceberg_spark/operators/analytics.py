@@ -859,3 +859,114 @@ def a24_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(n * n - ss) * {A24_MICRO} DIV (n * n)").alias("gini_micro"),
         F.expr(f"ss * {A24_MICRO} DIV (n * n)").alias("hhi_micro"),
     )
+
+
+# --- a25: exact two-sample KS drift statistic ---------------------------------
+
+A25_SPLIT_NUM, A25_SPLIT_DEN = 4, 5  # reference = first 80% of event ids
+A25_MICRO = 1_000_000
+A25_ALARM_MICRO = 100_000  # drift alarm at D > 0.1
+
+
+@register(
+    "a25_ks_drift",
+    oracle=f"""
+        WITH t AS (
+            SELECT (MAX(event_id) * {A25_SPLIT_NUM}) // {A25_SPLIT_DEN} AS t0
+            FROM events
+        ),
+        v AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_id < t.t0 THEN 1 ELSE 0 END AS is_ref
+            FROM events CROSS JOIN t
+        ),
+        cells AS (
+            SELECT v,
+                   CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+                   CAST(SUM(1 - is_ref) AS BIGINT) AS c_new
+            FROM v GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   SUM(c_ref) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS f_ref,
+                   SUM(c_new) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS f_new
+            FROM cells
+        ),
+        n AS (
+            SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_new) AS BIGINT) AS n_new
+            FROM cells
+        )
+        SELECT n.n_ref, n.n_new,
+               CAST(MAX(abs(f_ref * n.n_new - f_new * n.n_ref)) AS BIGINT)
+                   AS d_scaled,
+               CAST(MAX(abs(f_ref * n.n_new - f_new * n.n_ref)) AS BIGINT)
+                   * {A25_MICRO} // (n.n_ref * n.n_new) AS ks_micro,
+               CAST(MAX(abs(f_ref * n.n_new - f_new * n.n_ref)) AS BIGINT)
+                   * {A25_MICRO} // (n.n_ref * n.n_new)
+                   > {A25_ALARM_MICRO} AS drifted
+        FROM cum CROSS JOIN n
+        GROUP BY n.n_ref, n.n_new
+    """,
+    doc="EXACT two-sample Kolmogorov–Smirnov drift test between the "
+    "reference slice (first 80% of event ids — pp14's split convention) "
+    "and the refresh slice, on the value distribution: D = max_x "
+    "|F_ref(x) − F_new(x)| computed as the BIGINT cross-multiplication "
+    "max|f_ref·n_new − f_new·n_ref| over the merged support, reported "
+    "in exact micro-units with a 0.1 alarm — the distributional "
+    "complement of pp14's categorical composition diff (pp14 catches "
+    "source-mix shifts; a25 catches a shifted VALUE distribution at "
+    "unchanged mix). Scale: one partial+final agg collapses the corpus "
+    "to its distinct centi-value support (bounded domain ⇒ bounded "
+    "cells; for unbounded metrics pre-quantize), then the CDF cumsum "
+    "runs over support cells only. That cumsum is a deliberately "
+    "UNPARTITIONED window like w4's — correct because it touches "
+    "support cells, never corpus rows; at 100 TB the support frame is "
+    "KBs while the corpus stays distributed in the first agg.",
+    tags=("analytics", "timeseries", "report", "llm"),
+)
+def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    t = e.agg(
+        F.expr(
+            f"(MAX(event_id) * {A25_SPLIT_NUM}) DIV {A25_SPLIT_DEN}"
+        ).alias("t0")
+    )
+    v = e.crossJoin(F.broadcast(t)).select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_id") < F.col("t0"), 1).otherwise(0).alias("is_ref"),
+    )
+    cells = v.groupBy("v").agg(
+        F.sum("is_ref").cast("long").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("c_new"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cells.select(
+        "v",
+        F.sum("c_ref").over(w).alias("f_ref"),
+        F.sum("c_new").over(w).alias("f_new"),
+    )
+    n = cells.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_new").cast("long").alias("n_new"),
+    )
+    d = F.max(
+        F.abs(F.col("f_ref") * F.col("n_new") - F.col("f_new") * F.col("n_ref"))
+    ).cast("long")
+    ks = F.expr(f"d_scaled * {A25_MICRO} DIV (n_ref * n_new)")
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n_ref", "n_new")
+        .agg(d.alias("d_scaled"))
+        .select(
+            "n_ref",
+            "n_new",
+            "d_scaled",
+            ks.alias("ks_micro"),
+            (ks > A25_ALARM_MICRO).alias("drifted"),
+        )
+    )

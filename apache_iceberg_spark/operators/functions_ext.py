@@ -900,3 +900,61 @@ def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "element_at(array_sort(win), CAST((size(win) + 1) DIV 2 AS INT))"
         ).alias("med_centi"),
     )
+
+
+# --- f14: bitmask rollup ------------------------------------------------------
+
+# event_type → bit position (alphabetical, pinned: the mask is a contract)
+F14_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _f14_bit(col_sql: str) -> str:
+    arms = " ".join(
+        f"WHEN '{t}' THEN {1 << i}" for i, t in enumerate(F14_TYPES)
+    )
+    return f"(CASE {col_sql} {arms} ELSE 0 END)"
+
+
+@register(
+    "f14_bitmask_rollup",
+    oracle=f"""
+        SELECT user_id,
+               CAST(bit_or({_f14_bit('event_type')}) AS BIGINT)
+                   AS type_mask,
+               CAST(bit_count(CAST(bit_or({_f14_bit('event_type')})
+                   AS BIGINT)) AS BIGINT) AS n_types,
+               CAST(bit_and({_f14_bit('event_type')}) AS BIGINT)
+                   AS every_event_mask,
+               (CAST(bit_or({_f14_bit('event_type')}) AS BIGINT)
+                   & {1 << F14_TYPES.index('purchase')}) > 0 AS did_purchase
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Bitmask rollup: event types fold into one BIGINT mask per user "
+    "via bit_or (set union), bit_and (types present in EVERY event — "
+    "degenerate unless single-typed), bit_count for distinct-type "
+    "cardinality, and a mask probe replacing a semi-join "
+    "('did this user ever purchase' without touching rows twice). The "
+    "64-flag-set-in-8-bytes idiom is the standard segmentation "
+    "pre-compute at warehouse scale: one partial+final agg, constant "
+    "per-key state, and downstream audience predicates become bitwise "
+    "ANDs on the rollup instead of joins against the event log.",
+    tags=("functions", "analytics"),
+)
+def f14_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bit = F.expr(_f14_bit("event_type"))
+    g = e.select("user_id", bit.alias("b")).groupBy("user_id").agg(
+        F.expr("bit_or(b)").cast("long").alias("type_mask"),
+        F.expr("CAST(bit_count(bit_or(b)) AS BIGINT)").alias("n_types"),
+        F.expr("bit_and(b)").cast("long").alias("every_event_mask"),
+    )
+    return g.select(
+        "user_id",
+        "type_mask",
+        "n_types",
+        "every_event_mask",
+        (
+            F.col("type_mask").bitwiseAND(1 << F14_TYPES.index("purchase")) > 0
+        ).alias("did_purchase"),
+    )

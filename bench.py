@@ -146,6 +146,8 @@ AUX = [
     "pp15_curation_ablation_grid",
     "tx20_bigram_surprisal",
     "a24_gini_diversity",
+    "f14_bitmask_rollup",
+    "a25_ks_drift",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

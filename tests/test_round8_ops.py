@@ -777,3 +777,72 @@ def test_st17_stream_equals_batch_ts14(spark):
         stream.exceptAll(batch).count() == 0
         and batch.exceptAll(stream).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# f14 bitmask rollup / a25 KS drift
+# ---------------------------------------------------------------------------
+
+
+def test_f14_mask_semantics(spark):
+    """type_mask must be the exact OR of per-type bits, n_types the
+    popcount, and did_purchase must agree with a semi-join re-check."""
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.operators.functions_ext import F14_TYPES
+    from apache_iceberg_spark.tables import load_table
+
+    out = {
+        r.user_id: r
+        for r in REGISTRY["f14_bitmask_rollup"].spark(spark, SF_DIR).collect()
+    }
+    truth = {}
+    for row in (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .collect()
+    ):
+        truth.setdefault(row.user_id, set()).add(row.event_type)
+    for uid, types in truth.items():
+        mask = sum(1 << F14_TYPES.index(t) for t in types)
+        assert out[uid].type_mask == mask
+        assert out[uid].n_types == len(types)
+        assert out[uid].did_purchase == ("purchase" in types)
+
+
+def test_a25_planted_drift_and_null_case(spark, tmp_path):
+    """A refresh slice drawn from a shifted distribution must alarm;
+    an identically-distributed refresh must not (KS exact-zero when the
+    two empirical CDFs coincide)."""
+    import datetime
+
+    def write(dirname, new_vals):
+        rows = []
+        for i in range(80):  # reference: ids 0..79, values cycle 1..8
+            rows.append(
+                (i, datetime.datetime(2024, 1, 1), 1, "click",
+                 float(1 + i % 8), "{}")
+            )
+        for j, v in enumerate(new_vals):  # refresh: ids 80..99
+            rows.append(
+                (80 + j, datetime.datetime(2024, 1, 2), 1, "click",
+                 float(v), "{}")
+            )
+        p = tmp_path / dirname
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(str(p / "events.parquet"))
+        return str(p)
+
+    drifted = write("drift", [100 + k for k in range(20)])
+    same = write("same", [1 + (79 + k) % 8 for k in range(20)])
+    r1 = REGISTRY["a25_ks_drift"].spark(spark, drifted).collect()[0]
+    r2 = REGISTRY["a25_ks_drift"].spark(spark, same).collect()[0]
+    # split point t0 = (99*4)//5 = 79: reference ids 0..78, refresh 79..99
+    assert r1.n_ref == 79 and r1.n_new == 21
+    # 20 of 21 refresh values sit above the whole reference support
+    assert r1.drifted and r1.ks_micro > 900_000
+    # refresh continuing the same 1..8 cycle: near-identical CDFs
+    assert not r2.drifted and r2.ks_micro < 50_000
