@@ -844,5 +844,7 @@ def test_a25_planted_drift_and_null_case(spark, tmp_path):
     assert r1.n_ref == 79 and r1.n_new == 21
     # 20 of 21 refresh values sit above the whole reference support
     assert r1.drifted and r1.ks_micro > 900_000
-    # refresh continuing the same 1..8 cycle: near-identical CDFs
-    assert not r2.drifted and r2.ks_micro < 50_000
+    # refresh continuing the same 1..8 cycle: same distribution, so the
+    # statistic stays under the alarm (79/21 aren't cycle multiples, so
+    # the empirical CDFs wobble by ~1 step — bounded, not zero)
+    assert not r2.drifted and r2.ks_micro < 100_000
