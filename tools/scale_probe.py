@@ -305,12 +305,124 @@ def time_g5(spark, n_hub: int, variant: str, hops: int = 8) -> float:
     return dt
 
 
+def time_dd19(spark, replicas: int, variant: str) -> float:
+    """dd19's span shuffle A/B (round 8): spans ride the two shuffles
+    (dup-count groupBy + dup-flag join) either as raw ~50-byte strings
+    or as 60-bit md5 hashes. The hash spends map-side CPU (one md5 per
+    span) to cut per-row shuffle width ~6x — a win when shuffle is
+    disk/network-bound (any real cluster), muted on a single-JVM
+    local[] where shuffle stays in page cache. Corpus = key-shifted
+    replicas of sf0.1 documents (5k docs each)."""
+    from apache_iceberg_spark.operators.dedup import (
+        _DD19_SPARK_SPANS,
+        _SPARK_TOKENS,
+    )
+    from apache_iceberg_spark.operators.text import SPARK_HEX2INT
+    from apache_iceberg_spark.tables import load_table
+
+    base = load_table(spark, SF01, "documents").select("doc_id", "text")
+    docs = base
+    for r in range(1, replicas):
+        docs = docs.unionAll(
+            base.select((F.col("doc_id") + 5000 * r).alias("doc_id"), "text")
+        )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(_DD19_SPARK_SPANS.replace("toks", f"({_SPARK_TOKENS})"))
+        ).alias("g"),
+    )
+    if variant == "hash":
+        spans = spans.select(
+            "doc_id", F.expr(SPARK_HEX2INT.format(s="g")).alias("k")
+        )
+        width = spans.select(F.lit(8).alias("w"))
+    else:
+        spans = spans.select("doc_id", F.col("g").alias("k"))
+        width = spans.select(F.length("k").alias("w"))
+    t0 = time.time()
+    dup = (
+        spans.groupBy("k")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("k", F.lit(1).alias("is_dup"))
+    )
+    n = (
+        spans.join(dup, "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+        .count()
+    )
+    dt = time.time() - t0
+    avg_w = width.agg(F.avg("w")).collect()[0][0]
+    print(
+        f"  dd19 docs~{5000 * replicas:>9,} variant={variant:>6}"
+        f" rows={n:,} wall={dt:6.2f}s shuffle-key-bytes/row~{avg_w:.1f}",
+        flush=True,
+    )
+    return dt
+
+
+def time_tx20(spark, n_tokens: int) -> None:
+    """tx20's Heaps/pruning evidence (round 8): distinct-bigram table
+    size with and without singleton pruning on a Zipf(1) corpus (the
+    sf0.1 fixture's closed ~1k-bigram vocabulary never produces
+    singletons, so the probe synthesizes the realistic long tail:
+    token i's rank = pow(V, u_i) with u_i uniform in [0,1) —
+    log-uniform ranks, i.e. p(rank r) ∝ 1/r, Zipf(1) over a 1M-word
+    vocabulary with full distinct support, 100-token docs). The pruned table
+    is what every doc-bigram joins against; its sublinearity + the
+    singleton share are the operator's scaling argument."""
+    V = 1_000_000
+    # window-free bigram build: pair token i with token i+1 via a shifted
+    # self-join on the global position (cheaper than a per-doc window for
+    # a probe; the operator itself works on array columns)
+    a = spark.range(n_tokens).select(
+        F.col("id").alias("i"),
+        (F.abs(F.xxhash64("id")) % V).alias("u"),  # aperiodic draw: an
+        # LCG (i·K mod V) has period V, so a 2V-token corpus repeats
+        # every sequence exactly and singletons vanish structurally
+    )
+    w1 = a.select(
+        "i",
+        F.expr(f"CAST(POW({V}, u / {V}) AS LONG)").alias("w"),
+        (F.col("i") / 100).cast("long").alias("doc_id"),
+    )
+    w2 = w1.select((F.col("i") - 1).alias("i"), F.col("w").alias("wn"),
+                   F.col("doc_id").alias("doc2"))
+    pairs = w1.join(w2, ["i"]).filter(F.col("doc_id") == F.col("doc2"))
+    bgk = pairs.select(
+        F.concat_ws(" ", F.col("w").cast("string"),
+                    F.col("wn").cast("string")).alias("b")
+    )
+    t0 = time.time()
+    counts = bgk.groupBy("b").agg(F.count("*").alias("c")).persist()
+    n_all = counts.count()
+    n_kept = counts.filter(F.col("c") >= 2).count()
+    dt = time.time() - t0
+    counts.unpersist()
+    print(
+        f"  tx20 tokens~{n_tokens:>12,} distinct-bigrams={n_all:,}"
+        f" pruned-table={n_kept:,}"
+        f" (singletons dropped: {100 * (n_all - n_kept) / max(n_all, 1):.0f}%)"
+        f" wall={dt:6.2f}s",
+        flush=True,
+    )
+
+
 def main() -> None:
     """Usage: scale_probe.py cc <n_edges> <driver|dist>
               scale_probe.py g3 <copies> <driver|dist> [rounds]
               scale_probe.py ewma <n_hot_events> <ts10|ts11>
               scale_probe.py bpe <n_distinct_words> <driver|dist>
               scale_probe.py g5 <hub_nodes> <settled|frontier> [hops]
+              scale_probe.py dd19 <replicas> <hash|string>
+              scale_probe.py tx20 <n_tokens> -
 
     One measurement per invocation so a slow branch (the point of the
     probe is that the wrong branch IS slow) cannot starve the others."""
@@ -322,6 +434,10 @@ def main() -> None:
     force_driver = branch == "driver"
     if kind == "cc":
         time_cc(spark, size, force_driver)
+    elif kind == "dd19":
+        time_dd19(spark, size, branch)
+    elif kind == "tx20":
+        time_tx20(spark, size)
     elif kind == "ewma":
         time_ewma(spark, size, branch)
     elif kind == "bpe":
