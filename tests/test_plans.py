@@ -908,3 +908,55 @@ def test_tx19_scoring_is_map_only(spark):
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_ts14_two_shuffles_no_wide_join(spark):
+    """ts14's claim: profile agg + moments agg are the ONLY exchanges;
+    both joins broadcast back to the event stream (never SMJ)."""
+    import re
+
+    plan = plan_of(spark, "ts14_seasonal_anomalies")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_f14_w11_single_shuffle(spark):
+    """f14's rollup and w11's window each shuffle exactly once on their
+    key — constant per-key state, no second pass."""
+    import re
+
+    for name in ("f14_bitmask_rollup", "w11_rolling_median"):
+        plan = plan_of(spark, name)
+        n = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+        assert n == 1, (name, plan)
+
+
+def test_pp15_cube_expands_cells_not_docs(spark):
+    """pp15's CUBE claim: exactly one Expand, placed AFTER the fine-cell
+    aggregation (the Expand's subtree must contain the cell HashAggregate,
+    so the 8-way expansion multiplies cells, never document rows)."""
+    plan = plan_of(spark, "pp15_curation_ablation_grid")
+    assert plan.count(") Expand") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ann18_no_wide_join_anywhere(spark):
+    """ann18's corpus-touched-once claim: every join in the MMR rounds is
+    a broadcast (Q-row selected sets), never a sort-merge or cartesian."""
+    plan = plan_of(spark, "ann18_mmr_diverse_topk")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_round8_no_cartesian(spark):
+    """No round-8 operator may degenerate into a cartesian product."""
+    for name in (
+        "dd19_dup_span_fraction",
+        "g6_katz_centrality",
+        "tx20_bigram_surprisal",
+        "a25_ks_drift",
+        "a24_gini_diversity",
+        "m26_clustering_depth_report",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, (name, plan)
