@@ -958,3 +958,111 @@ def f14_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("type_mask").bitwiseAND(1 << F14_TYPES.index("purchase")) > 0
         ).alias("did_purchase"),
     )
+
+
+# --- ts15: union-of-intervals coverage ----------------------------------------
+
+
+@register(
+    "ts15_interval_coverage",
+    oracle=f"""
+        WITH iv AS (
+            SELECT l_suppkey,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                       AS sd,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                       + CAST(l_quantity AS INT) % 28 + 3 AS ed
+            FROM lineitem
+            WHERE l_shipdate BETWEEN DATE '{J7_FROM}' AND DATE '{J7_TO}'
+        ),
+        ev AS (
+            SELECT l_suppkey, day, CAST(SUM(delta) AS BIGINT) AS delta
+            FROM (
+                SELECT l_suppkey, sd AS day, 1 AS delta FROM iv
+                UNION ALL
+                SELECT l_suppkey, ed + 1 AS day, -1 AS delta FROM iv
+            ) GROUP BY l_suppkey, day
+        ),
+        sweep AS (
+            SELECT l_suppkey, day,
+                   CAST(SUM(delta) OVER (
+                       PARTITION BY l_suppkey ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS depth,
+                   LEAD(day) OVER (
+                       PARTITION BY l_suppkey ORDER BY day
+                   ) AS next_day
+            FROM ev
+        ),
+        cov AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CASE WHEN depth > 0
+                                 THEN next_day - day ELSE 0 END) AS BIGINT)
+                       AS covered_days,
+                   CAST(MAX(CASE WHEN depth > 0 THEN next_day - day
+                                 ELSE 0 END) AS BIGINT) AS longest_busy_run,
+                   CAST(MIN(day) AS BIGINT) AS lo,
+                   CAST(MAX(day) AS BIGINT) AS hi
+            FROM sweep GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, covered_days, longest_busy_run,
+               hi - lo AS span_days,
+               covered_days * 1000000 // (hi - lo) AS utilization_micro
+        FROM cov
+    """,
+    doc="Union-of-intervals coverage per supplier — the measure dual of "
+    "ts7's max concurrency: total days with ≥1 shipment in transit "
+    "(overlaps counted once), longest continuously-busy run, and exact "
+    "utilization of the active span in BIGINT micro-units. Same-day "
+    "deltas collapse in a pre-aggregate so the sweep sees one event "
+    "per (supplier, day); depth > 0 between an event and the next "
+    "⇒ those days are covered. hi = max(ed+1) is the first idle day, "
+    "so span = hi − lo covers the closing interval and utilization is "
+    "well-defined (span ≥ interval length ≥ 4 > 0). One shuffle on "
+    "supplier shared by the pre-aggregate, both windows, and the final "
+    "fold — the interval stream never moves twice.",
+    tags=("timeseries", "window", "interval"),
+)
+def ts15_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _shipment_intervals(load_table(spark, sf_dir, "lineitem"))
+    ev = (
+        iv.select("l_suppkey", F.col("sd").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            iv.select(
+                "l_suppkey", (F.col("ed") + 1).alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("l_suppkey", "day")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    wc = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("l_suppkey").orderBy("day")
+    sweep = ev.select(
+        "l_suppkey",
+        "day",
+        F.sum("delta").over(wc).cast("long").alias("depth"),
+        F.lead("day").over(wl).alias("next_day"),
+    )
+    busy = F.when(
+        F.col("depth") > 0, F.col("next_day") - F.col("day")
+    ).otherwise(F.lit(0))
+    cov = sweep.groupBy("l_suppkey").agg(
+        F.sum(busy).cast("long").alias("covered_days"),
+        F.max(busy).cast("long").alias("longest_busy_run"),
+        F.min("day").cast("long").alias("lo"),
+        F.max("day").cast("long").alias("hi"),
+    )
+    return cov.select(
+        "l_suppkey",
+        "covered_days",
+        "longest_busy_run",
+        (F.col("hi") - F.col("lo")).alias("span_days"),
+        F.expr("covered_days * 1000000 DIV (hi - lo)").alias(
+            "utilization_micro"
+        ),
+    )

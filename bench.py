@@ -148,6 +148,7 @@ AUX = [
     "a24_gini_diversity",
     "f14_bitmask_rollup",
     "a25_ks_drift",
+    "ts15_interval_coverage",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

@@ -848,3 +848,45 @@ def test_a25_planted_drift_and_null_case(spark, tmp_path):
     # statistic stays under the alarm (79/21 aren't cycle multiples, so
     # the empirical CDFs wobble by ~1 step — bounded, not zero)
     assert not r2.drifted and r2.ks_micro < 100_000
+
+
+# ---------------------------------------------------------------------------
+# ts15 interval coverage
+# ---------------------------------------------------------------------------
+
+
+def test_ts15_coverage_cross_checked_against_ts7_intervals(spark):
+    """Re-derive coverage per supplier from the raw interval list with a
+    set-of-days union in driver python and compare exactly; also pin
+    the dual relationships: covered ≤ span, covered ≤ Σ lengths, and
+    covered = Σ lengths ⟺ ts7 says max_concurrent == 1."""
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.operators.functions_ext import (
+        _shipment_intervals,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    iv = _shipment_intervals(load_table(spark, SF_DIR, "lineitem")).collect()
+    days, total_len = {}, {}
+    for r in iv:
+        days.setdefault(r.l_suppkey, set()).update(range(r.sd, r.ed + 1))
+        total_len[r.l_suppkey] = total_len.get(r.l_suppkey, 0) + (
+            r.ed - r.sd + 1
+        )
+    out = {
+        r.l_suppkey: r
+        for r in REGISTRY["ts15_interval_coverage"].spark(spark, SF_DIR).collect()
+    }
+    conc = {
+        r.l_suppkey: r.max_concurrent
+        for r in REGISTRY["ts7_max_concurrent_intervals"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert set(out) == set(days)
+    for k, d in days.items():
+        assert out[k].covered_days == len(d), k
+        assert out[k].covered_days <= out[k].span_days
+        assert out[k].covered_days <= total_len[k]
+        assert (out[k].covered_days == total_len[k]) == (conc[k] == 1)
