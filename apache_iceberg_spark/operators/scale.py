@@ -1635,3 +1635,128 @@ def m26_clustering_depth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_layout.join(depths, "layout").select(
         "layout", "n_files", "max_width", "max_depth"
     )
+
+
+# --- m27: changelog (CDC) scan between snapshots ------------------------------
+
+
+@register(
+    "m27_changelog_scan",
+    oracle="""
+        WITH dels AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0
+        ),
+        upds AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderkey % 10 = 0 AND o_orderkey % 100 <> 0
+        ),
+        ins AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                   'N' AS o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 1000 = 7
+        ),
+        base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders
+        )
+        SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.price_cents,
+               'DELETE' AS _change_type
+        FROM base b JOIN dels USING (o_orderkey)
+        UNION ALL
+        SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.price_cents,
+               'UPDATE_BEFORE'
+        FROM base b JOIN upds USING (o_orderkey)
+        UNION ALL
+        SELECT b.o_orderkey, b.o_custkey, 'X', b.price_cents, 'UPDATE_AFTER'
+        FROM base b JOIN upds USING (o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, 'INSERT'
+        FROM ins
+    """,
+    doc="Changelog / CDC scan between two table snapshots — Iceberg's "
+    "create_changelog_view procedure (incremental consumers read the "
+    "DIFF, not the table): snapshot v2 is produced from v1 by m9's "
+    "deterministic three-clause MERGE, and the changelog is computed "
+    "STRUCTURALLY from the two snapshot frames — a single full-outer "
+    "join on the key classifying each key as INSERT (no before), "
+    "DELETE (no after), or payload-compared UPDATE_BEFORE/UPDATE_AFTER "
+    "pair (unchanged rows emit nothing); the before/after pair leaves "
+    "one joined row via an array explode, not a second join. The "
+    "oracle re-derives the expected change set from the merge RULES, "
+    "so a diff bug cannot hide in shared code. Scale: one shuffle "
+    "join on the key (bucketed snapshots make it co-located, m6); at "
+    "real Iceberg scale the join inputs are only the ADDED/REMOVED "
+    "files' rows from the two manifests, not the full table — the "
+    "dataflow is identical.",
+    tags=("scale", "iceberg", "cdc", "snapshot"),
+)
+def m27_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 100 == 0).select("o_orderkey")
+    upds = o.filter(
+        (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 100 != 0)
+    ).withColumn("o_orderstatus", F.lit("X"))
+    ins = o.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "price_cents",
+    )
+    v2 = merge_with_deletes(o, upds.unionByName(ins), dels, "o_orderkey")
+    cols = ["o_custkey", "o_orderstatus", "price_cents"]
+    b = o.select(
+        "o_orderkey", *[F.col(c).alias(f"b_{c}") for c in cols]
+    )
+    a = v2.select(
+        "o_orderkey", *[F.col(c).alias(f"a_{c}") for c in cols]
+    )
+    j = b.join(a, "o_orderkey", "full_outer")
+    changed = (
+        (F.col("b_o_custkey") != F.col("a_o_custkey"))
+        | (F.col("b_o_orderstatus") != F.col("a_o_orderstatus"))
+        | (F.col("b_price_cents") != F.col("a_price_cents"))
+    )
+    before = F.struct(
+        *[F.col(f"b_{c}").alias(c) for c in cols],
+        F.lit("UPDATE_BEFORE").alias("_change_type"),
+    )
+    after = F.struct(
+        *[F.col(f"a_{c}").alias(c) for c in cols],
+        F.lit("UPDATE_AFTER").alias("_change_type"),
+    )
+    delete = F.struct(
+        *[F.col(f"b_{c}").alias(c) for c in cols],
+        F.lit("DELETE").alias("_change_type"),
+    )
+    insert = F.struct(
+        *[F.col(f"a_{c}").alias(c) for c in cols],
+        F.lit("INSERT").alias("_change_type"),
+    )
+    rows = (
+        F.when(F.col("a_o_custkey").isNull(), F.array(delete))
+        .when(F.col("b_o_custkey").isNull(), F.array(insert))
+        .when(changed, F.array(before, after))
+        .otherwise(
+            F.array().cast(
+                "array<struct<o_custkey:bigint,o_orderstatus:string,"
+                "price_cents:bigint,_change_type:string>>"
+            )
+        )
+    )
+    return (
+        j.select("o_orderkey", F.explode(rows).alias("ch"))
+        .select(
+            "o_orderkey",
+            F.col("ch.o_custkey").alias("o_custkey"),
+            F.col("ch.o_orderstatus").alias("o_orderstatus"),
+            F.col("ch.price_cents").alias("price_cents"),
+            F.col("ch._change_type").alias("_change_type"),
+        )
+    )

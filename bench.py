@@ -149,6 +149,7 @@ AUX = [
     "f14_bitmask_rollup",
     "a25_ks_drift",
     "ts15_interval_coverage",
+    "m27_changelog_scan",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

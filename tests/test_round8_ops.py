@@ -890,3 +890,57 @@ def test_ts15_coverage_cross_checked_against_ts7_intervals(spark):
         assert out[k].covered_days <= out[k].span_days
         assert out[k].covered_days <= total_len[k]
         assert (out[k].covered_days == total_len[k]) == (conc[k] == 1)
+
+
+# ---------------------------------------------------------------------------
+# m27 changelog scan
+# ---------------------------------------------------------------------------
+
+
+def test_m27_changelog_replays_to_v2(spark):
+    """The CDC contract: applying the changelog to v1 must reproduce v2
+    exactly — drop DELETE/UPDATE_BEFORE keys, add INSERT/UPDATE_AFTER
+    rows — and unchanged keys must not appear in the log at all."""
+    from tests.conftest import SF_DIR
+
+    from apache_iceberg_spark.tables import load_table
+
+    log = REGISTRY["m27_changelog_scan"].spark(spark, SF_DIR).collect()
+    v1 = {
+        r.o_orderkey: (r.o_custkey, r.o_orderstatus, r.price_cents)
+        for r in load_table(spark, SF_DIR, "orders")
+        .selectExpr(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents",
+        )
+        .collect()
+    }
+    replay = dict(v1)
+    befores = set()
+    for r in log:
+        row = (r.o_custkey, r.o_orderstatus, r.price_cents)
+        if r._change_type in ("DELETE", "UPDATE_BEFORE"):
+            assert replay[r.o_orderkey] == row  # before-image is faithful
+            if r._change_type == "DELETE":
+                del replay[r.o_orderkey]
+            else:
+                befores.add(r.o_orderkey)
+        else:
+            replay[r.o_orderkey] = row
+    assert befores == {
+        k for k in v1 if k % 10 == 0 and k % 100 != 0
+    }  # exactly the merge's update keys got a before/after pair
+    # replay == v2 re-derived from the same deterministic merge rules
+    v2 = {}
+    for k, (c, s, p) in v1.items():
+        if k % 100 == 0:
+            continue
+        if k % 10 == 0:
+            v2[k] = (c, "X", p)
+        else:
+            v2[k] = (c, s, p)
+        if k % 1000 == 7:
+            v2[k + 10000000] = (c, "N", p)
+    assert replay == v2
