@@ -1536,16 +1536,20 @@ def tx20_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = toks_df.select(
         "doc_id", F.explode(F.expr(_TX20_SPARK_BIGRAMS)).alias("b")
     )
-    w1 = F.expr("split_part(b, ' ', 1)")
     w2 = F.expr("split_part(b, ' ', 2)")
-    ctx = bg.groupBy(w1.alias("w1")).agg(
-        F.count("*").cast("long").alias("c_ctx")
-    )
-    big = (
+    # One corpus-scale count, persisted at vocab scale (Heaps-bounded):
+    # ctx totals derive from the UNPRUNED bigram table — c(w1·) = Σ_b
+    # c(w1,b) — so the context pass re-aggregates distinct bigrams, not
+    # corpus rows (the naive per-source groupBy re-explodes the corpus).
+    big_all = (
         bg.groupBy("b")
         .agg(F.count("*").cast("long").alias("c_big"))
-        .filter(F.col("c_big") >= TX20_MIN_COUNT)
+        .persist()  # plan-cache: ctx + pruned-table branches share it
     )
+    ctx = big_all.groupBy(
+        F.expr("split_part(b, ' ', 1)").alias("w1")
+    ).agg(F.sum("c_big").cast("long").alias("c_ctx"))
+    big = big_all.filter(F.col("c_big") >= TX20_MIN_COUNT)
     lm = big.join(
         ctx, F.expr("split_part(b, ' ', 1)") == ctx["w1"]
     ).select("b", F.expr(f"(c_ctx * {TX20_MICRO}) DIV c_big").alias("rar"))
