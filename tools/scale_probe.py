@@ -415,6 +415,70 @@ def time_tx20(spark, n_tokens: int) -> None:
     )
 
 
+def time_ts14(spark, replicas: int) -> float:
+    """ts14's zero-corpus-shuffle claim (round 8): the event stream is
+    scanned, joined against two BROADCAST frames (profile cells,
+    per-type moments) and never exchanged — so wall time should grow
+    ~linearly with replicas while the two aggregation exchanges stay
+    cell-sized. Corpus = event_id-shifted replicas of sf0.1 events
+    (100k rows each)."""
+    from apache_iceberg_spark.operators.timeseries import TS14_K
+    from apache_iceberg_spark.tables import load_table
+
+    base = load_table(spark, SF01, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    e = base
+    for r in range(1, replicas):
+        e = e.unionAll(
+            base.select(
+                (F.col("event_id") + 100_000 * r).alias("event_id"),
+                "event_type",
+                "ts",
+                "value",
+            )
+        )
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    t0 = time.time()
+    prof = v.groupBy("event_type", "hr").agg(
+        F.expr("CAST(SUM(v) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias(
+            "seasonal_centi"
+        )
+    )
+    r_ = v.join(F.broadcast(prof), ["event_type", "hr"]).select(
+        "event_id",
+        "event_type",
+        (F.col("v") - F.col("seasonal_centi")).alias("resid_centi"),
+    ).persist()
+    dec = "decimal(38,0)"
+    mom = r_.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("resid_centi").cast(dec)).cast(dec).alias("s1"),
+        F.sum((F.col("resid_centi") * F.col("resid_centi")).cast(dec))
+        .cast(dec)
+        .alias("s2"),
+    )
+    a = F.expr("n * CAST(resid_centi AS DECIMAL(38,0)) - s1")
+    n_anom = (
+        r_.join(F.broadcast(mom), "event_type")
+        .filter(a * a > F.lit(TS14_K * TS14_K) * F.expr("n * s2 - s1 * s1"))
+        .count()
+    )
+    dt = time.time() - t0
+    r_.unpersist()
+    print(
+        f"  ts14 events~{100_000 * replicas:>12,} anomalies={n_anom:,}"
+        f" wall={dt:6.2f}s",
+        flush=True,
+    )
+    return dt
+
+
 def main() -> None:
     """Usage: scale_probe.py cc <n_edges> <driver|dist>
               scale_probe.py g3 <copies> <driver|dist> [rounds]
@@ -423,6 +487,7 @@ def main() -> None:
               scale_probe.py g5 <hub_nodes> <settled|frontier> [hops]
               scale_probe.py dd19 <replicas> <hash|string>
               scale_probe.py tx20 <n_tokens> -
+              scale_probe.py ts14 <replicas> -
 
     One measurement per invocation so a slow branch (the point of the
     probe is that the wrong branch IS slow) cannot starve the others."""
@@ -438,6 +503,8 @@ def main() -> None:
         time_dd19(spark, size, branch)
     elif kind == "tx20":
         time_tx20(spark, size)
+    elif kind == "ts14":
+        time_ts14(spark, size)
     elif kind == "ewma":
         time_ewma(spark, size, branch)
     elif kind == "bpe":
