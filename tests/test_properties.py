@@ -560,3 +560,100 @@ def test_pp8_two_level_rank_equals_global_rank(keys, shift):
     for b, ks in buckets.items():
         for within, k in enumerate(sorted(ks), start=1):
             assert prefix[b] + within == order[k]
+
+
+# ---------------------------------------------------------------------------
+# round-8 kernels
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=40),
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_w11_rolling_median_python_model(spark, values):
+    """w11's lower-middle-of-sorted-frame median vs a pure-python model
+    over arbitrary integer series (one user, event_id = position)."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+         1, "click", v / 100.0, "{}")
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from apache_iceberg_spark.operators.functions_ext import W11_WIN
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="w11_prop_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from apache_iceberg_spark.registry import REGISTRY
+
+    out = {
+        r.event_id: r.med_centi
+        for r in REGISTRY["w11_rolling_median"].spark(spark, d).collect()
+    }
+    for i in range(len(values)):
+        frame = sorted(values[max(0, i - W11_WIN + 1): i + 1])
+        assert out[i] == frame[(len(frame) + 1) // 2 - 1], i
+
+
+@given(st.lists(st.integers(1, 6), min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_a24_gini_python_model(labels):
+    """a24's integer Gini/HHI formula vs the float definition, and the
+    exact-complement invariant, over arbitrary label multisets."""
+    from collections import Counter
+
+    n = len(labels)
+    ss = sum(c * c for c in Counter(labels).values())
+    gini_micro = (n * n - ss) * 1_000_000 // (n * n)
+    hhi_micro = ss * 1_000_000 // (n * n)
+    # float reference within 1 micro (floor rounding)
+    import math
+
+    gini_f = 1.0 - sum(
+        (c / n) ** 2 for c in Counter(labels).values()
+    )
+    assert math.isclose(gini_micro / 1e6, gini_f, abs_tol=2e-6)
+    assert 0 <= 1_000_000 - (gini_micro + hhi_micro) <= 2
+    # pure multiset -> gini 0
+    if len(set(labels)) == 1:
+        assert gini_micro == 0 and hhi_micro == 1_000_000
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=2, max_size=120),
+    st.integers(1, 119),
+)
+@settings(max_examples=200, deadline=None)
+def test_a25_ks_python_model(vals, cut):
+    """a25's cross-multiplied integer KS vs the float definition on
+    arbitrary splits of an integer series."""
+    cut = min(cut, len(vals) - 1)
+    ref, new = vals[:cut], vals[cut:]
+    n1, n2 = len(ref), len(new)
+    support = sorted(set(vals))
+    d_scaled = max(
+        abs(
+            sum(1 for x in ref if x <= v) * n2
+            - sum(1 for x in new if x <= v) * n1
+        )
+        for v in support
+    )
+    # float KS
+    ks_f = max(
+        abs(
+            sum(1 for x in ref if x <= v) / n1
+            - sum(1 for x in new if x <= v) / n2
+        )
+        for v in support
+    )
+    assert abs(d_scaled / (n1 * n2) - ks_f) < 1e-12
+    assert 0 <= d_scaled <= n1 * n2
