@@ -80,6 +80,7 @@ RECHECK = frozenset({
     "m23_metadata_only_aggregates",  # same guard
     "st14_stream_ewma",      # single-micro-batch assertion (ADVICE r7)
     "st15_stream_cusum",     # same assertion
+    "ts7_max_concurrent_intervals",  # inclusive-interval sweep tie fix
 })
 
 

@@ -597,58 +597,77 @@ def j7_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l_shipdate BETWEEN DATE '{J7_FROM}' AND DATE '{J7_TO}'
         ),
         ev AS (
-            SELECT l_suppkey, sd AS day, 1 AS delta FROM iv
-            UNION ALL
-            SELECT l_suppkey, ed + 1 AS day, -1 AS delta FROM iv
+            SELECT l_suppkey, day, CAST(SUM(delta) AS BIGINT) AS delta
+            FROM (
+                SELECT l_suppkey, sd AS day, 1 AS delta FROM iv
+                UNION ALL
+                SELECT l_suppkey, ed + 1 AS day, -1 AS delta FROM iv
+            ) GROUP BY l_suppkey, day
         ),
         sweep AS (
             SELECT l_suppkey,
                    CAST(SUM(delta) OVER (
                        PARTITION BY l_suppkey
-                       ORDER BY day, delta DESC
+                       ORDER BY day
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS open_now
             FROM ev
+        ),
+        n AS (
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM iv GROUP BY l_suppkey
         )
-        SELECT l_suppkey,
-               CAST(MAX(open_now) AS BIGINT) AS max_concurrent,
-               CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
-        FROM sweep GROUP BY l_suppkey
+        SELECT s.l_suppkey,
+               CAST(MAX(s.open_now) AS BIGINT) AS max_concurrent,
+               n.n_intervals
+        FROM sweep s JOIN n USING (l_suppkey)
+        GROUP BY s.l_suppkey, n.n_intervals
     """,
     doc="Maximum interval concurrency per supplier — the sweep-line dual "
     "of j7's pair count: every in-transit window emits a +1 at its "
-    "start day and a -1 past its end day; a per-supplier running sum "
-    "over the merged event stream is the number of shipments open at "
-    "each instant, and its max is the peak concurrent load. Within a "
-    "day, arrivals order before departures (delta DESC) so closed "
-    "intervals touch correctly; the partition max is invariant to any "
-    "remaining tie order because the running sum is monotone within a "
-    "run of equal deltas. One shuffle on supplier shared by the window "
-    "and the final aggregate; integer arithmetic end-to-end.",
+    "start day and a -1 past its end day (ed + 1, inclusive ends); "
+    "same-day deltas COLLAPSE in a pre-aggregate before the running "
+    "sum, so the depth after each event day counts exactly the "
+    "intervals with sd ≤ d ≤ ed — round 8 fix: the old +1-before-−1 "
+    "tie order transiently double-counted TOUCHING intervals "
+    "([0,4],[5,9] read as concurrent at day 5), an inversion the "
+    "hash gate could not see because the oracle replicated it. One "
+    "shuffle on supplier shared by the pre-aggregate, the window and "
+    "the final fold; integer arithmetic end-to-end.",
     tags=("timeseries", "window", "interval"),
 )
 def ts7_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = _shipment_intervals(load_table(spark, sf_dir, "lineitem"))
-    ev = iv.select(
-        "l_suppkey", F.col("sd").alias("day"), F.lit(1).alias("delta")
-    ).unionAll(
+    ev = (
         iv.select(
-            "l_suppkey",
-            (F.col("ed") + 1).alias("day"),
-            F.lit(-1).alias("delta"),
+            "l_suppkey", F.col("sd").alias("day"), F.lit(1).alias("d")
         )
+        .unionAll(
+            iv.select(
+                "l_suppkey",
+                (F.col("ed") + 1).alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("l_suppkey", "day")
+        .agg(F.sum("d").cast("long").alias("delta"))
     )
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.col("day"), F.col("delta").desc())
+        .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sweep = ev.select(
         "l_suppkey", F.sum("delta").over(w).cast("long").alias("open_now")
     )
-    return sweep.groupBy("l_suppkey").agg(
-        F.max("open_now").alias("max_concurrent"),
-        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    n = iv.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_intervals")
+    )
+    return (
+        sweep.groupBy("l_suppkey")
+        .agg(F.max("open_now").alias("max_concurrent"))
+        .join(n, "l_suppkey")
+        .select("l_suppkey", "max_concurrent", "n_intervals")
     )
 
 
@@ -994,25 +1013,51 @@ def f14_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS next_day
             FROM ev
         ),
+        st AS (
+            SELECT l_suppkey, day, next_day, depth,
+                   CASE WHEN depth > 0
+                        AND COALESCE(LAG(depth) OVER (
+                            PARTITION BY l_suppkey ORDER BY day), 0) <= 0
+                        THEN 1 ELSE 0 END AS run_start
+            FROM sweep
+        ),
+        rid AS (
+            SELECT l_suppkey, day, next_day, depth,
+                   SUM(run_start) OVER (
+                       PARTITION BY l_suppkey ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM st
+        ),
+        runs AS (
+            SELECT l_suppkey, run_id,
+                   CAST(SUM(next_day - day) AS BIGINT) AS run_len
+            FROM rid WHERE depth > 0 GROUP BY l_suppkey, run_id
+        ),
         cov AS (
             SELECT l_suppkey,
                    CAST(SUM(CASE WHEN depth > 0
                                  THEN next_day - day ELSE 0 END) AS BIGINT)
                        AS covered_days,
-                   CAST(MAX(CASE WHEN depth > 0 THEN next_day - day
-                                 ELSE 0 END) AS BIGINT) AS longest_busy_run,
                    CAST(MIN(day) AS BIGINT) AS lo,
                    CAST(MAX(day) AS BIGINT) AS hi
             FROM sweep GROUP BY l_suppkey
+        ),
+        longest AS (
+            SELECT l_suppkey, CAST(MAX(run_len) AS BIGINT)
+                       AS longest_busy_run
+            FROM runs GROUP BY l_suppkey
         )
         SELECT l_suppkey, covered_days, longest_busy_run,
                hi - lo AS span_days,
                covered_days * 1000000 // (hi - lo) AS utilization_micro
-        FROM cov
+        FROM cov JOIN longest USING (l_suppkey)
     """,
     doc="Union-of-intervals coverage per supplier — the measure dual of "
     "ts7's max concurrency: total days with ≥1 shipment in transit "
-    "(overlaps counted once), longest continuously-busy run, and exact "
+    "(overlaps counted once), longest continuously-busy run (a "
+    "gaps-and-islands fold over ADJACENT busy segments — round-8 review "
+    "fix: the first cut took max single inter-event segment, which every "
+    "interior boundary broke), and exact "
     "utilization of the active span in BIGINT micro-units. Same-day "
     "deltas collapse in a pre-aggregate so the sweep sees one event "
     "per (supplier, day); depth > 0 between an event and the next "
@@ -1051,12 +1096,31 @@ def ts15_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     busy = F.when(
         F.col("depth") > 0, F.col("next_day") - F.col("day")
     ).otherwise(F.lit(0))
+    run_start = F.when(
+        (F.col("depth") > 0)
+        & (F.coalesce(F.lag("depth").over(wl), F.lit(0)) <= 0),
+        1,
+    ).otherwise(0)
+    rid = sweep.select(
+        "l_suppkey",
+        "day",
+        "next_day",
+        "depth",
+        F.sum(run_start).over(wc.orderBy("day")).alias("run_id"),
+    )
+    runs = (
+        rid.filter(F.col("depth") > 0)
+        .groupBy("l_suppkey", "run_id")
+        .agg(F.sum(F.col("next_day") - F.col("day")).alias("run_len"))
+    )
+    longest = runs.groupBy("l_suppkey").agg(
+        F.max("run_len").cast("long").alias("longest_busy_run")
+    )
     cov = sweep.groupBy("l_suppkey").agg(
         F.sum(busy).cast("long").alias("covered_days"),
-        F.max(busy).cast("long").alias("longest_busy_run"),
         F.min("day").cast("long").alias("lo"),
         F.max("day").cast("long").alias("hi"),
-    )
+    ).join(longest, "l_suppkey")
     return cov.select(
         "l_suppkey",
         "covered_days",

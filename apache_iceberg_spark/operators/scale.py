@@ -1551,14 +1551,17 @@ M26_FILES = 16  # modeled file count per layout
             FROM assign GROUP BY layout, file_id
         ),
         ev AS (
-            SELECT layout, lo AS pt, 1 AS d FROM bounds
-            UNION ALL
-            SELECT layout, hi + 1 AS pt, -1 AS d FROM bounds
+            SELECT layout, pt, CAST(SUM(d) AS BIGINT) AS d
+            FROM (
+                SELECT layout, lo AS pt, 1 AS d FROM bounds
+                UNION ALL
+                SELECT layout, hi + 1 AS pt, -1 AS d FROM bounds
+            ) GROUP BY layout, pt
         ),
         sweep AS (
             SELECT layout,
                    SUM(d) OVER (PARTITION BY layout
-                                ORDER BY pt, d DESC
+                                ORDER BY pt
                                 ROWS UNBOUNDED PRECEDING) AS depth
             FROM ev
         )
@@ -1612,16 +1615,24 @@ def m26_clustering_depth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("key").cast("long").alias("hi"),
         )
     )
-    ev = bounds.select(
-        "layout", F.col("lo").alias("pt"), F.lit(1).alias("d")
-    ).unionAll(
-        bounds.select(
-            "layout", (F.col("hi") + 1).alias("pt"), F.lit(-1).alias("d")
+    ev = (
+        bounds.select("layout", F.col("lo").alias("pt"), F.lit(1).alias("d"))
+        .unionAll(
+            bounds.select(
+                "layout", (F.col("hi") + 1).alias("pt"), F.lit(-1).alias("d")
+            )
         )
+        # Same-point deltas collapse BEFORE the running sum: a file
+        # starting exactly where the previous ends (lo = hi_prev + 1,
+        # i.e. disjoint-touching ranges) must not transiently count as
+        # overlap — the +1-before-−1 tie order did (round-8 review; the
+        # matching fix landed in ts7).
+        .groupBy("layout", "pt")
+        .agg(F.sum("d").cast("long").alias("d"))
     )
     ws = (
         Window.partitionBy("layout")
-        .orderBy(F.asc("pt"), F.desc("d"))
+        .orderBy("pt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sweep = ev.select("layout", F.sum("d").over(ws).alias("depth"))

@@ -596,13 +596,15 @@ def test_w11_median_is_robust_to_spike(spark, tmp_path):
 def _overlap_depth(intervals):
     """Max overlap depth of inclusive integer intervals via the +1/−1
     boundary sweep (independent re-derivation of m26's window walk)."""
-    ev = []
+    from collections import Counter
+
+    ev = Counter()
     for lo, hi in intervals:
-        ev.append((lo, 1))
-        ev.append((hi + 1, -1))
+        ev[lo] += 1
+        ev[hi + 1] -= 1
     depth = best = 0
-    for _, d in sorted(ev, key=lambda e: (e[0], -e[1])):
-        depth += d
+    for pt in sorted(ev):  # same-point deltas collapse (ts7/m26 r8 fix)
+        depth += ev[pt]
         best = max(best, depth)
     return best
 
@@ -884,9 +886,19 @@ def test_ts15_coverage_cross_checked_against_ts7_intervals(spark):
         .spark(spark, SF_DIR)
         .collect()
     }
+    def longest_run(dayset):
+        best = cur = 0
+        prev = None
+        for x in sorted(dayset):
+            cur = cur + 1 if prev is not None and x == prev + 1 else 1
+            best = max(best, cur)
+            prev = x
+        return best
+
     assert set(out) == set(days)
     for k, d in days.items():
         assert out[k].covered_days == len(d), k
+        assert out[k].longest_busy_run == longest_run(d), k
         assert out[k].covered_days <= out[k].span_days
         assert out[k].covered_days <= total_len[k]
         assert (out[k].covered_days == total_len[k]) == (conc[k] == 1)
@@ -944,3 +956,45 @@ def test_m27_changelog_replays_to_v2(spark):
         if k % 1000 == 7:
             v2[k + 10000000] = (c, "N", p)
     assert replay == v2
+
+
+# ---------------------------------------------------------------------------
+# ts7 inclusive-interval sweep fix (round-8 code review)
+# ---------------------------------------------------------------------------
+
+
+def test_ts7_touching_intervals_are_not_concurrent(spark, tmp_path):
+    """[d1, d2] and [d2+1, d3] share no day, so max_concurrent must be 1
+    — the pre-r8 sweep processed +1 before −1 at equal points and
+    transiently counted 2 (invisible to the hash gate: the oracle
+    replicated the order). Driven through the REGISTERED operator on a
+    constructed lineitem (ed = sd + q%28 + 3, the j7 window rule):
+    supplier 1 ships [0,4] and [5,9] (touching), supplier 2 ships
+    [0,4] and [4,8] (overlapping at day 4)."""
+    import datetime
+
+    from apache_iceberg_spark.operators.functions_ext import J7_FROM
+
+    d0 = datetime.datetime.fromisoformat(J7_FROM)
+
+    def ship(supp, ok, ln, sd, q):
+        return (supp, ok, ln, d0 + datetime.timedelta(days=sd), float(q))
+
+    rows = [
+        ship(1, 1, 1, 0, 1),  # [0, 4]
+        ship(1, 2, 1, 5, 1),  # [5, 9]  touching
+        ship(2, 3, 1, 0, 1),  # [0, 4]
+        ship(2, 4, 1, 4, 1),  # [4, 8]  overlapping
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_suppkey long, l_orderkey long, l_linenumber long, "
+        "l_shipdate timestamp, l_quantity double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.l_suppkey: (r.max_concurrent, r.n_intervals)
+        for r in REGISTRY["ts7_max_concurrent_intervals"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: (1, 2), 2: (2, 2)}
