@@ -824,8 +824,10 @@ A24_MICRO = 1_000_000
             FROM cells GROUP BY source
         )
         SELECT source, n AS n_docs, n_langs,
-               (n * n - ss) * {A24_MICRO} // (n * n) AS gini_micro,
-               ss * {A24_MICRO} // (n * n) AS hhi_micro
+               CAST((CAST(n AS HUGEINT) * n - ss) * {A24_MICRO}
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_micro,
+               CAST(CAST(ss AS HUGEINT) * {A24_MICRO}
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS hhi_micro
         FROM g
     """,
     doc="Per-source language-diversity report: EXACT Gini impurity "
@@ -833,10 +835,13 @@ A24_MICRO = 1_000_000
     "the log-free substitutes for Shannon entropy (libm ln is banned "
     "by the repo's bitwise-parity rules; Gini is the standard "
     "impurity stand-in, cf. CART vs ID3) for monitoring corpus "
-    "mixture balance per source. Integer form: (n² − Σc²)·1e6 // n². "
-    "Headroom: Σc² ≤ n², so n ≤ 3e9 docs/source keeps n²·1e6 inside "
-    "BIGINT; beyond that the same query in DECIMAL(38,0) has 1e16 "
-    "headroom (a21's pattern). Scale: one partial+final agg to "
+    "mixture balance per source. Integer form: (n² − Σc²)·1e6 // n², "
+    "computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — n²·1e6 "
+    "overflows BIGINT at just n ≈ 3e6 docs/source (round-8 review: the "
+    "first cut's BIGINT math and its 'n ≤ 3e9' doc both missed the 1e6 "
+    "factor); the 38-digit types hold to n ≈ 1e16. Only the final "
+    "micro quotients (≤ 1e6) cast back to BIGINT. Scale: one "
+    "partial+final agg to "
     "(source, lang) cells, then a cell-level fold — the corpus "
     "shuffles once and the second agg touches ≤ |sources|·|langs| "
     "rows.",
@@ -852,12 +857,18 @@ def a24_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
         F.count("*").cast("long").alias("n_langs"),
     )
+    nd = "CAST(n AS DECIMAL(38,0))"
+    sd_ = "CAST(ss AS DECIMAL(38,0))"
     return g.select(
         "source",
         F.col("n").alias("n_docs"),
         "n_langs",
-        F.expr(f"(n * n - ss) * {A24_MICRO} DIV (n * n)").alias("gini_micro"),
-        F.expr(f"ss * {A24_MICRO} DIV (n * n)").alias("hhi_micro"),
+        F.expr(
+            f"CAST(({nd} * n - ss) * {A24_MICRO} DIV ({nd} * n) AS BIGINT)"
+        ).alias("gini_micro"),
+        F.expr(
+            f"CAST({sd_} * {A24_MICRO} DIV ({nd} * n) AS BIGINT)"
+        ).alias("hhi_micro"),
     )
 
 
@@ -899,16 +910,18 @@ A25_ALARM_MICRO = 100_000  # drift alarm at D > 0.1
                    CAST(SUM(c_new) AS BIGINT) AS n_new
             FROM cells
         )
-        SELECT n.n_ref, n.n_new,
-               CAST(MAX(abs(f_ref * n.n_new - f_new * n.n_ref)) AS BIGINT)
-                   AS d_scaled,
-               CAST(MAX(abs(f_ref * n.n_new - f_new * n.n_ref)) AS BIGINT)
-                   * {A25_MICRO} // (n.n_ref * n.n_new) AS ks_micro,
-               CAST(MAX(abs(f_ref * n.n_new - f_new * n.n_ref)) AS BIGINT)
-                   * {A25_MICRO} // (n.n_ref * n.n_new)
-                   > {A25_ALARM_MICRO} AS drifted
-        FROM cum CROSS JOIN n
-        GROUP BY n.n_ref, n.n_new
+        SELECT n_ref, n_new,
+               CAST(d * {A25_MICRO} // (CAST(n_ref AS HUGEINT) * n_new)
+                    AS BIGINT) AS ks_micro,
+               CAST(d * {A25_MICRO} // (CAST(n_ref AS HUGEINT) * n_new)
+                    AS BIGINT) > {A25_ALARM_MICRO} AS drifted
+        FROM (
+            SELECT n.n_ref, n.n_new,
+                   MAX(abs(CAST(f_ref AS HUGEINT) * n.n_new
+                           - CAST(f_new AS HUGEINT) * n.n_ref)) AS d
+            FROM cum CROSS JOIN n
+            GROUP BY n.n_ref, n.n_new
+        )
     """,
     doc="EXACT two-sample Kolmogorov–Smirnov drift test between the "
     "reference slice (first 80% of event ids — pp14's split convention) "
@@ -924,7 +937,11 @@ A25_ALARM_MICRO = 100_000  # drift alarm at D > 0.1
     "runs over support cells only. That cumsum is a deliberately "
     "UNPARTITIONED window like w4's — correct because it touches "
     "support cells, never corpus rows; at 100 TB the support frame is "
-    "KBs while the corpus stays distributed in the first agg.",
+    "KBs while the corpus stays distributed in the first agg. The "
+    "cross-multiplied statistic is DECIMAL(38,0)/HUGEINT end to end — "
+    "d·1e6 can reach n_ref·n_new·1e6, which wraps BIGINT at ~3e6 "
+    "events per side (round-8 review); only the ≤1e6 micro quotient "
+    "casts back.",
     tags=("analytics", "timeseries", "report", "llm"),
 )
 def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,18 +971,24 @@ def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_ref").cast("long").alias("n_ref"),
         F.sum("c_new").cast("long").alias("n_new"),
     )
+    dec = "decimal(38,0)"
     d = F.max(
-        F.abs(F.col("f_ref") * F.col("n_new") - F.col("f_new") * F.col("n_ref"))
-    ).cast("long")
-    ks = F.expr(f"d_scaled * {A25_MICRO} DIV (n_ref * n_new)")
+        F.abs(
+            F.col("f_ref").cast(dec) * F.col("n_new")
+            - F.col("f_new").cast(dec) * F.col("n_ref")
+        )
+    )
+    ks = F.expr(
+        f"CAST(d * {A25_MICRO} DIV (CAST(n_ref AS DECIMAL(38,0)) * n_new) "
+        "AS BIGINT)"
+    )
     return (
         cum.crossJoin(F.broadcast(n))
         .groupBy("n_ref", "n_new")
-        .agg(d.alias("d_scaled"))
+        .agg(d.alias("d"))
         .select(
             "n_ref",
             "n_new",
-            "d_scaled",
             ks.alias("ks_micro"),
             (ks > A25_ALARM_MICRO).alias("drifted"),
         )

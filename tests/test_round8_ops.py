@@ -998,3 +998,23 @@ def test_ts7_touching_intervals_are_not_concurrent(spark, tmp_path):
         .collect()
     }
     assert got == {1: (1, 2), 2: (2, 2)}
+
+
+def test_a24_survives_past_bigint_overflow_regime(spark, tmp_path):
+    """4M docs in one source: n²·1e6 = 1.6e19 > BIGINT max — the round-8
+    review regime where the first-cut BIGINT math wrapped. The
+    DECIMAL/HUGEINT form must return the exact floor values."""
+    d = str(tmp_path)
+    spark.range(4_000_000).selectExpr(
+        "id AS doc_id",
+        "'' AS text",
+        "CASE WHEN id % 4 = 0 THEN 'de' ELSE 'en' END AS lang",
+        "'web' AS source",
+        "CAST(0 AS BIGINT) AS n_chars",
+    ).write.parquet(f"{d}/documents.parquet")
+    r = REGISTRY["a24_gini_diversity"].spark(spark, d).collect()[0]
+    n = 4_000_000
+    ss = (n // 4) ** 2 + (3 * n // 4) ** 2
+    assert r.n_docs == n
+    assert r.gini_micro == (n * n - ss) * 1_000_000 // (n * n) == 375_000
+    assert r.hhi_micro == ss * 1_000_000 // (n * n) == 625_000
