@@ -1721,53 +1721,63 @@ def m27_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents",
     )
     v2 = merge_with_deletes(o, upds.unionByName(ins), dels, "o_orderkey")
-    cols = ["o_custkey", "o_orderstatus", "price_cents"]
-    b = o.select(
-        "o_orderkey", *[F.col(c).alias(f"b_{c}") for c in cols]
+    return changelog_diff(
+        o, v2, "o_orderkey", ["o_custkey", "o_orderstatus", "price_cents"]
     )
-    a = v2.select(
-        "o_orderkey", *[F.col(c).alias(f"a_{c}") for c in cols]
+
+
+def changelog_diff(
+    before_df: DataFrame, after_df: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Structural CDC diff of two snapshots keyed on ``key``: one
+    full-outer join classifying each key as INSERT / DELETE /
+    UPDATE_BEFORE+UPDATE_AFTER (unchanged keys emit nothing).
+
+    NULL-safe by construction (round-8 review): row presence is carried
+    by explicit literal markers, never inferred from a payload column
+    being NULL, and payload comparison uses null-safe equality — so a
+    NULL-valued column neither misclassifies a row as absent nor hides
+    a NULL↔value change."""
+    b = before_df.select(
+        key,
+        F.lit(1).alias("b_present"),
+        *[F.col(c).alias(f"b_{c}") for c in cols],
     )
-    j = b.join(a, "o_orderkey", "full_outer")
-    changed = (
-        (F.col("b_o_custkey") != F.col("a_o_custkey"))
-        | (F.col("b_o_orderstatus") != F.col("a_o_orderstatus"))
-        | (F.col("b_price_cents") != F.col("a_price_cents"))
+    a = after_df.select(
+        key,
+        F.lit(1).alias("a_present"),
+        *[F.col(c).alias(f"a_{c}") for c in cols],
     )
-    before = F.struct(
-        *[F.col(f"b_{c}").alias(c) for c in cols],
-        F.lit("UPDATE_BEFORE").alias("_change_type"),
-    )
-    after = F.struct(
-        *[F.col(f"a_{c}").alias(c) for c in cols],
-        F.lit("UPDATE_AFTER").alias("_change_type"),
-    )
-    delete = F.struct(
-        *[F.col(f"b_{c}").alias(c) for c in cols],
-        F.lit("DELETE").alias("_change_type"),
-    )
-    insert = F.struct(
-        *[F.col(f"a_{c}").alias(c) for c in cols],
-        F.lit("INSERT").alias("_change_type"),
+    j = b.join(a, key, "full_outer")
+    changed = None
+    for c in cols:
+        ne = ~F.col(f"b_{c}").eqNullSafe(F.col(f"a_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    def _row(tag: str, pfx: str):
+        return F.struct(
+            *[F.col(f"{pfx}_{c}").alias(c) for c in cols],
+            F.lit(tag).alias("_change_type"),
+        )
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in before_df.select(*cols).schema.fields
+    }
+    struct_type = (
+        "array<struct<"
+        + ",".join(f"{c}:{types[c]}" for c in cols)
+        + ",_change_type:string>>"
     )
     rows = (
-        F.when(F.col("a_o_custkey").isNull(), F.array(delete))
-        .when(F.col("b_o_custkey").isNull(), F.array(insert))
-        .when(changed, F.array(before, after))
-        .otherwise(
-            F.array().cast(
-                "array<struct<o_custkey:bigint,o_orderstatus:string,"
-                "price_cents:bigint,_change_type:string>>"
-            )
+        F.when(F.col("a_present").isNull(), F.array(_row("DELETE", "b")))
+        .when(F.col("b_present").isNull(), F.array(_row("INSERT", "a")))
+        .when(
+            changed,
+            F.array(_row("UPDATE_BEFORE", "b"), _row("UPDATE_AFTER", "a")),
         )
+        .otherwise(F.array().cast(struct_type))
     )
-    return (
-        j.select("o_orderkey", F.explode(rows).alias("ch"))
-        .select(
-            "o_orderkey",
-            F.col("ch.o_custkey").alias("o_custkey"),
-            F.col("ch.o_orderstatus").alias("o_orderstatus"),
-            F.col("ch.price_cents").alias("price_cents"),
-            F.col("ch._change_type").alias("_change_type"),
-        )
+    return j.select(key, F.explode(rows).alias("ch")).select(
+        key,
+        *[F.col(f"ch.{c}").alias(c) for c in cols],
+        F.col("ch._change_type").alias("_change_type"),
     )

@@ -1018,3 +1018,32 @@ def test_a24_survives_past_bigint_overflow_regime(spark, tmp_path):
     assert r.n_docs == n
     assert r.gini_micro == (n * n - ss) * 1_000_000 // (n * n) == 375_000
     assert r.hhi_micro == ss * 1_000_000 // (n * n) == 625_000
+
+
+def test_changelog_diff_null_payloads(spark):
+    """The factored CDC diff on NULL-bearing payloads (round-8 review):
+    NULL→value and value→NULL are changes, NULL→NULL is not, and a row
+    whose payload is entirely NULL is still present (never misread as
+    DELETE/INSERT)."""
+    from apache_iceberg_spark.operators.scale import changelog_diff
+
+    before = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "keep"), (5, "gone")],
+        "k long, v string",
+    )
+    after = spark.createDataFrame(
+        [(1, "now"), (2, None), (3, None), (4, "keep"), (6, None)],
+        "k long, v string",
+    )
+    got = {
+        (r.k, r._change_type): r.v
+        for r in changelog_diff(before, after, "k", ["v"]).collect()
+    }
+    assert got == {
+        (1, "UPDATE_BEFORE"): None,
+        (1, "UPDATE_AFTER"): "now",
+        (2, "UPDATE_BEFORE"): "x",
+        (2, "UPDATE_AFTER"): None,
+        (5, "DELETE"): "gone",
+        (6, "INSERT"): None,
+    }
