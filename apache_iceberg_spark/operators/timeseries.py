@@ -703,11 +703,31 @@ def _duck_floor_div(expr: str, b: int) -> str:
 
 # Measured widths are TABLE METADATA, not per-query state: like Iceberg
 # table statistics, the per-corpus bucket width is computed once and
-# reused by every subsequent query over the same path (re-measured only
-# when the corpus path changes; TS11_FORCE_BUCKET_US bypasses both).
-# Without the memo the bench's min-of-3 paid the measurement pre-pass
-# THREE times per round — r8 measured 0.57 s vs the 0.20 s fold alone.
-_TS11_BUCKET_MEMO: dict[str, int] = {}
+# reused by every subsequent query over the same DATA (re-measured when
+# the corpus changes; TS11_FORCE_BUCKET_US bypasses both). Without the
+# memo the bench's min-of-3 paid the measurement pre-pass THREE times
+# per round — r8 measured 0.57 s vs the 0.20 s fold alone. The memo key
+# includes an mtime/size fingerprint of the events file/dir, because
+# Iceberg stats are SNAPSHOT-scoped, not path-scoped (round-8 review:
+# a path-only key silently serves a stale width after the data at the
+# path is rewritten — and the oracle, which re-derives the width from
+# current data, would diverge).
+_TS11_BUCKET_MEMO: dict[tuple, int] = {}
+
+
+def _ts11_memo_key(sf_dir: str) -> tuple:
+    """(path, mtime_ns, size) of <sf_dir>/events.parquet — cheap stat
+    fingerprint standing in for a snapshot id. An overwrite rewrites
+    the file (or the part files inside the directory, bumping the
+    directory mtime), so stale widths cannot be served."""
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(p)
+        return (p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (p,)  # non-local path: fall back to path-only keying
 
 
 def _ts11_pick_bucket_us(e, memo_key: str | None = None) -> int:
@@ -860,7 +880,7 @@ def ts11_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").cast("double").alias("v"),
     )
-    bucket_us = _ts11_pick_bucket_us(s, memo_key=sf_dir)
+    bucket_us = _ts11_pick_bucket_us(s, memo_key=_ts11_memo_key(sf_dir))
     s = s.withColumn("bucket", F.expr(_floor_div("tus", bucket_us)))
     seg = (
         s.select(

@@ -1047,3 +1047,49 @@ def test_changelog_diff_null_payloads(spark):
         (5, "DELETE"): "gone",
         (6, "INSERT"): None,
     }
+
+
+def test_ts11_memo_invalidates_on_rewrite(spark, tmp_path):
+    """Rewriting the events at the same path must re-run the sizer
+    (snapshot-scoped stats, not path-scoped): uniform data picks day
+    buckets; after an in-place rewrite with a one-hour burst the same
+    path must pick a finer width, not serve the stale day memo."""
+    import datetime
+
+    import apache_iceberg_spark.operators.timeseries as ts
+
+    d = str(tmp_path)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    t0 = datetime.datetime(2024, 1, 1)
+    uniform = [
+        (i, t0 + datetime.timedelta(days=i), 1, "click", 1.0, "{}")
+        for i in range(10)
+    ]
+    write(uniform)
+    saved = ts.TS11_TARGET_PER_BUCKET
+    ts.TS11_TARGET_PER_BUCKET = 4  # tiny target so the fixture can trip it
+    try:
+        e1 = ts.load_table(spark, d, "events").select(
+            "user_id", ts.F.unix_micros("ts").alias("tus")
+        )
+        w1 = ts._ts11_pick_bucket_us(e1, memo_key=ts._ts11_memo_key(d))
+        assert w1 == ts.TS11_LADDER_US[0]  # day
+        burst = [
+            (i, t0 + datetime.timedelta(seconds=i), 1, "click", 1.0, "{}")
+            for i in range(8)
+        ]
+        write(burst)
+        e2 = ts.load_table(spark, d, "events").select(
+            "user_id", ts.F.unix_micros("ts").alias("tus")
+        )
+        w2 = ts._ts11_pick_bucket_us(e2, memo_key=ts._ts11_memo_key(d))
+        assert w2 == ts.TS11_LADDER_US[2]  # minute — stale memo would say day
+    finally:
+        ts.TS11_TARGET_PER_BUCKET = saved
