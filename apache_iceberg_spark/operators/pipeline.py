@@ -3285,14 +3285,17 @@ def pp15_curation_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
     tot = fine.agg(F.sum("n_tokens").cast("long").alias("t"))
+    # t is a scalar: carry it THROUGH the aggregate (F.max) instead of
+    # cubing it — cubing the constant doubled the grouping sets to 16
+    # and needed a load-bearing-looking isNotNull filter (r8 review).
     return (
         fine.crossJoin(F.broadcast(tot))
-        .cube("lang", "keep_quality", "is_dup", "t")
+        .cube("lang", "keep_quality", "is_dup")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens_sum"),
+            F.max("t").alias("t"),
         )
-        .filter(F.col("t").isNotNull())  # keep only the real-total slices
         .select(
             F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
             F.coalesce(F.col("keep_quality").cast("string"), F.lit("ALL")).alias(

@@ -1195,18 +1195,8 @@ TS14_K = 3  # flag |z| > 3 (squared: A² > 9·B, exact integer compare)
     tags=("timeseries", "analytics", "anomaly"),
 )
 def ts14_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    v = e.select(
-        "event_id",
-        "event_type",
-        F.hour("ts").alias("hr"),
-        F.round(F.col("value") * 100).cast("long").alias("v"),
-    )
-    prof = v.groupBy("event_type", "hr").agg(
-        F.expr("CAST(SUM(v) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias(
-            "seasonal_centi"
-        )
-    )
+    v = ts14_event_frame(load_table(spark, sf_dir, "events"))
+    prof = ts14_profile(v)
     r = v.join(F.broadcast(prof), ["event_type", "hr"]).select(
         "event_id",
         "event_type",
@@ -1215,15 +1205,7 @@ def ts14_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_centi",
         (F.col("v") - F.col("seasonal_centi")).alias("resid_centi"),
     ).persist()  # plan-cache: moment pass + output pass share one scan
-    dec = "decimal(38,0)"
-    mom = r.groupBy("event_type").agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("resid_centi").cast(dec)).cast(dec).alias("s1"),
-        F.sum((F.col("resid_centi") * F.col("resid_centi")).cast(dec))
-        .cast(dec)
-        .alias("s2"),
-    )
-    a = F.expr("n * CAST(resid_centi AS DECIMAL(38,0)) - s1")
+    mom = ts14_moments(r)
     return r.join(F.broadcast(mom), "event_type").select(
         "event_id",
         "event_type",
@@ -1231,7 +1213,50 @@ def ts14_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_centi",
         "seasonal_centi",
         "resid_centi",
-        (a * a > F.lit(TS14_K * TS14_K) * F.expr("n * s2 - s1 * s1")).alias(
-            "is_anomaly"
-        ),
+        ts14_anomaly_flag().alias("is_anomaly"),
     )
+
+
+# The ts14 expression tree, factored so the batch operator, the st17
+# streaming server, and any future consumer share ONE definition — the
+# exact-parity claim is then true by construction, not by parallel
+# maintenance (round-8 review).
+
+
+def ts14_event_frame(e: DataFrame) -> DataFrame:
+    """(event_id, event_type, hr, v): hour-of-day + exact centi value."""
+    return e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+
+def ts14_profile(v: DataFrame) -> DataFrame:
+    """Seasonal component: per-(type, hour) exact floor mean (values are
+    non-negative on this stream so DIV == floor on both engines)."""
+    return v.groupBy("event_type", "hr").agg(
+        F.expr("CAST(SUM(v) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias(
+            "seasonal_centi"
+        )
+    )
+
+
+def ts14_moments(resid: DataFrame) -> DataFrame:
+    """Per-type DECIMAL(38,0) residual moments (n, s1, s2)."""
+    dec = "decimal(38,0)"
+    return resid.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("resid_centi").cast(dec)).cast(dec).alias("s1"),
+        F.sum((F.col("resid_centi") * F.col("resid_centi")).cast(dec))
+        .cast(dec)
+        .alias("s2"),
+    )
+
+
+def ts14_anomaly_flag() -> F.Column:
+    """z² > K² without sqrt or float: (n·r − s1)² > K²·(n·s2 − s1²).
+    Expects resid_centi, n, s1, s2 in scope."""
+    a = F.expr("n * CAST(resid_centi AS DECIMAL(38,0)) - s1")
+    return a * a > F.lit(TS14_K * TS14_K) * F.expr("n * s2 - s1 * s1")

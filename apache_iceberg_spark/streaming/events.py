@@ -1345,35 +1345,23 @@ def _st17_oracle() -> str:
     tags=("streaming", "timeseries", "anomaly"),
 )
 def st17_stream_seasonal_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apache_iceberg_spark.operators.timeseries import TS14_K
+    from apache_iceberg_spark.operators.timeseries import (
+        ts14_anomaly_flag,
+        ts14_event_frame,
+        ts14_moments,
+        ts14_profile,
+    )
 
-    e = load_table(spark, sf_dir, "events")
-    v_static = e.select(
-        "event_type",
-        F.hour("ts").alias("hr"),
-        F.round(F.col("value") * 100).cast("long").alias("v"),
-    )
-    prof = v_static.groupBy("event_type", "hr").agg(
-        F.expr("CAST(SUM(v) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias(
-            "seasonal_centi"
-        )
-    )
+    # frozen state trained on the static batch — the SAME factored tree
+    # the batch operator runs, so parity is structural
+    v_static = ts14_event_frame(load_table(spark, sf_dir, "events"))
+    prof = ts14_profile(v_static)
     resid = v_static.join(F.broadcast(prof), ["event_type", "hr"]).select(
-        "event_type", (F.col("v") - F.col("seasonal_centi")).alias("r")
-    )
-    dec = "decimal(38,0)"
-    mom = resid.groupBy("event_type").agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("r").cast(dec)).cast(dec).alias("s1"),
-        F.sum((F.col("r") * F.col("r")).cast(dec)).cast(dec).alias("s2"),
-    )
-    stream = stream_events(spark, sf_dir).select(
-        "event_id",
         "event_type",
-        F.hour("ts").alias("hr"),
-        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("v") - F.col("seasonal_centi")).alias("resid_centi"),
     )
-    a = F.expr("n * CAST(resid_centi AS DECIMAL(38,0)) - s1")
+    mom = ts14_moments(resid)
+    stream = ts14_event_frame(stream_events(spark, sf_dir))
     scored = (
         stream.join(F.broadcast(prof), ["event_type", "hr"])
         .withColumn("resid_centi", F.col("v") - F.col("seasonal_centi"))
@@ -1385,9 +1373,7 @@ def st17_stream_seasonal_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("v_centi"),
             "seasonal_centi",
             "resid_centi",
-            (
-                a * a > F.lit(TS14_K * TS14_K) * F.expr("n * s2 - s1 * s1")
-            ).alias("is_anomaly"),
+            ts14_anomaly_flag().alias("is_anomaly"),
         )
     )
     qname = f"st17_seasonal_{next(_stream_ids)}"
