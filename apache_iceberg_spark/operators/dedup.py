@@ -1893,3 +1893,90 @@ def dd19_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_frac"),
         (frac <= DD19_MAX_DUP_FRAC).alias("keep"),
     )
+
+
+# --- dd20: quality-aware canonical selection ---------------------------------
+
+
+def _dd20_oracle_wrapped() -> str:
+    # dd6's oracle ends "FROM walk GROUP BY node" with no trailing paren;
+    # rebuild it as a cl(...) CTE explicitly instead of string surgery on
+    # the tail: take everything up to the final SELECT and wrap.
+    from apache_iceberg_spark.operators.text import (
+        _TX19_DUCK_FEATURES,
+        _tx19_margin_sql,
+    )
+    from apache_iceberg_spark.registry import REGISTRY as _REG
+
+    dd6 = _REG["dd6_dup_clusters"].oracle
+    head, _tail = dd6.rsplit("SELECT node AS doc_id", 1)
+    head = head.strip()
+    assert head.endswith(")"), head[-40:]
+    tx19 = _TX19_DUCK_FEATURES.strip()
+    return f"""
+        {head},
+        cl AS (
+            SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node
+        ),
+        {tx19[len("WITH "):]},
+        scored AS (
+            SELECT d.doc_id,
+                   COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+                   {_tx19_margin_sql("m.")} AS margin
+            FROM documents d
+            LEFT JOIN cl ON cl.node = d.doc_id
+            JOIN m ON m.doc_id = d.doc_id
+        )
+        SELECT doc_id, cluster_id, margin,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY margin DESC, doc_id
+               ) = 1 AS is_canonical
+        FROM scored
+    """
+
+
+@register(
+    "dd20_canonical_by_quality",
+    oracle=_dd20_oracle_wrapped(),
+    doc="Quality-aware canonical selection — WHICH copy of a duplicate "
+    "cluster to keep: dd1/dd6 keep min-doc_id (arbitrary); real "
+    "curation keeps the HIGHEST-QUALITY copy (crawl dups differ in "
+    "boilerplate, truncation, encoding damage), so each dd6 near-dup "
+    "cluster elects the member with the best tx19 classifier margin "
+    "(doc_id tiebreak), singletons electing themselves. Composition: "
+    "dd6's posting-join + min-label CC produces (doc, cluster), tx19's "
+    "map-only margin rides the doc frame, and the election is one "
+    "window argmax on the cluster key — the only new shuffle beyond "
+    "the parents'. The oracle chains dd6's recursive-CTE fixpoint with "
+    "tx19's feature CTEs, so the composed plan is checked end to end.",
+    tags=("dedup", "llm", "quality", "ml"),
+)
+def dd20_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from apache_iceberg_spark.operators.text import (
+        _tx19_features,
+        _tx19_margin_sql,
+    )
+    from apache_iceberg_spark.tables import load_table as _load
+
+    clusters = dd6_dup_clusters(spark, sf_dir).select(
+        F.col("doc_id"), F.col("cluster_id").alias("cl")
+    )
+    margins = _tx19_features(_load(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_tx19_margin_sql()).alias("margin")
+    )
+    scored = margins.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cl"), F.col("doc_id")).alias("cluster_id"),
+        "margin",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("margin"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "margin",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

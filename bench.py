@@ -150,6 +150,7 @@ AUX = [
     "a25_ks_drift",
     "ts15_interval_coverage",
     "m27_changelog_scan",
+    "dd20_canonical_by_quality",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

