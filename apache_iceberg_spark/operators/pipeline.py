@@ -3311,3 +3311,142 @@ def pp15_curation_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- pp16: mixture rebalance plan --------------------------------------------
+
+# Target language mixture in micro-units (sums to 1e6) — the knob a data
+# lead sets; pinned here so the oracle shares it.
+PP16_TARGET_MICRO = {"en": 400_000, "de": 250_000, "es": 200_000, "fr": 150_000}
+
+
+def _pp16_oracle() -> str:
+    from apache_iceberg_spark.operators.text import _duck_stop_count
+
+    target_rows = ", ".join(
+        f"('{lang}', {m})" for lang, m in sorted(PP16_TARGET_MICRO.items())
+    )
+    return f"""
+        WITH lid AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                     WHEN s_en >= s_de AND s_en > s_es AND s_en > s_fr THEN 'en'
+                     WHEN s_es >= s_de AND s_es >= s_en AND s_es > s_fr THEN 'es'
+                     ELSE 'fr'
+                   END AS lang
+            FROM (SELECT doc_id,
+                         {_duck_stop_count('en')} AS s_en,
+                         {_duck_stop_count('es')} AS s_es,
+                         {_duck_stop_count('de')} AS s_de,
+                         {_duck_stop_count('fr')} AS s_fr
+                  FROM documents)
+        ),
+        cur AS (
+            SELECT lid.lang,
+                   CAST(SUM(len(string_split_regex(lower(trim(d.text)),
+                                                   '{_TOKEN_SPLIT}')))
+                        AS BIGINT) AS cur_tokens
+            FROM documents d JOIN lid USING (doc_id)
+            GROUP BY lid.lang
+        ),
+        tgt(lang, target_micro) AS (VALUES {target_rows}),
+        j AS (SELECT * FROM cur JOIN tgt USING (lang)),
+        tot AS (SELECT CAST(SUM(cur_tokens) AS BIGINT) AS t FROM j),
+        rate AS (
+            SELECT l.lang,
+                   CAST(MIN(
+                       CAST(1000000 AS HUGEINT) * m.cur_tokens
+                           * l.target_micro
+                       // (CAST(m.target_micro AS HUGEINT) * l.cur_tokens)
+                   ) AS BIGINT) AS keep_rate_micro
+            FROM j l CROSS JOIN j m
+            GROUP BY l.lang
+        )
+        SELECT j.lang, j.cur_tokens,
+               CAST(CAST(j.cur_tokens AS HUGEINT) * 1000000 // tot.t
+                    AS BIGINT) AS cur_share_micro,
+               j.target_micro,
+               r.keep_rate_micro,
+               CAST(CAST(r.keep_rate_micro AS HUGEINT) * j.cur_tokens
+                    // 1000000 AS BIGINT) AS post_tokens
+        FROM j JOIN rate r USING (lang) CROSS JOIN tot
+    """
+
+
+@register(
+    "pp16_mixture_rebalance_plan",
+    oracle=_pp16_oracle(),
+    doc="Mixture rebalance plan — HOW to hit a target language mix by "
+    "downsampling only (no lang can be upsampled past its data): the "
+    "exact keep rate per language is α·target_l/current_l with "
+    "α = min_m current_m/target_m, computed WITHOUT the argmin or any "
+    "rational sort via the pairwise identity rate_l = "
+    "min_m (cur_m·target_l)/(target_m·cur_l) — floor commutes with min "
+    "(monotone), the m=l term caps the binding language at exactly "
+    "1e6, and every product runs in DECIMAL(38,0)/HUGEINT (the a24/a25 "
+    "overflow rule). Applying the rates yields the target shares "
+    "exactly (up to per-lang floor); pp13's temperature mixture says "
+    "WHAT mix to want, pp14/a25 say when the current mix drifted, this "
+    "says what to do about it. Scale: one corpus agg to |langs| rows, "
+    "a |langs|² cross join, and a driver-size report.",
+    tags=("pipeline", "llm", "report", "planning"),
+)
+def pp16_mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.text import _tokens, tx3_langid
+
+    d = load_table(spark, sf_dir, "documents")
+    lid = tx3_langid(spark, sf_dir).select(
+        "doc_id", F.col("lang_pred").alias("lang")
+    )
+    cur = (
+        d.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+        .join(lid, "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("long").alias("cur_tokens"))
+    )
+    tgt = F.broadcast(
+        cur.sparkSession.createDataFrame(
+            sorted(PP16_TARGET_MICRO.items()), "lang string, target_micro long"
+        )
+    )
+    j = cur.join(tgt, "lang")
+    tot = j.agg(F.sum("cur_tokens").cast("long").alias("t"))
+    l = j.select(
+        F.col("lang"),
+        F.col("cur_tokens").alias("cur_l"),
+        F.col("target_micro").alias("tgt_l"),
+    )
+    m = j.select(
+        F.col("cur_tokens").alias("cur_m"), F.col("target_micro").alias("tgt_m")
+    )
+    rate = (
+        l.crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * cur_m * tgt_l "
+                "DIV (CAST(tgt_m AS DECIMAL(38,0)) * cur_l) AS BIGINT)"
+            ).alias("r"),
+        )
+        .groupBy("lang")
+        .agg(F.min("r").alias("keep_rate_micro"))
+    )
+    return (
+        j.join(rate, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "cur_tokens",
+            F.expr(
+                "CAST(CAST(cur_tokens AS DECIMAL(38,0)) * 1000000 DIV t "
+                "AS BIGINT)"
+            ).alias("cur_share_micro"),
+            "target_micro",
+            "keep_rate_micro",
+            F.expr(
+                "CAST(CAST(keep_rate_micro AS DECIMAL(38,0)) * cur_tokens "
+                "DIV 1000000 AS BIGINT)"
+            ).alias("post_tokens"),
+        )
+    )

@@ -151,6 +151,7 @@ AUX = [
     "ts15_interval_coverage",
     "m27_changelog_scan",
     "dd20_canonical_by_quality",
+    "pp16_mixture_rebalance_plan",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

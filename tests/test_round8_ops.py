@@ -1127,3 +1127,26 @@ def test_dd20_elects_best_margin_per_cluster(spark):
     for r in rows:
         assert r.cluster_id == dd6.get(r.doc_id, r.doc_id)
     assert any(len(m) > 1 for m in clusters.values())  # real clusters exist
+
+
+def test_pp16_rates_hit_target_ratios(spark):
+    """The binding language keeps exactly 1e6 (never upsample), every
+    other rate < 1e6, and post-token RATIOS equal the target ratios up
+    to the per-lang floor (cross-multiplied within ±1 floor step)."""
+    from tests.conftest import SF_DIR
+
+    rows = (
+        REGISTRY["pp16_mixture_rebalance_plan"].spark(spark, SF_DIR).collect()
+    )
+    assert rows, "no languages joined the target"
+    assert max(r.keep_rate_micro for r in rows) == 1_000_000
+    for a in rows:
+        assert 0 < a.keep_rate_micro <= 1_000_000
+        assert a.post_tokens == a.keep_rate_micro * a.cur_tokens // 10**6
+        for b in rows:
+            # post_a/post_b ≈ target_a/target_b: floors shift each side
+            # by < 1 token-unit, so cross-products differ by < max target
+            lhs = a.post_tokens * b.target_micro
+            rhs = b.post_tokens * a.target_micro
+            slack = max(a.target_micro, b.target_micro) * 2
+            assert abs(lhs - rhs) <= slack, (a.lang, b.lang, lhs, rhs)
