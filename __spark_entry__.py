@@ -81,6 +81,8 @@ RECHECK = frozenset({
     "st14_stream_ewma",      # single-micro-batch assertion (ADVICE r7)
     "st15_stream_cusum",     # same assertion
     "ts7_max_concurrent_intervals",  # inclusive-interval sweep tie fix
+    "j7_interval_overlap_join",  # epoch rebase 9497→9496, half-open
+                                 # slice bound, explicit floor cast
 })
 
 

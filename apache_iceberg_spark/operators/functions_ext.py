@@ -472,14 +472,49 @@ J7_FROM, J7_TO = "1996-01-01", "1996-02-28"
 J7_BIN_DAYS = 16
 
 
+# Half-open slice upper bound: the day AFTER J7_TO. The old form compared
+# Spark `between(..., 'J7_TO 23:59:59')` against the oracles' `<= DATE
+# J7_TO` (midnight) — fixture-masked because every l_shipdate is
+# midnight-aligned (round-8 review); the half-open [from, to_excl)
+# convention is timestamp-robust and identical on both engines.
+J7_TO_EXCL = "1996-02-29"
+
+# True epoch-day rebase: days('1970-01-01' → '1996-01-01') = 9496 (the
+# old constant 9497 was off by one — invisible to every oracle because
+# all compared outputs are translation-invariant, but it broke the
+# stated contract that bin ids match intervals binned from real epoch
+# days; round-8 review).
+J7_EPOCH_DAYS = 9496
+
+_DUCK_IV_FILTER = (
+    f"WHERE l_shipdate >= TIMESTAMP '{J7_FROM} 00:00:00'\n"
+    f"              AND l_shipdate < TIMESTAMP '{J7_TO_EXCL} 00:00:00'"
+)
+
+#: The oracle twin of _shipment_intervals' (sd, ed) expressions, shared
+#: by j7/ts7/ts15 so the interval convention lives in ONE place per
+#: engine. floor() before the INT cast: DuckDB CAST(11.5 AS INT) rounds
+#: while Spark truncates — fixture-masked (all quantities integral)
+#: until made explicit.
+_DUCK_IV_CTE = f"""iv AS (
+            SELECT l_suppkey,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                       AS sd,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                       + CAST(floor(l_quantity) AS INT) % 28 + 3 AS ed
+            FROM lineitem
+            {_DUCK_IV_FILTER}
+        )"""
+
+
 def _shipment_intervals(l: DataFrame) -> DataFrame:
     """(l_suppkey, iv_id, sd, ed): the in-transit window of every shipment
-    in the j7 date slice, as epoch-day integers (shared by j7/ts7)."""
+    in the j7 date slice, as TRUE epoch-day integers (shared by
+    j7/ts7/ts15; _DUCK_IV_CTE is the oracle twin)."""
     return (
         l.filter(
-            F.col("l_shipdate").between(
-                f"{J7_FROM} 00:00:00", f"{J7_TO} 23:59:59"
-            )
+            (F.col("l_shipdate") >= F.lit(f"{J7_FROM} 00:00:00"))
+            & (F.col("l_shipdate") < F.lit(f"{J7_TO_EXCL} 00:00:00"))
         )
         .select(
             "l_suppkey",
@@ -488,15 +523,33 @@ def _shipment_intervals(l: DataFrame) -> DataFrame:
                 F.col("l_shipdate").cast("date"),
                 F.lit(J7_FROM).cast("date"),
             ).alias("sd0"),
-            (F.col("l_quantity").cast("int") % 28 + 3).alias("dur"),
+            (F.floor("l_quantity").cast("int") % 28 + 3).alias("dur"),
         )
         .select(
             "l_suppkey",
             "iv_id",
             # rebase to the epoch so bin ids match any other interval set
-            (F.col("sd0") + F.lit(9497)).alias("sd"),  # days('1996-01-01')
-            (F.col("sd0") + F.lit(9497) + F.col("dur")).alias("ed"),
+            (F.col("sd0") + F.lit(J7_EPOCH_DAYS)).alias("sd"),
+            (F.col("sd0") + F.lit(J7_EPOCH_DAYS) + F.col("dur")).alias("ed"),
         )
+    )
+
+
+def _sweep_day_events(iv: DataFrame) -> DataFrame:
+    """(l_suppkey, day, delta): the inclusive-interval sweep events —
+    +1@sd, −1@(ed+1), same-day deltas COLLAPSED before any running sum
+    (the round-8 tie-order convention). ONE definition shared by ts7
+    and ts15 so the next sweep fix cannot be applied to one copy only."""
+    return (
+        iv.select("l_suppkey", F.col("sd").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            iv.select(
+                "l_suppkey", (F.col("ed") + 1).alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("l_suppkey", "day")
+        .agg(F.sum("d").cast("long").alias("delta"))
     )
 
 
@@ -511,9 +564,9 @@ def _shipment_intervals(l: DataFrame) -> DataFrame:
                    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
                        AS sd,
                    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-                       + CAST(l_quantity AS INT) % 28 + 3 AS ed
+                       + CAST(floor(l_quantity) AS INT) % 28 + 3 AS ed
             FROM lineitem
-            WHERE l_shipdate BETWEEN DATE '{J7_FROM}' AND DATE '{J7_TO}'
+            {_DUCK_IV_FILTER}
         ),
         pairs AS (
             SELECT a.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -587,15 +640,7 @@ def j7_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts7_max_concurrent_intervals",
     oracle=f"""
-        WITH iv AS (
-            SELECT l_suppkey,
-                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-                       AS sd,
-                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-                       + CAST(l_quantity AS INT) % 28 + 3 AS ed
-            FROM lineitem
-            WHERE l_shipdate BETWEEN DATE '{J7_FROM}' AND DATE '{J7_TO}'
-        ),
+        WITH {_DUCK_IV_CTE},
         ev AS (
             SELECT l_suppkey, day, CAST(SUM(delta) AS BIGINT) AS delta
             FROM (
@@ -638,20 +683,7 @@ def j7_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts7_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = _shipment_intervals(load_table(spark, sf_dir, "lineitem"))
-    ev = (
-        iv.select(
-            "l_suppkey", F.col("sd").alias("day"), F.lit(1).alias("d")
-        )
-        .unionAll(
-            iv.select(
-                "l_suppkey",
-                (F.col("ed") + 1).alias("day"),
-                F.lit(-1).alias("d"),
-            )
-        )
-        .groupBy("l_suppkey", "day")
-        .agg(F.sum("d").cast("long").alias("delta"))
-    )
+    ev = _sweep_day_events(iv)
     w = (
         Window.partitionBy("l_suppkey")
         .orderBy("day")
@@ -763,7 +795,7 @@ def w9_edge_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = _cents(F.col("value"))
     return e.select(
         "event_id",
         "user_id",
@@ -852,7 +884,7 @@ def f12_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f13_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = _cents(F.col("o_totalprice"))
     return o.groupBy("o_orderstatus").agg(
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
@@ -903,7 +935,7 @@ def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(W11_WIN - 1), Window.currentRow)
     )
-    v = F.round(F.col("value") * 100).cast("long")
+    v = _cents(F.col("value"))
     f = e.select(
         "user_id",
         "event_id",
@@ -985,15 +1017,7 @@ def f14_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts15_interval_coverage",
     oracle=f"""
-        WITH iv AS (
-            SELECT l_suppkey,
-                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-                       AS sd,
-                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-                       + CAST(l_quantity AS INT) % 28 + 3 AS ed
-            FROM lineitem
-            WHERE l_shipdate BETWEEN DATE '{J7_FROM}' AND DATE '{J7_TO}'
-        ),
+        WITH {_DUCK_IV_CTE},
         ev AS (
             SELECT l_suppkey, day, CAST(SUM(delta) AS BIGINT) AS delta
             FROM (
@@ -1070,17 +1094,7 @@ def f14_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts15_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = _shipment_intervals(load_table(spark, sf_dir, "lineitem"))
-    ev = (
-        iv.select("l_suppkey", F.col("sd").alias("day"), F.lit(1).alias("d"))
-        .unionAll(
-            iv.select(
-                "l_suppkey", (F.col("ed") + 1).alias("day"),
-                F.lit(-1).alias("d"),
-            )
-        )
-        .groupBy("l_suppkey", "day")
-        .agg(F.sum("d").cast("long").alias("delta"))
-    )
+    ev = _sweep_day_events(iv)
     wc = (
         Window.partitionBy("l_suppkey")
         .orderBy("day")
@@ -1106,7 +1120,7 @@ def ts15_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "next_day",
         "depth",
-        F.sum(run_start).over(wc.orderBy("day")).alias("run_id"),
+        F.sum(run_start).over(wc).alias("run_id"),
     )
     runs = (
         rid.filter(F.col("depth") > 0)
