@@ -1260,3 +1260,83 @@ def ts14_anomaly_flag() -> F.Column:
     Expects resid_centi, n, s1, s2 in scope."""
     a = F.expr("n * CAST(resid_centi AS DECIMAL(38,0)) - s1")
     return a * a > F.lit(TS14_K * TS14_K) * F.expr("n * s2 - s1 * s1")
+
+
+# ---------------------------------------------------------------------------
+# ts16: M4 visualization downsampling (Jugel et al., VLDB 2014)
+# ---------------------------------------------------------------------------
+
+#: M4 bucket width (µs): 6 h over the 30-day fixture → ≤120 buckets/series.
+#: The knob a dashboard sets from its pixel budget: width = span / pixels.
+TS16_BUCKET_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "ts16_m4_downsample",
+    oracle=f"""
+        WITH pts AS (
+            SELECT event_type,
+                   {_duck_floor_div("epoch_us(ts)", TS16_BUCKET_US)} AS bucket,
+                   epoch_us(ts) AS tus, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_c
+            FROM events
+        )
+        SELECT event_type, bucket,
+               COUNT(*) AS n_points,
+               MIN(v_c) AS v_min_c,
+               MAX(v_c) AS v_max_c,
+               MIN(tus) AS first_tus,
+               (ARRAY_AGG(v_c ORDER BY tus, event_id))[1] AS first_v_c,
+               MAX(tus) AS last_tus,
+               (ARRAY_AGG(v_c ORDER BY tus DESC, event_id DESC))[1]
+                   AS last_v_c
+        FROM pts
+        GROUP BY event_type, bucket
+    """,
+    doc="M4 visualization downsampling (Jugel et al., VLDB 2014): per "
+    "(series, time-bucket) the min/max/first/last points — the exact "
+    "set a line renderer needs for a pixel-perfect plot, one row per "
+    "bucket. THE scale property: output is bounded by the pixel budget "
+    "(series × buckets), never by data size — 100 TB of points reduce "
+    "to the same ≤120 rows/series as 10 MB. Spark shape: a single "
+    "partial+final hash agg (map-side combine collapses each partition "
+    "to ≤1 row per bucket before the shuffle — the only exchange); "
+    "first/last are lexicographic MIN/MAX over a (tus, event_id, v_c) "
+    "struct, deterministic because event_id is unique, matching the "
+    "oracle's ORDER BY tus, event_id. Exact integer centi-units and "
+    "pmod floor-division bucketing (negative-safe, registry "
+    "conventions). No window function, no sort, no per-series state.",
+    tags=("timeseries", "downsample", "aggregate"),
+)
+def ts16_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.expr(_floor_div("unix_micros(ts)", TS16_BUCKET_US)).alias("bucket"),
+        F.unix_micros(F.col("ts")).alias("tus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    first = F.min(F.struct("tus", "event_id", "v_c")).alias("f")
+    last = F.max(F.struct("tus", "event_id", "v_c")).alias("l")
+    return (
+        pts.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("v_c").alias("v_min_c"),
+            F.max("v_c").alias("v_max_c"),
+            first,
+            last,
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "n_points",
+            "v_min_c",
+            "v_max_c",
+            F.col("f.tus").alias("first_tus"),
+            F.col("f.v_c").alias("first_v_c"),
+            F.col("l.tus").alias("last_tus"),
+            F.col("l.v_c").alias("last_v_c"),
+        )
+    )

@@ -1387,3 +1387,71 @@ def st17_stream_seasonal_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(qname)
+
+
+# --- st18: streaming M4 downsampling ------------------------------------------
+
+
+def _st18_oracle() -> str:
+    from apache_iceberg_spark.registry import REGISTRY as _REG
+
+    # Same answer as batch ts16 — the dashboard-serving parity contract.
+    return _REG["ts16_m4_downsample"].oracle
+
+
+@register(
+    "st18_stream_m4_downsample",
+    oracle=_st18_oracle(),
+    doc="STREAMING M4 downsampling — ts16's dashboard-serving shape: a "
+    "watermarked 6-hour tumbling window maintains the per-(series, "
+    "bucket) min/max/first/last points incrementally as events arrive, "
+    "so a live chart reads a bounded result (pixel budget × series) no "
+    "matter how much history streamed through. State per window is "
+    "FOUR points — min/max of v_c and lexicographic min/max of a "
+    "(tus, event_id, v_c) struct — constant-size, merged "
+    "associatively, exactly what the state store's partial aggregation "
+    "needs; the watermark expires windows so state is bounded by the "
+    "lateness horizon, not the stream length. Bucket id is derived "
+    "from window.start so batch/stream answers are bitwise-identical "
+    "(shared ts16 oracle + pytest frame equality).",
+    tags=("streaming", "timeseries", "downsample"),
+)
+def st18_stream_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.timeseries import TS16_BUCKET_US
+
+    pts = stream_events(spark, sf_dir).select(
+        "ts",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    agg = (
+        pts.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", f"{TS16_BUCKET_US // 1_000_000} seconds"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("v_c").alias("v_min_c"),
+            F.max("v_c").alias("v_max_c"),
+            F.min(F.struct("tus", "event_id", "v_c")).alias("f"),
+            F.max(F.struct("tus", "event_id", "v_c")).alias("l"),
+        )
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("window.start")) / F.lit(TS16_BUCKET_US))
+            .cast("long")
+            .alias("bucket"),
+            "n_points",
+            "v_min_c",
+            "v_max_c",
+            F.col("f.tus").alias("first_tus"),
+            F.col("f.v_c").alias("first_v_c"),
+            F.col("l.tus").alias("last_tus"),
+            F.col("l.v_c").alias("last_v_c"),
+        )
+    )
+    qname = run_stream_to_memory(agg, "st18_m4")
+    return spark.table(qname)

@@ -1,0 +1,115 @@
+"""Round-8 continuation tests: M4 downsampling (ts16/st18) and the
+operators added in the second round-8 session."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+# ---------------------------------------------------------------------------
+# ts16 M4 downsampling
+# ---------------------------------------------------------------------------
+
+
+def test_ts16_matches_pandas_model(spark):
+    """Independent model: per-(type, bucket) min/max/first/last recomputed
+    row-at-a-time in pandas must equal the Spark aggregate (guards against
+    the oracle-blind class — both engines agreeing on wrong semantics)."""
+    from apache_iceberg_spark.operators.timeseries import TS16_BUCKET_US
+
+    out = (
+        REGISTRY["ts16_m4_downsample"].spark(spark, SF_DIR).toPandas()
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["tus"] = ev["ts"].astype("int64") // 1000 if str(
+        ev["ts"].dtype
+    ).endswith("[ns]") else ev["ts"].astype("int64")
+    ev["v_c"] = (ev["value"] * 100).round().astype("int64")
+    ev["bucket"] = ev["tus"] // TS16_BUCKET_US
+    ev = ev.sort_values(["tus", "event_id"], kind="mergesort")
+    model = {}
+    for (t, b), g in ev.groupby(["event_type", "bucket"]):
+        model[(t, b)] = (
+            len(g),
+            g["v_c"].min(),
+            g["v_c"].max(),
+            g["tus"].iloc[0],
+            g["v_c"].iloc[0],
+            g["tus"].iloc[-1],
+            g["v_c"].iloc[-1],
+        )
+    assert len(out) == len(model)
+    for row in out.itertuples(index=False):
+        exp = model[(row.event_type, row.bucket)]
+        got = (
+            row.n_points,
+            row.v_min_c,
+            row.v_max_c,
+            row.first_tus,
+            row.first_v_c,
+            row.last_tus,
+            row.last_v_c,
+        )
+        assert got == exp, (row.event_type, row.bucket, got, exp)
+
+
+def test_ts16_output_bounded_by_pixel_budget(spark):
+    """THE M4 property: output rows ≤ series × buckets regardless of
+    input size (30-day fixture / 6 h = 120 buckets, 5 types)."""
+    out = REGISTRY["ts16_m4_downsample"].spark(spark, SF_DIR)
+    n = out.count()
+    assert n <= 5 * 121  # +1 for a partial trailing bucket
+    # sf0.001 is sparse (1k events over 600 slots) — most buckets still hit
+    assert n >= 5 * 60
+
+
+def test_ts16_single_exchange_plan(spark):
+    """One shuffle (partial+final hash agg), no sort, no window, no join."""
+    plan = (
+        REGISTRY["ts16_m4_downsample"]
+        .spark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_st18_equals_batch_ts16(spark):
+    """Streaming availableNow run must produce exactly the batch answer."""
+    cols = [
+        "event_type",
+        "bucket",
+        "n_points",
+        "v_min_c",
+        "v_max_c",
+        "first_tus",
+        "first_v_c",
+        "last_tus",
+        "last_v_c",
+    ]
+    batch = (
+        REGISTRY["ts16_m4_downsample"]
+        .spark(spark, SF_DIR)
+        .orderBy("event_type", "bucket")
+        .toPandas()[cols]
+    )
+    stream = (
+        REGISTRY["st18_stream_m4_downsample"]
+        .spark(spark, SF_DIR)
+        .orderBy("event_type", "bucket")
+        .toPandas()[cols]
+    )
+    pd.testing.assert_frame_equal(
+        batch.reset_index(drop=True),
+        stream.reset_index(drop=True),
+        check_dtype=False,
+    )
