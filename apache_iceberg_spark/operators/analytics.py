@@ -993,3 +993,79 @@ def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ks > A25_ALARM_MICRO).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# w12: exact weighted median per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w12_weighted_median",
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS wt
+            FROM lineitem
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT l_returnflag, price_c, wt,
+                   SUM(wt) OVER (PARTITION BY l_returnflag
+                                 ORDER BY price_c) AS cum,
+                   SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+            FROM w
+        )
+        SELECT l_returnflag,
+               CAST(MIN(tot) AS BIGINT) AS total_weight_centi,
+               CAST(MIN(price_c) AS BIGINT) AS median_price_c
+        FROM c
+        WHERE 2 * cum >= tot
+        GROUP BY l_returnflag
+    """,
+    doc="Exact weighted (lower) median per group: smallest price whose "
+    "cumulative quantity-weight reaches half the group total — the "
+    "robust location statistic quality dashboards want when rows carry "
+    "unequal mass. Spark shape: the distinct-value pre-aggregate "
+    "(group, price) collapses the fact table FIRST with full map-side "
+    "combine — at 100 TB the window scan that follows runs over "
+    "distinct prices (bounded by the value domain, centi-cents here), "
+    "not rows; the running-sum window then shuffles once on the group "
+    "key alone. All arithmetic in exact BIGINT centi-units so the "
+    "half-total comparison (2·cum ≥ tot, no division) is bitwise "
+    "identical across engines. Generalizes to any weighted percentile "
+    "by replacing the factor 2.",
+    tags=("window", "aggregate", "analytics"),
+)
+def w12_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.tables import load_table as _lt
+
+    l = _lt(spark, sf_dir, "lineitem")
+    w = (
+        l.select(
+            "l_returnflag",
+            _cents(F.col("l_extendedprice")).alias("price_c"),
+            _cents(F.col("l_quantity")).alias("wt_c"),
+        )
+        .groupBy("l_returnflag", "price_c")
+        .agg(F.sum("wt_c").alias("wt"))
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("price_c")
+    c = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(win).alias("cum"),
+        F.sum("wt")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("tot").alias("total_weight_centi"),
+            F.min("price_c").alias("median_price_c"),
+        )
+    )

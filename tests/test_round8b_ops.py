@@ -113,3 +113,46 @@ def test_st18_equals_batch_ts16(spark):
         stream.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# w12 weighted median
+# ---------------------------------------------------------------------------
+
+
+def test_w12_matches_python_model(spark):
+    """Lower weighted median recomputed row-at-a-time: sort by price,
+    accumulate weight, first price reaching half the total."""
+    out = (
+        REGISTRY["w12_weighted_median"].spark(spark, SF_DIR).toPandas()
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li["price_c"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li["wt_c"] = (li["l_quantity"] * 100).round().astype("int64")
+    for row in out.itertuples(index=False):
+        g = li[li["l_returnflag"] == row.l_returnflag].sort_values("price_c")
+        tot = int(g["wt_c"].sum())
+        assert row.total_weight_centi == tot
+        cum = 0
+        med = None
+        for p, wsum in g.groupby("price_c")["wt_c"].sum().items():
+            cum += int(wsum)
+            if 2 * cum >= tot:
+                med = int(p)
+                break
+        assert row.median_price_c == med, row.l_returnflag
+
+
+def test_w12_median_weight_invariant(spark):
+    """At least half the mass sits at or below the reported median and
+    at least half at or above (the defining property)."""
+    out = REGISTRY["w12_weighted_median"].spark(spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li["price_c"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li["wt_c"] = (li["l_quantity"] * 100).round().astype("int64")
+    for row in out.itertuples(index=False):
+        g = li[li["l_returnflag"] == row.l_returnflag]
+        tot = int(g["wt_c"].sum())
+        below = int(g.loc[g["price_c"] <= row.median_price_c, "wt_c"].sum())
+        above = int(g.loc[g["price_c"] >= row.median_price_c, "wt_c"].sum())
+        assert 2 * below >= tot and 2 * above >= tot
