@@ -3450,3 +3450,118 @@ def pp16_mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("post_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dc2: fuzzy (MinHash) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: Near-verbatim contamination threshold — the published fuzzy-decon
+#: convention (Llama-2 / GPT-3 appendix C use high-similarity matches;
+#: exact-overlap hygiene is dc1's 13-gram gate).
+DC2_JACCARD = 0.8
+
+
+def _dc2_oracle() -> str:
+    from apache_iceberg_spark.operators.dedup import minhash_lsh_ctes
+
+    return f"""
+        WITH {minhash_lsh_ctes("documents")},
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN {_SPLIT_BUCKET_DUCK} < 80 THEN 'train'
+                        WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        cross_hits AS (
+            SELECT CASE WHEN a.split = 'train' THEN v.doc_id_a
+                        ELSE v.doc_id_b END AS doc_id,
+                   CASE WHEN a.split = 'train' THEN v.doc_id_b
+                        ELSE v.doc_id_a END AS test_doc_id,
+                   v.jaccard
+            FROM verified v
+            JOIN s a ON a.doc_id = v.doc_id_a
+            JOIN s b ON b.doc_id = v.doc_id_b
+            WHERE ((a.split = 'train' AND b.split = 'test')
+                   OR (a.split = 'test' AND b.split = 'train'))
+              AND v.jaccard >= {DC2_JACCARD}
+        )
+        SELECT doc_id,
+               COUNT(DISTINCT test_doc_id) AS n_test_matches,
+               MAX(jaccard) AS max_jaccard
+        FROM cross_hits
+        GROUP BY doc_id
+    """
+
+
+@register(
+    "dc2_fuzzy_decontamination",
+    oracle=_dc2_oracle(),
+    doc=f"FUZZY benchmark decontamination — dc1's exact {DECONTAM_N}-gram "
+    "gate misses near-verbatim leaks (an edited sentence, shuffled "
+    "whitespace); this is the MinHash form the published recipes pair "
+    "with it: dd2's banded LSH generates train×test candidates and "
+    f"exact-Jaccard verification at {DC2_JACCARD} flags training docs "
+    "to drop. Spark shape: ONE signature build over the corpus "
+    "(split is a pure function of doc_id, so train/test band frames "
+    "are FILTERS of the same map-only band build, not two pipelines); "
+    "candidates come from a train-band × test-band equi-join on "
+    "(band_id, band_key) — O(colliding bands), never |train|×|test| — "
+    "and only candidates pay the exact verify. No broadcast hint: the "
+    "test side's size is corpus-dependent (dc1's r3 lesson), so the "
+    "join strategy is AQE's runtime call. Scale: identical to dd2 — "
+    "band build is map-only, the band join is the single wide "
+    "exchange, hot bands cap/salt the same way.",
+    tags=("dedup", "llm", "decontamination"),
+)
+def dc2_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.dedup import _minhash_bands
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+
+    def _split_of(col: str) -> F.Column:
+        b = (
+            F.expr(
+                SPARK_HEX2INT.format(s=f"concat('split:', CAST({col} AS STRING))")
+            )
+            % 100
+        )
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    hashed, bands = _minhash_bands(d)
+    train_b = bands.filter(_split_of("doc_id") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "band_id", "band_key"
+    )
+    test_b = bands.filter(_split_of("doc_id") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "band_id", "band_key"
+    )
+    cand = (
+        train_b.join(test_b, ["band_id", "band_key"])
+        .select("train_doc_id", "test_doc_id")
+        .distinct()
+    )
+    sa = hashed.select(
+        F.col("doc_id").alias("train_doc_id"), F.col("hs").alias("hs_a")
+    )
+    sb = hashed.select(
+        F.col("doc_id").alias("test_doc_id"), F.col("hs").alias("hs_b")
+    )
+    return (
+        cand.join(sa, "train_doc_id")
+        .join(sb, "test_doc_id")
+        .select(
+            "train_doc_id",
+            "test_doc_id",
+            (
+                F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                / F.size(F.array_union("hs_a", "hs_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= DC2_JACCARD)
+        .groupBy(F.col("train_doc_id").alias("doc_id"))
+        .agg(
+            F.countDistinct("test_doc_id").alias("n_test_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

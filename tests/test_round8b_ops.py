@@ -156,3 +156,71 @@ def test_w12_median_weight_invariant(spark):
         below = int(g.loc[g["price_c"] <= row.median_price_c, "wt_c"].sum())
         above = int(g.loc[g["price_c"] >= row.median_price_c, "wt_c"].sum())
         assert 2 * below >= tot and 2 * above >= tot
+
+
+# ---------------------------------------------------------------------------
+# dc2 fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+
+def _write_split_docs(spark, tmp_path, docs):
+    """Write a documents fixture with CHOSEN doc_ids (the split is a pure
+    hash of doc_id, so ids are picked per-split by probing the hash)."""
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _split_of_id(doc_id: int) -> str:
+    import hashlib
+
+    h = int(
+        hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:15], 16
+    ) % 100
+    return "train" if h < 80 else ("val" if h < 90 else "test")
+
+
+def test_dc2_flags_planted_near_verbatim_leak(spark, tmp_path):
+    """A test doc pasted into train with one word edited must be flagged;
+    an unrelated train doc must not be."""
+    train_ids = [i for i in range(200) if _split_of_id(i) == "train"]
+    test_ids = [i for i in range(200) if _split_of_id(i) == "test"]
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy log near the river bend "
+        "under a pale winter sky waiting for the tide to turn"
+    )
+    # an APPENDED word keeps jaccard high (34 vs 33 shingles → 0.97);
+    # an in-place substitution kills 5 of ~33 shingles → 0.74 < the gate
+    edited = base + " tonight"
+    other = (
+        "completely unrelated text about distributed query engines "
+        "and columnar storage formats with vectorized execution and "
+        "late materialization across many independent partitions of data"
+    )
+    docs = [
+        (train_ids[0], edited),
+        (train_ids[1], other),
+        (test_ids[0], base),
+    ]
+    sf = _write_split_docs(spark, tmp_path, docs)
+    out = (
+        REGISTRY["dc2_fuzzy_decontamination"].spark(spark, sf).toPandas()
+    )
+    assert set(out["doc_id"]) == {train_ids[0]}
+    row = out.iloc[0]
+    assert row.n_test_matches == 1
+    assert row.max_jaccard >= 0.8
+
+
+def test_dc2_no_cartesian_plan(spark):
+    plan = (
+        REGISTRY["dc2_fuzzy_decontamination"]
+        .spark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
