@@ -3170,3 +3170,140 @@ def ann18_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out3 = s3.select("query_id", F.lit(3).alias("mmr_rank"), "neighbor_id", "mmr")
     return out1.unionAll(out2).unionAll(out3)
+
+
+# ---------------------------------------------------------------------------
+# ann19: exact radius (threshold) search with provable cell pruning
+# ---------------------------------------------------------------------------
+
+#: Cosine radius: ~p99 of the isotropic fixture's query-corpus cosine
+#: distribution, so each query keeps a handful of true neighbors.
+ANN19_RADIUS = 0.30
+
+
+@register(
+    "ann19_radius_search",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
+            FROM embeddings
+        )
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               ({_DUCK_DOT.format(a='q.embedding', b='v.embedding')})
+                   / (q.norm * v.norm) AS cosine
+        FROM n q JOIN n v ON v.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+          AND ({_DUCK_DOT.format(a='q.embedding', b='v.embedding')})
+                  / (q.norm * v.norm) >= {ANN19_RADIUS}
+    """,
+    doc=f"EXACT radius search — every neighbor with cosine ≥ {ANN19_RADIUS} "
+    "(the missing dual of the top-k family: dedup radii and recall "
+    "audits want ALL matches, not k). Completeness is provable, not "
+    "probabilistic: vectors are IVF-assigned to their max-cosine cell, "
+    "each cell stores r = max ‖x̂−ĉ̂‖ over members, and Cauchy–Schwarz "
+    "gives q̂·x̂ ≤ q̂·ĉ̂ + r — any cell whose bound is below the radius "
+    "cannot contain a result and is pruned BEFORE its members are "
+    "touched; surviving cells pay exact verification, so the answer "
+    "equals brute force bitwise (the oracle IS brute force). Spark "
+    "shape: centroids and per-cell radii are two broadcast folds "
+    "(assignment map-only over the corpus, cell stats one 8-row agg); "
+    "the (query, cell) survivor list is a broadcast semi-filter, so "
+    "the corpus is scanned once and never shuffled wide. Regime note "
+    "(ann16 precedent): this ISOTROPIC fixture's cell radii ≈ √2, so "
+    "no cell prunes here (documented, asserted green anyway); on the "
+    "clustered corpora radius search is built for, pruning fires — "
+    "proven in tests/test_round8b_ops.py on a planted-cluster corpus "
+    "where pruned cells drop and the result still equals brute force.",
+    tags=("similarity", "llm", "embedding"),
+)
+def ann19_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    ).persist()  # plan-cache
+    cents = F.broadcast(
+        n.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_CELLS)
+        )
+        .select(
+            F.struct(
+                (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    cos = _SPARK_DOT.format(a="embedding", b="ce.c_emb") + " / (norm * ce.c_norm)"
+    # top-1 cell fold (ann3's top-2 fold, truncated): ties go to the
+    # lowest cell_id because the array is sorted and the comparison is
+    # strict.
+    top1 = (
+        "aggregate(cents, named_struct("
+        "'c1', CAST(-2.0 AS DOUBLE), 'l1', CAST(-1 AS BIGINT)), "
+        f"(st, ce) -> IF(({cos}) > st.c1, "
+        f"named_struct('c1', ({cos}), 'l1', ce.cell_id), st))"
+    )
+    assign = (
+        n.crossJoin(cents)
+        .withColumn("t1", F.expr(top1))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.col("t1.l1").alias("cell_id"),
+            F.col("t1.c1").alias("cos_c"),
+        )
+        .persist()  # plan-cache (stats pass + probe pass)
+    )
+    # Per-cell exact radius on UNIT vectors: ‖x̂−ĉ̂‖ = √(2 − 2·cos(x,c)).
+    cell_r = assign.groupBy("cell_id").agg(
+        F.max(F.sqrt(F.greatest(F.lit(0.0), 2.0 - 2.0 * F.col("cos_c")))).alias(
+            "r_cell"
+        )
+    )
+    qv = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    # Survivor (query, cell) pairs: queries × 8 cells, both tiny.
+    cents_rows = (
+        n.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_CELLS)
+        )
+        .select(
+            (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    survivors = (
+        qv.crossJoin(cents_rows)
+        .join(cell_r, "cell_id")
+        .filter(
+            F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm"))
+            + F.col("r_cell")
+            >= F.lit(ANN19_RADIUS)
+        )
+        .select("query_id", "cell_id", "q_emb", "q_norm")
+    )
+    return (
+        assign.join(F.broadcast(survivors), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= ANN19_RADIUS)
+    )

@@ -224,3 +224,109 @@ def test_dc2_no_cartesian_plan(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ann19 exact radius search
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(spark, tmp_path, vecs):
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_ann19_exact_on_clustered_corpus_with_pruning(spark, tmp_path):
+    """The pruning regime ann19 is built for: tight clusters around the
+    centroid slots. The bound must prune most (query, cell) pairs while
+    the result still equals numpy brute force exactly."""
+    import numpy as np
+
+    from apache_iceberg_spark.operators.similarity import (
+        ANN19_RADIUS,
+        K_CELLS,
+        N_QUERIES,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    # K_CELLS well-separated unit directions (axes), tiny within-cluster
+    # noise -> r_cell ~ 0.1.
+    dirs = np.eye(dim)[:K_CELLS]
+    vecs = []
+    # queries: aligned with cluster 0..4's direction (slightly noisy)
+    for i in range(N_QUERIES):
+        v = dirs[i % K_CELLS] + rng.normal(0, 0.03, dim)
+        vecs.append(v)
+    # centroid slots 5..12: exactly the directions
+    for c in range(K_CELLS):
+        vecs.append(dirs[c] * 1.0)
+    # members: 40 per cluster
+    for c in range(K_CELLS):
+        for _ in range(40):
+            vecs.append(dirs[c] + rng.normal(0, 0.05, dim))
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    out = (
+        REGISTRY["ann19_radius_search"]
+        .spark(spark, sf)
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    # numpy brute force (float32 storage, float64 math — same as Spark)
+    V = np.array(
+        [np.asarray(v, dtype="float32").astype("float64") for v in vecs]
+    )
+    nrm = np.sqrt((V * V).sum(axis=1))
+    expected = []
+    for q in range(N_QUERIES):
+        cos = (V @ V[q]) / (nrm * nrm[q])
+        for j in np.nonzero(cos >= ANN19_RADIUS)[0]:
+            if j != q:
+                expected.append((q, int(j)))
+    got = list(zip(out["query_id"], out["neighbor_id"]))
+    assert sorted(got) == sorted(expected)
+    # every in-cluster member matches (cos ~ 1), cross-cluster none
+    assert len(expected) >= N_QUERIES * 40
+    # fixture sanity: the bound PRUNES — for each query most cells have
+    # q.c + r_cell < radius (orthogonal clusters, r ~ 0.1)
+    C = V[N_QUERIES : N_QUERIES + K_CELLS]
+    c_nrm = nrm[N_QUERIES : N_QUERIES + K_CELLS]
+    surv = 0
+    for q in range(N_QUERIES):
+        members = V[N_QUERIES + K_CELLS :]
+        m_nrm = nrm[N_QUERIES + K_CELLS :]
+        # assignment of every vector to max-cosine cell
+        a = np.argmax((V @ C.T) / np.outer(nrm, c_nrm), axis=1)
+        for c in range(K_CELLS):
+            mask = a == c
+            cosc = (V[mask] @ C[c]) / (nrm[mask] * c_nrm[c])
+            r = np.sqrt(np.maximum(0.0, 2 - 2 * cosc)).max()
+            qc = (V[q] @ C[c]) / (nrm[q] * c_nrm[c])
+            if qc + r >= ANN19_RADIUS:
+                surv += 1
+    assert surv <= N_QUERIES * 3  # ≥5 of 8 cells pruned per query
+
+
+def test_ann19_no_wide_corpus_shuffle(spark):
+    """The corpus side must not shuffle: survivors broadcast, no SMJ."""
+    plan = (
+        REGISTRY["ann19_radius_search"]
+        .spark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
