@@ -1781,3 +1781,133 @@ def changelog_diff(
         *[F.col(f"ch.{c}").alias(c) for c in cols],
         F.col("ch._change_type").alias("_change_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m28: compaction (binpack rewrite) planning from footers only
+# ---------------------------------------------------------------------------
+
+#: Next-fit target mass per rewritten file, in ROWS (the oracle proves
+#: row counts; bytes ∝ rows at fixed row width — Iceberg's
+#: rewrite_data_files target-file-size-bytes is the same knob).
+M28_TARGET_ROWS = 600
+
+
+@register(
+    "m28_compaction_plan",
+    oracle=f"""
+        WITH files AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   o_orderpriority AS pri,
+                   COUNT(*) AS record_count
+            FROM orders
+            GROUP BY 1, 2
+        ),
+        packed AS (
+            SELECT month, pri, record_count,
+                   CAST((SUM(record_count) OVER (
+                            PARTITION BY month ORDER BY pri
+                        ) - record_count) // {M28_TARGET_ROWS} AS BIGINT)
+                       AS bin
+            FROM files
+        )
+        SELECT month, bin,
+               COUNT(*) AS n_files,
+               CAST(SUM(record_count) AS BIGINT) AS total_rows
+        FROM packed
+        GROUP BY month, bin
+    """,
+    doc="Compaction (binpack rewrite) PLANNING — the decision half of "
+    "Iceberg's rewrite_data_files, answered from parquet FOOTERS only "
+    "(m4 executes a rewrite; this plans one): orders is laid out "
+    "hive-partitioned (month, priority) with one file per leaf, the "
+    "file list's record counts come from a distributed mapInPandas "
+    "footer scan (no data page touched — the O(files) planning cost), "
+    "and files are next-fit packed per partition in deterministic "
+    f"(priority) order: bin = cum_rows_before DIV {M28_TARGET_ROWS}. "
+    "Output = the rewrite groups a table service would submit "
+    "(n_files>1 ⇒ that bin merges small files). The oracle re-derives "
+    "every file's row count from the data and packs identically — "
+    "proving metadata == data AND plan == plan. At 100 TB the file "
+    "list is the manifest scan and the window runs over O(files) rows "
+    "partitioned by the partition key — never over data.",
+    tags=("scale", "metadata", "compaction"),
+)
+def m28_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from apache_iceberg_spark.catalog.manifests import _local_path
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_orderpriority").alias("o_pri"),
+        "o_orderkey",
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="m28_"), "orders")
+    (
+        o.repartition(16, "o_month", "o_pri")
+        .write.mode("overwrite")
+        .partitionBy("o_month", "o_pri")
+        .parquet(path)
+    )
+    files = spark.read.parquet(path).inputFiles()
+
+    out_schema = StructType(
+        [
+            StructField("file_path", StringType()),
+            StructField("record_count", LongType()),
+        ]
+    )
+
+    def footer_counts(batches: Iterator) -> Iterator:
+        from urllib.parse import unquote
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            # hive layout percent-encodes partition values ('4-NOT
+            # SPECIFIED' → %20); the filesystem path is the decoded form
+            rows = [
+                {
+                    "file_path": uri,
+                    "record_count": pq.ParquetFile(
+                        unquote(_local_path(uri))
+                    ).metadata.num_rows,
+                }
+                for uri in pdf["file_path"]
+            ]
+            yield pd.DataFrame(rows, columns=["file_path", "record_count"])
+
+    manifest = (
+        spark.createDataFrame([(f,) for f in files], "file_path string")
+        .repartition(min(len(files), 32) or 1)
+        .mapInPandas(footer_counts, out_schema)
+    )
+    from pyspark.sql import Window as W
+
+    packed = manifest.select(
+        F.regexp_extract("file_path", r"o_month=([^/]+)", 1).alias("month"),
+        # decode the hive percent-encoding so the pack order matches the
+        # oracle's raw o_orderpriority ordering on ANY value set (here
+        # the leading digit decides either way)
+        F.url_decode(
+            F.regexp_extract("file_path", r"o_pri=([^/]+)", 1)
+        ).alias("pri"),
+        "record_count",
+    ).withColumn(
+        "bin",
+        F.expr(
+            f"(SUM(record_count) OVER (PARTITION BY month ORDER BY pri) "
+            f"- record_count) DIV {M28_TARGET_ROWS}"
+        ),
+    )
+    return packed.groupBy("month", "bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("record_count").alias("total_rows"),
+    )

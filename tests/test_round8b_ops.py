@@ -330,3 +330,42 @@ def test_ann19_no_wide_corpus_shuffle(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# m28 compaction planning
+# ---------------------------------------------------------------------------
+
+
+def test_m28_plan_packs_next_fit(spark):
+    """Model check: recompute the per-month next-fit packing from raw
+    row counts; every bin's file set and mass must match, and at least
+    one bin must merge >1 file (the plan's reason to exist)."""
+    from apache_iceberg_spark.operators.scale import M28_TARGET_ROWS
+
+    out = (
+        REGISTRY["m28_compaction_plan"].spark(spark, SF_DIR).toPandas()
+    )
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o["month"] = o["o_orderdate"].dt.strftime("%Y-%m")
+    counts = (
+        o.groupby(["month", "o_orderpriority"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["month", "o_orderpriority"])
+    )
+    model = {}
+    for month, g in counts.groupby("month"):
+        cum = 0
+        for _, r in g.iterrows():
+            b = cum // M28_TARGET_ROWS
+            key = (month, b)
+            nf, tot = model.get(key, (0, 0))
+            model[key] = (nf + 1, tot + int(r["n"]))
+            cum += int(r["n"])
+    got = {
+        (r.month, r.bin): (r.n_files, r.total_rows)
+        for r in out.itertuples(index=False)
+    }
+    assert got == model
+    assert any(nf > 1 for nf, _ in got.values())
