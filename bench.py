@@ -112,6 +112,7 @@ STREAMING = [
     "st14_stream_ewma",
     "st16_stream_quality_gate",
     "st17_stream_seasonal_scoring",
+    "st18_stream_m4_downsample",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -152,6 +153,12 @@ AUX = [
     "m27_changelog_scan",
     "dd20_canonical_by_quality",
     "pp16_mixture_rebalance_plan",
+    # round 8, second session
+    "ts16_m4_downsample",
+    "w12_weighted_median",
+    "dc2_fuzzy_decontamination",
+    "ann19_radius_search",
+    "m28_compaction_plan",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)
