@@ -1594,3 +1594,103 @@ def tx20_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("mid"))
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx21: domain blocklist filtering (suffix semantics)
+# ---------------------------------------------------------------------------
+
+#: Blocklist rules at three hierarchy levels (a TLD zone, a registrable
+#: subtree, one exact host) — "a rule blocks the domain AND every
+#: subdomain", the UT1/DNS-RPZ semantics every crawl pipeline applies.
+TX21_BLOCKLIST = ("example.io", "fr.example.com", "src5.zh.example.net")
+
+#: Deterministic host synthesis from fixture columns (dd7's pattern —
+#: the fixture has no URL column; the OPERATOR is the suffix matcher).
+_TX21_HOST = (
+    "concat(source, '.', lang, '.example.', "
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'net' "
+    "WHEN 2 THEN 'org' ELSE 'io' END)"
+)
+
+
+def _tx21_suffixes(labels: str, n: str) -> str:
+    """All dot-suffixes of a label array (Spark SQL)."""
+    return (
+        f"transform(sequence(1, {n}), "
+        f"i -> concat_ws('.', slice({labels}, i, {n} - i + 1)))"
+    )
+
+
+@register(
+    "tx21_domain_blocklist",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, {_TX21_HOST} AS host FROM documents
+        ),
+        sx AS (
+            SELECT doc_id, host,
+                   unnest([array_to_string(labels[i:], '.')
+                           for i in generate_series(1, len(labels))]) AS sfx
+            FROM (SELECT doc_id, host, string_split(host, '.') AS labels
+                  FROM h)
+        ),
+        hits AS (
+            SELECT doc_id, host, sfx AS rule
+            FROM sx
+            WHERE sfx IN {tuple(TX21_BLOCKLIST)}
+        )
+        SELECT doc_id, host, rule
+        FROM (
+            SELECT doc_id, host, rule,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY len(rule) DESC, rule
+                   ) AS rn
+            FROM hits
+        ) WHERE rn = 1
+    """,
+    doc="Domain-blocklist filtering with SUFFIX semantics (a rule blocks "
+    "the domain and every subdomain — the UT1/adult-blocklist stage of "
+    "C4/RefinedWeb): each host explodes into its O(#labels) dot-"
+    "suffixes and an exact equi-join against the broadcast rule table "
+    "flags matches, longest (most-specific) rule wins. This is the "
+    "scale-correct shape: exact hash join on the suffix key — never a "
+    "LIKE/regex scan per rule, never a prefix-range join — so cost is "
+    "rows × ~4 suffixes regardless of blocklist size (UT1's millions "
+    "of rules broadcast in MBs; beyond that the same join shuffles). "
+    "Map-only until the one tiny window over hits. Hosts synthesized "
+    "deterministically from fixture columns (dd7 precedent); the "
+    "three rules hit a TLD zone, a registrable subtree, and one exact "
+    "host, so all hierarchy levels are exercised.",
+    tags=("text", "llm", "filter", "url"),
+)
+def tx21_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(_TX21_HOST).alias("host")).withColumn(
+        "labels", F.split("host", r"\.")
+    )
+    sx = h.select(
+        "doc_id",
+        "host",
+        F.explode(
+            F.expr(_tx21_suffixes("labels", "size(labels)"))
+        ).alias("sfx"),
+    )
+    rules = F.broadcast(
+        spark.createDataFrame(
+            [(r,) for r in TX21_BLOCKLIST], "rule string"
+        )
+    )
+    hits = sx.join(rules, sx["sfx"] == rules["rule"]).select(
+        "doc_id", "host", "rule"
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("rule").desc(), F.asc("rule")
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "host", "rule")
+    )

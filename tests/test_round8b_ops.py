@@ -369,3 +369,35 @@ def test_m28_plan_packs_next_fit(spark):
     }
     assert got == model
     assert any(nf > 1 for nf, _ in got.values())
+
+
+# ---------------------------------------------------------------------------
+# tx21 domain blocklist
+# ---------------------------------------------------------------------------
+
+
+def test_tx21_suffix_semantics(spark):
+    """Every blocked host must end with its matched rule at a label
+    boundary; every io-TLD host must be blocked by the zone rule; hosts
+    matching a deeper rule must report the most specific one."""
+    out = (
+        REGISTRY["tx21_domain_blocklist"].spark(spark, SF_DIR).toPandas()
+    )
+    assert len(out) > 0
+    for r in out.itertuples(index=False):
+        assert r.host == r.rule or r.host.endswith("." + r.rule)
+    blocked = dict(zip(out["doc_id"], out["rule"]))
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for row in d.itertuples(index=False):
+        tld = ["com", "net", "org", "io"][row.doc_id % 4]
+        host = f"{row.source}.{row.lang}.example.{tld}"
+        expected = None
+        for rule in sorted(
+            ("example.io", "fr.example.com", "src5.zh.example.net"),
+            key=len,
+            reverse=True,
+        ):
+            if host == rule or host.endswith("." + rule):
+                expected = rule
+                break
+        assert blocked.get(row.doc_id) == expected, (host, expected)
