@@ -913,3 +913,94 @@ def g6_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             + walks3
         ).alias("katz_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g7: label-propagation communities (synchronous LPA, unrolled rounds)
+# ---------------------------------------------------------------------------
+
+#: Synchronous LPA rounds. Like g1/g6 the loop is UNROLLED so the whole
+#: computation is one lazy plan with a plain SQL oracle; production
+#: drives the identical per-round plan to a no-label-changed fixpoint
+#: (g3's convergence-loop pattern).
+G7_ROUNDS = 3
+
+
+def _g7_round_cte(prev: str, out: str) -> str:
+    """One DuckDB LPA round: each node adopts its neighbors' modal label
+    (count DESC, label ASC on ties — fully deterministic)."""
+    return f"""{out} AS (
+            SELECT u AS node, lbl FROM (
+                SELECT d.u, p.lbl, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.u
+                           ORDER BY COUNT(*) DESC, p.lbl
+                       ) AS rn
+                FROM sym d JOIN {prev} p ON p.node = d.v
+                GROUP BY d.u, p.lbl
+            ) WHERE rn = 1
+        )"""
+
+
+def _g7_oracle() -> str:
+    rounds = ",\n        ".join(
+        _g7_round_cte(f"l{r}", f"l{r + 1}") for r in range(G7_ROUNDS)
+    )
+    return f"""
+        WITH {_DUCK_KNN_EDGES},
+        sym AS (
+            SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+        ),
+        l0 AS (
+            SELECT DISTINCT u AS node, u AS lbl FROM sym
+        ),
+        {rounds}
+        SELECT node, lbl AS community
+        FROM l{G7_ROUNDS}
+    """
+
+
+@register(
+    "g7_lpa_communities",
+    oracle=_g7_oracle(),
+    doc=f"Community detection by synchronous label propagation over the "
+    "shared kNN co-purchase graph (g2/g4/g6's _knn_edges): every node "
+    "starts as its own label and adopts its neighbors' modal label "
+    "each round (count DESC, label ASC — deterministic, unlike classic "
+    f"random-tie LPA), {G7_ROUNDS} rounds unrolled into one lazy plan. "
+    "Scale shape per round: ONE join of the label vector onto the "
+    "directed edge list (both partitioned on the node key — at 100 TB "
+    "the edge table is bucketed by src so the join is co-located, the "
+    "Pregel message pattern) and one partial+final (node, label) "
+    "count; the modal pick rides the count shuffle's partitioning. "
+    "Labels are node ids (BIGINT) — no strings move through the "
+    "rounds. Production form: g3's convergence driver loop over the "
+    "identical per-round plan, stopping when no label changes.",
+    tags=("graph", "iterative", "community"),
+)
+def g7_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    edges = _knn_edges(spark, sf_dir)
+    dirs = edges.select(
+        F.explode(
+            F.array(
+                F.struct("u", "v"),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("d")
+    ).select("d.u", "d.v")
+    labels = dirs.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(G7_ROUNDS):
+        labels = (
+            dirs.join(labels, dirs["v"] == labels["node"])
+            .groupBy("u", "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -159,6 +159,8 @@ AUX = [
     "dc2_fuzzy_decontamination",
     "ann19_radius_search",
     "m28_compaction_plan",
+    "tx21_domain_blocklist",
+    "g7_lpa_communities",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

@@ -401,3 +401,69 @@ def test_tx21_suffix_semantics(spark):
                 expected = rule
                 break
         assert blocked.get(row.doc_id) == expected, (host, expected)
+
+
+# ---------------------------------------------------------------------------
+# g7 label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_g7_two_cliques_converge_to_two_communities(spark, tmp_path):
+    """Planted structure: two disjoint cliques must each collapse to one
+    community (the min node id), matching a pure-python sync LPA."""
+    # Build a lineitem/orders fixture producing two supplier cliques:
+    # customers 1-3 each buy suppliers 1-4; customers 4-6 buy 11-14.
+    rows_o, rows_l, ok = [], [], 0
+    for cust, supps in [(c, range(1, 5)) for c in (1, 2, 3)] + [
+        (c, range(11, 15)) for c in (4, 5, 6)
+    ]:
+        for s in supps:
+            ok += 1
+            rows_o.append((ok, cust))
+            rows_l.append((ok, s))
+    import datetime
+
+    od = pd.DataFrame(rows_o, columns=["o_orderkey", "o_custkey"])
+    ld = pd.DataFrame(rows_l, columns=["l_orderkey", "l_suppkey"])
+    spark.createDataFrame(od).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(ld).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = (
+        REGISTRY["g7_lpa_communities"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("node")
+    )
+    comm = dict(zip(out["node"], out["community"]))
+    assert set(comm) == set(range(1, 5)) | set(range(11, 15))
+    # within each clique every neighbor multiset is the clique minus self;
+    # after round 1 all labels are the clique minimum (mode tie -> min),
+    # and propagation keeps them there
+    assert {comm[n] for n in range(1, 5)} == {1}
+    assert {comm[n] for n in range(11, 15)} == {11}
+
+
+def test_g7_python_model_on_fixture(spark):
+    """Full sync-LPA model in python over the same kNN edges."""
+    from apache_iceberg_spark.operators.graph import G7_ROUNDS, _knn_edges
+
+    edges = _knn_edges(spark, SF_DIR).toPandas()
+    nbrs = {}
+    for r in edges.itertuples(index=False):
+        nbrs.setdefault(r.u, set()).add(r.v)
+        nbrs.setdefault(r.v, set()).add(r.u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(G7_ROUNDS):
+        nxt = {}
+        for n, ns in nbrs.items():
+            counts = {}
+            for m in ns:
+                counts[lbl[m]] = counts.get(lbl[m], 0) + 1
+            nxt[n] = min(
+                counts, key=lambda k: (-counts[k], k)
+            )
+        lbl = nxt
+    out = REGISTRY["g7_lpa_communities"].spark(spark, SF_DIR).toPandas()
+    got = dict(zip(out["node"], out["community"]))
+    assert got == lbl
