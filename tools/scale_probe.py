@@ -479,6 +479,60 @@ def time_ts14(spark, replicas: int) -> float:
     return dt
 
 
+def time_ts16(spark, replicas: int) -> float:
+    """ts16's bounded-output claim (round 8, second session): M4 output
+    is series x buckets (600 rows on the 30-day fixture) REGARDLESS of
+    input rows, and the plan is one partial+final hash agg — so wall
+    should track scan bandwidth while the single exchange carries ~600
+    rows per partition at any replica count. Corpus = event_id-shifted
+    replicas of sf0.1 events."""
+    from apache_iceberg_spark.operators.timeseries import (
+        TS16_BUCKET_US,
+        _floor_div,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    base = load_table(spark, SF01, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    e = base
+    for r in range(1, replicas):
+        e = e.unionAll(
+            base.select(
+                (F.col("event_id") + 100_000 * r).alias("event_id"),
+                "event_type",
+                "ts",
+                "value",
+            )
+        )
+    pts = e.select(
+        "event_type",
+        F.expr(_floor_div("unix_micros(ts)", TS16_BUCKET_US)).alias("bucket"),
+        F.unix_micros(F.col("ts")).alias("tus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    t0 = time.time()
+    n_out = (
+        pts.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("v_c").alias("v_min_c"),
+            F.max("v_c").alias("v_max_c"),
+            F.min(F.struct("tus", "event_id", "v_c")).alias("f"),
+            F.max(F.struct("tus", "event_id", "v_c")).alias("l"),
+        )
+        .count()
+    )
+    dt = time.time() - t0
+    print(
+        f"  ts16 events~{100_000 * replicas:>12,} out-rows={n_out}"
+        f" wall={dt:6.2f}s",
+        flush=True,
+    )
+    return dt
+
+
 def main() -> None:
     """Usage: scale_probe.py cc <n_edges> <driver|dist>
               scale_probe.py g3 <copies> <driver|dist> [rounds]
@@ -488,6 +542,7 @@ def main() -> None:
               scale_probe.py dd19 <replicas> <hash|string>
               scale_probe.py tx20 <n_tokens> -
               scale_probe.py ts14 <replicas> -
+              scale_probe.py ts16 <replicas> -
 
     One measurement per invocation so a slow branch (the point of the
     probe is that the wrong branch IS slow) cannot starve the others."""
@@ -505,6 +560,8 @@ def main() -> None:
         time_tx20(spark, size)
     elif kind == "ts14":
         time_ts14(spark, size)
+    elif kind == "ts16":
+        time_ts16(spark, size)
     elif kind == "ewma":
         time_ewma(spark, size, branch)
     elif kind == "bpe":
