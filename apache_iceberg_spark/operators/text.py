@@ -1694,3 +1694,63 @@ def tx21_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "host", "rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx22: language-ID evaluation (confusion matrix)
+# ---------------------------------------------------------------------------
+
+
+def _tx22_oracle() -> str:
+    from apache_iceberg_spark.registry import REGISTRY as _REG
+
+    # tx3's oracle verbatim as the scored stream — classifier and eval
+    # cannot drift.
+    return f"""
+        WITH scored AS ({_REG["tx3_langid"].oracle}),
+        cells AS (
+            SELECT lang_label, lang_pred, COUNT(*) AS n
+            FROM scored
+            GROUP BY 1, 2
+        )
+        SELECT lang_label, lang_pred, CAST(n AS BIGINT) AS n,
+               CAST(SUM(n) OVER (PARTITION BY lang_label) AS BIGINT)
+                   AS label_total,
+               CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang_label)
+                    AS BIGINT) AS cell_rate_micro
+        FROM cells
+    """
+
+
+@register(
+    "tx22_langid_confusion",
+    oracle=_tx22_oracle(),
+    doc="Language-ID EVALUATION — the confusion matrix of tx3's stopword "
+    "classifier against the fixture's lang labels (diagonal cells carry "
+    "per-language recall in exact micro-units: n·1e6 DIV label_total). "
+    "The measurement half every classifier stage needs before it gates "
+    "a corpus (tx19's pseudo-label protocol, applied to langid): which "
+    "languages leak into which predictions, at what rate. Spark shape: "
+    "tx3's map-only scoring tree feeds one partial+final (label, pred) "
+    "count — ≤ |langs|² cells — and the per-label normalization windows "
+    "over those cells, not rows. Composes tx3's oracle verbatim so "
+    "classifier and eval cannot drift.",
+    tags=("text", "llm", "eval"),
+)
+def tx22_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = tx3_langid(spark, sf_dir)
+    cells = scored.groupBy("lang_label", "lang_pred").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("lang_label")
+    return cells.select(
+        "lang_label",
+        "lang_pred",
+        "n",
+        F.sum("n").over(w).alias("label_total"),
+        F.expr("n * 1000000 DIV SUM(n) OVER (PARTITION BY lang_label)").alias(
+            "cell_rate_micro"
+        ),
+    )

@@ -467,3 +467,24 @@ def test_g7_python_model_on_fixture(spark):
     out = REGISTRY["g7_lpa_communities"].spark(spark, SF_DIR).toPandas()
     got = dict(zip(out["node"], out["community"]))
     assert got == lbl
+
+
+# ---------------------------------------------------------------------------
+# tx22 langid confusion
+# ---------------------------------------------------------------------------
+
+
+def test_tx22_totals_and_diagonal(spark):
+    out = (
+        REGISTRY["tx22_langid_confusion"].spark(spark, SF_DIR).toPandas()
+    )
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert out["n"].sum() == len(d)
+    # per-label totals match the corpus label counts
+    lt = out.groupby("lang_label")["n"].sum().to_dict()
+    assert lt == d["lang"].value_counts().to_dict()
+    # rates are exact floor micro-shares: per label they sum to <= 1e6
+    # and within n_cells of it
+    for lbl, g in out.groupby("lang_label"):
+        s = g["cell_rate_micro"].sum()
+        assert 1_000_000 - len(g) < s <= 1_000_000
