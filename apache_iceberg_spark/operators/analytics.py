@@ -1069,3 +1069,74 @@ def w12_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price_c").alias("median_price_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a26: Benford first-digit profile (data-quality / fraud screen)
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) in exact micro-units — Benford's law as pinned integer
+#: literals (the registry's log-free convention: no transcendental is
+#: evaluated on either engine).
+A26_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+_A26_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {m}" for d, m in A26_BENFORD_MICRO.items()
+) + " END"
+
+
+@register(
+    "a26_benford_profile",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS BIGINT) AS d
+            FROM orders
+            WHERE o_totalprice > 0
+        ),
+        c AS (
+            SELECT d, COUNT(*) AS n,
+                   SUM(COUNT(*)) OVER () AS total
+            FROM v GROUP BY d
+        )
+        SELECT d, CAST(n AS BIGINT) AS n,
+               CAST(n * 1000000 // total AS BIGINT) AS observed_micro,
+               CAST({_A26_CASE} AS BIGINT) AS benford_micro,
+               CAST(ABS(n * 1000000 // total - ({_A26_CASE})) AS BIGINT)
+                   AS abs_dev_micro
+        FROM c
+    """,
+    doc="Benford first-digit profile of order totals — the classic "
+    "data-quality / fraud screen (synthetic or fabricated amounts "
+    "deviate from log-uniform leading digits; so do unit-priced "
+    "fixtures, which is exactly what this surfaces on the test data). "
+    "Expected shares are PINNED integer micro-literals (log10(1+1/d) "
+    "precomputed), so no transcendental runs on either engine — the "
+    "registry's log-free determinism rule. Spark shape: leading digit "
+    "by decimal-string head of the exact cents value (no float log10 "
+    "bucketing), one partial+final count over ≤9 groups, the total via "
+    "a window over those 9 cells. Map-side combine does all the work; "
+    "the exchange carries 9 rows.",
+    tags=("analytics", "quality", "aggregate"),
+)
+def a26_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.tables import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    v = o.select(
+        F.substring(_cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    c = v.groupBy("d").agg(F.count("*").alias("n"))
+    obs = F.expr("n * 1000000 DIV SUM(n) OVER ()")
+    return c.select(
+        "d",
+        "n",
+        obs.alias("observed_micro"),
+        F.expr(_A26_CASE).cast("long").alias("benford_micro"),
+        F.abs(obs - F.expr(_A26_CASE)).cast("long").alias("abs_dev_micro"),
+    )

@@ -161,6 +161,8 @@ AUX = [
     "m28_compaction_plan",
     "tx21_domain_blocklist",
     "g7_lpa_communities",
+    "tx22_langid_confusion",
+    "a26_benford_profile",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)

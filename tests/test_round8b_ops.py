@@ -488,3 +488,25 @@ def test_tx22_totals_and_diagonal(spark):
     for lbl, g in out.groupby("lang_label"):
         s = g["cell_rate_micro"].sum()
         assert 1_000_000 - len(g) < s <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# a26 Benford profile
+# ---------------------------------------------------------------------------
+
+
+def test_a26_counts_and_pinned_shares(spark):
+    import math
+
+    out = REGISTRY["a26_benford_profile"].spark(spark, SF_DIR).toPandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    cents = cents[o["o_totalprice"] > 0]
+    lead = cents.astype(str).str[0].astype(int)
+    exp = lead.value_counts().to_dict()
+    got = dict(zip(out["d"], out["n"]))
+    assert got == exp
+    # pinned literals really are round(1e6 * log10(1+1/d))
+    for r in out.itertuples(index=False):
+        assert r.benford_micro == round(1_000_000 * math.log10(1 + 1 / r.d))
+    assert out["n"].sum() == len(cents)
