@@ -1100,7 +1100,7 @@ _A26_CASE = "CASE d " + " ".join(
             SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
                                AS VARCHAR), 1, 1) AS BIGINT) AS d
             FROM orders
-            WHERE o_totalprice > 0
+            WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= 1
         ),
         c AS (
             SELECT d, COUNT(*) AS n,
@@ -1130,7 +1130,12 @@ _A26_CASE = "CASE d " + " ".join(
 def a26_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_iceberg_spark.tables import load_table as _lt
 
-    o = _lt(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # Guard on the cents value itself: amounts in (0, 0.005) round to 0
+    # cents and would produce a leading digit 0 with no Benford CASE
+    # branch — the invariant the query needs is cents >= 1, not price > 0.
+    o = _lt(spark, sf_dir, "orders").filter(
+        _cents(F.col("o_totalprice")) >= F.lit(1)
+    )
     v = o.select(
         F.substring(_cents(F.col("o_totalprice")).cast("string"), 1, 1)
         .cast("long")

@@ -3204,7 +3204,9 @@ ANN19_RADIUS = 0.30
     "each cell stores r = max ‖x̂−ĉ̂‖ over members, and Cauchy–Schwarz "
     "gives q̂·x̂ ≤ q̂·ĉ̂ + r — any cell whose bound is below the radius "
     "cannot contain a result and is pruned BEFORE its members are "
-    "touched; surviving cells pay exact verification, so the answer "
+    "touched (the bound is padded by 1e-9 so its own FP evaluation "
+    "can never round a boundary neighbor out); surviving cells pay "
+    "exact verification, so the answer "
     "equals brute force bitwise (the oracle IS brute force). Spark "
     "shape: centroids and per-cell radii are two broadcast folds "
     "(assignment map-only over the corpus, cell stats one 8-row agg); "
@@ -3287,10 +3289,14 @@ def ann19_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv.crossJoin(cents_rows)
         .join(cell_r, "cell_id")
         .filter(
+            # The 1e-9 pad keeps the Cauchy-Schwarz prune bound robust to
+            # FP rounding: a neighbor whose exact cosine sits within ~1
+            # ulp of the radius must not be lost to the bound's own
+            # floating-point evaluation. Pruning power is unaffected.
             F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
             / (F.col("q_norm") * F.col("c_norm"))
             + F.col("r_cell")
-            >= F.lit(ANN19_RADIUS)
+            >= F.lit(ANN19_RADIUS - 1e-9)
         )
         .select("query_id", "cell_id", "q_emb", "q_norm")
     )

@@ -1638,7 +1638,7 @@ def _tx21_suffixes(labels: str, n: str) -> str:
         hits AS (
             SELECT doc_id, host, sfx AS rule
             FROM sx
-            WHERE sfx IN {tuple(TX21_BLOCKLIST)}
+            WHERE sfx IN ({", ".join(f"'{r}'" for r in TX21_BLOCKLIST)})
         )
         SELECT doc_id, host, rule
         FROM (

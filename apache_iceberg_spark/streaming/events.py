@@ -1441,8 +1441,10 @@ def st18_stream_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            (F.unix_micros(F.col("window.start")) / F.lit(TS16_BUCKET_US))
-            .cast("long")
+            # Integer floor-div, matching batch ts16's bucketing convention
+            # exactly — float division is only coincidentally exact for
+            # epoch-aligned tumbling windows and breaks on offset changes.
+            F.expr(f"unix_micros(window.start) DIV {TS16_BUCKET_US}")
             .alias("bucket"),
             "n_points",
             "v_min_c",
