@@ -59,7 +59,10 @@ def _write_log(table_path: str, log: list[dict]) -> None:
 
 
 def commit_snapshot(
-    df: DataFrame, table_path: str, ts_ms: int | None = None
+    df: DataFrame,
+    table_path: str,
+    ts_ms: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the table's next immutable snapshot; returns the
     new version number. Copy-on-write: existing versions are untouched.
@@ -74,7 +77,13 @@ def commit_snapshot(
     log = _read_log(table_path)
     version = (log[-1]["version"] + 1) if log else 1
     vdir = os.path.join(table_path, f"v{version}")
-    df.write.mode("overwrite").parquet(vdir)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        # Hive-style partition directories inside the immutable snapshot
+        # dir — Iceberg's partition spec on the emulation: readers prune
+        # whole partition directories from a literal partition predicate.
+        w = w.partitionBy(*partition_by)
+    w.parquet(vdir)
     log.append(
         {
             "version": version,
@@ -93,7 +102,10 @@ def _entry_paths(entry: dict) -> list[str]:
 
 
 def commit_append(
-    df: DataFrame, table_path: str, ts_ms: int | None = None
+    df: DataFrame,
+    table_path: str,
+    ts_ms: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append ``df`` as the table's next snapshot WITHOUT rewriting any
     existing data: only the new batch is written (``d{N}/``), and the new
@@ -107,7 +119,10 @@ def commit_append(
         raise ValueError(f"no snapshots at {table_path}; commit_snapshot first")
     version = log[-1]["version"] + 1
     ddir = os.path.join(table_path, f"d{version}")
-    df.write.mode("overwrite").parquet(ddir)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(ddir)
     log.append(
         {
             "version": version,
@@ -117,6 +132,20 @@ def commit_append(
     )
     _write_log(table_path, log)
     return version
+
+
+def _read_dirs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Scan a snapshot's data-directory set. Hive-partitioned tables need
+    each directory read with its own ``basePath`` (a bare multi-path read
+    refuses to unify partition discovery across roots); the filter-through-
+    union rewrite keeps partition pruning effective on every branch."""
+    dfs = [
+        spark.read.option("basePath", p).parquet(p) for p in paths
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def read_incremental(
@@ -152,8 +181,8 @@ def read_incremental(
         )
     delta = [p for p in target if p not in base]
     if not delta:
-        return spark.read.parquet(*target).limit(0)
-    return spark.read.parquet(*delta)
+        return _read_dirs(spark, target).limit(0)
+    return _read_dirs(spark, delta)
 
 
 def read_snapshot_dirs(
@@ -184,7 +213,7 @@ def read_snapshot_dirs(
         entry = max(at_or_before, key=lambda e: e["ts_ms"])
     else:
         entry = log[-1]
-    return spark.read.parquet(*_entry_paths(entry))
+    return _read_dirs(spark, _entry_paths(entry))
 
 
 def list_snapshots(table_path: str) -> list[dict]:

@@ -1322,9 +1322,9 @@ def ann10_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ann11: IVF served from the TRAINED coarse quantizer -------------------
 
 
-@register(
-    "ann11_trained_ivf",
-    oracle=f"""
+#: ann11's full train→serve oracle — shared VERBATIM by ann20, whose
+#: storage-roundtrip serving must produce ann11's exact in-session answer.
+_ANN11_ORACLE = f"""
         WITH {_DUCK_KM_C1_CTES},
         n AS (
             SELECT vec_id, embedding,
@@ -1377,35 +1377,16 @@ def ann10_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
             ) AS rn FROM cand
         ) WHERE rn <= {TOP_K}
-    """,
-    doc=f"IVF served from the TRAINED coarse quantizer — the train→serve "
-    "loop closed in one lazy job: ann7's k-means prefix (deterministic "
-    "init, one assign + mean-recompute in exact integer micro-units) "
-    f"produces the {KM_K}-centroid model, and ann3's serving plan "
-    f"immediately indexes the corpus with it (assignment is a map-only "
-    "fold over the broadcast centroid array, queries probe their "
-    f"{N_PROBE} nearest trained cells, candidates re-rank with exact "
-    "cosine). ann3/ann6 defer to 'k-means-trained centroids drop in "
-    "with zero plan change' — this operator IS that drop-in, proving "
-    "the claim end-to-end with an oracle. At 100 TB the training "
-    "prefix runs on a sample and the model is a KB-scale broadcast "
-    "artifact; the serving side is identical to ann3: corpus bucketed "
-    "by cell_id, probes prune to nprobe/k of the data.",
-    tags=("similarity", "llm", "embedding", "iterative", "index"),
-)
-def ann11_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, _, _, c1 = _km_trained_centroids(spark, sf_dir)
-    e = load_table_parallel(spark, sf_dir, "embeddings")
-    n = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
-            "norm"
-        ),
-    ).persist()  # plan-cache
-    # The trained centroids collapse to ONE broadcast row of sorted
-    # structs; assignment/probing is ann3's map-only top-2 fold (strict
-    # > over the cell_id-sorted array = ORDER BY cosine DESC, cell_id).
+    """
+
+
+def _ivf_scored(n: DataFrame, c1: DataFrame) -> DataFrame:
+    """ann11's serving fold, factored so ann20 can run the IDENTICAL
+    expression tree against centroids read back from storage. The
+    (cluster_id, c) centroid frame collapses to ONE broadcast row of
+    cell_id-sorted structs; each row of ``n`` (vec_id, embedding, norm)
+    gains t2 = its top-2 cells via a map-only fold (strict > over the
+    sorted array = ORDER BY cosine DESC, cell_id)."""
     cents = F.broadcast(
         c1.select(
             F.struct(
@@ -1431,7 +1412,39 @@ def ann11_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'c1', st.c1, 'l1', st.l1, 'c2', ({cos}), 'l2', ce.cell_id) "
         "ELSE st END)"
     )
-    scored = n.crossJoin(cents).withColumn("t2", F.expr(top2))
+    return n.crossJoin(cents).withColumn("t2", F.expr(top2))
+
+
+
+@register(
+    "ann11_trained_ivf",
+    oracle=_ANN11_ORACLE,
+    doc=f"IVF served from the TRAINED coarse quantizer — the train→serve "
+    "loop closed in one lazy job: ann7's k-means prefix (deterministic "
+    "init, one assign + mean-recompute in exact integer micro-units) "
+    f"produces the {KM_K}-centroid model, and ann3's serving plan "
+    f"immediately indexes the corpus with it (assignment is a map-only "
+    "fold over the broadcast centroid array, queries probe their "
+    f"{N_PROBE} nearest trained cells, candidates re-rank with exact "
+    "cosine). ann3/ann6 defer to 'k-means-trained centroids drop in "
+    "with zero plan change' — this operator IS that drop-in, proving "
+    "the claim end-to-end with an oracle. At 100 TB the training "
+    "prefix runs on a sample and the model is a KB-scale broadcast "
+    "artifact; the serving side is identical to ann3: corpus bucketed "
+    "by cell_id, probes prune to nprobe/k of the data.",
+    tags=("similarity", "llm", "embedding", "iterative", "index"),
+)
+def ann11_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, _, c1 = _km_trained_centroids(spark, sf_dir)
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    ).persist()  # plan-cache
+    scored = _ivf_scored(n, c1)
     assign = scored.select(
         "vec_id", "embedding", "norm", F.col("t2.l1").alias("cell_id")
     )
@@ -3313,3 +3326,259 @@ def ann19_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= ANN19_RADIUS)
     )
+
+
+# --- ann20: index persistence — train → COMMIT to storage → serve -----------
+#
+# Closes the index-lifecycle storage gap (VERDICT r8 ask #1): ann7 trains,
+# ann11 serves, ann14 adds, ann15 retrains — but all of it in-session. Here
+# the trained index becomes two snapshot TABLES (catalog/snapshots.py — the
+# Iceberg commit emulation m11/m20 use), and a session-independent plan
+# serves ann11's exact answer from the stored artifact alone:
+#
+#   <root>/centroids/   flat (cell_id, i, mean) rows  — OVERWRITE commits
+#                       (ann15's retrain = a new full version)
+#   <root>/codes/       IVF-Flat postings (vec_id, embedding, norm, cell_id),
+#                       hive-partitioned BY cell_id — APPEND commits
+#                       (ann14's incremental add = a delta directory)
+#
+# The registered query builds v1 of codes from the vec_id % 4 != 3 split and
+# APPENDS the % 4 == 3 batch as a second commit, so its serving read
+# exercises the shared-file snapshot union — and still equals ann11 bitwise
+# (centroids are trained on the full corpus; the split only changes WHICH
+# commit a posting arrived in). Reference analog: serving from the stored
+# metadata pointer, query_iceberg_minio.ipynb:275-276.
+
+ANN20_SPLIT_MOD = 4  # vec_id % 4 == 3 arrives as the append batch
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, root: str):
+    """Train ann7's coarse quantizer on the full corpus and commit the
+    index to ``root``: centroids (flat rows, overwrite commit) + IVF-Flat
+    postings (partitioned by cell_id; v1 = the ``% 4 != 3`` split, then
+    one APPEND commit for the rest). Returns (centroids_path, codes_path).
+
+    At 100 TB: training runs on a sample, the centroid table is KBs, and
+    the postings write is one map-only assignment pass over the corpus —
+    the same one-off cost as any ingest — after which every serving job
+    reads only nprobe/k of the postings partitions."""
+    import os
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+    )
+
+    _, _, _, c1 = _km_trained_centroids(spark, sf_dir)
+    cpath = os.path.join(root, "centroids")
+    commit_snapshot(
+        c1.select("cluster_id", F.posexplode("c").alias("i0", "mean")).select(
+            F.col("cluster_id").alias("cell_id"),
+            (F.col("i0") + 1).alias("i"),
+            "mean",
+        ),
+        cpath,
+    )
+
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    )
+    codes = _ivf_scored(n, c1).select(
+        "vec_id", "embedding", "norm", F.col("t2.l1").alias("cell_id")
+    )
+    kpath = os.path.join(root, "codes")
+    commit_snapshot(
+        codes.filter(F.col("vec_id") % ANN20_SPLIT_MOD != ANN20_SPLIT_MOD - 1),
+        kpath,
+        partition_by=["cell_id"],
+    )
+    commit_append(
+        codes.filter(F.col("vec_id") % ANN20_SPLIT_MOD == ANN20_SPLIT_MOD - 1),
+        kpath,
+        partition_by=["cell_id"],
+    )
+    return cpath, kpath
+
+
+def read_stored_centroids(spark: SparkSession, cpath: str) -> DataFrame:
+    """Rebuild the (cluster_id, c) centroid frame from the stored flat
+    rows — the exact double values round-trip through parquet, so the
+    serving fold downstream is bitwise ann11's."""
+    from apache_iceberg_spark.catalog.snapshots import read_snapshot_dirs
+
+    flat = read_snapshot_dirs(spark, cpath)
+    return (
+        flat.groupBy(F.col("cell_id").alias("cluster_id"))
+        .agg(F.collect_list(F.struct("i", "mean")).alias("im"))
+        .select(
+            "cluster_id",
+            F.expr("transform(array_sort(im), s -> s.mean)").alias("c"),
+        )
+    )
+
+
+def serve_from_index(
+    spark: SparkSession, sf_dir: str, cpath: str, kpath: str
+) -> DataFrame:
+    """ann11-equivalent serving with NO training lineage: centroids and
+    postings come only from the stored snapshot tables. Probe cells are
+    resolved driver-side (a bounded <= N_QUERIES x N_PROBE collect over
+    the KB-scale centroid model — how any vector store plans) and applied
+    as a LITERAL partition predicate, so the postings scan statically
+    prunes to the probed cell directories: at 100 TB the serving job
+    reads nprobe/k of the index files, never the corpus."""
+    from apache_iceberg_spark.catalog.snapshots import read_snapshot_dirs
+
+    c1 = read_stored_centroids(spark, cpath)
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    nq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    )
+    assert N_PROBE == 2, "serve_from_index explodes (l1, l2); N_PROBE == 2"
+    probes = _ivf_scored(nq, c1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("norm").alias("q_norm"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.array("t2.l1", "t2.l2")).alias("cell_id"),
+    )
+    probe_rows = probes.collect()  # bounded: N_QUERIES * N_PROBE rows
+    cells = sorted({int(r["cell_id"]) for r in probe_rows})
+
+    codes = read_snapshot_dirs(spark, kpath)
+    # Literal isin over the hive partition column BEFORE any cast →
+    # static partition pruning (the inferred partition type is int).
+    codes = codes.filter(F.col("cell_id").isin(cells)).withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(r["query_id"]), float(r["q_norm"]), r["q_emb"], int(r["cell_id"]))
+                for r in probe_rows
+            ],
+            schema=nq.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("norm").alias("q_norm"),
+                F.col("embedding").alias("q_emb"),
+                F.lit(0).cast("long").alias("cell_id"),
+            ).schema,
+        )
+    )
+    cand = (
+        codes.join(probe_df, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def add_to_index(
+    spark: SparkSession, batch: DataFrame, cpath: str, kpath: str
+) -> int:
+    """ann14's incremental add as a real APPEND COMMIT: assign the batch
+    (vec_id, embedding) to its nearest STORED centroid — map-only against
+    the broadcast model, prior postings untouched — and append the new
+    postings as a shared-file snapshot. Returns the new version."""
+    from apache_iceberg_spark.catalog.snapshots import commit_append
+
+    c1 = read_stored_centroids(spark, cpath)
+    n = batch.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    )
+    codes = _ivf_scored(n, c1).select(
+        "vec_id", "embedding", "norm", F.col("t2.l1").alias("cell_id")
+    )
+    return commit_append(codes, kpath, partition_by=["cell_id"])
+
+
+def retrain_index(spark: SparkSession, cpath: str, kpath: str) -> int:
+    """ann15's retrain as a real OVERWRITE COMMIT: one Lloyd step (ann7's
+    exact integer micro-unit recipe) over the CURRENT postings snapshot
+    recomputes the centroid means, committed as a new full version of the
+    centroid table — old versions stay time-travelable (m20 semantics).
+    Returns the new centroid-table version."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        read_snapshot_dirs,
+    )
+
+    codes = read_snapshot_dirs(spark, kpath)
+    flat = (
+        codes.select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.posexplode(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            ).alias("i0", "x"),
+        )
+        .groupBy("cell_id", (F.col("i0") + 1).alias("i"))
+        .agg(
+            F.sum(F.floor(F.col("x") * KM_MICRO).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cell_id",
+            "i",
+            (
+                F.col("s").cast("double")
+                / (F.col("n").cast("double") * KM_MICRO)
+            ).alias("mean"),
+        )
+    )
+    return commit_snapshot(flat, cpath)
+
+
+@register(
+    "ann20_index_persist_roundtrip",
+    oracle=_ANN11_ORACLE,
+    doc=f"INDEX PERSISTENCE roundtrip — the trained quantizer finally "
+    "joins the lakehouse storage story: ann7's k-means model and the "
+    "IVF-Flat postings are committed as snapshot tables (centroids = "
+    "overwrite commits, postings = hive-partitioned by cell_id with "
+    "the second half of the corpus arriving as an APPEND commit, "
+    "catalog/snapshots.py's shared-file mechanism), and serving reads "
+    "ONLY the stored artifact — no training lineage in the plan. "
+    f"Probe cells resolve driver-side against the KB-scale model "
+    "(bounded {N_QUERIES}x{N_PROBE}-row collect) and become a LITERAL "
+    "partition predicate, so the postings scan statically prunes to "
+    "nprobe/k of the index directories — at 100 TB a serving job "
+    "reads ~1/4 of the index and never touches the corpus. Oracle = "
+    "ann11's verbatim: the storage roundtrip must reproduce the "
+    "in-session answer exactly (doubles round-trip parquet bitwise). "
+    "add_to_index/retrain_index give the lifecycle its commit "
+    "semantics (append = ann14's add, overwrite = ann15's retrain; "
+    "pytest proves m11/m20-style incremental reads and time travel).",
+    tags=("similarity", "llm", "embedding", "index", "snapshot"),
+)
+def ann20_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ann20_")
+    cpath, kpath = build_ivf_index(spark, sf_dir, root)
+    return serve_from_index(spark, sf_dir, cpath, kpath)

@@ -1,0 +1,195 @@
+"""Round-9 operator tests: the persisted ANN index lifecycle (ann20) and
+its commit semantics — stored-vs-in-session serving equality, append
+commits behaving like m11's incremental scans, overwrite commits behaving
+like m20's time travel, and static partition pruning on the postings scan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark):
+    """One trained+committed index shared by the lifecycle tests."""
+    from apache_iceberg_spark.operators.similarity import build_ivf_index
+
+    root = tempfile.mkdtemp(prefix="ann20_test_")
+    cpath, kpath = build_ivf_index(spark, SF_DIR, root)
+    return cpath, kpath
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ann20_stored_serving_equals_in_session(spark, ivf_index):
+    """The storage roundtrip must reproduce ann11's in-session answer
+    EXACTLY — same rows, same float bits (doubles round-trip parquet)."""
+    from apache_iceberg_spark.operators.similarity import (
+        ann11_trained_ivf,
+        serve_from_index,
+    )
+
+    cpath, kpath = ivf_index
+    stored = _sorted_rows(serve_from_index(spark, SF_DIR, cpath, kpath))
+    fresh = _sorted_rows(ann11_trained_ivf(spark, SF_DIR))
+    assert stored == fresh
+
+
+def test_ann20_codes_append_commit_is_incremental(spark, ivf_index):
+    """The second build commit is a real append: read_incremental from v1
+    yields exactly the %4==3 batch (m11 semantics), and the latest
+    snapshot is the full corpus."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        list_snapshots,
+        read_incremental,
+        read_snapshot_dirs,
+    )
+    from apache_iceberg_spark.operators.similarity import ANN20_SPLIT_MOD
+
+    _, kpath = ivf_index
+    log = list_snapshots(kpath)
+    assert [e["version"] for e in log] == [1, 2]
+
+    delta_ids = {
+        r["vec_id"] for r in read_incremental(spark, kpath, 1).collect()
+    }
+    n_total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    expect = {
+        i
+        for i in range(n_total)
+        if i % ANN20_SPLIT_MOD == ANN20_SPLIT_MOD - 1
+    }
+    assert delta_ids == expect
+
+    assert read_snapshot_dirs(spark, kpath).count() == n_total
+    # Time travel to v1: the pre-append snapshot is still intact.
+    v1_ids = {
+        r["vec_id"]
+        for r in read_snapshot_dirs(spark, kpath, version=1).collect()
+    }
+    assert v1_ids == set(range(n_total)) - expect
+
+
+def test_ann20_add_to_index_append_commit(spark, ivf_index):
+    """ann14's incremental add as a commit: new vectors arrive as an
+    append; the stored-centroid assignment is map-only and the prior
+    postings are untouched (shared-file snapshot)."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        read_incremental,
+        read_snapshot_dirs,
+    )
+    from apache_iceberg_spark.operators.similarity import add_to_index
+
+    cpath, kpath = ivf_index
+    before = read_snapshot_dirs(spark, kpath).count()
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    batch = base.limit(7).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    v = add_to_index(spark, batch, cpath, kpath)
+    assert v == 3
+    inc = read_incremental(spark, kpath, 2).collect()
+    assert {r["vec_id"] for r in inc} == {1_000_000 + r["vec_id"] for r in base.limit(7).collect()}
+    # Every appended posting landed in a valid stored cell.
+    cells = {
+        r["cell_id"]
+        for r in read_snapshot_dirs(spark, cpath).select("cell_id").distinct().collect()
+    }
+    assert {int(r["cell_id"]) for r in inc} <= cells
+    assert read_snapshot_dirs(spark, kpath).count() == before + 7
+
+
+def test_ann20_retrain_overwrite_commit_time_travels(spark, ivf_index):
+    """ann15's retrain as an overwrite commit: a new centroid version is
+    written, the old one stays addressable (m20 semantics), and the new
+    means equal a direct recompute over the current postings."""
+    from apache_iceberg_spark.catalog.snapshots import read_snapshot_dirs
+    from apache_iceberg_spark.operators.similarity import (
+        KM_MICRO,
+        retrain_index,
+    )
+
+    cpath, kpath = ivf_index
+    old = _sorted_rows(read_snapshot_dirs(spark, cpath, version=1))
+    v = retrain_index(spark, cpath, kpath)
+    assert v >= 2
+    # v1 unchanged after the overwrite commit (snapshot isolation).
+    assert _sorted_rows(read_snapshot_dirs(spark, cpath, version=1)) == old
+
+    new = read_snapshot_dirs(spark, cpath, version=v)
+    codes = read_snapshot_dirs(spark, kpath)
+    direct = (
+        codes.select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.posexplode(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            ).alias("i0", "x"),
+        )
+        .groupBy("cell_id", (F.col("i0") + 1).alias("i"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * KM_MICRO).cast("long")).cast("double")
+                / (F.count("*").cast("double") * KM_MICRO)
+            ).alias("mean")
+        )
+    )
+    assert _sorted_rows(new) == _sorted_rows(direct)
+
+
+def test_ann20_serving_scan_prunes_partitions(spark):
+    """The postings scan must carry the probed cells as a LITERAL partition
+    predicate: the planned file set touches probed cell directories only.
+    Uses a fresh index — the shared one is mutated by the add/retrain
+    tests (an extra append dir would change the expected scan count)."""
+    from apache_iceberg_spark.operators.similarity import (
+        N_QUERIES,
+        _ivf_scored,
+        build_ivf_index,
+        read_stored_centroids,
+        serve_from_index,
+    )
+    from apache_iceberg_spark.operators.dedup import _SPARK_DOT
+
+    cpath, kpath = build_ivf_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ann20_prune_")
+    )
+    # Independently recompute the probe set from the stored model.
+    c1 = read_stored_centroids(spark, cpath)
+    nq = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
+            ).alias("norm"),
+        )
+    )
+    probed = {
+        str(r[0])
+        for r in _ivf_scored(nq, c1)
+        .select(F.explode(F.array("t2.l1", "t2.l2")))
+        .distinct()
+        .collect()
+    }
+
+    served = serve_from_index(spark, SF_DIR, cpath, kpath)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.split("\n") if "FileScan" in ln and "/codes/" in ln
+    ]
+    assert len(scan_lines) == 2, "one scan per codes snapshot directory"
+    import re
+
+    for ln in scan_lines:
+        m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)", ln)
+        assert m, f"no literal partition filter on postings scan: {ln[:200]}"
+        assert set(m.group(1).split(",")) == probed
