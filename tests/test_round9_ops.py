@@ -193,3 +193,78 @@ def test_ann20_serving_scan_prunes_partitions(spark):
         m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)", ln)
         assert m, f"no literal partition filter on postings scan: {ln[:200]}"
         assert set(m.group(1).split(",")) == probed
+
+
+def test_st15_two_batch_stream_matches_batch_recompute(spark, tmp_path):
+    """The carried (n, s, best, peak) CUSUM state must survive a REAL
+    multi-batch stream: split the fixture at the median timestamp into
+    two files, feed them as two availableNow micro-batches, and the
+    final per-key rows must equal the batch ts13 answer (the frozen
+    reference makes the fold associative across the split)."""
+    import os
+
+    from apache_iceberg_spark.operators.timeseries import (
+        ts13_cusum_changepoint,
+    )
+    from apache_iceberg_spark.streaming.events import _st15_monitor
+    from apache_iceberg_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    med = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    # Split on TIME so each key's rows stay ordered across the batches.
+    cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").collect()[0][
+        "c"
+    ]
+    a = ev.filter(F.unix_micros("ts") < cut)
+    b = ev.filter(F.unix_micros("ts") >= cut)
+    assert a.count() > 0 and b.count() > 0, f"degenerate split at {med}"
+
+    src = str(tmp_path / "ev_stream")
+    os.makedirs(src)
+    # Micro-precision timestamps: pandas' default nanos would read back
+    # as BIGINT under the session's nanosAsLong conf.
+    a.toPandas().to_parquet(
+        f"{src}/a.parquet", index=False, coerce_timestamps="us"
+    )
+    b.toPandas().to_parquet(
+        f"{src}/b.parquet", index=False, coerce_timestamps="us"
+    )
+    os.utime(f"{src}/a.parquet", (1_000_000, 1_000_000))
+    os.utime(f"{src}/b.parquet", (2_000_000, 2_000_000))
+
+    schema = spark.read.parquet(f"{src}/a.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    cs = _st15_monitor(spark, SF_DIR, stream)
+    import tempfile as _tf
+
+    query = (
+        cs.writeStream.format("memory")
+        .queryName("st15_twobatch")
+        .outputMode("update")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    batch_ids = {p["batchId"] for p in (query.recentProgress or [])}
+    assert len(batch_ids) >= 2, f"expected a multi-batch run, got {batch_ids}"
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    streamed = (
+        spark.table("st15_twobatch")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert _sorted_rows(streamed) == _sorted_rows(
+        ts13_cusum_changepoint(spark, SF_DIR)
+    )
