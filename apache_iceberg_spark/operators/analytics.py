@@ -877,6 +877,44 @@ def a24_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 A25_SPLIT_NUM, A25_SPLIT_DEN = 4, 5  # reference = first 80% of event ids
 A25_MICRO = 1_000_000
 A25_ALARM_MICRO = 100_000  # drift alarm at D > 0.1
+#: Support-size ceiling for the exact branch: the CDF cumsum is a
+#: deliberately unpartitioned window over DISTINCT support cells, so a
+#: high-cardinality metric must not funnel its full support through one
+#: task. Above this, values pre-quantize to a fixed A25_GRID-cell grid.
+A25_MAX_SUPPORT = 2_000_000
+A25_GRID = 65_536
+
+
+def _a25_quantize_if_needed(v: DataFrame) -> tuple[DataFrame, int]:
+    """The pre-quantization GUARD the a25 docstring used to leave as
+    advice (round-8 review): one cheap pre-pass measures the support
+    (approx_count_distinct + min/max ride the same map-side job); if the
+    distinct-value support exceeds A25_MAX_SUPPORT, values snap to the
+    left edge of a fixed {A25_GRID}-cell grid before the cumsum, bounding
+    the single-task window at A25_GRID cells at ANY cardinality.
+
+    Returns (values frame, step). step == 1 ⇒ exact branch (the driver
+    fixture's centi-value support is bounded, so its oracle is untouched).
+    Error bound for the quantized branch: the grid CDF is the true CDF
+    evaluated at grid edges, so D_grid <= D <= D_grid + max over cells of
+    (cell_mass_ref/n_ref + cell_mass_new/n_new) — for each side, moving
+    the evaluation point to the cell edge changes F by at most the cell's
+    own mass (test_round9_ops proves the bound on a 10M-distinct input)."""
+    stats = v.agg(
+        F.approx_count_distinct("v").alias("ndv"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    if stats["ndv"] is None or stats["ndv"] <= A25_MAX_SUPPORT:
+        return v, 1
+    span = int(stats["hi"]) - int(stats["lo"]) + 1
+    step = -(-span // A25_GRID)  # ceil
+    lo = int(stats["lo"])
+    vq = v.select(
+        F.expr(f"{lo} + ((v - {lo}) DIV {step}) * {step}").alias("v"),
+        "is_ref",
+    )
+    return vq, step
 
 
 @register(
@@ -933,7 +971,9 @@ A25_ALARM_MICRO = 100_000  # drift alarm at D > 0.1
     "source-mix shifts; a25 catches a shifted VALUE distribution at "
     "unchanged mix). Scale: one partial+final agg collapses the corpus "
     "to its distinct centi-value support (bounded domain ⇒ bounded "
-    "cells; for unbounded metrics pre-quantize), then the CDF cumsum "
+    "cells; unbounded metrics hit the REAL pre-quantization guard — "
+    "_a25_quantize_if_needed snaps >2M-distinct supports to a 65,536-"
+    "cell grid with a provable error bound), then the CDF cumsum "
     "runs over support cells only. That cumsum is a deliberately "
     "UNPARTITIONED window like w4's — correct because it touches "
     "support cells, never corpus rows; at 100 TB the support frame is "
@@ -945,8 +985,6 @@ A25_ALARM_MICRO = 100_000  # drift alarm at D > 0.1
     tags=("analytics", "timeseries", "report", "llm"),
 )
 def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     t = e.agg(
         F.expr(
@@ -957,6 +995,16 @@ def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("v"),
         F.when(F.col("event_id") < F.col("t0"), 1).otherwise(0).alias("is_ref"),
     )
+    return _a25_ks_core(v)
+
+
+def _a25_ks_core(v: DataFrame) -> DataFrame:
+    """KS statistic over a (v, is_ref) frame, behind the support guard —
+    factored so the guard's quantized branch is testable on synthetic
+    high-cardinality input."""
+    from pyspark.sql import Window
+
+    v, _step = _a25_quantize_if_needed(v)
     cells = v.groupBy("v").agg(
         F.sum("is_ref").cast("long").alias("c_ref"),
         F.sum(1 - F.col("is_ref")).cast("long").alias("c_new"),

@@ -268,3 +268,41 @@ def test_st15_two_batch_stream_matches_batch_recompute(spark, tmp_path):
     assert _sorted_rows(streamed) == _sorted_rows(
         ts13_cusum_changepoint(spark, SF_DIR)
     )
+
+
+def test_a25_quantization_guard_on_high_cardinality(spark):
+    """A 10M-distinct-value synthetic input must take the quantized
+    branch (VERDICT r8 ask #5), and the grid KS statistic must sit
+    within the provable error bound of the analytic truth.
+
+    Construction: ref = ids 0..N-1, new = ids S..N+S-1 (both uniform,
+    all-distinct support of ~N+S values). Exact D = S/N, achieved on the
+    S-wide non-overlap; grid error bound = one cell's mass per side =
+    step/N each, so |ks - S/N| <= 2*step/N (+1 micro for integer floor)."""
+    from apache_iceberg_spark.operators.analytics import (
+        A25_GRID,
+        A25_MAX_SUPPORT,
+        A25_MICRO,
+        _a25_ks_core,
+        _a25_quantize_if_needed,
+    )
+
+    N = 10_000_000
+    S = 2_000_000  # true D = 0.2
+    base = spark.range(N)
+    v = base.selectExpr("id AS v", "1 AS is_ref").unionAll(
+        base.selectExpr(f"id + {S} AS v", "0 AS is_ref")
+    )
+
+    vq, step = _a25_quantize_if_needed(v)
+    assert step > 1, "10M-distinct support must take the quantized branch"
+    # The grid bounds the one-task window at A25_GRID cells.
+    assert vq.select("v").distinct().count() <= A25_GRID
+    assert N + S > A25_MAX_SUPPORT  # the gate had to fire
+
+    row = _a25_ks_core(v).collect()[0]
+    assert row["n_ref"] == N and row["n_new"] == N
+    true_micro = S * A25_MICRO // N
+    eps_micro = 2 * step * A25_MICRO // N + 1
+    assert abs(row["ks_micro"] - true_micro) <= eps_micro
+    assert bool(row["drifted"]) is True  # 0.2 >> the 0.1 alarm
