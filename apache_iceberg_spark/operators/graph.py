@@ -942,9 +942,9 @@ def _g7_round_cte(prev: str, out: str) -> str:
         )"""
 
 
-def _g7_oracle() -> str:
+def _g7_oracle(rounds_n: int = G7_ROUNDS) -> str:
     rounds = ",\n        ".join(
-        _g7_round_cte(f"l{r}", f"l{r + 1}") for r in range(G7_ROUNDS)
+        _g7_round_cte(f"l{r}", f"l{r + 1}") for r in range(rounds_n)
     )
     return f"""
         WITH {_DUCK_KNN_EDGES},
@@ -956,8 +956,44 @@ def _g7_oracle() -> str:
         ),
         {rounds}
         SELECT node, lbl AS community
-        FROM l{G7_ROUNDS}
+        FROM l{rounds_n}
     """
+
+
+def _g7_setup(spark: SparkSession, sf_dir: str):
+    """Shared LPA plumbing: (directed edges, initial labels, modal-pick
+    window) — one source of truth for g7's unrolled rounds and g7b's
+    convergence driver, so the two cannot drift."""
+    from pyspark.sql import Window
+
+    edges = _knn_edges(spark, sf_dir)
+    dirs = edges.select(
+        F.explode(
+            F.array(
+                F.struct("u", "v"),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("d")
+    ).select("d.u", "d.v")
+    labels = dirs.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lbl"))
+    return dirs, labels, w
+
+
+def _g7_round(dirs: DataFrame, labels: DataFrame, w) -> DataFrame:
+    """One synchronous LPA round: every node adopts its neighbors' modal
+    label (count DESC, label ASC — deterministic)."""
+    return (
+        dirs.join(labels, dirs["v"] == labels["node"])
+        .groupBy("u", "lbl")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("u").alias("node"), "lbl")
+    )
+
 
 
 @register(
@@ -979,28 +1015,70 @@ def _g7_oracle() -> str:
     tags=("graph", "iterative", "community"),
 )
 def g7_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    edges = _knn_edges(spark, sf_dir)
-    dirs = edges.select(
-        F.explode(
-            F.array(
-                F.struct("u", "v"),
-                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
-            )
-        ).alias("d")
-    ).select("d.u", "d.v")
-    labels = dirs.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lbl"))
+    dirs, labels, w = _g7_setup(spark, sf_dir)
     for _ in range(G7_ROUNDS):
-        labels = (
-            dirs.join(labels, dirs["v"] == labels["node"])
-            .groupBy("u", "lbl")
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("u").alias("node"), "lbl")
-        )
+        labels = _g7_round(dirs, labels, w)
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# g7b: LPA to the FIXPOINT — the registered convergence profile
+# ---------------------------------------------------------------------------
+
+#: Oracle unroll depth for the converged twin. The fixture's measured
+#: fixpoints (this file's sync-LPA with deterministic ties): sf0.001
+#: stabilizes after round 2, sf0.01 after round 4 — so 6 unrolled rounds
+#: over-approximate both, and once stable every extra round is the
+#: identity, making the pinned-round oracle equal the true fixpoint.
+G7B_PIN_ROUNDS = 6
+G7B_MAX_ROUNDS = 20
+
+
+@register(
+    "g7b_lpa_converged",
+    oracle=_g7_oracle(G7B_PIN_ROUNDS),
+    doc=f"LPA run to the FIXPOINT — g7's g3/g3b-convention twin: the "
+    "convergence DRIVER LOOP production uses, materializing each round "
+    "and stopping when no label changes (plus an explicit 2-CYCLE "
+    "detector: synchronous LPA can oscillate with period 2 on "
+    "bipartite-ish structures — e.g. an even cycle under these "
+    "deterministic ties — which a naive changed-count loop would spin "
+    "on until the cap; oscillation raises rather than returning a "
+    "non-answer). On this fixture the loop converges in 2 rounds at "
+    f"sf0.001 and 4 at sf0.01 (measured; no oscillation), so the "
+    f"{G7B_PIN_ROUNDS}-round unrolled oracle equals the fixpoint — "
+    "extra rounds past stability are the identity. Same per-round scale "
+    "shape as g7 (one co-locatable join + one partial+final count); "
+    "the driver adds two O(|V|) count jobs per round (changed?, "
+    "cycling?), the g3 pattern.",
+    tags=("graph", "iterative", "community"),
+)
+def g7b_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs, labels, w = _g7_setup(spark, sf_dir)
+    dirs = dirs.persist()
+    labels = labels.persist()
+
+    def _differs(a: DataFrame, b: DataFrame) -> int:
+        return (
+            a.select("node", F.col("lbl").alias("lbl_a"))
+            .join(b.select("node", F.col("lbl").alias("lbl_b")), "node")
+            .filter(F.col("lbl_a") != F.col("lbl_b"))
+            .count()
+        )
+
+    prev2 = None
+    for _ in range(G7B_MAX_ROUNDS):
+        new = _g7_round(dirs, labels, w).persist()
+        if _differs(new, labels) == 0:
+            dirs.unpersist()
+            return new.select("node", F.col("lbl").alias("community"))
+        if prev2 is not None and _differs(new, prev2) == 0:
+            raise RuntimeError(
+                "g7b: synchronous LPA entered a 2-cycle on this graph; "
+                "no fixpoint exists under deterministic ties — use the "
+                "bounded-round g7 contract or asynchronous updates"
+            )
+        if prev2 is not None:
+            prev2.unpersist()
+        prev2, labels = labels, new
+    raise RuntimeError(f"g7b: no fixpoint within {G7B_MAX_ROUNDS} rounds")

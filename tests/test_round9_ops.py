@@ -306,3 +306,62 @@ def test_a25_quantization_guard_on_high_cardinality(spark):
     eps_micro = 2 * step * A25_MICRO // N + 1
     assert abs(row["ks_micro"] - true_micro) <= eps_micro
     assert bool(row["drifted"]) is True  # 0.2 >> the 0.1 alarm
+
+
+def test_g7b_fixpoint_matches_unrolled_and_is_stable(spark):
+    """g7b's driver loop lands on the true fixpoint: one more synchronous
+    round applied to its answer is the identity, and the pinned-round
+    oracle depth G7B_PIN_ROUNDS over-approximates the measured
+    convergence (2 rounds at sf0.001)."""
+    from apache_iceberg_spark.operators.graph import (
+        G7B_PIN_ROUNDS,
+        _g7_round,
+        _g7_setup,
+        g7b_lpa_converged,
+    )
+
+    fix = g7b_lpa_converged(spark, SF_DIR)
+    fixed = _sorted_rows(fix)
+
+    dirs, _, w = _g7_setup(spark, SF_DIR)
+    again = _g7_round(
+        dirs, fix.select("node", F.col("community").alias("lbl")), w
+    ).select("node", F.col("lbl").alias("community"))
+    assert _sorted_rows(again) == fixed
+
+    # The measured sf0.001 fixpoint arrives within the pinned oracle depth.
+    labels = None
+    dirs2, labels, w2 = _g7_setup(spark, SF_DIR)
+    for r in range(1, G7B_PIN_ROUNDS + 1):
+        labels = _g7_round(dirs2, labels, w2)
+        if _sorted_rows(labels.select("node", F.col("lbl").alias("community"))) == fixed:
+            assert r <= G7B_PIN_ROUNDS
+            break
+    else:
+        raise AssertionError("fixpoint not reached within pinned depth")
+
+
+def test_g7_two_cycle_detection_logic(spark):
+    """Synchronous LPA 2-cycles on an even cycle graph (each node's sole
+    neighbors both carry the 'other' parity's label, so the two parity
+    classes swap labels forever): the same detection arithmetic g7b uses
+    (labels at round r equal round r-2 but not r-1) must flag it."""
+    from apache_iceberg_spark.operators.graph import _g7_round
+    from pyspark.sql import Window
+
+    # 4-cycle: 0-1-2-3-0. Directed both ways.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    dirs = spark.createDataFrame(
+        [(u, v) for u, v in edges] + [(v, u) for u, v in edges], "u LONG, v LONG"
+    )
+    labels = dirs.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lbl"))
+    hist = [_sorted_rows(labels)]
+    for _ in range(4):
+        labels = _g7_round(dirs, labels, w)
+        hist.append(_sorted_rows(labels))
+    # Period-2 oscillation, never a fixpoint:
+    assert hist[3] == hist[1] and hist[4] == hist[2]
+    assert hist[2] != hist[1]
