@@ -941,49 +941,94 @@ def _tx15_train(
     finally:
         words.unpersist()
     # Distributed per-round loop — the vocab outgrew the driver gate.
+    # DELTA pair-count maintenance (VERDICT r8 ask #7, the distributed
+    # port of _tx15_driver_merges' incremental algorithm): the pair-count
+    # table is built ONCE from the full vocab, then each round only the
+    # words containing the merged pair are exploded, rewritten, and
+    # re-counted — their old pairs subtract, their new pairs add, and the
+    # maintained counts frame (bounded by the distinct-pair support,
+    # tx20's Zipf measurements) serves the next arg-max. Per-round cost
+    # drops from O(total vocab symbols) to O(touched-word symbols) plus
+    # one counts-table shuffle; the untouched-vocab filter is a map-only
+    # scan of the cached frame. Probe: SCALE_NOTES §BPE-delta.
+
+    def _pair_counts(df: DataFrame, sign: int) -> DataFrame:
+        return (
+            df.select(
+                F.posexplode(
+                    F.expr("slice(syms, 1, size(syms) - 1)")
+                ).alias("i0", "a"),
+                F.col("syms"),
+                F.col("freq"),
+            )
+            .select(
+                "a",
+                F.expr("element_at(syms, CAST(i0 + 2 AS INT))").alias("b"),
+                (F.col("freq") * sign).alias("freq"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    # Lineage discipline: the vocab update is ONE self-referencing
+    # projection (CASE-guarded rewrite), so its plan stays linear in
+    # rounds like the r8 loop — a two-branch union (touched ∪ untouched)
+    # would double the tree every round. The expensive fold only
+    # executes on rows whose guard fires, which IS the "filter before
+    # rewrite" of the ask at row granularity; the counts shuffle — the
+    # dominant per-round cost of the old full-recount loop (O(total
+    # symbols) explode + exchange every round) — now moves only the
+    # touched words' pair deltas plus the maintained counts table.
+    # localCheckpoint (not persist) on the two carried frames: each round's
+    # guard+rewrite CASE references `syms` several times, and across rounds
+    # Catalyst's projection collapse multiplies the inlined fold expression
+    # — 20 rounds of persist-only lineage OOM'd the driver just BUILDING
+    # the plan string. Checkpointing truncates the logical plan to a leaf
+    # each round, so plan size is constant in rounds (the dd6/g3 lineage-
+    # cut convention for iterative operators).
     rows: list[tuple] = []
-    try:
-        for r in range(1, n_merges + 1):
-            pairs = (
-                vocab.select(
-                    F.posexplode(
-                        F.expr("slice(syms, 1, size(syms) - 1)")
-                    ).alias("i0", "a"),
-                    F.col("syms"),
-                    F.col("freq"),
-                )
-                .select(
-                    "a",
-                    F.expr("element_at(syms, CAST(i0 + 2 AS INT))").alias("b"),
-                    "freq",
-                )
+    counts = _pair_counts(vocab, 1).localCheckpoint()
+    vocab, _cached = vocab.localCheckpoint(), vocab
+    _cached.unpersist()
+    for r in range(1, n_merges + 1):
+        top = (
+            counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocab fully merged — oracle's m{r} is empty too
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        rows.append((r, a, b, a + b, cnt))
+        if r < n_merges:
+            # Words holding the merged pair ADJACENTLY are the only
+            # ones whose symbols (and pair contributions) change.
+            # The adjacency guard is a flat STRING search over the
+            # space-joined symbol array (symbols are hex, no spaces)
+            # — measured 2-3x cheaper per row than the equivalent
+            # zip_with/exists higher-order fold.
+            has_pair = (
+                "contains(concat(' ', array_join(syms, ' '), ' '), "
+                f"' {a} {b} ')"
+            )
+            rewrite = _tx15_spark_rewrite(f"'{a}'", f"'{b}'")
+            touched = vocab.filter(F.expr(has_pair)).persist()
+            new_t = touched.select(F.expr(rewrite).alias("syms"), "freq")
+            counts = (
+                counts.unionByName(_pair_counts(touched, -1))
+                .unionByName(_pair_counts(new_t, 1))
                 .groupBy("a", "b")
-                .agg(F.sum("freq").alias("cnt"))
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+                .localCheckpoint()
             )
-            top = (
-                pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break  # vocab fully merged — oracle's m{r} is empty too
-            a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
-            rows.append((r, a, b, a + b, cnt))
-            if r < n_merges:
-                # Rewrite with the arg-max embedded as literals (hex
-                # symbols are [0-9A-F]+ so quoting is trivial),
-                # materialize the next round's frame, then release the
-                # previous one: at most two vocab-scale frames are ever
-                # cached at once.
-                rewrite = _tx15_spark_rewrite(f"'{a}'", f"'{b}'")
-                nxt = vocab.select(
-                    F.expr(rewrite).alias("syms"), "freq"
-                ).persist()
-                nxt.count()
-                vocab.unpersist()
-                vocab = nxt
-    finally:
-        vocab.unpersist()
+            vocab = vocab.select(
+                F.expr(
+                    f"CASE WHEN {has_pair} THEN {rewrite} ELSE syms END"
+                ).alias("syms"),
+                "freq",
+            ).localCheckpoint()
+            touched.unpersist()
     return rows, n_vocab
 
 
