@@ -67,22 +67,25 @@ def _green_rounds() -> dict[str, int]:
     return latest
 
 
-# Queries whose IMPLEMENTATION changed this round (round 8): their old
+# Queries whose IMPLEMENTATION changed this round (round 9): their old
 # green rows prove the old code, so they re-enter the checked set right
 # behind never-checked queries. Refreshed every round — VERDICT r6 ask #2:
 # don't let prior-round rechecks squat in the sample.
 RECHECK = frozenset({
-    "tx15_bpe_merges",       # byte-level alphabet + incremental merge loop
-    "tx17_bpe_encode",       # byte-level symbols + degenerate-corpus guard
-    "g5_khop_distance",      # delta-frontier expansion + early exit
-    "ts11_ewma_segmented",   # auto-sized bucket width, exact floor-div
-    "m19_partitions_metadata",      # footer-stats None guard (ADVICE r7)
-    "m23_metadata_only_aggregates",  # same guard
-    "st14_stream_ewma",      # single-micro-batch assertion (ADVICE r7)
-    "st15_stream_cusum",     # same assertion
-    "ts7_max_concurrent_intervals",  # inclusive-interval sweep tie fix
-    "j7_interval_overlap_join",  # epoch rebase 9497→9496, half-open
-                                 # slice bound, explicit floor cast
+    "tx15_bpe_merges",       # delta pair-count maintenance in dist loop
+    "tx17_bpe_encode",       # encodes with tx15's merge table
+    "tx21_domain_blocklist",  # oracle IN-list built explicitly (ADVICE r8)
+    "st15_stream_cusum",     # carried (n,s,best,peak) state, frozen ref mean
+    "st18_stream_m4_downsample",  # integer floor-div bucket id (ADVICE r8)
+    "a25_ks_drift",          # pre-quantization guard made real
+    "a26_benford_profile",   # guard on exact cents value (ADVICE r8)
+    "g7_lpa_communities",    # loop factored into _g7_setup/_g7_round
+    "ann10_ivf_pq_rerank",   # ann11 helpers factored for ann20 reuse
+    "ann11_trained_ivf",     # same refactor; ann20 shares its oracle
+    "ann19_radius_search",   # prune bound padded 1e-9 (ADVICE r8)
+    "m5_time_travel_versions",      # snapshots.py partition_by/basePath
+    "m11_incremental_append_scan",  # same commit/read path changes
+    "m20_snapshot_rollback",        # same
 })
 
 
