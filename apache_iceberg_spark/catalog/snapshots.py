@@ -221,6 +221,195 @@ def list_snapshots(table_path: str) -> list[dict]:
     return list(_read_log(table_path))
 
 
+# ---------------------------------------------------------------------------
+# Git-like refs over the snapshot log — the Nessie branch/tag surface
+# (SURVEY §2.11; reference: blog-zero-cost-data-lakehouse.md:373-397),
+# emulated the same way S8/m5 emulate metadata-pointer reads: commits are
+# globally sequenced in ``_versions.json`` exactly as before, and
+# ``_refs.json`` holds named POINTERS into that log (branches move, tags
+# never do) — git's object-store/refs split. Everything is metadata-only:
+# creating a branch or tag, and merging one, never reads or copies a data
+# byte, which is precisely why Nessie calls them zero-cost. The pre-ref
+# API (commit_snapshot/commit_append/read_snapshot_dirs) keeps its linear-
+# history semantics for existing callers; multi-lineage tables use the
+# ``*_ref`` functions, whose log entries also record ``parent`` so merge
+# can decide fast-forward by real ancestry, not file-set heuristics.
+
+_REFS = "_refs.json"
+
+
+def _read_refs(table_path: str) -> dict:
+    try:
+        with open(os.path.join(table_path, _REFS)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"branches": {}, "tags": {}}
+
+
+def _write_refs(table_path: str, refs: dict) -> None:
+    tmp = os.path.join(table_path, _REFS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, os.path.join(table_path, _REFS))
+
+
+def _resolve_ref(table_path: str, ref: str) -> int:
+    """Ref name -> version number. ``main`` lazily means the log tail
+    until a branch operation pins it (pre-ref tables are all-main)."""
+    refs = _read_refs(table_path)
+    if ref in refs["branches"]:
+        return refs["branches"][ref]
+    if ref in refs["tags"]:
+        return refs["tags"][ref]
+    if ref == "main":
+        log = _read_log(table_path)
+        if not log:
+            raise ValueError(f"no snapshots at {table_path}")
+        return log[-1]["version"]
+    raise ValueError(f"unknown ref {ref!r} at {table_path}")
+
+
+def _ensure_main(table_path: str, refs: dict) -> dict:
+    if "main" not in refs["branches"]:
+        log = _read_log(table_path)
+        if not log:
+            raise ValueError(f"no snapshots at {table_path}")
+        refs["branches"]["main"] = log[-1]["version"]
+    return refs
+
+
+def create_branch(table_path: str, name: str, from_ref: str = "main") -> int:
+    """Nessie ``CREATE BRANCH <name> FROM <ref>``: a movable pointer at
+    the source ref's current version. O(1) metadata; no data touched."""
+    version = _resolve_ref(table_path, from_ref)
+    refs = _ensure_main(table_path, _read_refs(table_path))
+    if name in refs["branches"] or name in refs["tags"]:
+        raise ValueError(f"ref {name!r} already exists")
+    refs["branches"][name] = version
+    _write_refs(table_path, refs)
+    return version
+
+
+def create_tag(table_path: str, name: str, from_ref: str = "main") -> int:
+    """Nessie ``CREATE TAG``: an IMMUTABLE pointer — later commits on any
+    branch never move it, so 'the audited state' stays addressable by
+    name forever (until explicitly deleted)."""
+    version = _resolve_ref(table_path, from_ref)
+    refs = _ensure_main(table_path, _read_refs(table_path))
+    if name in refs["branches"] or name in refs["tags"]:
+        raise ValueError(f"ref {name!r} already exists")
+    refs["tags"][name] = version
+    _write_refs(table_path, refs)
+    return version
+
+
+def commit_append_ref(
+    df: DataFrame,
+    table_path: str,
+    branch: str,
+    ts_ms: int | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """``commit_append`` onto a BRANCH: parents on the branch head (not
+    the global log tail), records the parent for ancestry, and moves only
+    that branch's pointer — commits on ``etl`` are invisible to ``main``
+    readers until merged, Nessie's isolated-ingest workflow."""
+    refs = _ensure_main(table_path, _read_refs(table_path))
+    if branch in refs["tags"]:
+        raise ValueError(f"cannot commit to tag {branch!r}")
+    if branch not in refs["branches"]:
+        raise ValueError(f"unknown branch {branch!r}")
+    parent_v = refs["branches"][branch]
+    log = _read_log(table_path)
+    by_v = {e["version"]: e for e in log}
+    version = log[-1]["version"] + 1
+    ddir = os.path.join(table_path, f"d{version}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(ddir)
+    log.append(
+        {
+            "version": version,
+            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+            "paths": _entry_paths(by_v[parent_v]) + [ddir],
+            "parent": parent_v,
+        }
+    )
+    _write_log(table_path, log)
+    refs["branches"][branch] = version
+    _write_refs(table_path, refs)
+    return version
+
+
+def read_ref(spark: SparkSession, table_path: str, ref: str) -> DataFrame:
+    """Read a table AT a named ref — Nessie's ``table@branch`` /
+    ``table@tag`` addressing. Resolution is two metadata lookups; the
+    scan covers exactly the ref head's file set."""
+    return read_snapshot_dirs(
+        spark, table_path, version=_resolve_ref(table_path, ref)
+    )
+
+
+def merge_branch(
+    table_path: str, src: str, into: str = "main", ts_ms: int | None = None
+) -> int:
+    """Merge branch ``src`` into ``into``. Allowed exactly when ``into``'s
+    head is an ANCESTOR of ``src``'s head (the target did not move since
+    the branch point) — then the merge is a metadata-only commit on the
+    target carrying the source head's file set, and both pointers advance
+    to it. If the target moved, this raises, matching Nessie's
+    conflict-on-merge behavior (resolving diverged table states needs a
+    rebase, which the emulation deliberately does not fake). O(branch
+    length) driver-side walk; zero data bytes."""
+    refs = _ensure_main(table_path, _read_refs(table_path))
+    for r in (src, into):
+        if r not in refs["branches"]:
+            raise ValueError(f"unknown branch {r!r}")
+    src_v, into_v = refs["branches"][src], refs["branches"][into]
+    log = _read_log(table_path)
+    by_v = {e["version"]: e for e in log}
+    # Ancestry walk src-head -> parents. Pre-ref (linear) entries have no
+    # parent field; their implicit parent is the previous log version.
+    v: int | None = src_v
+    seen_ancestor = False
+    while v is not None:
+        if v == into_v:
+            seen_ancestor = True
+            break
+        entry = by_v[v]
+        if "parent" in entry:
+            v = entry["parent"]
+        else:
+            prior = [e["version"] for e in log if e["version"] < v]
+            v = max(prior) if prior else None
+    if not seen_ancestor:
+        raise ValueError(
+            f"branch {into!r} moved since {src!r} diverged; "
+            "non-fast-forward merge requires a rebase"
+        )
+    version = log[-1]["version"] + 1
+    log.append(
+        {
+            "version": version,
+            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+            "paths": _entry_paths(by_v[src_v]),
+            "parent": into_v,
+        }
+    )
+    _write_log(table_path, log)
+    refs["branches"][into] = version
+    refs["branches"][src] = version
+    _write_refs(table_path, refs)
+    return version
+
+
+def list_refs(table_path: str) -> dict:
+    """Branches and tags with their pinned versions (Nessie's ref
+    listing)."""
+    return _read_refs(table_path)
+
+
 def remove_orphan_dirs(
     table_path: str, older_than_ms: int | None = None
 ) -> list[str]:

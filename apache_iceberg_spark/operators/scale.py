@@ -1911,3 +1911,94 @@ def m28_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_files"),
         F.sum("record_count").alias("total_rows"),
     )
+
+
+@register(
+    "m29_branch_tag_scan",
+    oracle="""
+        WITH a AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+             ab AS (SELECT * FROM orders
+                    WHERE o_orderkey % 5 <> 0 OR o_orderkey % 10 = 5)
+        SELECT * FROM (
+            SELECT 'branch_etl' AS ref,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM ab
+            UNION ALL
+            SELECT 'main_after', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM ab
+            UNION ALL
+            SELECT 'main_before', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM a
+            UNION ALL
+            SELECT 'tag_audit', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM a
+        ) ORDER BY ref
+    """,
+    doc="Nessie-style branch/tag workflow (SURVEY §2.11; reference: "
+    "blog-zero-cost-data-lakehouse.md:373-397), emulated as git-like "
+    "refs over the snapshot log (catalog/snapshots.py:_REFS) the same "
+    "way m5/S8 emulate metadata pointers: 'main' holds v1, branch "
+    "'etl' takes an isolated append commit (invisible to main — the "
+    "ingest-in-a-branch workflow), tag 'audit' pins v1 immutably, "
+    "then the branch fast-forward-merges into main. Every ref "
+    "operation is metadata-only — create/tag/merge never touch a "
+    "data byte, which is Nessie's zero-cost claim. The query reads "
+    "the table at FOUR ref states (main before merge, branch, tag "
+    "AFTER the merge — proving tag immutability — and main after) "
+    "and aggregates each in exact cents; the oracle recomputes all "
+    "four from the raw table, so branch isolation, tag pinning, and "
+    "the merge result are all inside one hash.",
+    tags=("scale", "snapshot", "branch", "nessie"),
+)
+def m29_branch_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        create_tag,
+        merge_branch,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="refs_"), "orders")
+    commit_snapshot(o.filter(F.col("o_orderkey") % 5 != 0), table)
+    create_branch(table, "etl")  # from main
+    create_tag(table, "audit")  # pins v1
+    commit_append_ref(
+        o.filter(F.col("o_orderkey") % 10 == 5), table, branch="etl"
+    )
+
+    def agg(df: DataFrame, ref: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("total_cents"),
+        ).select(F.lit(ref).alias("ref"), "n_rows", "total_cents")
+
+    # Branch commit is invisible on main until merged; the merge is a
+    # metadata-only fast-forward; the tag read happens AFTER the merge,
+    # so its row being v1's numbers proves immutability.
+    main_before = agg(read_ref(spark, table, "main"), "main_before")
+    etl = agg(read_ref(spark, table, "etl"), "branch_etl")
+    merge_branch(table, "etl", into="main")
+    main_after = agg(read_ref(spark, table, "main"), "main_after")
+    tag = agg(read_ref(spark, table, "audit"), "tag_audit")
+    return (
+        main_before.unionByName(etl)
+        .unionByName(main_after)
+        .unionByName(tag)
+        .orderBy("ref")
+    )

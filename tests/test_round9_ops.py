@@ -365,3 +365,130 @@ def test_g7_two_cycle_detection_logic(spark):
     # Period-2 oscillation, never a fixpoint:
     assert hist[3] == hist[1] and hist[4] == hist[2]
     assert hist[2] != hist[1]
+
+
+# ---------------------------------------------------------------------------
+# m29: git-like refs over the snapshot log (the Nessie branch/tag surface)
+
+
+@pytest.fixture()
+def ref_table(spark):
+    """A tiny two-commit-capable table: main holds ids 0-9."""
+    from apache_iceberg_spark.catalog.snapshots import commit_snapshot
+
+    table = tempfile.mkdtemp(prefix="refs_test_") + "/t"
+    commit_snapshot(spark.range(10).select(F.col("id")), table)
+    return table
+
+
+def _ids(spark, table, ref):
+    from apache_iceberg_spark.catalog.snapshots import read_ref
+
+    return sorted(r["id"] for r in read_ref(spark, table, ref).collect())
+
+
+def test_branch_commit_is_invisible_on_main(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+    )
+
+    create_branch(ref_table, "etl")
+    commit_append_ref(
+        spark.range(10, 15).select(F.col("id")), ref_table, branch="etl"
+    )
+    assert _ids(spark, ref_table, "etl") == list(range(15))
+    assert _ids(spark, ref_table, "main") == list(range(10))
+
+
+def test_tag_is_immutable_across_commits_and_merge(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        create_tag,
+        merge_branch,
+    )
+
+    create_tag(ref_table, "v1")
+    create_branch(ref_table, "etl")
+    commit_append_ref(
+        spark.range(10, 12).select(F.col("id")), ref_table, branch="etl"
+    )
+    merge_branch(ref_table, "etl")
+    assert _ids(spark, ref_table, "main") == list(range(12))
+    assert _ids(spark, ref_table, "v1") == list(range(10))
+
+
+def test_merge_fast_forwards_both_pointers(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        list_refs,
+        merge_branch,
+    )
+
+    create_branch(ref_table, "etl")
+    commit_append_ref(
+        spark.range(10, 12).select(F.col("id")), ref_table, branch="etl"
+    )
+    v = merge_branch(ref_table, "etl")
+    refs = list_refs(ref_table)
+    assert refs["branches"]["main"] == v
+    assert refs["branches"]["etl"] == v
+    # and the merged state serves identically from either name
+    assert _ids(spark, ref_table, "main") == _ids(spark, ref_table, "etl")
+
+
+def test_diverged_merge_raises(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        merge_branch,
+    )
+
+    create_branch(ref_table, "etl")
+    commit_append_ref(
+        spark.range(10, 12).select(F.col("id")), ref_table, branch="etl"
+    )
+    # main moves too -> the branch point is no longer main's head
+    commit_append_ref(
+        spark.range(20, 22).select(F.col("id")), ref_table, branch="main"
+    )
+    with pytest.raises(ValueError, match="non-fast-forward"):
+        merge_branch(ref_table, "etl")
+
+
+def test_commit_to_tag_and_duplicate_ref_raise(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        create_tag,
+    )
+
+    create_tag(ref_table, "v1")
+    with pytest.raises(ValueError, match="tag"):
+        commit_append_ref(
+            spark.range(1).select(F.col("id")), ref_table, branch="v1"
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(ref_table, "v1")
+
+
+def test_pre_ref_linear_history_is_mergeable_ancestry(spark, ref_table):
+    """Entries written by the pre-ref API carry no parent field; the
+    ancestry walk falls back to log order, so a branch cut from a legacy
+    linear table still fast-forwards."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_append_ref,
+        create_branch,
+        merge_branch,
+    )
+
+    commit_append(spark.range(10, 13).select(F.col("id")), ref_table)
+    create_branch(ref_table, "fix")
+    commit_append_ref(
+        spark.range(30, 31).select(F.col("id")), ref_table, branch="fix"
+    )
+    merge_branch(ref_table, "fix")
+    assert _ids(spark, ref_table, "main") == list(range(13)) + [30]
