@@ -5,7 +5,8 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 
 Stdout contract (the driver captures a ~2 KB tail and parses the LAST
 line): the FINAL stdout line is the compact contract object
-``{"metric","value","unit","queries","sf"}`` and nothing else — round 5
+``{"metric","value","unit","queries","canary_total","sf"}`` and nothing
+else — round 5
 appended per-table fixture fingerprints to it, the line outgrew the tail
 capture, and the driver recorded ``parsed: null`` (VERDICT r5 #1). The
 fingerprints now ride (a) stderr in full per-table detail and (b) one
@@ -163,12 +164,61 @@ AUX = [
     "g7_lpa_communities",
     "tx22_langid_confusion",
     "a26_benford_profile",
+    # round 9
+    "m29_branch_tag_scan",
+]
+
+# Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
+# FROZEN so round-over-round deltas are attributable to code, not to the
+# ever-growing warm-up set (g1/pp4 wobbled ±60% in r8 on byte-identical
+# code because 16 new AUX operators' warm-ups preceded them). Protocol,
+# pinned forever: runs LAST, after `spark.catalog.clearCache()` +
+# `release_plan_caches()` + an explicit JVM GC — so the preceding
+# block-manager state is "empty" no matter how much the bench grew —
+# then each canary query warms once at sf0.001 and times min-of-3 at
+# sf_dir. The SET and the PROTOCOL both never change; add new queries to
+# HEADLINE/AUX instead. Per-query values ride a dedicated stdout line and
+# stderr; the contract line carries `canary_total`.
+CANARY = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "o3_topk",
+    "j1_inner_join",
+    "w1_rank_orders",
+    "ts1_tumbling_agg",
+    "ts3_asof_join",
+    "m2_salted_join_skew",
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh",
+    "dd6_dup_clusters",
+    "tx2_quality_score",
+    "ann1_cosine_topk",
+    "ann3_ivf",
+    "dc1_decontamination",
+    "pp4_cascade_fuzzy",
+    "pp6_production_funnel",
+    "g1_pagerank",
 ]
 
 # Max chars for the final stdout contract line: driver tail capture (2000)
 # minus headroom for the fixture-digest + streaming lines printed just
-# before it (~230 chars observed worst case).
-CONTRACT_LINE_BUDGET = 1750
+# before it (~230 chars observed worst case; the canary line is emitted
+# FIRST of the preceding group so it is the one truncated if anything is).
+CONTRACT_LINE_BUDGET = 1770
+
+
+def cached_storage_bytes(spark) -> int:
+    """Total bytes of RDD blocks resident in the block manager — the
+    cache-occupancy evidence (VERDICT r8 ask #3) recorded before each
+    timed phase so a wobbling number can be checked against what was
+    actually resident when it ran."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return int(sum(i.memSize() + i.diskSize() for i in infos))
+    except Exception:
+        return -1
 
 
 def fixture_fingerprints(sf_dir: str) -> dict[str, dict]:
@@ -221,6 +271,10 @@ def main() -> None:
     # timing more than the tiny caches themselves). The persist-lifecycle
     # convention still holds for operators' own invocations.
 
+    print(
+        f"# cached bytes before HEADLINE: {cached_storage_bytes(spark)}",
+        file=sys.stderr,
+    )
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -269,17 +323,6 @@ def main() -> None:
     combined = hashlib.md5(
         json.dumps(fixtures, sort_keys=True).encode()
     ).hexdigest()
-    print(
-        json.dumps(
-            {
-                "fixtures_combined_md5": combined,
-                "tables": len(fixtures),
-                "rows": sum(v["rows"] for v in fixtures.values()),
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
-    )
 
     # Streaming micro-bench (VERDICT r5 ask #6): st4/st7/st12 end-to-end
     # over their fixed micro-batches, min-of-2, on a separate stdout line.
@@ -294,6 +337,57 @@ def main() -> None:
             stream_timings[name] = round(best, 3)
         except Exception as exc:  # never let streaming kill the contract line
             print(f"# streaming bench {name} failed: {exc}", file=sys.stderr)
+
+    # Canary phase, LAST to run (protocol frozen — see the CANARY comment
+    # above): clearing everything first makes "what was resident" a
+    # constant across rounds no matter how HEADLINE/AUX/STREAMING grow;
+    # the recorded cached-bytes value proves it on every run.
+    spark.catalog.clearCache()
+    release_plan_caches(spark)
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    canary_cached = cached_storage_bytes(spark)
+    print(f"# cached bytes before CANARY: {canary_cached}", file=sys.stderr)
+    for name in CANARY:
+        try:
+            queries[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+    canary: dict[str, float] = {}
+    for name in CANARY:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            n = queries[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        canary[name] = round(best, 2)
+        print(f"# canary {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+    canary_total = round(sum(canary.values()), 3)
+
+    # Stdout emission order = tail priority, lowest first: if the driver's
+    # ~2 KB capture truncates from the front, the canary detail (also on
+    # stderr + README) is sacrificed before the fixture digest, which goes
+    # before the streaming line, which goes before the contract line.
+    print(
+        json.dumps(
+            {"canary": canary, "canary_cached_bytes": canary_cached},
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "fixtures_combined_md5": combined,
+                "tables": len(fixtures),
+                "rows": sum(v["rows"] for v in fixtures.values()),
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
     print(
         json.dumps({"streaming": stream_timings}, separators=(",", ":")),
         flush=True,
@@ -306,6 +400,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": q,
+                "canary_total": canary_total,
                 "sf": sf_val,
             },
             separators=(",", ":"),

@@ -26,6 +26,7 @@ def _rendered_contract_line(timings: dict) -> str:
             "value": 99999.999,
             "unit": "sec",
             "queries": timings,
+            "canary_total": 99999.999,
             "sf": 0.1,
         },
         separators=(",", ":"),
@@ -67,7 +68,32 @@ def test_realistic_widths_spill_nothing():
 
 def test_contract_line_has_exactly_the_contract_keys():
     obj = json.loads(_rendered_contract_line({"q1": 1.0}))
-    assert set(obj) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(obj) == {
+        "metric", "value", "unit", "queries", "canary_total", "sf"
+    }
+
+
+def test_canary_set_is_pinned():
+    """The canary's whole point (VERDICT r8 ask #3) is a protocol that
+    NEVER changes: 20 queries, frozen membership. Any edit to the set is
+    a deliberate protocol break that must also update this hash."""
+    import hashlib
+
+    assert len(bench.CANARY) == 20
+    digest = hashlib.md5("|".join(bench.CANARY).encode()).hexdigest()
+    assert digest == "8fc1aed8c2c18b9bca6e05f02ac825f0", (
+        "CANARY membership/order changed — this breaks round-over-round "
+        "canary comparability; revert unless the protocol break is "
+        "deliberate and documented in README"
+    )
+
+
+def test_canary_queries_are_registered():
+    from apache_iceberg_spark.registry import all_queries
+
+    q = all_queries()
+    missing = [n for n in bench.CANARY if n not in q]
+    assert not missing, f"canary names not in registry: {missing}"
 
 
 def test_headline_and_streaming_are_registered():
