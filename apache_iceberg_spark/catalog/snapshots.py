@@ -404,6 +404,21 @@ def merge_branch(
     return version
 
 
+def delete_branch(table_path: str, name: str) -> None:
+    """Nessie ``DROP BRANCH``: the audit-failed half of branch-WAP —
+    abandoning a branch is one ref deletion; its commits stay in the
+    log (addressable by version for forensics) until snapshot expiry /
+    orphan cleanup reclaims them, exactly Nessie's unreachable-commit GC
+    story. ``main`` is protected."""
+    if name == "main":
+        raise ValueError("cannot delete main")
+    refs = _read_refs(table_path)
+    if name not in refs["branches"]:
+        raise ValueError(f"unknown branch {name!r}")
+    del refs["branches"][name]
+    _write_refs(table_path, refs)
+
+
 def list_refs(table_path: str) -> dict:
     """Branches and tags with their pinned versions (Nessie's ref
     listing)."""

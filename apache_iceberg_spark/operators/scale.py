@@ -2002,3 +2002,103 @@ def m29_branch_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag)
         .orderBy("ref")
     )
+
+
+@register(
+    "m30_branch_wap",
+    oracle="""
+        WITH staged AS (SELECT * FROM orders WHERE o_orderkey % 6 = 0)
+        SELECT 'main_rows_after' AS check_name, TRUE AS passed,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'orderkey_not_null',
+               COUNT(*) - COUNT(o_orderkey) = 0,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT)
+        FROM staged
+        UNION ALL
+        SELECT 'price_positive',
+               COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0,
+               CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+        FROM staged
+        UNION ALL
+        SELECT 'rows_nonempty', COUNT(*) > 0, CAST(0 AS BIGINT) FROM staged
+        UNION ALL
+        SELECT 'status_in_domain',
+               COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                          THEN 1 END) = 0,
+               CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                          THEN 1 END) AS BIGINT)
+        FROM staged
+    """,
+    doc="Branch-based write-audit-publish — the workflow Iceberg + "
+    "Nessie actually recommend (and m17 approximated with a staging "
+    "directory): the incoming batch commits to an ISOLATED branch "
+    "(m29's commit_append_ref — main readers cannot observe it), the "
+    "audit pass runs a14's data-contract gates against ONLY the "
+    "branch's delta files (read_incremental from the branch point — "
+    "one scan of the batch, never the table), and publish is "
+    "merge_branch's metadata-only fast-forward iff every gate passes. "
+    "On failure the branch ref is simply deleted (delete_branch) and "
+    "main never moved — the reject path costs zero data operations "
+    "(pytest exercises it with a poisoned batch). Returns the audit "
+    "report plus main's row count AFTER the merge; the oracle "
+    "recomputes the gates over the batch predicate and the published "
+    "total over the whole table, so the publish decision and the "
+    "merged state are both inside the hash.",
+    tags=("scale", "lakehouse", "quality", "nessie"),
+)
+def m30_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        delete_branch,
+        merge_branch,
+        read_incremental,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="bwap_"), "orders")
+    v_main = commit_snapshot(o.filter(F.col("o_orderkey") % 6 != 0), table)
+    create_branch(table, "audit_wap")
+    v_branch = commit_append_ref(
+        o.filter(F.col("o_orderkey") % 6 == 0), table, branch="audit_wap"
+    )
+
+    # Audit scans ONLY the branch delta (the staged batch's files).
+    staged = read_incremental(
+        spark, table, from_version=v_main, to_version=v_branch
+    )
+    bad_status = F.count(
+        F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+    )
+    bad_price = F.count(F.when(F.col("o_totalprice") <= 0, 1))
+    audit_row = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("null_keys"),
+        bad_status.alias("bad_status"),
+        bad_price.alias("bad_price"),
+    ).collect()[0]
+    checks = [
+        ("rows_nonempty", audit_row["n"] > 0, 0),
+        ("orderkey_not_null", audit_row["null_keys"] == 0,
+         audit_row["null_keys"]),
+        ("status_in_domain", audit_row["bad_status"] == 0,
+         audit_row["bad_status"]),
+        ("price_positive", audit_row["bad_price"] == 0,
+         audit_row["bad_price"]),
+    ]
+    if all(passed for _, passed, _ in checks):
+        merge_branch(table, "audit_wap")  # publish: metadata-only ff
+    else:
+        delete_branch(table, "audit_wap")  # reject: one ref deletion
+    n_main = read_ref(spark, table, "main").count()
+    report = checks + [("main_rows_after", True, n_main)]
+    return spark.createDataFrame(
+        [(name, bool(passed), int(viol)) for name, passed, viol in report],
+        "check_name STRING, passed BOOLEAN, n_violations LONG",
+    )

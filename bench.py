@@ -166,6 +166,7 @@ AUX = [
     "a26_benford_profile",
     # round 9
     "m29_branch_tag_scan",
+    "m30_branch_wap",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -492,3 +492,45 @@ def test_pre_ref_linear_history_is_mergeable_ancestry(spark, ref_table):
     )
     merge_branch(ref_table, "fix")
     assert _ids(spark, ref_table, "main") == list(range(13)) + [30]
+
+
+def test_m30_reject_path_abandons_branch_and_main_never_moves(spark):
+    """Branch-WAP's failure half: a poisoned batch (null keys) fails the
+    audit, the branch ref is deleted, and main still serves exactly the
+    pre-commit state."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        delete_branch,
+        list_refs,
+        read_incremental,
+        read_ref,
+    )
+
+    table = tempfile.mkdtemp(prefix="bwap_rej_") + "/t"
+    base = spark.range(10).select(F.col("id").alias("o_orderkey"))
+    v1 = commit_snapshot(base, table)
+    create_branch(table, "audit_wap")
+    poisoned = spark.range(3).select(
+        F.lit(None).cast("long").alias("o_orderkey")
+    )
+    v2 = commit_append_ref(poisoned, table, branch="audit_wap")
+
+    staged = read_incremental(spark, table, from_version=v1, to_version=v2)
+    row = staged.agg(
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("null_keys")
+    ).collect()[0]
+    assert row["null_keys"] == 3  # the audit catches it
+    delete_branch(table, "audit_wap")
+    assert "audit_wap" not in list_refs(table)["branches"]
+    assert read_ref(spark, table, "main").count() == 10
+    with pytest.raises(ValueError, match="unknown"):
+        read_ref(spark, table, "audit_wap")
+
+
+def test_delete_main_is_protected():
+    from apache_iceberg_spark.catalog.snapshots import delete_branch
+
+    with pytest.raises(ValueError, match="main"):
+        delete_branch("/nonexistent", "main")
