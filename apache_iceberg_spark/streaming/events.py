@@ -1487,3 +1487,87 @@ def st18_stream_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = run_stream_to_memory(agg, "st18_m4")
     return spark.table(qname)
+
+
+def _st19_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
+    """st19's core, factored so tests can inspect the table's commit log
+    and refs: returns (table_path, result frame)."""
+    import os
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        merge_branch,
+        read_ref,
+    )
+
+    base = tempfile.mkdtemp(prefix="st19_")
+    src = os.path.join(base, "src")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    # Historical half on main; the other half arrives as a stream.
+    table = os.path.join(base, "events_table")
+    commit_snapshot(ev.filter(F.col("event_id") % 2 == 0), table)
+    create_branch(table, "ingest")
+    ev.filter(F.col("event_id") % 2 == 1).repartition(
+        4, "event_id"
+    ).write.parquet(src)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Each micro-batch is one real append COMMIT on the branch —
+        # snapshot-per-commit streaming ingest, invisible to main.
+        commit_append_ref(batch_df, table, branch="ingest")
+
+    query = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merge_branch(table, "ingest")  # publish the whole ingest at once
+    result = (
+        read_ref(spark, table, "main")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+    return table, result
+
+
+@register(
+    "st19_stream_branch_ingest",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Streaming ingest INTO an isolated branch — m29's ref layer "
+    "driven by a real micro-batch stream (the Nessie continuous-ingest "
+    "workflow): main holds the historical half of events, the other "
+    "half streams in 4 real micro-batches (maxFilesPerTrigger=1), and "
+    "each foreachBatch is one append COMMIT on branch 'ingest' "
+    "(commit_append_ref — snapshot-per-commit, each batch writes only "
+    "its own files and re-references the rest). Main readers see NONE "
+    "of it until the post-stream merge fast-forwards — the atomic-"
+    "publish property a plain append-to-main stream cannot give: "
+    "downstream consumers never observe a half-ingested stream. "
+    "Oracle: the per-type aggregate over ALL events, so the hash "
+    "proves the merged main equals historical + every micro-batch "
+    "with nothing lost or duplicated.",
+    tags=("streaming", "nessie", "incremental"),
+)
+def st19_stream_branch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _st19_run(spark, sf_dir)[1]

@@ -114,6 +114,7 @@ STREAMING = [
     "st16_stream_quality_gate",
     "st17_stream_seasonal_scoring",
     "st18_stream_m4_downsample",
+    "st19_stream_branch_ingest",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail

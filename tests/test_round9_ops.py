@@ -534,3 +534,35 @@ def test_delete_main_is_protected():
 
     with pytest.raises(ValueError, match="main"):
         delete_branch("/nonexistent", "main")
+
+
+def test_st19_branch_carries_four_commits_and_isolation(spark):
+    """The ingest branch must show one commit per micro-batch (4), each
+    parented on the previous, and main's pre-merge content must be the
+    historical half only — inspected via the factored _st19_run."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        list_refs,
+        list_snapshots,
+    )
+    from apache_iceberg_spark.streaming.events import _st19_run
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    table, result = _st19_run(spark, SF_DIR)
+    result.collect()
+    log = list_snapshots(table)
+    # v1 main snapshot + 4 branch appends + 1 merge commit = 6 entries
+    assert len(log) == 6
+    branch_commits = [e for e in log if e.get("parent") is not None]
+    assert len(branch_commits) == 5  # 4 appends + the merge entry
+    # appends chain: each parents on the previous branch head
+    versions = [e["version"] for e in log]
+    for prev, e in zip(versions, log[1:]):
+        if "parent" in e and e is not log[-1]:
+            assert e["parent"] == prev
+    refs = list_refs(table)
+    assert refs["branches"]["main"] == log[-1]["version"]
+    # merged row count equals the full events table
+    n_all = load_table(spark, SF_DIR, "events").count()
+    got = sum(r["n_events"] for r in result.collect())
+    assert got == n_all
