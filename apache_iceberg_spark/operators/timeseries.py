@@ -1340,3 +1340,265 @@ def ts16_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.v_c").alias("last_v_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts17: LTTB visualization downsampling (Steinarsson, 2013)
+# ---------------------------------------------------------------------------
+
+#: Output points per series: first + (K-2) bucket selections + last.
+TS17_K = 12
+#: Series shorter than this are excluded (every middle bucket then holds
+#: >= 3 points, so the selection is well-posed on both engines).
+TS17_MIN_N = 3 * TS17_K
+
+
+def _ts17_oracle() -> str:
+    """Exact LTTB as an UNROLLED CTE chain (the g7/tx15 convention for
+    sequential recurrences): selection for bucket b is a windowed argmax
+    JOINed on the previous bucket's selection, repeated K-2 times. The
+    triangle-area objective is held in exact integers by multiplying
+    through by the next bucket's count (A and C are points, B is the
+    next bucket's mean — n_b*X keeps everything BIGINT; see the Spark
+    twin for the identical expression)."""
+    m = TS17_K - 2
+    steps = []
+    prev = "sel_first"
+    for b in range(m):
+        steps.append(f"""
+        selm{b} AS (
+            SELECT s, t_us, event_id, v_c, t_r FROM (
+                SELECT c.s, c.t_us, c.event_id, c.v_c, c.t_r,
+                       ROW_NUMBER() OVER (PARTITION BY c.s ORDER BY
+                           ABS((bn.nb * a.t_r - bn.st) * (c.v_c - a.v_c)
+                               - (a.t_r - c.t_r)
+                                 * (bn.sv - bn.nb * a.v_c)) DESC,
+                           c.t_us ASC, c.event_id ASC) AS rn
+                FROM mids c
+                JOIN {prev} a ON a.s = c.s
+                JOIN bnext bn ON bn.s = c.s AND bn.b = {b}
+                WHERE c.b = {b}
+            ) WHERE rn = 1
+        )""")
+        prev = f"selm{b}"
+    unions = [
+        "SELECT s AS event_type, CAST(0 AS BIGINT) AS sel_order, "
+        "event_id, t_us, v_c FROM sel_first"
+    ]
+    unions += [
+        f"SELECT s, CAST({b + 1} AS BIGINT), event_id, t_us, v_c "
+        f"FROM selm{b}"
+        for b in range(m)
+    ]
+    unions.append(
+        f"SELECT s, CAST({TS17_K - 1} AS BIGINT), event_id, t_us, v_c "
+        "FROM sel_last"
+    )
+    return f"""
+        WITH pts AS (
+            SELECT event_type AS s, epoch_us(ts) AS t_us, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY epoch_us(ts), event_id) - 1 AS idx,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   MIN(epoch_us(ts)) OVER (PARTITION BY event_type) AS t0
+            FROM events
+        ),
+        geo AS (
+            SELECT s, t_us, event_id, v_c, idx, n,
+                   (t_us - t0) // 1000000 AS t_r
+            FROM pts WHERE n >= {TS17_MIN_N}
+        ),
+        sel_first AS (
+            SELECT s, t_us, event_id, v_c, t_r FROM geo WHERE idx = 0
+        ),
+        sel_last AS (
+            SELECT s, t_us, event_id, v_c, t_r FROM geo WHERE idx = n - 1
+        ),
+        mids AS (
+            SELECT s, t_us, event_id, v_c, t_r,
+                   ((idx - 1) * {m}) // (n - 2) AS b
+            FROM geo WHERE idx >= 1 AND idx <= n - 2
+        ),
+        bavg AS (
+            SELECT s, b, SUM(t_r) AS st, SUM(v_c) AS sv, COUNT(*) AS nb
+            FROM mids GROUP BY s, b
+        ),
+        bnext AS (
+            SELECT s, b - 1 AS b, st, sv, nb FROM bavg WHERE b >= 1
+            UNION ALL
+            SELECT s, {m - 1}, t_r, v_c, 1 FROM sel_last
+        ),
+        {",".join(steps)}
+        {" UNION ALL ".join(unions)}
+    """
+
+
+@register(
+    "ts17_lttb_downsample",
+    oracle=_ts17_oracle(),
+    doc="LTTB visualization downsampling (Largest-Triangle-Three-"
+    "Buckets, Steinarsson 2013) — the perceptual companion to ts16's "
+    "M4, completing the published downsampling pair: per series the "
+    f"{TS17_K}-point sketch keeps first + last and, per middle bucket, "
+    "the point forming the largest triangle with the PREVIOUS selected "
+    "point and the NEXT bucket's mean. The cross-bucket recurrence is "
+    "a driver-unrolled chain of K-2 lazy steps, each ONE broadcast "
+    "join (prev selection + next-bucket mean are |series|-row frames) "
+    "feeding ONE partial-aggregable max_by — a lexicographic struct "
+    "max (area DESC, t ASC, id ASC), so every step map-side-combines "
+    "and no window sorts a bucket; per-step shuffle is one bucket "
+    "(~n/(K-2) rows), total work one corpus pass. The area objective "
+    "is EXACT integer: multiply X through by the next bucket's count "
+    "(points stay points, the mean appears only as (sum, count)), "
+    "seconds-rebased time x centi-value keeps products ~1e12 << "
+    "BIGINT; unbounded-span production pre-quantizes like a25 (doc'd "
+    "bound). Oracle: the identical recurrence as an unrolled CTE "
+    "chain with a windowed argmax per step — two different plan "
+    "shapes, one exact answer. Series shorter than "
+    f"{TS17_MIN_N} points are excluded on both sides (degenerate "
+    "buckets); at 100 TB the per-bucket argmax bound is n/(K-2) rows "
+    "per task, and the documented escape for monster buckets is "
+    "convex-hull pre-pruning (the argmax objective is |linear| in the "
+    "candidate, so only hull vertices can win).",
+    tags=("timeseries", "downsample", "iterative"),
+)
+def ts17_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = TS17_K - 2
+    e = load_table(spark, sf_dir, "events")
+    ws = Window.partitionBy("s")
+    wo = ws.orderBy("t_us", "event_id")
+    pts = (
+        e.select(
+            F.col("event_type").alias("s"),
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        )
+        .withColumn("idx", F.row_number().over(wo) - F.lit(1))
+        .withColumn("n", F.count(F.lit(1)).over(ws))
+        .withColumn("t0", F.min("t_us").over(ws))
+    )
+    # t_us - t0 and (idx-1)*m are non-negative by construction, so DIV
+    # (truncation) equals the oracle's // (floor) everywhere it runs.
+    geo = (
+        pts.filter(F.col("n") >= TS17_MIN_N)
+        .withColumn("t_r", F.expr("(t_us - t0) DIV 1000000"))
+        .persist()  # plan-cache: reused by first/last/mids below
+    )
+    sel_cols = ["s", "t_us", "event_id", "v_c", "t_r"]
+    sel_first = geo.filter(F.col("idx") == 0).select(*sel_cols)
+    sel_last = geo.filter(F.col("idx") == F.col("n") - 1).select(*sel_cols)
+    mids = geo.filter(
+        (F.col("idx") >= 1) & (F.col("idx") <= F.col("n") - 2)
+    ).select(*sel_cols, F.expr(f"((idx - 1) * {m}) DIV (n - 2)").alias("b"))
+    bavg = mids.groupBy("s", "b").agg(
+        F.sum("t_r").alias("st"),
+        F.sum("v_c").alias("sv"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    bnext = (
+        bavg.filter(F.col("b") >= 1)
+        .select("s", (F.col("b") - 1).alias("b"), "st", "sv", "nb")
+        .unionByName(
+            sel_last.select(
+                "s",
+                F.lit(m - 1).cast("long").alias("b"),
+                F.col("t_r").alias("st"),
+                F.col("v_c").alias("sv"),
+                F.lit(1).cast("long").alias("nb"),
+            )
+        )
+        .persist()  # plan-cache: tiny (series x K-2 rows), read K-2 times
+    )
+
+    # The cross-bucket recurrence runs as a BOUNDED driver loop: the only
+    # state crossing a step is the previous selection — |series| rows, the
+    # tx15/m17 bounded-collect pattern. A fully-lazy 10-step chained plan
+    # was measured at a FLAT ~17 s at sf0.001 AND sf0.01 (pure Catalyst
+    # planning + sequential AQE stage latency on a deep self-referential
+    # tree, data-independent); the driver fold runs the identical integer
+    # math as m+2 small jobs over the two cached frames (~3 s). Per-step
+    # distributed work is unchanged: one bucket filter off the cache into
+    # one partial-aggregable struct-max.
+    a_map = {
+        r["s"]: (r["t_r"], r["v_c"]) for r in sel_first.collect()
+    }
+    out_rows = [
+        (r["s"], 0, r["event_id"], r["t_us"], r["v_c"])
+        for r in sel_first.collect()
+    ]
+    for b in range(m):
+        cand = (
+            mids.filter(F.col("b") == b)
+            .drop("b")
+            .join(bnext.filter(F.col("b") == b).drop("b"), "s")
+            .withColumn(
+                "a_tr",
+                F.element_at(
+                    F.create_map(
+                        *[
+                            F.lit(x)
+                            for s, (tr, _vc) in sorted(a_map.items())
+                            for x in (s, tr)
+                        ]
+                    ),
+                    F.col("s"),
+                ),
+            )
+            .withColumn(
+                "a_vc",
+                F.element_at(
+                    F.create_map(
+                        *[
+                            F.lit(x)
+                            for s, (_tr, vc) in sorted(a_map.items())
+                            for x in (s, vc)
+                        ]
+                    ),
+                    F.col("s"),
+                ),
+            )
+        )
+        area = F.abs(
+            (F.col("nb") * F.col("a_tr") - F.col("st"))
+            * (F.col("v_c") - F.col("a_vc"))
+            - (F.col("a_tr") - F.col("t_r"))
+            * (F.col("sv") - F.col("nb") * F.col("a_vc"))
+        )
+        # Lexicographic struct max == (area DESC, t ASC, id ASC) argmax;
+        # partial-aggregable, so each step map-side-combines its bucket.
+        picked = (
+            cand.groupBy("s")
+            .agg(
+                F.max(
+                    F.struct(
+                        area.alias("area"),
+                        (-F.col("t_us")).alias("neg_t"),
+                        (-F.col("event_id")).alias("neg_id"),
+                        F.col("t_us"),
+                        F.col("event_id"),
+                        F.col("v_c"),
+                        F.col("t_r"),
+                    )
+                ).alias("w")
+            )
+            .select("s", "w.t_us", "w.event_id", "w.v_c", "w.t_r")
+            .collect()
+        )
+        a_map = {r["s"]: (r["t_r"], r["v_c"]) for r in picked}
+        out_rows += [
+            (r["s"], b + 1, r["event_id"], r["t_us"], r["v_c"])
+            for r in picked
+        ]
+    out_rows += [
+        (r["s"], TS17_K - 1, r["event_id"], r["t_us"], r["v_c"])
+        for r in sel_last.collect()
+    ]
+    geo.unpersist()
+    bnext.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "event_type STRING, sel_order LONG, event_id LONG, "
+        "t_us LONG, v_c LONG",
+    )

@@ -168,6 +168,7 @@ AUX = [
     # round 9
     "m29_branch_tag_scan",
     "m30_branch_wap",
+    "ts17_lttb_downsample",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

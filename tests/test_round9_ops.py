@@ -566,3 +566,106 @@ def test_st19_branch_carries_four_commits_and_isolation(spark):
     n_all = load_table(spark, SF_DIR, "events").count()
     got = sum(r["n_events"] for r in result.collect())
     assert got == n_all
+
+
+# ---------------------------------------------------------------------------
+# ts17: LTTB downsampling — independent python model
+
+
+def _py_lttb(points, k):
+    """Reference LTTB (Steinarsson 2013) with the registry's exact
+    integer objective — written independently of the Spark plan: points
+    = [(t_us, event_id, v_c)] sorted by (t_us, event_id); returns
+    [(sel_order, event_id, t_us, v_c)]."""
+    n = len(points)
+    m = k - 2
+    t0 = points[0][0]
+
+    def geom(p):
+        return ((p[0] - t0) // 1_000_000, p[2])
+
+    out = [(0, points[0][1], points[0][0], points[0][2])]
+    buckets = [[] for _ in range(m)]
+    for i in range(1, n - 1):
+        buckets[((i - 1) * m) // (n - 2)].append(points[i])
+    a_tr, a_vc = geom(points[0])
+    for b in range(m):
+        if b + 1 < m:
+            nxt = buckets[b + 1]
+            st = sum(geom(p)[0] for p in nxt)
+            sv = sum(p[2] for p in nxt)
+            nb = len(nxt)
+        else:
+            tr, vc = geom(points[-1])
+            st, sv, nb = tr, vc, 1
+        best = None
+        for p in buckets[b]:
+            tr, vc = geom(p)
+            area = abs(
+                (nb * a_tr - st) * (vc - a_vc)
+                - (a_tr - tr) * (sv - nb * a_vc)
+            )
+            key = (area, -p[0], -p[1])
+            if best is None or key > best[0]:
+                best = (key, p)
+        p = best[1]
+        a_tr, a_vc = geom(p)
+        out.append((b + 1, p[1], p[0], p[2]))
+    out.append((k - 1, points[-1][1], points[-1][0], points[-1][2]))
+    return out
+
+
+def test_ts17_matches_independent_python_model(spark):
+    from apache_iceberg_spark.operators.timeseries import (
+        TS17_K,
+        TS17_MIN_N,
+    )
+    from apache_iceberg_spark.registry import REGISTRY
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        )
+        .collect()
+    )
+    by_series = {}
+    for r in ev:
+        by_series.setdefault(r["event_type"], []).append(
+            (r["t_us"], r["event_id"], r["v_c"])
+        )
+    want = set()
+    for s, pts in by_series.items():
+        if len(pts) < TS17_MIN_N:
+            continue
+        pts.sort()
+        for order, eid, tus, vc in _py_lttb(pts, TS17_K):
+            want.add((s, order, eid, tus, vc))
+    got = {
+        (r["event_type"], r["sel_order"], r["event_id"], r["t_us"], r["v_c"])
+        for r in REGISTRY["ts17_lttb_downsample"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) == len(by_series) * TS17_K
+
+
+def test_ts17_first_last_always_kept(spark):
+    from apache_iceberg_spark.operators.timeseries import TS17_K
+    from apache_iceberg_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["ts17_lttb_downsample"].spark(spark, SF_DIR).collect()
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r["event_type"], []).append(r)
+    for s, rs in by_s.items():
+        orders = sorted(r["sel_order"] for r in rs)
+        assert orders == list(range(TS17_K))
+        # selections are strictly time-ordered: first < mids < last
+        ts = [r["t_us"] for r in sorted(rs, key=lambda r: r["sel_order"])]
+        assert ts[0] == min(ts) and ts[-1] == max(ts)
