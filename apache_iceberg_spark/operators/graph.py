@@ -1082,3 +1082,99 @@ def g7b_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev2.unpersist()
         prev2, labels = labels, new
     raise RuntimeError(f"g7b: no fixpoint within {G7B_MAX_ROUNDS} rounds")
+
+
+# --- g8: bounded-hop harmonic centrality -------------------------------------
+
+G8_MAX_HOPS = 3  # distance truncation D (oracle path enumeration is
+# bounded by deg^D per source; the kNN degree cap keeps that ≤ (2·G2_KNN)^3)
+
+
+@register(
+    "g8_harmonic_centrality",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_KNN_EDGES},
+        adj AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM adj),
+        walk(src, node, dist) AS (
+            SELECT node, node, 0 FROM nodes
+            UNION ALL
+            SELECT w.src, a.dst, w.dist + 1
+            FROM walk w JOIN adj a ON a.src = w.node
+            WHERE w.dist < {G8_MAX_HOPS}
+        ),
+        d AS (
+            SELECT src, node, MIN(dist) AS dist
+            FROM walk GROUP BY src, node
+            HAVING MIN(dist) > 0
+        )
+        SELECT src AS l_suppkey,
+               CAST(SUM(1000000 // dist) AS BIGINT) AS h_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_reached
+        FROM d GROUP BY src
+    """,
+    doc=f"Bounded-hop HARMONIC centrality — the distance-based member "
+    "completing the centrality family (g1/g3 eigenvector-flavoured "
+    "PageRank, g6 walk-counting Katz, g8 closeness-flavoured "
+    "harmonic): H(u) = Σ 1/d(u,v) over nodes first reached within "
+    f"{G8_MAX_HOPS} hops, in exact integer micro-units (1000000 DIV d "
+    "— no float division, engine-exact; harmonic handles disconnected "
+    "graphs where classic closeness diverges, which is why the "
+    "truncated form is THE practical centrality at scale, cf. "
+    "HyperBall). Spark shape: g5's delta-frontier BFS generalized to "
+    "ALL sources at once — the frontier is (src, node) pairs, each hop "
+    "one join frontier-to-adjacency + one anti-join against the "
+    "settled set, per-hop work O(|frontier| x deg) with the frontier "
+    "bounded by V x (2·{G2_KNN})^h; first discovery IS the shortest "
+    "distance, so the per-(src,node) min needs no re-aggregation. "
+    "Layers localCheckpoint per the dd6/g5 lineage convention. Oracle: "
+    "bounded path enumeration in a recursive CTE + MIN — different "
+    "algorithm, one exact answer.",
+    tags=("graph", "iterative", "centrality"),
+)
+def g8_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("asrc"), F.col("v").alias("adst")),
+                F.struct(F.col("v").alias("asrc"), F.col("u").alias("adst")),
+            )
+        ).alias("a")
+    ).select("a.asrc", "a.adst")
+    seeds = (
+        adj.select("asrc").distinct()
+        .select(
+            F.col("asrc").alias("src"),
+            F.col("asrc").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    frontier = seeds.localCheckpoint(eager=False)
+    settled = frontier.select("src", "node")
+    reached_layers = []
+    for h in range(1, G8_MAX_HOPS + 1):
+        expanded = (
+            frontier.join(adj, frontier["node"] == adj["asrc"])
+            .select("src", F.col("adst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            expanded.join(settled, ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(h).cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if frontier.isEmpty():
+            break
+        reached_layers.append(frontier)
+        settled = settled.unionByName(frontier.select("src", "node"))
+    out = reached_layers[0]
+    for layer in reached_layers[1:]:
+        out = out.unionByName(layer)
+    return out.groupBy("src").agg(
+        F.sum(F.expr("1000000 DIV dist")).alias("h_micro"),
+        F.count(F.lit(1)).alias("n_reached"),
+    ).select(F.col("src").alias("l_suppkey"), "h_micro", "n_reached")

@@ -169,6 +169,7 @@ AUX = [
     "m29_branch_tag_scan",
     "m30_branch_wap",
     "ts17_lttb_downsample",
+    "g8_harmonic_centrality",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -669,3 +669,52 @@ def test_ts17_first_last_always_kept(spark):
         # selections are strictly time-ordered: first < mids < last
         ts = [r["t_us"] for r in sorted(rs, key=lambda r: r["sel_order"])]
         assert ts[0] == min(ts) and ts[-1] == max(ts)
+
+
+# ---------------------------------------------------------------------------
+# g8: bounded-hop harmonic centrality
+
+
+def test_g8_matches_python_bfs_model(spark):
+    """Full-fixture cross-check against an independent BFS: rebuild the
+    kNN graph edges via the registered helper, run plain python BFS per
+    source, compare harmonic micro-sums."""
+    from collections import deque
+
+    from apache_iceberg_spark.operators.graph import (
+        G8_MAX_HOPS,
+        _knn_edges,
+    )
+    from apache_iceberg_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    edges = _knn_edges(spark, SF_DIR).collect()
+    adj = {}
+    for r in edges:
+        adj.setdefault(r["u"], set()).add(r["v"])
+        adj.setdefault(r["v"], set()).add(r["u"])
+    want = {}
+    for src in adj:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] == G8_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        reached = {v: d for v, d in dist.items() if d > 0}
+        if reached:
+            want[src] = (
+                sum(1_000_000 // d for d in reached.values()),
+                len(reached),
+            )
+    got = {
+        r["l_suppkey"]: (r["h_micro"], r["n_reached"])
+        for r in REGISTRY["g8_harmonic_centrality"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert got == want
