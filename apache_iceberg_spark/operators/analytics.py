@@ -1198,3 +1198,84 @@ def a26_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_A26_CASE).cast("long").alias("benford_micro"),
         F.abs(obs - F.expr(_A26_CASE)).cast("long").alias("abs_dev_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a27: exact balanced range-partition boundaries (equi-depth histogram)
+# ---------------------------------------------------------------------------
+
+A27_BUCKETS = 8
+
+
+@register(
+    "a27_range_partition_bounds",
+    oracle=f"""
+        WITH per_v AS (
+            SELECT o_orderdate AS v, COUNT(*) AS cnt
+            FROM orders GROUP BY o_orderdate
+        ),
+        cum AS (
+            SELECT v, cnt,
+                   SUM(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - cnt AS cum_before,
+                   SUM(cnt) OVER () AS n
+            FROM per_v
+        )
+        SELECT CAST((cum_before * {A27_BUCKETS}) // n AS BIGINT) AS bucket,
+               MIN(v) AS lo_date,
+               MAX(v) AS hi_date,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_values
+        FROM cum
+        GROUP BY 1
+    """,
+    doc=f"EXACT balanced range-partition boundaries — the equi-depth "
+    "dual of a18's equi-width histogram, and the computation behind "
+    "every balanced range write (Spark's RangePartitioner does this "
+    "with SAMPLED quantiles; ANALYZE equi-height stats and Iceberg "
+    "sort-order split planning want it exact): the o_orderdate "
+    f"timeline splits into {A27_BUCKETS} value-contiguous buckets of "
+    "(as-equal-as-possible) row mass, each reported with its "
+    "[lo, hi] bounds, row count and distinct-value count. Assignment "
+    "is bucket(v) = cum_before(v)·B DIV N — pure integers, ties keep "
+    "all copies of a value in one bucket (value-contiguity is what "
+    "makes the bounds usable as partition split points; a hot value "
+    "therefore bulges its bucket, the documented semantics). Scale "
+    "shape: ONE map-side-combined count per distinct value, then the "
+    "cumulative window runs over the DISTINCT-VALUE frame only — "
+    "w12's pre-aggregate trick: o_orderdate's domain is bounded "
+    "(~2.4k days at ANY scale factor), so the single-task window is "
+    "bounded at the domain size, never the row count (an unbounded "
+    "metric would take a25's quantization guard first).",
+    tags=("analytics", "histogram", "partitioning"),
+)
+def a27_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_v = o.groupBy(F.col("o_orderdate").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "v",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return (
+        cum.groupBy(
+            F.expr(f"(cum_before * {A27_BUCKETS}) DIV n").alias("bucket")
+        )
+        .agg(
+            F.min("v").alias("lo_date"),
+            F.max("v").alias("hi_date"),
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+    )

@@ -170,6 +170,7 @@ AUX = [
     "m30_branch_wap",
     "ts17_lttb_downsample",
     "g8_harmonic_centrality",
+    "a27_range_partition_bounds",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

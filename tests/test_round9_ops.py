@@ -718,3 +718,37 @@ def test_g8_matches_python_bfs_model(spark):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# a27: exact balanced range-partition boundaries
+
+
+def test_a27_balance_and_contiguity(spark):
+    """Property check straight from the contract: buckets are value-
+    contiguous (bucket i's hi < bucket i+1's lo), cover every row, and
+    each bucket's mass is within one value's count of the ideal N/B
+    (the best any value-contiguous split can do)."""
+    from apache_iceberg_spark.operators.analytics import A27_BUCKETS
+    from apache_iceberg_spark.registry import REGISTRY
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        REGISTRY["a27_range_partition_bounds"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    o = load_table(spark, SF_DIR, "orders")
+    n_total = o.count()
+    max_value_cnt = (
+        o.groupBy("o_orderdate").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sum(r["n_rows"] for r in rows) == n_total
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_date"] < b["lo_date"]  # contiguous, non-overlapping
+    ideal = n_total / A27_BUCKETS
+    for r in rows:
+        assert r["lo_date"] <= r["hi_date"]
+        # a bucket can exceed the ideal only because a value straddling
+        # the ideal edge must land wholly inside it
+        assert r["n_rows"] < ideal + max_value_cnt
