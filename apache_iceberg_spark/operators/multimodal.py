@@ -311,3 +311,222 @@ def mm9_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_max(transform(fr, s -> abs(s)))").alias("peak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mm10: multimodal (VLM) sequence packing
+# ---------------------------------------------------------------------------
+
+MM10_BUDGET = 512  # context window (tokens per packed sequence)
+MM10_PATCH = 64  # patch tokens one image expands to (ViT-style)
+
+
+@register(
+    "mm10_vlm_sequence_packing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                        AS BIGINT) AS n_toks,
+                   doc_id % 3 AS n_img
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_toks, n_img,
+                   n_toks + n_img * {MM10_PATCH} AS eff,
+                   CAST(SUM(n_toks + n_img * {MM10_PATCH}) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - (n_toks + n_img * {MM10_PATCH}) AS BIGINT) AS st
+            FROM t
+        ),
+        text_spans AS (
+            SELECT doc_id, s.seq_id,
+                   LEAST((s.seq_id + 1) * {MM10_BUDGET}, st + n_toks)
+                     - GREATEST(s.seq_id * {MM10_BUDGET}, st) AS toks
+            FROM c, LATERAL (
+                SELECT UNNEST(range(st // {MM10_BUDGET},
+                                    (st + n_toks - 1) // {MM10_BUDGET} + 1))
+                       AS seq_id
+            ) s
+            WHERE n_toks > 0
+        ),
+        img_blocks AS (
+            SELECT doc_id,
+                   st + n_toks + (i.i - 1) * {MM10_PATCH} AS blo
+            FROM c, LATERAL (
+                SELECT UNNEST(range(1, CAST(n_img AS BIGINT) + 1)) AS i
+            ) i
+            WHERE n_img > 0
+        ),
+        img_spans AS (
+            SELECT doc_id, s.seq_id,
+                   LEAST((s.seq_id + 1) * {MM10_BUDGET},
+                         blo + {MM10_PATCH})
+                     - GREATEST(s.seq_id * {MM10_BUDGET}, blo) AS toks,
+                   CASE WHEN s.seq_id = blo // {MM10_BUDGET}
+                             AND blo // {MM10_BUDGET}
+                                 <> (blo + {MM10_PATCH} - 1)
+                                     // {MM10_BUDGET}
+                        THEN 1 ELSE 0 END AS split_here
+            FROM img_blocks, LATERAL (
+                SELECT UNNEST(range(blo // {MM10_BUDGET},
+                                    (blo + {MM10_PATCH} - 1)
+                                        // {MM10_BUDGET} + 1)) AS seq_id
+            ) s
+        ),
+        contrib AS (
+            SELECT seq_id, doc_id, toks, CAST(0 AS BIGINT) AS img_toks,
+                   CAST(0 AS BIGINT) AS split_here
+            FROM text_spans
+            UNION ALL
+            SELECT seq_id, doc_id, CAST(0 AS BIGINT), toks, split_here
+            FROM img_spans
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS text_toks,
+               CAST(SUM(img_toks) AS BIGINT) AS image_toks,
+               CAST(SUM(split_here) AS BIGINT) AS split_image_blocks
+        FROM contrib
+        GROUP BY seq_id
+    """,
+    doc=f"Multimodal (VLM) sequence packing — pp2's concat-and-chunk "
+    "generalized to interleaved modalities, the batch-builder shape a "
+    "vision-language training loader needs: each document's effective "
+    f"length is text tokens + n_images x {MM10_PATCH} patch tokens "
+    "(images as fixed patch-token blocks laid out after the text; "
+    "n_images is the mm-family's deterministic fake for the absent "
+    "image column — the plumbing is real, the decode is stubbed), "
+    "documents concatenate in doc_id order and slice into "
+    f"{MM10_BUDGET}-token windows via the SAME two-level distributed "
+    "prefix sum as pp2 (two shuffles + a broadcast at any corpus "
+    "size, never a global ordered window). Per sequence the report "
+    "carries the modality budget split (text vs patch tokens, doc "
+    "count) plus split_image_blocks — the count of patch blocks "
+    "straddling a boundary, THE diagnostic motivating atomic-image "
+    "packing (production bumps a straddling block to the next "
+    "sequence with padding, m28's bin-packing shape; the counter "
+    "measures exactly how much padding that would cost). All "
+    "integer; oracle mirrors with a naive global window + LATERAL "
+    "UNNEST spans.",
+    tags=("multimodal", "llm", "packing"),
+)
+def mm10_vlm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from apache_iceberg_spark.tables import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        (F.col("doc_id") % 3).cast("long").alias("n_img"),
+        (F.col("doc_id") / 128).cast("long").alias("bucket"),
+    ).withColumn(
+        "eff", F.col("n_toks") + F.col("n_img") * MM10_PATCH
+    )
+    # pp2's two-level distributed prefix sum over EFFECTIVE lengths.
+    within = F.sum("eff").over(
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = t.withColumn("within_cum", within)
+    btot = t.groupBy("bucket").agg(F.sum("eff").alias("btot"))
+    bprefix = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("btot").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("bprefix"),
+    )
+    c = per_doc.join(F.broadcast(bprefix), "bucket").select(
+        "doc_id",
+        "n_toks",
+        "n_img",
+        (F.col("within_cum") + F.col("bprefix") - F.col("eff")).alias("st"),
+    )
+
+    B, P = MM10_BUDGET, MM10_PATCH
+    text_spans = (
+        c.filter(F.col("n_toks") > 0)
+        .select(
+            "doc_id",
+            "st",
+            "n_toks",
+            F.explode(
+                F.sequence(
+                    F.expr(f"st DIV {B}"),
+                    F.expr(f"(st + n_toks - 1) DIV {B}"),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            "doc_id",
+            (
+                F.least(
+                    (F.col("seq_id") + 1) * B, F.col("st") + F.col("n_toks")
+                )
+                - F.greatest(F.col("seq_id") * B, F.col("st"))
+            ).alias("toks"),
+            F.lit(0).cast("long").alias("img_toks"),
+            F.lit(0).cast("long").alias("split_here"),
+        )
+    )
+    img_spans = (
+        c.filter(F.col("n_img") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_img"))).alias("i"),
+            (
+                F.col("st") + F.col("n_toks") + (F.col("i") - 1) * P
+            ).alias("blo"),
+        )
+        .select(
+            "doc_id",
+            "blo",
+            F.explode(
+                F.sequence(
+                    F.expr(f"blo DIV {B}"),
+                    F.expr(f"(blo + {P} - 1) DIV {B}"),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            "doc_id",
+            F.lit(0).cast("long").alias("toks"),
+            (
+                F.least((F.col("seq_id") + 1) * B, F.col("blo") + P)
+                - F.greatest(F.col("seq_id") * B, F.col("blo"))
+            ).alias("img_toks"),
+            F.when(
+                (F.col("seq_id") == F.expr(f"blo DIV {B}"))
+                & (
+                    F.expr(f"blo DIV {B}")
+                    != F.expr(f"(blo + {P} - 1) DIV {B}")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("split_here"),
+        )
+    )
+    return (
+        text_spans.unionByName(img_spans)
+        .groupBy("seq_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("toks").alias("text_toks"),
+            F.sum("img_toks").alias("image_toks"),
+            F.sum("split_here").alias("split_image_blocks"),
+        )
+    )

@@ -171,6 +171,7 @@ AUX = [
     "ts17_lttb_downsample",
     "g8_harmonic_centrality",
     "a27_range_partition_bounds",
+    "mm10_vlm_sequence_packing",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

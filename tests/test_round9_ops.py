@@ -752,3 +752,47 @@ def test_a27_balance_and_contiguity(spark):
         # a bucket can exceed the ideal only because a value straddling
         # the ideal edge must land wholly inside it
         assert r["n_rows"] < ideal + max_value_cnt
+
+
+# ---------------------------------------------------------------------------
+# mm10: VLM sequence packing
+
+
+def test_mm10_conservation_and_split_accounting(spark):
+    """Invariants straight from the packing model: (1) token mass is
+    conserved — per-seq text+image sums equal the corpus totals; (2)
+    every sequence except the last is exactly full; (3) every split
+    image block contributes patch tokens to exactly two adjacent
+    sequences, so sum(split) equals the number of blocks whose tokens
+    landed in two sequences."""
+    from apache_iceberg_spark.operators.multimodal import (
+        MM10_BUDGET,
+        MM10_PATCH,
+    )
+    from apache_iceberg_spark.registry import REGISTRY
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        REGISTRY["mm10_vlm_sequence_packing"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("nt"),
+        (F.col("doc_id") % 3).alias("ni"),
+    )
+    tot = d.agg(
+        F.sum("nt").alias("text"), F.sum(F.col("ni") * MM10_PATCH).alias("img")
+    ).collect()[0]
+    assert sum(r["text_toks"] for r in rows) == tot["text"]
+    assert sum(r["image_toks"] for r in rows) == tot["img"]
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["text_toks"] + r["image_toks"] == MM10_BUDGET
+    assert rows[-1]["text_toks"] + rows[-1]["image_toks"] <= MM10_BUDGET
+    # split accounting: total patch mass = 64 * n_blocks; blocks split
+    # across two sequences are counted once, in the sequence they start in
+    n_blocks = d.agg(F.sum("ni")).collect()[0][0]
+    assert sum(r["split_image_blocks"] for r in rows) <= n_blocks
+    assert any(r["split_image_blocks"] > 0 for r in rows)
