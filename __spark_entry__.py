@@ -82,6 +82,7 @@ RECHECK = frozenset({
     "g7_lpa_communities",    # loop factored into _g7_setup/_g7_round
     "ann10_ivf_pq_rerank",   # ann11 helpers factored for ann20 reuse
     "ann11_trained_ivf",     # same refactor; ann20 shares its oracle
+    "ann9_ivf_pq",           # oracle factored to _ANN9_ORACLE (ann21 shares)
     "ann19_radius_search",   # prune bound padded 1e-9 (ADVICE r8)
     "m5_time_travel_versions",      # snapshots.py partition_by/basePath
     "m11_incremental_append_scan",  # same commit/read path changes

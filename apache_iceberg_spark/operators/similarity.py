@@ -1074,9 +1074,10 @@ _IVF_PQ_CTES = f"""n AS (
         )"""
 
 
-@register(
-    "ann9_ivf_pq",
-    oracle=f"""
+#: ann9's full IVFADC oracle — shared VERBATIM by ann21, whose
+#: storage-roundtrip ADC serving must produce ann9's exact in-session
+#: answer (the ann11/ann20 sharing convention).
+_ANN9_ORACLE = f"""
         WITH {_IVF_PQ_CTES}
         SELECT query_id, neighbor_id, adc2_micro,
                sqrt(CAST(adc2_micro AS DOUBLE) / {PQ_MICRO}) AS adc_dist
@@ -1085,7 +1086,12 @@ _IVF_PQ_CTES = f"""n AS (
                 PARTITION BY query_id ORDER BY adc2_micro, neighbor_id
             ) AS rn FROM adc
         ) WHERE rn <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "ann9_ivf_pq",
+    oracle=_ANN9_ORACLE,
     doc=f"IVF + PQ — the composition production ANN indexes actually ship "
     f"(FAISS IVFADC): ann3's coarse quantizer prunes the corpus to the "
     f"query's {N_PROBE} probed cells of {K_CELLS}, and ann6's product-"
@@ -3582,3 +3588,272 @@ def ann20_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     root = tempfile.mkdtemp(prefix="ann20_")
     cpath, kpath = build_ivf_index(spark, sf_dir, root)
     return serve_from_index(spark, sf_dir, cpath, kpath)
+
+
+# --- ann21: PQ-compressed persisted index (stored codes + codebook) ---------
+#
+# ann20 persists IVF-Flat postings — full vectors per cell. At 100 TB the
+# production index stores CODES, not vectors (FAISS IVFADC on disk): the
+# corpus compresses PQ_M bytes/vector into a codes table, the codebook and
+# coarse cells are KB-scale model tables, and serving reconstructs ADC
+# scores from storage alone. Layout:
+#   <root>/cells/     coarse-quantizer rows (cell_id, emb, norm) — the
+#                     corpus-row cells ann3/ann9 use (overwrite commit)
+#   <root>/codebook/  PQ codewords (m, k, cv) (overwrite commit)
+#   <root>/codes/     (vec_id, m, k) hive-partitioned by cell_id; v1 holds
+#                     vec_id % 4 != 3, the rest arrives as an APPEND commit
+# Oracle = ann9's verbatim: the storage roundtrip must reproduce the
+# in-session IVFADC answer exactly (integer micro ADC + parquet-exact
+# doubles make that bitwise).
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, root: str):
+    """Commit the complete IVFADC index (cells + codebook + codes) to
+    ``root``; returns (cells_path, codebook_path, codes_path)."""
+    import os
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+    )
+
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    )
+    cells_path = os.path.join(root, "cells")
+    commit_snapshot(
+        n.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + K_CELLS)
+        ).select(
+            (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        ),
+        cells_path,
+    )
+
+    sub = e.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(
+            f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+            "x -> CAST(x AS DOUBLE))"
+        ).alias("sv"),
+    )
+    codebook_path = os.path.join(root, "codebook")
+    commit_snapshot(
+        sub.filter(F.col("vec_id") < PQ_TRAIN).select(
+            F.col("vec_id").alias("k"), "m", F.col("sv").alias("cv")
+        ),
+        codebook_path,
+    )
+
+    # Cell assignment: ann9's corpus-row top-1 (identical fold).
+    cents = F.broadcast(
+        n.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + K_CELLS)
+        )
+        .select(
+            F.struct(
+                (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    cos = (
+        _SPARK_DOT.format(a="embedding", b="ce.c_emb") + " / (norm * ce.c_norm)"
+    )
+    top2 = (
+        "aggregate(cents, named_struct("
+        "'c1', CAST(-2.0 AS DOUBLE), 'l1', CAST(-1 AS BIGINT), "
+        "'c2', CAST(-2.0 AS DOUBLE), 'l2', CAST(-1 AS BIGINT)), "
+        "(st, ce) -> CASE "
+        f"WHEN ({cos}) > st.c1 THEN named_struct("
+        f"'c1', ({cos}), 'l1', ce.cell_id, 'c2', st.c1, 'l2', st.l1) "
+        f"WHEN ({cos}) > st.c2 THEN named_struct("
+        f"'c1', st.c1, 'l1', st.l1, 'c2', ({cos}), 'l2', ce.cell_id) "
+        "ELSE st END)"
+    )
+    assign = (
+        n.crossJoin(cents)
+        .withColumn("t2", F.expr(top2))
+        .select("vec_id", F.col("t2.l1").alias("cell_id"))
+    )
+    csub = F.broadcast(
+        sub.filter(F.col("vec_id") < PQ_TRAIN).select(
+            F.col("vec_id").alias("k"), "m", F.col("sv").alias("cv")
+        )
+    )
+    d2 = F.expr(_SPARK_L2.format(a="sv", b="cv"))
+    codes = (
+        sub.join(csub, "m")
+        .select("vec_id", "m", "k", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("k", F.struct("d2", "k")).alias("k"))
+        .join(assign, "vec_id")
+    )
+    codes_path = os.path.join(root, "codes")
+    commit_snapshot(
+        codes.filter(F.col("vec_id") % ANN20_SPLIT_MOD != ANN20_SPLIT_MOD - 1),
+        codes_path,
+        partition_by=["cell_id"],
+    )
+    commit_append(
+        codes.filter(F.col("vec_id") % ANN20_SPLIT_MOD == ANN20_SPLIT_MOD - 1),
+        codes_path,
+        partition_by=["cell_id"],
+    )
+    return cells_path, codebook_path, codes_path
+
+
+def serve_adc_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    cells_path: str,
+    codebook_path: str,
+    codes_path: str,
+) -> DataFrame:
+    """ann9-equivalent IVFADC serving with NO index lineage in the plan:
+    cells, codebook, and codes come only from the stored snapshot
+    tables; the corpus is touched ONLY to read the query vectors. Probe
+    cells resolve driver-side (bounded N_QUERIES x N_PROBE collect) into
+    a literal partition predicate on the codes scan — at 100 TB a query
+    batch reads nprobe/k of the CODES (already 32x smaller than the
+    vectors) and nothing else."""
+    from apache_iceberg_spark.catalog.snapshots import read_snapshot_dirs
+
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    nq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})").alias(
+            "norm"
+        ),
+    )
+    cents = F.broadcast(
+        read_snapshot_dirs(spark, cells_path)
+        .select(F.struct("cell_id", "c_emb", "c_norm").alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    cos = (
+        _SPARK_DOT.format(a="embedding", b="ce.c_emb") + " / (norm * ce.c_norm)"
+    )
+    top2 = (
+        "aggregate(cents, named_struct("
+        "'c1', CAST(-2.0 AS DOUBLE), 'l1', CAST(-1 AS BIGINT), "
+        "'c2', CAST(-2.0 AS DOUBLE), 'l2', CAST(-1 AS BIGINT)), "
+        "(st, ce) -> CASE "
+        f"WHEN ({cos}) > st.c1 THEN named_struct("
+        f"'c1', ({cos}), 'l1', ce.cell_id, 'c2', st.c1, 'l2', st.l1) "
+        f"WHEN ({cos}) > st.c2 THEN named_struct("
+        f"'c1', st.c1, 'l1', st.l1, 'c2', ({cos}), 'l2', ce.cell_id) "
+        "ELSE st END)"
+    )
+    assert N_PROBE == 2, "serve_adc_from_index explodes (l1, l2)"
+    probes = (
+        nq.crossJoin(cents)
+        .withColumn("t2", F.expr(top2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array("t2.l1", "t2.l2")).alias("cell_id"),
+        )
+    )
+    probe_rows = probes.collect()  # bounded: N_QUERIES * N_PROBE rows
+    cells = sorted({int(r["cell_id"]) for r in probe_rows})
+
+    # Per-query ADC lookup tables from the STORED codebook.
+    qsub = nq.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        "embedding",
+    ).select(
+        "query_id",
+        "m",
+        F.expr(
+            f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+            "x -> CAST(x AS DOUBLE))"
+        ).alias("qv"),
+    )
+    csub = F.broadcast(read_snapshot_dirs(spark, codebook_path))
+    qd = F.broadcast(
+        qsub.join(csub, "m").select(
+            "query_id",
+            "m",
+            "k",
+            F.round(F.expr(_SPARK_L2.format(a="qv", b="cv")) * PQ_MICRO)
+            .cast("long")
+            .alias("qd2_micro"),
+        )
+    )
+
+    codes = read_snapshot_dirs(spark, codes_path)
+    # Literal isin on the hive partition column → static pruning.
+    codes = codes.filter(F.col("cell_id").isin(cells)).withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["query_id"]), int(r["cell_id"])) for r in probe_rows],
+            "query_id LONG, cell_id LONG",
+        )
+    )
+    adc = (
+        codes.join(probe_df, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(qd, ["query_id", "m", "k"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2_micro").alias("adc2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc2_micro", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc2_micro",
+            F.sqrt(F.col("adc2_micro").cast("double") / PQ_MICRO).alias(
+                "adc_dist"
+            ),
+        )
+    )
+
+
+@register(
+    "ann21_pq_index_persist",
+    oracle=_ANN9_ORACLE,
+    doc=f"PQ-COMPRESSED index persistence — ann20's storage story in the "
+    "form a 100 TB deployment actually ships (FAISS IVFADC on disk): "
+    f"the stored postings are {PQ_M}-byte CODES, not vectors (32x "
+    "smaller), beside KB-scale cells and codebook model tables; codes "
+    "are hive-partitioned by cell_id with the vec_id % 4 == 3 batch "
+    "arriving as a real APPEND commit. Serving reconstructs the full "
+    "IVFADC dataflow from storage alone — stored cells drive the "
+    "probe fold, the stored codebook builds the per-query integer "
+    "lookup tables, and the codes scan statically prunes to the "
+    "probed cell directories via a literal partition predicate; the "
+    "corpus is read ONLY for the query vectors. Oracle = ann9's "
+    "verbatim: integer micro ADC + parquet-exact doubles make the "
+    "roundtrip bitwise. Compression x pruning is the point: a serving "
+    "job reads nprobe/k of a corpus already 32x compressed.",
+    tags=("similarity", "llm", "embedding", "quantize", "index", "snapshot"),
+)
+def ann21_pq_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ann21_")
+    cells, book, codes = build_pq_index(spark, sf_dir, root)
+    return serve_adc_from_index(spark, sf_dir, cells, book, codes)

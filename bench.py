@@ -172,6 +172,7 @@ AUX = [
     "g8_harmonic_centrality",
     "a27_range_partition_bounds",
     "mm10_vlm_sequence_packing",
+    "ann21_pq_index_persist",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
