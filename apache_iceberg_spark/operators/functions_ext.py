@@ -1144,3 +1144,73 @@ def ts15_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "utilization_micro"
         ),
     )
+
+
+@register(
+    "f15_lambda_funcs",
+    oracle="""
+        WITH q AS (
+            SELECT l_orderkey,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                       ORDER BY CAST(l_quantity AS BIGINT), l_linenumber)
+                       AS r,
+                   COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+            FROM lineitem
+        ),
+        pal AS (
+            SELECT a.l_orderkey,
+                   SUM(a.qty * b.qty) AS alt_dot
+            FROM q a JOIN q b
+              ON b.l_orderkey = a.l_orderkey AND b.r = a.n + 1 - a.r
+            GROUP BY a.l_orderkey
+        )
+        SELECT q.l_orderkey,
+               CAST(SUM(qty) AS BIGINT) AS total_qty,
+               CAST(COUNT(CASE WHEN qty > 40 THEN 1 END) AS BIGINT)
+                   AS n_over_40,
+               MAX(qty) > 40 AS has_over_40,
+               MIN(qty) > 0 AS all_positive,
+               CAST(MIN(pal.alt_dot) AS BIGINT) AS alt_dot
+        FROM q JOIN pal ON pal.l_orderkey = q.l_orderkey
+        GROUP BY q.l_orderkey
+    """,
+    doc="Higher-order lambda function surface — the §2.7 headroom row "
+    "for Spark's array lambdas, each consumed into a scalar digest so "
+    "the oracle can state the same fact relationally: per order the "
+    "sorted quantity array runs through aggregate (fold to a sum), "
+    "filter+size (count over 40), exists / forall (the boolean "
+    "quantifiers), and zip_with against its own reverse (the "
+    "palindrome dot product — every element pairs its mirror, so the "
+    "lambda's index alignment is what the hash checks; ties among "
+    "equal quantities cannot perturb it because mirrored VALUES are "
+    "tie-invariant). All integer; arrays built with sort_array so the "
+    "fold order is total. The oracle has no lambdas — plain grouped "
+    "aggregates plus a rank/mirror-rank self-join state identical "
+    "facts, so the two engines cross-check semantics, not syntax.",
+    tags=("functions", "lambda", "arrays"),
+)
+def f15_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = (
+        li.select(
+            "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("qty")).alias("arr"))
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.expr(
+            "aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("total_qty"),
+        F.size(F.expr("filter(arr, x -> x > 40)"))
+        .cast("long")
+        .alias("n_over_40"),
+        F.expr("exists(arr, x -> x > 40)").alias("has_over_40"),
+        F.expr("forall(arr, x -> x > 0)").alias("all_positive"),
+        F.expr(
+            "aggregate(zip_with(arr, reverse(arr), (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("alt_dot"),
+    )

@@ -260,3 +260,55 @@ def s17_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "docs")
     d.write.mode("overwrite").orc(path)
     return spark.read.schema(d.schema).orc(path).select(*_DOC_COLS)
+
+
+@register(
+    "s18_dynamic_partition_overwrite",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2
+                    ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               END AS price_cents
+        FROM orders
+    """,
+    doc="Dynamic partition overwrite — the lakehouse write mode that "
+    "makes daily partition restatement affordable (Spark's "
+    "partitionOverwriteMode=dynamic; Iceberg's overwrite-by-filter is "
+    "the same contract): the full table lands hive-partitioned by "
+    "o_orderstatus, then a corrected batch containing ONLY status-'P' "
+    "rows (prices doubled) overwrites in dynamic mode — the writer "
+    "replaces exactly the partitions present in the incoming data and "
+    "leaves 'O'/'F' untouched (static mode would truncate the whole "
+    "table first, the classic data-loss foot-gun this mode exists to "
+    "fix). At 100 TB the restatement writes one partition's bytes, "
+    "never the table's. The final read proves both halves: untouched "
+    "partitions serve their ORIGINAL files, the corrected partition "
+    "serves the new ones; the oracle recomputes the same end state "
+    "from the raw table with a CASE.",
+    tags=("sources", "write", "partition"),
+)
+def s18_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="dynpo_"), "orders")
+    o.write.partitionBy("o_orderstatus").parquet(path)
+    corrected = o.filter(F.col("o_orderstatus") == "P").withColumn(
+        "price_cents", F.col("price_cents") * 2
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select(
+        "o_orderkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        "price_cents",
+    )

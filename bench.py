@@ -173,6 +173,8 @@ AUX = [
     "a27_range_partition_bounds",
     "mm10_vlm_sequence_packing",
     "ann21_pq_index_persist",
+    "f15_lambda_funcs",
+    "s18_dynamic_partition_overwrite",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -848,3 +848,46 @@ def test_ann21_codes_scan_prunes_to_probed_cells(spark):
     assert len(parts) > 2  # index has several cells...
     # ...and the serving plan's PartitionFilters include an isin/IN list
     assert "IN" in plan or "isin" in plan or "cell_id#" in plan
+
+
+# ---------------------------------------------------------------------------
+# s18: dynamic partition overwrite
+
+
+def test_s18_dynamic_mode_leaves_untouched_partition_files(spark):
+    """The mode's defining property: partitions absent from the incoming
+    batch keep their ORIGINAL data files byte-for-byte; only the touched
+    partition's files are replaced (static mode would truncate all)."""
+    import glob
+    import os
+
+    base = tempfile.mkdtemp(prefix="s18_test_") + "/t"
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", i * 10) for i in range(20)],
+        "id LONG, part STRING, v LONG",
+    )
+    df.write.partitionBy("part").parquet(base)
+
+    def files(p):
+        return sorted(
+            (f, os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{base}/part={p}/*.parquet")
+        )
+
+    a_before, b_before = files("A"), files("B")
+    (
+        df.filter(F.col("part") == "B")
+        .withColumn("v", F.col("v") + 1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(base)
+    )
+    assert files("A") == a_before  # untouched partition: identical files
+    assert files("B") != b_before  # restated partition: new files
+    got = {
+        (r["id"], r["v"])
+        for r in spark.read.parquet(base).collect()
+    }
+    want = {(i, i * 10 + (0 if i % 2 == 0 else 1)) for i in range(20)}
+    assert got == want
