@@ -1070,8 +1070,20 @@ def g7b_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(G7B_MAX_ROUNDS):
         new = _g7_round(dirs, labels, w).persist()
         if _differs(new, labels) == 0:
+            # Converged: checkpoint the (tiny) answer so every cached
+            # frame it derives from can be released before returning —
+            # the full persist-lifecycle convention (the pre-fix shape
+            # leaked `labels`/`prev2` on this path, caught by the
+            # test_round7 AST audit).
+            result = new.select(
+                "node", F.col("lbl").alias("community")
+            ).localCheckpoint()
+            new.unpersist()
+            labels.unpersist()
+            if prev2 is not None:
+                prev2.unpersist()
             dirs.unpersist()
-            return new.select("node", F.col("lbl").alias("community"))
+            return result
         if prev2 is not None and _differs(new, prev2) == 0:
             raise RuntimeError(
                 "g7b: synchronous LPA entered a 2-cycle on this graph; "
