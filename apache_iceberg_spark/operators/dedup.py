@@ -1980,3 +1980,158 @@ def dd20_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "margin",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd21: content-defined chunking dedup (round 9)
+# ---------------------------------------------------------------------------
+
+DD21_DIV = 16  # boundary probability 1/16 → ~16-word expected chunks
+DD21_WIN = 3  # words in the rolling boundary window
+DD21_MAX_DUP_MICRO = 500_000  # keep docs under 50% duplicated word mass
+
+
+@register(
+    "dd21_cdc_chunk_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+        ),
+        pos AS (
+            SELECT doc_id,
+                   unnest(toks) AS w,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM toks
+        ),
+        flagged AS (
+            SELECT doc_id, w, pos,
+                   CASE WHEN pos >= {DD21_WIN}
+                        AND {DUCK_HEX2INT.format(
+                            s="concat_ws(' ', "
+                            "lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos), "
+                            "lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos), "
+                            "w)"
+                        )} % {DD21_DIV} = 0
+                        THEN 1 ELSE 0 END AS boundary
+            FROM pos
+        ),
+        chunked AS (
+            SELECT doc_id, w, pos,
+                   SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - boundary AS chunk_id
+            FROM flagged
+        ),
+        chunks AS (
+            SELECT doc_id, chunk_id,
+                   {DUCK_HEX2INT.format(s="string_agg(w, ' ' ORDER BY pos)")}
+                       AS ck,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM chunked GROUP BY doc_id, chunk_id
+        ),
+        dup AS (
+            SELECT ck FROM chunks GROUP BY ck
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN d.ck IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dup_chunks,
+               CAST(SUM(CASE WHEN d.ck IS NOT NULL THEN c.n_words ELSE 0 END)
+                    * 1000000 // SUM(c.n_words) AS BIGINT)
+                   AS dup_word_micro,
+               SUM(CASE WHEN d.ck IS NOT NULL THEN c.n_words ELSE 0 END)
+                   * 1000000 // SUM(c.n_words)
+                   <= {DD21_MAX_DUP_MICRO} AS keep
+        FROM chunks c LEFT JOIN dup d USING (ck)
+        GROUP BY c.doc_id
+    """,
+    doc=f"Content-defined chunking dedup — the backup-industry CDC idea "
+    "(Rabin-style rolling boundaries) applied to training text, the "
+    "SCALE-PATH complement of dd19's every-position spans: a chunk "
+    f"boundary falls wherever the {DD21_WIN}-word rolling window's "
+    f"60-bit md5 is 0 mod {DD21_DIV}, so chunk edges are determined "
+    "by CONTENT, not position — an insertion shifts every fixed-stride "
+    "span key after it, but CDC chunks resynchronize at the next "
+    "boundary and all downstream chunks keep their keys (pytest proves "
+    "it on a prefix-inserted twin). Cost: ~n/16 disjoint chunk keys "
+    "per doc where dd19 shuffles n overlapping span keys — 16x fewer "
+    "shuffle bytes for the same cross-doc duplicated-mass verdict. "
+    "Per-doc windows are doc-length-bounded (tx13's bound); the "
+    "duplicated-chunk set is one partial+final distinct-doc count; "
+    f"keep gates at {DD21_MAX_DUP_MICRO / 10000:.0f}% duplicated word "
+    "mass in exact micro-units.",
+    tags=("dedup", "text", "llm", "quality"),
+)
+def dd21_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.expr(_SPARK_TOKENS)).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    win_key = (
+        "concat_ws(' ', lag_w2, lag_w1, w)"
+    )
+    flagged = (
+        pos.withColumn("lag_w1", F.lag("w", 1).over(wd))
+        .withColumn("lag_w2", F.lag("w", 2).over(wd))
+        .withColumn(
+            "boundary",
+            F.when(
+                (F.col("pos") >= DD21_WIN)
+                & (
+                    F.expr(SPARK_HEX2INT.format(s=win_key)) % DD21_DIV
+                    == 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    chunked = flagged.withColumn(
+        "chunk_id",
+        F.sum("boundary").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("boundary"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.expr(
+            SPARK_HEX2INT.format(
+                s="array_join(transform(array_sort("
+                "collect_list(struct(pos, w))), s -> s.w), ' ')"
+            )
+        ).alias("ck"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    dup = (
+        chunks.groupBy("ck")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ck", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        chunks.join(dup, "ck", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("n_words"))
+                .otherwise(0)
+            ).alias("dup_words"),
+            F.sum("n_words").alias("n_words"),
+        )
+    )
+    micro = F.expr("dup_words * 1000000 DIV n_words")
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "dup_chunks",
+        micro.cast("long").alias("dup_word_micro"),
+        (micro <= DD21_MAX_DUP_MICRO).alias("keep"),
+    )

@@ -175,6 +175,7 @@ AUX = [
     "ann21_pq_index_persist",
     "f15_lambda_funcs",
     "s18_dynamic_partition_overwrite",
+    "dd21_cdc_chunk_dedup",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -891,3 +891,55 @@ def test_s18_dynamic_mode_leaves_untouched_partition_files(spark):
     }
     want = {(i, i * 10 + (0 if i % 2 == 0 else 1)) for i in range(20)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dd21: content-defined chunking dedup
+
+
+def test_dd21_cdc_resynchronizes_after_insertion(spark, tmp_path):
+    """CDC's defining property: prefix-inserting words into a copy of a
+    document shifts every position, yet the chunk keys RESYNCHRONIZE at
+    the first content boundary — both docs flag a large duplicated word
+    mass. A fixed-stride disjoint chunking would share (almost) nothing."""
+    import os
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    words = [f"w{(i * 7919) % 611}" for i in range(400)]
+    base = " ".join(words)
+    shifted = "zzz qqq " + base  # 2-word insertion at the front
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(0, base, "en", "crawl"), (1, shifted, "en", "crawl")],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["dd21_cdc_chunk_dedup"].spark(spark, sf).collect()
+    }
+    # both docs should see most of their word mass in shared chunks
+    assert rows[0]["dup_word_micro"] > 800_000
+    assert rows[1]["dup_word_micro"] > 800_000
+    assert not rows[0]["keep"] and not rows[1]["keep"]
+
+
+def test_dd21_unique_corpus_is_all_kept(spark, tmp_path):
+    import os
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [
+            (i, " ".join(f"u{i}x{j}" for j in range(60)), "en", "crawl")
+            for i in range(4)
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = REGISTRY["dd21_cdc_chunk_dedup"].spark(spark, sf).collect()
+    assert all(r["dup_chunks"] == 0 and r["keep"] for r in rows)
