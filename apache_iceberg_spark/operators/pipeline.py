@@ -3565,3 +3565,149 @@ def dc2_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pp17: DSIR-style importance resampling (round 9)
+# ---------------------------------------------------------------------------
+
+PP17_BUCKETS = 1024  # hashed-unigram feature space (DSIR's hashed n-grams)
+PP17_TARGET = ("src1", "src2")  # the target-domain sources
+PP17_CAP_X = 4  # keep probability = min(1, score / (CAP_X * mean score))
+
+_PP17_DUCK_TOK = DUCK_HEX2INT.format(
+    s=r"unnest(string_split_regex(lower(trim(text)), '\s+'))"
+)
+_PP17_DUCK_SEL = DUCK_HEX2INT.format(
+    s="concat('pp17:', CAST(doc_id AS VARCHAR))"
+)
+
+
+@register(
+    "pp17_importance_resampling",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   {_PP17_DUCK_TOK} % {PP17_BUCKETS} AS b
+            FROM documents
+        ),
+        tgt AS (
+            SELECT b, COUNT(*) AS ct FROM w
+            WHERE source IN {PP17_TARGET} GROUP BY b
+        ),
+        raw AS (SELECT b, COUNT(*) AS cr FROM w GROUP BY b),
+        scale AS (
+            SELECT (SELECT COUNT(*) FROM w) * 1000000
+                       // (SELECT COUNT(*) FROM w
+                           WHERE source IN {PP17_TARGET}) AS sc
+        ),
+        ratio AS (
+            SELECT r.b,
+                   (COALESCE(t.ct, 0) + 1) * scale.sc // (r.cr + 1)
+                       AS r_micro
+            FROM raw r LEFT JOIN tgt t USING (b), scale
+        ),
+        scored AS (
+            SELECT w.doc_id, MIN(w.source) AS source,
+                   CAST(SUM(ratio.r_micro) // COUNT(*) AS BIGINT)
+                       AS score_micro
+            FROM w JOIN ratio USING (b)
+            GROUP BY w.doc_id
+        ),
+        g AS (
+            SELECT CAST((
+                {PP17_CAP_X} * SUM(score_micro)) // COUNT(*) AS BIGINT
+            ) AS denom FROM scored
+        )
+        SELECT doc_id, source, score_micro,
+               CAST(LEAST(1000000,
+                    score_micro * 1000000 // g.denom) AS BIGINT)
+                   AS p_keep_micro,
+               {_PP17_DUCK_SEL} % 1000000
+                   < LEAST(1000000, score_micro * 1000000 // g.denom)
+                   AS selected
+        FROM scored, g
+    """,
+    doc=f"DSIR-style data selection via importance resampling (Xie et "
+    "al. 2023): docs are scored by a hashed-unigram likelihood ratio "
+    "against a target domain and kept with probability proportional "
+    "to the ratio — HOW the published pipelines tilt a raw crawl "
+    f"toward a target distribution. Log-free, like tx16: words hash "
+    f"into {PP17_BUCKETS} buckets (DSIR's hashed n-grams), each "
+    "bucket carries an EXACT integer micro-ratio (target+1)/(raw+1) "
+    "cross-multiplied by the corpus/target token totals (Laplace "
+    "smoothing, no floats), and a doc's score is the mean per-token "
+    "ratio via integer DIV — the arithmetic-mean surrogate for "
+    "DSIR's log-likelihood sum, the same published deviation tx16 "
+    "documents (cross-engine libm logs differ in the last ulp). "
+    "Selection is DETERMINISTIC importance sampling: keep iff "
+    "hash(doc) mod 1e6 < min(1e6, score/(4·mean)) — a10/pp5's "
+    "seeded-hash convention, map-only after ONE scalar aggregate, no "
+    "global sort or rank anywhere; every quantity is intensive so "
+    "the integer bounds hold at any corpus size. Scale shape: the "
+    "ratio table is {PP17_BUCKETS} rows broadcast; scoring is one "
+    "corpus pass + per-doc fold.",
+    tags=("pipeline", "llm", "sampling", "quality"),
+)
+def pp17_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    w = d.select(
+        "doc_id",
+        "source",
+        F.explode(toks).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.expr(SPARK_HEX2INT.format(s="tok")) % PP17_BUCKETS).alias("b"),
+    ).persist()  # plan-cache: counted three ways below, one corpus pass
+
+    is_tgt = F.col("source").isin(*PP17_TARGET)
+    totals = w.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(is_tgt.cast("long")).alias("n_tgt"),
+    ).collect()[0]
+    n_all, n_tgt = int(totals["n_all"]), int(totals["n_tgt"])
+
+    tgt = w.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw = w.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    scale = (n_all * 1_000_000) // n_tgt  # exact integer scalar
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.expr(
+                f"(coalesce(ct, CAST(0 AS BIGINT)) + 1) * {scale}L "
+                "DIV (cr + 1)"
+            ).alias("r_micro"),
+        )
+    )
+    scored = (
+        w.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.expr("SUM(r_micro) DIV COUNT(*)").alias("score_micro"),
+        )
+    )
+    w.unpersist()
+    g = scored.agg(
+        F.expr(f"{PP17_CAP_X} * SUM(score_micro) DIV COUNT(*)").alias("denom")
+    )
+    p = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.expr("score_micro * 1000000 DIV denom"),
+    )
+    h = (
+        F.expr(
+            SPARK_HEX2INT.format(s="concat('pp17:', CAST(doc_id AS STRING))")
+        )
+        % 1_000_000
+    )
+    return scored.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "source",
+        F.col("score_micro").cast("long").alias("score_micro"),
+        p.cast("long").alias("p_keep_micro"),
+        (h < p).alias("selected"),
+    )

@@ -176,6 +176,7 @@ AUX = [
     "f15_lambda_funcs",
     "s18_dynamic_partition_overwrite",
     "dd21_cdc_chunk_dedup",
+    "pp17_importance_resampling",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

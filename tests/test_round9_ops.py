@@ -943,3 +943,30 @@ def test_dd21_unique_corpus_is_all_kept(spark, tmp_path):
     ).write.parquet(os.path.join(sf, "documents.parquet"))
     rows = REGISTRY["dd21_cdc_chunk_dedup"].spark(spark, sf).collect()
     assert all(r["dup_chunks"] == 0 and r["keep"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# pp17: DSIR-style importance resampling
+
+
+def test_pp17_tilts_selection_toward_target_domain(spark):
+    """The whole point of importance resampling: documents from (or
+    resembling) the target domain must carry higher keep probabilities
+    than the raw pool average, and the selection must actually follow
+    p_keep (every selected doc satisfies the hash inequality)."""
+    from apache_iceberg_spark.operators.pipeline import PP17_TARGET
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = REGISTRY["pp17_importance_resampling"].spark(spark, SF_DIR).collect()
+    tgt = [r for r in rows if r["source"] in PP17_TARGET]
+    rest = [r for r in rows if r["source"] not in PP17_TARGET]
+    assert tgt and rest
+    mean_p_tgt = sum(r["p_keep_micro"] for r in tgt) / len(tgt)
+    mean_p_rest = sum(r["p_keep_micro"] for r in rest) / len(rest)
+    assert mean_p_tgt > mean_p_rest
+    # p is a probability in micro-units and the cap binds somewhere
+    assert all(0 <= r["p_keep_micro"] <= 1_000_000 for r in rows)
+    sel_rate = sum(r["selected"] for r in rows) / len(rows)
+    assert 0.05 < sel_rate < 0.95  # sampling, not a constant verdict
