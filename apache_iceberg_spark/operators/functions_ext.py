@@ -1214,3 +1214,53 @@ def f15_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("alt_dot"),
     )
+
+
+@register(
+    "w13_running_distinct",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey, MIN(o_orderdate) AS first_date
+            FROM orders GROUP BY o_custkey
+        ),
+        per_day AS (
+            SELECT first_date AS d, COUNT(*) AS new_customers
+            FROM firsts GROUP BY first_date
+        )
+        SELECT d,
+               CAST(new_customers AS BIGINT) AS new_customers,
+               CAST(SUM(new_customers) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_distinct_customers
+        FROM per_day
+    """,
+    doc="Running DISTINCT count — cumulative distinct customers by "
+    "order date, the metric behind every 'total users to date' chart. "
+    "The naive form (COUNT(DISTINCT) OVER an expanding window) "
+    "re-deduplicates the entire prefix at every row — O(n²) state and "
+    "unsupported/unbounded in most engines. The scale-correct "
+    "reduction: a key is DISTINCT-NEW exactly once, on its FIRST date "
+    "— so one map-side-combined MIN per customer, one count per day, "
+    "and a cumulative window over the bounded DATE DOMAIN (~2.4k "
+    "days at any SF — a27's domain-bounded single-task argument) "
+    "replace the quadratic window. Same trick generalizes to any "
+    "running-distinct (first-seen reduction); m18's bitmap union is "
+    "the alternative when per-GROUP distinct rollups are needed.",
+    tags=("window", "analytics", "distinct"),
+)
+def w13_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_date")
+    )
+    per_day = firsts.groupBy(F.col("first_date").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_customers")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "d",
+        "new_customers",
+        F.sum("new_customers").over(w).alias("cum_distinct_customers"),
+    )

@@ -177,6 +177,7 @@ AUX = [
     "s18_dynamic_partition_overwrite",
     "dd21_cdc_chunk_dedup",
     "pp17_importance_resampling",
+    "w13_running_distinct",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

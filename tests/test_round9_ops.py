@@ -970,3 +970,34 @@ def test_pp17_tilts_selection_toward_target_domain(spark):
     assert all(0 <= r["p_keep_micro"] <= 1_000_000 for r in rows)
     sel_rate = sum(r["selected"] for r in rows) / len(rows)
     assert 0.05 < sel_rate < 0.95  # sampling, not a constant verdict
+
+
+def test_w13_equals_naive_running_distinct(spark):
+    """Cross-check the first-seen reduction against the naive
+    quadratic definition computed driver-side."""
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    by_date = {}
+    for r in orders:
+        by_date.setdefault(r["o_orderdate"], set()).add(r["o_custkey"])
+    seen = set()
+    want = {}
+    for d in sorted(by_date):
+        seen |= by_date[d]
+        want[d] = len(seen)
+    got = {
+        r["d"]: r["cum_distinct_customers"]
+        for r in REGISTRY["w13_running_distinct"].spark(spark, SF_DIR).collect()
+    }
+    # w13 only emits dates where someone is NEW; between those the
+    # cumulative count is constant, so compare at emitted dates and
+    # check the final total.
+    for d, c in got.items():
+        assert want[d] == c
+    assert max(got.values()) == len({r["o_custkey"] for r in orders})
