@@ -1602,3 +1602,105 @@ def ts17_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type STRING, sel_order LONG, event_id LONG, "
         "t_us LONG, v_c LONG",
     )
+
+
+# ---------------------------------------------------------------------------
+# ts18: SAX symbolization (Lin et al., DMKD 2007)
+# ---------------------------------------------------------------------------
+
+#: PAA frame width: reuse ts16's 6 h buckets (the dashboard pixel knob).
+TS18_BUCKET_US = TS16_BUCKET_US
+#: Alphabet-4 breakpoints: the N(0,1) quartiles. Literal doubles so both
+#: engines compare against bit-identical constants.
+TS18_BREAKS = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def _ts18_symbol_case(z: str) -> str:
+    b1, b2, b3 = TS18_BREAKS
+    return (
+        f"CASE WHEN {z} < {b1!r} THEN 'a' "
+        f"WHEN {z} < {b2!r} THEN 'b' "
+        f"WHEN {z} < {b3!r} THEN 'c' ELSE 'd' END"
+    )
+
+
+@register(
+    "ts18_sax_symbols",
+    oracle=f"""
+        WITH pts AS (
+            SELECT event_type,
+                   {_duck_floor_div("epoch_us(ts)", TS18_BUCKET_US)}
+                       AS bucket,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_c
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(SUM(v_c) AS DOUBLE) / COUNT(*) AS mean,
+                   sqrt(CAST(SUM(v_c * v_c) AS DOUBLE) / COUNT(*)
+                        - (CAST(SUM(v_c) AS DOUBLE) / COUNT(*))
+                          * (CAST(SUM(v_c) AS DOUBLE) / COUNT(*))) AS sd
+            FROM pts GROUP BY event_type
+        ),
+        paa AS (
+            SELECT event_type, bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(v_c) AS DOUBLE) / COUNT(*) AS m
+            FROM pts GROUP BY event_type, bucket
+        )
+        SELECT p.event_type, p.bucket, p.n_points,
+               {_ts18_symbol_case("((p.m - s.mean) / s.sd)")} AS symbol
+        FROM paa p JOIN stats s USING (event_type)
+        WHERE s.sd > 0
+    """,
+    doc="SAX symbolization (Lin et al. 2007) — the time-series "
+    "counterpart of text shingling, turning each series into a SYMBOL "
+    "string so motif discovery / anomaly grep run as string ops (dd2's "
+    "machinery applies downstream): per series, values z-normalize and "
+    "each PAA frame (ts16's 6 h buckets) maps to one of 4 symbols via "
+    "the N(0,1) quartile breakpoints. Exactness: the per-series "
+    "moments and per-frame PAA means aggregate as EXACT integer "
+    "centi-sums (order-insensitive; the only floats are per-row "
+    "arithmetic on those exact sums with bit-identical literal "
+    "breakpoints, the registry's per-row-float rule). Spark shape: "
+    "two partial+final hash aggs sharing one scan, a broadcast-sized "
+    "stats join (|series| rows), zero windows, zero sorts; output is "
+    "bounded at series x buckets like ts16. Constant series (sd = 0) "
+    "are excluded on both engines — no symbol is meaningful.",
+    tags=("timeseries", "downsample", "symbolic"),
+)
+def ts18_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.expr(_floor_div("unix_micros(ts)", TS18_BUCKET_US)).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    stats = pts.groupBy("event_type").agg(
+        (F.sum("v_c").cast("double") / F.count(F.lit(1))).alias("mean"),
+        F.sqrt(
+            # squares sum in DECIMAL(38,0): DuckDB's SUM auto-promotes to
+            # HUGEINT, a long sum here would silently wrap at ~1e5 rows of
+            # 1e7-cent values (a24's lesson); both exact sums convert to
+            # the same nearest double
+            F.sum((F.col("v_c") * F.col("v_c")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.count(F.lit(1))
+            - (F.sum("v_c").cast("double") / F.count(F.lit(1)))
+            * (F.sum("v_c").cast("double") / F.count(F.lit(1)))
+        ).alias("sd"),
+    )
+    paa = pts.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.sum("v_c").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    return (
+        paa.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sd") > 0)
+        .select(
+            "event_type",
+            "bucket",
+            "n_points",
+            F.expr(_ts18_symbol_case("((m - mean) / sd)")).alias("symbol"),
+        )
+    )

@@ -178,6 +178,7 @@ AUX = [
     "dd21_cdc_chunk_dedup",
     "pp17_importance_resampling",
     "w13_running_distinct",
+    "ts18_sax_symbols",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -1001,3 +1001,49 @@ def test_w13_equals_naive_running_distinct(spark):
     for d, c in got.items():
         assert want[d] == c
     assert max(got.values()) == len({r["o_custkey"] for r in orders})
+
+
+def test_ts18_symbol_distribution_and_model(spark):
+    """Independent model: recompute z-scores in python from the exact
+    centi-sums and check every symbol; breakpoints are N(0,1) quartiles
+    so on roughly stationary series all 4 symbols should appear."""
+    import math
+
+    from apache_iceberg_spark.operators.timeseries import (
+        TS18_BREAKS,
+        TS18_BUCKET_US,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {TS18_BUCKET_US}").alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    ).collect()
+    stats = {}
+    paa = {}
+    for r in ev:
+        s = stats.setdefault(r["event_type"], [0, 0, 0])
+        s[0] += 1
+        s[1] += r["v_c"]
+        s[2] += r["v_c"] * r["v_c"]
+        p = paa.setdefault((r["event_type"], r["bucket"]), [0, 0])
+        p[0] += 1
+        p[1] += r["v_c"]
+    rows = REGISTRY["ts18_sax_symbols"].spark(spark, SF_DIR).collect()
+    syms = set()
+    for r in rows:
+        n, sv, sv2 = stats[r["event_type"]]
+        mean = sv / n
+        sd = math.sqrt(sv2 / n - mean * mean)
+        nb, svb = paa[(r["event_type"], r["bucket"])]
+        assert nb == r["n_points"]
+        z = (svb / nb - mean) / sd
+        b1, b2, b3 = TS18_BREAKS
+        want = "a" if z < b1 else "b" if z < b2 else "c" if z < b3 else "d"
+        assert r["symbol"] == want
+        syms.add(r["symbol"])
+    assert syms == {"a", "b", "c", "d"}
