@@ -1047,3 +1047,19 @@ def test_ts18_symbol_distribution_and_model(spark):
         assert r["symbol"] == want
         syms.add(r["symbol"])
     assert syms == {"a", "b", "c", "d"}
+
+
+def test_branch_workflow_example_runs(spark):
+    """examples/branch_workflow.py — the Nessie-style git-for-data demo —
+    must execute end-to-end with its isolation/publish/tag/stream
+    assertions holding on the fixture."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "branch_workflow", "/root/repo/examples/branch_workflow.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main("/root/testdata/sf0.001")
+    assert out["isolation"] and out["published"]
+    assert out["tag_immutable"] and out["stream_atomic"]
