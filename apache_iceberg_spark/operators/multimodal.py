@@ -451,7 +451,9 @@ def mm10_vlm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         "n_img",
         (F.col("within_cum") + F.col("bprefix") - F.col("eff")).alias("st"),
-    )
+    ).persist()  # plan-cache: the prefix-summed frame feeds BOTH modality
+    # branches of the union; uncached, the whole two-level prefix sum
+    # (two shuffles + broadcast) would run twice
 
     B, P = MM10_BUDGET, MM10_PATCH
     text_spans = (
