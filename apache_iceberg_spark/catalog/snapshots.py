@@ -404,6 +404,58 @@ def merge_branch(
     return version
 
 
+def transplant(
+    table_path: str, src_version: int, onto: str = "main",
+    ts_ms: int | None = None,
+) -> int:
+    """Nessie ``transplant`` (cherry-pick): apply ONE commit's own delta
+    onto another branch without its siblings — the delta is the file-set
+    difference against the commit's parent, so the operation is
+    metadata-only like every other ref op. Only append-shaped commits
+    (those with a recorded parent and a pure-addition file set) are
+    transplantable; an overwrite rewrote files, so its 'delta' is not
+    well-defined against a different base — raises, which is also
+    Nessie's behavior for non-trivially-conflicting transplants."""
+    refs = _ensure_main(table_path, _read_refs(table_path))
+    if onto not in refs["branches"]:
+        raise ValueError(f"unknown branch {onto!r}")
+    log = _read_log(table_path)
+    by_v = {e["version"]: e for e in log}
+    if src_version not in by_v:
+        raise ValueError(f"version {src_version} not found")
+    src = by_v[src_version]
+    if "parent" not in src:
+        raise ValueError(
+            f"commit v{src_version} has no recorded parent; only "
+            "ref-API append commits are transplantable"
+        )
+    parent_paths = set(_entry_paths(by_v[src["parent"]]))
+    src_paths = set(_entry_paths(src))
+    if not parent_paths.issubset(src_paths):
+        raise ValueError(
+            f"commit v{src_version} rewrote files (overwrite); "
+            "its delta is undefined against another base"
+        )
+    delta = [p for p in _entry_paths(src) if p not in parent_paths]
+    onto_v = refs["branches"][onto]
+    onto_paths = _entry_paths(by_v[onto_v])
+    if set(delta) & set(onto_paths):
+        raise ValueError("transplant target already contains the delta")
+    version = log[-1]["version"] + 1
+    log.append(
+        {
+            "version": version,
+            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+            "paths": onto_paths + delta,
+            "parent": onto_v,
+        }
+    )
+    _write_log(table_path, log)
+    refs["branches"][onto] = version
+    _write_refs(table_path, refs)
+    return version
+
+
 def delete_branch(table_path: str, name: str) -> None:
     """Nessie ``DROP BRANCH``: the audit-failed half of branch-WAP —
     abandoning a branch is one ref deletion; its commits stay in the

@@ -2102,3 +2102,145 @@ def m30_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(name, bool(passed), int(viol)) for name, passed, viol in report],
         "check_name STRING, passed BOOLEAN, n_violations LONG",
     )
+
+
+@register(
+    "m31_ref_diff",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'only_in_etl_a' AS change, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders WHERE o_orderkey % 10 = 5
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'only_in_etl_b', o_orderstatus, CAST(COUNT(*) AS BIGINT)
+            FROM orders WHERE o_orderkey % 10 = 0
+            GROUP BY o_orderstatus
+        ) ORDER BY change, o_orderstatus
+    """,
+    doc="Nessie ``diff`` between two refs (the tree-API endpoint in "
+    "SURVEY §2.11's matrix): two ingest branches fork the same v1 and "
+    "each takes a different append; the diff reports, per order "
+    "status, the rows only one side has — the review artifact a data "
+    "engineer reads before choosing which branch to merge. Computed "
+    "as two LEFT ANTI joins on the key (rows added on each side; the "
+    "shared v1 mass cancels without being compared row-by-row) — at "
+    "100 TB the anti-joins shuffle only on the key and AQE prunes "
+    "with the usual machinery; a FILE-level pre-diff of the two "
+    "snapshots' path sets (m11's metadata difference) would restrict "
+    "the scan to delta files only, which read_incremental already "
+    "demonstrates. Oracle: the two append predicates directly.",
+    tags=("scale", "snapshot", "nessie"),
+)
+def m31_ref_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="refdiff_"), "orders")
+    commit_snapshot(o.filter(F.col("o_orderkey") % 5 != 0), table)
+    create_branch(table, "etl_a")
+    create_branch(table, "etl_b")
+    commit_append_ref(
+        o.filter(F.col("o_orderkey") % 10 == 5), table, branch="etl_a"
+    )
+    commit_append_ref(
+        o.filter(F.col("o_orderkey") % 10 == 0), table, branch="etl_b"
+    )
+    a = read_ref(spark, table, "etl_a").select("o_orderkey", "o_orderstatus")
+    b = read_ref(spark, table, "etl_b").select("o_orderkey", "o_orderstatus")
+
+    def only(left: DataFrame, right: DataFrame, label: str) -> DataFrame:
+        return (
+            left.join(right.select("o_orderkey"), "o_orderkey", "left_anti")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(label).alias("change"), "o_orderstatus", "n_rows"
+            )
+        )
+
+    return (
+        only(a, b, "only_in_etl_a")
+        .unionByName(only(b, a, "only_in_etl_b"))
+        .orderBy("change", "o_orderstatus")
+    )
+
+
+@register(
+    "m32_transplant_scan",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'etl' AS ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_orderkey % 5 <> 0 OR o_orderkey % 10 IN (0, 5)
+            UNION ALL
+            SELECT 'main_after', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders
+            WHERE o_orderkey % 5 <> 0 OR o_orderkey % 10 = 0
+        ) ORDER BY ref
+    """,
+    doc="Nessie ``transplant`` (cherry-pick) — the last tree-API verb "
+    "in SURVEY §2.11's matrix: branch 'etl' takes TWO append commits "
+    "(batches A then B), and ONLY B's commit transplants onto main — "
+    "the commit's own delta (file-set difference against its parent) "
+    "lands as a new metadata-only commit on the target, siblings "
+    "excluded, zero data bytes moved. The read-back proves the "
+    "cherry-pick semantics: main serves v1 + B (A never leaks), while "
+    "the source branch still serves v1 + A + B. Overwrite commits "
+    "refuse to transplant (their delta is undefined against another "
+    "base — Nessie's conflict behavior; pytest covers it).",
+    tags=("scale", "snapshot", "nessie"),
+)
+def m32_transplant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        read_ref,
+        transplant,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="txp_"), "orders")
+    commit_snapshot(o.filter(F.col("o_orderkey") % 5 != 0), table)
+    create_branch(table, "etl")
+    commit_append_ref(
+        o.filter(F.col("o_orderkey") % 10 == 5), table, branch="etl"
+    )  # batch A — stays branch-only
+    v_b = commit_append_ref(
+        o.filter(F.col("o_orderkey") % 10 == 0), table, branch="etl"
+    )  # batch B — cherry-picked
+    transplant(table, v_b, onto="main")
+
+    def agg(ref: str) -> DataFrame:
+        return (
+            read_ref(spark, table, ref)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("total_cents"),
+            )
+            .select(
+                F.lit("main_after" if ref == "main" else ref).alias("ref"),
+                "n_rows",
+                "total_cents",
+            )
+        )
+
+    return agg("etl").unionByName(agg("main")).orderBy("ref")

@@ -179,6 +179,8 @@ AUX = [
     "pp17_importance_resampling",
     "w13_running_distinct",
     "ts18_sax_symbols",
+    "m31_ref_diff",
+    "m32_transplant_scan",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

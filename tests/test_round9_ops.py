@@ -1063,3 +1063,38 @@ def test_branch_workflow_example_runs(spark):
     out = mod.main("/root/testdata/sf0.001")
     assert out["isolation"] and out["published"]
     assert out["tag_immutable"] and out["stream_atomic"]
+
+
+# ---------------------------------------------------------------------------
+# m31/m32: Nessie diff + transplant
+
+
+def test_transplant_excludes_siblings_and_refuses_overwrites(spark):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        read_ref,
+        transplant,
+    )
+
+    table = tempfile.mkdtemp(prefix="txp_test_") + "/t"
+    commit_snapshot(spark.range(10).select(F.col("id")), table)
+    create_branch(table, "etl")
+    commit_append_ref(
+        spark.range(10, 12).select(F.col("id")), table, branch="etl"
+    )  # A
+    v_b = commit_append_ref(
+        spark.range(20, 23).select(F.col("id")), table, branch="etl"
+    )  # B
+    transplant(table, v_b, onto="main")
+    main_ids = sorted(r["id"] for r in read_ref(spark, table, "main").collect())
+    assert main_ids == list(range(10)) + [20, 21, 22]  # B only, no A
+    etl_ids = sorted(r["id"] for r in read_ref(spark, table, "etl").collect())
+    assert etl_ids == list(range(12)) + [20, 21, 22]  # branch untouched
+    # overwrite (v1) has no parent: not transplantable
+    with pytest.raises(ValueError, match="parent"):
+        transplant(table, 1, onto="etl")
+    # double-transplant of the same delta refuses
+    with pytest.raises(ValueError, match="already contains"):
+        transplant(table, v_b, onto="main")
