@@ -533,6 +533,40 @@ def time_ts16(spark, replicas: int) -> float:
     return dt
 
 
+def time_lttb(spark, replicas: int) -> float:
+    """ts17's bounded-fold claim (round 9): the cross-bucket recurrence
+    only ever moves |series| rows through the driver per step, so wall
+    should track the corpus-scale pieces (the row_number window + the
+    per-bucket struct-max) while the fold cost stays constant. Corpus =
+    event_id-shifted replicas of sf0.1 events written to a temp dir, the
+    REGISTERED ts17 then runs end-to-end."""
+    import tempfile
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from apache_iceberg_spark.tables import load_table
+
+    _ensure_loaded()
+    base = load_table(spark, SF01, "events")
+    e = base
+    for r in range(1, replicas):
+        e = e.unionAll(
+            base.withColumn(
+                "event_id", F.col("event_id") + 100_000 * r
+            )
+        )
+    d = tempfile.mkdtemp(prefix="lttb_probe_")
+    e.write.parquet(f"{d}/events.parquet")
+    t0 = time.time()
+    n = REGISTRY["ts17_lttb_downsample"].spark(spark, d).count()
+    dt = time.time() - t0
+    print(
+        f"  lttb replicas={replicas} rows={replicas * 100_000:,} "
+        f"out={n} wall={dt:6.2f}s",
+        flush=True,
+    )
+    return dt
+
+
 def main() -> None:
     """Usage: scale_probe.py cc <n_edges> <driver|dist>
               scale_probe.py g3 <copies> <driver|dist> [rounds]
@@ -543,6 +577,7 @@ def main() -> None:
               scale_probe.py tx20 <n_tokens> -
               scale_probe.py ts14 <replicas> -
               scale_probe.py ts16 <replicas> -
+              scale_probe.py lttb <replicas> -
 
     One measurement per invocation so a slow branch (the point of the
     probe is that the wrong branch IS slow) cannot starve the others."""
@@ -562,6 +597,8 @@ def main() -> None:
         time_ts14(spark, size)
     elif kind == "ts16":
         time_ts16(spark, size)
+    elif kind == "lttb":
+        time_lttb(spark, size)
     elif kind == "ewma":
         time_ewma(spark, size, branch)
     elif kind == "bpe":
@@ -576,3 +613,4 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
