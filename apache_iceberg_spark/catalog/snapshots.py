@@ -309,11 +309,21 @@ def commit_append_ref(
     branch: str,
     ts_ms: int | None = None,
     partition_by: list[str] | None = None,
+    idempotency_key: str | None = None,
 ) -> int:
     """``commit_append`` onto a BRANCH: parents on the branch head (not
     the global log tail), records the parent for ancestry, and moves only
     that branch's pointer — commits on ``etl`` are invisible to ``main``
-    readers until merged, Nessie's isolated-ingest workflow."""
+    readers until merged, Nessie's isolated-ingest workflow.
+
+    ``idempotency_key``: a caller-chosen token recorded in the commit
+    entry; a retry bearing the same key on the same branch returns the
+    already-committed version WITHOUT writing again. Streaming
+    foreachBatch sinks pass the micro-batch id here — Spark re-runs a
+    batch with the same id after failure/restart, and without the key a
+    retried batch would double-append (round-9 self-review; the
+    exactly-once contract every real table sink implements via the
+    batchId)."""
     refs = _ensure_main(table_path, _read_refs(table_path))
     if branch in refs["tags"]:
         raise ValueError(f"cannot commit to tag {branch!r}")
@@ -322,20 +332,29 @@ def commit_append_ref(
     parent_v = refs["branches"][branch]
     log = _read_log(table_path)
     by_v = {e["version"]: e for e in log}
+    if idempotency_key is not None:
+        # Walk the branch lineage for a commit bearing the same key.
+        v: int | None = parent_v
+        while v is not None:
+            entry = by_v[v]
+            if entry.get("idempotency_key") == idempotency_key:
+                return v
+            v = entry.get("parent")
     version = log[-1]["version"] + 1
     ddir = os.path.join(table_path, f"d{version}")
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(ddir)
-    log.append(
-        {
-            "version": version,
-            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
-            "paths": _entry_paths(by_v[parent_v]) + [ddir],
-            "parent": parent_v,
-        }
-    )
+    entry = {
+        "version": version,
+        "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+        "paths": _entry_paths(by_v[parent_v]) + [ddir],
+        "parent": parent_v,
+    }
+    if idempotency_key is not None:
+        entry["idempotency_key"] = idempotency_key
+    log.append(entry)
     _write_log(table_path, log)
     refs["branches"][branch] = version
     _write_refs(table_path, refs)
@@ -398,8 +417,11 @@ def merge_branch(
         }
     )
     _write_log(table_path, log)
+    # Only the TARGET pointer advances — git and Nessie both leave the
+    # source branch where it was after a merge (round-9 self-review: the
+    # first cut moved both, a semantics deviation no oracle could see
+    # because no registered query reads the source ref post-merge).
     refs["branches"][into] = version
-    refs["branches"][src] = version
     _write_refs(table_path, refs)
     return version
 

@@ -1517,8 +1517,17 @@ def _st19_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Each micro-batch is one real append COMMIT on the branch —
-        # snapshot-per-commit streaming ingest, invisible to main.
-        commit_append_ref(batch_df, table, branch="ingest")
+        # snapshot-per-commit streaming ingest, invisible to main. The
+        # batch id rides as the idempotency key: Spark re-runs a batch
+        # with the same id after failure/restart, and the keyed commit
+        # makes the retry a no-op instead of a double-append (the
+        # exactly-once contract real table sinks implement the same way).
+        commit_append_ref(
+            batch_df,
+            table,
+            branch="ingest",
+            idempotency_key=f"st19-batch-{batch_id}",
+        )
 
     query = (
         spark.readStream.schema(ev.schema)

@@ -419,7 +419,10 @@ def test_tag_is_immutable_across_commits_and_merge(spark, ref_table):
     assert _ids(spark, ref_table, "v1") == list(range(10))
 
 
-def test_merge_fast_forwards_both_pointers(spark, ref_table):
+def test_merge_advances_only_the_target_pointer(spark, ref_table):
+    """git/Nessie semantics: merging etl INTO main moves main; the
+    source branch pointer stays at its own head (it can keep taking
+    commits or be deleted independently)."""
     from apache_iceberg_spark.catalog.snapshots import (
         commit_append_ref,
         create_branch,
@@ -428,14 +431,15 @@ def test_merge_fast_forwards_both_pointers(spark, ref_table):
     )
 
     create_branch(ref_table, "etl")
-    commit_append_ref(
+    v_etl = commit_append_ref(
         spark.range(10, 12).select(F.col("id")), ref_table, branch="etl"
     )
     v = merge_branch(ref_table, "etl")
     refs = list_refs(ref_table)
     assert refs["branches"]["main"] == v
-    assert refs["branches"]["etl"] == v
-    # and the merged state serves identically from either name
+    assert refs["branches"]["etl"] == v_etl  # source untouched
+    # merged main serves the same ROWS as the source head (the merge
+    # commit carries the same file set under a new version)
     assert _ids(spark, ref_table, "main") == _ids(spark, ref_table, "etl")
 
 
@@ -1098,3 +1102,37 @@ def test_transplant_excludes_siblings_and_refuses_overwrites(spark):
     # double-transplant of the same delta refuses
     with pytest.raises(ValueError, match="already contains"):
         transplant(table, v_b, onto="main")
+
+
+def test_commit_append_ref_idempotency_key(spark, ref_table):
+    """A retried foreachBatch commit (same idempotency key) must be a
+    no-op returning the original version — the exactly-once contract
+    st19 relies on under micro-batch retries."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        list_snapshots,
+        read_ref,
+    )
+
+    create_branch(ref_table, "ingest")
+    batch = spark.range(10, 13).select(F.col("id"))
+    v1 = commit_append_ref(
+        batch, ref_table, branch="ingest", idempotency_key="batch-0"
+    )
+    v_retry = commit_append_ref(
+        batch, ref_table, branch="ingest", idempotency_key="batch-0"
+    )
+    assert v_retry == v1  # retry returns the original commit
+    assert len(list_snapshots(ref_table)) == 2  # v1 snapshot + ONE append
+    assert sorted(
+        r["id"] for r in read_ref(spark, ref_table, "ingest").collect()
+    ) == list(range(13))
+    # a different key is a genuine new commit
+    v2 = commit_append_ref(
+        spark.range(20, 21).select(F.col("id")),
+        ref_table,
+        branch="ingest",
+        idempotency_key="batch-1",
+    )
+    assert v2 > v1
