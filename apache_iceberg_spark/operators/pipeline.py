@@ -3660,7 +3660,11 @@ def pp17_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         (F.expr(SPARK_HEX2INT.format(s="tok")) % PP17_BUCKETS).alias("b"),
-    ).persist()  # plan-cache: counted three ways below, one corpus pass
+    ).persist()  # plan-cache: three consumers in the RETURNED plan (the
+    # totals collect, tgt/raw bucket counts, and the scoring join) — the
+    # caller releases via release_plan_caches once materialized; an
+    # in-function unpersist here would make execution re-run the corpus
+    # tokenize+hash pass three times (round-9 self-review)
 
     is_tgt = F.col("source").isin(*PP17_TARGET)
     totals = w.agg(
@@ -3690,7 +3694,6 @@ def pp17_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("SUM(r_micro) DIV COUNT(*)").alias("score_micro"),
         )
     )
-    w.unpersist()
     g = scored.agg(
         F.expr(f"{PP17_CAP_X} * SUM(score_micro) DIV COUNT(*)").alias("denom")
     )

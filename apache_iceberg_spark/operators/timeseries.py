@@ -1521,12 +1521,11 @@ def ts17_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # math as m+2 small jobs over the two cached frames (~3 s). Per-step
     # distributed work is unchanged: one bucket filter off the cache into
     # one partial-aggregable struct-max.
-    a_map = {
-        r["s"]: (r["t_r"], r["v_c"]) for r in sel_first.collect()
-    }
+    first_rows = sel_first.collect()  # one bounded job, reused twice
+    a_map = {r["s"]: (r["t_r"], r["v_c"]) for r in first_rows}
     out_rows = [
         (r["s"], 0, r["event_id"], r["t_us"], r["v_c"])
-        for r in sel_first.collect()
+        for r in first_rows
     ]
     for b in range(m):
         cand = (
