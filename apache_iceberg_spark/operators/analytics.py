@@ -1279,3 +1279,99 @@ def a27_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_values"),
         )
     )
+
+
+@register(
+    "a28_higher_moments",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s1,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s2,
+                   SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS HUGEINT)
+                       * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s3,
+                   SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS HUGEINT)
+                       * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s4
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority,
+               CAST(n AS BIGINT) AS n,
+               (CAST(s3 AS DOUBLE) / n
+                - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n))
+               / ((CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  * sqrt(CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s1 AS DOUBLE) / n))) AS skewness,
+               (CAST(s4 AS DOUBLE) / n
+                - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s2 AS DOUBLE) / n)
+                - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               / ((CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  * (CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n))) - 3 AS excess_kurtosis
+        FROM s
+        ORDER BY o_orderpriority
+    """,
+    doc="Per-group skewness + excess kurtosis from EXACT integer power "
+    "sums — a21's determinism recipe extended to the 3rd/4th moments: "
+    "raw sums of cents^k accumulate as integers (s3/s4 in "
+    "DECIMAL(38,0)/HUGEINT — cents^4 overflows BIGINT at ONE row of a "
+    "10^5-cent value), so the distributed aggregation is "
+    "order-insensitive and bitwise; the standardized-moment formulas "
+    "then run as per-row float arithmetic on identical exact inputs "
+    "(the registry's per-row-float rule), where Spark's built-in "
+    "skewness/kurtosis use running float accumulation whose result "
+    "depends on partition order. One map-side-combined pass; 5 output "
+    "rows. Bound: cents^4 x n must fit 38 digits — ~10^38/10^28 = "
+    "10^10 rows per group at 10^5-cent values; past that, a25's "
+    "quantization (or a centered two-pass) applies.",
+    tags=("analytics", "statistics"),
+)
+def a28_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderpriority",
+        c.alias("v"),
+        (c * c).alias("v2"),
+    )
+    s = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum("v2").alias("s2"),
+        F.sum((F.col("v2").cast("decimal(38,0)") * F.col("v"))).alias("s3"),
+        F.sum(
+            F.col("v2").cast("decimal(38,0)") * F.col("v") * F.col("v")
+        ).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    m4 = F.col("s4").cast("double") / F.col("n")
+    var = m2 - m1 * m1
+    # var * sqrt(var) instead of pow(var, 1.5): sqrt is IEEE correctly
+    # rounded on both engines, pow is a last-ulp-divergent transcendental
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var))
+    kurt = (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / (
+        var * var
+    ) - 3
+    return s.select(
+        "o_orderpriority",
+        "n",
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    ).orderBy("o_orderpriority")

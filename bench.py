@@ -181,6 +181,7 @@ AUX = [
     "ts18_sax_symbols",
     "m31_ref_diff",
     "m32_transplant_scan",
+    "a28_higher_moments",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -1136,3 +1136,30 @@ def test_commit_append_ref_idempotency_key(spark, ref_table):
         idempotency_key="batch-1",
     )
     assert v2 > v1
+
+
+def test_a28_matches_numpy_moments(spark):
+    import numpy as np
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = REGISTRY["a28_higher_moments"].spark(spark, SF_DIR).collect()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    ).collect()
+    groups = {}
+    for r in o:
+        groups.setdefault(r["o_orderpriority"], []).append(r["c"])
+    for r in rows:
+        v = np.array(groups[r["o_orderpriority"]], dtype=np.float64)
+        m = v.mean()
+        sd = v.std()  # population
+        skew = ((v - m) ** 3).mean() / sd**3
+        kurt = ((v - m) ** 4).mean() / sd**4 - 3
+        assert abs(r["skewness"] - skew) < 1e-6
+        assert abs(r["excess_kurtosis"] - kurt) < 1e-6
+        assert r["n"] == len(v)
