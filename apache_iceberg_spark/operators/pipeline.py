@@ -3672,6 +3672,15 @@ def pp17_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_tgt.cast("long")).alias("n_tgt"),
     ).collect()[0]
     n_all, n_tgt = int(totals["n_all"]), int(totals["n_tgt"])
+    if n_tgt == 0:
+        w.unpersist()
+        raise ValueError(
+            "pp17_importance_resampling: corpus has no tokens from the "
+            f"target domains {sorted(PP17_TARGET)} — the importance "
+            "ratio (target/raw unigram likelihood) is undefined with "
+            "an empty target sample (ADVICE r9: fail loud, not "
+            "ZeroDivisionError)"
+        )
 
     tgt = w.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     raw = w.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))

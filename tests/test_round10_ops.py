@@ -1,0 +1,466 @@
+"""Round-10 unit tests: ref-aware expiry/orphan GC (VERDICT r9 ask #1),
+the commit-log CAS (ask #5), delta-form log entries (ask #6), the
+idempotency-walk fallback + partition-layout validation (ADVICE r9),
+and the multi-table workspace commit (ask #2)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def ref_table(spark):
+    from apache_iceberg_spark.catalog.snapshots import commit_snapshot
+
+    table = tempfile.mkdtemp(prefix="r10_refs_") + "/t"
+    commit_snapshot(spark.range(10).select(F.col("id")), table, ts_ms=1000)
+    return table
+
+
+def _ids(spark, table, ref):
+    from apache_iceberg_spark.catalog.snapshots import read_ref
+
+    return sorted(r["id"] for r in read_ref(spark, table, ref).collect())
+
+
+# ---------------------------------------------------------------------------
+# Ask #1: expiry and orphan cleanup protect ref-reachable snapshots
+
+
+def test_tag_survives_expiry_and_orphan_gc(spark, ref_table):
+    """A tagged snapshot OFF main's lineage must stay readable after an
+    expiry whose cutoff covers it — 'addressable by name forever until
+    explicitly deleted' — its data dirs must survive remove_orphan_dirs,
+    expiry must still reclaim genuinely UNREACHABLE commits while the
+    tag lives, and deleting the tag is what finally frees it."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        create_tag,
+        delete_branch,
+        delete_tag,
+        expire_snapshots_dirs,
+        read_snapshot_dirs,
+        remove_orphan_dirs,
+    )
+
+    # v2 on a branch, tagged, branch dropped -> alive ONLY via the tag.
+    create_branch(ref_table, "dead")
+    commit_append_ref(
+        spark.range(50, 55).select(F.col("id")),
+        ref_table,
+        branch="dead",
+        ts_ms=1500,
+    )
+    create_tag(ref_table, "audit", from_ref="dead")  # pins v2
+    delete_branch(ref_table, "dead")
+    # v3 on a second branch, dropped untagged -> truly unreachable.
+    create_branch(ref_table, "dead2")
+    commit_append_ref(
+        spark.range(60, 62).select(F.col("id")),
+        ref_table,
+        branch="dead2",
+        ts_ms=1600,
+    )
+    delete_branch(ref_table, "dead2")
+    # main advances past everything.
+    commit_append_ref(
+        spark.range(10, 12).select(F.col("id")),
+        ref_table,
+        branch="main",
+        ts_ms=2000,
+    )
+
+    expired = expire_snapshots_dirs(ref_table, older_than_ms=10_000,
+                                    keep_last=1)
+    assert expired == [3]  # the untagged dead lineage, nothing else
+    assert remove_orphan_dirs(ref_table) == []
+    assert _ids(spark, ref_table, "audit") == list(range(10)) + list(
+        range(50, 55)
+    )
+    assert _ids(spark, ref_table, "main") == list(range(12))
+
+    # Explicit ref deletion is THE way a snapshot becomes expirable:
+    delete_tag(ref_table, "audit")
+    expired2 = expire_snapshots_dirs(ref_table, older_than_ms=10_000,
+                                     keep_last=1)
+    assert expired2 == [2]
+    with pytest.raises(ValueError, match="unknown ref"):
+        _ids(spark, ref_table, "audit")
+    with pytest.raises(ValueError, match="not found"):
+        read_snapshot_dirs(spark, ref_table, version=2).collect()
+
+
+def test_branch_head_survives_expiry(spark, ref_table):
+    """A non-main branch older than the cutoff keeps its head AND its
+    ancestry (merge needs the walk intact)."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        expire_snapshots_dirs,
+        merge_branch,
+    )
+
+    create_branch(ref_table, "etl")
+    commit_append_ref(
+        spark.range(10, 12).select(F.col("id")),
+        ref_table,
+        branch="etl",
+        ts_ms=1500,
+    )
+    commit_append_ref(
+        spark.range(20, 22).select(F.col("id")),
+        ref_table,
+        branch="main",
+        ts_ms=9000,
+    )
+    assert expire_snapshots_dirs(
+        ref_table, older_than_ms=10_000, keep_last=1
+    ) == []  # everything is ref-reachable
+    # The branch is still fully mergeable after the expiry attempt.
+    merge_branch(ref_table, "etl")
+    assert _ids(spark, ref_table, "main") == (
+        list(range(10)) + [10, 11, 20, 21]
+    )
+
+
+def test_expiry_materializes_orphaned_delta_entries(spark):
+    """A retained delta entry whose parent is expired gets its full path
+    list inlined, so it stays readable without the pruned ancestor (the
+    pre-ref linear table shape m22 exercises)."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        expire_snapshots_dirs,
+        list_snapshots,
+        read_snapshot_dirs,
+    )
+
+    table = tempfile.mkdtemp(prefix="r10_mat_") + "/t"
+    commit_snapshot(spark.range(5).select(F.col("id")), table, ts_ms=1000)
+    commit_append(spark.range(5, 8).select(F.col("id")), table, ts_ms=2000)
+    commit_append(spark.range(8, 9).select(F.col("id")), table, ts_ms=3000)
+    # No refs file -> pure linear semantics: v1, v2 expire.
+    expired = expire_snapshots_dirs(table, older_than_ms=10_000, keep_last=1)
+    assert expired == [1, 2]
+    (entry,) = list_snapshots(table)
+    assert "paths" in entry and "adds" not in entry
+    got = sorted(
+        r["id"] for r in read_snapshot_dirs(spark, table).collect()
+    )
+    assert got == list(range(9))
+
+
+# ---------------------------------------------------------------------------
+# Ask #5: commit-log CAS — a lost race raises, never silently drops
+
+
+class _RacingDF:
+    """Wraps a DataFrame; the first access to .write runs a racing commit
+    first, simulating a concurrent writer that wins the CAS."""
+
+    def __init__(self, df, race):
+        self._df = df
+        self._race = race
+        self._fired = False
+
+    @property
+    def write(self):
+        if not self._fired:
+            self._fired = True
+            self._race()
+        return self._df.write
+
+
+def test_commit_conflict_on_lost_race(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        CommitConflict,
+        commit_append,
+        list_snapshots,
+        read_snapshot_dirs,
+    )
+
+    racer_df = spark.range(100, 103).select(F.col("id"))
+    loser_df = spark.range(200, 203).select(F.col("id"))
+
+    def race():
+        commit_append(racer_df, ref_table)
+
+    with pytest.raises(CommitConflict, match="head moved"):
+        commit_append(_RacingDF(loser_df, race), ref_table)
+    # Exactly one commit won; the loser did NOT silently vanish-append.
+    assert [e["version"] for e in list_snapshots(ref_table)] == [1, 2]
+    got = sorted(
+        r["id"] for r in read_snapshot_dirs(spark, ref_table).collect()
+    )
+    assert got == list(range(10)) + [100, 101, 102]
+
+
+def test_commit_conflict_on_ref_commit_race(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        CommitConflict,
+        commit_append_ref,
+        create_branch,
+    )
+
+    create_branch(ref_table, "etl")
+    racer_df = spark.range(100, 103).select(F.col("id"))
+    loser_df = spark.range(200, 203).select(F.col("id"))
+
+    def race():
+        commit_append_ref(racer_df, ref_table, branch="main")
+
+    with pytest.raises(CommitConflict, match="head moved"):
+        commit_append_ref(
+            _RacingDF(loser_df, race), ref_table, branch="etl"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Ask #6: delta-form log entries — O(commits), not O(commits^2)
+
+
+def test_append_entries_store_deltas_not_cumulative_lists(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        list_snapshots,
+    )
+
+    for i in range(3):
+        commit_append(
+            spark.range(10 + i, 11 + i).select(F.col("id")), ref_table
+        )
+    log = list_snapshots(ref_table)
+    for e in log[1:]:
+        assert len(e["adds"]) == 1 and e["parent"] == e["version"] - 1
+    # log bytes grow linearly: the last entry is no bigger than the second
+    assert len(json.dumps(log[-1])) <= len(json.dumps(log[1])) + 8
+
+
+def test_legacy_cumulative_log_still_reads(spark):
+    """Pre-round-10 logs store cumulative 'paths' lists; reads, appends,
+    and incremental scans over a mixed log must keep working."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        _LOG,
+        commit_append,
+        read_incremental,
+        read_snapshot_dirs,
+    )
+
+    table = tempfile.mkdtemp(prefix="r10_legacy_") + "/t"
+    os.makedirs(table)
+    v1 = os.path.join(table, "v1")
+    d2 = os.path.join(table, "d2")
+    spark.range(3).select(F.col("id")).write.parquet(v1)
+    spark.range(3, 5).select(F.col("id")).write.parquet(d2)
+    legacy = [
+        {"version": 1, "ts_ms": 1000, "path": v1},
+        {"version": 2, "ts_ms": 2000, "paths": [v1, d2]},
+    ]
+    with open(os.path.join(table, _LOG), "w") as f:
+        json.dump(legacy, f)
+    assert read_snapshot_dirs(spark, table).count() == 5
+    commit_append(spark.range(5, 6).select(F.col("id")), table)
+    assert read_snapshot_dirs(spark, table).count() == 6
+    assert read_incremental(spark, table, from_version=1).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: idempotency walk crosses mixed keyed/linear lineages
+
+
+def test_idempotency_key_found_across_linear_commits(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_append_ref,
+        create_branch,
+        list_snapshots,
+    )
+
+    create_branch(ref_table, "main_pin")  # force _refs.json to exist
+    v_keyed = commit_append_ref(
+        spark.range(10, 12).select(F.col("id")),
+        ref_table,
+        branch="main",
+        idempotency_key="batch-7",
+    )
+    # A linear-API commit on the same lineage (no parent field recorded
+    # pre-r10; with r10 it records one, but the fallback rule must cover
+    # BOTH) — then a retry bearing the old key must find the original.
+    commit_append(spark.range(12, 14).select(F.col("id")), ref_table)
+    # advance main to the linear tail so the walk starts past it
+    from apache_iceberg_spark.catalog.snapshots import _read_refs, _write_refs
+
+    refs = _read_refs(ref_table)
+    refs["branches"]["main"] = list_snapshots(ref_table)[-1]["version"]
+    _write_refs(ref_table, refs)
+    n_before = len(list_snapshots(ref_table))
+    retry_v = commit_append_ref(
+        spark.range(10, 12).select(F.col("id")),
+        ref_table,
+        branch="main",
+        idempotency_key="batch-7",
+    )
+    assert retry_v == v_keyed
+    assert len(list_snapshots(ref_table)) == n_before  # no double-append
+
+
+def test_idempotency_key_found_past_parentless_entry(spark, ref_table):
+    """The exact ADVICE r9 shape: a keyed ref commit followed by a
+    PARENT-LESS (pre-r10 style) entry on the same lineage — the walk
+    must fall back to the implicit-parent rule and find the key."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        _LOG,
+        _resolve_paths,
+        commit_append_ref,
+        create_branch,
+        list_snapshots,
+    )
+
+    create_branch(ref_table, "main_pin")
+    v_keyed = commit_append_ref(
+        spark.range(10, 12).select(F.col("id")),
+        ref_table,
+        branch="main",
+        idempotency_key="batch-9",
+    )
+    # Hand-craft a legacy parent-less append entry on top.
+    log = list_snapshots(ref_table)
+    head = log[-1]
+    by_v = {x["version"]: x for x in log}
+    d = os.path.join(ref_table, f"d{head['version'] + 1}")
+    spark.range(90, 92).select(F.col("id")).write.parquet(d)
+    log.append(
+        {
+            "version": head["version"] + 1,
+            "ts_ms": 5000,
+            "paths": _resolve_paths(by_v, head) + [d],
+        }
+    )
+    with open(os.path.join(ref_table, _LOG), "w") as f:
+        json.dump(log, f)
+    from apache_iceberg_spark.catalog.snapshots import _read_refs, _write_refs
+
+    refs = _read_refs(ref_table)
+    refs["branches"]["main"] = log[-1]["version"]
+    _write_refs(ref_table, refs)
+    n_before = len(list_snapshots(ref_table))
+    retry_v = commit_append_ref(
+        spark.range(10, 12).select(F.col("id")),
+        ref_table,
+        branch="main",
+        idempotency_key="batch-9",
+    )
+    assert retry_v == v_keyed
+    assert len(list_snapshots(ref_table)) == n_before
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: partition layout recorded at commit, validated on append
+
+
+def test_partition_layout_mismatch_raises_at_commit_time(spark):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="r10_layout_") + "/t"
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket")
+    )
+    commit_snapshot(df, table, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="partition_by"):
+        commit_append(df, table)  # unpartitioned append onto partitioned
+    with pytest.raises(ValueError, match="partition_by"):
+        commit_append(df, table, partition_by=["id"])  # different column
+    commit_append(df, table, partition_by=["bucket"])  # matching: fine
+    # overwrite may CHANGE the layout...
+    commit_snapshot(df, table)
+    # ...and appends then validate against the new one
+    with pytest.raises(ValueError, match="partition_by"):
+        commit_append(df, table, partition_by=["bucket"])
+    commit_append(df, table)
+
+
+def test_rollback_advances_pinned_main(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        list_refs,
+        rollback_to,
+    )
+
+    create_branch(ref_table, "pin")  # pins main in _refs.json
+    commit_append_ref(
+        spark.range(10, 12).select(F.col("id")), ref_table, branch="main"
+    )
+    v = rollback_to(ref_table, 1)
+    assert list_refs(ref_table)["branches"]["main"] == v
+    assert _ids(spark, ref_table, "main") == list(range(10))
+
+
+# ---------------------------------------------------------------------------
+# Ask #7: a27's quantization gate is code, not advice
+
+
+def test_a27_gate_quantizes_unbounded_support(spark):
+    """A >2M-distinct-value support must take the quantized branch:
+    the distinct-value frame entering the SinglePartition cumsum is
+    bounded at A25_GRID cells, and no row mass is lost."""
+    from apache_iceberg_spark.operators.analytics import (
+        A25_GRID,
+        A25_MAX_SUPPORT,
+        _a27_bound_support,
+    )
+
+    n = A25_MAX_SUPPORT + 500_000  # 2.5M distinct days
+    per_v = spark.range(n).select(
+        F.expr("date_add(DATE'0001-01-01', CAST(id AS INT))").alias("v"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    out, step = _a27_bound_support(per_v)
+    assert step > 1
+    agg = out.agg(
+        F.count(F.lit(1)).alias("ndv"), F.sum("cnt").alias("mass")
+    ).collect()[0]
+    assert agg["ndv"] <= A25_GRID
+    assert agg["mass"] == n  # quantization moves mass, never drops it
+
+
+def test_a27_gate_exact_branch_untouched(spark):
+    from apache_iceberg_spark.operators.analytics import _a27_bound_support
+
+    per_v = spark.range(100).select(
+        F.expr("date_add(DATE'2020-01-01', CAST(id AS INT))").alias("v"),
+        (F.col("id") + 1).alias("cnt"),
+    )
+    out, step = _a27_bound_support(per_v)
+    assert step == 1
+    assert out.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: pp17 fails loud on an empty target domain
+
+
+def test_pp17_raises_on_zero_target_tokens(spark, tmp_path):
+    """A corpus with no target-domain tokens must raise a descriptive
+    ValueError, not ZeroDivisionError."""
+    import apache_iceberg_spark.operators.pipeline as pl
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # documents whose sources are all OUTSIDE PP17_TARGET
+    docs = spark.createDataFrame(
+        [(i, "untargeted words here", "web", "en") for i in range(5)],
+        "doc_id long, text string, source string, lang string",
+    )
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    with pytest.raises(ValueError, match="no tokens from the target"):
+        pl.pp17_importance_resampling(spark, sf)

@@ -135,7 +135,8 @@ def test_rollback_is_metadata_only_and_preserves_forensics(spark, tmp_path):
     # metadata-only: the rollback entry references v1's directory, and no
     # new data directory exists for v3
     assert log[v3]["paths"] == [log[v1]["path"]]
-    assert not os.path.exists(os.path.join(table, f"v{v3}"))
+    import glob as _glob
+    assert _glob.glob(os.path.join(table, f"v{v3}-*")) == []
     # forensics: the bad snapshot is still readable by version
     assert (
         read_snapshot_dirs(spark, table, version=v2)
@@ -171,6 +172,7 @@ def test_orphan_cleanup_removes_only_unreferenced_dirs(spark, tmp_path):
     removed = remove_orphan_dirs(table)
     assert removed == [os.path.normpath(orphan_dir)]
     assert not os.path.exists(orphan_dir)
-    assert os.path.exists(os.path.join(table, "v1"))
-    assert os.path.exists(os.path.join(table, "d2"))
+    import glob as _glob
+    assert _glob.glob(os.path.join(table, "v1-*"))
+    assert _glob.glob(os.path.join(table, "d2-*"))
     assert read_snapshot_dirs(spark, table).count() == 110
