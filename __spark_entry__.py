@@ -67,26 +67,26 @@ def _green_rounds() -> dict[str, int]:
     return latest
 
 
-# Queries whose IMPLEMENTATION changed this round (round 9): their old
+# Queries whose IMPLEMENTATION changed this round (round 10): their old
 # green rows prove the old code, so they re-enter the checked set right
 # behind never-checked queries. Refreshed every round — VERDICT r6 ask #2:
-# don't let prior-round rechecks squat in the sample.
+# don't let prior-round rechecks squat in the sample. Round 10 rewrote
+# catalog/snapshots.py (delta-form log entries, CAS commit point,
+# ref-aware expiry, content-aware merge, unique data-dir names), so every
+# consumer of the snapshot store re-enters the sample.
 RECHECK = frozenset({
-    "tx15_bpe_merges",       # delta pair-count maintenance in dist loop
-    "tx17_bpe_encode",       # encodes with tx15's merge table
-    "tx21_domain_blocklist",  # oracle IN-list built explicitly (ADVICE r8)
-    "st15_stream_cusum",     # carried (n,s,best,peak) state, frozen ref mean
-    "st18_stream_m4_downsample",  # integer floor-div bucket id (ADVICE r8)
-    "a25_ks_drift",          # pre-quantization guard made real
-    "a26_benford_profile",   # guard on exact cents value (ADVICE r8)
-    "g7_lpa_communities",    # loop factored into _g7_setup/_g7_round
-    "ann10_ivf_pq_rerank",   # ann11 helpers factored for ann20 reuse
-    "ann11_trained_ivf",     # same refactor; ann20 shares its oracle
-    "ann9_ivf_pq",           # oracle factored to _ANN9_ORACLE (ann21 shares)
-    "ann19_radius_search",   # prune bound padded 1e-9 (ADVICE r8)
-    "m5_time_travel_versions",      # snapshots.py partition_by/basePath
-    "m11_incremental_append_scan",  # same commit/read path changes
-    "m20_snapshot_rollback",        # same
+    "m5_time_travel_versions",      # snapshots.py delta entries + CAS
+    "m11_incremental_append_scan",  # _resolve_paths-planned delta scan
+    "m20_snapshot_rollback",        # rollback materializes paths + CAS
+    "m21_orphan_cleanup",           # resolves delta entries + ref protect
+    "m22_snapshot_expiry",          # ref-aware + materializing expiry
+    "m29_branch_tag_scan",          # ref layer on delta entries
+    "m30_branch_wap",               # merge no-op/content rules changed
+    "m31_ref_diff",                 # diff over _resolve_paths
+    "m32_transplant_scan",          # transplant emits delta entries
+    "st19_stream_branch_ingest",    # branch commits via new commit path
+    "a27_range_partition_bounds",   # _a27_bound_support gate added
+    "pp17_importance_resampling",   # n_tgt==0 guard (ADVICE r9)
 })
 
 

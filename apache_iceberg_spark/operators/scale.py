@@ -2244,3 +2244,281 @@ def m32_transplant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg("etl").unionByName(agg("main")).orderBy("ref")
+
+
+@register(
+    "m33_ref_aware_expiry",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'expired' AS state,
+                   CAST(1 AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS total_cents
+            UNION ALL
+            SELECT 'main_after', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_orderkey % 10 IN (1, 2, 3, 7)
+            UNION ALL
+            SELECT 'tag_audit', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_orderkey % 10 IN (1, 2, 3, 5)
+        ) ORDER BY state
+    """,
+    doc="Ref-aware snapshot expiry (VERDICT r9 ask #1) — the GC "
+    "contract the round-9 ref layer was missing: expire_snapshots_dirs "
+    "protects every version reachable from a ref in _refs.json (tag "
+    "pins + branch heads + full parent ancestry), so a TAGGED snapshot "
+    "whose commit is older than the cutoff survives the expiry that "
+    "reclaims its untagged sibling — create_tag's 'addressable by name "
+    "forever' promise holds until delete_tag, which is then the only "
+    "way the snapshot becomes expirable (Nessie's unreachable-commit "
+    "GC). The workflow: main holds the base, one dropped branch's "
+    "commit is pinned by tag 'audit', a second dropped branch's commit "
+    "is left unreachable, main takes a fresh append; expiry with a "
+    "cutoff covering EVERYTHING removes exactly the unreachable "
+    "commit. The query reads the tag AFTER the expiry plus main, and "
+    "emits the expired-version count; the oracle recomputes both "
+    "slices from the raw table and pins the count at 1 — so ref "
+    "protection, tag readability post-expiry, and the actual "
+    "reclamation are all inside one hash. All ref/expiry ops are "
+    "metadata-only driver walks; the expiry's only data I/O is "
+    "deleting the reclaimed directory.",
+    tags=("scale", "snapshot", "nessie", "maintenance"),
+)
+def m33_ref_aware_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        create_tag,
+        delete_branch,
+        expire_snapshots_dirs,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="refgc_"), "orders")
+    k = F.col("o_orderkey") % 10
+    commit_snapshot(o.filter(k.isin(1, 2, 3)), table, ts_ms=1000)
+    # tagged lineage: branch -> commit -> tag -> drop branch
+    create_branch(table, "dead")
+    commit_append_ref(
+        o.filter(k == 5), table, branch="dead", ts_ms=1100
+    )
+    create_tag(table, "audit", from_ref="dead")
+    delete_branch(table, "dead")
+    # unreachable lineage: branch -> commit -> drop branch, no tag
+    create_branch(table, "dead2")
+    commit_append_ref(
+        o.filter(k == 0), table, branch="dead2", ts_ms=1200
+    )
+    delete_branch(table, "dead2")
+    # main advances
+    commit_append_ref(o.filter(k == 7), table, branch="main", ts_ms=1300)
+
+    expired = expire_snapshots_dirs(
+        table, older_than_ms=1_000_000, keep_last=1
+    )
+
+    def agg(ref: str, state: str) -> DataFrame:
+        return read_ref(spark, table, ref).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("total_cents"),
+        ).select(F.lit(state).alias("state"), "n_rows", "total_cents")
+
+    marker = spark.createDataFrame(
+        [("expired", len(expired), 0)],
+        "state string, n_rows long, total_cents long",
+    )
+    return (
+        marker.unionByName(agg("main", "main_after"))
+        .unionByName(agg("audit", "tag_audit"))
+        .orderBy("state")
+    )
+
+
+@register(
+    "m34_multi_table_commit",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'latest' AS state, 'customer' AS tbl,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT 'latest', 'orders', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_orderkey % 3 IN (0, 1)
+            UNION ALL
+            SELECT 'tag_publish', 'customer', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT 'tag_publish', 'orders', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_orderkey % 3 = 0
+        ) ORDER BY state, tbl
+    """,
+    doc="Cross-table ATOMIC commits (VERDICT r9 ask #2) — the "
+    "documented Nessie property a per-table version store cannot "
+    "express (catalog-level commits, blog-zero-cost-data-lakehouse.md"
+    ":373-397): catalog/workspace.py lifts the snapshot commit log to "
+    "a WORKSPACE _versions.json whose entries map {table -> file-set "
+    "delta} for every table one commit touched, so v1 publishes "
+    "customer+orders in ONE atomic log swap — a reader resolving any "
+    "single version (or the tag pinned on it) sees both tables' v1 "
+    "state or neither, never the torn half-publish two separate "
+    "table commits would expose (pytest proves the torn window on "
+    "the per-table layout and its absence here). The query then "
+    "lands an interleaved single-table orders append as v2 and reads "
+    "all four (state x table) combinations: the tag still serves the "
+    "CONSISTENT two-table v1, latest serves customer-v1 + orders-v2. "
+    "The commit point is the same CAS as the table-level log; "
+    "resolution walks per-commit deltas, so workspace metadata is "
+    "O(commits), and reads remain lazy partition-pruned scans.",
+    tags=("scale", "snapshot", "nessie", "transaction"),
+)
+def m34_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_tag,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="ws_")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ws_commit(
+        ws,
+        {
+            "customer": c.filter(F.col("c_custkey") % 3 == 0),
+            "orders": o.filter(F.col("o_orderkey") % 3 == 0),
+        },
+        ts_ms=1000,
+    )
+    ws_create_tag(ws, "publish")  # pins the two-table v1
+    ws_commit(
+        ws,
+        {"orders": o.filter(F.col("o_orderkey") % 3 == 1)},
+        ts_ms=2000,
+    )
+
+    def agg(state: str, tbl: str, df: DataFrame, cents) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(cents * 100).cast("long")).alias("total_cents"),
+        ).select(
+            F.lit(state).alias("state"),
+            F.lit(tbl).alias("tbl"),
+            "n_rows",
+            "total_cents",
+        )
+
+    rows = [
+        agg("tag_publish", "customer",
+            ws_read(spark, ws, "customer", ref="publish"),
+            F.col("c_acctbal")),
+        agg("tag_publish", "orders",
+            ws_read(spark, ws, "orders", ref="publish"),
+            F.col("o_totalprice")),
+        agg("latest", "customer", ws_read(spark, ws, "customer"),
+            F.col("c_acctbal")),
+        agg("latest", "orders", ws_read(spark, ws, "orders"),
+            F.col("o_totalprice")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("state", "tbl")
+
+
+@register(
+    "m35_divergent_merge",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'etl_after' AS state,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders WHERE o_orderkey % 4 IN (1, 2)
+            UNION ALL
+            SELECT 'main_merged', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
+            UNION ALL
+            SELECT 'noop_recommit', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        ) ORDER BY state
+    """,
+    doc="Content-aware NON-fast-forward merge (VERDICT r9 ask #3) — "
+    "Nessie merges diverged branches when the touched content does "
+    "not conflict: branch 'etl' and main BOTH advance after the "
+    "branch point (append-only on each side — the concurrent-ingest "
+    "case), and merge_branch, instead of demanding a rebase, walks "
+    "both ancestries to the merge base, verifies NEITHER side rewrote "
+    "files the base referenced (a rewrite raises with the conflicting "
+    "paths — Nessie's per-key conflict detection at file granularity; "
+    "pytest covers it via commit_snapshot_ref), and commits target + "
+    "source-delta as one metadata-only entry. The query reads merged "
+    "main (base + both deltas), proves the source branch untouched, "
+    "and re-merges: the second merge is a git-style NO-OP (source "
+    "already an ancestor — ADVICE r9), pinned by emitting the commit-"
+    "count delta (0) in the hash. All walks are O(branch length) on "
+    "the driver; zero data bytes move.",
+    tags=("scale", "snapshot", "nessie"),
+)
+def m35_divergent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        list_snapshots,
+        merge_branch,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="dvm_"), "orders")
+    k = F.col("o_orderkey") % 4
+    commit_snapshot(o.filter(k == 1), table)
+    create_branch(table, "etl")
+    commit_append_ref(o.filter(k == 2), table, branch="etl")
+    commit_append_ref(o.filter(k == 3), table, branch="main")  # diverge
+    merge_branch(table, "etl", into="main")
+    n_before = len(list_snapshots(table))
+    merge_branch(table, "etl", into="main")  # already merged -> no-op
+    noop_delta = len(list_snapshots(table)) - n_before
+
+    def agg(ref: str, state: str) -> DataFrame:
+        return read_ref(spark, table, ref).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("total_cents"),
+        ).select(F.lit(state).alias("state"), "n_rows", "total_cents")
+
+    marker = spark.createDataFrame(
+        [("noop_recommit", noop_delta, 0)],
+        "state string, n_rows long, total_cents long",
+    )
+    return (
+        agg("etl", "etl_after")
+        .unionByName(agg("main", "main_merged"))
+        .unionByName(marker)
+        .orderBy("state")
+    )

@@ -464,3 +464,108 @@ def test_pp17_raises_on_zero_target_tokens(spark, tmp_path):
     docs.write.parquet(os.path.join(sf, "documents.parquet"))
     with pytest.raises(ValueError, match="no tokens from the target"):
         pl.pp17_importance_resampling(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# Ask #2: workspace-level multi-table atomic commits
+
+
+def test_ws_commit_has_no_torn_publish_window(spark):
+    """The per-table layout's torn window: two single-table commits give
+    readers a version where table A moved and table B did not. The
+    workspace commit eliminates it — EVERY workspace version resolves a
+    consistent pair."""
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_list_versions,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r10_ws_")
+    a1 = spark.range(10).select(F.col("id"))
+    b1 = spark.range(100, 110).select(F.col("id"))
+    a2 = spark.range(10, 20).select(F.col("id"))
+    b2 = spark.range(110, 120).select(F.col("id"))
+    ws_commit(ws, {"a": a1, "b": b1})          # v1: consistent pair
+    ws_commit(ws, {"a": a2, "b": b2})          # v2: consistent pair
+    # Invariant: at EVERY version, a and b have moved in lockstep.
+    for e in ws_list_versions(ws):
+        v = e["version"]
+        n_a = ws_read(spark, ws, "a", version=v).count()
+        n_b = ws_read(spark, ws, "b", version=v).count()
+        assert n_a == n_b, f"torn publish visible at v{v}"
+    # Contrast: the per-table snapshot layout HAS the torn state — after
+    # committing a's second batch but before b's, a reader sees 20/10.
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        read_snapshot_dirs,
+    )
+
+    root = tempfile.mkdtemp(prefix="r10_torn_")
+    ta, tb = root + "/a", root + "/b"
+    commit_snapshot(a1, ta)
+    commit_snapshot(b1, tb)
+    commit_append(a2, ta)  # <- the torn window: a moved, b did not
+    assert read_snapshot_dirs(spark, ta).count() == 20
+    assert read_snapshot_dirs(spark, tb).count() == 10
+
+
+def test_ws_tag_reads_are_cross_table_consistent(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_tag,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r10_wstag_")
+    ws_commit(
+        ws,
+        {
+            "a": spark.range(5).select(F.col("id")),
+            "b": spark.range(50, 55).select(F.col("id")),
+        },
+    )
+    ws_create_tag(ws, "publish")
+    ws_commit(ws, {"b": spark.range(55, 60).select(F.col("id"))})
+    # tag: both tables at v1; latest: only b advanced
+    assert ws_read(spark, ws, "a", ref="publish").count() == 5
+    assert ws_read(spark, ws, "b", ref="publish").count() == 5
+    assert ws_read(spark, ws, "a").count() == 5
+    assert ws_read(spark, ws, "b").count() == 10
+
+
+def test_ws_commit_cas_conflict(spark):
+    from apache_iceberg_spark.catalog.snapshots import CommitConflict
+    from apache_iceberg_spark.catalog.workspace import ws_commit
+
+    ws = tempfile.mkdtemp(prefix="r10_wscas_")
+    ws_commit(ws, {"a": spark.range(3).select(F.col("id"))})
+    racer = spark.range(10, 13).select(F.col("id"))
+    loser = spark.range(20, 23).select(F.col("id"))
+
+    def race():
+        ws_commit(ws, {"a": racer})
+
+    with pytest.raises(CommitConflict, match="head moved"):
+        ws_commit(ws, {"a": _RacingDF(loser, race)})
+
+
+def test_ws_overwrite_and_missing_table(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_list_tables,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r10_wsow_")
+    ws_commit(ws, {"a": spark.range(5).select(F.col("id"))})
+    ws_commit(
+        ws, {"a": spark.range(100, 102).select(F.col("id"))},
+        mode="overwrite",
+    )
+    assert ws_read(spark, ws, "a").count() == 2
+    assert ws_read(spark, ws, "a", version=1).count() == 5
+    assert ws_list_tables(ws) == ["a"]
+    with pytest.raises(ValueError, match="does not exist"):
+        ws_read(spark, ws, "nope")
