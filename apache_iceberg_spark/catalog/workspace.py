@@ -70,6 +70,7 @@ def ws_commit(
     mode: str = "append",
     ts_ms: int | None = None,
     partition_by: dict[str, list[str]] | None = None,
+    idempotency_key: str | None = None,
 ) -> int:
     """Commit EVERY table in ``dfs`` as ONE atomic workspace version.
 
@@ -84,13 +85,25 @@ def ws_commit(
     All data directories are written BEFORE the log swap; the swap is a
     CAS (raises ``CommitConflict`` on a lost race), so a crash or lost
     race leaves only uniquely-named orphan dirs, never a half-visible
-    publish."""
+    publish.
+
+    ``idempotency_key``: the same retry contract as the table-level
+    ``commit_append_ref`` — a commit bearing an already-present key
+    returns the original version without writing, so a streaming
+    foreachBatch publisher passing the batch id gets exactly-once
+    multi-table publishes across Spark's batch re-runs (st20). The
+    workspace log is linear, so the scan is the whole log (O(commits)
+    driver-side JSON, no data touched)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     if not dfs:
         raise ValueError("ws_commit needs at least one table")
     os.makedirs(ws_path, exist_ok=True)
     log = _read_log(ws_path)
+    if idempotency_key is not None:
+        for e in log:
+            if e.get("idempotency_key") == idempotency_key:
+                return e["version"]
     head = log[-1]["version"] if log else None
     version = (head + 1) if head is not None else 1
     tables: dict[str, dict] = {}
@@ -116,13 +129,14 @@ def ws_commit(
                 f"workspace {ws_path} head moved {head} -> {cur_head} "
                 f"during commit of v{version}; re-read and retry"
             )
-        cur.append(
-            {
-                "version": version,
-                "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
-                "tables": tables,
-            }
-        )
+        entry = {
+            "version": version,
+            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+            "tables": tables,
+        }
+        if idempotency_key is not None:
+            entry["idempotency_key"] = idempotency_key
+        cur.append(entry)
         _write_log(ws_path, cur)
     return version
 

@@ -1411,3 +1411,83 @@ def a28_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# a29: chi-square independence profile on exact counts
+# ---------------------------------------------------------------------------
+
+# Shared TEXTUALLY between engines (a21's recipe): every input is an
+# exact BIGINT (cell/row/column/grand counts), floats appear only in
+# this per-cell formula, so both engines round identically.
+_A29_EXP = "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+_A29_TERM = (
+    f"((CAST(obs AS DOUBLE) - {_A29_EXP}) * "
+    f"(CAST(obs AS DOUBLE) - {_A29_EXP}) / {_A29_EXP})"
+)
+
+
+@register(
+    "a29_chi_square_independence",
+    oracle=f"""
+        WITH cells AS (
+            SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                   CAST(COUNT(*) AS BIGINT) AS obs
+            FROM orders GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT pri, st, obs,
+                   CAST(SUM(obs) OVER (PARTITION BY pri) AS BIGINT) AS r,
+                   CAST(SUM(obs) OVER (PARTITION BY st) AS BIGINT) AS c,
+                   CAST(SUM(obs) OVER () AS BIGINT) AS n
+            FROM cells
+        )
+        SELECT pri AS o_orderpriority, st AS o_orderstatus,
+               obs AS observed, r AS row_total, c AS col_total,
+               {_A29_EXP} AS expected, {_A29_TERM} AS chi2_term
+        FROM w
+    """,
+    doc="Chi-square INDEPENDENCE profile of the priority x status "
+    "contingency table — the categorical complement of a25's KS drift "
+    "test (KS compares numeric distributions; chi-square asks whether "
+    "two categorical factors are associated, the go-to gate for 'did "
+    "the label mix shift across sources' in a curation pipeline): "
+    "observed cell counts, row/column marginals, the independence-"
+    "expected count r*c/n and each cell's (O-E)^2/E contribution — "
+    "the statistic is the sum, and emitting per-cell terms makes the "
+    "drivers of a rejection readable, which is what the report is "
+    "for. Determinism: all counts are exact BIGINTs from ONE grouped "
+    "pass over orders; marginals are window sums over the tiny cell "
+    "frame (|priorities| x |statuses| = 15 rows — never a second "
+    "table scan), and the one float formula runs per cell on exact "
+    "inputs with textually identical expressions in both engines "
+    "(a21's recipe). Scale shape: one map-side-combined aggregation, "
+    "then windows over a frame bounded by the category-domain "
+    "product at ANY row count.",
+    tags=("analytics", "statistics", "drift"),
+)
+def a29_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    w = cells.select(
+        "pri",
+        "st",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("pri")).alias("r"),
+        F.sum("obs").over(Window.partitionBy("st")).alias("c"),
+        F.sum("obs").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    return w.select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("st").alias("o_orderstatus"),
+        F.col("obs").alias("observed"),
+        F.col("r").alias("row_total"),
+        F.col("c").alias("col_total"),
+        F.expr(_A29_EXP).alias("expected"),
+        F.expr(_A29_TERM).alias("chi2_term"),
+    )

@@ -1190,3 +1190,100 @@ def g8_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("1000000 DIV dist")).alias("h_micro"),
         F.count(F.lit(1)).alias("n_reached"),
     ).select(F.col("src").alias("l_suppkey"), "h_micro", "n_reached")
+
+
+# --- g9: neighborhood Jaccard node similarity --------------------------------
+
+#: ppm scaling for the exact-integer Jaccard ratio.
+G9_PPM = 1_000_000
+
+
+@register(
+    "g9_neighborhood_jaccard",
+    oracle=f"""
+        WITH {_DUCK_KNN_EDGES},
+        adj AS (
+            SELECT u AS z, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS (
+            SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY z
+        ),
+        wedges AS (
+            SELECT a.n AS u, b.n AS v
+            FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+        ),
+        common AS (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM wedges GROUP BY u, v
+        ),
+        nonadj AS (
+            SELECT c.u, c.v, c.n_common
+            FROM common c LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+            WHERE e.u IS NULL
+        )
+        SELECT s.u, s.v, s.n_common,
+               du.d + dv.d - s.n_common AS union_deg,
+               CAST(s.n_common * {G9_PPM}
+                    // (du.d + dv.d - s.n_common) AS BIGINT) AS jaccard_ppm
+        FROM nonadj s
+        JOIN deg du ON du.z = s.u
+        JOIN deg dv ON dv.z = s.v
+    """,
+    doc="NEIGHBORHOOD-JACCARD node similarity over g2's kNN-sparsified "
+    "co-purchase graph: for every non-adjacent supplier pair sharing "
+    "at least one neighbor, J(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — "
+    "the degree-NORMALIZED complement of g4's resource-allocation "
+    "index (RA rewards rare common neighbors; Jaccard asks how much "
+    "of both neighborhoods overlaps, the structural-equivalence "
+    "measure entity resolution and role discovery use). ENTIRELY "
+    "exact integers: intersection = the wedge count, union = "
+    "deg(u) + deg(v) - intersection, ratio emitted in ppm via integer "
+    "DIV — zero float anywhere, so the hash is trivially stable. "
+    "Scale: the same wedge join as g2/g4 (fan-out bounded by the kNN "
+    f"degree cap {G2_KNN} -> candidates <= n*K^2 at any density), one "
+    "shuffle on z, one on the pair key; the two degree joins "
+    "broadcast (|nodes| rows). Shares _knn_edges with g2/g4/g5/g6 so "
+    "all five score the IDENTICAL graph.",
+    tags=("graph", "similarity"),
+)
+def g9_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("z"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("z"), F.col("u").alias("n")),
+            )
+        ).alias("a")
+    ).select("a.z", "a.n")
+    deg = adj.groupBy("z").agg(F.count("*").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .groupBy(
+            F.col("a.n").alias("u"), F.col("b.n").alias("v")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    nonadj = common.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("z").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("z").alias("v"), F.col("d").alias("dv"))
+    return (
+        nonadj.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            (F.col("du") + F.col("dv") - F.col("n_common")).alias(
+                "union_deg"
+            ),
+            F.expr(f"n_common * {G9_PPM} DIV (du + dv - n_common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

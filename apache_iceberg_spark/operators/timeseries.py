@@ -1703,3 +1703,136 @@ def ts18_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_ts18_symbol_case("((m - mean) / sd)")).alias("symbol"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts19: sample autocorrelation function (ACF) from exact integer sums
+# ---------------------------------------------------------------------------
+
+TS19_LAGS = (1, 2, 3, 6, 12, 24)
+
+# The ACF arithmetic, shared TEXTUALLY between the Spark projection and
+# the DuckDB oracle: every input (sxy, sh, st, m, s1, s2, n) is an exact
+# BIGINT, so as long as both engines execute the identical expression
+# tree the doubles round identically (a21's recipe — floats only in the
+# final per-row formula, never accumulated across rows).
+_TS19_MU = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_TS19_ACF = (
+    f"(CAST(sxy AS DOUBLE) - {_TS19_MU} * "
+    f"(CAST(sh AS DOUBLE) + CAST(st AS DOUBLE)) "
+    f"+ CAST(m AS DOUBLE) * {_TS19_MU} * {_TS19_MU}) "
+    f"/ (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * {_TS19_MU} * {_TS19_MU})"
+)
+
+
+@register(
+    "ts19_autocorrelation",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        g AS (
+            SELECT CAST(SUM(x) AS BIGINT) AS s1,
+                   CAST(SUM(x * x) AS BIGINT) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM sp
+        ),
+        lags(l) AS (VALUES {", ".join(f"({L})" for L in TS19_LAGS)}),
+        per AS (
+            SELECT l,
+                   CAST(SUM(a.x * c.x) AS BIGINT) AS sxy,
+                   CAST(SUM(a.x) AS BIGINT) AS sh,
+                   CAST(SUM(c.x) AS BIGINT) AS st,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM lags JOIN sp a ON TRUE JOIN sp c ON c.t = a.t + l
+            GROUP BY l
+        )
+        SELECT CAST(l AS BIGINT) AS lag, m AS n_pairs, {_TS19_ACF} AS acf
+        FROM per CROSS JOIN g
+    """,
+    doc=f"Sample AUTOCORRELATION of the hourly event-count series at "
+    f"lags {TS19_LAGS} — the diagnostic that DETECTS the season length "
+    "ts14 assumes and ts12's trend model smooths over (a daily cycle "
+    "shows as the lag-24 peak): the standard biased estimator "
+    "r_L = sum((x_t - mu)(x_t+L - mu)) / sum((x_t - mu)^2) computed "
+    "ENTIRELY from exact BIGINT sums (sxy/sh/st per lag + global "
+    "s1/s2/n) with the float formula applied once per lag to exact "
+    "inputs — a21's determinism recipe, so both engines round "
+    "identically where a naive mean-subtracted float accumulation is "
+    "partition-order-dependent. The series sits on a COMPLETE hourly "
+    "spine (missing hours count 0 — textbook ACF, not observed-pairs "
+    "ACF). Scale shape: ONE map-side-combined count per hour, then "
+    "every lag is an integer equi-join on the shifted hour INDEX "
+    "(t+L) against the bounded spine — no SinglePartition window "
+    "anywhere, no per-row lag function; the spine is calendar-bounded "
+    "(hours in the span: 720 here, ~9k/year at ANY row count; an "
+    "unbounded-span deployment coarsens the bucket, a27's guard "
+    "argument). The lag table broadcasts; spine joins are trivially "
+    "co-partitioned.",
+    tags=("timeseries", "statistics", "seasonality"),
+)
+def ts19_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    b = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = b.select(
+        F.col("h0"),
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    sp = (
+        spine.join(hourly, "h", "left")
+        .select(
+            (
+                (
+                    F.unix_timestamp("h") - F.unix_timestamp("h0")
+                ) / 3600
+            ).cast("long").alias("t"),
+            F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+        )
+    )
+    g = sp.agg(
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lags = spark.createDataFrame([(L,) for L in TS19_LAGS], "l long")
+    a, c = sp.alias("a"), sp.alias("c")
+    per = (
+        a.crossJoin(F.broadcast(lags))
+        .join(c, F.col("c.t") == F.col("a.t") + F.col("l"))
+        .groupBy("l")
+        .agg(
+            F.sum(F.col("a.x") * F.col("c.x")).alias("sxy"),
+            F.sum(F.col("a.x")).alias("sh"),
+            F.sum(F.col("c.x")).alias("st"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        F.col("l").alias("lag"),
+        F.col("m").alias("n_pairs"),
+        F.expr(_TS19_ACF).alias("acf"),
+    )

@@ -569,3 +569,148 @@ def test_ws_overwrite_and_missing_table(spark):
     assert ws_list_tables(ws) == ["a"]
     with pytest.raises(ValueError, match="does not exist"):
         ws_read(spark, ws, "nope")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 new operators: independent-model checks (oracle could be blind)
+
+
+def test_ws_commit_idempotency_key(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_list_versions,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r10_wskey_")
+    df = spark.range(5).select(F.col("id"))
+    v1 = ws_commit(ws, {"a": df}, idempotency_key="batch-0")
+    v_retry = ws_commit(
+        ws, {"a": spark.range(99).select(F.col("id"))},
+        idempotency_key="batch-0",
+    )
+    assert v_retry == v1
+    assert len(ws_list_versions(ws)) == 1
+    assert ws_read(spark, ws, "a").count() == 5  # retry wrote nothing
+
+
+def test_st20_every_version_pairwise_consistent(spark):
+    """After the stream, EVERY workspace version's agg table must equal
+    a recompute from its raw table — the atomicity invariant, checked
+    at every intermediate publish, not just the head."""
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_list_versions,
+        ws_read,
+    )
+    from apache_iceberg_spark.streaming.events import _st20_run
+    from tests.conftest import SF_DIR
+
+    ws, result = _st20_run(spark, SF_DIR)
+    rows = result.collect()
+    assert rows and all(r["agg_matches_raw"] for r in rows)
+    versions = [e["version"] for e in ws_list_versions(ws)]
+    assert len(versions) >= 2, "expected a multi-batch run"
+    for v in versions:
+        raw_n = ws_read(spark, ws, "raw", version=v).count()
+        agg_n = (
+            ws_read(spark, ws, "agg", version=v)
+            .agg(F.sum("n_events").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert raw_n == agg_n, f"torn raw/agg pair at workspace v{v}"
+
+
+def test_ts19_matches_numpy(spark):
+    """ACF cross-checked against an independent numpy implementation on
+    the actual hourly series (the oracle shares the formula text, so it
+    could be blind to a wrong formula — numpy is not)."""
+    import numpy as np
+
+    from apache_iceberg_spark.operators.timeseries import (
+        TS19_LAGS,
+        ts19_autocorrelation,
+    )
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("h")
+        .collect()
+    )
+    # complete spine (fill gaps with 0)
+    h0 = hourly[0]["h"]
+    idx = {int((r["h"] - h0).total_seconds() // 3600): r["x"] for r in hourly}
+    n = max(idx) + 1
+    x = np.array([idx.get(i, 0) for i in range(n)], dtype=float)
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in ts19_autocorrelation(spark, SF_DIR).collect()
+    }
+    for L in TS19_LAGS:
+        want = ((x[:-L] - mu) * (x[L:] - mu)).sum() / den
+        n_pairs, acf = got[L]
+        assert n_pairs == n - L
+        assert abs(acf - want) < 1e-9, (L, acf, want)
+    # sanity: daily seasonality shows at lag 24 if present; at minimum
+    # the estimator is bounded
+    assert all(abs(v[1]) <= 1.0 + 1e-12 for v in got.values())
+
+
+def test_a29_matches_numpy(spark):
+    import numpy as np
+
+    from apache_iceberg_spark.operators.analytics import (
+        a29_chi_square_independence,
+    )
+
+    rows = a29_chi_square_independence(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pris = sorted({r["o_orderpriority"] for r in rows})
+    sts = sorted({r["o_orderstatus"] for r in rows})
+    obs = np.zeros((len(pris), len(sts)))
+    for r in rows:
+        obs[pris.index(r["o_orderpriority"]), sts.index(r["o_orderstatus"])] \
+            = r["observed"]
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp)
+    for r in rows:
+        i, j = pris.index(r["o_orderpriority"]), sts.index(r["o_orderstatus"])
+        assert abs(r["expected"] - exp[i, j]) < 1e-9
+        assert abs(r["chi2_term"] - chi2[i, j]) < 1e-9
+        assert r["row_total"] == obs[i].sum()
+        assert r["col_total"] == obs[:, j].sum()
+
+
+def test_g9_jaccard_properties(spark):
+    """Exact-integer invariants on the real graph: 0 < jaccard <= 1e6,
+    intersection <= min(deg), union >= max(deg), and scored pairs are
+    non-adjacent."""
+    from apache_iceberg_spark.operators.graph import (
+        _knn_edges,
+        g9_neighborhood_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = g9_neighborhood_jaccard(spark, sf)
+    edges = {
+        (r["u"], r["v"]) for r in _knn_edges(spark, sf).collect()
+    }
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    rows = out.collect()
+    spark.catalog.clearCache()  # _knn_edges plan-cache (two calls above)
+    assert rows
+    for r in rows:
+        assert (r["u"], r["v"]) not in edges
+        assert 0 < r["jaccard_ppm"] <= 1_000_000
+        assert r["n_common"] <= min(deg[r["u"]], deg[r["v"]])
+        assert r["union_deg"] == deg[r["u"]] + deg[r["v"]] - r["n_common"]
+        assert r["jaccard_ppm"] == r["n_common"] * 1_000_000 // r["union_deg"]
