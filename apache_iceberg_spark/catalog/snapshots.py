@@ -122,14 +122,24 @@ class _log_lock:
 
 
 def _append_commit(
-    table_path: str, entry: dict, expected_head: int | None
+    table_path: str,
+    entry: dict,
+    expected_head: int | None,
+    move_branch: str | None = None,
 ) -> None:
     """The commit point: verify the head the committer planned against is
     STILL the head, then append + atomically swap the log — all under the
     lock. On a lost race raises ``CommitConflict`` (the entry's already-
     written data directory becomes torn-commit debris that
     ``remove_orphan_dirs`` reclaims, exactly like a died-mid-commit
-    Iceberg writer)."""
+    Iceberg writer).
+
+    ``move_branch``: advance that branch pointer to the new version
+    INSIDE the same critical section, against a freshly re-read
+    ``_refs.json``. Round-10 self-review find: writing refs after the
+    lock from a plan-time snapshot let two winners on different
+    branches interleave so the second's stale refs write reverted the
+    first's pointer advance."""
     with _log_lock(table_path):
         log = _read_log(table_path)
         head = log[-1]["version"] if log else None
@@ -140,6 +150,10 @@ def _append_commit(
             )
         log.append(entry)
         _write_log(table_path, log)
+        if move_branch is not None:
+            refs = _read_refs(table_path)
+            refs["branches"][move_branch] = entry["version"]
+            _write_refs(table_path, refs)
 
 
 def _data_dir(table_path: str, kind: str, version: int) -> str:
@@ -399,6 +413,22 @@ def _write_refs(table_path: str, refs: dict) -> None:
     os.replace(tmp, os.path.join(table_path, _REFS))
 
 
+def _update_refs(table_path: str, mutate) -> dict:
+    """Atomic read-modify-write of ``_refs.json`` under the commit lock.
+
+    Round-10 self-review find: the commit-log CAS serializes log
+    appends, but each committer then wrote refs from a snapshot read at
+    PLAN time — two writers succeeding on different branches could
+    interleave so the second's stale refs write reverted the first's
+    pointer advance. Re-reading refs inside the lock closes it: the
+    mutation (a fixed pointer move) applies to the freshest state."""
+    with _log_lock(table_path):
+        refs = _read_refs(table_path)
+        mutate(refs)
+        _write_refs(table_path, refs)
+    return refs
+
+
 def _resolve_ref(table_path: str, ref: str) -> int:
     """Ref name -> version number. ``main`` lazily means the log tail
     until a branch operation pins it (pre-ref tables are all-main)."""
@@ -456,11 +486,14 @@ def create_branch(table_path: str, name: str, from_ref: str = "main") -> int:
     """Nessie ``CREATE BRANCH <name> FROM <ref>``: a movable pointer at
     the source ref's current version. O(1) metadata; no data touched."""
     version = _resolve_ref(table_path, from_ref)
-    refs = _ensure_main(table_path, _read_refs(table_path))
-    if name in refs["branches"] or name in refs["tags"]:
-        raise ValueError(f"ref {name!r} already exists")
-    refs["branches"][name] = version
-    _write_refs(table_path, refs)
+
+    def mutate(refs: dict) -> None:
+        _ensure_main(table_path, refs)
+        if name in refs["branches"] or name in refs["tags"]:
+            raise ValueError(f"ref {name!r} already exists")
+        refs["branches"][name] = version
+
+    _update_refs(table_path, mutate)
     return version
 
 
@@ -473,11 +506,14 @@ def create_tag(table_path: str, name: str, from_ref: str = "main") -> int:
     deleting the ref is the ONLY way its snapshots become expirable —
     Nessie's unreachable-commit GC."""
     version = _resolve_ref(table_path, from_ref)
-    refs = _ensure_main(table_path, _read_refs(table_path))
-    if name in refs["branches"] or name in refs["tags"]:
-        raise ValueError(f"ref {name!r} already exists")
-    refs["tags"][name] = version
-    _write_refs(table_path, refs)
+
+    def mutate(refs: dict) -> None:
+        _ensure_main(table_path, refs)
+        if name in refs["branches"] or name in refs["tags"]:
+            raise ValueError(f"ref {name!r} already exists")
+        refs["tags"][name] = version
+
+    _update_refs(table_path, mutate)
     return version
 
 
@@ -532,9 +568,9 @@ def commit_append_ref(
     }
     if idempotency_key is not None:
         entry["idempotency_key"] = idempotency_key
-    _append_commit(table_path, entry, expected_head=head)
-    refs["branches"][branch] = version
-    _write_refs(table_path, refs)
+    _append_commit(
+        table_path, entry, expected_head=head, move_branch=branch
+    )
     return version
 
 
@@ -576,9 +612,8 @@ def commit_snapshot_ref(
             "partition_by": partition_by,
         },
         expected_head=head,
+        move_branch=branch,
     )
-    refs["branches"][branch] = version
-    _write_refs(table_path, refs)
     return version
 
 
@@ -641,14 +676,14 @@ def merge_branch(
             ts_ms=int(time.time() * 1000) if ts_ms is None else ts_ms,
             partition_by=by_v[src_v].get("partition_by"),
         )
-        _append_commit(table_path, entry, expected_head=head)
         # Only the TARGET pointer advances — git and Nessie both leave
         # the source branch where it was after a merge (round-9
         # self-review: the first cut moved both, a semantics deviation
         # no oracle could see because no registered query reads the
         # source ref post-merge).
-        refs["branches"][into] = version
-        _write_refs(table_path, refs)
+        _append_commit(
+            table_path, entry, expected_head=head, move_branch=into
+        )
         return version
 
     into_chain = _ancestry(by_v, into_v)
@@ -696,9 +731,8 @@ def merge_branch(
             "partition_by": by_v[into_v].get("partition_by"),
         },
         expected_head=head,
+        move_branch=into,
     )
-    refs["branches"][into] = version
-    _write_refs(table_path, refs)
     return version
 
 
@@ -753,9 +787,8 @@ def transplant(
             "partition_by": by_v[onto_v].get("partition_by"),
         },
         expected_head=head,
+        move_branch=onto,
     )
-    refs["branches"][onto] = version
-    _write_refs(table_path, refs)
     return version
 
 
@@ -768,22 +801,25 @@ def delete_branch(table_path: str, name: str) -> None:
     this deletion is what actually frees them). ``main`` is protected."""
     if name == "main":
         raise ValueError("cannot delete main")
-    refs = _read_refs(table_path)
-    if name not in refs["branches"]:
-        raise ValueError(f"unknown branch {name!r}")
-    del refs["branches"][name]
-    _write_refs(table_path, refs)
+
+    def mutate(refs: dict) -> None:
+        if name not in refs["branches"]:
+            raise ValueError(f"unknown branch {name!r}")
+        del refs["branches"][name]
+
+    _update_refs(table_path, mutate)
 
 
 def delete_tag(table_path: str, name: str) -> None:
     """Nessie ``DROP TAG`` — the explicit release of a tag's 'addressable
     forever' pin; after this (and only after this) the tagged snapshot
     becomes expirable like any other unreachable commit."""
-    refs = _read_refs(table_path)
-    if name not in refs["tags"]:
-        raise ValueError(f"unknown tag {name!r}")
-    del refs["tags"][name]
-    _write_refs(table_path, refs)
+    def mutate(refs: dict) -> None:
+        if name not in refs["tags"]:
+            raise ValueError(f"unknown tag {name!r}")
+        del refs["tags"][name]
+
+    _update_refs(table_path, mutate)
 
 
 def list_refs(table_path: str) -> dict:
@@ -892,11 +928,12 @@ def rollback_to(table_path: str, version: int, ts_ms: int | None = None) -> int:
             "partition_by": by_v[version].get("partition_by"),
         },
         expected_head=head,
+        move_branch=(
+            "main"
+            if "main" in _read_refs(table_path)["branches"]
+            else None
+        ),
     )
-    refs = _read_refs(table_path)
-    if "main" in refs["branches"]:
-        refs["branches"]["main"] = new_version
-        _write_refs(table_path, refs)
     return new_version
 
 

@@ -714,3 +714,57 @@ def test_g9_jaccard_properties(spark):
         assert r["n_common"] <= min(deg[r["u"]], deg[r["v"]])
         assert r["union_deg"] == deg[r["u"]] + deg[r["v"]] - r["n_common"]
         assert r["jaccard_ppm"] == r["n_common"] * 1_000_000 // r["union_deg"]
+
+
+def test_concurrent_branch_committers_keep_both_pointers(spark, ref_table):
+    """Two writers hammering DIFFERENT branches with retry-on-conflict:
+    every commit must land, and BOTH branch pointers must end at their
+    writer's last committed version — the refs-clobber interleaving the
+    round-10 self-review found (refs written outside the commit lock
+    from a plan-time snapshot) would lose one pointer's advance."""
+    import threading
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        CommitConflict,
+        commit_append_ref,
+        create_branch,
+        list_refs,
+        list_snapshots,
+    )
+
+    create_branch(ref_table, "b1")
+    create_branch(ref_table, "b2")
+    last: dict[str, int] = {}
+    errors: list[Exception] = []
+    n_each = 3
+
+    def writer(branch: str, lo: int) -> None:
+        try:
+            for i in range(n_each):
+                df = spark.range(lo + i, lo + i + 1).select(F.col("id"))
+                while True:
+                    try:
+                        last[branch] = commit_append_ref(
+                            df, ref_table, branch=branch
+                        )
+                        break
+                    except CommitConflict:
+                        continue  # re-plan and retry, the documented shape
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    t1 = threading.Thread(target=writer, args=("b1", 100))
+    t2 = threading.Thread(target=writer, args=("b2", 200))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    log = list_snapshots(ref_table)
+    assert len(log) == 1 + 2 * n_each  # every commit landed exactly once
+    refs = list_refs(ref_table)["branches"]
+    assert refs["b1"] == last["b1"]
+    assert refs["b2"] == last["b2"]
+    assert _ids(spark, ref_table, "b1") == list(range(10)) + list(
+        range(100, 100 + n_each)
+    )
+    assert _ids(spark, ref_table, "b2") == list(range(10)) + list(
+        range(200, 200 + n_each)
+    )
