@@ -960,3 +960,34 @@ def test_round8_no_cartesian(spark):
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_ts19_no_window_and_broadcast_lags(spark):
+    """ts19's ACF must come from shifted-index equi-joins, never a
+    SinglePartition window with lag() over the spine (the shape the
+    docstring promises), and the lag/global frames must broadcast."""
+    plan = plan_of(spark, "ts19_autocorrelation")
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan
+    # the spine self-join is an equi-join on the shifted index
+    assert "t#" in plan or "Join" in plan
+
+
+def test_g9_wedge_join_and_broadcast_degrees(spark):
+    """g9 shares g2/g4's bounded wedge join; the two degree lookups
+    broadcast (|nodes| rows), and nothing goes cartesian."""
+    plan = plan_of(spark, "g9_neighborhood_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    spark.catalog.clearCache()  # _knn_edges plan-cache
+
+
+def test_a29_single_scan_with_windows_over_cells(spark):
+    """a29's marginals are window sums over the 15-cell frame — orders
+    must be scanned ONCE (one scan node), not re-aggregated per
+    marginal."""
+    plan = plan_of(spark, "a29_chi_square_independence")
+    # tree nodes print as "Scan parquet  (N)"; the detail section
+    # repeats the name once per node, so count the tree form
+    assert plan.count("Scan parquet  (") == 1, plan
+    assert plan.count("Window") >= 3  # the three marginal windows
