@@ -1491,3 +1491,112 @@ def a29_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_A29_EXP).alias("expected"),
         F.expr(_A29_TERM).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a30: Cramér's V effect size — integer chi-square in micro-units
+# ---------------------------------------------------------------------------
+
+# chi2 = n * (S - 1) with S = sum over cells of O^2/(r*c). S is computed
+# as exact integer micro-units via per-cell integer division (the
+# g4/g8 micro-unit convention) — a float per-cell term SUMMED across
+# cells would be partition-order-dependent, the exact failure a21
+# exists to avoid. The single float formula (one divide + the
+# correctly-rounded sqrt, a28's argument) is shared textually.
+_A30_V = (
+    "sqrt(CAST(chi2_micro AS DOUBLE) "
+    "/ (1000000.0 * CAST(n AS DOUBLE) * CAST(dof AS DOUBLE)))"
+)
+
+
+@register(
+    "a30_cramers_v",
+    oracle=f"""
+        WITH cells AS (
+            SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                   CAST(COUNT(*) AS BIGINT) AS obs
+            FROM orders GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT pri, st, obs,
+                   CAST(SUM(obs) OVER (PARTITION BY pri) AS BIGINT) AS r,
+                   CAST(SUM(obs) OVER (PARTITION BY st) AS BIGINT) AS c,
+                   CAST(SUM(obs) OVER () AS BIGINT) AS n
+            FROM cells
+        ),
+        agg AS (
+            SELECT CAST(COUNT(DISTINCT pri) AS BIGINT) AS n_cat_a,
+                   CAST(COUNT(DISTINCT st) AS BIGINT) AS n_cat_b,
+                   MAX(n) AS n,
+                   CAST(SUM(CAST(obs AS HUGEINT) * obs * 1000000
+                            // (r * c)) AS BIGINT) AS s_micro
+            FROM w
+        )
+        SELECT n_cat_a, n_cat_b, n,
+               CAST(n * (s_micro - 1000000) AS BIGINT) AS chi2_micro,
+               CASE WHEN n_cat_a < n_cat_b THEN n_cat_a - 1
+                    ELSE n_cat_b - 1 END AS dof_min,
+               {_A30_V.replace("dof", "(CASE WHEN n_cat_a < n_cat_b "
+                               "THEN n_cat_a - 1 "
+                               "ELSE n_cat_b - 1 END)")} AS cramers_v
+        FROM agg
+    """,
+    doc="CRAMÉR'S V — the normalized effect size a29's chi-square "
+    "profile feeds ([0,1], comparable across table shapes where raw "
+    "chi-square grows with n): V = sqrt(chi2 / (n * min(r-1, c-1))) "
+    "over the priority x status contingency table. The statistic "
+    "itself is computed WITHOUT any cross-row float accumulation via "
+    "the identity chi2 = n*(S-1), S = sum O^2/(r_i*c_j): each cell's "
+    "term lands as exact integer micro-units (O^2*1e6 // (r*c), "
+    "accumulated in DECIMAL(38,0)/HUGEINT so a billion-row cell "
+    "cannot wrap — a24's lesson), so the sum is order-insensitive "
+    "and both engines agree digit-for-digit; the one float formula "
+    "(a divide and the correctly-rounded sqrt) runs once on exact "
+    "inputs. Scale shape: identical to a29 — one map-side-combined "
+    "grouped pass, windows over the category-product-bounded cell "
+    "frame, a single-row result.",
+    tags=("analytics", "statistics", "drift"),
+)
+def a30_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    w = cells.select(
+        "pri",
+        "st",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("pri")).alias("r"),
+        F.sum("obs").over(Window.partitionBy("st")).alias("c"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    agg = w.agg(
+        F.countDistinct("pri").alias("n_cat_a"),
+        F.countDistinct("st").alias("n_cat_b"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(obs AS DECIMAL(38,0)) * obs * 1000000 DIV (r * c)"
+            )
+        ).cast("long").alias("s_micro"),
+    )
+    return agg.select(
+        "n_cat_a",
+        "n_cat_b",
+        "n",
+        F.expr("CAST(n * (s_micro - 1000000) AS BIGINT)").alias(
+            "chi2_micro"
+        ),
+        F.expr(
+            "CASE WHEN n_cat_a < n_cat_b THEN n_cat_a - 1 "
+            "ELSE n_cat_b - 1 END"
+        ).alias("dof_min"),
+        F.expr(
+            _A30_V.replace(
+                "dof",
+                "(CASE WHEN n_cat_a < n_cat_b THEN n_cat_a - 1 "
+                "ELSE n_cat_b - 1 END)",
+            )
+        ).alias("cramers_v"),
+    )

@@ -1836,3 +1836,143 @@ def ts19_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_pairs"),
         F.expr(_TS19_ACF).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts20: cross-correlation function (CCF) between two event-type series
+# ---------------------------------------------------------------------------
+
+TS20_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+TS20_X, TS20_Y = "view", "purchase"
+
+# Shared textually across engines (a21 recipe). x̄ = s1x/n, ȳ = s1y/n;
+# numerator over the m = n-|L| aligned pairs, denominator the full-series
+# product of standard deviations (the standard CCF normalization); sqrt
+# is IEEE correctly rounded, so exact-integer inputs round identically.
+_TS20_MX = "(CAST(s1x AS DOUBLE) / CAST(n AS DOUBLE))"
+_TS20_MY = "(CAST(s1y AS DOUBLE) / CAST(n AS DOUBLE))"
+_TS20_CCF = (
+    f"(CAST(sxy AS DOUBLE) - {_TS20_MX} * CAST(sy AS DOUBLE) "
+    f"- {_TS20_MY} * CAST(sx AS DOUBLE) "
+    f"+ CAST(m AS DOUBLE) * {_TS20_MX} * {_TS20_MY}) "
+    f"/ sqrt((CAST(s2x AS DOUBLE) - CAST(n AS DOUBLE) "
+    f"* {_TS20_MX} * {_TS20_MX}) "
+    f"* (CAST(s2y AS DOUBLE) - CAST(n AS DOUBLE) "
+    f"* {_TS20_MY} * {_TS20_MY}))"
+)
+
+
+@register(
+    "ts20_cross_correlation",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(SUM(CASE WHEN event_type = '{TS20_X}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{TS20_Y}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x, COALESCE(hourly.y, 0) AS y
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        g AS (
+            SELECT CAST(SUM(x) AS BIGINT) AS s1x,
+                   CAST(SUM(x * x) AS BIGINT) AS s2x,
+                   CAST(SUM(y) AS BIGINT) AS s1y,
+                   CAST(SUM(y * y) AS BIGINT) AS s2y,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM sp
+        ),
+        lags(l) AS (VALUES {", ".join(f"({L})" for L in TS20_LAGS)}),
+        per AS (
+            SELECT l,
+                   CAST(SUM(a.x * c.y) AS BIGINT) AS sxy,
+                   CAST(SUM(a.x) AS BIGINT) AS sx,
+                   CAST(SUM(c.y) AS BIGINT) AS sy,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM lags JOIN sp a ON TRUE JOIN sp c ON c.t = a.t + l
+            GROUP BY l
+        )
+        SELECT CAST(l AS BIGINT) AS lag, m AS n_pairs, {_TS20_CCF} AS ccf
+        FROM per CROSS JOIN g
+    """,
+    doc=f"CROSS-correlation between the hourly '{TS20_X}' and "
+    f"'{TS20_Y}' count series at lags {TS20_LAGS} — ts19's bivariate "
+    "companion and the LEAD-LAG detector (a positive-lag peak means "
+    f"{TS20_X} activity precedes {TS20_Y} by that many hours: the "
+    "funnel-latency signal ts9 measures per user, here at the "
+    "population level): r_xy(L) = cov(x_t, y_t+L) / (sd_x * sd_y), "
+    "the standard full-series normalization. Same determinism recipe "
+    "as ts19 — both series pivot out of ONE grouped pass (conditional "
+    "sums, no second scan), all lag numerators/denominators are exact "
+    "BIGINT sums, the one float formula (with the single correctly-"
+    "rounded sqrt, a28's argument) is textually shared across "
+    "engines; negative lags ride the SAME shifted-index equi-join "
+    "(t + L with L < 0), no window function anywhere. Spine bounded "
+    "by the calendar at any row count.",
+    tags=("timeseries", "statistics", "seasonality"),
+)
+def ts20_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(
+            F.when(F.col("event_type") == TS20_X, 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == TS20_Y, 1).otherwise(0)
+        ).alias("y"),
+    )
+    b = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = b.select(
+        F.col("h0"),
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    sp = spine.join(hourly, "h", "left").select(
+        (
+            (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600
+        ).cast("long").alias("t"),
+        F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0).cast("long")).alias("y"),
+    )
+    g = sp.agg(
+        F.sum("x").alias("s1x"),
+        F.sum(F.col("x") * F.col("x")).alias("s2x"),
+        F.sum("y").alias("s1y"),
+        F.sum(F.col("y") * F.col("y")).alias("s2y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lags = spark.createDataFrame([(L,) for L in TS20_LAGS], "l long")
+    a, c = sp.alias("a"), sp.alias("c")
+    per = (
+        a.crossJoin(F.broadcast(lags))
+        .join(c, F.col("c.t") == F.col("a.t") + F.col("l"))
+        .groupBy("l")
+        .agg(
+            F.sum(F.col("a.x") * F.col("c.y")).alias("sxy"),
+            F.sum(F.col("a.x")).alias("sx"),
+            F.sum(F.col("c.y")).alias("sy"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        F.col("l").alias("lag"),
+        F.col("m").alias("n_pairs"),
+        F.expr(_TS20_CCF).alias("ccf"),
+    )

@@ -768,3 +768,78 @@ def test_concurrent_branch_committers_keep_both_pointers(spark, ref_table):
     assert _ids(spark, ref_table, "b2") == list(range(10)) + list(
         range(200, 200 + n_each)
     )
+
+
+def test_ts20_matches_numpy(spark):
+    import numpy as np
+
+    from apache_iceberg_spark.operators.timeseries import (
+        TS20_LAGS,
+        TS20_X,
+        TS20_Y,
+        ts20_cross_correlation,
+    )
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum((F.col("event_type") == TS20_X).cast("long")).alias("x"),
+            F.sum((F.col("event_type") == TS20_Y).cast("long")).alias("y"),
+        )
+        .orderBy("h")
+        .collect()
+    )
+    h0 = hourly[0]["h"]
+    idx = {
+        int((r["h"] - h0).total_seconds() // 3600): (r["x"], r["y"])
+        for r in hourly
+    }
+    n = max(idx) + 1
+    x = np.array([idx.get(i, (0, 0))[0] for i in range(n)], dtype=float)
+    y = np.array([idx.get(i, (0, 0))[1] for i in range(n)], dtype=float)
+    mx, my = x.mean(), y.mean()
+    den = np.sqrt(((x - mx) ** 2).sum() * ((y - my) ** 2).sum())
+    got = {
+        r["lag"]: (r["n_pairs"], r["ccf"])
+        for r in ts20_cross_correlation(spark, SF_DIR).collect()
+    }
+    for L in TS20_LAGS:
+        if L >= 0:
+            want = ((x[: n - L] - mx) * (y[L:] - my)).sum() / den
+        else:
+            want = ((x[-L:] - mx) * (y[: n + L] - my)).sum() / den
+        n_pairs, ccf = got[L]
+        assert n_pairs == n - abs(L)
+        assert abs(ccf - want) < 1e-9, (L, ccf, want)
+    # lag 0 equals the plain Pearson correlation of the two series
+    r0 = np.corrcoef(x, y)[0, 1]
+    # (full-series normalization == Pearson exactly at lag 0)
+    assert abs(got[0][1] - r0) < 1e-9
+
+
+def test_a30_matches_numpy(spark):
+    import numpy as np
+
+    from apache_iceberg_spark.operators.analytics import (
+        a29_chi_square_independence,
+        a30_cramers_v,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cells = a29_chi_square_independence(spark, sf).collect()
+    chi2_float = sum(r["chi2_term"] for r in cells)
+    n = sum(r["observed"] for r in cells)
+    r_cat = len({r["o_orderpriority"] for r in cells})
+    c_cat = len({r["o_orderstatus"] for r in cells})
+    out = a30_cramers_v(spark, sf).collect()[0]
+    assert out["n"] == n
+    assert out["n_cat_a"] == r_cat and out["n_cat_b"] == c_cat
+    assert out["dof_min"] == min(r_cat - 1, c_cat - 1)
+    # integer micro-unit chi2 within per-cell truncation of the float one
+    assert abs(out["chi2_micro"] / 1e6 - chi2_float) < len(cells) * n / 1e6
+    want_v = np.sqrt(chi2_float / (n * min(r_cat - 1, c_cat - 1)))
+    assert abs(out["cramers_v"] - want_v) < 1e-4
+    assert 0.0 <= out["cramers_v"] <= 1.0
