@@ -13,22 +13,29 @@ This module lifts the same commit-log design one level up:
 
     <workspace>/
       _versions.json     # ONE log for ALL tables: [{version, ts_ms,
-                         #   tables: {name: {"adds": [...]}|{"set": [...]}}}]
+                         #   parent, tables: {name: {"adds": [...]}
+                         #                        | {"set": [...]}}}]
       _refs.json         # workspace-level branches/tags (same shape as
-                         #   the table-level refs)
+                         #   the table-level refs — and like Nessie's,
+                         #   a workspace BRANCH spans every table)
       <table>/w{N}-<tok>/  # immutable data dirs, one per table per commit
 
 A commit entry names only the tables it TOUCHED, each as a delta
 (``adds``) or a restatement (``set``) — the same O(commits) metadata
-discipline the table-level log adopted in round 10. Resolving table T at
-version V walks the log backwards collecting adds until a set: readers
+discipline the table-level log adopted in round 10 — and records its
+``parent`` workspace version, so history is a TREE: resolving table T at
+version V walks V's parent chain collecting adds until a set. Readers
 of one version therefore see every table exactly as that single commit
-left the workspace — both tables of a publish, or neither.
+left the workspace — both tables of a publish, or neither — and a
+branch isolates multi-table work-in-progress until one merge publishes
+ALL of it (the catalog-level branch-WAP m36 oracle-checks; m30 is the
+same workflow one table at a time).
 
 The commit point is the identical CAS: data dirs first (uniquely named),
 then verify-head + append + atomic rename under the ``O_EXCL`` lock, so
 a lost race raises ``CommitConflict`` (imported from snapshots — one
-conflict type across both layers).
+conflict type across both layers); branch pointers move inside the same
+critical section (the round-10 refs-clobber lesson).
 """
 
 from __future__ import annotations
@@ -64,6 +71,85 @@ def _write_log(ws_path: str, log: list[dict]) -> None:
     os.replace(tmp, os.path.join(ws_path, _LOG))
 
 
+def _read_refs(ws_path: str) -> dict:
+    try:
+        with open(os.path.join(ws_path, _REFS)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"branches": {}, "tags": {}}
+
+
+def _write_refs(ws_path: str, refs: dict) -> None:
+    tmp = os.path.join(ws_path, _REFS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, os.path.join(ws_path, _REFS))
+
+
+def _parent_of(by_v: dict[int, dict], v: int) -> int | None:
+    """One ancestry step: recorded ``parent``, or (for entries predating
+    parent recording) the implicit previous log version — the same
+    unified rule as the table-level store."""
+    entry = by_v[v]
+    if "parent" in entry:
+        return entry["parent"]
+    prior = [x for x in by_v if x < v]
+    return max(prior) if prior else None
+
+
+def _chain(by_v: dict[int, dict], head: int) -> list[int]:
+    """``head`` and every ancestor, nearest first."""
+    out: list[int] = []
+    v: int | None = head
+    while v is not None and v in by_v:
+        out.append(v)
+        v = _parent_of(by_v, v)
+    return out
+
+
+def _resolve_table(
+    log: list[dict], table: str, version: int | None = None
+) -> list[str] | None:
+    """Table ``table``'s full file set at ``version`` (default: the log
+    tail): walk the version's PARENT CHAIN collecting ``adds`` until a
+    ``set``. None if the table does not exist at that version. For a
+    linear history this is the backwards log walk; for branched history
+    it follows the right lineage."""
+    if not log:
+        return None
+    by_v = {e["version"]: e for e in log}
+    if version is None:
+        version = log[-1]["version"]
+    elif version not in by_v:
+        raise ValueError(
+            f"version {version} not found (have {sorted(by_v)})"
+        )
+    chain: list[list[str]] = []
+    for v in _chain(by_v, version):
+        t = by_v[v]["tables"].get(table)
+        if t is None:
+            continue
+        if "set" in t:
+            chain.append(t["set"])
+            break
+        chain.append(t["adds"])
+    else:
+        if not chain:
+            return None
+    out: list[str] = []
+    for part in reversed(chain):
+        out.extend(part)
+    return out
+
+
+def _ensure_main(ws_path: str, refs: dict, log: list[dict]) -> dict:
+    if "main" not in refs["branches"]:
+        if not log:
+            raise ValueError(f"no commits at {ws_path}")
+        refs["branches"]["main"] = log[-1]["version"]
+    return refs
+
+
 def ws_commit(
     ws_path: str,
     dfs: dict[str, DataFrame],
@@ -71,8 +157,10 @@ def ws_commit(
     ts_ms: int | None = None,
     partition_by: dict[str, list[str]] | None = None,
     idempotency_key: str | None = None,
+    branch: str = "main",
 ) -> int:
-    """Commit EVERY table in ``dfs`` as ONE atomic workspace version.
+    """Commit EVERY table in ``dfs`` as ONE atomic workspace version on
+    ``branch`` (default main).
 
     ``mode='append'`` extends each table's file set (a table not yet in
     the workspace starts fresh either way); ``mode='overwrite'``
@@ -82,28 +170,44 @@ def ws_commit(
     property a per-table log cannot give (the torn-publish window;
     test_round10_ops proves the dual). Returns the new version.
 
+    A non-main ``branch`` isolates the commit: main readers see nothing
+    until ``ws_merge_branch`` publishes the WHOLE branch — multi-table
+    ingest with one atomic go-live (m36).
+
     All data directories are written BEFORE the log swap; the swap is a
-    CAS (raises ``CommitConflict`` on a lost race), so a crash or lost
+    CAS (raises ``CommitConflict`` on a lost race) and the branch
+    pointer moves inside the same critical section, so a crash or lost
     race leaves only uniquely-named orphan dirs, never a half-visible
     publish.
 
     ``idempotency_key``: the same retry contract as the table-level
-    ``commit_append_ref`` — a commit bearing an already-present key
-    returns the original version without writing, so a streaming
-    foreachBatch publisher passing the batch id gets exactly-once
-    multi-table publishes across Spark's batch re-runs (st20). The
-    workspace log is linear, so the scan is the whole log (O(commits)
-    driver-side JSON, no data touched)."""
+    ``commit_append_ref`` — a commit on this branch's lineage bearing
+    the same key returns the original version without writing, so a
+    streaming foreachBatch publisher passing the batch id gets
+    exactly-once multi-table publishes across Spark's batch re-runs
+    (st20)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     if not dfs:
         raise ValueError("ws_commit needs at least one table")
     os.makedirs(ws_path, exist_ok=True)
     log = _read_log(ws_path)
-    if idempotency_key is not None:
-        for e in log:
-            if e.get("idempotency_key") == idempotency_key:
-                return e["version"]
+    refs = _read_refs(ws_path)
+    if branch in refs["tags"]:
+        raise ValueError(f"cannot commit to tag {branch!r}")
+    if branch == "main":
+        parent_v = refs["branches"].get(
+            "main", log[-1]["version"] if log else None
+        )
+    elif branch in refs["branches"]:
+        parent_v = refs["branches"][branch]
+    else:
+        raise ValueError(f"unknown branch {branch!r}")
+    by_v = {e["version"]: e for e in log}
+    if idempotency_key is not None and parent_v is not None:
+        for v in _chain(by_v, parent_v):
+            if by_v[v].get("idempotency_key") == idempotency_key:
+                return v
     head = log[-1]["version"] if log else None
     version = (head + 1) if head is not None else 1
     tables: dict[str, dict] = {}
@@ -116,7 +220,10 @@ def ws_commit(
         if pby:
             w = w.partitionBy(*pby)
         w.parquet(ddir)
-        exists = _resolve_table(log, name) is not None
+        exists = (
+            parent_v is not None
+            and _resolve_table(log, name, parent_v) is not None
+        )
         if mode == "overwrite" or not exists:
             tables[name] = {"set": [ddir]}
         else:
@@ -134,42 +241,16 @@ def ws_commit(
             "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
             "tables": tables,
         }
+        if parent_v is not None:
+            entry["parent"] = parent_v
         if idempotency_key is not None:
             entry["idempotency_key"] = idempotency_key
         cur.append(entry)
         _write_log(ws_path, cur)
+        cur_refs = _read_refs(ws_path)
+        cur_refs["branches"][branch] = version
+        _write_refs(ws_path, cur_refs)
     return version
-
-
-def _resolve_table(
-    log: list[dict], table: str, version: int | None = None
-) -> list[str] | None:
-    """Table ``table``'s full file set at ``version`` (default: head):
-    walk backwards collecting ``adds`` until a ``set``. None if the
-    table does not exist at that version."""
-    if version is None:
-        upto = log
-    else:
-        upto = [e for e in log if e["version"] <= version]
-        if not upto or upto[-1]["version"] != version:
-            have = [e["version"] for e in log]
-            raise ValueError(f"version {version} not found (have {have})")
-    chain: list[list[str]] = []
-    for e in reversed(upto):
-        t = e["tables"].get(table)
-        if t is None:
-            continue
-        if "set" in t:
-            chain.append(t["set"])
-            break
-        chain.append(t["adds"])
-    else:
-        if not chain:
-            return None
-    out: list[str] = []
-    for part in reversed(chain):
-        out.extend(part)
-    return out
 
 
 def ws_read(
@@ -181,8 +262,8 @@ def ws_read(
 ) -> DataFrame:
     """Read one table at a workspace version or ref. Because the version
     is WORKSPACE-scoped, two ``ws_read`` calls with the same version (or
-    the same tag) are guaranteed mutually consistent — the cross-table
-    read contract m34 oracle-checks."""
+    the same tag/branch) are guaranteed mutually consistent — the
+    cross-table read contract m34 oracle-checks."""
     from apache_iceberg_spark.catalog.snapshots import _read_dirs
 
     if ref is not None:
@@ -192,6 +273,8 @@ def ws_read(
     log = _read_log(ws_path)
     if not log:
         raise ValueError(f"no commits at {ws_path}")
+    if version is None and "main" in _read_refs(ws_path)["branches"]:
+        version = ws_resolve_ref(ws_path, "main")
     paths = _resolve_table(log, table, version)
     if paths is None:
         at = version if version is not None else log[-1]["version"]
@@ -199,32 +282,50 @@ def ws_read(
     return _read_dirs(spark, paths)
 
 
+def ws_read_incremental(
+    spark: SparkSession,
+    ws_path: str,
+    table: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """The rows ``table`` gained between two workspace versions — the
+    table-level ``read_incremental`` at workspace granularity, and the
+    audit input of the multi-table branch-WAP (m36): gates scan ONLY
+    the staged delta files, never the table. Raises if files were
+    rewritten in the range (the diff is then not an append delta)."""
+    from apache_iceberg_spark.catalog.snapshots import _read_dirs
+
+    log = _read_log(ws_path)
+    base = _resolve_table(log, table, from_version)
+    target = _resolve_table(log, table, to_version)
+    if target is None:
+        raise ValueError(f"table {table!r} does not exist at v{to_version}")
+    base_set = set(base or [])
+    if not base_set.issubset(target):
+        raise ValueError(
+            "files were rewritten between the two versions; the "
+            "incremental append scan is undefined"
+        )
+    delta = [p for p in target if p not in base_set]
+    if not delta:
+        return _read_dirs(spark, target).limit(0)
+    return _read_dirs(spark, delta)
+
+
 def ws_list_versions(ws_path: str) -> list[dict]:
     return list(_read_log(ws_path))
 
 
 def ws_list_tables(ws_path: str, version: int | None = None) -> list[str]:
-    """Every table that exists at ``version`` (default head)."""
+    """Every table that exists at ``version`` (default: main / head)."""
     log = _read_log(ws_path)
+    if version is None and "main" in _read_refs(ws_path)["branches"]:
+        version = ws_resolve_ref(ws_path, "main")
     names = {n for e in log for n in e["tables"]}
     return sorted(
         n for n in names if _resolve_table(log, n, version) is not None
     )
-
-
-def _read_refs(ws_path: str) -> dict:
-    try:
-        with open(os.path.join(ws_path, _REFS)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {"branches": {}, "tags": {}}
-
-
-def _write_refs(ws_path: str, refs: dict) -> None:
-    tmp = os.path.join(ws_path, _REFS + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(refs, f)
-    os.replace(tmp, os.path.join(ws_path, _REFS))
 
 
 def ws_resolve_ref(ws_path: str, ref: str) -> int:
@@ -246,16 +347,147 @@ def ws_create_tag(ws_path: str, name: str, version: int | None = None) -> int:
     EVERY table, the tag is a consistent cross-table snapshot ('the
     state we audited'), which is exactly what a per-table tag cannot
     promise."""
-    refs = _read_refs(ws_path)
-    if name in refs["tags"] or name in refs["branches"]:
-        raise ValueError(f"ref {name!r} already exists")
     log = _read_log(ws_path)
     if not log:
         raise ValueError(f"no commits at {ws_path}")
     if version is None:
-        version = log[-1]["version"]
+        version = ws_resolve_ref(ws_path, "main")
     elif version not in {e["version"] for e in log}:
         raise ValueError(f"version {version} not found")
-    refs["tags"][name] = version
-    _write_refs(ws_path, refs)
+    with _log_lock(ws_path):
+        refs = _read_refs(ws_path)
+        if name in refs["tags"] or name in refs["branches"]:
+            raise ValueError(f"ref {name!r} already exists")
+        refs["tags"][name] = version
+        _write_refs(ws_path, refs)
     return version
+
+
+def ws_create_branch(
+    ws_path: str, name: str, from_ref: str = "main"
+) -> int:
+    """A movable pointer spanning EVERY table — Nessie's actual branch
+    model (a branch of the catalog, not of one table): multi-table
+    work-in-progress accumulates on it invisibly to main until one
+    merge publishes everything."""
+    version = ws_resolve_ref(ws_path, from_ref)
+    log = _read_log(ws_path)
+    with _log_lock(ws_path):
+        refs = _ensure_main(ws_path, _read_refs(ws_path), log)
+        if name in refs["branches"] or name in refs["tags"]:
+            raise ValueError(f"ref {name!r} already exists")
+        refs["branches"][name] = version
+        _write_refs(ws_path, refs)
+    return version
+
+
+def ws_delete_branch(ws_path: str, name: str) -> None:
+    """Abandon a workspace branch: one ref deletion — the reject path of
+    the multi-table WAP, costing zero data operations for ANY number of
+    staged tables."""
+    if name == "main":
+        raise ValueError("cannot delete main")
+    with _log_lock(ws_path):
+        refs = _read_refs(ws_path)
+        if name not in refs["branches"]:
+            raise ValueError(f"unknown branch {name!r}")
+        del refs["branches"][name]
+        _write_refs(ws_path, refs)
+
+
+def ws_merge_branch(
+    ws_path: str, src: str, into: str = "main", ts_ms: int | None = None
+) -> int:
+    """Publish branch ``src`` into ``into`` — ATOMICALLY for every table
+    the branch touched, which is the whole point of catalog-level
+    branches: a reader of ``into`` sees all the branch's tables move in
+    one version hop, or none. Three regimes, mirroring the table-level
+    ``merge_branch``:
+
+    - no-op when ``src`` is already an ancestor of (or equal to) ``into``;
+    - FAST-FORWARD as a pure pointer advance when ``into`` did not move
+      (git's FF — zero new metadata, zero data);
+    - diverged: allowed when, for every table BOTH sides touched, both
+      only ADDED files since the merge base (concurrent ingest); a
+      rewrite on either side raises naming the conflicting tables."""
+    with _log_lock(ws_path):
+        # Everything (reads included) inside the critical section: the
+        # merge is pure metadata, and appending to a log read OUTSIDE
+        # the lock would drop a commit that landed in between.
+        log = _read_log(ws_path)
+        by_v = {e["version"]: e for e in log}
+        refs = _ensure_main(ws_path, _read_refs(ws_path), log)
+        for r in (src, into):
+            if r not in refs["branches"]:
+                raise ValueError(f"unknown branch {r!r}")
+        src_v, into_v = refs["branches"][src], refs["branches"][into]
+        src_chain = _chain(by_v, src_v)
+        into_chain = _chain(by_v, into_v)
+        if src_v in into_chain:
+            return into_v  # up to date (includes equal heads)
+        if into_v in src_chain:
+            # fast-forward: pointer advance, no new commit
+            refs["branches"][into] = src_v
+            _write_refs(ws_path, refs)
+            return src_v
+        # diverged: per-table content-aware union
+        src_set = set(src_chain)
+        base_v = next((v for v in into_chain if v in src_set), None)
+        if base_v is None:
+            raise ValueError(
+                f"branches {src!r} and {into!r} share no common ancestor"
+            )
+        names = {
+            n
+            for v in (src_v, into_v)
+            for c in [_chain(by_v, v)]
+            for x in c
+            for n in by_v[x]["tables"]
+        }
+        tables: dict[str, dict] = {}
+        conflicts: list[str] = []
+        for n in sorted(names):
+            b = set(_resolve_table(log, n, base_v) or [])
+            s = _resolve_table(log, n, src_v)
+            t = _resolve_table(log, n, into_v)
+            s_set, t_set = set(s or []), set(t or [])
+            if s_set == t_set:
+                continue  # untouched or identical on both sides
+            if not (b.issubset(s_set) and b.issubset(t_set)):
+                conflicts.append(n)
+                continue
+            adds = [
+                p for p in (s or []) if p not in b and p not in t_set
+            ]
+            if t_set == b and s is not None:
+                # only src touched it: replay src's delta (or creation)
+                if b:
+                    if adds:
+                        tables[n] = {"adds": adds}
+                else:
+                    tables[n] = {"set": list(s)}
+            elif adds:
+                tables[n] = {"adds": adds}
+        if conflicts:
+            raise ValueError(
+                f"cannot merge {src!r} into {into!r}: tables "
+                f"{conflicts} rewrote files the merge base v{base_v} "
+                "referenced; resolving rewritten content needs a rebase"
+            )
+        if not tables:
+            return into_v
+        head = log[-1]["version"]
+        version = head + 1
+        log.append(
+            {
+                "version": version,
+                "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+                "parent": into_v,
+                "merged_from": src_v,
+                "tables": tables,
+            }
+        )
+        _write_log(ws_path, log)
+        refs["branches"][into] = version
+        _write_refs(ws_path, refs)
+        return version

@@ -2522,3 +2522,121 @@ def m35_divergent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(marker)
         .orderBy("state")
     )
+
+
+@register(
+    "m36_workspace_branch_wap",
+    oracle="""
+        WITH sc AS (SELECT * FROM customer WHERE c_custkey % 2 = 1),
+             so AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1)
+        SELECT * FROM (
+            SELECT 'custkey_not_null' AS check_name,
+                   COUNT(*) - COUNT(c_custkey) = 0 AS passed,
+                   CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT)
+                       AS n_violations
+            FROM sc
+            UNION ALL
+            SELECT 'customer_rows_after', TRUE,
+                   CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+            UNION ALL
+            SELECT 'orderkey_not_null',
+                   COUNT(*) - COUNT(o_orderkey) = 0,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT)
+            FROM so
+            UNION ALL
+            SELECT 'orders_rows_after', TRUE,
+                   CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+            UNION ALL
+            SELECT 'price_positive',
+                   COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0,
+                   CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END)
+                        AS BIGINT)
+            FROM so
+            UNION ALL
+            SELECT 'staged_nonempty',
+                   (SELECT COUNT(*) FROM sc) > 0
+                   AND (SELECT COUNT(*) FROM so) > 0,
+                   CAST(0 AS BIGINT)
+        ) ORDER BY check_name
+    """,
+    doc="MULTI-TABLE branch-WAP — Nessie's actual workflow, where a "
+    "branch spans the whole catalog (m30 is the same loop one table "
+    "at a time): customer+orders increments land as ONE atomic commit "
+    "on workspace branch 'staging' (ws_commit with branch= — main "
+    "readers see neither), the audit gates run against ONLY the "
+    "staged delta files of BOTH tables (ws_read_incremental from the "
+    "branch point — one scan of each batch, never the tables), and "
+    "publish is ws_merge_branch: here a FAST-FORWARD, which at "
+    "workspace level is a pure pointer advance — ZERO new metadata, "
+    "zero data I/O, and every staged table goes live in the same "
+    "version hop (both-or-neither, the property two per-table WAP "
+    "loops cannot give because their publishes are separate commits). "
+    "On failure the reject path is one ref deletion regardless of how "
+    "many tables were staged (pytest exercises it with a poisoned "
+    "batch). The oracle recomputes the gates over the staged "
+    "predicates and the published totals over the full tables, so "
+    "the audit verdict and the atomically-published state are both "
+    "inside the hash.",
+    tags=("scale", "lakehouse", "quality", "nessie", "transaction"),
+)
+def m36_workspace_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_merge_branch,
+        ws_read,
+        ws_read_incremental,
+    )
+
+    ws = tempfile.mkdtemp(prefix="wswap_")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = ws_commit(
+        ws,
+        {
+            "customer": c.filter(F.col("c_custkey") % 2 == 0),
+            "orders": o.filter(F.col("o_orderkey") % 2 == 0),
+        },
+    )
+    ws_create_branch(ws, "staging")
+    v2 = ws_commit(
+        ws,
+        {
+            "customer": c.filter(F.col("c_custkey") % 2 == 1),
+            "orders": o.filter(F.col("o_orderkey") % 2 == 1),
+        },
+        branch="staging",
+    )
+
+    # Audit scans ONLY the staged deltas of each table.
+    sc = ws_read_incremental(spark, ws, "customer", v1, v2)
+    so = ws_read_incremental(spark, ws, "orders", v1, v2)
+    c_row = sc.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("c_custkey")).alias("null_keys"),
+    ).collect()[0]
+    o_row = so.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("null_keys"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("bad_price"),
+    ).collect()[0]
+    checks = [
+        ("staged_nonempty", c_row["n"] > 0 and o_row["n"] > 0, 0),
+        ("custkey_not_null", c_row["null_keys"] == 0, c_row["null_keys"]),
+        ("orderkey_not_null", o_row["null_keys"] == 0, o_row["null_keys"]),
+        ("price_positive", o_row["bad_price"] == 0, o_row["bad_price"]),
+    ]
+    assert all(p for _, p, _ in checks)  # fixture is clean by design
+    ws_merge_branch(ws, "staging")  # publish: both tables, one hop
+    n_c = ws_read(spark, ws, "customer").count()
+    n_o = ws_read(spark, ws, "orders").count()
+    report = checks + [
+        ("customer_rows_after", True, n_c),
+        ("orders_rows_after", True, n_o),
+    ]
+    return spark.createDataFrame(
+        [(name, bool(p), int(v)) for name, p, v in report],
+        "check_name string, passed boolean, n_violations long",
+    ).orderBy("check_name")

@@ -843,3 +843,112 @@ def test_a30_matches_numpy(spark):
     want_v = np.sqrt(chi2_float / (n * min(r_cat - 1, c_cat - 1)))
     assert abs(out["cramers_v"] - want_v) < 1e-4
     assert 0.0 <= out["cramers_v"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Workspace branches (m36): isolation, reject path, diverged merge
+
+
+def test_ws_branch_isolates_and_ff_publishes_all_tables(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_list_versions,
+        ws_merge_branch,
+        ws_read,
+        ws_resolve_ref,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r10_wsbr_")
+    ws_commit(
+        ws,
+        {
+            "a": spark.range(5).select(F.col("id")),
+            "b": spark.range(50, 55).select(F.col("id")),
+        },
+    )
+    ws_create_branch(ws, "staging")
+    v2 = ws_commit(
+        ws,
+        {
+            "a": spark.range(5, 10).select(F.col("id")),
+            "b": spark.range(55, 60).select(F.col("id")),
+        },
+        branch="staging",
+    )
+    # isolation: main sees neither staged table move
+    assert ws_read(spark, ws, "a").count() == 5
+    assert ws_read(spark, ws, "b").count() == 5
+    assert ws_read(spark, ws, "a", ref="staging").count() == 10
+    n_log = len(ws_list_versions(ws))
+    v = ws_merge_branch(ws, "staging")
+    # FF = pure pointer advance: no new commit, both tables go live
+    assert v == v2
+    assert len(ws_list_versions(ws)) == n_log
+    assert ws_resolve_ref(ws, "main") == v2
+    assert ws_read(spark, ws, "a").count() == 10
+    assert ws_read(spark, ws, "b").count() == 10
+
+
+def test_ws_branch_reject_path_frees_all_staged_tables(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_delete_branch,
+        ws_read,
+        ws_resolve_ref,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r10_wsrej_")
+    v1 = ws_commit(ws, {"a": spark.range(5).select(F.col("id"))})
+    ws_create_branch(ws, "staging")
+    # poisoned batch staged across two tables
+    ws_commit(
+        ws,
+        {
+            "a": spark.range(100).select(F.col("id")),
+            "b": spark.range(3).select(F.col("id")),
+        },
+        branch="staging",
+    )
+    ws_delete_branch(ws, "staging")  # reject: ONE ref deletion
+    assert ws_resolve_ref(ws, "main") == v1
+    assert ws_read(spark, ws, "a").count() == 5
+    with pytest.raises(ValueError, match="does not exist"):
+        ws_read(spark, ws, "b")  # never existed on main
+
+
+def test_ws_diverged_merge_unions_appends_and_rejects_rewrites(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_merge_branch,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r10_wsdiv_")
+    ws_commit(
+        ws,
+        {
+            "a": spark.range(5).select(F.col("id")),
+            "b": spark.range(50, 55).select(F.col("id")),
+        },
+    )
+    ws_create_branch(ws, "etl")
+    ws_commit(ws, {"a": spark.range(5, 8).select(F.col("id"))},
+              branch="etl")
+    ws_commit(ws, {"b": spark.range(55, 58).select(F.col("id"))},
+              branch="main")  # main moves too -> diverged
+    ws_merge_branch(ws, "etl")
+    got_a = sorted(r["id"] for r in ws_read(spark, ws, "a").collect())
+    got_b = sorted(r["id"] for r in ws_read(spark, ws, "b").collect())
+    assert got_a == list(range(8))
+    assert got_b == list(range(50, 58))
+    # rewrite conflict: a second branch OVERWRITES a table main appended to
+    ws_create_branch(ws, "rw")
+    ws_commit(ws, {"a": spark.range(2).select(F.col("id"))},
+              branch="rw", mode="overwrite")
+    ws_commit(ws, {"a": spark.range(8, 9).select(F.col("id"))},
+              branch="main")
+    with pytest.raises(ValueError, match="rewrote files"):
+        ws_merge_branch(ws, "rw")
