@@ -115,6 +115,7 @@ STREAMING = [
     "st17_stream_seasonal_scoring",
     "st18_stream_m4_downsample",
     "st19_stream_branch_ingest",
+    "st20_stream_atomic_publish",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -182,6 +183,16 @@ AUX = [
     "m31_ref_diff",
     "m32_transplant_scan",
     "a28_higher_moments",
+    # round 10
+    "m33_ref_aware_expiry",
+    "m34_multi_table_commit",
+    "m35_divergent_merge",
+    "m36_workspace_branch_wap",
+    "ts19_autocorrelation",
+    "ts20_cross_correlation",
+    "a29_chi_square_independence",
+    "a30_cramers_v",
+    "g9_neighborhood_jaccard",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
