@@ -1600,3 +1600,108 @@ def a30_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a31: total-variation distance — exact categorical drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a31_tv_distance",
+    oracle=f"""
+        WITH t AS (
+            SELECT (MAX(event_id) * {A25_SPLIT_NUM}) // {A25_SPLIT_DEN} AS t0
+            FROM events
+        ),
+        cells AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN event_id < t.t0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_ref,
+                   CAST(SUM(CASE WHEN event_id < t.t0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS c_new
+            FROM events CROSS JOIN t
+            GROUP BY event_type
+        ),
+        g AS (
+            SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_new) AS BIGINT) AS n_new,
+                   CAST(SUM(ABS(CAST(c_ref AS HUGEINT)
+                                * (SELECT SUM(c_new) FROM cells)
+                                - CAST(c_new AS HUGEINT)
+                                * (SELECT SUM(c_ref) FROM cells)))
+                        AS BIGINT) AS cross_abs
+            FROM cells
+        )
+        SELECT n_ref, n_new,
+               CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_categories,
+               cross_abs,
+               CAST(cross_abs AS DOUBLE)
+                   / (2.0 * CAST(n_ref AS DOUBLE)
+                      * CAST(n_new AS DOUBLE)) AS tv_distance
+        FROM g
+    """,
+    doc="TOTAL-VARIATION distance between the reference (first 80% of "
+    "event ids, a25's split convention) and incoming event-type "
+    "distributions — THE categorical drift metric, completing the "
+    "drift toolkit: a25 KS (numeric), a29/a30 association (two "
+    "factors), pp14 per-slice composition flags, a31 the single "
+    "[0,1] distance between two categorical mixes (and the metric "
+    "Nguyen et al.-style data-mix monitors alarm on). TVD = "
+    "(1/2)·sum|p_i − q_i| is computed EXACTLY: per category, "
+    "|c_ref·N_new − c_new·N_ref| in HUGEINT/DECIMAL(38,0) cross-"
+    "multiplication (tx16's trick — no per-category float division "
+    "to accumulate), summed order-insensitively; the one float "
+    "division runs once on exact integers. Scale shape: one grouped "
+    "pass with conditional sums (map-side combined), then a "
+    "category-domain-bounded aggregate — no second scan, no window, "
+    "no join.",
+    tags=("analytics", "statistics", "drift"),
+)
+def a31_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    t0 = e.agg(
+        F.expr(
+            f"(MAX(event_id) * {A25_SPLIT_NUM}) DIV {A25_SPLIT_DEN}"
+        ).alias("t0")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(t0))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("event_id") < F.col("t0"), 1).otherwise(0)
+            ).alias("c_ref"),
+            F.sum(
+                F.when(F.col("event_id") < F.col("t0"), 0).otherwise(1)
+            ).alias("c_new"),
+        )
+    )
+    w = Window.partitionBy()
+    per = cells.select(
+        "c_ref",
+        "c_new",
+        F.sum("c_ref").over(w).alias("n_ref"),
+        F.sum("c_new").over(w).alias("n_new"),
+    )
+    g = per.agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_new").alias("n_new"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(
+            F.abs(
+                F.col("c_ref").cast("decimal(38,0)") * F.col("n_new")
+                - F.col("c_new").cast("decimal(38,0)") * F.col("n_ref")
+            )
+        ).cast("long").alias("cross_abs"),
+    )
+    return g.select(
+        "n_ref",
+        "n_new",
+        "n_categories",
+        "cross_abs",
+        F.expr(
+            "CAST(cross_abs AS DOUBLE) "
+            "/ (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_new AS DOUBLE))"
+        ).alias("tv_distance"),
+    )

@@ -193,6 +193,7 @@ AUX = [
     "a29_chi_square_independence",
     "a30_cramers_v",
     "g9_neighborhood_jaccard",
+    "a31_tv_distance",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -952,3 +952,33 @@ def test_ws_diverged_merge_unions_appends_and_rejects_rewrites(spark):
               branch="main")
     with pytest.raises(ValueError, match="rewrote files"):
         ws_merge_branch(ws, "rw")
+
+
+def test_a31_matches_numpy(spark):
+    from apache_iceberg_spark.operators.analytics import (
+        A25_SPLIT_DEN,
+        A25_SPLIT_NUM,
+        a31_tv_distance,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "events").select(
+        "event_id", "event_type"
+    ).collect()
+    t0 = max(r["event_id"] for r in rows) * A25_SPLIT_NUM // A25_SPLIT_DEN
+    ref: dict[str, int] = {}
+    new: dict[str, int] = {}
+    for r in rows:
+        d = ref if r["event_id"] < t0 else new
+        d[r["event_type"]] = d.get(r["event_type"], 0) + 1
+    n_ref, n_new = sum(ref.values()), sum(new.values())
+    cats = set(ref) | set(new)
+    want = 0.5 * sum(
+        abs(ref.get(c, 0) / n_ref - new.get(c, 0) / n_new) for c in cats
+    )
+    out = a31_tv_distance(spark, sf).collect()[0]
+    assert out["n_ref"] == n_ref and out["n_new"] == n_new
+    assert out["n_categories"] == len(cats)
+    assert abs(out["tv_distance"] - want) < 1e-12
+    assert 0.0 <= out["tv_distance"] <= 1.0
