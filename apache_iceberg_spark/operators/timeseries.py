@@ -1788,6 +1788,15 @@ _TS19_ACF = (
     tags=("timeseries", "statistics", "seasonality"),
 )
 def ts19_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts19_acf_frame(spark, sf_dir, TS19_LAGS)
+
+
+def _ts19_acf_frame(
+    spark: SparkSession, sf_dir: str, lag_list: tuple[int, ...]
+) -> DataFrame:
+    """ts19's machinery parameterized by the lag set (ts21's recursion
+    needs CONTIGUOUS lags 1..K where ts19 reports the diagnostic set
+    incl. the daily lag 24)."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("x")
@@ -1818,7 +1827,7 @@ def ts19_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("s2"),
         F.count(F.lit(1)).alias("n"),
     )
-    lags = spark.createDataFrame([(L,) for L in TS19_LAGS], "l long")
+    lags = spark.createDataFrame([(L,) for L in lag_list], "l long")
     a, c = sp.alias("a"), sp.alias("c")
     per = (
         a.crossJoin(F.broadcast(lags))
@@ -1975,4 +1984,147 @@ def ts20_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l").alias("lag"),
         F.col("m").alias("n_pairs"),
         F.expr(_TS20_CCF).alias("ccf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts21: partial autocorrelation (PACF) — unrolled Durbin-Levinson
+# ---------------------------------------------------------------------------
+
+TS21_K = 6
+
+
+def _ts21_phi_exprs(k_max: int) -> list[tuple[str, str]]:
+    """The Durbin-Levinson recursion unrolled into named scalar
+    expressions over the ACF columns r1..rK — ONE generator feeding both
+    engines, so the float expression trees are textually identical and
+    round identically on the bitwise-equal ACF inputs (ts19's guarantee
+    extended through the recursion; every op is IEEE +,-,*,/):
+
+        phi[1][1] = r1
+        phi[k][k] = (r_k - sum_j phi[k-1][j]*r_{k-j})
+                    / (1 - sum_j phi[k-1][j]*r_j)
+        phi[k][j] = phi[k-1][j] - phi[k][k]*phi[k-1][k-j]
+
+    PACF(k) = phi[k][k]. Returns (name, sql_text) in dependency order."""
+    out: list[tuple[str, str]] = [("phi_1_1", "r1")]
+    prev = {1: "phi_1_1"}
+    for k in range(2, k_max + 1):
+        num = f"r{k}" + "".join(
+            f" - {prev[j]} * r{k - j}" for j in range(1, k)
+        )
+        den = "1.0" + "".join(
+            f" - {prev[j]} * r{j}" for j in range(1, k)
+        )
+        kk = f"phi_{k}_{k}"
+        out.append((kk, f"({num}) / ({den})"))
+        cur = {k: kk}
+        for j in range(1, k):
+            name = f"phi_{k}_{j}"
+            out.append((name, f"{prev[j]} - {kk} * {prev[k - j]}"))
+            cur[j] = name
+        prev = cur
+    return out
+
+
+def _ts21_duck_oracle() -> str:
+    """The DuckDB side: ts19's ACF CTEs pivoted to one row of r1..rK,
+    then the identical phi chain as nested subselects, unpivoted to
+    (lag, pacf)."""
+    acf_rows = ", ".join(f"({L})" for L in range(1, TS21_K + 1))
+    sel = f"""
+        SELECT {", ".join(
+            f"MAX(CASE WHEN l = {k} THEN acf END) AS r{k}"
+            for k in range(1, TS21_K + 1)
+        )}
+        FROM (
+            SELECT l, {_TS19_ACF} AS acf FROM per CROSS JOIN g
+        )
+    """
+    for name, text in _ts21_phi_exprs(TS21_K):
+        sel = f"SELECT *, {text} AS {name} FROM ({sel})"
+    pacf_union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, phi_{k}_{k} AS pacf FROM p"
+        for k in range(1, TS21_K + 1)
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        g AS (
+            SELECT CAST(SUM(x) AS BIGINT) AS s1,
+                   CAST(SUM(x * x) AS BIGINT) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM sp
+        ),
+        lags(l) AS (VALUES {acf_rows}),
+        per AS (
+            SELECT l,
+                   CAST(SUM(a.x * c.x) AS BIGINT) AS sxy,
+                   CAST(SUM(a.x) AS BIGINT) AS sh,
+                   CAST(SUM(c.x) AS BIGINT) AS st,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM lags JOIN sp a ON TRUE JOIN sp c ON c.t = a.t + l
+            GROUP BY l
+        ),
+        p AS ({sel})
+        {pacf_union}
+    """
+
+
+@register(
+    "ts21_pacf",
+    oracle=_ts21_duck_oracle(),
+    doc=f"PARTIAL autocorrelation at lags 1..{TS21_K} via the Durbin-"
+    "Levinson recursion — the second half of Box-Jenkins model "
+    "identification (ts19's ACF says 'how much memory'; PACF says "
+    "'how many AR terms': it is the lag-k correlation with the "
+    "intermediate lags regressed out, so an AR(p) process cuts off "
+    "after lag p). The recursion is UNROLLED by one Python generator "
+    "into named scalar expressions consumed verbatim by BOTH engines "
+    "(a21's shared-text recipe pushed through 21 dependent float "
+    "expressions): the ACF inputs are bitwise-equal by ts19's "
+    "exact-integer construction, every recursion op is IEEE "
+    "+,-,*,/, and the trees are textually identical, so the hash "
+    "holds with zero tolerance. Scale shape: identical to ts19 (the "
+    "heavy part IS ts19's shifted-index joins); the recursion runs "
+    "on a single 1-row frame of K doubles — driver-free, "
+    "shuffle-free, O(K^2) scalar expressions.",
+    tags=("timeseries", "statistics", "seasonality"),
+)
+def ts21_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acf = _ts19_acf_frame(
+        spark, sf_dir, tuple(range(1, TS21_K + 1))
+    )
+    one = acf.agg(
+        *[
+            F.max(
+                F.when(F.col("lag") == k, F.col("acf"))
+            ).alias(f"r{k}")
+            for k in range(1, TS21_K + 1)
+        ]
+    )
+    for name, text in _ts21_phi_exprs(TS21_K):
+        one = one.withColumn(name, F.expr(text))
+    stack = ", ".join(
+        f"CAST({k} AS BIGINT), phi_{k}_{k}" for k in range(1, TS21_K + 1)
+    )
+    return one.select(
+        F.expr(f"stack({TS21_K}, {stack})").alias("lag", "pacf")
     )

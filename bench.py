@@ -194,6 +194,7 @@ AUX = [
     "a30_cramers_v",
     "g9_neighborhood_jaccard",
     "a31_tv_distance",
+    "ts21_pacf",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -982,3 +982,31 @@ def test_a31_matches_numpy(spark):
     assert out["n_categories"] == len(cats)
     assert abs(out["tv_distance"] - want) < 1e-12
     assert 0.0 <= out["tv_distance"] <= 1.0
+
+
+def test_ts21_pacf_matches_numpy_yule_walker(spark):
+    """PACF cross-checked by solving each order-k Yule-Walker system
+    with numpy.linalg (a DIFFERENT algorithm from the Durbin-Levinson
+    recursion both engines share — if the recursion were wrong, the
+    shared-text oracle would be blind but this is not)."""
+    import numpy as np
+
+    from apache_iceberg_spark.operators.timeseries import (
+        TS21_K,
+        _ts19_acf_frame,
+        ts21_pacf,
+    )
+    from tests.conftest import SF_DIR
+
+    acf_rows = _ts19_acf_frame(
+        spark, SF_DIR, tuple(range(1, TS21_K + 1))
+    ).collect()
+    r = {row["lag"]: row["acf"] for row in acf_rows}
+    rho = np.array([1.0] + [r[k] for k in range(1, TS21_K + 1)])
+    got = {row["lag"]: row["pacf"] for row in ts21_pacf(spark, SF_DIR).collect()}
+    assert set(got) == set(range(1, TS21_K + 1))
+    for k in range(1, TS21_K + 1):
+        # Toeplitz system R phi = rho[1..k]
+        R = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
+        phi = np.linalg.solve(R, rho[1 : k + 1])
+        assert abs(got[k] - phi[-1]) < 1e-9, (k, got[k], phi[-1])
