@@ -1287,3 +1287,91 @@ def g9_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- g10: degree assortativity ------------------------------------------------
+
+# Pearson correlation of endpoint degrees over the directed edge list —
+# all inputs exact BIGINT sums, the one float formula shared textually
+# (a21's recipe; mu_x == mu_y by symmetry but the formula keeps both so
+# the text is the general one).
+_G10_MX = "(CAST(s1x AS DOUBLE) / CAST(m AS DOUBLE))"
+_G10_MY = "(CAST(s1y AS DOUBLE) / CAST(m AS DOUBLE))"
+_G10_R = (
+    f"(CAST(sxy AS DOUBLE) - CAST(m AS DOUBLE) * {_G10_MX} * {_G10_MY}) "
+    f"/ (sqrt(CAST(s2x AS DOUBLE) - CAST(m AS DOUBLE) "
+    f"* {_G10_MX} * {_G10_MX}) "
+    f"* sqrt(CAST(s2y AS DOUBLE) - CAST(m AS DOUBLE) "
+    f"* {_G10_MY} * {_G10_MY}))"
+)
+
+
+@register(
+    "g10_degree_assortativity",
+    oracle=f"""
+        WITH {_DUCK_KNN_EDGES},
+        adj AS (
+            SELECT u AS z, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS (
+            SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY z
+        ),
+        pairs AS (
+            SELECT du.d AS x, dv.d AS y
+            FROM adj a JOIN deg du ON du.z = a.z JOIN deg dv ON dv.z = a.n
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(x) AS BIGINT) AS s1x,
+                   CAST(SUM(x * x) AS BIGINT) AS s2x,
+                   CAST(SUM(y) AS BIGINT) AS s1y,
+                   CAST(SUM(y * y) AS BIGINT) AS s2y,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pairs
+        )
+        SELECT m AS n_directed_edges, s1x AS sum_deg, {_G10_R}
+                   AS assortativity
+        FROM g
+    """,
+    doc="DEGREE ASSORTATIVITY of the kNN co-purchase graph — Newman's "
+    "r: the Pearson correlation of endpoint degrees over the directed "
+    "edge list, THE one-number summary of whether hubs attach to hubs "
+    "(r>0, social-network-like) or to leaves (r<0, hub-and-spoke — "
+    "what a kNN cap typically induces), read before trusting any "
+    "degree-driven sampling or g1-style ranking. Exact BIGINT moment "
+    "sums over one degree-join pass (a21's recipe: floats only in the "
+    "final textually-shared formula; the two sqrts are correctly "
+    "rounded per IEEE). Scale: two broadcast-joinable degree lookups "
+    "against the edge list, one aggregate — no window, no self-join "
+    "beyond the |E|-row adjacency; shares _knn_edges with the rest "
+    "of the g-family so the measured graph is identical.",
+    tags=("graph", "statistics"),
+)
+def g10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("z"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("z"), F.col("u").alias("n")),
+            )
+        ).alias("a")
+    ).select("a.z", "a.n")
+    deg = adj.groupBy("z").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("z"), F.col("d").alias("x"))
+    dv = deg.select(F.col("z").alias("n"), F.col("d").alias("y"))
+    pairs = adj.join(F.broadcast(du), "z").join(F.broadcast(dv), "n")
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("s1x"),
+        F.sum(F.col("x") * F.col("x")).alias("s2x"),
+        F.sum("y").alias("s1y"),
+        F.sum(F.col("y") * F.col("y")).alias("s2y"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return g.select(
+        F.col("m").alias("n_directed_edges"),
+        F.col("s1x").alias("sum_deg"),
+        F.expr(_G10_R).alias("assortativity"),
+    )

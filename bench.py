@@ -195,6 +195,8 @@ AUX = [
     "g9_neighborhood_jaccard",
     "a31_tv_distance",
     "ts21_pacf",
+    "ts22_theil_sen_trend",
+    "g10_degree_assortativity",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

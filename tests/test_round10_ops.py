@@ -1010,3 +1010,61 @@ def test_ts21_pacf_matches_numpy_yule_walker(spark):
         R = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
         phi = np.linalg.solve(R, rho[1 : k + 1])
         assert abs(got[k] - phi[-1]) < 1e-9, (k, got[k], phi[-1])
+
+
+def test_g10_matches_numpy(spark):
+    import numpy as np
+
+    from apache_iceberg_spark.operators.graph import (
+        _knn_edges,
+        g10_degree_assortativity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [(r["u"], r["v"]) for r in _knn_edges(spark, sf).collect()]
+    out = g10_degree_assortativity(spark, sf).collect()[0]
+    spark.catalog.clearCache()  # _knn_edges plan-cache
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    assert out["n_directed_edges"] == 2 * len(edges)
+    want = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    assert abs(out["assortativity"] - want) < 1e-9
+    assert -1.0 <= out["assortativity"] <= 1.0
+
+
+def test_ts22_matches_numpy_median_of_slopes(spark):
+    from apache_iceberg_spark.operators.timeseries import (
+        TS22_MICRO,
+        ts22_theil_sen_trend,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("h")
+        .collect()
+    )
+    h0 = rows[0]["h"]
+    idx = {int((r["h"] - h0).total_seconds() // 3600): r["x"] for r in rows}
+    n = max(idx) + 1
+    x = [idx.get(i, 0) for i in range(n)]
+    slopes = sorted(
+        (x[j] - x[i]) * TS22_MICRO // (j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    np_ = len(slopes)
+    want = (slopes[(np_ + 1) // 2 - 1] + slopes[(np_ + 2) // 2 - 1]) // 2
+    out = ts22_theil_sen_trend(spark, sf).collect()[0]
+    assert out["n_points"] == n
+    assert out["n_pairs"] == np_
+    assert out["slope_micro"] == want
