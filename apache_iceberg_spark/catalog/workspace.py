@@ -491,3 +491,47 @@ def ws_merge_branch(
         refs["branches"][into] = version
         _write_refs(ws_path, refs)
         return version
+
+
+def ws_remove_orphans(
+    ws_path: str, older_than_ms: int | None = None
+) -> list[str]:
+    """Workspace-level ``remove_orphan_files``: delete ``w{N}-*`` data
+    directories NO commit entry's resolution references — the debris of
+    CAS losers and died-mid-commit writers (ws_commit writes data
+    before the log swap, so a lost race leaves exactly this). Same
+    reconciliation as the table-level ``remove_orphan_dirs``:
+    referenced-set from the log (every table at every version),
+    candidate-set from a listing, difference removed; ``older_than_ms``
+    is the concurrent-writer safety window (directories at or after
+    the cutoff survive)."""
+    import re
+    import shutil
+
+    log = _read_log(ws_path)
+    referenced: set[str] = set()
+    names = {n for e in log for n in e["tables"]}
+    for e in log:
+        for n in names:
+            for p in _resolve_table(log, n, e["version"]) or []:
+                referenced.add(os.path.normpath(p))
+    removed: list[str] = []
+    pat = re.compile(r"^w\d+(-[0-9a-f]{8})?$")
+    for tdir in sorted(os.listdir(ws_path)):
+        full_t = os.path.join(ws_path, tdir)
+        if not os.path.isdir(full_t) or tdir.startswith("_"):
+            continue
+        for d in sorted(os.listdir(full_t)):
+            full = os.path.normpath(os.path.join(full_t, d))
+            if (
+                pat.match(d)
+                and os.path.isdir(full)
+                and full not in referenced
+                and (
+                    older_than_ms is None
+                    or os.path.getmtime(full) * 1000 < older_than_ms
+                )
+            ):
+                shutil.rmtree(full)
+                removed.append(full)
+    return removed

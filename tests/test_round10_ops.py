@@ -1068,3 +1068,37 @@ def test_ts22_matches_numpy_median_of_slopes(spark):
     assert out["n_points"] == n
     assert out["n_pairs"] == np_
     assert out["slope_micro"] == want
+
+
+def test_ws_remove_orphans_reclaims_cas_loser_debris(spark):
+    """The CAS loser's uniquely-named data dirs are exactly what
+    ws_remove_orphans reclaims — and referenced dirs survive."""
+    import glob as _glob
+
+    from apache_iceberg_spark.catalog.snapshots import CommitConflict
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_read,
+        ws_remove_orphans,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r10_wsorph_")
+    ws_commit(ws, {"a": spark.range(5).select(F.col("id"))})
+    racer = spark.range(10, 13).select(F.col("id"))
+    loser = spark.range(20, 23).select(F.col("id"))
+
+    def race():
+        ws_commit(ws, {"a": racer})
+
+    with pytest.raises(CommitConflict):
+        ws_commit(ws, {"a": _RacingDF(loser, race)})
+    # the loser's dir exists on disk but no log entry references it
+    assert len(_glob.glob(os.path.join(ws, "a", "w*"))) == 3
+    removed = ws_remove_orphans(ws)
+    assert len(removed) == 1
+    assert len(_glob.glob(os.path.join(ws, "a", "w*"))) == 2
+    got = sorted(r["id"] for r in ws_read(spark, ws, "a").collect())
+    assert got == list(range(5)) + [10, 11, 12]
+    # safety window: a fresh orphan survives a past-cutoff sweep
+    os.makedirs(os.path.join(ws, "a", "w9-deadbeef"))
+    assert ws_remove_orphans(ws, older_than_ms=1000) == []
