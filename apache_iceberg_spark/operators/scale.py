@@ -2640,3 +2640,100 @@ def m36_workspace_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(name, bool(p), int(v)) for name, p, v in report],
         "check_name string, passed boolean, n_violations long",
     ).orderBy("check_name")
+
+
+@register(
+    "m37_workspace_expiry",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'expired' AS state, 'meta' AS tbl,
+                   CAST(1 AS BIGINT) AS n_rows
+            UNION ALL
+            SELECT 'main_after', 'customer', CAST(COUNT(*) AS BIGINT)
+            FROM customer WHERE c_custkey % 10 IN (1, 2, 3)
+            UNION ALL
+            SELECT 'main_after', 'orders', CAST(COUNT(*) AS BIGINT)
+            FROM orders
+            WHERE o_orderkey % 10 IN (1, 2, 3, 7)
+            UNION ALL
+            SELECT 'tag_audit', 'customer', CAST(COUNT(*) AS BIGINT)
+            FROM customer WHERE c_custkey % 10 IN (1, 2, 3)
+            UNION ALL
+            SELECT 'tag_audit', 'orders', CAST(COUNT(*) AS BIGINT)
+            FROM orders WHERE o_orderkey % 10 IN (1, 2, 3, 5)
+        ) ORDER BY state, tbl
+    """,
+    doc="Ref-aware expiry at WORKSPACE level — m33's GC contract "
+    "applied to the multi-table store, completing its maintenance "
+    "triple (ws_commit / ws_remove_orphans / ws_expire_versions): a "
+    "tag pinning a CROSS-TABLE state protects that whole version "
+    "(plus ancestry) from expiry, so the audited customer+orders "
+    "pair stays addressable as a pair — per-table tags cannot even "
+    "express that — while a dropped branch's unreachable version is "
+    "reclaimed (here: v3, the only expired version, pinned at count "
+    "1 in the hash). Retained versions whose parent is pruned are "
+    "materialized per table, so reads never chase a deleted "
+    "ancestor. The query reads the tag AFTER the expiry (both "
+    "tables, consistent) and main; the oracle recomputes all four "
+    "slices from the raw tables. All walks are O(log length) driver "
+    "metadata; the expiry's only data I/O is deleting the one "
+    "reclaimed directory.",
+    tags=("scale", "snapshot", "nessie", "maintenance", "transaction"),
+)
+def m37_workspace_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_create_tag,
+        ws_delete_branch,
+        ws_expire_versions,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="wsgc_")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ck = F.col("c_custkey") % 10
+    ok = F.col("o_orderkey") % 10
+    ws_commit(
+        ws,
+        {"customer": c.filter(ck.isin(1, 2, 3)),
+         "orders": o.filter(ok.isin(1, 2, 3))},
+        ts_ms=1000,
+    )
+    # tagged lineage: branch -> one orders append -> tag -> drop branch
+    ws_create_branch(ws, "dead")
+    v2 = ws_commit(
+        ws, {"orders": o.filter(ok == 5)}, branch="dead", ts_ms=1100
+    )
+    ws_create_tag(ws, "audit", version=v2)
+    ws_delete_branch(ws, "dead")
+    # unreachable lineage: branch -> commit -> drop, no tag
+    ws_create_branch(ws, "dead2")
+    ws_commit(
+        ws, {"orders": o.filter(ok == 0)}, branch="dead2", ts_ms=1200
+    )
+    ws_delete_branch(ws, "dead2")
+    # main advances
+    ws_commit(ws, {"orders": o.filter(ok == 7)}, branch="main", ts_ms=1300)
+
+    expired = ws_expire_versions(ws, older_than_ms=1_000_000, keep_last=1)
+
+    def agg(state: str, tbl: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(state).alias("state"), F.lit(tbl).alias("tbl"), "n_rows"
+        )
+
+    marker = spark.createDataFrame(
+        [("expired", "meta", len(expired))],
+        "state string, tbl string, n_rows long",
+    )
+    out = marker
+    for state, ref in (("tag_audit", "audit"), ("main_after", "main")):
+        for tbl in ("customer", "orders"):
+            out = out.unionByName(
+                agg(state, tbl, ws_read(spark, ws, tbl, ref=ref))
+            )
+    return out.orderBy("state", "tbl")

@@ -197,6 +197,7 @@ AUX = [
     "ts21_pacf",
     "ts22_theil_sen_trend",
     "g10_degree_assortativity",
+    "m37_workspace_expiry",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -1102,3 +1102,79 @@ def test_ws_remove_orphans_reclaims_cas_loser_debris(spark):
     # safety window: a fresh orphan survives a past-cutoff sweep
     os.makedirs(os.path.join(ws, "a", "w9-deadbeef"))
     assert ws_remove_orphans(ws, older_than_ms=1000) == []
+
+
+def test_ws_expiry_protects_refs_and_materializes(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_create_tag,
+        ws_delete_branch,
+        ws_expire_versions,
+        ws_list_versions,
+        ws_read,
+        ws_remove_orphans,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r10_wsgc_")
+    ws_commit(
+        ws,
+        {"a": spark.range(5).select(F.col("id")),
+         "b": spark.range(50, 55).select(F.col("id"))},
+        ts_ms=1000,
+    )
+    ws_create_branch(ws, "dead")
+    v2 = ws_commit(
+        ws, {"a": spark.range(5, 8).select(F.col("id"))},
+        branch="dead", ts_ms=1100,
+    )
+    ws_create_tag(ws, "audit", version=v2)
+    ws_delete_branch(ws, "dead")
+    ws_create_branch(ws, "dead2")
+    ws_commit(
+        ws, {"b": spark.range(90, 95).select(F.col("id"))},
+        branch="dead2", ts_ms=1200,
+    )
+    ws_delete_branch(ws, "dead2")
+    ws_commit(
+        ws, {"b": spark.range(55, 57).select(F.col("id"))},
+        branch="main", ts_ms=1300,
+    )
+    expired = ws_expire_versions(ws, older_than_ms=10_000, keep_last=1)
+    assert expired == [3]  # only the untagged dead lineage
+    # the tagged CROSS-TABLE state is intact — both tables, consistent
+    assert ws_read(spark, ws, "a", ref="audit").count() == 8
+    assert ws_read(spark, ws, "b", ref="audit").count() == 5
+    assert ws_read(spark, ws, "a").count() == 5
+    assert ws_read(spark, ws, "b").count() == 7
+    assert ws_remove_orphans(ws) == []  # everything left is referenced
+    # Materialization case: a RECENT commit (retained by timestamp) on
+    # a lineage whose older ancestor becomes expirable — branch from
+    # the tag, commit with a fresh ts, drop both refs: v2 (old,
+    # unreachable) expires, v5 (recent, unreachable) is retained and
+    # must be materialized to stay readable. NOTE: v1 is main's
+    # ancestry, hence protected FOREVER while main descends from it —
+    # the Nessie unreachable-commit rule.
+    import apache_iceberg_spark.catalog.workspace as W
+
+    ws_create_branch(ws, "tmp", from_ref="audit")
+    v5 = ws_commit(
+        ws, {"a": spark.range(200, 202).select(F.col("id"))},
+        branch="tmp", ts_ms=50_000,
+    )
+    ws_delete_branch(ws, "tmp")
+    with W._log_lock(ws):
+        refs = W._read_refs(ws)
+        del refs["tags"]["audit"]
+        W._write_refs(ws, refs)
+    expired2 = ws_expire_versions(ws, older_than_ms=10_000, keep_last=1)
+    assert expired2 == [2]  # v1 stays: main's ancestry is ref-reachable
+    (e5,) = [e for e in ws_list_versions(ws) if e["version"] == v5]
+    assert all("set" in t for t in e5["tables"].values())
+    assert "parent" not in e5
+    # the materialized version reads whole: v1 base + v2's (deleted?)
+    # NO — v2's directory survives because v5's materialized set still
+    # references it (shared-file discipline)
+    assert ws_read(spark, ws, "a", version=v5).count() == 10
+    assert ws_read(spark, ws, "a").count() == 5
+    assert ws_read(spark, ws, "b").count() == 7
