@@ -1264,3 +1264,91 @@ def w13_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_customers",
         F.sum("new_customers").over(w).alias("cum_distinct_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w14: rolling regression slope — w5's moving average upgraded to trend
+# ---------------------------------------------------------------------------
+
+W14_FRAME = 8  # rows per regression window (7 preceding + current)
+
+# OLS slope over the frame, from exact integer frame-sums (x = the
+# per-user event index, y = cents): slope = (k*sxy - sx*sy)
+# / (k*sxx - sx*sx). Shared textually across engines (a21's recipe);
+# frames with a degenerate x-variance (k = 1) yield NULL via NULLIF.
+_W14_SLOPE = (
+    "(CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ CAST(NULLIF(k * sxx - sx * sx, 0) AS DOUBLE)"
+)
+
+
+@register(
+    "w14_rolling_regression",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS x,
+                   CAST(ROUND(value * 100) AS BIGINT) AS y
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, event_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS k,
+                   CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+            FROM seq
+            WINDOW w AS (PARTITION BY user_id ORDER BY x
+                         ROWS BETWEEN {W14_FRAME - 1} PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT user_id, event_id, k AS n_in_frame, {_W14_SLOPE} AS slope
+        FROM f
+    """,
+    doc=f"ROLLING OLS slope per user over the trailing {W14_FRAME}-event "
+    "frame — w5's moving average upgraded from level to TREND (is this "
+    "user's spend accelerating?), the per-entity micro-regression that "
+    "feeds churn/engagement features. Same exactness discipline as "
+    "w5: the frame quantities (k, sum x, sum y, sum xy, sum x^2, with "
+    "x = the per-user event INDEX and y = exact cents) are integer "
+    "window sums — a float covariance accumulated over a sliding "
+    "frame would round engine-specifically — and the one float "
+    "formula runs per row on exact inputs, textually shared across "
+    "engines; single-event frames yield NULL via NULLIF (zero "
+    "x-variance). Scale shape: ONE shuffle on user_id shared by the "
+    "index and all frame sums (two window specs, same partitioning), "
+    "no join, no second scan; frame state is O(frame) per key.",
+    tags=("window", "timeseries", "statistics"),
+)
+def w14_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(seq_w).cast("long").alias("x"),
+        _cents(F.col("value")).alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(W14_FRAME - 1), Window.currentRow)
+    )
+    f = seq.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).cast("long").alias("k"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.col("k").alias("n_in_frame"),
+        F.expr(_W14_SLOPE).alias("slope"),
+    )

@@ -198,6 +198,7 @@ AUX = [
     "ts22_theil_sen_trend",
     "g10_degree_assortativity",
     "m37_workspace_expiry",
+    "w14_rolling_regression",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

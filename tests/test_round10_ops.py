@@ -1178,3 +1178,43 @@ def test_ws_expiry_protects_refs_and_materializes(spark):
     assert ws_read(spark, ws, "a", version=v5).count() == 10
     assert ws_read(spark, ws, "a").count() == 5
     assert ws_read(spark, ws, "b").count() == 7
+
+
+def test_w14_matches_numpy(spark):
+    import numpy as np
+
+    from apache_iceberg_spark.operators.functions_ext import (
+        W14_FRAME,
+        w14_rolling_regression,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    got = {
+        (r["user_id"], r["event_id"]): (r["n_in_frame"], r["slope"])
+        for r in w14_rolling_regression(spark, sf).collect()
+    }
+    checked = 0
+    for uid, evs in by_user.items():
+        ys = [round(r["value"] * 100) for r in evs]
+        for i, r in enumerate(evs):
+            lo = max(0, i - (W14_FRAME - 1))
+            x = np.arange(lo + 1, i + 2, dtype=float)
+            y = np.array(ys[lo : i + 1], dtype=float)
+            k, slope = got[(uid, r["event_id"])]
+            assert k == len(x)
+            if len(x) == 1:
+                assert slope is None
+            else:
+                want = np.polyfit(x, y, 1)[0]
+                assert abs(slope - want) < 1e-6, (uid, r["event_id"])
+            checked += 1
+    assert checked == len(rows)
