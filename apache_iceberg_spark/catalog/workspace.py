@@ -142,6 +142,20 @@ def _resolve_table(
     return out
 
 
+def _table_layout(by_v: dict[int, dict], version: int, table: str):
+    """The most recently recorded ``partition_by`` for ``table`` along
+    ``version``'s lineage; the sentinel ``"unknown"`` when no touching
+    entry recorded one (pre-validation commits)."""
+    for v in _chain(by_v, version):
+        t = by_v[v]["tables"].get(table)
+        if t is None:
+            continue
+        if "partition_by" in t:
+            return t["partition_by"]
+        return "unknown"
+    return "unknown"
+
+
 def _ensure_main(ws_path: str, refs: dict, log: list[dict]) -> dict:
     if "main" not in refs["branches"]:
         if not log:
@@ -212,22 +226,33 @@ def ws_commit(
     version = (head + 1) if head is not None else 1
     tables: dict[str, dict] = {}
     for name, df in dfs.items():
-        tdir = os.path.join(ws_path, name)
-        os.makedirs(tdir, exist_ok=True)
-        ddir = _data_dir(tdir, "w", version)
-        w = df.write.mode("overwrite")
         pby = (partition_by or {}).get(name)
-        if pby:
-            w = w.partitionBy(*pby)
-        w.parquet(ddir)
         exists = (
             parent_v is not None
             and _resolve_table(log, name, parent_v) is not None
         )
+        if exists and mode != "overwrite":
+            # Layout validation at commit time, the table-level store's
+            # ADVICE-r9 rule lifted here: a mis-partitioned append
+            # poisons every later multi-dir read of the table.
+            recorded = _table_layout(by_v, parent_v, name)
+            if recorded != "unknown" and (recorded or None) != (pby or None):
+                raise ValueError(
+                    f"partition_by={pby!r} for table {name!r} does not "
+                    f"match its recorded layout {recorded!r}; appends "
+                    "must keep the layout (overwrite to change it)"
+                )
+        tdir = os.path.join(ws_path, name)
+        os.makedirs(tdir, exist_ok=True)
+        ddir = _data_dir(tdir, "w", version)
+        w = df.write.mode("overwrite")
+        if pby:
+            w = w.partitionBy(*pby)
+        w.parquet(ddir)
         if mode == "overwrite" or not exists:
-            tables[name] = {"set": [ddir]}
+            tables[name] = {"set": [ddir], "partition_by": pby}
         else:
-            tables[name] = {"adds": [ddir]}
+            tables[name] = {"adds": [ddir], "partition_by": pby}
     with _log_lock(ws_path):
         cur = _read_log(ws_path)
         cur_head = cur[-1]["version"] if cur else None
@@ -456,18 +481,32 @@ def ws_merge_branch(
             if not (b.issubset(s_set) and b.issubset(t_set)):
                 conflicts.append(n)
                 continue
+            s_layout = _table_layout(by_v, src_v, n)
+            t_layout = _table_layout(by_v, into_v, n)
+            if (
+                s_layout != "unknown"
+                and t_layout != "unknown"
+                and (s_layout or None) != (t_layout or None)
+            ):
+                conflicts.append(n)  # incompatible partition layouts
+                continue
             adds = [
                 p for p in (s or []) if p not in b and p not in t_set
             ]
+            # carry the layout so validation stays armed after a merge
+            layout = s_layout if s_layout != "unknown" else t_layout
+            extra = (
+                {} if layout == "unknown" else {"partition_by": layout}
+            )
             if t_set == b and s is not None:
                 # only src touched it: replay src's delta (or creation)
                 if b:
                     if adds:
-                        tables[n] = {"adds": adds}
+                        tables[n] = {"adds": adds, **extra}
                 else:
-                    tables[n] = {"set": list(s)}
+                    tables[n] = {"set": list(s), **extra}
             elif adds:
-                tables[n] = {"adds": adds}
+                tables[n] = {"adds": adds, **extra}
         if conflicts:
             raise ValueError(
                 f"cannot merge {src!r} into {into!r}: tables "
@@ -590,11 +629,15 @@ def ws_expire_versions(
             if e["version"] in expired_vs:
                 continue
             if e.get("parent") in expired_vs:
+                by_v_full = {x["version"]: x for x in log}
                 tables = {}
                 for n in names:
                     paths = _resolve_table(log, n, e["version"])
                     if paths is not None:
                         tables[n] = {"set": paths}
+                        layout = _table_layout(by_v_full, e["version"], n)
+                        if layout != "unknown":
+                            tables[n]["partition_by"] = layout
                 e = {
                     k: v for k, v in e.items() if k not in ("parent",)
                 }

@@ -1218,3 +1218,24 @@ def test_w14_matches_numpy(spark):
                 assert abs(slope - want) < 1e-6, (uid, r["event_id"])
             checked += 1
     assert checked == len(rows)
+
+
+def test_ws_partition_layout_validated(spark):
+    from apache_iceberg_spark.catalog.workspace import ws_commit, ws_read
+
+    ws = tempfile.mkdtemp(prefix="r10_wslay_")
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket")
+    )
+    ws_commit(ws, {"a": df}, partition_by={"a": ["bucket"]})
+    with pytest.raises(ValueError, match="partition_by"):
+        ws_commit(ws, {"a": df})  # unpartitioned append onto partitioned
+    with pytest.raises(ValueError, match="partition_by"):
+        ws_commit(ws, {"a": df}, partition_by={"a": ["id"]})
+    ws_commit(ws, {"a": df}, partition_by={"a": ["bucket"]})  # matches
+    assert ws_read(spark, ws, "a").count() == 20
+    # overwrite may change the layout, then the new one is enforced
+    ws_commit(ws, {"a": df}, mode="overwrite")
+    with pytest.raises(ValueError, match="partition_by"):
+        ws_commit(ws, {"a": df}, partition_by={"a": ["bucket"]})
+    ws_commit(ws, {"a": df})
