@@ -1272,9 +1272,12 @@ def g9_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonadj = common.join(edges, ["u", "v"], "left_anti")
     du = deg.select(F.col("z").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("z").alias("v"), F.col("d").alias("dv"))
+    # deg is |V| rows: small enough to broadcast at bench scale (AQE
+    # does so at runtime), but NOT forced — a 1e8-node graph must be
+    # allowed to shuffle these joins (g4's adaptive precedent).
     return (
-        nonadj.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        nonadj.join(du, "u")
+        .join(dv, "v")
         .select(
             "u",
             "v",
@@ -1342,7 +1345,8 @@ _G10_R = (
     "degree-driven sampling or g1-style ranking. Exact BIGINT moment "
     "sums over one degree-join pass (a21's recipe: floats only in the "
     "final textually-shared formula; the two sqrts are correctly "
-    "rounded per IEEE). Scale: two broadcast-joinable degree lookups "
+    "rounded per IEEE). Scale: two degree lookups (AQE broadcasts "
+    "them when small, shuffles when not — never forced) "
     "against the edge list, one aggregate — no window, no self-join "
     "beyond the |E|-row adjacency; shares _knn_edges with the rest "
     "of the g-family so the measured graph is identical.",
@@ -1361,7 +1365,8 @@ def g10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy("z").agg(F.count("*").alias("d"))
     du = deg.select(F.col("z"), F.col("d").alias("x"))
     dv = deg.select(F.col("z").alias("n"), F.col("d").alias("y"))
-    pairs = adj.join(F.broadcast(du), "z").join(F.broadcast(dv), "n")
+    # adaptive, not forced: see g9's note — deg is |V| rows
+    pairs = adj.join(du, "z").join(dv, "n")
     g = pairs.agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("x").alias("s1x"),

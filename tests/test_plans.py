@@ -974,11 +974,11 @@ def test_ts19_no_window_and_broadcast_lags(spark):
 
 
 def test_g9_wedge_join_and_broadcast_degrees(spark):
-    """g9 shares g2/g4's bounded wedge join; the two degree lookups
-    broadcast (|nodes| rows), and nothing goes cartesian."""
+    """g9 shares g2/g4's bounded wedge join and nothing goes cartesian
+    (degree joins are adaptive — broadcast at this scale, shuffleable
+    at web scale, never forced)."""
     plan = plan_of(spark, "g9_neighborhood_jaccard")
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan
     spark.catalog.clearCache()  # _knn_edges plan-cache
 
 
