@@ -473,12 +473,23 @@ def _ancestry(by_v: dict[int, dict], head: int) -> list[int]:
     """``head`` and every ancestor reachable from it, nearest first.
     Stops (rather than raising) at a parent pruned from the log — such a
     chain was cut by expiry, and everything an intact ref can reach is
-    expiry-protected, so walks from live refs never hit this."""
+    expiry-protected, so walks from live refs never hit this. The
+    implicit-parent steps for pre-ref entries use one sorted pass +
+    bisect, so a walk over a 10k-commit legacy log is O(n log n), not
+    the O(n^2) a per-step max-scan would cost."""
+    import bisect
+
+    sorted_vs = sorted(by_v)
     out: list[int] = []
     v: int | None = head
     while v is not None and v in by_v:
         out.append(v)
-        v = _parent_of(by_v, v)
+        entry = by_v[v]
+        if "parent" in entry:
+            v = entry["parent"]
+        else:
+            i = bisect.bisect_left(sorted_vs, v)
+            v = sorted_vs[i - 1] if i > 0 else None
     return out
 
 

@@ -98,12 +98,21 @@ def _parent_of(by_v: dict[int, dict], v: int) -> int | None:
 
 
 def _chain(by_v: dict[int, dict], head: int) -> list[int]:
-    """``head`` and every ancestor, nearest first."""
+    """``head`` and every ancestor, nearest first (bisect for the
+    implicit-parent steps — O(n log n) on legacy linear logs)."""
+    import bisect
+
+    sorted_vs = sorted(by_v)
     out: list[int] = []
     v: int | None = head
     while v is not None and v in by_v:
         out.append(v)
-        v = _parent_of(by_v, v)
+        entry = by_v[v]
+        if "parent" in entry:
+            v = entry["parent"]
+        else:
+            i = bisect.bisect_left(sorted_vs, v)
+            v = sorted_vs[i - 1] if i > 0 else None
     return out
 
 
