@@ -1705,3 +1705,127 @@ def a31_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/ (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_new AS DOUBLE))"
         ).alias("tv_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a33: one-way ANOVA F — exact sums of squares via quotient/remainder split
+# ---------------------------------------------------------------------------
+
+# SSB needs sum over groups of s1_g^2 / n_g: s1_g^2 is ~1e21+ (DECIMAL
+# territory) and integer-dividing a DECIMAL overflows Spark's DIV (it
+# returns BIGINT). The split s1 = q*n + r (q, r are BIGINT-safe: q is
+# the group MEAN in cents, r < n) gives s1^2/n = q^2*n + 2qr + r^2/n —
+# every term exact with only one small division (r^2 DIV n), and the
+# q^2*n product accumulates in DECIMAL(38,0)/HUGEINT. Truncation is
+# bounded by 1 cent^2 per group, deterministic on both engines.
+_A33_TERM = (
+    "CAST({q} AS {big}) * {q} * {n} + 2 * {q} * {r} + {r} * {r} {div} {n}"
+)
+_A33_F = (
+    "(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))"
+)
+_A33_ETA = "ssb / (ssb + ssw)"
+
+
+@register(
+    "a33_anova_f",
+    oracle=f"""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS s1,
+                   SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS HUGEINT)) AS s2
+            FROM orders GROUP BY o_orderpriority
+        ),
+        gq AS (
+            SELECT ng, s1, s2, s1 // ng AS q, s1 % ng AS r FROM g
+        ),
+        t AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(SUM(s1) AS BIGINT) AS s1_all,
+                   SUM(s2) AS s2_all,
+                   SUM({_A33_TERM.format(q="q", r="r", n="ng",
+                                         big="HUGEINT", div="//")})
+                       AS group_term
+            FROM gq
+        ),
+        w AS (
+            SELECT k, n, s2_all, group_term,
+                   s1_all // n AS qa, s1_all % n AS ra
+            FROM t
+        )
+        SELECT k, n,
+               CAST(group_term
+                    - ({_A33_TERM.format(q="qa", r="ra", n="n",
+                                         big="HUGEINT", div="//")})
+                    AS DOUBLE) AS ssb,
+               CAST(s2_all - group_term AS DOUBLE) AS ssw,
+               {_A33_F} AS f_stat,
+               {_A33_ETA} AS eta_squared
+        FROM w
+    """,
+    doc="One-way ANOVA F over order price (cents) by priority — the "
+    "categorical-to-NUMERIC association test completing the triple "
+    "(a21 Pearson numeric-numeric, a29/a30 chi-square cat-cat): does "
+    "the group factor explain the metric's variance, with eta^2 "
+    "(SSB/SST) as the effect size. Exactness: per-group (n, sum, "
+    "sum-of-squares) are integer aggregates; the s1^2/n terms use the "
+    "quotient/remainder split s1 = q*n + r so s1^2/n = q^2*n + 2qr + "
+    "r^2//n — every term exact (DECIMAL(38,0)/HUGEINT for the q^2*n "
+    "product; the only division is the BIGINT-safe r^2//n, truncation "
+    "<= 1 cent^2 per group, identical on both engines) — so the "
+    "CROSS-GROUP accumulation is integer and order-insensitive where "
+    "a float n_g*(mean_g - mean)^2 sum would be partition-order-"
+    "dependent; F and eta^2 run once on exact inputs (shared text). "
+    "Scale shape: ONE map-side-combined grouped pass + a category-"
+    "bounded aggregate, no window, no join.",
+    tags=("analytics", "statistics", "drift"),
+)
+def a33_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(cents).alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
+    )
+    gq = g.select(
+        "ng",
+        "s1",
+        "s2",
+        F.expr("s1 DIV ng").alias("q"),
+        F.expr("s1 % ng").alias("r"),
+    )
+    term = _A33_TERM.format(
+        q="q", r="r", n="ng", big="DECIMAL(38,0)", div="DIV"
+    )
+    t = gq.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s1").alias("s1_all"),
+        F.sum("s2").alias("s2_all"),
+        F.sum(F.expr(term)).alias("group_term"),
+    )
+    w = t.select(
+        "k",
+        "n",
+        "s2_all",
+        "group_term",
+        F.expr("s1_all DIV n").alias("qa"),
+        F.expr("s1_all % n").alias("ra"),
+    )
+    term_all = _A33_TERM.format(
+        q="qa", r="ra", n="n", big="DECIMAL(38,0)", div="DIV"
+    )
+    return w.select(
+        "k",
+        "n",
+        F.expr(f"CAST(group_term - ({term_all}) AS DOUBLE)").alias("ssb"),
+        F.expr("CAST(s2_all - group_term AS DOUBLE)").alias("ssw"),
+        F.expr(_A33_F).alias("f_stat"),
+        F.expr(_A33_ETA).alias("eta_squared"),
+    )

@@ -199,6 +199,7 @@ AUX = [
     "g10_degree_assortativity",
     "m37_workspace_expiry",
     "w14_rolling_regression",
+    "a33_anova_f",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -1239,3 +1239,37 @@ def test_ws_partition_layout_validated(spark):
     with pytest.raises(ValueError, match="partition_by"):
         ws_commit(ws, {"a": df}, partition_by={"a": ["bucket"]})
     ws_commit(ws, {"a": df})
+
+
+def test_a33_matches_numpy(spark):
+    import numpy as np
+
+    from apache_iceberg_spark.operators.analytics import a33_anova_f
+    from apache_iceberg_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r["o_orderpriority"], []).append(
+            round(r["o_totalprice"] * 100)
+        )
+    all_v = np.array([v for g in groups.values() for v in g], dtype=float)
+    gm = all_v.mean()
+    ssb = sum(len(g) * (np.mean(g) - gm) ** 2 for g in groups.values())
+    ssw = sum(((np.array(g, float) - np.mean(g)) ** 2).sum()
+              for g in groups.values())
+    k, n = len(groups), len(all_v)
+    f_want = (ssb / (k - 1)) / (ssw / (n - k))
+    out = a33_anova_f(spark, sf).collect()[0]
+    assert out["k"] == k and out["n"] == n
+    # the q/r split truncates <= 1 cent^2 per group
+    assert abs(out["ssb"] - ssb) <= k + 1
+    assert abs(out["ssw"] - ssw) <= k + 1
+    assert abs(out["f_stat"] - f_want) < 1e-6 * max(1.0, f_want)
+    assert 0.0 <= out["eta_squared"] <= 1.0
+    assert abs(out["eta_squared"] - ssb / (ssb + ssw)) < 1e-9
