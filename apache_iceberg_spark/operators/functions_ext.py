@@ -1352,3 +1352,145 @@ def w14_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_in_frame"),
         F.expr(_W14_SLOPE).alias("slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j8: nearest as-of join — ts3's backward rule + the forward/nearest variants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j8_nearest_asof_join",
+    oracle="""
+        WITH merged AS (
+            SELECT o_custkey AS user_id, o_orderdate AS t, 0 AS is_event,
+                   CAST(NULL AS BIGINT) AS event_id,
+                   o_orderkey AS okey, o_orderdate AS odate
+            FROM orders
+            UNION ALL
+            SELECT user_id, ts, 1, event_id,
+                   CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+            FROM events
+        ),
+        w AS (
+            SELECT *,
+                   LAST_VALUE(okey IGNORE NULLS) OVER wb AS back_key,
+                   LAST_VALUE(odate IGNORE NULLS) OVER wb AS back_date,
+                   FIRST_VALUE(okey IGNORE NULLS) OVER wf AS fwd_key,
+                   FIRST_VALUE(odate IGNORE NULLS) OVER wf AS fwd_date
+            FROM merged
+            WINDOW wb AS (PARTITION BY user_id
+                          ORDER BY t, is_event, okey NULLS LAST
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id
+                          ORDER BY t, is_event, okey NULLS LAST
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id,
+               CASE WHEN fwd_key IS NULL THEN 'backward'
+                    WHEN back_key IS NULL THEN 'forward'
+                    WHEN epoch_us(t) - epoch_us(back_date)
+                         <= epoch_us(fwd_date) - epoch_us(t)
+                    THEN 'backward' ELSE 'forward' END AS direction,
+               CASE WHEN fwd_key IS NULL THEN back_key
+                    WHEN back_key IS NULL THEN fwd_key
+                    WHEN epoch_us(t) - epoch_us(back_date)
+                         <= epoch_us(fwd_date) - epoch_us(t)
+                    THEN back_key ELSE fwd_key END AS nearest_orderkey,
+               CASE WHEN fwd_key IS NULL
+                    THEN epoch_us(t) - epoch_us(back_date)
+                    WHEN back_key IS NULL
+                    THEN epoch_us(fwd_date) - epoch_us(t)
+                    WHEN epoch_us(t) - epoch_us(back_date)
+                         <= epoch_us(fwd_date) - epoch_us(t)
+                    THEN epoch_us(t) - epoch_us(back_date)
+                    ELSE epoch_us(fwd_date) - epoch_us(t) END AS dt_us
+        FROM w
+        WHERE is_event = 1
+          AND (back_key IS NOT NULL OR fwd_key IS NOT NULL)
+    """,
+    doc="NEAREST as-of join — ts3's missing half: ts3 answers 'the most "
+    "recent order at or before this event' (the fintech convention); "
+    "sensor fusion and attribution want the CLOSEST order in either "
+    "direction, ties to backward. Same union-merge, zero-pair-"
+    "explosion shape as ts3 — both sides union into one frame, ONE "
+    "shuffle on user_id carries two mirrored windows (last-non-null "
+    "preceding = backward candidate with max-key tiebreak, first-non-"
+    "null following = forward candidate with min-key tiebreak; same-"
+    "timestamp orders sort before the event so 'at or before' stays "
+    "inclusive exactly as ts3 defines it), then the winner is a "
+    "per-row exact integer comparison of epoch-microsecond deltas — "
+    "no join product ever materializes, the same reason ts3 survives "
+    "100 TB where a theta-join as-of would not. Events whose user has "
+    "no orders at all drop (no candidate on either side).",
+    tags=("join", "timeseries", "asof"),
+)
+def j8_nearest_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    order_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    event_side = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(None).cast("timestamp").alias("odate"),
+    )
+    base = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", F.col("okey").asc_nulls_last())
+    )
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = order_side.unionByName(event_side).select(
+        "event_id",
+        "user_id",
+        "t",
+        "is_event",
+        F.last("okey", ignorenulls=True).over(wb).alias("back_key"),
+        F.last("odate", ignorenulls=True).over(wb).alias("back_date"),
+        F.first("okey", ignorenulls=True).over(wf).alias("fwd_key"),
+        F.first("odate", ignorenulls=True).over(wf).alias("fwd_date"),
+    )
+    picked = merged.filter(
+        (F.col("is_event") == 1)
+        & (F.col("back_key").isNotNull() | F.col("fwd_key").isNotNull())
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CASE WHEN fwd_key IS NULL THEN 'backward' "
+            "WHEN back_key IS NULL THEN 'forward' "
+            "WHEN unix_micros(t) - unix_micros(back_date) "
+            "<= unix_micros(fwd_date) - unix_micros(t) "
+            "THEN 'backward' ELSE 'forward' END"
+        ).alias("direction"),
+        F.expr(
+            "CASE WHEN fwd_key IS NULL THEN back_key "
+            "WHEN back_key IS NULL THEN fwd_key "
+            "WHEN unix_micros(t) - unix_micros(back_date) "
+            "<= unix_micros(fwd_date) - unix_micros(t) "
+            "THEN back_key ELSE fwd_key END"
+        ).alias("nearest_orderkey"),
+        F.expr(
+            "CASE WHEN fwd_key IS NULL "
+            "THEN unix_micros(t) - unix_micros(back_date) "
+            "WHEN back_key IS NULL "
+            "THEN unix_micros(fwd_date) - unix_micros(t) "
+            "WHEN unix_micros(t) - unix_micros(back_date) "
+            "<= unix_micros(fwd_date) - unix_micros(t) "
+            "THEN unix_micros(t) - unix_micros(back_date) "
+            "ELSE unix_micros(fwd_date) - unix_micros(t) END"
+        ).alias("dt_us"),
+    )
+    return picked

@@ -200,6 +200,7 @@ AUX = [
     "m37_workspace_expiry",
     "w14_rolling_regression",
     "a33_anova_f",
+    "j8_nearest_asof_join",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -1273,3 +1273,61 @@ def test_a33_matches_numpy(spark):
     assert abs(out["f_stat"] - f_want) < 1e-6 * max(1.0, f_want)
     assert 0.0 <= out["eta_squared"] <= 1.0
     assert abs(out["eta_squared"] - ssb / (ssb + ssw)) < 1e-9
+
+
+def test_j8_matches_python_nearest(spark):
+    """Independent nearest-neighbor model: brute-force per event over
+    the user's orders, ties to backward then ts3's key tiebreaks."""
+    from apache_iceberg_spark.operators.functions_ext import (
+        j8_nearest_asof_join,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = (
+        load_table(spark, sf, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .collect()
+    )
+    events = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_id", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in orders:
+        by_user.setdefault(r["o_custkey"], []).append(r)
+    got = {
+        r["event_id"]: (r["nearest_orderkey"], r["direction"], r["dt_us"])
+        for r in j8_nearest_asof_join(spark, sf).collect()
+    }
+    n_checked = 0
+    for ev in events:
+        cands = by_user.get(ev["user_id"])
+        if not cands:
+            assert ev["event_id"] not in got
+            continue
+        t = ev["ts"]
+        back = [o for o in cands if o["o_orderdate"] <= t]
+        fwd = [o for o in cands if o["o_orderdate"] > t]
+        b = max(back, key=lambda o: (o["o_orderdate"], o["o_orderkey"])) \
+            if back else None
+        f_ = min(fwd, key=lambda o: (o["o_orderdate"], o["o_orderkey"])) \
+            if fwd else None
+
+        def us(dt):
+            return int(dt.total_seconds() * 1_000_000)
+
+        if f_ is None or (
+            b is not None and us(t - b["o_orderdate"])
+            <= us(f_["o_orderdate"] - t)
+        ):
+            want = (b["o_orderkey"], "backward", us(t - b["o_orderdate"]))
+        else:
+            want = (
+                f_["o_orderkey"], "forward", us(f_["o_orderdate"] - t)
+            )
+        assert got[ev["event_id"]] == want, (ev["event_id"],
+                                             got[ev["event_id"]], want)
+        n_checked += 1
+    assert n_checked > 0
