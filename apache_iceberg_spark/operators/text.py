@@ -1799,3 +1799,88 @@ def tx22_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_rate_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx23: Flesch-Kincaid readability — exact counts, one shared formula
+# ---------------------------------------------------------------------------
+
+# The FK grade formula on exact integer counts (shared textually; the
+# syllable proxy is vowel-GROUP count floored at the word count — every
+# word carries at least one syllable — a documented deterministic
+# simplification of dictionary syllabification).
+_TX23_FK = (
+    "0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+    "+ 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) "
+    "- 15.59"
+)
+
+
+@register(
+    "tx23_readability",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(trim(text), '[^ \t\n]+'))
+                        AS BIGINT) AS n_words,
+                   CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+                                 1) AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS raw_groups
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, n_words, n_sentences,
+                   GREATEST(raw_groups, n_words) AS n_syllables
+            FROM c
+            WHERE n_words > 0
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               {_TX23_FK} AS fk_grade
+        FROM k
+    """,
+    doc="FLESCH-KINCAID grade level per document — the readability axis "
+    "tx2's quality score (length/punct/stopword ratios) lacks, and a "
+    "standard curation gate (too-low = fragment soup, too-high = "
+    "OCR/boilerplate artifacts): 0.39·(words/sentences) + "
+    "11.8·(syllables/words) − 15.59 from EXACT integer counts — words "
+    "by whitespace tokens, sentences by terminal-punctuation runs "
+    "(floored at 1), syllables by the vowel-group proxy floored at "
+    "the word count (every word has one; a dictionary syllabifier is "
+    "neither available nor deterministic across engines, so the proxy "
+    "is the documented contract). The one float formula runs per row "
+    "on exact inputs with shared text. Scale shape: map-only — three "
+    "regexp counts per document, zero shuffles, zero joins; composes "
+    "into pp-family gates as a pushed-down filter.",
+    tags=("text", "quality", "llm"),
+)
+def tx23_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(trim(text), '[^ \t\n]+', 0)")
+        ).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        ).cast("long").alias("n_sentences"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).cast("long").alias("raw_groups"),
+    )
+    k = c.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        F.greatest(F.col("raw_groups"), F.col("n_words")).alias(
+            "n_syllables"
+        ),
+    )
+    return k.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(_TX23_FK).alias("fk_grade"),
+    )

@@ -201,6 +201,7 @@ AUX = [
     "w14_rolling_regression",
     "a33_anova_f",
     "j8_nearest_asof_join",
+    "tx23_readability",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

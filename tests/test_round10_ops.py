@@ -1331,3 +1331,35 @@ def test_j8_matches_python_nearest(spark):
                                              got[ev["event_id"]], want)
         n_checked += 1
     assert n_checked > 0
+
+
+def test_tx23_matches_python(spark):
+    import re
+
+    from apache_iceberg_spark.operators.text import tx23_readability
+    from apache_iceberg_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"],
+                      r["fk_grade"])
+        for r in tx23_readability(spark, sf).collect()
+    }
+    n_checked = 0
+    for d in docs:
+        text = d["text"]
+        words = len(re.findall(r"[^ \t\n]+", text.strip()))
+        if words == 0:
+            assert d["doc_id"] not in got
+            continue
+        sentences = max(len(re.findall(r"[.!?]+", text)), 1)
+        syll = max(len(re.findall(r"[aeiouy]+", text.lower())), words)
+        fk = 0.39 * (words / sentences) + 11.8 * (syll / words) - 15.59
+        w, s, y, g = got[d["doc_id"]]
+        assert (w, s, y) == (words, sentences, syll), d["doc_id"]
+        assert abs(g - fk) < 1e-9
+        n_checked += 1
+    assert n_checked > 0
