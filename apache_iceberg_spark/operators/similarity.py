@@ -3857,3 +3857,163 @@ def ann21_pq_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="ann21_")
     cells, book, codes = build_pq_index(spark, sf_dir, root)
     return serve_adc_from_index(spark, sf_dir, cells, book, codes)
+
+
+# --- ann22: binary quantization + Hamming shortlist + exact rerank ----------
+
+ANN22_CAND = 40  # Hamming shortlist size per query (rerank pool)
+
+# 64 sign bits packed as TWO 32-bit halves (bit 63 in one BIGINT would
+# land in the sign bit — Spark's signed long and DuckDB's preference
+# for HUGEINT would then disagree on nothing observable, but two
+# positive halves keep every intermediate engine-identical by
+# construction). Hamming(a, b) = bit_count(lo_a^lo_b)+bit_count(hi_a^hi_b).
+_ANN22_SPARK_HALF = (
+    "aggregate(zip_with(slice({emb}, {start}, 32), sequence(0, 31), "
+    "(x, i) -> CASE WHEN CAST(x AS DOUBLE) > 0.0 "
+    "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+_ANN22_DUCK_HALF = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[CASE WHEN CAST({emb}[i] AS DOUBLE) > 0.0 "
+    "THEN CAST(1 AS BIGINT) << (i - {start}) ELSE CAST(0 AS BIGINT) END "
+    "for i in generate_series({start}, {start} + 31)]), "
+    "(acc, v) -> acc + v)"
+)
+
+
+@register(
+    "ann22_binary_quantization",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')})
+                       AS norm,
+                   {_ANN22_DUCK_HALF.format(emb='embedding', start='1')}
+                       AS sig_lo,
+                   {_ANN22_DUCK_HALF.format(emb='embedding', start='33')}
+                       AS sig_hi
+            FROM embeddings
+        ),
+        ham AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   bit_count(xor(q.sig_lo, c.sig_lo))
+                   + bit_count(xor(q.sig_hi, c.sig_hi)) AS hamming,
+                   ({_DUCK_DOT.format(a='q.embedding', b='c.embedding')})
+                     / (q.norm * c.norm) AS cosine
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        shortlist AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY hamming, neighbor_id
+                ) AS hrn FROM ham
+            ) WHERE hrn <= {ANN22_CAND}
+        )
+        SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+               cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rn FROM shortlist
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"BINARY quantization ANN — the 1-bit-per-dimension compression "
+    "modern vector stores ship as their cheapest tier (256x smaller "
+    "than float32; ann5's int8 is the 4x tier, ann6/ann21's PQ the "
+    "32x tier): each 64-dim vector becomes its SIGN BITMAP, packed as "
+    "two 32-bit halves in BIGINTs (bit 63 would land in the signed "
+    "long's sign bit — two positive halves keep both engines "
+    "bit-identical by construction), candidate generation is integer "
+    f"Hamming distance via bit_count(xor(...)), and the top-"
+    f"{ANN22_CAND} shortlist per query is re-ranked by exact cosine "
+    f"(ann10's refine stage) for the final top-{TOP_K}. Everything up "
+    "to the rerank is integer-exact; the cosine reuses the "
+    "sequential-fold dot product, so the hash holds with zero "
+    "tolerance. Scale shape: signatures are map-only; the Hamming "
+    "scan is a broadcast-query pass over the corpus touching 16 "
+    "BYTES per vector instead of 256 (the actual win — at 100 TB the "
+    "shortlist pass reads the packed-signature column only, the "
+    "float vectors page in just for the {ANN22_CAND}-row rerank); "
+    "per-query top-k via deterministic ROW_NUMBER tiebreaks.",
+    tags=("similarity", "llm", "embedding", "quantization"),
+)
+def ann22_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
+        ).alias("norm"),
+        F.expr(
+            _ANN22_SPARK_HALF.format(emb="embedding", start="1")
+        ).alias("sig_lo"),
+        F.expr(
+            _ANN22_SPARK_HALF.format(emb="embedding", start="33")
+        ).alias("sig_hi"),
+    ).persist()  # plan-cache: query + corpus sides below
+    q = F.broadcast(
+        n.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sig_lo").alias("q_lo"),
+            F.col("sig_hi").alias("q_hi"),
+        )
+    )
+    # The Hamming scan touches ONLY the 16-byte signatures — the float
+    # vectors join back for just the shortlist rows (the claim the
+    # docstring makes; an inline cosine here would read every float).
+    c_sig = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sig_lo").alias("c_lo"),
+        F.col("sig_hi").alias("c_hi"),
+    )
+    ham = q.join(
+        c_sig, F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr("bit_count(q_lo ^ c_lo)")
+            + F.expr("bit_count(q_hi ^ c_hi)")
+        ).cast("long").alias("hamming"),
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        ham.withColumn("hrn", F.row_number().over(wh))
+        .filter(F.col("hrn") <= ANN22_CAND)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    qe = F.broadcast(
+        n.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    ce = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    rerank = shortlist.join(qe, "query_id").join(ce, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        (
+            F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "cosine")
+    )

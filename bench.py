@@ -202,6 +202,7 @@ AUX = [
     "a33_anova_f",
     "j8_nearest_asof_join",
     "tx23_readability",
+    "ann22_binary_quantization",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -1363,3 +1363,66 @@ def test_tx23_matches_python(spark):
         assert abs(g - fk) < 1e-9
         n_checked += 1
     assert n_checked > 0
+
+
+def test_ann22_matches_python_model(spark):
+    """Independent model: numpy signatures + Hamming shortlist + cosine
+    rerank, exact tiebreaks — and the recall sanity that the rerank
+    output is a subset of the Hamming shortlist."""
+    import numpy as np
+
+    from apache_iceberg_spark.operators.similarity import (
+        ANN22_CAND,
+        N_QUERIES,
+        TOP_K,
+        ann22_binary_quantization,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = [r["vec_id"] for r in rows]
+    embs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    sigs = {
+        i: tuple(
+            sum(1 << b for b in range(32) if embs[i][off + b] > 0)
+            for off in (0, 32)
+        )
+        for i in ids
+    }
+    got = {}
+    for r in ann22_binary_quantization(spark, sf).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["hamming"], r["cosine"])
+        )
+    for qid in range(N_QUERIES):
+        ql, qh = sigs[qid]
+        ham = sorted(
+            (
+                bin((ql ^ sigs[c][0])).count("1")
+                + bin((qh ^ sigs[c][1])).count("1"),
+                c,
+            )
+            for c in ids
+            if c != qid
+        )
+        short = ham[:ANN22_CAND]
+        def cos(a, b):
+            return float(
+                embs[a] @ embs[b]
+                / (np.linalg.norm(embs[a]) * np.linalg.norm(embs[b]))
+            )
+        rer = sorted(
+            ((c, h) for h, c in short),
+            key=lambda t: (-cos(qid, t[0]), t[0]),
+        )[:TOP_K]
+        want_ids = [c for c, _ in rer]
+        got_rows = got[qid]
+        assert {g[0] for g in got_rows} == set(want_ids)
+        ham_by_id = dict((c, h) for h, c in short)
+        for nid, h, csn in got_rows:
+            assert h == ham_by_id[nid]
+            assert abs(csn - cos(qid, nid)) < 1e-9
