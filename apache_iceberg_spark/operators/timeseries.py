@@ -1821,7 +1821,9 @@ def _ts19_acf_frame(
             ).cast("long").alias("t"),
             F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
         )
-    )
+    ).persist()  # plan-cache: three consumers (the global-moment agg and
+    # BOTH sides of the shifted-index lag join) — unpersisted, execution
+    # re-runs the events scan + hourly aggregation per consumer
     g = sp.agg(
         F.sum("x").alias("s1"),
         F.sum(F.col("x") * F.col("x")).alias("s2"),
@@ -1959,7 +1961,7 @@ def ts20_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("t"),
         F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
         F.coalesce(F.col("y"), F.lit(0).cast("long")).alias("y"),
-    )
+    ).persist()  # plan-cache: three consumers (see _ts19_acf_frame)
     g = sp.agg(
         F.sum("x").alias("s1x"),
         F.sum(F.col("x") * F.col("x")).alias("s2x"),
@@ -2219,7 +2221,7 @@ def ts22_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600
         ).cast("long").alias("t"),
         F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
-    )
+    ).persist()  # plan-cache: both pair-join sides + the n_points agg
     a, c = sp.alias("a"), sp.alias("c")
     slopes = a.join(c, F.col("c.t") > F.col("a.t")).select(
         F.expr(

@@ -1605,17 +1605,23 @@ def _st20_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
         # (the torn-publish window two per-table commits would open).
         # The batch id rides as the idempotency key, so Spark's
         # failure-retry of a batch is a no-op, not a double publish.
+        # The batch feeds TWO table writes; persist so the micro-batch
+        # source is read once (released before the batch returns).
+        batch_df.persist()
         agg = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias(
                 "value_cents"
             ),
         )
-        ws_commit(
-            ws,
-            {"raw": batch_df, "agg": agg},
-            idempotency_key=f"st20-batch-{batch_id}",
-        )
+        try:
+            ws_commit(
+                ws,
+                {"raw": batch_df, "agg": agg},
+                idempotency_key=f"st20-batch-{batch_id}",
+            )
+        finally:
+            batch_df.unpersist()
 
     query = (
         spark.readStream.schema(ev.schema)
