@@ -1494,3 +1494,121 @@ def j8_nearest_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dt_us"),
     )
     return picked
+
+
+# ---------------------------------------------------------------------------
+# w15: median absolute deviation — the robust scale estimator, exact
+# ---------------------------------------------------------------------------
+
+# Exact lower-biased median of integer values via the distinct-value
+# pre-aggregate (w12/ts22's recipe): per-value counts, a cumulative sum
+# over the DISTINCT-value frame partitioned by group, the two middle
+# positions picked by conditional MIN and averaged with integer DIV.
+_W15_MEDIAN = (
+    "CAST((MIN(CASE WHEN cum >= (nt + 1) DIV 2 THEN v END) "
+    "+ MIN(CASE WHEN cum >= (nt + 2) DIV 2 THEN v END)) DIV 2 AS BIGINT)"
+)
+_W15_MEDIAN_DUCK = (
+    "CAST((MIN(CASE WHEN cum >= (nt + 1) // 2 THEN v END) "
+    "+ MIN(CASE WHEN cum >= (nt + 2) // 2 THEN v END)) // 2 AS BIGINT)"
+)
+
+
+@register(
+    "w15_median_abs_deviation",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        pv AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM x GROUP BY 1, 2),
+        cum1 AS (
+            SELECT event_type, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS nt
+            FROM pv
+        ),
+        med AS (
+            SELECT event_type, CAST(MAX(nt) AS BIGINT) AS n,
+                   {_W15_MEDIAN_DUCK} AS median_cents
+            FROM cum1 GROUP BY event_type
+        ),
+        dev AS (
+            SELECT x.event_type, ABS(x.v - m.median_cents) AS v
+            FROM x JOIN med m ON m.event_type = x.event_type
+        ),
+        pv2 AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM dev GROUP BY 1, 2),
+        cum2 AS (
+            SELECT event_type, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS nt
+            FROM pv2
+        )
+        SELECT c.event_type, m.n, m.median_cents,
+               {_W15_MEDIAN_DUCK.replace('AS BIGINT', 'AS BIGINT')}
+                   AS mad_cents
+        FROM cum2 c JOIN med m ON m.event_type = c.event_type
+        GROUP BY c.event_type, m.n, m.median_cents
+    """,
+    doc="Per-type MEDIAN ABSOLUTE DEVIATION of event value (cents) — "
+    "THE robust scale estimator (a single wild outlier moves a28's "
+    "variance arbitrarily; MAD tolerates 50% contamination), the "
+    "dispersion ts8-style anomaly thresholds should prefer when the "
+    "metric is heavy-tailed; paired with ts22's Theil-Sen it "
+    "completes the robust-statistics kit. ENTIRELY exact integers: "
+    "both medians (value, then |value − median|) come from w12's "
+    "distinct-value pre-aggregate — per-value counts, a cumulative "
+    "sum over the DISTINCT-value frame partitioned by type, middles "
+    "by conditional MIN, even counts averaged with integer DIV — so "
+    "the result carries zero floats. Scale shape: two grouped passes "
+    "+ one broadcastable 5-row median join; the windows run over "
+    "distinct (type, value) frames bounded by the value DOMAIN "
+    "(cents in a fixed range), never the row count (an unbounded "
+    "metric takes a25's quantization gate first — a27's argument).",
+    tags=("window", "statistics", "robust"),
+)
+def w15_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type", _cents(F.col("value")).alias("v")
+    ).persist()  # plan-cache: the raw frame feeds both median stages
+
+    def exact_median(vals: DataFrame, out_name: str) -> DataFrame:
+        pv = vals.groupBy("event_type", "v").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        wcum = (
+            Window.partitionBy("event_type")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = pv.select(
+            "event_type",
+            "v",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt")
+            .over(Window.partitionBy("event_type"))
+            .alias("nt"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.max("nt").alias("n"),
+            F.expr(_W15_MEDIAN).alias(out_name),
+        )
+
+    med = exact_median(x, "median_cents")
+    dev = x.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("v") - F.col("median_cents")).alias("v"),
+    )
+    mad = exact_median(dev, "mad_cents").drop("n")
+    return (
+        med.join(mad, "event_type")
+        .select("event_type", "n", "median_cents", "mad_cents")
+    )

@@ -203,6 +203,7 @@ AUX = [
     "j8_nearest_asof_join",
     "tx23_readability",
     "ann22_binary_quantization",
+    "w15_median_abs_deviation",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

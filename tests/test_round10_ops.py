@@ -1426,3 +1426,35 @@ def test_ann22_matches_python_model(spark):
         for nid, h, csn in got_rows:
             assert h == ham_by_id[nid]
             assert abs(csn - cos(qid, nid)) < 1e-9
+
+
+def test_w15_matches_python_mad(spark):
+    from apache_iceberg_spark.operators.functions_ext import (
+        w15_median_abs_deviation,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "events").select(
+        "event_type", "value"
+    ).collect()
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            round(r["value"] * 100)
+        )
+
+    def lower_median(vals: list[int]) -> int:
+        s = sorted(vals)
+        n = len(s)
+        return (s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]) // 2
+
+    got = {
+        r["event_type"]: (r["n"], r["median_cents"], r["mad_cents"])
+        for r in w15_median_abs_deviation(spark, sf).collect()
+    }
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        med = lower_median(vals)
+        mad = lower_median([abs(v - med) for v in vals])
+        assert got[t] == (len(vals), med, mad), t
