@@ -3723,3 +3723,99 @@ def pp17_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.cast("long").alias("p_keep_micro"),
         (h < p).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pp18: packing-efficiency report — choosing the sequence length
+# ---------------------------------------------------------------------------
+
+PP18_LENGTHS = (256, 512, 1024)
+
+
+@register(
+    "pp18_packing_efficiency",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_toks,
+                   CAST(SUM(n_toks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_toks AS BIGINT) AS st
+            FROM t
+        ),
+        ls(l) AS (VALUES {", ".join(f"({L})" for L in PP18_LENGTHS)}),
+        g AS (
+            SELECT CAST(SUM(n_toks) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM t
+        ),
+        per AS (
+            SELECT l,
+                   CAST(SUM(CASE WHEN n_toks > 0
+                            AND (st + n_toks - 1) // l > st // l
+                            THEN 1 ELSE 0 END) AS BIGINT) AS crossing
+            FROM c CROSS JOIN ls GROUP BY l
+        )
+        SELECT CAST(l AS BIGINT) AS seq_len,
+               CAST((total + l - 1) // l AS BIGINT) AS n_sequences,
+               total AS total_tokens,
+               CAST((total + l - 1) // l * l - total AS BIGINT)
+                   AS tail_pad_tokens,
+               crossing AS crossing_docs,
+               CAST(crossing * 1000000 // n_docs AS BIGINT)
+                   AS crossing_ppm
+        FROM per CROSS JOIN g
+    """,
+    doc=f"PACKING-EFFICIENCY report across candidate sequence lengths "
+    f"{PP18_LENGTHS} — the table a pretraining-pipeline owner reads "
+    "before fixing the context window: stream packing (pp2/pp2b's "
+    "concat-and-chunk) wastes only the tail pad, but every document "
+    "that CROSSES a sequence boundary needs attention-mask surgery in "
+    "the loader (mm10's split-image diagnostic is the multimodal "
+    "special case) — longer windows mean fewer sequences but more "
+    "crossing docs per sequence, and this report quantifies the trade "
+    "with exact integers: sequences = ceil(total/L), tail pad, and "
+    "the crossing count from each doc's [start, start+len) interval "
+    "against the L-grid, all off pp2's distributed two-level prefix "
+    "sum (two shuffles + one broadcast at ANY corpus size; the per-L "
+    "fan-out is a broadcast 3-row crossJoin over the same frame).",
+    tags=("pipeline", "llm", "packing"),
+)
+def pp18_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _pp2_start_frame(spark, sf_dir).persist()  # plan-cache: the
+    # global aggregate and the per-L crossing scan both consume it
+    g = s.agg(
+        F.sum("n_toks").alias("total"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    ls = spark.createDataFrame([(L,) for L in PP18_LENGTHS], "l long")
+    per = (
+        s.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("n_toks") > 0)
+                    & (
+                        F.expr("(start + n_toks - 1) DIV l")
+                        > F.expr("start DIV l")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("crossing")
+        )
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        F.col("l").alias("seq_len"),
+        F.expr("(total + l - 1) DIV l").alias("n_sequences"),
+        F.col("total").alias("total_tokens"),
+        F.expr("(total + l - 1) DIV l * l - total").alias(
+            "tail_pad_tokens"
+        ),
+        F.col("crossing").alias("crossing_docs"),
+        F.expr("crossing * 1000000 DIV n_docs").alias("crossing_ppm"),
+    )

@@ -204,6 +204,7 @@ AUX = [
     "tx23_readability",
     "ann22_binary_quantization",
     "w15_median_abs_deviation",
+    "pp18_packing_efficiency",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

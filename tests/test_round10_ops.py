@@ -1458,3 +1458,34 @@ def test_w15_matches_python_mad(spark):
         med = lower_median(vals)
         mad = lower_median([abs(v - med) for v in vals])
         assert got[t] == (len(vals), med, mad), t
+
+
+def test_pp18_consistent_with_pp2b(spark):
+    """The crossing count must equal pp2b's ground truth at its budget:
+    docs that emit >1 span row ARE the boundary-crossing docs."""
+    from apache_iceberg_spark.operators.pipeline import (
+        PACK_BUDGET,
+        PP18_LENGTHS,
+        pp18_packing_efficiency,
+    )
+    from apache_iceberg_spark.registry import REGISTRY
+
+    assert PACK_BUDGET in PP18_LENGTHS  # the report covers pp2's budget
+    sf = "/root/testdata/sf0.001"
+    spans = REGISTRY["pp2b_packed_doc_spans"].spark(spark, sf).collect()
+    per_doc: dict[int, int] = {}
+    for r in spans:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    want_crossing = sum(1 for n in per_doc.values() if n > 1)
+    rows = {
+        r["seq_len"]: r for r in pp18_packing_efficiency(spark, sf).collect()
+    }
+    got = rows[PACK_BUDGET]
+    assert got["crossing_docs"] == want_crossing
+    # invariants across lengths
+    total = got["total_tokens"]
+    for L, r in rows.items():
+        assert r["total_tokens"] == total
+        assert r["n_sequences"] == -(-total // L)
+        assert r["tail_pad_tokens"] == r["n_sequences"] * L - total
+        assert 0 <= r["crossing_ppm"] <= 1_000_000
