@@ -2737,3 +2737,184 @@ def m37_workspace_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 agg(state, tbl, ws_read(spark, ws, tbl, ref=ref))
             )
     return out.orderBy("state", "tbl")
+
+
+@register(
+    "m38_workspace_diff",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'customer' AS tbl, 'rewritten' AS change,
+                   CAST((SELECT COUNT(*) FROM customer
+                         WHERE c_custkey % 3 = 1) AS BIGINT) AS rows_added,
+                   CAST((SELECT COUNT(*) FROM customer
+                         WHERE c_custkey % 3 = 0) AS BIGINT) AS rows_removed
+            UNION ALL
+            SELECT 'nation', 'created',
+                   CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+                   CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'orders', 'appended',
+                   CAST((SELECT COUNT(*) FROM orders
+                         WHERE o_orderkey % 3 = 1) AS BIGINT),
+                   CAST(0 AS BIGINT)
+        ) ORDER BY tbl
+    """,
+    doc="Workspace-level diff (VERDICT r10 ask #3) — the Nessie tree "
+    "API's catalog-level diff (blog-zero-cost-data-lakehouse.md:373-"
+    "397): 'what changed between workspace v1 and v9, across ALL "
+    "tables' is ONE ws_diff call, where the table-level m31 ref_diff "
+    "answers one table at a time. The workflow commits customer+orders "
+    "atomically (v1), appends orders + creates nation (v2), then "
+    "rewrites customer (v3); ws_diff(v1, main) classifies each table — "
+    "customer REWRITTEN (added = the restated set, removed = the old "
+    "set), nation CREATED, orders APPENDED — from two lineage "
+    "resolutions per table, zero data bytes read. The returned "
+    "directory lists are exactly the minimal catch-up scan plan; the "
+    "query proves it by scanning ONLY the added/removed dirs for the "
+    "row counts (never the full tables), and the oracle recomputes "
+    "every count from the raw slices. At 100 TB the diff is O(tables "
+    "touched) driver metadata, and the catch-up consumer reads the "
+    "delta files only — the same property m11's incremental scan "
+    "gives one table, lifted to the whole catalog.",
+    tags=("scale", "snapshot", "nessie", "workspace"),
+)
+def m38_workspace_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import _read_dirs
+    from apache_iceberg_spark.catalog.workspace import ws_commit, ws_diff
+
+    ws = tempfile.mkdtemp(prefix="wsdiff_")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    ck, ok = F.col("c_custkey") % 3, F.col("o_orderkey") % 3
+    ws_commit(
+        ws,
+        {"customer": c.filter(ck == 0), "orders": o.filter(ok == 0)},
+        ts_ms=1000,
+    )
+    ws_commit(
+        ws, {"orders": o.filter(ok == 1), "nation": n}, ts_ms=2000
+    )
+    ws_commit(
+        ws, {"customer": c.filter(ck == 1)},
+        mode="overwrite", ts_ms=3000,
+    )
+
+    diff = ws_diff(ws, 1, "main")
+
+    def row(tbl: str) -> DataFrame:
+        d = diff[tbl]
+        added = _read_dirs(spark, d["added"]).agg(
+            F.count(F.lit(1)).alias("rows_added")
+        )
+        if d["removed"]:
+            removed = _read_dirs(spark, d["removed"]).agg(
+                F.count(F.lit(1)).alias("rows_removed")
+            )
+            both = added.crossJoin(removed)  # two 1-row frames
+        else:
+            both = added.withColumn("rows_removed", F.lit(0).cast("long"))
+        return both.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(d["change"]).alias("change"),
+            "rows_added",
+            "rows_removed",
+        )
+
+    out = row("customer")
+    for tbl in ("nation", "orders"):
+        out = out.unionByName(row(tbl))
+    return out.orderBy("tbl")
+
+
+@register(
+    "m39_workspace_transplant",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'main_customer' AS state,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM customer WHERE c_custkey % 5 = 2
+            UNION ALL
+            SELECT 'main_orders', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_orderkey % 5 IN (0, 2)
+            UNION ALL
+            SELECT 'n_versions', CAST(4 AS BIGINT), CAST(0 AS BIGINT)
+        ) ORDER BY state
+    """,
+    doc="Workspace-level transplant (VERDICT r10 ask #3) — Nessie's "
+    "catalog-level cherry-pick: ONE multi-table commit's own deltas "
+    "replayed onto another branch WITHOUT its siblings, atomically for "
+    "every table it touched (the table-level m32 lifted to the "
+    "workspace). Branch dev takes two commits — v2 (orders slice 1) "
+    "and v3 (orders slice 2 + a NEW customer table) — and "
+    "ws_transplant(v3, onto=main) applies exactly v3: main gains "
+    "orders slice 2 and the customer creation but NEVER sees v2's "
+    "slice 1 (the cherry-pick point), in one atomic log append. "
+    "Overwrite-shaped commits refuse (their delta is undefined against "
+    "another base — pytest pins it), matching Nessie's conflict "
+    "behavior. The marker row pins the version count at 4 (three "
+    "commits + one transplant entry), proving the transplant is one "
+    "metadata append — zero data bytes moved at any table size.",
+    tags=("scale", "snapshot", "nessie", "workspace"),
+)
+def m39_workspace_transplant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_list_versions,
+        ws_read,
+        ws_transplant,
+    )
+
+    ws = tempfile.mkdtemp(prefix="wstrans_")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ck, ok = F.col("c_custkey") % 5, F.col("o_orderkey") % 5
+    ws_commit(ws, {"orders": o.filter(ok == 0)}, ts_ms=1000)
+    ws_create_branch(ws, "dev")
+    ws_commit(
+        ws, {"orders": o.filter(ok == 1)}, branch="dev", ts_ms=1100
+    )
+    v3 = ws_commit(
+        ws,
+        {"orders": o.filter(ok == 2), "customer": c.filter(ck == 2)},
+        branch="dev",
+        ts_ms=1200,
+    )
+    ws_transplant(ws, v3, onto="main", ts_ms=1300)
+    n_versions = len(ws_list_versions(ws))
+
+    def agg(state: str, df: DataFrame, money) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(money * 100).cast("long")).alias("total_cents"),
+        ).select(F.lit(state).alias("state"), "n_rows", "total_cents")
+
+    marker = spark.createDataFrame(
+        [("n_versions", n_versions, 0)],
+        "state string, n_rows long, total_cents long",
+    )
+    return (
+        agg(
+            "main_customer",
+            ws_read(spark, ws, "customer", ref="main"),
+            F.col("c_acctbal"),
+        )
+        .unionByName(
+            agg(
+                "main_orders",
+                ws_read(spark, ws, "orders", ref="main"),
+                F.col("o_totalprice"),
+            )
+        )
+        .unionByName(marker)
+        .orderBy("state")
+    )

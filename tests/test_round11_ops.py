@@ -1,0 +1,868 @@
+"""Round-11 unit tests: append-only JSONL segment commit log (VERDICT
+r10 ask #1), commit retry that reuses written data (ask #2), O(1)
+idempotency-key index (ask #4), plus the four ADVICE r10 fixes —
+branch-pointer CAS vs fast-forward merges (medium), one-sided-rewrite
+merges, root-terminated materialized entries, and stale-lock recovery."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def ref_table(spark):
+    from apache_iceberg_spark.catalog.snapshots import commit_snapshot
+
+    table = tempfile.mkdtemp(prefix="r11_refs_") + "/t"
+    commit_snapshot(spark.range(10).select(F.col("id")), table, ts_ms=1000)
+    return table
+
+
+def _seg(path: str) -> str:
+    return os.path.join(path, "_versions.jsonl")
+
+
+def _base(path: str) -> str:
+    return os.path.join(path, "_versions.json")
+
+
+def _ids(spark, table, ref):
+    from apache_iceberg_spark.catalog.snapshots import read_ref
+
+    return sorted(r["id"] for r in read_ref(spark, table, ref).collect())
+
+
+class _RacingDF:
+    """Wraps a DataFrame; the first access to .write runs a racing
+    operation first, simulating a concurrent writer/merger that wins."""
+
+    def __init__(self, df, race):
+        self._df = df
+        self._race = race
+        self._fired = False
+
+    @property
+    def write(self):
+        if not self._fired:
+            self._fired = True
+            self._race()
+        return self._df.write
+
+
+# ---------------------------------------------------------------------------
+# Ask #1: append-only segment log — O(1) bytes per commit
+
+
+def test_commit_appends_segment_not_base(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        list_snapshots,
+        read_snapshot_dirs,
+    )
+
+    base_bytes = (
+        open(_base(ref_table), "rb").read()
+        if os.path.exists(_base(ref_table))
+        else b""
+    )
+    for i in range(5):
+        commit_append(
+            spark.range(100 + i, 101 + i).select(F.col("id")), ref_table
+        )
+    # The base was NEVER rewritten; all five commits are segment lines.
+    after = (
+        open(_base(ref_table), "rb").read()
+        if os.path.exists(_base(ref_table))
+        else b""
+    )
+    assert after == base_bytes
+    lines = [
+        ln for ln in open(_seg(ref_table)).read().split("\n") if ln.strip()
+    ]
+    assert len(lines) >= 5
+    assert [e["version"] for e in list_snapshots(ref_table)] == list(
+        range(1, 7)
+    )
+    got = sorted(r["id"] for r in read_snapshot_dirs(spark, ref_table).collect())
+    assert got == list(range(10)) + list(range(100, 105))
+
+
+def test_per_commit_log_bytes_flat(spark, ref_table):
+    """The write cost of commit N must not grow with N — the property
+    the whole-file rewrite violated (O(commits) per commit, 7.47 GB
+    cumulative at 10k commits per SCALE_NOTES §ref-log)."""
+    from apache_iceberg_spark.catalog.snapshots import commit_append
+
+    deltas = []
+    prev = os.path.getsize(_seg(ref_table)) if os.path.exists(
+        _seg(ref_table)
+    ) else 0
+    for i in range(8):
+        commit_append(
+            spark.range(i, i + 1).select(F.col("id")), ref_table
+        )
+        size = os.path.getsize(_seg(ref_table))
+        deltas.append(size - prev)
+        prev = size
+    # every append costs about one entry — no growth with history length
+    assert max(deltas) <= min(deltas) + 16
+
+
+def test_torn_segment_tail_ignored_and_healed(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        list_snapshots,
+    )
+
+    commit_append(spark.range(100, 101).select(F.col("id")), ref_table)
+    with open(_seg(ref_table), "a") as f:
+        f.write('{"version": 99, "adds": ["/torn')  # died mid-append
+    # the torn line is an uncommitted entry: invisible to readers
+    assert [e["version"] for e in list_snapshots(ref_table)] == [1, 2]
+    # ... and the next commit truncates it rather than welding onto it
+    commit_append(spark.range(200, 201).select(F.col("id")), ref_table)
+    log = list_snapshots(ref_table)
+    assert [e["version"] for e in log] == [1, 2, 3]
+    assert "99" not in open(_seg(ref_table)).read().split("\n")[-2]
+
+
+def test_compact_log_folds_segment(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        compact_log,
+        list_snapshots,
+        read_snapshot_dirs,
+    )
+
+    for i in range(4):
+        commit_append(
+            spark.range(100 + i, 101 + i).select(F.col("id")), ref_table
+        )
+    before = list_snapshots(ref_table)
+    folded = compact_log(ref_table)
+    assert folded == 5  # v1 (base never existed: all five were segment)
+    assert os.path.getsize(_seg(ref_table)) == 0
+    assert list_snapshots(ref_table) == before
+    assert json.load(open(_base(ref_table))) == before
+    got = sorted(r["id"] for r in read_snapshot_dirs(spark, ref_table).collect())
+    assert got == list(range(10)) + list(range(100, 104))
+
+
+def test_compaction_crash_window_dedupes_by_version(spark, ref_table):
+    """A compaction that died between the base rename and the segment
+    truncate leaves folded entries in BOTH files; reads must dedupe
+    (base wins) instead of double-counting."""
+    import shutil
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        compact_log,
+        list_snapshots,
+    )
+
+    for i in range(3):
+        commit_append(
+            spark.range(100 + i, 101 + i).select(F.col("id")), ref_table
+        )
+    seg_copy = _seg(ref_table) + ".precrash"
+    shutil.copy(_seg(ref_table), seg_copy)
+    before = list_snapshots(ref_table)
+    compact_log(ref_table)
+    shutil.copy(seg_copy, _seg(ref_table))  # simulate the crash window
+    assert list_snapshots(ref_table) == before  # deduped, base-wins
+    # and the next compaction heals it entirely
+    compact_log(ref_table)
+    assert os.path.getsize(_seg(ref_table)) == 0
+    assert list_snapshots(ref_table) == before
+
+
+def test_expiry_truncates_segment(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        expire_snapshots_dirs,
+        list_snapshots,
+    )
+
+    for i in range(3):
+        commit_append(
+            spark.range(100 + i, 101 + i).select(F.col("id")),
+            ref_table,
+            ts_ms=2000 + i,
+        )
+    expired = expire_snapshots_dirs(
+        ref_table, older_than_ms=10_000, keep_last=2
+    )
+    assert expired == [1, 2]
+    assert os.path.getsize(_seg(ref_table)) == 0  # expiry compacts
+    assert [e["version"] for e in list_snapshots(ref_table)] == [3, 4]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10: stale-lock recovery
+
+
+def test_stale_lock_is_broken(ref_table):
+    from apache_iceberg_spark.catalog.snapshots import _log_lock
+
+    lock_path = _base(ref_table) + ".lock"
+    with open(lock_path, "w") as f:
+        f.write(json.dumps({"pid": 0, "ts": 0}))
+    old = os.path.getmtime(lock_path) - 120
+    os.utime(lock_path, (old, old))
+    with _log_lock(ref_table, timeout_s=2.0, stale_s=60.0):
+        pass  # acquired by breaking the 120s-old corpse
+    assert not os.path.exists(lock_path)
+
+
+def test_live_lock_is_respected(ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        CommitConflict,
+        _log_lock,
+    )
+
+    with _log_lock(ref_table):
+        with pytest.raises(CommitConflict, match="held past"):
+            with _log_lock(ref_table, timeout_s=0.2, stale_s=60.0):
+                pass  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# Ask #2: commit retry reuses the already-written data
+
+
+def test_commit_append_ref_retry_lands_after_lost_race(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        list_snapshots,
+    )
+
+    racer_df = spark.range(100, 103).select(F.col("id"))
+    loser_df = spark.range(200, 203).select(F.col("id"))
+
+    def race():
+        commit_append_ref(racer_df, ref_table, branch="main")
+
+    v = commit_append_ref(
+        _RacingDF(loser_df, race), ref_table, branch="main", max_retries=3
+    )
+    assert v == 3  # racer took v2; the retry re-planned and landed v3
+    assert [e["version"] for e in list_snapshots(ref_table)] == [1, 2, 3]
+    assert _ids(spark, ref_table, "main") == (
+        list(range(10)) + list(range(100, 103)) + list(range(200, 203))
+    )
+
+
+def test_ws_commit_concurrent_writers_all_land_no_orphans(spark):
+    """VERDICT r10 ask #2's done-criterion: N concurrent workspace
+    writers with internal retry ALL land, and the run leaves zero
+    orphan debris (the loser's data dirs are REUSED, not abandoned)."""
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_list_versions,
+        ws_read,
+        ws_remove_orphans,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_race_")
+    ws_commit(ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000)
+    errors: list[Exception] = []
+    n_writers = 4
+
+    def writer(i: int) -> None:
+        try:
+            ws_commit(
+                ws,
+                {"t": spark.range(100 * i, 100 * i + 3).select(F.col("id"))},
+                max_retries=20,
+                ts_ms=2000 + i,
+            )
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,))
+        for i in range(1, n_writers + 1)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(ws_list_versions(ws)) == 1 + n_writers  # all landed
+    got = sorted(r["id"] for r in ws_read(spark, ws, "t").collect())
+    want = sorted(
+        list(range(5))
+        + [100 * i + j for i in range(1, n_writers + 1) for j in range(3)]
+    )
+    assert got == want
+    assert ws_remove_orphans(ws) == []  # retries reused their data dirs
+
+
+def test_ws_commit_retry_defers_to_idempotent_racer(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_list_versions,
+        ws_read,
+        ws_remove_orphans,
+    )
+    import apache_iceberg_spark.catalog.workspace as W
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_idem_")
+    ws_commit(ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000)
+
+    df = spark.range(100, 103).select(F.col("id"))
+    racer_done = {"v": None}
+
+    class _Racing:
+        _fired = False
+
+        @property
+        def write(self):
+            if not _Racing._fired:
+                _Racing._fired = True
+                racer_done["v"] = ws_commit(
+                    ws, {"t": df}, idempotency_key="batch-7", ts_ms=2000
+                )
+            return df.write
+
+    v = ws_commit(
+        ws,
+        {"t": _Racing()},
+        idempotency_key="batch-7",
+        max_retries=3,
+        ts_ms=2001,
+    )
+    assert v == racer_done["v"] == 2  # the retry found the racer's key
+    assert len(ws_list_versions(ws)) == 2  # no double-append
+    got = sorted(r["id"] for r in ws_read(spark, ws, "t").collect())
+    assert got == list(range(5)) + [100, 101, 102]
+    # the loser's unused dir is reclaimable debris, by design
+    assert len(ws_remove_orphans(ws)) <= 1
+    assert W  # silence unused-import lint in minimal configs
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 (medium): a fast-forward merge is a pointer move with no
+# log append — the head CAS alone cannot see it
+
+
+def test_ws_commit_detects_ff_merge_pointer_move(spark):
+    from apache_iceberg_spark.catalog.snapshots import CommitConflict
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_merge_branch,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_ff_")
+    ws_commit(ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000)
+    ws_create_branch(ws, "dev")
+    ws_commit(
+        ws, {"u": spark.range(3).select(F.col("id"))},
+        branch="dev", ts_ms=1100,
+    )
+
+    def race():  # main 1 -> 2: pure pointer move, NO log append
+        ws_merge_branch(ws, "dev", into="main")
+
+    loser = spark.range(100, 103).select(F.col("id"))
+    with pytest.raises(CommitConflict, match="branch 'main'.*moved"):
+        ws_commit(ws, {"t": _RacingDF(loser, race)}, ts_ms=1200)
+
+
+def test_ws_commit_retry_preserves_ff_merge(spark):
+    """With retry, the loser re-plans on the MERGED head: the merge's
+    table survives and the commit lands on top — the lost-update the
+    old head-only CAS would have silently caused."""
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_merge_branch,
+        ws_read,
+        ws_resolve_ref,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_ff2_")
+    ws_commit(ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000)
+    ws_create_branch(ws, "dev")
+    ws_commit(
+        ws, {"u": spark.range(3).select(F.col("id"))},
+        branch="dev", ts_ms=1100,
+    )
+
+    def race():
+        ws_merge_branch(ws, "dev", into="main")
+
+    loser = spark.range(100, 103).select(F.col("id"))
+    v = ws_commit(
+        ws, {"t": _RacingDF(loser, race)}, ts_ms=1200, max_retries=3
+    )
+    assert v == 3
+    assert ws_resolve_ref(ws, "main") == 3
+    # the FF-merged table is NOT reverted ...
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "u", ref="main").collect()
+    ) == [0, 1, 2]
+    # ... and the commit's own rows landed
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "t", ref="main").collect()
+    ) == list(range(5)) + [100, 101, 102]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10: one-sided rewrites merge by replay, not conflict
+
+
+def test_ws_merge_one_sided_rewrite_replays_src(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_merge_branch,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_osr_")
+    ws_commit(ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000)
+    ws_create_branch(ws, "dev")
+    # dev REWRITES t; main meanwhile touches only u (diverged branches)
+    ws_commit(
+        ws, {"t": spark.range(50, 53).select(F.col("id"))},
+        mode="overwrite", branch="dev", ts_ms=1100,
+    )
+    ws_commit(
+        ws, {"u": spark.range(7).select(F.col("id"))},
+        branch="main", ts_ms=1200,
+    )
+    ws_merge_branch(ws, "dev", into="main")
+    # src's one-sided rewrite replays as a restatement on main
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "t", ref="main").collect()
+    ) == [50, 51, 52]
+    # target's own table is untouched by the merge
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "u", ref="main").collect()
+    ) == list(range(7))
+
+
+def test_ws_merge_target_only_rewrite_stands(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_merge_branch,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_ost_")
+    ws_commit(ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000)
+    ws_create_branch(ws, "dev")
+    ws_commit(
+        ws, {"u": spark.range(3).select(F.col("id"))},
+        branch="dev", ts_ms=1100,
+    )
+    # main rewrites t; dev never touched it
+    ws_commit(
+        ws, {"t": spark.range(70, 72).select(F.col("id"))},
+        mode="overwrite", branch="main", ts_ms=1200,
+    )
+    ws_merge_branch(ws, "dev", into="main")
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "t", ref="main").collect()
+    ) == [70, 71]
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "u", ref="main").collect()
+    ) == [0, 1, 2]
+
+
+def test_ws_merge_both_sides_rewrite_still_conflicts(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_merge_branch,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_conf_")
+    ws_commit(ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000)
+    ws_create_branch(ws, "dev")
+    ws_commit(
+        ws, {"t": spark.range(50, 53).select(F.col("id"))},
+        mode="overwrite", branch="dev", ts_ms=1100,
+    )
+    ws_commit(
+        ws, {"t": spark.range(70, 72).select(F.col("id"))},
+        mode="overwrite", branch="main", ts_ms=1200,
+    )
+    with pytest.raises(ValueError, match="rewrote files"):
+        ws_merge_branch(ws, "dev", into="main")
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10: expiry-materialized entries are EXPLICIT chain roots
+
+
+def test_materialized_entry_does_not_phantom_resolve_foreign_lineage(spark):
+    """The ADVICE scenario: a dead branch's tip survives expiry via
+    keep_last while its parent is pruned. Without the root terminator,
+    the materialized tip's implicit-parent fallback bisects into
+    MAIN's entries, so a table that never existed on the dead branch
+    phantom-resolves at its version."""
+    from apache_iceberg_spark.catalog.workspace import (
+        _resolve_table,
+        ws_commit,
+        ws_create_branch,
+        ws_delete_branch,
+        ws_expire_versions,
+        ws_list_versions,
+        ws_read,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_root_")
+    ws_commit(ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000)
+    ws_create_branch(ws, "b2")
+    ws_commit(
+        ws, {"bx": spark.range(10, 12).select(F.col("id"))},
+        branch="b2", ts_ms=1100,
+    )  # v2 on b2
+    ws_commit(
+        ws, {"m_only": spark.range(90, 93).select(F.col("id"))},
+        branch="main", ts_ms=1200,
+    )  # v3 on main
+    ws_commit(
+        ws, {"bx": spark.range(12, 14).select(F.col("id"))},
+        branch="b2", ts_ms=1300,
+    )  # v4 on b2 (the log tail)
+    ws_delete_branch(ws, "b2")
+    expired = ws_expire_versions(ws, older_than_ms=10_000, keep_last=1)
+    assert expired == [2]  # v4's parent: unreachable, not keep_last
+    log = ws_list_versions(ws)
+    tip = [e for e in log if e["version"] == 4][0]
+    assert tip.get("root") is True and "parent" not in tip
+    # m_only was NEVER on b2's lineage: it must not resolve at v4
+    assert _resolve_table(log, "m_only", 4) is None
+    # while v4's own tables stay fully readable from the inlined sets
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "bx", version=4).collect()
+    ) == [10, 11, 12, 13]
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "t", version=4).collect()
+    ) == list(range(5))
+
+
+def test_table_level_root_terminates_ancestry():
+    from apache_iceberg_spark.catalog.snapshots import (
+        _ancestry,
+        _parent_of,
+    )
+
+    by_v = {
+        1: {"version": 1, "path": "/p1"},
+        3: {"version": 3, "paths": ["/p1", "/b"], "root": True},
+        4: {"version": 4, "adds": ["/c"], "parent": 3},
+    }
+    assert _parent_of(by_v, 3) is None
+    assert _ancestry(by_v, 4) == [4, 3]  # stops at the root, not v1
+
+
+# ---------------------------------------------------------------------------
+# Ask #4: O(1) idempotency-key index
+
+
+def test_keys_index_written_and_floor_zero_without_legacy(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        list_refs,
+    )
+
+    create_branch(ref_table, "etl")
+    v = commit_append_ref(
+        spark.range(100, 103).select(F.col("id")),
+        ref_table,
+        branch="etl",
+        idempotency_key="batch-1",
+    )
+    refs = list_refs(ref_table)
+    assert refs["keys_floor"] == 0  # no pre-index keyed history
+    assert refs["keys"]["etl\x00batch-1"] == v
+    # the retry contract through the index
+    again = commit_append_ref(
+        spark.range(100, 103).select(F.col("id")),
+        ref_table,
+        branch="etl",
+        idempotency_key="batch-1",
+    )
+    assert again == v
+
+
+def test_idempotency_miss_is_o1_when_fully_indexed(spark):
+    """With floor 0 a MISS must not walk the chain at all — the walk
+    was O(branch length) per commit, O(n²) over a stream's lifetime."""
+    import apache_iceberg_spark.catalog.snapshots as S
+    import apache_iceberg_spark.catalog.workspace as W
+
+    refs = {"branches": {"b": 500}, "tags": {}, "keys": {}, "keys_floor": 0}
+    by_v = {v: {"version": v, "parent": v - 1} for v in range(1, 501)}
+
+    def boom(*a, **k):  # noqa: ANN002
+        raise AssertionError("chain walk on a fully-indexed miss")
+
+    orig_anc, orig_chain = S._ancestry, W._chain
+    S._ancestry, W._chain = boom, boom
+    try:
+        assert S._find_idempotent(refs, by_v, "b", 500, "nope") is None
+        assert W._ws_find_idempotent(refs, by_v, "b", 500, "nope") is None
+    finally:
+        S._ancestry, W._chain = orig_anc, orig_chain
+
+
+def test_legacy_keyed_history_sets_floor_and_still_found(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        list_refs,
+    )
+
+    create_branch(ref_table, "etl")
+    v_legacy = commit_append_ref(
+        spark.range(100, 102).select(F.col("id")),
+        ref_table,
+        branch="etl",
+        idempotency_key="old-batch",
+    )
+    # simulate a pre-index deployment: strip the key index from refs
+    refs_path = os.path.join(ref_table, "_refs.json")
+    refs = json.load(open(refs_path))
+    refs.pop("keys", None)
+    refs.pop("keys_floor", None)
+    json.dump(refs, open(refs_path, "w"))
+
+    v_new = commit_append_ref(
+        spark.range(200, 202).select(F.col("id")),
+        ref_table,
+        branch="etl",
+        idempotency_key="new-batch",
+    )
+    refs = list_refs(ref_table)
+    assert refs["keys_floor"] == v_legacy  # legacy keys exist below here
+    # the legacy key is STILL honored via the bounded chain walk
+    again = commit_append_ref(
+        spark.range(100, 102).select(F.col("id")),
+        ref_table,
+        branch="etl",
+        idempotency_key="old-batch",
+    )
+    assert again == v_legacy
+    # and the indexed one via the map
+    assert refs["keys"]["etl\x00new-batch"] == v_new
+
+
+def test_ws_keys_pruned_on_expiry(spark):
+    """Indexed keys whose commit was expired are dropped — their retry
+    window has passed; keys of live commits survive."""
+    from apache_iceberg_spark.catalog.workspace import (
+        _read_refs,
+        ws_commit,
+        ws_create_branch,
+        ws_delete_branch,
+        ws_expire_versions,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_keys_")
+    ws_commit(
+        ws, {"t": spark.range(3).select(F.col("id"))},
+        idempotency_key="b1", ts_ms=1000,
+    )
+    ws_create_branch(ws, "side")
+    ws_commit(
+        ws, {"t": spark.range(3, 6).select(F.col("id"))},
+        branch="side", idempotency_key="s1", ts_ms=2000,
+    )
+    ws_commit(
+        ws, {"t": spark.range(6, 9).select(F.col("id"))},
+        branch="side", idempotency_key="s2", ts_ms=3000,
+    )
+    ws_delete_branch(ws, "side")
+    ws_commit(
+        ws, {"t": spark.range(9, 12).select(F.col("id"))},
+        idempotency_key="b2", ts_ms=4000,
+    )
+    expired = ws_expire_versions(ws, older_than_ms=10_000, keep_last=1)
+    assert expired == [2, 3]  # the dead branch's unreachable commits
+    refs = _read_refs(ws)
+    assert set(refs["keys"]) == {"main\x00b1", "main\x00b2"}
+
+
+# ---------------------------------------------------------------------------
+# Ask #3: workspace-level diff + transplant (m38/m39's contract edges)
+
+
+def test_ws_diff_classifies_all_change_kinds(spark):
+    from apache_iceberg_spark.catalog.workspace import ws_commit, ws_diff
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_diff_")
+    ws_commit(
+        ws,
+        {
+            "a": spark.range(3).select(F.col("id")),
+            "b": spark.range(3).select(F.col("id")),
+            "same": spark.range(2).select(F.col("id")),
+        },
+        ts_ms=1000,
+    )
+    ws_commit(ws, {"a": spark.range(3, 6).select(F.col("id"))}, ts_ms=2000)
+    ws_commit(
+        ws, {"b": spark.range(9, 11).select(F.col("id"))},
+        mode="overwrite", ts_ms=3000,
+    )
+    ws_commit(ws, {"c": spark.range(4).select(F.col("id"))}, ts_ms=4000)
+
+    d = ws_diff(ws, 1, "main")
+    assert set(d) == {"a", "b", "c"}  # 'same' untouched -> omitted
+    assert d["a"]["change"] == "appended" and not d["a"]["removed"]
+    assert d["b"]["change"] == "rewritten"
+    assert len(d["b"]["added"]) == 1 and len(d["b"]["removed"]) == 1
+    assert d["c"]["change"] == "created" and not d["c"]["removed"]
+    # identical states diff to nothing
+    assert ws_diff(ws, "main", "main") == {}
+
+
+def test_ws_transplant_refuses_rewrite_and_creation_conflict(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_transplant,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_tr_")
+    ws_commit(ws, {"t": spark.range(3).select(F.col("id"))}, ts_ms=1000)
+    ws_create_branch(ws, "dev")
+    v_rw = ws_commit(
+        ws, {"t": spark.range(50, 52).select(F.col("id"))},
+        mode="overwrite", branch="dev", ts_ms=1100,
+    )
+    with pytest.raises(ValueError, match="rewrote table 't'"):
+        ws_transplant(ws, v_rw, onto="main")
+    # creation conflict: dev creates 'u'; main independently creates 'u'
+    v_cr = ws_commit(
+        ws, {"u": spark.range(2).select(F.col("id"))},
+        branch="dev", ts_ms=1200,
+    )
+    ws_commit(
+        ws, {"u": spark.range(7, 9).select(F.col("id"))},
+        branch="main", ts_ms=1300,
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        ws_transplant(ws, v_cr, onto="main")
+
+
+def test_ws_transplant_noop_when_delta_present(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_list_versions,
+        ws_merge_branch,
+        ws_resolve_ref,
+        ws_transplant,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_tr2_")
+    ws_commit(ws, {"t": spark.range(3).select(F.col("id"))}, ts_ms=1000)
+    ws_create_branch(ws, "dev")
+    v2 = ws_commit(
+        ws, {"t": spark.range(10, 12).select(F.col("id"))},
+        branch="dev", ts_ms=1100,
+    )
+    ws_merge_branch(ws, "dev", into="main")  # FF: main now has v2's adds
+    n = len(ws_list_versions(ws))
+    got = ws_transplant(ws, v2, onto="main")
+    assert got == ws_resolve_ref(ws, "main")
+    assert len(ws_list_versions(ws)) == n  # no redundant commit
+
+
+# ---------------------------------------------------------------------------
+# Streaming retention: truncate_history expiry (the endurance-probe mode)
+
+
+def test_truncating_expiry_cuts_linear_main_history(spark, ref_table):
+    """Default expiry protects a branch head's FULL ancestry, so a
+    linear ref-tracked history never truncates; truncate_history=True
+    protects only heads/pins and actually cuts to keep_last + the ts
+    window — the streaming retention mode."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        expire_snapshots_dirs,
+        list_snapshots,
+        read_ref,
+    )
+
+    create_branch(ref_table, "etl")  # pins main too
+    for i in range(6):
+        commit_append_ref(
+            spark.range(100 + i, 101 + i).select(F.col("id")),
+            ref_table,
+            branch="main",
+            ts_ms=2000 + i,
+        )
+    # default mode: main's head reaches everything -> nothing expires
+    assert expire_snapshots_dirs(
+        ref_table, older_than_ms=10_000, keep_last=2
+    ) == []
+    expired = expire_snapshots_dirs(
+        ref_table, older_than_ms=10_000, keep_last=2,
+        truncate_history=True,
+    )
+    # v7 = main head (protected), v6 = keep_last; v1 = etl's pin
+    assert expired == [2, 3, 4, 5]
+    kept = [e["version"] for e in list_snapshots(ref_table)]
+    assert kept == [1, 6, 7]
+    # the boundary entry was materialized: main still reads in full
+    assert _ids(spark, ref_table, "main") == (
+        list(range(10)) + list(range(100, 106))
+    )
+    assert _ids(spark, ref_table, "etl") == list(range(10))
+
+
+def test_ws_truncating_expiry_with_rewrite_bounds_everything(spark):
+    """The endurance-probe maintenance triple: rewrite (set
+    restatement) + truncating expiry + orphan GC keeps versions, log
+    and data dirs bounded while retaining every row."""
+    import os as _os
+
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_expire_versions,
+        ws_list_versions,
+        ws_read,
+        ws_remove_orphans,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_trunc_")
+    for i in range(8):
+        ws_commit(
+            ws,
+            {"raw": spark.range(i * 5, (i + 1) * 5).select(F.col("id"))},
+            ts_ms=1000 + i,
+            idempotency_key=f"b{i}",
+        )
+    # rewrite_data_files: one set restatement of the table's content
+    ws_commit(
+        ws, {"raw": ws_read(spark, ws, "raw")},
+        mode="overwrite", ts_ms=2000,
+    )
+    expired = ws_expire_versions(
+        ws, older_than_ms=10_000, keep_last=1, truncate_history=True
+    )
+    assert expired == list(range(1, 9))
+    ws_remove_orphans(ws)
+    assert len(ws_list_versions(ws)) == 1
+    got = sorted(r["id"] for r in ws_read(spark, ws, "raw").collect())
+    assert got == list(range(40))  # every batch's rows retained
+    # the 8 per-batch dirs are gone; one compacted dir remains
+    raw_dir = _os.path.join(ws, "raw")
+    assert len(_os.listdir(raw_dir)) == 1
