@@ -67,26 +67,35 @@ def _green_rounds() -> dict[str, int]:
     return latest
 
 
-# Queries whose IMPLEMENTATION changed this round (round 10): their old
+# Queries whose IMPLEMENTATION changed this round (round 11): their old
 # green rows prove the old code, so they re-enter the checked set right
 # behind never-checked queries. Refreshed every round — VERDICT r6 ask #2:
-# don't let prior-round rechecks squat in the sample. Round 10 rewrote
-# catalog/snapshots.py (delta-form log entries, CAS commit point,
-# ref-aware expiry, content-aware merge, unique data-dir names), so every
-# consumer of the snapshot store re-enters the sample.
+# don't let prior-round rechecks squat in the sample. Round 11 rewrote
+# the COMMIT PATH of both snapshot stores (append-only JSONL segment
+# log, O(1) tail-read CAS, branch-pointer verify, keys index, root-
+# terminated materialization, one-sided merge replay), so every consumer
+# of catalog/snapshots.py and catalog/workspace.py re-enters the sample,
+# plus the three operators that gained the bound_int_support gate.
 RECHECK = frozenset({
-    "m5_time_travel_versions",      # snapshots.py delta entries + CAS
-    "m11_incremental_append_scan",  # _resolve_paths-planned delta scan
-    "m20_snapshot_rollback",        # rollback materializes paths + CAS
-    "m21_orphan_cleanup",           # resolves delta entries + ref protect
-    "m22_snapshot_expiry",          # ref-aware + materializing expiry
-    "m29_branch_tag_scan",          # ref layer on delta entries
-    "m30_branch_wap",               # merge no-op/content rules changed
-    "m31_ref_diff",                 # diff over _resolve_paths
-    "m32_transplant_scan",          # transplant emits delta entries
-    "st19_stream_branch_ingest",    # branch commits via new commit path
-    "a27_range_partition_bounds",   # _a27_bound_support gate added
-    "pp17_importance_resampling",   # n_tgt==0 guard (ADVICE r9)
+    "m5_time_travel_versions",      # segment-log read path
+    "m11_incremental_append_scan",  # _resolve_paths over base+segment
+    "m20_snapshot_rollback",        # rollback commit via _append_entry
+    "m21_orphan_cleanup",           # orphan set over segment entries
+    "m22_snapshot_expiry",          # expiry compacts + root-materializes
+    "m29_branch_tag_scan",          # ref commits via new CAS
+    "m30_branch_wap",               # merge appends one segment line
+    "m31_ref_diff",                 # diff over base+segment log
+    "m32_transplant_scan",          # transplant emits segment entries
+    "m33_ref_aware_expiry",         # heads_only param threaded through
+    "m34_multi_table_commit",       # ws_commit retry-loop restructure
+    "m35_divergent_merge",          # one-sided replay rules changed
+    "m36_workspace_branch_wap",     # ws merge/commit pointer CAS
+    "m37_workspace_expiry",         # ws expiry root-materializes + keys
+    "st19_stream_branch_ingest",    # keyed commits via keys index
+    "st20_stream_atomic_publish",   # ws_commit idempotency index
+    "w12_weighted_median",          # bound_int_support gate added
+    "w15_median_abs_deviation",     # bound_int_support gate added
+    "ts22_theil_sen_trend",         # bound_int_support gate added
 })
 
 

@@ -917,6 +917,49 @@ def _a25_quantize_if_needed(v: DataFrame) -> tuple[DataFrame, int]:
     return vq, step
 
 
+def bound_int_support(
+    per_v: DataFrame,
+    value_col: str = "v",
+    cnt_col: str = "cnt",
+    group_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, int]:
+    """The a25/a27 quantization gate as a SHARED guard for every
+    distinct-value cumsum recipe (VERDICT r10 ask #5): any operator
+    funneling a per-value frame through an ``orderBy(value)`` window —
+    w12's weighted median, w15's MAD, ts22's slope median — caps the
+    single-task (or single-task-per-group) window at A25_GRID cells.
+    One cheap pre-pass (approx_count_distinct + min/max in one map-side
+    job) measures the INTEGER support; at or under A25_MAX_SUPPORT the
+    frame passes through untouched (step 1 — every registered oracle
+    rides this exact branch), above it values snap to the left edge of
+    a fixed A25_GRID-cell grid and the counts re-aggregate. Error
+    bound, same edge-evaluation argument as a25: a median/percentile
+    moves by at most one grid cell's width, step = ceil(span/GRID)."""
+    stats = per_v.agg(
+        F.approx_count_distinct(value_col).alias("ndv"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    ).collect()[0]
+    if stats["ndv"] is None or stats["ndv"] <= A25_MAX_SUPPORT:
+        return per_v, 1
+    span = int(stats["hi"]) - int(stats["lo"]) + 1
+    step = -(-span // A25_GRID)  # ceil
+    lo = int(stats["lo"])
+    vq = per_v.select(
+        *group_cols,
+        F.expr(
+            f"{lo} + (({value_col} - {lo}) DIV {step}) * {step}"
+        ).alias(value_col),
+        cnt_col,
+    )
+    return (
+        vq.groupBy(*group_cols, value_col).agg(
+            F.sum(cnt_col).alias(cnt_col)
+        ),
+        step,
+    )
+
+
 @register(
     "a25_ks_drift",
     oracle=f"""
@@ -1099,6 +1142,14 @@ def w12_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "price_c")
         .agg(F.sum("wt_c").alias("wt"))
+    )
+    # Distinct-price support gate (VERDICT r10 ask #5): the per-group
+    # cumsum window below buffers one group's full distinct-value frame
+    # in one task; above 2M distinct prices the gate snaps to the
+    # A25_GRID grid (exact branch untouched for this fixture's bounded
+    # centi-cent domain).
+    w, _step = bound_int_support(
+        w, value_col="price_c", cnt_col="wt", group_cols=("l_returnflag",)
     )
     # Group totals as a 3-row broadcast join, NOT a second unbounded
     # window: the partition-only window re-buffers the full distinct-

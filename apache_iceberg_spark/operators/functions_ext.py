@@ -1581,9 +1581,17 @@ def w15_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()  # plan-cache: the raw frame feeds both median stages
 
     def exact_median(vals: DataFrame, out_name: str) -> DataFrame:
+        from apache_iceberg_spark.operators.analytics import (
+            bound_int_support,
+        )
+
         pv = vals.groupBy("event_type", "v").agg(
             F.count(F.lit(1)).alias("cnt")
         )
+        # Support gate (VERDICT r10 ask #5): each group's distinct
+        # values funnel one window task; >2M distinct snaps to the
+        # A25_GRID grid (this fixture's centi-value domain stays exact).
+        pv, _step = bound_int_support(pv, group_cols=("event_type",))
         wcum = (
             Window.partitionBy("event_type")
             .orderBy("v")

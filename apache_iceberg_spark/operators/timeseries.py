@@ -2229,6 +2229,13 @@ def ts22_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v")
     )
     per_v = slopes.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    # Distinct-slope support gate (VERDICT r10 ask #5): the cumsum
+    # window below is a deliberate SinglePartition over distinct slope
+    # values; >2M distinct snaps to the A25_GRID grid before it (the
+    # calendar-bounded hourly spine keeps this fixture exact).
+    from apache_iceberg_spark.operators.analytics import bound_int_support
+
+    per_v, _gate_step = bound_int_support(per_v)
     cum = per_v.select(
         "v",
         "cnt",

@@ -286,9 +286,49 @@ def fixture_fingerprints(sf_dir: str) -> dict[str, dict]:
     return out
 
 
+def host_conditions() -> dict:
+    """Host-state fields emitted with every run (VERDICT r10 ask #6):
+    the committed BENCH_r10.json looked like an 11% regression but was
+    host contention — a run must carry enough context to tell a noisy
+    host from a code regression without a judge rerun. ``load1`` is the
+    1-minute load average BEFORE Spark starts (anything near/over the
+    CPU count means a polluted run); ``fixture_page_cached`` estimates
+    whether the sf parquet bytes are OS-page-cache-resident by timing a
+    full re-read of the largest fixture file (cold NVMe reads are an
+    order of magnitude slower than cache hits)."""
+    import glob
+    import time as _t
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out: dict = {"cpus_visible": os.cpu_count()}
+    try:
+        out["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        out["load1"] = None
+    files = sorted(
+        glob.glob(os.path.join(sf_dir, "*.parquet")),
+        key=os.path.getsize,
+    )
+    if files:
+        big = files[-1]
+        size = os.path.getsize(big)
+        t0 = _t.time()
+        with open(big, "rb") as f:
+            while f.read(1 << 22):
+                pass
+        dt = max(_t.time() - t0, 1e-9)
+        gbps = size / dt / (1 << 30)
+        out["fixture_read_gbps"] = round(gbps, 2)
+        # page-cache reads run at memory bandwidth (>2 GB/s); cold
+        # device reads land well under it on this class of host
+        out["fixture_page_cached"] = gbps > 2.0
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    host_before = host_conditions()
 
     from apache_iceberg_spark.registry import all_queries
     from apache_iceberg_spark.session import get_spark
@@ -406,9 +446,23 @@ def main() -> None:
     canary_total = round(sum(canary.values()), 3)
 
     # Stdout emission order = tail priority, lowest first: if the driver's
-    # ~2 KB capture truncates from the front, the canary detail (also on
-    # stderr + README) is sacrificed before the fixture digest, which goes
-    # before the streaming line, which goes before the contract line.
+    # ~2 KB capture truncates from the front, the host-condition line goes
+    # first (also on stderr + README), then the canary detail, then the
+    # fixture digest, the streaming line, and the contract line last.
+    host_after = host_conditions()
+    host_line = {
+        "host": {
+            "load1_start": host_before.get("load1"),
+            "load1_end": host_after.get("load1"),
+            "cpus_visible": host_before.get("cpus_visible"),
+            "fixture_read_gbps_start": host_before.get("fixture_read_gbps"),
+            "fixture_page_cached_start": host_before.get(
+                "fixture_page_cached"
+            ),
+        }
+    }
+    print(json.dumps(host_line, separators=(",", ":")), flush=True)
+    print(f"# host {json.dumps(host_line['host'])}", file=sys.stderr)
     print(
         json.dumps(
             {"canary": canary, "canary_cached_bytes": canary_cached},

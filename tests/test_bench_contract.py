@@ -106,3 +106,18 @@ def test_headline_and_streaming_are_registered():
         if n not in q
     ]
     assert not missing, f"bench names not in registry: {missing}"
+
+
+def test_host_conditions_fields_pinned():
+    """VERDICT r10 ask #6: every bench run must self-label its host
+    state so a polluted run (like the committed BENCH_r10.json) is
+    distinguishable from a code regression without a judge rerun."""
+    import bench
+
+    h = bench.host_conditions()
+    assert set(h) >= {"cpus_visible", "load1"}
+    assert isinstance(h["cpus_visible"], int) and h["cpus_visible"] > 0
+    assert h["load1"] is None or h["load1"] >= 0.0
+    # the sf0.1 fixture exists on this host, so the cache probe runs
+    assert "fixture_read_gbps" in h and h["fixture_read_gbps"] > 0
+    assert isinstance(h["fixture_page_cached"], bool)

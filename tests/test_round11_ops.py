@@ -866,3 +866,67 @@ def test_ws_truncating_expiry_with_rewrite_bounds_everything(spark):
     # the 8 per-batch dirs are gone; one compacted dir remains
     raw_dir = _os.path.join(ws, "raw")
     assert len(_os.listdir(raw_dir)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Ask #5: the shared distinct-value support gate (w12/w15/ts22 recipe)
+
+
+def test_bound_int_support_quantizes_wide_support(spark):
+    """A >2M-distinct integer support takes the quantized branch: the
+    frame entering the cumsum window is bounded at A25_GRID cells per
+    group, no mass is lost, and the median error is at most one grid
+    step (the stated edge-evaluation bound)."""
+    from pyspark.sql import functions as F2
+
+    from apache_iceberg_spark.operators.analytics import (
+        A25_GRID,
+        A25_MAX_SUPPORT,
+        bound_int_support,
+    )
+
+    n = A25_MAX_SUPPORT + 500_000
+    per_v = spark.range(n).select(
+        F2.col("id").alias("v"), F2.lit(1).cast("long").alias("cnt")
+    )
+    out, step = bound_int_support(per_v)
+    assert step > 1
+    agg = out.agg(
+        F2.count(F2.lit(1)).alias("ndv"), F2.sum("cnt").alias("mass")
+    ).collect()[0]
+    assert agg["ndv"] <= A25_GRID
+    assert agg["mass"] == n
+    # error bound: the quantized median cell contains the true median
+    half = (n + 1) // 2
+    from pyspark.sql.window import Window
+
+    med_cell = (
+        out.withColumn(
+            "cum",
+            F2.sum("cnt").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .filter(F2.col("cum") >= half)
+        .agg(F2.min("v"))
+        .collect()[0][0]
+    )
+    true_median = (n - 1) // 2
+    assert med_cell <= true_median < med_cell + step
+
+
+def test_bound_int_support_grouped_exact_branch(spark):
+    from pyspark.sql import functions as F2
+
+    from apache_iceberg_spark.operators.analytics import bound_int_support
+
+    pv = spark.range(100).select(
+        (F2.col("id") % 3).cast("string").alias("g"),
+        F2.col("id").alias("v"),
+        F2.lit(2).cast("long").alias("cnt"),
+    )
+    out, step = bound_int_support(pv, group_cols=("g",))
+    assert step == 1
+    assert out.count() == 100  # untouched
