@@ -1880,3 +1880,157 @@ def a33_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_A33_F).alias("f_stat"),
         F.expr(_A33_ETA).alias("eta_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a34: Kruskal-Wallis H (rank-based one-way ANOVA)
+# ---------------------------------------------------------------------------
+
+# Exact rank machinery in DOUBLE-RANK integer units: the average rank of
+# a tied value v is cum_before(v) + (cnt+1)/2, a half-integer — so both
+# engines carry dr(v) = 2*cum_before + cnt + 1 (always an integer) and a
+# group's doubled rank-sum 2R_g = sum(cnt_gv * dr(v)) stays exact BIGINT
+# arithmetic until the one shared float formula at the end.
+_A34_TERM = (
+    "CAST({q} AS {big}) * {q} * {n} + 2 * {q} * {r} + {r} * {r} {div} {n}"
+)
+# H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1), with R^2 = (2R)^2/4 folded
+# into the 12/4 = 3 factor; tie correction divides by 1 - T/(N^3-N).
+_A34_H = (
+    "(3.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1)) "
+    "- 3.0 * (CAST(n AS DOUBLE) + 1)) "
+    "/ (1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))"
+)
+
+
+@register(
+    "a34_kruskal_wallis",
+    oracle=f"""
+        WITH v AS (
+            SELECT o_orderpriority AS g,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+        ),
+        per_gv AS (
+            SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM v GROUP BY g, v
+        ),
+        per_v AS (
+            SELECT v, CAST(SUM(cnt) AS BIGINT) AS cv
+            FROM per_gv GROUP BY v
+        ),
+        ranked AS (
+            SELECT v, cv,
+                   2 * (SUM(cv) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) - cv) + cv + 1 AS dr
+            FROM per_v
+        ),
+        grp AS (
+            SELECT g, CAST(SUM(cnt) AS BIGINT) AS ng,
+                   CAST(SUM(cnt * dr) AS BIGINT) AS r2
+            FROM per_gv JOIN ranked USING (v)
+            GROUP BY g
+        ),
+        gq AS (
+            SELECT ng, r2, r2 // ng AS q, r2 % ng AS r FROM grp
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(ng) AS BIGINT) AS n,
+                   SUM({_A34_TERM.format(q='q', r='r', n='ng',
+                                         big='HUGEINT', div='//')})
+                       AS s4
+            FROM gq
+        ),
+        ties AS (
+            SELECT CAST(SUM(CAST(cv AS HUGEINT) * cv * cv - cv)
+                        AS HUGEINT) AS t
+            FROM per_v
+        )
+        SELECT k, n,
+               CAST(s4 // 4 AS BIGINT) AS s,
+               CAST(t AS BIGINT) AS t,
+               {_A34_H} AS h_stat
+        FROM agg CROSS JOIN ties
+    """,
+    doc="Kruskal-Wallis H — the RANK-based one-way ANOVA completing "
+    "the association-test family (a21 Pearson, a29/a30 chi-square/"
+    "Cramer's V, a33 ANOVA F): does order price DISTRIBUTION differ "
+    "across priorities without a33's normality assumption? Exactness "
+    "recipe: mid-ranks of tied values are half-integers, so both "
+    "engines carry DOUBLE-ranks dr = 2*cum_before + cnt + 1 (always "
+    "integer) through the distinct-value cumsum; a group's doubled "
+    "rank-sum and the tie-correction term are exact BIGINT/HUGEINT "
+    "sums, the per-group (2R)^2/n split is a33's quotient/remainder "
+    "identity (only r*r DIV n floors, identically on both engines), "
+    "and the single float H formula is shared textually. Spark shape: "
+    "the cumsum runs over the DISTINCT-value frame (bound_int_support-"
+    "gated above 2M distinct — the a25/a27 guard), ranks join back by "
+    "value, everything else is map-side-combined aggregation; at "
+    "100 TB the only ordered structure is the bounded support frame, "
+    "never the fact table.",
+    tags=("aggregate", "analytics", "statistics"),
+)
+def a34_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_gv = (
+        o.select(F.col("o_orderpriority").alias("g"), cents.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_gv, _step = bound_int_support(per_gv, group_cols=("g",))
+    per_v = per_gv.groupBy("v").agg(F.sum("cnt").alias("cv")).persist()
+    ranked = per_v.select(
+        "v",
+        "cv",
+        (
+            2
+            * (
+                F.sum("cv")
+                .over(
+                    Window.orderBy("v").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("cv")
+            )
+            + F.col("cv")
+            + 1
+        ).alias("dr"),
+    )
+    grp = (
+        per_gv.join(ranked.select("v", "dr"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").alias("ng"),
+            F.sum(F.col("cnt") * F.col("dr")).alias("r2"),
+        )
+    )
+    gq = grp.select(
+        "ng", "r2",
+        F.expr("r2 DIV ng").alias("q"),
+        F.expr("r2 % ng").alias("r"),
+    )
+    term = _A34_TERM.format(
+        q="q", r="r", n="ng", big="DECIMAL(38,0)", div="DIV"
+    )
+    agg = gq.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(F.expr(term)).alias("s4"),
+    )
+    ties = per_v.agg(
+        F.sum(
+            F.expr("CAST(cv AS DECIMAL(38,0)) * cv * cv - cv")
+        ).alias("t_raw")
+    )
+    out = agg.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n",
+        F.expr("CAST(s4 DIV 4 AS BIGINT)").alias("s"),
+        F.col("t_raw").cast("long").alias("t"),
+    )
+    return out.select("k", "n", "s", "t", F.expr(_A34_H).alias("h_stat"))

@@ -1620,3 +1620,63 @@ def w15_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.join(mad, "event_type")
         .select("event_type", "n", "median_cents", "mad_cents")
     )
+
+
+# --- f16: error-safe (try_*) expression surface --------------------------------
+
+
+@register(
+    "f16_try_functions",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         // (o_orderkey % 5)
+               END AS per_bucket_cents,
+               TRY_CAST(o_orderpriority AS BIGINT) AS prio_num,
+               TRY_CAST(string_split(o_orderpriority, '-')[1] AS BIGINT)
+                   AS prio_rank,
+               string_split(o_orderpriority, '-')[2] AS prio_word,
+               string_split(o_orderpriority, '-')[3] AS beyond_range
+        FROM orders
+        WHERE o_orderkey % 100 = 7
+    """,
+    doc="Error-safe expression surface (ANSI-mode hardening): "
+    "try_divide turns the divide-by-zero a strict-mode pipeline would "
+    "die on into NULL (here: integer cents per bucket with bucket 0 "
+    "mapped to NULL — the oracle spells the CASE out, proving the "
+    "semantics rather than assuming the engine's), try_cast extracts "
+    "NULL (not an exception) from the non-numeric priority string "
+    "while parsing the split-out rank digit, and try_element_at turns "
+    "an out-of-range array index into NULL where ANSI element_at "
+    "raises. All "
+    "map-only whole-stage-codegen expressions — the point of the "
+    "try_* family at 100 TB is that ONE malformed row cannot kill a "
+    "full-table job, without the perf cost of a Python sanitizer.",
+    tags=("functions", "quality"),
+)
+def f16_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 100 == 7).select(
+        "o_orderkey",
+        # try_divide: NULL on the %5==0 bucket instead of an ANSI
+        # divide-by-zero kill. The double->BIGINT truncation equals the
+        # oracle's integer floor-div for these positive quotients (the
+        # denominator is <= 4, so the quotient is a quarter-integer —
+        # never within a rounding ulp of the next integer).
+        F.expr(
+            "CAST(try_divide(CAST(ROUND(o_totalprice * 100) AS BIGINT), "
+            "o_orderkey % 5) AS BIGINT)"
+        ).alias("per_bucket_cents"),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("prio_num"),
+        F.expr(
+            "try_cast(try_element_at(split(o_orderpriority, '-'), 1) "
+            "AS BIGINT)"
+        ).alias("prio_rank"),
+        F.expr(
+            "try_element_at(split(o_orderpriority, '-'), 2)"
+        ).alias("prio_word"),
+        F.expr(
+            "try_element_at(split(o_orderpriority, '-'), 3)"
+        ).alias("beyond_range"),
+    )

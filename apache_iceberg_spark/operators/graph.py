@@ -1380,3 +1380,97 @@ def g10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1x").alias("sum_deg"),
         F.expr(_G10_R).alias("assortativity"),
     )
+
+
+# --- g11: local clustering coefficient ----------------------------------------
+
+G11_PPM = 1_000_000
+
+
+@register(
+    "g11_local_clustering",
+    oracle=f"""
+        WITH {_DUCK_KNN_EDGES},
+        adj AS (
+            SELECT u AS z, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS (
+            SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY z
+        ),
+        wedges AS (
+            SELECT a.z, a.n AS u, b.n AS v
+            FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+        ),
+        tri AS (
+            SELECT w.z, CAST(COUNT(*) AS BIGINT) AS n_tri
+            FROM wedges w JOIN edges e ON e.u = w.u AND e.v = w.v
+            GROUP BY w.z
+        )
+        SELECT deg.z AS node,
+               deg.d AS degree,
+               CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS triangles,
+               CAST(2 * COALESCE(tri.n_tri, 0) * {G11_PPM}
+                    // (deg.d * (deg.d - 1)) AS BIGINT) AS clustering_ppm
+        FROM deg LEFT JOIN tri ON tri.z = deg.z
+        WHERE deg.d >= 2
+        ORDER BY node
+    """,
+    doc="LOCAL clustering coefficient per node over g2's kNN-sparsified "
+    "co-purchase graph: C(z) = 2*tri(z) / (deg(z)*(deg(z)-1)) — what "
+    "fraction of z's neighbor pairs are themselves connected, the "
+    "per-node refinement of g2's global triangle count (Watts-Strogatz "
+    "small-world statistic; role/community discovery reads high-C "
+    "nodes as embedded, low-C as brokers). Construction: closed wedges "
+    "— each wedge (z; u<v) joins against the canonical edge list, so a "
+    "triangle {{a,b,c}} is counted exactly once per corner, no /3 "
+    "correction, and the whole pipeline is exact-integer with the "
+    "ratio in ppm via DIV (zero floats, trivially stable hash). Spark "
+    "shape: the wedge join is bounded by the kNN cap (each node has "
+    "<= G2_KNN neighbors, so wedges are O(V * KNN^2), never the "
+    "quadratic all-pairs), the closing join shuffles on the canonical "
+    "(u,v) edge key, and degrees arrive by an adaptive join (broadcast "
+    "at bench scale by AQE, shuffled at 1e8 nodes) — the identical "
+    "scale posture as g2/g9, plan-asserted never-all-pairs there.",
+    tags=("graph", "analytics"),
+)
+def g11_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("z"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("z"), F.col("u").alias("n")),
+            )
+        ).alias("a")
+    ).select("a.z", "a.n")
+    deg = adj.groupBy("z").agg(F.count("*").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedges = a.join(
+        b, (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n"))
+    ).select(
+        F.col("a.z").alias("z"),
+        F.col("a.n").alias("u"),
+        F.col("b.n").alias("v"),
+    )
+    tri = (
+        wedges.join(edges.select("u", "v"), ["u", "v"])
+        .groupBy("z")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "z", "left")
+        .select(
+            F.col("z").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.expr(
+                f"CAST(2 * COALESCE(n_tri, 0) * {G11_PPM} "
+                "DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
+        .orderBy("node")
+    )

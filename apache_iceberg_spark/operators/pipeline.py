@@ -3819,3 +3819,94 @@ def pp18_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("crossing").alias("crossing_docs"),
         F.expr("crossing * 1000000 DIV n_docs").alias("crossing_ppm"),
     )
+
+
+# --- pp19: data-mixture sampling weights ---------------------------------------
+
+PP19_MICRO = 1_000_000
+PP19_MAX_EPOCHS_MILLI = 3_000  # upsampling cap: 3.0 epochs per domain
+
+
+@register(
+    "pp19_mixture_weights",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(len(string_split_regex(lower(trim(text)),
+                        '{_TOKEN_SPLIT}'))) AS BIGINT) AS domain_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM per
+        )
+        SELECT source, n_docs, domain_tokens,
+               CAST(domain_tokens * {PP19_MICRO} // tot.total AS BIGINT)
+                   AS share_ppm,
+               CAST(least(
+                   CAST(tot.total * {PP19_MICRO} AS HUGEINT)
+                       // (tot.k * domain_tokens),
+                   {PP19_MAX_EPOCHS_MILLI} * 1000
+               ) AS BIGINT) AS weight_micro,
+               CAST(least(
+                   CAST(tot.total * {PP19_MICRO} AS HUGEINT)
+                       // (tot.k * domain_tokens),
+                   {PP19_MAX_EPOCHS_MILLI} * 1000
+               ) * domain_tokens // 1000000 AS BIGINT)
+                   AS effective_tokens
+        FROM per CROSS JOIN tot
+        ORDER BY source
+    """,
+    doc="Data-mixture weighting — the step between corpus stats and a "
+    "training run: given per-domain token counts and a TARGET mixture "
+    "(uniform across domains here, the general case is one broadcast "
+    "map away), emit each domain's sampling weight = target_share / "
+    "actual_share, capped at {PP19_MAX_EPOCHS_MILLI}/1000 epochs so a "
+    "tiny domain is not repeated into memorization (the Pile/Dolma-"
+    "style epoch cap), plus the effective post-mixing token budget the "
+    "cap implies. All exact integer micro-units: weight_micro DIVs "
+    "HUGEINT cross-products (order-insensitive, engine-identical), so "
+    "the hash pins the actual mixing math, not a float echo. Spark "
+    "shape: ONE map-side-combined groupBy(source) over the corpus — "
+    "the 100 TB cost is the token count the pipeline already computes "
+    "— then a k-row broadcast of the totals; the weights frame itself "
+    "is the broadcast-join input a sampler (pp13/pp17) consumes.",
+    tags=("pipeline", "llm", "sampling"),
+)
+def pp19_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    per = d.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("long").alias("domain_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = per.agg(
+        F.sum("domain_tokens").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "domain_tokens",
+        F.expr(f"domain_tokens * {PP19_MICRO} DIV total").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            f"least(CAST(total AS DECIMAL(38,0)) * {PP19_MICRO} "
+            f"DIV (k * domain_tokens), "
+            f"{PP19_MAX_EPOCHS_MILLI} * 1000)"
+        ).cast("long").alias("weight_micro"),
+    )
+    return w.select(
+        "source",
+        "n_docs",
+        "domain_tokens",
+        "share_ppm",
+        "weight_micro",
+        F.expr(
+            "CAST(CAST(weight_micro AS DECIMAL(38,0)) * domain_tokens "
+            "DIV 1000000 AS BIGINT)"
+        ).alias("effective_tokens"),
+    ).orderBy("source")

@@ -2918,3 +2918,97 @@ def m39_workspace_transplant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(marker)
         .orderBy("state")
     )
+
+
+class _RaceOnWrite:
+    """Deterministic concurrent-writer harness for m40: the first access
+    to ``.write`` runs the racing commit, so the enclosing commit plans
+    against a head the racer then advances — the exact interleaving a
+    lost Iceberg catalog CAS sees, reproduced without thread timing."""
+
+    def __init__(self, df, race):
+        self._df = df
+        self._race = race
+        self._fired = False
+
+    @property
+    def write(self):
+        if not self._fired:
+            self._fired = True
+            self._race()
+        return self._df.write
+
+
+@register(
+    "m40_commit_retry_reuse",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'main_after' AS state,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
+            UNION ALL
+            SELECT 'orphans', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'versions', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+        ) ORDER BY state
+    """,
+    doc="Commit retry that REUSES the loser's data (VERDICT r10 ask "
+    "#2, registered as an oracle-checked workflow): writer B plans an "
+    "append, writer A wins the CAS in between (deterministically — the "
+    "race fires on B's first data-write access), and B's "
+    "max_retries re-plan commits the SAME already-written data "
+    "directory on the new head instead of raising CommitConflict and "
+    "orphaning a finished Spark job. The query pins all three "
+    "observable guarantees in one hash: main serves base + BOTH "
+    "writers' rows (nothing lost, nothing doubled), remove_orphan_dirs "
+    "finds ZERO debris (the retry reused its directory — before round "
+    "11 the loser's write was unreachable garbage), and the log holds "
+    "exactly 3 versions (one per logical commit, no duplicate "
+    "attempts). At 100 TB the retried work is metadata-only: the "
+    "re-plan re-reads two JSON files and re-attempts a one-line "
+    "segment append, never re-running the data job.",
+    tags=("scale", "snapshot", "transaction", "nessie"),
+)
+def m40_commit_retry_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        list_snapshots,
+        read_ref,
+        remove_orphan_dirs,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="retry_"), "orders")
+    k = F.col("o_orderkey") % 4
+    commit_snapshot(o.filter(k == 1), table, ts_ms=1000)
+
+    def racer():
+        commit_append_ref(o.filter(k == 2), table, branch="main", ts_ms=1100)
+
+    commit_append_ref(
+        _RaceOnWrite(o.filter(k == 3), racer),
+        table,
+        branch="main",
+        ts_ms=1200,
+        max_retries=3,
+    )
+    n_versions = len(list_snapshots(table))
+    n_orphans = len(remove_orphan_dirs(table))
+
+    markers = spark.createDataFrame(
+        [("orphans", n_orphans, 0), ("versions", n_versions, 0)],
+        "state string, n_rows long, total_cents long",
+    )
+    main_after = read_ref(spark, table, "main").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    ).select(F.lit("main_after").alias("state"), "n_rows", "total_cents")
+    return main_after.unionByName(markers).orderBy("state")

@@ -2265,3 +2265,137 @@ def ts22_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_pts))
         .select("n_points", "n_pairs", "slope_micro")
     )
+
+
+# --- ts23: seasonal strength (hour-of-day variance decomposition) ---------------
+
+TS23_PPM = 1_000_000
+
+# Exact sum-of-squares identity via the quotient/remainder split (a33's
+# recipe): s1^2/n = q^2*n + 2*q*r + r^2/n with q = s1 DIV n, r = s1 % n —
+# only the final r^2 DIV n floors, identically on both engines.
+_TS23_TERM = (
+    "CAST({q} AS {big}) * {q} * {n} + 2 * {q} * {r} + {r} * {r} {div} {n}"
+)
+
+
+@register(
+    "ts23_seasonal_strength",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        per_h AS (
+            SELECT event_type, hod,
+                   CAST(COUNT(*) AS BIGINT) AS nh,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   SUM(CAST(c AS HUGEINT) * c) AS s2
+            FROM v GROUP BY event_type, hod
+        ),
+        hq AS (
+            SELECT event_type, nh, s1, s2,
+                   s1 // nh AS q, s1 % nh AS r
+            FROM per_h
+        ),
+        per_t AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(nh) AS BIGINT) AS n,
+                   CAST(SUM(s1) AS BIGINT) AS s1_all,
+                   SUM(s2) AS s2_all,
+                   SUM({_TS23_TERM.format(q='q', r='r', n='nh',
+                                          big='HUGEINT', div='//')})
+                       AS hour_term
+            FROM hq GROUP BY event_type
+        ),
+        tq AS (
+            SELECT *, s1_all // n AS qa, s1_all % n AS ra FROM per_t
+        )
+        SELECT event_type, n, n_hours,
+               CAST(hour_term - ({_TS23_TERM.format(
+                   q='qa', r='ra', n='n', big='HUGEINT', div='//')})
+                   AS BIGINT) AS ss_seasonal,
+               CAST(s2_all - ({_TS23_TERM.format(
+                   q='qa', r='ra', n='n', big='HUGEINT', div='//')})
+                   AS BIGINT) AS ss_total,
+               CAST((hour_term - ({_TS23_TERM.format(
+                   q='qa', r='ra', n='n', big='HUGEINT', div='//')}))
+                    * {TS23_PPM}
+                    // (s2_all - ({_TS23_TERM.format(
+                        q='qa', r='ra', n='n', big='HUGEINT', div='//')}))
+                   AS BIGINT) AS strength_ppm
+        FROM tq
+        ORDER BY event_type
+    """,
+    doc="Seasonal STRENGTH per series — how much of each event type's "
+    "value variance the hour-of-day cycle explains: strength = "
+    "SS_between(24 hour buckets) / SS_total, the variance-decomposition "
+    "statistic (Hyndman's seasonal-strength measure specialized to a "
+    "fixed daily period) that decides whether ts14's seasonal-baseline "
+    "anomaly scoring is even applicable to a series, and which series "
+    "a forecaster should deseasonalize first. ENTIRELY exact integers: "
+    "per-bucket sums/squares in BIGINT/HUGEINT, every s1^2/n via the "
+    "quotient/remainder identity (a33's recipe — only r^2 DIV n "
+    "floors, identically on both engines), strength emitted in ppm by "
+    "integer DIV — zero floats, trivially stable hash. Spark shape: "
+    "ONE map-side-combined groupBy(event_type, hour) over the fact "
+    "table (24*|types| partials), then a |types|-row regroup — no "
+    "window, no join, no ordered structure anywhere; at 100 TB this "
+    "is a single pass at full scan bandwidth.",
+    tags=("timeseries", "analytics", "statistics"),
+)
+def ts23_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    per_h = (
+        e.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("hod"),
+            c.alias("c"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum("c").alias("s1"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
+        )
+    )
+    hq = per_h.select(
+        "event_type", "nh", "s1", "s2",
+        F.expr("s1 DIV nh").alias("q"),
+        F.expr("s1 % nh").alias("r"),
+    )
+    hterm = _TS23_TERM.format(
+        q="q", r="r", n="nh", big="DECIMAL(38,0)", div="DIV"
+    )
+    per_t = hq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("nh").alias("n"),
+        F.sum("s1").alias("s1_all"),
+        F.sum("s2").alias("s2_all"),
+        F.sum(F.expr(hterm)).alias("hour_term"),
+    )
+    tq = per_t.select(
+        "*",
+        F.expr("s1_all DIV n").alias("qa"),
+        F.expr("s1_all % n").alias("ra"),
+    )
+    tterm = _TS23_TERM.format(
+        q="qa", r="ra", n="n", big="DECIMAL(38,0)", div="DIV"
+    )
+    return tq.select(
+        "event_type",
+        "n",
+        "n_hours",
+        F.expr(f"CAST(hour_term - ({tterm}) AS BIGINT)").alias(
+            "ss_seasonal"
+        ),
+        F.expr(f"CAST(s2_all - ({tterm}) AS BIGINT)").alias("ss_total"),
+        F.expr(
+            f"CAST((hour_term - ({tterm})) * {TS23_PPM} "
+            f"DIV (s2_all - ({tterm})) AS BIGINT)"
+        ).alias("strength_ppm"),
+    ).orderBy("event_type")

@@ -930,3 +930,152 @@ def test_bound_int_support_grouped_exact_branch(spark):
     out, step = bound_int_support(pv, group_cols=("g",))
     assert step == 1
     assert out.count() == 100  # untouched
+
+
+# ---------------------------------------------------------------------------
+# Round-11 operator wave: independent cross-checks
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_a34_matches_python_kruskal(spark):
+    """Recompute Kruskal-Wallis H from the raw parquet with exact
+    Python-int rank math (mid-ranks, tie correction) — a different
+    implementation path than both engines' distinct-value cumsum."""
+    import collections
+
+    import pandas as pd
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = REGISTRY["a34_kruskal_wallis"].spark(spark, SF_DIR).collect()[0]
+
+    df = pd.read_parquet(SF_DIR + "/orders.parquet")
+    cents = (df["o_totalprice"] * 100).round().astype("int64")
+    groups = df["o_orderpriority"]
+    n = len(df)
+    cnt = collections.Counter(cents)
+    # dr(v) = 2*cum_before + cnt + 1 in Python ints
+    dr = {}
+    cum = 0
+    for v in sorted(cnt):
+        dr[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    r2 = collections.Counter()
+    ng = collections.Counter()
+    for g, v in zip(groups, cents):
+        r2[g] += dr[v]
+        ng[g] += 1
+    s4 = 0
+    for g in ng:
+        q, r = divmod(r2[g], ng[g])
+        s4 += q * q * ng[g] + 2 * q * r + (r * r) // ng[g]
+    s = s4 // 4
+    t = sum(c * c * c - c for c in cnt.values())
+    h = (3.0 * s / (float(n) * (n + 1)) - 3.0 * (float(n) + 1)) / (
+        1.0 - float(t) / (float(n) * n * n - n)
+    )
+    assert got["k"] == len(ng) and got["n"] == n
+    assert got["s"] == s and got["t"] == t
+    assert abs(got["h_stat"] - h) <= 1e-9 * max(1.0, abs(h))
+
+
+def test_g11_matches_python_recount(spark):
+    """Recount triangles/degrees per node in pure Python over the SAME
+    edge list the operator uses, and compare every output row."""
+    from apache_iceberg_spark.operators.graph import _knn_edges
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = (
+        REGISTRY["g11_local_clustering"].spark(spark, SF_DIR).collect()
+    )
+    edges = {
+        (r["u"], r["v"]) for r in _knn_edges(spark, SF_DIR).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for r in rows:
+        z = r["node"]
+        nb = sorted(adj[z])
+        d = len(nb)
+        tri = sum(
+            1
+            for i in range(d)
+            for j in range(i + 1, d)
+            if (min(nb[i], nb[j]), max(nb[i], nb[j])) in edges
+        )
+        assert r["degree"] == d and d >= 2
+        assert r["triangles"] == tri
+        assert r["clustering_ppm"] == (2 * tri * 1_000_000) // (d * (d - 1))
+    assert {r["node"] for r in rows} == {z for z, s in adj.items() if len(s) >= 2}
+
+
+def test_ts23_matches_python_exact(spark):
+    """Replicate the exact-integer variance decomposition (q/r floors
+    included) in Python ints from the raw parquet."""
+    import collections
+
+    import pandas as pd
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["ts23_seasonal_strength"].spark(spark, SF_DIR).collect()
+    }
+
+    df = pd.read_parquet(SF_DIR + "/events.parquet")
+    ts = pd.to_datetime(df["ts"])
+    cents = (df["value"] * 100).round().astype("int64")
+    by = collections.defaultdict(lambda: collections.defaultdict(list))
+    for et, h, c in zip(df["event_type"], ts.dt.hour, cents):
+        by[et][int(h)].append(int(c))
+
+    def term(s1: int, n: int) -> int:
+        q, r = divmod(s1, n)
+        return q * q * n + 2 * q * r + (r * r) // n
+
+    for et, hours in by.items():
+        n = sum(len(v) for v in hours.values())
+        s1_all = sum(sum(v) for v in hours.values())
+        s2_all = sum(c * c for v in hours.values() for c in v)
+        hour_term = sum(term(sum(v), len(v)) for v in hours.values())
+        t_all = term(s1_all, n)
+        ssb, sst = hour_term - t_all, s2_all - t_all
+        g = got[et]
+        assert g["n"] == n and g["n_hours"] == len(hours)
+        assert g["ss_seasonal"] == ssb and g["ss_total"] == sst
+        assert g["strength_ppm"] == (ssb * 1_000_000) // sst
+        assert 0 <= g["strength_ppm"] <= 1_000_000
+
+
+def test_pp19_self_consistent_and_capped(spark):
+    from apache_iceberg_spark.operators.pipeline import (
+        PP19_MAX_EPOCHS_MILLI,
+        PP19_MICRO,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["pp19_mixture_weights"].spark(spark, SF_DIR).collect()
+    k = len(rows)
+    total = sum(r["domain_tokens"] for r in rows)
+    for r in rows:
+        assert r["share_ppm"] == r["domain_tokens"] * PP19_MICRO // total
+        want_w = min(
+            total * PP19_MICRO // (k * r["domain_tokens"]),
+            PP19_MAX_EPOCHS_MILLI * 1000,
+        )
+        assert r["weight_micro"] == want_w
+        assert r["effective_tokens"] == (
+            r["weight_micro"] * r["domain_tokens"] // PP19_MICRO
+        )
+    # ppm shares sum to ~1e6 (floor rounding loses < k ppm)
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - k <= s <= 1_000_000
