@@ -1982,6 +1982,9 @@ def a34_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     per_gv, _step = bound_int_support(per_gv, group_cols=("g",))
+    # plan-cache: per_v feeds BOTH the rank window and the tie-correction
+    # aggregate in the returned lazy plan (released by the caller via
+    # session.release_plan_caches)
     per_v = per_gv.groupBy("v").agg(F.sum("cnt").alias("cv")).persist()
     ranked = per_v.select(
         "v",

@@ -1680,3 +1680,101 @@ def f16_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_element_at(split(o_orderpriority, '-'), 3)"
         ).alias("beyond_range"),
     )
+
+
+# --- j9: as-of join with staleness tolerance ------------------------------------
+
+# The fixture's orders live in the TPC-H 1992-1998 epoch while events
+# are contemporary, so every best match is ~8,200-9,800 days stale; the
+# tolerance sits mid-distribution so BOTH outcomes (match kept / match
+# too stale -> NULL) are exercised and hashed. Real deployments pass
+# hours-to-days here.
+J9_TOLERANCE_US = 8_400 * 86_400 * 1_000_000  # 8,400 days
+
+
+@register(
+    "j9_tolerance_asof_join",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ),
+        best AS (SELECT * FROM ranked WHERE rn = 1)
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE WHEN epoch_us(e.ts) - epoch_us(b.o_orderdate)
+                         <= {J9_TOLERANCE_US}
+                    THEN b.o_orderkey END AS matched_orderkey,
+               CASE WHEN epoch_us(e.ts) - epoch_us(b.o_orderdate)
+                         <= {J9_TOLERANCE_US}
+                    THEN epoch_us(e.ts) - epoch_us(b.o_orderdate)
+               END AS staleness_us
+        FROM events e LEFT JOIN best b ON b.event_id = e.event_id
+    """,
+    doc="As-of join with a STALENESS TOLERANCE — the feature-store "
+    "point-in-time lookup contract (pandas merge_asof(tolerance=...), "
+    "Flink temporal join with TTL): each event matches the user's most "
+    "recent order at or before the event time ONLY if it is within the "
+    "staleness tolerance; an older match is semantically 'no feature available' "
+    "and must surface as NULL, not as a silently ancient value — the "
+    "training-serving-skew bug this operator exists to prevent. LEFT "
+    "semantics: every event survives. Same union-merge shape as "
+    "ts3/j8 — both sides interleave on ONE user_id shuffle, "
+    "last(ignorenulls) carries the candidate forward with the "
+    "deterministic (date, orderkey) tiebreak, and the tolerance is one "
+    "exact integer microsecond comparison applied AFTER the carry "
+    "(zero pair explosion at any density; the naive join + filter "
+    "materializes event x prior-order pairs first).",
+    tags=("join", "asof", "timeseries"),
+)
+def j9_tolerance_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    order_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("o_orderkey", "o_orderdate").alias("ord"),
+    )
+    event_side = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<o_orderkey:bigint,o_orderdate:timestamp>")
+        .alias("ord"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_event", F.col("ord.o_orderkey").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = order_side.unionByName(event_side).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_event",
+        F.last("ord", ignorenulls=True).over(w).alias("cand"),
+    )
+    stale = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.col("cand.o_orderdate")
+    )
+    ok = F.col("cand").isNotNull() & (stale <= J9_TOLERANCE_US)
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, F.col("cand.o_orderkey")).alias("matched_orderkey"),
+        F.when(ok, stale).alias("staleness_us"),
+    )

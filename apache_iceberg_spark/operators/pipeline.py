@@ -3910,3 +3910,113 @@ def pp19_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV 1000000 AS BIGINT)"
         ).alias("effective_tokens"),
     ).orderBy("source")
+
+
+# --- tx24: Zipf-law fit over the corpus vocabulary ------------------------------
+
+TX24_TOP_K = 500
+TX24_MICRO = 1_000_000
+
+# OLS slope/r^2 from exact integer micro-unit sums — the one shared
+# float formula applied to order-insensitive inputs (a21's recipe): x =
+# ln(rank)*1e6, y = ln(freq)*1e6, per-row float then integer sums.
+_TX24_SLOPE = (
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+    "/ (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+)
+_TX24_R2 = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+    "* (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) "
+    "/ ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) "
+    "* (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+)
+
+
+@register(
+    "tx24_zipf_fit",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        top AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+                       AS rank
+            FROM toks GROUP BY tok
+            ORDER BY cnt DESC, tok
+            LIMIT {TX24_TOP_K}
+        ),
+        xy AS (
+            SELECT CAST(ROUND(ln(rank) * {TX24_MICRO}) AS BIGINT) AS x,
+                   CAST(ROUND(ln(cnt) * {TX24_MICRO}) AS BIGINT) AS y
+            FROM top
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+            FROM xy
+        )
+        SELECT n, sx, sy,
+               -({_TX24_SLOPE}) AS zipf_exponent,
+               {_TX24_R2} AS r_squared
+        FROM s
+    """,
+    doc=f"Zipf-law fit — the corpus-health scalar: OLS of ln(freq) on "
+    f"ln(rank) over the top-{TX24_TOP_K} vocabulary terms gives the "
+    "Zipf exponent (natural text ~1.0; boilerplate/spam-heavy or "
+    "synthetic corpora drift far off) and the fit r² (how Zipfian the "
+    "corpus is at all) — the one-number screen corpus curation runs "
+    "before/after a filter pass to check it didn't distort the "
+    "distribution. Exactness recipe: ln() is PER-ROW float snapped to "
+    "integer micro-units, all cross-row sums are exact BIGINT/HUGEINT "
+    "(order-insensitive), and the slope/r² float formulas are shared "
+    "textually — the hash pins the regression, not an echo. Spark "
+    "shape: one token-count shuffle with map-side partials, a "
+    "TakeOrdered top-K (the full vocabulary never sorts globally), "
+    "then a 500-row window + aggregate — at 100 TB the only heavy op "
+    "is the count the pipeline computes anyway (tx10's plan).",
+    tags=("text", "llm", "corpus", "statistics"),
+)
+def tx24_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(TX24_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    xy = top.select(
+        F.round(F.log(F.row_number().over(w)) * TX24_MICRO)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log("cnt") * TX24_MICRO).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(f"-({_TX24_SLOPE})").alias("zipf_exponent"),
+        F.expr(_TX24_R2).alias("r_squared"),
+    )

@@ -2363,6 +2363,15 @@ def ts23_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
         )
     )
+    return _ts23_finish(per_h)
+
+
+def _ts23_finish(per_h: DataFrame) -> DataFrame:
+    """The exact variance decomposition over the (event_type, hod,
+    nh, s1, s2) partials — shared by ts23 (batch) and st21, whose
+    streaming aggregation maintains the SAME partials per micro-batch
+    (sums/counts/sums-of-squares are mergeable, so the streaming state
+    is 24*|types| rows regardless of rate)."""
     hq = per_h.select(
         "event_type", "nh", "s1", "s2",
         F.expr("s1 DIV nh").alias("q"),

@@ -1694,3 +1694,71 @@ def _st20_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
 )
 def st20_stream_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _st20_run(spark, sf_dir)[1]
+
+
+# --- st21: streaming seasonal-strength profile (ts23 at ingest) --------------
+
+
+@register(
+    "st21_stream_seasonal_profile",
+    oracle=None,  # bound to ts23's oracle below
+    doc="ts23's seasonal-strength decomposition maintained BY THE "
+    "STREAM: the micro-batch aggregation keeps per-(event_type, "
+    "hour-of-day) partials — count, exact cents sum, exact DECIMAL "
+    "sum of squares — which are MERGEABLE, so streaming state is "
+    "24x|types| rows regardless of event rate, and every batch folds "
+    "in with map-side partials exactly like the batch groupBy. The "
+    "variance decomposition itself (the q/r-split sums of squares and "
+    "the ppm strength) runs on the final 120-row partial table via "
+    "the SAME _ts23_finish the batch operator uses, so the stream's "
+    "answer is bitwise-equal to ts23's and the driver checks it "
+    "against ts23's own oracle. The monitoring story: a feed's "
+    "seasonal strength collapsing mid-stream (strength_ppm dropping) "
+    "is an upstream-pipeline alarm — and this operator prices it at "
+    "one tiny stateful aggregation, not a batch recompute.",
+    tags=("streaming", "timeseries", "statistics"),
+)
+def st21_stream_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.timeseries import _ts23_finish
+
+    c = F.round(F.col("value") * 100).cast("long")
+    per_h = (
+        stream_events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.hour("ts").cast("long").alias("hod"),
+            c.alias("c"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum("c").alias("s1"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
+        )
+    )
+    qname = f"st21_seasonal_{next(_stream_ids)}"
+    query = (
+        per_h.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _ts23_finish(spark.table(qname))
+
+
+def _st21_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import timeseries  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st21_stream_seasonal_profile"]
+    REGISTRY["st21_stream_seasonal_profile"] = dataclasses.replace(
+        q, oracle=REGISTRY["ts23_seasonal_strength"].oracle
+    )
+
+
+_st21_set_oracle()

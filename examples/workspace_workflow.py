@@ -12,6 +12,9 @@ artifact:
 4. GC       — an expiry-style audit: every version resolves a
               consistent pair (the invariant st20 streams against)
 5. RETRY    — re-publishing with the same idempotency key is a no-op
+6. DIFF     — per-table change classification between any two states
+7. CHERRY   — transplant one multi-table commit onto another branch
+8. RETAIN   — truncating expiry + orphan GC (tags survive, history cuts)
 
 Run:  python examples/workspace_workflow.py  [sf_dir]
 """
@@ -73,7 +76,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         }
         print(f"4. AUDIT    v{v}: {pair}")
 
-    # 5. a retried publish (same key) is a no-op
+    # 5. a retried publish (same key) is a no-op — found by the O(1)
+    #    key index, not a chain walk (round 11)
     v_retry = ws_commit(
         ws,
         {"customer": c.limit(1), "orders": o.limit(1)},
@@ -83,6 +87,50 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     print(f"5. RETRY    key publish-2024-01 -> v{v_retry} "
           f"(still {n_versions} commits)")
     assert v_retry == v1 and n_versions == 2
+
+    # 6. DIFF (round 11): what changed across ALL tables, one call —
+    #    the returned dir lists are the minimal catch-up scan plan
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_diff,
+        ws_expire_versions,
+        ws_remove_orphans,
+        ws_transplant,
+    )
+
+    diff = ws_diff(ws, v1, "main")
+    print(
+        "6. DIFF     v%d -> main: %s"
+        % (v1, {t: d["change"] for t, d in diff.items()})
+    )
+    assert diff["orders"]["change"] == "appended"
+
+    # 7. TRANSPLANT (round 11): cherry-pick ONE multi-table commit onto
+    #    another branch without its siblings
+    from apache_iceberg_spark.catalog.workspace import ws_create_branch
+
+    ws_create_branch(ws, "fix", from_ref="release")
+    v_fix = ws_commit(
+        ws,
+        {"customer": c.filter(F.col("c_custkey") % 2 == 1)},
+        branch="fix",
+    )
+    v3 = ws_transplant(ws, v_fix, onto="main")
+    n_cust = ws_read(spark, ws, "customer").count()
+    print(f"7. CHERRY   v{v_fix}@fix -> main as v{v3} (customer={n_cust})")
+
+    # 8. RETENTION (round 11): the streaming maintenance triple —
+    #    truncating expiry + orphan GC keep a long-lived workspace flat
+    expired = ws_expire_versions(
+        ws, older_than_ms=10**15, keep_last=2, truncate_history=True
+    )
+    orphans = ws_remove_orphans(ws)
+    print(
+        f"8. RETAIN   expired={expired} orphans={len(orphans)} "
+        f"versions={len(ws_list_versions(ws))} "
+        f"(release tag still pins v{v1})"
+    )
+    n_tag_after = ws_read(spark, ws, "orders", ref="release").count()
+    assert n_tag_after == n_tag  # the tag pin survived truncation
     return {"v1": v1, "v2": v2, "tag_orders": n_tag, "head_orders": n_head}
 
 

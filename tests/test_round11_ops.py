@@ -1079,3 +1079,97 @@ def test_pp19_self_consistent_and_capped(spark):
     # ppm shares sum to ~1e6 (floor rounding loses < k ppm)
     s = sum(r["share_ppm"] for r in rows)
     assert 1_000_000 - k <= s <= 1_000_000
+
+
+def test_st21_equals_ts23_exactly(spark):
+    """The streaming seasonal profile must be BITWISE the batch ts23:
+    same partials, same finishing math."""
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    batch = sorted(
+        map(tuple, REGISTRY["ts23_seasonal_strength"].spark(spark, SF_DIR).collect())
+    )
+    stream = sorted(
+        map(tuple, REGISTRY["st21_stream_seasonal_profile"].spark(spark, SF_DIR).collect())
+    )
+    assert batch == stream and len(batch) > 0
+
+
+def test_j9_matches_python_brute_force(spark):
+    import collections
+
+    import pandas as pd
+
+    from apache_iceberg_spark.operators.functions_ext import J9_TOLERANCE_US
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        r["event_id"]: (r["matched_orderkey"], r["staleness_us"])
+        for r in REGISTRY["j9_tolerance_asof_join"].spark(spark, SF_DIR).collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    od = pd.read_parquet(SF_DIR + "/orders.parquet")
+    by_user = collections.defaultdict(list)
+    for k, c, d in zip(od["o_orderkey"], od["o_custkey"], od["o_orderdate"]):
+        by_user[c].append((d.value // 1000, k))  # ns -> us
+    for u in by_user:
+        by_user[u].sort()
+    n_matched = 0
+    for eid, u, ts in zip(ev["event_id"], ev["user_id"], ev["ts"]):
+        t_us = ts.value // 1000
+        best = None
+        for d_us, k in by_user.get(u, []):
+            if d_us <= t_us and (
+                best is None or (d_us, k) > best
+            ):
+                best = (d_us, k)
+        want = (None, None)
+        if best is not None and t_us - best[0] <= J9_TOLERANCE_US:
+            want = (best[1], t_us - best[0])
+            n_matched += 1
+        assert got[eid] == want, (eid, got[eid], want)
+    assert len(got) == len(ev)
+    assert 0 < n_matched < len(ev)  # the tolerance actually bites
+
+
+def test_tx24_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = REGISTRY["tx24_zipf_fit"].spark(spark, SF_DIR).collect()[0]
+    # recompute the regression from the same micro-unit definition
+    from apache_iceberg_spark.operators.pipeline import (
+        TX24_MICRO,
+        TX24_TOP_K,
+        _TOKEN_SPLIT as _SPLIT,
+    )
+    import collections
+    import re
+
+    import pandas as pd
+
+    df = pd.read_parquet(SF_DIR + "/documents.parquet")
+    cnt = collections.Counter()
+    for text in df["text"]:
+        cnt.update(re.split(_SPLIT, text.strip().lower()))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:TX24_TOP_K]
+    x = np.array(
+        [round(np.log(i + 1) * TX24_MICRO) for i in range(len(top))],
+        dtype=np.float64,
+    )
+    y = np.array(
+        [round(np.log(c) * TX24_MICRO) for _, c in top], dtype=np.float64
+    )
+    slope, _icept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["n"] == len(top)
+    assert abs(got["zipf_exponent"] - (-slope)) <= 1e-6 * abs(slope)
+    assert abs(got["r_squared"] - r * r) <= 1e-6
+    # the synthetic corpus draws words near-uniformly, so the fit is
+    # well-defined but weakly Zipfian - the metric's whole point is
+    # that this value SCREAMS 'not natural text'
+    assert 0.0 <= got["r_squared"] <= 1.0
