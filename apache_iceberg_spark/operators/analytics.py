@@ -2037,3 +2037,158 @@ def a34_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_raw").cast("long").alias("t"),
     )
     return out.select("k", "n", "s", "t", F.expr(_A34_H).alias("h_stat"))
+
+
+# ---------------------------------------------------------------------------
+# a35: Brown-Forsythe (median-centered Levene) variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+# Median in DOUBLED units (lo + up, always integer) so deviations
+# |2v - dm| stay exact integers even when the true median is a .5.
+_A35_DMED = (
+    "(MIN(CASE WHEN cum >= (nt + 1) {div} 2 THEN v END) "
+    "+ MIN(CASE WHEN cum >= (nt + 2) {div} 2 THEN v END))"
+)
+_A35_F = (
+    "(CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) "
+    "/ (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))"
+)
+
+
+@register(
+    "a35_brown_forsythe",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type AS g,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        pv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM x GROUP BY 1, 2),
+        cum AS (
+            SELECT g, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY g) AS nt
+            FROM pv
+        ),
+        med AS (
+            SELECT g, {_A35_DMED.format(div='//')} AS dm
+            FROM cum GROUP BY g
+        ),
+        dev AS (
+            SELECT x.g, ABS(2 * x.v - m.dm) AS d
+            FROM x JOIN med m ON m.g = x.g
+        ),
+        grp AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(d) AS BIGINT) AS s1,
+                   SUM(CAST(d AS HUGEINT) * d) AS s2
+            FROM dev GROUP BY g
+        ),
+        gq AS (
+            SELECT ng, s1, s2, s1 // ng AS q, s1 % ng AS r FROM grp
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(SUM(s1) AS BIGINT) AS s1_all,
+                   SUM(s2) AS s2_all,
+                   SUM({_A33_TERM.format(q='q', r='r', n='ng',
+                                         big='HUGEINT', div='//')})
+                       AS group_term
+            FROM gq
+        ),
+        w AS (
+            SELECT k, n, s2_all, group_term,
+                   s1_all // n AS qa, s1_all % n AS ra
+            FROM agg
+        ),
+        f AS (
+            SELECT k, n,
+                   CAST(group_term - ({_A33_TERM.format(
+                       q='qa', r='ra', n='n', big='HUGEINT', div='//')})
+                       AS BIGINT) AS ssb,
+                   CAST(s2_all - group_term AS BIGINT) AS ssw
+            FROM w
+        )
+        SELECT k, n, ssb, ssw, {_A35_F} AS bf_stat FROM f
+    """,
+    doc="Brown-Forsythe test — variance HOMOGENEITY across groups, the "
+    "assumption a33's ANOVA F rests on (and the robust Levene variant: "
+    "deviations from the group MEDIAN, not the outlier-sensitive "
+    "mean): one-way ANOVA on |v - median_g|. Exactness recipe: group "
+    "medians come from w15's distinct-value cumsum in DOUBLED units "
+    "(lo+up is always an integer, so |2v - dm| deviations are exact "
+    "BIGINT even for .5 medians — the whole pipeline is a33's "
+    "quotient/remainder machinery over integer deviations, floats only "
+    "in the final shared F formula). Spark shape: the median cumsum "
+    "runs per-group over the DISTINCT-value frame (bound_int_support-"
+    "gated above 2M distinct), medians broadcast back (|groups| rows), "
+    "deviations re-aggregate map-side — two passes over the fact "
+    "table, zero row explosion, no global sort anywhere.",
+    tags=("aggregate", "analytics", "statistics"),
+)
+def a35_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).persist()  # plan-cache: feeds the median pass AND the deviation pass
+    pv = x.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    pv, _step = bound_int_support(pv, group_cols=("g",))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.select(
+        "g",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("g")).alias("nt"),
+    )
+    med = cum.groupBy("g").agg(
+        F.expr(_A35_DMED.format(div="DIV")).alias("dm")
+    )
+    dev = x.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("v") - F.col("dm")).alias("d")
+    )
+    grp = dev.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("d").alias("s1"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("s2"),
+    )
+    gq = grp.select(
+        "ng", "s1", "s2",
+        F.expr("s1 DIV ng").alias("q"),
+        F.expr("s1 % ng").alias("r"),
+    )
+    term = _A33_TERM.format(
+        q="q", r="r", n="ng", big="DECIMAL(38,0)", div="DIV"
+    )
+    agg = gq.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s1").alias("s1_all"),
+        F.sum("s2").alias("s2_all"),
+        F.sum(F.expr(term)).alias("group_term"),
+    )
+    w = agg.select(
+        "k", "n", "s2_all", "group_term",
+        F.expr("s1_all DIV n").alias("qa"),
+        F.expr("s1_all % n").alias("ra"),
+    )
+    term_all = _A33_TERM.format(
+        q="qa", r="ra", n="n", big="DECIMAL(38,0)", div="DIV"
+    )
+    f = w.select(
+        "k",
+        "n",
+        F.expr(f"CAST(group_term - ({term_all}) AS BIGINT)").alias("ssb"),
+        F.expr("CAST(s2_all - group_term AS BIGINT)").alias("ssw"),
+    )
+    return f.select("k", "n", "ssb", "ssw", F.expr(_A35_F).alias("bf_stat"))

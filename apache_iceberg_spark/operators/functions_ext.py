@@ -1778,3 +1778,133 @@ def j9_tolerance_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("cand.o_orderkey")).alias("matched_orderkey"),
         F.when(ok, stale).alias("staleness_us"),
     )
+
+
+# --- w16: winsorized mean (robust location with exact clipping) -----------------
+
+W16_LO_PCT = 10
+W16_HI_PCT = 90
+W16_MICRO = 1_000_000
+
+
+@register(
+    "w16_winsorized_mean",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type AS g,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        pv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM x GROUP BY 1, 2),
+        cum AS (
+            SELECT g, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY g) AS nt
+            FROM pv
+        ),
+        bounds AS (
+            SELECT g, CAST(MAX(nt) AS BIGINT) AS n,
+                   MIN(CASE WHEN cum * 100 >= {W16_LO_PCT} * nt
+                            THEN v END) AS lo_cents,
+                   MIN(CASE WHEN cum * 100 >= {W16_HI_PCT} * nt
+                            THEN v END) AS hi_cents
+            FROM cum GROUP BY g
+        ),
+        clipped AS (
+            SELECT x.g,
+                   GREATEST(b.lo_cents, LEAST(b.hi_cents, x.v)) AS v
+            FROM x JOIN bounds b ON b.g = x.g
+        )
+        SELECT b.g AS event_type, b.n, b.lo_cents, b.hi_cents,
+               CAST(SUM(c.v) AS BIGINT) AS sum_clipped_cents,
+               CAST(SUM(c.v) * {W16_MICRO} // b.n AS BIGINT)
+                   AS winsorized_mean_micro
+        FROM clipped c JOIN bounds b ON b.g = c.g
+        GROUP BY b.g, b.n, b.lo_cents, b.hi_cents
+        ORDER BY event_type
+    """,
+    doc=f"Winsorized mean per group — the robust location estimator "
+    f"between the mean (outlier-hostage) and the median (throws away "
+    f"magnitude): values clip to the group's exact type-1 "
+    f"p{W16_LO_PCT}/p{W16_HI_PCT} percentiles (min v whose cumulative "
+    "count reaches ceil(p*n) — the integer cross-multiplied form "
+    "cum*100 >= p*n, no float percent anywhere), then average. The "
+    "telemetry/pricing dashboard statistic that survives a sensor "
+    "spike without ignoring real shifts, completing the robust-stats "
+    "shelf with w15's MAD and ts22's Theil-Sen. ENTIRELY exact "
+    "integers: percentile bounds from the w12-style distinct-value "
+    "cumsum (bound_int_support-gated above 2M distinct), clipping is "
+    "GREATEST/LEAST on BIGINT cents, and the mean is emitted in "
+    "micro-units via integer DIV. Spark shape: one distinct-value "
+    "frame per group for the bounds (broadcast back, |groups| rows), "
+    "one map-side-combined re-aggregation for the clipped sum — two "
+    "fact-table passes, zero row explosion, no global sort.",
+    tags=("window", "aggregate", "analytics", "quality"),
+)
+def w16_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from apache_iceberg_spark.operators.analytics import bound_int_support
+
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).persist()  # plan-cache: feeds the bounds pass AND the clipped pass
+    pv = x.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    pv, _step = bound_int_support(pv, group_cols=("g",))
+    wcum = (
+        W.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = pv.select(
+        "g",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("g")).alias("nt"),
+    )
+    bounds = cum.groupBy("g").agg(
+        F.max("nt").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= W16_LO_PCT * F.col("nt"), F.col("v")
+            )
+        ).alias("lo_cents"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= W16_HI_PCT * F.col("nt"), F.col("v")
+            )
+        ).alias("hi_cents"),
+    )
+    clipped = x.join(F.broadcast(bounds), "g").select(
+        "g",
+        "n",
+        "lo_cents",
+        "hi_cents",
+        F.greatest(
+            F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("v"))
+        ).alias("cv"),
+    )
+    return (
+        clipped.groupBy("g", "n", "lo_cents", "hi_cents")
+        .agg(F.sum("cv").alias("sum_clipped_cents"))
+        .select(
+            F.col("g").alias("event_type"),
+            "n",
+            "lo_cents",
+            "hi_cents",
+            "sum_clipped_cents",
+            # DECIMAL(38,0) cross-multiply: a 100 TB group's clipped sum
+            # times 1e6 overflows BIGINT (DuckDB auto-promotes to
+            # HUGEINT; Spark must be told).
+            F.expr(
+                f"CAST(CAST(sum_clipped_cents AS DECIMAL(38,0)) "
+                f"* {W16_MICRO} DIV n AS BIGINT)"
+            ).alias("winsorized_mean_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -3843,8 +3843,8 @@ PP19_MAX_EPOCHS_MILLI = 3_000  # upsampling cap: 3.0 epochs per domain
             FROM per
         )
         SELECT source, n_docs, domain_tokens,
-               CAST(domain_tokens * {PP19_MICRO} // tot.total AS BIGINT)
-                   AS share_ppm,
+               CAST(CAST(domain_tokens AS HUGEINT) * {PP19_MICRO}
+                    // tot.total AS BIGINT) AS share_ppm,
                CAST(least(
                    CAST(tot.total * {PP19_MICRO} AS HUGEINT)
                        // (tot.k * domain_tokens),
@@ -3890,9 +3890,12 @@ def pp19_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "domain_tokens",
-        F.expr(f"domain_tokens * {PP19_MICRO} DIV total").alias(
-            "share_ppm"
-        ),
+        # DECIMAL cross-multiply: a 100 TB corpus's token count times
+        # 1e6 overflows BIGINT
+        F.expr(
+            f"CAST(CAST(domain_tokens AS DECIMAL(38,0)) * {PP19_MICRO} "
+            "DIV total AS BIGINT)"
+        ).alias("share_ppm"),
         F.expr(
             f"least(CAST(total AS DECIMAL(38,0)) * {PP19_MICRO} "
             f"DIV (k * domain_tokens), "

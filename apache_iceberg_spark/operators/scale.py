@@ -3012,3 +3012,93 @@ def m40_commit_retry_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(F.lit("main_after").alias("state"), "n_rows", "total_cents")
     return main_after.unionByName(markers).orderBy("state")
+
+
+@register(
+    "m41_truncating_retention",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'expired' AS state,
+                   CAST(6 AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS total_cents
+            UNION ALL
+            SELECT 'main_after', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'tag_pin', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_orderkey % 8 IN (0, 1)
+            UNION ALL
+            SELECT 'versions_kept', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+        ) ORDER BY state
+    """,
+    doc="Truncating retention (round 11) — the STREAMING GC mode the "
+    "default ref-protection cannot express: a linear one-commit-per-"
+    "micro-batch history is entirely reachable from its own head, so "
+    "full-ancestry protection (m33's default, correct for branch/tag "
+    "workflows) pins it forever; truncate_history=True protects only "
+    "branch HEADS and tag PINS, so expiry actually cuts to keep_last + "
+    "the ts window — Nessie's cutoff-policy GC. The workflow: 8 "
+    "batch-shaped appends, a tag pinned mid-stream, then truncating "
+    "expiry with keep_last=1; exactly the 6 untagged/non-head middles "
+    "expire, the boundary entries MATERIALIZE (root-terminated) so the "
+    "head still reads the full accumulated table, and the tag still "
+    "serves its exact mid-stream state — retention cut history, never "
+    "data or pins. The hash covers the expired count, both read "
+    "states, and the surviving version count. At 100 TB this is what "
+    "bounds st19/st20's metadata forever: per-commit I/O is one "
+    "segment line, and expiry-at-cadence keeps the readable log at "
+    "O(retention window) (SCALE_NOTES §workspace-endurance measures "
+    "the flat curves for 1,000 batches).",
+    tags=("scale", "snapshot", "maintenance", "streaming"),
+)
+def m41_truncating_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_tag,
+        expire_snapshots_dirs,
+        list_snapshots,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="retain_"), "orders")
+    k = F.col("o_orderkey") % 8
+    commit_snapshot(o.filter(k == 0), table, ts_ms=1000)
+    for i in range(1, 8):  # the micro-batch stream (first commit pins main)
+        commit_append_ref(
+            o.filter(k == i), table, branch="main", ts_ms=1000 + i,
+            idempotency_key=f"batch-{i}",
+        )
+        if i == 1:
+            create_tag(table, "mid", from_ref="main")  # pins v2
+    # retention: only heads/pins survive the cutoff (+ keep_last)
+    expired = expire_snapshots_dirs(
+        table, older_than_ms=10_000, keep_last=1, truncate_history=True
+    )
+    kept = len(list_snapshots(table))
+
+    def agg(ref: str, state: str) -> DataFrame:
+        return read_ref(spark, table, ref).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("total_cents"),
+        ).select(F.lit(state).alias("state"), "n_rows", "total_cents")
+
+    marker = spark.createDataFrame(
+        [("expired", len(expired), 0), ("versions_kept", kept, 0)],
+        "state string, n_rows long, total_cents long",
+    )
+    return (
+        marker.unionByName(agg("main", "main_after"))
+        .unionByName(agg("mid", "tag_pin"))
+        .orderBy("state")
+    )

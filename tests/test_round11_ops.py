@@ -1173,3 +1173,118 @@ def test_tx24_matches_numpy_polyfit(spark):
     # well-defined but weakly Zipfian - the metric's whole point is
     # that this value SCREAMS 'not natural text'
     assert 0.0 <= got["r_squared"] <= 1.0
+
+
+def test_a35_matches_numpy_brown_forsythe(spark):
+    """Recompute Brown-Forsythe from raw parquet: group medians in
+    doubled units, deviations, then the exact q/r ANOVA — and compare
+    the F statistic against a float numpy ANOVA on the same deviations
+    (different arithmetic path, tolerance-checked)."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = REGISTRY["a35_brown_forsythe"].spark(spark, SF_DIR).collect()[0]
+
+    df = pd.read_parquet(SF_DIR + "/events.parquet")
+    cents = (df["value"] * 100).round().astype("int64")
+    groups = collections.defaultdict(list)
+    for g, v in zip(df["event_type"], cents):
+        groups[g].append(int(v))
+    devs = {}
+    for g, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        # the operator's doubled-unit median: lo + up over the
+        # distinct-value cumsum (type-1 lower/upper middle)
+        lo = vs[(n + 1) // 2 - 1]
+        up = vs[(n + 2) // 2 - 1]
+        dm = lo + up
+        devs[g] = [abs(2 * v - dm) for v in vs]
+    k = len(devs)
+    n = sum(len(d) for d in devs.values())
+    grand = sum(sum(d) for d in devs.values()) / n
+    ssb = sum(
+        len(d) * (np.mean(d) - grand) ** 2 for d in devs.values()
+    )
+    ssw = sum(
+        sum((x - np.mean(d)) ** 2 for x in d) for d in devs.values()
+    )
+    f_np = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["k"] == k and got["n"] == n
+    assert abs(got["bf_stat"] - f_np) <= 1e-6 * max(1.0, abs(f_np))
+    # exact integer invariants on the engine's own sums
+    assert got["ssb"] >= 0 and got["ssw"] > 0
+
+
+def test_w16_matches_python_exact(spark):
+    import collections
+
+    import pandas as pd
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["w16_winsorized_mean"].spark(spark, SF_DIR).collect()
+    }
+    df = pd.read_parquet(SF_DIR + "/events.parquet")
+    cents = (df["value"] * 100).round().astype("int64")
+    groups = collections.defaultdict(list)
+    for g, v in zip(df["event_type"], cents):
+        groups[g].append(int(v))
+    for g, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        # type-1 percentile: min v with cum*100 >= p*n
+        def q(p):
+            target = -(-p * n // 100)  # ceil(p*n/100)
+            return vs[target - 1]
+
+        lo, hi = q(10), q(90)
+        s = sum(min(hi, max(lo, v)) for v in vs)
+        r = got[g]
+        assert (r["n"], r["lo_cents"], r["hi_cents"]) == (n, lo, hi)
+        assert r["sum_clipped_cents"] == s
+        assert r["winsorized_mean_micro"] == s * 1_000_000 // n
+        assert lo <= r["winsorized_mean_micro"] // 1_000_000 <= hi
+
+
+def test_m41_leaves_root_terminated_boundaries(spark):
+    """After truncating retention, every kept entry must be readable
+    and the materialized boundaries must be explicit roots."""
+    import os as _os
+    import tempfile as _tmp
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_tag,
+        expire_snapshots_dirs,
+        list_snapshots,
+        read_ref,
+    )
+
+    table = _os.path.join(_tmp.mkdtemp(prefix="r11_m41_"), "t")
+    commit_snapshot(spark.range(5).select(F.col("id")), table, ts_ms=1000)
+    for i in range(1, 6):
+        commit_append_ref(
+            spark.range(10 * i, 10 * i + 2).select(F.col("id")),
+            table, branch="main", ts_ms=1000 + i,
+        )
+        if i == 2:
+            create_tag(table, "pin")
+    expired = expire_snapshots_dirs(
+        table, older_than_ms=10_000, keep_last=1, truncate_history=True
+    )
+    kept = list_snapshots(table)
+    assert len(expired) == 4 and len(kept) == 2
+    for e in kept:
+        assert e.get("root") is True and "parent" not in e
+    assert len(_ids(spark, table, "main")) == 5 + 10
+    assert len(_ids(spark, table, "pin")) == 5 + 4
