@@ -12,7 +12,10 @@ directory layout:
     <table>/
       _versions.json          # compacted commit-log BASE (JSON array)
       _versions.jsonl         # append-only SEGMENT: one entry per line
-      _refs.json              # named refs: branches (movable) + tags
+      _refs.json              # named refs: branches (movable) + tags,
+                              #   plus the O(1) idempotency-key index
+                              #   (keys: branch\\x00key -> version, with
+                              #   keys_floor bounding the legacy walk)
       v1/  v2/  ...           # immutable parquet snapshot directories
       d2/  d3/  ...           # immutable append-delta directories
 

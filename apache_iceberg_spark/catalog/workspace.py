@@ -899,12 +899,14 @@ def ws_expire_versions(
             return []
         expired_vs = {e["version"] for e in expired}
         names = {n for e in log for n in e["tables"]}
+        # built once: truncating retention can materialize SEVERAL
+        # boundary entries in one expiry, and this dict is O(log)
+        by_v_full = {x["version"]: x for x in log}
         keep = []
         for e in log:
             if e["version"] in expired_vs:
                 continue
             if e.get("parent") in expired_vs:
-                by_v_full = {x["version"]: x for x in log}
                 tables = {}
                 for n in names:
                     paths = _resolve_table(log, n, e["version"])
