@@ -266,10 +266,17 @@ class _log_lock:
                 self._fd = os.open(
                     self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
+                import uuid
+
+                self._token = uuid.uuid4().hex
                 os.write(
                     self._fd,
                     json.dumps(
-                        {"pid": os.getpid(), "ts": time.time()}
+                        {
+                            "pid": os.getpid(),
+                            "ts": time.time(),
+                            "token": self._token,
+                        }
                     ).encode(),
                 )
                 return self
@@ -286,10 +293,22 @@ class _log_lock:
     def __exit__(self, *exc):
         if self._fd is not None:
             os.close(self._fd)
+        # Remove only OUR lock file: if a waiter (wrongly) broke this
+        # lock while we still held it — a hold longer than stale_s,
+        # which no metadata swap should ever reach — the path may now
+        # be the breaker's NEW lock, and blindly unlinking it would
+        # cascade the corruption. The per-acquire token we wrote is the
+        # ownership check (pid alone collides across threads).
         try:
-            os.remove(self._path)
-        except FileNotFoundError:
-            pass
+            with open(self._path) as f:
+                owner = json.load(f).get("token")
+        except (OSError, ValueError):
+            owner = None
+        if owner == getattr(self, "_token", None):
+            try:
+                os.remove(self._path)
+            except FileNotFoundError:
+                pass
         return False
 
 

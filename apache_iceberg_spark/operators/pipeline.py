@@ -4023,3 +4023,222 @@ def tx24_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"-({_TX24_SLOPE})").alias("zipf_exponent"),
         F.expr(_TX24_R2).alias("r_squared"),
     )
+
+
+# --- pp20: output-shard planner -------------------------------------------------
+
+PP20_SHARD_BYTES = 65_536
+PP20_MICRO = 1_000_000
+
+
+@register(
+    "pp20_shard_planner",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS b
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, b,
+                   CAST(SUM(b) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - b AS BIGINT) AS st
+            FROM t
+        ),
+        assigned AS (
+            SELECT doc_id, b, st,
+                   st // {PP20_SHARD_BYTES} AS shard_id,
+                   CASE WHEN b > 0 AND (st + b - 1) // {PP20_SHARD_BYTES}
+                             > st // {PP20_SHARD_BYTES}
+                        THEN 1 ELSE 0 END AS crossing
+            FROM c
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(SUM(b) AS BIGINT) AS shard_bytes,
+               CAST(CAST(SUM(b) AS HUGEINT) * {PP20_MICRO}
+                    // {PP20_SHARD_BYTES} AS BIGINT) AS fill_ppm,
+               CAST(SUM(crossing) AS BIGINT) AS crossing_docs
+        FROM assigned
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    doc=f"Output-shard planner — the writer-side twin of pp2's packing: "
+    "concatenate the corpus in doc_id order and plan "
+    f"{PP20_SHARD_BYTES}-byte output shards (the webdataset/tar-shard "
+    "layout every pretraining data release ships), assigning each "
+    "document to the shard its first byte lands in. The report per "
+    "shard — doc count, first doc (the shard's seek key), actual "
+    "bytes, fill ratio in ppm, and boundary-crossing docs (candidates "
+    "for shard-local padding or split) — is what the export job reads "
+    "to decide shard count and whether the size distribution needs "
+    "rebalancing (a27's range-bounds cousin on cumulative bytes). "
+    "Spark shape: pp2's two-level DISTRIBUTED prefix sum (within-"
+    "bucket windows in parallel + a tiny bucket-prefix broadcast — "
+    "two shuffles at any corpus size, never one global ordered "
+    "window), then one map-side-combined groupBy(shard_id). All "
+    "exact integers; fill_ppm crosses through HUGEINT/DECIMAL.",
+    tags=("pipeline", "llm", "packing", "export"),
+)
+def pp20_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("b"),
+        (F.col("doc_id") / PACK_BUCKET_WIDTH).cast("long").alias("bucket"),
+    )
+    within = F.sum("b").over(
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = t.withColumn("within_cum", within)
+    btot = t.groupBy("bucket").agg(F.sum("b").alias("btot"))
+    bprefix = btot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("btot").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("bprefix"),
+    )
+    assigned = per_doc.join(F.broadcast(bprefix), "bucket").select(
+        "doc_id",
+        "b",
+        (
+            F.col("within_cum") + F.col("bprefix") - F.col("b")
+        ).alias("st"),
+    ).select(
+        "doc_id",
+        "b",
+        F.expr(f"st DIV {PP20_SHARD_BYTES}").alias("shard_id"),
+        F.when(
+            (F.col("b") > 0)
+            & (
+                F.expr(f"(st + b - 1) DIV {PP20_SHARD_BYTES}")
+                > F.expr(f"st DIV {PP20_SHARD_BYTES}")
+            ),
+            1,
+        ).otherwise(0).alias("crossing"),
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("b").alias("shard_bytes"),
+            F.sum("crossing").alias("crossing_docs"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "first_doc",
+            "shard_bytes",
+            F.expr(
+                f"CAST(CAST(shard_bytes AS DECIMAL(38,0)) * {PP20_MICRO} "
+                f"DIV {PP20_SHARD_BYTES} AS BIGINT)"
+            ).alias("fill_ppm"),
+            "crossing_docs",
+        )
+        .orderBy("shard_id")
+    )
+
+
+# --- mm11: aspect-ratio bucketing report (VLM/diffusion batch planning) ---------
+
+#: The SDXL-style resolution ladder: aspect buckets a multimodal
+#: training job groups images into so a batch shares one shape and
+#: aspect-preserving resize wastes minimal padding.
+MM11_BUCKETS = [
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536),
+]
+MM11_MICRO = 1_000_000
+
+
+def _mm11_best_expr(div: str) -> str:
+    """argmin over the bucket ladder of the exact-integer aspect
+    mismatch |w*bh - h*bw| * 1e6 DIV (bw*bh), encoded as score*16+idx
+    so LEAST() resolves ties to the smaller index — one shared
+    expression text for both engines (only the integer-div token
+    differs)."""
+    encs = [
+        f"(ABS(CAST(w AS BIGINT) * {bh} - CAST(h AS BIGINT) * {bw}) "
+        f"* {MM11_MICRO} {div} ({bw} * {bh})) * 16 + {i}"
+        for i, (bw, bh) in enumerate(MM11_BUCKETS)
+    ]
+    return "LEAST(" + ", ".join(encs) + ")"
+
+
+@register(
+    "mm11_aspect_bucket_report",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id,
+                   128 * (4 + ascii(substr(text, 1, 1)) % 13) AS w,
+                   128 * (4 + ascii(substr(text, 2, 1)) % 13) AS h
+            FROM documents WHERE length(text) >= 2
+        ),
+        best AS (
+            SELECT doc_id, w, h,
+                   {_mm11_best_expr('//')} AS enc
+            FROM img
+        )
+        SELECT CAST(enc % 16 AS BIGINT) AS bucket_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(enc // 16) // COUNT(*) AS BIGINT)
+                   AS avg_mismatch_ppm,
+               CAST(SUM(CAST(w AS HUGEINT) * h) AS BIGINT)
+                   AS total_src_pixels
+        FROM best
+        GROUP BY bucket_idx
+        ORDER BY bucket_idx
+    """,
+    doc="Aspect-ratio BUCKETING report — the batch-planning step every "
+    "VLM/diffusion training pipeline runs (the SDXL multi-resolution "
+    "recipe): each image goes to the ladder bucket minimizing the "
+    "aspect mismatch, so a batch shares one shape and the aspect-"
+    "preserving resize pads minimally. Dimensions here derive "
+    "deterministically from the opaque payload's leading bytes (the "
+    "mm-family convention — a real pipeline reads actual "
+    "width/height from image headers with the identical Spark "
+    "shape), and the assignment is EXACT integer math: mismatch = "
+    "|w*bh - h*bw|*1e6 DIV (bw*bh), argmin via a LEAST() over "
+    "score*16+idx encodings (ties to the smaller bucket index) — no "
+    "floats, trivially stable hash. The report (images per bucket, "
+    "average residual mismatch, source pixels) is what decides batch "
+    "group sizes and whether the ladder needs more buckets. Map-only "
+    "expression tree + ONE map-side-combined groupBy over 9 buckets "
+    "— at 100 TB this is scan-bandwidth work with a 9-row result.",
+    tags=("multimodal", "llm", "pipeline"),
+)
+def mm11_aspect_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    img = d.filter(F.length("text") >= 2).select(
+        "doc_id",
+        F.expr("128 * (4 + ascii(substr(text, 1, 1)) % 13)").alias("w"),
+        F.expr("128 * (4 + ascii(substr(text, 2, 1)) % 13)").alias("h"),
+    )
+    best = img.select(
+        "w", "h", F.expr(_mm11_best_expr("DIV")).alias("enc")
+    )
+    return (
+        best.groupBy(F.expr("enc % 16").cast("long").alias("bucket_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.expr("CAST(SUM(enc DIV 16) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_mismatch_ppm"
+            ),
+            F.expr(
+                "CAST(SUM(CAST(w AS DECIMAL(38,0)) * h) AS BIGINT)"
+            ).alias("total_src_pixels"),
+        )
+        .orderBy("bucket_idx")
+    )

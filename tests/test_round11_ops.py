@@ -1288,3 +1288,100 @@ def test_m41_leaves_root_terminated_boundaries(spark):
         assert e.get("root") is True and "parent" not in e
     assert len(_ids(spark, table, "main")) == 5 + 10
     assert len(_ids(spark, table, "pin")) == 5 + 4
+
+
+def test_lock_exit_does_not_remove_a_breakers_lock(ref_table):
+    """If a lock is broken while (wrongly) still held, the original
+    holder's exit must NOT unlink the breaker's new lock file — the
+    per-acquire token guards ownership."""
+    from apache_iceberg_spark.catalog.snapshots import _log_lock
+
+    lock_path = _base(ref_table) + ".lock"
+    a = _log_lock(ref_table)
+    a.__enter__()
+    # simulate a (buggy/overeager) breaker replacing the lock mid-hold
+    os.remove(lock_path)
+    b = _log_lock(ref_table)
+    b.__enter__()
+    a.__exit__(None, None, None)  # must leave b's lock alone
+    assert os.path.exists(lock_path)
+    b.__exit__(None, None, None)  # b removes its own
+    assert not os.path.exists(lock_path)
+
+
+def test_pp20_matches_python_plan(spark):
+    import pandas as pd
+
+    from apache_iceberg_spark.operators.pipeline import (
+        PP20_MICRO,
+        PP20_SHARD_BYTES,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        r["shard_id"]: r
+        for r in REGISTRY["pp20_shard_planner"].spark(spark, SF_DIR).collect()
+    }
+    df = pd.read_parquet(SF_DIR + "/documents.parquet").sort_values("doc_id")
+    st = 0
+    plan = {}
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        b = len(text)  # the operator's length(text): chars (ASCII fixture)
+        sid = st // PP20_SHARD_BYTES
+        p = plan.setdefault(
+            sid, {"n": 0, "first": doc_id, "bytes": 0, "crossing": 0}
+        )
+        p["n"] += 1
+        p["bytes"] += b
+        if b > 0 and (st + b - 1) // PP20_SHARD_BYTES > sid:
+            p["crossing"] += 1
+        st += b
+    assert set(got) == set(plan)
+    for sid, p in plan.items():
+        r = got[sid]
+        assert (r["n_docs"], r["first_doc"], r["shard_bytes"]) == (
+            p["n"], p["first"], p["bytes"]
+        )
+        assert r["crossing_docs"] == p["crossing"]
+        assert r["fill_ppm"] == p["bytes"] * PP20_MICRO // PP20_SHARD_BYTES
+    # interior shards cross at most one doc each, and fill near target
+    interior = [got[s] for s in sorted(got)[:-1]]
+    assert all(r["crossing_docs"] <= 1 for r in interior)
+
+
+def test_mm11_matches_python_argmin(spark):
+    import pandas as pd
+
+    from apache_iceberg_spark.operators.pipeline import (
+        MM11_BUCKETS,
+        MM11_MICRO,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        r["bucket_idx"]: r
+        for r in REGISTRY["mm11_aspect_bucket_report"].spark(spark, SF_DIR).collect()
+    }
+    df = pd.read_parquet(SF_DIR + "/documents.parquet")
+    agg: dict[int, list[int]] = {}
+    for text in df["text"]:
+        if len(text) < 2:
+            continue
+        w = 128 * (4 + ord(text[0]) % 13)
+        h = 128 * (4 + ord(text[1]) % 13)
+        best = min(
+            (abs(w * bh - h * bw) * MM11_MICRO // (bw * bh)) * 16 + i
+            for i, (bw, bh) in enumerate(MM11_BUCKETS)
+        )
+        a = agg.setdefault(best % 16, [0, 0, 0])
+        a[0] += 1
+        a[1] += best // 16
+        a[2] += w * h
+    assert set(got) == set(agg)
+    for idx, (n, mis, px) in agg.items():
+        r = got[idx]
+        assert r["n_images"] == n
+        assert r["avg_mismatch_ppm"] == mis // n
+        assert r["total_src_pixels"] == px
