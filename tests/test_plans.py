@@ -991,3 +991,75 @@ def test_a29_single_scan_with_windows_over_cells(spark):
     # repeats the name once per node, so count the tree form
     assert plan.count("Scan parquet  (") == 1, plan
     assert plan.count("Window") >= 3  # the three marginal windows
+
+
+# --- round 11 ----------------------------------------------------------------
+
+
+def test_round11_no_cartesian(spark):
+    for name in (
+        "a34_kruskal_wallis",
+        "a35_brown_forsythe",
+        "w16_winsorized_mean",
+        "ts23_seasonal_strength",
+        "g11_local_clustering",
+        "j9_tolerance_asof_join",
+        "pp19_mixture_weights",
+        "pp20_shard_planner",
+        "mm11_aspect_bucket_report",
+        "tx24_zipf_fit",
+        "f16_try_functions",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+    spark.catalog.clearCache()  # g11's _knn_edges plan-cache
+
+
+def test_ts23_single_scan_no_window_no_join(spark):
+    """ts23's decomposition is ONE map-side-combined pass: one scan,
+    zero windows, zero joins — the scan-bandwidth shape the docstring
+    promises."""
+    plan = plan_of(spark, "ts23_seasonal_strength")
+    assert plan.count("Scan parquet  (") == 1, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_j9_single_user_shuffle_no_pair_explosion(spark):
+    """j9 must be the union-merge (one user_id window over interleaved
+    sides), never the equality-join + filter that materializes
+    event x prior-order pairs."""
+    plan = plan_of(spark, "j9_tolerance_asof_join")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "NestedLoopJoin"):
+        assert j not in plan, (j, plan)
+    assert plan.count(") Window") == 1, plan  # detail-header count
+
+
+def test_pp20_windows_are_bucketed_not_global(spark):
+    """pp20's prefix sum: the per-doc window partitions by bucket; the
+    only unpartitioned window runs over the tiny bucket-totals frame
+    (n_docs/128 rows), exactly pp2's scale shape."""
+    plan = plan_of(spark, "pp20_shard_planner")
+    # both windows present: one partitioned (bucket), one tiny global
+    assert plan.count(") Window") == 2, plan  # detail-header count
+    assert "BroadcastExchange" in plan  # the bucket-prefix broadcast
+
+
+def test_mm11_is_map_only_plus_tiny_groupby(spark):
+    plan = plan_of(spark, "mm11_aspect_bucket_report")
+    assert plan.count("Scan parquet  (") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_w16_a35_windows_only_over_distinct_frames(spark):
+    """w16/a35's cumsum windows run over the grouped DISTINCT-value
+    frame: the window input must be a HashAggregate, never the raw
+    fact scan."""
+    for name in ("w16_winsorized_mean", "a35_brown_forsythe"):
+        plan = plan_of(spark, name)
+        assert "HashAggregate" in plan and "Window" in plan, (name, plan)
+        # the raw frame is scanned once and persisted (plan-cache);
+        # windows see aggregated inputs
+        assert "InMemoryTableScan" in plan, (name, plan)
+    spark.catalog.clearCache()
