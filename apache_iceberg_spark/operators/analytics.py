@@ -922,6 +922,7 @@ def bound_int_support(
     value_col: str = "v",
     cnt_col: str = "cnt",
     group_cols: tuple[str, ...] = (),
+    extra_sum_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, int]:
     """The a25/a27 quantization gate as a SHARED guard for every
     distinct-value cumsum recipe (VERDICT r10 ask #5): any operator
@@ -951,10 +952,12 @@ def bound_int_support(
             f"{lo} + (({value_col} - {lo}) DIV {step}) * {step}"
         ).alias(value_col),
         cnt_col,
+        *extra_sum_cols,
     )
     return (
         vq.groupBy(*group_cols, value_col).agg(
-            F.sum(cnt_col).alias(cnt_col)
+            F.sum(cnt_col).alias(cnt_col),
+            *[F.sum(c).alias(c) for c in extra_sum_cols],
         ),
         step,
     )
@@ -1982,6 +1985,9 @@ def a34_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     per_gv, _step = bound_int_support(per_gv, group_cols=("g",))
+    # plan-cache: per_gv feeds BOTH the global per-value frame and the
+    # rank-sum join — unpersisted, each consumer re-scans orders
+    per_gv = per_gv.persist()
     # plan-cache: per_v feeds BOTH the rank window and the tie-correction
     # aggregate in the returned lazy plan (released by the caller via
     # session.release_plan_caches)
@@ -2192,3 +2198,140 @@ def a35_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(s2_all - group_term AS BIGINT)").alias("ssw"),
     )
     return f.select("k", "n", "ssb", "ssw", F.expr(_A35_F).alias("bf_stat"))
+
+
+# ---------------------------------------------------------------------------
+# a36: Mann-Whitney U (two-sample rank test)
+# ---------------------------------------------------------------------------
+
+A36_GROUP_A = "purchase"
+A36_GROUP_B = "view"
+A36_MICRO = 1_000_000
+
+# z with tie-corrected variance, from exact integer inputs (u2 = 2U):
+# z = (U - nA*nB/2) / sqrt(nA*nB/12 * ((n+1) - T/(n(n-1))))
+_A36_Z = (
+    "(CAST(u2 AS DOUBLE) / 2.0 "
+    "- CAST(na AS DOUBLE) * nb / 2.0) "
+    "/ sqrt(CAST(na AS DOUBLE) * nb / 12.0 "
+    "* ((CAST(na + nb AS DOUBLE) + 1) "
+    "- CAST(t AS DOUBLE) / (CAST(na + nb AS DOUBLE) "
+    "* (na + nb - 1))))"
+)
+
+
+@register(
+    "a36_mann_whitney",
+    oracle=f"""
+        WITH v AS (
+            SELECT CASE WHEN event_type = '{A36_GROUP_A}' THEN 1
+                        ELSE 0 END AS is_a,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IN ('{A36_GROUP_A}', '{A36_GROUP_B}')
+        ),
+        per_v AS (
+            SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+                   CAST(COUNT(*) AS BIGINT) AS cv
+            FROM v GROUP BY v
+        ),
+        ranked AS (
+            SELECT v, ca, cv,
+                   2 * (SUM(cv) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) - cv) + cv + 1 AS dr
+            FROM per_v
+        ),
+        agg AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cv) - SUM(ca) AS BIGINT) AS nb,
+                   CAST(SUM(ca * dr) AS BIGINT) AS r2a,
+                   CAST(SUM(CAST(cv AS HUGEINT) * cv * cv - cv)
+                        AS BIGINT) AS t
+            FROM ranked
+        )
+        SELECT na, nb,
+               CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
+               t,
+               CAST((CAST(na AS HUGEINT) * nb
+                     - (r2a - na * (na + 1)) {'//'} 2)
+                    * {A36_MICRO} // (CAST(na AS HUGEINT) * nb)
+                   AS BIGINT) AS rank_biserial_micro,
+               {_A36_Z} AS z_score
+        FROM agg
+    """,
+    doc=f"Mann-Whitney U — the TWO-sample rank test ('{A36_GROUP_A}' vs "
+    f"'{A36_GROUP_B}' event values): does one distribution "
+    "stochastically dominate, without any normality assumption — the "
+    "A/B-test workhorse when the metric is skewed (latencies, spend). "
+    "a34's double-rank machinery specialized to two groups: mid-ranks "
+    "of ties as exact dr = 2*cum_before + cnt + 1 integers over the "
+    "distinct-value cumsum, U in DOUBLED units u2 = 2R_A - na(na+1) "
+    "(exact BIGINT), the tie term sum(t^3 - t) exact, the rank-"
+    "biserial effect size in micro-units by HUGEINT/DECIMAL integer "
+    "DIV (2U folds into the doubled numerator so nothing floats), and "
+    "only the z-score formula is shared float text. Spark shape: one "
+    "filtered scan -> per-value counts (map-side combined) -> the "
+    "gated distinct-value cumsum -> one aggregate; at 100 TB the "
+    "ordered structure is the bounded support frame, never the rows.",
+    tags=("aggregate", "analytics", "statistics"),
+)
+def a36_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(
+        F.col("event_type").isin(A36_GROUP_A, A36_GROUP_B)
+    ).select(
+        F.when(F.col("event_type") == A36_GROUP_A, 1)
+        .otherwise(0)
+        .alias("is_a"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    per_v = v.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.count(F.lit(1)).alias("cv")
+    )
+    # the gate carries ca through the quantized regroup as a second
+    # summed measure, so both branches expose the same columns
+    per_v, _step = bound_int_support(
+        per_v, cnt_col="cv", extra_sum_cols=("ca",)
+    )
+    ranked = per_v.select(
+        "v",
+        "ca",
+        "cv",
+        (
+            2
+            * (
+                F.sum("cv")
+                .over(
+                    Window.orderBy("v").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("cv")
+            )
+            + F.col("cv")
+            + 1
+        ).alias("dr"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("na"),
+        (F.sum("cv") - F.sum("ca")).alias("nb"),
+        F.sum(F.col("ca") * F.col("dr")).alias("r2a"),
+        F.sum(
+            F.expr("CAST(cv AS DECIMAL(38,0)) * cv * cv - cv")
+        ).cast("long").alias("t"),
+    )
+    return agg.select(
+        "na",
+        "nb",
+        F.expr("CAST(r2a - na * (na + 1) AS BIGINT)").alias("u2"),
+        "t",
+        F.expr(
+            f"CAST((CAST(na AS DECIMAL(38,0)) * nb "
+            f"- (r2a - na * (na + 1)) DIV 2) "
+            f"* {A36_MICRO} DIV (CAST(na AS DECIMAL(38,0)) * nb) "
+            "AS BIGINT)"
+        ).alias("rank_biserial_micro"),
+        F.expr(_A36_Z).alias("z_score"),
+    )

@@ -3881,7 +3881,8 @@ def pp19_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = d.groupBy("source").agg(
         F.sum(F.size(toks)).cast("long").alias("domain_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
-    )
+    ).persist()  # plan-cache: |domains| rows feed the totals AND the
+    # weights join — unpersisted, each consumer re-tokenizes the corpus
     tot = per.agg(
         F.sum("domain_tokens").alias("total"),
         F.count(F.lit(1)).alias("k"),

@@ -1385,3 +1385,77 @@ def test_mm11_matches_python_argmin(spark):
         assert r["n_images"] == n
         assert r["avg_mismatch_ppm"] == mis // n
         assert r["total_src_pixels"] == px
+
+
+def test_a36_matches_python_mann_whitney(spark):
+    import collections
+
+    import math
+
+    import pandas as pd
+
+    from apache_iceberg_spark.operators.analytics import (
+        A36_GROUP_A,
+        A36_GROUP_B,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = REGISTRY["a36_mann_whitney"].spark(spark, SF_DIR).collect()[0]
+
+    df = pd.read_parquet(SF_DIR + "/events.parquet")
+    df = df[df["event_type"].isin([A36_GROUP_A, A36_GROUP_B])]
+    cents = (df["value"] * 100).round().astype("int64")
+    per = collections.Counter()
+    per_a = collections.Counter()
+    for et, v in zip(df["event_type"], cents):
+        per[int(v)] += 1
+        if et == A36_GROUP_A:
+            per_a[int(v)] += 1
+    cum = 0
+    r2a = 0
+    t = 0
+    na = sum(per_a.values())
+    n = sum(per.values())
+    nb = n - na
+    for v in sorted(per):
+        dr = 2 * cum + per[v] + 1
+        r2a += per_a[v] * dr
+        t += per[v] ** 3 - per[v]
+        cum += per[v]
+    u2 = r2a - na * (na + 1)
+    rb = (na * nb - u2 // 2) * 1_000_000 // (na * nb)
+    z = (u2 / 2.0 - na * nb / 2.0) / math.sqrt(
+        na * nb / 12.0 * ((n + 1) - t / (n * (n - 1)))
+    )
+    assert (got["na"], got["nb"], got["u2"], got["t"]) == (na, nb, u2, t)
+    assert got["rank_biserial_micro"] == rb
+    assert abs(got["z_score"] - z) <= 1e-9 * max(1.0, abs(z))
+
+
+def test_bound_int_support_carries_extra_sums_through_grid(spark):
+    from pyspark.sql import functions as F2
+
+    from apache_iceberg_spark.operators.analytics import (
+        A25_GRID,
+        A25_MAX_SUPPORT,
+        bound_int_support,
+    )
+
+    n = A25_MAX_SUPPORT + 300_000
+    per_v = spark.range(n).select(
+        F2.col("id").alias("v"),
+        F2.lit(1).cast("long").alias("cv"),
+        (F2.col("id") % 2).cast("long").alias("ca"),
+    )
+    out, step = bound_int_support(
+        per_v, cnt_col="cv", extra_sum_cols=("ca",)
+    )
+    assert step > 1
+    agg = out.agg(
+        F2.count(F2.lit(1)).alias("ndv"),
+        F2.sum("cv").alias("mass"),
+        F2.sum("ca").alias("mass_a"),
+    ).collect()[0]
+    assert agg["ndv"] <= A25_GRID
+    assert agg["mass"] == n and agg["mass_a"] == n // 2
