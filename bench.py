@@ -116,6 +116,7 @@ STREAMING = [
     "st18_stream_m4_downsample",
     "st19_stream_branch_ingest",
     "st20_stream_atomic_publish",
+    "st21_stream_seasonal_profile",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -205,6 +206,23 @@ AUX = [
     "ann22_binary_quantization",
     "w15_median_abs_deviation",
     "pp18_packing_efficiency",
+    # round 11
+    "m38_workspace_diff",
+    "m39_workspace_transplant",
+    "m40_commit_retry_reuse",
+    "m41_truncating_retention",
+    "a34_kruskal_wallis",
+    "a35_brown_forsythe",
+    "a36_mann_whitney",
+    "w16_winsorized_mean",
+    "ts23_seasonal_strength",
+    "j9_tolerance_asof_join",
+    "tx24_zipf_fit",
+    "pp19_mixture_weights",
+    "pp20_shard_planner",
+    "mm11_aspect_bucket_report",
+    "g11_local_clustering",
+    "f16_try_functions",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
