@@ -1930,7 +1930,7 @@ _A34_H = (
         ),
         grp AS (
             SELECT g, CAST(SUM(cnt) AS BIGINT) AS ng,
-                   CAST(SUM(cnt * dr) AS BIGINT) AS r2
+                   SUM(CAST(cnt AS HUGEINT) * dr) AS r2
             FROM per_gv JOIN ranked USING (v)
             GROUP BY g
         ),
@@ -2015,7 +2015,9 @@ def a34_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(
             F.sum("cnt").alias("ng"),
-            F.sum(F.col("cnt") * F.col("dr")).alias("r2"),
+            # DECIMAL widening: cnt*dr rank-sums pass 9.2e18 around
+            # ~2e9 rows/group; the q/r split then runs in DECIMAL
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dr")).alias("r2"),
         )
     )
     gq = grp.select(
@@ -2244,7 +2246,7 @@ _A36_Z = (
         agg AS (
             SELECT CAST(SUM(ca) AS BIGINT) AS na,
                    CAST(SUM(cv) - SUM(ca) AS BIGINT) AS nb,
-                   CAST(SUM(ca * dr) AS BIGINT) AS r2a,
+                   SUM(CAST(ca AS HUGEINT) * dr) AS r2a,
                    CAST(SUM(CAST(cv AS HUGEINT) * cv * cv - cv)
                         AS BIGINT) AS t
             FROM ranked
@@ -2317,7 +2319,7 @@ def a36_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.sum("ca").alias("na"),
         (F.sum("cv") - F.sum("ca")).alias("nb"),
-        F.sum(F.col("ca") * F.col("dr")).alias("r2a"),
+        F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * dr")).alias("r2a"),
         F.sum(
             F.expr("CAST(cv AS DECIMAL(38,0)) * cv * cv - cv")
         ).cast("long").alias("t"),

@@ -1522,11 +1522,17 @@ def _st19_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
         # with the same id after failure/restart, and the keyed commit
         # makes the retry a no-op instead of a double-append (the
         # exactly-once contract real table sinks implement the same way).
+        # max_retries: a lost CAS race (another writer on the table)
+        # re-plans metadata and reuses this batch's already-written
+        # data dir, instead of killing the batch and making Spark
+        # re-run the whole job (round 11; the idempotency key then
+        # guards the full-batch replay path, the retry the cheap one).
         commit_append_ref(
             batch_df,
             table,
             branch="ingest",
             idempotency_key=f"st19-batch-{batch_id}",
+            max_retries=3,
         )
 
     query = (
@@ -1615,10 +1621,14 @@ def _st20_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
             ),
         )
         try:
+            # max_retries: two streams publishing to one workspace both
+            # land — the loser's re-plan reuses its written data dirs
+            # (round 11) instead of thrashing through full-batch replays
             ws_commit(
                 ws,
                 {"raw": batch_df, "agg": agg},
                 idempotency_key=f"st20-batch-{batch_id}",
+                max_retries=3,
             )
         finally:
             batch_df.unpersist()
