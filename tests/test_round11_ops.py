@@ -1459,3 +1459,93 @@ def test_bound_int_support_carries_extra_sums_through_grid(spark):
     ).collect()[0]
     assert agg["ndv"] <= A25_GRID
     assert agg["mass"] == n and agg["mass_a"] == n // 2
+
+
+def test_ws_mixed_concurrent_ops_hold_invariants(spark):
+    """Chaos-ish integration: two retrying writers on different
+    branches, a merger, and a (full-protection) expirer all race on one
+    workspace. Invariants: every commit lands exactly once, the final
+    merge unions both lineages, retries leave zero orphans, and the
+    closing truncating expiry + GC keep every row readable."""
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_delete_branch,
+        ws_expire_versions,
+        ws_merge_branch,
+        ws_read,
+        ws_remove_orphans,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_chaos_")
+    ws_commit(ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000)
+    ws_create_branch(ws, "b")
+    errors: list[Exception] = []
+    n_each = 4
+
+    def writer(branch: str, lo: int) -> None:
+        try:
+            for i in range(n_each):
+                ws_commit(
+                    ws,
+                    {"t": spark.range(lo + 10 * i, lo + 10 * i + 2)
+                        .select(F.col("id"))},
+                    branch=branch,
+                    max_retries=30,
+                    ts_ms=2000 + lo + i,
+                    idempotency_key=f"{branch}-{i}",
+                )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def merger() -> None:
+        try:
+            for _ in range(3):
+                ws_merge_branch(ws, "b", into="main")
+        except ValueError:
+            pass  # a mid-race rewrite conflict shape can't occur here
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def expirer() -> None:
+        try:
+            for _ in range(2):
+                # full-ancestry protection mode: reachable history is
+                # safe to run DURING the race (truncation runs after)
+                ws_expire_versions(ws, older_than_ms=10**15, keep_last=1)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=("main", 100)),
+        threading.Thread(target=writer, args=("b", 500)),
+        threading.Thread(target=merger),
+        threading.Thread(target=expirer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # final merge publishes everything b had
+    ws_merge_branch(ws, "b", into="main")
+    want = sorted(
+        list(range(5))
+        + [lo + 10 * i + j
+           for lo in (100, 500) for i in range(n_each) for j in range(2)]
+    )
+    got = sorted(
+        r["id"] for r in ws_read(spark, ws, "t", ref="main").collect()
+    )
+    assert got == want
+    assert ws_remove_orphans(ws) == []  # retries reused every data dir
+    # closing retention: truncate + GC, rows intact
+    ws_delete_branch(ws, "b")
+    ws_expire_versions(
+        ws, older_than_ms=10**15, keep_last=1, truncate_history=True
+    )
+    ws_remove_orphans(ws)
+    got2 = sorted(
+        r["id"] for r in ws_read(spark, ws, "t", ref="main").collect()
+    )
+    assert got2 == want
