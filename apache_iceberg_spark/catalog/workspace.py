@@ -152,7 +152,11 @@ def _resolve_table(
     out: list[str] = []
     for part in reversed(chain):
         out.extend(part)
-    return out
+    # an EMPTY restatement ({"set": []}) is a tombstone: ws_rollback
+    # emits it for tables created after the rollback target, so they
+    # read as absent at the new version (every real commit writes at
+    # least one dir, so empty never means "table with no files")
+    return out if out else None
 
 
 def _table_layout(by_v: dict[int, dict], version: int, table: str):
@@ -793,6 +797,63 @@ def ws_transplant(
         refs["branches"][onto] = version
         _write_refs(ws_path, refs)
         return version
+
+
+def ws_rollback(
+    ws_path: str, version: int, branch: str = "main",
+    ts_ms: int | None = None,
+) -> int:
+    """Roll the whole WORKSPACE back to ``version`` — the catalog-level
+    twin of the table store's ``rollback_to`` (m20): one metadata-only
+    commit restates EVERY table exactly as that version resolved it, so
+    a bad multi-table publish is undone atomically — readers never see
+    a half-rolled-back catalog, the property per-table rollbacks cannot
+    give. The abandoned versions stay addressable for time travel until
+    expiry. O(tables) driver metadata, zero data bytes at any size.
+    Runs under the commit lock with the branch pointer moved in-section
+    (same CAS discipline as ``ws_commit``)."""
+    with _log_lock(ws_path):
+        log = _read_log(ws_path)
+        by_v = {e["version"]: e for e in log}
+        if version not in by_v:
+            raise ValueError(
+                f"version {version} not found (have {sorted(by_v)})"
+            )
+        refs = _ensure_main(ws_path, _read_refs(ws_path), log)
+        if branch in refs["tags"]:
+            raise ValueError(f"cannot roll back a tag {branch!r}")
+        if branch not in refs["branches"]:
+            raise ValueError(f"unknown branch {branch!r}")
+        names = {n for e in log for n in e["tables"]}
+        tables: dict[str, dict] = {}
+        head_v = refs["branches"][branch]
+        for n in sorted(names):
+            paths = _resolve_table(log, n, version)
+            if paths is None:
+                # absent at the target: if it exists at the head it was
+                # created after V — tombstone it (empty restatement)
+                if _resolve_table(log, n, head_v) is not None:
+                    tables[n] = {"set": []}
+                continue
+            tables[n] = {"set": list(paths)}
+            layout = _table_layout(by_v, version, n)
+            if layout != "unknown":
+                tables[n]["partition_by"] = layout
+        head = log[-1]["version"]
+        new_version = head + 1
+        _append_entry(
+            ws_path,
+            {
+                "version": new_version,
+                "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+                "parent": refs["branches"][branch],
+                "rolled_back_to": version,
+                "tables": tables,
+            },
+        )
+        refs["branches"][branch] = new_version
+        _write_refs(ws_path, refs)
+        return new_version
 
 
 def ws_remove_orphans(

@@ -3102,3 +3102,92 @@ def m41_truncating_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg("mid", "tag_pin"))
         .orderBy("state")
     )
+
+
+@register(
+    "m42_workspace_rollback",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'customer_after' AS state,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT 'nation_gone', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'orders_after', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT 'versions', CAST(4 AS BIGINT), CAST(0 AS BIGINT)
+        ) ORDER BY state
+    """,
+    doc="Workspace-level ROLLBACK (round 11) — the catalog-level twin "
+    "of m20's table rollback, the one ref op the workspace API still "
+    "lacked: ws_rollback(v1) emits ONE metadata commit restating EVERY "
+    "table exactly as v1 resolved it, so a bad multi-table publish is "
+    "undone atomically — a reader never sees customer rolled back but "
+    "orders not, the torn state per-table rollbacks produce. Tables "
+    "CREATED after the target (nation, at v3) are tombstoned by an "
+    "empty restatement and read as absent after the rollback — full "
+    "restatement semantics, not just pointer rewinds. The abandoned "
+    "v2/v3 stay addressable for time travel until expiry. The hash "
+    "covers both rolled-back tables' exact contents, the tombstone "
+    "(probed as an expected read failure), and the version count "
+    "pinning the rollback at ONE commit. O(tables) driver metadata, "
+    "zero data bytes moved at any scale.",
+    tags=("scale", "snapshot", "nessie", "workspace"),
+)
+def m42_workspace_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_list_versions,
+        ws_read,
+        ws_rollback,
+    )
+
+    ws = tempfile.mkdtemp(prefix="wsrb_")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    ck, ok = F.col("c_custkey") % 2, F.col("o_orderkey") % 2
+    v1 = ws_commit(
+        ws,
+        {"customer": c.filter(ck == 0), "orders": o.filter(ok == 0)},
+        ts_ms=1000,
+    )
+    ws_commit(ws, {"orders": o.filter(ok == 1)}, ts_ms=2000)
+    ws_commit(ws, {"nation": n}, ts_ms=3000)  # created AFTER v1
+    ws_rollback(ws, v1, ts_ms=4000)
+    n_versions = len(ws_list_versions(ws))
+
+    try:
+        ws_read(spark, ws, "nation", ref="main")
+        nation_gone = 0
+    except ValueError:
+        nation_gone = 1  # tombstoned: absent at the rolled-back state
+
+    def agg(state: str, df: DataFrame, money) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(money * 100).cast("long")).alias("total_cents"),
+        ).select(F.lit(state).alias("state"), "n_rows", "total_cents")
+
+    marker = spark.createDataFrame(
+        [("nation_gone", nation_gone, 0), ("versions", n_versions, 0)],
+        "state string, n_rows long, total_cents long",
+    )
+    return (
+        agg("customer_after", ws_read(spark, ws, "customer"),
+            F.col("c_acctbal"))
+        .unionByName(
+            agg("orders_after", ws_read(spark, ws, "orders"),
+                F.col("o_totalprice"))
+        )
+        .unionByName(marker)
+        .orderBy("state")
+    )

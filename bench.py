@@ -211,6 +211,7 @@ AUX = [
     "m39_workspace_transplant",
     "m40_commit_retry_reuse",
     "m41_truncating_retention",
+    "m42_workspace_rollback",
     "a34_kruskal_wallis",
     "a35_brown_forsythe",
     "a36_mann_whitney",

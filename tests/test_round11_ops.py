@@ -1549,3 +1549,42 @@ def test_ws_mixed_concurrent_ops_hold_invariants(spark):
         r["id"] for r in ws_read(spark, ws, "t", ref="main").collect()
     )
     assert got2 == want
+
+
+def test_ws_rollback_restates_and_tombstones(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_diff,
+        ws_list_tables,
+        ws_read,
+        ws_rollback,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r11_ws_rb_")
+    v1 = ws_commit(
+        ws, {"t": spark.range(5).select(F.col("id"))}, ts_ms=1000
+    )
+    ws_commit(ws, {"t": spark.range(5, 9).select(F.col("id"))}, ts_ms=2000)
+    ws_commit(ws, {"u": spark.range(3).select(F.col("id"))}, ts_ms=3000)
+    v4 = ws_rollback(ws, v1, ts_ms=4000)
+    # t restated to its v1 content; u tombstoned
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "t", version=v4).collect()
+    ) == list(range(5))
+    with pytest.raises(ValueError, match="does not exist"):
+        ws_read(spark, ws, "u", version=v4)
+    assert ws_list_tables(ws) == ["t"]
+    # the abandoned states stay addressable for time travel
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "t", version=2).collect()
+    ) == list(range(9))
+    assert ws_read(spark, ws, "u", version=3).count() == 3
+    # diff classifies the rollback correctly from either direction
+    d = ws_diff(ws, 3, v4)
+    assert d["t"]["change"] == "rewritten"
+    assert d["u"]["change"] == "removed" and not d["u"]["added"]
+    # rolling back onto the rollback is a consistent no-op-shaped commit
+    v5 = ws_rollback(ws, v4)
+    assert sorted(
+        r["id"] for r in ws_read(spark, ws, "t", version=v5).collect()
+    ) == list(range(5))
