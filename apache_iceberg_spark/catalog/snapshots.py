@@ -536,13 +536,21 @@ def _read_dirs(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Scan a snapshot's data-directory set. Hive-partitioned tables need
     each directory read with its own ``basePath`` (a bare multi-path read
     refuses to unify partition discovery across roots); the filter-through-
-    union rewrite keeps partition pruning effective on every branch."""
+    union rewrite keeps partition pruning effective on every branch.
+
+    ``allowMissingColumns``: additive SCHEMA EVOLUTION across snapshots —
+    an append that introduced a new column must not brick reads of the
+    table; rows from pre-evolution directories surface the column as
+    NULL, exactly Iceberg's add-column semantics (read with the latest
+    schema, missing fields null). Column RENAMES/type changes still
+    raise at the union, which is also honest: without Iceberg's field
+    IDs a rename is indistinguishable from drop+add."""
     dfs = [
         spark.read.option("basePath", p).parquet(p) for p in paths
     ]
     out = dfs[0]
     for d in dfs[1:]:
-        out = out.unionByName(d)
+        out = out.unionByName(d, allowMissingColumns=True)
     return out
 
 

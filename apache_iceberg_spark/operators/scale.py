@@ -3191,3 +3191,84 @@ def m42_workspace_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(marker)
         .orderBy("state")
     )
+
+
+@register(
+    "m43_evolved_append_scan",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'new_rows' AS state,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_with_channel
+            FROM orders WHERE o_orderkey % 3 = 1
+            UNION ALL
+            SELECT 'old_rows', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM orders WHERE o_orderkey % 3 = 0
+        ) ORDER BY state
+    """,
+    doc="Additive SCHEMA EVOLUTION across snapshots (round 11) — the "
+    "Iceberg add-column contract on the emulated store: v1 commits "
+    "orders WITHOUT a channel column, v2 appends rows WITH one, and "
+    "the head read serves the LATEST schema with pre-evolution rows "
+    "surfacing channel as NULL — an evolved append must never brick "
+    "reads of a table's older files (before round 11 the snapshot "
+    "union raised on the first post-evolution read). The query splits "
+    "the head read by lineage and hashes each side's rowcount, exact "
+    "cents, and channel NON-NULL count (old rows pin 0, new rows pin "
+    "all) — so the null-fill semantics, not just survival, are inside "
+    "the hash. Renames/type changes still raise loudly: without "
+    "Iceberg's field IDs a rename is indistinguishable from drop+add, "
+    "and guessing would silently misread data. Zero-cost at scale: "
+    "the union schema unifies at PLAN time; no data is rewritten to "
+    "evolve.",
+    tags=("scale", "snapshot", "schema"),
+)
+def m43_evolved_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        read_snapshot_dirs,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="evolve_"), "orders")
+    k = F.col("o_orderkey") % 3
+    commit_snapshot(
+        o.filter(k == 0).select("o_orderkey", "o_totalprice"),
+        table,
+        ts_ms=1000,
+    )
+    commit_append(
+        o.filter(k == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.concat(F.lit("ch-"), (F.col("o_orderkey") % 5)).alias(
+                "channel"
+            ),
+        ),
+        table,
+        ts_ms=2000,
+    )
+    head = read_snapshot_dirs(spark, table)
+    out = head.select(
+        F.when(F.col("channel").isNull(), "old_rows")
+        .otherwise("new_rows")
+        .alias("state"),
+        "o_totalprice",
+        "channel",
+    ).groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.count("channel").alias("n_with_channel"),
+    )
+    return out.orderBy("state")

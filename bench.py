@@ -212,6 +212,7 @@ AUX = [
     "m40_commit_retry_reuse",
     "m41_truncating_retention",
     "m42_workspace_rollback",
+    "m43_evolved_append_scan",
     "a34_kruskal_wallis",
     "a35_brown_forsythe",
     "a36_mann_whitney",

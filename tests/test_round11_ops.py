@@ -1696,3 +1696,43 @@ def test_ref_store_matches_python_model_over_random_op_sequence(spark):
         if step % 5 == 4:
             check()
     check()
+
+
+def test_evolved_append_reads_null_filled_everywhere(spark, ref_table):
+    """Additive schema evolution: post-evolution reads serve the latest
+    schema with old rows null-filled — at the head, at old versions
+    (unchanged), on refs, and in the workspace layer."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        read_snapshot_dirs,
+    )
+    from apache_iceberg_spark.catalog.workspace import ws_commit, ws_read
+
+    commit_append(
+        spark.range(100, 103).select(
+            F.col("id"), (F.col("id") * 2).alias("extra")
+        ),
+        ref_table,
+    )
+    head = read_snapshot_dirs(spark, ref_table)
+    assert set(head.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in head.collect()}
+    assert all(rows[i] is None for i in range(10))
+    assert rows[100] == 200 and rows[102] == 204
+    # old version untouched by the evolution
+    v1 = read_snapshot_dirs(spark, ref_table, version=1)
+    assert v1.columns == ["id"]
+    # workspace layer shares the read path
+    ws = tempfile.mkdtemp(prefix="r11_ws_ev_")
+    ws_commit(ws, {"t": spark.range(3).select(F.col("id"))}, ts_ms=1000)
+    ws_commit(
+        ws,
+        {"t": spark.range(10, 12).select(
+            F.col("id"), F.lit("x").alias("tag_col")
+        )},
+        ts_ms=2000,
+    )
+    got = ws_read(spark, ws, "t")
+    assert set(got.columns) == {"id", "tag_col"}
+    vals = {r["id"]: r["tag_col"] for r in got.collect()}
+    assert vals[0] is None and vals[10] == "x"
