@@ -548,9 +548,51 @@ def _read_dirs(spark: SparkSession, paths: list[str]) -> DataFrame:
     dfs = [
         spark.read.option("basePath", p).parquet(p) for p in paths
     ]
+    dfs = _widen_numeric_types(dfs)
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+#: Iceberg's legal type PROMOTIONS (spec §Schemas: int->long,
+#: float->double) — the widenings a reader applies so snapshots written
+#: before a column widened still union with post-widening files. Ranked
+#: so the WIDEST observed type wins; anything outside one family still
+#: raises at the union (decimal scale changes, string<->numeric, nested
+#: types — promoting those silently would misread data).
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_RANK = {"float": 0, "double": 1}
+
+
+def _widen_numeric_types(dfs: list[DataFrame]) -> list[DataFrame]:
+    """Cast each snapshot directory's frame so same-named numeric
+    columns share the widest type observed across directories."""
+    from pyspark.sql import functions as F
+
+    widest: dict[str, str] = {}
+    for d in dfs:
+        for name, t in d.dtypes:
+            prev = widest.get(name)
+            if prev is None:
+                widest[name] = t
+            elif prev != t:
+                for rank in (_INT_RANK, _FLOAT_RANK):
+                    if prev in rank and t in rank:
+                        widest[name] = max((prev, t), key=rank.get)
+                        break
+                # outside one numeric family: leave as-is; the union
+                # will raise its (correct) incompatible-schema error
+    out = []
+    for d in dfs:
+        casts = [
+            name
+            for name, t in d.dtypes
+            if widest.get(name, t) != t
+        ]
+        for name in casts:
+            d = d.withColumn(name, F.col(name).cast(widest[name]))
+        out.append(d)
     return out
 
 

@@ -1736,3 +1736,46 @@ def test_evolved_append_reads_null_filled_everywhere(spark, ref_table):
     assert set(got.columns) == {"id", "tag_col"}
     vals = {r["id"]: r["tag_col"] for r in got.collect()}
     assert vals[0] is None and vals[10] == "x"
+
+
+def test_type_widening_across_snapshots(spark, ref_table):
+    """Iceberg's legal promotions (int->long, float->double): a column
+    widened by a later append reads back at the widest type everywhere,
+    while illegal changes (string vs numeric) still raise."""
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        read_snapshot_dirs,
+    )
+
+    commit_append(
+        spark.range(3).select(
+            (F.col("id") + 100).alias("id"),
+            F.col("id").cast("int").alias("small"),
+            F.col("id").cast("float").alias("ratio"),
+        ),
+        ref_table,
+    )
+    commit_append(
+        spark.range(3).select(
+            (F.col("id") + 200).alias("id"),
+            (F.col("id") + 5_000_000_000).cast("bigint").alias("small"),
+            (F.col("id") / 3).cast("double").alias("ratio"),
+        ),
+        ref_table,
+    )
+    head = read_snapshot_dirs(spark, ref_table)
+    types = dict(head.dtypes)
+    assert types["small"] == "bigint" and types["ratio"] == "double"
+    got = {r["id"]: r["small"] for r in head.collect() if r["id"] >= 100}
+    assert got[100] == 0 and got[200] == 5_000_000_000
+    # illegal promotion still raises loudly
+    commit_append(
+        spark.range(1).select(
+            (F.col("id") + 300).alias("id"),
+            F.lit("not-a-number").alias("small"),
+            F.lit(0.5).alias("ratio"),
+        ),
+        ref_table,
+    )
+    with pytest.raises(Exception, match="(?i)union|incompatible|type"):
+        read_snapshot_dirs(spark, ref_table).collect()
