@@ -2408,3 +2408,153 @@ def _ts23_finish(per_h: DataFrame) -> DataFrame:
             f"DIV (s2_all - ({tterm})) AS BIGINT)"
         ).alias("strength_ppm"),
     ).orderBy("event_type")
+
+
+# --- ts24: STL-lite decomposition (trend + seasonal + residual) ------------------
+
+TS24_HALF = 12  # centered 25-hour trend window
+TS24_WIN = 2 * TS24_HALF + 1
+TS24_MICRO = 1_000_000
+
+
+@register(
+    "ts24_stl_decompose",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        spine AS (
+            SELECT t.event_type, s.h, b.h0
+            FROM bounds b,
+                 LATERAL unnest(generate_series(b.h0, b.h1,
+                                INTERVAL 1 HOUR)) AS s(h),
+                 types t
+        ),
+        hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        sp AS (
+            SELECT s.event_type,
+                   CAST(date_diff('hour', s.h0, s.h) AS BIGINT) AS t,
+                   hour(s.h) AS hod,
+                   COALESCE(hh.x, 0) AS x
+            FROM spine s LEFT JOIN hourly hh
+              ON hh.event_type = s.event_type AND hh.h = s.h
+        ),
+        tr AS (
+            SELECT event_type, t, hod, x,
+                   SUM(x) OVER w AS t25,
+                   COUNT(*) OVER w AS n25
+            FROM sp
+            WINDOW w AS (PARTITION BY event_type ORDER BY t
+                         ROWS BETWEEN {TS24_HALF} PRECEDING
+                         AND {TS24_HALF} FOLLOWING)
+        ),
+        interior AS (
+            SELECT event_type, t, hod, x, t25,
+                   {TS24_WIN} * x - t25 AS d25
+            FROM tr WHERE n25 = {TS24_WIN}
+        ),
+        seas AS (
+            SELECT event_type, hod,
+                   CAST(SUM(d25) AS BIGINT) AS s_raw,
+                   CAST(COUNT(*) AS BIGINT) AS n_h
+            FROM interior GROUP BY 1, 2
+        )
+        SELECT i.event_type, i.t, i.x,
+               CAST(i.t25 * {TS24_MICRO} // {TS24_WIN} AS BIGINT)
+                   AS trend_micro,
+               CAST(s.s_raw * {TS24_MICRO}
+                    // ({TS24_WIN} * s.n_h) AS BIGINT) AS seasonal_micro,
+               CAST(i.x * {TS24_MICRO}
+                    - i.t25 * {TS24_MICRO} // {TS24_WIN}
+                    - s.s_raw * {TS24_MICRO} // ({TS24_WIN} * s.n_h)
+                    AS BIGINT) AS residual_micro
+        FROM interior i JOIN seas s
+          ON s.event_type = i.event_type AND s.hod = i.hod
+    """,
+    doc=f"STL-lite DECOMPOSITION — the classical additive split the "
+    "time-series shelf still lacked as an OUTPUT (ts12 forecasts, ts14 "
+    "scores anomalies against a seasonal baseline, ts23 measures how "
+    "much season explains; this emits the trend/seasonal/residual "
+    f"SERIES themselves): trend = centered {TS24_WIN}-hour moving "
+    "average over each type's gap-filled hourly series (interior rows "
+    "only — a partial window would bias the edges), seasonal = "
+    "hour-of-day mean of the detrended series, residual = the exact "
+    "remainder. EXACT integer recipe: detrended values carry the "
+    f"x{TS24_WIN} scale (25x - sum25 is an integer; no division until "
+    "emission), the three emitted components floor to micro-units "
+    "IDENTICALLY on both engines, and residual = x*1e6 - trend_micro - "
+    "seasonal_micro reconstructs additively by construction — the hash "
+    "covers every point of all three series. Spark shape: the spine is "
+    "calendar-bounded (hours x |types|), the trend window partitions "
+    "by type over it (never the fact table), seasonal re-aggregates "
+    "24x|types| cells and joins back adaptively — at 100 TB the fact "
+    "table contributes ONE map-side-combined hourly groupBy; "
+    "everything after is spine-sized.",
+    tags=("timeseries", "analytics", "statistics"),
+)
+def ts24_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    b = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    spine = (
+        b.select(
+            "h0",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+        .crossJoin(F.broadcast(types))  # hours x |types|: spine-sized
+    )
+    sp = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        (
+            (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600
+        ).cast("long").alias("t"),
+        F.hour("h").cast("long").alias("hod"),
+        F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(-TS24_HALF, TS24_HALF)
+    )
+    tr = sp.select(
+        "event_type", "t", "hod", "x",
+        F.sum("x").over(w).alias("t25"),
+        F.count(F.lit(1)).over(w).alias("n25"),
+    )
+    interior = tr.filter(F.col("n25") == TS24_WIN).select(
+        "event_type", "t", "hod", "x", "t25",
+        (TS24_WIN * F.col("x") - F.col("t25")).alias("d25"),
+    ).persist()  # plan-cache: feeds the seasonal agg AND the emission join
+    seas = interior.groupBy("event_type", "hod").agg(
+        F.sum("d25").alias("s_raw"), F.count(F.lit(1)).alias("n_h")
+    )
+    return interior.join(seas, ["event_type", "hod"]).select(
+        "event_type",
+        "t",
+        "x",
+        F.expr(f"CAST(t25 * {TS24_MICRO} DIV {TS24_WIN} AS BIGINT)").alias(
+            "trend_micro"
+        ),
+        F.expr(
+            f"CAST(s_raw * {TS24_MICRO} DIV ({TS24_WIN} * n_h) AS BIGINT)"
+        ).alias("seasonal_micro"),
+        F.expr(
+            f"CAST(x * {TS24_MICRO} - t25 * {TS24_MICRO} DIV {TS24_WIN} "
+            f"- s_raw * {TS24_MICRO} DIV ({TS24_WIN} * n_h) AS BIGINT)"
+        ).alias("residual_micro"),
+    )

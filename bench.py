@@ -218,6 +218,7 @@ AUX = [
     "a36_mann_whitney",
     "w16_winsorized_mean",
     "ts23_seasonal_strength",
+    "ts24_stl_decompose",
     "j9_tolerance_asof_join",
     "tx24_zipf_fit",
     "pp19_mixture_weights",

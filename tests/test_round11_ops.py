@@ -1779,3 +1779,66 @@ def test_type_widening_across_snapshots(spark, ref_table):
     )
     with pytest.raises(Exception, match="(?i)union|incompatible|type"):
         read_snapshot_dirs(spark, ref_table).collect()
+
+
+def test_ts24_matches_python_exact_decomposition(spark):
+    """Replicate the exact-integer STL-lite (x25 scaling, truncating
+    micro divisions) in pure Python from the raw parquet and compare
+    every emitted point of all three series."""
+    import collections
+
+    import pandas as pd
+
+    from apache_iceberg_spark.operators.timeseries import (
+        TS24_HALF,
+        TS24_MICRO,
+        TS24_WIN,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q  # both engines truncate toward zero
+
+    _ensure_loaded()
+    got = {
+        (r["event_type"], r["t"]): (
+            r["x"], r["trend_micro"], r["seasonal_micro"],
+            r["residual_micro"],
+        )
+        for r in REGISTRY["ts24_stl_decompose"].spark(spark, SF_DIR).collect()
+    }
+    df = pd.read_parquet(SF_DIR + "/events.parquet")
+    ts = pd.to_datetime(df["ts"])
+    h0 = ts.min().floor("h")
+    h1 = ts.max().floor("h")
+    n_hours = int((h1 - h0) / pd.Timedelta(hours=1)) + 1
+    series: dict[str, list[int]] = {
+        et: [0] * n_hours for et in df["event_type"].unique()
+    }
+    for et, t in zip(df["event_type"], ts):
+        series[et][int((t.floor("h") - h0) / pd.Timedelta(hours=1))] += 1
+    hod0 = h0.hour
+    n_pts = 0
+    for et, xs in series.items():
+        # seasonal sums over interior rows
+        s_raw = collections.Counter()
+        n_h = collections.Counter()
+        interior = {}
+        for t in range(TS24_HALF, n_hours - TS24_HALF):
+            t25 = sum(xs[t - TS24_HALF: t + TS24_HALF + 1])
+            d25 = TS24_WIN * xs[t] - t25
+            hod = (hod0 + t) % 24
+            s_raw[hod] += d25
+            n_h[hod] += 1
+            interior[t] = (xs[t], t25, hod)
+        for t, (x, t25, hod) in interior.items():
+            trend = tdiv(t25 * TS24_MICRO, TS24_WIN)
+            seas = tdiv(s_raw[hod] * TS24_MICRO, TS24_WIN * n_h[hod])
+            resid = x * TS24_MICRO - trend - seas
+            assert got[(et, t)] == (x, trend, seas, resid), (et, t)
+            n_pts += 1
+    assert n_pts == len(got) and n_pts > 1000
+    # the decomposition is additive by construction at every point
+    for (et, t), (x, tr, se, re_) in got.items():
+        assert tr + se + re_ == x * TS24_MICRO
