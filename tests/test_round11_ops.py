@@ -129,7 +129,10 @@ def test_torn_segment_tail_ignored_and_healed(spark, ref_table):
     commit_append(spark.range(200, 201).select(F.col("id")), ref_table)
     log = list_snapshots(ref_table)
     assert [e["version"] for e in log] == [1, 2, 3]
-    assert "99" not in open(_seg(ref_table)).read().split("\n")[-2]
+    # the torn fragment is gone (not welded into any line); matching
+    # the exact fragment, not bare "99" — a wallclock ts_ms containing
+    # the digits 99 made the bare match flaky
+    assert '"version": 99' not in open(_seg(ref_table)).read()
 
 
 def test_compact_log_folds_segment(spark, ref_table):
