@@ -67,35 +67,46 @@ def _green_rounds() -> dict[str, int]:
     return latest
 
 
-# Queries whose IMPLEMENTATION changed this round (round 11): their old
+# Queries whose IMPLEMENTATION changed this round (round 12): their old
 # green rows prove the old code, so they re-enter the checked set right
 # behind never-checked queries. Refreshed every round — VERDICT r6 ask #2:
-# don't let prior-round rechecks squat in the sample. Round 11 rewrote
-# the COMMIT PATH of both snapshot stores (append-only JSONL segment
-# log, O(1) tail-read CAS, branch-pointer verify, keys index, root-
-# terminated materialization, one-sided merge replay), so every consumer
-# of catalog/snapshots.py and catalog/workspace.py re-enters the sample,
-# plus the three operators that gained the bound_int_support gate.
+# don't let prior-round rechecks squat in the sample. Round 12 replaced
+# every hot-path commit-log read with the incremental state cache
+# (_LogState: validated by base stat signature + segment byte offset),
+# added in-lock auto-compaction, made cross-family type evolution raise
+# instead of coerce, and hardened the stale-lock breaker and branch CAS
+# — so every consumer of catalog/snapshots.py and catalog/workspace.py
+# re-enters the sample, plus the three ask-#7 DECIMAL-audit operators
+# and g3 (which gained a real oracle this round).
 RECHECK = frozenset({
-    "m5_time_travel_versions",      # segment-log read path
-    "m11_incremental_append_scan",  # _resolve_paths over base+segment
-    "m20_snapshot_rollback",        # rollback commit via _append_entry
-    "m21_orphan_cleanup",           # orphan set over segment entries
-    "m22_snapshot_expiry",          # expiry compacts + root-materializes
-    "m29_branch_tag_scan",          # ref commits via new CAS
-    "m30_branch_wap",               # merge appends one segment line
-    "m31_ref_diff",                 # diff over base+segment log
+    "m5_time_travel_versions",      # reads via the cached log state
+    "m11_incremental_append_scan",  # _resolve_paths over cached state
+    "m20_snapshot_rollback",        # rollback plan reads cached head
+    "m21_orphan_cleanup",           # orphan set over cached log
+    "m22_snapshot_expiry",          # expiry rewrite installs cache state
+    "m23_metadata_only_aggregates", # metadata reads through _read_log
+    "m29_branch_tag_scan",          # ref commits via cached plan phase
+    "m30_branch_wap",               # merge under the hardened lock
+    "m31_ref_diff",                 # diff over cached base+segment
     "m32_transplant_scan",          # transplant emits segment entries
-    "m33_ref_aware_expiry",         # heads_only param threaded through
-    "m34_multi_table_commit",       # ws_commit retry-loop restructure
-    "m35_divergent_merge",          # one-sided replay rules changed
-    "m36_workspace_branch_wap",     # ws merge/commit pointer CAS
-    "m37_workspace_expiry",         # ws expiry root-materializes + keys
-    "st19_stream_branch_ingest",    # keyed commits via keys index
-    "st20_stream_atomic_publish",   # ws_commit idempotency index
-    "w12_weighted_median",          # bound_int_support gate added
-    "w15_median_abs_deviation",     # bound_int_support gate added
-    "ts22_theil_sen_trend",         # bound_int_support gate added
+    "m33_ref_aware_expiry",         # heads_only + keys pruning path
+    "m34_multi_table_commit",       # ws_commit plan via _ws_first_touch
+    "m35_divergent_merge",          # merge reads cached state
+    "m36_workspace_branch_wap",     # ws pointer CAS sentinel added
+    "m37_workspace_expiry",         # ws expiry + heartbeat
+    "m38_workspace_diff",           # ws_diff over cached log
+    "m39_workspace_transplant",     # transplant under hardened lock
+    "m40_commit_retry_reuse",       # retry loop re-plans via cache
+    "m41_truncating_retention",     # retention + auto-compaction coexist
+    "m42_workspace_rollback",       # rollback tombstones via first-touch
+    "m43_evolved_append_scan",      # _widen_numeric_types now raises x-family
+    "st19_stream_branch_ingest",    # per-batch commit via cached plan
+    "st20_stream_atomic_publish",   # ws_commit idempotency + cache
+    "st21_stream_seasonal_profile", # streaming consumer of events path
+    "a36_mann_whitney",             # u2/t widened to DECIMAL(38,0)
+    "w16_winsorized_mean",          # clipped sum widened to DECIMAL(38,0)
+    "ts22_theil_sen_trend",         # ask-#7 audit: documented bound
+    "g3_pagerank_converged",        # gained the unrolled-CTE oracle
 })
 
 

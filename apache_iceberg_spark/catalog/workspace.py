@@ -48,11 +48,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from apache_iceberg_spark.catalog.snapshots import (
     CommitConflict,
+    _MISSING,
     _append_entry,
     _data_dir,
+    _locked_state,
     _log_lock,
     _read_log,
     _read_tail,
+    _state_ancestry,
+    _state_parent,
+    _touch_lock,
     _write_log,
     compact_log as ws_compact_log,  # same file layout, one implementation
 )
@@ -182,37 +187,61 @@ def _ensure_main(ws_path: str, refs: dict, log: list[dict]) -> dict:
 
 
 def _ws_find_idempotent(
+    ws_path: str,
     refs: dict,
-    by_v: dict[int, dict],
     branch: str,
     parent_v: int | None,
     key: str,
 ) -> int | None:
     """O(1) indexed idempotency lookup, workspace flavor — same contract
     as the table-level ``_find_idempotent`` (VERDICT r10 ask #4): map
-    probe first, ancestry-verify on the rare hit, chain walk only for
-    history below ``keys_floor`` (pre-index commits; fresh workspaces
-    have floor 0, so a new stream's per-batch miss check never walks)."""
+    probe first (a fully-indexed MISS never touches the log state),
+    ancestry-verify on the rare hit, chain walk only for history below
+    ``keys_floor`` (pre-index commits; fresh workspaces have floor 0, so
+    a new stream's per-batch miss check never walks)."""
     if parent_v is None:
         return None
     mk = f"{branch}\x00{key}"
     hit = refs.get("keys", {}).get(mk)
-    ancestry: list[int] | None = None
-    if hit is not None and hit in by_v:
-        ancestry = _chain(by_v, parent_v)
-        if hit in ancestry:
-            return hit
     floor = refs.get("keys_floor")
-    if floor is not None and floor <= 0:
+    if hit is None and floor is not None and floor <= 0:
         return None
-    if ancestry is None:
-        ancestry = _chain(by_v, parent_v)
-    for v in ancestry:
-        if floor is not None and v > floor:
-            continue
-        if by_v[v].get("idempotency_key") == key:
-            return v
+    with _locked_state(ws_path) as st:
+        ancestry: list[int] | None = None
+        if hit is not None and hit in st.by_v:
+            ancestry = _state_ancestry(st, parent_v)
+            if hit in ancestry:
+                return hit
+        if floor is not None and floor <= 0:
+            return None
+        if ancestry is None:
+            ancestry = _state_ancestry(st, parent_v)
+        for v in ancestry:
+            if floor is not None and v > floor:
+                continue
+            if st.by_v[v].get("idempotency_key") == key:
+                return v
     return None
+
+
+def _ws_first_touch(st, table: str, version: int | None):
+    """(exists, layout) for ``table`` along ``version``'s lineage from
+    its FIRST touching entry — the commit plan's existence + layout
+    check in O(steps to the last touch) instead of a full file-set
+    resolution (for a table committed every micro-batch that is ONE
+    step). An empty ``set`` is the tombstone (absent); ``adds`` implies
+    a live parent (appends to a tombstoned table are creations by the
+    caller's own rule), so any touch that is not an empty set means the
+    table exists. Runs on the shared cached state: call under
+    ``_locked_state``."""
+    v = version
+    while v is not None and v in st.by_v:
+        t = st.by_v[v]["tables"].get(table)
+        if t is not None:
+            exists = bool(t["set"]) if "set" in t else True
+            return exists, t.get("partition_by", "unknown")
+        v = _state_parent(st, v)
+    return False, "unknown"
 
 
 def ws_commit(
@@ -224,6 +253,7 @@ def ws_commit(
     idempotency_key: str | None = None,
     branch: str = "main",
     max_retries: int = 0,
+    _write=None,
 ) -> int:
     """Commit EVERY table in ``dfs`` as ONE atomic workspace version on
     ``branch`` (default main).
@@ -261,7 +291,17 @@ def ws_commit(
     commit also touches) and re-attempts the swap after a jittered
     backoff. Two concurrent st20-style streams publishing to one
     workspace therefore both land, instead of one thrashing through
-    orphaned rewrites."""
+    orphaned rewrites.
+
+    ``_write``: probe hook — ``(name, df, ddir) -> None`` writes a
+    table's data directory in place of the Spark parquet job, so the
+    commit-path probe can drive this exact plan+CAS at 100k commits.
+
+    Per-commit metadata CPU is O(appended bytes): head and the per-table
+    existence/layout checks read through the incremental log cache
+    (first-touch lineage walks, one step for a table committed every
+    micro-batch), and a fully-indexed idempotency miss is one dict
+    probe (VERDICT r11 ask #1)."""
     import random
 
     if mode not in ("append", "overwrite"):
@@ -271,39 +311,40 @@ def ws_commit(
     os.makedirs(ws_path, exist_ok=True)
     written: dict[str, str] = {}  # table -> data dir, written ONCE
     for attempt in range(max_retries + 1):
-        log = _read_log(ws_path)
         refs = _read_refs(ws_path)
         if branch in refs["tags"]:
             raise ValueError(f"cannot commit to tag {branch!r}")
-        if branch == "main":
-            parent_v = refs["branches"].get(
-                "main", log[-1]["version"] if log else None
-            )
-        elif branch in refs["branches"]:
-            parent_v = refs["branches"][branch]
-        else:
+        if branch != "main" and branch not in refs["branches"]:
             raise ValueError(f"unknown branch {branch!r}")
-        by_v = {e["version"]: e for e in log}
+        with _locked_state(ws_path) as st:
+            head = st.log[-1]["version"] if st.log else None
+            if branch == "main":
+                parent_v = refs["branches"].get("main", head)
+            else:
+                parent_v = refs["branches"][branch]
+            touch = {
+                name: (
+                    _ws_first_touch(st, name, parent_v)
+                    if parent_v is not None
+                    else (False, "unknown")
+                )
+                for name in dfs
+            }
         if idempotency_key is not None:
             found = _ws_find_idempotent(
-                refs, by_v, branch, parent_v, idempotency_key
+                ws_path, refs, branch, parent_v, idempotency_key
             )
             if found is not None:
                 return found
-        head = log[-1]["version"] if log else None
         version = (head + 1) if head is not None else 1
         tables: dict[str, dict] = {}
         for name, df in dfs.items():
             pby = (partition_by or {}).get(name)
-            exists = (
-                parent_v is not None
-                and _resolve_table(log, name, parent_v) is not None
-            )
+            exists, recorded = touch[name]
             if exists and mode != "overwrite":
                 # Layout validation at commit time, the table-level
                 # store's ADVICE-r9 rule lifted here: a mis-partitioned
                 # append poisons every later multi-dir read.
-                recorded = _table_layout(by_v, parent_v, name)
                 if recorded != "unknown" and (recorded or None) != (pby or None):
                     raise ValueError(
                         f"partition_by={pby!r} for table {name!r} does "
@@ -315,10 +356,13 @@ def ws_commit(
                 tdir = os.path.join(ws_path, name)
                 os.makedirs(tdir, exist_ok=True)
                 ddir = _data_dir(tdir, "w", version)
-                w = df.write.mode("overwrite")
-                if pby:
-                    w = w.partitionBy(*pby)
-                w.parquet(ddir)
+                if _write is not None:
+                    _write(name, df, ddir)
+                else:
+                    w = df.write.mode("overwrite")
+                    if pby:
+                        w = w.partitionBy(*pby)
+                    w.parquet(ddir)
                 written[name] = ddir
             if mode == "overwrite" or not exists:
                 tables[name] = {"set": [written[name]], "partition_by": pby}
@@ -339,11 +383,18 @@ def ws_commit(
                 # fast-forward ws_merge_branch is a pure pointer move),
                 # which the head CAS cannot see — a commit planned
                 # before such a merge would silently revert it (ADVICE
-                # r10, medium). Re-verify the pointer in-section.
-                if (
-                    cur_refs["branches"].get(branch, parent_v)
-                    != parent_v
-                ):
+                # r10, medium). Re-verify the pointer in-section. A
+                # MISSING branch is a concurrent ws_delete_branch — a
+                # conflict, not a silent branch re-creation (ADVICE r11,
+                # low); missing "main" is the lazy-pin case (main is
+                # undeletable) and passes.
+                cur = cur_refs["branches"].get(branch, _MISSING)
+                if cur is _MISSING and branch != "main":
+                    raise CommitConflict(
+                        f"branch {branch!r} at {ws_path} was deleted "
+                        f"during commit of v{version}; re-read and retry"
+                    )
+                if cur is not _MISSING and cur != parent_v:
                     raise CommitConflict(
                         f"branch {branch!r} at {ws_path} moved "
                         f"{parent_v} -> "
@@ -416,6 +467,18 @@ def ws_read(
         at = version if version is not None else log[-1]["version"]
         raise ValueError(f"table {table!r} does not exist at v{at}")
     return _read_dirs(spark, paths)
+
+
+def ws_read_at(spark: SparkSession, ws_path: str, name: str) -> DataFrame:
+    """Workspace flavor of the ``table@ref`` sugar (VERDICT r11 ask #5):
+    ``ws_read_at(spark, ws, "sales@etl")`` reads table ``sales`` at the
+    workspace branch/tag ``etl``; a bare name reads main — Nessie's
+    reference syntax, where the ref scopes the whole catalog so two
+    reads at one ref are mutually consistent."""
+    from apache_iceberg_spark.catalog.snapshots import parse_at_ref
+
+    table, ref = parse_at_ref(name)
+    return ws_read(spark, ws_path, table, ref=ref)
 
 
 def ws_read_incremental(
@@ -985,6 +1048,7 @@ def ws_expire_versions(
                 # ancestry into a foreign lineage (ADVICE r10).
                 e["root"] = True
             keep.append(e)
+        _touch_lock(ws_path)  # heartbeat before the long rewrite
         _write_log(ws_path, keep)
         # Drop indexed idempotency keys whose version was expired — the
         # key's retry window has passed (table-level twin does the same).

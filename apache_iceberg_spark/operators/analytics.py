@@ -2247,13 +2247,12 @@ _A36_Z = (
             SELECT CAST(SUM(ca) AS BIGINT) AS na,
                    CAST(SUM(cv) - SUM(ca) AS BIGINT) AS nb,
                    SUM(CAST(ca AS HUGEINT) * dr) AS r2a,
-                   CAST(SUM(CAST(cv AS HUGEINT) * cv * cv - cv)
-                        AS BIGINT) AS t
+                   SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS t
             FROM ranked
         )
         SELECT na, nb,
-               CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
-               t,
+               CAST(r2a - na * (na + 1) AS DOUBLE) AS u2,
+               CAST(t AS DOUBLE) AS t,
                CAST((CAST(na AS HUGEINT) * nb
                      - (r2a - na * (na + 1)) {'//'} 2)
                     * {A36_MICRO} // (CAST(na AS HUGEINT) * nb)
@@ -2268,7 +2267,15 @@ _A36_Z = (
     "a34's double-rank machinery specialized to two groups: mid-ranks "
     "of ties as exact dr = 2*cum_before + cnt + 1 integers over the "
     "distinct-value cumsum, U in DOUBLED units u2 = 2R_A - na(na+1) "
-    "(exact BIGINT), the tie term sum(t^3 - t) exact, the rank-"
+    "accumulated in DECIMAL(38,0)/HUGEINT (BIGINT dies past ~3e9 rows "
+    "since u2 <= 2*na*nb; round-12 ask-#7 audit), the tie term "
+    "sum(t^3 - t) exact in the same decimal (BIGINT dies at one "
+    "~2.1M-row tie, n^3 > 2^63; property-tested at a 3M tie). The "
+    "u2/t DIAGNOSTIC columns project as DOUBLE — one correctly-"
+    "rounded cast of the exact value on both engines, since int128/"
+    "decimal downgrades engine-dependently across the driver's "
+    "Arrow/pandas boundary — while the decision statistics are "
+    "computed from the exact decimals BEFORE any cast: the rank-"
     "biserial effect size in micro-units by HUGEINT/DECIMAL integer "
     "DIV (2U folds into the doubled numerator so nothing floats), and "
     "only the z-score formula is shared float text. Spark shape: one "
@@ -2316,24 +2323,38 @@ def a36_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("dr"),
     )
+    # DECIMAL-overflow audit (VERDICT r11 ask #7): t = sum(cv^3 - cv)
+    # exceeds BIGINT at one value group of ~2.1M tied rows (n^3 > 2^63),
+    # and u2 <= 2*na*nb exceeds it past ~3e9 total rows — both real at
+    # 100 TB event scale. Both ACCUMULATE in DECIMAL(38,0)/HUGEINT
+    # (exact to ~1e12 tied rows / ~1e19 total rows) and the decision
+    # statistics (rank-biserial integer DIV, the z-score's single
+    # exact->double cast) are computed FROM those exact values. The
+    # projected u2/t columns cross the driver's Arrow/pandas boundary,
+    # where int128/decimal downgrades engine-dependently — so they
+    # project as DOUBLE on both engines (one correctly-rounded cast of
+    # the exact value; exact below 2^53, 1-ulp honest above). The
+    # property test drives a synthetic 3M-row tie past int64 and checks
+    # both doubles against Python-exact arithmetic.
     agg = ranked.agg(
         F.sum("ca").alias("na"),
         (F.sum("cv") - F.sum("ca")).alias("nb"),
         F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * dr")).alias("r2a"),
         F.sum(
             F.expr("CAST(cv AS DECIMAL(38,0)) * cv * cv - cv")
-        ).cast("long").alias("t"),
+        ).alias("t_dec"),
     )
     return agg.select(
         "na",
         "nb",
-        F.expr("CAST(r2a - na * (na + 1) AS BIGINT)").alias("u2"),
-        "t",
+        F.expr("CAST(r2a - na * (na + 1) AS DOUBLE)").alias("u2"),
+        F.expr("CAST(t_dec AS DOUBLE)").alias("t"),
         F.expr(
             f"CAST((CAST(na AS DECIMAL(38,0)) * nb "
             f"- (r2a - na * (na + 1)) DIV 2) "
             f"* {A36_MICRO} DIV (CAST(na AS DECIMAL(38,0)) * nb) "
             "AS BIGINT)"
         ).alias("rank_biserial_micro"),
-        F.expr(_A36_Z).alias("z_score"),
+        F.expr(_A36_Z.replace("CAST(t AS DOUBLE)", "CAST(t_dec AS DOUBLE)"))
+        .alias("z_score"),
     )

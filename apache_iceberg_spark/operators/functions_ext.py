@@ -1819,7 +1819,7 @@ W16_MICRO = 1_000_000
             FROM x JOIN bounds b ON b.g = x.g
         )
         SELECT b.g AS event_type, b.n, b.lo_cents, b.hi_cents,
-               CAST(SUM(c.v) AS BIGINT) AS sum_clipped_cents,
+               CAST(SUM(c.v) AS DOUBLE) AS sum_clipped_cents,
                CAST(SUM(c.v) * {W16_MICRO} // b.n AS BIGINT)
                    AS winsorized_mean_micro
         FROM clipped c JOIN bounds b ON b.g = c.g
@@ -1837,8 +1837,13 @@ W16_MICRO = 1_000_000
     "shelf with w15's MAD and ts22's Theil-Sen. ENTIRELY exact "
     "integers: percentile bounds from the w12-style distinct-value "
     "cumsum (bound_int_support-gated above 2M distinct), clipping is "
-    "GREATEST/LEAST on BIGINT cents, and the mean is emitted in "
-    "micro-units via integer DIV. Spark shape: one distinct-value "
+    "GREATEST/LEAST on BIGINT cents, the clipped sum accumulates in "
+    "DECIMAL(38,0)/HUGEINT (BIGINT dies at n*|v| > 2^63 — ~9e10 rows "
+    "of 1e8-cent values; the decimal holds to 1e38; it projects as "
+    "DOUBLE since int128/decimal downgrades engine-dependently at the "
+    "driver's Arrow boundary), and the mean — divided from the EXACT "
+    "decimal — is emitted in micro-units via integer DIV. Spark shape: "
+    "one distinct-"
     "frame per group for the bounds (broadcast back, |groups| rows), "
     "one map-side-combined re-aggregation for the clipped sum — two "
     "fact-table passes, zero row explosion, no global sort.",
@@ -1889,22 +1894,148 @@ def w16_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("v"))
         ).alias("cv"),
     )
+    # DECIMAL-overflow audit (VERDICT r11 ask #7): the clipped SUM
+    # itself overflows BIGINT at n * |v_cents| > 2^63 — ~9e10 rows of
+    # 1e8-cent values, inside 100 TB group sizes — so the accumulation
+    # is DECIMAL(38,0) (DuckDB's SUM(BIGINT) is already HUGEINT), not
+    # just the later *1e6 cross-multiply; it holds to ~1e38 cent-sum.
+    # The mean (the decision value) divides the EXACT decimal and stays
+    # a bounded BIGINT (max clip * 1e6); the sum itself projects as
+    # DOUBLE on both engines — int128/decimal downgrades engine-
+    # dependently across the driver's Arrow/pandas boundary, a DOUBLE
+    # is one correctly-rounded cast of the exact value. The property
+    # test drives a 1e19-cent sum past int64 and checks the mean exact.
     return (
         clipped.groupBy("g", "n", "lo_cents", "hi_cents")
-        .agg(F.sum("cv").alias("sum_clipped_cents"))
+        .agg(
+            F.sum(F.expr("CAST(cv AS DECIMAL(38,0))")).alias("sum_dec")
+        )
         .select(
             F.col("g").alias("event_type"),
             "n",
             "lo_cents",
             "hi_cents",
-            "sum_clipped_cents",
-            # DECIMAL(38,0) cross-multiply: a 100 TB group's clipped sum
-            # times 1e6 overflows BIGINT (DuckDB auto-promotes to
-            # HUGEINT; Spark must be told).
+            F.expr("CAST(sum_dec AS DOUBLE)").alias("sum_clipped_cents"),
             F.expr(
-                f"CAST(CAST(sum_clipped_cents AS DECIMAL(38,0)) "
-                f"* {W16_MICRO} DIV n AS BIGINT)"
+                f"CAST(sum_dec * {W16_MICRO} DIV n AS BIGINT)"
             ).alias("winsorized_mean_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- w17: trimmed mean (round 12) -------------------------------------------
+
+
+@register(
+    "w17_trimmed_mean",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type AS g,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        pv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM x GROUP BY 1, 2),
+        cum AS (
+            SELECT g, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY g) AS nt
+            FROM pv
+        ),
+        bounds AS (
+            SELECT g, CAST(MAX(nt) AS BIGINT) AS n,
+                   MIN(CASE WHEN cum * 100 >= {W16_LO_PCT} * nt
+                            THEN v END) AS lo_cents,
+                   MIN(CASE WHEN cum * 100 >= {W16_HI_PCT} * nt
+                            THEN v END) AS hi_cents
+            FROM cum GROUP BY g
+        ),
+        kept AS (
+            SELECT x.g, x.v
+            FROM x JOIN bounds b ON b.g = x.g
+            WHERE x.v >= b.lo_cents AND x.v <= b.hi_cents
+        )
+        SELECT b.g AS event_type, b.n,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               b.lo_cents, b.hi_cents,
+               CAST(SUM(k.v) * {W16_MICRO} // COUNT(*) AS BIGINT)
+                   AS trimmed_mean_micro
+        FROM kept k JOIN bounds b ON b.g = k.g
+        GROUP BY b.g, b.n, b.lo_cents, b.hi_cents
+        ORDER BY event_type
+    """,
+    doc=f"Trimmed mean per group — w16's sibling with the OTHER robust "
+    f"semantics: rows outside the exact type-1 p{W16_LO_PCT}/"
+    f"p{W16_HI_PCT} percentile bounds are DROPPED (w16 clips them to "
+    "the bound — a winsorized tail still votes at the boundary value; "
+    "a trimmed tail does not vote at all). Same exact-integer recipe: "
+    "bounds from the bound_int_support-gated distinct-value cumsum "
+    "(integer cross-multiplied percentile test, cum*100 >= p*nt), the "
+    "kept-row filter rides the broadcast bounds, the kept sum "
+    "accumulates in DECIMAL(38,0)/HUGEINT (same n*|v| > 2^63 audit "
+    "bound as w16), and the mean divides the exact decimal by the "
+    "KEPT count via integer DIV. Spark shape: one distinct-value "
+    "frame per group for the bounds (broadcast back), one map-side-"
+    "combined filtered re-aggregation — two fact passes, no sort.",
+    tags=("window", "aggregate", "analytics", "quality"),
+)
+def w17_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from apache_iceberg_spark.operators.analytics import bound_int_support
+
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).persist()  # plan-cache: feeds the bounds pass AND the kept pass
+    pv = x.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    pv, _step = bound_int_support(pv, group_cols=("g",))
+    wcum = (
+        W.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = pv.select(
+        "g",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("g")).alias("nt"),
+    )
+    bounds = cum.groupBy("g").agg(
+        F.max("nt").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= W16_LO_PCT * F.col("nt"), F.col("v")
+            )
+        ).alias("lo_cents"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= W16_HI_PCT * F.col("nt"), F.col("v")
+            )
+        ).alias("hi_cents"),
+    )
+    kept = x.join(F.broadcast(bounds), "g").filter(
+        (F.col("v") >= F.col("lo_cents")) & (F.col("v") <= F.col("hi_cents"))
+    )
+    return (
+        kept.groupBy("g", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).alias("sum_dec"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            "n",
+            "n_kept",
+            "lo_cents",
+            "hi_cents",
+            F.expr(
+                f"CAST(sum_dec * {W16_MICRO} DIV n_kept AS BIGINT)"
+            ).alias("trimmed_mean_micro"),
         )
         .orderBy("event_type")
     )

@@ -227,9 +227,85 @@ G3_DRIVER_NODES = 100_000
 _G3_CKPT_EVERY = 4
 
 
+#: g3b's pinned round count — the REGISTERED CONVERGENCE PROFILE: the
+#: number of rounds g3's relative-tolerance criterion needs on the
+#: (md5-pinned) sf0.01 fixture, measured once and pinned here so the
+#: bounded-round variant reproduces g3's converged output exactly there
+#: (tests/test_round6_ops.py proves the equality). Unlike g3, g3b never
+#: early-exits, so its semantics — "exactly N damped power steps" — are
+#: deterministic at ANY scale factor and one-shot-SQL-expressible.
+G3B_ROUNDS = 33
+
+
+def _g3b_oracle(rounds: int = G3B_ROUNDS) -> str:
+    """DuckDB oracle for g3b: the N-round damped power iteration UNROLLED
+    into chained CTEs (r1..rN), generated programmatically — the exact
+    integer micro-unit arithmetic of ``_power_step`` at every step, so
+    the match is bitwise. This closes VERDICT r5 ask #2: g3's loop shape
+    gets a hash-green driver row via its bounded-round twin."""
+    steps = [
+        f"""r1 AS MATERIALIZED (
+            SELECT e.dst_kind AS kind, e.dst AS node,
+                   {PR_BASE_MICRO} + (85 * CAST(SUM(
+                       {PR_MICRO} // d.outdeg) AS BIGINT)) // 100
+                       AS rank_micro
+            FROM edges e
+            JOIN deg d ON d.src_kind = e.src_kind AND d.src = e.src
+            GROUP BY e.dst_kind, e.dst
+        )"""
+    ]
+    for i in range(2, rounds + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+            SELECT e.dst_kind AS kind, e.dst AS node,
+                   {PR_BASE_MICRO} + (85 * CAST(SUM(
+                       r.rank_micro // d.outdeg) AS BIGINT)) // 100
+                       AS rank_micro
+            FROM edges e
+            JOIN deg d ON d.src_kind = e.src_kind AND d.src = e.src
+            JOIN r{i - 1} r ON r.kind = e.src_kind AND r.node = e.src
+            GROUP BY e.dst_kind, e.dst
+        )"""
+        )
+    # MATERIALIZED everywhere: without the optimizer barrier DuckDB
+    # inlines the whole 33-CTE chain into one join tree and its join-order
+    # search goes super-linear (the un-hinted form did not finish in 100s
+    # at sf0.001; hinted it runs in seconds).
+    return f"""
+        WITH edges0 AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS MATERIALIZED (
+            SELECT 'c' AS src_kind, c AS src, 's' AS dst_kind, s AS dst
+            FROM edges0
+            UNION ALL
+            SELECT 's', s, 'c', c FROM edges0
+        ),
+        deg AS MATERIALIZED (
+            SELECT src_kind, src, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src_kind, src
+        ),
+        {",".join(steps)}
+        SELECT rN.node AS l_suppkey, rN.rank_micro,
+               d.outdeg AS n_links
+        FROM r{rounds} rN JOIN deg d ON d.src_kind = 's' AND d.src = rN.node
+        WHERE rN.kind = 's'
+    """
+
+
 @register(
     "g3_pagerank_converged",
-    oracle=None,  # data-dependent round count — not one-shot-SQL-expressible
+    # Round 12 (VERDICT r11 ask #3): the oracle is g3b's unrolled
+    # N-round power iteration. g3's round count is data-dependent, but
+    # on the md5-PINNED driver fixture (sf0.01) convergence takes
+    # exactly G3B_ROUNDS rounds and tests/test_round6_ops.py proves
+    # g3 == g3b row-for-row there — so the unrolled CTE chain is the
+    # exact value-hash oracle AT THE DRIVER'S FIXTURE, closing the
+    # registry's last rows-only row. At any other scale factor the
+    # equality is not implied (the loop may stop elsewhere); the
+    # bounded-round semantics live under g3b for those.
+    oracle=_g3b_oracle(),
     doc="PageRank run to CONVERGENCE — the production shape g1's unrolled "
     "two-step plan stands for: the identical per-iteration dataflow "
     "(one rank-onto-edges join + one destination aggregate, exact "
@@ -246,11 +322,12 @@ _G3_CKPT_EVERY = 4
     "localCheckpoint (dd6's iteration pattern — persist alone grows the "
     "logical plan exponentially with rounds). The convergence probe "
     "rides the SAME frame (old rank carried alongside new — a filter + "
-    "count, no extra join). No SQL oracle: the round count is data-"
-    "dependent, so the driver records a rows-only check; the pytest "
-    "suite proves the fixpoint property instead (one further power "
-    "step moves nothing beyond tolerance) and cross-checks round-2 "
-    "ranks against g1's oracle-proven unrolled plan.",
+    "count, no extra join). Oracle: the G3B_ROUNDS-unrolled power "
+    "iteration — exact on the pinned driver fixture where convergence "
+    "takes exactly that many rounds (pytest proves g3 == g3b there, "
+    "plus the fixpoint property: one further power step moves nothing "
+    "beyond tolerance, and round-2 ranks match g1's oracle-proven "
+    "unrolled plan).",
     tags=("graph", "iterative", "centrality"),
 )
 def g3_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,73 +452,6 @@ def _g3_small_graph_loop(
         cur, schema="kind string, node long, rank_micro long"
     )
     return _supplier_projection(edges_deg, final)
-
-
-#: g3b's pinned round count — the REGISTERED CONVERGENCE PROFILE: the
-#: number of rounds g3's relative-tolerance criterion needs on the
-#: (md5-pinned) sf0.01 fixture, measured once and pinned here so the
-#: bounded-round variant reproduces g3's converged output exactly there
-#: (tests/test_round6_ops.py proves the equality). Unlike g3, g3b never
-#: early-exits, so its semantics — "exactly N damped power steps" — are
-#: deterministic at ANY scale factor and one-shot-SQL-expressible.
-G3B_ROUNDS = 33
-
-
-def _g3b_oracle(rounds: int = G3B_ROUNDS) -> str:
-    """DuckDB oracle for g3b: the N-round damped power iteration UNROLLED
-    into chained CTEs (r1..rN), generated programmatically — the exact
-    integer micro-unit arithmetic of ``_power_step`` at every step, so
-    the match is bitwise. This closes VERDICT r5 ask #2: g3's loop shape
-    gets a hash-green driver row via its bounded-round twin."""
-    steps = [
-        f"""r1 AS MATERIALIZED (
-            SELECT e.dst_kind AS kind, e.dst AS node,
-                   {PR_BASE_MICRO} + (85 * CAST(SUM(
-                       {PR_MICRO} // d.outdeg) AS BIGINT)) // 100
-                       AS rank_micro
-            FROM edges e
-            JOIN deg d ON d.src_kind = e.src_kind AND d.src = e.src
-            GROUP BY e.dst_kind, e.dst
-        )"""
-    ]
-    for i in range(2, rounds + 1):
-        steps.append(
-            f"""r{i} AS MATERIALIZED (
-            SELECT e.dst_kind AS kind, e.dst AS node,
-                   {PR_BASE_MICRO} + (85 * CAST(SUM(
-                       r.rank_micro // d.outdeg) AS BIGINT)) // 100
-                       AS rank_micro
-            FROM edges e
-            JOIN deg d ON d.src_kind = e.src_kind AND d.src = e.src
-            JOIN r{i - 1} r ON r.kind = e.src_kind AND r.node = e.src
-            GROUP BY e.dst_kind, e.dst
-        )"""
-        )
-    # MATERIALIZED everywhere: without the optimizer barrier DuckDB
-    # inlines the whole 33-CTE chain into one join tree and its join-order
-    # search goes super-linear (the un-hinted form did not finish in 100s
-    # at sf0.001; hinted it runs in seconds).
-    return f"""
-        WITH edges0 AS MATERIALIZED (
-            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ),
-        edges AS MATERIALIZED (
-            SELECT 'c' AS src_kind, c AS src, 's' AS dst_kind, s AS dst
-            FROM edges0
-            UNION ALL
-            SELECT 's', s, 'c', c FROM edges0
-        ),
-        deg AS MATERIALIZED (
-            SELECT src_kind, src, CAST(COUNT(*) AS BIGINT) AS outdeg
-            FROM edges GROUP BY src_kind, src
-        ),
-        {",".join(steps)}
-        SELECT rN.node AS l_suppkey, rN.rank_micro,
-               d.outdeg AS n_links
-        FROM r{rounds} rN JOIN deg d ON d.src_kind = 's' AND d.src = rN.node
-        WHERE rN.kind = 's'
-    """
 
 
 @register(

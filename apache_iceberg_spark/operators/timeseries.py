@@ -2198,7 +2198,12 @@ TS22_MICRO = 1_000_000
     "bounded (720 points -> 259k pairs here; ~9k points/year), never "
     "in the row count — an unbounded-span deployment coarsens the "
     "bucket first (a27's guard argument), the standard practice for "
-    "Theil-Sen at scale.",
+    "Theil-Sen at scale. Overflow bound (VERDICT r11 ask #7 audit): "
+    "the slope numerator dx * 1e6 is the widest integer — BIGINT-safe "
+    "while any single hourly bucket holds < 9.2e12 events (2^63/1e6); "
+    "a deployment past ~9 trillion events/hour has coarsened the "
+    "bucket long before for the quadratic-pairs reason above, so the "
+    "bound is documented rather than widened.",
     tags=("timeseries", "statistics", "robust"),
 )
 def ts22_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2558,3 +2563,147 @@ def ts24_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"- s_raw * {TS24_MICRO} DIV ({TS24_WIN} * n_h) AS BIGINT)"
         ).alias("residual_micro"),
     )
+
+
+# --- ts25: CUSUM changepoint on the hourly series (round 12) ----------------
+
+TS25_MICRO = 1_000_000
+
+
+def _ts25_finish(spark: SparkSession, per_hour: DataFrame) -> DataFrame:
+    """CUSUM changepoint from a per-hour count table (h timestamp, x
+    count) — shared by the batch operator (ts25) and its streaming twin
+    (st22), so the stream's answer is definitionally the same plan over
+    the same partial table. Rebuilds the calendar spine from min(h) to
+    max(h) (missing hours are genuine zeros), computes the exact-integer
+    CUSUM S_k = sum_{{i<=k}} (m*x_i - T) over the spine (scaled by the
+    point count m so no division appears; S_m-1 telescopes to 0), and
+    returns the argmax |S| split: the hour offset where the mean most
+    plausibly shifted, with the exact micro-unit means of both sides.
+    Tie-break: smallest t among equal |S| (deterministic). The cumsum
+    window is a deliberate SinglePartition over the CALENDAR-BOUNDED
+    spine (ts22's argument: ~9k points/year — the ordered structure is
+    never the row count). Integer bound: |S| <= m*T — BIGINT-safe while
+    points*total_events < 2^63 (a year of hourly buckets holds to ~1e15
+    total events); the m*x products ride DECIMAL(38,0)/HUGEINT so the
+    bound is the OUTPUT's, not the arithmetic's."""
+    b = per_hour.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = b.select(
+        F.col("h0"),
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    sp = spine.join(per_hour, "h", "left").select(
+        (
+            (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600
+        ).cast("long").alias("t"),
+        F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+    )
+    tot = sp.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("x").alias("tt")
+    )
+    s = sp.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "x",
+        "m",
+        "tt",
+        F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * x - tt"))
+        .over(
+            Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("s"),
+        F.sum("x")
+        .over(
+            Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cx"),
+    )
+    return (
+        s.orderBy(F.abs(F.col("s")).desc(), F.col("t").asc())
+        .limit(1)
+        .select(
+            F.col("m").alias("n_points"),
+            F.col("t").alias("cp_t"),
+            F.expr("CAST(abs(s) AS BIGINT)").alias("cusum_abs_max"),
+            F.expr(
+                f"CAST(cx * {TS25_MICRO} DIV (t + 1) AS BIGINT)"
+            ).alias("left_mean_micro"),
+            F.expr(
+                f"CAST((tt - cx) * {TS25_MICRO} "
+                f"DIV NULLIF(m - 1 - t, 0) AS BIGINT)"
+            ).alias("right_mean_micro"),
+        )
+    )
+
+
+@register(
+    "ts25_cusum_changepoint",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                       CAST(SUM(x) AS BIGINT) AS tt FROM sp),
+        cum AS (
+            SELECT t, x, m, tt,
+                   SUM(CAST(m AS HUGEINT) * x - tt) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s,
+                   SUM(x) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cx
+            FROM sp CROSS JOIN tot
+        )
+        SELECT m AS n_points, t AS cp_t,
+               CAST(abs(s) AS BIGINT) AS cusum_abs_max,
+               CAST(cx * {TS25_MICRO} // (t + 1) AS BIGINT)
+                   AS left_mean_micro,
+               CAST((tt - cx) * {TS25_MICRO} // NULLIF(m - 1 - t, 0)
+                    AS BIGINT) AS right_mean_micro
+        FROM cum
+        ORDER BY abs(s) DESC, t ASC
+        LIMIT 1
+    """,
+    doc="CUSUM changepoint detection on the hourly event-count series: "
+    "the classic level-shift locator — S_k = sum_{i<=k} (m*x_i - T) "
+    "peaks (in absolute value) at the hour where the series' mean "
+    "most plausibly changed, and the argmax splits the spine into the "
+    "before/after regimes whose exact micro-unit means are emitted. "
+    "The pipeline alarm a dashboard wants when a feed silently "
+    "doubles or halves its rate mid-day. ENTIRELY exact integers: the "
+    "CUSUM is scaled by the point count m so no division appears "
+    "(S telescopes to exactly 0 at the end — a built-in self-check), "
+    "products ride DECIMAL(38,0)/HUGEINT, means are integer DIV in "
+    "micro-units, and the argmax tie-breaks on the earliest hour. "
+    "Scale shape: one hourly groupBy over the facts (map-side "
+    "combined), then every ordered structure — spine fill, cumsum "
+    "window, argmax sort — runs on the CALENDAR-BOUNDED spine "
+    "(~9k points/year), never on rows; the |S| <= m*T output bound "
+    "is BIGINT-safe to ~1e15 events/year (stated in _ts25_finish).",
+    tags=("timeseries", "statistics", "changepoint"),
+)
+def ts25_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return _ts25_finish(spark, hourly)

@@ -1772,3 +1772,61 @@ def _st21_set_oracle() -> None:
 
 
 _st21_set_oracle()
+
+
+# --- st22: streaming CUSUM changepoint (ts25 at ingest) ----------------------
+
+
+@register(
+    "st22_stream_changepoint",
+    oracle=None,  # bound to ts25's oracle below
+    doc="ts25's CUSUM changepoint maintained BY THE STREAM: the "
+    "micro-batch aggregation keeps one COUNT per hour bucket — a "
+    "mergeable partial, so streaming state is the calendar-bounded "
+    "spine (~9k rows/year) regardless of event rate, and every batch "
+    "folds in map-side like the batch groupBy. The CUSUM itself "
+    "(spine fill, the m*x - T scan, the argmax split with exact "
+    "micro-unit regime means) runs on the final per-hour table via "
+    "the SAME _ts25_finish the batch operator uses, so the stream's "
+    "answer is bitwise-equal to ts25's and the driver checks it "
+    "against ts25's own oracle. The monitoring story: a feed whose "
+    "rate silently halves mid-stream moves cusum_abs_max and cp_t "
+    "within one micro-batch of the shift — priced at one tiny "
+    "stateful count, not a batch recompute.",
+    tags=("streaming", "timeseries", "changepoint"),
+)
+def st22_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.timeseries import _ts25_finish
+
+    per_h = (
+        stream_events(spark, sf_dir)
+        .select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    qname = f"st22_cusum_{next(_stream_ids)}"
+    query = (
+        per_h.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _ts25_finish(spark, spark.table(qname))
+
+
+def _st22_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import timeseries  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st22_stream_changepoint"]
+    REGISTRY["st22_stream_changepoint"] = dataclasses.replace(
+        q, oracle=REGISTRY["ts25_cusum_changepoint"].oracle
+    )
+
+
+_st22_set_oracle()

@@ -12,11 +12,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import bench  # noqa: E402
 
 # The driver's tail capture observed in BENCH_r0{3,4,5}.json is 2000 chars.
-# The final line plus the two short preceding lines (combined-fixture digest
-# ~90 chars, streaming timings ~110 chars) must all fit so the tail parses
-# AND still shows the fixture digest.
+# The final (contract) line must fit with a little headroom; the preceding
+# digest/streaming lines are best-effort (BENCH_r11's capture already cut
+# into the streaming line — both also go to stderr), so since round 12 the
+# headroom is small and the contract line carries the host self-label.
 _TAIL_BUDGET = 2000
-_PRECEDING_LINES_BUDGET = 230
+_PRECEDING_LINES_BUDGET = 150
 
 
 def _rendered_contract_line(timings: dict) -> str:
@@ -28,6 +29,12 @@ def _rendered_contract_line(timings: dict) -> str:
             "queries": timings,
             "canary_total": 99999.999,
             "sf": 0.1,
+            # worst-case-width host self-label (VERDICT r11 ask #2)
+            "host": {
+                "load1_start": 999.99,
+                "load1_end": 999.99,
+                "cpus_visible": 128,
+            },
         },
         separators=(",", ":"),
     )
@@ -69,8 +76,23 @@ def test_realistic_widths_spill_nothing():
 def test_contract_line_has_exactly_the_contract_keys():
     obj = json.loads(_rendered_contract_line({"q1": 1.0}))
     assert set(obj) == {
-        "metric", "value", "unit", "queries", "canary_total", "sf"
+        "metric", "value", "unit", "queries", "canary_total", "sf", "host"
     }
+    # the self-label the driver's truncated tail must still carry
+    assert set(obj["host"]) == {"load1_start", "load1_end", "cpus_visible"}
+
+
+def test_contract_line_source_carries_host_self_label():
+    """bench.main()'s contract_line must embed the host dict — pin it at
+    the source so a refactor cannot silently drop the self-label back to
+    the front-truncated separate line (VERDICT r11 ask #2)."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    start = src.index("def contract_line")
+    body = src[start:src.index("# Hard guard on the tail budget")]
+    for key in ('"host"', '"load1_start"', '"load1_end"', '"cpus_visible"'):
+        assert key in body, f"{key} missing from contract_line"
 
 
 def test_canary_set_is_pinned():

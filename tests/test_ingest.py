@@ -169,3 +169,66 @@ def test_pipeline_env_config(spark, tmp_path, monkeypatch):
     summary = csv_to_table_pipeline(spark, cfg)
     assert summary["exit_code"] == 0
     assert spark.table("ing_env.envsrcs").count() == 1  # pluralized
+
+
+# --- VERDICT r11 ask #6: splittable CSV fast path ---------------------------
+
+
+def test_clean_csv_reads_splittable_with_identical_output(spark, tmp_path):
+    """A newline-free CSV must read with multiLine=False (each file
+    splittable at maxPartitionBytes) and parse IDENTICALLY to the
+    multiLine=True reference-parity mode."""
+    from apache_iceberg_spark.ingest.loader import (
+        csv_sample_has_embedded_newlines,
+    )
+
+    path = tmp_path / "big.csv"
+    with open(path, "w") as f:
+        f.write("id,name,score\n")
+        for i in range(40_000):
+            f.write(f'{i},"user {i}",{i * 0.5}\n')
+    assert os.path.getsize(path) > 4 * 65536
+    assert not csv_sample_has_embedded_newlines(str(path))
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        fast = read_csv(spark, str(path))  # pre-probe picks splittable
+        assert fast.rdd.getNumPartitions() > 1, (
+            "clean CSV did not split — TB-scale ingestion would "
+            "single-task"
+        )
+        slow = read_csv(spark, str(path), multiline=True)
+        assert slow.rdd.getNumPartitions() == 1  # the old single-split
+        assert fast.schema == slow.schema
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_embedded_newline_csv_keeps_multiline(spark, tmp_path):
+    from apache_iceberg_spark.ingest.loader import (
+        csv_sample_has_embedded_newlines,
+    )
+
+    path = tmp_path / "notes.csv"
+    with open(path, "w") as f:
+        f.write("id,note\n")
+        f.write('1,"line one\nline two"\n')
+        f.write('2,"doubled "" quote, no newline"\n')
+    assert csv_sample_has_embedded_newlines(str(path))
+    df = read_csv(spark, str(path))  # pre-probe keeps multiLine=True
+    rows = {r["id"]: r["note"] for r in df.collect()}
+    assert rows[1] == "line one\nline two"
+    assert rows[2] == 'doubled " quote, no newline'
+
+
+def test_remote_and_missing_paths_stay_conservative():
+    from apache_iceberg_spark.ingest.loader import (
+        csv_sample_has_embedded_newlines,
+    )
+
+    assert csv_sample_has_embedded_newlines("https://x.example/data.csv")
+    assert csv_sample_has_embedded_newlines("/nonexistent/dir/*.csv")

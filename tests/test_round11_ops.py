@@ -603,24 +603,32 @@ def test_keys_index_written_and_floor_zero_without_legacy(spark, ref_table):
 
 
 def test_idempotency_miss_is_o1_when_fully_indexed(spark):
-    """With floor 0 a MISS must not walk the chain at all — the walk
-    was O(branch length) per commit, O(n²) over a stream's lifetime."""
+    """With floor 0 a MISS must not walk the chain — or even open the
+    log state — at all: the walk was O(branch length) per commit, O(n²)
+    over a stream's lifetime (round 12 made the fully-indexed miss a
+    pure refs-dict probe with zero log I/O)."""
     import apache_iceberg_spark.catalog.snapshots as S
     import apache_iceberg_spark.catalog.workspace as W
 
     refs = {"branches": {"b": 500}, "tags": {}, "keys": {}, "keys_floor": 0}
-    by_v = {v: {"version": v, "parent": v - 1} for v in range(1, 501)}
 
     def boom(*a, **k):  # noqa: ANN002
-        raise AssertionError("chain walk on a fully-indexed miss")
+        raise AssertionError("log-state access on a fully-indexed miss")
 
-    orig_anc, orig_chain = S._ancestry, W._chain
-    S._ancestry, W._chain = boom, boom
+    orig_state, orig_anc = S._refresh_state, S._state_ancestry
+    S._refresh_state, S._state_ancestry = boom, boom
     try:
-        assert S._find_idempotent(refs, by_v, "b", 500, "nope") is None
-        assert W._ws_find_idempotent(refs, by_v, "b", 500, "nope") is None
+        # nonexistent path: any state access would boom (or OSError)
+        assert (
+            S._find_idempotent("/nonexistent/t", refs, "b", 500, "nope")
+            is None
+        )
+        assert (
+            W._ws_find_idempotent("/nonexistent/ws", refs, "b", 500, "nope")
+            is None
+        )
     finally:
-        S._ancestry, W._chain = orig_anc, orig_chain
+        S._refresh_state, S._state_ancestry = orig_state, orig_anc
 
 
 def test_legacy_keyed_history_sets_floor_and_still_found(spark, ref_table):

@@ -1,16 +1,38 @@
-"""Commit-log I/O probe (VERDICT r10 ask #1's done-criterion): measure
-per-commit metadata bytes at 10k commits through the REAL commit path
-(``_append_commit`` — lock, CAS, segment append), no Spark involved.
+"""Commit-log probes for the metadata commit path (no Spark involved).
 
-Round-10 stored delta entries but rewrote the whole log per commit:
-O(commits) bytes per commit, O(commits²) cumulative — 7.47 GB at 10k
-commits (SCALE_NOTES §ref-log). Round 11's append-only JSONL segment
-writes one entry per commit: O(1) bytes, O(commits) cumulative.
+Two modes:
 
-Usage: PYTHONPATH=/root/repo python tools/commitlog_probe.py [n_commits]
-Prints one JSON line with measured per-commit bytes (first/median/last),
-cumulative bytes written, log size, and wall time — plus the analytic
-whole-file-rewrite cumulative for the same history as the comparison.
+``bytes [n]`` (default, VERDICT r10 ask #1's done-criterion): per-commit
+metadata BYTES at 10k commits through the real ``_append_commit`` path
+(lock, CAS, segment append). Round-10 rewrote the whole log per commit
+(O(commits) bytes per commit, 7.47 GB cumulative at 10k — SCALE_NOTES
+§ref-log); the round-11 segment append is O(1) bytes per commit. Run
+with auto-compaction DISABLED so the byte accounting isolates the
+append path.
+
+``wall [n]`` (VERDICT r11 ask #1's done-criterion): per-commit WALL
+TIME at 100k commits through the FULL ``commit_append_ref`` and
+``ws_commit`` paths — plan (refs read, idempotency probe, head +
+parent-layout resolution), data-dir write (injected ``mkdir`` via the
+``_write`` probe hook, so no 100k Spark jobs), and the lock+CAS+fsync
+commit point — with NO expiry and NO compaction (``--no-autocompact``
+is implied for the headline numbers; a second pass runs with
+auto-compaction on to show the maintenance path also stays amortized-
+flat). Round 11 parsed the full log per commit at plan time (O(commits)
+CPU per commit); round 12's incremental log-state cache parses only the
+segment lines appended since the last read, so the per-commit wall must
+be FLAT in history length. Flatness is reported as first-decile vs
+last-decile mean wall.
+
+The probe passes NO idempotency keys: an unexpiring keyed stream grows
+``_refs.json`` O(commits) by design (the key index IS the idempotency
+window), and the documented contract is that keyed streams run the
+retention cadence (``tools/ws_endurance_probe.py`` holds a keyed
+1000-batch stream flat with expiry every 200 batches).
+
+Usage:
+  PYTHONPATH=/root/repo python tools/commitlog_probe.py [bytes|wall] [n]
+Prints one JSON line per mode section.
 """
 
 from __future__ import annotations
@@ -22,13 +44,14 @@ import tempfile
 import time
 
 
-def main() -> None:
+def bytes_mode(n: int) -> None:
+    import apache_iceberg_spark.catalog.snapshots as S
     from apache_iceberg_spark.catalog.snapshots import (
         _append_commit,
         _read_log,
     )
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    S.AUTO_COMPACT_MIN_SEGMENT_BYTES = None  # isolate the append path
     table = tempfile.mkdtemp(prefix="logprobe_") + "/t"
     os.makedirs(table)
     seg = os.path.join(table, "_versions.jsonl")
@@ -58,7 +81,7 @@ def main() -> None:
         prev_size = size
     wall = time.time() - t0
 
-    # Verify the log still resolves end-to-end after 10k appends.
+    # Verify the log still resolves end-to-end after the appends.
     log = _read_log(table)
     assert len(log) == n, (len(log), n)
 
@@ -75,6 +98,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "mode": "bytes",
                 "commits": n,
                 "per_commit_bytes_first": per_commit_bytes[0],
                 "per_commit_bytes_median": per_sorted[n // 2],
@@ -89,6 +113,114 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+
+
+def _wall_stats(lat: list[float], extra: dict) -> dict:
+    n = len(lat)
+    dec = max(1, n // 10)
+    srt = sorted(lat)
+    first = sum(lat[:dec]) / dec
+    last = sum(lat[-dec:]) / dec
+    return {
+        **extra,
+        "commits": n,
+        "wall_s": round(sum(lat), 2),
+        "commits_per_s": round(n / max(1e-9, sum(lat)), 1),
+        "us_p50": round(srt[n // 2] * 1e6, 1),
+        "us_p99": round(srt[(99 * n) // 100] * 1e6, 1),
+        "us_first_decile_mean": round(first * 1e6, 1),
+        "us_last_decile_mean": round(last * 1e6, 1),
+        "last_over_first": round(last / max(1e-9, first), 3),
+    }
+
+
+def wall_mode(n: int) -> None:
+    import apache_iceberg_spark.catalog.snapshots as S
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+    )
+    from apache_iceberg_spark.catalog.workspace import ws_commit
+
+    class _Seed:
+        """commit_snapshot needs one real write to seed v1; fake it with
+        the same directory shape the probe hook writes."""
+
+        class write:  # noqa: N801 - mimics DataFrame.write chaining
+            mode = classmethod(lambda cls, _m: cls)
+            parquet = staticmethod(lambda ddir: os.makedirs(ddir))
+
+    for autocompact in (False, True):
+        S.AUTO_COMPACT_MIN_SEGMENT_BYTES = 256 * 1024 if autocompact else None
+        table = tempfile.mkdtemp(prefix="wallprobe_t_") + "/t"
+        os.makedirs(table)
+        commit_snapshot(_Seed(), table, ts_ms=0)
+        create_branch(table, "etl")
+        lat: list[float] = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            commit_append_ref(
+                None,
+                table,
+                branch="etl",
+                ts_ms=i,
+                _write=os.makedirs,
+            )
+            lat.append(time.perf_counter() - t0)
+        seg = os.path.join(table, "_versions.jsonl")
+        base = os.path.join(table, "_versions.json")
+        print(
+            json.dumps(
+                _wall_stats(
+                    lat,
+                    {
+                        "mode": "wall_table",
+                        "autocompact": autocompact,
+                        "seg_bytes": (
+                            os.path.getsize(seg) if os.path.exists(seg) else 0
+                        ),
+                        "base_bytes": (
+                            os.path.getsize(base)
+                            if os.path.exists(base)
+                            else 0
+                        ),
+                    },
+                ),
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+
+    # Workspace layer: the st20 shape minus Spark (two tables per commit).
+    S.AUTO_COMPACT_MIN_SEGMENT_BYTES = None
+    ws = tempfile.mkdtemp(prefix="wallprobe_ws_")
+    lat = []
+    hook = lambda name, df, ddir: os.makedirs(ddir)  # noqa: E731
+    for i in range(n):
+        t0 = time.perf_counter()
+        ws_commit(
+            ws, {"raw": None, "agg": None}, ts_ms=i, _write=hook
+        )
+        lat.append(time.perf_counter() - t0)
+    print(
+        json.dumps(
+            _wall_stats(lat, {"mode": "wall_workspace", "autocompact": False}),
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    mode = "bytes"
+    if args and args[0] in ("bytes", "wall"):
+        mode = args.pop(0)
+    if mode == "bytes":
+        bytes_mode(int(args[0]) if args else 10_000)
+    else:
+        wall_mode(int(args[0]) if args else 100_000)
 
 
 if __name__ == "__main__":
