@@ -2135,3 +2135,62 @@ def dd21_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro.cast("long").alias("dup_word_micro"),
         (micro <= DD21_MAX_DUP_MICRO).alias("keep"),
     )
+
+
+# --- dd22: duplicate-cluster size histogram (round 12) -----------------------
+
+
+@register(
+    "dd22_dup_cluster_histogram",
+    oracle="""
+        WITH clusters AS (
+            SELECT md5(lower(trim(text))) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM documents GROUP BY 1
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * COUNT(*) AS BIGINT)
+                   AS n_removable
+        FROM clusters
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,
+    doc="Duplicate-cluster SIZE HISTOGRAM over dd1's exact-hash clusters: "
+    "for each cluster size, how many clusters, how many documents they "
+    "hold, and how many rows deduplication would remove — the one-page "
+    "duplication report a corpus curation run reads before choosing a "
+    "dedup strategy (a corpus whose mass sits in size-2 clusters wants "
+    "cheap exact dedup; a heavy tail of giant clusters signals "
+    "boilerplate/spam needing URL- or template-level rules, the "
+    "distinction dd11's profile summarizes in aggregate and this "
+    "histogram resolves by size). Two map-side-combined groupBys: the "
+    "fact shuffle is on the 16-byte md5 (never the text itself — at "
+    "100 TB the hash column is what moves), and the histogram regroup "
+    "is |distinct sizes| rows (bounded by the largest cluster, in "
+    "practice a few hundred). n_removable = (size-1)*clusters in "
+    "exact integers; its total across rows is the corpus-wide dedup "
+    "savings.",
+    tags=("dedup", "llm", "quality"),
+)
+def dd22_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -1484,3 +1484,98 @@ def g11_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# --- g11: degree assortativity (round 12) ------------------------------------
+
+# Pearson correlation formula on the six exact moments, as identical
+# float text: each exact DECIMAL/HUGEINT moment is cast to double ONCE
+# (correctly rounded on both engines) and the arithmetic that follows is
+# the same op order — bitwise-equal results with no integer-overflow
+# cliff (the a21-style decimal cross-products would burst 38 digits at
+# ~3e9 edges here, since n*Sxx <= E^4).
+_G11_CORR = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@register(
+    "g11_degree_assortativity",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        deg AS (
+            SELECT CAST(COUNT(*) OVER (PARTITION BY c) AS BIGINT) AS x,
+                   CAST(COUNT(*) OVER (PARTITION BY s) AS BIGINT) AS y
+            FROM pairs
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM deg
+        )
+        SELECT n AS n_edges, {_G11_CORR} AS assortativity
+        FROM m
+    """,
+    doc="Degree assortativity of the customer-supplier trade graph: the "
+    "Pearson correlation, over EDGES, between the customer endpoint's "
+    "degree and the supplier endpoint's degree — positive means hubs "
+    "trade with hubs (assortative mixing), negative means hubs serve "
+    "the periphery (the typical bipartite-commerce signature), the "
+    "one-number structural summary that tells a sampling/partitioning "
+    "strategy whether degree-stratified sampling is needed. a21's "
+    "exact-moments recipe on graph degrees: both endpoint degrees are "
+    "WINDOW COUNTS over the edge shuffle itself (zero joins — "
+    "_trade_edges_with_deg's trick, once per endpoint), the six "
+    "moments accumulate exactly in DECIMAL(38,0)/HUGEINT (Sxx <= E^3 "
+    "— exact to ~4.6e12 edges against the 38-digit envelope), and the "
+    "closing correlation is shared float text over the once-cast "
+    "moments (the decimal cross-products a21 keeps exact would burst "
+    "38 digits at ~3e9 edges here, so the formula floats — still "
+    "bitwise-equal across engines). Scale shape: one distinct-pairs "
+    "join, two window shuffles, one map-side-combined moment "
+    "aggregate; nothing ordered, nothing collected.",
+    tags=("graph", "statistics", "analytics"),
+)
+def g11_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load_table_parallel(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = pairs.select(
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c"))
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("s"))
+        .cast("long")
+        .alias("y"),
+    )
+    m = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_edges"), F.expr(_G11_CORR).alias("assortativity")
+    )

@@ -312,3 +312,41 @@ def s18_dynamic_partition_overwrite(
         F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
         "price_cents",
     )
+
+
+# --- s20: JSON-lines source roundtrip (round 12) ------------------------------
+
+
+@register(
+    "s20_jsonl_ingest_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_regionkey, n_name
+        FROM nation ORDER BY n_nationkey
+    """,
+    doc="JSON-lines source format — the third ingestion format next to "
+    "CSV (S1/s12) and parquet (S6), and the one most raw LLM-corpus "
+    "drops arrive in (one JSON object per line): `nation` exported to "
+    "JSONL, read back via spark.read.json with an EXPLICIT schema "
+    "(inference over JSONL costs a full extra pass at TB scale and "
+    "schema-on-read is the production discipline; the explicit "
+    "schema also pins BIGINT vs DOUBLE, which JSON text cannot "
+    "distinguish), projected back to the original columns. JSONL is "
+    "newline-delimited, so unlike multiLine CSV it is SPLITTABLE by "
+    "construction — each file parallelizes at maxPartitionBytes with "
+    "no pre-probe needed (the ask-#6 CSV fast path's property, free). "
+    "Integer and string columns only: float-through-JSON-text is a "
+    "formatting roundtrip no engine pair guarantees bitwise.",
+    tags=("source", "ingest", "json"),
+)
+def s20_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_ing_"), "nation")
+    n.write.mode("overwrite").json(path)
+    out = spark.read.schema(
+        "n_nationkey bigint, n_regionkey bigint, n_name string"
+    ).json(path)
+    return out.select("n_nationkey", "n_regionkey", "n_name").orderBy(
+        "n_nationkey"
+    )

@@ -1884,3 +1884,96 @@ def tx23_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.expr(_TX23_FK).alias("fk_grade"),
     )
+
+
+# --- tx25: charset composition profile (round 12) ----------------------------
+
+TX25_MICRO = 1_000_000
+
+
+@register(
+    "tx25_charset_profile",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^ -~]', '', 'g'))
+                        AS BIGINT) AS n_ascii,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS BIGINT) AS n_digit,
+                   CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+                        AS BIGINT) AS n_space
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_ascii) * {TX25_MICRO} // SUM(n_chars) AS BIGINT)
+                   AS ascii_ratio_micro,
+               CAST(SUM(n_digit) * {TX25_MICRO} // SUM(n_chars) AS BIGINT)
+                   AS digit_ratio_micro,
+               CAST(SUM(n_space) * {TX25_MICRO} // SUM(n_chars) AS BIGINT)
+                   AS space_ratio_micro,
+               CAST((SUM(n_chars) - SUM(n_ascii)) * {TX25_MICRO}
+                    // SUM(n_chars) AS BIGINT) AS nonascii_ratio_micro
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Charset composition profile per language: printable-ASCII, "
+    "digit, space, and non-ASCII character ratios over each lang "
+    "slice's total characters — the corpus-quality primitive tx2/tx12 "
+    "do not cover (their stopword/length/punct gates assume the text "
+    "is prose at all; this one catches mojibake, binary spill, "
+    "base64/hex blobs via digit density, and script mixtures that "
+    "contradict the declared lang — each a standard pre-training "
+    "filter axis). ENTIRELY exact integers: per-doc counts are "
+    "lengths after character-class regexp_replace deletion — the "
+    "range [ -~] (printable ASCII), [0-9], and the literal space are "
+    "Java-regex/RE2 dialect-neutral by construction — summed per lang "
+    "as BIGINTs (exact to ~9e18 chars, past any 100 TB slice) and "
+    "emitted as micro-unit integer DIV ratios. One map-side-combined "
+    "groupBy over the corpus; the lang regroup is |langs| rows. At "
+    "100 TB the scan prunes to (lang, text) and nothing else moves.",
+    tags=("text", "llm", "quality"),
+)
+def tx25_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^ -~]", ""))
+        .cast("long")
+        .alias("n_ascii"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+        .cast("long")
+        .alias("n_digit"),
+        F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
+        .cast("long")
+        .alias("n_space"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_ascii").alias("sa"),
+        F.sum("n_digit").alias("sd"),
+        F.sum("n_space").alias("ss"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.expr(f"CAST(sa * {TX25_MICRO} DIV total_chars AS BIGINT)").alias(
+            "ascii_ratio_micro"
+        ),
+        F.expr(f"CAST(sd * {TX25_MICRO} DIV total_chars AS BIGINT)").alias(
+            "digit_ratio_micro"
+        ),
+        F.expr(f"CAST(ss * {TX25_MICRO} DIV total_chars AS BIGINT)").alias(
+            "space_ratio_micro"
+        ),
+        F.expr(
+            f"CAST((total_chars - sa) * {TX25_MICRO} DIV total_chars "
+            "AS BIGINT)"
+        ).alias("nonascii_ratio_micro"),
+    ).orderBy("lang")
