@@ -2466,3 +2466,131 @@ def a37_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* (LEAST(COUNT(DISTINCT g), COUNT(DISTINCT b)) - 1)))"
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a38: Benford first-digit conformance (round 12)
+# ---------------------------------------------------------------------------
+
+#: Benford expected first-digit probabilities, PRE-QUANTIZED to ppm in
+#: Python (round(log10(1+1/d)*1e6); they sum to exactly 1e6) — neither
+#: engine evaluates a transcendental, so there is no cross-engine ulp
+#: surface at all: everything downstream is exact integer arithmetic.
+A38_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _a38_ppm_values_sql() -> str:
+    return ", ".join(f"({d}, {p})" for d, p in A38_PPM.items())
+
+
+@register(
+    "a38_benford_conformance",
+    oracle=f"""
+        WITH obs AS (
+            SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM orders
+            GROUP BY 1
+        ),
+        exp_t(digit, p_ppm) AS (VALUES {_a38_ppm_values_sql()}),
+        n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+        cells AS (
+            SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+                   e.p_ppm, n.n,
+                   CAST(COALESCE(o.n_obs, 0) AS HUGEINT) * 1000000
+                     - CAST(n.n AS HUGEINT) * e.p_ppm AS dev
+            FROM exp_t e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN n
+        )
+        SELECT digit, n_obs,
+               CAST(CAST(n_obs AS HUGEINT) * 1000000 // n AS BIGINT)
+                   AS obs_ppm,
+               p_ppm AS expected_ppm,
+               CAST(dev * dev // (CAST(n AS HUGEINT) * p_ppm)
+                    AS BIGINT) AS chi2_term_micro,
+               CAST(SUM(dev * dev // (CAST(n AS HUGEINT) * p_ppm))
+                        OVER () AS BIGINT) AS chi2_total_micro
+        FROM cells
+        ORDER BY digit
+    """,
+    doc="Benford first-digit conformance of order totals — the fraud/"
+    "data-synthesis smoke test: naturally occurring monetary amounts "
+    "follow P(d) = log10(1+1/d), fabricated or truncated feeds do "
+    "not, and the per-digit chi-square decomposition names WHICH "
+    "digit misbehaves (TPC-H's uniform-ish totals themselves fail "
+    "Benford spectacularly — the statistic is the point, not the "
+    "pass). ZERO transcendental surface: the expected probabilities "
+    "are pre-quantized to ppm in Python (they sum to exactly 1e6), "
+    "the first digit comes from the cents value's decimal-string "
+    "head (bigint->string is locale-free on both engines), and each "
+    "chi-square term is exact integer micro-units — dev = "
+    "n_obs*1e6 - n*p_ppm in DECIMAL(38,0)/HUGEINT, term = dev^2 // "
+    "(n*p_ppm) (dev^2 <= 1e36 at 1e12 rows against the 38-digit "
+    "envelope), summed over the fixed 9 digits. Scale shape: one "
+    "map-side-combined groupBy collapses the fact table to <=9 rows; "
+    "everything after is constant-size (the expected table is a "
+    "9-row VALUES literal, left-joined so an absent digit still "
+    "contributes its full expected-count deviation).",
+    tags=("aggregate", "analytics", "statistics", "quality"),
+)
+def a38_benford_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    exp_t = spark.createDataFrame(
+        [(d, p) for d, p in A38_PPM.items()], "digit bigint, p_ppm bigint"
+    )
+    n = obs.agg(F.sum("n_obs").alias("n"))
+    cells = (
+        exp_t.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+            "p_ppm",
+            "n",
+            F.expr(
+                "CAST(COALESCE(n_obs, 0) AS DECIMAL(38,0)) * 1000000 "
+                "- CAST(n AS DECIMAL(38,0)) * p_ppm"
+            ).alias("dev"),
+        )
+    )
+    return cells.select(
+        "digit",
+        "n_obs",
+        F.expr(
+            "CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"
+        ).alias("obs_ppm"),
+        F.col("p_ppm").alias("expected_ppm"),
+        F.expr(
+            "CAST(dev * dev DIV (CAST(n AS DECIMAL(38,0)) * p_ppm) "
+            "AS BIGINT)"
+        ).alias("chi2_term_micro"),
+        F.sum(
+            F.expr(
+                "CAST(dev * dev DIV (CAST(n AS DECIMAL(38,0)) * p_ppm) "
+                "AS BIGINT)"
+            )
+        )
+        .over(W.partitionBy())
+        .cast("long")
+        .alias("chi2_total_micro"),
+    ).orderBy("digit")

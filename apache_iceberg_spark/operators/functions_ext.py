@@ -2039,3 +2039,188 @@ def w17_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- w18: rolling median over the hourly series (round 12) -------------------
+
+W18_HALF = 2  # window = 2 before .. 2 after (5 points interior)
+
+
+@register(
+    "w18_rolling_median",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        w AS (
+            SELECT t, x,
+                   list_sort(list(x) OVER (ORDER BY t
+                       ROWS BETWEEN {W18_HALF} PRECEDING
+                       AND {W18_HALF} FOLLOWING)) AS win
+            FROM sp
+        )
+        SELECT t, x,
+               win[(len(win) + 1) // 2] AS rolling_median,
+               CAST(len(win) AS BIGINT) AS win_size
+        FROM w
+        ORDER BY t
+    """,
+    doc=f"Rolling MEDIAN smoother over the hourly event-count series "
+    f"(window +-{W18_HALF} hours): the despiker a monitoring pipeline "
+    "runs before trend logic — unlike the rolling mean (ts12's "
+    "components) a single spike cannot drag it, and unlike the global "
+    "medians (w12/w15) it tracks level shifts. Exact by construction: "
+    "each window's <=5 BIGINT counts are collected per row, sorted, "
+    "and the LOWER MEDIAN (element (k+1)//2, 1-indexed) is picked — "
+    "integer output, no interpolation, identical tie/edge semantics "
+    "on both engines (edge windows shrink to 3/4 points and the rule "
+    "still applies; win_size makes that explicit in the hash). Scale "
+    "shape: the only ordered structure is the CALENDAR-BOUNDED spine "
+    "(~9k points/year — ts22's argument), so the per-row collect is "
+    "O(window) on a frame that never scales with the fact table; the "
+    "fact-side cost stays one map-side-combined hourly groupBy. A "
+    "row-count-scaled deployment would window per series key, which "
+    "partitions the same plan.",
+    tags=("window", "timeseries", "robust"),
+)
+def w18_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = b.select(
+        F.col("h0"),
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    sp = spine.join(hourly, "h", "left").select(
+        (
+            (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600
+        ).cast("long").alias("t"),
+        F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+    )
+    win = Window.orderBy("t").rowsBetween(-W18_HALF, W18_HALF)
+    w = sp.select(
+        "t",
+        "x",
+        F.array_sort(F.collect_list("x").over(win)).alias("win"),
+    )
+    return w.select(
+        "t",
+        "x",
+        F.expr("win[CAST((size(win) + 1) / 2 AS INT) - 1]").alias(
+            "rolling_median"
+        ),
+        F.size("win").cast("long").alias("win_size"),
+    ).orderBy("t")
+
+
+# --- j10: linear-interpolation join (round 12) --------------------------------
+
+
+@register(
+    "j10_linear_interp_join",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        anchors AS (
+            SELECT s.h, COALESCE(hourly.x, 0) AS x
+            FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                      AS h FROM b) s
+            LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        ev AS (
+            SELECT event_id, ts, date_trunc('hour', ts) AS h,
+                   CAST(date_sub('second', date_trunc('hour', ts), ts)
+                        AS BIGINT) AS off_s
+            FROM events
+        )
+        SELECT e.event_id,
+               a0.x AS x_at_hour,
+               CAST(a0.x * 3600 + (a1.x - a0.x) * e.off_s AS BIGINT)
+                   AS interp_x3600
+        FROM ev e
+        JOIN anchors a0 ON a0.h = e.h
+        JOIN anchors a1 ON a1.h = e.h + INTERVAL 1 HOUR
+        ORDER BY e.event_id
+    """,
+    doc="Linear-interpolation join: each event is joined to the hourly "
+    "count series' two bracketing anchors and the series value AT THE "
+    "EVENT'S EXACT TIMESTAMP is interpolated — the resampling "
+    "primitive between j8's nearest-as-of (steps) and a spline "
+    "(overkill): sensor/rate series are piecewise-linear by "
+    "convention, and feature pipelines want the value at label time, "
+    "not at the bucket edge. EXACT integers with NO division: the "
+    "interpolated value is emitted in 1/3600-count units "
+    "(x0*3600 + (x1-x0)*off_s), so the negative-slope floor/trunc "
+    "divergence between engines (Spark DIV truncates toward zero, "
+    "DuckDB // floors) never arises — divide at the consumer if a "
+    "float is wanted. Events in the final (unbracketed) hour drop out "
+    "via the inner join on the +1h anchor, the same right-open "
+    "convention as the interval ops. Scale shape: the anchor table is "
+    "the CALENDAR-BOUNDED spine, broadcast to both join slots — the "
+    "fact table streams through map-only, nothing shuffles but the "
+    "output ordering (driver-gate cosmetic; a production sink drops "
+    "it).",
+    tags=("join", "timeseries"),
+)
+def j10_linear_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    anchors = (
+        b.select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+        .join(hourly, "h", "left")
+        .select("h", F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"))
+    )
+    ev = e.select(
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        ).cast("long").alias("off_s"),
+    )
+    a0 = anchors.select(F.col("h").alias("h0_"), F.col("x").alias("x0"))
+    a1 = anchors.select(
+        F.col("h").alias("h1_"), F.col("x").alias("x1")
+    )
+    return (
+        ev.join(F.broadcast(a0), F.col("h") == F.col("h0_"))
+        .join(
+            F.broadcast(a1),
+            F.col("h") + F.expr("INTERVAL 1 HOUR") == F.col("h1_"),
+        )
+        .select(
+            "event_id",
+            F.col("x0").alias("x_at_hour"),
+            (F.col("x0") * 3600 + (F.col("x1") - F.col("x0")) * F.col("off_s"))
+            .cast("long")
+            .alias("interp_x3600"),
+        )
+        .orderBy("event_id")
+    )
