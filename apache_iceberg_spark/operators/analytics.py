@@ -2374,7 +2374,7 @@ _A37_TERM = (
 
 
 @register(
-    "a37_chi_square_independence",
+    "a37_cramers_v",
     oracle=f"""
         WITH cells AS (
             SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS b,
@@ -2405,12 +2405,15 @@ _A37_TERM = (
                  AS cramers_v
         FROM terms
     """,
-    doc="Chi-square test of independence on the event_type x hour-of-day "
-    "contingency table, with Cramér's V effect size — the categorical "
-    "A/B workhorse: is traffic mix independent of time of day, and by "
-    "how much not. Determinism recipe for a cross-CELL float sum "
-    "(a21's per-group trick cannot apply — chi2 genuinely sums float "
-    "terms across rows): each cell's term is one float expression on "
+    doc="TOTAL chi-square statistic + Cramér's V effect size on the "
+    "event_type x hour-of-day contingency table — the closing half of "
+    "a29's per-cell chi-square profile: a29 names which cell deviates "
+    "but stops at cell terms precisely because a cross-cell float SUM "
+    "is partition-order-dependent; this operator delivers the single "
+    "decision number (is traffic mix independent of time of day, and "
+    "by how much not). Determinism recipe for that cross-CELL float "
+    "sum (a21's per-group trick cannot apply — chi2 genuinely sums "
+    "float terms across rows): each cell's term is one float expression on "
     "EXACT integer inputs (d = o*n - r*c carried in DECIMAL(38,0)/"
     "HUGEINT, exact far past any table size — |d| <= n^2, which is "
     "1e24 at 1e12 rows against the 38-digit envelope), and "
@@ -2425,12 +2428,15 @@ _A37_TERM = (
     "is shared float text (single-row).",
     tags=("aggregate", "analytics", "statistics"),
 )
-def a37_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a37_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     cells = e.groupBy(
         F.col("event_type").alias("g"),
         F.hour("ts").cast("long").alias("b"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("o")).persist()
+    # ^ the <=|types|*24-row contingency table feeds FOUR branches
+    # (row totals, col totals, n, terms) — persisted, the fact table
+    # is scanned once (plan-asserted); unpersisted, four times
     rt = cells.groupBy("g").agg(F.sum("o").alias("r"))
     ct = cells.groupBy("b").agg(F.sum("o").alias("c"))
     n = cells.agg(F.sum("o").alias("n"))
@@ -2554,6 +2560,8 @@ def a38_benford_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .persist()  # <=9 rows feeding the n agg AND the cells join:
+        # one orders scan (plan-asserted), not two
     )
     exp_t = spark.createDataFrame(
         [(d, p) for d, p in A38_PPM.items()], "digit bigint, p_ppm bigint"

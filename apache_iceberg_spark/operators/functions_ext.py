@@ -2099,7 +2099,7 @@ def w18_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("x")
-    )
+    ).persist()  # spine-sized; feeds bounds AND the spine join: 1 fact scan
     b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = b.select(
         F.col("h0"),
@@ -2184,9 +2184,19 @@ def w18_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j10_linear_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count(F.lit(1)).alias("x")
-    )
+    # ONE projected pass feeds everything: the probe side needs
+    # (event_id, h, off_s) per event, and the anchor series is a
+    # groupBy(h) OVER THAT SAME FRAME — so the fact table is scanned
+    # once (plan-asserted), with the scan pruned to (event_id, ts).
+    ev = e.select(
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        ).cast("long").alias("off_s"),
+    ).persist()
+    hourly = ev.groupBy("h").agg(F.count(F.lit(1)).alias("x"))
     b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     anchors = (
         b.select(
@@ -2196,14 +2206,6 @@ def j10_linear_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(hourly, "h", "left")
         .select("h", F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"))
-    )
-    ev = e.select(
-        "event_id",
-        F.date_trunc("hour", F.col("ts")).alias("h"),
-        (
-            F.unix_timestamp("ts")
-            - F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
-        ).cast("long").alias("off_s"),
     )
     a0 = anchors.select(F.col("h").alias("h0_"), F.col("x").alias("x0"))
     a1 = anchors.select(

@@ -2587,6 +2587,9 @@ def _ts25_finish(spark: SparkSession, per_hour: DataFrame) -> DataFrame:
     points*total_events < 2^63 (a year of hourly buckets holds to ~1e15
     total events); the m*x products ride DECIMAL(38,0)/HUGEINT so the
     bound is the OUTPUT's, not the arithmetic's."""
+    # plan-cache the spine-sized per-hour table: it feeds the bounds agg
+    # AND the spine join — unpersisted, each branch re-scans the facts
+    per_hour = per_hour.persist()
     b = per_hour.agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
@@ -2777,7 +2780,7 @@ def ts26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("x")
-    )
+    ).persist()  # spine-sized; feeds bounds AND the spine join: 1 fact scan
     b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = b.select(
         F.col("h0"),

@@ -1063,3 +1063,83 @@ def test_w16_a35_windows_only_over_distinct_frames(spark):
         # windows see aggregated inputs
         assert "InMemoryTableScan" in plan, (name, plan)
     spark.catalog.clearCache()
+
+
+# --- round-12 operators: plan shapes ------------------------------------------
+
+
+def n_distinct_scans(plan: str) -> int:
+    """Distinct parquet-scan NODES in a formatted plan. A persisted
+    frame's InMemoryRelation reprints its child scan under every
+    InMemoryTableScan occurrence in the tree, but with the SAME node id
+    — at runtime that scan executes once (cache materialization), so
+    the honest count is distinct ids, not textual occurrences."""
+    import re
+
+    return len(set(re.findall(r"Scan parquet\s+\((\d+)\)", plan)))
+
+
+def test_a37_single_fact_scan_and_broadcast_totals(spark):
+    """The chi-square contingency plan reads events ONCE — the persisted
+    <=120-cell table feeds all four branches (row/col/grand totals +
+    terms) — and every totals join is broadcast."""
+    plan = plan_of(spark, "a37_cramers_v")
+    assert n_distinct_scans(plan) == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann23_broadcast_queries_no_window_no_topk(spark):
+    """Range search is a FILTER, not a ranking: the query side
+    broadcasts (BroadcastNestedLoopJoin — the 5-row side), and the plan
+    has no Window and no TakeOrdered; only the cosmetic final order-by
+    sorts (match-count-bounded)."""
+    plan = plan_of(spark, "ann23_cosine_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_j10_anchors_broadcast_facts_stream(spark):
+    """Both interpolation anchor slots are broadcast joins — the fact
+    table never shuffles into a SortMergeJoin at any scale (the anchor
+    table is calendar-bounded) — and events is scanned ONCE: probe side
+    and anchor series both derive from the persisted projected pass."""
+    plan = plan_of(spark, "j10_linear_interp_join")
+    assert n_distinct_scans(plan) == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_ts25_w18_single_fact_scan(spark):
+    for name in ("ts25_cusum_changepoint", "w18_rolling_median"):
+        plan = plan_of(spark, name)
+        assert n_distinct_scans(plan) == 1, (name, plan)
+
+
+def test_ts26_single_fact_scan(spark):
+    """The ACF reads events once (the persisted hourly frame feeds the
+    bounds agg and the spine join); the lag self-join runs on the
+    spine-sized deviation frame, not on facts."""
+    plan = plan_of(spark, "ts26_autocorrelation")
+    assert n_distinct_scans(plan) == 1, plan
+
+
+def test_w17_bounds_broadcast_back(spark):
+    """Trimmed mean joins the per-group percentile bounds back to the
+    facts as a broadcast (w16's shape) — the fact side never sort-merge
+    shuffles for the 5-row bounds."""
+    plan = plan_of(spark, "w17_trimmed_mean")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_a38_fact_collapses_to_nine_rows(spark):
+    """Benford reads orders once (ReadSchema pruned to the one price
+    column; the persisted <=9-row digit table feeds both branches) and
+    every later join is broadcast."""
+    plan = plan_of(spark, "a38_benford_conformance")
+    assert n_distinct_scans(plan) == 1, plan
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_totalprice" in schema and "o_orderkey" not in schema
+    assert "SortMergeJoin" not in plan
