@@ -2433,7 +2433,7 @@ def a37_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.groupBy(
         F.col("event_type").alias("g"),
         F.hour("ts").cast("long").alias("b"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("o")).persist()
+    ).agg(F.count(F.lit(1)).cast("long").alias("o")).persist()  # plan-cache
     # ^ the <=|types|*24-row contingency table feeds FOUR branches
     # (row totals, col totals, n, terms) — persisted, the fact table
     # is scanned once (plan-asserted); unpersisted, four times
@@ -2560,7 +2560,7 @@ def a38_benford_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-        .persist()  # <=9 rows feeding the n agg AND the cells join:
+        .persist()  # plan-cache: <=9 rows feeding the n agg AND the join;
         # one orders scan (plan-asserted), not two
     )
     exp_t = spark.createDataFrame(

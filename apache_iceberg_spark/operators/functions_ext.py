@@ -2099,7 +2099,7 @@ def w18_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("x")
-    ).persist()  # spine-sized; feeds bounds AND the spine join: 1 fact scan
+    ).persist()  # plan-cache: spine-sized; feeds bounds AND the spine join
     b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = b.select(
         F.col("h0"),
@@ -2195,7 +2195,7 @@ def j10_linear_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts")
             - F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
         ).cast("long").alias("off_s"),
-    ).persist()
+    ).persist()  # plan-cache: probe side + anchor series
     hourly = ev.groupBy("h").agg(F.count(F.lit(1)).alias("x"))
     b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     anchors = (

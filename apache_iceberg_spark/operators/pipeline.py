@@ -4340,3 +4340,121 @@ def pp21_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- mm12: letterbox/pad geometry report (round 12) ----------------------------
+
+# Aspect-preserving fit of (w, h) into its mm11 bucket, exact integers:
+# the binding side is decided by the cross-product compare w*bh vs h*bw
+# (no ratios), the scaled short side is one integer DIV (operands
+# non-negative, so Spark DIV and DuckDB // agree), and the pad is the
+# bucket remainder on that axis.
+_MM12_NEW_W = "CASE WHEN w * bh >= h * bw THEN bw ELSE (w * bh) {div} h END"
+_MM12_NEW_H = "CASE WHEN w * bh >= h * bw THEN (h * bw) {div} w ELSE bh END"
+
+
+@register(
+    "mm12_letterbox_pad_report",
+    oracle=f"""
+        WITH img AS (
+            SELECT 128 * (4 + ascii(substr(text, 1, 1)) % 13) AS w,
+                   128 * (4 + ascii(substr(text, 2, 1)) % 13) AS h
+            FROM documents WHERE length(text) >= 2
+        ),
+        enc AS (
+            SELECT w, h, {_mm11_best_expr('//')} AS e FROM img
+        ),
+        geo AS (
+            SELECT e % 16 AS bucket_idx, w, h,
+                   CASE e % 16
+                       {" ".join(f"WHEN {i} THEN {bw}" for i, (bw, bh) in enumerate(MM11_BUCKETS))}
+                   END AS bw,
+                   CASE e % 16
+                       {" ".join(f"WHEN {i} THEN {bh}" for i, (bw, bh) in enumerate(MM11_BUCKETS))}
+                   END AS bh
+            FROM enc
+        ),
+        fit AS (
+            SELECT bucket_idx, bw, bh,
+                   {_MM12_NEW_W.format(div='//')} AS new_w,
+                   {_MM12_NEW_H.format(div='//')} AS new_h
+            FROM geo
+        )
+        SELECT CAST(bucket_idx AS BIGINT) AS bucket_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(CAST(bw AS HUGEINT) * bh - CAST(new_w AS HUGEINT)
+                        * new_h) AS BIGINT) AS total_pad_pixels,
+               CAST(SUM(CAST(bw AS HUGEINT) * bh - CAST(new_w AS HUGEINT)
+                        * new_h) * {MM11_MICRO}
+                    // SUM(CAST(bw AS HUGEINT) * bh) AS BIGINT)
+                   AS pad_ppm
+        FROM fit
+        GROUP BY bucket_idx
+        ORDER BY bucket_idx
+    """,
+    doc="Letterbox/pad geometry report — mm11's second half: mm11 "
+    "CHOOSES each image's aspect bucket; this prices what the choice "
+    "COSTS, computing the aspect-preserving fit of every image into "
+    "its bucket (binding side by exact cross-product compare w*bh vs "
+    "h*bw — no ratio floats; the scaled short side is one integer DIV "
+    "of non-negative operands, where Spark's truncation and DuckDB's "
+    "floor agree) and aggregating per bucket the padded-pixel count "
+    "and the pad fraction in ppm of bucket area — the number a "
+    "VLM/diffusion data planner watches, because padding is compute "
+    "burned on masked tokens. Exact integers end to end; DECIMAL/"
+    "HUGEINT pixel sums (1e12 images x ~1.5e6 px needs int128). Scale "
+    "shape: map-only geometry (the bucket ladder is a 9-case literal "
+    "in the expression — no join) plus ONE map-side-combined 9-row "
+    "groupBy; at 100 TB this is scan bandwidth with a 9-row result, "
+    "same as mm11.",
+    tags=("multimodal", "llm", "pipeline"),
+)
+def mm12_letterbox_pad_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    img = d.filter(F.length("text") >= 2).select(
+        F.expr("128 * (4 + ascii(substr(text, 1, 1)) % 13)").alias("w"),
+        F.expr("128 * (4 + ascii(substr(text, 2, 1)) % 13)").alias("h"),
+    )
+    enc = img.select("w", "h", F.expr(_mm11_best_expr("DIV")).alias("e"))
+    bw_case = "CASE e % 16 " + " ".join(
+        f"WHEN {i} THEN {bw}" for i, (bw, bh) in enumerate(MM11_BUCKETS)
+    ) + " END"
+    bh_case = "CASE e % 16 " + " ".join(
+        f"WHEN {i} THEN {bh}" for i, (bw, bh) in enumerate(MM11_BUCKETS)
+    ) + " END"
+    geo = enc.select(
+        F.expr("e % 16").alias("bucket_idx"),
+        "w",
+        "h",
+        F.expr(bw_case).alias("bw"),
+        F.expr(bh_case).alias("bh"),
+    )
+    fit = geo.select(
+        "bucket_idx",
+        "bw",
+        "bh",
+        F.expr(_MM12_NEW_W.format(div="DIV")).alias("new_w"),
+        F.expr(_MM12_NEW_H.format(div="DIV")).alias("new_h"),
+    )
+    return (
+        fit.groupBy(F.col("bucket_idx").cast("long").alias("bucket_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum(
+                F.expr(
+                    "CAST(bw AS DECIMAL(38,0)) * bh "
+                    "- CAST(new_w AS DECIMAL(38,0)) * new_h"
+                )
+            ).alias("pad_dec"),
+            F.sum(F.expr("CAST(bw AS DECIMAL(38,0)) * bh")).alias("area_dec"),
+        )
+        .select(
+            "bucket_idx",
+            "n_images",
+            F.expr("CAST(pad_dec AS BIGINT)").alias("total_pad_pixels"),
+            F.expr(
+                f"CAST(pad_dec * {MM11_MICRO} DIV area_dec AS BIGINT)"
+            ).alias("pad_ppm"),
+        )
+        .orderBy("bucket_idx")
+    )

@@ -3352,3 +3352,100 @@ def m44_at_ref_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg("customer@v1tag"))
         .orderBy("address")
     )
+
+
+@register(
+    "m45_autocompaction_scan",
+    oracle="""
+        WITH s AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0)
+        SELECT * FROM (
+            SELECT 'head' AS ref,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM s
+            UNION ALL
+            SELECT 'v1tag',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM s WHERE o_orderkey % 14 = 0
+        ) ORDER BY ref
+    """,
+    doc="The round-12 AUTO-COMPACTION path driven end to end as a "
+    "driver-gated workflow: with the fold threshold pinned low for "
+    "the workflow's lifetime, a run of keyed branch appends triggers "
+    "in-lock segment-into-base folds MID-STREAM (commit N's append "
+    "compacts, commit N+1 appends to the fresh segment — the cadence "
+    "a production stream hits every ~base/4 bytes), and the query "
+    "then reads BOTH the branch head and a pre-fold tag, proving the "
+    "folds preserved every entry, the ref pointers, and the "
+    "idempotency index (one append retries with its key mid-run and "
+    "must NOT double-land across a fold boundary). The oracle "
+    "recomputes both states from the raw table, so fold atomicity, "
+    "tag pinning across compaction, and keyed exactly-once all sit "
+    "inside one value hash. Metadata-only maintenance: each fold "
+    "rewrites only the log (geometric cadence -> amortized O(1) "
+    "bytes/commit, SCALE_NOTES §per-commit-plan-CPU); data dirs never "
+    "move.",
+    tags=("scale", "snapshot", "maintenance"),
+)
+def m45_autocompaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import apache_iceberg_spark.catalog.snapshots as S
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        create_tag,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="autocomp_"), "orders")
+    half = o.filter(F.col("o_orderkey") % 14 == 0)
+    orig = S.AUTO_COMPACT_MIN_SEGMENT_BYTES
+    S.AUTO_COMPACT_MIN_SEGMENT_BYTES = 128  # every ~1-2 commits folds
+    try:
+        commit_snapshot(half, table)
+        create_branch(table, "etl")
+        create_tag(table, "v1tag")  # pinned BEFORE the folds
+        # 6 keyed appends; each small enough that folds interleave
+        for i in range(6):
+            batch = o.filter(
+                (F.col("o_orderkey") % 7 == 0)
+                & (F.col("o_orderkey") % 14 != 0)
+                & (F.col("o_orderkey") % 6 == i)
+            )
+            commit_append_ref(
+                batch, table, branch="etl", idempotency_key=f"b{i}"
+            )
+        # a replayed batch across fold boundaries must not double-land
+        again = commit_append_ref(
+            o.limit(0), table, branch="etl", idempotency_key="b3"
+        )
+        assert again is not None
+        # at least one fold actually happened mid-run
+        assert os.path.exists(os.path.join(table, "_versions.json")), (
+            "auto-compaction never fired"
+        )
+    finally:
+        S.AUTO_COMPACT_MIN_SEGMENT_BYTES = orig
+
+    def agg(ref: str, label: str) -> DataFrame:
+        return (
+            read_ref(spark, table, ref)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("total_cents"),
+            )
+            .select(F.lit(label).alias("ref"), "n_rows", "total_cents")
+        )
+
+    return agg("etl", "head").unionByName(agg("v1tag", "v1tag")).orderBy(
+        "ref"
+    )

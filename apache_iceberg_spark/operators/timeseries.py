@@ -2780,7 +2780,7 @@ def ts26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("x")
-    ).persist()  # spine-sized; feeds bounds AND the spine join: 1 fact scan
+    ).persist()  # plan-cache: spine-sized; feeds bounds AND the spine join
     b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = b.select(
         F.col("h0"),
@@ -2799,7 +2799,7 @@ def ts26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.expr("CAST(m AS DECIMAL(38,0)) * x - tt").alias("d"),
         "m",
-    ).persist()  # both self-join sides + the denominator ride this
+    ).persist()  # plan-cache: both self-join sides + the denominator
     den = d.agg(
         F.sum(F.expr("d * d")).alias("den"), F.max("m").alias("m")
     )

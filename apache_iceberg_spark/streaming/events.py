@@ -1830,3 +1830,143 @@ def _st22_set_oracle() -> None:
 
 
 _st22_set_oracle()
+
+
+# --- st23: streaming Benford first-digit monitor (round 12) -------------------
+
+
+def _st23_oracle() -> str:
+    from apache_iceberg_spark.operators.analytics import (
+        _a38_ppm_values_sql,
+    )
+
+    return f"""
+        WITH obs AS (
+            SELECT CAST(substr(CAST(CAST(ROUND(value * 100)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM events
+            GROUP BY 1
+        ),
+        exp_t(digit, p_ppm) AS (VALUES {_a38_ppm_values_sql()}),
+        n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+        cells AS (
+            SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+                   e.p_ppm, n.n,
+                   CAST(COALESCE(o.n_obs, 0) AS HUGEINT) * 1000000
+                     - CAST(n.n AS HUGEINT) * e.p_ppm AS dev
+            FROM exp_t e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN n
+        )
+        SELECT digit, n_obs,
+               CAST(CAST(n_obs AS HUGEINT) * 1000000 // n AS BIGINT)
+                   AS obs_ppm,
+               p_ppm AS expected_ppm,
+               CAST(dev * dev // (CAST(n AS HUGEINT) * p_ppm)
+                    AS BIGINT) AS chi2_term_micro,
+               CAST(SUM(dev * dev // (CAST(n AS HUGEINT) * p_ppm))
+                        OVER () AS BIGINT) AS chi2_total_micro
+        FROM cells
+        ORDER BY digit
+    """
+
+
+@register(
+    "st23_stream_benford",
+    oracle=None,  # bound below (needs analytics imported first)
+    doc="a38's Benford first-digit conformance maintained BY THE STREAM "
+    "over event values: the micro-batch aggregation keeps one COUNT "
+    "per leading digit — nine rows of mergeable state regardless of "
+    "event rate — and the chi-square finish (Python-prequantized ppm "
+    "expectations, exact integer dev^2 // (n*p) terms, zero "
+    "transcendental surface) runs on the final 9-row table with the "
+    "same arithmetic as the batch operator, checked against an "
+    "events-flavored oracle of a38's exact SQL shape. The monitoring "
+    "story: a synthetic-traffic injection or a price-field truncation "
+    "bends the digit distribution within one micro-batch, and "
+    "chi2_total_micro is the single alarm number — priced at a 9-row "
+    "stateful count, not a batch recompute.",
+    tags=("streaming", "statistics", "quality"),
+)
+def st23_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import A38_PPM
+
+    obs = (
+        stream_events(spark, sf_dir)
+        .select(
+            F.substring(
+                F.round(F.col("value") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    qname = f"st23_benford_{next(_stream_ids)}"
+    query = (
+        obs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    obs_t = spark.table(qname).persist()  # plan-cache: feeds n AND cells
+    exp_t = spark.createDataFrame(
+        [(d, p) for d, p in A38_PPM.items()], "digit bigint, p_ppm bigint"
+    )
+    n = obs_t.agg(F.sum("n_obs").alias("n"))
+    cells = (
+        exp_t.join(F.broadcast(obs_t), "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+            "p_ppm",
+            "n",
+            F.expr(
+                "CAST(COALESCE(n_obs, 0) AS DECIMAL(38,0)) * 1000000 "
+                "- CAST(n AS DECIMAL(38,0)) * p_ppm"
+            ).alias("dev"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    return cells.select(
+        "digit",
+        "n_obs",
+        F.expr(
+            "CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"
+        ).alias("obs_ppm"),
+        F.col("p_ppm").alias("expected_ppm"),
+        F.expr(
+            "CAST(dev * dev DIV (CAST(n AS DECIMAL(38,0)) * p_ppm) "
+            "AS BIGINT)"
+        ).alias("chi2_term_micro"),
+        F.sum(
+            F.expr(
+                "CAST(dev * dev DIV (CAST(n AS DECIMAL(38,0)) * p_ppm) "
+                "AS BIGINT)"
+            )
+        )
+        .over(W.partitionBy())
+        .cast("long")
+        .alias("chi2_total_micro"),
+    ).orderBy("digit")
+
+
+def _st23_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st23_stream_benford"]
+    REGISTRY["st23_stream_benford"] = dataclasses.replace(
+        q, oracle=_st23_oracle()
+    )
+
+
+_st23_set_oracle()
