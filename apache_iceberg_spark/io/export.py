@@ -45,3 +45,11 @@ def export_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") ->
 def export_parquet(df: DataFrame, path: str) -> str:
     """S10: ``COPY (SELECT …) TO 'f.parquet' (FORMAT PARQUET)``."""
     return _single_file_write(df, path, "parquet")
+
+
+def export_jsonl(df: DataFrame, path: str) -> str:
+    """S-family JSONL twin: ``COPY (SELECT …) TO 'f.jsonl'`` — one JSON
+    object per line, the interchange format raw LLM-corpus drops use
+    (s20 reads it; this writes it). Same single-writer caveat as the
+    CSV/parquet exports."""
+    return _single_file_write(df, path, "json")

@@ -2475,130 +2475,108 @@ def a37_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a38: Benford first-digit conformance (round 12)
+# a39: Gini coefficient (round 12)
 # ---------------------------------------------------------------------------
 
-#: Benford expected first-digit probabilities, PRE-QUANTIZED to ppm in
-#: Python (round(log10(1+1/d)*1e6); they sum to exactly 1e6) — neither
-#: engine evaluates a transcendental, so there is no cross-engine ulp
-#: surface at all: everything downstream is exact integer arithmetic.
-A38_PPM = {
-    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
-    6: 66947, 7: 57992, 8: 51153, 9: 45757,
-}
-
-
-def _a38_ppm_values_sql() -> str:
-    return ", ".join(f"({d}, {p})" for d, p in A38_PPM.items())
+A39_PPM = 1_000_000
 
 
 @register(
-    "a38_benford_conformance",
+    "a39_gini_concentration",
     oracle=f"""
-        WITH obs AS (
-            SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
-                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-                   CAST(COUNT(*) AS BIGINT) AS n_obs
-            FROM orders
-            GROUP BY 1
+        WITH x AS (
+            SELECT event_type AS g,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
         ),
-        exp_t(digit, p_ppm) AS (VALUES {_a38_ppm_values_sql()}),
-        n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
-        cells AS (
-            SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
-                   e.p_ppm, n.n,
-                   CAST(COALESCE(o.n_obs, 0) AS HUGEINT) * 1000000
-                     - CAST(n.n AS HUGEINT) * e.p_ppm AS dev
-            FROM exp_t e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN n
+        pv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM x GROUP BY 1, 2),
+        cum AS (
+            SELECT g, v, c,
+                   SUM(c) OVER w - c AS cum_c,
+                   SUM(CAST(c AS HUGEINT) * v) OVER w
+                     - CAST(c AS HUGEINT) * v AS cum_s
+            FROM pv
+            WINDOW w AS (PARTITION BY g ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        agg AS (
+            SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CAST(c AS HUGEINT) * v) AS BIGINT)
+                       AS total_cents,
+                   SUM(CAST(c AS HUGEINT)
+                       * (CAST(v AS HUGEINT) * cum_c - cum_s)) AS num
+            FROM cum GROUP BY g
         )
-        SELECT digit, n_obs,
-               CAST(CAST(n_obs AS HUGEINT) * 1000000 // n AS BIGINT)
-                   AS obs_ppm,
-               p_ppm AS expected_ppm,
-               CAST(dev * dev // (CAST(n AS HUGEINT) * p_ppm)
-                    AS BIGINT) AS chi2_term_micro,
-               CAST(SUM(dev * dev // (CAST(n AS HUGEINT) * p_ppm))
-                        OVER () AS BIGINT) AS chi2_total_micro
-        FROM cells
-        ORDER BY digit
+        SELECT g AS event_type, n, total_cents,
+               CAST(2 * num * {A39_PPM}
+                    // (CAST(n AS HUGEINT) * total_cents) AS BIGINT)
+                   AS gini_ppm
+        FROM agg
+        ORDER BY event_type
     """,
-    doc="Benford first-digit conformance of order totals — the fraud/"
-    "data-synthesis smoke test: naturally occurring monetary amounts "
-    "follow P(d) = log10(1+1/d), fabricated or truncated feeds do "
-    "not, and the per-digit chi-square decomposition names WHICH "
-    "digit misbehaves (TPC-H's uniform-ish totals themselves fail "
-    "Benford spectacularly — the statistic is the point, not the "
-    "pass). ZERO transcendental surface: the expected probabilities "
-    "are pre-quantized to ppm in Python (they sum to exactly 1e6), "
-    "the first digit comes from the cents value's decimal-string "
-    "head (bigint->string is locale-free on both engines), and each "
-    "chi-square term is exact integer micro-units — dev = "
-    "n_obs*1e6 - n*p_ppm in DECIMAL(38,0)/HUGEINT, term = dev^2 // "
-    "(n*p_ppm) (dev^2 <= 1e36 at 1e12 rows against the 38-digit "
-    "envelope), summed over the fixed 9 digits. Scale shape: one "
-    "map-side-combined groupBy collapses the fact table to <=9 rows; "
-    "everything after is constant-size (the expected table is a "
-    "9-row VALUES literal, left-joined so an absent digit still "
-    "contributes its full expected-count deviation).",
+    doc="Gini coefficient of the per-group VALUE distribution — the "
+    "Lorenz-curve inequality of a numeric column (a24's gini is the "
+    "OTHER gini: categorical share concentration over (source, lang) "
+    "cells; this one asks how unevenly the value MASS itself is "
+    "spread, the income-inequality estimator): gini_ppm "
+    "near 0 says spend/tokens spread evenly, near 1e6 says a handful "
+    "of rows dominate (and stratified sampling or dedup must act "
+    "before training). ENTIRELY exact integers on the w12-style "
+    "distinct-value machinery: the mean-absolute-difference numerator "
+    "sum_{{i<j}} c_i c_j (v_j - v_i) folds into ONE cumulative pass — "
+    "each distinct value contributes c * (v * cum_count_below - "
+    "cum_sum_below), DECIMAL(38,0)/HUGEINT throughout (<= n^2 * max_v "
+    "~ 1e32 at 1e12 rows against the envelope) — and "
+    "G = 2*num/(n*total) is emitted by integer DIV in ppm. The cumsum "
+    "window runs over the bound_int_support-gated distinct-value "
+    "frame, never the rows; one map-side-combined fact groupBy is the "
+    "whole 100 TB cost.",
     tags=("aggregate", "analytics", "statistics", "quality"),
 )
-def a38_benford_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a39_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    o = load_table(spark, sf_dir, "orders")
-    obs = (
-        o.select(
-            F.substring(
-                F.round(F.col("o_totalprice") * 100)
-                .cast("long")
-                .cast("string"),
-                1,
-                1,
-            )
-            .cast("long")
-            .alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-        .persist()  # plan-cache: <=9 rows feeding the n agg AND the join;
-        # one orders scan (plan-asserted), not two
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
     )
-    exp_t = spark.createDataFrame(
-        [(d, p) for d, p in A38_PPM.items()], "digit bigint, p_ppm bigint"
+    pv = x.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    pv, _step = bound_int_support(pv, cnt_col="c", group_cols=("g",))
+    wcum = (
+        W.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    n = obs.agg(F.sum("n_obs").alias("n"))
-    cells = (
-        exp_t.join(F.broadcast(obs), "digit", "left")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "digit",
-            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
-            "p_ppm",
-            "n",
-            F.expr(
-                "CAST(COALESCE(n_obs, 0) AS DECIMAL(38,0)) * 1000000 "
-                "- CAST(n AS DECIMAL(38,0)) * p_ppm"
-            ).alias("dev"),
-        )
+    cum = pv.select(
+        "g",
+        "v",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_c"),
+        (
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * v")).over(wcum)
+            - F.expr("CAST(c AS DECIMAL(38,0)) * v")
+        ).alias("cum_s"),
     )
-    return cells.select(
-        "digit",
-        "n_obs",
-        F.expr(
-            "CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"
-        ).alias("obs_ppm"),
-        F.col("p_ppm").alias("expected_ppm"),
-        F.expr(
-            "CAST(dev * dev DIV (CAST(n AS DECIMAL(38,0)) * p_ppm) "
-            "AS BIGINT)"
-        ).alias("chi2_term_micro"),
+    agg = cum.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * v"))
+        .cast("long")
+        .alias("total_cents"),
         F.sum(
             F.expr(
-                "CAST(dev * dev DIV (CAST(n AS DECIMAL(38,0)) * p_ppm) "
-                "AS BIGINT)"
+                "CAST(c AS DECIMAL(38,0)) "
+                "* (CAST(v AS DECIMAL(38,0)) * cum_c - cum_s)"
             )
-        )
-        .over(W.partitionBy())
-        .cast("long")
-        .alias("chi2_total_micro"),
-    ).orderBy("digit")
+        ).alias("num"),
+    )
+    return agg.select(
+        F.col("g").alias("event_type"),
+        "n",
+        "total_cents",
+        F.expr(
+            f"CAST(2 * num * {A39_PPM} "
+            "DIV (CAST(n AS DECIMAL(38,0)) * total_cents) AS BIGINT)"
+        ).alias("gini_ppm"),
+    ).orderBy("event_type")

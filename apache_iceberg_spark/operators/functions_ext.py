@@ -2041,94 +2041,6 @@ def w17_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- w18: rolling median over the hourly series (round 12) -------------------
-
-W18_HALF = 2  # window = 2 before .. 2 after (5 points interior)
-
-
-@register(
-    "w18_rolling_median",
-    oracle=f"""
-        WITH hourly AS (
-            SELECT date_trunc('hour', ts) AS h,
-                   CAST(COUNT(*) AS BIGINT) AS x
-            FROM events GROUP BY 1
-        ),
-        b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
-        spine AS (
-            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-            FROM b
-        ),
-        sp AS (
-            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
-                   COALESCE(hourly.x, 0) AS x
-            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
-        ),
-        w AS (
-            SELECT t, x,
-                   list_sort(list(x) OVER (ORDER BY t
-                       ROWS BETWEEN {W18_HALF} PRECEDING
-                       AND {W18_HALF} FOLLOWING)) AS win
-            FROM sp
-        )
-        SELECT t, x,
-               win[(len(win) + 1) // 2] AS rolling_median,
-               CAST(len(win) AS BIGINT) AS win_size
-        FROM w
-        ORDER BY t
-    """,
-    doc=f"Rolling MEDIAN smoother over the hourly event-count series "
-    f"(window +-{W18_HALF} hours): the despiker a monitoring pipeline "
-    "runs before trend logic — unlike the rolling mean (ts12's "
-    "components) a single spike cannot drag it, and unlike the global "
-    "medians (w12/w15) it tracks level shifts. Exact by construction: "
-    "each window's <=5 BIGINT counts are collected per row, sorted, "
-    "and the LOWER MEDIAN (element (k+1)//2, 1-indexed) is picked — "
-    "integer output, no interpolation, identical tie/edge semantics "
-    "on both engines (edge windows shrink to 3/4 points and the rule "
-    "still applies; win_size makes that explicit in the hash). Scale "
-    "shape: the only ordered structure is the CALENDAR-BOUNDED spine "
-    "(~9k points/year — ts22's argument), so the per-row collect is "
-    "O(window) on a frame that never scales with the fact table; the "
-    "fact-side cost stays one map-side-combined hourly groupBy. A "
-    "row-count-scaled deployment would window per series key, which "
-    "partitions the same plan.",
-    tags=("window", "timeseries", "robust"),
-)
-def w18_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count(F.lit(1)).alias("x")
-    ).persist()  # plan-cache: spine-sized; feeds bounds AND the spine join
-    b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = b.select(
-        F.col("h0"),
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
-    sp = spine.join(hourly, "h", "left").select(
-        (
-            (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600
-        ).cast("long").alias("t"),
-        F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
-    )
-    win = Window.orderBy("t").rowsBetween(-W18_HALF, W18_HALF)
-    w = sp.select(
-        "t",
-        "x",
-        F.array_sort(F.collect_list("x").over(win)).alias("win"),
-    )
-    return w.select(
-        "t",
-        "x",
-        F.expr("win[CAST((size(win) + 1) / 2 AS INT) - 1]").alias(
-            "rolling_median"
-        ),
-        F.size("win").cast("long").alias("win_size"),
-    ).orderBy("t")
-
-
 # --- j10: linear-interpolation join (round 12) --------------------------------
 
 
@@ -2225,4 +2137,73 @@ def j10_linear_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("interp_x3600"),
         )
         .orderBy("event_id")
+    )
+
+
+# --- w19: exact mode per group (round 12) -------------------------------------
+
+
+@register(
+    "w19_mode",
+    oracle="""
+        WITH pv AS (
+            SELECT event_type AS g,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT g, v, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                       ORDER BY cnt DESC, v ASC) AS rn,
+                   SUM(cnt) OVER (PARTITION BY g) AS n
+            FROM pv
+        )
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+               v AS mode_cents, cnt AS mode_count
+        FROM ranked WHERE rn = 1
+        ORDER BY event_type
+    """,
+    doc="Exact MODE per group — the last member of the location-"
+    "estimator shelf (mean/median w12/winsorized w16/trimmed w17): "
+    "the most frequent exact cent value, ties broken to the SMALLEST "
+    "value so the answer is deterministic on both engines (the "
+    "ROW_NUMBER ordering (cnt DESC, v ASC) is total). The price-point "
+    "question ('what do users actually pay?') that every average "
+    "obscures on multi-modal pricing data. Spark shape: one map-side-"
+    "combined groupBy to the distinct-value frame, then the pick is a "
+    "window over that frame only (bound_int_support-gated above 2M "
+    "distinct, same as the median family) — at 100 TB the ordered "
+    "structure is the bounded support, never the rows.",
+    tags=("window", "aggregate", "analytics"),
+)
+def w19_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from apache_iceberg_spark.operators.analytics import bound_int_support
+
+    e = load_table(spark, sf_dir, "events")
+    pv = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    pv, _step = bound_int_support(pv, group_cols=("g",))
+    ranked = pv.select(
+        "g",
+        "v",
+        "cnt",
+        F.row_number()
+        .over(W.partitionBy("g").orderBy(F.desc("cnt"), F.asc("v")))
+        .alias("rn"),
+        F.sum("cnt").over(W.partitionBy("g")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+            F.col("v").alias("mode_cents"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("event_type")
     )

@@ -1486,96 +1486,88 @@ def g11_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- g11: degree assortativity (round 12) ------------------------------------
+# --- g12: Adamic-Adar link prediction (round 12) ------------------------------
 
-# Pearson correlation formula on the six exact moments, as identical
-# float text: each exact DECIMAL/HUGEINT moment is cast to double ONCE
-# (correctly rounded on both engines) and the arithmetic that follows is
-# the same op order — bitwise-equal results with no integer-overflow
-# cliff (the a21-style decimal cross-products would burst 38 digits at
-# ~3e9 edges here, since n*Sxx <= E^4).
-_G11_CORR = (
-    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
-    "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-    " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
-)
+#: Per-common-neighbor weight 1e6/ln(deg), PRE-ROUNDED to an integer so
+#: the cross-pair aggregation is an exact BIGINT sum (order-free). The
+#: ROUND(transcendental * 1e6) quantization is tx24's recipe: a 1-ulp
+#: libm divergence moves the pre-round value by ~1e-10, astronomically
+#: inside the 0.5 rounding margin — which is what unblocks the variant
+#: g4's doc deliberately avoided before the recipe existed.
+_G12_W = "CAST(ROUND(1000000 / ln(d)) AS BIGINT)"
 
 
 @register(
-    "g11_degree_assortativity",
+    "g12_adamic_adar",
     oracle=f"""
-        WITH pairs AS (
-            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WITH {_DUCK_KNN_EDGES},
+        adj AS (
+            SELECT u AS z, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges
         ),
         deg AS (
-            SELECT CAST(COUNT(*) OVER (PARTITION BY c) AS BIGINT) AS x,
-                   CAST(COUNT(*) OVER (PARTITION BY s) AS BIGINT) AS y
-            FROM pairs
+            SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY z
         ),
-        m AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(x) AS HUGEINT) AS sx,
-                   CAST(SUM(y) AS HUGEINT) AS sy,
-                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
-                   SUM(CAST(y AS HUGEINT) * y) AS syy,
-                   SUM(CAST(x AS HUGEINT) * y) AS sxy
-            FROM deg
+        wedges AS (
+            SELECT a.n AS u, b.n AS v, a.z AS z
+            FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+        ),
+        scored AS (
+            SELECT w.u, w.v,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM({_G12_W}) AS BIGINT) AS aa_micro
+            FROM wedges w JOIN deg d ON d.z = w.z
+            GROUP BY w.u, w.v
         )
-        SELECT n AS n_edges, {_G11_CORR} AS assortativity
-        FROM m
+        SELECT s.u, s.v, s.n_common, s.aa_micro
+        FROM scored s
+        LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+        WHERE e.u IS NULL
     """,
-    doc="Degree assortativity of the customer-supplier trade graph: the "
-    "Pearson correlation, over EDGES, between the customer endpoint's "
-    "degree and the supplier endpoint's degree — positive means hubs "
-    "trade with hubs (assortative mixing), negative means hubs serve "
-    "the periphery (the typical bipartite-commerce signature), the "
-    "one-number structural summary that tells a sampling/partitioning "
-    "strategy whether degree-stratified sampling is needed. a21's "
-    "exact-moments recipe on graph degrees: both endpoint degrees are "
-    "WINDOW COUNTS over the edge shuffle itself (zero joins — "
-    "_trade_edges_with_deg's trick, once per endpoint), the six "
-    "moments accumulate exactly in DECIMAL(38,0)/HUGEINT (Sxx <= E^3 "
-    "— exact to ~4.6e12 edges against the 38-digit envelope), and the "
-    "closing correlation is shared float text over the once-cast "
-    "moments (the decimal cross-products a21 keeps exact would burst "
-    "38 digits at ~3e9 edges here, so the formula floats — still "
-    "bitwise-equal across engines). Scale shape: one distinct-pairs "
-    "join, two window shuffles, one map-side-combined moment "
-    "aggregate; nothing ordered, nothing collected.",
-    tags=("graph", "statistics", "analytics"),
+    doc="Adamic-Adar link prediction over g2's kNN-sparsified "
+    "co-purchase graph: AA(u,v) = sum over common neighbors z of "
+    "1/ln(deg z) — the degree-discounted sibling of g4's resource "
+    "allocation (RA punishes hubs harder with 1/deg; AA's log "
+    "discount is the classic citation-network index, and ranking "
+    "disagreements between the two flag hub-dominated neighborhoods). "
+    "g4's doc deliberately avoided this variant 'for the libm "
+    "reason'; tx24's quantization recipe since made it safe: each "
+    "common neighbor contributes ROUND(1e6/ln(deg)) — an INTEGER — "
+    "so the per-pair aggregation is an exact order-free BIGINT sum, "
+    "and the only float per term is one ln whose 1-ulp engine "
+    "divergence sits ~1e-10 inside the rounding margin. ln(deg) > 0 "
+    "by construction: a common neighbor is adjacent to both endpoints "
+    "so deg(z) >= 2. Same scale shape as g4: wedge volume bounded by "
+    "n*K^2 under the kNN cap, one shuffle on z, one on the pair, "
+    "anti-join against the edge list.",
+    tags=("graph", "similarity", "recommendation"),
 )
-def g11_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    l = load_table_parallel(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    pairs = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+def g12_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("z"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("z"), F.col("u").alias("n")),
+            )
+        ).alias("a")
+    ).select("a.z", "a.n")
+    deg = adj.groupBy("z").agg(F.count("*").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n")),
+    ).select(
+        F.col("a.n").alias("u"), F.col("b.n").alias("v"), F.col("a.z").alias("z")
     )
-    deg = pairs.select(
-        F.count(F.lit(1))
-        .over(Window.partitionBy("c"))
-        .cast("long")
-        .alias("x"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("s"))
-        .cast("long")
-        .alias("y"),
+    scored = (
+        wedges.join(deg, "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.expr(_G12_W)).alias("aa_micro"),
+        )
     )
-    m = deg.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
-        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
-        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
-    )
-    return m.select(
-        F.col("n").alias("n_edges"), F.expr(_G11_CORR).alias("assortativity")
+    return scored.join(edges, ["u", "v"], "left_anti").select(
+        "u", "v", "n_common", "aa_micro"
     )

@@ -4245,103 +4245,6 @@ def mm11_aspect_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- pp21: temperature-scaled mixture weights (round 12) ----------------------
-
-# sqrt of an exact-integer share ratio: '/' and sqrt are both IEEE
-# correctly-rounded, so the per-domain value is bitwise-equal across
-# engines; the cross-domain normalizer is an ordered left-fold (the a37
-# aggregation-determinism discipline).
-_PP21_SQRT = (
-    "sqrt(CAST(domain_tokens AS DOUBLE) / CAST(total AS DOUBLE))"
-)
-
-
-@register(
-    "pp21_temperature_mixture",
-    oracle=f"""
-        WITH per AS (
-            SELECT source,
-                   CAST(SUM(len(string_split_regex(lower(trim(text)),
-                        '{_TOKEN_SPLIT}'))) AS BIGINT) AS domain_tokens,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs
-            FROM documents GROUP BY source
-        ),
-        tot AS (SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total FROM per),
-        v AS (
-            SELECT source, n_docs, domain_tokens, total,
-                   {_PP21_SQRT} AS sv
-            FROM per CROSS JOIN tot
-        ),
-        z AS (
-            SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                       list(sv ORDER BY source)), (acc, x) -> acc + x) AS z
-            FROM v
-        )
-        SELECT source, n_docs, domain_tokens,
-               CAST(CAST(domain_tokens AS HUGEINT) * 1000000 // total
-                    AS BIGINT) AS share_ppm,
-               CAST(ROUND(sv / z * 1000000) AS BIGINT) AS temp_share_ppm
-        FROM v CROSS JOIN z
-        ORDER BY source
-    """,
-    doc="Temperature-scaled mixture weights at T=2 — the mT5/ROOTS "
-    "multilingual-sampling rule p_i ∝ share_i^(1/T), the OTHER "
-    "standard mixing policy next to pp19's capped-uniform target "
-    "(temperature upsamples small domains smoothly instead of "
-    "clamping at an epoch cap; at T=1 it is proportional sampling, "
-    "at T→∞ uniform). T=2 is the exponent chosen for determinism, "
-    "not convenience: share^(1/2) is ONE IEEE-correctly-rounded sqrt "
-    "of an exact integer ratio, so per-domain values are bitwise "
-    "across engines with no transcendental-ulp surface (a general T "
-    "would quantize pow() to ppm first, tx24's ln recipe); the "
-    "normalizer is a sequential left-fold over domains in source "
-    "order (a37's cross-row float-sum discipline), and the emitted "
-    "weights are ppm integers. Scale shape: identical to pp19 — ONE "
-    "map-side-combined groupBy(source) over the corpus, then "
-    "constant-size (|domains|-row) arithmetic; the output frame is "
-    "the broadcast a sampler consumes.",
-    tags=("pipeline", "llm", "sampling"),
-)
-def pp21_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
-    per = d.groupBy("source").agg(
-        F.sum(F.size(toks)).cast("long").alias("domain_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-    )
-    tot = per.agg(F.sum("domain_tokens").alias("total"))
-    v = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "domain_tokens",
-        "total",
-        F.expr(_PP21_SQRT).alias("sv"),
-    )
-    z = v.agg(
-        F.expr(
-            "aggregate(transform(array_sort(collect_list("
-            "struct(source, sv))), s -> s.sv), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        ).alias("z")
-    )
-    return (
-        v.crossJoin(F.broadcast(z))
-        .select(
-            "source",
-            "n_docs",
-            "domain_tokens",
-            F.expr(
-                "CAST(CAST(domain_tokens AS DECIMAL(38,0)) * 1000000 "
-                "DIV total AS BIGINT)"
-            ).alias("share_ppm"),
-            F.expr("CAST(ROUND(sv / z * 1000000) AS BIGINT)").alias(
-                "temp_share_ppm"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
 # --- mm12: letterbox/pad geometry report (round 12) ----------------------------
 
 # Aspect-preserving fit of (w, h) into its mm11 bucket, exact integers:

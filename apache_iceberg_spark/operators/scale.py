@@ -3449,3 +3449,74 @@ def m45_autocompaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg("etl", "head").unionByName(agg("v1tag", "v1tag")).orderBy(
         "ref"
     )
+
+
+@register(
+    "m46_workspace_at_ref",
+    oracle="""
+        WITH base AS (SELECT * FROM customer WHERE c_custkey % 3 = 0),
+             staged AS (SELECT * FROM customer WHERE c_custkey % 3 = 1)
+        SELECT * FROM (
+            SELECT 'customer@main' AS address,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS balance_cents
+            FROM base
+            UNION ALL
+            SELECT 'customer@stage', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM staged)
+        ) ORDER BY address
+    """,
+    doc="The ``table@ref`` addressing sugar at the WORKSPACE layer "
+    "(ws_read_at — m44's catalog-level twin, VERDICT r11 ask #5): one "
+    "string addresses (table, workspace branch/tag), and because the "
+    "ref scopes the WHOLE catalog, two ws_read_at calls at one ref "
+    "are mutually consistent across tables — Nessie's actual "
+    "reference semantics, where `@etl` names a catalog state, not a "
+    "table version. The workflow stages an isolated append on a "
+    "workspace branch and reads main and the branch through the sugar "
+    "alone; the oracle recomputes both states, so address parsing AND "
+    "branch isolation sit in one hash. Metadata-only resolution; each "
+    "scan covers exactly the addressed state's file set.",
+    tags=("scale", "snapshot", "branch", "nessie"),
+)
+def m46_workspace_at_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_branch,
+        ws_read_at,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    ws = tempfile.mkdtemp(prefix="ws_atref_")
+    ws_commit(ws, {"customer": c.filter(F.col("c_custkey") % 3 == 0)})
+    ws_create_branch(ws, "stage")
+    ws_commit(
+        ws,
+        {"customer": c.filter(F.col("c_custkey") % 3 == 1)},
+        branch="stage",
+    )
+
+    def agg(address: str) -> DataFrame:
+        return (
+            ws_read_at(spark, ws, address)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("long")
+                ).alias("balance_cents"),
+            )
+            .select(
+                F.lit(address).alias("address"), "n_rows", "balance_cents"
+            )
+        )
+
+    return (
+        agg("customer@main")
+        .unionByName(agg("customer@stage"))
+        .orderBy("address")
+    )

@@ -314,36 +314,39 @@ def s18_dynamic_partition_overwrite(
     )
 
 
-# --- s20: JSON-lines source roundtrip (round 12) ------------------------------
+# --- s21: single-file JSONL export (round 12) ---------------------------------
 
 
 @register(
-    "s20_jsonl_ingest_roundtrip",
+    "s21_jsonl_export_single",
     oracle="""
         SELECT n_nationkey, n_regionkey, n_name
-        FROM nation ORDER BY n_nationkey
+        FROM nation WHERE n_regionkey < 3 ORDER BY n_nationkey
     """,
-    doc="JSON-lines source format — the third ingestion format next to "
-    "CSV (S1/s12) and parquet (S6), and the one most raw LLM-corpus "
-    "drops arrive in (one JSON object per line): `nation` exported to "
-    "JSONL, read back via spark.read.json with an EXPLICIT schema "
-    "(inference over JSONL costs a full extra pass at TB scale and "
-    "schema-on-read is the production discipline; the explicit "
-    "schema also pins BIGINT vs DOUBLE, which JSON text cannot "
-    "distinguish), projected back to the original columns. JSONL is "
-    "newline-delimited, so unlike multiLine CSV it is SPLITTABLE by "
-    "construction — each file parallelizes at maxPartitionBytes with "
-    "no pre-probe needed (the ask-#6 CSV fast path's property, free). "
-    "Integer and string columns only: float-through-JSON-text is a "
-    "formatting roundtrip no engine pair guarantees bitwise.",
-    tags=("source", "ingest", "json"),
+    doc="Single-file JSONL export (io.export.export_jsonl) — the "
+    "COPY-TO shape's third format next to s9 (CSV) and s10 (parquet), "
+    "and the exact-path single-file contract s13's directory-sink "
+    "JSONL roundtrip does not cover: coalesce to one "
+    "writer, stage, move the part file to the exact requested path, "
+    "then read it back with the explicit schema and prove the "
+    "roundtrip byte-equivalent against the raw table. Integer and "
+    "string columns only (float-through-JSON-text is a formatting "
+    "roundtrip no engine pair guarantees bitwise). The single output "
+    "file is inherently single-writer — export-sized results only; a "
+    "TB-scale JSONL sink uses df.write.json directly with full "
+    "parallelism (JSONL is newline-delimited, so it splits at "
+    "maxPartitionBytes on read either way — the ask-#6 CSV fast "
+    "path's property, free).",
+    tags=("source", "export", "json"),
 )
-def s20_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_regionkey", "n_name"
-    )
-    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_ing_"), "nation")
-    n.write.mode("overwrite").json(path)
+def s21_jsonl_export_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.io.export import export_jsonl
+
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") < 3
+    ).select("n_nationkey", "n_regionkey", "n_name")
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_exp_"), "nation.jsonl")
+    export_jsonl(n, path)
     out = spark.read.schema(
         "n_nationkey bigint, n_regionkey bigint, n_name string"
     ).json(path)

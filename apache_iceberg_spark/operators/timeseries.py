@@ -2686,8 +2686,11 @@ def _ts25_finish(spark: SparkSession, per_hour: DataFrame) -> DataFrame:
         ORDER BY abs(s) DESC, t ASC
         LIMIT 1
     """,
-    doc="CUSUM changepoint detection on the hourly event-count series: "
-    "the classic level-shift locator — S_k = sum_{i<=k} (m*x_i - T) "
+    doc="CUSUM changepoint LOCATOR on the hourly event-count series — "
+    "the series-level complement of ts13/st15 (those run Page's "
+    "one-sided per-USER monitor and answer 'is this key shifting'; "
+    "this answers WHERE the aggregate series' level changed and by "
+    "how much, two-sided, with the argmax split): S_k = sum_{i<=k} (m*x_i - T) "
     "peaks (in absolute value) at the hour where the series' mean "
     "most plausibly changed, and the argmax splits the spine into the "
     "before/after regimes whose exact micro-unit means are emitted. "
@@ -2710,119 +2713,3 @@ def ts25_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("x")
     )
     return _ts25_finish(spark, hourly)
-
-
-# --- ts26: autocorrelation function of the hourly series (round 12) ----------
-
-TS26_MAX_LAG = 12
-
-
-@register(
-    "ts26_autocorrelation",
-    oracle=f"""
-        WITH hourly AS (
-            SELECT date_trunc('hour', ts) AS h,
-                   CAST(COUNT(*) AS BIGINT) AS x
-            FROM events GROUP BY 1
-        ),
-        b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
-        spine AS (
-            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-            FROM b
-        ),
-        sp AS (
-            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
-                   COALESCE(hourly.x, 0) AS x
-            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
-        ),
-        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
-                       CAST(SUM(x) AS BIGINT) AS tt FROM sp),
-        d AS (
-            SELECT t, CAST(m AS HUGEINT) * x - tt AS d, m
-            FROM sp CROSS JOIN tot
-        ),
-        den AS (SELECT CAST(SUM(d * d) AS HUGEINT) AS den,
-                       MAX(m) AS m FROM d),
-        lags AS (SELECT unnest(generate_series(1, {TS26_MAX_LAG})) AS lag),
-        num AS (
-            SELECT l.lag,
-                   CAST(SUM(a.d * c.d) AS HUGEINT) AS num,
-                   CAST(COUNT(*) AS BIGINT) AS n_terms
-            FROM lags l
-            JOIN d a ON TRUE
-            JOIN d c ON c.t = a.t - l.lag
-            GROUP BY l.lag
-        )
-        SELECT num.lag, den.m AS n_points, num.n_terms,
-               CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) AS acf
-        FROM num CROSS JOIN den
-        ORDER BY num.lag
-    """,
-    doc=f"Autocorrelation function of the hourly event-count series at "
-    f"lags 1..{TS26_MAX_LAG} — the diagnostic that tells a forecaster "
-    "which structure the series actually has (a daily cycle shows as "
-    "the lag-24-family ridge ts23/ts24 assume; a decaying ACF says "
-    "AR-smooth; the all-zero ACF says the EWMA alarms of st14 are "
-    "noise-chasing). Exact-integer estimator: deviations are scaled "
-    "by the point count m (d_t = m*x_t - T, no division, the ts25 "
-    "trick), the lag-L numerator sum(d_t * d_(t-L)) and the "
-    "denominator sum(d_t^2) accumulate in DECIMAL(38,0)/HUGEINT "
-    "(|d| <= m*T — products exact to ~1e36 against the envelope), "
-    "and each acf value is ONE float division of two exact integers — "
-    "bitwise-equal across engines. Scale shape: one hourly groupBy "
-    "over the facts; the spine fill, the lag self-join (an equi-join "
-    "on t, fanning out x MAX_LAG times), and the per-lag aggregate "
-    "all run on the CALENDAR-BOUNDED spine (~9k points/year), never "
-    "on rows.",
-    tags=("timeseries", "statistics"),
-)
-def ts26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count(F.lit(1)).alias("x")
-    ).persist()  # plan-cache: spine-sized; feeds bounds AND the spine join
-    b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = b.select(
-        F.col("h0"),
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
-    sp = spine.join(hourly, "h", "left").select(
-        (
-            (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600
-        ).cast("long").alias("t"),
-        F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
-    )
-    tot = sp.agg(F.count(F.lit(1)).alias("m"), F.sum("x").alias("tt"))
-    d = sp.crossJoin(F.broadcast(tot)).select(
-        "t",
-        F.expr("CAST(m AS DECIMAL(38,0)) * x - tt").alias("d"),
-        "m",
-    ).persist()  # plan-cache: both self-join sides + the denominator
-    den = d.agg(
-        F.sum(F.expr("d * d")).alias("den"), F.max("m").alias("m")
-    )
-    lags = spark.range(1, TS26_MAX_LAG + 1).select(F.col("id").alias("lag"))
-    a, c = d.alias("a"), d.alias("c")
-    num = (
-        a.crossJoin(F.broadcast(lags))
-        .join(c, F.col("c.t") == F.col("a.t") - F.col("lag"))
-        .groupBy("lag")
-        .agg(
-            F.sum(F.expr("a.d * c.d")).alias("num"),
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-        )
-    )
-    return (
-        num.crossJoin(F.broadcast(den))
-        .select(
-            "lag",
-            F.col("m").alias("n_points"),
-            "n_terms",
-            F.expr(
-                "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
-            ).alias("acf"),
-        )
-        .orderBy("lag")
-    )

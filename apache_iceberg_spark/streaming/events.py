@@ -1780,7 +1780,11 @@ _st21_set_oracle()
 @register(
     "st22_stream_changepoint",
     oracle=None,  # bound to ts25's oracle below
-    doc="ts25's CUSUM changepoint maintained BY THE STREAM: the "
+    doc="ts25's series-level CUSUM changepoint maintained BY THE "
+    "STREAM (st15 is the OTHER cusum: Page's one-sided per-user "
+    "monitor with O(1) per-key state; this one locates WHERE the "
+    "aggregate series' level shifted, from spine-sized count "
+    "partials): the "
     "micro-batch aggregation keeps one COUNT per hour bucket — a "
     "mergeable partial, so streaming state is the calendar-bounded "
     "spine (~9k rows/year) regardless of event rate, and every batch "
@@ -1835,11 +1839,20 @@ _st22_set_oracle()
 # --- st23: streaming Benford first-digit monitor (round 12) -------------------
 
 
-def _st23_oracle() -> str:
-    from apache_iceberg_spark.operators.analytics import (
-        _a38_ppm_values_sql,
-    )
+#: Benford expected first-digit probabilities, PRE-QUANTIZED to ppm in
+#: Python (round(log10(1+1/d)*1e6); they sum to exactly 1e6) — neither
+#: engine evaluates a transcendental, so there is no cross-engine ulp
+#: surface: everything downstream is exact integer arithmetic. (a26
+#: pins the same distribution for its per-digit profile; these are the
+#: chi-square fold's copies.)
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
 
+
+def _st23_oracle() -> str:
+    vals = ", ".join(f"({d}, {p})" for d, p in BENFORD_PPM.items())
     return f"""
         WITH obs AS (
             SELECT CAST(substr(CAST(CAST(ROUND(value * 100)
@@ -1848,7 +1861,7 @@ def _st23_oracle() -> str:
             FROM events
             GROUP BY 1
         ),
-        exp_t(digit, p_ppm) AS (VALUES {_a38_ppm_values_sql()}),
+        exp_t(digit, p_ppm) AS (VALUES {vals}),
         n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
         cells AS (
             SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
@@ -1873,14 +1886,16 @@ def _st23_oracle() -> str:
 @register(
     "st23_stream_benford",
     oracle=None,  # bound below (needs analytics imported first)
-    doc="a38's Benford first-digit conformance maintained BY THE STREAM "
-    "over event values: the micro-batch aggregation keeps one COUNT "
-    "per leading digit — nine rows of mergeable state regardless of "
-    "event rate — and the chi-square finish (Python-prequantized ppm "
-    "expectations, exact integer dev^2 // (n*p) terms, zero "
-    "transcendental surface) runs on the final 9-row table with the "
-    "same arithmetic as the batch operator, checked against an "
-    "events-flavored oracle of a38's exact SQL shape. The monitoring "
+    doc="Benford first-digit CONFORMANCE maintained BY THE STREAM over "
+    "event values — a26's batch digit profile as a streaming monitor, "
+    "plus the single decision number a26 stops short of (the per-cell "
+    "-> total chi-square fold needs exact integer terms; here dev^2 "
+    "// (n*p) over Python-prequantized ppm expectations, zero "
+    "transcendental surface, summed over the fixed nine digits): the "
+    "micro-batch aggregation keeps one COUNT per leading digit — nine "
+    "rows of mergeable state regardless of event rate — and the "
+    "chi-square finish runs on the final 9-row table, checked against "
+    "an events-flavored oracle of the same SQL shape. The monitoring "
     "story: a synthetic-traffic injection or a price-field truncation "
     "bends the digit distribution within one micro-batch, and "
     "chi2_total_micro is the single alarm number — priced at a 9-row "
@@ -1888,7 +1903,6 @@ def _st23_oracle() -> str:
     tags=("streaming", "statistics", "quality"),
 )
 def st23_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apache_iceberg_spark.operators.analytics import A38_PPM
 
     obs = (
         stream_events(spark, sf_dir)
@@ -1916,7 +1930,7 @@ def st23_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     obs_t = spark.table(qname).persist()  # plan-cache: feeds n AND cells
     exp_t = spark.createDataFrame(
-        [(d, p) for d, p in A38_PPM.items()], "digit bigint, p_ppm bigint"
+        [(d, p) for d, p in BENFORD_PPM.items()], "digit bigint, p_ppm bigint"
     )
     n = obs_t.agg(F.sum("n_obs").alias("n"))
     cells = (

@@ -1111,17 +1111,8 @@ def test_j10_anchors_broadcast_facts_stream(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_ts25_w18_single_fact_scan(spark):
-    for name in ("ts25_cusum_changepoint", "w18_rolling_median"):
-        plan = plan_of(spark, name)
-        assert n_distinct_scans(plan) == 1, (name, plan)
-
-
-def test_ts26_single_fact_scan(spark):
-    """The ACF reads events once (the persisted hourly frame feeds the
-    bounds agg and the spine join); the lag self-join runs on the
-    spine-sized deviation frame, not on facts."""
-    plan = plan_of(spark, "ts26_autocorrelation")
+def test_ts25_single_fact_scan(spark):
+    plan = plan_of(spark, "ts25_cusum_changepoint")
     assert n_distinct_scans(plan) == 1, plan
 
 
@@ -1131,15 +1122,4 @@ def test_w17_bounds_broadcast_back(spark):
     shuffles for the 5-row bounds."""
     plan = plan_of(spark, "w17_trimmed_mean")
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-
-
-def test_a38_fact_collapses_to_nine_rows(spark):
-    """Benford reads orders once (ReadSchema pruned to the one price
-    column; the persisted <=9-row digit table feeds both branches) and
-    every later join is broadcast."""
-    plan = plan_of(spark, "a38_benford_conformance")
-    assert n_distinct_scans(plan) == 1, plan
-    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-    assert "o_totalprice" in schema and "o_orderkey" not in schema
     assert "SortMergeJoin" not in plan
