@@ -528,12 +528,29 @@ _UNSET = object()
 _MISSING = object()  # "branch absent from refs" — distinct from any version
 
 
+def _prune_keys(refs: dict, keys_max: int | None) -> None:
+    """Bound the idempotency-key index to the ``keys_max`` NEWEST keyed
+    commits (by version) — the knob that keeps ``_refs.json`` O(1) for
+    an unexpiring keyed stream, whose index otherwise grows O(commits)
+    because the index IS the idempotency window (round 12; previously
+    only expiry pruned keys). The window semantics are explicit: a
+    replay bearing a key pruned from the window RE-COMMITS — identical
+    to the expiry-pruning caveat — so callers pick ``keys_max`` beyond
+    any possible replay distance (Spark's foreachBatch replays only the
+    most recent uncommitted batch id, so even a few dozen is generous).
+    Caller holds the commit lock."""
+    if keys_max is not None and len(refs.get("keys", {})) > keys_max:
+        newest = sorted(refs["keys"].items(), key=lambda kv: kv[1])
+        refs["keys"] = dict(newest[-keys_max:])
+
+
 def _append_commit(
     table_path: str,
     entry: dict,
     expected_head: int | None,
     move_branch: str | None = None,
     expected_branch_v=_UNSET,
+    keys_max: int | None = None,
 ) -> None:
     """The commit point: verify the head the committer planned against is
     STILL the head, then APPEND one segment line (O(entry bytes), never a
@@ -618,6 +635,7 @@ def _append_commit(
                 refs.setdefault("keys", {})[
                     f"{move_branch}\x00{key}"
                 ] = entry["version"]
+                _prune_keys(refs, keys_max)
             _write_refs(table_path, refs)
 
 
@@ -1113,6 +1131,7 @@ def commit_append_ref(
     partition_by: list[str] | None = None,
     idempotency_key: str | None = None,
     max_retries: int = 0,
+    keys_max: int | None = None,
     _write=None,
 ) -> int:
     """``commit_append`` onto a BRANCH: parents on the branch head (not
@@ -1138,6 +1157,11 @@ def commit_append_ref(
     loser's Spark job is reused, not orphaned debris. If a racer landed
     the same idempotency key meanwhile, the retry returns that version
     and this attempt's directory is left for ``remove_orphan_dirs``.
+
+    ``keys_max``: bound the idempotency index to the newest N keyed
+    commits (``_prune_keys``) — the O(1)-refs knob for unexpiring keyed
+    streams; a replay OLDER than the window re-commits, so pick it
+    beyond any possible replay distance.
 
     ``_write``: probe hook — a callable ``(ddir) -> None`` that writes
     the data directory instead of the Spark parquet job, so
@@ -1195,6 +1219,7 @@ def commit_append_ref(
                 expected_head=head,
                 move_branch=branch,
                 expected_branch_v=parent_v,
+                keys_max=keys_max,
             )
             return version
         except CommitConflict:

@@ -53,6 +53,7 @@ from apache_iceberg_spark.catalog.snapshots import (
     _data_dir,
     _locked_state,
     _log_lock,
+    _prune_keys,
     _read_log,
     _read_tail,
     _state_ancestry,
@@ -253,6 +254,7 @@ def ws_commit(
     idempotency_key: str | None = None,
     branch: str = "main",
     max_retries: int = 0,
+    keys_max: int | None = None,
     _write=None,
 ) -> int:
     """Commit EVERY table in ``dfs`` as ONE atomic workspace version on
@@ -292,6 +294,11 @@ def ws_commit(
     backoff. Two concurrent st20-style streams publishing to one
     workspace therefore both land, instead of one thrashing through
     orphaned rewrites.
+
+    ``keys_max``: bound the idempotency index to the newest N keyed
+    commits — the O(1)-refs knob for unexpiring keyed streams (a replay
+    older than the window re-commits; pick it beyond any possible
+    replay distance, same caveat as expiry's key pruning).
 
     ``_write``: probe hook — ``(name, df, ddir) -> None`` writes a
     table's data directory in place of the Spark parquet job, so the
@@ -431,6 +438,7 @@ def ws_commit(
                     cur_refs.setdefault("keys", {})[
                         f"{branch}\x00{idempotency_key}"
                     ] = version
+                    _prune_keys(cur_refs, keys_max)
                 _write_refs(ws_path, cur_refs)
             return version
         except CommitConflict:

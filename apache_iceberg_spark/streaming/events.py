@@ -1533,6 +1533,10 @@ def _st19_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
             branch="ingest",
             idempotency_key=f"st19-batch-{batch_id}",
             max_retries=3,
+            # bound the key index: the window only ever needs to cover
+            # Spark's replay distance (the most recent uncommitted
+            # batch), so the refs file stays O(1) at any stream length
+            keys_max=64,
         )
 
     query = (
@@ -1629,6 +1633,8 @@ def _st20_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
                 {"raw": batch_df, "agg": agg},
                 idempotency_key=f"st20-batch-{batch_id}",
                 max_retries=3,
+                keys_max=64,  # O(1) refs at any stream length (replay
+                # distance is one batch; 64 is generous)
             )
         finally:
             batch_df.unpersist()

@@ -601,3 +601,97 @@ def test_w16_clipped_sum_exact_past_int64(spark):
     assert row["sum_clipped_cents"] == float(n * v_cents)
     # ...while the mean divides the EXACT decimal: bit-exact BIGINT out
     assert row["winsorized_mean_micro"] == v_cents * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# keys_max: bounded idempotency window (O(1) refs for unexpiring streams)
+
+
+def test_keys_max_bounds_refs_and_keeps_recent_idempotency(spark, ref_table):
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        list_refs,
+        list_snapshots,
+    )
+
+    create_branch(ref_table, "etl")
+    versions = {}
+    for i in range(30):
+        versions[i] = commit_append_ref(
+            spark.range(i, i + 1).select(F.col("id")),
+            ref_table,
+            branch="etl",
+            idempotency_key=f"b{i}",
+            keys_max=10,
+        )
+    refs = list_refs(ref_table)
+    assert len(refs["keys"]) == 10  # bounded, not O(commits)
+    # a replay INSIDE the window is idempotent...
+    again = commit_append_ref(
+        spark.range(0).select(F.col("id")),
+        ref_table,
+        branch="etl",
+        idempotency_key="b29",
+        keys_max=10,
+    )
+    assert again == versions[29]
+    # ...and a replay OLDER than the window re-commits (the documented
+    # window semantics — same caveat as expiry's key pruning)
+    n_before = len(list_snapshots(ref_table))
+    re_old = commit_append_ref(
+        spark.range(99, 100).select(F.col("id")),
+        ref_table,
+        branch="etl",
+        idempotency_key="b0",
+        keys_max=10,
+    )
+    assert re_old != versions[0]
+    assert len(list_snapshots(ref_table)) == n_before + 1
+
+
+def test_ws_keys_max_bounds_refs(spark):
+    from apache_iceberg_spark.catalog.workspace import (
+        _read_refs,
+        ws_commit,
+    )
+
+    ws = tempfile.mkdtemp(prefix="r12_keysmax_")
+    for i in range(25):
+        ws_commit(
+            ws,
+            {"t": spark.range(i, i + 1)},
+            idempotency_key=f"batch-{i}",
+            keys_max=8,
+        )
+    refs = _read_refs(ws)
+    assert len(refs["keys"]) == 8
+    # the newest keys survive (pruned by version, oldest first)
+    assert f"main\x00batch-24" in refs["keys"]
+    assert f"main\x00batch-0" not in refs["keys"]
+
+
+# ---------------------------------------------------------------------------
+# Model-based torture with AUTO-COMPACTION firing mid-sequence
+
+
+def test_model_sequence_with_autocompaction(spark):
+    """Re-run the round-11 model-based 40-op sequence with the round-12
+    auto-compaction threshold pinned LOW, so in-commit segment-into-base
+    folds interleave with every op class (appends, branch commits,
+    merges, rollbacks, tags, explicit compactions, both expiry modes) —
+    the cache + fold machinery under the store's hardest workload. The
+    model comparison is the round-11 test's own; only the fold cadence
+    changes."""
+    import apache_iceberg_spark.catalog.snapshots as S
+
+    from tests.test_round11_ops import (
+        test_ref_store_matches_python_model_over_random_op_sequence,
+    )
+
+    orig = S.AUTO_COMPACT_MIN_SEGMENT_BYTES
+    S.AUTO_COMPACT_MIN_SEGMENT_BYTES = 200  # folds every ~1-2 commits
+    try:
+        test_ref_store_matches_python_model_over_random_op_sequence(spark)
+    finally:
+        S.AUTO_COMPACT_MIN_SEGMENT_BYTES = orig

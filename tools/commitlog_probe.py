@@ -211,6 +211,45 @@ def wall_mode(n: int) -> None:
         flush=True,
     )
 
+    # KEYED stream with the bounded idempotency window (round 12): the
+    # st19 shape — one batch-id key per commit — with keys_max keeping
+    # _refs.json O(1). Without the bound, the key index grows
+    # O(commits) and each commit's refs rewrite grows with it; with it,
+    # the refs file size and the per-commit wall are both flat.
+    table = tempfile.mkdtemp(prefix="wallprobe_k_") + "/t"
+    os.makedirs(table)
+    commit_snapshot(_Seed(), table, ts_ms=0)
+    create_branch(table, "etl")
+    lat = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        commit_append_ref(
+            None,
+            table,
+            branch="etl",
+            ts_ms=i,
+            idempotency_key=f"batch-{i}",
+            keys_max=64,
+            _write=os.makedirs,
+        )
+        lat.append(time.perf_counter() - t0)
+    print(
+        json.dumps(
+            _wall_stats(
+                lat,
+                {
+                    "mode": "wall_table_keyed",
+                    "keys_max": 64,
+                    "refs_bytes": os.path.getsize(
+                        os.path.join(table, "_refs.json")
+                    ),
+                },
+            ),
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+
 
 def main() -> None:
     args = sys.argv[1:]
