@@ -3520,3 +3520,96 @@ def m46_workspace_at_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg("customer@stage"))
         .orderBy("address")
     )
+
+
+@register(
+    "m47_snapshots_history_table",
+    oracle="""
+        WITH s1 AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0),
+             s2 AS (SELECT * FROM orders WHERE o_orderkey % 5 = 1),
+             s3 AS (SELECT * FROM orders WHERE o_orderkey % 5 = 2)
+        SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS version, CAST(1000 AS BIGINT)
+                       AS ts_ms, 'overwrite' AS operation,
+                   CAST(1 AS BIGINT) AS n_dirs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_rows
+            UNION ALL
+            SELECT 2, 2000, 'append', 2,
+                   (SELECT COUNT(*) FROM s1) + (SELECT COUNT(*) FROM s2)
+            UNION ALL
+            SELECT 3, 3000, 'append', 3,
+                   (SELECT COUNT(*) FROM s1) + (SELECT COUNT(*) FROM s2)
+                     + (SELECT COUNT(*) FROM s3)
+            UNION ALL
+            SELECT 4, 4000, 'restate', 1, (SELECT COUNT(*) FROM s1)
+        ) ORDER BY version
+    """,
+    doc="The table's own HISTORY as a queryable DataFrame — Iceberg's "
+    "`SELECT * FROM t.snapshots` / `t.history` metadata tables "
+    "(`spark.sql('... t.snapshots')` on a real runtime; SURVEY §2.10's "
+    "introspection shelf next to m19's partitions table and m23's "
+    "metadata-only aggregates): one row per commit with the version, "
+    "its pinned timestamp, the OPERATION CLASSIFIED FROM THE ENTRY "
+    "SHAPE (path -> overwrite, adds -> append, paths -> restate/"
+    "rollback, +merged_from -> merge — the emulation's manifest-list "
+    "forensics), and the resolved file-set width. The workflow drives "
+    "overwrite -> append -> append -> rollback and emits the history; "
+    "version/operation/n_dirs are the CONTRACT of those four ops "
+    "(hardcoded in the oracle as the spec), while n_rows is recomputed "
+    "by the oracle from the raw slices, so the hash grounds the "
+    "history in the data, not just in itself. The metadata columns "
+    "cost O(log) driver work like real Iceberg's metadata tables; the "
+    "per-version counts exist to ground the TEST (a production "
+    "`t.snapshots` emits added-records from manifest stats instead of "
+    "scanning — our emulation records dir counts, not row stats, and "
+    "says so).",
+    tags=("scale", "snapshot", "metadata"),
+)
+def m47_snapshots_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        list_snapshots,
+        read_snapshot_dirs,
+        rollback_to,
+        _by_version,
+        _resolve_paths,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="history_"), "orders")
+    commit_snapshot(o.filter(F.col("o_orderkey") % 5 == 0), table, ts_ms=1000)
+    commit_append(o.filter(F.col("o_orderkey") % 5 == 1), table, ts_ms=2000)
+    commit_append(o.filter(F.col("o_orderkey") % 5 == 2), table, ts_ms=3000)
+    rollback_to(table, 1, ts_ms=4000)
+
+    log = list_snapshots(table)
+    by_v = _by_version(log)
+
+    def classify(e: dict) -> str:
+        if "path" in e:
+            return "overwrite"
+        if "adds" in e:
+            return "append"
+        return "merge" if "merged_from" in e else "restate"
+
+    out = None
+    for e in log:
+        meta = (
+            read_snapshot_dirs(spark, table, version=e["version"])
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(e["version"]).cast("long").alias("version"),
+                F.lit(e["ts_ms"]).cast("long").alias("ts_ms"),
+                F.lit(classify(e)).alias("operation"),
+                F.lit(len(_resolve_paths(by_v, e)))
+                .cast("long")
+                .alias("n_dirs"),
+                "n_rows",
+            )
+        )
+        out = meta if out is None else out.unionByName(meta)
+    return out.orderBy("version")
