@@ -2361,120 +2361,6 @@ def a36_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a37: chi-square test of independence + Cramér's V (round 12)
-# ---------------------------------------------------------------------------
-
-# Per-cell term as identical float text on exact integer inputs: d is the
-# EXACT decimal o*n - r*c (no rounding before the one cast), so both
-# engines start from the same real number and apply the same op order.
-_A37_TERM = (
-    "CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / "
-    "(CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
-)
-
-
-@register(
-    "a37_cramers_v",
-    oracle=f"""
-        WITH cells AS (
-            SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS b,
-                   CAST(COUNT(*) AS BIGINT) AS o
-            FROM events GROUP BY 1, 2
-        ),
-        rt AS (SELECT g, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY g),
-        ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
-        n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
-        terms AS (
-            SELECT cells.g, cells.b,
-                   CAST(cells.o AS HUGEINT) * n.n
-                     - CAST(rt.r AS HUGEINT) * ct.c AS d,
-                   n.n, rt.r, ct.c
-            FROM cells JOIN rt USING (g) JOIN ct USING (b) CROSS JOIN n
-        )
-        SELECT MAX(n) AS n,
-               CAST(COUNT(*) AS BIGINT) AS n_cells,
-               (COUNT(DISTINCT g) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
-               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list({_A37_TERM} ORDER BY g, b)),
-                   (acc, v) -> acc + v) AS chi2,
-               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list({_A37_TERM} ORDER BY g, b)),
-                   (acc, v) -> acc + v)
-                 / (CAST(MAX(n) AS DOUBLE)
-                    * (LEAST(COUNT(DISTINCT g), COUNT(DISTINCT b)) - 1)))
-                 AS cramers_v
-        FROM terms
-    """,
-    doc="TOTAL chi-square statistic + Cramér's V effect size on the "
-    "event_type x hour-of-day contingency table — the closing half of "
-    "a29's per-cell chi-square profile: a29 names which cell deviates "
-    "but stops at cell terms precisely because a cross-cell float SUM "
-    "is partition-order-dependent; this operator delivers the single "
-    "decision number (is traffic mix independent of time of day, and "
-    "by how much not). Determinism recipe for that cross-CELL float "
-    "sum (a21's per-group trick cannot apply — chi2 genuinely sums "
-    "float terms across rows): each cell's term is one float expression on "
-    "EXACT integer inputs (d = o*n - r*c carried in DECIMAL(38,0)/"
-    "HUGEINT, exact far past any table size — |d| <= n^2, which is "
-    "1e24 at 1e12 rows against the 38-digit envelope), and "
-    "the cross-cell sum is a SEQUENTIAL LEFT-FOLD over the cells in "
-    "(g, b) order — the _SPARK_DOT/_DUCK_DOT discipline lifted from "
-    "vectors to aggregation, so both engines add the identical terms "
-    "in the identical order and the result is bitwise-equal at any "
-    "scale with no integer-overflow cliff. Scale shape: one fact-table "
-    "groupBy (map-side combined) to the <=|types|*24-cell table; row/"
-    "column totals and the fold are metadata-sized; the contingency "
-    "table itself is the only state. The sqrt/LEAST closing formula "
-    "is shared float text (single-row).",
-    tags=("aggregate", "analytics", "statistics"),
-)
-def a37_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    cells = e.groupBy(
-        F.col("event_type").alias("g"),
-        F.hour("ts").cast("long").alias("b"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("o")).persist()  # plan-cache
-    # ^ the <=|types|*24-row contingency table feeds FOUR branches
-    # (row totals, col totals, n, terms) — persisted, the fact table
-    # is scanned once (plan-asserted); unpersisted, four times
-    rt = cells.groupBy("g").agg(F.sum("o").alias("r"))
-    ct = cells.groupBy("b").agg(F.sum("o").alias("c"))
-    n = cells.agg(F.sum("o").alias("n"))
-    terms = (
-        cells.join(F.broadcast(rt), "g")
-        .join(F.broadcast(ct), "b")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "g",
-            "b",
-            F.expr(
-                "CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c"
-            ).alias("d"),
-            "n",
-            "r",
-            "c",
-        )
-    )
-    fold = (
-        "aggregate(transform(array_sort(collect_list("
-        f"struct(g, b, {_A37_TERM} AS term))), s -> s.term), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    return terms.agg(
-        F.max("n").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        (
-            (F.countDistinct("g") - 1) * (F.countDistinct("b") - 1)
-        ).cast("long").alias("dof"),
-        F.expr(fold).alias("chi2"),
-        F.expr(
-            f"sqrt({fold} / (CAST(MAX(n) AS DOUBLE) "
-            "* (LEAST(COUNT(DISTINCT g), COUNT(DISTINCT b)) - 1)))"
-        ).alias("cramers_v"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # a39: Gini coefficient (round 12)
 # ---------------------------------------------------------------------------
 

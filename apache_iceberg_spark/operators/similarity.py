@@ -4017,72 +4017,3 @@ def ann22_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "hamming", "cosine")
     )
-
-
-# --- ann23: cosine range search (round 12) -----------------------------------
-
-ANN23_TAU = 0.25
-
-
-@register(
-    "ann23_cosine_range_search",
-    oracle=f"""
-        WITH n AS (
-            SELECT vec_id, embedding,
-                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS norm
-            FROM embeddings
-        )
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ({_DUCK_DOT.format(a='q.embedding', b='c.embedding')})
-                 / (q.norm * c.norm) AS cosine
-        FROM n q JOIN n c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < {N_QUERIES}
-          AND ({_DUCK_DOT.format(a='q.embedding', b='c.embedding')})
-                 / (q.norm * c.norm) >= {ANN23_TAU}
-        ORDER BY query_id, neighbor_id
-    """,
-    doc=f"Cosine RANGE search: every neighbor within threshold "
-    f"tau={ANN23_TAU} of each of the {N_QUERIES} query vectors — "
-    "top-k's sibling with the other retrieval contract (near-duplicate "
-    "sweeps and contamination checks want 'everything this close', "
-    "not 'the k closest'; the result size is data-determined). "
-    "Cheaper than top-k at scale, not dearer: the query side "
-    "broadcasts, scoring is map-only over the corpus, and the "
-    "threshold is a FILTER — no window, no global ordering, no "
-    "TakeOrdered; at 100 TB the corpus streams through once and only "
-    "matches shuffle (to the final order-by, itself bounded by the "
-    "match count). The boundary decision is safe across engines "
-    "because the cosine is the shared sequential left-fold "
-    "(_SPARK_DOT/_DUCK_DOT) — bitwise-equal, so '>= tau' picks the "
-    "identical row set. Self-matches excluded (ann1 convention). The "
-    "LSH-bucketed scale path for range queries is ann2's machinery "
-    "with the same filter swapped in for its top-k.",
-    tags=("similarity", "llm", "embedding"),
-)
-def ann23_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table_parallel(spark, sf_dir, "embeddings")
-    n = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(
-            f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
-        ).alias("norm"),
-    )
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    scored = n.crossJoin(F.broadcast(q)).filter(
-        F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(
-            f"({_SPARK_DOT.format(a='q_emb', b='embedding')})"
-            " / (q_norm * norm)"
-        ).alias("cosine"),
-    )
-    return scored.filter(F.col("cosine") >= ANN23_TAU).orderBy(
-        "query_id", "neighbor_id"
-    )

@@ -1079,27 +1079,6 @@ def n_distinct_scans(plan: str) -> int:
     return len(set(re.findall(r"Scan parquet\s+\((\d+)\)", plan)))
 
 
-def test_a37_single_fact_scan_and_broadcast_totals(spark):
-    """The chi-square contingency plan reads events ONCE — the persisted
-    <=120-cell table feeds all four branches (row/col/grand totals +
-    terms) — and every totals join is broadcast."""
-    plan = plan_of(spark, "a37_cramers_v")
-    assert n_distinct_scans(plan) == 1, plan
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
-
-
-def test_ann23_broadcast_queries_no_window_no_topk(spark):
-    """Range search is a FILTER, not a ranking: the query side
-    broadcasts (BroadcastNestedLoopJoin — the 5-row side), and the plan
-    has no Window and no TakeOrdered; only the cosmetic final order-by
-    sorts (match-count-bounded)."""
-    plan = plan_of(spark, "ann23_cosine_range_search")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "Window" not in plan
-    assert "TakeOrderedAndProject" not in plan
-
-
 def test_j10_anchors_broadcast_facts_stream(spark):
     """Both interpolation anchor slots are broadcast joins — the fact
     table never shuffles into a SortMergeJoin at any scale (the anchor
