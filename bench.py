@@ -117,6 +117,8 @@ STREAMING = [
     "st19_stream_branch_ingest",
     "st20_stream_atomic_publish",
     "st21_stream_seasonal_profile",
+    "st22_stream_changepoint",
+    "st23_stream_benford",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -226,6 +228,21 @@ AUX = [
     "mm11_aspect_bucket_report",
     "g11_local_clustering",
     "f16_try_functions",
+    # round 12
+    "m44_at_ref_sugar",
+    "m45_autocompaction_scan",
+    "m46_workspace_at_ref",
+    "m47_snapshots_history_table",
+    "w17_trimmed_mean",
+    "w19_mode",
+    "ts25_cusum_changepoint",
+    "a39_gini_concentration",
+    "dd22_dup_cluster_histogram",
+    "tx25_charset_profile",
+    "j10_linear_interp_join",
+    "mm12_letterbox_pad_report",
+    "g12_adamic_adar",
+    "s21_jsonl_export_single",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
