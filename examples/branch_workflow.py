@@ -94,6 +94,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     print(f"  branches={refs['branches']} tags={refs['tags']}")
     print(f"  {len(log)} commits in the log; every one time-travelable")
     out["n_commits"] = len(log)
+
+    print("== 6. @ref addressing + the history table (round 12) ==")
+    # Nessie's reference syntax: one string names (table, branch/tag) —
+    # read_at routes through the same metadata-only resolution.
+    from apache_iceberg_spark.catalog.snapshots import read_at
+
+    base_dir = os.path.dirname(table)
+    name = os.path.basename(table)
+    n_at_tag = read_at(spark, base_dir, f"{name}@pre_ingest").count()
+    print(f"  read_at('{name}@pre_ingest') -> {n_at_tag} rows")
+    out["at_ref_sugar"] = n_at_tag == n_tag
+    # The table's own history as a DataFrame (Iceberg's t.snapshots) —
+    # operation classified from the commit-entry shape, O(log) driver
+    # work. A long-lived branch needs no manual compact_log call:
+    # commits auto-fold the segment at max(256 KiB, base/4), and keyed
+    # streaming sinks pass keys_max so the ref file stays O(1) too.
+    ops = [(e["version"], "overwrite" if "path" in e else
+            ("append" if "adds" in e else "restate")) for e in log]
+    print(f"  history: {ops[:6]}{' ...' if len(ops) > 6 else ''}")
     return out
 
 
