@@ -2713,3 +2713,102 @@ def ts25_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("x")
     )
     return _ts25_finish(spark, hourly)
+
+
+# --- ts27: seasonal-naive forecast backtest (round 12) ------------------------
+
+TS27_SEASON = 24  # hourly series, daily cycle
+TS27_PPM = 1_000_000
+
+
+@register(
+    "ts27_forecast_backtest",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        errs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   CAST(SUM(ABS(c.x - n1.x)) AS BIGINT) AS ae_naive,
+                   CAST(SUM(ABS(c.x - s24.x)) AS BIGINT) AS ae_seasonal
+            FROM sp c
+            JOIN sp n1 ON n1.t = c.t - 1
+            JOIN sp s24 ON s24.t = c.t - {TS27_SEASON}
+        )
+        SELECT n_scored, ae_naive, ae_seasonal,
+               CAST(CAST(ae_seasonal AS HUGEINT) * {TS27_PPM}
+                    // NULLIF(ae_naive, 0) AS BIGINT) AS mase_ppm
+        FROM errs
+    """,
+    doc=f"Seasonal-naive forecast BACKTEST of the hourly series — the "
+    "evaluation piece the forecasting shelf was missing (ts12 fits the "
+    "Holt trend, ts23/ts26 diagnose seasonality; nothing SCORED a "
+    "forecast): every hour with both predecessors available is scored "
+    f"against naive-1 (persistence) and seasonal-naive-{TS27_SEASON} "
+    "(yesterday's same hour), and the emitted ratio is the "
+    "seasonal-naive MASE in ppm — the standard scale-free skill score "
+    "with the naive absolute error as the denominator. Under 1e6 says "
+    "the daily cycle is exploitable (deploy the seasonal model; "
+    "ts23's strength_ppm said so structurally, this says it "
+    "PREDICTIVELY); above says persistence wins and a seasonal model "
+    "is ritual. ENTIRELY exact integers: both absolute-error sums are "
+    "BIGINT over the spine (|x| bounded by the hourly-count bound ts22 "
+    "documents), the ratio is one integer DIV, and the scored set is "
+    "identical for both models by construction (one three-way "
+    "spine self-join), so the comparison is apples-to-apples. Scale "
+    "shape: one map-side-combined hourly groupBy over the facts; the "
+    "lag joins are equi-joins on the CALENDAR-BOUNDED spine index "
+    "(~9k points/year), never on rows.",
+    tags=("timeseries", "statistics", "forecast"),
+)
+def ts27_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    ).persist()  # plan-cache: spine-sized; bounds agg + spine join
+    b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = b.select(
+        F.col("h0"),
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    sp = spine.join(hourly, "h", "left").select(
+        (
+            (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600
+        ).cast("long").alias("t"),
+        F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+    ).persist()  # plan-cache: three self-join slots ride this frame
+    c, n1, s24 = sp.alias("c"), sp.alias("n1"), sp.alias("s24")
+    errs = (
+        c.join(n1, F.col("n1.t") == F.col("c.t") - 1)
+        .join(s24, F.col("s24.t") == F.col("c.t") - TS27_SEASON)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(F.abs(F.col("c.x") - F.col("n1.x"))).alias("ae_naive"),
+            F.sum(F.abs(F.col("c.x") - F.col("s24.x"))).alias(
+                "ae_seasonal"
+            ),
+        )
+    )
+    return errs.select(
+        "n_scored",
+        "ae_naive",
+        "ae_seasonal",
+        F.expr(
+            f"CAST(CAST(ae_seasonal AS DECIMAL(38,0)) * {TS27_PPM} "
+            "DIV NULLIF(ae_naive, 0) AS BIGINT)"
+        ).alias("mase_ppm"),
+    )

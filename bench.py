@@ -243,6 +243,7 @@ AUX = [
     "mm12_letterbox_pad_report",
     "g12_adamic_adar",
     "s21_jsonl_export_single",
+    "ts27_forecast_backtest",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
