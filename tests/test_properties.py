@@ -657,3 +657,68 @@ def test_a25_ks_python_model(vals, cut):
     )
     assert abs(d_scaled / (n1 * n2) - ks_f) < 1e-12
     assert 0 <= d_scaled <= n1 * n2
+
+
+# ---------------------------------------------------------------------------
+# round 12: incremental commit-log parser properties (pure kernel)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["version", "ts_ms", "parent"]),
+            st.integers(0, 10**6),
+            min_size=1,
+        ).map(lambda d: {**d, "version": d.get("version", 1)}),
+        max_size=20,
+    ),
+    st.integers(0, 40),
+)
+def test_parse_seg_chunk_torn_tail_invariants(entries, torn_len):
+    """For ANY entry list and ANY torn trailing fragment: the parser
+    consumes exactly the newline-terminated prefix, returns exactly the
+    complete entries, and re-parsing the unconsumed remainder after the
+    'writer' finishes the line yields the missing entry — the
+    crash-recovery algebra the incremental cache relies on."""
+    import json as _json
+
+    from apache_iceberg_spark.catalog.snapshots import _parse_seg_chunk
+
+    complete = b"".join(
+        _json.dumps(e).encode() + b"\n" for e in entries
+    )
+    tail_entry = {"version": 999_999, "ts_ms": 1}
+    tail_bytes = _json.dumps(tail_entry).encode()
+    torn = tail_bytes[: min(torn_len, len(tail_bytes) - 1)]  # never a full line
+    data = complete + torn
+    consumed, parsed = _parse_seg_chunk(data)
+    assert consumed == len(complete)  # torn fragment never consumed
+    assert parsed == entries
+    # the writer finishes the line: the remainder now parses to the entry
+    finished = data[consumed:] + tail_bytes[len(torn):] + b"\n"
+    consumed2, parsed2 = _parse_seg_chunk(finished)
+    assert consumed2 == len(finished)
+    assert parsed2 == [tail_entry]
+
+
+@given(st.binary(min_size=1, max_size=64))
+def test_parse_seg_chunk_never_silently_drops_complete_garbage(blob):
+    """A newline-terminated line that is not valid JSON must RAISE
+    (corruption), never be skipped — the ADVICE-r11 loudness property.
+    A trailing fragment without a newline must never raise."""
+    import json as _json
+
+    from apache_iceberg_spark.catalog.snapshots import _parse_seg_chunk
+
+    # trailing fragment (no newline): never raises, never consumes
+    assert _parse_seg_chunk(blob.replace(b"\n", b"x"))[0] == 0
+    # newline-terminated: either valid JSON (parsed) or ValueError
+    line = blob.replace(b"\n", b"x") + b"\n"
+    try:
+        consumed, parsed = _parse_seg_chunk(line)
+        # no exception -> it must genuinely be JSON
+        assert consumed == len(line)
+        _json.loads(line)
+    except ValueError:
+        pass  # loud corruption: the required behavior

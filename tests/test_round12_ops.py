@@ -695,3 +695,77 @@ def test_model_sequence_with_autocompaction(spark):
         test_ref_store_matches_python_model_over_random_op_sequence(spark)
     finally:
         S.AUTO_COMPACT_MIN_SEGMENT_BYTES = orig
+
+
+# ---------------------------------------------------------------------------
+# Cache consistency under concurrent readers + writers (threads)
+
+
+def test_readers_see_prefix_consistent_log_under_writers(spark, ref_table):
+    """N writer threads commit through the shared incremental cache
+    while M reader threads hammer list_snapshots/_read_tail: every
+    observed log must be a clean version prefix 1..k (no gaps, no
+    duplicates, no torn entries) and every observed tail must be the
+    last element of a longer-or-equal prefix than the previous
+    observation on that thread (monotonic progress). This is the
+    multi-threaded linearizability check the per-operation race tests
+    imply but never asserted directly against the CACHE."""
+    import threading
+
+    import apache_iceberg_spark.catalog.snapshots as S
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        create_branch,
+        list_snapshots,
+    )
+
+    create_branch(ref_table, "etl")
+    n_writers, commits_each = 4, 6
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def writer(w: int) -> None:
+        df = spark.range(w * 100, w * 100 + 2).select(F.col("id"))
+        for i in range(commits_each):
+            try:
+                commit_append_ref(
+                    df, ref_table, branch="etl", max_retries=20
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(f"writer {w}/{i}: {exc}")
+                return
+
+    def reader(r: int) -> None:
+        last_len = 0
+        while not stop.is_set():
+            try:
+                log = list_snapshots(ref_table)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(f"reader {r}: {exc}")
+                return
+            versions = [e["version"] for e in log]
+            if versions != list(range(1, len(versions) + 1)):
+                errors.append(f"reader {r}: non-prefix log {versions}")
+                return
+            if len(versions) < last_len:
+                errors.append(
+                    f"reader {r}: log shrank {last_len}->{len(versions)}"
+                )
+                return
+            last_len = len(versions)
+
+    writers = [
+        threading.Thread(target=writer, args=(w,))
+        for w in range(n_writers)
+    ]
+    readers = [threading.Thread(target=reader, args=(r,)) for r in range(3)]
+    for t in readers + writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    for t in readers:
+        t.join()
+    assert not errors, errors
+    final = [e["version"] for e in list_snapshots(ref_table)]
+    assert final == list(range(1, n_writers * commits_each + 2))
