@@ -125,6 +125,13 @@ class _LogState:
         return self._sorted_vs
 
 
+#: One PROCESS-WIDE lock guards the cache dict and every state access.
+#: Deliberate simplicity over per-path locks: a guarded section is two
+#: stats + a few-line JSON parse (~1-10 µs), while the same-table
+#: writers it could serialize are already serialized by the per-table
+#: COMMIT file lock and dominated by their fsync (~600 µs) — measured
+#: cross-table interference is ~1% worst case, and a single lock keeps
+#: the eviction/extension invariants trivially deadlock-free.
 _CACHE_LOCK = threading.RLock()
 _LOG_CACHE: OrderedDict[str, _LogState] = OrderedDict()
 _LOG_CACHE_MAX = 64
@@ -538,7 +545,10 @@ def _prune_keys(refs: dict, keys_max: int | None) -> None:
     to the expiry-pruning caveat — so callers pick ``keys_max`` beyond
     any possible replay distance (Spark's foreachBatch replays only the
     most recent uncommitted batch id, so even a few dozen is generous).
-    Caller holds the commit lock."""
+    Eviction is by version GLOBALLY across branches: two keyed streams
+    sharing one table should size ``keys_max`` for their COMBINED
+    cadence (a much hotter sibling branch otherwise shortens the cold
+    branch's effective window). Caller holds the commit lock."""
     if keys_max is not None and len(refs.get("keys", {})) > keys_max:
         newest = sorted(refs["keys"].items(), key=lambda kv: kv[1])
         refs["keys"] = dict(newest[-keys_max:])
