@@ -2466,3 +2466,357 @@ def a39_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (CAST(n AS DECIMAL(38,0)) * total_cents) AS BIGINT)"
         ).alias("gini_ppm"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# a40/a41: rank correlation (round 12b)
+# ---------------------------------------------------------------------------
+
+
+def _snap_cell_axis(
+    cells: DataFrame,
+    col: str,
+    cnt_col: str = "cnt",
+    max_support: int = A25_MAX_SUPPORT,
+    grid: int = A25_GRID,
+) -> tuple[DataFrame, int]:
+    """The bound_int_support gate for ONE axis of a joint-cell frame.
+
+    a40/a41 operate on (x, y) contingency cells, so the quantization
+    must snap the CELL keys (every marginal, rank, and prefix frame
+    derives from the snapped cells — keys stay consistent by
+    construction, unlike gating a marginal after the fact).  One cheap
+    agg measures the axis's integer support; at or under
+    ``max_support`` the frame passes through untouched (step 1 — every
+    registered oracle rides this exact branch), above it the axis
+    snaps to the left edge of a fixed ``grid``-cell grid and the cells
+    re-aggregate.  Error bound: Spearman/Kendall move by at most the
+    mass that changes rank order, which the a25 edge argument bounds
+    at one grid cell's mass per axis.
+    """
+    stats = cells.agg(
+        F.approx_count_distinct(col).alias("ndv"),
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+    ).collect()[0]
+    if stats["ndv"] is None or stats["ndv"] <= max_support:
+        return cells, 1
+    span = int(stats["hi"]) - int(stats["lo"]) + 1
+    step = -(-span // grid)  # ceil
+    lo = int(stats["lo"])
+    keep = [c for c in cells.columns if c not in (col, cnt_col)]
+    snapped = cells.select(
+        *keep,
+        F.expr(f"{lo} + (({col} - {lo}) DIV {step}) * {step}").alias(col),
+        cnt_col,
+    )
+    return (
+        snapped.groupBy(*keep, col).agg(F.sum(cnt_col).alias(cnt_col)),
+        step,
+    )
+
+
+# Pearson-on-doubled-midranks: the one shared float formula applied to
+# exact DECIMAL sums (a21's recipe), so Spark and DuckDB agree bitwise.
+_A40_RHO = (
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+    "/ (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) "
+    "* sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+)
+
+# Doubled mid-rank of a distinct value from its group's cumulative
+# counts: 2*(rows strictly below) + (ties + 1) — always an integer,
+# even when the true average rank is a .5 (a34's trick).
+_A40_DR = "2 * (cum - c) + c + 1"
+
+
+@register(
+    "a40_spearman_rho",
+    oracle=f"""
+        WITH x AS (
+            SELECT l_returnflag AS g,
+                   CAST(ROUND(l_quantity * 100) AS BIGINT) AS xv,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yv
+            FROM lineitem
+        ),
+        cells AS (
+            SELECT g, xv, yv, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM x GROUP BY 1, 2, 3
+        ),
+        rx AS (
+            SELECT g, xv, {_A40_DR} AS dr FROM (
+                SELECT g, xv, c,
+                       SUM(c) OVER (PARTITION BY g ORDER BY xv
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (SELECT g, xv, CAST(SUM(cnt) AS BIGINT) AS c
+                      FROM cells GROUP BY 1, 2)
+            )
+        ),
+        ry AS (
+            SELECT g, yv, {_A40_DR} AS dr FROM (
+                SELECT g, yv, c,
+                       SUM(c) OVER (PARTITION BY g ORDER BY yv
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (SELECT g, yv, CAST(SUM(cnt) AS BIGINT) AS c
+                      FROM cells GROUP BY 1, 2)
+            )
+        ),
+        s AS (
+            SELECT c.g,
+                   CAST(SUM(cnt) AS HUGEINT) AS n,
+                   SUM(CAST(cnt AS HUGEINT) * rx.dr) AS sx,
+                   SUM(CAST(cnt AS HUGEINT) * ry.dr) AS sy,
+                   SUM(CAST(cnt AS HUGEINT) * rx.dr * rx.dr) AS sxx,
+                   SUM(CAST(cnt AS HUGEINT) * ry.dr * ry.dr) AS syy,
+                   SUM(CAST(cnt AS HUGEINT) * rx.dr * ry.dr) AS sxy
+            FROM cells c
+            JOIN rx ON rx.g = c.g AND rx.xv = c.xv
+            JOIN ry ON ry.g = c.g AND ry.yv = c.yv
+            GROUP BY c.g
+        )
+        SELECT g AS l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               {_A40_RHO} AS spearman_rho
+        FROM s
+        ORDER BY l_returnflag
+    """,
+    doc="Spearman rank correlation of quantity vs extended price per "
+    "return flag — the monotone-association counterpart of a21's "
+    "Pearson (rank-space is robust to the price column's heavy right "
+    "tail; the two disagreeing is the classic nonlinearity signal). "
+    "Exactness: doubled mid-ranks (a34's integer-rank trick, ties "
+    "averaged without ever leaving integers) come from per-value "
+    "cumulative counts, every cross-row sum is exact DECIMAL(38,0)/"
+    "HUGEINT, and the one shared float formula (a21's) runs on those "
+    "exact sums — bitwise-equal across engines. Scale: the fact table "
+    "shuffles ONCE into (g, x, y) cells; both rank frames are "
+    "distinct-value-sized re-aggs of the persisted cells (gated to "
+    "A25_GRID cells per axis by _snap_cell_axis above 2M distinct, so "
+    "the rank windows and the rank joins stay bounded — AQE broadcasts "
+    "them in practice). Digit budget: sum(cnt*dr^2) <= 4n^3 stays "
+    "inside DECIMAL(38,0) to n~2e12 rows/group; rho computes FROM the "
+    "exact decimals in one shared float expression.",
+    tags=("aggregate", "statistics"),
+)
+def a40_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    rows = l.select(
+        F.col("l_returnflag").alias("g"),
+        _cents(F.col("l_quantity")).alias("xv"),
+        _cents(F.col("l_extendedprice")).alias("yv"),
+    )
+    cells = rows.groupBy("g", "xv", "yv").agg(F.count(F.lit(1)).alias("cnt"))
+    cells, _sx = _snap_cell_axis(cells, "xv")
+    cells, _sy = _snap_cell_axis(cells, "yv")
+    # plan-cache: cells feeds BOTH marginal rank frames and the join —
+    # unpersisted, each consumer re-scans lineitem (released by the
+    # caller via session.release_plan_caches)
+    cells = cells.persist()
+
+    def ranked(axis: str) -> DataFrame:
+        w = (
+            Window.partitionBy("g")
+            .orderBy(axis)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        per_v = cells.groupBy("g", axis).agg(F.sum("cnt").alias("c"))
+        return per_v.select(
+            "g", axis, F.sum("c").over(w).alias("cum"), "c"
+        ).select("g", axis, F.expr(_A40_DR).alias("dr"))
+
+    rx = ranked("xv").withColumnRenamed("dr", "dx")
+    ry = ranked("yv").withColumnRenamed("dr", "dy")
+    s = (
+        cells.join(rx, ["g", "xv"])
+        .join(ry, ["g", "yv"])
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("decimal(38,0)").alias("n"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dx")).alias("sx"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dy")).alias("sy"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dx * dx")).alias("sxx"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dy * dy")).alias("syy"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dx * dy")).alias("sxy"),
+        )
+    )
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(_A40_RHO).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+# a41: Kendall tau-b via 2D dominance prefix sums on the dense
+# contingency grid — concordant/discordant PAIR counts fall out of the
+# joint (x, y) distribution, so the O(n^2) pair space never
+# materializes: work is O(|X|*|Y|) cells after ONE fact shuffle.
+A41_MAX_AXIS = 1_024  # dense grid stays <= 1M cells ungated
+A41_AXIS_GRID = 256
+
+_A41_TAU = (
+    "CAST(c - d AS DOUBLE) "
+    "/ (sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE)))"
+)
+
+
+@register(
+    "a41_kendall_tau_b",
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(ROUND(l_quantity) AS BIGINT) AS xv,
+                   CAST(l_linenumber AS BIGINT) AS yv
+            FROM lineitem
+        ),
+        cells AS (
+            SELECT xv, yv, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM x GROUP BY 1, 2
+        ),
+        xs AS (SELECT DISTINCT xv FROM cells),
+        ys AS (SELECT DISTINCT yv FROM cells),
+        dense AS (
+            SELECT xs.xv, ys.yv, COALESCE(c.cnt, 0) AS nf
+            FROM xs CROSS JOIN ys
+            LEFT JOIN cells c ON c.xv = xs.xv AND c.yv = ys.yv
+        ),
+        pref AS (
+            SELECT xv, yv, nf,
+                   SUM(CAST(nf AS HUGEINT)) OVER (
+                       PARTITION BY xv ORDER BY yv
+                       ROWS UNBOUNDED PRECEDING) AS rowcum
+            FROM dense
+        ),
+        pref2 AS (
+            SELECT xv, yv, nf,
+                   SUM(rowcum) OVER (PARTITION BY yv ORDER BY xv
+                       ROWS UNBOUNDED PRECEDING) AS fcum
+            FROM pref
+        ),
+        pref3 AS (
+            SELECT xv, yv, nf,
+                   LAG(fcum, 1, 0) OVER (
+                       PARTITION BY yv ORDER BY xv) AS gleft
+            FROM pref2
+        ),
+        pref4 AS (
+            SELECT xv, yv, nf, gleft,
+                   LAG(gleft, 1, 0) OVER (
+                       PARTITION BY xv ORDER BY yv) AS p
+            FROM pref3
+        ),
+        colm AS (SELECT xv, CAST(SUM(nf) AS HUGEINT) AS cx
+                 FROM dense GROUP BY xv),
+        colc AS (
+            SELECT xv, cx,
+                   SUM(cx) OVER (ORDER BY xv ROWS UNBOUNDED PRECEDING)
+                       - cx AS lx
+            FROM colm
+        ),
+        rowm AS (SELECT yv, CAST(SUM(nf) AS HUGEINT) AS cy
+                 FROM dense GROUP BY yv),
+        cd AS (
+            SELECT CAST(SUM(nf) AS HUGEINT) AS n,
+                   SUM(CAST(nf AS HUGEINT) * p) AS c,
+                   SUM(CAST(nf AS HUGEINT) * (lx - gleft)) AS d
+            FROM pref4 JOIN colc USING (xv)
+        ),
+        tx_ AS (SELECT SUM((cx * (cx - 1)) // 2) AS tx FROM colm),
+        ty_ AS (SELECT SUM((cy * (cy - 1)) // 2) AS ty FROM rowm),
+        f AS (
+            SELECT n, c, d, tx, ty, (n * (n - 1)) // 2 AS n0
+            FROM cd CROSS JOIN tx_ CROSS JOIN ty_
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               CAST(c AS DOUBLE) AS concordant,
+               CAST(d AS DOUBLE) AS discordant,
+               {_A41_TAU} AS tau_b
+        FROM f
+    """,
+    doc="Kendall tau-b between line number and quantity — the ordinal-"
+    "pair association test (a40's Spearman needs rank arithmetic; "
+    "tau-b is the standard when both axes are small ordinal scales). "
+    "The O(n^2) pair space NEVER materializes: concordant pairs are "
+    "sum(n_xy * F(x-1, y-1)) over the joint contingency, where F is "
+    "the 2D dominance prefix computed as two chained 1D window cumsums "
+    "on the DENSE |X|x|Y| grid (cross join of the axis supports, "
+    "zero-filled) plus two LAGs for the strict corner; discordant "
+    "pairs reuse the same frame via lx - F(x-1, y). 100 TB shape: ONE "
+    "fact shuffle into cells, everything after is grid-sized — "
+    "_snap_cell_axis caps each axis at 256 grid cells above 1,024 "
+    "distinct (dense grid <= 65,536 rows gated, <= 1M ungated); the "
+    "window partitions are one grid line each, and the single global "
+    "window (the x-marginal cumsum) is axis-sized. Digit budget: "
+    "prefix sums and pair products run in DECIMAL(38,0)/HUGEINT — "
+    "n0 = n(n-1)/2 alone passes int64 at n ~ 4.3e9 rows; the pair "
+    "counts project as one correctly-rounded DOUBLE cast and tau_b "
+    "computes FROM the exact decimals in the shared float formula.",
+    tags=("aggregate", "statistics"),
+)
+def a41_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    rows = l.select(
+        F.round(F.col("l_quantity")).cast("long").alias("xv"),
+        F.col("l_linenumber").cast("long").alias("yv"),
+    )
+    cells = rows.groupBy("xv", "yv").agg(F.count(F.lit(1)).alias("cnt"))
+    cells, _sx = _snap_cell_axis(
+        cells, "xv", max_support=A41_MAX_AXIS, grid=A41_AXIS_GRID
+    )
+    cells, _sy = _snap_cell_axis(
+        cells, "yv", max_support=A41_MAX_AXIS, grid=A41_AXIS_GRID
+    )
+    # plan-cache: cells feeds the dense grid, both axis supports, and
+    # both tie marginals (released via session.release_plan_caches)
+    cells = cells.persist()
+    xs = cells.select("xv").distinct()
+    ys = cells.select("yv").distinct()
+    dense = (
+        xs.crossJoin(ys)
+        .join(cells, ["xv", "yv"], "left")
+        .select("xv", "yv", F.coalesce("cnt", F.lit(0)).alias("nf"))
+        # plan-cache: dense feeds the prefix chain and both marginals
+        .persist()
+    )
+    dec = "decimal(38,0)"
+    cum = lambda w: w.rowsBetween(Window.unboundedPreceding, Window.currentRow)  # noqa: E731
+    w_y_in_x = Window.partitionBy("xv").orderBy("yv")
+    w_x_in_y = Window.partitionBy("yv").orderBy("xv")
+    pref = (
+        dense.withColumn(
+            "rowcum", F.sum(F.col("nf").cast(dec)).over(cum(w_y_in_x))
+        )
+        .withColumn("fcum", F.sum("rowcum").over(cum(w_x_in_y)))
+        .withColumn("gleft", F.lag("fcum", 1, 0).over(w_x_in_y))
+        .withColumn("p", F.lag("gleft", 1, 0).over(w_y_in_x))
+    )
+    colm = dense.groupBy("xv").agg(F.sum(F.col("nf").cast(dec)).alias("cx"))
+    colc = colm.select(
+        "xv",
+        "cx",
+        (F.sum("cx").over(cum(Window.orderBy("xv"))) - F.col("cx")).alias(
+            "lx"
+        ),
+    )
+    rowm = dense.groupBy("yv").agg(F.sum(F.col("nf").cast(dec)).alias("cy"))
+    cd = (
+        pref.join(colc.select("xv", "lx"), "xv")
+        .agg(
+            F.sum(F.col("nf").cast(dec)).alias("n"),
+            F.sum(F.expr("CAST(nf AS DECIMAL(38,0)) * p")).alias("c"),
+            F.sum(F.expr("CAST(nf AS DECIMAL(38,0)) * (lx - gleft)")).alias(
+                "d"
+            ),
+        )
+    )
+    tx = colm.agg(F.sum(F.expr("(cx * (cx - 1)) DIV 2")).alias("tx"))
+    ty = rowm.agg(F.sum(F.expr("(cy * (cy - 1)) DIV 2")).alias("ty"))
+    f = (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .withColumn("n0", F.expr("(n * (n - 1)) DIV 2"))
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("c").cast("double").alias("concordant"),
+        F.col("d").cast("double").alias("discordant"),
+        F.expr(_A41_TAU).alias("tau_b"),
+    )

@@ -4361,3 +4361,97 @@ def mm12_letterbox_pad_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_idx")
     )
+
+
+# --- tx26: Shannon token entropy per language -----------------------------------
+
+TX26_MICRO = 1_000_000
+
+# ln() quantized per-row to integer micro-nats (tx24's recipe, proven
+# safe for integer arguments in g12): every cross-row sum is exact.
+_TX26_LNC = f"CAST(ROUND(ln(cnt) * {TX26_MICRO}) AS BIGINT)"
+
+
+@register(
+    "tx26_token_entropy",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        counts AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS vocab,
+                   CAST(SUM(cnt) AS BIGINT) AS n,
+                   SUM(CAST(cnt AS HUGEINT) * {_TX26_LNC}) AS slnc
+            FROM counts GROUP BY lang
+        )
+        SELECT lang,
+               n AS n_tokens,
+               vocab,
+               CAST((CAST(n AS HUGEINT)
+                     * CAST(ROUND(ln(n) * {TX26_MICRO}) AS BIGINT)
+                     - slnc) // n AS BIGINT) AS entropy_micro_nats,
+               CAST(CASE WHEN vocab > 1 THEN
+                   ((CAST(n AS HUGEINT)
+                     * CAST(ROUND(ln(n) * {TX26_MICRO}) AS BIGINT)
+                     - slnc) // n) * {TX26_MICRO}
+                   // CAST(ROUND(ln(vocab) * {TX26_MICRO}) AS BIGINT)
+               ELSE 0 END AS BIGINT) AS efficiency_ppm
+        FROM s
+        ORDER BY lang
+    """,
+    doc="Shannon entropy of the token distribution per language, in "
+    "exact integer micro-nats — the compression-floor / diversity "
+    "scalar corpus curation tracks next to tx24's Zipf exponent (an "
+    "entropy drop after a filter pass means the pass collapsed the "
+    "vocabulary onto boilerplate; the ppm efficiency H/ln(V) is the "
+    "normalized 0-1 form). a24's doc calls libm ln banned and "
+    "substitutes Gini — tx24's ROUND(ln * 1e6) quantization recipe "
+    "(g12 re-proved it: 1-ulp libm divergence sits ~1e-10 inside the "
+    "integer rounding margin) since unlocked the real thing: "
+    "H = ln N - (1/N) * sum(c * ln c) where every ln takes an INTEGER "
+    "count, is snapped per-row to micro-nats, and every cross-row sum "
+    "runs in DECIMAL(38,0)/HUGEINT (c * lnc passes int64 at ~3e11 "
+    "tokens of one term; N * lnN at ~3e11 total), so both engines "
+    "agree bitwise. The entropy and the efficiency ratio are integer "
+    "DIVs of exact decimals. Spark shape: the one token-count shuffle "
+    "the pipeline computes anyway (tx10/tx24's plan), then a per-lang "
+    "map-side-combined re-agg of vocabulary-sized input; nothing "
+    "row-scale survives the first groupBy.",
+    tags=("text", "llm", "corpus", "statistics"),
+)
+def tx26_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    s = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr(f"CAST(cnt AS DECIMAL(38,0)) * {_TX26_LNC}")).alias(
+            "slnc"
+        ),
+    )
+    h = (
+        f"(CAST(n AS DECIMAL(38,0)) "
+        f"* CAST(ROUND(ln(n) * {TX26_MICRO}) AS BIGINT) - slnc) DIV n"
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.expr(f"CAST({h} AS BIGINT)").alias("entropy_micro_nats"),
+        F.expr(
+            f"CAST(CASE WHEN vocab > 1 THEN ({h}) * {TX26_MICRO} "
+            f"DIV CAST(ROUND(ln(vocab) * {TX26_MICRO}) AS BIGINT) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("efficiency_ppm"),
+    ).orderBy("lang")
