@@ -2530,6 +2530,67 @@ _A40_RHO = (
 _A40_DR = "2 * (cum - c) + c + 1"
 
 
+def _a40_finish(cells: DataFrame, group_out: str) -> DataFrame:
+    """Spearman rho from a (g, xv, yv, cnt) contingency frame.
+
+    Shared by batch a40 (lineitem cells from one shuffle) and streaming
+    st24 (cells ARE the mergeable micro-batch state), so the stream's
+    answer is bitwise-equal to the batch recompute. Gates both axes,
+    ranks the marginals with doubled mid-ranks, and applies the one
+    shared float formula to exact DECIMAL(38,0) sums.
+    """
+    cells, _sx = _snap_cell_axis(cells, "xv")
+    cells, _sy = _snap_cell_axis(cells, "yv")
+    # plan-cache: cells feeds BOTH marginal rank frames and the join —
+    # unpersisted, each consumer re-scans the source (released by the
+    # caller via session.release_plan_caches)
+    cells = cells.persist()
+
+    def ranked(axis: str) -> DataFrame:
+        w = (
+            Window.partitionBy("g")
+            .orderBy(axis)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        per_v = cells.groupBy("g", axis).agg(F.sum("cnt").alias("c"))
+        return per_v.select(
+            "g", axis, F.sum("c").over(w).alias("cum"), "c"
+        ).select("g", axis, F.expr(_A40_DR).alias("dr"))
+
+    # Fresh attribute ids on the rank frames' join keys: rx/ry derive
+    # from the same cells frame (a streaming memory-sink view in st24's
+    # case), and Spark's self-join disambiguation rejects the raw
+    # name-based join there ("Conflicting attributes").
+    rx = ranked("xv").select(
+        F.col("g").alias("gx"), F.col("xv").alias("rxv"),
+        F.col("dr").alias("dx"),
+    )
+    ry = ranked("yv").select(
+        F.col("g").alias("gy"), F.col("yv").alias("ryv"),
+        F.col("dr").alias("dy"),
+    )
+    s = (
+        cells.join(
+            rx, (F.col("g") == F.col("gx")) & (F.col("xv") == F.col("rxv"))
+        )
+        .join(ry, (F.col("g") == F.col("gy")) & (F.col("yv") == F.col("ryv")))
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("decimal(38,0)").alias("n"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dx")).alias("sx"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dy")).alias("sy"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dx * dx")).alias("sxx"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dy * dy")).alias("syy"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dx * dy")).alias("sxy"),
+        )
+    )
+    return s.select(
+        F.col("g").alias(group_out),
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(_A40_RHO).alias("spearman_rho"),
+    ).orderBy(group_out)
+
+
 @register(
     "a40_spearman_rho",
     oracle=f"""
@@ -2606,44 +2667,7 @@ def a40_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("l_extendedprice")).alias("yv"),
     )
     cells = rows.groupBy("g", "xv", "yv").agg(F.count(F.lit(1)).alias("cnt"))
-    cells, _sx = _snap_cell_axis(cells, "xv")
-    cells, _sy = _snap_cell_axis(cells, "yv")
-    # plan-cache: cells feeds BOTH marginal rank frames and the join —
-    # unpersisted, each consumer re-scans lineitem (released by the
-    # caller via session.release_plan_caches)
-    cells = cells.persist()
-
-    def ranked(axis: str) -> DataFrame:
-        w = (
-            Window.partitionBy("g")
-            .orderBy(axis)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        per_v = cells.groupBy("g", axis).agg(F.sum("cnt").alias("c"))
-        return per_v.select(
-            "g", axis, F.sum("c").over(w).alias("cum"), "c"
-        ).select("g", axis, F.expr(_A40_DR).alias("dr"))
-
-    rx = ranked("xv").withColumnRenamed("dr", "dx")
-    ry = ranked("yv").withColumnRenamed("dr", "dy")
-    s = (
-        cells.join(rx, ["g", "xv"])
-        .join(ry, ["g", "yv"])
-        .groupBy("g")
-        .agg(
-            F.sum("cnt").cast("decimal(38,0)").alias("n"),
-            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dx")).alias("sx"),
-            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dy")).alias("sy"),
-            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dx * dx")).alias("sxx"),
-            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dy * dy")).alias("syy"),
-            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * dx * dy")).alias("sxy"),
-        )
-    )
-    return s.select(
-        F.col("g").alias("l_returnflag"),
-        F.col("n").cast("long").alias("n_rows"),
-        F.expr(_A40_RHO).alias("spearman_rho"),
-    ).orderBy("l_returnflag")
+    return _a40_finish(cells, "l_returnflag")
 
 
 # a41: Kendall tau-b via 2D dominance prefix sums on the dense

@@ -1990,3 +1990,119 @@ def _st23_set_oracle() -> None:
 
 
 _st23_set_oracle()
+
+
+# --- st24: streaming rank correlation (a40's Spearman at ingest) -------------
+
+
+def _st24_oracle() -> str:
+    from apache_iceberg_spark.operators.analytics import _A40_DR, _A40_RHO
+
+    return f"""
+        WITH x AS (
+            SELECT event_type AS g,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS xv,
+                   CAST(ROUND(value * 100) AS BIGINT) AS yv
+            FROM events
+        ),
+        cells AS (
+            SELECT g, xv, yv, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM x GROUP BY 1, 2, 3
+        ),
+        rx AS (
+            SELECT g, xv, {_A40_DR} AS dr FROM (
+                SELECT g, xv, c,
+                       SUM(c) OVER (PARTITION BY g ORDER BY xv
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (SELECT g, xv, CAST(SUM(cnt) AS BIGINT) AS c
+                      FROM cells GROUP BY 1, 2)
+            )
+        ),
+        ry AS (
+            SELECT g, yv, {_A40_DR} AS dr FROM (
+                SELECT g, yv, c,
+                       SUM(c) OVER (PARTITION BY g ORDER BY yv
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (SELECT g, yv, CAST(SUM(cnt) AS BIGINT) AS c
+                      FROM cells GROUP BY 1, 2)
+            )
+        ),
+        s AS (
+            SELECT c.g,
+                   CAST(SUM(cnt) AS HUGEINT) AS n,
+                   SUM(CAST(cnt AS HUGEINT) * rx.dr) AS sx,
+                   SUM(CAST(cnt AS HUGEINT) * ry.dr) AS sy,
+                   SUM(CAST(cnt AS HUGEINT) * rx.dr * rx.dr) AS sxx,
+                   SUM(CAST(cnt AS HUGEINT) * ry.dr * ry.dr) AS syy,
+                   SUM(CAST(cnt AS HUGEINT) * rx.dr * ry.dr) AS sxy
+            FROM cells c
+            JOIN rx ON rx.g = c.g AND rx.xv = c.xv
+            JOIN ry ON ry.g = c.g AND ry.yv = c.yv
+            GROUP BY c.g
+        )
+        SELECT g AS event_type,
+               CAST(n AS BIGINT) AS n_rows,
+               {_A40_RHO} AS spearman_rho
+        FROM s
+        ORDER BY event_type
+    """
+
+
+@register(
+    "st24_stream_rank_correlation",
+    oracle=None,  # bound below (needs analytics imported first)
+    doc="a40's Spearman rank correlation maintained BY THE STREAM: the "
+    "diurnal-effect monitor (does the metric's MAGNITUDE track the "
+    "hour of day, per event type — rank-space, so one fat-tailed "
+    "outlier batch can't fake or mask the association). The "
+    "micro-batch aggregation keeps one COUNT per (type, hour, cent) "
+    "cell — the joint contingency IS the mergeable sufficient "
+    "statistic for any rank method, so streaming state is "
+    "support-sized (24 hours x the value support x the handful of "
+    "types), independent of event rate, and the rank/rho arithmetic "
+    "never touches the stream. The finish runs on the final cell "
+    "table via the SAME _a40_finish the batch operator uses (axis "
+    "gate, doubled mid-ranks, exact DECIMAL sums, the one shared "
+    "float formula), so the stream's answer is bitwise-equal to a "
+    "batch recompute and the driver checks it against an "
+    "events-flavored oracle of a40's exact SQL shape.",
+    tags=("streaming", "statistics"),
+)
+def st24_stream_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import _a40_finish
+
+    cells = (
+        stream_events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("g"),
+            F.hour(F.col("ts")).cast("long").alias("xv"),
+            F.round(F.col("value") * 100).cast("long").alias("yv"),
+        )
+        .groupBy("g", "xv", "yv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qname = f"st24_rankcorr_{next(_stream_ids)}"
+    query = (
+        cells.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _a40_finish(spark.table(qname), "event_type")
+
+
+def _st24_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st24_stream_rank_correlation"]
+    REGISTRY["st24_stream_rank_correlation"] = dataclasses.replace(
+        q, oracle=_st24_oracle()
+    )
+
+
+_st24_set_oracle()

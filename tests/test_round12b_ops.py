@@ -114,3 +114,29 @@ def test_snap_cell_axis_gate_bounds_support_and_conserves_mass(spark):
     # under the threshold: identity, step 1
     same, step1 = _snap_cell_axis(cells, "yv", max_support=1_000, grid=64)
     assert step1 == 1 and same is cells
+
+
+def test_st24_bitwise_equals_batch_recompute(spark):
+    """The stream's Spearman must be bitwise-equal to a batch recompute
+    over the same events through the SAME _a40_finish (st21/st22's
+    pinned-twin contract)."""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_spark.operators.analytics import _a40_finish
+    from apache_iceberg_spark.tables import load_table
+
+    got = sorted(
+        REGISTRY["st24_stream_rank_correlation"].spark(spark, SF_DIR).collect()
+    )
+    cells = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            F.hour(F.col("ts")).cast("long").alias("xv"),
+            F.round(F.col("value") * 100).cast("long").alias("yv"),
+        )
+        .groupBy("g", "xv", "yv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = sorted(_a40_finish(cells, "event_type").collect())
+    assert got == want
