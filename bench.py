@@ -119,6 +119,7 @@ STREAMING = [
     "st21_stream_seasonal_profile",
     "st22_stream_changepoint",
     "st23_stream_benford",
+    "st24_stream_rank_correlation",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -244,6 +245,10 @@ AUX = [
     "g12_adamic_adar",
     "s21_jsonl_export_single",
     "ts27_forecast_backtest",
+    # round 12, second session
+    "a40_spearman_rho",
+    "a41_kendall_tau_b",
+    "tx26_token_entropy",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
