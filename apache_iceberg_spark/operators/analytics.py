@@ -2795,7 +2795,9 @@ def a41_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     ys = cells.select("yv").distinct()
     dense = (
         xs.crossJoin(ys)
-        .join(cells, ["xv", "yv"], "left")
+        # broadcast: cells are grid-bounded after the axis gates
+        # (<= 1,024^2 ungated, <= 256^2 gated) — never fact-sized
+        .join(F.broadcast(cells), ["xv", "yv"], "left")
         .select("xv", "yv", F.coalesce("cnt", F.lit(0)).alias("nf"))
         # plan-cache: dense feeds the prefix chain and both marginals
         .persist()
@@ -2822,7 +2824,7 @@ def a41_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rowm = dense.groupBy("yv").agg(F.sum(F.col("nf").cast(dec)).alias("cy"))
     cd = (
-        pref.join(colc.select("xv", "lx"), "xv")
+        pref.join(F.broadcast(colc.select("xv", "lx")), "xv")
         .agg(
             F.sum(F.col("nf").cast(dec)).alias("n"),
             F.sum(F.expr("CAST(nf AS DECIMAL(38,0)) * p")).alias("c"),
@@ -2844,3 +2846,145 @@ def a41_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("double").alias("discordant"),
         F.expr(_A41_TAU).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a42: Welch's t-test, each event type vs the complement (round 12b)
+# ---------------------------------------------------------------------------
+
+# Shared float formulas applied once per group to exact DECIMAL/HUGEINT
+# moment sums (a21's determinism recipe). Every cast is explicit so the
+# expression text — and therefore the float op order — is identical on
+# both engines.
+_A42_VAR = (
+    "(CAST({s2} AS DOUBLE) - CAST({s1} AS DOUBLE) * CAST({s1} AS DOUBLE)"
+    " / CAST({n} AS DOUBLE)) / (CAST({n} AS DOUBLE) - 1.0)"
+)
+_A42_T = (
+    "(CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) "
+    "- CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(sea + seb)"
+)
+_A42_DF = (
+    "((sea + seb) * (sea + seb)) "
+    "/ (sea * sea / (CAST(na AS DOUBLE) - 1.0) "
+    "+ seb * seb / (CAST(nb AS DOUBLE) - 1.0))"
+)
+
+
+@register(
+    "a42_welch_t",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type AS g,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        m AS (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS HUGEINT) AS s1,
+                   SUM(CAST(v AS HUGEINT) * v) AS s2
+            FROM x GROUP BY g
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(s1) AS HUGEINT) AS s1t,
+                   CAST(SUM(s2) AS HUGEINT) AS s2t
+            FROM m
+        ),
+        j AS (
+            SELECT g, n AS na, s1 AS s1a, s2 AS s2a,
+                   nt - n AS nb, s1t - s1 AS s1b, s2t - s2 AS s2b
+            FROM m CROSS JOIN tot
+        ),
+        v AS (
+            SELECT g, na, s1a, nb, s1b,
+                   {_A42_VAR.format(s2='s2a', s1='s1a', n='na')}
+                       / CAST(na AS DOUBLE) AS sea,
+                   {_A42_VAR.format(s2='s2b', s1='s1b', n='nb')}
+                       / CAST(nb AS DOUBLE) AS seb
+            FROM j
+        )
+        SELECT g AS event_type,
+               na AS n_rows,
+               CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS mean_cents,
+               {_A42_T} AS t_stat,
+               {_A42_DF} AS welch_df
+        FROM v
+        ORDER BY event_type
+    """,
+    doc="Welch's unequal-variance t-test of EACH event type's value "
+    "against the complement of the other types — the parametric "
+    "two-sample slot in the inference shelf (a33's ANOVA F pools "
+    "variances across k groups; a36's Mann-Whitney is the rank "
+    "alternative; Welch is the textbook default when spread differs, "
+    "and one-vs-rest makes it the per-segment outlier screen). "
+    "Exactness: per-group moment sums (n, sum v, sum v^2 on integer "
+    "cents) in DECIMAL(38,0)/HUGEINT; the complement's moments are "
+    "the GLOBAL fold minus the group's — no second scan, no pairwise "
+    "group join — and variance/SE/t/df are shared float formulas "
+    "applied once per group to exact inputs (explicit casts pin the "
+    "float op order on both engines). Welch-Satterthwaite df is "
+    "reported rather than a p-value (no distribution function "
+    "evaluates in-engine; the chi-square/t critical-value comparison "
+    "is the consumer's one Python-side constant, st23/ts26's recipe). "
+    "Scale: ONE map-side-combined shuffle to |types| moment rows, a "
+    "broadcast of the 1-row total, then per-row float math. Digit "
+    "budget: sum(v^2) at (1e7-cent values, 1e12 rows) peaks ~1e26 — "
+    "inside the 38-digit envelope (a21's analysis); int64 dies at "
+    "~1e4 rows.",
+    tags=("aggregate", "statistics"),
+)
+def a42_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    m = (
+        e.select(
+            F.col("event_type").alias("g"),
+            _cents(F.col("value")).alias("v"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast(dec)).cast(dec).alias("s1"),
+            F.sum(F.expr(f"CAST(v AS {dec}) * v")).cast(dec).alias("s2"),
+        )
+    )
+    tot = m.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s1").cast(dec).alias("s1t"),
+        F.sum("s2").cast(dec).alias("s2t"),
+    )
+    j = m.crossJoin(F.broadcast(tot)).select(
+        "g",
+        F.col("n").alias("na"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+        F.expr("nt - n").alias("nb"),
+        F.expr("s1t - s1").alias("s1b"),
+        F.expr("s2t - s2").alias("s2b"),
+    )
+    v = j.select(
+        "g",
+        "na",
+        "s1a",
+        "nb",
+        "s1b",
+        F.expr(
+            _A42_VAR.format(s2="s2a", s1="s1a", n="na")
+            + " / CAST(na AS DOUBLE)"
+        ).alias("sea"),
+        F.expr(
+            _A42_VAR.format(s2="s2b", s1="s1b", n="nb")
+            + " / CAST(nb AS DOUBLE)"
+        ).alias("seb"),
+    )
+    return v.select(
+        F.col("g").alias("event_type"),
+        F.col("na").alias("n_rows"),
+        F.expr("CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)").alias(
+            "mean_cents"
+        ),
+        F.expr(_A42_T).alias("t_stat"),
+        F.expr(_A42_DF).alias("welch_df"),
+    ).orderBy("event_type")

@@ -2812,3 +2812,131 @@ def ts27_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV NULLIF(ae_naive, 0) AS BIGINT)"
         ).alias("mase_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts26: Ljung-Box portmanteau whiteness test (round 12 second session)
+# ---------------------------------------------------------------------------
+
+#: Contiguous lags 1..K — the portmanteau statistic needs the full
+#: prefix, unlike ts19's diagnostic lag set (which skips to 24).
+TS26_K = 10
+TS26_MICRO = 1_000_000
+#: chi-square upper 5% critical value at K=10 degrees of freedom
+#: (standard table value), PRE-QUANTIZED to micro-units in Python so
+#: neither engine evaluates a distribution function (st23's recipe).
+TS26_CHI2_95_MICRO = 18_307_000
+
+
+@register(
+    "ts26_ljung_box",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        g AS (
+            SELECT CAST(SUM(x) AS BIGINT) AS s1,
+                   CAST(SUM(x * x) AS BIGINT) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM sp
+        ),
+        lags(l) AS (
+            VALUES {", ".join(f"({L})" for L in range(1, TS26_K + 1))}
+        ),
+        per AS (
+            SELECT l,
+                   CAST(SUM(a.x * c.x) AS BIGINT) AS sxy,
+                   CAST(SUM(a.x) AS BIGINT) AS sh,
+                   CAST(SUM(c.x) AS BIGINT) AS st,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM lags JOIN sp a ON TRUE JOIN sp c ON c.t = a.t + l
+            GROUP BY l
+        ),
+        acfq AS (
+            SELECT CAST(l AS BIGINT) AS lag,
+                   m AS n_pairs,
+                   CAST(ROUND(({_TS19_ACF}) * {TS26_MICRO}) AS BIGINT)
+                       AS rk_micro
+            FROM per CROSS JOIN g
+        ),
+        terms AS (
+            SELECT lag, n_pairs, rk_micro,
+                   (CAST(rk_micro AS HUGEINT) * rk_micro) // n_pairs
+                       AS term,
+                   n_pairs + lag AS nser
+            FROM acfq
+        )
+        SELECT lag, n_pairs, rk_micro,
+               CAST(CAST(nser AS HUGEINT) * (nser + 2)
+                    * SUM(term) OVER () // {TS26_MICRO} AS BIGINT)
+                   AS q_micro,
+               CAST(nser AS HUGEINT) * (nser + 2) * SUM(term) OVER ()
+                   // {TS26_MICRO} < {TS26_CHI2_95_MICRO} AS white_at_95
+        FROM terms
+        ORDER BY lag
+    """,
+    doc=f"Ljung-Box portmanteau whiteness test on the hourly event-"
+    f"count series over contiguous lags 1..{TS26_K} — the DECISION "
+    "ts19's per-lag ACF diagnostic stops short of (and the residual "
+    "check the forecasting shelf needs after ts27 picks a model: a "
+    "series whose Q statistic clears the chi-square bar has no linear "
+    "structure left worth modeling). Q = n(n+2) * sum(r_k^2/(n-k)); "
+    "each r_k is ts19's bitwise-deterministic double, snapped per-row "
+    "to integer micro-units (tx24's recipe), so the cross-lag fold is "
+    "EXACT integer arithmetic: r_k^2/(n-k) as HUGEINT/DECIMAL DIV "
+    "(n-k = n_pairs, the spine is contiguous), one window total over "
+    f"the {TS26_K}-row lag frame, and the 5% decision compares against "
+    "the Python-prequantized chi-square critical value — no "
+    "distribution function evaluates in either engine (st23's "
+    "zero-transcendental-surface recipe). Scale shape: identical to "
+    "ts19 (shares _ts19_acf_frame) — one map-side-combined hourly "
+    "count, calendar-bounded spine, integer shifted-index lag joins; "
+    f"everything after the spine is {TS26_K} rows.",
+    tags=("timeseries", "statistics", "quality"),
+)
+def ts26_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acf = _ts19_acf_frame(
+        spark, sf_dir, tuple(range(1, TS26_K + 1))
+    )
+    terms = acf.select(
+        "lag",
+        "n_pairs",
+        F.expr(
+            f"CAST(ROUND(acf * {TS26_MICRO}) AS BIGINT)"
+        ).alias("rk_micro"),
+    ).select(
+        "lag",
+        "n_pairs",
+        "rk_micro",
+        F.expr(
+            "(CAST(rk_micro AS DECIMAL(38,0)) * rk_micro) DIV n_pairs"
+        ).alias("term"),
+        F.expr("n_pairs + lag").alias("nser"),
+    )
+    q = (
+        f"CAST(nser AS DECIMAL(38,0)) * (nser + 2) "
+        f"* (SUM(term) OVER ()) DIV {TS26_MICRO}"
+    )
+    return terms.select(
+        "lag",
+        "n_pairs",
+        "rk_micro",
+        F.expr(f"CAST({q} AS BIGINT)").alias("q_micro"),
+        F.expr(f"{q} < {TS26_CHI2_95_MICRO}").alias("white_at_95"),
+    ).orderBy("lag")

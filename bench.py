@@ -249,6 +249,8 @@ AUX = [
     "a40_spearman_rho",
     "a41_kendall_tau_b",
     "tx26_token_entropy",
+    "ts26_ljung_box",
+    "a42_welch_t",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

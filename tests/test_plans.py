@@ -1102,3 +1102,33 @@ def test_w17_bounds_broadcast_back(spark):
     plan = plan_of(spark, "w17_trimmed_mean")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- round-12 second session: rank-stat family plan shapes --------------------
+
+
+def test_a40_single_fact_scan(spark):
+    """The fact table reaches the plan exactly once (the persisted cell
+    frame feeds both rank marginals and the cell join); no cartesian
+    anywhere."""
+    plan = plan_of(spark, "a40_spearman_rho")
+    assert n_distinct_scans(plan) == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_a41_single_fact_scan_and_grid_sized_joins(spark):
+    """One lineitem scan; the only BroadcastNestedLoopJoins are the
+    dense-grid cross join and the 1-row ties/n0 folds — every frame past
+    the first groupBy is grid-sized, never fact-sized."""
+    plan = plan_of(spark, "a41_kendall_tau_b")
+    assert n_distinct_scans(plan) == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tx26_one_token_shuffle_then_vocab_sized(spark):
+    """Documents are scanned once; the plan is explode -> one token
+    count shuffle -> per-lang re-agg. No joins, no windows."""
+    plan = plan_of(spark, "tx26_token_entropy")
+    assert n_distinct_scans(plan) == 1, plan
+    assert "Join" not in plan
+    assert "Window" not in plan.replace("WindowGroupLimit", "")

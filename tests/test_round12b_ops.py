@@ -140,3 +140,69 @@ def test_st24_bitwise_equals_batch_recompute(spark):
     )
     want = sorted(_a40_finish(cells, "event_type").collect())
     assert got == want
+
+
+def test_ts26_matches_python_ljung_box(spark, duck):
+    """Replicate the ACF-from-exact-sums float math and the integer
+    Ljung-Box fold in pure Python; q_micro and the decision must match
+    exactly (the floats share IEEE op order, the fold is integer)."""
+    rows = REGISTRY["ts26_ljung_box"].spark(spark, SF_DIR).collect()
+    hourly = dict(
+        duck.execute(
+            "WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0 FROM events)"
+            " SELECT date_diff('hour', b.h0, date_trunc('hour', ts)),"
+            " COUNT(*) FROM events CROSS JOIN b GROUP BY 1"
+        ).fetchall()
+    )
+    n = max(hourly) + 1
+    x = [hourly.get(t, 0) for t in range(n)]
+    s1, s2 = sum(x), sum(v * v for v in x)
+    mu = s1 / n
+    m_ = 1_000_000
+    total = 0
+    for row in rows:
+        k = row["lag"]
+        pairs = list(zip(x[:-k], x[k:]))
+        sxy = sum(a * c for a, c in pairs)
+        sh = sum(a for a, _ in pairs)
+        st = sum(c for _, c in pairs)
+        mm = len(pairs)
+        r = (sxy - mu * (sh + st) + mm * mu * mu) / (s2 - n * mu * mu)
+        rk = int(round(r * m_))
+        assert row["n_pairs"] == mm and row["rk_micro"] == rk
+        total += rk * rk // mm
+    q = n * (n + 2) * total // m_
+    for row in rows:
+        assert row["q_micro"] == q
+        assert row["white_at_95"] == (q < 18_307_000)
+
+
+def test_a42_matches_python_welch(spark, duck):
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["a42_welch_t"].spark(spark, SF_DIR).collect()
+    }
+    m = {
+        g: (n, s1, s2)
+        for g, n, s1, s2 in duck.execute(
+            "SELECT event_type, COUNT(*), "
+            "SUM(CAST(ROUND(value*100) AS BIGINT)), "
+            "SUM(CAST(ROUND(value*100) AS HUGEINT)"
+            " * CAST(ROUND(value*100) AS BIGINT)) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    nt = sum(v[0] for v in m.values())
+    s1t = sum(v[1] for v in m.values())
+    s2t = sum(v[2] for v in m.values())
+    for g, (na, s1a, s2a) in m.items():
+        nb, s1b, s2b = nt - na, s1t - s1a, s2t - s2a
+        sea = ((s2a - s1a * s1a / na) / (na - 1.0)) / na
+        seb = ((s2b - s1b * s1b / nb) / (nb - 1.0)) / nb
+        t = (s1a / na - s1b / nb) / math.sqrt(sea + seb)
+        df = (sea + seb) ** 2 / (
+            sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)
+        )
+        assert got[g]["n_rows"] == na
+        assert got[g]["mean_cents"] == pytest.approx(s1a / na, rel=1e-12)
+        assert got[g]["t_stat"] == pytest.approx(t, rel=1e-9)
+        assert got[g]["welch_df"] == pytest.approx(df, rel=1e-9)
