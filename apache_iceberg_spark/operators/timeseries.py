@@ -1791,12 +1791,14 @@ def ts19_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts19_acf_frame(spark, sf_dir, TS19_LAGS)
 
 
-def _ts19_acf_frame(
-    spark: SparkSession, sf_dir: str, lag_list: tuple[int, ...]
-) -> DataFrame:
-    """ts19's machinery parameterized by the lag set (ts21's recursion
-    needs CONTIGUOUS lags 1..K where ts19 reports the diagnostic set
-    incl. the daily lag 24)."""
+def _hourly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly event-count spine (t, x), PERSISTED.
+
+    Shared by the time-domain family (ts19/ts21/ts26 via
+    _ts19_acf_frame) and the frequency-domain ts28 — missing hours
+    count 0, t is the hour index from the first bucket. Calendar-
+    bounded: ~9k rows/year at ANY event rate (a27's guard argument).
+    Released by the caller via session.release_plan_caches."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("x")
@@ -1811,7 +1813,7 @@ def _ts19_acf_frame(
             F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
         ).alias("h"),
     )
-    sp = (
+    return (
         spine.join(hourly, "h", "left")
         .select(
             (
@@ -1821,9 +1823,18 @@ def _ts19_acf_frame(
             ).cast("long").alias("t"),
             F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
         )
-    ).persist()  # plan-cache: three consumers (the global-moment agg and
-    # BOTH sides of the shifted-index lag join) — unpersisted, execution
-    # re-runs the events scan + hourly aggregation per consumer
+    ).persist()  # plan-cache: multiple consumers (the global-moment agg
+    # and BOTH sides of the shifted-index lag join) — unpersisted,
+    # execution re-runs the events scan + hourly aggregation per consumer
+
+
+def _ts19_acf_frame(
+    spark: SparkSession, sf_dir: str, lag_list: tuple[int, ...]
+) -> DataFrame:
+    """ts19's machinery parameterized by the lag set (ts21's recursion
+    needs CONTIGUOUS lags 1..K where ts19 reports the diagnostic set
+    incl. the daily lag 24)."""
+    sp = _hourly_spine(spark, sf_dir)
     g = sp.agg(
         F.sum("x").alias("s1"),
         F.sum(F.col("x") * F.col("x")).alias("s2"),
@@ -2940,3 +2951,141 @@ def ts26_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({q} AS BIGINT)").alias("q_micro"),
         F.expr(f"{q} < {TS26_CHI2_95_MICRO}").alias("white_at_95"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# ts28: periodogram — frequency-domain period scan (round 12 second session)
+# ---------------------------------------------------------------------------
+
+#: Candidate periods in hours: the plausible operational cycles
+#: (quarter-day through two days). ts23/ts14 ASSUME period 24; ts28
+#: SCANS — the dominant-power row is the data's own vote.
+TS28_PERIODS = (6, 8, 12, 24, 48)
+TS28_MICRO = 1_000_000
+
+#: Mean-centered squared DFT magnitude at the candidate frequency,
+#: normalized by n^2 (natural count^2 units): with A = n*sum(x*c) -
+#: sum(x)*sum(c) and B the sine twin (both EXACT integers because the
+#: cos/sin weights are per-row quantized to micro-units before any
+#: cross-row sum), power = (A/(n^2*1e6))^2 + (B/(n^2*1e6))^2 — one
+#: shared float formula over exact inputs.
+_TS28_POWER = (
+    "(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) "
+    "+ CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) "
+    "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) "
+    f"* CAST(n AS DOUBLE) * {TS28_MICRO}.0 * {TS28_MICRO}.0)"
+)
+#: Per-row quantized harmonic weights: the transcendental evaluates
+#: once per (period, phase) pair and snaps to an integer (tx24/g12's
+#: recipe — the 1-ulp libm cos/sin divergence sits ~1e-10 inside the
+#: rounding margin; pi() is the same closest-double on both engines).
+_TS28_C = f"CAST(ROUND(cos(2 * pi() * (t % p) / p) * {TS28_MICRO}) AS BIGINT)"
+_TS28_S = f"CAST(ROUND(sin(2 * pi() * (t % p) / p) * {TS28_MICRO}) AS BIGINT)"
+
+
+@register(
+    "ts28_periodogram",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        periods(p) AS (
+            VALUES {", ".join(f"({p})" for p in TS28_PERIODS)}
+        ),
+        w AS (
+            SELECT p, x,
+                   {_TS28_C} AS c,
+                   {_TS28_S} AS s
+            FROM sp CROSS JOIN periods
+        ),
+        agg AS (
+            SELECT p,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   SUM(CAST(x AS HUGEINT) * c) AS sxc,
+                   SUM(CAST(x AS HUGEINT) * s) AS sxs,
+                   CAST(SUM(c) AS HUGEINT) AS sc,
+                   CAST(SUM(s) AS HUGEINT) AS ss
+            FROM w GROUP BY p
+        ),
+        ab AS (
+            SELECT p, n,
+                   n * sxc - sx * sc AS a,
+                   n * sxs - sx * ss AS b
+            FROM agg
+        )
+        SELECT CAST(p AS BIGINT) AS period_hours,
+               n AS n_hours,
+               {_TS28_POWER} AS power
+        FROM ab
+        ORDER BY period_hours
+    """,
+    doc=f"Periodogram of the hourly event-count series at candidate "
+    f"periods {TS28_PERIODS} hours — the FREQUENCY-domain seasonality "
+    "scan (ts19's ACF is the time-domain diagnostic at chosen lags; "
+    "ts23 quantifies strength at an ASSUMED period 24; ts28 lets the "
+    "spectrum vote on which period dominates, the screen that runs "
+    "BEFORE the period-parameterized shelf). Exactness: the cos/sin "
+    "weights quantize per-row to integer micro-units — the weight "
+    "argument 2*pi*(t mod p)/p takes only p distinct phases, pi() is "
+    "the same closest-double constant on both engines, and the 1-ulp "
+    "libm divergence sits ~1e-10 inside the integer rounding margin "
+    "(tx24/g12's proven recipe) — so the mean-centered projections "
+    "A = n*sum(x*c) - sum(x)*sum(c) and the sine twin are EXACT "
+    "DECIMAL(38,0)/HUGEINT integers; the power is one shared float "
+    "formula over them. Digit budget: n*sum(x*c) peaks ~n^2*x_max*1e6 "
+    "~ 1e29 at a century-long spine of 1e9-count hours — inside the "
+    "38-digit envelope. Scale shape: ONE map-side-combined hourly "
+    "count onto the calendar-bounded spine, a broadcast cross join "
+    f"with the {len(TS28_PERIODS)}-row period table, one "
+    "partial+final agg — the fact table never shuffles and nothing "
+    "downstream exceeds |periods| rows.",
+    tags=("timeseries", "statistics", "seasonality"),
+)
+def ts28_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = _hourly_spine(spark, sf_dir)
+    periods = spark.createDataFrame(
+        [(p,) for p in TS28_PERIODS], "p long"
+    )
+    dec = "decimal(38,0)"
+    w = sp.crossJoin(F.broadcast(periods)).select(
+        "p",
+        "x",
+        F.expr(_TS28_C).alias("c"),
+        F.expr(_TS28_S).alias("s"),
+    )
+    agg = w.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * c")).alias("sxc"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * s")).alias("sxs"),
+        F.sum(F.col("c").cast(dec)).cast(dec).alias("sc"),
+        F.sum(F.col("s").cast(dec)).cast(dec).alias("ss"),
+    )
+    ab = agg.select(
+        "p",
+        "n",
+        F.expr("n * sxc - sx * sc").alias("a"),
+        F.expr("n * sxs - sx * ss").alias("b"),
+    )
+    return ab.select(
+        F.col("p").cast("long").alias("period_hours"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.expr(_TS28_POWER).alias("power"),
+    ).orderBy("period_hours")

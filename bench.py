@@ -251,6 +251,7 @@ AUX = [
     "tx26_token_entropy",
     "ts26_ljung_box",
     "a42_welch_t",
+    "ts28_periodogram",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -206,3 +206,31 @@ def test_a42_matches_python_welch(spark, duck):
         assert got[g]["mean_cents"] == pytest.approx(s1a / na, rel=1e-12)
         assert got[g]["t_stat"] == pytest.approx(t, rel=1e-9)
         assert got[g]["welch_df"] == pytest.approx(df, rel=1e-9)
+
+
+def test_ts28_matches_python_projection(spark, duck):
+    """Recompute the quantized harmonic projections in pure Python from
+    the hourly spine; A/B are exact integers so power must match to
+    float formula order."""
+    rows = {
+        r["period_hours"]: r
+        for r in REGISTRY["ts28_periodogram"].spark(spark, SF_DIR).collect()
+    }
+    hourly = dict(
+        duck.execute(
+            "WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0 FROM events)"
+            " SELECT date_diff('hour', b.h0, date_trunc('hour', ts)),"
+            " COUNT(*) FROM events CROSS JOIN b GROUP BY 1"
+        ).fetchall()
+    )
+    n = max(hourly) + 1
+    x = [hourly.get(t, 0) for t in range(n)]
+    m = 1_000_000
+    for p, row in rows.items():
+        c = [round(math.cos(2 * math.pi * (t % p) / p) * m) for t in range(n)]
+        s = [round(math.sin(2 * math.pi * (t % p) / p) * m) for t in range(n)]
+        a = n * sum(xi * ci for xi, ci in zip(x, c)) - sum(x) * sum(c)
+        b = n * sum(xi * si for xi, si in zip(x, s)) - sum(x) * sum(s)
+        want = (a * a + b * b) / (n**4 * m * m)
+        assert row["n_hours"] == n
+        assert row["power"] == pytest.approx(want, rel=1e-9)
