@@ -1803,9 +1803,17 @@ def _hourly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    b = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    return _spine_from_hourly(hourly)
+
+
+def _spine_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Zero-fill an (h, x) hourly-count frame onto its own calendar
+    span and index it as (t, x). Split out of _hourly_spine so st25 can
+    feed the STREAM's per-hour count state (the same mergeable partial)
+    through the identical spine construction."""
+    b = hourly.agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
     )
     spine = b.select(
         F.col("h0"),
@@ -3059,7 +3067,13 @@ _TS28_S = f"CAST(ROUND(sin(2 * pi() * (t % p) / p) * {TS28_MICRO}) AS BIGINT)"
     tags=("timeseries", "statistics", "seasonality"),
 )
 def ts28_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sp = _hourly_spine(spark, sf_dir)
+    return _ts28_finish(spark, _hourly_spine(spark, sf_dir))
+
+
+def _ts28_finish(spark: SparkSession, sp: DataFrame) -> DataFrame:
+    """Periodogram from a zero-filled (t, x) spine — shared by batch
+    ts28 and streaming st25 (whose hourly counts ARE the stream state),
+    so the stream's spectrum is bitwise-equal to the batch recompute."""
     periods = spark.createDataFrame(
         [(p,) for p in TS28_PERIODS], "p long"
     )

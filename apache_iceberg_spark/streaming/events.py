@@ -2106,3 +2106,65 @@ def _st24_set_oracle() -> None:
 
 
 _st24_set_oracle()
+
+
+# --- st25: streaming periodogram (ts28's spectrum at ingest) ------------------
+
+
+@register(
+    "st25_stream_periodogram",
+    oracle=None,  # bound to ts28's oracle below
+    doc="ts28's candidate-period spectrum maintained BY THE STREAM: "
+    "the micro-batch aggregation keeps one COUNT per hour bucket — the "
+    "SAME mergeable partial st22's changepoint monitor holds, so "
+    "streaming state is the calendar-bounded spine regardless of "
+    "event rate — and the quantized-harmonic projection math runs on "
+    "the final per-hour table via the SAME _ts28_finish the batch "
+    "operator uses (micro-unit cos/sin weights, exact DECIMAL "
+    "projections, one shared float power formula), so the stream's "
+    "spectrum is bitwise-equal to ts28's and the driver checks it "
+    "against ts28's own oracle. The monitoring story: a traffic "
+    "pattern shifting from daily to half-daily cycles (bot bursts, "
+    "cache-expiry storms) moves the dominant-power row within one "
+    "micro-batch — priced at a spine-sized stateful count, not a "
+    "batch recompute.",
+    tags=("streaming", "timeseries", "seasonality"),
+)
+def st25_stream_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.timeseries import (
+        _spine_from_hourly,
+        _ts28_finish,
+    )
+
+    per_h = (
+        stream_events(spark, sf_dir)
+        .select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    qname = f"st25_periodogram_{next(_stream_ids)}"
+    query = (
+        per_h.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _ts28_finish(spark, _spine_from_hourly(spark.table(qname)))
+
+
+def _st25_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import timeseries  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st25_stream_periodogram"]
+    REGISTRY["st25_stream_periodogram"] = dataclasses.replace(
+        q, oracle=REGISTRY["ts28_periodogram"].oracle
+    )
+
+
+_st25_set_oracle()

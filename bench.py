@@ -120,6 +120,7 @@ STREAMING = [
     "st22_stream_changepoint",
     "st23_stream_benford",
     "st24_stream_rank_correlation",
+    "st25_stream_periodogram",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail

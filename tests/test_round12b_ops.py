@@ -234,3 +234,13 @@ def test_ts28_matches_python_projection(spark, duck):
         want = (a * a + b * b) / (n**4 * m * m)
         assert row["n_hours"] == n
         assert row["power"] == pytest.approx(want, rel=1e-9)
+
+
+def test_st25_bitwise_equals_batch_ts28(spark):
+    got = sorted(
+        REGISTRY["st25_stream_periodogram"].spark(spark, SF_DIR).collect()
+    )
+    want = sorted(REGISTRY["ts28_periodogram"].spark(spark, SF_DIR).collect())
+    assert [tuple(r) for r in got] == [
+        (r["period_hours"], r["n_hours"], r["power"]) for r in want
+    ]
