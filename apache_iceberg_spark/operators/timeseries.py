@@ -3103,3 +3103,208 @@ def _ts28_finish(spark: SparkSession, sp: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n_hours"),
         F.expr(_TS28_POWER).alias("power"),
     ).orderBy("period_hours")
+
+
+# ---------------------------------------------------------------------------
+# ts29: Kaplan-Meier survival over session durations (round 12 second session)
+# ---------------------------------------------------------------------------
+
+#: ts2's inactivity gap (µs): a session whose last event sits closer
+#: than this to the observation end CANNOT have had its closing gap
+#: observed — it is right-CENSORED, not ended.
+TS29_GAP_US = 1_800_000_000
+TS29_MICRO = 1_000_000
+
+#: ln of an INTEGER count, snapped to micro-nats (tx24/g12's recipe) —
+#: the survival product becomes an exact integer SUM in log space:
+#: ln S(t) = sum over event times <= t of [ln(n_i - d_i) - ln(n_i)].
+_TS29_LN = f"CAST(ROUND(ln({{k}}) * {TS29_MICRO}) AS BIGINT)"
+
+
+@register(
+    "ts29_kaplan_meier",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN CAST(EPOCH(ts) * 1000000 AS BIGINT)
+                             - LAG(CAST(EPOCH(ts) * 1000000 AS BIGINT)) OVER w
+                             > {TS29_GAP_US}
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM flagged
+        ),
+        gmax AS (
+            SELECT MAX(CAST(EPOCH(ts) * 1000000 AS BIGINT)) AS gm
+            FROM events
+        ),
+        durs AS (
+            SELECT (MAX(CAST(EPOCH(ts) * 1000000 AS BIGINT))
+                    - MIN(CAST(EPOCH(ts) * 1000000 AS BIGINT)))
+                       // 1000000 AS t,
+                   CASE WHEN gm - MAX(CAST(EPOCH(ts) * 1000000 AS BIGINT))
+                             >= {TS29_GAP_US}
+                        THEN 1 ELSE 0 END AS ended
+            FROM sessions CROSS JOIN gmax
+            GROUP BY user_id, session_seq, gm
+        ),
+        per_t AS (
+            SELECT t,
+                   CAST(SUM(ended) AS BIGINT) AS d,
+                   CAST(SUM(1 - ended) AS BIGINT) AS c
+            FROM durs GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d, c,
+                   SUM(d + c) OVER () - (SUM(d + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - (d + c)) AS n
+            FROM per_t
+        ),
+        terms AS (
+            SELECT t, d, n,
+                   CASE WHEN n = d THEN NULL ELSE
+                       {_TS29_LN.format(k='n - d')}
+                       - {_TS29_LN.format(k='n')} END AS term
+            FROM risk WHERE d > 0
+        ),
+        cum AS (
+            SELECT t, d, n,
+                   SUM(term) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ls,
+                   MAX(CASE WHEN term IS NULL THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS hit_zero
+            FROM terms
+        )
+        SELECT t AS duration_sec,
+               CAST(n AS BIGINT) AS n_risk,
+               d AS d_ended,
+               CASE WHEN hit_zero = 1 THEN NULL
+                    ELSE CAST(ls AS BIGINT) END AS log_surv_micro,
+               CASE WHEN hit_zero = 1 THEN 0
+                    ELSE CAST(ROUND(exp(CAST(ls AS DOUBLE)
+                        / {TS29_MICRO}) * {TS29_MICRO}) AS BIGINT)
+                    END AS surv_ppm
+        FROM cum
+        ORDER BY duration_sec
+    """,
+    doc="Kaplan-Meier survival curve of SESSION DURATIONS with honest "
+    "right-censoring — the duration/survival family's opening operator "
+    "(ts2 counts sessions; ts29 says how long they LIVE, the "
+    "engagement curve): a session whose last event sits within the "
+    "30-min gap of the observation end cannot have had its closing "
+    "gap observed, so it enters the risk set and leaves WITHOUT "
+    "shrinking survival (naive duration histograms silently "
+    "under-count long sessions; KM is the standard fix). Exactness: "
+    "the KM product lives in log space where every factor is "
+    "ln(n_i - d_i) - ln(n_i) — ln of INTEGER counts, snapped per-value "
+    "to micro-nats (tx24/g12's recipe) — so the cumulative survival "
+    "is an exact BIGINT window sum; surv_ppm re-quantizes the one "
+    "exp() per output row (divergence sits inside the rounding "
+    "margin), and survival-hits-zero (n = d at the last event time) "
+    "propagates as NULL log / 0 ppm rather than ln(0). Scale shape: "
+    "ts2's sessionization windows (per-user task bound), one shuffle "
+    "to per-session rows, one to the distinct-duration frame, which "
+    "bound_int_support gates to A25_GRID cells before the single "
+    "ordered window (w12's valve). The risk set is the reverse cumsum "
+    "of the duration counts — no self-join, no per-session scan per "
+    "output row.",
+    tags=("timeseries", "statistics", "llm"),
+)
+def ts29_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import bound_int_support
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > TS29_GAP_US), 1).otherwise(0).alias(
+            "is_new_session"
+        ),
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.sum("is_new_session").over(wcum).alias("session_seq"),
+    )
+    gmax = e.agg(F.max(F.unix_micros(F.col("ts"))).alias("gm"))
+    durs = (
+        sessions.crossJoin(F.broadcast(gmax))
+        .groupBy("user_id", "session_seq", "gm")
+        .agg(
+            F.expr("(MAX(us) - MIN(us)) DIV 1000000").alias("t"),
+            F.expr(
+                f"CASE WHEN gm - MAX(us) >= {TS29_GAP_US} "
+                "THEN 1 ELSE 0 END"
+            ).alias("ended"),
+        )
+    )
+    per_t = durs.groupBy("t").agg(
+        F.sum("ended").cast("long").alias("d"),
+        F.sum(F.expr("1 - ended")).cast("long").alias("c"),
+    )
+    per_t, _step = bound_int_support(
+        per_t, value_col="t", cnt_col="d", extra_sum_cols=("c",)
+    )
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t",
+        "d",
+        (
+            F.sum(F.expr("d + c")).over(Window.partitionBy())
+            - (F.sum(F.expr("d + c")).over(wt) - F.expr("d + c"))
+        ).alias("n"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n",
+        F.expr(
+            "CASE WHEN n = d THEN NULL ELSE "
+            + _TS29_LN.format(k="n - d")
+            + " - "
+            + _TS29_LN.format(k="n")
+            + " END"
+        ).alias("term"),
+    )
+    cum = terms.select(
+        "t",
+        "d",
+        "n",
+        F.sum("term").over(wt).alias("ls"),
+        F.max(
+            F.expr("CASE WHEN term IS NULL THEN 1 ELSE 0 END")
+        ).over(wt).alias("hit_zero"),
+    )
+    return cum.select(
+        F.col("t").alias("duration_sec"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").alias("d_ended"),
+        F.expr(
+            "CASE WHEN hit_zero = 1 THEN NULL "
+            "ELSE CAST(ls AS BIGINT) END"
+        ).alias("log_surv_micro"),
+        F.expr(
+            "CASE WHEN hit_zero = 1 THEN 0 "
+            f"ELSE CAST(ROUND(exp(CAST(ls AS DOUBLE) / {TS29_MICRO}) "
+            f"* {TS29_MICRO}) AS BIGINT) END"
+        ).alias("surv_ppm"),
+    ).orderBy("duration_sec")

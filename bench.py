@@ -253,6 +253,7 @@ AUX = [
     "ts26_ljung_box",
     "a42_welch_t",
     "ts28_periodogram",
+    "ts29_kaplan_meier",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

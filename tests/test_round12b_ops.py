@@ -244,3 +244,59 @@ def test_st25_bitwise_equals_batch_ts28(spark):
     assert [tuple(r) for r in got] == [
         (r["period_hours"], r["n_hours"], r["power"]) for r in want
     ]
+
+
+def test_ts29_matches_python_km(spark, duck):
+    """Pure-Python Kaplan-Meier with identical session/censor rules and
+    ln quantization — log_surv_micro and surv_ppm must match exactly."""
+    rows = REGISTRY["ts29_kaplan_meier"].spark(spark, SF_DIR).collect()
+    evts = duck.execute(
+        "SELECT user_id, CAST(EPOCH(ts)*1000000 AS BIGINT), event_id "
+        "FROM events ORDER BY user_id, 2, 3"
+    ).fetchall()
+    gap = 1_800_000_000
+    gm = max(us for _, us, _ in evts)
+    durs = []
+    cur_user, start, last = None, None, None
+    for u, us, _ in evts:
+        if u != cur_user or us - last > gap:
+            if cur_user is not None:
+                durs.append((last - start, gm - last >= gap))
+            cur_user, start = u, us
+        last = us
+    durs.append((last - start, gm - last >= gap))
+    per_t: dict[int, list[int]] = {}
+    for us_dur, ended in durs:
+        t = us_dur // 1_000_000
+        d, c = per_t.setdefault(t, [0, 0])
+        per_t[t][0 if ended else 1] += 1
+    total = sum(d + c for d, c in per_t.values())
+    m = 1_000_000
+    ls, seen, want = 0, 0, {}
+    hit_zero = False
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        n = total - seen
+        seen += d + c
+        if d == 0:
+            continue
+        if n == d:
+            hit_zero = True
+        if not hit_zero:
+            ls += round(math.log(n - d) * m) - round(math.log(n) * m)
+        want[t] = (
+            n,
+            d,
+            None if hit_zero else ls,
+            0 if hit_zero else round(math.exp(ls / m) * m),
+        )
+    got = {
+        r["duration_sec"]: (
+            r["n_risk"],
+            r["d_ended"],
+            r["log_surv_micro"],
+            r["surv_ppm"],
+        )
+        for r in rows
+    }
+    assert got == want
