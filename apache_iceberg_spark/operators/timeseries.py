@@ -3121,6 +3121,47 @@ TS29_MICRO = 1_000_000
 _TS29_LN = f"CAST(ROUND(ln({{k}}) * {TS29_MICRO}) AS BIGINT)"
 
 
+def _session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session (t, ended, has_error) rows under ts2's 30-min gap
+    rule and ts29's censoring rule — shared by ts29 (ignores the group
+    column) and ts30's log-rank comparison."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > TS29_GAP_US), 1).otherwise(0).alias(
+            "is_new_session"
+        ),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.sum("is_new_session").over(wcum).alias("session_seq"),
+    )
+    gmax = e.agg(F.max(F.unix_micros(F.col("ts"))).alias("gm"))
+    return (
+        sessions.crossJoin(F.broadcast(gmax))
+        .groupBy("user_id", "session_seq", "gm")
+        .agg(
+            F.expr("(MAX(us) - MIN(us)) DIV 1000000").alias("t"),
+            F.expr(
+                f"CASE WHEN gm - MAX(us) >= {TS29_GAP_US} "
+                "THEN 1 ELSE 0 END"
+            ).alias("ended"),
+            F.max(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("has_error"),
+        )
+    )
+
+
 @register(
     "ts29_kaplan_meier",
     oracle=f"""
@@ -3225,36 +3266,7 @@ _TS29_LN = f"CAST(ROUND(ln({{k}}) * {TS29_MICRO}) AS BIGINT)"
 def ts29_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_iceberg_spark.operators.analytics import bound_int_support
 
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    micros = F.unix_micros(F.col("ts"))
-    gap = micros - F.lag(micros).over(w)
-    flagged = e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(gap.isNull() | (gap > TS29_GAP_US), 1).otherwise(0).alias(
-            "is_new_session"
-        ),
-    )
-    sessions = flagged.select(
-        "user_id",
-        F.unix_micros(F.col("ts")).alias("us"),
-        F.sum("is_new_session").over(wcum).alias("session_seq"),
-    )
-    gmax = e.agg(F.max(F.unix_micros(F.col("ts"))).alias("gm"))
-    durs = (
-        sessions.crossJoin(F.broadcast(gmax))
-        .groupBy("user_id", "session_seq", "gm")
-        .agg(
-            F.expr("(MAX(us) - MIN(us)) DIV 1000000").alias("t"),
-            F.expr(
-                f"CASE WHEN gm - MAX(us) >= {TS29_GAP_US} "
-                "THEN 1 ELSE 0 END"
-            ).alias("ended"),
-        )
-    )
+    durs = _session_durations(spark, sf_dir)
     per_t = durs.groupBy("t").agg(
         F.sum("ended").cast("long").alias("d"),
         F.sum(F.expr("1 - ended")).cast("long").alias("c"),
@@ -3308,3 +3320,190 @@ def ts29_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"* {TS29_MICRO}) AS BIGINT) END"
         ).alias("surv_ppm"),
     ).orderBy("duration_sec")
+
+
+# ---------------------------------------------------------------------------
+# ts30: log-rank test — error-touched vs clean sessions (round 12b)
+# ---------------------------------------------------------------------------
+
+#: chi-square upper 5% critical value at df=1 (standard table value),
+#: the one Python-side constant (st23/ts26's recipe).
+TS30_CHI2_95 = 3.841
+TS30_MICRO = 1_000_000
+
+#: chi2 = (sum(O-E))^2 / sum(V) with both sums exact micro-unit
+#: integers: (oe/1e6)^2 / (v/1e6) == oe^2 / (v * 1e6).
+_TS30_CHI2 = (
+    "(CAST(oe AS DOUBLE) * CAST(oe AS DOUBLE)) "
+    f"/ (CAST(v AS DOUBLE) * {TS30_MICRO}.0)"
+)
+
+
+@register(
+    "ts30_logrank",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN CAST(EPOCH(ts) * 1000000 AS BIGINT)
+                             - LAG(CAST(EPOCH(ts) * 1000000 AS BIGINT)) OVER w
+                             > {TS29_GAP_US}
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_type,
+                   CAST(SUM(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM flagged
+        ),
+        gmax AS (
+            SELECT MAX(CAST(EPOCH(ts) * 1000000 AS BIGINT)) AS gm
+            FROM events
+        ),
+        durs AS (
+            SELECT (MAX(CAST(EPOCH(ts) * 1000000 AS BIGINT))
+                    - MIN(CAST(EPOCH(ts) * 1000000 AS BIGINT)))
+                       // 1000000 AS t,
+                   CASE WHEN gm - MAX(CAST(EPOCH(ts) * 1000000 AS BIGINT))
+                             >= {TS29_GAP_US}
+                        THEN 1 ELSE 0 END AS ended,
+                   MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS has_error
+            FROM sessions CROSS JOIN gmax
+            GROUP BY user_id, session_seq, gm
+        ),
+        per_t AS (
+            SELECT t,
+                   CAST(SUM(ended) AS BIGINT) AS d,
+                   CAST(SUM(1 - ended) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN has_error = 1 THEN ended
+                            ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(has_error) AS BIGINT) AS a1
+            FROM durs GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d, d1,
+                   SUM(d + c) OVER () - (SUM(d + c) OVER wt - (d + c))
+                       AS n,
+                   SUM(a1) OVER () - (SUM(a1) OVER wt - a1) AS n1
+            FROM per_t
+            WINDOW wt AS (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        terms AS (
+            SELECT d, d1, n, n1,
+                   d1 * {TS30_MICRO}
+                     - (d * n1 * {TS30_MICRO}) // n AS oe_t,
+                   CASE WHEN n > 1 THEN
+                       (d * n1 * (n - n1) * (n - d) * {TS30_MICRO})
+                           // (n * n * (n - 1))
+                   ELSE 0 END AS v_t
+            FROM risk WHERE d > 0
+        ),
+        s AS (
+            SELECT CAST(SUM(d) AS BIGINT) AS events_total,
+                   CAST(SUM(oe_t) AS BIGINT) AS oe,
+                   CAST(SUM(v_t) AS BIGINT) AS v
+            FROM terms
+        ),
+        counts AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(has_error) AS BIGINT) AS n_error_sessions
+            FROM durs
+        )
+        SELECT n_sessions, n_error_sessions, events_total,
+               oe AS oe_micro, v AS var_micro,
+               {_TS30_CHI2} AS chi2,
+               {_TS30_CHI2} > {TS30_CHI2_95} AS significant_at_95
+        FROM s CROSS JOIN counts
+    """,
+    doc="Log-rank test: do ERROR-TOUCHED sessions die sooner than "
+    "clean ones? — the standard two-sample companion to ts29's "
+    "Kaplan-Meier (same sessions, same censoring; the test weighs "
+    "observed vs expected endings at every event time, so censoring "
+    "is handled exactly where a naive mean-duration comparison "
+    "silently biases toward short sessions). Exactness: at each event "
+    "time the O-E term d1 - d*n1/n and the hypergeometric variance "
+    "d*n1*(n-n1)*(n-d) / (n^2*(n-1)) are RATIONALS — each quantizes "
+    "to micro-units by integer DIV (exact, identical truncation both "
+    "engines), the cross-time sums are exact BIGINT, and the final "
+    "chi-square is one shared float formula over the two exact sums, "
+    "compared against the Python-side df=1 critical value (st23/ts26's "
+    "zero-transcendental recipe — not even a ln here). Scale shape: "
+    "ts29's session frames plus ONE extra conditional-sum column per "
+    "axis; the risk sets (total and group-1) are reverse cumsums over "
+    "the same gated distinct-duration frame; the fold to one row is "
+    "map-side. Digit budget: d*n1*(n-n1)*(n-d)*1e6 peaks ~n^4*1e6 — "
+    "int64 dies at n ~ 50k sessions, so the oracle runs HUGEINT and "
+    "Spark DECIMAL(38,0) (holds to n ~ 3e7 per event time; above "
+    "that, durations collapse through the support gate first).",
+    tags=("timeseries", "statistics", "quality"),
+)
+def ts30_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import bound_int_support
+
+    durs = _session_durations(spark, sf_dir).persist()
+    # plan-cache: durs feeds the per-duration frame AND the session
+    # counts (released via session.release_plan_caches)
+    per_t = durs.groupBy("t").agg(
+        F.sum("ended").cast("long").alias("d"),
+        F.sum(F.expr("1 - ended")).cast("long").alias("c"),
+        F.sum(F.expr("CASE WHEN has_error = 1 THEN ended ELSE 0 END"))
+        .cast("long")
+        .alias("d1"),
+        F.sum("has_error").cast("long").alias("a1"),
+    )
+    per_t, _step = bound_int_support(
+        per_t, value_col="t", cnt_col="d", extra_sum_cols=("c", "d1", "a1")
+    )
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    risk = per_t.select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.sum(F.expr("d + c")).over(wall)
+            - (F.sum(F.expr("d + c")).over(wt) - F.expr("d + c"))
+        ).alias("n"),
+        (
+            F.sum("a1").over(wall) - (F.sum("a1").over(wt) - F.col("a1"))
+        ).alias("n1"),
+    )
+    dec = "decimal(38,0)"
+    terms = risk.filter(F.col("d") > 0).select(
+        "d",
+        F.expr(
+            f"CAST(d1 AS {dec}) * {TS30_MICRO} "
+            f"- (CAST(d AS {dec}) * n1 * {TS30_MICRO}) DIV n"
+        ).alias("oe_t"),
+        F.expr(
+            f"CASE WHEN n > 1 THEN CAST(d AS {dec}) * n1 * (n - n1) "
+            f"* (n - d) * {TS30_MICRO} "
+            f"DIV (CAST(n AS {dec}) * n * (n - 1)) ELSE 0 END"
+        ).alias("v_t"),
+    )
+    s = terms.agg(
+        F.sum("d").cast("long").alias("events_total"),
+        F.sum("oe_t").cast("long").alias("oe"),
+        F.sum("v_t").cast("long").alias("v"),
+    )
+    counts = durs.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_error").cast("long").alias("n_error_sessions"),
+    )
+    return s.crossJoin(F.broadcast(counts)).select(
+        "n_sessions",
+        "n_error_sessions",
+        "events_total",
+        F.col("oe").alias("oe_micro"),
+        F.col("v").alias("var_micro"),
+        F.expr(_TS30_CHI2).alias("chi2"),
+        F.expr(f"{_TS30_CHI2} > {TS30_CHI2_95}").alias("significant_at_95"),
+    )

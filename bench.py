@@ -254,6 +254,7 @@ AUX = [
     "a42_welch_t",
     "ts28_periodogram",
     "ts29_kaplan_meier",
+    "ts30_logrank",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

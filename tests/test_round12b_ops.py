@@ -300,3 +300,60 @@ def test_ts29_matches_python_km(spark, duck):
         for r in rows
     }
     assert got == want
+
+
+def test_ts30_matches_python_logrank(spark, duck):
+    """Pure-Python log-rank with identical session rules and micro-unit
+    integer quantization — oe/var must match exactly, chi2 to formula
+    order."""
+    row = REGISTRY["ts30_logrank"].spark(spark, SF_DIR).collect()[0]
+    evts = duck.execute(
+        "SELECT user_id, CAST(EPOCH(ts)*1000000 AS BIGINT), event_id, "
+        "event_type FROM events ORDER BY user_id, 2, 3"
+    ).fetchall()
+    gap = 1_800_000_000
+    gm = max(us for _, us, _, _ in evts)
+    durs = []
+    cur_user = None
+    start = last = None
+    err = 0
+    for u, us, _, et in evts:
+        if u != cur_user or us - last > gap:
+            if cur_user is not None:
+                durs.append(((last - start) // 1_000_000,
+                             int(gm - last >= gap), err))
+            cur_user, start, err = u, us, 0
+        last = us
+        err = max(err, int(et == "error"))
+    durs.append(((last - start) // 1_000_000, int(gm - last >= gap), err))
+    per_t: dict[int, list[int]] = {}
+    for t, ended, has_err in durs:
+        e = per_t.setdefault(t, [0, 0, 0, 0])  # d, c, d1, a1
+        e[0] += ended
+        e[1] += 1 - ended
+        e[2] += ended * has_err
+        e[3] += has_err
+    m = 1_000_000
+    tot = sum(v[0] + v[1] for v in per_t.values())
+    tot1 = sum(v[3] for v in per_t.values())
+    seen = seen1 = 0
+    oe = v_sum = ev = 0
+    for t in sorted(per_t):
+        d, c, d1, a1 = per_t[t]
+        n = tot - seen
+        n1 = tot1 - seen1
+        seen += d + c
+        seen1 += a1
+        if d == 0:
+            continue
+        ev += d
+        oe += d1 * m - (d * n1 * m) // n
+        if n > 1:
+            v_sum += (d * n1 * (n - n1) * (n - d) * m) // (n * n * (n - 1))
+    assert row["n_sessions"] == len(durs)
+    assert row["n_error_sessions"] == sum(h for _, _, h in durs)
+    assert row["events_total"] == ev
+    assert row["oe_micro"] == oe
+    assert row["var_micro"] == v_sum
+    assert row["chi2"] == pytest.approx(oe * oe / (v_sum * 1e6), rel=1e-12)
+    assert row["significant_at_95"] == (oe * oe / (v_sum * 1e6) > 3.841)
