@@ -107,6 +107,10 @@ RECHECK = frozenset({
     "w16_winsorized_mean",          # clipped sum widened to DECIMAL(38,0)
     "ts22_theil_sen_trend",         # ask-#7 audit: documented bound
     "g3_pagerank_converged",        # gained the unrolled-CTE oracle
+    # second session: the hourly spine factored out of _ts19_acf_frame
+    # (_hourly_spine/_spine_from_hourly) — its consumers re-enter
+    "ts19_autocorrelation",
+    "ts21_pacf",
 })
 
 
