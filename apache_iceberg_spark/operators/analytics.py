@@ -2988,3 +2988,154 @@ def a42_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_A42_T).alias("t_stat"),
         F.expr(_A42_DF).alias("welch_df"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# a43: deterministic Poisson bootstrap CI (round 12b)
+# ---------------------------------------------------------------------------
+
+A43_REPLICAS = 100
+A43_MICRO = 1_000_000
+#: Cumulative Poisson(1) probabilities in ppm, PRE-QUANTIZED in Python
+#: (st23's zero-transcendental recipe): P(K <= k) for k = 0..7; the
+#: tail mass beyond 7 (1e-5) maps to weight 8. round(cumsum(e^-1/k!)
+#: * 1e6) — neither engine evaluates exp/factorial.
+A43_POISSON_CUM_PPM = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990,
+)
+
+#: The a10 cross-engine hash: md5 of the key string, first 15 hex chars
+#: as a BIGINT — bitwise-identical on Spark and DuckDB.
+_A43_U_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(event_id AS STRING), '_', "
+    "CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"
+)
+_A43_U_DUCK = (
+    "list_reduce([strpos('0123456789abcdef', c) - 1 "
+    "for c in regexp_extract_all(substr(md5(CAST(event_id AS VARCHAR) "
+    "|| '_' || CAST(b AS VARCHAR)), 1, 15), '.')], "
+    "(a, b) -> a * 16 + b) % 1000000"
+)
+
+
+def _a43_weight_case(u_expr: str) -> str:
+    """Inverse-CDF lookup: uniform ppm -> Poisson(1) weight 0..8."""
+    branches = " ".join(
+        f"WHEN ({u_expr}) < {t} THEN {k}"
+        for k, t in enumerate(A43_POISSON_CUM_PPM)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+@register(
+    "a43_poisson_bootstrap_ci",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        reps(b) AS (
+            SELECT unnest(generate_series(0, {A43_REPLICAS - 1}))
+        ),
+        weighted AS (
+            SELECT b, v, {_a43_weight_case(_A43_U_DUCK)} AS k
+            FROM x CROSS JOIN reps
+        ),
+        per_rep AS (
+            SELECT b,
+                   CAST(SUM(CAST(k AS HUGEINT) * v) * {A43_MICRO}
+                        // SUM(k) AS BIGINT) AS mean_micro
+            FROM weighted GROUP BY b
+        ),
+        ranked AS (
+            SELECT mean_micro,
+                   ROW_NUMBER() OVER (ORDER BY mean_micro) AS r
+            FROM per_rep
+        ),
+        point AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(v AS HUGEINT)) * {A43_MICRO}
+                        // COUNT(*) AS BIGINT) AS mean_micro
+            FROM x
+        )
+        SELECT point.n_rows,
+               CAST({A43_REPLICAS} AS BIGINT) AS b_replicas,
+               point.mean_micro,
+               MAX(CASE WHEN r = 3 THEN ranked.mean_micro END)
+                   AS ci_lo_micro,
+               MAX(CASE WHEN r = 98 THEN ranked.mean_micro END)
+                   AS ci_hi_micro
+        FROM ranked CROSS JOIN point
+        GROUP BY point.n_rows, point.mean_micro
+    """,
+    doc=f"95% bootstrap confidence interval for the mean event value "
+    f"via the DETERMINISTIC Poisson bootstrap over {A43_REPLICAS} "
+    "replicas — THE distributed-bootstrap technique (resampling n rows "
+    "with replacement needs global coordination; giving each row an "
+    "independent Poisson(1) multiplicity per replica is one map-side "
+    "pass, which is why it's the standard at cluster scale). "
+    "Determinism: the per-(row, replica) weight is the a10 cross-"
+    "engine md5 hash mapped through Python-PREQUANTIZED cumulative "
+    "Poisson(1) ppm thresholds (an exact integer inverse-CDF lookup — "
+    "no RNG, no exp/factorial in-engine, st23's recipe), so both "
+    "engines draw the IDENTICAL bootstrap sample; replica means are "
+    "exact integer micro-units by DECIMAL/HUGEINT DIV, and the CI "
+    "bounds are order statistics (ranks 3 and 98 — type-1 quantiles "
+    "at 2.5/97.5%) of the 100-row replica frame. Scale shape: the "
+    f"{A43_REPLICAS}x row expansion never materializes — it is "
+    "map-side generate + partial aggregation, shuffling only "
+    f"{A43_REPLICAS} partial rows per task; everything after the "
+    "groupBy is 100 rows. Digit budget: sum(k*v)*1e6 peaks ~8e19 per "
+    "replica at 1e12 rows of 1e4-cent values — DECIMAL(38,0)/HUGEINT "
+    "(int64 dies at ~1e10 rows).",
+    tags=("aggregate", "statistics", "sampling"),
+)
+def a43_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_id", _cents(F.col("value")).alias("v")
+    )
+    # plan-cache: x feeds the replica expansion AND the point estimate
+    x = x.persist()
+    reps = spark.range(A43_REPLICAS).select(F.col("id").alias("b"))
+    weighted = x.crossJoin(F.broadcast(reps)).select(
+        "b",
+        "v",
+        F.expr(_a43_weight_case(_A43_U_SPARK)).alias("k"),
+    )
+    per_rep = weighted.groupBy("b").agg(
+        F.expr(
+            f"CAST(SUM(CAST(k AS DECIMAL(38,0)) * v) * {A43_MICRO} "
+            "DIV SUM(CAST(k AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("mean_micro")
+    )
+    ranked = per_rep.select(
+        "mean_micro",
+        F.row_number().over(Window.orderBy("mean_micro")).alias("r"),
+    )
+    point = x.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            f"CAST(SUM(CAST(v AS DECIMAL(38,0))) * {A43_MICRO} "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("point_mean"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("n_rows", "point_mean")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN r = 3 THEN mean_micro END")
+            ).alias("ci_lo_micro"),
+            F.max(
+                F.expr("CASE WHEN r = 98 THEN mean_micro END")
+            ).alias("ci_hi_micro"),
+        )
+        .select(
+            "n_rows",
+            F.lit(A43_REPLICAS).cast("long").alias("b_replicas"),
+            F.col("point_mean").alias("mean_micro"),
+            "ci_lo_micro",
+            "ci_hi_micro",
+        )
+    )

@@ -255,6 +255,7 @@ AUX = [
     "ts28_periodogram",
     "ts29_kaplan_meier",
     "ts30_logrank",
+    "a43_poisson_bootstrap_ci",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -357,3 +357,49 @@ def test_ts30_matches_python_logrank(spark, duck):
     assert row["var_micro"] == v_sum
     assert row["chi2"] == pytest.approx(oe * oe / (v_sum * 1e6), rel=1e-12)
     assert row["significant_at_95"] == (oe * oe / (v_sum * 1e6) > 3.841)
+
+
+def test_a43_matches_python_poisson_bootstrap(spark, duck):
+    """Replicate the deterministic bootstrap in pure Python (hashlib
+    md5, the same prequantized Poisson thresholds) — replica means,
+    CI bounds, and the point estimate must match exactly."""
+    import hashlib
+
+    from apache_iceberg_spark.operators.analytics import (
+        A43_POISSON_CUM_PPM,
+        A43_REPLICAS,
+    )
+
+    row = REGISTRY["a43_poisson_bootstrap_ci"].spark(spark, SF_DIR).collect()[
+        0
+    ]
+    evts = duck.execute(
+        "SELECT event_id, CAST(ROUND(value*100) AS BIGINT) FROM events"
+    ).fetchall()
+    m = 1_000_000
+
+    def weight(eid: int, b: int) -> int:
+        u = (
+            int(hashlib.md5(f"{eid}_{b}".encode()).hexdigest()[:15], 16)
+            % m
+        )
+        for k, t in enumerate(A43_POISSON_CUM_PPM):
+            if u < t:
+                return k
+        return 8
+
+    means = []
+    for b in range(A43_REPLICAS):
+        sk = sv = 0
+        for eid, v in evts:
+            k = weight(eid, b)
+            sk += k
+            sv += k * v
+        means.append(sv * m // sk)
+    means.sort()
+    assert row["n_rows"] == len(evts)
+    assert row["b_replicas"] == A43_REPLICAS
+    assert row["mean_micro"] == sum(v for _, v in evts) * m // len(evts)
+    assert row["ci_lo_micro"] == means[2]
+    assert row["ci_hi_micro"] == means[97]
+    assert row["ci_lo_micro"] < row["mean_micro"] < row["ci_hi_micro"]
