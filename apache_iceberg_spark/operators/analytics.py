@@ -3092,32 +3092,46 @@ def _a43_weight_case(u_expr: str) -> str:
 )
 def a43_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    x = e.select(
-        "event_id", _cents(F.col("value")).alias("v")
-    )
-    # plan-cache: x feeds the replica expansion AND the point estimate
-    x = x.persist()
-    reps = spark.range(A43_REPLICAS).select(F.col("id").alias("b"))
-    weighted = x.crossJoin(F.broadcast(reps)).select(
-        "b",
+    per_rep = _a43_replica_sums(e)
+    return _a43_finish(per_rep)
+
+
+def _a43_replica_sums(e: DataFrame) -> DataFrame:
+    """Per-replica bootstrap partials (b, sk, skv, n, sv) — a MERGEABLE
+    100-row frame (every column is a sum/count), which is why st26 can
+    hold it as streaming state: each event contributes once per replica
+    via a map-side sequence explode, no stream-static join needed."""
+    x = e.select("event_id", _cents(F.col("value")).alias("v"))
+    weighted = x.select(
+        F.explode(F.expr(f"sequence(0, {A43_REPLICAS - 1})")).alias("b"),
         "v",
-        F.expr(_a43_weight_case(_A43_U_SPARK)).alias("k"),
+        "event_id",
+    ).select("b", "v", F.expr(_a43_weight_case(_A43_U_SPARK)).alias("k"))
+    dec = "decimal(38,0)"
+    return weighted.groupBy("b").agg(
+        F.sum(F.col("k").cast(dec)).cast(dec).alias("sk"),
+        F.sum(F.expr(f"CAST(k AS {dec}) * v")).cast(dec).alias("skv"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).cast(dec).alias("sv"),
     )
-    per_rep = weighted.groupBy("b").agg(
-        F.expr(
-            f"CAST(SUM(CAST(k AS DECIMAL(38,0)) * v) * {A43_MICRO} "
-            "DIV SUM(CAST(k AS DECIMAL(38,0))) AS BIGINT)"
-        ).alias("mean_micro")
-    )
+
+
+def _a43_finish(per_rep: DataFrame) -> DataFrame:
+    """CI from the replica-partial frame — shared by batch a43 and
+    streaming st26 (pytest pins bitwise equality)."""
+    per_rep = per_rep.persist()  # plan-cache: feeds ranks AND the point
     ranked = per_rep.select(
-        "mean_micro",
-        F.row_number().over(Window.orderBy("mean_micro")).alias("r"),
-    )
-    point = x.agg(
-        F.count(F.lit(1)).alias("n_rows"),
         F.expr(
-            f"CAST(SUM(CAST(v AS DECIMAL(38,0))) * {A43_MICRO} "
-            "DIV COUNT(*) AS BIGINT)"
+            f"CAST(skv * {A43_MICRO} DIV sk AS BIGINT)"
+        ).alias("mean_micro"),
+        F.row_number()
+        .over(Window.orderBy(F.expr(f"skv * {A43_MICRO} DIV sk")))
+        .alias("r"),
+    )
+    point = per_rep.agg(
+        F.max("n").alias("n_rows"),
+        F.expr(
+            f"CAST(MAX(sv) * {A43_MICRO} DIV MAX(n) AS BIGINT)"
         ).alias("point_mean"),
     )
     return (
@@ -3132,7 +3146,7 @@ def a43_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi_micro"),
         )
         .select(
-            "n_rows",
+            F.col("n_rows").cast("long").alias("n_rows"),
             F.lit(A43_REPLICAS).cast("long").alias("b_replicas"),
             F.col("point_mean").alias("mean_micro"),
             "ci_lo_micro",

@@ -2168,3 +2168,59 @@ def _st25_set_oracle() -> None:
 
 
 _st25_set_oracle()
+
+
+# --- st26: streaming bootstrap CI (a43 at ingest) ------------------------------
+
+
+@register(
+    "st26_stream_bootstrap_ci",
+    oracle=None,  # bound to a43's oracle below
+    doc="a43's deterministic Poisson-bootstrap CI maintained BY THE "
+    "STREAM: every bootstrap replica's (sum k, sum k*v, n, sum v) "
+    "partial is a plain sum, so the WHOLE uncertainty estimate is 100 "
+    "rows of mergeable state — each arriving event fans out to its "
+    "100 hash-determined weights map-side (a sequence explode, no "
+    "stream-static join) and folds into the running partials; the "
+    "rank/CI arithmetic runs on the final 100-row table via the SAME "
+    "_a43_finish the batch operator uses, so the stream's interval is "
+    "bitwise-equal to a batch recompute and the driver checks it "
+    "against a43's own oracle. The monitoring story: a live metric "
+    "WITH error bars — the dashboard reads mean AND a 95% CI that "
+    "tightens as data arrives, priced at 100 stateful rows instead of "
+    "a batch bootstrap job.",
+    tags=("streaming", "statistics", "sampling"),
+)
+def st26_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import (
+        _a43_finish,
+        _a43_replica_sums,
+    )
+
+    per_rep = _a43_replica_sums(stream_events(spark, sf_dir))
+    qname = f"st26_bootstrap_{next(_stream_ids)}"
+    query = (
+        per_rep.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _a43_finish(spark.table(qname))
+
+
+def _st26_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import analytics  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st26_stream_bootstrap_ci"]
+    REGISTRY["st26_stream_bootstrap_ci"] = dataclasses.replace(
+        q, oracle=REGISTRY["a43_poisson_bootstrap_ci"].oracle
+    )
+
+
+_st26_set_oracle()

@@ -121,6 +121,7 @@ STREAMING = [
     "st23_stream_benford",
     "st24_stream_rank_correlation",
     "st25_stream_periodogram",
+    "st26_stream_bootstrap_ci",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail

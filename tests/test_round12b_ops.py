@@ -403,3 +403,9 @@ def test_a43_matches_python_poisson_bootstrap(spark, duck):
     assert row["ci_lo_micro"] == means[2]
     assert row["ci_hi_micro"] == means[97]
     assert row["ci_lo_micro"] < row["mean_micro"] < row["ci_hi_micro"]
+
+
+def test_st26_bitwise_equals_batch_a43(spark):
+    got = REGISTRY["st26_stream_bootstrap_ci"].spark(spark, SF_DIR).collect()
+    want = REGISTRY["a43_poisson_bootstrap_ci"].spark(spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
