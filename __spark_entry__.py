@@ -105,7 +105,8 @@ RECHECK = frozenset({
     "st21_stream_seasonal_profile", # streaming consumer of events path
     "a36_mann_whitney",             # u2/t widened to DECIMAL(38,0)
     "w16_winsorized_mean",          # clipped sum widened to DECIMAL(38,0)
-    "ts22_theil_sen_trend",         # ask-#7 audit: documented bound
+    # ts22_theil_sen_trend: ask-#7 audit added a DOC bound only — the
+    # implementation is unchanged, so it stays in the green tail
     "g3_pagerank_converged",        # gained the unrolled-CTE oracle
     # second session: the hourly spine factored out of _ts19_acf_frame
     # (_hourly_spine/_spine_from_hourly) — its consumers re-enter
