@@ -1571,3 +1571,139 @@ def g12_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(edges, ["u", "v"], "left_anti").select(
         "u", "v", "n_common", "aa_micro"
     )
+
+
+# ---------------------------------------------------------------------------
+# g13: HITS hubs & authorities (round 12 second session)
+# ---------------------------------------------------------------------------
+
+G13_MICRO = 1_000_000
+G13_TOP = 15
+
+
+@register(
+    "g13_hits",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        a1 AS (
+            SELECT s, CAST(COUNT(*) AS HUGEINT) * {G13_MICRO} AS a
+            FROM pairs GROUP BY s
+        ),
+        a1n AS (
+            SELECT s, a * {G13_MICRO} // (SELECT MAX(a) FROM a1) AS a
+            FROM a1
+        ),
+        h1 AS (
+            SELECT c, CAST(SUM(a1n.a) AS HUGEINT) AS h
+            FROM pairs JOIN a1n ON a1n.s = pairs.s
+            GROUP BY c
+        ),
+        h1n AS (
+            SELECT c, h * {G13_MICRO} // (SELECT MAX(h) FROM h1) AS h
+            FROM h1
+        ),
+        a2 AS (
+            SELECT s, CAST(SUM(h1n.h) AS HUGEINT) AS a
+            FROM pairs JOIN h1n ON h1n.c = pairs.c
+            GROUP BY s
+        ),
+        a2n AS (
+            SELECT s, a * {G13_MICRO} // (SELECT MAX(a) FROM a2) AS a
+            FROM a2
+        ),
+        top_auth AS (
+            SELECT 'supplier' AS kind, s AS node,
+                   CAST(a AS BIGINT) AS score_micro
+            FROM a2n ORDER BY a DESC, s LIMIT {G13_TOP}
+        ),
+        top_hub AS (
+            SELECT 'customer' AS kind, c AS node,
+                   CAST(h AS BIGINT) AS score_micro
+            FROM h1n ORDER BY h DESC, c LIMIT {G13_TOP}
+        )
+        SELECT * FROM top_auth
+        UNION ALL
+        SELECT * FROM top_hub
+        ORDER BY kind, score_micro DESC, node
+    """,
+    doc=f"HITS hubs & authorities (Kleinberg) on the bipartite trade "
+    "graph — the mutual-reinforcement centrality completing the shelf "
+    "(g1 PageRank spreads mass along a damped walk; g6 Katz discounts "
+    "by path length; g8 is distance-based; HITS is the DUAL score the "
+    "bipartite shape actually calls for: a customer is a good hub "
+    "because it buys from good suppliers, a supplier a good authority "
+    "because good hubs buy from it). Two unrolled mutual-update steps "
+    "(g1's power-step convention — production loops the identical "
+    "dataflow), each followed by exact MAX-normalization in integer "
+    "micro-units (score * 1e6 DIV max — the integer-safe stand-in for "
+    "the L-inf norm step; all sums are DECIMAL(38,0)/HUGEINT, so both "
+    "engines agree bitwise with zero float surface anywhere). Top-"
+    f"{G13_TOP} per side with total (score DESC, node) ordering. Scale "
+    "shape: g1's — each half-step is ONE join of the score frame onto "
+    "the edge list hash-partitioned by the join side plus a "
+    "partial+final agg; the normalizing MAX is a 1-row broadcast. "
+    "Digit budget: sum of 1e6-scaled scores over degree <= n peaks "
+    "~1e18 at 1e12 edges — the DECIMAL/HUGEINT accumulators hold to "
+    "1e32.",
+    tags=("graph", "centrality"),
+)
+def g13_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table_parallel(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        # plan-cache: three consumers (a1 and the two mutual-update
+        # joins) — released via session.release_plan_caches
+        .persist()
+    )
+    dec = "decimal(38,0)"
+
+    def _norm(frame: DataFrame, col: str) -> DataFrame:
+        mx = frame.agg(F.max(col).alias("mx"))
+        return frame.crossJoin(F.broadcast(mx)).select(
+            *[c for c in frame.columns if c != col],
+            F.expr(f"{col} * {G13_MICRO} DIV mx").alias(col),
+        )
+
+    a1 = pairs.groupBy("s").agg(
+        F.expr(f"CAST(COUNT(*) AS {dec}) * {G13_MICRO}").alias("a")
+    )
+    a1n = _norm(a1, "a")
+    h1 = (
+        pairs.join(a1n, "s")
+        .groupBy("c")
+        .agg(F.sum(F.col("a").cast(dec)).cast(dec).alias("h"))
+    )
+    h1n = _norm(h1, "h")
+    a2 = (
+        pairs.join(h1n, "c")
+        .groupBy("s")
+        .agg(F.sum(F.col("h").cast(dec)).cast(dec).alias("a"))
+    )
+    a2n = _norm(a2, "a")
+    top_auth = (
+        a2n.orderBy(F.desc("a"), F.asc("s"))
+        .limit(G13_TOP)
+        .select(
+            F.lit("supplier").alias("kind"),
+            F.col("s").alias("node"),
+            F.col("a").cast("long").alias("score_micro"),
+        )
+    )
+    top_hub = (
+        h1n.orderBy(F.desc("h"), F.asc("c"))
+        .limit(G13_TOP)
+        .select(
+            F.lit("customer").alias("kind"),
+            F.col("c").alias("node"),
+            F.col("h").cast("long").alias("score_micro"),
+        )
+    )
+    return top_auth.unionAll(top_hub).orderBy(
+        "kind", F.desc("score_micro"), "node"
+    )

@@ -257,6 +257,7 @@ AUX = [
     "ts29_kaplan_meier",
     "ts30_logrank",
     "a43_poisson_bootstrap_ci",
+    "g13_hits",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -409,3 +409,40 @@ def test_st26_bitwise_equals_batch_a43(spark):
     got = REGISTRY["st26_stream_bootstrap_ci"].spark(spark, SF_DIR).collect()
     want = REGISTRY["a43_poisson_bootstrap_ci"].spark(spark, SF_DIR).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_g13_matches_python_hits(spark, duck):
+    """Integer-exact HITS reimplementation (same micro units, same
+    MAX-normalization, same tie-break) — the top lists must match
+    exactly."""
+    rows = REGISTRY["g13_hits"].spark(spark, SF_DIR).collect()
+    pairs = duck.execute(
+        "SELECT DISTINCT o_custkey, l_suppkey FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey"
+    ).fetchall()
+    m = 1_000_000
+    a1: dict[int, int] = {}
+    for _, s in pairs:
+        a1[s] = a1.get(s, 0) + m
+    mx = max(a1.values())
+    a1n = {s: v * m // mx for s, v in a1.items()}
+    h1: dict[int, int] = {}
+    for c, s in pairs:
+        h1[c] = h1.get(c, 0) + a1n[s]
+    mx = max(h1.values())
+    h1n = {c: v * m // mx for c, v in h1.items()}
+    a2: dict[int, int] = {}
+    for c, s in pairs:
+        a2[s] = a2.get(s, 0) + h1n[c]
+    mx = max(a2.values())
+    a2n = {s: v * m // mx for s, v in a2.items()}
+    top = 15
+    want = sorted(
+        (("supplier", s, v) for s, v in a2n.items()),
+        key=lambda r: (-r[2], r[1]),
+    )[:top] + sorted(
+        (("customer", c, v) for c, v in h1n.items()),
+        key=lambda r: (-r[2], r[1]),
+    )[:top]
+    got = {(r["kind"], r["node"], r["score_micro"]) for r in rows}
+    assert got == set(want)
