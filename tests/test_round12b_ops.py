@@ -446,3 +446,81 @@ def test_g13_matches_python_hits(spark, duck):
     )[:top]
     got = {(r["kind"], r["node"], r["score_micro"]) for r in rows}
     assert got == set(want)
+
+
+def test_a41_dominance_prefix_algebra_on_random_contingencies():
+    """The 2D dominance-prefix window algebra (rowcum -> fcum -> two
+    LAGs -> P, lx - G -> Q) must equal brute-force pair counting on
+    random sparse contingency tables — DuckDB-only, 40 seeded cases,
+    validating the algebra independent of the lineitem data."""
+    import random
+
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(12012)
+    for case in range(40):
+        nx = rng.randint(1, 6)
+        ny = rng.randint(1, 6)
+        cells = {}
+        for _ in range(rng.randint(1, 12)):
+            cells[(rng.randint(0, nx), rng.randint(0, ny))] = rng.randint(
+                1, 9
+            )
+        vals = ", ".join(f"({x}, {y}, {n})" for (x, y), n in cells.items())
+        got = con.execute(f"""
+            WITH cells(xv, yv, cnt) AS (VALUES {vals}),
+            xs AS (SELECT DISTINCT xv FROM cells),
+            ys AS (SELECT DISTINCT yv FROM cells),
+            dense AS (
+                SELECT xs.xv, ys.yv, COALESCE(c.cnt, 0) AS nf
+                FROM xs CROSS JOIN ys
+                LEFT JOIN cells c ON c.xv = xs.xv AND c.yv = ys.yv
+            ),
+            pref AS (
+                SELECT xv, yv, nf,
+                       SUM(CAST(nf AS HUGEINT)) OVER (
+                           PARTITION BY xv ORDER BY yv
+                           ROWS UNBOUNDED PRECEDING) AS rowcum
+                FROM dense
+            ),
+            pref2 AS (
+                SELECT xv, yv, nf,
+                       SUM(rowcum) OVER (PARTITION BY yv ORDER BY xv
+                           ROWS UNBOUNDED PRECEDING) AS fcum
+                FROM pref
+            ),
+            pref3 AS (
+                SELECT xv, yv, nf,
+                       LAG(fcum, 1, 0) OVER (
+                           PARTITION BY yv ORDER BY xv) AS gleft
+                FROM pref2
+            ),
+            pref4 AS (
+                SELECT xv, yv, nf, gleft,
+                       LAG(gleft, 1, 0) OVER (
+                           PARTITION BY xv ORDER BY yv) AS p
+                FROM pref3
+            ),
+            colm AS (SELECT xv, CAST(SUM(nf) AS HUGEINT) AS cx
+                     FROM dense GROUP BY xv),
+            colc AS (
+                SELECT xv,
+                       SUM(cx) OVER (ORDER BY xv ROWS UNBOUNDED PRECEDING)
+                           - cx AS lx
+                FROM colm
+            )
+            SELECT CAST(SUM(CAST(nf AS HUGEINT) * p) AS BIGINT),
+                   CAST(SUM(CAST(nf AS HUGEINT) * (lx - gleft)) AS BIGINT)
+            FROM pref4 JOIN colc USING (xv)
+        """).fetchone()
+        items = list(cells.items())
+        c = d = 0
+        for i, ((x1, y1), n1) in enumerate(items):
+            for (x2, y2), n2 in items[i + 1 :]:
+                prod = (x1 - x2) * (y1 - y2)
+                if prod > 0:
+                    c += n1 * n2
+                elif prod < 0:
+                    d += n1 * n2
+        assert got == (c, d), (case, got, (c, d), cells)
