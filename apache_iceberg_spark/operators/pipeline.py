@@ -4455,3 +4455,75 @@ def tx26_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 0 END AS BIGINT)"
         ).alias("efficiency_ppm"),
     ).orderBy("lang")
+
+
+# --- pp21: exact-k weighted sample without replacement (round 12b) ---------------
+
+PP21_K = 25
+PP21_MICRO = 1_000_000
+#: ln(1e6) in micro-nats — the constant term of the exponential draw
+#: E = -ln(u/1e6) = ln(1e6) - ln(u), pre-quantized once in Python.
+PP21_LN_M_MICRO = 13_815_511
+
+_PP21_U_SPARK = (
+    SPARK_HEX2INT.format(s="concat('pp21:', CAST(doc_id AS STRING))")
+    + f" % {PP21_MICRO - 1} + 1"
+)
+_PP21_U_DUCK = (
+    DUCK_HEX2INT.format(s="'pp21:' || CAST(doc_id AS VARCHAR)")
+    + f" % {PP21_MICRO - 1} + 1"
+)
+
+
+@register(
+    "pp21_weighted_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ({PP21_LN_M_MICRO}
+                    - CAST(ROUND(ln({_PP21_U_DUCK}) * {PP21_MICRO})
+                           AS BIGINT)) * {PP21_MICRO} // n_chars
+                       AS key_nano
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT doc_id, source, n_chars, key_nano
+        FROM keyed
+        ORDER BY key_nano, doc_id
+        LIMIT {PP21_K}
+    """,
+    doc=f"Exact-{PP21_K} sample of documents proportional to TOKEN MASS "
+    "(weight = n_chars) WITHOUT replacement — Efraimidis-Spirakis "
+    "weighted reservoir sampling as one deterministic expression: "
+    "sampling documents by length is how a curation pipeline draws a "
+    "probe set that is uniform over the CORPUS TOKENS rather than "
+    "over documents (a10's Bernoulli sample is unweighted; pp17's "
+    "DSIR keeps a variable-size set by importance threshold; this is "
+    "the fixed-k weighted draw both of them can't give you). Per "
+    "document: u = md5 ppm in [1, 1e6), the exponential draw "
+    "E = -ln(u/1e6) becomes ln(1e6) - ln(u) — ln of an INTEGER, "
+    "snapped to micro-nats (tx24/g12's recipe), with ln(1e6) "
+    "pre-quantized in Python — and the ES key E/w quantizes by exact "
+    "integer DIV to nano units; the k smallest keys ARE the weighted "
+    "sample (Efraimidis & Spirakis 2006, Thm 1 — each subset drawn "
+    "with its without-replacement probability). Zero RNG, zero float "
+    "surface: both engines draw the IDENTICAL sample. Scale shape: "
+    "map-only key computation + TakeOrdered(k) — no shuffle at all; "
+    "the classic reservoir algorithm's sequential pass becomes one "
+    "embarrassingly-parallel min-k. Digit budget: E <= 13.8e6 "
+    "micro-nats, x1e6 <= 1.4e13 — BIGINT-safe at any corpus size.",
+    tags=("sampling", "llm", "curation"),
+)
+def pp21_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    keyed = d.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            f"({PP21_LN_M_MICRO} "
+            f"- CAST(ROUND(ln({_PP21_U_SPARK}) * {PP21_MICRO}) AS BIGINT))"
+            f" * {PP21_MICRO} DIV n_chars"
+        ).alias("key_nano"),
+    )
+    return keyed.orderBy("key_nano", "doc_id").limit(PP21_K)

@@ -258,6 +258,7 @@ AUX = [
     "ts30_logrank",
     "a43_poisson_bootstrap_ci",
     "g13_hits",
+    "pp21_weighted_sample",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

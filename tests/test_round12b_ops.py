@@ -524,3 +524,33 @@ def test_a41_dominance_prefix_algebra_on_random_contingencies():
                 elif prod < 0:
                     d += n1 * n2
         assert got == (c, d), (case, got, (c, d), cells)
+
+
+def test_pp21_matches_python_es_sample(spark, duck):
+    """Pure-Python Efraimidis-Spirakis with the identical hash/ln
+    quantization — the sampled set and keys must match exactly; also
+    sanity-check the weighting direction (the sample's mean length
+    should exceed the corpus mean, since weight = n_chars)."""
+    import hashlib
+
+    rows = REGISTRY["pp21_weighted_sample"].spark(spark, SF_DIR).collect()
+    docs = duck.execute(
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0"
+    ).fetchall()
+    m = 1_000_000
+    keyed = []
+    for doc_id, w in docs:
+        u = (
+            int(hashlib.md5(f"pp21:{doc_id}".encode()).hexdigest()[:15], 16)
+            % (m - 1)
+            + 1
+        )
+        e = 13_815_511 - round(math.log(u) * m)
+        keyed.append((e * m // w, doc_id, w))
+    keyed.sort()
+    want = {(d, k) for k, d, _ in keyed[:25]}
+    got = {(r["doc_id"], r["key_nano"]) for r in rows}
+    assert got == want
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = sum(w for _, w in docs) / len(docs)
+    assert sample_mean > corpus_mean
