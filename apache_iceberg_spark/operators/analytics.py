@@ -3153,3 +3153,128 @@ def _a43_finish(per_rep: DataFrame) -> DataFrame:
             "ci_hi_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a44: distribution-free median CI via order statistics (round 12b)
+# ---------------------------------------------------------------------------
+
+#: z for the 95% two-sided normal approximation of the binomial rank
+#: bracket — the one Python-side constant (st23/ts26's recipe).
+A44_Z95 = 1.96
+
+#: Order-statistic ranks: l = floor((n - z*sqrt(n))/2), clamped to 1;
+#: u = n + 1 - l. P(X_(l) <= median <= X_(u)) >= 95% for ANY
+#: distribution (binomial argument, normal-approximated). The float
+#: piece is one shared expression over the exact integer n — both
+#: engines compute the identical rank.
+_A44_L = (
+    "GREATEST(CAST(FLOOR((CAST(n AS DOUBLE) "
+    f"- {A44_Z95} * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT), 1)"
+)
+
+
+@register(
+    "a44_median_ci",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type AS g,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        pv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM x GROUP BY 1, 2),
+        cum AS (
+            SELECT g, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY g) AS n
+            FROM pv
+        ),
+        ranks AS (
+            SELECT g, v, cum, n,
+                   {_A44_L} AS l,
+                   n + 1 - {_A44_L} AS u,
+                   (n + 1) // 2 AS md
+            FROM cum
+        )
+        SELECT g AS event_type,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               MIN(CASE WHEN cum >= md THEN v END) AS median_cents,
+               MIN(CASE WHEN cum >= l THEN v END) AS ci_lo_cents,
+               MIN(CASE WHEN cum >= u THEN v END) AS ci_hi_cents
+        FROM ranks GROUP BY g
+        ORDER BY event_type
+    """,
+    doc="Distribution-free 95% confidence interval for the MEDIAN "
+    "event value per type, from order statistics — the robust "
+    "companion to a43's bootstrap mean CI (no resampling, no "
+    "normality: P(X_(l) <= median <= X_(u)) >= 95% for ANY "
+    "distribution by the binomial sign argument; the classic "
+    "nonparametric interval). The rank bracket l = floor((n - "
+    "1.96*sqrt(n))/2), u = n+1-l is ONE shared float expression over "
+    "the exact integer n (identical text both engines -> identical "
+    "integer rank), and the three order statistics (lower median, lo, "
+    "hi) read off the per-value cumulative-count frame with a35's "
+    "MIN(CASE WHEN cum >= r) trick — values never leave exact integer "
+    "cents. Scale shape: the w12/a35 recipe — one shuffle to "
+    "(type, value) cells, bound_int_support gates the per-type "
+    "distinct frame at A25_GRID cells before the ordered window; "
+    "selection is a tiny grouped fold, no sort of raw rows anywhere.",
+    tags=("aggregate", "statistics"),
+)
+def a44_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_v = (
+        e.select(
+            F.col("event_type").alias("g"),
+            _cents(F.col("value")).alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_v, _step = bound_int_support(per_v, group_cols=("g",))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        "g",
+        "v",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("g")).alias("n"),
+    )
+    ranks = cum.select(
+        "g",
+        "v",
+        "cum",
+        "n",
+        F.expr(_A44_L).alias("l"),
+        F.expr(f"n + 1 - {_A44_L}").alias("u"),
+        F.expr("(n + 1) DIV 2").alias("md"),
+    )
+    return (
+        ranks.groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.min(F.expr("CASE WHEN cum >= md THEN v END")).alias(
+                "median_cents"
+            ),
+            F.min(F.expr("CASE WHEN cum >= l THEN v END")).alias(
+                "ci_lo_cents"
+            ),
+            F.min(F.expr("CASE WHEN cum >= u THEN v END")).alias(
+                "ci_hi_cents"
+            ),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            "n_rows",
+            "median_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+        .orderBy("event_type")
+    )

@@ -259,6 +259,7 @@ AUX = [
     "a43_poisson_bootstrap_ci",
     "g13_hits",
     "pp21_weighted_sample",
+    "a44_median_ci",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

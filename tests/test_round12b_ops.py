@@ -554,3 +554,30 @@ def test_pp21_matches_python_es_sample(spark, duck):
     sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
     corpus_mean = sum(w for _, w in docs) / len(docs)
     assert sample_mean > corpus_mean
+
+
+def test_a44_matches_python_order_statistics(spark, duck):
+    """Pure-Python order-statistic CI with the same rank formula —
+    exact equality, plus the bracket-contains-median invariant."""
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["a44_median_ci"].spark(spark, SF_DIR).collect()
+    }
+    rows = duck.execute(
+        "SELECT event_type, CAST(ROUND(value*100) AS BIGINT) FROM events"
+    ).fetchall()
+    per_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        per_g.setdefault(g, []).append(v)
+    for g, vs in per_g.items():
+        vs.sort()
+        n = len(vs)
+        l = max(int(math.floor((n - 1.96 * math.sqrt(n)) / 2.0)), 1)
+        u = n + 1 - l
+        md = (n + 1) // 2
+        r = got[g]
+        assert r["n_rows"] == n
+        assert r["median_cents"] == vs[md - 1]
+        assert r["ci_lo_cents"] == vs[l - 1]
+        assert r["ci_hi_cents"] == vs[u - 1]
+        assert r["ci_lo_cents"] <= r["median_cents"] <= r["ci_hi_cents"]
