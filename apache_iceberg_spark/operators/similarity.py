@@ -4017,3 +4017,148 @@ def ann22_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "hamming", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann23: Matryoshka prefix-dimension retrieval quality (round 12b)
+# ---------------------------------------------------------------------------
+
+ANN23_TIERS = (64, 32, 16)
+ANN23_PPM = 1_000_000
+
+
+def _ann23_duck_tier(d: int) -> str:
+    return f"""
+        n{d} AS (
+            SELECT vec_id, embedding[1:{d}] AS e,
+                   sqrt({_DUCK_DOT.format(a='embedding[1:' + str(d) + ']',
+                                          b='embedding[1:' + str(d) + ']')})
+                       AS norm
+            FROM embeddings
+        ),
+        top{d} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ({_DUCK_DOT.format(a='q.e', b='c.e')})
+                                    / (q.norm * c.norm) DESC, c.vec_id
+                       ) AS rn
+                FROM n{d} q JOIN n{d} c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rn <= {TOP_K}
+        )"""
+
+
+@register(
+    "ann23_matryoshka_truncation",
+    oracle=f"""
+        WITH {','.join(_ann23_duck_tier(d) for d in ANN23_TIERS)},
+        tier_hits AS (
+            {' UNION ALL '.join(
+                f"SELECT {d} AS dim, CAST(COUNT(*) AS BIGINT) AS hits "
+                f"FROM top{ANN23_TIERS[0]} f JOIN top{d} t "
+                "ON t.query_id = f.query_id "
+                "AND t.neighbor_id = f.neighbor_id"
+                for d in ANN23_TIERS
+            )}
+        )
+        SELECT dim,
+               CAST({N_QUERIES} AS BIGINT) AS n_queries,
+               hits AS overlap_hits,
+               CAST(hits * {ANN23_PPM} // ({N_QUERIES} * {TOP_K})
+                    AS BIGINT) AS overlap_ppm
+        FROM tier_hits
+        ORDER BY dim DESC
+    """,
+    doc=f"Matryoshka/prefix-truncation retrieval quality: exact cosine "
+    f"top-{TOP_K} overlap when embeddings are truncated to their first "
+    f"{ANN23_TIERS[1]} and {ANN23_TIERS[0]} -> {ANN23_TIERS[2]} "
+    "dimensions vs the full vector — the storage-tiering decision "
+    "table for MRL-style embeddings (truncation is the OTHER "
+    "compression axis: ann5/ann6/ann22 quantize the VALUES, ann23 "
+    "drops DIMENSIONS; a pipeline picks the cheapest tier whose "
+    "overlap still clears its recall bar). Deterministic: cosine on "
+    "each prefix via the shared sequential-fold dot product (identical "
+    "float op order both engines), unique neighbor-id tiebreak, and "
+    "the report is exact integers (overlap counts, ppm by integer "
+    "DIV). Scale shape: queries broadcast; ONE corpus pass scores all "
+    "three tiers (the sliced dots share the scan); per-tier top-k via "
+    "window over the tiny scored frame; the overlap joins touch only "
+    f"{N_QUERIES}x{TOP_K}-row lists. At 100 TB the corpus-side scan "
+    "cost is the same one ann1 pays — the tiers ride along for one "
+    "extra fused map expression each.",
+    tags=("similarity", "llm", "embedding"),
+)
+def ann23_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    cols = ["vec_id"]
+    for d in ANN23_TIERS:
+        sl = f"slice(embedding, 1, {d})"
+        cols += [
+            F.expr(sl).alias(f"e{d}"),
+            F.expr(
+                f"sqrt({_SPARK_DOT.format(a=sl, b=sl)})"
+            ).alias(f"norm{d}"),
+        ]
+    n = e.select(*cols).persist()  # plan-cache: query AND corpus side
+    q = F.broadcast(
+        n.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            *[F.col(f"e{d}").alias(f"qe{d}") for d in ANN23_TIERS],
+            *[F.col(f"norm{d}").alias(f"qn{d}") for d in ANN23_TIERS],
+        )
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(f"e{d}") for d in ANN23_TIERS],
+        *[F.col(f"norm{d}") for d in ANN23_TIERS],
+    )
+    scored = q.join(c, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        *[
+            (
+                F.expr(_SPARK_DOT.format(a=f"qe{d}", b=f"e{d}"))
+                / (F.col(f"qn{d}") * F.col(f"norm{d}"))
+            ).alias(f"cos{d}")
+            for d in ANN23_TIERS
+        ],
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc(f"cos{d}"), F.asc("neighbor_id")
+                )
+            )
+            .alias(f"rn{d}")
+            for d in ANN23_TIERS
+        ],
+    ).persist()  # plan-cache: one tier-join consumer per tier
+    full = ANN23_TIERS[0]
+    parts = []
+    for d in ANN23_TIERS:
+        hits = (
+            ranked.filter(
+                (F.col(f"rn{full}") <= TOP_K) & (F.col(f"rn{d}") <= TOP_K)
+            )
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                F.lit(N_QUERIES).cast("long").alias("n_queries"),
+                F.col("hits").cast("long").alias("overlap_hits"),
+                F.expr(
+                    f"CAST(hits * {ANN23_PPM} "
+                    f"DIV ({N_QUERIES} * {TOP_K}) AS BIGINT)"
+                ).alias("overlap_ppm"),
+            )
+        )
+        parts.append(hits)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy(F.desc("dim"))

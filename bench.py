@@ -260,6 +260,7 @@ AUX = [
     "g13_hits",
     "pp21_weighted_sample",
     "a44_median_ci",
+    "ann23_matryoshka_truncation",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -581,3 +581,47 @@ def test_a44_matches_python_order_statistics(spark, duck):
         assert r["ci_lo_cents"] == vs[l - 1]
         assert r["ci_hi_cents"] == vs[u - 1]
         assert r["ci_lo_cents"] <= r["median_cents"] <= r["ci_hi_cents"]
+
+
+def test_ann23_matches_numpy_truncation(spark, duck):
+    """numpy recomputation of the per-tier exact top-k overlap (same
+    tiebreak) — overlap hits must match exactly, and overlap must be
+    monotone non-increasing as dimensions shrink on this data."""
+    import numpy as np
+
+    rows = {
+        r["dim"]: r
+        for r in REGISTRY["ann23_matryoshka_truncation"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    data = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    emb = np.array([e for _, e in data], dtype=np.float64)
+
+    def topk(d: int) -> dict[int, set]:
+        e = emb[:, :d]
+        nrm = np.sqrt((e * e).sum(axis=1))
+        out = {}
+        for qi in range(5):
+            cos = (e @ e[qi]) / (nrm * nrm[qi])
+            order = sorted(
+                (i for i in range(len(e)) if i != qi),
+                key=lambda i: (-cos[i], i),
+            )
+            out[qi] = set(order[:10])
+        return out
+
+    full = topk(64)
+    for d in (64, 32, 16):
+        t = topk(d)
+        hits = sum(len(full[qi] & t[qi]) for qi in range(5))
+        assert rows[d]["overlap_hits"] == hits, (d, rows[d], hits)
+        assert rows[d]["overlap_ppm"] == hits * 1_000_000 // 50
+    assert (
+        rows[64]["overlap_hits"]
+        >= rows[32]["overlap_hits"]
+        >= rows[16]["overlap_hits"]
+    )
+    assert rows[64]["overlap_ppm"] == 1_000_000
