@@ -2207,3 +2207,66 @@ def w19_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# f17: SQL-language UDFs (Spark 4 CREATE FUNCTION ... RETURN expr)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f17_sql_udf",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS dc
+            FROM lineitem
+        )
+        SELECT CASE WHEN dc < 2000000 THEN 'low'
+                    WHEN dc < 5000000 THEN 'mid'
+                    ELSE 'high' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(dc) AS BIGINT) AS total_disc_cents
+        FROM x GROUP BY 1
+        ORDER BY band
+    """,
+    doc="SQL-LANGUAGE scalar UDFs (Spark 4's CREATE OR REPLACE "
+    "TEMPORARY FUNCTION ... RETURNS ... RETURN expr) — the declarative "
+    "UDF tier completing the taxonomy: f9 pandas UDAF and f10 Python "
+    "UDTF cross into Python (Arrow batches, the documented slow "
+    "path); a SQL UDF is pure Catalyst — the body INLINES into the "
+    "plan at resolution, so whole-stage codegen sees plain "
+    "expressions and the abstraction costs ZERO at any scale (the "
+    "oracle states the inlined form — same recipe as f15's "
+    "lambda-free oracle). Demonstrates composition too: band() CALLS "
+    "disc_cents() and the optimizer still sees one fused expression "
+    "tree. Exact integer cents throughout (registry determinism "
+    "rules); one map-side-combined aggregation.",
+    tags=("functions", "udf"),
+)
+def f17_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION f17_disc_cents("
+        "p DOUBLE, d DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(ROUND(p * (1 - d) * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION f17_band(p DOUBLE, d DOUBLE) "
+        "RETURNS STRING "
+        "RETURN CASE WHEN f17_disc_cents(p, d) < 2000000 THEN 'low' "
+        "WHEN f17_disc_cents(p, d) < 5000000 THEN 'mid' "
+        "ELSE 'high' END"
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("f17_lineitem")
+    return spark.sql(
+        """
+        SELECT f17_band(l_extendedprice, l_discount) AS band,
+               COUNT(*) AS n_items,
+               SUM(f17_disc_cents(l_extendedprice, l_discount))
+                   AS total_disc_cents
+        FROM f17_lineitem
+        GROUP BY 1
+        ORDER BY band
+        """
+    )

@@ -261,6 +261,7 @@ AUX = [
     "pp21_weighted_sample",
     "a44_median_ci",
     "ann23_matryoshka_truncation",
+    "f17_sql_udf",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -625,3 +625,24 @@ def test_ann23_matches_numpy_truncation(spark, duck):
         >= rows[16]["overlap_hits"]
     )
     assert rows[64]["overlap_ppm"] == 1_000_000
+
+
+def test_f17_sql_udf_inlines_into_codegen(spark):
+    """The SQL UDF body must inline into the physical plan — no
+    Python-eval or UDF node anywhere, the whole aggregation inside
+    WholeStageCodegen (the zero-cost-abstraction claim)."""
+    df = REGISTRY["f17_sql_udf"].spark(spark, SF_DIR)
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the UDF body inlines: the plan is a plain scan -> hash aggregate,
+    # no UDF/eval node of any kind (AQE's pre-execution formatted plan
+    # doesn't print WholeStageCodegen spans, so assert node types)
+    assert "HashAggregate" in plan
+    assert "udf" not in plan.lower()
+    got = {r["band"]: (r["n_items"], r["total_disc_cents"])
+           for r in df.collect()}
+    assert set(got) == {"low", "mid", "high"}
