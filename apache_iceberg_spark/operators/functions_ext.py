@@ -2270,3 +2270,77 @@ def f17_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY band
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# f18: SQL-language TABLE function (Spark 4 RETURNS TABLE ... RETURN SELECT)
+# ---------------------------------------------------------------------------
+
+F18_BINS = 6
+
+
+@register(
+    "f18_sql_table_udf",
+    oracle=f"""
+        WITH bins AS (
+            SELECT b AS bin, b * (24 // {F18_BINS}) AS lo,
+                   (b + 1) * (24 // {F18_BINS}) AS hi
+            FROM (SELECT unnest(generate_series(0, {F18_BINS} - 1)) AS b)
+        ),
+        ev AS (
+            SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(lo AS BIGINT) AS lo_hour,
+               CAST(hi AS BIGINT) AS hi_hour,
+               CAST(COUNT(v) AS BIGINT) AS n_events,
+               CAST(COALESCE(SUM(v), 0) AS BIGINT) AS total_cents
+        FROM bins LEFT JOIN ev ON ev.h >= bins.lo AND ev.h < bins.hi
+        GROUP BY bin, lo, hi
+        ORDER BY bin
+    """,
+    doc="SQL-language TABLE function (Spark 4's CREATE FUNCTION ... "
+    "RETURNS TABLE ... RETURN SELECT) — f17's set-returning sibling, "
+    "completing the UDF taxonomy: f10's Python UDTF crosses into "
+    "Arrow batches, while a SQL table function INLINES as a subquery "
+    "at resolution (pytest: no eval/UDTF node in the plan), so a "
+    "parameterized dimension generator — here an hour-of-day "
+    "binning table int_bins(n, span) — costs what the literal "
+    "subquery costs: ZERO. The hour bands then LEFT-join the events "
+    "(empty bins survive with zero counts) — the parameterized-"
+    "calendar-dimension shape every reporting layer needs. Exact "
+    "integer cents and integer bin edges (span DIV n) throughout. "
+    "Scale: the generated dimension is F18_BINS rows and broadcasts; "
+    "events aggregate map-side after the band join.",
+    tags=("functions", "udf"),
+)
+def f18_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION f18_int_bins("
+        "n INT, span INT) RETURNS TABLE(bin INT, lo INT, hi INT) "
+        "RETURN SELECT b AS bin, b * (span DIV n) AS lo, "
+        "(b + 1) * (span DIV n) AS hi "
+        "FROM (SELECT explode(sequence(0, n - 1)) AS b)"
+    )
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("f18_events")
+    return spark.sql(
+        f"""
+        WITH ev AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS h,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM f18_events
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(lo AS BIGINT) AS lo_hour,
+               CAST(hi AS BIGINT) AS hi_hour,
+               COUNT(v) AS n_events,
+               COALESCE(SUM(v), CAST(0 AS BIGINT)) AS total_cents
+        FROM f18_int_bins({F18_BINS}, 24) b
+        LEFT JOIN ev ON ev.h >= b.lo AND ev.h < b.hi
+        GROUP BY bin, lo, hi
+        ORDER BY bin
+        """
+    )

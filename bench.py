@@ -262,6 +262,7 @@ AUX = [
     "a44_median_ci",
     "ann23_matryoshka_truncation",
     "f17_sql_udf",
+    "f18_sql_table_udf",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -646,3 +646,19 @@ def test_f17_sql_udf_inlines_into_codegen(spark):
     got = {r["band"]: (r["n_items"], r["total_disc_cents"])
            for r in df.collect()}
     assert set(got) == {"low", "mid", "high"}
+
+
+def test_f18_table_udf_inlines_as_subquery(spark):
+    """The SQL table function must inline — no Python UDTF / eval node;
+    the generated dimension side is a plain generator in the plan."""
+    df = REGISTRY["f18_sql_table_udf"].spark(spark, SF_DIR)
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "udtf" not in plan.lower()
+    rows = df.collect()
+    assert [r["bin"] for r in rows] == list(range(6))
+    assert sum(r["n_events"] for r in rows) > 0
