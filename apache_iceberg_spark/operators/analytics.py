@@ -3234,6 +3234,14 @@ def a44_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return _a44_finish(per_v)
+
+
+def _a44_finish(per_v: DataFrame) -> DataFrame:
+    """Median + order-statistic CI from a (g, v, cnt) per-value frame —
+    shared by batch a44 and streaming st27 (whose per-value counts ARE
+    the mergeable stream state), so the stream's bracket is
+    bitwise-equal to a batch recompute."""
     per_v, _step = bound_int_support(per_v, group_cols=("g",))
     wc = (
         Window.partitionBy("g")

@@ -2229,3 +2229,65 @@ def _st26_set_oracle() -> None:
 
 
 _st26_set_oracle()
+
+
+# --- st27: streaming median CI (a44 at ingest) ---------------------------------
+
+
+@register(
+    "st27_stream_median_ci",
+    oracle=None,  # bound to a44's oracle below
+    doc="a44's distribution-free median CI maintained BY THE STREAM: "
+    "the micro-batch aggregation keeps one COUNT per (type, cent) "
+    "cell — the per-value histogram is the mergeable sufficient "
+    "statistic for ANY order statistic, so streaming state is "
+    "value-support-sized (st24's state argument) and the rank "
+    "bracket never touches the stream. The finish runs on the final "
+    "cell table via the SAME _a44_finish the batch operator uses "
+    "(support gate, cumulative counts, the shared rank-bracket float "
+    "expression), so the stream's bracket is bitwise-equal to a "
+    "batch recompute and the driver checks it against a44's own "
+    "oracle. The monitoring story: the robust companion to st26's "
+    "mean-CI — a live MEDIAN with a 95% bracket that narrows as "
+    "data arrives, immune to the fat-tailed batches that move st26's "
+    "mean interval.",
+    tags=("streaming", "statistics"),
+)
+def st27_stream_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import _a44_finish
+
+    per_v = (
+        stream_events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qname = f"st27_medianci_{next(_stream_ids)}"
+    query = (
+        per_v.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _a44_finish(spark.table(qname))
+
+
+def _st27_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import analytics  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st27_stream_median_ci"]
+    REGISTRY["st27_stream_median_ci"] = dataclasses.replace(
+        q, oracle=REGISTRY["a44_median_ci"].oracle
+    )
+
+
+_st27_set_oracle()

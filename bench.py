@@ -122,6 +122,7 @@ STREAMING = [
     "st24_stream_rank_correlation",
     "st25_stream_periodogram",
     "st26_stream_bootstrap_ci",
+    "st27_stream_median_ci",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail

@@ -662,3 +662,9 @@ def test_f18_table_udf_inlines_as_subquery(spark):
     rows = df.collect()
     assert [r["bin"] for r in rows] == list(range(6))
     assert sum(r["n_events"] for r in rows) > 0
+
+
+def test_st27_bitwise_equals_batch_a44(spark):
+    got = REGISTRY["st27_stream_median_ci"].spark(spark, SF_DIR).collect()
+    want = REGISTRY["a44_median_ci"].spark(spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
