@@ -3004,18 +3004,38 @@ A43_POISSON_CUM_PPM = (
     367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990,
 )
 
-#: The a10 cross-engine hash: md5 of the key string, first 15 hex chars
-#: as a BIGINT — bitwise-identical on Spark and DuckDB.
-_A43_U_SPARK = (
-    "CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(event_id AS STRING), '_', "
-    "CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"
-)
-_A43_U_DUCK = (
-    "list_reduce([strpos('0123456789abcdef', c) - 1 "
-    "for c in regexp_extract_all(substr(md5(CAST(event_id AS VARCHAR) "
-    "|| '_' || CAST(b AS VARCHAR)), 1, 15), '.')], "
-    "(a, b) -> a * 16 + b) % 1000000"
-)
+#: Counter-based lane mixing (round 13, VERDICT r12 ask #1): ONE md5
+#: per event, three 32-bit coefficients (ca, cb, cc) off the 128-bit
+#: digest, and lane b's uniform draw is the degree-2 polynomial
+#: (ca + cb*b + cc*b^2) mod P — a 3-wise-independent hash family over
+#: the replica counter, so lanes decorrelate without re-hashing. The
+#: previous spelling evaluated 100 md5s per event (md5(event_id || b));
+#: this does the same deterministic draw at ~1/100th the hash cost.
+#: P = 2^31 - 1 (Mersenne prime): every intermediate fits BIGINT
+#: (max ~2^32 * (1 + 99 + 99^2) < 2^46) — no overflow on either engine.
+A43_MIX_PRIME = 2_147_483_647
+
+#: Per-lane uniform ppm from the per-event coefficients + lane counter:
+#: the IDENTICAL expression text runs on Spark and DuckDB.
+_A43_U = f"((ca + cb * b + cc * b * b) % {A43_MIX_PRIME}) % 1000000"
+
+#: Order-statistic CI ranks DERIVED from the replica count (ADVICE r12:
+#: hardcoded 3/98 silently broke if A43_REPLICAS changed): the 2.5/97.5%
+#: type-1 bracket of B sorted replica means.
+A43_RANK_LO = round(0.025 * A43_REPLICAS) + 1
+A43_RANK_HI = A43_REPLICAS - A43_RANK_LO + 1
+
+#: Coefficient extraction: 8-hex windows at 1/9/17 of the digest ``h``.
+def _a43_coef_spark(off: int) -> str:
+    return f"CAST(CONV(SUBSTRING(h, {off}, 8), 16, 10) AS BIGINT)"
+
+
+def _a43_coef_duck(off: int) -> str:
+    return (
+        "list_reduce([strpos('0123456789abcdef', c) - 1 "
+        f"for c in regexp_extract_all(substr(h, {off}, 8), '.')], "
+        "(x, y) -> x * 16 + y)"
+    )
 
 
 def _a43_weight_case(u_expr: str) -> str:
@@ -3031,15 +3051,23 @@ def _a43_weight_case(u_expr: str) -> str:
     "a43_poisson_bootstrap_ci",
     oracle=f"""
         WITH x AS (
-            SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   md5(CAST(event_id AS VARCHAR)) AS h
             FROM events
+        ),
+        cf AS (
+            SELECT v,
+                   {_a43_coef_duck(1)} AS ca,
+                   {_a43_coef_duck(9)} AS cb,
+                   {_a43_coef_duck(17)} AS cc
+            FROM x
         ),
         reps(b) AS (
             SELECT unnest(generate_series(0, {A43_REPLICAS - 1}))
         ),
         weighted AS (
-            SELECT b, v, {_a43_weight_case(_A43_U_DUCK)} AS k
-            FROM x CROSS JOIN reps
+            SELECT b, v, {_a43_weight_case("u")} AS k
+            FROM (SELECT b, v, {_A43_U} AS u FROM cf CROSS JOIN reps)
         ),
         per_rep AS (
             SELECT b,
@@ -3061,9 +3089,9 @@ def _a43_weight_case(u_expr: str) -> str:
         SELECT point.n_rows,
                CAST({A43_REPLICAS} AS BIGINT) AS b_replicas,
                point.mean_micro,
-               MAX(CASE WHEN r = 3 THEN ranked.mean_micro END)
+               MAX(CASE WHEN r = {A43_RANK_LO} THEN ranked.mean_micro END)
                    AS ci_lo_micro,
-               MAX(CASE WHEN r = 98 THEN ranked.mean_micro END)
+               MAX(CASE WHEN r = {A43_RANK_HI} THEN ranked.mean_micro END)
                    AS ci_hi_micro
         FROM ranked CROSS JOIN point
         GROUP BY point.n_rows, point.mean_micro
@@ -3074,14 +3102,19 @@ def _a43_weight_case(u_expr: str) -> str:
     "with replacement needs global coordination; giving each row an "
     "independent Poisson(1) multiplicity per replica is one map-side "
     "pass, which is why it's the standard at cluster scale). "
-    "Determinism: the per-(row, replica) weight is the a10 cross-"
-    "engine md5 hash mapped through Python-PREQUANTIZED cumulative "
-    "Poisson(1) ppm thresholds (an exact integer inverse-CDF lookup — "
-    "no RNG, no exp/factorial in-engine, st23's recipe), so both "
-    "engines draw the IDENTICAL bootstrap sample; replica means are "
-    "exact integer micro-units by DECIMAL/HUGEINT DIV, and the CI "
-    "bounds are order statistics (ranks 3 and 98 — type-1 quantiles "
-    "at 2.5/97.5%) of the 100-row replica frame. Scale shape: the "
+    "Determinism: ONE md5 per event yields three 32-bit digest "
+    "coefficients, and each replica's uniform draw is the degree-2 "
+    "lane polynomial (ca + cb*b + cc*b^2) mod 2^31-1 — a 3-wise-"
+    "independent counter-based mix (round 13 cut the prior 100-"
+    "hashes-per-event spelling ~100x) — mapped through Python-"
+    "PREQUANTIZED cumulative Poisson(1) ppm thresholds (an exact "
+    "integer inverse-CDF lookup — no RNG, no exp/factorial in-engine, "
+    "st23's recipe), so both engines draw the IDENTICAL bootstrap "
+    "sample; replica means are exact integer micro-units by DECIMAL/"
+    f"HUGEINT DIV, and the CI bounds are order statistics (ranks "
+    f"{A43_RANK_LO} and {A43_RANK_HI}, DERIVED from the replica "
+    "count — type-1 quantiles at 2.5/97.5%) of the replica frame. "
+    "Scale shape: the "
     f"{A43_REPLICAS}x row expansion never materializes — it is "
     "map-side generate + partial aggregation, shuffling only "
     f"{A43_REPLICAS} partial rows per task; everything after the "
@@ -3100,13 +3133,34 @@ def _a43_replica_sums(e: DataFrame) -> DataFrame:
     """Per-replica bootstrap partials (b, sk, skv, n, sv) — a MERGEABLE
     100-row frame (every column is a sum/count), which is why st26 can
     hold it as streaming state: each event contributes once per replica
-    via a map-side sequence explode, no stream-static join needed."""
-    x = e.select("event_id", _cents(F.col("value")).alias("v"))
-    weighted = x.select(
-        F.explode(F.expr(f"sequence(0, {A43_REPLICAS - 1})")).alias("b"),
+    via a map-side sequence explode, no stream-static join needed.
+
+    ONE md5 per event: the digest projects to (ca, cb, cc) BELOW the
+    explode (CollapseProject keeps the non-cheap md5 un-duplicated), so
+    the 100 lanes cost integer polynomial evaluation only."""
+    x = e.select(
+        _cents(F.col("value")).alias("v"),
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    )
+    cf = x.select(
         "v",
-        "event_id",
-    ).select("b", "v", F.expr(_a43_weight_case(_A43_U_SPARK)).alias("k"))
+        F.expr(_a43_coef_spark(1)).alias("ca"),
+        F.expr(_a43_coef_spark(9)).alias("cb"),
+        F.expr(_a43_coef_spark(17)).alias("cc"),
+    )
+    weighted = (
+        cf.select(
+            F.explode(F.expr(f"sequence(0, {A43_REPLICAS - 1})")).alias("b"),
+            "v",
+            "ca",
+            "cb",
+            "cc",
+        )
+        # u hoisted to its own projection: the 8-branch CASE then reads a
+        # column instead of re-evaluating the lane polynomial per branch
+        .select("b", "v", F.expr(_A43_U).alias("u"))
+        .select("b", "v", F.expr(_a43_weight_case("u")).alias("k"))
+    )
     dec = "decimal(38,0)"
     return weighted.groupBy("b").agg(
         F.sum(F.col("k").cast(dec)).cast(dec).alias("sk"),
@@ -3139,10 +3193,10 @@ def _a43_finish(per_rep: DataFrame) -> DataFrame:
         .groupBy("n_rows", "point_mean")
         .agg(
             F.max(
-                F.expr("CASE WHEN r = 3 THEN mean_micro END")
+                F.expr(f"CASE WHEN r = {A43_RANK_LO} THEN mean_micro END")
             ).alias("ci_lo_micro"),
             F.max(
-                F.expr("CASE WHEN r = 98 THEN mean_micro END")
+                F.expr(f"CASE WHEN r = {A43_RANK_HI} THEN mean_micro END")
             ).alias("ci_hi_micro"),
         )
         .select(

@@ -366,7 +366,10 @@ def test_a43_matches_python_poisson_bootstrap(spark, duck):
     import hashlib
 
     from apache_iceberg_spark.operators.analytics import (
+        A43_MIX_PRIME,
         A43_POISSON_CUM_PPM,
+        A43_RANK_HI,
+        A43_RANK_LO,
         A43_REPLICAS,
     )
 
@@ -379,10 +382,10 @@ def test_a43_matches_python_poisson_bootstrap(spark, duck):
     m = 1_000_000
 
     def weight(eid: int, b: int) -> int:
-        u = (
-            int(hashlib.md5(f"{eid}_{b}".encode()).hexdigest()[:15], 16)
-            % m
-        )
+        # round 13: ONE md5 per event, degree-2 lane polynomial mod 2^31-1
+        h = hashlib.md5(str(eid).encode()).hexdigest()
+        ca, cb, cc = int(h[0:8], 16), int(h[8:16], 16), int(h[16:24], 16)
+        u = ((ca + cb * b + cc * b * b) % A43_MIX_PRIME) % m
         for k, t in enumerate(A43_POISSON_CUM_PPM):
             if u < t:
                 return k
@@ -400,8 +403,8 @@ def test_a43_matches_python_poisson_bootstrap(spark, duck):
     assert row["n_rows"] == len(evts)
     assert row["b_replicas"] == A43_REPLICAS
     assert row["mean_micro"] == sum(v for _, v in evts) * m // len(evts)
-    assert row["ci_lo_micro"] == means[2]
-    assert row["ci_hi_micro"] == means[97]
+    assert row["ci_lo_micro"] == means[A43_RANK_LO - 1]
+    assert row["ci_hi_micro"] == means[A43_RANK_HI - 1]
     assert row["ci_lo_micro"] < row["mean_micro"] < row["ci_hi_micro"]
 
 
