@@ -2071,6 +2071,10 @@ def _st24_oracle() -> str:
 def st24_stream_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_iceberg_spark.operators.analytics import _a40_finish
 
+    # NOTE: unlike st26, NO repartition before the partial agg — the map
+    # work here is a 3-column projection (an A/B at sf0.1 measured the
+    # extra shuffle as a net loss; st26's 100x lane fan-out is what made
+    # it pay there).
     cells = (
         stream_events(spark, sf_dir)
         .select(
@@ -2091,7 +2095,7 @@ def st24_stream_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return _a40_finish(spark.table(qname), "event_type")
+    return _a40_finish(spark.table(qname), "event_type", precached=True)
 
 
 def _st24_set_oracle() -> None:

@@ -1108,12 +1108,15 @@ def test_w17_bounds_broadcast_back(spark):
 
 
 def test_a40_single_fact_scan(spark):
-    """The fact table reaches the plan exactly once (the persisted cell
-    frame feeds both rank marginals and the cell join); no cartesian
-    anywhere."""
+    """The fact table reaches the plan exactly once, and since the
+    round-13 join-free rewrite the doubled mid-ranks attach per cell via
+    range/tie windows — NO join operator of any kind survives in the
+    plan (the r12 spelling shuffle-joined two marginal rank frames back
+    onto the cells)."""
     plan = plan_of(spark, "a40_spearman_rho")
     assert n_distinct_scans(plan) == 1, plan
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
 
 
 def test_a41_single_fact_scan_and_grid_sized_joins(spark):
