@@ -2916,6 +2916,16 @@ _A42_DF = (
 )
 
 
+def _a42_se_guarded(s2: str, s1: str, n: str) -> str:
+    """Standard error of one side, NULL-guarded (ADVICE r12): a
+    singleton group (n = 1 zeroes the variance denominator) or an
+    empty complement (nb = 0) must yield NULL, not Inf/NaN — and since
+    t_stat/welch_df arithmetic propagates NULL identically on both
+    engines, guarding the two SEs guards every downstream output."""
+    inner = _A42_VAR.format(s2=s2, s1=s1, n=n) + f" / CAST({n} AS DOUBLE)"
+    return f"CASE WHEN na > 1 AND nb > 1 THEN {inner} ELSE NULL END"
+
+
 @register(
     "a42_welch_t",
     oracle=f"""
@@ -2944,10 +2954,8 @@ _A42_DF = (
         ),
         v AS (
             SELECT g, na, s1a, nb, s1b,
-                   {_A42_VAR.format(s2='s2a', s1='s1a', n='na')}
-                       / CAST(na AS DOUBLE) AS sea,
-                   {_A42_VAR.format(s2='s2b', s1='s1b', n='nb')}
-                       / CAST(nb AS DOUBLE) AS seb
+                   {_a42_se_guarded('s2a', 's1a', 'na')} AS sea,
+                   {_a42_se_guarded('s2b', 's1b', 'nb')} AS seb
             FROM j
         )
         SELECT g AS event_type,
@@ -3015,14 +3023,8 @@ def a42_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s1a",
         "nb",
         "s1b",
-        F.expr(
-            _A42_VAR.format(s2="s2a", s1="s1a", n="na")
-            + " / CAST(na AS DOUBLE)"
-        ).alias("sea"),
-        F.expr(
-            _A42_VAR.format(s2="s2b", s1="s1b", n="nb")
-            + " / CAST(nb AS DOUBLE)"
-        ).alias("seb"),
+        F.expr(_a42_se_guarded("s2a", "s1a", "na")).alias("sea"),
+        F.expr(_a42_se_guarded("s2b", "s1b", "nb")).alias("seb"),
     )
     return v.select(
         F.col("g").alias("event_type"),

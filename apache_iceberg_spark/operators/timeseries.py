@@ -3152,7 +3152,7 @@ def _session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("(MAX(us) - MIN(us)) DIV 1000000").alias("t"),
             F.expr(
-                f"CASE WHEN gm - MAX(us) >= {TS29_GAP_US} "
+                f"CASE WHEN gm - MAX(us) > {TS29_GAP_US} "
                 "THEN 1 ELSE 0 END"
             ).alias("ended"),
             F.max(
@@ -3192,7 +3192,7 @@ def _session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - MIN(CAST(EPOCH(ts) * 1000000 AS BIGINT)))
                        // 1000000 AS t,
                    CASE WHEN gm - MAX(CAST(EPOCH(ts) * 1000000 AS BIGINT))
-                             >= {TS29_GAP_US}
+                             > {TS29_GAP_US}
                         THEN 1 ELSE 0 END AS ended
             FROM sessions CROSS JOIN gmax
             GROUP BY user_id, session_seq, gm
@@ -3369,7 +3369,7 @@ _TS30_CHI2 = (
                     - MIN(CAST(EPOCH(ts) * 1000000 AS BIGINT)))
                        // 1000000 AS t,
                    CASE WHEN gm - MAX(CAST(EPOCH(ts) * 1000000 AS BIGINT))
-                             >= {TS29_GAP_US}
+                             > {TS29_GAP_US}
                         THEN 1 ELSE 0 END AS ended,
                    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                        AS has_error
@@ -3397,10 +3397,11 @@ _TS30_CHI2 = (
         terms AS (
             SELECT d, d1, n, n1,
                    d1 * {TS30_MICRO}
-                     - (d * n1 * {TS30_MICRO}) // n AS oe_t,
+                     - (CAST(d AS HUGEINT) * n1 * {TS30_MICRO}) // n AS oe_t,
                    CASE WHEN n > 1 THEN
-                       (d * n1 * (n - n1) * (n - d) * {TS30_MICRO})
-                           // (n * n * (n - 1))
+                       (CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d)
+                           * {TS30_MICRO})
+                           // (CAST(n AS HUGEINT) * n * (n - 1))
                    ELSE 0 END AS v_t
             FROM risk WHERE d > 0
         ),

@@ -306,9 +306,10 @@ CANARY = [
 # line; outgrow it and `parsed` is null, the round-5 regression); the
 # preceding digest/streaming lines are best-effort — BENCH_r11's capture
 # already cut into the streaming line, which also lives on stderr — so
-# round 12 trades 80 chars of that headroom for the host self-label ON
-# the contract line (VERDICT r11 ask #2).
-CONTRACT_LINE_BUDGET = 1850
+# round 12 traded 80 chars of that headroom for the host self-label ON
+# the contract line (VERDICT r11 ask #2) and round 13 trades ~50 more
+# for aux_total/stream_total (VERDICT r12 ask #2).
+CONTRACT_LINE_BUDGET = 1900
 
 
 def cached_storage_bytes(spark) -> int:
@@ -388,9 +389,26 @@ def host_conditions() -> dict:
     return out
 
 
+def pretouch_fixtures(sf_dir: str) -> None:
+    """Read every fixture file's bytes once BEFORE the timed phases
+    (VERDICT r12 ask #5): cold-page-cache runs were the bench's ±6 s
+    noise band (committed r12 vs the judge's rerun differed ~8 s purely
+    on `fixture_page_cached_start`). Warming the OS page cache up front
+    makes every committed artifact warm-band comparable — the same
+    principle as the existing sf0.001 JVM/codegen warm-up, applied to
+    the I/O side."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        with open(path, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pretouch_fixtures(sf_dir)
     host_before = host_conditions()
 
     from apache_iceberg_spark.registry import all_queries
@@ -440,6 +458,7 @@ def main() -> None:
     # cause).
     from apache_iceberg_spark.session import release_plan_caches
 
+    aux_timings: dict[str, float] = {}
     for name in AUX:
         best = float("inf")
         for _ in range(3):
@@ -447,7 +466,14 @@ def main() -> None:
             n = queries[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
         release_plan_caches(spark)
+        aux_timings[name] = round(best, 3)
         print(f"# aux {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+    # AUX accountability on the contract line (VERDICT r12 ask #2): the
+    # per-query AUX detail lives on stderr, which the driver's ~2 KB tail
+    # never carries — the TOTAL rides the final line so a regression in
+    # the AUX family is driver-visible the way canary_total made headline
+    # drift visible.
+    aux_total = round(sum(aux_timings.values()), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -479,6 +505,7 @@ def main() -> None:
             stream_timings[name] = round(best, 3)
         except Exception as exc:  # never let streaming kill the contract line
             print(f"# streaming bench {name} failed: {exc}", file=sys.stderr)
+    stream_total = round(sum(stream_timings.values()), 3)
 
     # Canary phase, LAST to run (protocol frozen — see the CANARY comment
     # above): clearing everything first makes "what was resident" a
@@ -564,6 +591,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": q,
                 "canary_total": canary_total,
+                "aux_total": aux_total,
+                "stream_total": stream_total,
                 "sf": sf_val,
                 "host": {
                     "load1_start": host_before.get("load1"),

@@ -17,7 +17,7 @@ import bench  # noqa: E402
 # into the streaming line — both also go to stderr), so since round 12 the
 # headroom is small and the contract line carries the host self-label.
 _TAIL_BUDGET = 2000
-_PRECEDING_LINES_BUDGET = 150
+_PRECEDING_LINES_BUDGET = 100  # r13: 50 chars traded for aux/stream totals
 
 
 def _rendered_contract_line(timings: dict) -> str:
@@ -28,6 +28,8 @@ def _rendered_contract_line(timings: dict) -> str:
             "unit": "sec",
             "queries": timings,
             "canary_total": 99999.999,
+            "aux_total": 99999.999,
+            "stream_total": 99999.999,
             "sf": 0.1,
             # worst-case-width host self-label (VERDICT r11 ask #2)
             "host": {
@@ -76,10 +78,33 @@ def test_realistic_widths_spill_nothing():
 def test_contract_line_has_exactly_the_contract_keys():
     obj = json.loads(_rendered_contract_line({"q1": 1.0}))
     assert set(obj) == {
-        "metric", "value", "unit", "queries", "canary_total", "sf", "host"
+        "metric", "value", "unit", "queries", "canary_total",
+        "aux_total", "stream_total", "sf", "host",
     }
     # the self-label the driver's truncated tail must still carry
     assert set(obj["host"]) == {"load1_start", "load1_end", "cpus_visible"}
+
+
+def test_contract_line_source_carries_aux_total():
+    """VERDICT r12 ask #2: the AUX/streaming families' totals must ride
+    the final self-labeling line the driver always captures — pin at the
+    source so a refactor cannot drop them back to stderr-only."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    start = src.index("def contract_line")
+    body = src[start:src.index("# Hard guard on the tail budget")]
+    assert '"aux_total"' in body
+    assert '"stream_total"' in body
+
+
+def test_pretouch_reads_every_fixture(tmp_path):
+    """VERDICT r12 ask #5: the pre-touch must walk every parquet in the
+    sf dir (a partial touch would silently leave cold files and the ±6 s
+    noise band)."""
+    for name in ("a.parquet", "b.parquet"):
+        (tmp_path / name).write_bytes(b"x" * 1024)
+    bench.pretouch_fixtures(str(tmp_path))  # must not raise; reads all
 
 
 def test_contract_line_source_carries_host_self_label():

@@ -208,6 +208,29 @@ def test_a42_matches_python_welch(spark, duck):
         assert got[g]["welch_df"] == pytest.approx(df, rel=1e-9)
 
 
+def test_a42_singleton_group_yields_null_not_inf(spark, tmp_path):
+    """ADVICE r12: a group with one row (zero variance denominator) must
+    produce NULL t_stat/welch_df, never Inf/NaN — exercised through the
+    registered operator on a tiny synthetic events fixture."""
+    import pyspark.sql.functions as F
+
+    rows = [(1, "lonely", 1.23), (2, "bulk", 2.0), (3, "bulk", 3.0),
+            (4, "bulk", 5.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df = df.withColumn("ts", F.expr("timestamp_micros(CAST(1700000000000000 + event_id AS LONG))"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["a42_welch_t"].spark(spark, str(tmp_path)).collect()
+    }
+    # 'lonely' is the singleton side; 'bulk' has a singleton COMPLEMENT —
+    # both must be NULL-guarded
+    for g in ("lonely", "bulk"):
+        assert out[g]["t_stat"] is None
+        assert out[g]["welch_df"] is None
+        assert out[g]["mean_cents"] is not None
+
+
 def test_ts28_matches_python_projection(spark, duck):
     """Recompute the quantized harmonic projections in pure Python from
     the hourly spine; A/B are exact integers so power must match to
@@ -261,10 +284,10 @@ def test_ts29_matches_python_km(spark, duck):
     for u, us, _ in evts:
         if u != cur_user or us - last > gap:
             if cur_user is not None:
-                durs.append((last - start, gm - last >= gap))
+                durs.append((last - start, gm - last > gap))
             cur_user, start = u, us
         last = us
-    durs.append((last - start, gm - last >= gap))
+    durs.append((last - start, gm - last > gap))
     per_t: dict[int, list[int]] = {}
     for us_dur, ended in durs:
         t = us_dur // 1_000_000
@@ -321,11 +344,11 @@ def test_ts30_matches_python_logrank(spark, duck):
         if u != cur_user or us - last > gap:
             if cur_user is not None:
                 durs.append(((last - start) // 1_000_000,
-                             int(gm - last >= gap), err))
+                             int(gm - last > gap), err))
             cur_user, start, err = u, us, 0
         last = us
         err = max(err, int(et == "error"))
-    durs.append(((last - start) // 1_000_000, int(gm - last >= gap), err))
+    durs.append(((last - start) // 1_000_000, int(gm - last > gap), err))
     per_t: dict[int, list[int]] = {}
     for t, ended, has_err in durs:
         e = per_t.setdefault(t, [0, 0, 0, 0])  # d, c, d1, a1
