@@ -71,6 +71,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import re
 import threading
 import time
 from collections import OrderedDict
@@ -1315,6 +1316,64 @@ def read_at(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     set is scanned."""
     table, ref = parse_at_ref(name)
     return read_ref(spark, os.path.join(base_dir, table), ref)
+
+
+#: ``table@ref`` token in SQL text: identifier '@' branch-or-tag name.
+_AT_REF_SQL_TOKEN = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)@([A-Za-z0-9_][A-Za-z0-9_.\-]*)"
+)
+#: Single-quoted SQL string literal (with '' escapes) — split on these
+#: so a literal like 'user@example.com' is never rewritten.
+_SQL_STRING_LITERAL = re.compile(r"('(?:[^']|'')*')")
+
+
+def resolve_at_ref_sql(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
+    """Rewrite Nessie-style ``table@ref`` addresses in a SQL string to
+    plain view identifiers (VERDICT r12 ask #6: Nessie's Spark SQL
+    extensions accept ``SELECT … FROM events@audit`` in SQL text —
+    blog-zero-cost-data-lakehouse.md:373-397 — while Spark's parser
+    rejects the ``@``).
+
+    Returns (rewritten_sql, {view_name: (table, ref)}). Pure text
+    transform, separated from execution so it unit-tests without a
+    session. Single-quoted string literals are split out first and
+    passed through untouched, so ``@`` inside data (emails, handles)
+    never rewrites; occurrences anywhere else follow the same rule as
+    Nessie's extension (the address is valid wherever a table name is).
+    """
+    views: dict[str, tuple[str, str]] = {}
+
+    def _sub(m: re.Match) -> str:
+        table, ref = parse_at_ref(m.group(0))
+        view = "__at_ref__{}__{}".format(
+            table, ref.replace(".", "_").replace("-", "_")
+        )
+        views[view] = (table, ref)
+        return view
+
+    out = []
+    for part in _SQL_STRING_LITERAL.split(sql):
+        if part.startswith("'"):
+            out.append(part)
+        else:
+            out.append(_AT_REF_SQL_TOKEN.sub(_sub, part))
+    return "".join(out), views
+
+
+def sql_at_ref(spark: SparkSession, base_dir: str, sql: str) -> DataFrame:
+    """Execute SQL text containing ``table@ref`` addresses against the
+    snapshot catalog under ``base_dir`` — the SQL-text spelling of
+    ``read_at`` (m44 closed the Python-API spelling; this closes the
+    SQL one). Each distinct address becomes a temp view bound to the
+    ref head AT CALL TIME (the ref resolves once — a concurrent commit
+    mid-query cannot tear the read), then the rewritten text runs
+    through ``spark.sql``. Cost: name resolution + two metadata lookups
+    per distinct address; the scans cover exactly each ref head's file
+    set."""
+    rewritten, views = resolve_at_ref_sql(sql)
+    for view, (table, ref) in views.items():
+        read_ref(spark, os.path.join(base_dir, table), ref).createOrReplaceTempView(view)
+    return spark.sql(rewritten)
 
 
 def merge_branch(

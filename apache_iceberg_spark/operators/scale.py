@@ -3613,3 +3613,79 @@ def m47_snapshots_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = meta if out is None else out.unionByName(meta)
     return out.orderBy("version")
+
+
+@register(
+    "m48_sql_at_ref",
+    oracle="""
+        WITH base AS (SELECT * FROM customer WHERE c_custkey % 4 = 0),
+             extra AS (SELECT * FROM customer WHERE c_custkey % 4 = 1),
+             etl AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+        SELECT * FROM (
+            SELECT 'customer@etl' AS address,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS balance_cents
+            FROM etl
+            UNION ALL
+            SELECT 'customer@main JOIN customer@etl',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(b.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM base b JOIN etl e ON b.c_custkey = e.c_custkey
+        ) ORDER BY address
+    """,
+    doc="SQL-TEXT ``table@ref`` resolution (VERDICT r12 ask #6): a "
+    "literal ``spark.sql('… FROM customer@etl')`` string executes "
+    "against the snapshot catalog — Nessie's Spark-extension SQL "
+    "spelling (blog-zero-cost-data-lakehouse.md:373-397), completing "
+    "what m44/m46 did for the Python API. ``resolve_at_ref_sql`` "
+    "rewrites each address to a temp view bound to the ref head at "
+    "call time (string literals are split out first, so the "
+    "'customer@etl' ADDRESS LABEL inside quotes in this very query "
+    "must survive unrewritten — the literal-protection rule sits "
+    "inside the value hash). The text exercises a bare at-ref scan "
+    "AND a two-ref JOIN with aliases; the oracle recomputes both "
+    "states from the raw table. Cost: name resolution + two metadata "
+    "lookups per distinct address — the scan covers exactly each ref "
+    "head's file set, so the sugar is free at any scale.",
+    tags=("scale", "snapshot", "branch", "nessie", "sql"),
+)
+def m48_sql_at_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        sql_at_ref,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    base_dir = tempfile.mkdtemp(prefix="sqlatref_")
+    table = os.path.join(base_dir, "customer")
+    commit_snapshot(c.filter(F.col("c_custkey") % 4 == 0), table)
+    create_branch(table, "etl")
+    commit_append_ref(
+        c.filter(F.col("c_custkey") % 4 == 1), table, branch="etl"
+    )
+    return sql_at_ref(
+        spark,
+        base_dir,
+        """
+        SELECT * FROM (
+            SELECT 'customer@etl' AS address,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                       AS balance_cents
+            FROM customer@etl
+            UNION ALL
+            SELECT 'customer@main JOIN customer@etl',
+                   CAST(COUNT(*) AS BIGINT),
+                   SUM(CAST(ROUND(m.c_acctbal * 100) AS BIGINT))
+            FROM customer@main m
+            JOIN customer@etl e ON m.c_custkey = e.c_custkey
+        ) ORDER BY address
+        """,
+    )

@@ -530,3 +530,68 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     # hour-00 window must count ONLY the original event: the straggler
     # arrived after its window was finalized and was dropped from state
     assert got.get(base) == 1, got
+
+
+# --- round 13: SQL-text table@ref resolution ---------------------------------
+
+
+def test_resolve_at_ref_sql_rewrites_addresses_outside_literals():
+    from apache_iceberg_spark.catalog.snapshots import resolve_at_ref_sql
+
+    sql = (
+        "SELECT 'customer@etl' AS label, COUNT(*) "
+        "FROM customer@etl e JOIN orders@main o ON e.k = o.k "
+        "WHERE e.mail <> 'a@b.com'"
+    )
+    out, views = resolve_at_ref_sql(sql)
+    assert views == {
+        "__at_ref__customer__etl": ("customer", "etl"),
+        "__at_ref__orders__main": ("orders", "main"),
+    }
+    # FROM/JOIN positions rewritten, string literals untouched
+    assert "FROM __at_ref__customer__etl e" in out
+    assert "JOIN __at_ref__orders__main o" in out
+    assert "'customer@etl'" in out
+    assert "'a@b.com'" in out
+
+
+def test_resolve_at_ref_sql_dedups_and_escaped_quotes():
+    from apache_iceberg_spark.catalog.snapshots import resolve_at_ref_sql
+
+    sql = (
+        "SELECT * FROM t@b x, t@b y WHERE x.s = 'it''s o@k'"
+    )
+    out, views = resolve_at_ref_sql(sql)
+    assert views == {"__at_ref__t__b": ("t", "b")}
+    assert out.count("__at_ref__t__b") == 2
+    assert "'it''s o@k'" in out
+
+
+def test_sql_at_ref_executes_against_branch_heads(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        create_branch,
+        sql_at_ref,
+    )
+
+    c = load_table(spark, SF_DIR, "customer")
+    table = str(tmp_path / "customer")
+    commit_snapshot(c.filter(F.col("c_custkey") % 2 == 0), table)
+    create_branch(table, "audit")
+    commit_append_ref(
+        c.filter(F.col("c_custkey") % 2 == 1), table, branch="audit"
+    )
+    rows = sql_at_ref(
+        spark,
+        str(tmp_path),
+        "SELECT (SELECT COUNT(*) FROM customer@main) AS n_main, "
+        "(SELECT COUNT(*) FROM customer@audit) AS n_audit",
+    ).collect()[0]
+    import pyspark.sql.functions as F2
+
+    assert rows["n_audit"] == c.count()
+    assert rows["n_main"] == c.filter(F2.col("c_custkey") % 2 == 0).count()
+    assert rows["n_main"] < rows["n_audit"]
