@@ -2301,3 +2301,232 @@ def _st27_set_oracle() -> None:
 
 
 _st27_set_oracle()
+
+
+# --- st28: streaming near-dup gate (dd15's fuzzy cascade AT the stream) -------
+
+
+def _st28_oracle() -> str:
+    from apache_iceberg_spark.operators.dedup import (
+        DD15_BATCH_DEN,
+        DD15_BATCH_NUM,
+        JACCARD_THRESHOLD,
+        minhash_lsh_ctes,
+    )
+
+    return f"""
+        WITH {minhash_lsh_ctes("documents")},
+        t AS (
+            SELECT (MAX(doc_id) * {DD15_BATCH_NUM}) // {DD15_BATCH_DEN} AS t0
+            FROM documents
+        )
+        SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+        FROM documents d, t
+        WHERE d.doc_id >= t.t0
+          AND NOT EXISTS (
+              SELECT 1 FROM verified v
+              WHERE v.doc_id_b = d.doc_id
+                AND v.jaccard >= {JACCARD_THRESHOLD}
+          )
+    """
+
+
+@register(
+    "st28_stream_neardup_gate",
+    oracle=None,  # bound below (needs dedup imported first)
+    doc="The fuzzy near-dup GATE at the stream (VERDICT r12 ask #4): "
+    "st3/st12 dedup exact keys or probe a FROZEN index; this is dd15's "
+    "full MinHash-LSH cascade as an ADMISSION CONTROL loop whose index "
+    "GROWS with the stream. Each micro-batch: (1) computes signatures "
+    "+ band rows map-side, (2) probes the COMMITTED band index — the "
+    "pre-stream corpus PLUS every prior batch's signatures — and "
+    "itself for candidates (pair rule doc_id_a < doc_id_b), (3) "
+    "verifies with dd2's exact hashed-shingle Jaccard — a-side sets "
+    "recomputed from the doc store for candidate ids only, so the "
+    "stored index stays 3 longs/row — (4) admits non-dup docs to the "
+    "output, and (5) commits the batch's OWN band rows into the index "
+    "through the ref log (commit_append_ref on main with the batch id "
+    "as idempotency key and keys_max=64 — the flat-CPU O(1)-bytes "
+    "commit path, so the gate sustains any stream length with no "
+    "maintenance). Stream state lives in the COMMITTED band table, "
+    "not the state store — unbounded corpus, bounded executor memory. "
+    "The source is split "
+    "into doc_id-range files with ascending mtimes so batches arrive "
+    "in id order and the incremental decisions compose to exactly the "
+    "declarative batch answer: admit d iff NO seen doc a < d has "
+    "jaccard >= threshold (docs too short to carry a signature cannot "
+    "near-dup and always pass, dd2's rule). The driver checks the "
+    "admitted set against that batch recompute as the oracle.",
+    tags=("streaming", "dedup", "llm", "incremental", "flagship"),
+)
+def st28_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _st28_run(spark, sf_dir)[1]
+
+
+def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
+    """st28's core, factored so tests can inspect the committed index
+    tables under the returned base dir (st19/st20's pattern)."""
+    import os
+    import shutil
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append_ref,
+        commit_snapshot,
+        read_ref,
+    )
+    from apache_iceberg_spark.operators.dedup import (
+        DD15_BATCH_DEN,
+        DD15_BATCH_NUM,
+        JACCARD_THRESHOLD,
+        _minhash_bands,
+    )
+    from apache_iceberg_spark.tables import load_table_parallel
+
+    # parallel scan (dd2/dd15's convention): the single-row-group fixture
+    # would otherwise run the whole shingle/minhash fold on ONE core
+    # (measured 13 s -> 0.5 s for the index build at sf0.1)
+    d = load_table_parallel(spark, sf_dir, "documents")
+    t0 = int(
+        d.agg(
+            F.expr(f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}")
+        ).first()[0]
+    )
+    base = tempfile.mkdtemp(prefix="st28_")
+    bands_tbl = os.path.join(base, "bands")
+    # The committed index: the pre-stream corpus's SKINNY band table
+    # (doc_id, band_id, band_key — what _minhash_bands writes at scale,
+    # here a snapshot table so the stream can append THROUGH THE REF
+    # LOG). Hashed shingle sets are NOT stored: verification recomputes
+    # them from the doc store for CANDIDATE rows only (the first cut of
+    # this operator committed full hashed-set tables and re-read them
+    # every batch — array columns the size of the corpus, measured 37 s
+    # at sf0.1 vs ~11 s for this shape; index bytes/row now constant).
+    # persist=True: the 8 minhash projections MUST read a materialized
+    # hs column (the dd15 16x CSE note); released right after the commit.
+    hashed_idx, bands_idx = _minhash_bands(d.filter(F.col("doc_id") < t0))
+    commit_snapshot(bands_idx, bands_tbl)
+    hashed_idx.unpersist()
+
+    # Source: the arriving docs as FOUR doc_id-range files written
+    # sequentially with ascending mtimes (name AND mtime order agree),
+    # so maxFilesPerTrigger=1 yields in-id-order micro-batches and the
+    # per-batch gate decisions compose deterministically.
+    batch_docs = d.filter(F.col("doc_id") >= t0).select("doc_id", "text")
+    lo, hi = batch_docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    span = hi - lo + 1
+    for i in range(4):
+        a = lo + span * i // 4
+        b = lo + span * (i + 1) // 4
+        part = batch_docs.filter(
+            (F.col("doc_id") >= a) & (F.col("doc_id") < b)
+        )
+        tmp = os.path.join(base, f"w{i}")
+        part.coalesce(1).write.parquet(tmp)
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, files[0]), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    outdir = os.path.join(base, "admitted")
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        hashed_b, bands_b_raw = _minhash_bands(batch_df, persist=False)
+        # three consumers of the batch's hashed sets (band derivation,
+        # verify hs_b, a-side recompute for intra-batch pairs): read the
+        # batch and hash it ONCE
+        hashed_b = hashed_b.persist()
+        try:
+            bands_b = bands_b_raw.select(
+                F.col("doc_id").alias("doc_id_b"), "band_id", "band_key"
+            )
+            seen_bands = (
+                read_ref(spark, bands_tbl, "main")
+                .unionByName(bands_b_raw)
+                .select(
+                    F.col("doc_id").alias("doc_id_a"), "band_id", "band_key"
+                )
+            )
+            cand = (
+                bands_b.join(seen_bands, ["band_id", "band_key"])
+                .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+                .select("doc_id_a", "doc_id_b")
+                .distinct()
+            )
+            # a-side hashed sets: recomputed from the doc store for the
+            # candidates' ids only — a semi-join-sized map job, not a
+            # stored-array-table scan (both prior-batch docs and the
+            # pre-stream corpus live in the ingested documents table)
+            seen_hashed = _minhash_bands(
+                d.join(
+                    cand.select(F.col("doc_id_a").alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                ),
+                persist=False,
+            )[0].unionByName(hashed_b)
+            rejected = (
+                cand.join(
+                    seen_hashed.select(
+                        F.col("doc_id").alias("doc_id_a"),
+                        F.col("hs").alias("hs_a"),
+                    ),
+                    "doc_id_a",
+                )
+                .join(
+                    hashed_b.select(
+                        F.col("doc_id").alias("doc_id_b"),
+                        F.col("hs").alias("hs_b"),
+                    ),
+                    "doc_id_b",
+                )
+                .filter(
+                    F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                    / F.size(F.array_union("hs_a", "hs_b"))
+                    >= JACCARD_THRESHOLD
+                )
+                .select("doc_id_b")
+                .distinct()
+            )
+            admitted = batch_df.join(
+                rejected,
+                batch_df["doc_id"] == rejected["doc_id_b"],
+                "left_anti",
+            ).select(
+                "doc_id", F.length("text").cast("long").alias("n_chars")
+            )
+            admitted.write.mode("append").parquet(outdir)
+            # grow the committed index — the batch id is the idempotency
+            # key, so Spark's batch-retry cannot double-append
+            commit_append_ref(
+                bands_b_raw, bands_tbl, branch="main",
+                idempotency_key=f"st28-bands-{batch_id}", keys_max=64,
+            )
+        finally:
+            hashed_b.unpersist()
+
+    query = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return base, spark.read.parquet(outdir)
+
+
+def _st28_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st28_stream_neardup_gate"]
+    REGISTRY["st28_stream_neardup_gate"] = dataclasses.replace(
+        q, oracle=_st28_oracle()
+    )
+
+
+_st28_set_oracle()

@@ -123,6 +123,7 @@ STREAMING = [
     "st25_stream_periodogram",
     "st26_stream_bootstrap_ci",
     "st27_stream_median_ci",
+    "st28_stream_neardup_gate",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail

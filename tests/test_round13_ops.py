@@ -1,0 +1,114 @@
+"""Round-13 operators: the streaming near-dup gate's incremental
+semantics and commit-path evidence, plus the SQL @ref and bench pieces
+not covered elsewhere.
+"""
+
+from __future__ import annotations
+
+from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def test_st28_gate_equals_batch_recompute(spark, duck):
+    """The admitted set must equal the declarative batch answer: keep
+    doc d (id >= t0) iff NO doc a < d anywhere in the corpus verifies
+    as a near-dup at the threshold — recomputed here independently via
+    the registered dd15 pair machinery."""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_spark.operators.dedup import (
+        DD15_BATCH_DEN,
+        DD15_BATCH_NUM,
+        JACCARD_THRESHOLD,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    got = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in REGISTRY["st28_stream_neardup_gate"]
+        .spark(spark, SF_DIR)
+        .collect()
+    )
+    d = load_table(spark, SF_DIR, "documents")
+    t0 = int(
+        d.agg(
+            F.expr(f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}")
+        ).first()[0]
+    )
+    # independent batch recompute: full-corpus verified pairs (dd2's
+    # registered operator), rejected = any b >= t0 in a pair
+    pairs = REGISTRY["dd2_minhash_lsh"].spark(spark, SF_DIR).collect()
+    rejected = {
+        p["doc_id_b"]
+        for p in pairs
+        if p["jaccard"] >= JACCARD_THRESHOLD and p["doc_id_b"] >= t0
+    }
+    want = sorted(
+        (r["doc_id"], len(r["text"]))
+        for r in d.filter(F.col("doc_id") >= t0).collect()
+        if r["doc_id"] not in rejected
+    )
+    assert got == want
+
+
+def test_st28_index_grows_through_ref_log(spark):
+    """Every micro-batch must land its signatures in the committed index
+    THROUGH the ref log: the bands table ends with 1 (initial snapshot)
+    + 4 (one keyed append per micro-batch) = 5 versions, each append
+    carrying its idempotency key."""
+    import os
+
+    from apache_iceberg_spark.catalog.snapshots import _read_log
+    from apache_iceberg_spark.streaming.events import _st28_run
+
+    base, df = _st28_run(spark, SF_DIR)
+    df.count()
+    log = _read_log(os.path.join(base, "bands"))
+    versions = [e for e in log if "version" in e]
+    assert len(versions) == 5
+    keys = [
+        e.get("idempotency_key")
+        for e in versions
+        if e.get("idempotency_key")
+    ]
+    assert sorted(keys) == [f"st28-bands-{i}" for i in range(4)]
+
+
+def test_st28_short_docs_always_pass(spark):
+    """A doc too short to carry a MinHash signature (< SHINGLE_WORDS
+    tokens) cannot near-dup at this granularity and must be admitted —
+    dd2's rule carried to the gate."""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_spark.operators.dedup import (
+        DD15_BATCH_DEN,
+        DD15_BATCH_NUM,
+        SHINGLE_WORDS,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    t0 = int(
+        d.agg(
+            F.expr(f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}")
+        ).first()[0]
+    )
+    short = {
+        r["doc_id"]
+        for r in d.filter(
+            (F.col("doc_id") >= t0)
+            & (F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+               < SHINGLE_WORDS)
+        ).collect()
+    }
+    if not short:
+        return  # fixture has no short arriving docs at this SF
+    admitted = {
+        r["doc_id"]
+        for r in REGISTRY["st28_stream_neardup_gate"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert short <= admitted
