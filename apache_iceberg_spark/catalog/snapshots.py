@@ -1283,6 +1283,67 @@ def commit_snapshot_ref(
     return version
 
 
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    branch: str = "main",
+    partition_by: list[str] | None = None,
+) -> int:
+    """MERGE INTO over the snapshot catalog — the copy-on-write upsert
+    (Iceberg's ``MERGE INTO t USING s ON … WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *`` spelling; reference mechanism:
+    the ref's append-only loads, bot_iceberg_loader.py:307, never
+    reconcile keys — this adds the reconciling write).
+
+    ``when_matched``: ``'update'`` replaces the whole matched row with
+    the source row (SET *), ``'delete'`` drops it. ``when_not_matched``:
+    ``'insert'`` adds source-only rows, ``'ignore'`` drops them. The
+    merged state commits as ONE new snapshot on ``branch`` via
+    ``commit_snapshot_ref`` (parented on the branch head — ancestry,
+    time travel, and every ref reader see an atomic transition; a
+    concurrent commit loses the CAS, never interleaves).
+
+    Scale shape: the reconcile is one shuffle join on the merge keys
+    (both sides hash-partition on ``on``; at 100 TB the write is
+    partition-pruned in real Iceberg — only partitions holding matched
+    keys rewrite — while this emulation restates the table, the
+    documented CoW fallback every engine ships). Schemas must match by
+    name (``unionByName`` underneath); source must be key-unique, the
+    standard MERGE precondition (a multi-match raises in real engines —
+    enforced here with a cheap count check)."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete: {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore: {when_not_matched!r}"
+        )
+    dup = source.groupBy(*on).count().filter("count > 1").limit(1).count()
+    if dup:
+        raise ValueError(
+            "MERGE source is not key-unique on "
+            f"{on} — a matched target row would update ambiguously"
+        )
+    target = read_ref(spark, table_path, branch)
+    keep = target.join(source.select(*on), on, "left_anti")
+    if when_matched == "update" and when_not_matched == "insert":
+        merged = keep.unionByName(source)
+    elif when_matched == "update":  # ignore inserts: only matched update
+        matched_src = source.join(target.select(*on), on, "left_semi")
+        merged = keep.unionByName(matched_src)
+    elif when_not_matched == "insert":  # delete matched, insert new
+        src_only = source.join(target.select(*on), on, "left_anti")
+        merged = keep.unionByName(src_only)
+    else:  # delete matched, ignore new
+        merged = keep
+    return commit_snapshot_ref(
+        merged, table_path, branch, partition_by=partition_by
+    )
+
+
 def read_ref(spark: SparkSession, table_path: str, ref: str) -> DataFrame:
     """Read a table AT a named ref — Nessie's ``table@branch`` /
     ``table@tag`` addressing. Resolution is two metadata lookups; the

@@ -3689,3 +3689,88 @@ def m48_sql_at_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) ORDER BY address
         """,
     )
+
+
+@register(
+    "m49_merge_upsert",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        s AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 // 10
+                       AS cents
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        m AS (
+            SELECT * FROM s
+            UNION ALL
+            SELECT * FROM t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey
+            )
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated,
+               CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inserted
+        FROM m
+    """,
+    doc="MERGE INTO (round 13): the copy-on-write upsert the reference's "
+    "append-only loader lacks (bot_iceberg_loader.py:307 only appends) "
+    "— ``merge_into`` reconciles a source against the branch head with "
+    "UPDATE SET * / INSERT * semantics and commits the merged state as "
+    "ONE atomic snapshot (commit_snapshot_ref, parented on the head: "
+    "readers see pre- or post-merge, never a torn mix, and time travel "
+    "still reaches the pre-merge version). The workflow: a target of "
+    "every-3rd order, a source of every-2nd order with a +10%% price "
+    "amendment (exact integer cents*11 DIV 10), merge, then aggregate "
+    "the FINAL table — row count, total cents, updated count (keys in "
+    "both = %%6), inserted count (source-only keys) all sit inside one "
+    "value hash, so match/update/insert routing is each independently "
+    "pinned. The key-uniqueness precondition raises on ambiguous "
+    "sources (the standard MERGE cardinality check, one cheap agg). "
+    "Scale: one shuffle join on the merge keys; real Iceberg rewrites "
+    "only matched partitions — this emulation restates the table, the "
+    "documented CoW fallback.",
+    tags=("scale", "snapshot", "merge", "upsert"),
+)
+def m49_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        merge_into,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    table = os.path.join(tempfile.mkdtemp(prefix="merge_"), "orders")
+    commit_snapshot(
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", cents.alias("cents")
+        ),
+        table,
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 DIV 10").alias("cents")
+    )
+    merge_into(spark, table, source, on=["o_orderkey"])
+    final = read_ref(spark, table, "main")
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(
+            F.when(F.col("o_orderkey") % 6 == 0, 1).otherwise(0)
+        ).cast("long").alias("n_updated"),
+        F.sum(
+            F.when(F.col("o_orderkey") % 3 != 0, 1).otherwise(0)
+        ).cast("long").alias("n_inserted"),
+    )

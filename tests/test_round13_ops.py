@@ -112,3 +112,54 @@ def test_st28_short_docs_always_pass(spark):
         .collect()
     }
     assert short <= admitted
+
+
+def test_merge_into_variants_and_preconditions(spark, tmp_path):
+    """All four matched/not-matched routings, the key-uniqueness raise,
+    and atomic single-version commits per merge."""
+    import pytest
+    from pyspark.sql import Row
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        list_snapshots,
+        merge_into,
+        read_ref,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark.createDataFrame(
+            [Row(k=1, v=10), Row(k=2, v=20), Row(k=3, v=30)]
+        ),
+        table,
+    )
+    src = spark.createDataFrame([Row(k=2, v=99), Row(k=4, v=40)])
+
+    merge_into(spark, table, src, on=["k"])  # update + insert
+    got = {r.k: r.v for r in read_ref(spark, table, "main").collect()}
+    assert got == {1: 10, 2: 99, 3: 30, 4: 40}
+    assert len(list_snapshots(table)) == 2  # one atomic version per merge
+
+    merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=4, v=0), Row(k=9, v=90)]),
+        on=["k"], when_matched="delete", when_not_matched="ignore",
+    )
+    got = {r.k: r.v for r in read_ref(spark, table, "main").collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+
+    merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=1, v=11), Row(k=8, v=80)]),
+        on=["k"], when_matched="update", when_not_matched="ignore",
+    )
+    got = {r.k: r.v for r in read_ref(spark, table, "main").collect()}
+    assert got == {1: 11, 2: 99, 3: 30}
+
+    with pytest.raises(ValueError, match="not key-unique"):
+        merge_into(
+            spark, table,
+            spark.createDataFrame([Row(k=7, v=1), Row(k=7, v=2)]),
+            on=["k"],
+        )
