@@ -3387,3 +3387,334 @@ def _a44_finish(per_v: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# a45: mutual information / uncertainty coefficient (round 13)
+# ---------------------------------------------------------------------------
+
+A45_MICRO = 1_000_000
+
+#: ln of an INTEGER, snapped per-row to micro-nats (tx24/tx26's recipe —
+#: the 1-ulp libm divergence sits ~1e-10 inside the rounding margin).
+_A45_LN = f"CAST(ROUND(ln({{k}}) * {A45_MICRO}) AS BIGINT)"
+
+
+@register(
+    "a45_mutual_information",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type AS xv,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS yv
+            FROM events
+        ),
+        cells AS (
+            SELECT xv, yv, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1, 2
+        ),
+        mx AS (SELECT xv, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+        my AS (SELECT yv, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        s AS (
+            SELECT CAST(SUM(CAST(c AS HUGEINT) * (
+                       {_A45_LN.format(k='c')} + {_A45_LN.format(k='n')}
+                       - {_A45_LN.format(k='cx')} - {_A45_LN.format(k='cy')}
+                   )) AS HUGEINT) AS num,
+                   MAX(n) AS n
+            FROM cells
+            JOIN mx USING (xv) JOIN my USING (yv) CROSS JOIN tot
+        ),
+        hy AS (
+            SELECT CAST((CAST(MAX(t.n) AS HUGEINT)
+                         * {_A45_LN.format(k='MAX(t.n)')}
+                         - SUM(CAST(cy AS HUGEINT)
+                               * {_A45_LN.format(k='cy')}))
+                        // MAX(t.n) AS BIGINT) AS h_y_micro
+            FROM my CROSS JOIN tot t
+        )
+        SELECT s.n AS n_rows,
+               CAST(GREATEST(num, 0) // n AS BIGINT) AS mi_micro_nats,
+               hy.h_y_micro,
+               CAST(CASE WHEN hy.h_y_micro > 0 THEN
+                   (GREATEST(num, 0) // n) * {A45_MICRO} // hy.h_y_micro
+               ELSE 0 END AS BIGINT) AS u_ppm
+        FROM s CROSS JOIN hy
+    """,
+    doc="Mutual information between event type and hour of day, in "
+    "exact integer micro-nats, plus Theil's uncertainty coefficient "
+    "U(hour|type) = MI/H(hour) in ppm — the model-free dependence "
+    "measure behind feature selection and drift triage (a29's "
+    "chi-square answers 'is there dependence?'; MI answers 'how many "
+    "nats does knowing the type buy?', and U normalizes it to 0-1). "
+    "Exactness: MI = (1/N) * sum c_xy*(ln c_xy + ln N - ln c_x - "
+    "ln c_y) with every ln taking an INTEGER count and snapped "
+    "per-row to micro-nats (tx26's recipe), cross-row sums in "
+    "DECIMAL(38,0)/HUGEINT, the negative-rounding edge clamped by "
+    "GREATEST(.,0) BEFORE the one integer DIV (keeping both engines "
+    "on the agreed non-negative division semantics). Scale: ONE fact "
+    "shuffle to |types|x24 cells; marginals re-agg from the cells and "
+    "broadcast back; everything after is support-sized. Digit budget: "
+    "c * (4 ln terms) peaks ~5e13 micro-nats per cell at 1e12 rows — "
+    "the HUGEINT sum has 25 digits of headroom.",
+    tags=("aggregate", "statistics"),
+)
+def a45_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.col("event_type").alias("xv"),
+            F.hour("ts").cast("long").alias("yv"),
+        )
+        .groupBy("xv", "yv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # plan-cache: feeds both marginals and the joined term sum
+        .persist()
+    )
+    mx = cells.groupBy("xv").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("yv").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    dec = "decimal(38,0)"
+    s = (
+        cells.join(F.broadcast(mx), "xv")
+        .join(F.broadcast(my), "yv")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(c AS {dec}) * ({_A45_LN.format(k='c')} "
+                    f"+ {_A45_LN.format(k='n')} - {_A45_LN.format(k='cx')} "
+                    f"- {_A45_LN.format(k='cy')})"
+                )
+            ).cast(dec).alias("num"),
+            F.max("n").alias("n"),
+        )
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                f"CAST((CAST(MAX(n) AS {dec}) * {_A45_LN.format(k='MAX(n)')} "
+                f"- SUM(CAST(cy AS {dec}) * {_A45_LN.format(k='cy')})) "
+                "DIV MAX(n) AS BIGINT)"
+            ).alias("h_y_micro")
+        )
+    )
+    return s.crossJoin(F.broadcast(hy)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr("CAST(GREATEST(num, CAST(0 AS DECIMAL(38,0))) DIV n AS BIGINT)").alias(
+            "mi_micro_nats"
+        ),
+        "h_y_micro",
+        F.expr(
+            f"CAST(CASE WHEN h_y_micro > 0 THEN "
+            f"(GREATEST(num, CAST(0 AS DECIMAL(38,0))) DIV n) * {A45_MICRO} "
+            "DIV h_y_micro ELSE 0 END AS BIGINT)"
+        ).alias("u_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a46: Cohen's kappa — chance-corrected rule agreement (round 13)
+# ---------------------------------------------------------------------------
+
+#: Rule A's anomaly threshold in cents (a fixed monitoring constant).
+A46_CENTS_THRESHOLD = 50_000
+
+_A46_KAPPA = (
+    "(CAST(n11 + n00 AS DOUBLE) / n "
+    "- (CAST(a1 AS DOUBLE) * b1 + CAST(a0 AS DOUBLE) * b0) / (CAST(n AS DOUBLE) * n)) "
+    "/ (1.0 "
+    "- (CAST(a1 AS DOUBLE) * b1 + CAST(a0 AS DOUBLE) * b0) / (CAST(n AS DOUBLE) * n))"
+)
+
+
+@register(
+    "a46_cohens_kappa",
+    oracle=f"""
+        WITH x AS (
+            SELECT CASE WHEN CAST(ROUND(value * 100) AS BIGINT)
+                             >= {A46_CENTS_THRESHOLD} THEN 1 ELSE 0 END AS ra,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS rb
+            FROM events
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ra * rb) AS BIGINT) AS n11,
+                   CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00,
+                   CAST(SUM(ra) AS BIGINT) AS a1,
+                   CAST(SUM(rb) AS BIGINT) AS b1
+            FROM x
+        ),
+        f AS (
+            SELECT n, n11, n00, a1, b1, n - a1 AS a0, n - b1 AS b0 FROM c
+        )
+        SELECT n AS n_rows, n11, n00, a1 AS n_rule_a, b1 AS n_rule_b,
+               {_A46_KAPPA} AS kappa
+        FROM f
+    """,
+    doc="Cohen's kappa between two anomaly rules — rule A (value >= "
+    f"{A46_CENTS_THRESHOLD} cents) and rule B (event_type = 'error') "
+    "— the chance-corrected agreement audit: raw agreement flatters "
+    "any pair of rules that both fire rarely; kappa subtracts the "
+    "agreement two INDEPENDENT rules with these marginals would get "
+    "(kappa ~ 0 means the value rule adds nothing beyond chance "
+    "given the error rate; ~1 means it re-detects the same events). "
+    "Exactness: the 2x2 contingency is four exact integer sums in "
+    "ONE map-side-combined pass (no shuffle beyond the 1-row agg), "
+    "and kappa is a single shared float formula over the exact "
+    "counts — bitwise across engines. Output stays 1 row at any "
+    "scale.",
+    tags=("aggregate", "statistics", "quality"),
+)
+def a46_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        F.when(
+            _cents(F.col("value")) >= A46_CENTS_THRESHOLD, 1
+        ).otherwise(0).alias("ra"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("rb"),
+    )
+    c = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("ra * rb")).cast("long").alias("n11"),
+        F.sum(F.expr("(1 - ra) * (1 - rb)")).cast("long").alias("n00"),
+        F.sum("ra").cast("long").alias("a1"),
+        F.sum("rb").cast("long").alias("b1"),
+    )
+    f = c.select(
+        "n", "n11", "n00", "a1", "b1",
+        F.expr("n - a1").alias("a0"),
+        F.expr("n - b1").alias("b0"),
+    )
+    return f.select(
+        F.col("n").alias("n_rows"),
+        "n11",
+        "n00",
+        F.col("a1").alias("n_rule_a"),
+        F.col("b1").alias("n_rule_b"),
+        F.expr(_A46_KAPPA).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a47: Jensen-Shannon divergence between value distributions (round 13)
+# ---------------------------------------------------------------------------
+
+A47_MICRO = 1_000_000
+#: ln(2) in micro-nats, pre-quantized once in Python (st23's recipe) —
+#: the JSD upper bound used for the ppm normalization.
+A47_LN2_MICRO = 693_147
+
+
+@register(
+    "a47_js_divergence",
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_p
+            FROM events
+        ),
+        cells AS (
+            SELECT v,
+                   CAST(SUM(is_p) AS BIGINT) AS cp,
+                   CAST(SUM(1 - is_p) AS BIGINT) AS cq
+            FROM x GROUP BY v
+        ),
+        tot AS (
+            SELECT CAST(SUM(cp) AS BIGINT) AS np,
+                   CAST(SUM(cq) AS BIGINT) AS nq
+            FROM cells
+        ),
+        terms AS (
+            SELECT
+                CASE WHEN cp > 0 THEN CAST(cp AS HUGEINT) * (
+                    {_A45_LN.format(k='2 * cp * nq')}
+                    - {_A45_LN.format(k='cp * nq + cq * np')})
+                ELSE 0 END AS tp,
+                CASE WHEN cq > 0 THEN CAST(cq AS HUGEINT) * (
+                    {_A45_LN.format(k='2 * cq * np')}
+                    - {_A45_LN.format(k='cp * nq + cq * np')})
+                ELSE 0 END AS tq,
+                np, nq
+            FROM cells CROSS JOIN tot
+        ),
+        s AS (
+            SELECT CAST(GREATEST(SUM(tp), 0) // MAX(np)
+                        + GREATEST(SUM(tq), 0) // MAX(nq) AS BIGINT) // 2
+                       AS jsd_micro,
+                   MAX(np) AS np, MAX(nq) AS nq
+            FROM terms
+        )
+        SELECT np AS n_p_rows, nq AS n_q_rows,
+               CAST(jsd_micro AS BIGINT) AS jsd_micro_nats,
+               CAST(jsd_micro * {A47_MICRO} // {A47_LN2_MICRO} AS BIGINT)
+                   AS jsd_ppm_of_max
+        FROM s
+    """,
+    doc="Jensen-Shannon divergence between the value distribution of "
+    "'error' events (P) and everything else (Q), in exact integer "
+    "micro-nats plus ppm of the ln(2) maximum — the SYMMETRIC, "
+    "always-finite drift distance (a25's KS sees only the worst CDF "
+    "gap; a31's TV ignores how far mass moved; KL blows up on "
+    "non-overlapping support — JSD is the metric monitoring stacks "
+    "standardize on). Exactness: each term's log argument is an "
+    "INTEGER product — p ln(p/m) = (cp/Np)*(ln(2*cp*Nq) - "
+    "ln(cp*Nq + cq*Np)) — snapped per-row to micro-nats (tx26's "
+    "recipe), summed in HUGEINT/DECIMAL(38,0), clamped non-negative "
+    "per side, one integer DIV per side then the /2 — identical on "
+    "both engines; zero-count sides contribute exactly 0 (the x ln x "
+    "-> 0 limit as a CASE). Scale: ONE shuffle to value-support "
+    "cells carrying BOTH conditional counts (no second scan, no "
+    "join of two histograms), 1-row total broadcast, support-sized "
+    "map math. Digit budget: cp*Nq peaks 1e24 at 1e12 rows — ln "
+    "takes it as DOUBLE (exact to 1 ulp, inside the micro margin); "
+    "the HUGEINT term sum holds to ~1e30.",
+    tags=("aggregate", "statistics", "drift"),
+)
+def a47_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        _cents(F.col("value")).alias("v"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_p"),
+    )
+    cells = x.groupBy("v").agg(
+        F.sum("is_p").cast("long").alias("cp"),
+        F.sum(F.expr("1 - is_p")).cast("long").alias("cq"),
+    )
+    tot = cells.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    dec = "decimal(38,0)"
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            f"CASE WHEN cp > 0 THEN CAST(cp AS {dec}) * ("
+            f"{_A45_LN.format(k='2 * cp * nq')} "
+            f"- {_A45_LN.format(k='cp * nq + cq * np')}) "
+            f"ELSE CAST(0 AS {dec}) END"
+        ).alias("tp"),
+        F.expr(
+            f"CASE WHEN cq > 0 THEN CAST(cq AS {dec}) * ("
+            f"{_A45_LN.format(k='2 * cq * np')} "
+            f"- {_A45_LN.format(k='cp * nq + cq * np')}) "
+            f"ELSE CAST(0 AS {dec}) END"
+        ).alias("tq"),
+        "np",
+        "nq",
+    )
+    s = terms.agg(
+        F.expr(
+            f"CAST(GREATEST(SUM(tp), CAST(0 AS {dec})) DIV MAX(np) "
+            f"+ GREATEST(SUM(tq), CAST(0 AS {dec})) DIV MAX(nq) AS BIGINT) "
+            "DIV 2"
+        ).alias("jsd_micro"),
+        F.max("np").alias("np"),
+        F.max("nq").alias("nq"),
+    )
+    return s.select(
+        F.col("np").alias("n_p_rows"),
+        F.col("nq").alias("n_q_rows"),
+        F.col("jsd_micro").cast("long").alias("jsd_micro_nats"),
+        F.expr(
+            f"CAST(jsd_micro * {A47_MICRO} DIV {A47_LN2_MICRO} AS BIGINT)"
+        ).alias("jsd_ppm_of_max"),
+    )

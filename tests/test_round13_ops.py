@@ -5,6 +5,8 @@ not covered elsewhere.
 
 from __future__ import annotations
 
+import pytest
+
 from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
 from tests.conftest import SF_DIR
 
@@ -163,3 +165,89 @@ def test_merge_into_variants_and_preconditions(spark, tmp_path):
             spark.createDataFrame([Row(k=7, v=1), Row(k=7, v=2)]),
             on=["k"],
         )
+
+
+def test_a45_matches_textbook_mutual_information(spark, duck):
+    """Float-math MI/H over the same contingency must sit within the
+    per-term micro-nat rounding envelope of the exact integer result."""
+    import math
+
+    row = REGISTRY["a45_mutual_information"].spark(spark, SF_DIR).collect()[0]
+    cells = duck.execute(
+        "SELECT event_type, EXTRACT(hour FROM ts), COUNT(*) FROM events "
+        "GROUP BY 1, 2"
+    ).fetchall()
+    n = sum(c for _, _, c in cells)
+    from collections import defaultdict
+
+    mx, my = defaultdict(int), defaultdict(int)
+    for xv, yv, c in cells:
+        mx[xv] += c
+        my[yv] += c
+    mi = sum(
+        c / n * math.log(c * n / (mx[x] * my[y])) for x, y, c in cells
+    )
+    hy = -sum(c / n * math.log(c / n) for c in my.values())
+    assert row["n_rows"] == n
+    assert row["mi_micro_nats"] / 1e6 == pytest.approx(mi, abs=5e-5)
+    assert row["h_y_micro"] / 1e6 == pytest.approx(hy, abs=5e-5)
+    if hy > 0:
+        assert row["u_ppm"] / 1e6 == pytest.approx(mi / hy, abs=2e-4)
+
+
+def test_a46_matches_python_kappa(spark, duck):
+    from apache_iceberg_spark.operators.analytics import A46_CENTS_THRESHOLD
+
+    row = REGISTRY["a46_cohens_kappa"].spark(spark, SF_DIR).collect()[0]
+    rows = duck.execute(
+        "SELECT CAST(ROUND(value*100) AS BIGINT), event_type FROM events"
+    ).fetchall()
+    n = len(rows)
+    n11 = sum(
+        1 for v, t in rows if v >= A46_CENTS_THRESHOLD and t == "error"
+    )
+    n00 = sum(
+        1 for v, t in rows if v < A46_CENTS_THRESHOLD and t != "error"
+    )
+    a1 = sum(1 for v, _ in rows if v >= A46_CENTS_THRESHOLD)
+    b1 = sum(1 for _, t in rows if t == "error")
+    po = (n11 + n00) / n
+    pe = (a1 * b1 + (n - a1) * (n - b1)) / (n * n)
+    assert (row["n_rows"], row["n11"], row["n00"]) == (n, n11, n00)
+    assert row["kappa"] == pytest.approx((po - pe) / (1 - pe), rel=1e-12)
+
+
+def test_a47_matches_textbook_jsd(spark, duck):
+    """Float-math JSD over the same histograms, same tolerance argument
+    as a45; also the [0, ln 2] bound and symmetry-of-definition sanity
+    (swapping P/Q changes nothing but the row labels)."""
+    import math
+
+    row = REGISTRY["a47_js_divergence"].spark(spark, SF_DIR).collect()[0]
+    cells = duck.execute(
+        "SELECT CAST(ROUND(value*100) AS BIGINT) AS v, "
+        "SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END), "
+        "SUM(CASE WHEN event_type='error' THEN 0 ELSE 1 END) "
+        "FROM events GROUP BY v"
+    ).fetchall()
+    np_ = sum(p for _, p, _ in cells)
+    nq = sum(q for _, _, q in cells)
+
+    def kl_to_mid(cs, na, nb, swap):
+        tot = 0.0
+        for _, p, q in cs:
+            a, b = (q, p) if swap else (p, q)
+            if a == 0:
+                continue
+            pa = a / na
+            m = (a / na + b / nb) / 2
+            tot += pa * math.log(pa / m)
+        return tot
+
+    jsd = 0.5 * kl_to_mid(cells, np_, nq, False) + 0.5 * kl_to_mid(
+        cells, nq, np_, True
+    )
+    assert (row["n_p_rows"], row["n_q_rows"]) == (np_, nq)
+    got = row["jsd_micro_nats"] / 1e6
+    assert got == pytest.approx(jsd, abs=2e-4)
+    assert 0 <= got <= math.log(2) + 1e-9
