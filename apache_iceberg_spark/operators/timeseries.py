@@ -3508,3 +3508,141 @@ def ts30_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_TS30_CHI2).alias("chi2"),
         F.expr(f"{_TS30_CHI2} > {TS30_CHI2_95}").alias("significant_at_95"),
     )
+
+
+# --- ts31: Page-Hinkley drift monitor (round 13) -------------------------------
+
+TS31_MICRO = 1_000_000
+#: Data-derived tolerances (identical integer derivations on both
+#: engines, so the operator is scale-free across fixtures): delta =
+#: mean/20 (a 5% sustained drift is signal), lambda = 5x the mean.
+TS31_DELTA_DEN = 20
+TS31_LAMBDA_NUM = 5
+
+
+def _ts31_finish(hourly: DataFrame) -> DataFrame:
+    """Page-Hinkley over an (h, x) hourly-count frame — shared by batch
+    ts31 and streaming st29 (the per-hour count is the mergeable state,
+    st22/st25's argument), so the stream's alarm is bitwise-equal to a
+    batch recompute."""
+    sp = _spine_from_hourly(hourly)
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot = sp.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("x").alias("tt")
+    )
+    dec = "decimal(38,0)"
+    mean = f"CAST(tt AS {dec}) * {TS31_MICRO} DIV m"
+    cum = (
+        sp.crossJoin(F.broadcast(tot))
+        .withColumn("cx", F.sum("x").over(w))
+        .withColumn(
+            "dev",
+            F.expr(
+                f"CAST(x AS {dec}) * {TS31_MICRO} "
+                f"- CAST(cx AS {dec}) * {TS31_MICRO} DIV (t + 1) "
+                f"- ({mean}) DIV {TS31_DELTA_DEN}"
+            ),
+        )
+        .withColumn("u", F.sum("dev").over(w))
+        .withColumn("minu", F.min("u").over(w))
+        .withColumn("ph", F.expr("u - minu"))
+        .withColumn("lam", F.expr(f"({mean}) * {TS31_LAMBDA_NUM}"))
+    )
+    return cum.agg(
+        F.max("m").cast("long").alias("n_points"),
+        F.min(
+            F.expr("CASE WHEN ph > lam THEN t END")
+        ).cast("long").alias("first_alarm_t"),
+        F.max("ph").cast("long").alias("ph_max_micro"),
+        F.sum(
+            F.expr("CASE WHEN ph > lam THEN 1 ELSE 0 END")
+        ).cast("long").alias("n_alarm_hours"),
+    )
+
+
+_TS31_ORACLE = f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                       CAST(SUM(x) AS BIGINT) AS tt FROM sp),
+        cum AS (
+            SELECT t, x, m, tt,
+                   SUM(x) OVER wt AS cx
+            FROM sp CROSS JOIN tot
+            WINDOW wt AS (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        dev AS (
+            SELECT t, m, tt,
+                   CAST(x AS HUGEINT) * {TS31_MICRO}
+                   - CAST(cx AS HUGEINT) * {TS31_MICRO} // (t + 1)
+                   - (CAST(tt AS HUGEINT) * {TS31_MICRO} // m)
+                       // {TS31_DELTA_DEN} AS d
+            FROM cum
+        ),
+        u AS (
+            SELECT t, m, tt,
+                   SUM(d) OVER wt AS u
+            FROM dev
+            WINDOW wt AS (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        ph AS (
+            SELECT t, m,
+                   u - MIN(u) OVER wt2 AS ph,
+                   (CAST(tt AS HUGEINT) * {TS31_MICRO} // m)
+                       * {TS31_LAMBDA_NUM} AS lam
+            FROM u
+            WINDOW wt2 AS (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(MAX(m) AS BIGINT) AS n_points,
+               CAST(MIN(CASE WHEN ph > lam THEN t END) AS BIGINT)
+                   AS first_alarm_t,
+               CAST(MAX(ph) AS BIGINT) AS ph_max_micro,
+               CAST(SUM(CASE WHEN ph > lam THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_alarm_hours
+        FROM ph
+    """
+
+
+@register(
+    "ts31_page_hinkley",
+    oracle=_TS31_ORACLE,
+    doc="Page-Hinkley drift monitor on the hourly event-count series — "
+    "the SUSTAINED-drift complement of ts25's CUSUM locator (CUSUM "
+    "finds where the level most plausibly changed in hindsight; "
+    "Page-Hinkley is the sequential alarm: U_t accumulates "
+    "deviations from the RUNNING mean minus a tolerance delta, and "
+    "PH_t = U_t - min U crossing lambda is the canonical 'the level "
+    "has drifted up, sustained' trigger used by online drift "
+    "detectors). Tolerances derive from the data in exact integer "
+    "arithmetic (delta = mean/20, lambda = 5x mean — identical "
+    "derivations both engines, so the operator is scale-free). "
+    "ENTIRELY exact integers: running mean in micro-units by integer "
+    "DIV, deviations/cumsum/running-min in DECIMAL(38,0)/HUGEINT; "
+    "outputs are first alarm hour, max excursion, alarm-hour count. "
+    "Scale: one hourly groupBy over facts, then every window runs on "
+    "the CALENDAR-BOUNDED spine (~9k points/year) — single-partition "
+    "by construction, the family's documented bounded-window shape.",
+    tags=("timeseries", "statistics", "changepoint", "monitoring"),
+)
+def ts31_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return _ts31_finish(hourly)

@@ -2530,3 +2530,60 @@ def _st28_set_oracle() -> None:
 
 
 _st28_set_oracle()
+
+
+# --- st29: streaming Page-Hinkley drift alarm (ts31 at ingest) -----------------
+
+
+@register(
+    "st29_stream_page_hinkley",
+    oracle=None,  # bound to ts31's oracle below
+    doc="ts31's Page-Hinkley drift alarm maintained BY THE STREAM: the "
+    "micro-batch aggregation keeps one COUNT per hour bucket — the "
+    "SAME calendar-bounded mergeable partial st22/st25 hold — and the "
+    "sequential-alarm arithmetic (running mean, deviation cumsum, "
+    "running min, lambda crossing) runs on the final per-hour table "
+    "via the SAME _ts31_finish the batch operator uses, so the "
+    "stream's alarm is bitwise-equal to a batch recompute and the "
+    "driver checks it against ts31's own oracle. The monitoring "
+    "story: the canonical online drift detector actually running "
+    "online — a feed whose rate drifts up 5%+ sustained crosses "
+    "lambda within the micro-batch that completes the drift, priced "
+    "at spine-sized state.",
+    tags=("streaming", "timeseries", "changepoint", "monitoring"),
+)
+def st29_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.timeseries import _ts31_finish
+
+    per_h = (
+        stream_events(spark, sf_dir)
+        .select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    qname = f"st29_pagehinkley_{next(_stream_ids)}"
+    query = (
+        per_h.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _ts31_finish(spark.table(qname))
+
+
+def _st29_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import timeseries  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st29_stream_page_hinkley"]
+    REGISTRY["st29_stream_page_hinkley"] = dataclasses.replace(
+        q, oracle=REGISTRY["ts31_page_hinkley"].oracle
+    )
+
+
+_st29_set_oracle()

@@ -251,3 +251,55 @@ def test_a47_matches_textbook_jsd(spark, duck):
     got = row["jsd_micro_nats"] / 1e6
     assert got == pytest.approx(jsd, abs=2e-4)
     assert 0 <= got <= math.log(2) + 1e-9
+
+
+def test_ts31_matches_python_page_hinkley(spark, duck):
+    """Integer-exact Page-Hinkley reimplementation over the zero-filled
+    hourly spine — alarms, max excursion, and counts must match
+    exactly."""
+    from apache_iceberg_spark.operators.timeseries import (
+        TS31_DELTA_DEN,
+        TS31_LAMBDA_NUM,
+        TS31_MICRO,
+    )
+
+    row = REGISTRY["ts31_page_hinkley"].spark(spark, SF_DIR).collect()[0]
+    hourly = dict(
+        duck.execute(
+            "WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0 FROM events)"
+            " SELECT date_diff('hour', b.h0, date_trunc('hour', ts)),"
+            " COUNT(*) FROM events CROSS JOIN b GROUP BY 1"
+        ).fetchall()
+    )
+    m = max(hourly) + 1
+    xs = [hourly.get(t, 0) for t in range(m)]
+    tt = sum(xs)
+    mean = tt * TS31_MICRO // m
+    delta = mean // TS31_DELTA_DEN
+    lam = mean * TS31_LAMBDA_NUM
+    u = 0
+    minu = 0
+    cx = 0
+    first = None
+    ph_max = 0
+    n_alarm = 0
+    for t, x in enumerate(xs):
+        cx += x
+        u += x * TS31_MICRO - cx * TS31_MICRO // (t + 1) - delta
+        minu = min(minu, u)
+        ph = u - minu
+        ph_max = max(ph_max, ph)
+        if ph > lam:
+            n_alarm += 1
+            if first is None:
+                first = t
+    assert row["n_points"] == m
+    assert row["first_alarm_t"] == first
+    assert row["ph_max_micro"] == ph_max
+    assert row["n_alarm_hours"] == n_alarm
+
+
+def test_st29_bitwise_equals_batch_ts31(spark):
+    got = REGISTRY["st29_stream_page_hinkley"].spark(spark, SF_DIR).collect()
+    want = REGISTRY["ts31_page_hinkley"].spark(spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
