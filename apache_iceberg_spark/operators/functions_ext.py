@@ -2344,3 +2344,85 @@ def f18_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY bin
         """
     )
+
+
+@register(
+    "w18_rolling_extrema_channel",
+    oracle="""
+        WITH px AS (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        ch AS (
+            SELECT o_custkey, cents,
+                   MAX(cents) OVER wprev AS prev_max,
+                   MAX(cents) OVER wchan - MIN(cents) OVER wchan AS width
+            FROM px
+            WINDOW wprev AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+                   wchan AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN prev_max IS NOT NULL
+                              AND cents > prev_max
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_breakouts,
+               CAST(MAX(width) AS BIGINT) AS widest_channel_cents
+        FROM ch
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+    doc="Rolling extrema channel per customer — the Donchian-channel "
+    "window shape (trailing 5-order max/min band) with breakout "
+    "detection: an order whose price exceeds the previous five "
+    "orders' maximum is a breakout, the channel width is the trailing "
+    "band's spread, and the per-customer report carries breakout "
+    "count + widest band. Fills the w-family's rolling-extrema slot "
+    "(w11 median, w13 distinct, w14 regression, w15 MAD — extrema "
+    "bands were missing; they are the standard spend-spike screen). "
+    "Exactness: integer cents, ROWS-framed windows with a unique "
+    "(date, key) tiebreak, NULL-guarded first rows (a customer's "
+    "first order cannot break out of an empty band — the CASE "
+    "spelling is identical on both engines). Scale: ONE shuffle on "
+    "o_custkey; both windows share the partition AND sort order, so "
+    "Catalyst runs them in a single WindowExec pass over one sort; "
+    "the re-agg collapses to customer-sized output map-side.",
+    tags=("window",),
+)
+def w18_rolling_extrema_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    px = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wprev = base.rowsBetween(-5, -1)
+    wchan = base.rowsBetween(-4, 0)
+    ch = px.select(
+        "o_custkey",
+        "cents",
+        F.max("cents").over(wprev).alias("prev_max"),
+        (F.max("cents").over(wchan) - F.min("cents").over(wchan)).alias(
+            "width"
+        ),
+    )
+    return (
+        ch.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN prev_max IS NOT NULL AND cents > prev_max "
+                    "THEN 1 ELSE 0 END"
+                )
+            ).cast("long").alias("n_breakouts"),
+            F.max("width").cast("long").alias("widest_channel_cents"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -3646,3 +3646,128 @@ def ts31_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("x")
     )
     return _ts31_finish(hourly)
+
+
+# --- ts32: Mann-Kendall trend test (round 13) ----------------------------------
+
+#: z for the 95% two-sided decision — the one Python-side constant
+#: (st23/a44's recipe; no distribution function evaluates in-engine).
+TS32_Z95 = 1.96
+
+_TS32_Z = (
+    "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) "
+    "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) "
+    "WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) "
+    "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) "
+    "ELSE 0.0 END"
+)
+
+
+@register(
+    "ts32_mann_kendall",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        sp AS (
+            SELECT CAST(date_diff('hour', b.h0, s.h) AS BIGINT) AS t,
+                   COALESCE(hourly.x, 0) AS x
+            FROM spine s CROSS JOIN b LEFT JOIN hourly ON hourly.h = s.h
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN c.x > a.x THEN 1
+                                 WHEN c.x < a.x THEN -1 ELSE 0 END)
+                        AS HUGEINT) AS s_stat
+            FROM sp a JOIN sp c ON a.t < c.t
+        ),
+        ties AS (
+            SELECT CAST(SUM(CAST(tk AS HUGEINT) * (tk - 1) * (2 * tk + 5))
+                        AS HUGEINT) AS tie_term
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tk FROM sp GROUP BY x)
+        ),
+        v AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sp
+        ),
+        f AS (
+            SELECT n, s_stat,
+                   CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                       - tie_term AS var18
+            FROM s CROSS JOIN ties CROSS JOIN v
+        )
+        SELECT n AS n_points,
+               CAST(s_stat AS BIGINT) AS s_stat,
+               CAST(var18 AS BIGINT) AS var_x18,
+               {_TS32_Z} AS z,
+               CAST(abs({_TS32_Z}) > {TS32_Z95} AS BOOLEAN)
+                   AS trend_at_95
+        FROM f
+    """,
+    doc="Mann-Kendall monotone-trend test on the hourly event-count "
+    "series — the NONPARAMETRIC 'is traffic trending' decision that "
+    "pairs with ts22's Theil-Sen slope (Sen answers how steep; MK "
+    "answers whether the monotone trend is significant, immune to "
+    "spikes because only pairwise ORDER matters): S = sum of "
+    "sgn(x_j - x_i) over i<j, variance with the exact tie "
+    "correction (n(n-1)(2n+5) - sum t_k(t_k-1)(2t_k+5), kept as the "
+    "18-scaled integer so no division appears before the one shared "
+    "float z formula), continuity-corrected z, 95% decision against "
+    "the one Python-side constant. Exactness: S and the 18x variance "
+    "are pure integer sums in HUGEINT/DECIMAL(38,0); z is a single "
+    "shared float expression over them. Scale: the pair space is the "
+    "CALENDAR-BOUNDED spine squared (~9k points/year -> ~40M sign "
+    "evaluations, a broadcast-nested-loop over a frame that fits in "
+    "one executor page — never row-scale; the fact table contributes "
+    "ONE hourly groupBy).",
+    tags=("timeseries", "statistics", "trend"),
+)
+def ts32_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = _hourly_spine(spark, sf_dir)
+    a = sp.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    c = sp.select(F.col("t").alias("tc"), F.col("x").alias("xc"))
+    dec = "decimal(38,0)"
+    s = (
+        a.join(F.broadcast(c), F.col("ta") < F.col("tc"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN xc > xa THEN 1 WHEN xc < xa THEN -1 "
+                    "ELSE 0 END"
+                ).cast(dec)
+            ).cast(dec).alias("s_stat")
+        )
+    )
+    ties = (
+        sp.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("tk"))
+        .agg(
+            F.sum(
+                F.expr(f"CAST(tk AS {dec}) * (tk - 1) * (2 * tk + 5)")
+            ).cast(dec).alias("tie_term")
+        )
+    )
+    v = sp.agg(F.count(F.lit(1)).alias("n"))
+    f = (
+        s.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "n",
+            "s_stat",
+            F.expr(
+                f"CAST(n AS {dec}) * (n - 1) * (2 * n + 5) - tie_term"
+            ).alias("var18"),
+        )
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var_x18"),
+        F.expr(_TS32_Z).alias("z"),
+        F.expr(f"abs({_TS32_Z}) > {TS32_Z95}").alias("trend_at_95"),
+    )

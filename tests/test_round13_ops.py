@@ -303,3 +303,71 @@ def test_st29_bitwise_equals_batch_ts31(spark):
     got = REGISTRY["st29_stream_page_hinkley"].spark(spark, SF_DIR).collect()
     want = REGISTRY["ts31_page_hinkley"].spark(spark, SF_DIR).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ts32_matches_python_mann_kendall(spark, duck):
+    import math
+
+    row = REGISTRY["ts32_mann_kendall"].spark(spark, SF_DIR).collect()[0]
+    hourly = dict(
+        duck.execute(
+            "WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0 FROM events)"
+            " SELECT date_diff('hour', b.h0, date_trunc('hour', ts)),"
+            " COUNT(*) FROM events CROSS JOIN b GROUP BY 1"
+        ).fetchall()
+    )
+    n = max(hourly) + 1
+    xs = [hourly.get(t, 0) for t in range(n)]
+    s = sum(
+        (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(xs)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        tk * (tk - 1) * (2 * tk + 5) for tk in ties.values()
+    )
+    if s > 0:
+        z = (s - 1.0) / math.sqrt(var18 / 18.0)
+    elif s < 0:
+        z = (s + 1.0) / math.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    assert row["n_points"] == n
+    assert row["s_stat"] == s
+    assert row["var_x18"] == var18
+    assert row["z"] == pytest.approx(z, rel=1e-12)
+    assert row["trend_at_95"] == (abs(z) > 1.96)
+
+
+def test_w18_matches_python_channel(spark, duck):
+    rows = {
+        r["o_custkey"]: r
+        for r in REGISTRY["w18_rolling_extrema_channel"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    orders = duck.execute(
+        "SELECT o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) "
+        "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for k, c in orders:
+        per[k].append(c)
+    for k, cs in per.items():
+        nb = sum(
+            1
+            for i, c in enumerate(cs)
+            if i > 0 and c > max(cs[max(0, i - 5):i])
+        )
+        widest = max(
+            max(cs[max(0, i - 4):i + 1]) - min(cs[max(0, i - 4):i + 1])
+            for i in range(len(cs))
+        )
+        assert rows[k]["n_orders"] == len(cs)
+        assert rows[k]["n_breakouts"] == nb
+        assert rows[k]["widest_channel_cents"] == widest
