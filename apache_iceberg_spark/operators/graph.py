@@ -1707,3 +1707,101 @@ def g13_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_auth.unionAll(top_hub).orderBy(
         "kind", F.desc("score_micro"), "node"
     )
+
+
+# --- g14: k-core decomposition by unrolled peeling (round 13) -------------------
+
+G14_K = 12
+G14_ROUNDS = 4
+
+
+def _g14_oracle() -> str:
+    parts = [
+        "edges0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"
+    ]
+    for i in range(1, G14_ROUNDS + 1):
+        parts.append(
+            f"cdeg{i} AS (SELECT c FROM edges{i - 1} "
+            f"GROUP BY c HAVING COUNT(*) >= {G14_K})"
+        )
+        parts.append(
+            f"sdeg{i} AS (SELECT s FROM edges{i - 1} "
+            f"GROUP BY s HAVING COUNT(*) >= {G14_K})"
+        )
+        parts.append(
+            f"edges{i} AS (SELECT e.c, e.s FROM edges{i - 1} e "
+            f"JOIN cdeg{i} USING (c) JOIN sdeg{i} USING (s))"
+        )
+    selects = [
+        f"SELECT {i} AS round,"
+        f" CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,"
+        f" CAST(COUNT(DISTINCT s) AS BIGINT) AS n_suppliers,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges{i}"
+        for i in range(G14_ROUNDS + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + "\n        SELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY round"
+    )
+
+
+@register(
+    "g14_kcore_peeling",
+    oracle=_g14_oracle(),
+    doc=f"k-core decomposition (k={G14_K}) of the customer-supplier "
+    "bipartite graph by SYNCHRONOUS peeling — the density backbone "
+    "extractor behind community seeding and spam/anomaly filtering "
+    "(nodes outside the k-core are the graph's sparse fringe; the "
+    "core survives every round of 'drop everything with degree < "
+    f"k'). {G14_ROUNDS} peel rounds, UNROLLED identically in both "
+    "engines (g3's unrolled-CTE recipe: each round recomputes both "
+    "sides' degrees on the SURVIVING subgraph and keeps only "
+    "degree->=k nodes), with per-round node/edge counts emitted so "
+    "the convergence trajectory — not just the fixed point — sits "
+    "inside the value hash. All counts are exact integers; there is "
+    "no float anywhere. Scale shape: each round is two "
+    "map-side-combined degree aggs + two semi-join-shaped filters "
+    "over the edge frame, hash-partitioned on the join side — the "
+    "classic iterate-on-shrinking-edges plan whose per-round cost "
+    "falls monotonically; the persisted edge frame is released via "
+    "release_plan_caches. The fixed round count bounds plan depth "
+    "(AQE re-plans each materialized round); production peeling runs "
+    "rounds to a fixpoint with the same per-round plan.",
+    tags=("graph", "community"),
+)
+def g14_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table_parallel(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+
+    def stats(e: DataFrame, rnd: int) -> DataFrame:
+        return e.agg(
+            F.lit(rnd).cast("int").alias("round"),
+            F.countDistinct("c").cast("long").alias("n_customers"),
+            F.countDistinct("s").cast("long").alias("n_suppliers"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+        )
+
+    out = stats(edges, 0)
+    cur = edges
+    for i in range(1, G14_ROUNDS + 1):
+        cdeg = cur.groupBy("c").agg(F.count(F.lit(1)).alias("dc")).filter(
+            F.col("dc") >= G14_K
+        ).select("c")
+        sdeg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("ds")).filter(
+            F.col("ds") >= G14_K
+        ).select("s")
+        cur = cur.join(cdeg, "c", "left_semi").join(
+            sdeg, "s", "left_semi"
+        ).persist()
+        out = out.unionByName(stats(cur, i))
+    return out.orderBy("round")

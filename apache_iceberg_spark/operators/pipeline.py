@@ -26,7 +26,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from apache_iceberg_spark.operators.text import (
     _TOKEN_SPLIT,
@@ -4527,3 +4527,157 @@ def pp21_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key_nano"),
     )
     return keyed.orderBy("key_nano", "doc_id").limit(PP21_K)
+
+
+# --- tx27: Heaps' law vocabulary-growth fit (round 13) ---------------------------
+
+TX27_CHECKPOINTS = 10
+TX27_MICRO = 1_000_000
+
+_TX27_LN = f"CAST(ROUND(ln({{k}}) * {TX27_MICRO}) AS BIGINT)"
+
+
+@register(
+    "tx27_heaps_law_fit",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS tok_n
+            FROM documents
+        ),
+        toks AS (
+            SELECT r, unnest({_DUCK_TOKS}) AS tok
+            FROM documents
+            JOIN docs USING (doc_id)
+        ),
+        first_occ AS (
+            SELECT tok, CAST(MIN(r) AS BIGINT) AS fr FROM toks GROUP BY tok
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+        cps AS (
+            SELECT CAST(j AS BIGINT) AS j,
+                   (n * j + {TX27_CHECKPOINTS - 1}) // {TX27_CHECKPOINTS} AS k
+            FROM generate_series(1, {TX27_CHECKPOINTS}) AS g(j)
+            CROSS JOIN nd
+        ),
+        per AS (
+            SELECT cps.j, MAX(cps.k) AS k,
+                   CAST(SUM(d.tok_n) AS BIGINT) AS n_tokens
+            FROM cps JOIN docs d ON d.r <= cps.k
+            GROUP BY cps.j
+        ),
+        voc AS (
+            SELECT cps.j, CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM cps JOIN first_occ f ON f.fr <= cps.k
+            GROUP BY cps.j
+        ),
+        pts AS (
+            SELECT per.j, per.k, per.n_tokens, voc.vocab,
+                   {_TX27_LN.format(k='per.n_tokens')} AS x,
+                   {_TX27_LN.format(k='voc.vocab')} AS y
+            FROM per JOIN voc USING (j)
+        ),
+        fit AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM pts
+        )
+        SELECT pts.j AS decile, pts.k AS n_docs, pts.n_tokens, pts.vocab,
+               CAST(m * sxy - sx * sy AS DOUBLE)
+                   / CAST(m * sxx - sx * sx AS DOUBLE) AS heaps_beta
+        FROM pts CROSS JOIN fit
+        ORDER BY pts.j
+    """,
+    doc="Heaps' law fit — vocabulary growth V(N) ~ K * N^beta over the "
+    "corpus in ingestion (doc_id) order: ten checkpoint rows carry "
+    "(docs seen, tokens seen, distinct vocabulary) and the log-log "
+    "OLS slope beta, the curation scalar that tells you whether more "
+    "data still buys new vocabulary (beta ~ 0.5 is natural text; "
+    "beta collapsing toward 0 after a filter pass means the pass "
+    "left boilerplate clones — the growth-curve complement of tx24's "
+    "Zipf exponent and tx26's entropy). Exactness: a token's first "
+    "occurrence is MIN(doc rank) — so V at any checkpoint is an "
+    "exact COUNT, never a sketch; checkpoint coordinates snap to "
+    "integer micro-nats ({_TX27_LN}-style ln of INTEGER totals, "
+    "tx26's recipe), the OLS moments are exact HUGEINT/DECIMAL sums "
+    "over 10 rows, and beta is ONE float division of two exact "
+    "integers — bitwise across engines. Scale: one token explode -> "
+    "one (token, min rank) shuffle (the tx10/tx24 plan), then "
+    "everything is vocabulary-sized; the checkpoint joins are 10 x "
+    "vocab/docs semi-scans, map-side. Beta repeats per row (ts26's "
+    "spelling) so the single-fit answer and the curve both sit in "
+    "the value hash.",
+    tags=("text", "llm", "corpus", "statistics"),
+)
+def tx27_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks_arr = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+    docs = d.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("r"),
+        F.size(toks_arr).cast("long").alias("tok_n"),
+        toks_arr.alias("toks"),
+    ).persist()  # plan-cache: feeds first-occurrence, totals, checkpoints
+    first_occ = (
+        docs.select("r", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("r").alias("fr"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    cps = (
+        spark.range(1, TX27_CHECKPOINTS + 1)
+        .select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "j",
+            F.expr(
+                f"(n * j + {TX27_CHECKPOINTS - 1}) DIV {TX27_CHECKPOINTS}"
+            ).alias("k"),
+        )
+    )
+    per = (
+        F.broadcast(cps)
+        .join(docs, F.col("r") <= F.col("k"))
+        .groupBy("j")
+        .agg(F.max("k").alias("k"), F.sum("tok_n").alias("n_tokens"))
+    )
+    voc = (
+        F.broadcast(cps)
+        .join(first_occ, F.col("fr") <= F.col("k"))
+        .groupBy("j")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    dec = "decimal(38,0)"
+    pts = per.join(voc, "j").select(
+        "j",
+        "k",
+        "n_tokens",
+        "vocab",
+        F.expr(_TX27_LN.format(k="n_tokens")).alias("x"),
+        F.expr(_TX27_LN.format(k="vocab")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * y")).cast(dec).alias("sxy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * x")).cast(dec).alias("sxx"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("j").cast("long").alias("decile"),
+            F.col("k").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.expr(
+                "CAST(m * sxy - sx * sy AS DOUBLE) "
+                "/ CAST(m * sxx - sx * sx AS DOUBLE)"
+            ).alias("heaps_beta"),
+        )
+        .orderBy("decile")
+    )

@@ -371,3 +371,71 @@ def test_w18_matches_python_channel(spark, duck):
         assert rows[k]["n_orders"] == len(cs)
         assert rows[k]["n_breakouts"] == nb
         assert rows[k]["widest_channel_cents"] == widest
+
+
+def test_g14_matches_python_peeling(spark, duck):
+    from apache_iceberg_spark.operators.graph import G14_K, G14_ROUNDS
+
+    got = {
+        r["round"]: (r["n_customers"], r["n_suppliers"], r["n_edges"])
+        for r in REGISTRY["g14_kcore_peeling"].spark(spark, SF_DIR).collect()
+    }
+    edges = set(
+        duck.execute(
+            "SELECT DISTINCT o_custkey, l_suppkey FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey"
+        ).fetchall()
+    )
+    from collections import Counter
+
+    for rnd in range(G14_ROUNDS + 1):
+        cs = {c for c, _ in edges}
+        ss = {s for _, s in edges}
+        assert got[rnd] == (len(cs), len(ss), len(edges))
+        dc = Counter(c for c, _ in edges)
+        ds = Counter(s for _, s in edges)
+        edges = {
+            (c, s)
+            for c, s in edges
+            if dc[c] >= G14_K and ds[s] >= G14_K
+        }
+
+
+def test_tx27_matches_python_heaps(spark, duck):
+    import math
+    import re as _re
+
+    rows = REGISTRY["tx27_heaps_law_fit"].spark(spark, SF_DIR).collect()
+    docs = duck.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    n = len(docs)
+    seen: set[str] = set()
+    cum_tokens = 0
+    marks = {}
+    ks = {(n * j + 9) // 10 for j in range(1, 11)}
+    for r, (_, text) in enumerate(docs, start=1):
+        toks = _re.split(r"\s+", text.strip().lower())
+        cum_tokens += len(toks)
+        seen.update(toks)
+        if r in ks:
+            marks[r] = (cum_tokens, len(seen))
+    m = 1_000_000
+    pts = [
+        (round(math.log(t) * m), round(math.log(v) * m))
+        for t, v in marks.values()
+    ]
+    mm = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = (mm * sxy - sx * sy) / (mm * sxx - sx * sx)
+    for row in rows:
+        t, v = marks[row["n_docs"]]
+        assert row["n_tokens"] == t
+        assert row["vocab"] == v
+        assert row["heaps_beta"] == pytest.approx(beta, rel=1e-12)
+    # The sf0.001 synthetic corpus draws from a bounded template
+    # vocabulary, so V(N) saturates and beta legitimately hits 0.
+    assert 0.0 <= rows[0]["heaps_beta"] < 1.0
