@@ -4681,3 +4681,150 @@ def tx27_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- pp22: token-budget waterfill across sources (round 13) ----------------------
+
+#: Budget = half the corpus's tokens (an exact integer derivation, so
+#: the operator is scale-free across fixtures).
+PP22_BUDGET_NUM = 1
+PP22_BUDGET_DEN = 2
+
+
+@register(
+    "pp22_budget_waterfill",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS c
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(c) * {PP22_BUDGET_NUM}
+                        // {PP22_BUDGET_DEN} AS BIGINT) AS b
+            FROM per
+        ),
+        ranked AS (
+            SELECT source, c,
+                   ROW_NUMBER() OVER (ORDER BY c, source) AS k,
+                   SUM(c) OVER (ORDER BY c, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS p
+            FROM per
+        ),
+        funded AS (
+            SELECT r.*, t.m, t.b,
+                   CASE WHEN CAST(c AS HUGEINT) * (t.m - k + 1)
+                             <= t.b - (p - c)
+                        THEN 1 ELSE 0 END AS full_k
+            FROM ranked r CROSS JOIN tot t
+        ),
+        cut AS (
+            SELECT MAX(m) AS m, MAX(b) AS b,
+                   CAST(SUM(full_k) AS BIGINT) AS kstar,
+                   CAST(COALESCE(SUM(CASE WHEN full_k = 1 THEN c END), 0)
+                        AS BIGINT) AS pstar
+            FROM funded
+        )
+        SELECT f.source,
+               f.c AS tokens_available,
+               CAST(CASE WHEN f.full_k = 1 THEN f.c
+                    ELSE (cut.b - cut.pstar) // (cut.m - cut.kstar)
+                         + CASE WHEN cut.m - f.k
+                                     < (cut.b - cut.pstar)
+                                       % (cut.m - cut.kstar)
+                                THEN 1 ELSE 0 END
+                    END AS BIGINT) AS alloc_tokens,
+               CAST(f.full_k = 1 AS BOOLEAN) AS at_cap
+        FROM funded f CROSS JOIN cut
+        ORDER BY f.source
+    """,
+    doc="Exact integer WATERFILL of a token budget across sources — the "
+    "mixture allocator behind 'give every source a fair share of the "
+    "training budget, capped by what it has': sources smaller than "
+    "the fair level keep everything (at_cap), the rest split the "
+    "remaining budget evenly, and the integer remainder goes to the "
+    "LAST r sources in (size, name) order so the allocation sums to "
+    "the budget EXACTLY — no ppm drift, no float weights (pp5/pp19 "
+    "choose proportions; this turns a hard budget into per-source "
+    "grants). The boundary is the classic max-min fairness condition "
+    "c_k * (m-k+1) <= remaining_k, evaluated per rank from ONE "
+    "window pass (monotone in k, so SUM(full_k) IS the cut index). "
+    "Exactness: token counts, prefix sums, the boundary comparison "
+    "(HUGEINT product), level division and remainder are all "
+    "integers; the output invariant sum(alloc) = budget holds "
+    "bitwise. Scale: one token-count shuffle to |sources| rows; the "
+    "waterfill itself is a source-count-sized window — free at any "
+    "corpus size.",
+    tags=("pipeline", "llm", "sampling", "mixture"),
+)
+def pp22_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            F.size(
+                F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+            ).cast("long").alias("tok_n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok_n").alias("c"))
+    )
+    tot = per.agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("m"),
+        F.expr(
+            f"CAST(SUM(c) * {PP22_BUDGET_NUM} DIV {PP22_BUDGET_DEN} "
+            "AS BIGINT)"
+        ).alias("b"),
+    )
+    wr = Window.orderBy("c", "source")
+    ranked = per.select(
+        "source",
+        "c",
+        F.row_number().over(wr).cast("long").alias("k"),
+        F.sum("c").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("p"),
+    )
+    funded = ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c",
+        "k",
+        "m",
+        "b",
+        F.expr(
+            "CASE WHEN CAST(c AS DECIMAL(38,0)) * (m - k + 1) "
+            "<= b - (p - c) THEN 1 ELSE 0 END"
+        ).alias("full_k"),
+    ).persist()  # plan-cache: feeds the cut fold and the final grants
+    cut = funded.agg(
+        F.max("m").alias("m"),
+        F.max("b").alias("b"),
+        F.sum("full_k").cast("long").alias("kstar"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN full_k = 1 THEN c END")), F.lit(0)
+        ).cast("long").alias("pstar"),
+    )
+    return (
+        funded.crossJoin(F.broadcast(cut.select(
+            F.col("m").alias("cm"),
+            F.col("b").alias("cb"),
+            "kstar",
+            "pstar",
+        )))
+        .select(
+            "source",
+            F.col("c").alias("tokens_available"),
+            F.expr(
+                "CAST(CASE WHEN full_k = 1 THEN c "
+                "ELSE (cb - pstar) DIV (cm - kstar) "
+                "+ CASE WHEN cm - k < (cb - pstar) % (cm - kstar) "
+                "THEN 1 ELSE 0 END END AS BIGINT)"
+            ).alias("alloc_tokens"),
+            F.expr("full_k = 1").alias("at_cap"),
+        )
+        .orderBy("source")
+    )

@@ -2303,6 +2303,35 @@ def _st27_set_oracle() -> None:
 _st27_set_oracle()
 
 
+def _write_ordered_range_files(
+    df: DataFrame, col: str, n_files: int, src: str
+) -> None:
+    """Split ``df`` into ``n_files`` value-range files of ``col`` under
+    ``src``, written sequentially with ascending names AND mtimes — so a
+    file-source stream with maxFilesPerTrigger=1 replays them as
+    in-order micro-batches (FileStreamSource orders by (mtime, path);
+    pinning both makes the order deterministic). Shared by st28's gate
+    and st30's CDC apply — any streaming operator whose per-batch
+    decisions must compose in key order."""
+    import os
+    import shutil
+
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    os.makedirs(src)
+    span = int(hi) - int(lo) + 1
+    for i in range(n_files):
+        a = int(lo) + span * i // n_files
+        b = int(lo) + span * (i + 1) // n_files
+        part = df.filter((F.col(col) >= a) & (F.col(col) < b))
+        tmp = os.path.join(src, f"_w{i}")
+        part.coalesce(1).write.parquet(tmp)
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, files[0]), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
 # --- st28: streaming near-dup gate (dd15's fuzzy cascade AT the stream) -------
 
 
@@ -2412,22 +2441,8 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
     # so maxFilesPerTrigger=1 yields in-id-order micro-batches and the
     # per-batch gate decisions compose deterministically.
     batch_docs = d.filter(F.col("doc_id") >= t0).select("doc_id", "text")
-    lo, hi = batch_docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     src = os.path.join(base, "src")
-    os.makedirs(src)
-    span = hi - lo + 1
-    for i in range(4):
-        a = lo + span * i // 4
-        b = lo + span * (i + 1) // 4
-        part = batch_docs.filter(
-            (F.col("doc_id") >= a) & (F.col("doc_id") < b)
-        )
-        tmp = os.path.join(base, f"w{i}")
-        part.coalesce(1).write.parquet(tmp)
-        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        dst = os.path.join(src, f"b{i:03d}.parquet")
-        shutil.move(os.path.join(tmp, files[0]), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    _write_ordered_range_files(batch_docs, "doc_id", 4, src)
     outdir = os.path.join(base, "admitted")
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
@@ -2587,3 +2602,101 @@ def _st29_set_oracle() -> None:
 
 
 _st29_set_oracle()
+
+
+# --- st30: streaming CDC upsert through MERGE INTO (m49 at the stream) ---------
+
+
+@register(
+    "st30_stream_cdc_upsert",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS last_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id, last_cents FROM ranked WHERE rn = 1
+    """,
+    doc="CDC apply at the stream: m49's MERGE INTO driven per "
+    "micro-batch — the change-data-capture consumer every lakehouse "
+    "ships (a keyed update stream folds into a dimension table with "
+    "last-writer-wins). Setup: the table seeds with each user's "
+    "latest pre-cutover value; the post-cutover events replay as "
+    "ts-range micro-batches (ascending-mtime files, st28's ordered "
+    "source), and each batch reduces to ITS OWN per-user latest row "
+    "(ROW_NUMBER by ts DESC, event_id DESC — the m49 key-uniqueness "
+    "precondition by construction) then merge_into(update+insert)s "
+    "through the commit log, one atomic version per batch. Because "
+    "batches arrive in time order and each carries its own latest, "
+    "the folded table equals the GLOBAL latest-per-user — the oracle "
+    "is the declarative window recompute over all events, so the "
+    "seed/split/apply machinery must vanish from the answer. Scale: "
+    "per batch, one keyed reduction + one merge join on user_id; "
+    "state lives in the committed table, not the state store.",
+    tags=("streaming", "merge", "upsert", "cdc"),
+)
+def st30_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        merge_into,
+        read_ref,
+    )
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lo, hi = e.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    t_mid = (int(lo) + int(hi)) // 2
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("cents").alias("last_cents"))
+        )
+
+    base = tempfile.mkdtemp(prefix="st30_")
+    table = os.path.join(base, "user_state")
+    commit_snapshot(
+        latest(e.filter(F.unix_micros("ts") <= t_mid)), table
+    )
+    updates = e.filter(F.unix_micros("ts") > t_mid).withColumn(
+        "us", F.unix_micros("ts")
+    )
+    src = os.path.join(base, "src")
+    _write_ordered_range_files(updates, "us", 3, src)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into(
+            spark,
+            table,
+            latest(batch_df),
+            on=["user_id"],
+        )
+
+    query = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return read_ref(spark, table, "main")

@@ -439,3 +439,50 @@ def test_tx27_matches_python_heaps(spark, duck):
     # The sf0.001 synthetic corpus draws from a bounded template
     # vocabulary, so V(N) saturates and beta legitimately hits 0.
     assert 0.0 <= rows[0]["heaps_beta"] < 1.0
+
+
+def test_st30_folds_to_global_latest_and_commits_per_batch(spark, duck):
+    got = sorted(
+        (r["user_id"], r["last_cents"])
+        for r in REGISTRY["st30_stream_cdc_upsert"].spark(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        duck.execute(
+            "SELECT user_id, CAST(ROUND(value*100) AS BIGINT) FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) rn FROM events) WHERE rn = 1"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_pp22_waterfill_invariants(spark, duck):
+    """sum(alloc) == budget exactly; capped sources keep everything;
+    uncapped grants differ by at most 1 token; a pure-Python greedy
+    waterfill agrees."""
+    rows = REGISTRY["pp22_budget_waterfill"].spark(spark, SF_DIR).collect()
+    per = dict(
+        duck.execute(
+            "SELECT source, SUM(len(string_split_regex("
+            "lower(trim(text)), '\\s+'))) FROM documents GROUP BY source"
+        ).fetchall()
+    )
+    total = sum(per.values())
+    budget = total // 2
+    assert sum(r["alloc_tokens"] for r in rows) == budget
+    uncapped = []
+    for r in rows:
+        assert r["tokens_available"] == per[r["source"]]
+        assert r["alloc_tokens"] <= r["tokens_available"]
+        if r["at_cap"]:
+            assert r["alloc_tokens"] == r["tokens_available"]
+        else:
+            uncapped.append(r["alloc_tokens"])
+    if uncapped:
+        assert max(uncapped) - min(uncapped) <= 1
+        # max-min fairness: every capped source is smaller than any
+        # uncapped grant
+        cap_max = max(
+            (r["alloc_tokens"] for r in rows if r["at_cap"]), default=0
+        )
+        assert cap_max <= min(uncapped)
