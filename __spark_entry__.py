@@ -67,51 +67,25 @@ def _green_rounds() -> dict[str, int]:
     return latest
 
 
-# Queries whose IMPLEMENTATION changed this round (round 12): their old
+# Queries whose IMPLEMENTATION changed this round (round 13): their old
 # green rows prove the old code, so they re-enter the checked set right
 # behind never-checked queries. Refreshed every round — VERDICT r6 ask #2:
-# don't let prior-round rechecks squat in the sample. Round 12 replaced
-# every hot-path commit-log read with the incremental state cache
-# (_LogState: validated by base stat signature + segment byte offset),
-# added in-lock auto-compaction, made cross-family type evolution raise
-# instead of coerce, and hardened the stale-lock breaker and branch CAS
-# — so every consumer of catalog/snapshots.py and catalog/workspace.py
-# re-enters the sample, plus the three ask-#7 DECIMAL-audit operators
-# and g3 (which gained a real oracle this round).
+# don't let prior-round rechecks squat in the sample. Round 13 rebuilt
+# the a43 bootstrap's weight derivation (ONE md5 per event + counter-
+# based lane mixing, ranks derived from A43_REPLICAS), rewrote
+# _a40_finish join-free (range/tie windows instead of marginal rank
+# joins) with the fused _snap_cell_axes gate, switched ts29/ts30's
+# censoring predicate to strict >, HUGEINT-cast ts30's oracle terms,
+# and NULL-guarded a42's standard errors — so every consumer of those
+# paths re-enters the sample.
 RECHECK = frozenset({
-    "m5_time_travel_versions",      # reads via the cached log state
-    "m11_incremental_append_scan",  # _resolve_paths over cached state
-    "m20_snapshot_rollback",        # rollback plan reads cached head
-    "m21_orphan_cleanup",           # orphan set over cached log
-    "m22_snapshot_expiry",          # expiry rewrite installs cache state
-    "m23_metadata_only_aggregates", # metadata reads through _read_log
-    "m29_branch_tag_scan",          # ref commits via cached plan phase
-    "m30_branch_wap",               # merge under the hardened lock
-    "m31_ref_diff",                 # diff over cached base+segment
-    "m32_transplant_scan",          # transplant emits segment entries
-    "m33_ref_aware_expiry",         # heads_only + keys pruning path
-    "m34_multi_table_commit",       # ws_commit plan via _ws_first_touch
-    "m35_divergent_merge",          # merge reads cached state
-    "m36_workspace_branch_wap",     # ws pointer CAS sentinel added
-    "m37_workspace_expiry",         # ws expiry + heartbeat
-    "m38_workspace_diff",           # ws_diff over cached log
-    "m39_workspace_transplant",     # transplant under hardened lock
-    "m40_commit_retry_reuse",       # retry loop re-plans via cache
-    "m41_truncating_retention",     # retention + auto-compaction coexist
-    "m42_workspace_rollback",       # rollback tombstones via first-touch
-    "m43_evolved_append_scan",      # _widen_numeric_types now raises x-family
-    "st19_stream_branch_ingest",    # per-batch commit via cached plan
-    "st20_stream_atomic_publish",   # ws_commit idempotency + cache
-    "st21_stream_seasonal_profile", # streaming consumer of events path
-    "a36_mann_whitney",             # u2/t widened to DECIMAL(38,0)
-    "w16_winsorized_mean",          # clipped sum widened to DECIMAL(38,0)
-    # ts22_theil_sen_trend: ask-#7 audit added a DOC bound only — the
-    # implementation is unchanged, so it stays in the green tail
-    "g3_pagerank_converged",        # gained the unrolled-CTE oracle
-    # second session: the hourly spine factored out of _ts19_acf_frame
-    # (_hourly_spine/_spine_from_hourly) — its consumers re-enter
-    "ts19_autocorrelation",
-    "ts21_pacf",
+    "a43_poisson_bootstrap_ci",     # one-md5 lane mixing + derived ranks
+    "st26_stream_bootstrap_ci",     # same weights + micro-batch repartition
+    "a40_spearman_rho",             # join-free finish + fused axis gate
+    "st24_stream_rank_correlation", # same finish, precached path
+    "ts29_kaplan_meier",            # strict > censoring predicate
+    "ts30_logrank",                 # strict > + HUGEINT oracle terms
+    "a42_welch_t",                  # NULL-guarded standard errors
 })
 
 

@@ -124,6 +124,8 @@ STREAMING = [
     "st26_stream_bootstrap_ci",
     "st27_stream_median_ci",
     "st28_stream_neardup_gate",
+    "st29_stream_page_hinkley",
+    "st30_stream_cdc_upsert",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -265,6 +267,18 @@ AUX = [
     "ann23_matryoshka_truncation",
     "f17_sql_udf",
     "f18_sql_table_udf",
+    # round 13
+    "m48_sql_at_ref",
+    "m49_merge_upsert",
+    "a45_mutual_information",
+    "a46_cohens_kappa",
+    "a47_js_divergence",
+    "ts31_page_hinkley",
+    "ts32_mann_kendall",
+    "w18_rolling_extrema_channel",
+    "g14_kcore_peeling",
+    "tx27_heaps_law_fit",
+    "pp22_budget_waterfill",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
