@@ -3466,16 +3466,33 @@ def a45_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("xv", "yv")
         .agg(F.count(F.lit(1)).alias("c"))
-        # plan-cache: feeds both marginals and the joined term sum
-        .persist()
     )
-    mx = cells.groupBy("xv").agg(F.sum("c").alias("cx"))
-    my = cells.groupBy("yv").agg(F.sum("c").alias("cy"))
+    return _a45_finish(cells)
+
+
+def _a45_finish(cells: DataFrame, precached: bool = False) -> DataFrame:
+    """MI + Theil's U from an (xv, yv, c) contingency frame — shared by
+    batch a45 and streaming st31 (the joint contingency IS the mergeable
+    sufficient statistic, st24's argument), so the stream's answer is
+    bitwise-equal to a batch recompute."""
+    if not precached:
+        # plan-cache: feeds both marginals and the joined term sum
+        cells = cells.persist()
+    # Fresh attribute names on the marginal frames' join keys: mx/my
+    # derive from the same cells frame (a streaming memory-sink view in
+    # st31's case), and Spark's self-join disambiguation rejects the
+    # raw name-based join there ("conflicting references").
+    mx = cells.groupBy("xv").agg(F.sum("c").alias("cx")).select(
+        F.col("xv").alias("mxv"), "cx"
+    )
+    my = cells.groupBy("yv").agg(F.sum("c").alias("cy")).select(
+        F.col("yv").alias("myv"), "cy"
+    )
     tot = cells.agg(F.sum("c").alias("n"))
     dec = "decimal(38,0)"
     s = (
-        cells.join(F.broadcast(mx), "xv")
-        .join(F.broadcast(my), "yv")
+        cells.join(F.broadcast(mx), F.col("xv") == F.col("mxv"))
+        .join(F.broadcast(my), F.col("yv") == F.col("myv"))
         .crossJoin(F.broadcast(tot))
         .agg(
             F.sum(
@@ -3680,6 +3697,14 @@ def a47_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_p").cast("long").alias("cp"),
         F.sum(F.expr("1 - is_p")).cast("long").alias("cq"),
     )
+    return _a47_finish(cells)
+
+
+def _a47_finish(cells: DataFrame) -> DataFrame:
+    """JSD from a (v, cp, cq) joint-histogram frame — shared by batch
+    a47 and streaming st32 (the two conditional counts per value are
+    the mergeable state), so the stream's divergence is bitwise-equal
+    to a batch recompute."""
     tot = cells.agg(
         F.sum("cp").cast("long").alias("np"),
         F.sum("cq").cast("long").alias("nq"),

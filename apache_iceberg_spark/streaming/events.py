@@ -2700,3 +2700,128 @@ def st30_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return read_ref(spark, table, "main")
+
+
+# --- st31: streaming mutual-information monitor (a45 at ingest) -----------------
+
+
+@register(
+    "st31_stream_mutual_information",
+    oracle=None,  # bound to a45's oracle below
+    doc="a45's mutual information maintained BY THE STREAM: the "
+    "micro-batch aggregation keeps one COUNT per (type, hour) cell — "
+    "the joint contingency is the mergeable sufficient statistic for "
+    "MI exactly as it is for st24's rank correlation — and the "
+    "micro-nat term sum runs on the final cell table via the SAME "
+    "_a45_finish the batch operator uses, so the stream's MI/U is "
+    "bitwise-equal to a batch recompute and the driver checks it "
+    "against a45's own oracle. The monitoring story: a live "
+    "dependence gauge — a feed whose event-type mix suddenly starts "
+    "tracking the clock (bot bursts on the hour, batch jobs "
+    "masquerading as users) moves U within one micro-batch, priced "
+    "at |types| x 24 rows of state.",
+    tags=("streaming", "statistics"),
+)
+def st31_stream_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import _a45_finish
+
+    cells = (
+        stream_events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("xv"),
+            F.hour("ts").cast("long").alias("yv"),
+        )
+        .groupBy("xv", "yv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qname = f"st31_mi_{next(_stream_ids)}"
+    query = (
+        cells.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _a45_finish(spark.table(qname), precached=True)
+
+
+def _st31_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import analytics  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st31_stream_mutual_information"]
+    REGISTRY["st31_stream_mutual_information"] = dataclasses.replace(
+        q, oracle=REGISTRY["a45_mutual_information"].oracle
+    )
+
+
+_st31_set_oracle()
+
+
+# --- st32: streaming JSD drift monitor (a47 at ingest) --------------------------
+
+
+@register(
+    "st32_stream_jsd_drift",
+    oracle=None,  # bound to a47's oracle below
+    doc="a47's Jensen-Shannon divergence maintained BY THE STREAM: the "
+    "micro-batch aggregation keeps TWO conditional counts per value "
+    "cell (error-side and complement) — one mergeable histogram "
+    "carrying both distributions — and the integer micro-nat term "
+    "arithmetic runs on the final cell table via the SAME _a47_finish "
+    "the batch operator uses, so the stream's divergence is "
+    "bitwise-equal to a batch recompute and the driver checks it "
+    "against a47's own oracle. The monitoring story: the "
+    "drift-distance dashboards standardize on, live — error events' "
+    "value distribution peeling away from the rest crosses an alert "
+    "threshold within the micro-batch that completes the drift, "
+    "priced at value-support-sized state (st27's argument).",
+    tags=("streaming", "statistics", "drift"),
+)
+def st32_stream_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import _a47_finish
+
+    cells = (
+        stream_events(spark, sf_dir)
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(0)
+            .alias("is_p"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_p").cast("long").alias("cp"),
+            F.sum(F.expr("1 - is_p")).cast("long").alias("cq"),
+        )
+    )
+    qname = f"st32_jsd_{next(_stream_ids)}"
+    query = (
+        cells.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _a47_finish(spark.table(qname))
+
+
+def _st32_set_oracle() -> None:
+    import dataclasses
+
+    from apache_iceberg_spark.operators import analytics  # noqa: F401
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st32_stream_jsd_drift"]
+    REGISTRY["st32_stream_jsd_drift"] = dataclasses.replace(
+        q, oracle=REGISTRY["a47_js_divergence"].oracle
+    )
+
+
+_st32_set_oracle()

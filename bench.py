@@ -126,6 +126,8 @@ STREAMING = [
     "st28_stream_neardup_gate",
     "st29_stream_page_hinkley",
     "st30_stream_cdc_upsert",
+    "st31_stream_mutual_information",
+    "st32_stream_jsd_drift",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail

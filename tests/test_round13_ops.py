@@ -486,3 +486,13 @@ def test_pp22_waterfill_invariants(spark, duck):
             (r["alloc_tokens"] for r in rows if r["at_cap"]), default=0
         )
         assert cap_max <= min(uncapped)
+
+
+def test_st31_st32_bitwise_equal_batch_twins(spark):
+    for st, batch in (
+        ("st31_stream_mutual_information", "a45_mutual_information"),
+        ("st32_stream_jsd_drift", "a47_js_divergence"),
+    ):
+        got = REGISTRY[st].spark(spark, SF_DIR).collect()
+        want = REGISTRY[batch].spark(spark, SF_DIR).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], st
