@@ -2194,3 +2194,127 @@ def dd22_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --- dd23: MinHash estimate calibration (round 13) -------------------------------
+
+DD23_PPM = 1_000_000
+
+
+def _dd23_oracle() -> str:
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END"
+        for k in range(N_HASHES)
+    )
+    return f"""
+        WITH {minhash_lsh_ctes("documents")},
+        pairs AS (
+            SELECT cand.doc_id_a, cand.doc_id_b,
+                   ({matches}) AS est_matches,
+                   CAST(len(list_intersect(ha.hs, hb.hs)) AS HUGEINT)
+                       * {DD23_PPM}
+                       // len(list_distinct(list_concat(ha.hs, hb.hs)))
+                       AS jac_ppm
+            FROM cand
+            JOIN sig sa ON sa.doc_id = cand.doc_id_a
+            JOIN sig sb ON sb.doc_id = cand.doc_id_b
+            JOIN hashed ha ON ha.doc_id = cand.doc_id_a
+            JOIN hashed hb ON hb.doc_id = cand.doc_id_b
+        )
+        SELECT CAST(est_matches AS BIGINT) AS est_matches,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(jac_ppm) // COUNT(*) AS BIGINT)
+                   AS mean_exact_jaccard_ppm
+        FROM pairs
+        GROUP BY est_matches
+        ORDER BY est_matches
+    """
+
+
+@register(
+    "dd23_minhash_estimate_calibration",
+    oracle=_dd23_oracle(),
+    doc=f"MinHash ESTIMATOR CALIBRATION over dd2's own candidate pairs: "
+    f"for every LSH candidate, the signature's Jaccard estimate is the "
+    f"fraction of agreeing minhashes (0..{N_HASHES} of {N_HASHES}); "
+    "bucketing candidates by that estimate against their EXACT Jaccard "
+    "(integer ppm — intersection*1e6 DIV union, so the cross-row mean "
+    "is an exact integer fold, never a float sum) yields the "
+    "calibration table that justifies — or indicts — the sketch: a "
+    "monotone mean-exact column with ~k/8 spacing means the signature "
+    "is unbiased at this shingle width; a flat one means the bands "
+    "are matching on boilerplate structure, time to re-tune dd18's "
+    "parameters. This is the measurement behind every 'verify with "
+    "exact Jaccard' stage the dedup family ships (dd2/dd14/dd15/st28 "
+    "all pay the verify join because sketches estimate — this "
+    "operator shows by how much). Scale: candidate-sized work on the "
+    "SAME one-shuffle banded join as dd2 (never all-pairs); output is "
+    f"<= {N_HASHES + 1} rows at any corpus size.",
+    tags=("dedup", "llm", "report", "statistics"),
+)
+def dd23_minhash_estimate_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    hashed, bands = _minhash_bands(d)
+    sig = hashed.select(
+        "doc_id",
+        *[F.expr(_spark_minhash(s)).alias(f"mh{s}") for s in range(N_HASHES)],
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_key")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_id_b"), "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(N_HASHES)],
+    )
+    ha = hashed.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("hs_a")
+    )
+    hb = hashed.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("hs_b")
+    )
+    matches = " + ".join(
+        f"CASE WHEN a{k} = b{k} THEN 1 ELSE 0 END" for k in range(N_HASHES)
+    )
+    pairs = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .join(ha, "doc_id_a")
+        .join(hb, "doc_id_b")
+        .select(
+            F.expr(f"({matches})").alias("est_matches"),
+            F.expr(
+                f"CAST(size(array_intersect(hs_a, hs_b)) AS DECIMAL(38,0)) "
+                f"* {DD23_PPM} DIV size(array_union(hs_a, hs_b))"
+            ).alias("jac_ppm"),
+        )
+    )
+    return (
+        pairs.groupBy("est_matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(jac_ppm) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_exact_jaccard_ppm"),
+        )
+        .select(
+            F.col("est_matches").cast("long").alias("est_matches"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "mean_exact_jaccard_ppm",
+        )
+        .orderBy("est_matches")
+    )

@@ -281,6 +281,7 @@ AUX = [
     "g14_kcore_peeling",
     "tx27_heaps_law_fit",
     "pp22_budget_waterfill",
+    "dd23_minhash_estimate_calibration",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
