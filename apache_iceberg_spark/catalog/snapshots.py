@@ -710,14 +710,32 @@ def _check_partition_layout(
         )
 
 
+def _column_stats(df: DataFrame, cols: list[str]) -> dict:
+    """Per-column [min, max] of ``df`` — the Iceberg manifest-style file
+    stats a pruned read skips on. One agg job; values must be
+    JSON-serializable (ints/floats/strings all are)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols}
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
     ts_ms: int | None = None,
     partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the table's next immutable snapshot; returns the
     new version number. Copy-on-write: existing versions are untouched.
+
+    ``stats_cols``: record per-column [min, max] in the commit entry —
+    Iceberg's manifest column stats, which ``read_pruned`` uses to skip
+    whole data directories from a range predicate without opening them.
 
     Crash-safe: the version directory is written first, so a commit that
     died after writing v{N}/ but before the log swap leaves an orphan the
@@ -736,16 +754,15 @@ def commit_snapshot(
         # whole partition directories from a literal partition predicate.
         w = w.partitionBy(*partition_by)
     w.parquet(vdir)
-    _append_commit(
-        table_path,
-        {
-            "version": version,
-            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
-            "path": vdir,
-            "partition_by": partition_by,
-        },
-        expected_head=head,
-    )
+    entry = {
+        "version": version,
+        "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+        "path": vdir,
+        "partition_by": partition_by,
+    }
+    if stats_cols:
+        entry["stats"] = _column_stats(df, stats_cols)
+    _append_commit(table_path, entry, expected_head=head)
     return version
 
 
@@ -754,6 +771,7 @@ def commit_append(
     table_path: str,
     ts_ms: int | None = None,
     partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append ``df`` as the table's next snapshot WITHOUT rewriting any
     existing data: only the new batch is written (``d{N}/``), and the new
@@ -773,17 +791,16 @@ def commit_append(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(ddir)
-    _append_commit(
-        table_path,
-        {
-            "version": version,
-            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
-            "adds": [ddir],
-            "parent": parent["version"],
-            "partition_by": partition_by,
-        },
-        expected_head=parent["version"],
-    )
+    entry = {
+        "version": version,
+        "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+        "adds": [ddir],
+        "parent": parent["version"],
+        "partition_by": partition_by,
+    }
+    if stats_cols:
+        entry["stats"] = _column_stats(df, stats_cols)
+    _append_commit(table_path, entry, expected_head=parent["version"])
     return version
 
 
@@ -901,6 +918,76 @@ def read_incremental(
     if not delta:
         return _read_dirs(spark, target).limit(0)
     return _read_dirs(spark, delta)
+
+
+def _resolve_paths_with_stats(
+    by_v: dict[int, dict], entry: dict
+) -> list[tuple[str, dict]]:
+    """Like ``_resolve_paths`` but pairing each data directory with the
+    committing entry's recorded column stats ({} when the commit carried
+    none) — the per-file stats walk a pruned read needs."""
+    chain: list[tuple[list[str], dict]] = []
+    e = entry
+    while True:
+        if "paths" in e:
+            base = [(p, e.get("stats") or {}) for p in e["paths"]]
+            break
+        if "path" in e:
+            base = [(e["path"], e.get("stats") or {})]
+            break
+        chain.append((e["adds"], e.get("stats") or {}))
+        e = by_v[e["parent"]]
+    for adds, st in reversed(chain):
+        base.extend((p, st) for p in adds)
+    return base
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Range scan with MANIFEST-STATS FILE PRUNING — Iceberg's min/max
+    file skipping on the emulated catalog: every data directory whose
+    committed [min, max] for ``col`` is disjoint from [lo, hi] is
+    dropped WITHOUT being opened; the survivors are scanned and the
+    predicate re-applied row-level (stats prune conservatively, rows
+    decide exactly). Directories committed without stats are always
+    scanned — absence of stats can never lose rows.
+
+    Returns (frame, n_dirs_scanned, n_dirs_pruned). At 100 TB this is
+    the difference between touching every file of an append-only table
+    and touching the handful whose ranges overlap the query — the same
+    metadata-only planning as partition pruning, but on VALUE ranges,
+    so it works for unpartitioned columns too."""
+    log = _read_log(table_path)
+    if not log:
+        raise ValueError(f"no snapshots at {table_path}")
+    by_v = _by_version(log)
+    entry = by_v[version] if version is not None else log[-1]
+    pairs = _resolve_paths_with_stats(by_v, entry)
+    kept: list[str] = []
+    pruned = 0
+    for path, stats in pairs:
+        rng = stats.get(col)
+        if (
+            rng is not None
+            and rng[0] is not None
+            and rng[1] is not None
+            and (rng[1] < lo or rng[0] > hi)
+        ):
+            pruned += 1
+            continue
+        kept.append(path)
+    from pyspark.sql import functions as F
+
+    df = _read_dirs(spark, kept).filter(
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )
+    return df, len(kept), pruned
 
 
 def read_snapshot_dirs(

@@ -3774,3 +3774,87 @@ def m49_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderkey") % 3 != 0, 1).otherwise(0)
         ).cast("long").alias("n_inserted"),
     )
+
+
+@register(
+    "m50_stats_pruned_scan",
+    oracle="""
+        WITH bounds AS (
+            SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+            FROM orders
+        ),
+        edges AS (
+            SELECT lo, hi,
+                   lo + ((hi - lo + 1) * 1) // 5 AS e1,
+                   lo + ((hi - lo + 1) * 2) // 5 AS e2,
+                   lo + ((hi - lo + 1) * 3) // 5 AS e3,
+                   lo + ((hi - lo + 1) * 4) // 5 AS e4
+            FROM bounds
+        ),
+        q AS (
+            SELECT e1 AS qlo, e3 - 1 AS qhi FROM edges
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(2 AS BIGINT) AS n_dirs_scanned,
+               CAST(3 AS BIGINT) AS n_dirs_pruned
+        FROM orders CROSS JOIN q
+        WHERE o_orderkey >= q.qlo AND o_orderkey <= q.qhi
+    """,
+    doc="MANIFEST-STATS FILE PRUNING (round 13): Iceberg's min/max file "
+    "skipping on the emulated catalog — commits record per-column "
+    "[min, max] in their log entries (one agg job at write time, "
+    "``stats_cols``), and ``read_pruned`` drops every data directory "
+    "whose range is disjoint from the predicate WITHOUT opening it, "
+    "then re-applies the predicate row-level on the survivors (stats "
+    "prune conservatively, rows decide exactly; stat-less directories "
+    "are always scanned so absence can never lose rows). The workflow "
+    "commits orders as FIVE key-range appends with stats and queries "
+    "the middle two ranges: the row count, exact cents total, AND the "
+    "pruning effectiveness (2 scanned / 3 pruned — knowable from the "
+    "construction, so the oracle pins it) all sit inside one value "
+    "hash. At 100 TB this is the metadata-only planning that turns an "
+    "append-only table's full scan into touching the handful of files "
+    "whose ranges overlap — partition pruning's value-range sibling, "
+    "and it composes with branches/time travel because stats live on "
+    "the commit entries.",
+    tags=("scale", "snapshot", "pruning"),
+)
+def m50_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        read_pruned,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    span = int(hi) - int(lo) + 1
+    edges = [int(lo) + span * i // 5 for i in range(6)]
+    table = os.path.join(tempfile.mkdtemp(prefix="pruned_"), "orders")
+    first = o.filter(
+        (F.col("o_orderkey") >= edges[0]) & (F.col("o_orderkey") < edges[1])
+    )
+    commit_snapshot(first, table, stats_cols=["o_orderkey"])
+    for i in range(1, 5):
+        part = o.filter(
+            (F.col("o_orderkey") >= edges[i])
+            & (F.col("o_orderkey") < edges[i + 1])
+        )
+        commit_append(part, table, stats_cols=["o_orderkey"])
+    qlo, qhi = edges[1], edges[3] - 1
+    df, n_scanned, n_pruned = read_pruned(
+        spark, table, "o_orderkey", qlo, qhi
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.lit(n_scanned).cast("long").alias("n_dirs_scanned"),
+        F.lit(n_pruned).cast("long").alias("n_dirs_pruned"),
+    )

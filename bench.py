@@ -282,6 +282,7 @@ AUX = [
     "tx27_heaps_law_fit",
     "pp22_budget_waterfill",
     "dd23_minhash_estimate_calibration",
+    "m50_stats_pruned_scan",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -496,3 +496,32 @@ def test_st31_st32_bitwise_equal_batch_twins(spark):
         got = REGISTRY[st].spark(spark, SF_DIR).collect()
         want = REGISTRY[batch].spark(spark, SF_DIR).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want], st
+
+
+def test_read_pruned_conservative_and_exact(spark, tmp_path):
+    """Pruning must never lose rows: stat-less dirs always scan, edge
+    ranges touch-inclusive, and the row-level predicate re-applies."""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        read_pruned,
+    )
+
+    table = str(tmp_path / "t")
+    mk = lambda a, b: spark.range(a, b).select(F.col("id").alias("k"))  # noqa: E731
+    commit_snapshot(mk(0, 10), table, stats_cols=["k"])
+    commit_append(mk(10, 20), table, stats_cols=["k"])
+    commit_append(mk(20, 30), table)  # NO stats: must always scan
+    commit_append(mk(30, 40), table, stats_cols=["k"])
+
+    df, scanned, pruned = read_pruned(spark, table, "k", 12, 18)
+    assert sorted(r.k for r in df.collect()) == list(range(12, 19))
+    # dirs: [0,10) pruned, [10,20) kept, stat-less kept, [30,40) pruned
+    assert (scanned, pruned) == (2, 2)
+
+    # boundary touch: hi == dir min must keep the dir
+    df2, scanned2, _ = read_pruned(spark, table, "k", 9, 10)
+    assert sorted(r.k for r in df2.collect()) == [9, 10]
+    assert scanned2 == 3  # [0,10), [10,20), stat-less
