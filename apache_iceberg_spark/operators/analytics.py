@@ -3743,3 +3743,96 @@ def _a47_finish(cells: DataFrame) -> DataFrame:
             f"CAST(jsd_micro * {A47_MICRO} DIV {A47_LN2_MICRO} AS BIGINT)"
         ).alias("jsd_ppm_of_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a48: odds ratio with Woolf CI (round 13)
+# ---------------------------------------------------------------------------
+
+#: z for the 95% two-sided interval — the one Python-side constant.
+A48_Z95 = 1.96
+
+_A48_LNOR = (
+    "(CAST(ROUND(ln(CAST(n11 AS DOUBLE) * n00) * 1000000) AS BIGINT) "
+    "- CAST(ROUND(ln(CAST(n10 AS DOUBLE) * n01) * 1000000) AS BIGINT))"
+)
+_A48_SE = (
+    "sqrt(1.0 / n11 + 1.0 / n10 + 1.0 / n01 + 1.0 / n00)"
+)
+
+
+@register(
+    "a48_odds_ratio",
+    oracle=f"""
+        WITH x AS (
+            SELECT CASE WHEN CAST(ROUND(value * 100) AS BIGINT)
+                             >= {A46_CENTS_THRESHOLD} THEN 1 ELSE 0 END AS ra,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS rb
+            FROM events
+        ),
+        c AS (
+            SELECT CAST(SUM(ra * rb) AS BIGINT) AS n11,
+                   CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+                   CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+            FROM x
+        )
+        SELECT n11, n10, n01, n00,
+               CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0
+                    THEN {_A48_LNOR} ELSE NULL END AS ln_or_micro,
+               CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0
+                    THEN exp(CAST({_A48_LNOR} AS DOUBLE) / 1000000.0
+                             - {A48_Z95} * {_A48_SE})
+                    ELSE NULL END AS or_ci_lo,
+               CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0
+                    THEN exp(CAST({_A48_LNOR} AS DOUBLE) / 1000000.0
+                             + {A48_Z95} * {_A48_SE})
+                    ELSE NULL END AS or_ci_hi
+        FROM c
+    """,
+    doc="Odds ratio of the high-value rule vs the error-type rule with "
+    "Woolf's 95% CI — a46's kappa says whether two rules AGREE; the "
+    "odds ratio says how much one FLAG MULTIPLIES THE ODDS of the "
+    "other, the effect-size number an incident review quotes (with "
+    "the CI excluding 1.0 as the significance read). Exactness: the "
+    "2x2 counts are one map-side-combined integer pass; ln(OR) is the "
+    "DIFFERENCE of two micro-nat-snapped logs of INTEGER PRODUCTS "
+    "(n11*n00 and n10*n01 — tx26's recipe, so the integer column "
+    "hashes bitwise), and the CI endpoints are one shared float "
+    "expression (exp/sqrt over exact counts, identical text both "
+    "engines). Zero cells NULL-guard the ratio outputs (a42's rule) "
+    "while the counts still report. Output is 1 row at any scale.",
+    tags=("aggregate", "statistics"),
+)
+def a48_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        F.when(
+            _cents(F.col("value")) >= A46_CENTS_THRESHOLD, 1
+        ).otherwise(0).alias("ra"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("rb"),
+    )
+    c = x.agg(
+        F.sum(F.expr("ra * rb")).cast("long").alias("n11"),
+        F.sum(F.expr("ra * (1 - rb)")).cast("long").alias("n10"),
+        F.sum(F.expr("(1 - ra) * rb")).cast("long").alias("n01"),
+        F.sum(F.expr("(1 - ra) * (1 - rb)")).cast("long").alias("n00"),
+    )
+    guard = "n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0"
+    return c.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            f"CASE WHEN {guard} THEN {_A48_LNOR} ELSE NULL END"
+        ).alias("ln_or_micro"),
+        F.expr(
+            f"CASE WHEN {guard} THEN exp(CAST({_A48_LNOR} AS DOUBLE) "
+            f"/ 1000000.0 - {A48_Z95} * {_A48_SE}) ELSE NULL END"
+        ).alias("or_ci_lo"),
+        F.expr(
+            f"CASE WHEN {guard} THEN exp(CAST({_A48_LNOR} AS DOUBLE) "
+            f"/ 1000000.0 + {A48_Z95} * {_A48_SE}) ELSE NULL END"
+        ).alias("or_ci_hi"),
+    )

@@ -283,6 +283,7 @@ AUX = [
     "pp22_budget_waterfill",
     "dd23_minhash_estimate_calibration",
     "m50_stats_pruned_scan",
+    "a48_odds_ratio",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
