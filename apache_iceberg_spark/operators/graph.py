@@ -1780,6 +1780,9 @@ def g14_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # plan-cache: each round's edge frame feeds BOTH degree aggs,
+        # both semi-join filters, and the stats row of the RETURNED lazy
+        # union (released by the caller via release_plan_caches)
         .persist()
     )
 
