@@ -2396,7 +2396,6 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
     """st28's core, factored so tests can inspect the committed index
     tables under the returned base dir (st19/st20's pattern)."""
     import os
-    import shutil
 
     from apache_iceberg_spark.catalog.snapshots import (
         commit_append_ref,
