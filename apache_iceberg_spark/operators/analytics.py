@@ -3836,3 +3836,165 @@ def a48_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"/ 1000000.0 + {A48_Z95} * {_A48_SE}) ELSE NULL END"
         ).alias("or_ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a49: paired bootstrap CI for the difference of means (round 13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a49_bootstrap_diff_ci",
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_p,
+                   md5(CAST(event_id AS VARCHAR)) AS h
+            FROM events
+        ),
+        cf AS (
+            SELECT v, is_p,
+                   {_a43_coef_duck(1)} AS ca,
+                   {_a43_coef_duck(9)} AS cb,
+                   {_a43_coef_duck(17)} AS cc
+            FROM x
+        ),
+        reps(b) AS (
+            SELECT unnest(generate_series(0, {A43_REPLICAS - 1}))
+        ),
+        weighted AS (
+            SELECT b, v, is_p, {_a43_weight_case("u")} AS k
+            FROM (SELECT b, v, is_p, {_A43_U} AS u
+                  FROM cf CROSS JOIN reps)
+        ),
+        per_rep AS (
+            SELECT b,
+                   CAST(SUM(CASE WHEN is_p = 1 THEN CAST(k AS HUGEINT) * v
+                            ELSE 0 END) * {A43_MICRO}
+                        // SUM(CASE WHEN is_p = 1 THEN k ELSE 0 END)
+                        - SUM(CASE WHEN is_p = 0 THEN CAST(k AS HUGEINT) * v
+                              ELSE 0 END) * {A43_MICRO}
+                          // SUM(CASE WHEN is_p = 0 THEN k ELSE 0 END)
+                        AS BIGINT) AS diff_micro
+            FROM weighted GROUP BY b
+        ),
+        ranked AS (
+            SELECT diff_micro,
+                   ROW_NUMBER() OVER (ORDER BY diff_micro) AS r
+            FROM per_rep
+        ),
+        point AS (
+            SELECT CAST(SUM(is_p) AS BIGINT) AS n_p,
+                   CAST(SUM(1 - is_p) AS BIGINT) AS n_q,
+                   CAST(SUM(CASE WHEN is_p = 1 THEN CAST(v AS HUGEINT)
+                            ELSE 0 END) * {A43_MICRO} // SUM(is_p)
+                        - SUM(CASE WHEN is_p = 0 THEN CAST(v AS HUGEINT)
+                              ELSE 0 END) * {A43_MICRO} // SUM(1 - is_p)
+                        AS BIGINT) AS diff_micro
+            FROM x
+        )
+        SELECT point.n_p, point.n_q, point.diff_micro,
+               MAX(CASE WHEN r = {A43_RANK_LO} THEN ranked.diff_micro END)
+                   AS ci_lo_micro,
+               MAX(CASE WHEN r = {A43_RANK_HI} THEN ranked.diff_micro END)
+                   AS ci_hi_micro,
+               CAST(MAX(CASE WHEN r = {A43_RANK_LO}
+                             THEN ranked.diff_micro END) > 0
+                    OR MAX(CASE WHEN r = {A43_RANK_HI}
+                           THEN ranked.diff_micro END) < 0
+                    AS BOOLEAN) AS significant_at_95
+        FROM ranked CROSS JOIN point
+        GROUP BY point.n_p, point.n_q, point.diff_micro
+    """,
+    doc="PAIRED deterministic bootstrap CI for the DIFFERENCE of mean "
+    "values, error events minus the rest — a42's Welch t answers the "
+    "same question parametrically; this is the distribution-free "
+    "version (fat tails, no normality), and it reuses a43's whole "
+    "machinery: ONE md5 per event, counter-based lane mixing, the "
+    "prequantized Poisson(1) inverse-CDF — with each replica drawing "
+    "BOTH groups from the same lane weights (the paired bootstrap, "
+    "which cancels draw noise from the difference). Replica "
+    "differences are exact integer micro-units, CI bounds are the "
+    "derived order-statistic ranks, and the significance bit is 'the "
+    "CI excludes 0'. Scale shape = a43's: map-side explode + "
+    f"{A43_REPLICAS} mergeable partials, nothing row-scale after the "
+    "groupBy; the conditional sums ride the same DECIMAL(38,0)/"
+    "HUGEINT digit budget.",
+    tags=("aggregate", "statistics", "sampling"),
+)
+def a49_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        _cents(F.col("value")).alias("v"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_p"),
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    )
+    cf = x.select(
+        "v",
+        "is_p",
+        F.expr(_a43_coef_spark(1)).alias("ca"),
+        F.expr(_a43_coef_spark(9)).alias("cb"),
+        F.expr(_a43_coef_spark(17)).alias("cc"),
+    )
+    dec = "decimal(38,0)"
+    weighted = (
+        cf.select(
+            F.explode(F.expr(f"sequence(0, {A43_REPLICAS - 1})")).alias("b"),
+            "v",
+            "is_p",
+            "ca",
+            "cb",
+            "cc",
+        )
+        .select("b", "v", "is_p", F.expr(_A43_U).alias("u"))
+        .select("b", "v", "is_p", F.expr(_a43_weight_case("u")).alias("k"))
+    )
+    per_rep = weighted.groupBy("b").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN is_p = 1 THEN CAST(k AS {dec}) * v "
+            f"ELSE CAST(0 AS {dec}) END) * {A43_MICRO} "
+            "DIV SUM(CASE WHEN is_p = 1 THEN k ELSE 0 END) "
+            f"- SUM(CASE WHEN is_p = 0 THEN CAST(k AS {dec}) * v "
+            f"ELSE CAST(0 AS {dec}) END) * {A43_MICRO} "
+            "DIV SUM(CASE WHEN is_p = 0 THEN k ELSE 0 END) AS BIGINT)"
+        ).alias("diff_micro")
+    )
+    ranked = per_rep.select(
+        "diff_micro",
+        F.row_number().over(Window.orderBy("diff_micro")).alias("r"),
+    )
+    point = x.agg(
+        F.sum("is_p").cast("long").alias("n_p"),
+        F.sum(F.expr("1 - is_p")).cast("long").alias("n_q"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN is_p = 1 THEN CAST(v AS {dec}) "
+            f"ELSE CAST(0 AS {dec}) END) * {A43_MICRO} DIV SUM(is_p) "
+            f"- SUM(CASE WHEN is_p = 0 THEN CAST(v AS {dec}) "
+            f"ELSE CAST(0 AS {dec}) END) * {A43_MICRO} DIV SUM(1 - is_p) "
+            "AS BIGINT)"
+        ).alias("diff_micro"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point.select(
+            "n_p", "n_q", F.col("diff_micro").alias("point_diff")
+        )))
+        .groupBy("n_p", "n_q", "point_diff")
+        .agg(
+            F.max(
+                F.expr(f"CASE WHEN r = {A43_RANK_LO} THEN diff_micro END")
+            ).alias("ci_lo_micro"),
+            F.max(
+                F.expr(f"CASE WHEN r = {A43_RANK_HI} THEN diff_micro END")
+            ).alias("ci_hi_micro"),
+        )
+        .select(
+            "n_p",
+            "n_q",
+            F.col("point_diff").alias("diff_micro"),
+            "ci_lo_micro",
+            "ci_hi_micro",
+            F.expr(
+                "ci_lo_micro > 0 OR ci_hi_micro < 0"
+            ).alias("significant_at_95"),
+        )
+    )

@@ -2318,3 +2318,96 @@ def dd23_minhash_estimate_calibration(
         )
         .orderBy("est_matches")
     )
+
+
+# --- dd24: duplication inflation factor per source (round 13) --------------------
+
+
+@register(
+    "dd24_dup_inflation_factor",
+    oracle="""
+        WITH t AS (
+            SELECT source, md5(text) AS content_hash,
+                   CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                        AS BIGINT) AS tok_n
+            FROM documents
+        ),
+        per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok_n) AS BIGINT) AS total_tokens
+            FROM t GROUP BY source
+        ),
+        uniq AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+                   CAST(SUM(tok_n) AS BIGINT) AS unique_tokens
+            FROM (SELECT source, content_hash, MAX(tok_n) AS tok_n
+                  FROM t GROUP BY source, content_hash)
+            GROUP BY source
+        )
+        SELECT per.source, n_docs, n_unique_docs, total_tokens,
+               unique_tokens,
+               CAST(CAST(total_tokens AS HUGEINT) * 1000000
+                    // unique_tokens AS BIGINT) AS inflation_ppm
+        FROM per JOIN uniq ON per.source = uniq.source
+        ORDER BY per.source
+    """,
+    doc="Duplication INFLATION FACTOR per source — the epochs-equivalent "
+    "number dedup decisions hang on: total tokens divided by tokens of "
+    "the DISTINCT texts (exact content-hash identity, dd1's), in "
+    "integer ppm. inflation 1.0 means every token is fresh; 2.0 means "
+    "training on this source unfiltered is effectively two epochs over "
+    "half the data — the published duplication-scaling results are "
+    "parameterized by exactly this ratio, which makes it the triage "
+    "column between dd22's cluster histogram (how dup is structured) "
+    "and pp22's budget allocator (what to do about it). Exactness: "
+    "identical-text docs have identical token counts, so MAX(tok_n) "
+    "per (source, hash) is the well-defined representative; all sums "
+    "BIGINT/HUGEINT, the ratio one integer DIV. Scale: one "
+    "(source, hash) shuffle with map-side combine, then source-sized "
+    "re-aggs — the dd1 plan with a token column along for the ride.",
+    tags=("dedup", "llm", "report"),
+)
+def dd24_dup_inflation_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.md5(F.col("text")).alias("content_hash"),
+        F.size(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).cast("long").alias("tok_n"),
+    )
+    per = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok_n").cast("long").alias("total_tokens"),
+    )
+    uniq = (
+        t.groupBy("source", "content_hash")
+        .agg(F.max("tok_n").alias("tok_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique_docs"),
+            F.sum("tok_n").cast("long").alias("unique_tokens"),
+        )
+        .select(
+            F.col("source").alias("usource"),
+            "n_unique_docs",
+            "unique_tokens",
+        )
+    )
+    return (
+        per.join(uniq, F.col("source") == F.col("usource"))
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_docs",
+            "total_tokens",
+            "unique_tokens",
+            F.expr(
+                "CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000 "
+                "DIV unique_tokens AS BIGINT)"
+            ).alias("inflation_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -4828,3 +4828,106 @@ def pp22_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- mm13: vision token budget under anyres tiling (round 13) --------------------
+
+MM13_TILE = 336          # tile side (the common ViT-L/14 @ 336 input)
+MM13_TOKENS_PER_TILE = 576  # (336/14)^2 patches per tile
+MM13_MAX_G = 3           # grid side clamp: at most 3x3 tiles + thumbnail
+
+
+@register(
+    "mm13_vision_token_budget",
+    oracle=f"""
+        WITH img AS (
+            SELECT source,
+                   128 * (4 + ascii(substr(text, 1, 1)) % 13) AS w,
+                   128 * (4 + ascii(substr(text, 2, 1)) % 13) AS h
+            FROM documents WHERE length(text) >= 2
+        ),
+        grid AS (
+            SELECT source,
+                   LEAST((w + {MM13_TILE - 1}) // {MM13_TILE},
+                         {MM13_MAX_G}) AS gx,
+                   LEAST((h + {MM13_TILE - 1}) // {MM13_TILE},
+                         {MM13_MAX_G}) AS gy
+            FROM img
+        ),
+        toks AS (
+            SELECT source, gx, gy,
+                   (gx * gy + 1) * {MM13_TOKENS_PER_TILE} AS vt
+            FROM grid
+        ),
+        per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_images,
+                   CAST(SUM(vt) AS BIGINT) AS vision_tokens
+            FROM toks GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(vision_tokens) AS BIGINT) AS t FROM per)
+        SELECT source, n_images, vision_tokens,
+               CAST(CAST(vision_tokens AS HUGEINT) * 1000000 // t AS BIGINT)
+                   AS share_ppm
+        FROM per CROSS JOIN tot
+        ORDER BY source
+    """,
+    doc="VISION TOKEN BUDGET under anyres tiling — the planning number "
+    "a VLM data pipeline needs BEFORE training: each image (mm11/mm12's "
+    "deterministic metadata dims) maps to a tile grid (ceil(side/336) "
+    f"per axis, clamped to {MM13_MAX_G}) plus the global thumbnail, at "
+    f"{MM13_TOKENS_PER_TILE} patch tokens per tile — the LLaVA-NeXT-"
+    "style cost model where one 1344px-wide image costs ~10x a "
+    "thumbnail-only one; summed per source with the ppm share of the "
+    "corpus budget, this is what decides which sources blow the "
+    "sequence-length budget (mm10 packs sequences AFTER this number "
+    "says what each image costs). Exact integers end to end: ceil as "
+    "(x + t - 1) DIV t on non-negative operands, token sums in "
+    "BIGINT/HUGEINT, the share one integer DIV. Scale: map-only "
+    "geometry + ONE |sources|-row groupBy — scan bandwidth with a "
+    "source-count-sized result, same as mm11/mm12; the real decode "
+    "never runs (the binary-payload rule: metadata decides, payloads "
+    "move only for the chosen rows).",
+    tags=("multimodal", "llm", "pipeline"),
+)
+def mm13_vision_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    img = d.filter(F.length("text") >= 2).select(
+        "source",
+        F.expr("128 * (4 + ascii(substr(text, 1, 1)) % 13)").alias("w"),
+        F.expr("128 * (4 + ascii(substr(text, 2, 1)) % 13)").alias("h"),
+    )
+    grid = img.select(
+        "source",
+        F.expr(
+            f"LEAST((w + {MM13_TILE - 1}) DIV {MM13_TILE}, {MM13_MAX_G})"
+        ).alias("gx"),
+        F.expr(
+            f"LEAST((h + {MM13_TILE - 1}) DIV {MM13_TILE}, {MM13_MAX_G})"
+        ).alias("gy"),
+    )
+    per = (
+        grid.select(
+            "source",
+            F.expr(f"(gx * gy + 1) * {MM13_TOKENS_PER_TILE}").alias("vt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("vt").cast("long").alias("vision_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("vision_tokens").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_images",
+            "vision_tokens",
+            F.expr(
+                "CAST(CAST(vision_tokens AS DECIMAL(38,0)) * 1000000 "
+                "DIV t AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -284,6 +284,9 @@ AUX = [
     "dd23_minhash_estimate_calibration",
     "m50_stats_pruned_scan",
     "a48_odds_ratio",
+    "a49_bootstrap_diff_ci",
+    "mm13_vision_token_budget",
+    "dd24_dup_inflation_factor",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

