@@ -2426,3 +2426,63 @@ def w18_rolling_extrema_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "f19_variant_shred",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   json_extract_string(props, '$.absent') AS missing
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS k_total,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
+               CAST(SUM(CASE WHEN missing IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missing
+        FROM v
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT shredding — the engine's NEW semi-structured "
+    "type (parse_json -> VariantType, the open-format binary encoding "
+    "Iceberg v3 and Delta adopted for JSON columns): the props JSON "
+    "parses ONCE into a variant, typed paths extract via "
+    "try_variant_get (a bigint '$.k' and a deliberately ABSENT path "
+    "whose NULL semantics sit inside the hash), and the per-type "
+    "aggregate proves parse->extract->aggregate end to end. This is "
+    "the successor to f6's string-re-parsing get_json_object path: at "
+    "100 TB a variant column parses each JSON document once at WRITE "
+    "(or first touch) instead of once per extraction expression, and "
+    "shredded sub-columns give parquet-level pushdown — the oracle "
+    "states the same semantics through DuckDB's JSON extraction, so "
+    "the value hash pins that VARIANT typing changes no answers. "
+    "Scale: map-only parse + one map-side-combined groupBy to "
+    "|types| rows.",
+    tags=("functions", "json", "variant"),
+)
+def f19_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.parse_json(F.col("props")).alias("v"),
+    ).select(
+        "event_type",
+        F.expr("try_variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.absent', 'string')").alias("missing"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("k").cast("long").alias("k_total"),
+            F.countDistinct("k").cast("long").alias("k_distinct"),
+            F.sum(
+                F.when(F.col("missing").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )

@@ -287,6 +287,7 @@ AUX = [
     "a49_bootstrap_diff_ci",
     "mm13_vision_token_budget",
     "dd24_dup_inflation_factor",
+    "f19_variant_shred",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
