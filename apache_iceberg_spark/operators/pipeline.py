@@ -4605,22 +4605,59 @@ _TX27_LN = f"CAST(ROUND(ln({{k}}) * {TX27_MICRO}) AS BIGINT)"
     "integer micro-nats ({_TX27_LN}-style ln of INTEGER totals, "
     "tx26's recipe), the OLS moments are exact HUGEINT/DECIMAL sums "
     "over 10 rows, and beta is ONE float division of two exact "
-    "integers — bitwise across engines. Scale: one token explode -> "
-    "one (token, min rank) shuffle (the tx10/tx24 plan), then "
-    "everything is vocabulary-sized; the checkpoint joins are 10 x "
-    "vocab/docs semi-scans, map-side. Beta repeats per row (ts26's "
-    "spelling) so the single-fit answer and the curve both sit in "
-    "the value hash.",
+    "integers — bitwise across engines. Scale: the ingestion rank is "
+    "pp8's DISTRIBUTED rank (value-range buckets + per-bucket windows "
+    "+ a broadcast prefix rebase — no global single-partition sort), "
+    "then one token explode -> one (token, min rank) shuffle (the "
+    "tx10/tx24 plan), then everything is vocabulary-sized; the "
+    "checkpoint joins are 10 x vocab/docs semi-scans, map-side. Beta "
+    "repeats per row (ts26's spelling) so the single-fit answer and "
+    "the curve both sit in the value hash.",
     tags=("text", "llm", "corpus", "statistics"),
 )
 def tx27_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
     toks_arr = F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
-    docs = d.select(
+    # DISTRIBUTED doc rank (pp8's recipe): a bare row_number over the
+    # whole corpus would single-partition-sort every doc at 100 TB.
+    # doc_ids bucket by value range (buckets are ordered), ranks are
+    # per-bucket windows, and a broadcast exclusive-prefix rebases them
+    # to the global rank — identical result, parallel sort.
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    nb = 64
+    span = int(hi) - int(lo) + 1
+    bucketed = d.select(
         "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("r"),
+        F.expr(
+            f"CAST((doc_id - {int(lo)}) * {nb} DIV {span} AS INT)"
+        ).alias("bucket"),
         F.size(toks_arr).cast("long").alias("tok_n"),
         toks_arr.alias("toks"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("doc_id")
+    )
+    per_doc = bucketed.withColumn("within", within)
+    bprefix = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("btot"))
+        .select(
+            "bucket",
+            F.coalesce(
+                F.sum("btot").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("bprefix"),
+        )
+    )
+    docs = per_doc.join(F.broadcast(bprefix), "bucket").select(
+        "doc_id",
+        (F.col("bprefix") + F.col("within")).cast("long").alias("r"),
+        "tok_n",
+        "toks",
     ).persist()  # plan-cache: feeds first-occurrence, totals, checkpoints
     first_occ = (
         docs.select("r", F.explode("toks").alias("tok"))
