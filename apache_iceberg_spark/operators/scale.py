@@ -3858,3 +3858,75 @@ def m50_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_scanned).cast("long").alias("n_dirs_scanned"),
         F.lit(n_pruned).cast("long").alias("n_dirs_pruned"),
     )
+
+
+@register(
+    "m51_time_travel_asof",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'asof_1500' AS at_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT 'asof_2500', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_orderkey % 3 IN (0, 1)
+            UNION ALL
+            SELECT 'head', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders
+        ) ORDER BY at_ts
+    """,
+    doc="TIMESTAMP AS OF time travel (Iceberg's `FOR SYSTEM_TIME AS OF`, "
+    "the calendar twin of m5's VERSION AS OF): three commits land at "
+    "pinned ts_ms 1000/2000/3000, and reads at 1500 / 2500 / head "
+    "resolve to the LARGEST commit timestamp at-or-before the asked "
+    "instant — each state's row count and exact cents total sit in "
+    "one value hash, so the boundary rule (between-commits timestamps "
+    "bind to the earlier commit, never interpolate) is oracle-pinned. "
+    "Resolution is a metadata-only log scan by recorded ts_ms "
+    "(`read_snapshot_dirs(as_of_ts_ms=...)` — robust to out-of-order "
+    "caller-supplied timestamps because it maxes over ts, not log "
+    "position); each read scans exactly that snapshot's file set. At "
+    "100 TB the cost model equals m5's: name resolution, then the "
+    "historical file set — no data is ever copied to keep history.",
+    tags=("scale", "snapshot", "time-travel"),
+)
+def m51_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        read_snapshot_dirs,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="asof_"), "orders")
+    commit_snapshot(o.filter(F.col("o_orderkey") % 3 == 0), table, ts_ms=1000)
+    commit_append(o.filter(F.col("o_orderkey") % 3 == 1), table, ts_ms=2000)
+    commit_append(o.filter(F.col("o_orderkey") % 3 == 2), table, ts_ms=3000)
+
+    def agg(label: str, ts: int | None) -> DataFrame:
+        df = read_snapshot_dirs(
+            spark, table, as_of_ts_ms=ts
+        ) if ts is not None else read_snapshot_dirs(spark, table)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select(F.lit(label).alias("at_ts"), "n_rows", "total_cents")
+
+    return (
+        agg("asof_1500", 1500)
+        .unionByName(agg("asof_2500", 2500))
+        .unionByName(agg("head", None))
+        .orderBy("at_ts")
+    )

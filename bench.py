@@ -288,6 +288,7 @@ AUX = [
     "mm13_vision_token_budget",
     "dd24_dup_inflation_factor",
     "f19_variant_shred",
+    "m51_time_travel_asof",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
