@@ -3700,11 +3700,16 @@ def a47_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _a47_finish(cells)
 
 
-def _a47_finish(cells: DataFrame) -> DataFrame:
+def _a47_finish(cells: DataFrame, precached: bool = False) -> DataFrame:
     """JSD from a (v, cp, cq) joint-histogram frame — shared by batch
     a47 and streaming st32 (the two conditional counts per value are
     the mergeable state), so the stream's divergence is bitwise-equal
     to a batch recompute."""
+    if not precached:
+        # plan-cache: cells feeds the 1-row total AND the term map —
+        # unpersisted, the fact shuffle into the histogram runs twice
+        # (released by the caller via release_plan_caches)
+        cells = cells.persist()
     tot = cells.agg(
         F.sum("cp").cast("long").alias("np"),
         F.sum("cq").cast("long").alias("nq"),

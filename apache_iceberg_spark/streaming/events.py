@@ -2808,7 +2808,7 @@ def st32_stream_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return _a47_finish(spark.table(qname))
+    return _a47_finish(spark.table(qname), precached=True)
 
 
 def _st32_set_oracle() -> None:
