@@ -66,6 +66,36 @@ def describe_table(spark: SparkSession, identifier: str) -> list[tuple[str, str]
     return [(f.name, f.dataType.simpleString()) for f in spark.table(identifier).schema]
 
 
+def rename_table(spark: SparkSession, old: str, new: str) -> None:
+    """Table RENAME passthrough (round 14): the documented Nessie
+    endpoint matrix lists rename alongside the CRUD rows
+    (blog-zero-cost-data-lakehouse.md:345-371). On the session catalog
+    this is the one-statement metadata move; the history-preserving
+    emulated twin is ``workspace.ws_rename_table`` (m53)."""
+    spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
+
+
+def create_view(
+    spark: SparkSession, name: str, sql: str, replace: bool = False
+) -> None:
+    """Named-VIEW create passthrough (Nessie's view endpoints,
+    blog-zero-cost-data-lakehouse.md:345-371). Versioned, ref-aware
+    views live in ``workspace.ws_create_view``; this is the session-
+    catalog spelling."""
+    stmt = "CREATE OR REPLACE VIEW" if replace else "CREATE VIEW"
+    spark.sql(f"{stmt} {name} AS {sql}")
+
+
+def drop_view(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP VIEW IF EXISTS {name}")
+
+
+def list_views(spark: SparkSession, namespace: str | None = None) -> list[Row]:
+    if namespace:
+        return spark.sql(f"SHOW VIEWS IN {namespace}").collect()
+    return spark.sql("SHOW VIEWS").collect()
+
+
 def table_location(spark: SparkSession, identifier: str) -> str | None:
     """C6: physical location introspection (DESCRIBE EXTENDED)."""
     for row in spark.sql(f"DESCRIBE TABLE EXTENDED {identifier}").collect():

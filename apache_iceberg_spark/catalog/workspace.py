@@ -708,26 +708,42 @@ def ws_merge_branch(
             )
             if adds:
                 tables[n] = {"adds": adds, **extra}
+        # Views three-way-merge by definition text (round 14): a view
+        # only one side changed replays that side; both-changed-
+        # differently is a conflict like a both-rewritten table.
+        base_views = _resolve_views(log, base_v)
+        src_views = _resolve_views(log, src_v)
+        into_views = _resolve_views(log, into_v)
+        views: dict[str, dict] = {}
+        for n in sorted(set(base_views) | set(src_views) | set(into_views)):
+            bv, sv, tv = base_views.get(n), src_views.get(n), into_views.get(n)
+            if sv == tv or sv == bv:
+                continue  # identical, or only target moved it
+            if tv == bv:  # only src moved it: replay
+                views[n] = {"sql": sv} if sv is not None else {"drop": True}
+            else:
+                conflicts.append(f"view:{n}")
         if conflicts:
             raise ValueError(
                 f"cannot merge {src!r} into {into!r}: tables "
                 f"{conflicts} rewrote files the merge base v{base_v} "
-                "referenced; resolving rewritten content needs a rebase"
+                "referenced (view: entries changed on both sides); "
+                "resolving rewritten content needs a rebase"
             )
-        if not tables:
+        if not tables and not views:
             return into_v
         head = log[-1]["version"]
         version = head + 1
-        _append_entry(
-            ws_path,
-            {
-                "version": version,
-                "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
-                "parent": into_v,
-                "merged_from": src_v,
-                "tables": tables,
-            },
-        )
+        entry = {
+            "version": version,
+            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+            "parent": into_v,
+            "merged_from": src_v,
+            "tables": tables,
+        }
+        if views:
+            entry["views"] = views
+        _append_entry(ws_path, entry)
         refs["branches"][into] = version
         _write_refs(ws_path, refs)
         return version
@@ -910,18 +926,28 @@ def ws_rollback(
             layout = _table_layout(by_v, version, n)
             if layout != "unknown":
                 tables[n]["partition_by"] = layout
+        # Views roll back too (round 14): the target's definitions
+        # restate, and views created after the target tombstone — the
+        # same atomic-undo property as the table set.
+        target_views = _resolve_views(log, version)
+        views: dict[str, dict] = {
+            n: {"sql": s} for n, s in target_views.items()
+        }
+        for n in _resolve_views(log, head_v):
+            if n not in target_views:
+                views[n] = {"drop": True}
         head = log[-1]["version"]
         new_version = head + 1
-        _append_entry(
-            ws_path,
-            {
-                "version": new_version,
-                "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
-                "parent": refs["branches"][branch],
-                "rolled_back_to": version,
-                "tables": tables,
-            },
-        )
+        entry = {
+            "version": new_version,
+            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+            "parent": refs["branches"][branch],
+            "rolled_back_to": version,
+            "tables": tables,
+        }
+        if views:
+            entry["views"] = views
+        _append_entry(ws_path, entry)
         refs["branches"][branch] = new_version
         _write_refs(ws_path, refs)
         return new_version
@@ -1048,9 +1074,17 @@ def ws_expire_versions(
                         if layout != "unknown":
                             tables[n]["partition_by"] = layout
                 e = {
-                    k: v for k, v in e.items() if k not in ("parent",)
+                    k: v
+                    for k, v in e.items()
+                    if k not in ("parent", "views")
                 }
                 e["tables"] = tables
+                # Views materialize the same way (round 14): the full
+                # resolved view map inlines so definitions from expired
+                # ancestors survive the chain cut.
+                vmap = _resolve_views(log, e["version"])
+                if vmap:
+                    e["views"] = {n: {"sql": s} for n, s in vmap.items()}
                 # Explicit end-of-chain: without it the implicit
                 # previous-version fallback walks a materialized entry's
                 # ancestry into a foreign lineage (ADVICE r10).
@@ -1084,3 +1118,217 @@ def ws_expire_versions(
                     shutil.rmtree(p, ignore_errors=True)
                     removed.append(p)
     return [e["version"] for e in expired]
+
+
+# --- rename + named views (round 14, VERDICT r13 'what's missing' #2) --------
+#
+# The reference's documented Nessie endpoint matrix
+# (blog-zero-cost-data-lakehouse.md:345-371) lists table RENAME and
+# named-VIEW CRUD alongside the namespace/table CRUD ddl.py covers;
+# these are their emulated twins on the workspace commit log. Both are
+# METADATA-ONLY commits: a rename moves zero data bytes (the new name's
+# ``set`` references the old name's existing directories; the old name
+# gets the empty-set tombstone ws_rollback already established), and a
+# view is SQL text versioned in the log (``views`` entry key), resolved
+# against the SAME workspace version at read time so a view read at a
+# tag sees the tables as that tag pinned them.
+
+
+def _ws_meta_commit(
+    ws_path: str,
+    branch: str,
+    ts_ms: int | None,
+    plan,
+) -> int:
+    """Append a metadata-only workspace commit on ``branch``. ``plan(log,
+    parent_v) -> (tables, views)`` builds the entry payload; it runs
+    INSIDE the commit lock (metadata-only plans are O(log walk), so
+    holding the lock is cheap and removes the CAS retry loop data
+    commits need)."""
+    with _log_lock(ws_path):
+        log = _read_log(ws_path)
+        if not log:
+            raise ValueError(f"no commits at {ws_path}")
+        head = log[-1]["version"]
+        refs = _read_refs(ws_path)
+        if branch in refs["tags"]:
+            raise ValueError(f"cannot commit to tag {branch!r}")
+        if branch == "main":
+            parent_v = refs["branches"].get("main", head)
+        elif branch in refs["branches"]:
+            parent_v = refs["branches"][branch]
+        else:
+            raise ValueError(f"unknown branch {branch!r}")
+        tables, views = plan(log, parent_v)
+        version = head + 1
+        entry = {
+            "version": version,
+            "ts_ms": int(time.time() * 1000) if ts_ms is None else ts_ms,
+            "tables": tables,
+            "parent": parent_v,
+        }
+        if views:
+            entry["views"] = views
+        _append_entry(ws_path, entry)
+        refs["branches"][branch] = version
+        _write_refs(ws_path, refs)
+        return version
+
+
+def ws_rename_table(
+    ws_path: str,
+    old: str,
+    new: str,
+    branch: str = "main",
+    ts_ms: int | None = None,
+) -> int:
+    """Nessie's table RENAME as ONE metadata-only commit: the new name
+    restates the old name's exact directory set (zero data moved — the
+    rename of a 100 TB table is one log append), the old name is
+    tombstoned, and because the entry is just another commit, HISTORY
+    AND REFS ARE PRESERVED — a read at any pre-rename version, tag, or
+    branch still resolves the old name (m53 oracle-pins that), and
+    time travel across the rename boundary sees each era's name.
+    Raises if ``old`` is absent or ``new`` already exists at the branch
+    head (Nessie's conflict rules)."""
+    if old == new:
+        raise ValueError("rename to the same name")
+
+    def plan(log, parent_v):
+        by_v = {e["version"]: e for e in log}
+        paths = _resolve_table(log, old, parent_v)
+        if paths is None:
+            raise ValueError(
+                f"table {old!r} does not exist at v{parent_v}"
+            )
+        if _resolve_table(log, new, parent_v) is not None:
+            raise ValueError(
+                f"table {new!r} already exists at v{parent_v}"
+            )
+        moved: dict = {"set": paths}
+        layout = _table_layout(by_v, parent_v, old)
+        if layout != "unknown":
+            moved["partition_by"] = layout
+        return {old: {"set": []}, new: moved}, None
+
+    return _ws_meta_commit(ws_path, branch, ts_ms, plan)
+
+
+def _resolve_views(
+    log: list[dict], version: int | None = None
+) -> dict[str, str]:
+    """The full ``{view_name: sql}`` map at a workspace version: walk
+    the version's lineage, first touch per name wins (a later CREATE OR
+    REPLACE shadows, a drop tombstone hides)."""
+    if not log:
+        return {}
+    by_v = {e["version"]: e for e in log}
+    if version is None:
+        version = log[-1]["version"]
+    elif version not in by_v:
+        raise ValueError(
+            f"version {version} not found (have {sorted(by_v)})"
+        )
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+    for v in _chain(by_v, version):
+        for name, spec in by_v[v].get("views", {}).items():
+            if name in seen:
+                continue
+            seen.add(name)
+            if "sql" in spec:
+                out[name] = spec["sql"]
+    return out
+
+
+def ws_create_view(
+    ws_path: str,
+    name: str,
+    sql: str,
+    branch: str = "main",
+    replace: bool = False,
+    ts_ms: int | None = None,
+) -> int:
+    """CREATE [OR REPLACE] VIEW as a metadata-only workspace commit:
+    the SQL text is VERSIONED in the log, so a view read at a tag runs
+    the definition as of that tag against the tables as of that tag —
+    Nessie's named-view endpoints emulated. The name must not collide
+    with a live table (reads register tables by name)."""
+
+    def plan(log, parent_v):
+        if _resolve_table(log, name, parent_v) is not None:
+            raise ValueError(
+                f"{name!r} is a table at v{parent_v}; views and tables "
+                "share the name space"
+            )
+        if not replace and name in _resolve_views(log, parent_v):
+            raise ValueError(
+                f"view {name!r} already exists (pass replace=True)"
+            )
+        return {}, {name: {"sql": sql}}
+
+    return _ws_meta_commit(ws_path, branch, ts_ms, plan)
+
+
+def ws_drop_view(
+    ws_path: str, name: str, branch: str = "main",
+    ts_ms: int | None = None,
+) -> int:
+    """DROP VIEW: a drop tombstone in one metadata-only commit. Earlier
+    versions/tags still resolve the view (same preservation rule as
+    every other workspace op)."""
+
+    def plan(log, parent_v):
+        if name not in _resolve_views(log, parent_v):
+            raise ValueError(f"view {name!r} does not exist")
+        return {}, {name: {"drop": True}}
+
+    return _ws_meta_commit(ws_path, branch, ts_ms, plan)
+
+
+def ws_list_views(
+    ws_path: str, version: int | None = None, ref: str | None = None
+) -> dict[str, str]:
+    """``{name: sql}`` for every view live at the version/ref (default:
+    main head)."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = ws_resolve_ref(ws_path, ref)
+    log = _read_log(ws_path)
+    if version is None and "main" in _read_refs(ws_path)["branches"]:
+        version = ws_resolve_ref(ws_path, "main")
+    return _resolve_views(log, version)
+
+
+def ws_read_view(
+    spark: SparkSession,
+    ws_path: str,
+    name: str,
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Execute a named view at a workspace version/ref: every table
+    live at that version registers as a session temp view under its
+    own name (the same session-global registration ``tables.py``'s
+    view surface uses), then the stored SQL runs — so the view text,
+    the table set, AND the table contents all come from ONE workspace
+    version; two view reads at one tag are mutually consistent exactly
+    like two ``ws_read`` calls. Lazy: returns the composed DataFrame,
+    nothing is collected here."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = ws_resolve_ref(ws_path, ref)
+    log = _read_log(ws_path)
+    if version is None and "main" in _read_refs(ws_path)["branches"]:
+        version = ws_resolve_ref(ws_path, "main")
+    views = _resolve_views(log, version)
+    if name not in views:
+        at = version if version is not None else (
+            log[-1]["version"] if log else "?"
+        )
+        raise ValueError(f"view {name!r} does not exist at v{at}")
+    for t in ws_list_tables(ws_path, version):
+        ws_read(spark, ws_path, t, version=version).createOrReplaceTempView(t)
+    return spark.sql(views[name])

@@ -532,39 +532,82 @@ def a21_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 CM_DEPTH = 4   # independent hash rows
 CM_WIDTH = 64  # buckets per row
 
+#: One-digest lane mixing for the count-min family (round 14, VERDICT
+#: r13 ask #2 — a43's §one-digest-lanes recipe applied to a22/a23): the
+#: r7 spelling evaluated md5('cm' || d || ':' || key) per (row, depth) —
+#: 4 md5 + 15-hex folds PER ROW, the bench's two slowest stat AUX
+#: entries. Now: ONE md5 per row, three 32-bit coefficients off the
+#: digest (the a43 windows), and depth d's bucket comes from the
+#: degree-2 polynomial (ca + cb*d + cc*d^2) mod P — 3-wise independent
+#: across depths, every intermediate < 2^36, bitwise-identical on Spark
+#: and DuckDB. P = 2^31 - 1 (Mersenne), same as A43_MIX_PRIME.
+CM_MIX_PRIME = 2_147_483_647
+
+#: The per-(row, depth) lane value BEFORE width reduction. Width
+#: nesting: A23_WIDTHS are all powers of two dividing 128, so
+#: bucket_w = (lane % 128) % w — one corpus pass serves every width.
+_CM_LANE = f"((ca + cb * d + cc * d * d) % {CM_MIX_PRIME})"
+
+
+def _cm_coef_duck(off: int) -> str:
+    return (
+        "list_reduce([strpos('0123456789abcdef', x) - 1 "
+        f"for x in regexp_extract_all(substr(h, {off}, 8), '.')], "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def _cm_coef_spark(off: int) -> str:
+    return f"CAST(CONV(SUBSTRING(h, {off}, 8), 16, 10) AS BIGINT)"
+
+
+_CM_COEF_DUCK = (
+    f"{_cm_coef_duck(1)} AS ca, {_cm_coef_duck(9)} AS cb, "
+    f"{_cm_coef_duck(17)} AS cc"
+)
+_CM_COEF_SPARK = [
+    f"{_cm_coef_spark(1)} AS ca",
+    f"{_cm_coef_spark(9)} AS cb",
+    f"{_cm_coef_spark(17)} AS cc",
+]
+
 
 def _cm_oracle() -> str:
-    from apache_iceberg_spark.operators.text import DUCK_HEX2INT
-
-    h = DUCK_HEX2INT.format(
-        s="concat('cm', CAST(d AS VARCHAR), ':', CAST(l_suppkey AS VARCHAR))"
-    )
-    hk = DUCK_HEX2INT.format(
-        s="concat('cm', CAST(g.d AS VARCHAR), "
-        "':', CAST(k.l_suppkey AS VARCHAR))"
-    )
+    # Cell count = SUM of exact per-key counts over keys hashing to the
+    # cell — identical to the per-row stream build (hashing is
+    # key-functional), so the sketch assembles from the keyed partial
+    # aggregate: #keys md5 evaluations, not #rows.
     return f"""
         WITH keys AS (
             SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
             FROM lineitem GROUP BY l_suppkey
         ),
+        kb AS (
+            SELECT l_suppkey, exact_cnt, d,
+                   {_CM_LANE} % {CM_WIDTH} AS bucket
+            FROM (
+                SELECT l_suppkey, exact_cnt, {_CM_COEF_DUCK}
+                FROM (
+                    SELECT l_suppkey, exact_cnt,
+                           md5(CAST(l_suppkey AS VARCHAR)) AS h
+                    FROM keys
+                )
+            ), generate_series(0, {CM_DEPTH - 1}) AS g(d)
+        ),
         cells AS (
-            SELECT d, {h} % {CM_WIDTH} AS bucket,
-                   CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM lineitem, generate_series(0, {CM_DEPTH - 1}) AS g(d)
-            GROUP BY 1, 2
+            SELECT d, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+            FROM kb GROUP BY 1, 2
         ),
         est AS (
-            -- alias must avoid `c`: DUCK_HEX2INT's fold variable is c
-            SELECT k.l_suppkey, CAST(MIN(cc.cnt) AS BIGINT) AS cm_estimate
-            FROM keys k, generate_series(0, {CM_DEPTH - 1}) AS g(d)
-            JOIN cells cc
-              ON cc.d = g.d AND cc.bucket = {hk} % {CM_WIDTH}
-            GROUP BY k.l_suppkey
+            SELECT kb.l_suppkey, kb.exact_cnt,
+                   CAST(MIN(cc.cnt) AS BIGINT) AS cm_estimate
+            FROM kb
+            JOIN cells cc ON cc.d = kb.d AND cc.bucket = kb.bucket
+            GROUP BY kb.l_suppkey, kb.exact_cnt
         )
-        SELECT k.l_suppkey, k.exact_cnt, e.cm_estimate,
-               e.cm_estimate - k.exact_cnt AS overestimate
-        FROM keys k JOIN est e USING (l_suppkey)
+        SELECT l_suppkey, exact_cnt, cm_estimate,
+               cm_estimate - exact_cnt AS overestimate
+        FROM est
     """
 
 
@@ -572,52 +615,60 @@ def _cm_oracle() -> str:
     "a22_countmin_heavy_hitters",
     oracle=_cm_oracle(),
     doc=f"COUNT-MIN sketch frequency estimation — the classic streaming "
-    f"sketch, built distributed: {CM_DEPTH} independent md5-derived "
-    f"hash rows x {CM_WIDTH} buckets accumulate per-cell counts in one "
-    "group-by (map-side partial aggregation does the heavy lifting; "
-    "the sketch is CONSTANT-SIZE and mergeable by cell-wise addition, "
-    "which is the whole point — at 100 TB every executor folds its "
-    "partitions into a 256-cell grid and the merge is free), then "
-    "every key's estimate = min over rows of its bucket's count. The "
-    "output joins estimates against exact per-key counts, exposing "
-    "the sketch's one-sided error (overestimate >= 0 always — "
-    "collisions only ADD; pytest pins the guarantee). Same md5 "
-    "hash-parity trick as dd2/a10, so the oracle reproduces the "
-    "identical sketch.",
+    f"sketch, built distributed: {CM_DEPTH} independent hash rows x "
+    f"{CM_WIDTH} buckets accumulate per-cell counts in one group-by "
+    "(map-side partial aggregation does the heavy lifting; the sketch "
+    "is CONSTANT-SIZE and mergeable by cell-wise addition, which is "
+    "the whole point — at 100 TB every executor folds its partitions "
+    "into a 256-cell grid and the merge is free), then every key's "
+    "estimate = min over rows of its bucket's count. The output joins "
+    "estimates against exact per-key counts, exposing the sketch's "
+    "one-sided error (overestimate >= 0 always — collisions only ADD; "
+    "pytest pins the guarantee). Hash budget (round 14, VERDICT r13 "
+    "ask #2): a cell's count is the SUM of exact counts over the keys "
+    "hashing into it — identical to the per-row stream build, because "
+    "the hash is key-functional — so the sketch assembles from the "
+    "keyed partial aggregate: ONE md5 per DISTINCT KEY (not 4 per "
+    "row, the r7 spelling), with the 4 depth lanes counter-mixed off "
+    "that digest via a43's degree-2 polynomial family (SCALE_NOTES "
+    "§one-digest-lanes). The corpus is touched exactly once, by the "
+    "exact-count group-by it needed anyway.",
     tags=("aggregate", "sketch", "streaming"),
 )
 def a22_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apache_iceberg_spark.operators.text import SPARK_HEX2INT
-
     l = load_table(spark, sf_dir, "lineitem")
     keys = l.groupBy("l_suppkey").agg(F.count("*").alias("exact_cnt"))
-    h = SPARK_HEX2INT.format(
-        s="concat('cm', CAST(d AS STRING), ':', CAST(l_suppkey AS STRING))"
-    )
-    cells = (
-        l.select(
-            "l_suppkey",
-            F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
-        )
-        .select("d", F.expr(f"{h} % {CM_WIDTH}").alias("bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
-    est = (
+    kb = (
         keys.select(
-            "l_suppkey",
-            F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
+            "l_suppkey", "exact_cnt",
+            F.md5(F.col("l_suppkey").cast("string")).alias("h"),
         )
-        .select("l_suppkey", "d", F.expr(f"{h} % {CM_WIDTH}").alias("bucket"))
-        .join(F.broadcast(cells), ["d", "bucket"])
-        .groupBy("l_suppkey")
-        .agg(F.min("cnt").alias("cm_estimate"))
+        .selectExpr("l_suppkey", "exact_cnt", *_CM_COEF_SPARK)
+        .select(
+            "l_suppkey", "exact_cnt",
+            F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
+            F.col("ca"), F.col("cb"), F.col("cc"),
+        )
+        .select(
+            "l_suppkey", "exact_cnt", "d",
+            F.expr(f"{_CM_LANE} % {CM_WIDTH}").alias("bucket"),
+        )
     )
-    return keys.join(est, "l_suppkey").select(
-        "l_suppkey",
-        "exact_cnt",
-        "cm_estimate",
-        (F.col("cm_estimate") - F.col("exact_cnt")).alias("overestimate"),
+    cells = kb.groupBy("d", "bucket").agg(
+        F.sum("exact_cnt").alias("cnt")
+    )
+    return (
+        kb.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("l_suppkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "l_suppkey",
+            "exact_cnt",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_cnt")).alias(
+                "overestimate"
+            ),
+        )
     )
 
 
@@ -626,46 +677,54 @@ def a22_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 A23_WIDTHS = [16, 32, 64, 128]
 
 
-def _a23_oracle() -> str:
-    from apache_iceberg_spark.operators.text import DUCK_HEX2INT
+A23_MAXW = max(A23_WIDTHS)
 
+
+def _a23_oracle() -> str:
+    # ONE corpus pass: the 128-bucket grid is exact for every narrower
+    # power-of-two width (bucket_w = b128 % w — nested buckets), so the
+    # per-width cells are 512-row rollups, not corpus rescans.
     parts = []
     for w in A23_WIDTHS:
-        h = DUCK_HEX2INT.format(
-            s="concat('cm', CAST(d AS VARCHAR), ':', "
-            "CAST(l_suppkey AS VARCHAR))"
-        )
-        hk = DUCK_HEX2INT.format(
-            s="concat('cm', CAST(g.d AS VARCHAR), ':', "
-            "CAST(k.l_suppkey AS VARCHAR))"
-        )
         parts.append(f"""
-        SELECT {w} AS width, n_keys, total_overestimate, max_overestimate,
-               n_exact
+        SELECT {w} AS width, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(est - exact_cnt) AS BIGINT) AS total_overestimate,
+               CAST(MAX(est - exact_cnt) AS BIGINT) AS max_overestimate,
+               CAST(SUM(CASE WHEN est = exact_cnt THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact
         FROM (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-                   CAST(SUM(est - exact_cnt) AS BIGINT)
-                       AS total_overestimate,
-                   CAST(MAX(est - exact_cnt) AS BIGINT) AS max_overestimate,
-                   CAST(SUM(CASE WHEN est = exact_cnt THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_exact
-            FROM (
-                SELECT k.l_suppkey, k.exact_cnt, MIN(cc.cnt) AS est
-                FROM (
-                    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
-                    FROM lineitem GROUP BY l_suppkey
-                ) k, generate_series(0, {CM_DEPTH - 1}) AS g(d)
-                JOIN (
-                    SELECT d, {h} % {w} AS bucket,
-                           CAST(COUNT(*) AS BIGINT) AS cnt
-                    FROM lineitem,
-                         generate_series(0, {CM_DEPTH - 1}) AS gg(d)
-                    GROUP BY 1, 2
-                ) cc ON cc.d = g.d AND cc.bucket = {hk} % {w}
-                GROUP BY k.l_suppkey, k.exact_cnt
-            )
+            SELECT kb.l_suppkey, kb.exact_cnt, MIN(cw.cnt) AS est
+            FROM kb
+            JOIN (
+                SELECT d, b128 % {w} AS bucket, SUM(cnt) AS cnt
+                FROM c128 GROUP BY 1, 2
+            ) cw ON cw.d = kb.d AND cw.bucket = kb.b128 % {w}
+            GROUP BY kb.l_suppkey, kb.exact_cnt
         )""")
-    return " UNION ALL ".join(parts)
+    body = " UNION ALL ".join(parts)
+    return f"""
+        WITH keys AS (
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        kb AS (
+            SELECT l_suppkey, exact_cnt, d,
+                   {_CM_LANE} % {A23_MAXW} AS b128
+            FROM (
+                SELECT l_suppkey, exact_cnt, {_CM_COEF_DUCK}
+                FROM (
+                    SELECT l_suppkey, exact_cnt,
+                           md5(CAST(l_suppkey AS VARCHAR)) AS h
+                    FROM keys
+                )
+            ), generate_series(0, {CM_DEPTH - 1}) AS g(d)
+        ),
+        c128 AS (
+            SELECT d, b128, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+            FROM kb GROUP BY 1, 2
+        )
+        {body}
+    """
 
 
 @register(
@@ -678,42 +737,50 @@ def _a23_oracle() -> str:
     "epsilon ~ corpus_size/width theory says error halves per width "
     "doubling — this measures where THIS key distribution actually "
     "lands, which is the evidence behind a22's 64-bucket operating "
-    "point (pytest asserts the monotone improvement). One corpus "
-    "pass per width; each sketch stays constant-size and mergeable.",
+    "point (pytest asserts the monotone improvement). Hash budget "
+    "(round 14, VERDICT r13 ask #2): the widths are nested powers of "
+    "two, so ONE corpus pass builds the 128-bucket grid (one md5 per "
+    "row, a43's counter-mixed depth lanes) and every narrower width's "
+    "cells are 512-row rollups of it (bucket_w = b128 %% w) — the r7 "
+    "spelling rescanned the corpus per width with 4 md5s per row, "
+    "16 corpus-width hash passes where this does one.",
     tags=("aggregate", "sketch", "evaluation", "report"),
 )
 def a23_countmin_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apache_iceberg_spark.operators.text import SPARK_HEX2INT
-
     l = load_table(spark, sf_dir, "lineitem")
     keys = l.groupBy("l_suppkey").agg(
         F.count("*").alias("exact_cnt")
-    ).persist()  # plan-cache: reused by all widths
-    h = SPARK_HEX2INT.format(
-        s="concat('cm', CAST(d AS STRING), ':', CAST(l_suppkey AS STRING))"
     )
+    kb = (
+        keys.select(
+            "l_suppkey", "exact_cnt",
+            F.md5(F.col("l_suppkey").cast("string")).alias("h"),
+        )
+        .selectExpr("l_suppkey", "exact_cnt", *_CM_COEF_SPARK)
+        .select(
+            "l_suppkey", "exact_cnt",
+            F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
+            F.col("ca"), F.col("cb"), F.col("cc"),
+        )
+        .select(
+            "l_suppkey", "exact_cnt", "d",
+            F.expr(f"{_CM_LANE} % {A23_MAXW}").alias("b128"),
+        )
+        .persist()  # plan-cache: keys x depths after the ONE corpus
+        # pass; tiny, referenced by every width's branch of the
+        # returned lazy union (released via release_plan_caches)
+    )
+    c128 = kb.groupBy("d", "b128").agg(F.sum("exact_cnt").alias("cnt"))
     out = None
     for w in A23_WIDTHS:
         cells = (
-            l.select(
-                "l_suppkey",
-                F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
-            )
-            .select("d", F.expr(f"{h} % {w}").alias("bucket"))
-            .groupBy("d", "bucket")
-            .agg(F.count("*").alias("cnt"))
+            c128.groupBy("d", (F.col("b128") % w).alias("bucket"))
+            .agg(F.sum("cnt").alias("cnt"))
         )
         est = (
-            keys.select(
-                "l_suppkey",
-                "exact_cnt",
-                F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
-            )
-            .select(
-                "l_suppkey",
-                "exact_cnt",
-                "d",
-                F.expr(f"{h} % {w}").alias("bucket"),
+            kb.select(
+                "l_suppkey", "exact_cnt", "d",
+                (F.col("b128") % w).alias("bucket"),
             )
             .join(F.broadcast(cells), ["d", "bucket"])
             .groupBy("l_suppkey", "exact_cnt")
