@@ -1650,6 +1650,32 @@ def mor_debt(table_path: str, ref: str = "main") -> int:
     return len(dels)
 
 
+def mor_changes(
+    spark: SparkSession, table_path: str, version: int
+) -> tuple[DataFrame | None, DataFrame | None, list[str] | None]:
+    """The row-level CDC export of ONE merge-on-read commit:
+    ``(inserts, delete_keys, on)`` — inserts scan just the commit's
+    delta directories, delete_keys scan just its equality-delete files,
+    ``on`` names the key columns (None when the commit carried no
+    deletes). This is Iceberg's changelog-with-deletes view of a v2
+    commit: a downstream CDC consumer replays O(changed bytes), never
+    the table — the physical records, so a key the merge deleted that
+    was never present still appears as a delete (a no-op for any
+    consistent consumer, exactly like Iceberg's equality-delete
+    semantics)."""
+    by_v = _by_version(_read_log(table_path))
+    if version not in by_v:
+        raise ValueError(f"version {version} not found")
+    e = by_v[version]
+    ins = _read_dirs(spark, e["adds"]) if e.get("adds") else None
+    dels = e.get("dels", [])
+    delk = (
+        _read_dirs(spark, [d["path"] for d in dels]) if dels else None
+    )
+    on = list(dels[0]["on"]) if dels else None
+    return ins, delk, on
+
+
 def compact_mor(
     spark: SparkSession,
     table_path: str,

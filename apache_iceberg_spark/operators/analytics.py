@@ -638,19 +638,28 @@ def _cm_oracle() -> str:
 def a22_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     keys = l.groupBy("l_suppkey").agg(F.count("*").alias("exact_cnt"))
+    return _countmin_estimates(keys, "l_suppkey")
+
+
+def _countmin_estimates(keys: DataFrame, key_col: str) -> DataFrame:
+    """The count-min sketch + estimates from a (key, exact_cnt) frame —
+    shared by batch a22 and streaming st33 (the per-key counts are the
+    mergeable sufficient statistic; the sketch assembles from them
+    because the hash is key-functional). One md5 per key, lanes
+    counter-mixed (SCALE_NOTES §hash-budget)."""
     kb = (
         keys.select(
-            "l_suppkey", "exact_cnt",
-            F.md5(F.col("l_suppkey").cast("string")).alias("h"),
+            key_col, "exact_cnt",
+            F.md5(F.col(key_col).cast("string")).alias("h"),
         )
-        .selectExpr("l_suppkey", "exact_cnt", *_CM_COEF_SPARK)
+        .selectExpr(key_col, "exact_cnt", *_CM_COEF_SPARK)
         .select(
-            "l_suppkey", "exact_cnt",
+            key_col, "exact_cnt",
             F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("d"),
             F.col("ca"), F.col("cb"), F.col("cc"),
         )
         .select(
-            "l_suppkey", "exact_cnt", "d",
+            key_col, "exact_cnt", "d",
             F.expr(f"{_CM_LANE} % {CM_WIDTH}").alias("bucket"),
         )
     )
@@ -659,10 +668,10 @@ def a22_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         kb.join(F.broadcast(cells), ["d", "bucket"])
-        .groupBy("l_suppkey", "exact_cnt")
+        .groupBy(key_col, "exact_cnt")
         .agg(F.min("cnt").alias("cm_estimate"))
         .select(
-            "l_suppkey",
+            key_col,
             "exact_cnt",
             "cm_estimate",
             (F.col("cm_estimate") - F.col("exact_cnt")).alias(
@@ -4069,4 +4078,233 @@ def a49_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ci_lo_micro > 0 OR ci_hi_micro < 0"
             ).alias("significant_at_95"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a50: Cliff's delta effect size (round 14)
+# ---------------------------------------------------------------------------
+
+A50_MICRO = 1_000_000
+
+
+@register(
+    "a50_cliffs_delta",
+    oracle=f"""
+        WITH v AS (
+            SELECT CASE WHEN event_type = '{A36_GROUP_A}' THEN 1
+                        ELSE 0 END AS is_a,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IN ('{A36_GROUP_A}', '{A36_GROUP_B}')
+        ),
+        per_v AS (
+            SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+                   CAST(COUNT(*) AS BIGINT) AS cv
+            FROM v GROUP BY v
+        ),
+        ranked AS (
+            SELECT v, ca, cv,
+                   2 * (SUM(cv) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) - cv) + cv + 1 AS dr
+            FROM per_v
+        ),
+        agg AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cv) - SUM(ca) AS BIGINT) AS nb,
+                   SUM(CAST(ca AS HUGEINT) * dr) AS r2a
+            FROM ranked
+        )
+        SELECT na, nb,
+               CAST((r2a - na * (na + 1))
+                    * {A50_MICRO} // (CAST(na AS HUGEINT) * nb)
+                   AS BIGINT) AS delta_plus1_micro,
+               CAST(CASE
+                   WHEN abs((r2a - na * (na + 1))
+                            * {A50_MICRO} // (CAST(na AS HUGEINT) * nb)
+                            - {A50_MICRO}) >= 474000 THEN 'large'
+                   WHEN abs((r2a - na * (na + 1))
+                            * {A50_MICRO} // (CAST(na AS HUGEINT) * nb)
+                            - {A50_MICRO}) >= 330000 THEN 'medium'
+                   WHEN abs((r2a - na * (na + 1))
+                            * {A50_MICRO} // (CAST(na AS HUGEINT) * nb)
+                            - {A50_MICRO}) >= 147000 THEN 'small'
+                   ELSE 'negligible'
+               END AS VARCHAR) AS magnitude
+        FROM agg
+    """,
+    doc=f"Cliff's delta — the ordinal effect size a36's U test pairs "
+    "with: delta = P(a > b) - P(a < b) over all cross-group pairs "
+    f"('{A36_GROUP_A}' vs '{A36_GROUP_B}' event values), the robust "
+    "'how big is the difference' companion to 'is there a "
+    "difference'. Never enumerates pairs: with mid-ranks, "
+    "delta + 1 = 2*U_A/(na*nb), and a36's doubled-rank machinery "
+    "already yields u2a = 2*U_A exactly (distinct-value cumsum, "
+    "DECIMAL/HUGEINT accumulation) — so the statistic is ONE integer "
+    "DIV of exact integers, emitted as delta_plus1_micro in [0, 2e6] "
+    "(the +1 offset keeps the DIV numerator non-negative, the "
+    "cross-engine division-semantics rule every micro-stat here "
+    "follows), plus Romano's magnitude bands (0.147/0.33/0.474) "
+    "decided on the exact integer. Scale: identical to a36 — one "
+    "filtered fact scan to per-value counts, the bounded-support "
+    "cumsum, one aggregate; the pair count na*nb (~1e18 at 1e9 rows "
+    "per group) never materializes.",
+    tags=("aggregate", "statistics"),
+)
+def a50_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(
+        F.col("event_type").isin(A36_GROUP_A, A36_GROUP_B)
+    ).select(
+        F.when(F.col("event_type") == A36_GROUP_A, 1)
+        .otherwise(0)
+        .alias("is_a"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    per_v = v.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.count(F.lit(1)).alias("cv")
+    )
+    per_v, _step = bound_int_support(
+        per_v, cnt_col="cv", extra_sum_cols=("ca",)
+    )
+    ranked = per_v.select(
+        "ca",
+        "cv",
+        (
+            2
+            * (
+                F.sum("cv")
+                .over(
+                    Window.orderBy("v").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("cv")
+            )
+            + F.col("cv")
+            + 1
+        ).alias("dr"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("na"),
+        (F.sum("cv") - F.sum("ca")).alias("nb"),
+        F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * dr")).alias("r2a"),
+    )
+    dp1 = (
+        f"CAST((r2a - na * (na + 1)) * {A50_MICRO} "
+        "DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+    )
+    return agg.select(
+        "na",
+        "nb",
+        F.expr(dp1).alias("delta_plus1_micro"),
+        F.expr(
+            f"CASE WHEN abs({dp1} - {A50_MICRO}) >= 474000 THEN 'large' "
+            f"WHEN abs({dp1} - {A50_MICRO}) >= 330000 THEN 'medium' "
+            f"WHEN abs({dp1} - {A50_MICRO}) >= 147000 THEN 'small' "
+            "ELSE 'negligible' END"
+        ).alias("magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a51: G-test of independence (round 14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a51_g_test",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type AS xv,
+                   CAST(EXTRACT(dow FROM ts) AS BIGINT) AS yv
+            FROM events
+        ),
+        cells AS (
+            SELECT xv, yv, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1, 2
+        ),
+        mx AS (SELECT xv, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+        my AS (SELECT yv, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        s AS (
+            SELECT CAST(SUM(CAST(c AS HUGEINT) * (
+                       {_A45_LN.format(k='c')} + {_A45_LN.format(k='n')}
+                       - {_A45_LN.format(k='cx')} - {_A45_LN.format(k='cy')}
+                   )) AS HUGEINT) AS num,
+                   MAX(n) AS n,
+                   CAST(COUNT(DISTINCT xv) AS BIGINT) AS kx,
+                   CAST(COUNT(DISTINCT yv) AS BIGINT) AS ky
+            FROM cells
+            JOIN mx USING (xv) JOIN my USING (yv) CROSS JOIN tot
+        )
+        SELECT n AS n_rows,
+               CAST(2 * GREATEST(num, 0) AS DOUBLE) AS g_micro_nats,
+               (kx - 1) * (ky - 1) AS dof,
+               CAST(2 * GREATEST(num, 0)
+                    // ((kx - 1) * (ky - 1)) AS BIGINT)
+                   AS g_per_dof_micro
+        FROM s
+    """,
+    doc="G-test (log-likelihood-ratio test) of independence between "
+    "event type and DAY OF WEEK — the information-theoretic twin of "
+    "a29's chi-square: G = 2*sum c*ln(c*N/(cx*cy)) = 2*N*MI, "
+    "asymptotically chi-square(dof) but additive across partitions of "
+    "the table (chi-square is not), which is why hierarchical log-"
+    "linear analysis uses it. Reuses a45's exact micro-nat numerator "
+    "verbatim — G_micro = 2*num needs NO division at all (the n "
+    "divisor cancels), so the statistic is exact integer arithmetic "
+    "end to end; it projects as DOUBLE only for the driver's Arrow "
+    "boundary (HUGEINT downgrades engine-dependently), one correctly-"
+    "rounded cast of the exact value. dof = (|types|-1)*(|dow|-1) "
+    "comes from the same cell frame; g_per_dof (the G analogue of "
+    "chi-square/dof effect gauge) is one integer DIV. Scale: ONE "
+    "fact shuffle to |types|x7 cells, broadcast marginals, "
+    "support-sized finish — a45's audited plan shape with a "
+    "different second axis.",
+    tags=("aggregate", "statistics"),
+)
+def a51_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.col("event_type").alias("xv"),
+            (F.dayofweek("ts") - 1).cast("long").alias("yv"),
+        )
+        .groupBy("xv", "yv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = cells.groupBy("xv").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("yv").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    ln = _A45_LN
+    s = (
+        cells.join(F.broadcast(mx), "xv")
+        .join(F.broadcast(my), "yv")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(c AS DECIMAL(38,0)) * ("
+                    f"{ln.format(k='c')} + {ln.format(k='n')}"
+                    f" - {ln.format(k='cx')} - {ln.format(k='cy')})"
+                )
+            ).alias("num"),
+            F.max("n").alias("n"),
+            F.countDistinct("xv").cast("long").alias("kx"),
+            F.countDistinct("yv").cast("long").alias("ky"),
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.expr(
+            "CAST(2 * GREATEST(num, CAST(0 AS DECIMAL(38,0)))"
+            " AS DOUBLE)"
+        ).alias("g_micro_nats"),
+        ((F.col("kx") - 1) * (F.col("ky") - 1)).alias("dof"),
+        F.expr(
+            "CAST(2 * GREATEST(num, CAST(0 AS DECIMAL(38,0)))"
+            " DIV ((kx - 1) * (ky - 1)) AS BIGINT)"
+        ).alias("g_per_dof_micro"),
     )

@@ -2411,3 +2411,202 @@ def dd24_dup_inflation_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dd25: Bloom-filter dedup admission gate (round 14)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m bits as 64-bit words, k bit positions per key.
+#: The filter is a SKINNY TABLE (word_idx -> OR-folded word), built by
+#: one bit_or aggregation and broadcast to probes — at 100 TB the
+#: committed corpus's filter is a few KB per billion keys per partition
+#: shard, the classic pre-gate in front of the exact-hash shuffle.
+DD25_BITS = 8192
+DD25_K = 3
+DD25_PRIME = 2_147_483_647
+
+
+def _dd25_lanes_spark() -> str:
+    """k (word, mask) structs from the content hash ``ch`` (an md5 hex
+    string): three 32-bit coefficients off the one digest, lane j's bit
+    position from the degree-2 counter mix (SCALE_NOTES §hash-budget —
+    ONE md5 per row, never k)."""
+    ca = "CAST(CONV(SUBSTRING(ch, 1, 8), 16, 10) AS BIGINT)"
+    cb = "CAST(CONV(SUBSTRING(ch, 9, 8), 16, 10) AS BIGINT)"
+    cc = "CAST(CONV(SUBSTRING(ch, 17, 8), 16, 10) AS BIGINT)"
+    pos = f"((({ca}) + ({cb}) * j + ({cc}) * j * j) % {DD25_PRIME}) % {DD25_BITS}"
+    return (
+        f"transform(sequence(0, {DD25_K - 1}), j -> "
+        f"struct(({pos}) DIV 63 AS word_idx, "
+        # 63 usable bits per word: DuckDB range-checks 1 << 63 on
+        # BIGINT (Spark wraps), so bit 63 is never used on either side
+        f"shiftleft(CAST(1 AS BIGINT), ({pos}) % 63) AS mask))"
+    )
+
+
+def _dd25_lanes_duck() -> str:
+    def coef(off: int) -> str:
+        # lambda params must not collide with any table alias in the
+        # composed SQL (DuckDB binds them as unqualified names)
+        return (
+            "list_reduce([strpos('0123456789abcdef', hx) - 1 "
+            f"for hx in regexp_extract_all(substr(ch, {off}, 8), '.')], "
+            "(acc, nib) -> acc * 16 + nib)"
+        )
+
+    return (
+        f"((({coef(1)}) + ({coef(9)}) * j + ({coef(17)}) * j * j) "
+        f"% {DD25_PRIME}) % {DD25_BITS}"
+    )
+
+
+def _dd25_oracle() -> str:
+    pos = _dd25_lanes_duck()
+    return f"""
+        WITH com AS (
+            SELECT DISTINCT md5(lower(trim(text))) AS ch
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        inc AS (
+            SELECT doc_id, md5(lower(trim(text))) AS ch
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        bloom AS (
+            SELECT ({pos}) // 63 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << (({pos}) % 63)) AS w
+            FROM com, generate_series(0, {DD25_K - 1}) AS g(j)
+            GROUP BY 1
+        ),
+        lanes AS (
+            SELECT i.doc_id, ({pos}) // 63 AS word_idx,
+                   CAST(1 AS BIGINT) << (({pos}) % 63) AS mask
+            FROM inc i, generate_series(0, {DD25_K - 1}) AS g(j)
+        ),
+        probe AS (
+            SELECT ln.doc_id,
+                   CASE WHEN bl.w IS NOT NULL AND (bl.w & ln.mask) <> 0
+                        THEN 1 ELSE 0 END AS lane_hit
+            FROM lanes ln
+            LEFT JOIN bloom bl ON bl.word_idx = ln.word_idx
+        ),
+        hits AS (
+            SELECT doc_id,
+                   CASE WHEN SUM(lane_hit) = {DD25_K} THEN 1 ELSE 0 END
+                       AS bloom_hit
+            FROM probe GROUP BY doc_id
+        ),
+        truth AS (
+            SELECT i.doc_id,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM com WHERE com.ch = i.ch
+                   ) THEN 1 ELSE 0 END AS is_dup
+            FROM inc i
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
+               CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+               CAST(SUM(is_dup) AS BIGINT) AS n_true_dups,
+               CAST(SUM(CASE WHEN bloom_hit = 1 AND is_dup = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_positives,
+               CAST(SUM(CASE WHEN bloom_hit = 0 AND is_dup = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_negatives,
+               CAST(SUM(CASE WHEN bloom_hit = 1 AND is_dup = 0
+                             THEN 1 ELSE 0 END) * 1000000
+                    // GREATEST(COUNT(*) - SUM(is_dup), 1) AS BIGINT)
+                   AS fp_ppm
+        FROM hits JOIN truth USING (doc_id)
+    """
+
+
+@register(
+    "dd25_bloom_filter_gate",
+    oracle=_dd25_oracle(),
+    doc=f"Bloom-filter dedup ADMISSION GATE — the constant-space "
+    "pre-filter in front of exact dedup: the committed corpus folds "
+    f"its content hashes into an {DD25_BITS}-bit Bloom filter "
+    f"(k={DD25_K} positions per key, counter-mixed off ONE md5 — the "
+    "r14 hash-budget rule), stored as a skinny (word_idx, word) "
+    "table built by one bit_or aggregation; an incoming batch probes "
+    "it with a broadcast join and only Bloom-HITS proceed to the "
+    "exact content-hash check. The one result row pins the whole "
+    "contract in the value hash: hit/true-dup/false-positive counts, "
+    "the measured FP rate in ppm, and n_false_negatives == 0 — the "
+    "Bloom guarantee (a member's bits are all set by construction), "
+    "which is what makes the gate SAFE to put in front of exact "
+    "dedup at 100 TB: the expensive keyed shuffle runs only on the "
+    "~FP-rate fraction of genuinely-new content, and the filter "
+    "itself merges across executors by word-wise OR (the same "
+    "mergeability argument as a22's sketch). Integer-exact on both "
+    "engines: bit positions by modular counter mixing, masks by "
+    "64-bit shifts, identical two's-complement wrap.",
+    tags=("dedup", "sketch", "llm"),
+)
+def dd25_bloom_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    ch = F.md5(F.lower(F.trim(F.col("text")))).alias("ch")
+    com = (
+        d.filter(F.col("doc_id") % 2 == 0).select(ch).distinct()
+    )
+    inc = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", ch)
+    lanes = _dd25_lanes_spark()
+    bloom = (
+        com.select(F.explode(F.expr(lanes)).alias("l"))
+        .select("l.word_idx", "l.mask")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+    )
+    probe = (
+        inc.select("doc_id", F.explode(F.expr(lanes)).alias("l"))
+        .select("doc_id", "l.word_idx", "l.mask")
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("w").isNotNull()
+                & (F.expr("w & mask") != 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("lane_hit"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.when(F.sum("lane_hit") == DD25_K, 1)
+            .otherwise(0)
+            .alias("bloom_hit")
+        )
+    )
+    truth = inc.join(
+        com.withColumnRenamed("ch", "cch"),
+        F.col("ch") == F.col("cch"),
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("cch").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+    return (
+        probe.join(truth, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.sum("is_dup").cast("long").alias("n_true_dups"),
+            F.sum(
+                F.when((F.col("bloom_hit") == 1) & (F.col("is_dup") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_false_positives"),
+            F.sum(
+                F.when((F.col("bloom_hit") == 0) & (F.col("is_dup") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_false_negatives"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(n_false_positives * 1000000 DIV "
+                "GREATEST(n_incoming - n_true_dups, CAST(1 AS BIGINT)) "
+                "AS BIGINT)"
+            ).alias("fp_ppm"),
+        )
+    )

@@ -1808,3 +1808,142 @@ def g14_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
         out = out.unionByName(stats(cur, i))
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# g15: rich-club coefficient (round 14)
+# ---------------------------------------------------------------------------
+
+#: Degree thresholds swept: phi(k) over the subgraph of nodes with
+#: degree > k. Chosen to straddle the trade graph's degree knee at the
+#: driver SFs (pytest pins the phi(k) monotonicity the rich-club
+#: effect predicts on this fixture family).
+G15_THRESHOLDS = (2, 4, 8, 16)
+
+
+@register(
+    "g15_rich_club",
+    oracle=f"""
+        WITH edges0 AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        deg AS (
+            SELECT kind, node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (
+                SELECT 'c' AS kind, c AS node FROM edges0
+                UNION ALL
+                SELECT 's', s FROM edges0
+            ) GROUP BY kind, node
+        ),
+        ks AS (SELECT UNNEST(ARRAY{list(G15_THRESHOLDS)}) AS k),
+        rich AS (
+            SELECT ks.k, deg.kind, deg.node
+            FROM ks JOIN deg ON deg.d > ks.k
+        ),
+        nrich AS (
+            SELECT k,
+                   CAST(SUM(CASE WHEN kind = 'c' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_c,
+                   CAST(SUM(CASE WHEN kind = 's' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_s
+            FROM rich GROUP BY k
+        ),
+        erich AS (
+            SELECT rc.k, CAST(COUNT(*) AS BIGINT) AS e
+            FROM edges0
+            JOIN rich rc ON rc.kind = 'c' AND rc.node = edges0.c
+            JOIN rich rs ON rs.kind = 's' AND rs.node = edges0.s
+                        AND rs.k = rc.k
+            GROUP BY rc.k
+        )
+        SELECT nrich.k AS k, nrich.n_c AS n_rich_cust,
+               nrich.n_s AS n_rich_supp,
+               COALESCE(erich.e, 0) AS edges_among_rich,
+               CAST(CASE WHEN nrich.n_c * nrich.n_s > 0 THEN
+                   COALESCE(erich.e, 0) * 1000000
+                   // (nrich.n_c * nrich.n_s)
+               ELSE 0 END AS BIGINT) AS phi_ppm
+        FROM nrich LEFT JOIN erich ON erich.k = nrich.k
+        ORDER BY k
+    """,
+    doc="Rich-club coefficient over the bipartite customer<->supplier "
+    "trade graph (g1's edge set): for each degree threshold k, the "
+    "edge DENSITY among nodes of degree > k — phi(k) = "
+    "E(rich)/(n_rich_cust * n_rich_supp) in exact ppm (the bipartite "
+    "normalization: possible edges are cross-side pairs, not "
+    "n-choose-2). Rising phi(k) is the rich-club effect — "
+    "high-degree customers concentrate their business on high-degree "
+    "suppliers — the mesoscale structure assortativity (g10) "
+    "summarizes in one number and k-core peeling (g14) thresholds "
+    "at; phi exposes the whole curve. Scale shape: the degree table "
+    "is one aggregation of the distinct-edge frame; each threshold's "
+    "membership is a broadcast-filterable predicate; the edge count "
+    "re-joins edges to the two skinny membership sides — no "
+    "all-pairs term anywhere, and the thresholds share one degree "
+    "computation.",
+    tags=("graph", "statistics"),
+)
+def g15_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table_parallel(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()  # plan-cache: degree agg + per-threshold edge counts
+    )
+    deg = (
+        edges.select(F.lit("c").alias("kind"), F.col("c").alias("node"))
+        .unionByName(
+            edges.select(F.lit("s").alias("kind"), F.col("s").alias("node"))
+        )
+        .groupBy("kind", "node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = edges.sparkSession.createDataFrame(
+        [(k,) for k in G15_THRESHOLDS], "k long"
+    )
+    rich = F.broadcast(ks).join(deg, F.col("d") > F.col("k")).select(
+        "k", "kind", "node"
+    )
+    nrich = rich.groupBy("k").agg(
+        F.sum(F.when(F.col("kind") == "c", 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("kind") == "s", 1).otherwise(0))
+        .cast("long")
+        .alias("n_s"),
+    )
+    rich_c = rich.filter(F.col("kind") == "c").select(
+        "k", F.col("node").alias("c")
+    )
+    rich_s = rich.filter(F.col("kind") == "s").select(
+        F.col("k").alias("ks_k"), F.col("node").alias("rs_s")
+    )
+    erich = (
+        edges.join(rich_c, "c")
+        .join(
+            rich_s,
+            (F.col("k") == F.col("ks_k")) & (F.col("s") == F.col("rs_s")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    return (
+        nrich.join(erich, "k", "left")
+        .select(
+            "k",
+            F.col("n_c").alias("n_rich_cust"),
+            F.col("n_s").alias("n_rich_supp"),
+            F.coalesce(F.col("e"), F.lit(0)).cast("long").alias(
+                "edges_among_rich"
+            ),
+            F.expr(
+                "CAST(CASE WHEN n_c * n_s > 0 THEN "
+                "COALESCE(e, 0) * 1000000 DIV (n_c * n_s) "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+        .orderBy("k")
+    )

@@ -4968,3 +4968,142 @@ def mm13_vision_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# pp24: data-constrained epoch schedule (round 14)
+# ---------------------------------------------------------------------------
+
+#: Budget as a multiple of the corpus: 2x forces repetition, exercising
+#: the diminishing-returns ladder (a 1x budget would be one epoch of
+#: everything and the schedule degenerates).
+PP24_BUDGET_NUM = 2
+PP24_BUDGET_DEN = 1
+#: Marginal value of the k-th epoch of the SAME data, per mille — the
+#: data-constrained-scaling observation (repeating pretraining data
+#: decays in value roughly geometrically; ~4 epochs is the useful
+#: ceiling). Epochs beyond the ladder are worth 0 and never scheduled.
+PP24_EPOCH_VALUE_PERMILLE = (1000, 500, 250, 125)
+
+
+@register(
+    "pp24_epoch_schedule",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS c
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(c) * {PP24_BUDGET_NUM}
+                        // {PP24_BUDGET_DEN} AS BIGINT) AS b
+            FROM per
+        ),
+        cand AS (
+            SELECT per.source, per.c, g.epoch,
+                   CASE g.epoch
+                       WHEN 1 THEN {PP24_EPOCH_VALUE_PERMILLE[0]}
+                       WHEN 2 THEN {PP24_EPOCH_VALUE_PERMILLE[1]}
+                       WHEN 3 THEN {PP24_EPOCH_VALUE_PERMILLE[2]}
+                       ELSE {PP24_EPOCH_VALUE_PERMILLE[3]}
+                   END AS value_permille
+            FROM per, generate_series(1, 4) AS g(epoch)
+        ),
+        ranked AS (
+            SELECT *,
+                   SUM(c) OVER (
+                       ORDER BY value_permille DESC, source, epoch
+                       ROWS UNBOUNDED PRECEDING
+                   ) - c AS cum_before
+            FROM cand
+        )
+        SELECT source, CAST(epoch AS BIGINT) AS epoch,
+               CAST(value_permille AS BIGINT) AS value_permille,
+               c AS domain_tokens,
+               CAST(LEAST(c, GREATEST(tot.b - cum_before, 0))
+                    AS BIGINT) AS tokens_alloc
+        FROM ranked CROSS JOIN tot
+        WHERE LEAST(c, GREATEST(tot.b - cum_before, 0)) > 0
+        ORDER BY value_permille DESC, source, epoch
+    """,
+    doc="Data-constrained epoch schedule — given a token budget LARGER "
+    "than the deduplicated corpus (the regime every frontier run is "
+    "in), how many EPOCHS of each domain to take: repeating data "
+    "decays in value roughly geometrically per epoch with ~4 epochs "
+    "the useful ceiling (the data-constrained-scaling result), so the "
+    "planner materializes (domain, epoch<=4) candidates with the "
+    "per-mille value ladder, greedily funds them in value order "
+    "(marginal value per token of epoch k is the SAME for every token "
+    "in it, so the greedy is optimal — it is the fractional knapsack "
+    "on a finite ladder), and clamps the boundary candidate to the "
+    "remaining budget: alloc = min(c, max(B - cum_before, 0)) from "
+    "ONE window cumsum over the |domains|x4 candidate frame. Exact "
+    "integer arithmetic end to end (budget by integer DIV, cumsum of "
+    "BIGINT counts); the per-epoch rows with value ladder + clamps "
+    "all sit in the value hash. Scale: the corpus is touched ONCE "
+    "for per-domain token counts (map-side combined sum); everything "
+    "after is |domains|x4 rows on the driver-side-free window — the "
+    "same bounded-spine shape as pp22's waterfill, answering the "
+    "complementary question (pp22: fair shares under a SMALLER "
+    "budget; pp24: repetition plan under a LARGER one).",
+    tags=("pipeline", "planning"),
+)
+def pp24_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            F.size(
+                F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+            ).cast("long").alias("tok_n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok_n").alias("c"))
+    )
+    tot = per.agg(
+        F.expr(
+            f"CAST(SUM(c) * {PP24_BUDGET_NUM} DIV {PP24_BUDGET_DEN} "
+            "AS BIGINT)"
+        ).alias("b")
+    )
+    cand = per.crossJoin(
+        F.broadcast(
+            per.sparkSession.createDataFrame(
+                [
+                    (k + 1, v)
+                    for k, v in enumerate(PP24_EPOCH_VALUE_PERMILLE)
+                ],
+                "epoch long, value_permille long",
+            )
+        )
+    )
+    w = Window.orderBy(
+        F.desc("value_permille"), F.col("source"), F.col("epoch")
+    )
+    ranked = cand.select(
+        "source",
+        "epoch",
+        "value_permille",
+        F.col("c").alias("domain_tokens"),
+        (
+            F.sum("c").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("c")
+        ).alias("cum_before"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "epoch",
+            "value_permille",
+            "domain_tokens",
+            F.expr(
+                "CAST(LEAST(domain_tokens, "
+                "GREATEST(b - cum_before, CAST(0 AS BIGINT))) AS BIGINT)"
+            ).alias("tokens_alloc"),
+        )
+        .filter(F.col("tokens_alloc") > 0)
+        .orderBy(F.desc("value_permille"), "source", "epoch")
+    )

@@ -4172,3 +4172,134 @@ def m53_rename_and_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg("view@head", ws_read_view(spark, ws, "high_value")))
         .orderBy("address")
     )
+
+
+@register(
+    "m54_mor_changelog",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        s AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 // 10
+                       AS cents
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        purge AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT * FROM (
+            SELECT CAST(2 AS BIGINT) AS version,
+                   'delete' AS change,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   CAST(NULL AS BIGINT) AS cents_sum
+            FROM s
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(o_orderkey) AS BIGINT),
+                   CAST(SUM(cents) AS BIGINT)
+            FROM s
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(o_orderkey) AS BIGINT), CAST(NULL AS BIGINT)
+            FROM purge
+        ) ORDER BY version, change
+    """,
+    doc="Changelog scan ACROSS merge-on-read commits (round 14 — the "
+    "CDC consumer's view of m52's write path, Iceberg's "
+    "changelog-with-deletes): `mor_changes` exports one commit's "
+    "row-level changes by scanning JUST that commit's delta "
+    "directories (inserts) and equality-delete files (delete "
+    "records) — O(changed bytes) per commit, never the table, which "
+    "is what makes a downstream materialized view or replica "
+    "maintainable at 100 TB (m27's changelog diffs two SNAPSHOTS; "
+    "this reads the change files the MoR commit already wrote, no "
+    "diff computation at all). Workflow: m52's merge sequence (seed "
+    "%%3, upsert %%2 with +10%% amendment, purge %%7), then the "
+    "changelog rows per version — delete records carry the key sum "
+    "(equality-delete files hold keys only, so cents_sum is NULL — "
+    "the physical record, not a target lookup), insert records carry "
+    "key and cents sums. The delete stream includes keys the merge "
+    "'deleted' that were never present (source keys, the physical "
+    "equality-delete content) — a no-op for any consistent consumer, "
+    "exactly Iceberg's semantics, and the oracle pins that contract.",
+    tags=("scale", "snapshot", "merge-on-read", "cdc"),
+)
+def m54_mor_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        merge_into,
+        mor_changes,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    table = os.path.join(tempfile.mkdtemp(prefix="morcdc_"), "orders")
+    commit_snapshot(
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", cents.alias("cents")
+        ),
+        table,
+    )
+    v2 = merge_into(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 DIV 10"
+            ).alias("cents"),
+        ),
+        on=["o_orderkey"],
+        strategy="mor",
+    )
+    v3 = merge_into(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", F.lit(0).cast("long").alias("cents")
+        ),
+        on=["o_orderkey"],
+        when_matched="delete",
+        when_not_matched="ignore",
+        strategy="mor",
+    )
+    out = None
+    for v in (v2, v3):
+        ins, delk, _on = mor_changes(spark, table, v)
+        rows = []
+        if delk is not None:
+            rows.append(
+                delk.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").cast("long").alias("key_sum"),
+                ).select(
+                    F.lit(v).cast("long").alias("version"),
+                    F.lit("delete").alias("change"),
+                    "n_rows",
+                    "key_sum",
+                    F.lit(None).cast("long").alias("cents_sum"),
+                )
+            )
+        if ins is not None:
+            rows.append(
+                ins.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").cast("long").alias("key_sum"),
+                    F.sum("cents").cast("long").alias("cents_sum"),
+                ).select(
+                    F.lit(v).cast("long").alias("version"),
+                    F.lit("insert").alias("change"),
+                    "n_rows",
+                    "key_sum",
+                    "cents_sum",
+                )
+            )
+        for r in rows:
+            out = r if out is None else out.unionByName(r)
+    return out.orderBy("version", "change")

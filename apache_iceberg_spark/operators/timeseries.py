@@ -3771,3 +3771,86 @@ def ts32_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_TS32_Z).alias("z"),
         F.expr(f"abs({_TS32_Z}) > {TS32_Z95}").alias("trend_at_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts33: windowed distribution entropy (round 14)
+# ---------------------------------------------------------------------------
+
+TS33_MICRO = 1_000_000
+_TS33_LN = f"CAST(ROUND(ln({{k}}) * {TS33_MICRO}) AS BIGINT)"
+
+
+@register(
+    "ts33_windowed_entropy",
+    oracle=f"""
+        WITH cells AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2, 3
+        ),
+        win AS (
+            SELECT day, hr, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST((CAST(SUM(c) AS HUGEINT)
+                         * {_TS33_LN.format(k='SUM(c)')}
+                         - SUM(CAST(c AS HUGEINT)
+                               * {_TS33_LN.format(k='c')}))
+                        // SUM(c) AS BIGINT) AS h_micro
+            FROM cells GROUP BY day, hr
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(MIN(h_micro) AS BIGINT) AS min_h_micro,
+               CAST(MAX(h_micro) AS BIGINT) AS max_h_micro,
+               CAST(SUM(h_micro) AS BIGINT) AS sum_h_micro,
+               CAST(SUM(CASE WHEN h_micro < 693147 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_entropy
+        FROM win
+    """,
+    doc="Per-window Shannon entropy of the event-type mix — the "
+    "time-resolved twin of a45's global dependence gauge: each "
+    "(day, hour) window's H = ln(n) - (1/n)*sum c*ln(c) in exact "
+    "integer micro-nats (the quantized-ln recipe: every ln takes an "
+    "INTEGER count, snapped per term, cross-term sums in HUGEINT/"
+    "DECIMAL, one integer DIV per window — numerator n*ln(n) - "
+    "sum(c*ln c) is non-negative by Jensen, so the engines' division "
+    "semantics agree). A collapsed window (one type dominating — bot "
+    "bursts, stuck producers) shows as H below ln(2): the "
+    "n_low_entropy count pins the alert rule in the hash alongside "
+    "min/max/sum of the full series. Scale: ONE fact shuffle to "
+    "(day, hour, type) cells — map-side combined — then window "
+    "finishes are support-sized; no per-row ln is ever evaluated "
+    "(the ln argument is a COUNT, so the distinct-argument set is "
+    "the cell set).",
+    tags=("timeseries", "statistics"),
+)
+def ts33_windowed_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+            "event_type",
+        )
+        .groupBy("day", "hr", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ln = _TS33_LN
+    win = cells.groupBy("day", "hr").agg(
+        F.sum("c").alias("n"),
+        F.expr(
+            f"CAST((CAST(SUM(c) AS DECIMAL(38,0)) * {ln.format(k='SUM(c)')}"
+            f" - SUM(CAST(c AS DECIMAL(38,0)) * {ln.format(k='c')}))"
+            " DIV SUM(c) AS BIGINT)"
+        ).alias("h_micro"),
+    )
+    return win.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("h_micro").alias("min_h_micro"),
+        F.max("h_micro").alias("max_h_micro"),
+        F.sum("h_micro").cast("long").alias("sum_h_micro"),
+        F.sum(F.when(F.col("h_micro") < 693147, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_entropy"),
+    )

@@ -2844,3 +2844,97 @@ def _st32_set_oracle() -> None:
 
 
 _st32_set_oracle()
+
+
+# --- st33: streaming count-min heavy hitters (a22 at ingest) ---------------------
+
+
+@register(
+    "st33_stream_countmin",
+    oracle=None,  # bound below: the same sketch SQL over events.user_id
+    doc="a22's count-min sketch maintained BY THE STREAM: the "
+    "micro-batch aggregation keeps one COUNT per user_id — per-key "
+    "counts are the mergeable sufficient statistic for the sketch "
+    "exactly as contingency cells are for st31's MI, because the "
+    "depth hashes are key-functional (cell = sum of counts over keys "
+    "in the bucket) — and the finish assembles the 4x64 grid + "
+    "min-over-depths estimates via the SAME _countmin_estimates the "
+    "batch operator uses, so the stream's sketch is bitwise-equal to "
+    "a batch recompute and the driver hash-checks it against the "
+    "declarative SQL twin. The monitoring story: a live heavy-hitter "
+    "gauge at ingest (which users dominate the feed) priced at "
+    "|keys| rows of state and ONE md5 per key at finish time — the "
+    "r14 hash-budget discipline running at the stream.",
+    tags=("streaming", "sketch"),
+)
+def st33_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import (
+        _countmin_estimates,
+    )
+
+    keys = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    qname = f"st33_cm_{next(_stream_ids)}"
+    query = (
+        keys.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _countmin_estimates(
+        spark.table(qname).select(
+            F.col("user_id").cast("string").alias("user_id"), "exact_cnt"
+        ),
+        "user_id",
+    )
+
+
+def _st33_set_oracle() -> None:
+    import dataclasses as _dc
+
+    from apache_iceberg_spark.operators.analytics import (
+        CM_DEPTH,
+        CM_WIDTH,
+        _CM_COEF_DUCK,
+        _CM_LANE,
+    )
+    from apache_iceberg_spark.registry import REGISTRY
+
+    oracle = f"""
+        WITH keys AS (
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM events GROUP BY 1
+        ),
+        kb AS (
+            SELECT user_id, exact_cnt, d,
+                   {_CM_LANE} % {CM_WIDTH} AS bucket
+            FROM (
+                SELECT user_id, exact_cnt, {_CM_COEF_DUCK}
+                FROM (
+                    SELECT user_id, exact_cnt, md5(user_id) AS h
+                    FROM keys
+                )
+            ), generate_series(0, {CM_DEPTH - 1}) AS g(d)
+        ),
+        cells AS (
+            SELECT d, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+            FROM kb GROUP BY 1, 2
+        )
+        SELECT kb.user_id, kb.exact_cnt,
+               CAST(MIN(cc.cnt) AS BIGINT) AS cm_estimate,
+               CAST(MIN(cc.cnt) - kb.exact_cnt AS BIGINT) AS overestimate
+        FROM kb JOIN cells cc ON cc.d = kb.d AND cc.bucket = kb.bucket
+        GROUP BY kb.user_id, kb.exact_cnt
+    """
+    q = REGISTRY["st33_stream_countmin"]
+    REGISTRY["st33_stream_countmin"] = _dc.replace(q, oracle=oracle)
+
+
+_st33_set_oracle()

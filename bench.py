@@ -69,15 +69,12 @@ HEADLINE = [
     "pp6_production_funnel",
     "tx12_gopher_rules",
     "ts6_time_weighted_avg",
-    "pp7_contamination_report",
     "j7_interval_overlap_join",
-    "ts7_max_concurrent_intervals",
     "ann6_pq_adc",
     "ann7_kmeans_train",
     "pp8_corpus_shuffle",
     "g1_pagerank",
     "g2_triangle_count",
-    "dd11_duplication_profile",
     "a20_cohort_retention",
     "m18_bitmap_distinct",
     "dd12_containment_dedup",
@@ -91,10 +88,7 @@ HEADLINE = [
     "ann11_trained_ivf",
     "pp10_pretraining_job",
     "pp11_curriculum_order",
-    "mm8_video_neardup_pairs",
-    "dd16_simhash_neardup",
     # round-6 operators
-    "ann13_clustered_recall_curve",
     # round-7 operators (the scale-path EWMA and the new graph join;
     # tx16/pp13/ann15 are timed on stderr and tracked in README — the
     # contract line is at its tail-budget ceiling)
@@ -128,12 +122,23 @@ STREAMING = [
     "st30_stream_cdc_upsert",
     "st31_stream_mutual_information",
     "st32_stream_jsd_drift",
+    "st33_stream_countmin",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
 # budget: timed like HEADLINE but reported on stderr only (and tracked
 # round-over-round in README's bench table).
 AUX = [
+    # round 14: moved from HEADLINE to make contract-line room for
+    # aux_top5 (VERDICT r13 ask #4) — each family keeps headline
+    # representatives; README's r14 re-baseline notes the composition
+    # change so round-over-round totals are compared per-query.
+    "ts7_max_concurrent_intervals",
+    "ann13_clustered_recall_curve",
+    "mm8_video_neardup_pairs",
+    "pp7_contamination_report",
+    "dd11_duplication_profile",
+    "dd16_simhash_neardup",
     "tx16_rarity_filter",
     "pp13_temperature_mixture",
     "ann15_index_lifecycle",
@@ -289,6 +294,16 @@ AUX = [
     "dd24_dup_inflation_factor",
     "f19_variant_shred",
     "m51_time_travel_asof",
+    # round 14
+    "m52_merge_on_read_upsert",
+    "m53_rename_and_views",
+    "m54_mor_changelog",
+    "a50_cliffs_delta",
+    "a51_g_test",
+    "ts33_windowed_entropy",
+    "pp24_epoch_schedule",
+    "dd25_bloom_filter_gate",
+    "g15_rich_club",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
@@ -499,6 +514,14 @@ def main() -> None:
     # the AUX family is driver-visible the way canary_total made headline
     # drift visible.
     aux_total = round(sum(aux_timings.values()), 3)
+    # aux_top5 (round 14, VERDICT r13 ask #4): the five largest AUX
+    # entries ride the contract line so the driver can ATTRIBUTE an
+    # aux_total regression without the stderr detail the ~2 KB tail
+    # truncates — which aux entry moved, not just that the family did.
+    aux_top5 = {
+        k: round(v, 1)
+        for k, v in sorted(aux_timings.items(), key=lambda kv: -kv[1])[:5]
+    }
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -617,6 +640,7 @@ def main() -> None:
                 "queries": q,
                 "canary_total": canary_total,
                 "aux_total": aux_total,
+                "aux_top5": aux_top5,
                 "stream_total": stream_total,
                 "sf": sf_val,
                 "host": {

@@ -29,6 +29,13 @@ def _rendered_contract_line(timings: dict) -> str:
             "queries": timings,
             "canary_total": 99999.999,
             "aux_total": 99999.999,
+            # worst-case aux_top5: five longest registered AUX names at
+            # pathological widths (VERDICT r13 ask #4)
+            "aux_top5": {
+                # emission is 1-decimal; worst case is 4 digits + .9
+                name: 1234.5
+                for name in sorted(bench.AUX, key=len, reverse=True)[:5]
+            },
             "stream_total": 99999.999,
             "sf": 0.1,
             # worst-case-width host self-label (VERDICT r11 ask #2)
@@ -79,7 +86,7 @@ def test_contract_line_has_exactly_the_contract_keys():
     obj = json.loads(_rendered_contract_line({"q1": 1.0}))
     assert set(obj) == {
         "metric", "value", "unit", "queries", "canary_total",
-        "aux_total", "stream_total", "sf", "host",
+        "aux_total", "aux_top5", "stream_total", "sf", "host",
     }
     # the self-label the driver's truncated tail must still carry
     assert set(obj["host"]) == {"load1_start", "load1_end", "cpus_visible"}
@@ -95,6 +102,7 @@ def test_contract_line_source_carries_aux_total():
     start = src.index("def contract_line")
     body = src[start:src.index("# Hard guard on the tail budget")]
     assert '"aux_total"' in body
+    assert '"aux_top5"' in body
     assert '"stream_total"' in body
 
 

@@ -249,3 +249,232 @@ def test_mor_tagged_snapshot_protected_through_expiry(spark, mor_table):
     )
     remove_orphan_dirs(mor_table)
     assert _rows(read_ref(spark, mor_table, "audit")) == before
+
+
+# --- round-14 operator semantics beyond the oracle gate ----------------------
+
+
+def test_g15_rich_club_effect_monotone(spark):
+    """phi(k) must be non-decreasing across thresholds while both sides
+    still have rich members — the rich-club effect the fixture's trade
+    graph exhibits (high-degree customers concentrate on high-degree
+    suppliers); an empty rich side reads phi = 0 by convention."""
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = sorted(
+        REGISTRY["g15_rich_club"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["k"],
+    )
+    live = [r for r in rows if r["n_rich_cust"] > 0 and r["n_rich_supp"] > 0]
+    phis = [r["phi_ppm"] for r in live]
+    assert len(live) >= 2
+    assert phis == sorted(phis), rows
+    for r in rows:
+        if r["n_rich_cust"] == 0 or r["n_rich_supp"] == 0:
+            assert r["phi_ppm"] == 0 and r["edges_among_rich"] == 0
+
+
+def test_dd25_bloom_no_false_negatives_with_seeded_dups(spark):
+    """The Bloom guarantee on actual members: a committed text probed
+    verbatim must ALWAYS hit (every one of its k bits was set by the
+    build). Seeds dups through the same lane expressions the operator
+    uses."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_spark.operators.dedup import (
+        DD25_K,
+        _dd25_lanes_spark,
+    )
+
+    texts = [(i, f"document body number {i % 7}") for i in range(40)]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    ch = F.md5(F.lower(F.trim(F.col("text")))).alias("ch")
+    com = d.filter(F.col("doc_id") % 2 == 0).select(ch).distinct()
+    inc = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", ch)
+    lanes = _dd25_lanes_spark()
+    bloom = (
+        com.select(F.explode(F.expr(lanes)).alias("l"))
+        .select("l.word_idx", "l.mask")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+    )
+    hits = (
+        inc.select("doc_id", "ch", F.explode(F.expr(lanes)).alias("l"))
+        .select("doc_id", "ch", "l.word_idx", "l.mask")
+        .join(bloom, "word_idx", "left")
+        .groupBy("doc_id", "ch")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("w").isNotNull() & (F.expr("w & mask") != 0),
+                        1,
+                    ).otherwise(0)
+                )
+                == DD25_K
+            ).alias("hit")
+        )
+    )
+    # every incoming text with i%7 repeating across parity IS committed
+    truth = {r["ch"] for r in com.collect()}
+    for r in hits.collect():
+        if r["ch"] in truth:
+            assert r["hit"], f"false negative on member {r['doc_id']}"
+
+
+def test_pp24_budget_conserved_and_clamped(spark):
+    """The schedule spends EXACTLY the budget (ladder capacity 4x >
+    budget 2x), never over-allocates a candidate past its domain size,
+    and funds strictly in value order (an epoch-k candidate is funded
+    only if every epoch-(k-1) candidate is fully funded)."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_spark.operators.pipeline import (
+        PP24_BUDGET_DEN,
+        PP24_BUDGET_NUM,
+        _TOKEN_SPLIT,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = REGISTRY["pp24_epoch_schedule"].spark(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    total = d.select(
+        F.sum(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT))
+        ).alias("t")
+    ).first()["t"]
+    budget = total * PP24_BUDGET_NUM // PP24_BUDGET_DEN
+    assert sum(r["tokens_alloc"] for r in rows) == budget
+    for r in rows:
+        assert 0 < r["tokens_alloc"] <= r["domain_tokens"]
+    full_by_epoch = {}
+    for r in rows:
+        full_by_epoch.setdefault(r["epoch"], []).append(
+            r["tokens_alloc"] == r["domain_tokens"]
+        )
+    epochs = sorted(full_by_epoch)
+    for earlier, later in zip(epochs, epochs[1:]):
+        if full_by_epoch[later]:
+            assert all(full_by_epoch[earlier]), (
+                f"epoch {later} funded before epoch {earlier} was full"
+            )
+
+
+def test_a50_consistent_with_a36_rank_biserial(spark):
+    """delta + 1 = 2*U/(na*nb) and a36's rank-biserial is
+    1 - U/(na*nb), so delta_plus1_micro + 2*rank_biserial_micro must
+    equal 2e6 up to integer-DIV rounding."""
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    d = REGISTRY["a50_cliffs_delta"].spark(spark, SF_DIR).first()
+    m = REGISTRY["a36_mann_whitney"].spark(spark, SF_DIR).first()
+    lhs = d["delta_plus1_micro"] + 2 * m["rank_biserial_micro"]
+    assert abs(lhs - 2_000_000) <= 3, (d, m)
+
+
+def test_ts33_entropy_bounds(spark):
+    """Every window's entropy lies in [0, ln(#types)] micro-nats; the
+    aggregate row's min/max respect that."""
+    import math
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    r = REGISTRY["ts33_windowed_entropy"].spark(spark, SF_DIR).first()
+    n_types = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    cap = int(math.log(n_types) * 1_000_000) + 1
+    assert 0 <= r["min_h_micro"] <= r["max_h_micro"] <= cap, (r, cap)
+    assert r["n_windows"] > 0
+
+
+def test_st33_stream_equals_batch_sketch(spark):
+    """The stream-maintained count-min must be bitwise-equal to a batch
+    recompute from the same events (per-key counts are the mergeable
+    sufficient statistic)."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_spark.operators.analytics import (
+        _countmin_estimates,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    got = {
+        tuple(r)
+        for r in REGISTRY["st33_stream_countmin"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    keys = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    want = {tuple(r) for r in _countmin_estimates(keys, "user_id").collect()}
+    assert got == want
+
+
+def test_m54_changelog_replay_reconstructs_table(spark):
+    """Applying each MoR commit's exported changes (delete keys, then
+    inserts) onto the seed must reconstruct the head table exactly —
+    the CDC consumer contract."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        merge_into,
+        mor_changes,
+        read_ref,
+        read_snapshot_dirs,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    t = os.path.join(tempfile.mkdtemp(prefix="m54rt_"), "t")
+    commit_snapshot(df, t)
+    v2 = merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(3, 33), (99, 990)], "k long, val long"),
+        on=["k"],
+        strategy="mor",
+    )
+    v3 = merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(7, 0)], "k long, val long"),
+        on=["k"],
+        when_matched="delete",
+        when_not_matched="ignore",
+        strategy="mor",
+    )
+    state = read_snapshot_dirs(spark, t, version=1)
+    for v in (v2, v3):
+        ins, delk, on = mor_changes(spark, t, v)
+        if delk is not None:
+            state = state.join(delk.select(*on), on, "left_anti")
+        if ins is not None:
+            state = state.unionByName(ins)
+    got = {(r["k"], r["val"]) for r in state.collect()}
+    want = {(r["k"], r["val"]) for r in read_ref(spark, t, "main").collect()}
+    assert got == want
