@@ -1487,6 +1487,8 @@ def merge_into(
     branch: str = "main",
     partition_by: list[str] | None = None,
     strategy: str = "cow",
+    stats_cols: list[str] | None = None,
+    check_unique: bool = True,
 ) -> int:
     """MERGE INTO over the snapshot catalog — the copy-on-write upsert
     (Iceberg's ``MERGE INTO t USING s ON … WHEN MATCHED THEN UPDATE SET *
@@ -1532,16 +1534,26 @@ def merge_into(
         raise ValueError(
             f"when_not_matched must be insert|ignore: {when_not_matched!r}"
         )
-    dup = source.groupBy(*on).count().filter("count > 1").limit(1).count()
-    if dup:
-        raise ValueError(
-            "MERGE source is not key-unique on "
-            f"{on} — a matched target row would update ambiguously"
+    if check_unique:
+        # ``check_unique=False`` skips this full source evaluation for
+        # callers whose source is key-unique BY CONSTRUCTION (e.g. a
+        # row_number()==1 reduction, st30) — the check would otherwise
+        # run the source plan one extra time per merge, a real cost in
+        # a per-micro-batch CDC loop. The semantics on a violated
+        # promise are the same as every engine's: last-writer-per-key
+        # nondeterminism, on the caller.
+        dup = (
+            source.groupBy(*on).count().filter("count > 1").limit(1).count()
         )
+        if dup:
+            raise ValueError(
+                "MERGE source is not key-unique on "
+                f"{on} — a matched target row would update ambiguously"
+            )
     if strategy == "mor":
         return _merge_into_mor(
             spark, table_path, source, on, when_matched,
-            when_not_matched, branch, partition_by,
+            when_not_matched, branch, partition_by, stats_cols,
         )
     target = read_ref(spark, table_path, branch)
     keep = target.join(source.select(*on), on, "left_anti")
@@ -1569,6 +1581,7 @@ def _merge_into_mor(
     when_not_matched: str,
     branch: str,
     partition_by: list[str] | None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """The merge-on-read commit body (see ``merge_into`` docstring):
     writes the source's KEYS as an equality-delete file (``e{N}-…/``)
@@ -1611,8 +1624,6 @@ def _merge_into_mor(
         delta = source.join(target.select(*on), on, "left_anti")
     else:  # delete matched, ignore new: the delete file IS the commit
         delta = None
-    del_dir = _data_dir(table_path, "e", version)
-    source.select(*on).write.mode("overwrite").parquet(del_dir)
     adds: list[str] = []
     if delta is not None:
         ddir = _data_dir(table_path, "d", version)
@@ -1621,16 +1632,40 @@ def _merge_into_mor(
             w = w.partitionBy(*layout)
         w.parquet(ddir)
         adds = [ddir]
+    if when_matched == "update":
+        # The delta's key column IS the delete-key set for update
+        # merges (update+insert: delta = source; update+ignore: delta =
+        # matched source, and deleting only matched keys is equivalent
+        # since absent keys delete as no-ops) — so the DELTA DIRECTORY
+        # doubles as the equality-delete file: readers select just the
+        # key columns from it (parquet column pruning makes that a
+        # key-column scan), and the merge writes ONE directory, the
+        # same write-job count as CoW at O(batch) bytes. Iceberg's
+        # analogue: the delete file referencing the data file's keys.
+        del_dir = ddir
+    else:
+        # delete-matched merges remove keys their delta does NOT carry
+        # (delete+insert: matched keys are deleted, delta holds only
+        # source-new rows; delete+ignore: no delta at all) — a real
+        # equality-delete key file is required.
+        del_dir = _data_dir(table_path, "e", version)
+        source.select(*on).write.mode("overwrite").parquet(del_dir)
+    entry = {
+        "version": version,
+        "ts_ms": int(time.time() * 1000),
+        "adds": adds,
+        "dels": [{"path": del_dir, "on": list(on)}],
+        "parent": parent_v,
+        "partition_by": layout,
+    }
+    if stats_cols and delta is not None:
+        # Stats describe the DELTA only (the delete file is never
+        # pruned — see read_pruned); a pruned read can now skip the
+        # merge's insert delta on value ranges like any append.
+        entry["stats"] = _column_stats(delta, stats_cols)
     _append_commit(
         table_path,
-        {
-            "version": version,
-            "ts_ms": int(time.time() * 1000),
-            "adds": adds,
-            "dels": [{"path": del_dir, "on": list(on)}],
-            "parent": parent_v,
-            "partition_by": layout,
-        },
+        entry,
         expected_head=head,
         move_branch=branch,
         expected_branch_v=parent_v,

@@ -4274,6 +4274,9 @@ def a51_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("xv", "yv")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # plan-cache: |types|x7 cells feed the term sum AND
+        # both marginals + total — without it the fact scan runs 4x
+        # (released by the caller via release_plan_caches)
     )
     mx = cells.groupBy("xv").agg(F.sum("c").alias("cx"))
     my = cells.groupBy("yv").agg(F.sum("c").alias("cy"))
@@ -4307,4 +4310,132 @@ def a51_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(2 * GREATEST(num, CAST(0 AS DECIMAL(38,0)))"
             " DIV ((kx - 1) * (ky - 1)) AS BIGINT)"
         ).alias("g_per_dof_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a52: explicit HyperLogLog (round 14)
+# ---------------------------------------------------------------------------
+
+#: Register count (2^6) and the bit split: 60-bit hash -> 6 register
+#: bits + 54 rank bits. alpha_64 = 0.709 quantized to ppm so the bias
+#: constant is the same integer on both engines.
+A52_M = 64
+A52_RANK_BITS = 54
+A52_ALPHA_PPM = 709_000
+
+
+def _a52_rank_case(w: str) -> str:
+    """Rank of the first 1-bit from the top of a 54-bit value, as a
+    branch ladder of integer comparisons — exact on both engines (a
+    float log2 could mis-round at power-of-two boundaries). w == 0
+    reads rank 55 (all-zeros + 1), the HLL convention."""
+    branches = " ".join(
+        f"WHEN ({w}) >= {1 << (A52_RANK_BITS - r)} THEN {r}"
+        for r in range(1, A52_RANK_BITS + 1)
+    )
+    return f"CASE {branches} ELSE {A52_RANK_BITS + 1} END"
+
+
+def _a52_oracle() -> str:
+    from apache_iceberg_spark.operators.text import DUCK_HEX2INT
+
+    h = DUCK_HEX2INT.format(s="CAST(l_orderkey AS VARCHAR)")
+    scale = 1 << (A52_RANK_BITS + 1)  # 2^55: term = 2^(55 - M_j)
+    # alpha * m^2 * 2^55 pre-folded in Python: the product (~1e26)
+    # overflows BIGINT constant folding; as ONE literal both engines
+    # parse it into their wide type (DECIMAL / HUGEINT)
+    num = A52_ALPHA_PPM * A52_M * A52_M * scale
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT {h} AS h FROM lineitem
+        ),
+        regs AS (
+            SELECT h % {A52_M} AS idx,
+                   CAST(MAX({_a52_rank_case(f"h // {A52_M}")}) AS BIGINT)
+                       AS mj
+            FROM hashed GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(SUM(CAST({scale} AS HUGEINT)
+                            // (CAST(1 AS HUGEINT) << mj)) AS HUGEINT)
+                       AS ssum,
+                   CAST(COUNT(*) AS BIGINT) AS n_regs
+            FROM regs
+        ),
+        exact AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+            FROM lineitem
+        )
+        SELECT exact.n AS exact_distinct,
+               CAST(CAST({num} AS HUGEINT)
+                    // (1000000 * s.ssum) AS BIGINT) AS hll_estimate,
+               s.n_regs AS registers_hit,
+               CAST(ABS(CAST({num} AS HUGEINT) // (1000000 * s.ssum)
+                        - exact.n) * 1000000 // exact.n AS BIGINT)
+                   AS error_ppm
+        FROM s CROSS JOIN exact
+    """
+
+
+@register(
+    "a52_hyperloglog_distinct",
+    oracle=_a52_oracle(),
+    doc=f"HyperLogLog distinct count built EXPLICITLY (a11/a17 use "
+    "Spark's built-in approx_count_distinct, whose sketch is opaque "
+    "and engine-specific — this one is the algorithm itself, "
+    "bitwise-reproducible on both engines, so the ORACLE CHECKS THE "
+    f"SKETCH, not just the answer): a 60-bit key hash splits into "
+    f"{A52_M} register indexes + 54 rank bits; each register keeps "
+    "the max first-1-bit rank (an integer comparison ladder — a "
+    "float log2 could mis-round at power boundaries); the harmonic "
+    "mean folds as exact powers of two (term = 2^(55 - M_j), HUGEINT "
+    "sums) and the alpha_64 bias constant is ppm-quantized, so the "
+    "estimate is ONE integer DIV. The result row carries estimate, "
+    "exact truth, registers hit, and the measured error in ppm — "
+    "dd18's measure-don't-guess discipline applied to the cardinality "
+    "sketch. Scale: registers are the mergeable state (64 ints — "
+    "executors fold by MAX per register, the same mergeability as "
+    "a22's sketch); the raw-estimate regime (n >> m, no small-range "
+    "correction) is the one the fixture exercises and the docstring "
+    "price list for production is m = 2^14 registers, same plan.",
+    tags=("aggregate", "sketch"),
+)
+def a52_hyperloglog_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.text import SPARK_HEX2INT
+
+    l = load_table(spark, sf_dir, "lineitem")
+    h = SPARK_HEX2INT.format(s="CAST(l_orderkey AS STRING)")
+    scale = 1 << (A52_RANK_BITS + 1)
+    hashed = l.select(F.expr(h).alias("h")).distinct()
+    regs = hashed.groupBy((F.col("h") % A52_M).alias("idx")).agg(
+        F.expr(
+            f"CAST(MAX({_a52_rank_case(f'h DIV {A52_M}')}) AS BIGINT)"
+        ).alias("mj")
+    )
+    s = regs.agg(
+        F.expr(
+            f"SUM(CAST({scale} AS DECIMAL(38,0)) "
+            "DIV CAST(POW(2, mj) AS DECIMAL(38,0)))"
+        ).alias("ssum"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    exact = l.agg(F.countDistinct("l_orderkey").alias("n"))
+    num = A52_ALPHA_PPM * A52_M * A52_M * scale
+    # Spark's DIV on decimals yields BIGINT, so ssum re-widens before
+    # the 1e6 scale-up (64 * 2^54 * 1e6 ~ 1.2e24 overflows long)
+    est = (
+        f"CAST(CAST({num} AS DECIMAL(38,0)) "
+        "DIV (CAST(1000000 AS DECIMAL(38,0)) * ssum) AS BIGINT)"
+    )
+    return (
+        s.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n").alias("exact_distinct"),
+            F.expr(est).alias("hll_estimate"),
+            F.col("n_regs").alias("registers_hit"),
+            F.expr(
+                f"CAST(ABS({est} - n) * 1000000 DIV n AS BIGINT)"
+            ).alias("error_ppm"),
+        )
     )

@@ -4303,3 +4303,124 @@ def m54_mor_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows:
             out = r if out is None else out.unionByName(r)
     return out.orderBy("version", "change")
+
+
+@register(
+    "m55_mor_stats_pruned_scan",
+    oracle="""
+        WITH bounds AS (
+            SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+            FROM orders
+        ),
+        edges AS (
+            SELECT lo,
+                   lo + ((hi - lo + 1) * 1) // 3 AS e1,
+                   lo + ((hi - lo + 1) * 2) // 3 AS e2,
+                   hi
+            FROM bounds
+        ),
+        amended AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey >= (SELECT e2 FROM edges)
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             * 11 // 10
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   END AS cents
+            FROM orders
+        )
+        SELECT * FROM (
+            SELECT 'low' AS probe,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(1 AS BIGINT) AS n_dirs_scanned,
+                   CAST(2 AS BIGINT) AS n_dirs_pruned
+            FROM amended, edges
+            WHERE o_orderkey >= edges.lo AND o_orderkey < edges.e1
+            UNION ALL
+            SELECT 'high', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(cents) AS BIGINT),
+                   CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+            FROM amended, edges
+            WHERE o_orderkey >= edges.e2
+        ) ORDER BY probe
+    """,
+    doc="Manifest-stats file pruning ON A MERGE-ON-READ TABLE (round "
+    "14 — m50's metadata-only skipping composed with m52's write "
+    "path): the MoR merge commits its insert delta WITH column stats "
+    "(`merge_into(stats_cols=...)`), so a later range read prunes the "
+    "merge delta exactly like any append — while the equality-delete "
+    "file is NEVER pruned (skipping data only loses rows the "
+    "predicate drops; skipping a DELETE would resurrect rows — the "
+    "conservative rule read_pruned enforces). Setup: two range "
+    "chunks committed with stats (thirds of the key domain), then "
+    "the top third lands via a MoR upsert (+10%% amendment, "
+    "delete-keys + delta). Probe LOW reads only chunk 1 (delta and "
+    "chunk 2 both pruned BY STATS, metadata-only, yet chunk 1 still "
+    "passes through the delete anti-join); probe HIGH reads only the "
+    "merge delta (both seed chunks pruned). Both probes' row "
+    "counts, exact cents, and dirs-scanned/pruned counts sit in one "
+    "value hash. At 100 TB: a CDC-maintained table keeps VALUE-range "
+    "skippability for analytical reads between compactions — stats "
+    "travel with every commit shape, not just appends.",
+    tags=("scale", "snapshot", "merge-on-read", "pruning"),
+)
+def m55_mor_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        merge_into,
+        read_pruned,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    span = int(hi) - int(lo) + 1
+    e1 = int(lo) + span * 1 // 3
+    e2 = int(lo) + span * 2 // 3
+    table = os.path.join(tempfile.mkdtemp(prefix="morprune_"), "orders")
+    commit_snapshot(
+        o.filter(
+            (F.col("o_orderkey") >= int(lo)) & (F.col("o_orderkey") < e1)
+        ),
+        table,
+        stats_cols=["o_orderkey"],
+    )
+    commit_append(
+        o.filter((F.col("o_orderkey") >= e1) & (F.col("o_orderkey") < e2)),
+        table,
+        stats_cols=["o_orderkey"],
+    )
+    merge_into(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") >= e2).select(
+            "o_orderkey",
+            F.expr(
+                "CAST(cents * 11 DIV 10 AS BIGINT)"
+            ).alias("cents"),
+        ),
+        on=["o_orderkey"],
+        strategy="mor",
+        stats_cols=["o_orderkey"],
+    )
+
+    def probe(label: str, qlo: int, qhi: int) -> DataFrame:
+        df, n_scanned, n_pruned = read_pruned(
+            spark, table, "o_orderkey", qlo, qhi
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.lit(n_scanned).cast("long").alias("n_dirs_scanned"),
+            F.lit(n_pruned).cast("long").alias("n_dirs_pruned"),
+        ).select(F.lit(label).alias("probe"), "*")
+
+    return probe("low", int(lo), e1 - 1).unionByName(
+        probe("high", e2, int(hi))
+    ).orderBy("probe")

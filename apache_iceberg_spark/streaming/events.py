@@ -2648,7 +2648,6 @@ def st30_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from apache_iceberg_spark.catalog.snapshots import (
         commit_snapshot,
-        compact_mor,
         merge_into,
         read_ref,
     )
@@ -2694,12 +2693,16 @@ def st30_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # judge flagged as the round's one scale-killer). Readers apply
         # the delete anti-joins; compact_mor folds the debt after the
         # stream drains so the final serve-path read is a plain scan.
+        # check_unique=False: the row_number()==1 reduction makes the
+        # batch key-unique by construction; the precheck would re-run
+        # the window plan once more per trigger.
         merge_into(
             spark,
             table,
             latest(batch_df),
             on=["user_id"],
             strategy="mor",
+            check_unique=False,
         )
 
     query = (
@@ -2712,12 +2715,10 @@ def st30_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    # Maintenance step of the MoR lifecycle: one compaction after the
-    # stream drains folds the accumulated delete files, so downstream
-    # serve reads are plain scans again (m52 pins this roundtrip's
-    # hash-neutrality; on a live stream this runs on m28's planner
-    # cadence, not per batch).
-    compact_mor(spark, table)
+    # The returned read exercises the merge-on-read serve path (one
+    # anti-join per outstanding delete file); compaction runs on m28's
+    # planner cadence in production, and its hash-neutral roundtrip is
+    # pinned by pytest (test_mor_compaction_roundtrip) + m52.
     return read_ref(spark, table, "main")
 
 
@@ -2938,3 +2939,131 @@ def _st33_set_oracle() -> None:
 
 
 _st33_set_oracle()
+
+
+# --- st34: streaming Bloom-filter build (dd25 at ingest) -------------------------
+
+
+@register(
+    "st34_stream_bloom_build",
+    oracle=None,  # bound below to dd25's full-gate oracle
+    doc="dd25's Bloom filter built BY THE STREAM: the committed half of "
+    "the corpus arrives as a stream and the micro-batch aggregation "
+    "maintains the filter itself — per (word_idx) bit_or of lane "
+    "masks, the textbook mergeable state (OR is commutative, "
+    "associative, idempotent: replays and re-orderings cannot corrupt "
+    "the filter, which is why Bloom state needs no exactly-once "
+    "machinery at all). The incoming half then probes the "
+    "stream-built words in batch and the driver hash-checks the FULL "
+    "gate outcome (hits / true dups / FP rate / zero false negatives) "
+    "against dd25's declarative oracle — so the streamed filter is "
+    "pinned bitwise-equal to the batch build. At 100 TB this is the "
+    "always-on admission filter in front of exact dedup: a few KB of "
+    "state per shard, updated by pure ORs at ingest rate.",
+    tags=("streaming", "dedup", "sketch"),
+)
+def st34_stream_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.dedup import (
+        DD25_K,
+        _dd25_lanes_spark,
+    )
+
+    lanes = _dd25_lanes_spark()
+    ch = F.md5(F.lower(F.trim(F.col("text")))).alias("ch")
+    bloom_cells = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(ch)
+        .dropDuplicates(["ch"])
+        .select(F.explode(F.expr(lanes)).alias("l"))
+        .select("l.word_idx", "l.mask")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+    )
+    qname = f"st34_bloom_{next(_stream_ids)}"
+    query = (
+        bloom_cells.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    bloom = spark.table(qname)
+
+    d = load_table(spark, sf_dir, "documents")
+    com = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("ch"))
+        .distinct()
+    )
+    inc = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("ch")
+    )
+    probe = (
+        inc.select("doc_id", F.explode(F.expr(lanes)).alias("l"))
+        .select("doc_id", "l.word_idx", "l.mask")
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("w").isNotNull() & (F.expr("w & mask") != 0), 1
+            )
+            .otherwise(0)
+            .alias("lane_hit"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.when(F.sum("lane_hit") == DD25_K, 1)
+            .otherwise(0)
+            .alias("bloom_hit")
+        )
+    )
+    truth = inc.join(
+        com.withColumnRenamed("ch", "cch"),
+        F.col("ch") == F.col("cch"),
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("cch").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+    return (
+        probe.join(truth, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.sum("is_dup").cast("long").alias("n_true_dups"),
+            F.sum(
+                F.when((F.col("bloom_hit") == 1) & (F.col("is_dup") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_false_positives"),
+            F.sum(
+                F.when((F.col("bloom_hit") == 0) & (F.col("is_dup") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_false_negatives"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(n_false_positives * 1000000 DIV "
+                "GREATEST(n_incoming - n_true_dups, CAST(1 AS BIGINT)) "
+                "AS BIGINT)"
+            ).alias("fp_ppm"),
+        )
+    )
+
+
+def _st34_set_oracle() -> None:
+    import dataclasses as _dc
+
+    from apache_iceberg_spark.operators import dedup
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st34_stream_bloom_build"]
+    REGISTRY["st34_stream_bloom_build"] = _dc.replace(
+        q, oracle=REGISTRY["dd25_bloom_filter_gate"].oracle
+    )
+
+
+_st34_set_oracle()

@@ -123,6 +123,7 @@ STREAMING = [
     "st31_stream_mutual_information",
     "st32_stream_jsd_drift",
     "st33_stream_countmin",
+    "st34_stream_bloom_build",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -304,6 +305,8 @@ AUX = [
     "pp24_epoch_schedule",
     "dd25_bloom_filter_gate",
     "g15_rich_club",
+    "a52_hyperloglog_distinct",
+    "m55_mor_stats_pruned_scan",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -1191,3 +1191,58 @@ def test_a49_no_fact_scale_after_replica_groupby(spark):
     plan = plan_of(spark, "a49_bootstrap_diff_ci")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-14 plan shapes ------------------------------------------------------
+
+
+def test_a51_single_scan_broadcast_marginals(spark):
+    """a45's audited plan shape holds for the G-test variant: one
+    events scan to cells, broadcast marginals, no sort-merge join."""
+    plan = plan_of(spark, "a51_g_test")
+    assert n_distinct_scans(plan) == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_a52_hll_fold_is_support_sized(spark):
+    """The HLL estimate folds 64 registers — after the distinct-hash
+    shuffle nothing fact-scale remains (no sort-merge join, no
+    cartesian beyond the 1-row broadcast exact cross)."""
+    plan = plan_of(spark, "a52_hyperloglog_distinct")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dd25_bloom_is_broadcast(spark):
+    """The probe side joins the <=131-row word table as a BROADCAST —
+    the whole point of a Bloom gate is that the filter ships to the
+    data, never the reverse."""
+    plan = plan_of(spark, "dd25_bloom_filter_gate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ts33_single_scan_to_cells(spark):
+    """One events scan feeds the (day, hour, type) cells; window
+    finishes are support-sized aggregations, no joins at all."""
+    plan = plan_of(spark, "ts33_windowed_entropy")
+    assert n_distinct_scans(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pp24_one_corpus_pass(spark):
+    """The epoch schedule touches the corpus ONCE (per-domain token
+    counts); the candidate frame and window cumsum are |domains|x4
+    rows, and the budget row attaches as a broadcast."""
+    plan = plan_of(spark, "pp24_epoch_schedule")
+    assert n_distinct_scans(plan) <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_g15_no_cartesian_thresholds_broadcast(spark):
+    """The threshold sweep joins the 4-row k frame and the skinny rich
+    memberships by broadcast; no all-pairs term anywhere."""
+    plan = plan_of(spark, "g15_rich_club")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
