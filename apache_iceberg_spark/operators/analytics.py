@@ -4406,13 +4406,22 @@ def a52_hyperloglog_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = load_table(spark, sf_dir, "lineitem")
     h = SPARK_HEX2INT.format(s="CAST(l_orderkey AS STRING)")
-    scale = 1 << (A52_RANK_BITS + 1)
     hashed = l.select(F.expr(h).alias("h")).distinct()
     regs = hashed.groupBy((F.col("h") % A52_M).alias("idx")).agg(
         F.expr(
             f"CAST(MAX({_a52_rank_case(f'h DIV {A52_M}')}) AS BIGINT)"
         ).alias("mj")
     )
+    exact = l.agg(F.countDistinct("l_orderkey").alias("n"))
+    return _a52_finish(regs, exact)
+
+
+def _a52_finish(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """HLL estimate + error from an (idx, mj) register frame and a
+    1-row exact count — shared by batch a52 and streaming st35 (the
+    register maxes ARE the mergeable state; MAX is commutative,
+    associative, idempotent, so a stream maintains them trivially)."""
+    scale = 1 << (A52_RANK_BITS + 1)
     s = regs.agg(
         F.expr(
             f"SUM(CAST({scale} AS DECIMAL(38,0)) "
@@ -4420,7 +4429,6 @@ def a52_hyperloglog_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ssum"),
         F.count(F.lit(1)).alias("n_regs"),
     )
-    exact = l.agg(F.countDistinct("l_orderkey").alias("n"))
     num = A52_ALPHA_PPM * A52_M * A52_M * scale
     # Spark's DIV on decimals yields BIGINT, so ssum re-widens before
     # the 1e6 scale-up (64 * 2^54 * 1e6 ~ 1.2e24 overflows long)

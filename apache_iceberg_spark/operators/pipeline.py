@@ -5107,3 +5107,111 @@ def pp24_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tokens_alloc") > 0)
         .orderBy(F.desc("value_permille"), "source", "epoch")
     )
+
+
+# --- mm14: video frame-sampling schedule (round 14) --------------------------
+
+MM14_SAMPLE_FPS = 2      # target sampling rate
+MM14_MAX_FRAMES = 64     # per-video frame cap (uniform stride beyond)
+MM14_TOKENS_PER_FRAME = 144  # pooled 12x12 patch tokens per frame
+
+
+@register(
+    "mm14_frame_sampling_schedule",
+    oracle=f"""
+        WITH vid AS (
+            SELECT source,
+                   5 + ascii(substr(text, 3, 1)) % 116 AS duration_s,
+                   24 + (ascii(substr(text, 4, 1)) % 2) * 6 AS fps
+            FROM documents WHERE length(text) >= 4
+        ),
+        plan AS (
+            SELECT source, duration_s, fps,
+                   duration_s * fps AS native_frames,
+                   LEAST(duration_s * {MM14_SAMPLE_FPS},
+                         {MM14_MAX_FRAMES}) AS sampled
+            FROM vid
+        ),
+        per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_videos,
+                   CAST(SUM(native_frames) AS BIGINT) AS native_frames,
+                   CAST(SUM(sampled) AS BIGINT) AS sampled_frames,
+                   CAST(SUM(CASE WHEN duration_s * {MM14_SAMPLE_FPS}
+                                      > {MM14_MAX_FRAMES}
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_capped,
+                   CAST(SUM(sampled) * {MM14_TOKENS_PER_FRAME} AS BIGINT)
+                       AS vision_tokens
+            FROM plan GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(vision_tokens) AS BIGINT) AS t FROM per)
+        SELECT source, n_videos, native_frames, sampled_frames, n_capped,
+               vision_tokens,
+               CAST(CAST(vision_tokens AS HUGEINT) * 1000000 // t
+                    AS BIGINT) AS share_ppm
+        FROM per CROSS JOIN tot
+        ORDER BY source
+    """,
+    doc="VIDEO frame-sampling schedule — mm13's budget question for the "
+    "temporal axis: each video (deterministic metadata dims — "
+    f"duration 5-120 s, native 24/30 fps) samples at {MM14_SAMPLE_FPS} "
+    f"fps capped at {MM14_MAX_FRAMES} frames (uniform stride beyond, "
+    "the standard VLM video recipe: rate-sample short clips, "
+    "stride-sample long ones so an hour of video cannot blow the "
+    "sequence budget), costing "
+    f"{MM14_TOKENS_PER_FRAME} pooled tokens per frame. Per source: "
+    "native vs sampled frame totals (the compression the schedule "
+    "buys), how many videos hit the cap, and the vision-token share "
+    "in exact ppm — the number that decides which sources need a "
+    "lower rate before packing (mm10) even starts. Exact integers "
+    "end to end; map-only geometry + ONE |sources|-row groupBy; the "
+    "decode itself never runs (binary-payload rule — the schedule is "
+    "metadata arithmetic, frames move only for chosen rows).",
+    tags=("multimodal", "llm", "pipeline", "planning"),
+)
+def mm14_frame_sampling_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    vid = d.filter(F.length("text") >= 4).select(
+        "source",
+        F.expr("5 + ascii(substr(text, 3, 1)) % 116").alias("duration_s"),
+        F.expr("24 + (ascii(substr(text, 4, 1)) % 2) * 6").alias("fps"),
+    )
+    plan = vid.select(
+        "source",
+        "duration_s",
+        (F.col("duration_s") * F.col("fps")).alias("native_frames"),
+        F.least(
+            F.col("duration_s") * MM14_SAMPLE_FPS, F.lit(MM14_MAX_FRAMES)
+        ).alias("sampled"),
+    )
+    per = plan.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum("native_frames").cast("long").alias("native_frames"),
+        F.sum("sampled").cast("long").alias("sampled_frames"),
+        F.sum(
+            F.when(
+                F.col("duration_s") * MM14_SAMPLE_FPS > MM14_MAX_FRAMES, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_capped"),
+        (F.sum("sampled") * MM14_TOKENS_PER_FRAME)
+        .cast("long")
+        .alias("vision_tokens"),
+    )
+    tot = per.agg(F.sum("vision_tokens").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_videos",
+            "native_frames",
+            "sampled_frames",
+            "n_capped",
+            "vision_tokens",
+            F.expr(
+                "CAST(CAST(vision_tokens AS DECIMAL(38,0)) * 1000000 "
+                "DIV t AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("source")
+    )

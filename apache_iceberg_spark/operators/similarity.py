@@ -4162,3 +4162,190 @@ def ann23_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy(F.desc("dim"))
+
+
+# ---------------------------------------------------------------------------
+# ann24: binary-quantization recall-vs-budget curve (round 14)
+# ---------------------------------------------------------------------------
+
+#: Rerank budgets swept. ann22 operates at 40; this measures what that
+#: knob actually buys on this corpus (dd18's methodology applied to the
+#: rerank pool size).
+ANN24_BUDGETS = (8, 16, 32, 64)
+
+
+def _ann24_oracle() -> str:
+    budgets = ", ".join(str(b) for b in ANN24_BUDGETS)
+    return f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')})
+                       AS norm,
+                   {_ANN22_DUCK_HALF.format(emb='embedding', start='1')}
+                       AS sig_lo,
+                   {_ANN22_DUCK_HALF.format(emb='embedding', start='33')}
+                       AS sig_hi
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   bit_count(xor(q.sig_lo, c.sig_lo))
+                   + bit_count(xor(q.sig_hi, c.sig_hi)) AS hamming,
+                   ({_DUCK_DOT.format(a='q.embedding', b='c.embedding')})
+                     / (q.norm * c.norm) AS cosine
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS rn FROM pairs
+            ) WHERE rn <= {TOP_K}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY hamming, neighbor_id
+            ) AS hrn FROM pairs
+        ),
+        got AS (
+            SELECT bs.budget, r.query_id, r.neighbor_id
+            FROM (SELECT UNNEST(ARRAY[{budgets}]) AS budget) bs
+            JOIN ranked r ON r.hrn <= bs.budget
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY bs.budget, r.query_id
+                ORDER BY r.cosine DESC, r.neighbor_id
+            ) <= {TOP_K}
+        )
+        SELECT CAST(got.budget AS BIGINT) AS budget,
+               CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) * 1000000
+                    // {N_QUERIES * TOP_K} AS BIGINT) AS recall_ppm
+        FROM got
+        LEFT JOIN truth t ON t.query_id = got.query_id
+                         AND t.neighbor_id = got.neighbor_id
+        GROUP BY got.budget
+        ORDER BY budget
+    """
+
+
+@register(
+    "ann24_recall_budget_curve",
+    oracle=_ann24_oracle(),
+    doc=f"Recall-vs-rerank-budget curve for ann22's binary-quantization "
+    f"ANN — dd18's measure-don't-guess methodology applied to the ONE "
+    f"knob that tier exposes: for shortlist budgets {ANN24_BUDGETS}, "
+    f"Hamming-rank the corpus per query once (a single ROW_NUMBER "
+    "pass — every budget is a prefix of the same ranking, so the "
+    "sweep costs ONE scan, not one per budget), rerank each prefix by "
+    f"exact cosine, and score top-{TOP_K} against the brute-force "
+    "cosine truth. Output per budget: hits and recall in exact ppm — "
+    "integer counts, so the hash is float-free even though the "
+    "ORDERING uses the bitwise-shared sequential-fold cosine. This is "
+    "the evidence behind ann22's 40-candidate operating point and the "
+    "curve a capacity planner trades against the 16-bytes-per-vector "
+    "scan saving. Scale: identical to ann22 (broadcast queries over "
+    "the signature column) plus one budgets×shortlist window on "
+    f"{max(ANN24_BUDGETS)}-row-per-query frames.",
+    tags=("similarity", "embedding", "quantization", "evaluation"),
+)
+def ann24_recall_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
+        ).alias("norm"),
+        F.expr(
+            _ANN22_SPARK_HALF.format(emb="embedding", start="1")
+        ).alias("sig_lo"),
+        F.expr(
+            _ANN22_SPARK_HALF.format(emb="embedding", start="33")
+        ).alias("sig_hi"),
+    ).persist()  # plan-cache: query + corpus + truth sides
+    q = F.broadcast(
+        n.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.col("sig_lo").alias("q_lo"),
+            F.col("sig_hi").alias("q_hi"),
+        )
+    )
+    pairs = q.join(
+        n.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+            F.col("sig_lo").alias("c_lo"),
+            F.col("sig_hi").alias("c_hi"),
+        ),
+        F.col("neighbor_id") != F.col("query_id"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr("bit_count(q_lo ^ c_lo)")
+            + F.expr("bit_count(q_hi ^ c_hi)")
+        ).cast("long").alias("hamming"),
+        (
+            F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+    ).persist()  # plan-cache: truth + ranked branches share it
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("t_id"))
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    ranked = pairs.withColumn("hrn", F.row_number().over(wh)).filter(
+        F.col("hrn") <= max(ANN24_BUDGETS)
+    )
+    budgets = F.broadcast(
+        e.sparkSession.createDataFrame(
+            [(b,) for b in ANN24_BUDGETS], "budget long"
+        )
+    )
+    wg = Window.partitionBy("budget", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    got = (
+        budgets.join(ranked, F.col("hrn") <= F.col("budget"))
+        .withColumn("grn", F.row_number().over(wg))
+        .filter(F.col("grn") <= TOP_K)
+        .select("budget", "query_id", "neighbor_id")
+    )
+    return (
+        got.join(
+            truth,
+            (got.query_id == truth.query_id)
+            & (F.col("neighbor_id") == F.col("t_id")),
+            "left",
+        )
+        .groupBy("budget")
+        .agg(
+            F.lit(N_QUERIES * TOP_K).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("t_id").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hit"),
+        )
+        .select(
+            "budget",
+            "n_eval",
+            "n_hit",
+            F.expr(
+                f"CAST(n_hit * 1000000 DIV {N_QUERIES * TOP_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("budget")
+    )

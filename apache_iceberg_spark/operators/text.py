@@ -1977,3 +1977,130 @@ def tx25_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("nonascii_ratio_micro"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# tx28: held-out bigram cross-entropy (round 14)
+# ---------------------------------------------------------------------------
+
+TX28_MICRO = 1_000_000
+_TX28_LN = f"CAST(ROUND(ln({{k}}) * {TX28_MICRO}) AS BIGINT)"
+
+
+@register(
+    "tx28_heldout_perplexity",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, {_DUCK_TOKENS} AS toks FROM documents
+        ),
+        train_bg AS (
+            SELECT unnest({_TX20_DUCK_BIGRAMS}) AS b
+            FROM toks WHERE doc_id % 2 = 0
+        ),
+        big AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM train_bg GROUP BY b
+        ),
+        ctx AS (
+            SELECT split_part(b, ' ', 1) AS w1,
+                   CAST(COUNT(*) AS BIGINT) AS c1
+            FROM train_bg GROUP BY 1
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (
+                SELECT unnest(toks) AS tok
+                FROM toks WHERE doc_id % 2 = 0
+            ) WHERE tok <> ''
+        ),
+        eval_bg AS (
+            SELECT source, unnest({_TX20_DUCK_BIGRAMS}) AS b
+            FROM toks WHERE doc_id % 2 = 1
+        ),
+        scored AS (
+            SELECT e.source,
+                   {_TX28_LN.format(k='COALESCE(ctx.c1, 0) + vocab.v')}
+                   - {_TX28_LN.format(k='COALESCE(big.c12, 0) + 1')}
+                       AS ce_micro,
+                   CASE WHEN big.c12 IS NULL THEN 1 ELSE 0 END AS oov
+            FROM eval_bg e
+            LEFT JOIN big ON big.b = e.b
+            LEFT JOIN ctx ON ctx.w1 = split_part(e.b, ' ', 1)
+            CROSS JOIN vocab
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_eval_bigrams,
+               CAST(SUM(CAST(ce_micro AS HUGEINT))
+                    // COUNT(*) AS BIGINT) AS cross_entropy_micro_nats,
+               CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT)
+                   AS oov_bigram_ppm
+        FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="Held-out bigram cross-entropy per source — the TRAIN/EVAL "
+    "twin of tx20's within-corpus surprisal and the perplexity-"
+    "filtering signal of the CCNet recipe: an add-1-smoothed bigram "
+    "LM trains on the even-doc_id half, the odd half scores against "
+    "it, and each source's mean cross-entropy (exact integer "
+    "micro-nats: CE per bigram = ln(c(w1)+V) - ln(c(w1,w2)+1), both "
+    "logs taking INTEGER arguments via the quantized-ln recipe, "
+    "HUGEINT/DECIMAL cross-row sums, one integer DIV per source) "
+    "says how surprising that domain is to a model trained on the "
+    "rest — the number a curation loop thresholds to drop "
+    "machine-garbage and flag drift. Unseen bigrams fall back to the "
+    "smoothing floor exactly (c12=0 -> ln 1 = 0 subtracted) and are "
+    "counted as oov_bigram_ppm alongside. Scale: train tables are "
+    "Heaps-bounded; the eval stream takes two hash joins against "
+    "them (Zipf keys -> AQE skew), the vocab scalar broadcasts, and "
+    "the finish is |sources| rows.",
+    tags=("text", "llm", "quality", "statistics"),
+)
+def tx28_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.expr(_SPARK_TOKENS).alias("toks")
+    )
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    train_bg = train.select(
+        F.explode(F.expr(_TX20_SPARK_BIGRAMS)).alias("b")
+    ).persist()  # plan-cache: big + ctx tables both fold it
+    big = train_bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = train_bg.select(
+        F.expr("split_part(b, ' ', 1)").alias("w1")
+    ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        train.select(F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    eval_bg = toks.filter(F.col("doc_id") % 2 == 1).select(
+        "source", F.explode(F.expr(_TX20_SPARK_BIGRAMS)).alias("b")
+    )
+    ln = _TX28_LN
+    scored = (
+        eval_bg.join(big, "b", "left")
+        .withColumn("w1", F.expr("split_part(b, ' ', 1)"))
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.expr(
+                f"{ln.format(k='COALESCE(c1, CAST(0 AS BIGINT)) + v')}"
+                f" - {ln.format(k='COALESCE(c12, CAST(0 AS BIGINT)) + 1')}"
+            ).alias("ce_micro"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_bigrams"),
+            F.expr(
+                "CAST(SUM(CAST(ce_micro AS DECIMAL(38,0)))"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("cross_entropy_micro_nats"),
+            F.expr(
+                "CAST(SUM(oov) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("oov_bigram_ppm"),
+        )
+        .orderBy("source")
+    )

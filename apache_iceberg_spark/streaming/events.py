@@ -3067,3 +3067,118 @@ def _st34_set_oracle() -> None:
 
 
 _st34_set_oracle()
+
+
+# --- st35: streaming HyperLogLog (a52 at ingest) -------------------------------
+
+
+def _st35_oracle() -> str:
+    from apache_iceberg_spark.operators.analytics import (
+        A52_ALPHA_PPM,
+        A52_M,
+        A52_RANK_BITS,
+        _a52_rank_case,
+    )
+    from apache_iceberg_spark.operators.text import DUCK_HEX2INT
+
+    h = DUCK_HEX2INT.format(s="CAST(user_id AS VARCHAR)")
+    scale = 1 << (A52_RANK_BITS + 1)
+    num = A52_ALPHA_PPM * A52_M * A52_M * scale
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT {h} AS h FROM events
+        ),
+        regs AS (
+            SELECT h % {A52_M} AS idx,
+                   CAST(MAX({_a52_rank_case(f"h // {A52_M}")}) AS BIGINT)
+                       AS mj
+            FROM hashed GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(SUM(CAST({scale} AS HUGEINT)
+                            // (CAST(1 AS HUGEINT) << mj)) AS HUGEINT)
+                       AS ssum,
+                   CAST(COUNT(*) AS BIGINT) AS n_regs
+            FROM regs
+        ),
+        exact AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+            FROM events
+        )
+        SELECT exact.n AS exact_distinct,
+               CAST(CAST({num} AS HUGEINT)
+                    // (1000000 * s.ssum) AS BIGINT) AS hll_estimate,
+               s.n_regs AS registers_hit,
+               CAST(ABS(CAST({num} AS HUGEINT) // (1000000 * s.ssum)
+                        - exact.n) * 1000000 // exact.n AS BIGINT)
+                   AS error_ppm
+        FROM s CROSS JOIN exact
+    """
+
+
+@register(
+    "st35_stream_hyperloglog",
+    oracle=None,  # bound below (needs analytics loaded)
+    doc="a52's HyperLogLog maintained BY THE STREAM: the micro-batch "
+    "aggregation keeps one MAX-rank per register — 64 integers of "
+    "state TOTAL, and MAX is commutative/associative/idempotent, so "
+    "replays and re-orderings cannot corrupt the sketch (the same "
+    "argument as st34's Bloom ORs: idempotent-merge state needs no "
+    "exactly-once machinery) — then the SAME _a52_finish the batch "
+    "operator uses folds the harmonic estimate, so the stream's "
+    "answer is bitwise-equal to a batch recompute and the driver "
+    "hash-checks it against the declarative twin. The monitoring "
+    "story: a live cardinality gauge (distinct users at ingest) whose "
+    "state is CONSTANT-SIZE regardless of stream length — the "
+    "difference between this and st33's per-key counts is exactly "
+    "the memory/accuracy trade the two sketches price.",
+    tags=("streaming", "sketch"),
+)
+def st35_stream_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import (
+        A52_M,
+        _a52_finish,
+        _a52_rank_case,
+    )
+    from apache_iceberg_spark.operators.text import SPARK_HEX2INT
+    from apache_iceberg_spark.tables import load_table
+
+    h = SPARK_HEX2INT.format(s="CAST(user_id AS STRING)")
+    regs_stream = (
+        stream_events(spark, sf_dir)
+        .select(F.expr(h).alias("h"))
+        .groupBy((F.col("h") % A52_M).alias("idx"))
+        .agg(
+            F.expr(
+                f"CAST(MAX({_a52_rank_case(f'h DIV {A52_M}')}) AS BIGINT)"
+            ).alias("mj")
+        )
+    )
+    qname = f"st35_hll_{next(_stream_ids)}"
+    query = (
+        regs_stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    return _a52_finish(spark.table(qname), exact)
+
+
+def _st35_set_oracle() -> None:
+    import dataclasses as _dc
+
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st35_stream_hyperloglog"]
+    REGISTRY["st35_stream_hyperloglog"] = _dc.replace(
+        q, oracle=_st35_oracle()
+    )
+
+
+_st35_set_oracle()

@@ -124,6 +124,7 @@ STREAMING = [
     "st32_stream_jsd_drift",
     "st33_stream_countmin",
     "st34_stream_bloom_build",
+    "st35_stream_hyperloglog",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -307,6 +308,10 @@ AUX = [
     "g15_rich_club",
     "a52_hyperloglog_distinct",
     "m55_mor_stats_pruned_scan",
+    "ann24_recall_budget_curve",
+    "tx28_heldout_perplexity",
+    "mm14_frame_sampling_schedule",
+    "g16_weighted_pagerank",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

