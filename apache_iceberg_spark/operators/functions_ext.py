@@ -2486,3 +2486,112 @@ def f19_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# j11: banded value join (round 14)
+# ---------------------------------------------------------------------------
+
+#: Tolerance in cents for the value-band pairing below.
+J11_TOL_CENTS = 50
+
+
+@register(
+    "j11_band_join",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            WHERE event_type IN ('purchase', 'refund')
+            GROUP BY 1, 2
+        ),
+        a AS (SELECT cents, cnt FROM p WHERE event_type = 'purchase'),
+        b AS (SELECT cents, cnt FROM p WHERE event_type = 'refund'),
+        pairs AS (
+            SELECT a.cents AS a_cents, b.cents AS b_cents,
+                   a.cnt * b.cnt AS npair
+            FROM a JOIN b
+              ON b.cents BETWEEN a.cents - {J11_TOL_CENTS}
+                             AND a.cents + {J11_TOL_CENTS}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_value_pairs,
+               CAST(SUM(npair) AS BIGINT) AS n_row_pairs,
+               CAST(SUM(CASE WHEN a_cents = b_cents
+                             THEN npair ELSE 0 END) AS BIGINT)
+                   AS n_exact_matches,
+               CAST(SUM(npair * ABS(a_cents - b_cents)) AS BIGINT)
+                   AS total_abs_gap_cents
+        FROM pairs
+    """,
+    doc=f"BANDED non-equi join — all (purchase, refund) value pairs "
+    f"within {J11_TOL_CENTS} cents, the refund-matching / "
+    "record-linkage shape (|a - b| <= tol on a NON-time key; j9's "
+    "tolerance as-of picks one nearest neighbor in TIME — this keeps "
+    "every in-band pair). The scale pattern is the point: a naive "
+    "|a.v - b.v| <= tol condition plans as a nested-loop cross "
+    f"product, so both sides bucket at v DIV {J11_TOL_CENTS} and the "
+    "left side EXPLODES to its bucket and both neighbors — an "
+    "equi-join on the bucket key (hash-partitionable, AQE-skew-"
+    "handleable) whose candidates are then range-filtered exactly; "
+    "any in-band pair differs by at most one bucket, so recall is "
+    "total (plan-asserted: no CartesianProduct, no nested loop). "
+    "Working on per-VALUE count frames (cents, cnt) rather than raw "
+    "rows makes the pair arithmetic exact and the join support-"
+    "bounded: n_row_pairs = sum of count products, gap mass exact in "
+    "cents. DuckDB's oracle uses the naive BETWEEN join — same "
+    "answer, different plan — so the hash pins the REWRITE's "
+    "equivalence, which is precisely what a banded join must prove.",
+    tags=("join", "range", "scale"),
+)
+def j11_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type").isin("purchase", "refund"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = p.filter(F.col("event_type") == "purchase").select(
+        F.col("cents").alias("a_cents"), F.col("cnt").alias("a_cnt")
+    )
+    b = p.filter(F.col("event_type") == "refund").select(
+        F.col("cents").alias("b_cents"), F.col("cnt").alias("b_cnt")
+    )
+    tol = J11_TOL_CENTS
+    # left explodes to bucket-1/bucket/bucket+1; right keys its bucket
+    a_x = a.select(
+        "a_cents",
+        "a_cnt",
+        F.explode(
+            F.expr(
+                f"array((a_cents DIV {tol}) - 1, a_cents DIV {tol}, "
+                f"(a_cents DIV {tol}) + 1)"
+            )
+        ).alias("bucket"),
+    )
+    b_k = b.withColumn("bucket", F.expr(f"b_cents DIV {tol}"))
+    pairs = (
+        a_x.join(b_k, "bucket")
+        .filter(F.abs(F.col("a_cents") - F.col("b_cents")) <= tol)
+        .select(
+            "a_cents",
+            "b_cents",
+            (F.col("a_cnt") * F.col("b_cnt")).alias("npair"),
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_value_pairs"),
+        F.sum("npair").cast("long").alias("n_row_pairs"),
+        F.sum(
+            F.when(F.col("a_cents") == F.col("b_cents"), F.col("npair"))
+            .otherwise(0)
+        ).cast("long").alias("n_exact_matches"),
+        F.sum(
+            F.col("npair") * F.abs(F.col("a_cents") - F.col("b_cents"))
+        ).cast("long").alias("total_abs_gap_cents"),
+    )

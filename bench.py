@@ -312,6 +312,7 @@ AUX = [
     "tx28_heldout_perplexity",
     "mm14_frame_sampling_schedule",
     "g16_weighted_pagerank",
+    "j11_band_join",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

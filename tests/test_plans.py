@@ -1246,3 +1246,12 @@ def test_g15_no_cartesian_thresholds_broadcast(spark):
     plan = plan_of(spark, "g15_rich_club")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_j11_band_join_is_hash_join_not_nested_loop(spark):
+    """The banded rewrite must plan as an equi hash/sort join on the
+    bucket key — never BroadcastNestedLoopJoin or CartesianProduct,
+    which is what the naive |a-b| <= tol condition degenerates to."""
+    plan = plan_of(spark, "j11_band_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
