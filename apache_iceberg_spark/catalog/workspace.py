@@ -482,10 +482,25 @@ def ws_read_at(spark: SparkSession, ws_path: str, name: str) -> DataFrame:
     ``ws_read_at(spark, ws, "sales@etl")`` reads table ``sales`` at the
     workspace branch/tag ``etl``; a bare name reads main — Nessie's
     reference syntax, where the ref scopes the whole catalog so two
-    reads at one ref are mutually consistent."""
+    reads at one ref are mutually consistent.
+
+    VIEWS resolve through the same address (round 15, VERDICT r14 ask
+    #6): ``high_value@audit`` executes the view's SQL as stored AT that
+    ref against the tables AS OF that ref — the documented Nessie
+    views+branches matrix (blog-zero-cost-data-lakehouse.md:345-397),
+    where a ref scopes view text, table set, and table contents
+    together. Tables win a (disallowed but legacy-possible) name
+    collision, matching ws_create_view's namespace rule."""
     from apache_iceberg_spark.catalog.snapshots import parse_at_ref
 
     table, ref = parse_at_ref(name)
+    log = _read_log(ws_path)
+    version = ws_resolve_ref(ws_path, ref)
+    if (
+        _resolve_table(log, table, version) is None
+        and table in _resolve_views(log, version)
+    ):
+        return ws_read_view(spark, ws_path, table, version=version)
     return ws_read(spark, ws_path, table, ref=ref)
 
 
@@ -1181,6 +1196,7 @@ def ws_rename_table(
     new: str,
     branch: str = "main",
     ts_ms: int | None = None,
+    force: bool = False,
 ) -> int:
     """Nessie's table RENAME as ONE metadata-only commit: the new name
     restates the old name's exact directory set (zero data moved — the
@@ -1190,7 +1206,15 @@ def ws_rename_table(
     branch still resolves the old name (m53 oracle-pins that), and
     time travel across the rename boundary sees each era's name.
     Raises if ``old`` is absent or ``new`` already exists at the branch
-    head (Nessie's conflict rules)."""
+    head (Nessie's conflict rules).
+
+    Dependent views (ADVICE r14): a stored view whose SQL references
+    ``old`` would keep resolving at pre-rename refs but dangle at head
+    (unresolved relation at execution time, far from the rename). The
+    rename therefore RAISES, naming the dependent views, unless
+    ``force=True`` — in which case the views dangle at head by design
+    (they still resolve at every pre-rename version/tag, which is what
+    m58 pins; re-point them with ``ws_create_view(replace=True)``)."""
     if old == new:
         raise ValueError("rename to the same name")
 
@@ -1205,6 +1229,21 @@ def ws_rename_table(
             raise ValueError(
                 f"table {new!r} already exists at v{parent_v}"
             )
+        if not force:
+            import re as _re
+
+            pat = _re.compile(rf"\b{_re.escape(old)}\b")
+            dangling = sorted(
+                vn
+                for vn, sql in _resolve_views(log, parent_v).items()
+                if pat.search(sql)
+            )
+            if dangling:
+                raise ValueError(
+                    f"renaming {old!r} would dangle dependent "
+                    f"view(s) {dangling}; drop/re-point them first "
+                    "or pass force=True"
+                )
         moved: dict = {"set": paths}
         layout = _table_layout(by_v, parent_v, old)
         if layout != "unknown":
@@ -1329,6 +1368,22 @@ def ws_read_view(
             log[-1]["version"] if log else "?"
         )
         raise ValueError(f"view {name!r} does not exist at v{at}")
-    for t in ws_list_tables(ws_path, version):
-        ws_read(spark, ws_path, t, version=version).createOrReplaceTempView(t)
-    return spark.sql(views[name])
+    # Transient registrations (round 15): spark.sql resolves the view
+    # text against the temp views eagerly at analysis time, so they are
+    # dropped before returning — leaving them registered made a LATER
+    # read at a different version silently resolve a stale table
+    # snapshot instead of failing (e.g. a renamed-away table kept
+    # "existing" session-wide after any earlier view read). The
+    # analyzed plan is bound to the resolved file scans, so the
+    # returned frame survives the drops.
+    created: list[str] = []
+    try:
+        for t in ws_list_tables(ws_path, version):
+            ws_read(
+                spark, ws_path, t, version=version
+            ).createOrReplaceTempView(t)
+            created.append(t)
+        return spark.sql(views[name])
+    finally:
+        for t in created:
+            spark.catalog.dropTempView(t)

@@ -4243,7 +4243,7 @@ def a50_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(2 * GREATEST(num, 0) AS DOUBLE) AS g_micro_nats,
                (kx - 1) * (ky - 1) AS dof,
                CAST(2 * GREATEST(num, 0)
-                    // ((kx - 1) * (ky - 1)) AS BIGINT)
+                    // GREATEST((kx - 1) * (ky - 1), 1) AS BIGINT)
                    AS g_per_dof_micro
         FROM s
     """,
@@ -4306,9 +4306,13 @@ def a51_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE)"
         ).alias("g_micro_nats"),
         ((F.col("kx") - 1) * (F.col("ky") - 1)).alias("dof"),
+        # GREATEST(dof, 1): a degenerate table (single event type or
+        # single day-of-week) has dof = 0 — G is 0 there too, so the
+        # clamp changes nothing on real data while killing the
+        # divide-by-zero (ADVICE r14); identical clamp in the oracle.
         F.expr(
             "CAST(2 * GREATEST(num, CAST(0 AS DECIMAL(38,0)))"
-            " DIV ((kx - 1) * (ky - 1)) AS BIGINT)"
+            " DIV GREATEST((kx - 1) * (ky - 1), 1) AS BIGINT)"
         ).alias("g_per_dof_micro"),
     )
 

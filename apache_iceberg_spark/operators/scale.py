@@ -4424,3 +4424,478 @@ def m55_mor_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe("low", int(lo), e1 - 1).unionByName(
         probe("high", e2, int(hi))
     ).orderBy("probe")
+
+
+def _m56_seed(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared m56/m59 fixture: three key-range chunks of ``orders``
+    committed WITH o_orderkey stats, then two MoR delete merges — one
+    stats-carrying (top-third %5 keys), one deliberately STAT-LESS
+    (middle-third %11 keys, ``del_stats=False``) — the mixed-debt shape
+    whose scan cost delete-file pruning (m56) and the compaction
+    planner (m59) both reason about. Returns (table, lo, e1, e2, hi)."""
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_append,
+        commit_snapshot,
+        merge_into,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    span = int(hi) - int(lo) + 1
+    e1 = int(lo) + span * 1 // 3
+    e2 = int(lo) + span * 2 // 3
+    table = os.path.join(tempfile.mkdtemp(prefix=prefix), "orders")
+    commit_snapshot(
+        o.filter(
+            (F.col("o_orderkey") >= int(lo)) & (F.col("o_orderkey") < e1)
+        ),
+        table,
+        stats_cols=["o_orderkey"],
+    )
+    commit_append(
+        o.filter((F.col("o_orderkey") >= e1) & (F.col("o_orderkey") < e2)),
+        table,
+        stats_cols=["o_orderkey"],
+    )
+    commit_append(
+        o.filter(F.col("o_orderkey") >= e2),
+        table,
+        stats_cols=["o_orderkey"],
+    )
+    merge_into(
+        spark,
+        table,
+        o.filter(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") >= e2)
+        ),
+        on=["o_orderkey"],
+        when_matched="delete",
+        when_not_matched="ignore",
+        strategy="mor",
+    )
+    merge_into(
+        spark,
+        table,
+        o.filter(
+            (F.col("o_orderkey") % 11 == 0)
+            & (F.col("o_orderkey") >= e1)
+            & (F.col("o_orderkey") < e2)
+        ),
+        on=["o_orderkey"],
+        when_matched="delete",
+        when_not_matched="ignore",
+        strategy="mor",
+        del_stats=False,
+    )
+    return table, int(lo), e1, e2, int(hi)
+
+
+_M56_FINAL_CTE = """
+        bounds AS (
+            SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+            FROM orders
+        ),
+        edges AS (
+            SELECT lo,
+                   lo + ((hi - lo + 1) * 1) // 3 AS e1,
+                   lo + ((hi - lo + 1) * 2) // 3 AS e2,
+                   hi
+            FROM bounds
+        ),
+        final AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders, edges
+            WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey >= edges.e2)
+              AND NOT (o_orderkey % 11 = 0 AND o_orderkey >= edges.e1
+                       AND o_orderkey < edges.e2)
+        )
+"""
+
+
+@register(
+    "m56_mor_delete_pruned_scan",
+    oracle=f"""
+        WITH {_M56_FINAL_CTE}
+        SELECT * FROM (
+            SELECT 'a_low' AS probe,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(1 AS BIGINT) AS data_scanned,
+                   CAST(2 AS BIGINT) AS data_pruned,
+                   CAST(1 AS BIGINT) AS dels_applied,
+                   CAST(1 AS BIGINT) AS dels_pruned
+            FROM final, edges WHERE o_orderkey < edges.e1
+            UNION ALL
+            SELECT 'b_mid', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(cents) AS BIGINT),
+                   CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                   CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+            FROM final, edges
+            WHERE o_orderkey >= edges.e1 AND o_orderkey < edges.e2
+            UNION ALL
+            SELECT 'c_high', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(cents) AS BIGINT),
+                   CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                   CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+            FROM final, edges WHERE o_orderkey >= edges.e2
+        ) ORDER BY probe
+    """,
+    doc="DELETE-FILE pruning on merge-on-read range scans (round 15, "
+    "VERDICT r14 ask #1 — closes the one O(outstanding-deletes) cost "
+    "left on the scan path): `_merge_into_mor` now commits the KEY "
+    "columns' [min, max] on every equality-delete file, and "
+    "`read_pruned` skips delete files PROVABLY irrelevant to the "
+    "surviving data via three resurrection-safe proofs (sequence: no "
+    "earlier surviving dir; predicate: the scan column is a key "
+    "column and the delete's key range misses the scan range — every "
+    "row it would remove is dropped by the row filter anyway; "
+    "data-range: the delete's key range is disjoint from the union "
+    "of all earlier surviving dirs' ranges). Setup: three key-range "
+    "chunks with stats, a stats-carrying top-third delete, and a "
+    "deliberately STAT-LESS middle-third delete. Probe LOW and MID "
+    "each prune the stats delete (predicate proof) but MUST still "
+    "apply the stat-less one (conservative — absence of stats never "
+    "skips); probe HIGH applies both. Row counts, exact cents, and "
+    "the full pruning ledger (data scanned/pruned, deletes "
+    "applied/pruned) sit in one value hash. At 100 TB: a long merge "
+    "tail no longer taxes every analytical read — only deletes whose "
+    "key ranges actually intersect the scan join it. Real Iceberg "
+    "scopes delete files by partition and sequence number; these "
+    "proofs are the emulation's equivalent.",
+    tags=("scale", "snapshot", "merge-on-read", "pruning"),
+)
+def m56_mor_delete_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from apache_iceberg_spark.catalog.snapshots import read_pruned_detail
+
+    table, lo, e1, e2, hi = _m56_seed(spark, sf_dir, "mordelprune_")
+
+    def probe(label: str, qlo: int, qhi: int) -> DataFrame:
+        df, d = read_pruned_detail(spark, table, "o_orderkey", qlo, qhi)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.lit(d["data_scanned"]).cast("long").alias("data_scanned"),
+            F.lit(d["data_pruned"]).cast("long").alias("data_pruned"),
+            F.lit(d["dels_applied"]).cast("long").alias("dels_applied"),
+            F.lit(d["dels_pruned"]).cast("long").alias("dels_pruned"),
+        ).select(F.lit(label).alias("probe"), "*")
+
+    return (
+        probe("a_low", lo, e1 - 1)
+        .unionByName(probe("b_mid", e1, e2 - 1))
+        .unionByName(probe("c_high", e2, hi))
+        .orderBy("probe")
+    )
+
+
+@register(
+    "m59_mor_compaction_policy",
+    oracle=f"""
+        WITH {_M56_FINAL_CTE},
+        f AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM final
+        )
+        SELECT * FROM (
+            SELECT 'after' AS phase, CAST(0 AS BIGINT) AS debt,
+                   CAST(0 AS BIGINT) AS statless_dels,
+                   CAST(1 AS BIGINT) AS data_dirs,
+                   CAST(0 AS BIGINT) AS overlap_pairs,
+                   CAST(0 AS BIGINT) AS applicable_pairs,
+                   'hold' AS decision, n_rows, total_cents
+            FROM f
+            UNION ALL
+            SELECT 'before', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+                   CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+                   CAST(6 AS BIGINT), 'compact', n_rows, total_cents
+            FROM f
+        ) ORDER BY phase
+    """,
+    doc="MoR COMPACTION POLICY — the m28 packing-planner pattern "
+    "applied to merge-on-read debt (round 15, VERDICT r14 ask #1's "
+    "second half): `mor_maintenance_plan` turns `mor_debt` plus the "
+    "delete files' committed key-range stats into a compact/hold "
+    "decision, METADATA-ONLY — the gauge is LIVE OVERLAP "
+    "(delete × earlier-data-dir pairs no disjointness proof kills — "
+    "the anti-join inputs an unpredicated read actually pays), not "
+    "raw delete count, and a stat-less delete conservatively counts "
+    "against every earlier dir (it joins every scan forever — the "
+    "strongest compaction signal). On m56's fixture: the stats "
+    "delete overlaps only its own third (1 of 3 dirs — the other "
+    "two pairs are proof-dead), the stat-less one charges all 3, so "
+    "overlap_pairs=4 of applicable_pairs=6 and the planner says "
+    "compact at debt_threshold=2; after `compact_mor` folds the debt "
+    "(one restated dir, zero deletes) the same planner holds. Both "
+    "phases' ledgers AND the table's row/cents identity across the "
+    "compaction sit in one value hash. At 100 TB this is the "
+    "maintenance scheduler's poll: rewrite the table once per "
+    "window when (and only when) outstanding deletes actually tax "
+    "readers.",
+    tags=("scale", "snapshot", "merge-on-read", "maintenance"),
+)
+def m59_mor_compaction_policy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from apache_iceberg_spark.catalog.snapshots import (
+        compact_mor,
+        mor_maintenance_plan,
+        read_ref,
+    )
+
+    table, lo, e1, e2, hi = _m56_seed(spark, sf_dir, "morpolicy_")
+    before = mor_maintenance_plan(table, debt_threshold=2)
+    pre = read_ref(spark, table, "main")
+    row_pre = pre.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").cast("long").alias("c")
+    ).first()
+    compact_mor(spark, table)
+    after = mor_maintenance_plan(table, debt_threshold=2)
+    post = read_ref(spark, table, "main")
+    row_post = post.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").cast("long").alias("c")
+    ).first()
+
+    def row(phase: str, plan: dict, agg) -> tuple:
+        return (
+            phase,
+            plan["debt"],
+            plan["statless_dels"],
+            plan["data_dirs"],
+            plan["overlap_pairs"],
+            plan["applicable_pairs"],
+            plan["decision"],
+            int(agg["n"]),
+            int(agg["c"]),
+        )
+
+    return spark.createDataFrame(
+        [row("before", before, row_pre), row("after", after, row_post)],
+        "phase string, debt long, statless_dels long, data_dirs long, "
+        "overlap_pairs long, applicable_pairs long, decision string, "
+        "n_rows long, total_cents long",
+    ).orderBy("phase")
+
+
+@register(
+    "m57_merge_update_set",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderpriority AS pri
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        s AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 // 10
+                       AS cents,
+                   'SRC' AS pri
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        merged AS (
+            SELECT t.o_orderkey, t.cents + s.cents AS cents, t.pri
+            FROM t JOIN s USING (o_orderkey)
+            UNION ALL
+            SELECT * FROM t
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+            UNION ALL
+            SELECT * FROM s
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN pri = 'SRC' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_src_pri,
+               CAST(1 AS BIGINT) AS cow_eq_mor
+        FROM merged
+    """,
+    doc="SET-clause (partial-column) MERGE updates (round 15, VERDICT "
+    "r14 ask #4 — Iceberg/Spark's `MERGE INTO t USING s ON k WHEN "
+    "MATCHED THEN UPDATE SET col = expr`, the shape CDC feeds with "
+    "partial payloads need; reference forward-pointer blog-zero-cost-"
+    "data-lakehouse-part-2.md:327-329): `merge_into(update_set="
+    "{'cents': 'target.cents + source.cents'})` updates a COLUMN "
+    "SUBSET of matched rows — expressions see both sides qualified "
+    "(`target.`/`source.`), unlisted columns keep the target's value "
+    "— instead of wholesale source-row replacement. The hash pins: "
+    "matched rows sum both sides' cents (the expression ran) while "
+    "KEEPING the target's priority column (n_src_pri counts only the "
+    "source-only inserts — proof the update touched just the SET "
+    "subset), and `cow_eq_mor`: the identical merge on a "
+    "copy-on-write twin and a merge-on-read twin produced row-for-row "
+    "equal tables (under MoR the delta carries the POST-update rows, "
+    "so the O(batch)-bytes commit shape is unchanged — one target "
+    "read is the price of referencing target values). Scale: the "
+    "reconcile is one shuffle join on the merge keys, the projection "
+    "pure Catalyst expressions — no UDFs, no driver loop.",
+    tags=("scale", "snapshot", "merge", "merge-on-read"),
+)
+def m57_merge_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        merge_into,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    target = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 DIV 10"
+        ).alias("cents"),
+        F.lit("SRC").alias("pri"),
+    )
+    base = tempfile.mkdtemp(prefix="m57_")
+    tabs = {}
+    for strat in ("cow", "mor"):
+        tab = os.path.join(base, strat)
+        commit_snapshot(target, tab)
+        merge_into(
+            spark,
+            tab,
+            source,
+            on=["o_orderkey"],
+            strategy=strat,
+            update_set={"cents": "target.cents + source.cents"},
+        )
+        tabs[strat] = read_ref(spark, tab, "main")
+    cow, mor = tabs["cow"].persist(), tabs["mor"]
+    eq = int(
+        cow.exceptAll(mor).isEmpty() and mor.exceptAll(cow).isEmpty()
+    )
+    out = cow.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum((F.col("pri") == "SRC").cast("long")).alias("n_src_pri"),
+    ).select("*", F.lit(eq).cast("long").alias("cow_eq_mor"))
+    out = out.localCheckpoint()  # materialize before the unpersist
+    cow.unpersist()
+    return out
+
+
+@register(
+    "m58_view_at_ref",
+    oracle="""
+        WITH sales0 AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        salesfull AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        )
+        SELECT * FROM (
+            SELECT 'a_view@pre' AS address,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM sales0 WHERE cents > 15000000
+            UNION ALL
+            SELECT 'b_view@head_dangling', CAST(1 AS BIGINT),
+                   CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'c_view@main_repointed', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(cents) AS BIGINT)
+            FROM salesfull WHERE cents > 15000000
+        ) ORDER BY address
+    """,
+    doc="Views AT REFS — the Nessie views+branches matrix composed "
+    "(round 15, VERDICT r14 ask #6; blog-zero-cost-data-lakehouse.md:"
+    "345-397): `ws_read_at(spark, ws, 'high_value@pre')` resolves a "
+    "NAMED VIEW through the same `@ref` address tables use — the "
+    "view's stored SQL as of that ref runs against the table set and "
+    "table contents as of that ref, so one ref scopes all three. "
+    "Scenario: view created on main over `sales`, tag `pre`, append, "
+    "then `sales` is RENAMED to `revenue` (force=True — the rename "
+    "guard added for ADVICE r14 otherwise raises naming the "
+    "dependent view). The hash pins: view@pre returns exactly the "
+    "TAG-TIME rows (pre-append, resolved via the old name — history "
+    "preservation across the rename boundary), the view DANGLES at "
+    "head by design (its SQL names a table the head no longer has — "
+    "pinned as a caught failure, the documented force-rename "
+    "behavior), and after `ws_create_view(replace=True)` re-points "
+    "it to `revenue`, view@main reads the FULL post-append state. "
+    "All resolution is metadata-only; the scans touch exactly each "
+    "ref's file set.",
+    tags=("scale", "workspace", "views", "refs"),
+)
+def m58_view_at_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from apache_iceberg_spark.catalog.workspace import (
+        ws_commit,
+        ws_create_tag,
+        ws_create_view,
+        ws_read_at,
+        ws_rename_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ws = tempfile.mkdtemp(prefix="m58_ws_")
+    ws_commit(ws, {"sales": o.filter(F.col("o_orderkey") % 3 == 0)})
+    ws_create_view(
+        ws, "high_value", "SELECT * FROM sales WHERE cents > 15000000"
+    )
+    ws_create_tag(ws, "pre")
+    ws_commit(
+        ws,
+        {"sales": o.filter(F.col("o_orderkey") % 3 == 1)},
+        mode="append",
+    )
+    ws_rename_table(ws, "sales", "revenue", force=True)
+
+    def agg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select(F.lit(label).alias("address"), "n_rows", "total_cents")
+
+    try:
+        # The view's SQL names `sales`, which the head no longer has —
+        # the documented dangling behavior under force-rename.
+        ws_read_at(spark, ws, "high_value@main").count()
+        dangled = 0
+    except Exception:
+        dangled = 1
+    dangle_row = spark.createDataFrame(
+        [("b_view@head_dangling", dangled, 0)],
+        "address string, n_rows long, total_cents long",
+    )
+    pre_rows = agg("a_view@pre", ws_read_at(spark, ws, "high_value@pre"))
+    ws_create_view(
+        ws,
+        "high_value",
+        "SELECT * FROM revenue WHERE cents > 15000000",
+        replace=True,
+    )
+    repointed = agg(
+        "c_view@main_repointed", ws_read_at(spark, ws, "high_value@main")
+    )
+    return (
+        pre_rows.unionByName(dangle_row)
+        .unionByName(repointed)
+        .orderBy("address")
+    )
