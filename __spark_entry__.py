@@ -67,25 +67,43 @@ def _green_rounds() -> dict[str, int]:
     return latest
 
 
-# Queries whose IMPLEMENTATION changed this round (round 13): their old
-# green rows prove the old code, so they re-enter the checked set right
-# behind never-checked queries. Refreshed every round — VERDICT r6 ask #2:
-# don't let prior-round rechecks squat in the sample. Round 13 rebuilt
-# the a43 bootstrap's weight derivation (ONE md5 per event + counter-
-# based lane mixing, ranks derived from A43_REPLICAS), rewrote
-# _a40_finish join-free (range/tie windows instead of marginal rank
-# joins) with the fused _snap_cell_axes gate, switched ts29/ts30's
-# censoring predicate to strict >, HUGEINT-cast ts30's oracle terms,
-# and NULL-guarded a42's standard errors — so every consumer of those
-# paths re-enters the sample.
+# Queries whose IMPLEMENTATION (or a function they consume) changed this
+# round: their old green rows prove the old code, so they re-enter the
+# checked set right behind never-checked queries. Since round 15 this
+# set is DERIVED FROM THE DIFF (VERDICT r14 "what's wrong" #1 — the
+# hand-written r14 list went stale and missed a22/a23/st30):
+# ``tools/derive_recheck.py`` maps the round's changed top-level
+# functions to (a) queries whose own body changed and (b) first-order
+# consumers whose source references a changed function, and
+# ``tests/test_recheck_policy.py`` FAILS when a derived query is absent
+# here. Regenerate with: python tools/derive_recheck.py
 RECHECK = frozenset({
-    "a43_poisson_bootstrap_ci",     # one-md5 lane mixing + derived ranks
-    "st26_stream_bootstrap_ci",     # same weights + micro-batch repartition
-    "a40_spearman_rho",             # join-free finish + fused axis gate
-    "st24_stream_rank_correlation", # same finish, precached path
-    "ts29_kaplan_meier",            # strict > censoring predicate
-    "ts30_logrank",                 # strict > + HUGEINT oracle terms
-    "a42_welch_t",                  # NULL-guarded standard errors
+    # the r14 misses, re-proving last round's rewrites (VERDICT r14
+    # ask #2 done-criterion — their implementing code changed in r14
+    # but never re-entered the r14 sample):
+    "a22_countmin_heavy_hitters",
+    "a23_countmin_width_curve",
+    # r15 diff, derived (tools/derive_recheck.py -v for reasons):
+    "a51_g_test",                    # dof clamp (ADVICE r14)
+    "m11_incremental_append_scan",   # read_incremental dels-compare
+    "m22_snapshot_expiry",           # expiry stats-scope fix
+    "m30_branch_wap",                # read_incremental consumer
+    "m31_ref_diff",                  # read_incremental consumer
+    "m33_ref_aware_expiry",          # expiry consumer
+    "m41_truncating_retention",      # expiry consumer
+    "m46_workspace_at_ref",          # ws_read_at view dispatch
+    "m47_snapshots_history_table",   # _resolve_paths dedup
+    "m49_merge_upsert",              # merge_into update_set/del_stats
+    "m50_stats_pruned_scan",         # read_pruned delete pruning
+    "m52_merge_on_read_upsert",      # _read_mor guard + 4-tuple dels
+    "m53_rename_and_views",          # rename guard + transient views
+    "m54_mor_changelog",             # merge_into consumer
+    "m55_mor_stats_pruned_scan",     # merge_into + read_pruned
+    "m56_mor_delete_pruned_scan",    # new (r15)
+    "m57_merge_update_set",          # new (r15)
+    "m58_view_at_ref",               # new (r15)
+    "m59_mor_compaction_policy",     # new (r15)
+    "st30_stream_cdc_upsert",        # merge_into consumer (r14 miss)
 })
 
 

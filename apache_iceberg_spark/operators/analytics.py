@@ -4451,3 +4451,236 @@ def _a52_finish(regs: DataFrame, exact: DataFrame) -> DataFrame:
             ).alias("error_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a53: Kendall tau-b from contingency cells (round 15)
+# ---------------------------------------------------------------------------
+
+#: Cents per value bucket for a53's ordinal x-axis. The events
+#: generator's value range is fixed (~[0, 500] at every SF), so the
+#: bucket count is bounded ~100 BY CONSTRUCTION — no support gate
+#: needed (the a40/_snap_cell_axes machinery exists for unbounded
+#: axes; a bounded axis skips its stats job entirely).
+A53_BUCKET = 500
+
+#: tau-b / Mann-Kendall z share one float recipe applied to exact
+#: integer pair counts, so Spark and DuckDB agree bitwise (a21's rule:
+#: identical IEEE expression tree on identical integer inputs).
+_A53_TAU = (
+    "CAST(conc - disc AS DOUBLE) / "
+    "(SQRT(CAST(n2 - tx_pairs AS DOUBLE)) * "
+    "SQRT(CAST(n2 - ty_pairs AS DOUBLE)))"
+)
+
+
+def _kendall_pair_counts(cells: DataFrame) -> DataFrame:
+    """Concordant/discordant/tied pair counts over a contingency cell
+    frame ``(xv, yv, c)`` — the sufficient statistics of every
+    Kendall-family test (tau-b, Mann-Kendall trend), computed JOIN-FREE
+    on the support-sized cell table:
+
+    densify the observed grid (axes crossJoin is broadcast,
+    support² rows), then two window suffix-sums turn the O(cells²)
+    pair double-sum into O(cells log cells):
+    ``s_hi(x,y) = Σ_{y'>y} c(x,y')`` per x-partition, then
+    ``g(x,y) = Σ_{x'>x} s_hi(x',y)`` per y-partition — so
+    ``conc = Σ c·g`` counts pairs strictly increasing in BOTH axes;
+    ``h`` mirrors with y'<y for discordant. Tie pair counts come from
+    the marginals. Everything is exact integers (DECIMAL(38,0)
+    products); returns one row
+    ``(n, n2, conc, disc, tx_pairs, ty_pairs)``.
+
+    Scale: ONE shuffle builds the cells from the fact table (the
+    caller's groupBy); everything here is support-sized — windows and
+    broadcasts over ≤ a few thousand rows regardless of fact rows."""
+    xs = cells.select("xv").distinct()
+    ys = cells.select("yv").distinct()
+    dense = (
+        xs.crossJoin(F.broadcast(ys))
+        .join(cells, ["xv", "yv"], "left")
+        .select("xv", "yv", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_hi = Window.partitionBy("xv").orderBy("yv").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    w_lo = Window.partitionBy("xv").orderBy("yv").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d1 = dense.select(
+        "xv",
+        "yv",
+        "c",
+        F.coalesce(F.sum("c").over(w_hi), F.lit(0)).alias("s_hi"),
+        F.coalesce(F.sum("c").over(w_lo), F.lit(0)).alias("s_lo"),
+    )
+    w_x = Window.partitionBy("yv").orderBy("xv").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    d2 = d1.select(
+        "c",
+        F.coalesce(F.sum("s_hi").over(w_x), F.lit(0)).alias("g"),
+        F.coalesce(F.sum("s_lo").over(w_x), F.lit(0)).alias("h"),
+    )
+    pair = d2.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * g"))
+        .cast("long")
+        .alias("conc"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * h"))
+        .cast("long")
+        .alias("disc"),
+    )
+    tx = (
+        cells.groupBy("xv")
+        .agg(F.sum("c").alias("cx"))
+        .agg(
+            F.sum(
+                F.expr("CAST(cx AS DECIMAL(38,0)) * (cx - 1) DIV 2")
+            ).cast("long").alias("tx_pairs")
+        )
+    )
+    ty = (
+        cells.groupBy("yv")
+        .agg(F.sum("c").alias("cy"))
+        .agg(
+            F.sum(
+                F.expr("CAST(cy AS DECIMAL(38,0)) * (cy - 1) DIV 2")
+            ).cast("long").alias("ty_pairs")
+        )
+    )
+    return (
+        pair.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)"
+            ).alias("n2"),
+            "conc",
+            "disc",
+            "tx_pairs",
+            "ty_pairs",
+        )
+    )
+
+
+#: The oracle twin of _kendall_pair_counts, parameterized on the
+#: base-projection SQL that yields (xv, yv) rows.
+_A53_ORACLE_CORE = """
+        cells AS (
+            SELECT xv, yv, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY xv, yv
+        ),
+        xs AS (SELECT DISTINCT xv FROM cells),
+        ys AS (SELECT DISTINCT yv FROM cells),
+        dense AS (
+            SELECT xs.xv, ys.yv, COALESCE(cells.c, 0) AS c
+            FROM xs CROSS JOIN ys
+            LEFT JOIN cells ON cells.xv = xs.xv AND cells.yv = ys.yv
+        ),
+        d1 AS (
+            SELECT xv, yv, c,
+                   COALESCE(SUM(c) OVER (
+                       PARTITION BY xv ORDER BY yv
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ), 0) AS s_hi,
+                   COALESCE(SUM(c) OVER (
+                       PARTITION BY xv ORDER BY yv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS s_lo
+            FROM dense
+        ),
+        d2 AS (
+            SELECT c,
+                   COALESCE(SUM(s_hi) OVER (
+                       PARTITION BY yv ORDER BY xv
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ), 0) AS g,
+                   COALESCE(SUM(s_lo) OVER (
+                       PARTITION BY yv ORDER BY xv
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ), 0) AS h
+            FROM d1
+        ),
+        pair AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CAST(c AS HUGEINT) * g) AS BIGINT) AS conc,
+                   CAST(SUM(CAST(c AS HUGEINT) * h) AS BIGINT) AS disc
+            FROM d2
+        ),
+        txp AS (
+            SELECT CAST(SUM(CAST(cx AS HUGEINT) * (cx - 1) // 2)
+                        AS BIGINT) AS tx_pairs
+            FROM (SELECT SUM(c) AS cx FROM cells GROUP BY xv)
+        ),
+        typ AS (
+            SELECT CAST(SUM(CAST(cy AS HUGEINT) * (cy - 1) // 2)
+                        AS BIGINT) AS ty_pairs
+            FROM (SELECT SUM(c) AS cy FROM cells GROUP BY yv)
+        ),
+        kendall AS (
+            SELECT n,
+                   CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT)
+                       AS n2,
+                   conc, disc, tx_pairs, ty_pairs
+            FROM pair CROSS JOIN txp CROSS JOIN typ
+        )
+"""
+
+
+@register(
+    "a53_kendall_tau",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) // {A53_BUCKET}
+                       AS xv,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS yv
+            FROM events
+        ),
+        {_A53_ORACLE_CORE}
+        SELECT n AS n_rows, conc, disc, tx_pairs, ty_pairs,
+               {_A53_TAU} AS tau_b
+        FROM kendall
+    """,
+    doc="Kendall's tau-b between event value (ordinal buckets of "
+    f"{A53_BUCKET} cents — the generator's value range is fixed, so "
+    "the axis is bounded ~100 BY CONSTRUCTION, no support gate) and "
+    "hour of day — the rank-correlation triple completed: a21 Pearson "
+    "(linear), a40 Spearman (monotone via ranks), a53 Kendall (pair "
+    "concordance, the most outlier-robust and the one with a direct "
+    "probabilistic reading: P(concordant) - P(discordant)). The "
+    "O(n^2) pair double-sum collapses to the contingency cells: two "
+    "window suffix-sums over the densified support grid count "
+    "concordant/discordant pairs exactly (integer DECIMAL products), "
+    "tie corrections from the marginals, and tau-b applies ONE shared "
+    "float formula to the exact counts (bitwise-equal across "
+    "engines). Scale: one fact shuffle to ~100x24 cells; everything "
+    "after is support-sized windows + broadcasts — the a40/a45 plan "
+    "shape, audited join-free.",
+    tags=("aggregate", "statistics"),
+)
+def a53_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.expr(
+                f"CAST(ROUND(value * 100) AS BIGINT) DIV {A53_BUCKET}"
+            ).alias("xv"),
+            F.hour("ts").cast("long").alias("yv"),
+        )
+        .groupBy("xv", "yv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # plan-cache: five consumers (axes, densify, both
+        # marginals) — without it each re-derivation rescans the fact
+        # table (released by the caller via release_plan_caches)
+    )
+    k = _kendall_pair_counts(cells)
+    return k.select(
+        F.col("n").alias("n_rows"),
+        "conc",
+        "disc",
+        "tx_pairs",
+        "ty_pairs",
+        F.expr(_A53_TAU).alias("tau_b"),
+    )

@@ -2082,3 +2082,127 @@ def g16_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("outw").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g17: k-core decomposition by bounded peeling (round 15)
+# ---------------------------------------------------------------------------
+
+G17_K = 30
+G17_ROUNDS = 4
+
+
+@register(
+    "g17_kcore",
+    oracle=f"""
+        WITH e0 AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e1 AS (
+            SELECT * FROM e0
+            WHERE c IN (SELECT c FROM e0 GROUP BY c
+                        HAVING COUNT(*) >= {G17_K})
+              AND s IN (SELECT s FROM e0 GROUP BY s
+                        HAVING COUNT(*) >= {G17_K})
+        ),
+        e2 AS (
+            SELECT * FROM e1
+            WHERE c IN (SELECT c FROM e1 GROUP BY c
+                        HAVING COUNT(*) >= {G17_K})
+              AND s IN (SELECT s FROM e1 GROUP BY s
+                        HAVING COUNT(*) >= {G17_K})
+        ),
+        e3 AS (
+            SELECT * FROM e2
+            WHERE c IN (SELECT c FROM e2 GROUP BY c
+                        HAVING COUNT(*) >= {G17_K})
+              AND s IN (SELECT s FROM e2 GROUP BY s
+                        HAVING COUNT(*) >= {G17_K})
+        ),
+        e4 AS (
+            SELECT * FROM e3
+            WHERE c IN (SELECT c FROM e3 GROUP BY c
+                        HAVING COUNT(*) >= {G17_K})
+              AND s IN (SELECT s FROM e3 GROUP BY s
+                        HAVING COUNT(*) >= {G17_K})
+        )
+        SELECT CAST((SELECT COUNT(*) FROM e4) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(DISTINCT c) FROM e4) AS BIGINT)
+                   AS n_customers,
+               CAST((SELECT COUNT(DISTINCT s) FROM e4) AS BIGINT)
+                   AS n_suppliers,
+               CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+                   AS n_edges_prev,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM e4)
+                              = (SELECT COUNT(*) FROM e3)
+                    THEN 1 ELSE 0 END AS BIGINT) AS converged
+    """,
+    doc=f"k-core decomposition of the customer↔supplier trade graph by "
+    f"BOUNDED PEELING (k = {G17_K}, {G17_ROUNDS} rounds): each round "
+    "drops every node whose degree fell below k and the edges it "
+    "carried — the standard iterative-peeling k-core, here unrolled a "
+    "FIXED number of rounds so the computation is a deterministic "
+    "dataflow both engines replay exactly (the oracle is the same "
+    f"{G17_ROUNDS} rounds as literal CTE stages). `converged` pins "
+    "whether the peel reached its fixpoint inside the budget — on a "
+    "monotone-shrinking edge set, equal consecutive COUNTS prove "
+    "equal consecutive SETS, so the flag is exact. The k-core is the "
+    "classic dense-substructure primitive (spam/bot rings, core "
+    "marketplaces); Spark-side each round is two degree aggregations "
+    "+ two semi-joins on the persisted shrinking edge frame — "
+    "O(rounds) shuffles of at most |E| rows, never materializing "
+    "anything driver-side, the g13/g16 iterative discipline. At 100 "
+    "TB: rounds are bounded by design; production k-cores run peeling "
+    "to a round budget exactly like this (or bucket by degree first), "
+    "because worst-case full peeling is O(max-degree) rounds.",
+    tags=("graph",),
+)
+def g17_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table_parallel(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .persist()
+    )
+    persisted = [edges]
+    counts: list[int] = [edges.count()]
+    for _r in range(G17_ROUNDS):
+        keep_c = (
+            edges.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= G17_K)
+            .select("c")
+        )
+        keep_s = (
+            edges.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= G17_K)
+            .select("s")
+        )
+        edges = (
+            edges.join(keep_c, "c", "left_semi")
+            .join(keep_s, "s", "left_semi")
+            .persist()
+        )
+        persisted.append(edges)
+        counts.append(edges.count())
+    final = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("c").alias("n_customers"),
+        F.countDistinct("s").alias("n_suppliers"),
+    ).select(
+        "n_edges",
+        "n_customers",
+        "n_suppliers",
+        F.lit(counts[-2]).cast("long").alias("n_edges_prev"),
+        F.lit(int(counts[-1] == counts[-2])).cast("long").alias("converged"),
+    )
+    out = final.localCheckpoint()
+    for df in persisted:
+        df.unpersist()
+    return out

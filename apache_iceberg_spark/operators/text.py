@@ -2104,3 +2104,103 @@ def tx28_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx29: Zipf / hapax vocabulary profile (round 15)
+# ---------------------------------------------------------------------------
+
+TX29_TOP_K = 10
+
+
+@register(
+    "tx29_zipf_hapax",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(lower(trim(text)),
+                          '{_TOKEN_SPLIT}')) AS tok
+            FROM documents
+        ),
+        freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+            FROM toks GROUP BY tok
+        ),
+        topk AS (
+            SELECT f FROM freq
+            ORDER BY f DESC, tok LIMIT {TX29_TOP_K}
+        )
+        SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax,
+               CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dis_legomena,
+               CAST(MAX(f) AS BIGINT) AS f_rank1,
+               CAST((SELECT SUM(f) FROM topk) AS BIGINT) AS top10_mass,
+               CAST(COUNT(*) * 1000000 // SUM(f) AS BIGINT)
+                   AS ttr_micro,
+               CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS hapax_ratio_micro
+        FROM freq
+    """,
+    doc="Corpus vocabulary profile — the Zipf/Heaps health gauges a "
+    "pretraining-data pipeline watches per shard: total tokens, "
+    "vocabulary size, HAPAX and dis-legomena counts (once/twice "
+    "words — the hapax RATIO is the classic OCR-noise / boilerplate "
+    "detector: clean natural text runs ~40-60% hapax of vocab, "
+    "garbage runs higher, template spam lower), the top-frequency "
+    f"mass (top-{TX29_TOP_K} tokens' share — Zipf head weight), and "
+    "exact integer-micro type-token + hapax ratios. One tokenize + "
+    "ONE shuffle to the frequency table; every statistic is an "
+    "aggregate of it (the top-k head via a support-sized sorted "
+    "limit with total tie order). All integer-exact — no float "
+    "log-log fit; the head-mass + hapax pair IS the actionable "
+    "Zipf summary (slope fitting adds noise, not signal, at shard "
+    "granularity). At 100 TB the frequency table is vocabulary-"
+    "sized — millions of rows, one reducer-friendly groupBy — and "
+    "the profile runs per shard for drift comparison (pp14's "
+    "report consumes exactly these gauges).",
+    tags=("text", "statistics"),
+)
+def tx29_zipf_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), _TOKEN_SPLIT)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .persist()  # two consumers: the profile agg + the top-k head
+        # (released by the caller via release_plan_caches)
+    )
+    topk = (
+        freq.orderBy(F.desc("f"), F.asc("tok"))
+        .limit(TX29_TOP_K)
+        .agg(F.sum("f").alias("m"))
+    )
+    return (
+        freq.agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dis_legomena"),
+            F.max("f").cast("long").alias("f_rank1"),
+        )
+        .crossJoin(F.broadcast(topk))
+        .select(
+            "n_tokens",
+            "vocab",
+            "hapax",
+            "dis_legomena",
+            "f_rank1",
+            F.col("m").cast("long").alias("top10_mass"),
+            F.expr("vocab * 1000000 DIV n_tokens").alias("ttr_micro"),
+            F.expr("hapax * 1000000 DIV vocab").alias("hapax_ratio_micro"),
+        )
+    )

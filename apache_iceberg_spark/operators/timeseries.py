@@ -3854,3 +3854,117 @@ def ts33_windowed_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_low_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts34: Mann-Kendall trend test (round 15)
+# ---------------------------------------------------------------------------
+
+from apache_iceberg_spark.operators.analytics import (  # noqa: E402
+    _A53_ORACLE_CORE,
+)
+
+#: S>0 gets the -1 continuity correction, S<0 the +1 (Mann-Kendall's
+#: normal approximation); one shared float recipe over exact integers
+#: so both engines agree bitwise.
+_TS34_Z = (
+    "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+    " / SQRT(CAST(var_s18 AS DOUBLE) / 18.0)"
+    " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+    " / SQRT(CAST(var_s18 AS DOUBLE) / 18.0)"
+    " ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+@register(
+    "ts34_mann_kendall",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                       AS xv,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS yv
+            FROM events GROUP BY 1
+        ),
+        {_A53_ORACLE_CORE}
+        ,
+        tie3 AS (
+            SELECT COALESCE(CAST(SUM(
+                       CAST(cy AS HUGEINT) * (cy - 1) * (2 * cy + 5)
+                   ) AS BIGINT), 0) AS ty3
+            FROM (SELECT SUM(c) AS cy FROM cells GROUP BY yv)
+        )
+        SELECT n AS n_days, s_stat, var_s18, {_TS34_Z} AS z
+        FROM (
+            SELECT n,
+                   CAST(conc - disc AS BIGINT) AS s_stat,
+                   CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - ty3
+                        AS BIGINT) AS var_s18
+            FROM kendall CROSS JOIN tie3
+        )
+    """,
+    doc="Mann-Kendall trend test on the DAILY revenue series (exact "
+    "integer cents per day): the nonparametric is-there-a-monotone-"
+    "trend test — S = #(later day higher) - #(later day lower) over "
+    "all day pairs, the Kendall pair machinery with time as the x "
+    "axis — with the tie-corrected variance (days are unique by "
+    "construction, so only the value-tie term applies) and the "
+    "continuity-corrected normal z. Shares a53's "
+    "`_kendall_pair_counts` core verbatim: the O(n^2) pair sum runs "
+    "as two window suffix-sums over the densified day x value grid, "
+    "all exact integers until the one shared float z at the end. "
+    "Scale: ONE fact shuffle to the per-day series (30 rows at every "
+    "SF — the fixture's span; a year is 365), then support-sized "
+    "windows; at 100 TB the daily rollup is the only cost, and it is "
+    "the same rollup every dashboard already materializes.",
+    tags=("timeseries", "statistics"),
+)
+def ts34_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.analytics import (
+        _kendall_pair_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE'1970-01-01')"
+            ).cast("long").alias("xv")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("yv")
+        )
+    )
+    cells = (
+        daily.groupBy("xv", "yv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # plan-cache: the pair counts re-derive the cell
+        # frame five ways (released via release_plan_caches)
+    )
+    k = _kendall_pair_counts(cells)
+    tie3 = (
+        cells.groupBy("yv")
+        .agg(F.sum("c").alias("cy"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(cy AS DECIMAL(38,0)) * (cy - 1)"
+                        " * (2 * cy + 5)"
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("ty3")
+        )
+    )
+    s = k.crossJoin(F.broadcast(tie3)).select(
+        F.col("n").alias("n_days"),
+        (F.col("conc") - F.col("disc")).cast("long").alias("s_stat"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)"
+            " - ty3 AS BIGINT)"
+        ).alias("var_s18"),
+    )
+    return s.select("*", F.expr(_TS34_Z).alias("z"))

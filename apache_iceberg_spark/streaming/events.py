@@ -3182,3 +3182,118 @@ def _st35_set_oracle() -> None:
 
 
 _st35_set_oracle()
+
+
+# --- st36: streaming register-stratified inspection sample ----------------
+
+#: 256 registers; priority = 29 md5 bits above the register byte, so
+#: combined = prio * 2^33 + event_id stays < 2^62 (event_id < 2^33 for
+#: any plausible fixture scale — 1e9 ids is sf~1000).
+ST36_REGS = 256
+ST36_PRIO_MOD = 1 << 29
+ST36_KEY_MOD = 1 << 33
+
+
+def _st36_oracle() -> str:
+    from apache_iceberg_spark.operators.text import DUCK_HEX2INT
+
+    h = DUCK_HEX2INT.format(s="CAST(event_id AS VARCHAR)")
+    return f"""
+        WITH h AS (
+            SELECT event_id,
+                   {h} AS h,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        state AS (
+            SELECT h % {ST36_REGS} AS idx,
+                   MIN((h // {ST36_REGS}) % {ST36_PRIO_MOD}
+                       * {ST36_KEY_MOD} + event_id) AS combined
+            FROM h GROUP BY 1
+        ),
+        sample AS (
+            SELECT combined % {ST36_KEY_MOD} AS event_id FROM state
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+               CAST(SUM(s.event_id) AS BIGINT) AS key_sum,
+               CAST(SUM(h.cents) AS BIGINT) AS cents_sum
+        FROM sample s JOIN h ON h.event_id = s.event_id
+    """
+
+
+@register(
+    "st36_stream_hash_sample",
+    oracle=None,  # bound below (needs the text module's hash macro)
+    doc=f"Register-stratified DETERMINISTIC sample maintained BY THE "
+    f"STREAM: {ST36_REGS} registers (md5 byte of the event key), each "
+    "keeping the row with the MINIMUM md5-derived priority — a "
+    "bottom-1-per-register sketch, the row-sampling sibling of a52's "
+    "HLL registers (same stochastic averaging; the state is "
+    f"{ST36_REGS} longs, priority and key packed into one MIN-mergeable "
+    "word so any engine's plain MIN aggregate maintains it — "
+    "commutative, associative, idempotent, replay-safe). The sampled "
+    "KEYS then fetch their full rows batch-side (broadcast semi-join) "
+    "— the 'give me ~256 uniformly-hashed real rows of this 100 TB "
+    "stream to eyeball' operator every pipeline debugging session "
+    "wants, at O(registers) state and zero randomness (md5 makes the "
+    "sample reproducible across runs and engines — the driver "
+    "hash-compares it against DuckDB computing the same sample). "
+    "Stream == batch bitwise; the oracle recomputes the registers "
+    "declaratively.",
+    tags=("streaming", "sampling"),
+)
+def st36_stream_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.operators.text import SPARK_HEX2INT
+    from apache_iceberg_spark.tables import load_table
+
+    h = SPARK_HEX2INT.format(s="CAST(event_id AS STRING)")
+    state_stream = (
+        stream_events(spark, sf_dir)
+        .select(F.expr(h).alias("h"), "event_id")
+        .groupBy((F.col("h") % ST36_REGS).alias("idx"))
+        .agg(
+            F.min(
+                F.expr(
+                    f"(h DIV {ST36_REGS}) % {ST36_PRIO_MOD}"
+                    f" * CAST({ST36_KEY_MOD} AS BIGINT) + event_id"
+                )
+            ).alias("combined")
+        )
+    )
+    qname = f"st36_sample_{next(_stream_ids)}"
+    query = (
+        state_stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    sample = spark.table(qname).select(
+        (F.col("combined") % ST36_KEY_MOD).alias("event_id")
+    )
+    rows = load_table(spark, sf_dir, "events").join(
+        F.broadcast(sample), "event_id"
+    )
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum("event_id").cast("long").alias("key_sum"),
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents_sum"),
+    )
+
+
+def _st36_set_oracle() -> None:
+    import dataclasses as _dc
+
+    from apache_iceberg_spark.registry import REGISTRY
+
+    q = REGISTRY["st36_stream_hash_sample"]
+    REGISTRY["st36_stream_hash_sample"] = _dc.replace(
+        q, oracle=_st36_oracle()
+    )
+
+
+_st36_set_oracle()

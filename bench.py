@@ -83,17 +83,10 @@ HEADLINE = [
     "ann9_ivf_pq",
     # round-5 operators
     "dd14_fuzzy_dup_clusters",
-    "dd15_incremental_dedup",
-    "ann10_ivf_pq_rerank",
-    "ann11_trained_ivf",
-    "pp10_pretraining_job",
-    "pp11_curriculum_order",
     # round-6 operators
     # round-7 operators (the scale-path EWMA and the new graph join;
     # tx16/pp13/ann15 are timed on stderr and tracked in README — the
     # contract line is at its tail-budget ceiling)
-    "ts11_ewma_segmented",
-    "g4_link_prediction",
 ]
 
 # Streaming operators timed on their own stdout line (not in the contract
@@ -125,12 +118,24 @@ STREAMING = [
     "st33_stream_countmin",
     "st34_stream_bloom_build",
     "st35_stream_hyperloglog",
+    "st36_stream_hash_sample",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
 # budget: timed like HEADLINE but reported on stderr only (and tracked
 # round-over-round in README's bench table).
 AUX = [
+    # round 15: moved from HEADLINE to make contract-line room for
+    # stream_top5 (VERDICT r14 ask #3) — still benched here with
+    # aux-total accountability; README notes the composition change so
+    # round-over-round totals are compared per-query.
+    "dd15_incremental_dedup",
+    "ann10_ivf_pq_rerank",
+    "ann11_trained_ivf",
+    "pp10_pretraining_job",
+    "pp11_curriculum_order",
+    "ts11_ewma_segmented",
+    "g4_link_prediction",
     # round 14: moved from HEADLINE to make contract-line room for
     # aux_top5 (VERDICT r13 ask #4) — each family keeps headline
     # representatives; README's r14 re-baseline notes the composition
@@ -313,6 +318,15 @@ AUX = [
     "mm14_frame_sampling_schedule",
     "g16_weighted_pagerank",
     "j11_band_join",
+    # round 15
+    "m56_mor_delete_pruned_scan",
+    "m57_merge_update_set",
+    "m58_view_at_ref",
+    "m59_mor_compaction_policy",
+    "a53_kendall_tau",
+    "ts34_mann_kendall",
+    "g17_kcore",
+    "tx29_zipf_hapax",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
@@ -563,6 +577,18 @@ def main() -> None:
         except Exception as exc:  # never let streaming kill the contract line
             print(f"# streaming bench {name} failed: {exc}", file=sys.stderr)
     stream_total = round(sum(stream_timings.values()), 3)
+    # stream_top5 (round 15, VERDICT r14 ask #3): stream_total had grown
+    # dominated by one entry (st28 ≈ 22% of the family) — a regression
+    # there was invisible until it moved the whole total. The five
+    # largest streaming entries ride the contract line so the driver can
+    # ATTRIBUTE a stream_total move from the artifact alone, exactly as
+    # aux_top5 did for AUX.
+    stream_top5 = {
+        k: round(v, 1)
+        for k, v in sorted(
+            stream_timings.items(), key=lambda kv: -kv[1]
+        )[:5]
+    }
 
     # Canary phase, LAST to run (protocol frozen — see the CANARY comment
     # above): clearing everything first makes "what was resident" a
@@ -651,6 +677,7 @@ def main() -> None:
                 "aux_total": aux_total,
                 "aux_top5": aux_top5,
                 "stream_total": stream_total,
+                "stream_top5": stream_top5,
                 "sf": sf_val,
                 "host": {
                     "load1_start": host_before.get("load1"),

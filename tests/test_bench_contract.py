@@ -37,6 +37,12 @@ def _rendered_contract_line(timings: dict) -> str:
                 for name in sorted(bench.AUX, key=len, reverse=True)[:5]
             },
             "stream_total": 99999.999,
+            # worst-case stream_top5 (VERDICT r14 ask #3): five longest
+            # registered STREAMING names at pathological widths
+            "stream_top5": {
+                name: 1234.5
+                for name in sorted(bench.STREAMING, key=len, reverse=True)[:5]
+            },
             "sf": 0.1,
             # worst-case-width host self-label (VERDICT r11 ask #2)
             "host": {
@@ -86,7 +92,8 @@ def test_contract_line_has_exactly_the_contract_keys():
     obj = json.loads(_rendered_contract_line({"q1": 1.0}))
     assert set(obj) == {
         "metric", "value", "unit", "queries", "canary_total",
-        "aux_total", "aux_top5", "stream_total", "sf", "host",
+        "aux_total", "aux_top5", "stream_total", "stream_top5", "sf",
+        "host",
     }
     # the self-label the driver's truncated tail must still carry
     assert set(obj["host"]) == {"load1_start", "load1_end", "cpus_visible"}
@@ -104,6 +111,7 @@ def test_contract_line_source_carries_aux_total():
     assert '"aux_total"' in body
     assert '"aux_top5"' in body
     assert '"stream_total"' in body
+    assert '"stream_top5"' in body
 
 
 def test_pretouch_reads_every_fixture(tmp_path):

@@ -1255,3 +1255,43 @@ def test_j11_band_join_is_hash_join_not_nested_loop(spark):
     plan = plan_of(spark, "j11_band_join")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_a53_support_sized_after_one_fact_shuffle(spark):
+    """Kendall's pair counting must stay on the cell grid: ONE fact
+    scan feeding the cell groupBy; the densify crossJoin broadcasts
+    the 24-row hour axis (support-sized), never a fact-scale
+    cartesian; no sort-merge join anywhere (everything post-cells is
+    windows + broadcasts)."""
+    plan = plan_of(spark, "a53_kendall_tau")
+    assert n_distinct_scans(plan) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ts34_single_fact_scan_per_branch(spark):
+    """Mann-Kendall reuses the same cell machinery over the 30-row
+    daily series: no cartesian, no sort-merge join; the only
+    fact-scale work is the daily groupBy scans."""
+    plan = plan_of(spark, "ts34_mann_kendall")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_g17_kcore_semi_joins_no_cartesian(spark):
+    """Each peel round is two degree aggregations + two semi-joins on
+    the shrinking edge frame — no cartesian, no nested loop, and the
+    degree frames (left-semi keep lists) broadcast under AQE at this
+    scale."""
+    plan = plan_of(spark, "g17_kcore")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tx29_one_shuffle_to_frequency_table(spark):
+    """The vocabulary profile is aggregates of ONE tokenize+groupBy;
+    the top-k head is a support-sized TakeOrdered, never a global
+    sort of the fact rows."""
+    plan = plan_of(spark, "tx29_zipf_hapax")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
