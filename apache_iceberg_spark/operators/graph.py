@@ -2169,9 +2169,16 @@ def g17_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    persisted = [edges]
     counts: list[int] = [edges.count()]
     for _r in range(G17_ROUNDS):
+        if len(counts) >= 2 and counts[-1] == counts[-2]:
+            # Fixpoint: the edge set only shrinks, so equal consecutive
+            # counts prove equal sets — every remaining round is the
+            # identity. Skipping them is exactness-preserving (the
+            # oracle's full unroll computes the same sets) and turns
+            # the common fast-converging case from O(R) to O(actual)
+            # shuffles.
+            break
         keep_c = (
             edges.groupBy("c")
             .agg(F.count(F.lit(1)).alias("d"))
@@ -2184,13 +2191,15 @@ def g17_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= G17_K)
             .select("s")
         )
-        edges = (
+        new_edges = (
             edges.join(keep_c, "c", "left_semi")
             .join(keep_s, "s", "left_semi")
             .persist()
         )
-        persisted.append(edges)
-        counts.append(edges.count())
+        counts.append(new_edges.count())
+        # the new round is materialized; its parent cache is dead weight
+        edges.unpersist()
+        edges = new_edges
     final = edges.agg(
         F.count(F.lit(1)).alias("n_edges"),
         F.countDistinct("c").alias("n_customers"),
@@ -2203,6 +2212,5 @@ def g17_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(counts[-1] == counts[-2])).cast("long").alias("converged"),
     )
     out = final.localCheckpoint()
-    for df in persisted:
-        df.unpersist()
+    edges.unpersist()
     return out

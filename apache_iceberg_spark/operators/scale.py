@@ -4899,3 +4899,98 @@ def m58_view_at_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(repointed)
         .orderBy("address")
     )
+
+
+@register(
+    "m60_partitioned_mor_scan",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        s AS (
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 // 10
+                       AS cents
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        merged AS (
+            SELECT * FROM s
+            UNION ALL
+            SELECT * FROM t
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+        )
+        SELECT month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM merged
+        WHERE month = '1995-03'
+        GROUP BY month ORDER BY month
+    """,
+    doc="PARTITION PRUNING THROUGH THE MERGE-ON-READ ANTI-JOIN (round "
+    "15 — the m3 x m52 composition, and the plan property that "
+    "decides whether a partitioned CDC-maintained table stays "
+    "queryable between compactions): the table is Hive-partitioned "
+    "on month, a MoR upsert lands an equality-delete + partitioned "
+    "delta, and a single-month read must still touch ONE partition "
+    "of each data directory — Catalyst pushes the partition "
+    "predicate below the delete anti-join because it references "
+    "only the scan side's columns, so the anti-join joins one "
+    "month's rows against the skinny key set, not the table "
+    "(plan-asserted: PartitionFilters on every data scan, "
+    "test_plans). The hash pins the month's row count + exact cents "
+    "THROUGH the merge (amended rows in the month, deleted-then-"
+    "reinserted keys, untouched keys). At 100 TB this is the "
+    "difference between a dashboard's month query reading ~1/84th "
+    "of a CDC table and reading all of it — file skipping by value "
+    "(m55/m56) and by partition compose with the same delete "
+    "files.",
+    tags=("scale", "snapshot", "merge-on-read", "partitioning"),
+)
+def m60_partitioned_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        merge_into,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    table = os.path.join(tempfile.mkdtemp(prefix="morpart_"), "orders")
+    commit_snapshot(
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", month, cents.alias("cents")
+        ),
+        table,
+        partition_by=["month"],
+    )
+    merge_into(
+        spark,
+        table,
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            month,
+            F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 DIV 10"
+            ).alias("cents"),
+        ),
+        on=["o_orderkey"],
+        strategy="mor",
+    )
+    return (
+        read_ref(spark, table, "main")
+        .filter(F.col("month") == "1995-03")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("month")
+    )

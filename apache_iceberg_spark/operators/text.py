@@ -2172,8 +2172,8 @@ def tx29_zipf_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("f"))
-        .persist()  # two consumers: the profile agg + the top-k head
-        # (released by the caller via release_plan_caches)
+        .persist()  # plan-cache: two consumers (the profile agg + the
+        # top-k head) — released by the caller via release_plan_caches
     )
     topk = (
         freq.orderBy(F.desc("f"), F.asc("tok"))

@@ -327,6 +327,7 @@ AUX = [
     "ts34_mann_kendall",
     "g17_kcore",
     "tx29_zipf_hapax",
+    "m60_partitioned_mor_scan",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

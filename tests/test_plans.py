@@ -1295,3 +1295,19 @@ def test_tx29_one_shuffle_to_frequency_table(spark):
     plan = plan_of(spark, "tx29_zipf_hapax")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_m60_partition_pruning_through_mor_anti_join(spark):
+    """The month predicate must reach EVERY data scan as a
+    PartitionFilter (Catalyst pushes it below the delete anti-join —
+    it references only scan-side columns), and the skinny delete-key
+    set must broadcast: a partitioned CDC table's single-month read
+    touches one partition per data dir, never the table."""
+    plan = plan_of(spark, "m60_partitioned_mor_scan")
+    pf = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "1995-03" in l
+    ]
+    assert len(pf) >= 2, plan  # seed dir AND merge delta both pruned
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
