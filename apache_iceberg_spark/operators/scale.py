@@ -4964,23 +4964,30 @@ def m60_partitioned_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     table = os.path.join(tempfile.mkdtemp(prefix="morpart_"), "orders")
+    # repartition ON the partition column before each partitioned write:
+    # without it every input task writes a sliver of every month (~32x84
+    # tiny files per write — the classic dynamic-partition small-files
+    # explosion); with it each month is one file. The same discipline a
+    # production writer applies before partitionBy at any scale.
     commit_snapshot(
-        o.filter(F.col("o_orderkey") % 3 == 0).select(
-            "o_orderkey", month, cents.alias("cents")
-        ),
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", month, cents.alias("cents"))
+        .repartition("month"),
         table,
         partition_by=["month"],
     )
     merge_into(
         spark,
         table,
-        o.filter(F.col("o_orderkey") % 2 == 0).select(
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
             "o_orderkey",
             month,
             F.expr(
                 "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 DIV 10"
             ).alias("cents"),
-        ),
+        )
+        .repartition("month"),
         on=["o_orderkey"],
         strategy="mor",
     )
