@@ -1648,6 +1648,7 @@ def merge_into(
     check_unique: bool = True,
     del_stats: bool = True,
     update_set: dict[str, str] | None = None,
+    matched_condition: str | None = None,
 ) -> int:
     """MERGE INTO over the snapshot catalog — the copy-on-write upsert
     (Iceberg's ``MERGE INTO t USING s ON … WHEN MATCHED THEN UPDATE SET *
@@ -1692,6 +1693,17 @@ def merge_into(
     target IS read to build those rows (one extra scan vs. the
     read-free SET * fast path).
 
+    ``matched_condition`` (round 15 — Iceberg/Spark's ``WHEN MATCHED
+    AND <cond> THEN …``): a SQL predicate over the matched join
+    (``target.`` / ``source.`` qualifiers, keys unqualified) gating the
+    matched action. Matched rows where the condition is false or NULL
+    keep the target's values untouched — standard SQL clause-condition
+    semantics. Composes with both ``when_matched`` actions and with
+    ``update_set``. Under MoR the target is read to evaluate the
+    condition, the delete-key set covers ONLY the rows the action
+    touches (condition-true matches), and the commit stays O(batch)
+    bytes.
+
     Scale shape (cow): the reconcile is one shuffle join on the merge
     keys (both sides hash-partition on ``on``; at 100 TB the write is
     partition-pruned in real Iceberg — only partitions holding matched
@@ -1729,15 +1741,42 @@ def merge_into(
                 "MERGE source is not key-unique on "
                 f"{on} — a matched target row would update ambiguously"
             )
+    if update_set:
+        _check_update_set(
+            update_set, on, read_ref(spark, table_path, branch).columns
+        )
     if strategy == "mor":
         return _merge_into_mor(
             spark, table_path, source, on, when_matched,
             when_not_matched, branch, partition_by, stats_cols,
             del_stats=del_stats, update_set=update_set,
+            matched_condition=matched_condition,
         )
     target = read_ref(spark, table_path, branch)
     keep = target.join(source.select(*on), on, "left_anti")
-    if update_set:
+    if matched_condition is not None:
+        from pyspark.sql import functions as F
+
+        joined = _matched_join(target, source, on)
+        cond = F.expr(matched_condition)
+        # condition false OR NULL -> the matched row keeps its target
+        # values (SQL clause-condition semantics: NULL never fires)
+        kept_matched = joined.filter(
+            ~F.coalesce(cond, F.lit(False))
+        ).select(*_side_projection(target.columns, on, "target"))
+        parts = [keep, kept_matched]
+        if when_matched == "update":
+            parts.append(
+                joined.filter(cond).select(
+                    *_matched_projection(target.columns, on, update_set)
+                )
+            )
+        if when_not_matched == "insert":
+            parts.append(source.join(target.select(*on), on, "left_anti"))
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+    elif update_set:
         matched = _apply_update_set(target, source, on, update_set)
         if when_not_matched == "insert":
             src_only = source.join(target.select(*on), on, "left_anti")
@@ -1759,43 +1798,80 @@ def merge_into(
     )
 
 
-def _apply_update_set(
-    target: DataFrame,
-    source: DataFrame,
-    on: list[str],
-    update_set: dict[str, str],
-) -> DataFrame:
-    """The matched rows POST-update under a SET-clause subset update:
-    inner-join target×source on the merge keys, then project every
-    target column — SET columns from their expressions (evaluated with
-    ``target.`` / ``source.`` qualifiers live), the rest from the
-    target row. One shuffle join on the keys, no UDFs; the projection
-    is pure Catalyst expressions."""
-    from pyspark.sql import functions as F
-
+def _check_update_set(
+    update_set: dict[str, str], on: list[str], target_columns: list[str]
+) -> None:
     for c in update_set:
         if c in on:
             raise ValueError(
                 f"cannot SET merge-key column {c!r} (rewriting the "
                 "match key mid-merge is undefined in every engine)"
             )
-        if c not in target.columns:
+        if c not in target_columns:
             raise ValueError(
                 f"SET column {c!r} is not a target column "
-                f"(have {target.columns})"
+                f"(have {target_columns})"
             )
-    joined = target.alias("target").join(
-        source.alias("source"), on, "inner"
-    )
+
+
+def _matched_join(
+    target: DataFrame, source: DataFrame, on: list[str]
+) -> DataFrame:
+    """The matched-row frame every conditional/SET clause evaluates
+    over: inner join on the merge keys with both sides aliased
+    (``target.`` / ``source.``; key columns unqualified). ONE shuffle
+    join; everything downstream is pure Catalyst projections."""
+    return target.alias("target").join(source.alias("source"), on, "inner")
+
+
+def _side_projection(
+    target_columns: list[str], on: list[str], side: str
+) -> list:
+    """Project the matched join back to the target schema taking every
+    non-key column from ``side`` ('target' or 'source')."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.col(c) if c in on else F.col(f"{side}.{c}").alias(c)
+        for c in target_columns
+    ]
+
+
+def _matched_projection(
+    target_columns: list[str],
+    on: list[str],
+    update_set: dict[str, str] | None,
+) -> list:
+    """The POST-update projection of a matched row: SET columns from
+    their expressions, unlisted columns from the target; without a SET
+    clause this is ``UPDATE SET *`` — the whole source row."""
+    from pyspark.sql import functions as F
+
+    if not update_set:
+        return _side_projection(target_columns, on, "source")
     cols = []
-    for c in target.columns:
+    for c in target_columns:
         if c in update_set:
             cols.append(F.expr(update_set[c]).alias(c))
         elif c in on:
             cols.append(F.col(c))
         else:
             cols.append(F.col(f"target.{c}").alias(c))
-    return joined.select(*cols)
+    return cols
+
+
+def _apply_update_set(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    update_set: dict[str, str],
+) -> DataFrame:
+    """The matched rows POST-update under a SET-clause subset update
+    (see ``_matched_join`` / ``_matched_projection``)."""
+    _check_update_set(update_set, on, target.columns)
+    return _matched_join(target, source, on).select(
+        *_matched_projection(target.columns, on, update_set)
+    )
 
 
 def _merge_into_mor(
@@ -1810,6 +1886,7 @@ def _merge_into_mor(
     stats_cols: list[str] | None = None,
     del_stats: bool = True,
     update_set: dict[str, str] | None = None,
+    matched_condition: str | None = None,
 ) -> int:
     """The merge-on-read commit body (see ``merge_into`` docstring):
     writes the source's KEYS as an equality-delete file (``e{N}-…/``)
@@ -1836,6 +1913,13 @@ def _merge_into_mor(
       not rewritten).
     - delete+insert: delta = source-only keys (anti).
     - delete+ignore: no delta — the commit is the delete file alone.
+
+    With ``matched_condition``, the target is read to evaluate the
+    clause gate; the delete-key set covers only condition-true matches
+    (an untouched matched row must NOT be deleted), and for update
+    actions the delta (condition-true post-action rows + any inserts)
+    still doubles as the delete file — deleting a source-only insert's
+    key is a no-op.
     """
     refs = _ensure_main(table_path, _read_refs(table_path))
     if branch in refs["tags"]:
@@ -1854,7 +1938,36 @@ def _merge_into_mor(
     )
     _check_partition_layout(parent_entry, layout)
     version = head + 1
-    if update_set:
+    # ``explicit_del_keys``: the delete-key frame when the delta dir
+    # cannot double as the delete file (delete actions — their victims'
+    # keys are exactly what the delta does NOT carry). None on update
+    # paths, where the delta's key columns ARE the delete set.
+    explicit_del_keys: DataFrame | None = None
+    if matched_condition is not None:
+        # WHEN MATCHED AND <cond>: the gate needs both sides, so the
+        # target is read; the commit stays O(batch) — only the
+        # condition-true matches are deleted/superseded.
+        from pyspark.sql import functions as F
+
+        target = read_ref(spark, table_path, branch)
+        joined = _matched_join(target, source, on)
+        cond_rows = joined.filter(F.expr(matched_condition))
+        if when_matched == "update":
+            delta = cond_rows.select(
+                *_matched_projection(target.columns, on, update_set)
+            )
+            if when_not_matched == "insert":
+                delta = delta.unionByName(
+                    source.join(target.select(*on), on, "left_anti")
+                )
+        else:  # conditional delete
+            explicit_del_keys = cond_rows.select(*on)
+            delta = (
+                source.join(target.select(*on), on, "left_anti")
+                if when_not_matched == "insert"
+                else None
+            )
+    elif update_set:
         # SET-clause subset update: the delta must carry the POST-update
         # rows (target values for unlisted columns), so the target is
         # read — but the COMMIT shape is unchanged: delete keys + delta,
@@ -1877,6 +1990,8 @@ def _merge_into_mor(
         delta = source.join(target.select(*on), on, "left_anti")
     else:  # delete matched, ignore new: the delete file IS the commit
         delta = None
+    if when_matched == "delete" and explicit_del_keys is None:
+        explicit_del_keys = source.select(*on)
     adds: list[str] = []
     if delta is not None:
         ddir = _data_dir(table_path, "d", version)
@@ -1886,7 +2001,7 @@ def _merge_into_mor(
         w.parquet(ddir)
         adds = [ddir]
     del_entry: dict = {"on": list(on)}
-    if when_matched == "update":
+    if explicit_del_keys is None:
         # The delta's key column IS the delete-key set for update
         # merges (update+insert: delta = source; update+ignore: delta =
         # matched source, and deleting only matched keys is equivalent
@@ -1916,10 +2031,11 @@ def _merge_into_mor(
     else:
         # delete-matched merges remove keys their delta does NOT carry
         # (delete+insert: matched keys are deleted, delta holds only
-        # source-new rows; delete+ignore: no delta at all) — a real
+        # source-new rows; delete+ignore: no delta at all; conditional
+        # delete: only condition-true matched keys) — a real
         # equality-delete key file is required.
         del_dir = _data_dir(table_path, "e", version)
-        keys = source.select(*on)
+        keys = explicit_del_keys
         keys.write.mode("overwrite").parquet(del_dir)
         if del_stats:
             del_entry["stats"] = _column_stats(keys, list(on))

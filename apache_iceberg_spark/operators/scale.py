@@ -5001,3 +5001,138 @@ def m60_partitioned_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "m61_conditional_merge",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        s AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 4 = 0
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             * 12 // 10
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             * 9 // 10
+                   END AS cents
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        matched AS (
+            SELECT t.o_orderkey, t.cents AS tc, s.cents AS sc
+            FROM t JOIN s USING (o_orderkey)
+        ),
+        merged AS (
+            SELECT o_orderkey, sc AS cents FROM matched WHERE sc > tc
+            UNION ALL
+            SELECT o_orderkey, tc FROM matched WHERE NOT (sc > tc)
+            UNION ALL
+            SELECT * FROM t
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+            UNION ALL
+            SELECT * FROM s
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM merged) AS BIGINT) AS n_rows,
+               CAST((SELECT SUM(cents) FROM merged) AS BIGINT)
+                   AS total_cents,
+               CAST((SELECT COUNT(*) FROM matched WHERE sc > tc)
+                    AS BIGINT) AS n_amended,
+               CAST((SELECT COUNT(*) FROM matched WHERE NOT (sc > tc))
+                    AS BIGINT) AS n_gated,
+               CAST(1 AS BIGINT) AS cow_eq_mor
+    """,
+    doc="CONDITIONAL MERGE clauses (round 15 — Iceberg/Spark's `WHEN "
+    "MATCHED AND <cond> THEN …`, the last MERGE-surface family the "
+    "emulation lacked): `merge_into(matched_condition='source.cents "
+    "> target.cents')` gates the matched action on a predicate over "
+    "BOTH sides — matched rows failing the gate (or evaluating NULL, "
+    "the SQL clause rule) keep their target values untouched. The "
+    "scenario is the canonical amendment feed: the source carries "
+    "re-priced orders, and only INCREASES apply (%%4 keys price at "
+    "1.2x, the rest at 0.9x — so the gate fires on exactly the %%4 "
+    "matched keys). The hash pins the merged row count, exact cents, "
+    "the amended/gated split, and `cow_eq_mor`: the identical "
+    "conditional merge under copy-on-write and merge-on-read "
+    "produced row-for-row equal tables — under MoR the delete-key "
+    "set covers ONLY the condition-true matches (an untouched "
+    "matched row must not be deleted), and the update delta still "
+    "doubles as the delete file, keeping the commit O(batch) bytes "
+    "with one target read to evaluate the gate. Composes with "
+    "update_set (pytest).",
+    tags=("scale", "snapshot", "merge", "merge-on-read"),
+)
+def m61_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        merge_into,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    target = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", base.alias("cents")
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 4 = 0 "
+            "THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 12 DIV 10 "
+            "ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) * 9 DIV 10 "
+            "END"
+        ).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="m61_")
+    outs = {}
+    for strat in ("cow", "mor"):
+        tab = os.path.join(root, strat)
+        commit_snapshot(target, tab)
+        merge_into(
+            spark,
+            tab,
+            source,
+            on=["o_orderkey"],
+            strategy=strat,
+            matched_condition="source.cents > target.cents",
+        )
+        outs[strat] = read_ref(spark, tab, "main")
+    cow, mor = outs["cow"].persist(), outs["mor"]
+    eq = int(
+        cow.exceptAll(mor).isEmpty() and mor.exceptAll(cow).isEmpty()
+    )
+    gate = (
+        target.alias("target")
+        .join(source.alias("source"), "o_orderkey")
+        .agg(
+            F.sum(
+                (F.expr("source.cents > target.cents")).cast("long")
+            ).alias("n_amended"),
+            F.sum(
+                (~F.expr("source.cents > target.cents")).cast("long")
+            ).alias("n_gated"),
+        )
+    )
+    out = (
+        cow.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .crossJoin(F.broadcast(gate))
+        .select(
+            "n_rows",
+            "total_cents",
+            "n_amended",
+            "n_gated",
+            F.lit(eq).cast("long").alias("cow_eq_mor"),
+        )
+    )
+    out = out.localCheckpoint()  # materialize before the unpersist
+    cow.unpersist()
+    return out

@@ -328,6 +328,7 @@ AUX = [
     "g17_kcore",
     "tx29_zipf_hapax",
     "m60_partitioned_mor_scan",
+    "m61_conditional_merge",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -346,3 +346,77 @@ def test_a51_degenerate_dof_no_crash(spark):
     row = REGISTRY["a51_g_test"].spark(spark, sf).first()
     assert row["dof"] == 0
     assert row["g_per_dof_micro"] == 0
+
+
+def test_conditional_merge_matrix_cow_equals_mor(spark):
+    """WHEN MATCHED AND <cond>: update/delete actions, with and
+    without SET clauses, identical under both strategies; gated rows
+    keep target values."""
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k long, v long, tag string",
+    )
+    source = spark.createDataFrame(
+        [(1, 99, "x"), (2, 5, "y"), (7, 70, "z")],
+        "k long, v long, tag string",
+    )
+    cases = [
+        (dict(matched_condition="source.v > target.v"),
+         [(1, 99, "x"), (2, 20, "b"), (3, 30, "c"), (7, 70, "z")]),
+        (dict(when_matched="delete", when_not_matched="ignore",
+              matched_condition="source.tag = 'y'"),
+         [(1, 10, "a"), (3, 30, "c")]),
+        (dict(update_set={"v": "target.v + source.v"},
+              matched_condition="source.v > target.v"),
+         [(1, 109, "a"), (2, 20, "b"), (3, 30, "c"), (7, 70, "z")]),
+        (dict(when_matched="delete",
+              matched_condition="source.v > target.v"),
+         [(2, 20, "b"), (3, 30, "c"), (7, 70, "z")]),
+    ]
+    for kwargs, want in cases:
+        for strat in ("cow", "mor"):
+            t = _table(f"cond15_{strat}_")
+            commit_snapshot(target, t)
+            merge_into(spark, t, source, on=["k"], strategy=strat, **kwargs)
+            got = _rows(read_ref(spark, t, "main"))
+            assert got == sorted(want), (strat, kwargs, got)
+
+
+def test_conditional_merge_null_condition_keeps_target(spark):
+    """A NULL condition must behave as false (SQL clause rule): the
+    matched row keeps its target values, on both strategies."""
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    source = spark.createDataFrame(
+        [(1, None), (2, 99)], "k long, v long"
+    )
+    for strat in ("cow", "mor"):
+        t = _table(f"condnull15_{strat}_")
+        commit_snapshot(target, t)
+        merge_into(
+            spark, t, source, on=["k"], strategy=strat,
+            when_not_matched="ignore",
+            matched_condition="source.v > target.v",
+        )
+        assert _rows(read_ref(spark, t, "main")) == [(1, 10), (2, 99)]
+
+
+def test_conditional_mor_deletes_only_gated_keys(spark):
+    """The MoR delete-key file must cover ONLY condition-true matched
+    keys — an untouched matched row deleted-by-key would vanish from
+    the anti-join read."""
+    from apache_iceberg_spark.catalog.snapshots import mor_changes
+
+    target = _kv(spark, 0, 10)
+    source = _kv(spark, 5, 15)  # matched: 5..9
+    t = _table("condkeys15_")
+    commit_snapshot(target, t)
+    v = merge_into(
+        spark, t, source, on=["k"], strategy="mor",
+        when_matched="delete", when_not_matched="ignore",
+        matched_condition="source.k % 2 = 0",  # gate: 6, 8 only
+    )
+    _ins, delk, _on = mor_changes(spark, t, v)
+    assert {r["k"] for r in delk.collect()} == {6, 8}
+    assert {r["k"] for r in read_ref(spark, t, "main").collect()} == (
+        set(range(10)) - {6, 8}
+    )
