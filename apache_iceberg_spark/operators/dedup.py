@@ -2610,3 +2610,121 @@ def dd25_bloom_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd26: normalization-cascade dedup profile (round 15)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dd26_normalization_cascade",
+    oracle="""
+        WITH h AS (
+            SELECT md5(text) AS h_raw,
+                   md5(lower(text)) AS h_case,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g')) AS h_ws,
+                   md5(regexp_replace(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g'),
+                       '[^a-z0-9 ]', '', 'g')) AS h_punct
+            FROM documents
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT h_raw) AS BIGINT) AS d_raw,
+                   CAST(COUNT(DISTINCT h_case) AS BIGINT) AS d_case,
+                   CAST(COUNT(DISTINCT h_ws) AS BIGINT) AS d_ws,
+                   CAST(COUNT(DISTINCT h_punct) AS BIGINT) AS d_punct
+            FROM h
+        )
+        SELECT * FROM (
+            SELECT '0_raw' AS level, n_docs, d_raw AS n_distinct,
+                   CAST((n_docs - d_raw) * 1000000 // n_docs AS BIGINT)
+                       AS dup_rate_micro,
+                   CAST(0 AS BIGINT) AS extra_dups
+            FROM agg
+            UNION ALL
+            SELECT '1_case', n_docs, d_case,
+                   CAST((n_docs - d_case) * 1000000 // n_docs AS BIGINT),
+                   CAST(d_raw - d_case AS BIGINT)
+            FROM agg
+            UNION ALL
+            SELECT '2_whitespace', n_docs, d_ws,
+                   CAST((n_docs - d_ws) * 1000000 // n_docs AS BIGINT),
+                   CAST(d_case - d_ws AS BIGINT)
+            FROM agg
+            UNION ALL
+            SELECT '3_punctuation', n_docs, d_punct,
+                   CAST((n_docs - d_punct) * 1000000 // n_docs AS BIGINT),
+                   CAST(d_ws - d_punct AS BIGINT)
+            FROM agg
+        ) ORDER BY level
+    """,
+    doc="Normalization-cascade dedup profile — BEFORE running an exact "
+    "dedup at scale, measure how much each normalization level would "
+    "catch: raw bytes, lowercase, +whitespace collapse, +punctuation "
+    "strip (the ladder every pretraining pipeline tunes; dd1 runs "
+    "level 0, tx13's line dedup runs ~level 2). Each level's distinct "
+    "count, dup rate, and MARGINAL catch (extra dups vs the previous "
+    "level) land in one hash — the marginal column is the decision "
+    "input: a large case->whitespace jump means boilerplate with "
+    "erratic spacing, a large punctuation jump usually means "
+    "templated spam. ONE scan computes all four digests per doc and "
+    "one aggregate folds the distinct counts (Spark plans the four "
+    "COUNT(DISTINCT) as one expand + partial aggregate — no second "
+    "pass over the corpus); at 100 TB the expand is 4x the hash "
+    "column, not 4x the text, because digests are computed before "
+    "the expand.",
+    tags=("dedup", "text"),
+)
+def dd26_normalization_cascade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table_parallel(spark, sf_dir, "documents")
+    lower_ws = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    h = d.select(
+        F.md5(F.col("text")).alias("h_raw"),
+        F.md5(F.lower(F.col("text"))).alias("h_case"),
+        F.md5(lower_ws).alias("h_ws"),
+        F.md5(F.regexp_replace(lower_ws, r"[^a-z0-9 ]", "")).alias(
+            "h_punct"
+        ),
+    )
+    agg = h.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h_raw").alias("d_raw"),
+        F.countDistinct("h_case").alias("d_case"),
+        F.countDistinct("h_ws").alias("d_ws"),
+        F.countDistinct("h_punct").alias("d_punct"),
+    )
+    # stack unfolds the single agg row into the 4 cascade rows in the
+    # SAME plan — one corpus pass total (a 4-way union of selects over
+    # the agg would re-run the aggregate per branch)
+    return (
+        agg.select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(
+                "stack(4,"
+                " '0_raw', CAST(d_raw AS BIGINT), CAST(0 AS BIGINT),"
+                " '1_case', CAST(d_case AS BIGINT),"
+                "  CAST(d_raw - d_case AS BIGINT),"
+                " '2_whitespace', CAST(d_ws AS BIGINT),"
+                "  CAST(d_case - d_ws AS BIGINT),"
+                " '3_punctuation', CAST(d_punct AS BIGINT),"
+                "  CAST(d_ws - d_punct AS BIGINT)"
+                ") AS (level, n_distinct, extra_dups)"
+            ),
+        )
+        .select(
+            "level",
+            "n_docs",
+            "n_distinct",
+            F.expr(
+                "CAST((n_docs - n_distinct) * 1000000 DIV n_docs"
+                " AS BIGINT)"
+            ).alias("dup_rate_micro"),
+            "extra_dups",
+        )
+        .orderBy("level")
+    )

@@ -3297,3 +3297,135 @@ def _st36_set_oracle() -> None:
 
 
 _st36_set_oracle()
+
+
+# --- st37: guarded CDC upsert under OUT-OF-ORDER arrival ------------------
+
+def _write_shuffled_bucket_files(
+    df: DataFrame, col: str, n_files: int, src: str
+) -> None:
+    """Split ``df`` into ``n_files`` hash-bucket files of ``col`` —
+    each file spans the WHOLE time range, so replaying them as
+    micro-batches delivers every batch's rows out of event-time order
+    relative to the other batches (the adversarial arrival st37's
+    guard must survive). Ascending mtimes keep the REPLAY deterministic
+    (FileStreamSource orders by (mtime, path)); the point is that no
+    replay order of these files is time-ordered."""
+    import os
+    import shutil
+
+    os.makedirs(src)
+    for i in range(n_files):
+        part = df.filter(F.col(col) % n_files == i)
+        tmp = os.path.join(src, f"_w{i}")
+        part.coalesce(1).write.parquet(tmp)
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, files[0]), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+@register(
+    "st37_stream_guarded_cdc",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS last_cents,
+                   CAST(EXTRACT(epoch FROM ts) * 1000000 AS BIGINT)
+                       AS last_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id, last_cents, last_us FROM ranked WHERE rn = 1
+    """,
+    doc="CDC apply under OUT-OF-ORDER arrival — st30's upsert made "
+    "replay-robust with m61's conditional clause: each micro-batch "
+    "merges with `matched_condition = source arrived LATER (by event "
+    "time, event_id tiebreak)`, so a stale update can NEVER clobber a "
+    "newer state row — the last-writer-wins-BY-EVENT-TIME contract "
+    "every real CDC consumer needs, because no transport guarantees "
+    "time-ordered delivery. The fixture is adversarial: updates split "
+    "into HASH-bucket files (each spanning the whole time range, so "
+    "every batch interleaves with every other in event time) while "
+    "st30's range-file setup would break this operator's oracle "
+    "without the guard — the unguarded merge under this arrival "
+    "order yields whichever bucket replays last, the guarded one "
+    "yields the GLOBAL latest per user, which is exactly what the "
+    "oracle recomputes declaratively. Scale: per batch ONE keyed "
+    "reduction + a MoR commit of O(batch) bytes (the gate's target "
+    "read is the price of out-of-order safety; Iceberg MERGE pays "
+    "the same join); state lives in the committed table, "
+    "replay-idempotent by construction (a re-delivered batch's rows "
+    "all fail the strict-newer gate).",
+    tags=("streaming", "merge", "upsert", "cdc"),
+)
+def st37_stream_guarded_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        merge_into,
+        read_ref,
+    )
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    lo, hi = e.agg(F.min("us"), F.max("us")).first()
+    t_mid = (int(lo) + int(hi)) // 2
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "cents", "us")
+        )
+
+    base = tempfile.mkdtemp(prefix="st37_")
+    table = os.path.join(base, "user_state")
+    commit_snapshot(latest(e.filter(F.col("us") <= t_mid)), table)
+    updates = e.filter(F.col("us") > t_mid)
+    src = os.path.join(base, "src")
+    _write_shuffled_bucket_files(updates, "event_id", 3, src)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into(
+            spark,
+            table,
+            latest(batch_df),
+            on=["user_id"],
+            strategy="mor",
+            check_unique=False,
+            matched_condition=(
+                "source.us > target.us OR "
+                "(source.us = target.us AND "
+                "source.event_id > target.event_id)"
+            ),
+        )
+
+    query = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return read_ref(spark, table, "main").select(
+        "user_id",
+        F.col("cents").alias("last_cents"),
+        F.col("us").alias("last_us"),
+    )

@@ -119,6 +119,7 @@ STREAMING = [
     "st34_stream_bloom_build",
     "st35_stream_hyperloglog",
     "st36_stream_hash_sample",
+    "st37_stream_guarded_cdc",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -329,6 +330,7 @@ AUX = [
     "tx29_zipf_hapax",
     "m60_partitioned_mor_scan",
     "m61_conditional_merge",
+    "dd26_normalization_cascade",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -1311,3 +1311,12 @@ def test_m60_partition_pruning_through_mor_anti_join(spark):
     assert len(pf) >= 2, plan  # seed dir AND merge delta both pruned
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dd26_single_pass_cascade(spark):
+    """All four normalization levels' distinct counts come from ONE
+    corpus scan (digests computed before the count-distinct expand;
+    stack unfolds the single agg row — no per-level re-aggregation)."""
+    plan = plan_of(spark, "dd26_normalization_cascade")
+    assert n_distinct_scans(plan) == 1, plan
+    assert "Join" not in plan, plan

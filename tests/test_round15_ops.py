@@ -420,3 +420,73 @@ def test_conditional_mor_deletes_only_gated_keys(spark):
     assert {r["k"] for r in read_ref(spark, t, "main").collect()} == (
         set(range(10)) - {6, 8}
     )
+
+
+def test_st37_guard_is_load_bearing(spark):
+    """Under st37's adversarial (hash-bucketed, time-interleaved)
+    arrival order, the UNGUARDED merge must disagree with the guarded
+    one — proving the matched_condition is what makes out-of-order CDC
+    correct, and that the fixture actually delivers out of order."""
+    import apache_iceberg_spark.streaming.events as ev
+    from apache_iceberg_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    guarded = {
+        (r["user_id"], r["last_cents"], r["last_us"])
+        for r in REGISTRY["st37_stream_guarded_cdc"]
+        .spark(spark, sf)
+        .collect()
+    }
+    # replay the same bucket files through an unguarded merge
+    e = ev.load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    lo, hi = e.agg(F.min("us"), F.max("us")).first()
+    t_mid = (int(lo) + int(hi)) // 2
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "cents", "us")
+        )
+
+    base = tempfile.mkdtemp(prefix="st37un_")
+    table = os.path.join(base, "t")
+    commit_snapshot(latest(e.filter(F.col("us") <= t_mid)), table)
+    src_dir = os.path.join(base, "src")
+    ev._write_shuffled_bucket_files(
+        e.filter(F.col("us") > t_mid), "event_id", 3, src_dir
+    )
+    import glob as _glob
+
+    for f in sorted(_glob.glob(os.path.join(src_dir, "b*.parquet"))):
+        merge_into(
+            spark,
+            table,
+            latest(spark.read.parquet(f)),
+            on=["user_id"],
+            strategy="mor",
+            check_unique=False,  # unguarded: plain last-writer-wins
+        )
+    unguarded = {
+        (r["user_id"], r["cents"], r["us"])
+        for r in read_ref(spark, table, "main").collect()
+    }
+    assert guarded != unguarded, (
+        "arrival order was not adversarial — the guard proved nothing"
+    )
+    # and the guarded result IS the global latest
+    want = {
+        (r["user_id"], r["cents"], r["us"])
+        for r in latest(e).select("user_id", "cents", "us").collect()
+    }
+    assert guarded == want
