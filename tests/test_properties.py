@@ -722,3 +722,83 @@ def test_parse_seg_chunk_never_silently_drops_complete_garbage(blob):
         _json.loads(line)
     except ValueError:
         pass  # loud corruption: the required behavior
+
+
+# ---------------------------------------------------------------------------
+# round 15: MoR delete-file pruning soundness (pure-python model)
+# ---------------------------------------------------------------------------
+
+_dir_strategy = st.lists(
+    st.tuples(
+        st.sets(st.integers(0, 24), max_size=8),  # keys in the dir
+        st.booleans(),                            # carries stats?
+    ),
+    min_size=1,
+    max_size=5,
+)
+_del_strategy = st.lists(
+    st.tuples(
+        st.sets(st.integers(0, 24), max_size=6),  # delete keys
+        st.booleans(),                            # carries stats?
+        st.integers(0, 5),                        # version offset
+    ),
+    max_size=4,
+)
+
+
+@given(
+    _dir_strategy,
+    _del_strategy,
+    st.integers(-2, 26),
+    st.integers(-2, 26),
+)
+@settings(max_examples=400, deadline=None)
+def test_prune_plan_is_exact_on_random_tables(dirs, dels, lo, hi):
+    """SOUNDNESS of the delete-pruning proofs (m56's core), checked
+    against a direct row-level model: for ANY layout of data dirs
+    (with/without stats), delete files (with/without stats, any
+    sequence position), and scan range, executing the PRUNED plan +
+    row filter yields exactly the rows of the UNPRUNED semantics.
+    Pure python — the planner (`_prune_plan`) is Spark-free, and the
+    MoR read semantics (strictly-earlier delete application) are a
+    three-line model."""
+    from apache_iceberg_spark.catalog.snapshots import _prune_plan
+
+    data = []
+    rows = {}  # dir path -> set of keys
+    for i, (keys, with_stats) in enumerate(dirs):
+        v = i + 1
+        stats = (
+            {"k": [min(keys), max(keys)]} if (with_stats and keys) else {}
+        )
+        path = f"d{v}"
+        data.append((path, v, stats))
+        rows[path] = keys
+    del_rows = {}
+    dels = sorted(dels, key=lambda t: t[2])
+    del_plan = []
+    for j, (keys, with_stats, voff) in enumerate(dels):
+        # spread deletes across versions: interleaved with the dirs,
+        # before all of them, or after all of them
+        dv = (j % (len(dirs) + 1)) + 1 + voff
+        stats = (
+            {"k": [min(keys), max(keys)]} if (with_stats and keys) else {}
+        )
+        dp = f"e{j}"
+        del_plan.append((dp, ("k",), dv, stats))
+        del_rows[dp] = keys
+
+    def execute(data_part, dels_part):
+        out = []
+        for path, v, _s in data_part:
+            alive = set(rows[path])
+            for dp, _on, dv, _ds in dels_part:
+                if dv > v:
+                    alive -= del_rows[dp]
+            out.extend(k for k in alive if lo <= k <= hi)
+        return sorted(out)
+
+    full = execute(data, del_plan)
+    kept, kept_dels, _np, _nd = _prune_plan(data, del_plan, "k", lo, hi)
+    pruned = execute(kept, kept_dels)
+    assert pruned == full, (data, del_plan, lo, hi, kept, kept_dels)
