@@ -2081,6 +2081,36 @@ def mor_debt(table_path: str, ref: str = "main") -> int:
     return len(dels)
 
 
+def mor_dels_table(table_path: str, ref: str = "main") -> list[dict]:
+    """The outstanding-delete-file INVENTORY at a ref head — the
+    observability twin of ``m47_snapshots_history_table`` for MoR debt
+    (round 15): one record per equality-delete file with its commit
+    version, key columns, committed key ranges (or their absence — a
+    stat-less delete is the standing full-scan tax the inventory
+    exists to surface), and how many earlier data dirs it can apply
+    to. Metadata-only; the input a maintenance dashboard renders and
+    ``mor_maintenance_plan`` decides from."""
+    log = _read_log(table_path)
+    by_v = _by_version(log)
+    data, dels = _resolve_scan(
+        by_v, by_v[_resolve_ref(table_path, ref)]
+    )
+    out = []
+    for dp, on, dv, ds in dels:
+        rec = {
+            "version": dv,
+            "key_cols": list(on),
+            "has_stats": bool(ds),
+            "applicable_dirs": sum(1 for _p, v, _s in data if v < dv),
+        }
+        for c in on:
+            rng = (ds or {}).get(c)
+            rec[f"lo_{c}"] = rng[0] if rng else None
+            rec[f"hi_{c}"] = rng[1] if rng else None
+        out.append(rec)
+    return out
+
+
 def mor_maintenance_plan(
     table_path: str,
     ref: str = "main",

@@ -4684,3 +4684,69 @@ def a53_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ty_pairs",
         F.expr(_A53_TAU).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a55: two-proportion z-test (round 15)
+# ---------------------------------------------------------------------------
+
+#: "High-value" gate in exact cents, and the one shared float recipe
+#: over the four exact counts (identical IEEE tree on both engines).
+A55_CENTS_GATE = 25_000
+_A55_Z = (
+    "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / SQRT((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+)
+
+
+@register(
+    "a55_two_proportion_z",
+    oracle=f"""
+        WITH s AS (
+            SELECT
+                CAST(SUM(CASE WHEN event_type = '{A36_GROUP_A}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN event_type = '{A36_GROUP_A}'
+                          AND CAST(ROUND(value * 100) AS BIGINT)
+                              > {A55_CENTS_GATE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                CAST(SUM(CASE WHEN event_type = '{A36_GROUP_B}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(SUM(CASE WHEN event_type = '{A36_GROUP_B}'
+                          AND CAST(ROUND(value * 100) AS BIGINT)
+                              > {A55_CENTS_GATE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x2
+            FROM events
+        )
+        SELECT n1, x1, n2, x2, {_A55_Z} AS z
+        FROM s
+    """,
+    doc="Two-proportion z-test — is the high-value rate (value > "
+    f"{A55_CENTS_GATE} cents) different between '{A36_GROUP_A}' and "
+    f"'{A36_GROUP_B}' events? The A/B-test primitive the a42 "
+    "(Welch t, means) / a36 (Mann-Whitney, distributions) family "
+    "lacked for RATES — conversion, defect, click-through. Four "
+    "exact integer counts from ONE conditional-aggregate pass "
+    "(no groupBy, no join — a single partial+final hash aggregate "
+    "over the fact scan), then the pooled-proportion z applies one "
+    "shared float recipe to them, bitwise-equal across engines. At "
+    "100 TB: the cheapest possible shape — one scan, four counters, "
+    "map-side combined.",
+    tags=("aggregate", "statistics"),
+)
+def a55_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    is_a = F.col("event_type") == A36_GROUP_A
+    is_b = F.col("event_type") == A36_GROUP_B
+    hi = cents > A55_CENTS_GATE
+    s = e.agg(
+        F.sum(is_a.cast("long")).alias("n1"),
+        F.sum((is_a & hi).cast("long")).alias("x1"),
+        F.sum(is_b.cast("long")).alias("n2"),
+        F.sum((is_b & hi).cast("long")).alias("x2"),
+    )
+    return s.select("n1", "x1", "n2", "x2", F.expr(_A55_Z).alias("z"))

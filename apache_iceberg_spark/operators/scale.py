@@ -5136,3 +5136,76 @@ def m61_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()  # materialize before the unpersist
     cow.unpersist()
     return out
+
+
+@register(
+    "m62_mor_dels_inventory",
+    oracle="""
+        WITH bounds AS (
+            SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+            FROM orders
+        ),
+        edges AS (
+            SELECT lo,
+                   lo + ((hi - lo + 1) * 1) // 3 AS e1,
+                   lo + ((hi - lo + 1) * 2) // 3 AS e2,
+                   hi
+            FROM bounds
+        )
+        SELECT * FROM (
+            SELECT CAST(4 AS BIGINT) AS version,
+                   'o_orderkey' AS key_cols,
+                   CAST(1 AS BIGINT) AS has_stats,
+                   CAST(3 AS BIGINT) AS applicable_dirs,
+                   CAST((SELECT MIN(o_orderkey) FROM orders, edges
+                         WHERE o_orderkey % 5 = 0
+                           AND o_orderkey >= edges.e2) AS BIGINT)
+                       AS key_lo,
+                   CAST((SELECT MAX(o_orderkey) FROM orders, edges
+                         WHERE o_orderkey % 5 = 0
+                           AND o_orderkey >= edges.e2) AS BIGINT)
+                       AS key_hi
+            UNION ALL
+            SELECT CAST(5 AS BIGINT), 'o_orderkey', CAST(0 AS BIGINT),
+                   CAST(3 AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
+        ) ORDER BY version
+    """,
+    doc="Outstanding-delete-file INVENTORY (round 15 — the "
+    "observability twin of m47's snapshots-history table for MoR "
+    "debt): `mor_dels_table` lists every equality-delete file a ref "
+    "head's scan must consider — commit version, key columns, "
+    "committed key ranges, and the count of earlier data dirs it can "
+    "apply to — METADATA-ONLY, no file opened. On m56's fixture the "
+    "hash pins both shapes a dashboard must distinguish: the "
+    "stats-carrying delete (its key range recomputed declaratively "
+    "by the oracle from the source predicate — proof the committed "
+    "stats are the TRUE min/max of the written keys, not an "
+    "estimate) and the stat-less one (NULL ranges, the standing "
+    "every-scan tax `mor_maintenance_plan` charges against all "
+    "earlier dirs). At 100 TB this is the table a maintenance "
+    "dashboard renders next to mor_debt's gauge: WHICH deletes are "
+    "live, how wide, since when.",
+    tags=("scale", "snapshot", "merge-on-read", "maintenance"),
+)
+def m62_mor_dels_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_iceberg_spark.catalog.snapshots import mor_dels_table
+
+    table, _lo, _e1, _e2, _hi = _m56_seed(spark, sf_dir, "morinv_")
+    recs = mor_dels_table(table)
+    rows = [
+        (
+            r["version"],
+            ",".join(r["key_cols"]),
+            int(r["has_stats"]),
+            r["applicable_dirs"],
+            r.get("lo_o_orderkey"),
+            r.get("hi_o_orderkey"),
+        )
+        for r in recs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, key_cols string, has_stats long, "
+        "applicable_dirs long, key_lo long, key_hi long",
+    ).orderBy("version")

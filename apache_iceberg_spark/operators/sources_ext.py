@@ -353,3 +353,64 @@ def s21_jsonl_export_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_nationkey", "n_regionkey", "n_name").orderBy(
         "n_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# s22: compression-codec roundtrip (round 15)
+# ---------------------------------------------------------------------------
+
+S22_CODECS = ("snappy", "gzip", "zstd")
+
+
+@register(
+    "s22_codec_roundtrip",
+    oracle=f"""
+        WITH agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents,
+                   CAST(SUM(l_quantity) AS BIGINT) AS qty
+            FROM lineitem
+        )
+        SELECT codec, n_rows, price_cents, qty
+        FROM agg, (VALUES {", ".join(f"('{c}')" for c in S22_CODECS)})
+             AS codecs(codec)
+        ORDER BY codec
+    """,
+    doc="Parquet compression-codec roundtrip — snappy, gzip, and zstd "
+    "writes of the lineitem fact each read back bit-identically (one "
+    "row per codec pins the same row count + exact price/quantity "
+    "sums against the source table). The operational knob this "
+    "certifies: codec choice is a pure storage/CPU trade (zstd ~2x "
+    "smaller than snappy at similar scan speed; gzip smallest, "
+    "slowest) with ZERO semantic surface — a 100 TB lakehouse "
+    "re-encodes cold partitions to zstd in place (m28's compaction "
+    "planner decides when) and every reader is oblivious. Each "
+    "roundtrip is one write job + one scan; the three reads union "
+    "into one plan.",
+    tags=("sources", "formats"),
+)
+def s22_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        ).alias("price_cents"),
+    )
+    base = tempfile.mkdtemp(prefix="s22_")
+    out = None
+    for codec in S22_CODECS:
+        path = os.path.join(base, codec)
+        li.write.option("compression", codec).parquet(path)
+        r = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("price_cents").cast("long").alias("price_cents"),
+                F.sum("l_quantity").cast("long").alias("qty"),
+            )
+            .select(F.lit(codec).alias("codec"), "*")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("codec")

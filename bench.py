@@ -331,6 +331,9 @@ AUX = [
     "m60_partitioned_mor_scan",
     "m61_conditional_merge",
     "dd26_normalization_cascade",
+    "a55_two_proportion_z",
+    "s22_codec_roundtrip",
+    "m62_mor_dels_inventory",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is
