@@ -1649,6 +1649,7 @@ def merge_into(
     del_stats: bool = True,
     update_set: dict[str, str] | None = None,
     matched_condition: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE INTO over the snapshot catalog — the copy-on-write upsert
     (Iceberg's ``MERGE INTO t USING s ON … WHEN MATCHED THEN UPDATE SET *
@@ -1704,6 +1705,19 @@ def merge_into(
     touches (condition-true matches), and the commit stays O(batch)
     bytes.
 
+    ``merge_schema`` (round 15 — Iceberg's ``mergeSchema`` /
+    ``spark.sql.iceberg.merge-schema`` on MERGE): allow ADDITIVE
+    schema evolution through the merge — a source carrying new columns
+    lands them, and pre-evolution rows read them as NULL (the same
+    add-column semantics ``_read_dirs`` already gives appends, m12).
+    Off by default: a schema drift in a CDC feed is usually a bug, so
+    a shape-changing source RAISES with both schemas named — before
+    this flag, the two strategies disagreed (CoW failed deep inside
+    the union analyzer; MoR silently evolved). Only the plain
+    SET-*/insert paths support it (a SET-clause or conditional merge
+    with simultaneous schema change is ambiguous about the new
+    column's matched-row value — raise and do it in two merges).
+
     Scale shape (cow): the reconcile is one shuffle join on the merge
     keys (both sides hash-partition on ``on``; at 100 TB the write is
     partition-pruned in real Iceberg — only partitions holding matched
@@ -1741,9 +1755,35 @@ def merge_into(
                 "MERGE source is not key-unique on "
                 f"{on} — a matched target row would update ambiguously"
             )
+    target_cols = read_ref(spark, table_path, branch).columns
     if update_set:
-        _check_update_set(
-            update_set, on, read_ref(spark, table_path, branch).columns
+        _check_update_set(update_set, on, target_cols)
+    if merge_schema and (update_set or matched_condition is not None):
+        raise ValueError(
+            "merge_schema composes only with the plain SET-*/insert "
+            "paths — a SET-clause or conditional merge with a "
+            "simultaneous schema change is ambiguous (evolve in its "
+            "own merge first)"
+        )
+    # Does the plan land SOURCE-shaped rows in the target (wholesale
+    # row replacement or inserts)? Then the shapes must agree — or
+    # merge_schema must say evolution is intended. A SET-clause merge
+    # that ignores inserts touches only listed columns, so a partial
+    # -payload source is legitimate there.
+    needs_source_shape = (
+        (when_matched == "update" and not update_set)
+        or when_not_matched == "insert"
+    )
+    if (
+        needs_source_shape
+        and not merge_schema
+        and sorted(source.columns) != sorted(target_cols)
+    ):
+        raise ValueError(
+            "MERGE source schema differs from the target "
+            f"(source {sorted(source.columns)} vs target "
+            f"{sorted(target_cols)}); pass merge_schema=True for "
+            "additive evolution"
         )
     if strategy == "mor":
         return _merge_into_mor(
@@ -1784,13 +1824,22 @@ def merge_into(
         else:
             merged = keep.unionByName(matched)
     elif when_matched == "update" and when_not_matched == "insert":
-        merged = keep.unionByName(source)
+        # allowMissingColumns = merge_schema: additive evolution fills
+        # pre-evolution rows with NULL (m12's add-column semantics);
+        # without the flag a shape drift was rejected above.
+        merged = keep.unionByName(
+            source, allowMissingColumns=merge_schema
+        )
     elif when_matched == "update":  # ignore inserts: only matched update
         matched_src = source.join(target.select(*on), on, "left_semi")
-        merged = keep.unionByName(matched_src)
+        merged = keep.unionByName(
+            matched_src, allowMissingColumns=merge_schema
+        )
     elif when_not_matched == "insert":  # delete matched, insert new
         src_only = source.join(target.select(*on), on, "left_anti")
-        merged = keep.unionByName(src_only)
+        merged = keep.unionByName(
+            src_only, allowMissingColumns=merge_schema
+        )
     else:  # delete matched, ignore new
         merged = keep
     return commit_snapshot_ref(

@@ -5209,3 +5209,103 @@ def m62_mor_dels_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version long, key_cols string, has_stats long, "
         "applicable_dirs long, key_lo long, key_hi long",
     ).orderBy("version")
+
+
+@register(
+    "m63_merge_schema_evolution",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        s AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 // 10
+                       AS cents,
+                   CASE WHEN o_orderkey % 4 = 0 THEN 'eu' ELSE 'us' END
+                       AS region
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        merged AS (
+            SELECT o_orderkey, cents, region FROM s
+            UNION ALL
+            SELECT o_orderkey, cents, CAST(NULL AS VARCHAR)
+            FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN region IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_region_null,
+               CAST(SUM(CASE WHEN region = 'eu' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_eu,
+               CAST(1 AS BIGINT) AS cow_eq_mor
+        FROM merged
+    """,
+    doc="ADDITIVE SCHEMA EVOLUTION through MERGE (round 15 — "
+    "Iceberg's `mergeSchema` on the write path, composing m12's "
+    "add-column read semantics with the m49/m52 merge surface): "
+    "`merge_into(merge_schema=True)` lands a source carrying a NEW "
+    "column (`region`); untouched pre-evolution rows read it as NULL "
+    "— on BOTH strategies, pinned row-for-row equal (`cow_eq_mor`). "
+    "Without the flag the drift RAISES with both schemas named — "
+    "before round 15 the two strategies disagreed (CoW failed deep "
+    "inside the union analyzer, MoR silently evolved), and a silent "
+    "schema drift in a CDC feed is usually a bug, so explicit opt-in "
+    "is the contract. The hash pins the merged count, exact cents, "
+    "the NULL-backfill count (exactly the untouched rows), and the "
+    "new column's populated split. Scale: evolution costs NOTHING "
+    "extra — no table rewrite, no backfill job; old files simply "
+    "lack the column and readers fill NULL (Iceberg's add-column is "
+    "O(1) metadata for the same reason).",
+    tags=("scale", "snapshot", "merge", "schema-evolution"),
+)
+def m63_merge_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        commit_snapshot,
+        merge_into,
+        read_ref,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 DIV 10"
+        ).alias("cents"),
+        F.expr(
+            "CASE WHEN o_orderkey % 4 = 0 THEN 'eu' ELSE 'us' END"
+        ).alias("region"),
+    )
+    root = tempfile.mkdtemp(prefix="m63_")
+    outs = {}
+    for strat in ("cow", "mor"):
+        tab = os.path.join(root, strat)
+        commit_snapshot(target, tab)
+        merge_into(
+            spark, tab, source, on=["o_orderkey"], strategy=strat,
+            merge_schema=True,
+        )
+        outs[strat] = read_ref(spark, tab, "main")
+    cow, mor = outs["cow"].persist(), outs["mor"]
+    eq = int(
+        cow.exceptAll(mor).isEmpty() and mor.exceptAll(cow).isEmpty()
+    )
+    out = cow.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("region").isNull().cast("long")).alias("n_region_null"),
+        F.sum((F.col("region") == "eu").cast("long")).alias("n_eu"),
+    ).select("*", F.lit(eq).cast("long").alias("cow_eq_mor"))
+    out = out.localCheckpoint()  # materialize before the unpersist
+    cow.unpersist()
+    return out

@@ -3429,3 +3429,110 @@ def st37_stream_guarded_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("last_cents"),
         F.col("us").alias("last_us"),
     )
+
+
+# --- st38: schema evolution across stream deployments ---------------------
+
+@register(
+    "st38_stream_schema_evolution",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(
+                (MIN(CAST(EXTRACT(epoch FROM ts) * 1000000 AS BIGINT))
+                 + MAX(CAST(EXTRACT(epoch FROM ts) * 1000000 AS BIGINT)))
+                // 2 AS BIGINT) AS t_mid
+            FROM events
+        ),
+        rows_all AS (
+            SELECT event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN CAST(EXTRACT(epoch FROM ts) * 1000000
+                             AS BIGINT) > (SELECT t_mid FROM bounds)
+                        THEN event_type END AS etype
+            FROM events
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN etype IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pre_evolution,
+               CAST(COUNT(DISTINCT etype) AS BIGINT) AS n_types_post
+        FROM rows_all
+    """,
+    doc="Schema evolution ACROSS STREAM DEPLOYMENTS — the realistic "
+    "shape (a restarted pipeline ships a new column; Structured "
+    "Streaming cannot change a source schema mid-query): deployment "
+    "1 streams the first half of the feed committing (event_id, "
+    "cents) appends; deployment 2 restarts with the evolved schema "
+    "(+event_type) and keeps appending TO THE SAME TABLE — "
+    "`commit_append` accepts the additive shape and the read path "
+    "fills pre-evolution rows with NULL (m12's add-column "
+    "semantics, m63's merge twin, here at the stream's write path). "
+    "The hash pins total rows/cents across the boundary, the exact "
+    "NULL-backfill count (= deployment 1's rows), and the evolved "
+    "column's distinct count over deployment 2. Scale: the "
+    "evolution itself is free (no backfill job, no restatement — "
+    "old files simply lack the column), which is why lakehouse "
+    "streaming pipelines can ship additive schema changes without "
+    "downtime.",
+    tags=("streaming", "schema-evolution"),
+)
+def st38_stream_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from apache_iceberg_spark.catalog.snapshots import (
+        _read_tail,
+        commit_append,
+        commit_snapshot,
+        read_snapshot_dirs,
+    )
+    from apache_iceberg_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = e.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    t_mid = (int(lo) + int(hi)) // 2
+    base = tempfile.mkdtemp(prefix="st38_")
+    table = os.path.join(base, "evolving")
+
+    def run_deployment(df: DataFrame, src: str) -> None:
+        df.write.parquet(src)
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if _read_tail(table) is None:
+                commit_snapshot(batch_df, table)
+            else:
+                commit_append(batch_df, table)
+
+        q = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "4")
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents")
+    run_deployment(
+        e.filter(F.unix_micros("ts") <= t_mid).select("event_id", cents),
+        os.path.join(base, "src1"),
+    )
+    run_deployment(
+        e.filter(F.unix_micros("ts") > t_mid).select(
+            "event_id", cents, F.col("event_type").alias("etype")
+        ),
+        os.path.join(base, "src2"),
+    )
+    return read_snapshot_dirs(spark, table).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("etype").isNull().cast("long")).alias(
+            "n_pre_evolution"
+        ),
+        F.countDistinct("etype").cast("long").alias("n_types_post"),
+    )

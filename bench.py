@@ -120,6 +120,7 @@ STREAMING = [
     "st35_stream_hyperloglog",
     "st36_stream_hash_sample",
     "st37_stream_guarded_cdc",
+    "st38_stream_schema_evolution",
 ]
 
 # Round-7 batch operators that did NOT fit the contract line's tail
@@ -334,6 +335,7 @@ AUX = [
     "a55_two_proportion_z",
     "s22_codec_roundtrip",
     "m62_mor_dels_inventory",
+    "m63_merge_schema_evolution",
 ]
 
 # Canary subset (VERDICT r8 ask #3): 20 queries whose TIMING PROTOCOL is

@@ -490,3 +490,56 @@ def test_st37_guard_is_load_bearing(spark):
         for r in latest(e).select("user_id", "cents", "us").collect()
     }
     assert guarded == want
+
+
+def test_merge_schema_evolution(spark):
+    """merge_schema=True: a source with a NEW column evolves the table
+    additively on BOTH strategies (pre-evolution rows read NULL);
+    without the flag the drift raises with both schemas named, and the
+    two strategies agree on rejecting it (CoW used to fail deep in the
+    union analyzer while MoR silently evolved)."""
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    source = spark.createDataFrame(
+        [(2, 25, "eu"), (3, 30, "us")], "k long, v long, region string"
+    )
+    for strat in ("cow", "mor"):
+        t = _table(f"evo15_{strat}_")
+        commit_snapshot(target, t)
+        with pytest.raises(ValueError, match="merge_schema"):
+            merge_into(spark, t, source, on=["k"], strategy=strat)
+        merge_into(
+            spark, t, source, on=["k"], strategy=strat, merge_schema=True
+        )
+        got = _rows(read_ref(spark, t, "main"))
+        assert got == [(1, 10, None), (2, 25, "eu"), (3, 30, "us")], (
+            strat, got,
+        )
+
+
+def test_merge_schema_guards(spark):
+    """merge_schema composes only with the plain paths; a SET-clause
+    partial-payload source stays legitimate WITHOUT the flag when it
+    cannot land source-shaped rows (ignore-inserts)."""
+    t = _table("evog15_")
+    commit_snapshot(
+        spark.createDataFrame([(1, 10, "a")], "k long, v long, tag string"), t
+    )
+    partial = spark.createDataFrame([(1, 5)], "k long, bump long")
+    # SET-clause + ignore: partial payload fine without merge_schema
+    merge_into(
+        spark, t, partial, on=["k"], when_not_matched="ignore",
+        update_set={"v": "target.v + source.bump"},
+    )
+    assert _rows(read_ref(spark, t, "main")) == [(1, 15, "a")]
+    # but merge_schema + SET-clause is ambiguous -> raise
+    with pytest.raises(ValueError, match="plain"):
+        merge_into(
+            spark, t, partial, on=["k"], when_not_matched="ignore",
+            update_set={"v": "target.v + source.bump"}, merge_schema=True,
+        )
+    # and SET-clause WITH inserts needs full source shape
+    with pytest.raises(ValueError, match="schema differs"):
+        merge_into(
+            spark, t, partial, on=["k"],
+            update_set={"v": "target.v + source.bump"},
+        )
