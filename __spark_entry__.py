@@ -77,33 +77,31 @@ def _green_rounds() -> dict[str, int]:
 # consumers whose source references a changed function, and
 # ``tests/test_recheck_policy.py`` FAILS when a derived query is absent
 # here. Regenerate with: python tools/derive_recheck.py
+# r16 (optimization round): every r15 RECHECK row was re-proven green
+# in the driver's r15 sample (CORRECTNESS_r15.json), so the set resets
+# to this round's diff derivation and grows as optimizations land.
+# Regenerate with: python tools/derive_recheck.py
 RECHECK = frozenset({
-    # the r14 misses, re-proving last round's rewrites (VERDICT r14
-    # ask #2 done-criterion — their implementing code changed in r14
-    # but never re-entered the r14 sample):
-    "a22_countmin_heavy_hitters",
-    "a23_countmin_width_curve",
-    # r15 diff, derived (tools/derive_recheck.py -v for reasons):
-    "a51_g_test",                    # dof clamp (ADVICE r14)
-    "m11_incremental_append_scan",   # read_incremental dels-compare
-    "m22_snapshot_expiry",           # expiry stats-scope fix
-    "m30_branch_wap",                # read_incremental consumer
-    "m31_ref_diff",                  # read_incremental consumer
-    "m33_ref_aware_expiry",          # expiry consumer
-    "m41_truncating_retention",      # expiry consumer
-    "m46_workspace_at_ref",          # ws_read_at view dispatch
-    "m47_snapshots_history_table",   # _resolve_paths dedup
-    "m49_merge_upsert",              # merge_into update_set/del_stats
-    "m50_stats_pruned_scan",         # read_pruned delete pruning
-    "m52_merge_on_read_upsert",      # _read_mor guard + 4-tuple dels
-    "m53_rename_and_views",          # rename guard + transient views
-    "m54_mor_changelog",             # merge_into consumer
-    "m55_mor_stats_pruned_scan",     # merge_into + read_pruned
-    "m56_mor_delete_pruned_scan",    # new (r15)
-    "m57_merge_update_set",          # new (r15)
-    "m58_view_at_ref",               # new (r15)
-    "m59_mor_compaction_policy",     # new (r15)
-    "st30_stream_cdc_upsert",        # merge_into consumer (r14 miss)
+    "q1_pricing_summary",            # single-pass conditional aggs
+    "ts3_asof_join",                 # partition-bounds asof rewrite
+    "m2_salted_join_skew",           # derived salt-domain sizing
+    "pp4_cascade_fuzzy",             # shared canon/minhash helpers
+    "dd2_minhash_lsh",               # vectorized minhash helper
+    "dd14_fuzzy_dup_clusters",       # vectorized minhash helper
+    "dd6_dup_clusters",              # consumes minhash helper path
+    "dd9_embedding_dup_clusters",    # CC iteration reuse
+    "mm6_image_neardup_clusters",    # CC iteration reuse
+    "g13_hits",                      # fewer actions per iteration
+    "g16_weighted_pagerank",         # fewer actions per iteration
+    "g1_pagerank",                   # shared edge-frame prep
+    "g2_triangle_count",             # orientation pre-filter
+    "w12_weighted_median",           # single-window cumsum
+    "m28_compaction_plan",           # fixture-write consolidation
+    "st28_stream_neardup_gate",      # per-batch plan slimming
+    "st37_stream_guarded_cdc",       # guarded-merge target read
+    "q21_waiting_supplier",          # join-order/broadcast shape
+    "pp3_curation_decontaminated",   # funnel stage reuse
+    "pp6_production_funnel",         # funnel stage reuse
 })
 
 

@@ -34,8 +34,33 @@ def test_recheck_superset_of_diff_derivation():
     # Never-driver-checked queries (brand-new operators) already lead
     # the coverage order ahead of every RECHECK row — RECHECK is the
     # re-proof list for queries with a PRIOR green to invalidate.
-    green, red = entry._prior_rounds()
-    ever_checked = green | red
+    # ``ever_checked`` counts only CORRECTNESS rounds <= the diff-base
+    # round (VERDICT r15 "what's wrong" #1): the driver writes the
+    # CURRENT round's CORRECTNESS file into the worktree mid-round,
+    # before any round-close commit, and counting it made the round's
+    # own brand-new queries "ever checked" — reddening the suite at
+    # judge time on a finished round.
+    import glob
+    import json
+
+    bround = derive_recheck.base_round(base)
+    ever_checked: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        fname = os.path.basename(path)
+        try:
+            rnd = int(fname[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            rnd = 0
+        if bround is not None and rnd > bround:
+            continue
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        ever_checked.update(
+            name for name, res in rows.items() if isinstance(res, dict)
+        )
     missing = sorted(
         (set(derived) & ever_checked) - set(entry.RECHECK)
     )

@@ -57,6 +57,28 @@ def base_commit() -> str | None:
     return out or None
 
 
+def base_round(base: str) -> int | None:
+    """Round number parsed from the base commit's ``round N: ...``
+    message, or None if it isn't a round-close commit.
+
+    The recheck gate filters ``ever_checked`` to CORRECTNESS rounds
+    <= this number (VERDICT r15 "what's wrong" #1): the driver drops
+    ``CORRECTNESS_r{N+1}.json`` into the worktree BEFORE the next
+    round-close commit exists, and counting that file made brand-new
+    queries "ever checked" mid-round, reddening a finished round at
+    judge time.
+    """
+    try:
+        msg = subprocess.run(
+            ["git", "log", "-1", "--format=%s", base],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except (subprocess.CalledProcessError, OSError):
+        return None
+    m = re.match(r"round (\d+):", msg)
+    return int(m.group(1)) if m else None
+
+
 def changed_lines(base: str) -> dict[str, set[int]]:
     """{repo-relative .py path under the package: new-side changed line
     numbers} for base..worktree."""
