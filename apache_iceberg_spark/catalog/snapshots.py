@@ -876,6 +876,34 @@ def _column_stats(df: DataFrame, cols: list[str]) -> dict:
     return {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols}
 
 
+def _stats_observer(df: DataFrame, cols: list[str]):
+    """Fold the per-column [min, max] stats into the WRITE job itself
+    (r16, guide §1.2 — don't evaluate the same plan twice): returns
+    ``(df_with_observation, resolve)`` where ``resolve()`` yields the
+    same dict shape as ``_column_stats`` once the write action has run.
+    Before this, every stats-bearing commit ran the full source plan a
+    second time for the stats agg — on a guarded MoR merge that second
+    pass re-read the target and re-ran the join per micro-batch. MIN/MAX
+    are retry-idempotent, so task retries under the observation cannot
+    skew them. ``cols`` empty → (df, lambda: None)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if not cols:
+        return df, lambda: None
+    obs = Observation()
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    out = df.observe(obs, *aggs)
+
+    def resolve() -> dict:
+        row = obs.get
+        return {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols}
+
+    return out, resolve
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
@@ -900,7 +928,8 @@ def commit_snapshot(
     head = tail["version"] if tail else None
     version = (head + 1) if head is not None else 1
     vdir = _data_dir(table_path, "v", version)
-    w = df.write.mode("overwrite")
+    wdf, resolve_stats = _stats_observer(df, stats_cols or [])
+    w = wdf.write.mode("overwrite")
     if partition_by:
         # Hive-style partition directories inside the immutable snapshot
         # dir — Iceberg's partition spec on the emulation: readers prune
@@ -914,7 +943,7 @@ def commit_snapshot(
         "partition_by": partition_by,
     }
     if stats_cols:
-        entry["stats"] = _column_stats(df, stats_cols)
+        entry["stats"] = resolve_stats()
     _append_commit(table_path, entry, expected_head=head)
     return version
 
@@ -940,7 +969,8 @@ def commit_append(
     _check_partition_layout(parent, partition_by)
     version = parent["version"] + 1
     ddir = _data_dir(table_path, "d", version)
-    w = df.write.mode("overwrite")
+    wdf, resolve_stats = _stats_observer(df, stats_cols or [])
+    w = wdf.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(ddir)
@@ -952,7 +982,7 @@ def commit_append(
         "partition_by": partition_by,
     }
     if stats_cols:
-        entry["stats"] = _column_stats(df, stats_cols)
+        entry["stats"] = resolve_stats()
     _append_commit(table_path, entry, expected_head=parent["version"])
     return version
 
@@ -1238,11 +1268,13 @@ def read_pruned_detail(
             raise ValueError(
                 f"snapshot has no data directories at {table_path}"
             )
-        # Every data dir pruned: schema-only read of one pruned dir
-        # (parquet footer, zero row groups survive the filter below)
-        # keeps the empty frame typed like the table (ADVICE r14 —
-        # _read_mor on an all-pruned plan used to IndexError).
-        df = _read_dirs(spark, [data[0][0]]).limit(0)
+        # Every data dir pruned: schema-only read of ALL pruned dirs
+        # (parquet footers, zero rows pass the limit) keeps the empty
+        # frame typed with the table's UNION schema (ADVICE r15 — the
+        # oldest dir alone may predate an additive evolution and lack
+        # the scanned column, making the filter below raise; ADVICE r14
+        # — _read_mor on an all-pruned plan used to IndexError).
+        df = _read_dirs(spark, [p for p, _v, _s in data]).limit(0)
     else:
         df = _read_mor(spark, kept, kept_dels)
     df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -2042,9 +2074,21 @@ def _merge_into_mor(
     if when_matched == "delete" and explicit_del_keys is None:
         explicit_del_keys = source.select(*on)
     adds: list[str] = []
+    resolve_delta_stats = None
     if delta is not None:
+        # Stats ride the write job (r16, _stats_observer): the delta
+        # plan — which on SET-clause/conditional paths reads the target
+        # and joins — used to run a SECOND time for the stats agg, the
+        # per-micro-batch double evaluation st30/st37 paid on every
+        # trigger. ``want`` covers both the delta's pruning stats and
+        # (when the delta doubles as the delete file) the key ranges.
+        want_delta = sorted(
+            set(stats_cols or [])
+            | (set(on) if del_stats and explicit_del_keys is None else set())
+        )
         ddir = _data_dir(table_path, "d", version)
-        w = delta.write.mode("overwrite")
+        wdf, resolve_delta_stats = _stats_observer(delta, want_delta)
+        w = wdf.write.mode("overwrite")
         if layout:
             w = w.partitionBy(*layout)
         w.parquet(ddir)
@@ -2061,18 +2105,15 @@ def _merge_into_mor(
         # same write-job count as CoW at O(batch) bytes. Iceberg's
         # analogue: the delete file referencing the data file's keys.
         del_dir = ddir
-        # ONE stats job covers both the delta's pruning stats and the
-        # delete file's key ranges (the delete keys ARE the delta's key
-        # columns here).
-        want = sorted(
-            set(stats_cols or []) | (set(on) if del_stats else set())
-        )
-        if want:
-            allstats = _column_stats(delta, want)
-            if stats_cols:
-                entry_stats = {c: allstats[c] for c in stats_cols}
-            else:
-                entry_stats = None
+        # The observation on the delta's write job covered both the
+        # delta's pruning stats and the delete file's key ranges (the
+        # delete keys ARE the delta's key columns here) — zero extra
+        # jobs.
+        allstats = resolve_delta_stats() if resolve_delta_stats else None
+        if allstats:
+            entry_stats = (
+                {c: allstats[c] for c in stats_cols} if stats_cols else None
+            )
             if del_stats:
                 del_entry["stats"] = {c: allstats[c] for c in on}
         else:
@@ -2082,15 +2123,19 @@ def _merge_into_mor(
         # (delete+insert: matched keys are deleted, delta holds only
         # source-new rows; delete+ignore: no delta at all; conditional
         # delete: only condition-true matched keys) — a real
-        # equality-delete key file is required.
+        # equality-delete key file is required. Key-range stats ride
+        # the key file's own write job.
         del_dir = _data_dir(table_path, "e", version)
-        keys = explicit_del_keys
-        keys.write.mode("overwrite").parquet(del_dir)
+        kdf, resolve_key_stats = _stats_observer(
+            explicit_del_keys, list(on) if del_stats else []
+        )
+        kdf.write.mode("overwrite").parquet(del_dir)
         if del_stats:
-            del_entry["stats"] = _column_stats(keys, list(on))
+            del_entry["stats"] = resolve_key_stats()
+        delta_stats = resolve_delta_stats() if resolve_delta_stats else None
         entry_stats = (
-            _column_stats(delta, stats_cols)
-            if stats_cols and delta is not None
+            {c: delta_stats[c] for c in stats_cols}
+            if stats_cols and delta_stats
             else None
         )
     del_entry["path"] = del_dir

@@ -1242,7 +1242,10 @@ def ws_rename_table(
                 raise ValueError(
                     f"renaming {old!r} would dangle dependent "
                     f"view(s) {dangling}; drop/re-point them first "
-                    "or pass force=True"
+                    "or pass force=True (detection is a conservative "
+                    "word match over the view SQL — a view that only "
+                    "mentions the name in a string literal or as a "
+                    "column name false-positives here; ADVICE r15)"
                 )
         moved: dict = {"set": paths}
         layout = _table_layout(by_v, parent_v, old)
@@ -1376,9 +1379,20 @@ def ws_read_view(
     # "existing" session-wide after any earlier view read). The
     # analyzed plan is bound to the resolved file scans, so the
     # returned frame survives the drops.
+    # Pre-existing session temp views sharing a table's name are
+    # captured and RE-REGISTERED after the transient drop (ADVICE r15:
+    # the drop otherwise silently destroys caller session state; the
+    # captured frame's analyzed plan survives the round trip).
     created: list[str] = []
+    saved: dict[str, DataFrame] = {}
     try:
         for t in ws_list_tables(ws_path, version):
+            try:
+                tbl = spark.catalog.getTable(t)
+                if (tbl.tableType or "").upper() == "TEMPORARY":
+                    saved[t] = spark.table(t)
+            except Exception:
+                pass  # no such table/view — nothing to preserve
             ws_read(
                 spark, ws_path, t, version=version
             ).createOrReplaceTempView(t)
@@ -1387,3 +1401,5 @@ def ws_read_view(
     finally:
         for t in created:
             spark.catalog.dropTempView(t)
+        for t, pre in saved.items():
+            pre.createOrReplaceTempView(t)

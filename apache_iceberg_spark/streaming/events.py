@@ -2303,33 +2303,65 @@ def _st27_set_oracle() -> None:
 _st27_set_oracle()
 
 
+def _write_bucketed_files(df: DataFrame, bucket, n_files: int, src: str) -> None:
+    """ONE-PASS writer behind the micro-batch fixture builders: assign
+    each row its file index with the ``bucket`` column expression, write
+    every bucket in a single Spark job (dynamic-partition parquet write;
+    ``repartition(1)`` pins one part-file per bucket, matching the old
+    per-bucket ``coalesce(1)``' single-writer volume), then rename the
+    bucket files to ascending names AND mtimes so a file-source stream
+    with maxFilesPerTrigger=1 replays them as deterministic in-order
+    micro-batches (FileStreamSource orders by (mtime, path)).
+
+    r16 optimization (guide §1.2/§2.4 — remove whole passes): the old
+    shape ran one filtered scan + single-task write JOB PER FILE (n
+    scans of the source plus an agg), measured as the dominant setup
+    cost of st28/st30/st37. This shape scans the source once. An empty
+    bucket produces no file (the old shape wrote a 0-row file; an empty
+    micro-batch is a content no-op on every consumer, and no fixture
+    splits produce one)."""
+    import os
+    import shutil
+
+    tmp = os.path.join(src, "_w")
+    (
+        df.withColumn("__b", bucket)
+        .repartition(1)
+        .write.partitionBy("__b")
+        .parquet(tmp)
+    )
+    for i in range(n_files):
+        bdir = os.path.join(tmp, f"__b={i}")
+        if not os.path.isdir(bdir):
+            continue
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(os.path.join(bdir, files[0]), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(tmp)
+
+
 def _write_ordered_range_files(
     df: DataFrame, col: str, n_files: int, src: str
 ) -> None:
     """Split ``df`` into ``n_files`` value-range files of ``col`` under
-    ``src``, written sequentially with ascending names AND mtimes — so a
-    file-source stream with maxFilesPerTrigger=1 replays them as
-    in-order micro-batches (FileStreamSource orders by (mtime, path);
-    pinning both makes the order deterministic). Shared by st28's gate
-    and st30's CDC apply — any streaming operator whose per-batch
-    decisions must compose in key order."""
+    ``src`` with ascending names and mtimes — in-order micro-batches for
+    st28's gate and st30's CDC apply; any streaming operator whose
+    per-batch decisions must compose in key order. File i covers
+    [lo + span*i//n, lo + span*(i+1)//n), exactly the pre-r16 per-file
+    filter bounds (the bucket expression is that mapping's closed-form
+    inverse), written in one pass via ``_write_bucketed_files``."""
     import os
-    import shutil
 
     lo, hi = df.agg(F.min(col), F.max(col)).first()
     os.makedirs(src)
-    span = int(hi) - int(lo) + 1
-    for i in range(n_files):
-        a = int(lo) + span * i // n_files
-        b = int(lo) + span * (i + 1) // n_files
-        part = df.filter((F.col(col) >= a) & (F.col(col) < b))
-        tmp = os.path.join(src, f"_w{i}")
-        part.coalesce(1).write.parquet(tmp)
-        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        dst = os.path.join(src, f"b{i:03d}.parquet")
-        shutil.move(os.path.join(tmp, files[0]), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    # largest i with lo + span*i//n <= v  <=>  i = ((v-lo+1)*n - 1) DIV span
+    bucket = F.expr(
+        f"CAST((({col} - {lo}) + 1) * {n_files} - 1 AS BIGINT) DIV {span}"
+    )
+    _write_bucketed_files(df, bucket, n_files, src)
 
 
 # --- st28: streaming near-dup gate (dd15's fuzzy cascade AT the stream) -------
@@ -2461,16 +2493,23 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
                     F.col("doc_id").alias("doc_id_a"), "band_id", "band_key"
                 )
             )
+            # cand is read TWICE downstream (the a-side semi-join and the
+            # verify joins): persist it so the committed-band-index read
+            # + band join run once per batch, not twice (r16; released
+            # in the finally below).
             cand = (
                 bands_b.join(seen_bands, ["band_id", "band_key"])
                 .filter(F.col("doc_id_a") < F.col("doc_id_b"))
                 .select("doc_id_a", "doc_id_b")
                 .distinct()
+                .persist()
             )
             # a-side hashed sets: recomputed from the doc store for the
             # candidates' ids only — a semi-join-sized map job, not a
             # stored-array-table scan (both prior-batch docs and the
-            # pre-stream corpus live in the ingested documents table)
+            # pre-stream corpus live in the ingested documents table;
+            # the doc store also covers THIS batch's rows, so no union
+            # with hashed_b is needed — same text, same hashed set)
             seen_hashed = _minhash_bands(
                 d.join(
                     cand.select(F.col("doc_id_a").alias("doc_id")),
@@ -2478,7 +2517,7 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
                     "left_semi",
                 ),
                 persist=False,
-            )[0].unionByName(hashed_b)
+            )[0]
             rejected = (
                 cand.join(
                     seen_hashed.select(
@@ -2516,6 +2555,7 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
                 bands_b_raw, bands_tbl, branch="main",
                 idempotency_key=f"st28-bands-{batch_id}", keys_max=64,
             )
+            cand.unpersist()
         finally:
             hashed_b.unpersist()
 
@@ -3310,20 +3350,13 @@ def _write_shuffled_bucket_files(
     relative to the other batches (the adversarial arrival st37's
     guard must survive). Ascending mtimes keep the REPLAY deterministic
     (FileStreamSource orders by (mtime, path)); the point is that no
-    replay order of these files is time-ordered."""
+    replay order of these files is time-ordered. One pass via
+    ``_write_bucketed_files`` (bucket = col % n, the pre-r16 per-file
+    filter verbatim)."""
     import os
-    import shutil
 
     os.makedirs(src)
-    for i in range(n_files):
-        part = df.filter(F.col(col) % n_files == i)
-        tmp = os.path.join(src, f"_w{i}")
-        part.coalesce(1).write.parquet(tmp)
-        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        dst = os.path.join(src, f"b{i:03d}.parquet")
-        shutil.move(os.path.join(tmp, files[0]), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    _write_bucketed_files(df, F.col(col) % n_files, n_files, src)
 
 
 @register(
