@@ -77,31 +77,69 @@ def _green_rounds() -> dict[str, int]:
 # consumers whose source references a changed function, and
 # ``tests/test_recheck_policy.py`` FAILS when a derived query is absent
 # here. Regenerate with: python tools/derive_recheck.py
-# r16 (optimization round): every r15 RECHECK row was re-proven green
-# in the driver's r15 sample (CORRECTNESS_r15.json), so the set resets
-# to this round's diff derivation and grows as optimizations land.
-# Regenerate with: python tools/derive_recheck.py
+# r16 (optimization round): derived from the r16 diff by
+# tools/derive_recheck.py (regenerated as optimizations land) — every
+# query whose implementing function or a consumed helper changed this
+# round re-enters the driver's sample ahead of the oldest-green tail.
 RECHECK = frozenset({
-    "q1_pricing_summary",            # single-pass conditional aggs
-    "ts3_asof_join",                 # partition-bounds asof rewrite
-    "m2_salted_join_skew",           # derived salt-domain sizing
-    "pp4_cascade_fuzzy",             # shared canon/minhash helpers
-    "dd2_minhash_lsh",               # vectorized minhash helper
-    "dd14_fuzzy_dup_clusters",       # vectorized minhash helper
-    "dd6_dup_clusters",              # consumes minhash helper path
-    "dd9_embedding_dup_clusters",    # CC iteration reuse
-    "mm6_image_neardup_clusters",    # CC iteration reuse
-    "g13_hits",                      # fewer actions per iteration
-    "g16_weighted_pagerank",         # fewer actions per iteration
-    "g1_pagerank",                   # shared edge-frame prep
-    "g2_triangle_count",             # orientation pre-filter
-    "w12_weighted_median",           # single-window cumsum
-    "m28_compaction_plan",           # fixture-write consolidation
-    "st28_stream_neardup_gate",      # per-batch plan slimming
-    "st37_stream_guarded_cdc",       # guarded-merge target read
-    "q21_waiting_supplier",          # join-order/broadcast shape
-    "pp3_curation_decontaminated",   # funnel stage reuse
-    "pp6_production_funnel",         # funnel stage reuse
+    "g13_hits",
+    "g16_weighted_pagerank",
+    "m11_incremental_append_scan",
+    "m20_snapshot_rollback",
+    "m21_orphan_cleanup",
+    "m22_snapshot_expiry",
+    "m29_branch_tag_scan",
+    "m30_branch_wap",
+    "m31_ref_diff",
+    "m32_transplant_scan",
+    "m33_ref_aware_expiry",
+    "m35_divergent_merge",
+    "m40_commit_retry_reuse",
+    "m41_truncating_retention",
+    "m43_evolved_append_scan",
+    "m44_at_ref_sugar",
+    "m45_autocompaction_scan",
+    "m47_snapshots_history_table",
+    "m48_sql_at_ref",
+    "m49_merge_upsert",
+    "m50_stats_pruned_scan",
+    "m51_time_travel_asof",
+    "m52_merge_on_read_upsert",
+    "m53_rename_and_views",
+    "m54_mor_changelog",
+    "m55_mor_stats_pruned_scan",
+    "m56_mor_delete_pruned_scan",
+    "m57_merge_update_set",
+    "m58_view_at_ref",
+    "m5_time_travel_versions",
+    "m60_partitioned_mor_scan",
+    "m61_conditional_merge",
+    "m63_merge_schema_evolution",
+    "st13_stream_index_update",
+    "st18_stream_m4_downsample",
+    "st1_stream_tumbling",
+    "st21_stream_seasonal_profile",
+    "st22_stream_changepoint",
+    "st23_stream_benford",
+    "st24_stream_rank_correlation",
+    "st25_stream_periodogram",
+    "st26_stream_bootstrap_ci",
+    "st27_stream_median_ci",
+    "st28_stream_neardup_gate",
+    "st29_stream_page_hinkley",
+    "st2_stream_sliding",
+    "st30_stream_cdc_upsert",
+    "st31_stream_mutual_information",
+    "st32_stream_jsd_drift",
+    "st33_stream_countmin",
+    "st34_stream_bloom_build",
+    "st35_stream_hyperloglog",
+    "st37_stream_guarded_cdc",
+    "st38_stream_schema_evolution",
+    "st4_stream_static_join",
+    "st6_stream_session_window",
+    "st9_stream_ohlc",
+    "w12_weighted_median",
 })
 
 

@@ -1221,6 +1221,11 @@ def w12_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "price_c")
         .agg(F.sum("wt_c").alias("wt"))
+        # plan-cache (r16): three consumers evaluate this fact-table
+        # aggregate — the support-gate probe below (an eager collect),
+        # the group-totals aggregate, and the cumsum window — and
+        # without the persist each re-ran the 600k-row shuffle agg.
+        .persist()
     )
     # Distinct-price support gate (VERDICT r10 ask #5): the per-group
     # cumsum window below buffers one group's full distinct-value frame

@@ -1664,26 +1664,38 @@ def g13_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
 
     def _norm(frame: DataFrame, col: str) -> DataFrame:
-        mx = frame.agg(F.max(col).alias("mx"))
-        return frame.crossJoin(F.broadcast(mx)).select(
+        # The L-inf norm scalar is fetched to the driver (ONE row — the
+        # bounded-collect pattern) and folded in as a literal of the
+        # same DECIMAL(38,0) type the old broadcast column carried.
+        # r16: the crossJoin(broadcast(max)) form re-evaluated ``frame``
+        # twice per normalization, and because each step consumes the
+        # previous normalized frame, the duplication COMPOUNDED down the
+        # chain (the pre-r16 plan carried 159 Exchanges); with the
+        # score frames persisted below, every half-step now runs once.
+        mx = frame.agg(F.max(col).alias("mx")).first()["mx"]
+        return frame.select(
             *[c for c in frame.columns if c != col],
-            F.expr(f"{col} * {G13_MICRO} DIV mx").alias(col),
+            F.expr(
+                f"{col} * {G13_MICRO} DIV CAST('{mx}' AS {dec})"
+            ).alias(col),
         )
 
     a1 = pairs.groupBy("s").agg(
         F.expr(f"CAST(COUNT(*) AS {dec}) * {G13_MICRO}").alias("a")
-    )
+    ).persist()  # plan-cache: materialized by _norm's max fetch
     a1n = _norm(a1, "a")
     h1 = (
         pairs.join(a1n, "s")
         .groupBy("c")
         .agg(F.sum(F.col("a").cast(dec)).cast(dec).alias("h"))
+        .persist()  # plan-cache: _norm max + a2 + top_hub all read it
     )
     h1n = _norm(h1, "h")
     a2 = (
         pairs.join(h1n, "c")
         .groupBy("s")
         .agg(F.sum(F.col("h").cast(dec)).cast(dec).alias("a"))
+        .persist()  # plan-cache: _norm max + top_auth read it
     )
     a2n = _norm(a2, "a")
     top_auth = (
@@ -2024,6 +2036,14 @@ def g16_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    from pyspark.sql import Window
+
+    # Out-weight as a window SUM over the edge shuffle itself (g1's
+    # `_trade_edges_with_deg` shape, r16): the old separate ``deg``
+    # aggregate was re-joined onto the cached edges in BOTH rank steps
+    # and re-evaluated for the final projection — three evaluations and
+    # two edge-sized shuffle joins; annotating the edge frame once
+    # costs zero joins and lands it hash-distributed by source.
     edges = (
         edges0.select(
             F.lit("c").alias("src_kind"), F.col("c").alias("src"),
@@ -2035,14 +2055,13 @@ def g16_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("c").alias("dst_kind"), F.col("c").alias("dst"), "w",
             )
         )
-        .persist()  # plan-cache: degree + two rank steps + final join
+        .withColumn(
+            "outw",
+            F.sum("w").over(Window.partitionBy("src_kind", "src")),
+        )
+        .persist()  # plan-cache: two rank steps + final join
     )
-    deg = edges.groupBy("src_kind", "src").agg(
-        F.sum("w").alias("outw")
-    )
-    step0 = edges.join(
-        deg, ["src_kind", "src"]
-    ).groupBy(
+    step0 = edges.groupBy(
         F.col("dst_kind").alias("kind"), F.col("dst").alias("node")
     ).agg(
         F.expr(
@@ -2051,8 +2070,7 @@ def g16_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rank_micro")
     )
     step1 = (
-        edges.join(deg, ["src_kind", "src"])
-        .join(
+        edges.join(
             step0.select(
                 F.col("kind").alias("src_kind"),
                 F.col("node").alias("src"),
@@ -2071,9 +2089,9 @@ def g16_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         step1.filter(F.col("kind") == "s")
         .join(
-            deg.filter(F.col("src_kind") == "s").select(
-                F.col("src").alias("node"), F.col("outw")
-            ),
+            edges.filter(F.col("src_kind") == "s")
+            .select(F.col("src").alias("node"), F.col("outw"))
+            .distinct(),
             "node",
         )
         .select(

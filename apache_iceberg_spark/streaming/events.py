@@ -91,19 +91,92 @@ def assert_single_batch(query, name: str) -> None:
         )
 
 
-def run_stream_to_memory(streaming_df: DataFrame, name_prefix: str = "stream") -> str:
+#: Target state cells per streaming state partition (r16). AQE coalesces
+#: batch shuffles by size but CANNOT touch a stateful streaming exchange:
+#: its partition count is fixed at first batch from
+#: ``spark.sql.shuffle.partitions``, and every state partition pays a
+#: per-trigger store init + snapshot/delta commit to the checkpoint.
+#: A 64-register sketch spread over the session default therefore pays
+#: dozens of file commits per batch for a few hundred bytes of state.
+#: Aggregations whose OUTPUT CARDINALITY is bounded by construction
+#: (sketch grids, calendar cells, digit histograms, value supports) size
+#: their state partitioning from that bound instead — the streaming
+#: analogue of the session's coalescePartitions.parallelismFirst=false
+#: stance. Cells are tens of bytes, so 65536 cells/partition stays well
+#: under a MB of state; unbounded (key-scale) aggregations pass None and
+#: keep the session default, which scales with the cluster.
+_STATE_CELLS_PER_PART = 65536
+
+
+def bounded_state_parts(spark: SparkSession, bound: int | None) -> int | None:
+    """State-partition count for a bounded-cardinality streaming
+    aggregation: ceil(bound / _STATE_CELLS_PER_PART), clamped to
+    [1, defaultParallelism] — never MORE partitions than the session
+    would have used, and scaling back up with the cardinality bound."""
+    if bound is None:
+        return None
+    dp = spark.sparkContext.defaultParallelism
+    return max(1, min(dp, -(-int(bound) // _STATE_CELLS_PER_PART)))
+
+
+from contextlib import contextmanager  # noqa: E402  (helper-local import)
+
+
+@contextmanager
+def _bounded_state(spark: SparkSession, bound: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` to the bounded-state size
+    for a stream's start→awaitTermination window (the conf is read at
+    first-batch planning time); restores the session value after."""
+    parts = bounded_state_parts(spark, bound)
+    if parts is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _run_memory_query(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    qname: str,
+    output_mode: str = "complete",
+    state_bound: int | None = None,
+):
+    """Start a memory-sink availableNow stream and run it to completion
+    under the bounded-state partitioning; returns the terminated query.
+    The shared body of every memory-sink streaming operator."""
+    with _bounded_state(spark, state_bound):
+        query = (
+            streaming_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return query
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame,
+    name_prefix: str = "stream",
+    state_bound: int | None = None,
+) -> str:
     """Run a bounded stream to completion into an in-memory sink
     (availableNow trigger); returns the result table name."""
     qname = f"{name_prefix}_{next(_stream_ids)}"
-    query = (
-        streaming_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    _run_memory_query(
+        streaming_df.sparkSession,
+        streaming_df,
+        qname,
+        state_bound=state_bound,
     )
-    query.awaitTermination()
     return qname
 
 
@@ -126,7 +199,9 @@ def run_stream_to_memory(streaming_df: DataFrame, name_prefix: str = "stream") -
 )
 def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = run_stream_to_memory(
-        tumbling_counts_stream(spark, sf_dir), "st1_tumbling"
+        tumbling_counts_stream(spark, sf_dir),
+        "st1_tumbling",
+        state_bound=24 * 366 * 64,  # calendar hour-windows x type fanout
     )
     return spark.table(qname)
 
@@ -174,7 +249,9 @@ def st2_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
-    qname = run_stream_to_memory(sliding, "st2_sliding")
+    qname = run_stream_to_memory(
+        sliding, "st2_sliding", state_bound=2 * 24 * 366 * 64
+    )
     return spark.table(qname)
 
 
@@ -611,7 +688,9 @@ def st9_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume_cents",
         )
     )
-    qname = run_stream_to_memory(bars, "st9_ohlc")
+    qname = run_stream_to_memory(
+        bars, "st9_ohlc", state_bound=24 * 366 * 64
+    )
     return spark.table(qname)
 
 
@@ -1021,7 +1100,9 @@ def st13_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "added_inertia_micro"
         ),
     )
-    qname = run_stream_to_memory(added, "st13_idx")
+    qname = run_stream_to_memory(
+        added, "st13_idx", state_bound=1024  # coarse-quantizer cells
+    )
     res = spark.table(qname)
     # FULL-outer semantics (ADVICE r6, mirrored from ann14): batch-only
     # cells must appear even if re-assignment emptied them; realized as
@@ -1485,7 +1566,9 @@ def st18_stream_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.v_c").alias("last_v_c"),
         )
     )
-    qname = run_stream_to_memory(agg, "st18_m4")
+    qname = run_stream_to_memory(
+        agg, "st18_m4", state_bound=24 * 366 * 64
+    )
     return spark.table(qname)
 
 
@@ -1753,15 +1836,9 @@ def st21_stream_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qname = f"st21_seasonal_{next(_stream_ids)}"
-    query = (
-        per_h.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, per_h, qname, "complete", state_bound=24 * 64
     )
-    query.awaitTermination()
     return _ts23_finish(spark.table(qname))
 
 
@@ -1815,15 +1892,9 @@ def st22_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("x"))
     )
     qname = f"st22_cusum_{next(_stream_ids)}"
-    query = (
-        per_h.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, per_h, qname, "complete", state_bound=24 * 366
     )
-    query.awaitTermination()
     return _ts25_finish(spark, spark.table(qname))
 
 
@@ -1925,15 +1996,9 @@ def st23_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
     qname = f"st23_benford_{next(_stream_ids)}"
-    query = (
-        obs.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, obs, qname, "complete", state_bound=16
     )
-    query.awaitTermination()
     obs_t = spark.table(qname).persist()  # plan-cache: feeds n AND cells
     exp_t = spark.createDataFrame(
         [(d, p) for d, p in BENFORD_PPM.items()], "digit bigint, p_ppm bigint"
@@ -2086,15 +2151,9 @@ def st24_stream_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     qname = f"st24_rankcorr_{next(_stream_ids)}"
-    query = (
-        cells.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, cells, qname, "complete", state_bound=None
     )
-    query.awaitTermination()
     return _a40_finish(spark.table(qname), "event_type", precached=True)
 
 
@@ -2147,15 +2206,9 @@ def st25_stream_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("x"))
     )
     qname = f"st25_periodogram_{next(_stream_ids)}"
-    query = (
-        per_h.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, per_h, qname, "complete", state_bound=24 * 366
     )
-    query.awaitTermination()
     return _ts28_finish(spark, _spine_from_hourly(spark.table(qname)))
 
 
@@ -2210,19 +2263,16 @@ def st26_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet file), which would run the 100x lane fan-out on one task;
     # repartitioning the ~raw events first costs a tiny shuffle and
     # parallelizes the lane work across the session's cores (measured
-    # 5.8s -> 1.6s per micro-batch at sf0.1 on local[32]).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # 5.8s -> 1.6s per micro-batch at sf0.1 on local[32]). Pinned to
+    # defaultParallelism, NOT the shuffle conf — the bounded-state
+    # scope below narrows that conf to the replica-count state size,
+    # and the map-side fan-out must keep using every core.
+    n_part = spark.sparkContext.defaultParallelism
     per_rep = _a43_replica_sums(stream_events(spark, sf_dir).repartition(n_part))
     qname = f"st26_bootstrap_{next(_stream_ids)}"
-    query = (
-        per_rep.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, per_rep, qname, "complete", state_bound=128
     )
-    query.awaitTermination()
     return _a43_finish(spark.table(qname))
 
 
@@ -2276,15 +2326,9 @@ def st27_stream_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     qname = f"st27_medianci_{next(_stream_ids)}"
-    query = (
-        per_v.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, per_v, qname, "complete", state_bound=None
     )
-    query.awaitTermination()
     return _a44_finish(spark.table(qname))
 
 
@@ -2616,15 +2660,9 @@ def st29_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("x"))
     )
     qname = f"st29_pagehinkley_{next(_stream_ids)}"
-    query = (
-        per_h.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, per_h, qname, "complete", state_bound=24 * 366
     )
-    query.awaitTermination()
     return _ts31_finish(spark.table(qname))
 
 
@@ -2795,15 +2833,9 @@ def st31_stream_mutual_information(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("c"))
     )
     qname = f"st31_mi_{next(_stream_ids)}"
-    query = (
-        cells.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, cells, qname, "complete", state_bound=24 * 64
     )
-    query.awaitTermination()
     return _a45_finish(spark.table(qname), precached=True)
 
 
@@ -2860,15 +2892,9 @@ def st32_stream_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qname = f"st32_jsd_{next(_stream_ids)}"
-    query = (
-        cells.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, cells, qname, "complete", state_bound=None
     )
-    query.awaitTermination()
     return _a47_finish(spark.table(qname), precached=True)
 
 
@@ -2919,15 +2945,9 @@ def st33_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
     qname = f"st33_cm_{next(_stream_ids)}"
-    query = (
-        keys.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, keys, qname, "complete", state_bound=None
     )
-    query.awaitTermination()
     return _countmin_estimates(
         spark.table(qname).select(
             F.col("user_id").cast("string").alias("user_id"), "exact_cnt"
@@ -3021,15 +3041,9 @@ def st34_stream_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(mask)").alias("w"))
     )
     qname = f"st34_bloom_{next(_stream_ids)}"
-    query = (
-        bloom_cells.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, bloom_cells, qname, "complete", state_bound=128
     )
-    query.awaitTermination()
     bloom = spark.table(qname)
 
     d = load_table(spark, sf_dir, "documents")
@@ -3195,15 +3209,9 @@ def st35_stream_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qname = f"st35_hll_{next(_stream_ids)}"
-    query = (
-        regs_stream.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    query = _run_memory_query(
+        spark, regs_stream, qname, "complete", state_bound=64
     )
-    query.awaitTermination()
     exact = load_table(spark, sf_dir, "events").agg(
         F.countDistinct("user_id").alias("n")
     )
