@@ -1787,7 +1787,7 @@ def merge_into(
                 "MERGE source is not key-unique on "
                 f"{on} — a matched target row would update ambiguously"
             )
-    target_cols = read_ref(spark, table_path, branch).columns
+    target_cols = _ref_column_names(table_path, branch)
     if update_set:
         _check_update_set(update_set, on, target_cols)
     if merge_schema and (update_set or matched_condition is not None):
@@ -1893,6 +1893,43 @@ def _check_update_set(
                 f"SET column {c!r} is not a target column "
                 f"(have {target_columns})"
             )
+
+
+def _ref_column_names(table_path: str, branch: str) -> list[str]:
+    """The UNION column-name set of a ref head's data directories,
+    resolved from parquet FOOTERS + partition-directory names — the
+    metadata ``merge_into`` validates source shape against (r16):
+    building the full MoR read plan (`read_ref(...).columns`) just for
+    a name-set check cost one Catalyst analysis of the whole anti-join
+    tree PER MERGE, a real tax on per-micro-batch CDC loops. Names
+    only — the schema compare is order-insensitive and type coercion
+    is the write path's job (`_widen_numeric_types` on read)."""
+    import pyarrow.parquet as pq
+
+    log = _read_log(table_path)
+    by_v = _by_version(log)
+    entry = by_v[_resolve_ref(table_path, branch)]
+    data, _dels = _resolve_scan(by_v, entry)
+    names: list[str] = []
+    for path, _v, _s in data:
+        for root, _dirs, files in os.walk(path):
+            pf = next((f for f in files if f.endswith(".parquet")), None)
+            if pf is None:
+                continue
+            rel = os.path.relpath(root, path)
+            part_cols = [
+                seg.split("=", 1)[0]
+                for seg in (rel.split(os.sep) if rel != "." else [])
+                if "=" in seg
+            ]
+            cols = list(
+                pq.ParquetFile(os.path.join(root, pf)).schema_arrow.names
+            ) + part_cols
+            for n in cols:
+                if n not in names:
+                    names.append(n)
+            break  # one footer per data dir: all its files share a schema
+    return names
 
 
 def _matched_join(
