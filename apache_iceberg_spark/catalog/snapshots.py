@@ -987,11 +987,52 @@ def commit_append(
     return version
 
 
+def _dir_group_key(path: str):
+    """Grouping key for one committed data dir: the parquet footer's
+    arrow schema with file-level metadata stripped (r17 — the input of
+    ``_read_dirs``' same-schema multi-path grouping), or ``None`` when
+    the dir is hive-partitioned or unreadable (those keep their own
+    ``basePath`` read). One footer per dir decides: a data dir is one
+    commit's write, so all its files share a schema (the same invariant
+    ``_ref_column_names`` relies on)."""
+    import pyarrow.parquet as pq
+
+    try:
+        for root, _dirs, files in os.walk(path):
+            pf = next((f for f in files if f.endswith(".parquet")), None)
+            if pf is None:
+                continue
+            rel = os.path.relpath(root, path)
+            if any(
+                "=" in seg
+                for seg in (rel.split(os.sep) if rel != "." else [])
+            ):
+                return None  # hive-partitioned: per-dir basePath read
+            return str(
+                pq.read_schema(os.path.join(root, pf)).remove_metadata()
+            )
+    except OSError:
+        return None
+    return None
+
+
 def _read_dirs(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Scan a snapshot's data-directory set. Hive-partitioned tables need
     each directory read with its own ``basePath`` (a bare multi-path read
     refuses to unify partition discovery across roots); the filter-through-
     union rewrite keeps partition pruning effective on every branch.
+
+    r17 (guide §1.2 — the read path's planning cost was the measured tax
+    on every multi-snapshot consumer): unpartitioned dirs whose parquet
+    footers carry the SAME schema are scanned as ONE multi-path read
+    instead of one read + union branch per dir. Each per-dir
+    ``spark.read.parquet`` cost ~100 ms of driver-side analysis
+    (listing + footer inference + a plan subtree), ~0.9 s per 8-dir
+    ``read_ref`` PLAN; the grouped read infers once per schema group and
+    plans one FileScan (measured 6x on plan+count for the same 8 dirs).
+    Spark itself infers each group's schema from its own footers, so
+    type fidelity is exactly the per-dir read's. Groups (schema
+    evolution) and partitioned dirs still union below.
 
     ``allowMissingColumns``: additive SCHEMA EVOLUTION across snapshots —
     an append that introduced a new column must not brick reads of the
@@ -1000,8 +1041,23 @@ def _read_dirs(spark: SparkSession, paths: list[str]) -> DataFrame:
     schema, missing fields null). Column RENAMES/type changes still
     raise at the union, which is also honest: without Iceberg's field
     IDs a rename is indistinguishable from drop+add."""
+    if len(paths) == 1:
+        return spark.read.option("basePath", paths[0]).parquet(paths[0])
+    groups: list[list[str]] = []
+    by_key: dict = {}
+    for p in paths:
+        key = _dir_group_key(p)
+        if key is not None and key in by_key:
+            groups[by_key[key]].append(p)
+        else:
+            groups.append([p])
+            if key is not None:
+                by_key[key] = len(groups) - 1
     dfs = [
-        spark.read.option("basePath", p).parquet(p) for p in paths
+        spark.read.option("basePath", g[0]).parquet(g[0])
+        if len(g) == 1
+        else spark.read.parquet(*g)
+        for g in groups
     ]
     dfs = _widen_numeric_types(dfs)
     out = dfs[0]
@@ -1992,6 +2048,65 @@ def _apply_update_set(
     )
 
 
+def _one_pass_update_delta(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    update_set: dict[str, str] | None,
+    matched_condition: str | None,
+    insert: bool,
+) -> DataFrame:
+    """The delta frame of an UPDATE-action merge that must read the
+    target (SET-clause and/or conditional), built from ONE left-outer
+    join instead of the inner-join(condition) ∪ anti-join pair (r17,
+    guide §1.2): the old shape scanned the target TWICE inside the
+    delta's single write job — once for the matched join, once for the
+    source-only anti probe — every micro-batch of a guarded CDC loop
+    (st37) paid both. ``source LEFT JOIN target`` yields exactly the
+    same multiset: each source row appears once per matching target row
+    (the inner join's pairs) or once with a NULL target side (the anti
+    join's rows), distinguished by a non-null marker column, so the
+    projection below reproduces the old two-branch union row-for-row.
+    Matched rows where the condition is false or NULL are dropped (SQL
+    clause semantics — they keep their target values by NOT being
+    deleted/superseded); unmatched rows survive only under
+    ``insert``."""
+    from pyspark.sql import functions as F
+
+    mark = "__matched"
+    while mark in target.columns or mark in source.columns:
+        mark += "_"
+    target_cols = target.columns
+    tgt = target.withColumn(mark, F.lit(True)).alias("target")
+    j = source.alias("source").join(tgt, on, "left")
+    matched = F.col(f"target.{mark}").isNotNull()
+    fire = matched
+    if matched_condition is not None:
+        fire = matched & F.coalesce(
+            F.expr(matched_condition), F.lit(False)
+        )
+    keep = (fire | ~matched) if insert else fire
+    proj = []
+    for c in target_cols:
+        if c in on:
+            proj.append(F.col(c))
+        elif not update_set:
+            # SET *: matched rows take the whole source row — identical
+            # to the insert branch, so no CASE is needed (source shape
+            # was validated against the target upstream).
+            proj.append(F.col(f"source.{c}").alias(c))
+        else:
+            upd = (
+                F.expr(update_set[c])
+                if c in update_set
+                else F.col(f"target.{c}")
+            )
+            if insert:
+                upd = F.when(matched, upd).otherwise(F.col(f"source.{c}"))
+            proj.append(upd.alias(c))
+    return j.filter(keep).select(*proj)
+
+
 def _merge_into_mor(
     spark: SparkSession,
     table_path: str,
@@ -2061,43 +2176,38 @@ def _merge_into_mor(
     # keys are exactly what the delta does NOT carry). None on update
     # paths, where the delta's key columns ARE the delete set.
     explicit_del_keys: DataFrame | None = None
-    if matched_condition is not None:
-        # WHEN MATCHED AND <cond>: the gate needs both sides, so the
-        # target is read; the commit stays O(batch) — only the
-        # condition-true matches are deleted/superseded.
+    if (
+        when_matched == "update"
+        and (matched_condition is not None or update_set)
+    ):
+        # WHEN MATCHED AND <cond> / SET-clause update: the gate (or the
+        # unlisted columns) needs the target, so it is read — ONCE, via
+        # the one-pass left-outer delta (r17; the old inner ∪ anti pair
+        # scanned the target twice inside the delta's write job). The
+        # commit stays O(batch): delete keys + delta, and the delta's
+        # keys (condition-true matches + any inserts) still double as
+        # the delete file below.
+        target = read_ref(spark, table_path, branch)
+        delta = _one_pass_update_delta(
+            target, source, on, update_set, matched_condition,
+            insert=(when_not_matched == "insert"),
+        )
+    elif matched_condition is not None:
+        # Conditional DELETE: the victims' keys are what the delta does
+        # NOT carry, so a real key file is written — two output files
+        # mean two write jobs either way; each probe reads the target
+        # once.
         from pyspark.sql import functions as F
 
         target = read_ref(spark, table_path, branch)
         joined = _matched_join(target, source, on)
         cond_rows = joined.filter(F.expr(matched_condition))
-        if when_matched == "update":
-            delta = cond_rows.select(
-                *_matched_projection(target.columns, on, update_set)
-            )
-            if when_not_matched == "insert":
-                delta = delta.unionByName(
-                    source.join(target.select(*on), on, "left_anti")
-                )
-        else:  # conditional delete
-            explicit_del_keys = cond_rows.select(*on)
-            delta = (
-                source.join(target.select(*on), on, "left_anti")
-                if when_not_matched == "insert"
-                else None
-            )
-    elif update_set:
-        # SET-clause subset update: the delta must carry the POST-update
-        # rows (target values for unlisted columns), so the target is
-        # read — but the COMMIT shape is unchanged: delete keys + delta,
-        # O(batch) bytes. Delta keys = matched keys (+ source-only keys
-        # under insert) ⊆ source keys, so the delta still doubles as the
-        # delete file below.
-        target = read_ref(spark, table_path, branch)
-        delta = _apply_update_set(target, source, on, update_set)
-        if when_not_matched == "insert":
-            delta = delta.unionByName(
-                source.join(target.select(*on), on, "left_anti")
-            )
+        explicit_del_keys = cond_rows.select(*on)
+        delta = (
+            source.join(target.select(*on), on, "left_anti")
+            if when_not_matched == "insert"
+            else None
+        )
     elif when_matched == "update" and when_not_matched == "insert":
         delta = source
     elif when_matched == "update":  # ignore inserts

@@ -3932,6 +3932,32 @@ def m51_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multiset_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Multiset (bag) equality of two same-schema frames in ONE
+    aggregation pass — the r17 replacement for the two-directional
+    ``a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()`` proof
+    (guide §1.2: that shape evaluated BOTH inputs twice and ran two
+    full set-difference plans as two actions). Tag each side ±1, group
+    on every column, and look for a nonzero net count: the verdict is
+    identical (bag equality ⟺ every row's multiplicity matches), with
+    one shuffle and one action, each input evaluated once. Grouping
+    equality matches exceptAll's comparison semantics (null == null,
+    NaN normalized)."""
+    cols = a.columns
+    w = "__w"
+    while w in cols:
+        w += "_"
+    tagged = a.select(*cols, F.lit(1).alias(w)).unionByName(
+        b.select(*cols, F.lit(-1).alias(w))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum(w).alias(w))
+        .filter(F.col(w) != 0)
+        .isEmpty()
+    )
+
+
 @register(
     "m52_merge_on_read_upsert",
     oracle="""
@@ -4053,9 +4079,7 @@ def m52_merge_on_read_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     compact_mor(spark, table)
     post = read_ref(spark, table, "main")
-    stable = int(
-        pre.exceptAll(post).isEmpty() and post.exceptAll(pre).isEmpty()
-    )
+    stable = int(_multiset_equal(pre, post))
     debt_after = mor_debt(table)
     pre.unpersist()
     return spark.createDataFrame(
@@ -4779,9 +4803,7 @@ def m57_merge_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tabs[strat] = read_ref(spark, tab, "main")
     cow, mor = tabs["cow"].persist(), tabs["mor"]
-    eq = int(
-        cow.exceptAll(mor).isEmpty() and mor.exceptAll(cow).isEmpty()
-    )
+    eq = int(_multiset_equal(cow, mor))
     out = cow.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").cast("long").alias("total_cents"),
@@ -5104,9 +5126,7 @@ def m61_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs[strat] = read_ref(spark, tab, "main")
     cow, mor = outs["cow"].persist(), outs["mor"]
-    eq = int(
-        cow.exceptAll(mor).isEmpty() and mor.exceptAll(cow).isEmpty()
-    )
+    eq = int(_multiset_equal(cow, mor))
     gate = (
         target.alias("target")
         .join(source.alias("source"), "o_orderkey")
@@ -5297,9 +5317,7 @@ def m63_merge_schema_evolution(
         )
         outs[strat] = read_ref(spark, tab, "main")
     cow, mor = outs["cow"].persist(), outs["mor"]
-    eq = int(
-        cow.exceptAll(mor).isEmpty() and mor.exceptAll(cow).isEmpty()
-    )
+    eq = int(_multiset_equal(cow, mor))
     out = cow.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").cast("long").alias("total_cents"),

@@ -2490,6 +2490,13 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
     # would otherwise run the whole shingle/minhash fold on ONE core
     # (measured 13 s -> 0.5 s for the index build at sf0.1)
     d = load_table_parallel(spark, sf_dir, "documents")
+    # The verify-side doc store: NO repartition — the per-batch a-side
+    # recompute semi-joins this down to candidate ids ONLY (a handful of
+    # rows), so the parallel scan's full-table round-robin shuffle+sort
+    # was pure per-trigger overhead (r17, guide §2.4: remove shuffles
+    # outright; the shingle fold after the semi-join is candidate-sized
+    # and needs no spread).
+    d_verify = load_table(spark, sf_dir, "documents")
     t0 = int(
         d.agg(
             F.expr(f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}")
@@ -2553,10 +2560,18 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
             # stored-array-table scan (both prior-batch docs and the
             # pre-stream corpus live in the ingested documents table;
             # the doc store also covers THIS batch's rows, so no union
-            # with hashed_b is needed — same text, same hashed set)
+            # with hashed_b is needed — same text, same hashed set).
+            # broadcast(cand): the candidate-id set is batch-scale (the
+            # band join's survivors), so the exact broadcast semi-join
+            # is guide §3.2's pre-filter with zero false positives — the
+            # doc store streams through it unshuffled (r17; the
+            # repartitioned frame `d` used here before also paid a
+            # full-table shuffle per trigger).
             seen_hashed = _minhash_bands(
-                d.join(
-                    cand.select(F.col("doc_id_a").alias("doc_id")),
+                d_verify.join(
+                    F.broadcast(
+                        cand.select(F.col("doc_id_a").alias("doc_id"))
+                    ),
                     "doc_id",
                     "left_semi",
                 ),

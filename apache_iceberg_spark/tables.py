@@ -84,6 +84,21 @@ def _parse_byte_conf(value: str, default: int = 134_217_728) -> int:
     return parsed if parsed >= 1 else default
 
 
+#: Compressed input bytes per round-robin partition when spreading a
+#: small single-split file for CPU-heavy work (r17, guide §2.2 — size
+#: shuffle partitions from input bytes, not core count). The r16 driver
+#: scaling block measured the old defaultParallelism spread ACTIVELY
+#: slower at 32 cores than 8 on the text/dedup family (ratios 0.52-0.70:
+#: 32 partitions of a 0.6 MB table are scheduling overhead, not
+#: parallelism). 64 KiB compressed (~3x expanded in memory) keeps each
+#: task large enough to amortize launch cost while still spreading an
+#: expression-heavy fold; at any real scale est_splits exceeds the
+#: clamp and this constant is inert. Override: $SPARK_GRAFT_PARALLEL_CHUNK.
+PARALLEL_CHUNK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PARALLEL_CHUNK", 64 << 10)
+)
+
+
 def load_table_parallel(
     spark: SparkSession, sf_dir: str, name: str, partitions: int | None = None
 ) -> DataFrame:
@@ -96,15 +111,22 @@ def load_table_parallel(
     estimate comes from file size vs ``spark.sql.files.maxPartitionBytes``
     (no ``df.rdd`` probe: that forced a plan→RDD conversion per call,
     VERDICT r1 item 8).
-    """
+
+    The spread target is SCALE-ADAPTIVE (r17): ``ceil(file_bytes /
+    PARALLEL_CHUNK_BYTES)`` clamped to ``[1, defaultParallelism]`` — the
+    partition count follows data volume up to the core count instead of
+    pinning to it, so a 0.6 MB table no longer fans into 32
+    near-empty tasks (the r16 8-vs-32-core scaling block's inversion).
+    An explicit ``partitions`` argument still wins."""
     df = load_table(spark, sf_dir, name)
-    if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism
+    dp = spark.sparkContext.defaultParallelism
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         size = os.path.getsize(path)
     except OSError:
-        return df.repartition(partitions)
+        return df.repartition(partitions or dp)
+    if partitions is None:
+        partitions = max(1, min(dp, -(-size // PARALLEL_CHUNK_BYTES)))
     max_bytes = _parse_byte_conf(
         str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
     )
