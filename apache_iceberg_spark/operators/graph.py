@@ -1177,13 +1177,31 @@ def g8_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = seeds.localCheckpoint(eager=False)
     settled = frontier.select("src", "node")
-    reached_layers = []
+    # parts: (src, node, dist) discovery records — seeds at dist 0 (so a
+    # cycle back to the source resolves to min-dist 0 and is dropped by
+    # the final filter, exactly the old anti-join-vs-settled exclusion)
+    # plus one exact first-discovery layer per intermediate hop.
+    parts = [frontier]
     for h in range(1, G8_MAX_HOPS + 1):
-        expanded = (
-            frontier.join(adj, frontier["node"] == adj["asrc"])
-            .select("src", F.col("adst").alias("node"))
-            .distinct()
-        )
+        expanded = frontier.join(
+            adj, frontier["node"] == adj["asrc"]
+        ).select("src", F.col("adst").alias("node"))
+        if h == G8_MAX_HOPS:
+            # LAST hop (r17, guide §2.4): its frontier never feeds
+            # another expansion, so the dedup + anti-join-vs-settled +
+            # checkpoint (two shuffles and a cache write over the
+            # largest layer) are dead work — emit the RAW expansion and
+            # let the min-dist aggregate below resolve first discovery:
+            # a node settled earlier carries its smaller dist in
+            # `parts`, so MIN picks it; a genuinely new node's only
+            # records are dist H. Identical answer, one aggregation.
+            parts.append(
+                expanded.select(
+                    "src", "node", F.lit(h).cast("long").alias("dist")
+                )
+            )
+            break
+        expanded = expanded.distinct()
         frontier = (
             expanded.join(settled, ["src", "node"], "left_anti")
             .select("src", "node", F.lit(h).cast("long").alias("dist"))
@@ -1191,12 +1209,17 @@ def g8_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if frontier.isEmpty():
             break
-        reached_layers.append(frontier)
+        parts.append(frontier)
         settled = settled.unionByName(frontier.select("src", "node"))
-    out = reached_layers[0]
-    for layer in reached_layers[1:]:
+    out = parts[0]
+    for layer in parts[1:]:
         out = out.unionByName(layer)
-    return out.groupBy("src").agg(
+    d = (
+        out.groupBy("src", "node")
+        .agg(F.min("dist").alias("dist"))
+        .filter(F.col("dist") > 0)
+    )
+    return d.groupBy("src").agg(
         F.sum(F.expr("1000000 DIV dist")).alias("h_micro"),
         F.count(F.lit(1)).alias("n_reached"),
     ).select(F.col("src").alias("l_suppkey"), "h_micro", "n_reached")

@@ -126,11 +126,30 @@ from contextlib import contextmanager  # noqa: E402  (helper-local import)
 def _bounded_state(spark: SparkSession, bound: int | None):
     """Scope ``spark.sql.shuffle.partitions`` to the bounded-state size
     for a stream's start→awaitTermination window (the conf is read at
-    first-batch planning time); restores the session value after."""
+    first-batch planning time); restores the session value after.
+
+    INVARIANT (r17, VERDICT r16 #3): the narrowed conf is SESSION-GLOBAL
+    for the scope's duration, so any query planned concurrently inside
+    the window would silently inherit 1-2 shuffle partitions. Every
+    caller runs one bounded availableNow stream to completion inside
+    the scope and nothing else — enforced below by refusing to narrow
+    while another streaming query is active. Driver-side batch planning
+    from other threads is not a pattern this engine has; if one
+    appears, clone the session for the stream instead."""
     parts = bounded_state_parts(spark, bound)
     if parts is None:
         yield
         return
+    active = spark.streams.active
+    if active:
+        raise RuntimeError(
+            "_bounded_state: refusing to narrow the session-global "
+            f"shuffle-partition conf while {len(active)} other streaming "
+            "query(ies) are active — they (or batch jobs planned for "
+            "them) would inherit the bounded-state partitioning. Run "
+            "bounded-state streams one at a time, or give concurrent "
+            "streams their own session."
+        )
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     spark.conf.set(key, str(parts))
@@ -975,8 +994,18 @@ def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     from apache_iceberg_spark.operators.dedup import (
         _SPARK_TOKENS as _SPARK_TOKENS_ST12,
     )
+    from apache_iceberg_spark.tables import (
+        FOLD_CHUNK_BYTES,
+        load_table_parallel,
+    )
 
-    d = load_table(spark, sf_dir, "documents")
+    # parallel scan for the CPU-heavy static index build (r17 — st28/
+    # dd2's convention; the single-split fixture otherwise runs the
+    # whole shingle/minhash fold of the pre-stream corpus on ONE core
+    # inside the first trigger). FOLD chunk: fold-only side, full spread.
+    d = load_table_parallel(
+        spark, sf_dir, "documents", chunk_bytes=FOLD_CHUNK_BYTES
+    )
     # The index cutoff is an ingest-time constant in production; deriving
     # it here is planning, not dataflow (one scalar aggregate).
     t0 = int(
@@ -2484,19 +2513,26 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
         JACCARD_THRESHOLD,
         _minhash_bands,
     )
-    from apache_iceberg_spark.tables import load_table_parallel
+    from apache_iceberg_spark.tables import (
+        FOLD_CHUNK_BYTES,
+        load_table_parallel,
+    )
 
-    # parallel scan (dd2/dd15's convention): the single-row-group fixture
-    # would otherwise run the whole shingle/minhash fold on ONE core
-    # (measured 13 s -> 0.5 s for the index build at sf0.1)
-    d = load_table_parallel(spark, sf_dir, "documents")
-    # The verify-side doc store: NO repartition — the per-batch a-side
-    # recompute semi-joins this down to candidate ids ONLY (a handful of
-    # rows), so the parallel scan's full-table round-robin shuffle+sort
-    # was pure per-trigger overhead (r17, guide §2.4: remove shuffles
-    # outright; the shingle fold after the semi-join is candidate-sized
-    # and needs no spread).
-    d_verify = load_table(spark, sf_dir, "documents")
+    # Plain scan for everything whose per-row work is trivial (r17): the
+    # t0 scalar, the fixture split, and the verify-side doc store (the
+    # a-side recompute semi-joins it down to candidate ids — a handful
+    # of rows — so the old repartitioned frame's full-table round-robin
+    # shuffle+sort per trigger was pure overhead, guide §2.4).
+    d = load_table(spark, sf_dir, "documents")
+    # parallel scan ONLY for the CPU-heavy index-build fold (dd2/dd15's
+    # convention: the single-row-group fixture would otherwise shingle
+    # the whole pre-stream corpus on ONE core — measured 13 s -> 0.5 s
+    # at sf0.1). FOLD chunk: the build is fold+write with no downstream
+    # shuffle stages, so it wants full spread (tables.FOLD_CHUNK_BYTES
+    # A/B note).
+    d_par = load_table_parallel(
+        spark, sf_dir, "documents", chunk_bytes=FOLD_CHUNK_BYTES
+    )
     t0 = int(
         d.agg(
             F.expr(f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}")
@@ -2514,8 +2550,14 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
     # at sf0.1 vs ~11 s for this shape; index bytes/row now constant).
     # persist=True: the 8 minhash projections MUST read a materialized
     # hs column (the dd15 16x CSE note); released right after the commit.
-    hashed_idx, bands_idx = _minhash_bands(d.filter(F.col("doc_id") < t0))
-    commit_snapshot(bands_idx, bands_tbl)
+    # repartition(1) AFTER the parallel fold (r17, guide §6 output
+    # sizing): the ~1 MB band index lands as ONE file instead of one
+    # sliver per fold task, so the 4 per-trigger committed-index scans
+    # stop paying per-file open/schedule overhead; the fold itself stays
+    # spread (repartition, not coalesce, so the shuffle boundary keeps
+    # upstream parallelism).
+    hashed_idx, bands_idx = _minhash_bands(d_par.filter(F.col("doc_id") < t0))
+    commit_snapshot(bands_idx.repartition(1), bands_tbl)
     hashed_idx.unpersist()
 
     # Source: the arriving docs as FOUR doc_id-range files written
@@ -2526,9 +2568,30 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
     src = os.path.join(base, "src")
     _write_ordered_range_files(batch_docs, "doc_id", 4, src)
     outdir = os.path.join(base, "admitted")
+    # Per-trigger fold spread (r17): each micro-batch arrives as ONE
+    # file split, so its shingle/minhash fold ran single-core (measured
+    # 1.7 s -> 0.54 s spread); size the spread from the largest batch
+    # file's bytes at the FOLD chunk — the same bytes-per-task rule as
+    # load_table_parallel (guide §2.2), inert at scale where a batch
+    # has natural splits.
+    batch_bytes = max(
+        os.path.getsize(os.path.join(src, f)) for f in os.listdir(src)
+    )
+    batch_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-batch_bytes // FOLD_CHUNK_BYTES),
+        ),
+    )
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        hashed_b, bands_b_raw = _minhash_bands(batch_df, persist=False)
+        spread = (
+            batch_df.repartition(batch_parts)
+            if batch_parts > 1
+            else batch_df
+        )
+        hashed_b, bands_b_raw = _minhash_bands(spread, persist=False)
         # three consumers of the batch's hashed sets (band derivation,
         # verify hs_b, a-side recompute for intra-batch pairs): read the
         # batch and hash it ONCE
@@ -2568,7 +2631,7 @@ def _st28_run(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
             # repartitioned frame `d` used here before also paid a
             # full-table shuffle per trigger).
             seen_hashed = _minhash_bands(
-                d_verify.join(
+                d.join(
                     F.broadcast(
                         cand.select(F.col("doc_id_a").alias("doc_id"))
                     ),

@@ -98,9 +98,22 @@ PARALLEL_CHUNK_BYTES = int(
     os.environ.get("SPARK_GRAFT_PARALLEL_CHUNK", 64 << 10)
 )
 
+#: Bytes-per-task for FOLD-ONLY pipelines (shingle/minhash builds that
+#: write or reduce immediately, with no downstream shuffle stages): the
+#: per-byte CPU of a text-shingle fold is roughly an order of magnitude
+#: above a columnar scan's, so its tasks saturate cores at ~1/8 the
+#: chunk. Measured (in-session alternating A/B, sf0.1 documents): the
+#: index fold at 64 KiB chunks ran 2.1-2.6 s vs 1.5-2.0 s fully spread;
+#: a single-split micro-batch fold dropped 1.7 s -> 0.54 s at 8 tasks.
+FOLD_CHUNK_BYTES = max(1, PARALLEL_CHUNK_BYTES // 8)
+
 
 def load_table_parallel(
-    spark: SparkSession, sf_dir: str, name: str, partitions: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    partitions: int | None = None,
+    chunk_bytes: int | None = None,
 ) -> DataFrame:
     """Scan + round-robin repartition for CPU-heavy per-row operators.
 
@@ -117,7 +130,9 @@ def load_table_parallel(
     partition count follows data volume up to the core count instead of
     pinning to it, so a 0.6 MB table no longer fans into 32
     near-empty tasks (the r16 8-vs-32-core scaling block's inversion).
-    An explicit ``partitions`` argument still wins."""
+    An explicit ``partitions`` argument still wins; ``chunk_bytes``
+    overrides the per-task byte target (FOLD_CHUNK_BYTES for fold-only
+    pipelines)."""
     df = load_table(spark, sf_dir, name)
     dp = spark.sparkContext.defaultParallelism
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -126,7 +141,8 @@ def load_table_parallel(
     except OSError:
         return df.repartition(partitions or dp)
     if partitions is None:
-        partitions = max(1, min(dp, -(-size // PARALLEL_CHUNK_BYTES)))
+        chunk = chunk_bytes or PARALLEL_CHUNK_BYTES
+        partitions = max(1, min(dp, -(-size // chunk)))
     max_bytes = _parse_byte_conf(
         str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
     )

@@ -54,28 +54,36 @@ def mark(label):
     print(f"[{time.time()-T0:7.3f}] {label}", flush=True)
 
 
-d = load_table_parallel(spark, SF, "documents")
+from apache_iceberg_spark.tables import load_table
+d = load_table(spark, SF, "documents")
+d_par = load_table_parallel(spark, SF, "documents")
 t0 = int(
     d.agg(F.expr(f"(MAX(doc_id) * {DD15_BATCH_NUM}) DIV {DD15_BATCH_DEN}")).first()[0]
 )
 mark("t0 agg")
 base = tempfile.mkdtemp(prefix="st28p_")
 bands_tbl = os.path.join(base, "bands")
-hashed_idx, bands_idx = _minhash_bands(d.filter(F.col("doc_id") < t0))
-commit_snapshot(bands_idx, bands_tbl)
+hashed_idx, bands_idx = _minhash_bands(d_par.filter(F.col("doc_id") < t0))
+commit_snapshot(bands_idx.repartition(1), bands_tbl)
 hashed_idx.unpersist()
 mark("index build+commit")
 
 batch_docs = d.filter(F.col("doc_id") >= t0).select("doc_id", "text")
 src = os.path.join(base, "src")
 _write_ordered_range_files(batch_docs, "doc_id", 4, src)
+src_dirhack = src
 mark("fixture write")
 outdir = os.path.join(base, "admitted")
+from apache_iceberg_spark.tables import PARALLEL_CHUNK_BYTES
+batch_bytes = max(os.path.getsize(os.path.join(src_dirhack, f)) for f in os.listdir(src_dirhack))
+batch_parts = max(1, min(spark.sparkContext.defaultParallelism, -(-batch_bytes // PARALLEL_CHUNK_BYTES)))
+print("batch_parts", batch_parts)
 
 
 def gate(batch_df, batch_id):
     tb = time.time()
-    hashed_b, bands_b_raw = _minhash_bands(batch_df, persist=False)
+    spread = batch_df.repartition(batch_parts) if batch_parts > 1 else batch_df
+    hashed_b, bands_b_raw = _minhash_bands(spread, persist=False)
     hashed_b = hashed_b.persist()
     try:
         bands_b = bands_b_raw.select(
@@ -97,7 +105,7 @@ def gate(batch_df, batch_id):
         n_cand = cand.count()
         print(f"  b{batch_id} cand materialize ({n_cand}): {time.time()-tb:.3f}", flush=True)
         seen_hashed = _minhash_bands(
-            d.join(cand.select(F.col("doc_id_a").alias("doc_id")), "doc_id", "left_semi"),
+            d.join(F.broadcast(cand.select(F.col("doc_id_a").alias("doc_id"))), "doc_id", "left_semi"),
             persist=False,
         )[0]
         rejected = (
