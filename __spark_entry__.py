@@ -77,57 +77,99 @@ def _green_rounds() -> dict[str, int]:
 # consumers whose source references a changed function, and
 # ``tests/test_recheck_policy.py`` FAILS when a derived query is absent
 # here. Regenerate with: python tools/derive_recheck.py
-# r16 (optimization round): derived from the r16 diff by
+# r17 (optimization round 2): derived from the r17 diff by
 # tools/derive_recheck.py (regenerated as optimizations land) — every
 # query whose implementing function or a consumed helper changed this
 # round re-enters the driver's sample ahead of the oldest-green tail.
+# The derivation is first-order; the r17 catalog-read rewrites
+# (_read_dirs grouping, _one_pass_update_delta) also reach every
+# merge/commit/time-travel consumer THROUGH merge_into/read_ref, so
+# those second-order consumers (m5/m47/m49/m5x, st7/st13/st19/st20/
+# st30/st37) and VERDICT r16 #10's st31-35/st38 are added explicitly.
 RECHECK = frozenset({
+    "ann11_trained_ivf",
+    "ann16_residual_pq",
+    "ann19_radius_search",
+    "ann1_cosine_topk",
+    "ann22_binary_quantization",
+    "ann23_matryoshka_truncation",
+    "ann24_recall_budget_curve",
+    "ann2_lsh_bucketed",
+    "ann3_ivf",
+    "ann4_pandas_cosine",
+    "ann6_pq_adc",
+    "dc1_decontamination",
+    "dc2_fuzzy_decontamination",
+    "dd10_line_dedup",
+    "dd11_duplication_profile",
+    "dd12_containment_dedup",
+    "dd13_soft_dedup_weights",
+    "dd14_fuzzy_dup_clusters",
+    "dd15_incremental_dedup",
+    "dd18_lsh_tuning_curve",
+    "dd19_dup_span_fraction",
+    "dd21_cdc_chunk_dedup",
+    "dd23_minhash_estimate_calibration",
+    "dd24_dup_inflation_factor",
+    "dd25_bloom_filter_gate",
+    "dd26_normalization_cascade",
+    "dd2_minhash_lsh",
+    "dd3_simhash",
+    "dd4_ngram_jaccard",
+    "dd5_embedding_neardup",
+    "dd6_dup_clusters",
+    "dd8_dedup_cascade",
     "g13_hits",
+    "g14_kcore_peeling",
+    "g15_rich_club",
     "g16_weighted_pagerank",
+    "g17_kcore",
+    "g8_harmonic_centrality",
     "m11_incremental_append_scan",
-    "m20_snapshot_rollback",
-    "m21_orphan_cleanup",
-    "m22_snapshot_expiry",
-    "m29_branch_tag_scan",
-    "m30_branch_wap",
-    "m31_ref_diff",
-    "m32_transplant_scan",
-    "m33_ref_aware_expiry",
-    "m35_divergent_merge",
-    "m40_commit_retry_reuse",
-    "m41_truncating_retention",
-    "m43_evolved_append_scan",
-    "m44_at_ref_sugar",
-    "m45_autocompaction_scan",
+    "m12_schema_evolution_scan",
+    "m13_merge_on_read_scan",
+    "m38_workspace_diff",
     "m47_snapshots_history_table",
-    "m48_sql_at_ref",
     "m49_merge_upsert",
     "m50_stats_pruned_scan",
     "m51_time_travel_asof",
     "m52_merge_on_read_upsert",
-    "m53_rename_and_views",
     "m54_mor_changelog",
     "m55_mor_stats_pruned_scan",
     "m56_mor_delete_pruned_scan",
     "m57_merge_update_set",
-    "m58_view_at_ref",
+    "m59_mor_compaction_policy",
     "m5_time_travel_versions",
     "m60_partitioned_mor_scan",
     "m61_conditional_merge",
+    "m62_mor_dels_inventory",
     "m63_merge_schema_evolution",
+    "mm10_vlm_sequence_packing",
+    "mm11_aspect_bucket_report",
+    "mm12_letterbox_pad_report",
+    "mm13_vision_token_budget",
+    "mm14_frame_sampling_schedule",
+    "mm6_image_neardup_clusters",
+    "mm7_image_search",
+    "mm8_video_neardup_pairs",
+    "pp12_dataset_datasheet",
+    "pp13_temperature_mixture",
+    "pp14_corpus_drift_report",
+    "pp17_importance_resampling",
+    "pp20_shard_planner",
+    "pp21_weighted_sample",
+    "pp22_budget_waterfill",
+    "pp24_epoch_schedule",
+    "pp4_cascade_fuzzy",
+    "pp5_domain_mixture",
+    "pp7_contamination_report",
+    "pp8_corpus_shuffle",
+    "pp9_multimodal_curation",
+    "st12_stream_incremental_dedup",
     "st13_stream_index_update",
-    "st18_stream_m4_downsample",
-    "st1_stream_tumbling",
-    "st21_stream_seasonal_profile",
-    "st22_stream_changepoint",
-    "st23_stream_benford",
-    "st24_stream_rank_correlation",
-    "st25_stream_periodogram",
-    "st26_stream_bootstrap_ci",
-    "st27_stream_median_ci",
+    "st19_stream_branch_ingest",
+    "st20_stream_atomic_publish",
     "st28_stream_neardup_gate",
-    "st29_stream_page_hinkley",
-    "st2_stream_sliding",
     "st30_stream_cdc_upsert",
     "st31_stream_mutual_information",
     "st32_stream_jsd_drift",
@@ -136,10 +178,22 @@ RECHECK = frozenset({
     "st35_stream_hyperloglog",
     "st37_stream_guarded_cdc",
     "st38_stream_schema_evolution",
-    "st4_stream_static_join",
-    "st6_stream_session_window",
-    "st9_stream_ohlc",
-    "w12_weighted_median",
+    "st7_stream_upsert",
+    "tx10_vocab_topk",
+    "tx14_tfidf_keywords",
+    "tx16_rarity_filter",
+    "tx17_bpe_encode",
+    "tx18_boilerplate_ngrams",
+    "tx20_bigram_surprisal",
+    "tx23_readability",
+    "tx24_zipf_fit",
+    "tx26_token_entropy",
+    "tx27_heaps_law_fit",
+    "tx28_heldout_perplexity",
+    "tx29_zipf_hapax",
+    "tx5_repetition",
+    "tx6_edit_distance",
+    "tx8_term_novelty",
 })
 
 
