@@ -1175,33 +1175,27 @@ def g8_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("dist"),
         )
     )
+    # r17 note (guide §1.1's "the ideal plan is usually slower at
+    # first"): two rewrites of the last hop were built and A/B'd
+    # in-session (alternating, same JVM) — (a) emitting the RAW last
+    # expansion and resolving first-discovery with one
+    # groupBy(src,node).min(dist) instead of distinct + anti-join +
+    # checkpoint, and (b) merely dropping the last hop's isEmpty probe.
+    # Both LOST to this shape (a: 12.7-13.7 s -> 14.1-16.7 s; b: flat
+    # to worse): the per-hop probes double as staged materialization of
+    # the localCheckpoints, so the final aggregate reads small cached
+    # layers instead of re-deriving the widest expansion, and distinct's
+    # map-side partial dedup beats carrying the raw 2.8M-row fan-out
+    # into the min aggregate. Kept as-is, on measurement.
     frontier = seeds.localCheckpoint(eager=False)
     settled = frontier.select("src", "node")
-    # parts: (src, node, dist) discovery records — seeds at dist 0 (so a
-    # cycle back to the source resolves to min-dist 0 and is dropped by
-    # the final filter, exactly the old anti-join-vs-settled exclusion)
-    # plus one exact first-discovery layer per intermediate hop.
-    parts = [frontier]
+    reached_layers = []
     for h in range(1, G8_MAX_HOPS + 1):
-        expanded = frontier.join(
-            adj, frontier["node"] == adj["asrc"]
-        ).select("src", F.col("adst").alias("node"))
-        if h == G8_MAX_HOPS:
-            # LAST hop (r17, guide §2.4): its frontier never feeds
-            # another expansion, so the dedup + anti-join-vs-settled +
-            # checkpoint (two shuffles and a cache write over the
-            # largest layer) are dead work — emit the RAW expansion and
-            # let the min-dist aggregate below resolve first discovery:
-            # a node settled earlier carries its smaller dist in
-            # `parts`, so MIN picks it; a genuinely new node's only
-            # records are dist H. Identical answer, one aggregation.
-            parts.append(
-                expanded.select(
-                    "src", "node", F.lit(h).cast("long").alias("dist")
-                )
-            )
-            break
-        expanded = expanded.distinct()
+        expanded = (
+            frontier.join(adj, frontier["node"] == adj["asrc"])
+            .select("src", F.col("adst").alias("node"))
+            .distinct()
+        )
         frontier = (
             expanded.join(settled, ["src", "node"], "left_anti")
             .select("src", "node", F.lit(h).cast("long").alias("dist"))
@@ -1209,17 +1203,12 @@ def g8_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if frontier.isEmpty():
             break
-        parts.append(frontier)
+        reached_layers.append(frontier)
         settled = settled.unionByName(frontier.select("src", "node"))
-    out = parts[0]
-    for layer in parts[1:]:
+    out = reached_layers[0]
+    for layer in reached_layers[1:]:
         out = out.unionByName(layer)
-    d = (
-        out.groupBy("src", "node")
-        .agg(F.min("dist").alias("dist"))
-        .filter(F.col("dist") > 0)
-    )
-    return d.groupBy("src").agg(
+    return out.groupBy("src").agg(
         F.sum(F.expr("1000000 DIV dist")).alias("h_micro"),
         F.count(F.lit(1)).alias("n_reached"),
     ).select(F.col("src").alias("l_suppkey"), "h_micro", "n_reached")
