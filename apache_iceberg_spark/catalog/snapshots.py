@@ -1889,16 +1889,36 @@ def merge_into(
         cond = F.expr(matched_condition)
         # condition false OR NULL -> the matched row keeps its target
         # values (SQL clause-condition semantics: NULL never fires)
-        kept_matched = joined.filter(
-            ~F.coalesce(cond, F.lit(False))
-        ).select(*_side_projection(target.columns, on, "target"))
-        parts = [keep, kept_matched]
+        fire = F.coalesce(cond, F.lit(False))
         if when_matched == "update":
-            parts.append(
-                joined.filter(cond).select(
-                    *_matched_projection(target.columns, on, update_set)
+            # ONE pass over the matched join (r17): the cond-true and
+            # cond-false branches partition the matched rows exactly,
+            # so a per-column CASE replaces the two filtered
+            # projections that each re-scanned target AND source
+            # inside the union.
+            cols = []
+            for c in target.columns:
+                if c in on:
+                    cols.append(F.col(c))
+                    continue
+                upd = (
+                    F.expr(update_set[c])
+                    if update_set and c in update_set
+                    else F.col(f"source.{c}")
+                    if not update_set
+                    else F.col(f"target.{c}")
                 )
-            )
+                cols.append(
+                    F.when(fire, upd).otherwise(F.col(f"target.{c}")).alias(c)
+                )
+            parts = [keep, joined.select(*cols)]
+        else:  # conditional delete: only the cond-false matches survive
+            parts = [
+                keep,
+                joined.filter(~fire).select(
+                    *_side_projection(target.columns, on, "target")
+                ),
+            ]
         if when_not_matched == "insert":
             parts.append(source.join(target.select(*on), on, "left_anti"))
         merged = parts[0]
